@@ -1,0 +1,13 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.Bridge
+
+package object functions {
+
+  /** Porter2 (Snowball English) stem of a string column — the engine's
+    * `stem()` scalar function (reference F8).
+    */
+  def stem(c: Column): Column =
+    Bridge.column(StemExpression(Bridge.expression(c)))
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Generic relational capability queries (scan / filter / agg / join /
+  * top-k) over the TPC-H-ish testdata. The reference itself has no
+  * relational joins (SURVEY §2.3) — these exercise the engine surface
+  * a user gets for free from Spark, tuned for scale: predicate + column
+  * pushdown to the parquet scan, broadcast joins for small dimensions,
+  * partial (map-side) aggregation before the shuffle.
+  *
+  * Money arithmetic runs in exact DECIMAL and is cast to DOUBLE only at
+  * the result edge so the DuckDB oracle hashes identically.
+  */
+object RelationalQueries {
+
+  private val dec = DecimalType(18, 2)
+  private val dec4 = DecimalType(18, 4)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-style pricing summary: scan → filter (pushed to parquet)
+    // → partial+final hash agg on 2 low-cardinality keys → tiny sort.
+    QueryDef(
+      "q1_agg",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(dec)).cast("double")
+              .as("sum_base_price"),
+            sum(col("l_extendedprice").cast(dec) *
+                (lit(1).cast(dec) - col("l_discount").cast(dec4)))
+              .cast("double").as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """)),
+
+    // Top-k without a global sort: Spark plans TakeOrderedAndProject,
+    // which holds only k rows per partition then k at the driver.
+    QueryDef(
+      "q_topk_orders",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(10),
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+      """)),
+
+    // Fact-to-fact shuffle join (lineitem⋈orders on the natural key)
+    // then a broadcast join to the small customer dimension; revenue
+    // per market segment. At 100 TB the lineitem⋈orders join shuffles
+    // on orderkey (or is co-located if both are bucketed by it);
+    // customer stays broadcast.
+    QueryDef(
+      "q_join_agg",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"),
+            (col("l_extendedprice").cast(dec) *
+              (lit(1).cast(dec) - col("l_discount").cast(dec4)))
+              .as("disc_price"))
+        val ord = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        val cust = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            sum(col("disc_price")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+      """))
+  )
+}
