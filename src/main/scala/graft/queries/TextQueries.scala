@@ -3,29 +3,47 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sqlList
 import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline queries over the `documents` table, which plays the
-  * essays corpus (FIXTURES.md §3). Each maps a reference operator
-  * (SURVEY §2) to a declarative Spark plan: the narrow string ops stay
-  * inside one whole-stage-codegen span; the only shuffle is the final
-  * `groupBy(word)`.
+  * essays corpus (FIXTURES.md §3). Each maps reference operators
+  * (SURVEY §2) to declarative Spark plans: narrow string ops stay
+  * inside one whole-stage-codegen span; shuffles appear only at
+  * `groupBy`/window boundaries.
+  *
+  * The relational DFM/TF-IDF twins (oracle-checkable) run over the
+  * literal-space split (F10), the same token stream the reference's
+  * per-sex word analytics use (`R:258-270`); the stem-dependent chain
+  * (F5-F9) ships as no-oracle queries since DuckDB has no Porter2.
   */
 object TextQueries {
+
+  private def sqlEscape(s: String): String = s.replace("'", "''")
+
+  /** DuckDB equivalent of the F3+F4 cleaning chain. */
+  private val cleanSql: String =
+    s"regexp_replace(regexp_replace(text, '${sqlEscape(htmlPat)}', ' ', 'g'), " +
+      s"'${sqlEscape(customStopPat)}', ' ', 'g')"
+
+  /** Shared SQL fragments for the split-token relational twins. */
+  private val wordsSql =
+    "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents"
+  private val countsSql =
+    s"SELECT doc_id, word, COUNT(*) AS cnt FROM ($wordsSql) GROUP BY doc_id, word"
 
   val all: Seq[QueryDef] = Seq(
 
     // Phase-0 flagship (SURVEY §7): scan → split/explode (F10) →
     // stop-word filter (F7) → hash agg (A6) → top-25 (T1/T2, planned
-    // as TakeOrderedAndProject). Tie order per quirk Q6: count desc,
-    // word asc.
+    // as TakeOrderedAndProject). Tie order per quirk Q6.
     QueryDef(
       "q_top_words",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        docs
-          .select(explode(TextFunctions.splitWords(col("text"))).as("word"))
-          .filter(!col("word").isin(TextFunctions.snowballStopWords: _*))
+        Tables.documents(s, dir)
+          .select(explode(splitWords(col("text"))).as("word"))
+          .filter(!col("word").isin(snowballStopWords: _*))
           .groupBy(col("word"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), asc("word"))
@@ -33,11 +51,338 @@ object TextQueries {
       },
       Some(s"""
         SELECT word, COUNT(*) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        WHERE word NOT IN (${sqlList(TextFunctions.snowballStopWords)})
+        FROM ($wordsSql)
+        WHERE word NOT IN (${sqlList(snowballStopWords)})
         GROUP BY word
         ORDER BY cnt DESC, word ASC
         LIMIT 25
+      """)),
+
+    // F3+F4 — HTML strip + custom stop-word strip (case-sensitive,
+    // single-pass, pre-lowercase; quirk Q5). Pure codegen'd
+    // regexp_replace chain, no shuffle except the output sort.
+    QueryDef(
+      "q_clean",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            stripCustomStopWords(cleanHtml(col("text"))).as("cleaned"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, $cleanSql AS cleaned
+        FROM documents
+        ORDER BY doc_id
+      """)),
+
+    // F5 — word tokenization (quanteda tokens() approximation):
+    // split on non-[letter digit apostrophe], drop numeric tokens.
+    QueryDef(
+      "q_tokenize",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(tokenizeWords(col("text"))).as("word"))
+          .orderBy(col("doc_id"), col("word")),
+      Some(raw"""
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '[^\p{L}\p{N}'']+')) AS word
+          FROM documents)
+        WHERE word <> '' AND NOT regexp_matches(word, '^[\p{N}][\p{N}.,]*$$')
+        ORDER BY doc_id, word
+      """)),
+
+    // F7 — Snowball stop-word removal on the tokenized stream.
+    QueryDef(
+      "q_stopwords",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(removeStopWords(tokenizeWords(col("text")))).as("word"))
+          .orderBy(col("doc_id"), col("word")),
+      Some(raw"""
+        SELECT doc_id, word FROM (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '[^\p{L}\p{N}'']+')) AS word
+          FROM documents)
+        WHERE word <> '' AND NOT regexp_matches(word, '^[\p{N}][\p{N}.,]*$$')
+          AND word NOT IN (${sqlList(snowballStopWords)})
+        ORDER BY doc_id, word
+      """)),
+
+    // F1-F9 — the reference's full cleaning+featurization chain
+    // (clean → tokenize → lower → stopwords → stem → drop 1-char), as
+    // one lazy column pipeline. No oracle: DuckDB has no Porter2.
+    QueryDef(
+      "q_pipeline_tokens",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(
+              removeSingleChar(stemTokens(removeStopWords(lowerTokens(
+                tokenizeWords(stripCustomStopWords(cleanHtml(col("text"))))))))
+            ).as("token"))
+          .orderBy(col("doc_id"), col("token")),
+      None),
+
+    // F8 — stemmed vocabulary with counts (no oracle: Porter2).
+    QueryDef(
+      "q_stem_terms",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(tokenizeWords(col("text"))).as("word"))
+          .select(graft.functions.stem(col("word")).as("term"))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("term")),
+      None),
+
+    // A1 — the DFM in relational form: (doc_id, term, count).
+    QueryDef(
+      "q_dfm_counts",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(splitWords(col("text"))).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("doc_id"), col("word")),
+      Some(s"$countsSql ORDER BY doc_id, word")),
+
+    // A4 — per-term document frequency.
+    QueryDef(
+      "q_docfreq",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(splitWords(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("word")),
+      Some(s"""
+        SELECT word, COUNT(DISTINCT doc_id) AS df
+        FROM ($wordsSql)
+        GROUP BY word
+        ORDER BY word
+      """)),
+
+    // A3 — vocabulary trim, reference thresholds (dfm_trim R:105):
+    // keep terms with doc-frequency ≥ 25 AND corpus term-frequency ≥ 35.
+    // One aggregation pass computes both frequencies (the custom
+    // TrimmedCountVectorizer estimator uses this same plan).
+    QueryDef(
+      "q_vocab_trim",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(splitWords(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("tf"))
+          .filter(col("df") >= 25 && col("tf") >= 35)
+          .orderBy(col("word")),
+      Some(s"""
+        SELECT word, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        FROM ($wordsSql)
+        GROUP BY word
+        HAVING COUNT(DISTINCT doc_id) >= 25 AND COUNT(*) >= 35
+        ORDER BY word
+      """)),
+
+    // A2 — DFM sparsity: 1 − nnz/(ndocs·nterms), computed from the
+    // relational twin (the reference's sparsity() R:99).
+    QueryDef(
+      "q_sparsity",
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(splitWords(col("text"))).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+        counts.agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("word")).as("n_terms"),
+          count(lit(1)).as("nnz"))
+          .select(col("n_docs"), col("n_terms"), col("nnz"),
+            (lit(1.0) - col("nnz").cast("double") /
+              (col("n_docs") * col("n_terms")).cast("double"))
+              .as("sparsity"))
+      },
+      Some(s"""
+        SELECT n_docs, n_terms, nnz,
+               1.0 - CAST(nnz AS DOUBLE) / CAST(n_docs * n_terms AS DOUBLE) AS sparsity
+        FROM (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                     COUNT(DISTINCT word) AS n_terms,
+                     COUNT(*) AS nnz
+              FROM ($countsSql))
+      """)),
+
+    // A5 — class distribution (prop.table(table(label)) R:152-153):
+    // per-lang counts and exact double fractions.
+    QueryDef(
+      "q_class_balance",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        docs.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("frac",
+            col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy()).cast("double"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS frac
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+      """)),
+
+    // M5 — TF: L1 row-normalized counts (term.frequency R:215-217),
+    // relational twin: cnt / per-doc total. Exact double division on
+    // identical operands → bit-identical to the oracle.
+    QueryDef(
+      "q_tf",
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(splitWords(col("text"))).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+        counts
+          .withColumn("tf",
+            col("cnt").cast("double") /
+              sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+                .cast("double"))
+          .select(col("doc_id"), col("word"), col("tf"))
+          .orderBy(col("doc_id"), col("word"))
+      },
+      Some(s"""
+        SELECT doc_id, word,
+               CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS tf
+        FROM ($countsSql)
+        ORDER BY doc_id, word
+      """)),
+
+    // M6 — IDF: unsmoothed log10(N/df) (inverse.doc.freq R:220-225) —
+    // deliberately NOT MLlib's smoothed ln((N+1)/(df+1)). Rounded to 6
+    // decimals at the edge to absorb libm ulp differences.
+    QueryDef(
+      "q_idf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+        docs
+          .select(col("doc_id"), explode(splitWords(col("text"))).as("word"))
+          .groupBy(col("word"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .crossJoin(broadcast(n))
+          .select(col("word"), col("df"),
+            round(log10(col("n_docs").cast("double") / col("df").cast("double")), 6)
+              .as("idf"))
+          .orderBy(col("word"))
+      },
+      Some(s"""
+        SELECT word, df,
+               ROUND(LOG10(CAST((SELECT COUNT(DISTINCT doc_id) FROM documents) AS DOUBLE)
+                           / CAST(df AS DOUBLE)), 6) AS idf
+        FROM (SELECT word, COUNT(DISTINCT doc_id) AS df FROM ($wordsSql) GROUP BY word)
+        ORDER BY word
+      """)),
+
+    // M7 — TF·IDF (tf.idf R:228-245), docs×terms orientation (the
+    // reference's transposed layout is quirk Q4, not replicated).
+    QueryDef(
+      "q_tfidf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val counts = docs
+          .select(col("doc_id"), explode(splitWords(col("text"))).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+        val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+        val idf = counts.groupBy(col("word"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .crossJoin(broadcast(n))
+          .select(col("word"),
+            log10(col("n_docs").cast("double") / col("df").cast("double"))
+              .as("idf"))
+        val tf = counts.withColumn("tf",
+          col("cnt").cast("double") /
+            sum(col("cnt")).over(Window.partitionBy(col("doc_id")))
+              .cast("double"))
+        tf.join(broadcast(idf), "word")
+          .select(col("doc_id"), col("word"),
+            round(col("tf") * col("idf"), 6).as("tfidf"))
+          .orderBy(col("doc_id"), col("word"))
+      },
+      Some(s"""
+        WITH counts AS ($countsSql),
+        idf AS (
+          SELECT word,
+                 LOG10(CAST((SELECT COUNT(DISTINCT doc_id) FROM documents) AS DOUBLE)
+                       / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)) AS idf
+          FROM ($wordsSql) GROUP BY word),
+        tf AS (
+          SELECT doc_id, word,
+                 CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS tf
+          FROM counts)
+        SELECT tf.doc_id, tf.word, ROUND(tf.tf * idf.idf, 6) AS tfidf
+        FROM tf JOIN idf USING (word)
+        ORDER BY doc_id, word
+      """)),
+
+    // A6/T1/T2 + §2.7 — per-group ranked vocabularies in one pass:
+    // row_number over (partition by lang order by count desc, word).
+    QueryDef(
+      "q_words_by_group",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(desc("cnt"), asc("word"))
+        Tables.documents(s, dir)
+          .select(col("lang"), explode(splitWords(col("text"))).as("word"))
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some(s"""
+        SELECT lang, word, cnt, rn FROM (
+          SELECT lang, word, COUNT(*) AS cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rn
+          FROM ($wordsSql)
+          GROUP BY lang, word)
+        WHERE rn <= 10
+        ORDER BY lang, rn
+      """)),
+
+    // T3 — ordered set difference (setdiff R:278-280): top-15 'en'
+    // words not in top-15 'fr' words, PRESERVING 'en' frequency-rank
+    // order (plain EXCEPT would lose it). Broadcast anti-join.
+    QueryDef(
+      "q_top500_diff",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(desc("cnt"), asc("word"))
+        val ranked = Tables.documents(s, dir)
+          .select(col("lang"), explode(splitWords(col("text"))).as("word"))
+          .filter(col("lang").isin("en", "fr"))
+          .groupBy(col("lang"), col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 15)
+        val en = ranked.filter(col("lang") === "en").select("word", "rn")
+        val fr = ranked.filter(col("lang") === "fr").select("word")
+        en.join(broadcast(fr), Seq("word"), "left_anti")
+          .orderBy(col("rn"))
+      },
+      Some(s"""
+        WITH ranked AS (
+          SELECT lang, word,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rn
+          FROM ($wordsSql) WHERE lang IN ('en', 'fr')
+          GROUP BY lang, word)
+        SELECT en.word, en.rn
+        FROM ranked en
+        LEFT JOIN ranked fr ON fr.lang = 'fr' AND fr.rn <= 15 AND fr.word = en.word
+        WHERE en.lang = 'en' AND en.rn <= 15 AND fr.word IS NULL
+        ORDER BY en.rn
       """))
   )
 }
