@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registered queries, in declaration order. */
   def defs: Seq[QueryDef] =
     graft.queries.TextQueries.all ++
-      graft.queries.RelationalQueries.all
+      graft.queries.RelationalQueries.all ++
+      graft.queries.MLQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector/embedding helpers: array<float> ⇄ MLlib Vector and
+  * codegen-friendly similarity math over raw arrays.
+  *
+  * For similarity we stay on `array<float>` columns and use built-in
+  * higher-order functions (`aggregate`/`zip_with` are codegen'd),
+  * converting to `VectorUDT` only at MLlib boundaries (KMeans/PCA) —
+  * at 100 TB the conversion cost and UDT overhead on the scan path
+  * matter.
+  */
+object VectorFunctions {
+
+  /** array<float> → dense MLlib vector (for KMeans/PCA inputs). */
+  val toMlVector = udf { arr: Seq[Float] =>
+    Vectors.dense(arr.map(_.toDouble).toArray)
+  }
+
+  /** Dot product of two array<float/double> columns via
+    * zip_with + aggregate (pure Catalyst, no UDF).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity of two embedding columns, computed in double. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.linalg.{DenseVector, SparseVector, SQLDataTypes, Vector, Vectors}
+import org.apache.spark.ml.param.{Param, ParamMap}
+import org.apache.spark.ml.stat.Summarizer
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Unsmoothed base-10 IDF: idf(t) = log10(N / df(t)), the reference's
+  * `inverse.doc.freq` (`Week5_datingNLP.R:220-225`). Deliberately NOT
+  * MLlib's `IDF`, which computes the smoothed natural-log variant
+  * ln((N+1)/(df+1)) (SURVEY M6).
+  *
+  * fit() is a single distributed pass: `Summarizer.numNonZeros` gives
+  * per-slot document frequencies as one reduced vector (no shuffle of
+  * the data, tree-aggregated to the driver); the idf vector is then
+  * broadcast inside the transform closure. Terms with df=0 get idf=0.
+  */
+class Log10IDF(override val uid: String) extends Estimator[Log10IDFModel] {
+
+  def this() = this(Identifiable.randomUID("log10idf"))
+
+  final val inputCol =
+    new Param[String](this, "inputCol", "count/tf vector input column")
+  final val outputCol =
+    new Param[String](this, "outputCol", "idf-scaled output column")
+  setDefault(outputCol -> "tfidf")
+  def setInputCol(v: String): this.type = set(inputCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  override def fit(ds: Dataset[_]): Log10IDFModel = {
+    val row = ds.toDF().select(
+      Summarizer.metrics("numNonZeros", "count")
+        .summary(col($(inputCol))).as("s"))
+      .select(col("s.numNonZeros"), col("s.count"))
+      .head()
+    val dfVec = row.getAs[Vector](0)
+    val n = row.getLong(1).toDouble
+    val idf = dfVec.toArray.map { df =>
+      if (df > 0) math.log10(n / df) else 0.0
+    }
+    copyValues(new Log10IDFModel(uid, Vectors.dense(idf)).setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(outputCol), SQLDataTypes.VectorType, nullable = false)
+
+  override def copy(extra: ParamMap): Log10IDF = defaultCopy(extra)
+}
+
+/** Fitted model: element-wise multiply by the idf vector. */
+class Log10IDFModel(override val uid: String, val idf: Vector)
+    extends Model[Log10IDFModel] {
+
+  final val inputCol =
+    new Param[String](this, "inputCol", "count/tf vector input column")
+  final val outputCol =
+    new Param[String](this, "outputCol", "idf-scaled output column")
+  setDefault(outputCol -> "tfidf")
+  def setInputCol(v: String): this.type = set(inputCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val idfArr = idf.toArray
+    val scale = udf { v: Vector =>
+      v match {
+        case sv: SparseVector =>
+          val vals = new Array[Double](sv.values.length)
+          var i = 0
+          while (i < vals.length) {
+            vals(i) = sv.values(i) * idfArr(sv.indices(i)); i += 1
+          }
+          Vectors.sparse(sv.size, sv.indices, vals): Vector
+        case dv: DenseVector =>
+          val vals = new Array[Double](dv.values.length)
+          var i = 0
+          while (i < vals.length) { vals(i) = dv.values(i) * idfArr(i); i += 1 }
+          Vectors.dense(vals): Vector
+      }
+    }
+    ds.withColumn($(outputCol), scale(col($(inputCol))))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(outputCol), SQLDataTypes.VectorType, nullable = false)
+
+  override def copy(extra: ParamMap): Log10IDFModel = {
+    val copied = new Log10IDFModel(uid, idf)
+    copyValues(copied, extra).setParent(parent)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param.{Param, ParamMap}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** MLlib-pipeline wrappers around the engine's column-level text
+  * primitives (graft.functions.TextFunctions), so the reference's
+  * cleaning chain (SURVEY §2.4, F1-F9) composes as `Pipeline` stages
+  * with the vectorizer/classifier stages. Each stage is a pure column
+  * expression — whole-stage codegen, no UDFs except the stemmer's
+  * native expression.
+  */
+abstract class ColumnTransformer(override val uid: String)
+    extends Transformer {
+  final val inputCol = new Param[String](this, "inputCol", "input column")
+  final val outputCol = new Param[String](this, "outputCol", "output column")
+  def setInputCol(v: String): this.type = set(inputCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  /** The column expression this stage applies. */
+  protected def expression(in: Column): Column
+  protected def outputType: DataType
+
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.withColumn($(outputCol), expression(col($(inputCol))))
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(outputCol), outputType, nullable = true)
+  override def copy(extra: ParamMap): Transformer = defaultCopy(extra)
+}
+
+/** F3+F4: HTML strip then custom stop-word strip (case-sensitive,
+  * single-pass — quirk Q5).
+  */
+class RegexCleaner(uid: String) extends ColumnTransformer(uid) {
+  def this() = this(Identifiable.randomUID("regexCleaner"))
+  protected def expression(in: Column): Column =
+    TextFunctions.stripCustomStopWords(TextFunctions.cleanHtml(in))
+  protected def outputType: DataType = StringType
+}
+
+/** F5+F6: word tokenization + lower-casing → array<string>. */
+class WordTokenizer(uid: String) extends ColumnTransformer(uid) {
+  def this() = this(Identifiable.randomUID("wordTokenizer"))
+  protected def expression(in: Column): Column =
+    TextFunctions.lowerTokens(TextFunctions.tokenizeWords(in))
+  protected def outputType: DataType = ArrayType(StringType)
+}
+
+/** F7: Snowball English stop-word removal (the 175-word quanteda
+  * default, not Spark's 181-word list).
+  */
+class SnowballStopWords(uid: String) extends ColumnTransformer(uid) {
+  def this() = this(Identifiable.randomUID("snowballStop"))
+  protected def expression(in: Column): Column =
+    TextFunctions.removeStopWords(in)
+  protected def outputType: DataType = ArrayType(StringType)
+}
+
+/** F8+F9: Porter2 stemming then single-char token removal. */
+class PorterStemmer(uid: String) extends ColumnTransformer(uid) {
+  def this() = this(Identifiable.randomUID("porterStemmer"))
+  protected def expression(in: Column): Column =
+    TextFunctions.removeSingleChar(TextFunctions.stemTokens(in))
+  protected def outputType: DataType = ArrayType(StringType)
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.linalg.{SparseVector, SQLDataTypes, Vectors}
+import org.apache.spark.ml.param.{IntParam, Param, ParamMap, ParamValidators}
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bag-of-words vectorizer with the reference's `dfm_trim` semantics
+  * (`Week5_datingNLP.R:92,105`): keep a term iff document-frequency ≥
+  * minDocFreq AND corpus-wide term-frequency ≥ minTermFreq. Spark's
+  * `CountVectorizer.setMinDF` covers only the first condition (SURVEY
+  * A3), hence this custom estimator.
+  *
+  * Scale design: one explode + two-level hash aggregation computes both
+  * frequencies in a single shuffle; the surviving vocabulary (ordered by
+  * corpus frequency desc, term asc, like CountVectorizer) is broadcast
+  * to executors for the transform. At 100 TB the aggregation is
+  * map-side-combined on (doc_id, term) then (term); only the vocab —
+  * bounded by the trim — ever reaches the driver.
+  */
+class TrimmedCountVectorizer(override val uid: String)
+    extends Estimator[TrimmedCountVectorizerModel] {
+
+  def this() = this(Identifiable.randomUID("trimCountVec"))
+
+  final val inputCol =
+    new Param[String](this, "inputCol", "token array input column")
+  final val outputCol =
+    new Param[String](this, "outputCol", "count vector output column")
+  final val minDocFreq = new IntParam(this, "minDocFreq",
+    "minimum number of documents a term must appear in",
+    ParamValidators.gtEq(1))
+  final val minTermFreq = new IntParam(this, "minTermFreq",
+    "minimum corpus-wide occurrence count of a term",
+    ParamValidators.gtEq(1))
+  setDefault(outputCol -> "features", minDocFreq -> 1, minTermFreq -> 1)
+
+  def setInputCol(v: String): this.type = set(inputCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+  def setMinDocFreq(v: Int): this.type = set(minDocFreq, v)
+  def setMinTermFreq(v: Int): this.type = set(minTermFreq, v)
+
+  override def fit(ds: Dataset[_]): TrimmedCountVectorizerModel = {
+    val spark = ds.sparkSession
+    // per-(doc,term) counts with a synthetic doc id local to this fit;
+    // monotonically_increasing_id is safe here because it only needs to
+    // be distinct, not dense or stable across jobs.
+    val byDocTerm = ds.toDF()
+      .select(monotonically_increasing_id().as("__doc"),
+        col($(inputCol)).as("__tokens"))
+      .select(col("__doc"), explode(col("__tokens")).as("__term"))
+      .groupBy(col("__doc"), col("__term"))
+      .agg(count(lit(1)).as("__cnt"))
+    val vocabRows = byDocTerm
+      .groupBy(col("__term"))
+      .agg(count(lit(1)).as("__df"), sum(col("__cnt")).as("__tf"))
+      .filter(col("__df") >= $(minDocFreq) && col("__tf") >= $(minTermFreq))
+      .orderBy(desc("__tf"), asc("__term"))
+      .select(col("__term"))
+      .collect()
+    val vocab = vocabRows.map(_.getString(0))
+    copyValues(new TrimmedCountVectorizerModel(uid, vocab).setParent(this))
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    require(schema($(inputCol)).dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }, s"${$(inputCol)} must be array<string>")
+    schema.add($(outputCol), SQLDataTypes.VectorType, nullable = false)
+  }
+
+  override def copy(extra: ParamMap): TrimmedCountVectorizer =
+    defaultCopy(extra)
+}
+
+/** Fitted model: vocabulary → sparse count vectors. */
+class TrimmedCountVectorizerModel(
+    override val uid: String,
+    val vocabulary: Array[String])
+    extends Model[TrimmedCountVectorizerModel] {
+
+  final val inputCol =
+    new Param[String](this, "inputCol", "token array input column")
+  final val outputCol =
+    new Param[String](this, "outputCol", "count vector output column")
+  setDefault(outputCol -> "features")
+  def setInputCol(v: String): this.type = set(inputCol, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val spark = ds.sparkSession
+    val bcVocab: Broadcast[Map[String, Int]] =
+      spark.sparkContext.broadcast(vocabulary.zipWithIndex.toMap)
+    val size = vocabulary.length
+    val toVec = udf { tokens: Seq[String] =>
+      val index = bcVocab.value
+      val counts = new java.util.TreeMap[Int, Double]()
+      if (tokens != null) tokens.foreach { t =>
+        val i = index.getOrElse(t, -1)
+        if (i >= 0) counts.merge(i, 1.0, (a, b) => a + b)
+      }
+      val idx = new Array[Int](counts.size)
+      val vals = new Array[Double](counts.size)
+      var j = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next(); idx(j) = e.getKey; vals(j) = e.getValue; j += 1
+      }
+      Vectors.sparse(size, idx, vals)
+    }
+    ds.withColumn($(outputCol), toVec(col($(inputCol))))
+  }
+
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(outputCol), SQLDataTypes.VectorType, nullable = false)
+
+  override def copy(extra: ParamMap): TrimmedCountVectorizerModel = {
+    val copied = new TrimmedCountVectorizerModel(uid, vocabulary)
+    copyValues(copied, extra).setParent(parent)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Log10IDF, StratifiedSplit, TrimmedCountVectorizer}
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{PCA, StandardScaler}
+import org.apache.spark.sql.functions._
+
+/** ML operator queries (SURVEY §2.8) built from the engine's library
+  * components: exact stratified split (M1), decision tree + confusion
+  * matrix (M3/M4 via TrimmedCountVectorizer A3), k-means (M8), PCA
+  * (M10). Only the split is SQL-expressible (its per-class sizes are
+  * exactly ceil(p·n)); the trainers get rows-only checks.
+  */
+object MLQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // M1 — exact stratified 70/30 split, seed 32984 (the reference's
+    // createDataPartition seed, R:137). Train size per class is exactly
+    // ceil(0.7·n) — which is what makes this oracle-checkable.
+    QueryDef(
+      "q_split_proportions",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        StratifiedSplit.withSplitFlag(docs, "lang", 0.7, 32984L)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+            sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_test"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_total,
+               CAST(CEIL(0.7 * COUNT(*)) AS BIGINT) AS n_train,
+               COUNT(*) - CAST(CEIL(0.7 * COUNT(*)) AS BIGINT) AS n_test
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+      """)),
+
+    // M3/M4 — decision-tree classifier on trimmed count vectors
+    // (binary: lang == 'en'), stratified split, confusion matrix (A7).
+    // The reference's rpart cp=0.02 produced a depth-3 tree; maxDepth=3
+    // approximates that capacity (SURVEY H2: metric parity, not tree
+    // identity). No oracle: DuckDB trains no trees.
+    QueryDef(
+      "q_confusion",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.splitWords(col("text")).as("tokens"))
+        val cv = new TrimmedCountVectorizer()
+          .setInputCol("tokens").setOutputCol("features")
+          .setMinDocFreq(2).setMinTermFreq(2)
+        val featurized = cv.fit(docs).transform(docs)
+          .withColumn("label", (col("lang") === "en").cast("double"))
+        val (train, test) =
+          StratifiedSplit.split(featurized, "label", 0.7, 32984L)
+        val dt = new DecisionTreeClassifier()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setMaxDepth(3).setSeed(32984L)
+        val model = dt.fit(train)
+        model.transform(test)
+          .groupBy(col("prediction"), col("label"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("prediction"), col("label"))
+      },
+      None),
+
+    // M5-M7 as vectors — TF (L1) ∘ Log10IDF over trimmed count
+    // vectors; returns per-doc L2 norm of the tf-idf vector (a scalar
+    // fingerprint of the vector pipeline; the exact per-cell values are
+    // oracle-checked relationally by q_tfidf). No oracle: VectorUDT.
+    QueryDef(
+      "q_tfidf_vectors",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.splitWords(col("text")).as("tokens"))
+        val cv = new TrimmedCountVectorizer()
+          .setInputCol("tokens").setOutputCol("counts")
+        val counted = cv.fit(docs).transform(docs)
+        val tf = new org.apache.spark.ml.feature.Normalizer()
+          .setInputCol("counts").setOutputCol("tf").setP(1.0)
+          .transform(counted)
+        val idf = new Log10IDF().setInputCol("counts").setOutputCol("x")
+        // fit on counts (df = nonzero slots), apply to TF vectors
+        val idfModel = idf.fit(tf)
+        idfModel.setInputCol("tf").setOutputCol("tfidf")
+        val normUdf = udf { v: org.apache.spark.ml.linalg.Vector =>
+          math.sqrt(v.toArray.map(x => x * x).sum)
+        }
+        idfModel.transform(tf)
+          .select(col("doc_id"),
+            round(normUdf(col("tfidf")), 6).as("tfidf_l2"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // M8 — k-means on the embeddings table (k=10, fixed seed); cluster
+    // sizes + training cost. The reference's nstart=50 best-of-restarts
+    // intent is available via graft.operators.KMeansBestOfSeeds.
+    QueryDef(
+      "q_kmeans_cost",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(VectorFunctions.toMlVector(col("embedding")).as("features"))
+        val km = new KMeans()
+          .setK(10).setSeed(42L).setFeaturesCol("features")
+          .setPredictionCol("cluster")
+        val model = km.fit(emb)
+        val cost = model.summary.trainingCost
+        model.summary.predictions
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("size"))
+          .withColumn("training_cost", round(lit(cost), 4))
+          .orderBy(col("cluster"))
+      },
+      None),
+
+    // M10 — standardize (guarding zero-variance is unnecessary on the
+    // synthetic embeddings; see OkCupidPipeline for the guarded path)
+    // then PCA; per-component explained variance.
+    QueryDef(
+      "q_pca_variance",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+          .select(VectorFunctions.toMlVector(col("embedding")).as("features"))
+        val scaler = new StandardScaler()
+          .setWithMean(true).setWithStd(true)
+          .setInputCol("features").setOutputCol("scaled")
+        val scaled = scaler.fit(emb).transform(emb)
+        val pca = new PCA().setK(8).setInputCol("scaled").setOutputCol("pc")
+        val model = pca.fit(scaled)
+        model.explainedVariance.toArray.zipWithIndex
+          .map { case (v, i) => (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+          .toSeq.toDF("component", "explained_variance")
+          .orderBy(col("component"))
+      },
+      None)
+  )
+}
