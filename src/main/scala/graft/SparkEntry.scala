@@ -16,7 +16,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     graft.queries.TextQueries.all ++
       graft.queries.RelationalQueries.all ++
-      graft.queries.MLQueries.all
+      graft.queries.MLQueries.all ++
+      graft.queries.ExtensionQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting
+  * (whitespace + BPE-ish regex estimate), quality scoring, lexicon
+  * language ID, and document fingerprinting. All pure column
+  * expressions (codegen'd, per-row, shuffle-free) so they run at scan
+  * speed over 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def whitespaceTokenCount(text: Column): Column =
+    size(split(text, " ", -1))
+
+  /** GPT-2-style pre-tokenizer pattern (simplified, case-sensitive,
+    * no unicode categories beyond L/N): contractions, letter runs,
+    * digit runs, punctuation runs — each optionally preceded by one
+    * space. A cheap upper-bound estimate of BPE token count.
+    */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token-count estimate: number of pre-tokenizer matches. */
+  def bpeTokenEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Fraction of whitespace tokens that are Snowball stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(text, " ", -1)
+    val stops = array(TextFunctions.snowballStopWords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Fraction of distinct tokens (type/token ratio). */
+  def uniqueRatio(text: Column): Column = {
+    val toks = split(text, " ", -1)
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+  }
+
+  /** Fraction of non-[letter digit space] characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N} ]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Composite quality score in [0,1]: rewards mid-length documents,
+    * lexical diversity, and a natural (neither zero nor dominant)
+    * stopword rate; penalizes punctuation soup. Deterministic
+    * arithmetic, reproducible in SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val diversity = uniqueRatio(text)
+    val stopPenalty = abs(stopwordRatio(text) - 0.4)
+    val punct = punctRatio(text)
+    round(
+      lenScore * 0.3 + diversity * 0.3 +
+        (lit(1.0) - stopPenalty) * 0.3 + (lit(1.0) - punct) * 0.1, 6)
+  }
+
+  /** Tiny function-word lexicons for the lexicon-overlap language ID.
+    * Real deployments would use char-n-gram profiles; the lexicon
+    * variant is shuffle-free, SQL-reproducible, and good enough to
+    * route documents.
+    */
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "eine", "zu", "den", "von", "für", "auf", "im"),
+    "en" -> Seq("the", "and", "is", "not", "with", "a", "an", "to", "of",
+      "for", "on", "in", "that", "it", "as"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "no", "con", "un",
+      "una", "de", "para", "en", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "avec", "un",
+      "une", "de", "pour", "dans", "que", "il", "sur"),
+    "zh" -> Seq("的", "是", "不", "和", "在", "了", "有", "我", "他",
+      "这", "中", "大", "上", "个", "们"))
+
+  /** Per-language overlap score: distinct whitespace tokens ∩ lexicon. */
+  def langScore(text: Column, lang: String): Column = {
+    val lex = array(
+      langLexicons.find(_._1 == lang).get._2.map(lit): _*)
+    size(array_intersect(array_distinct(split(text, " ", -1)), lex))
+  }
+
+  /** Predicted language: argmax lexicon overlap, ties broken
+    * alphabetically, 'und' (undetermined) when every score is 0.
+    */
+  def langId(text: Column): Column = {
+    val scored = langLexicons.map { case (l, _) =>
+      struct(langScore(text, l).as("s"), lit(l).as("l"))
+    }
+    val best = array_sort(array(scored: _*),
+      (a, b) => when(a("s") > b("s"), -1)
+        .when(a("s") < b("s"), 1)
+        .when(a("l") < b("l"), -1)
+        .when(a("l") > b("l"), 1)
+        .otherwise(0))(0)
+    when(best("s") > 0, best("l")).otherwise(lit("und"))
+  }
+
+  /** Canonical content fingerprint: md5 of the sorted distinct token
+    * set (order- and repetition-insensitive; exact-dedup key for
+    * re-ordered copies).
+    */
+  def fingerprintCanonical(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(split(text, " ", -1)))))
+
+  /** Word k-gram shingles as a single-pass UDF. (Deliberately NOT the
+    * nested transform/slice formulation: referencing a computed array
+    * inside its own lambda makes Catalyst re-evaluate it per element —
+    * quadratic, interpreted. See Dedup's scale notes.)
+    */
+  private val shingleUdf = udf { (tokens: Seq[String], k: Int) =>
+    if (tokens == null || tokens.length < k) Seq.empty[String]
+    else tokens.sliding(k).map(_.mkString(" ")).toSeq.distinct
+  }
+
+  /** Winnowing-style fingerprint: minimum md5 over word k-gram
+    * shingles (a 1-hash MinHash; a stable representative shingle).
+    */
+  def fingerprintWinnow(text: Column, k: Int): Column =
+    array_min(transform(
+      shingleUdf(split(text, " ", -1), lit(k)), sh => md5(sh)))
+}

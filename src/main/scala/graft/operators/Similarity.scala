@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact: broadcast the (small) query set,
+  *    score every corpus row, per-query top-k via window rank. The
+  *    corpus is never shuffled — one scan, map-side scoring, and the
+  *    only exchange carries `queries×corpus` scored rows reduced by
+  *    the rank filter. Baseline and ground truth.
+  *  - [[lshTopK]] — the scale path: random-hyperplane LSH buckets
+  *    (sign bits of seeded pseudo-random projections), candidates =
+  *    same bucket in any of `tables` independent hashings, exact
+  *    cosine re-rank within candidates. Sub-linear candidate counts;
+  *    recall tunable via bits/tables (an IVF analogue without a
+  *    trained codebook, so it needs no fit step).
+  *
+  * Cosine math is `zip_with`/`aggregate` in double (VectorFunctions) —
+  * codegen'd, no UDF.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query row.
+    * Output: (query_id, neighbor_id, cosine) with rank ≤ k, ties on
+    * the 6-decimal rounded cosine broken by neighbor id (deterministic
+    * total order).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Pseudo-random unit-ish projection value for (seed, dim position):
+    * deterministic, computed from xxhash64 — no stored model. Maps the
+    * hash to (-0.5, 0.5).
+    */
+  private def proj(seed: Int, i: Column, v: Column): Column =
+    v.cast("double") *
+      (pmod(xxhash64(lit(seed), i), lit(100000)).cast("double") / 1e5 - 0.5)
+
+  /** Bucket id for one hash table: `bits` sign bits of random
+    * projections packed into a long.
+    */
+  def hyperplaneBucket(vec: Column, bits: Int, tableSeed: Int): Column = {
+    val signs: Seq[org.apache.spark.sql.Column] = (0 until bits).map { b =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => proj(tableSeed * 131 + b, i, v)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    signs.reduce(_ + _)
+  }
+
+  /** Approximate top-k: LSH-bucketed candidates, exact re-rank. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bits: Int = 8, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneBucket(col(vecCol), bits, t)): _*)))
+        .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val qb = bucketed(queries, "query_id", "qv")
+    val cb = bucketed(corpus, "neighbor_id", "cv")
+    val cands = cb.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Exact most-similar pairs in a corpus (cross-join; quadratic —
+    * small corpora or within-bucket use only; the LSH path is the
+    * scale route).
+    */
+  def topSimilarPairs(
+      df: DataFrame, idCol: String, vecCol: String, topN: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cosine"))
+      .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
+      .limit(topN)
+  }
+}

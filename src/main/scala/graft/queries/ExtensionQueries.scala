@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sqlList
+import graft.functions.{TextAnalysis, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension queries (beyond the reference's
+  * surface, per the north star): deduplication, similarity search,
+  * and text analytics over `documents`/`embeddings`.
+  */
+object ExtensionQueries {
+
+  /** Shared oracle SQL: distinct word-3-gram shingles via lead-window
+    * (relational twin of Dedup.tokenShingles).
+    */
+  private def shingleSql(k: Int): String = {
+    val leads = (1 until k)
+      .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
+    s"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS word,
+             generate_subscripts(string_split(text,' '), 1) AS pos
+      FROM documents),
+    sh0 AS (
+      SELECT doc_id, word || ' ' || $leads AS shingle
+      FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    grams AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE shingle IS NOT NULL)
+    """
+  }
+
+  /** Exact Jaccard ≥ 0.8 pairs over 3-gram shingles — oracle for both
+    * the exact inverted-index path and the MinHash-LSH path (whose
+    * per-pair recall at j ≥ 0.8 with 8 bands × 3 rows is
+    * 1−(1−j³)⁸ > 1−3·10⁻⁵).
+    */
+  private val jaccardOracle: String = s"""
+    ${shingleSql(3)},
+    sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+      FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    j AS (
+      SELECT id_a, id_b,
+             CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+    FROM j WHERE jac >= 0.8
+    ORDER BY id_a, id_b
+  """
+
+  private def docTokens(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        TextFunctions.splitWords(col("text")).as("tokens"))
+
+  /** Cosine top-k oracle via unnest/ordinality joins, computed in
+    * DOUBLE (DuckDB's list_cosine_similarity is float — not
+    * hash-safe), rounded to 6 decimals like the Spark side.
+    */
+  private def annOracle(queryPred: String, rankLimit: Int): String = s"""
+    WITH dims AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings),
+    norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             sum(q.x * c.x) AS d
+      FROM dims q JOIN dims c ON q.i = c.i
+      WHERE $queryPred
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
+      FROM dots
+      JOIN norms nq ON nq.vec_id = query_id
+      JOIN norms nc ON nc.vec_id = neighbor_id
+      WHERE query_id <> neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM ranked WHERE rank <= $rankLimit
+    ORDER BY query_id, rank
+  """
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- Deduplication ----
+
+    QueryDef(
+      "q_dedup_exact",
+      (s, dir) =>
+        Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("keep_id")),
+      Some("""
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY text
+        ORDER BY keep_id
+      """)),
+
+    QueryDef(
+      "q_dedup_jaccard",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        Dedup.jaccardPairs(sh, 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(jaccardOracle)),
+
+    QueryDef(
+      "q_dedup_minhash",
+      (s, dir) =>
+        Dedup.minhashDedupPairs(docTokens(s, dir), "doc_id", "tokens",
+          shingleK = 3, bands = 8, rowsPerBand = 3, minJaccard = 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b")),
+      Some(jaccardOracle)),
+
+    // SimHash blocking (no oracle: hash internals not in DuckDB).
+    QueryDef(
+      "q_dedup_simhash",
+      (s, dir) =>
+        Dedup.simhashPairs(docTokens(s, dir), "doc_id", "tokens", 6)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // Embedding near-dup: exact top-20 most-cosine-similar pairs
+    // (corpus has no planted >0.95 pairs, so top-N instead of a
+    // threshold keeps the result non-empty and deterministic).
+    QueryDef(
+      "q_dedup_embedding",
+      (s, dir) =>
+        Similarity.topSimilarPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 20),
+      Some(s"""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
+          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(d / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b
+        ORDER BY cosine DESC, id_a, id_b
+        LIMIT 20
+      """)),
+
+    // ---- Similarity search ----
+
+    QueryDef(
+      "q_ann_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(annOracle("q.vec_id < 10", 5))),
+
+    // LSH-bucketed approximate variant (no oracle: approximate by
+    // construction; ground truth is q_ann_topk).
+    QueryDef(
+      "q_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // 4 bits × 8 tables: on this corpus the nearest neighbors sit
+        // at cosine ≈ 0.5, so collision probability per table is only
+        // (1−θ/π)^bits ≈ 0.16 — 8 tables lift recall to ~0.75. Real
+        // embedding corpora with close neighbors would use more bits.
+        Similarity.lshTopK(
+            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
+            bits = 4, tables = 8)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ---- Text analytics ----
+
+    QueryDef(
+      "q_token_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            length(col("text")).as("len_chars"),
+            TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
+            TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens"),
+            round(TextAnalysis.uniqueRatio(col("text")), 6).as("unique_ratio"),
+            round(TextAnalysis.stopwordRatio(col("text")), 6)
+              .as("stopword_ratio"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               length(text) AS len_chars,
+               len(string_split(text, ' ')) AS ws_tokens,
+               len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS bpe_tokens,
+               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS unique_ratio,
+               ROUND(CAST(len(list_filter(string_split(text, ' '),
+                              w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+        FROM documents
+        ORDER BY doc_id
+      """)),
+
+    QueryDef(
+      "q_quality",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH parts AS (
+          SELECT doc_id,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
+                 abs(CAST(len(list_filter(string_split(text, ' '),
+                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4) AS stop_penalty,
+                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct
+          FROM documents)
+        SELECT doc_id,
+               ROUND(len_score * 0.3 + diversity * 0.3 +
+                     (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6) AS quality
+        FROM parts
+        ORDER BY doc_id
+      """)),
+
+    QueryDef(
+      "q_lang_id",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("predicted")),
+      Some {
+        val unions = TextAnalysis.langLexicons.map { case (l, lex) =>
+          s"""SELECT doc_id, lang, '$l' AS guess,
+              len(list_intersect(list_distinct(string_split(text, ' ')),
+                  [${sqlList(lex)}])) AS s
+              FROM documents"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH scores AS ($unions),
+        best AS (
+          SELECT doc_id, lang, guess, s,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, guess ASC) AS rn
+          FROM scores)
+        SELECT lang,
+               CASE WHEN s > 0 THEN guess ELSE 'und' END AS predicted,
+               COUNT(*) AS n
+        FROM best WHERE rn = 1
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+      }),
+
+    QueryDef(
+      "q_fingerprint",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.fingerprintCanonical(col("text")).as("canon_fp"),
+            TextAnalysis.fingerprintWinnow(col("text"), 5).as("winnow_fp"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        ${shingleSql(5)},
+        winnow AS (
+          SELECT doc_id, MIN(md5(shingle)) AS winnow_fp
+          FROM grams GROUP BY doc_id)
+        SELECT d.doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(d.text, ' '))), ' ')) AS canon_fp,
+               w.winnow_fp
+        FROM documents d JOIN winnow w ON w.doc_id = d.doc_id
+        ORDER BY d.doc_id
+      """))
+  )
+}
