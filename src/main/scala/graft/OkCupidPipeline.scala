@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators._
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.DecisionTreeClassifier
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** End-to-end replication of the reference pipeline
+  * (`/root/reference/Week5_datingNLP.R`) on the real corpus schema:
+  * CSV ingest (R:45) → essay concat (R:50-51) → regex clean (R:60-61)
+  * → tokenize/lower/stopwords/stem/1-char (R:65-87) → trimmed DFM
+  * (R:92,105) → stratified split (R:137-142) → decision tree (R:178)
+  * → confusion matrix (R:188).
+  *
+  * Unlike the reference, nothing densifies (the reference's `as.matrix`
+  * at R:110 allocated 6.17 GB; we stay sparse end-to-end) and the tree
+  * trains distributed — the 27-minute single-thread rpart baseline is
+  * the number to beat.
+  */
+object OkCupidPipeline {
+
+  /** The 31-column okcupid_profiles.csv schema (FIXTURES.md §1). */
+  val schema: StructType = {
+    val essays = (0 to 9).map(i => StructField(s"essay$i", StringType))
+    StructType(
+      Seq(
+        StructField("age", IntegerType),
+        StructField("status", StringType),
+        StructField("sex", StringType),
+        StructField("orientation", StringType),
+        StructField("body_type", StringType),
+        StructField("diet", StringType),
+        StructField("drinks", StringType),
+        StructField("drugs", StringType),
+        StructField("education", StringType),
+        StructField("ethnicity", StringType),
+        StructField("height", DoubleType),
+        StructField("income", IntegerType),
+        StructField("job", StringType),
+        StructField("last_online", StringType),
+        StructField("location", StringType),
+        StructField("offspring", StringType),
+        StructField("pets", StringType),
+        StructField("religion", StringType),
+        StructField("sign", StringType),
+        StructField("smokes", StringType),
+        StructField("speaks", StringType)) ++ essays)
+  }
+
+  /** S1 — CSV scan with the load-bearing options: essays are quoted,
+    * multi-line, with embedded quotes escaped by `"` doubling.
+    */
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .schema(schema)
+      .csv(path)
+
+  /** F1 — concat the 10 essay columns with single spaces; empty fields
+    * contribute empty strings (quirk: double spaces survive, making
+    * `""` a token downstream — SURVEY F1/F10).
+    */
+  def withEssays(profiles: DataFrame): DataFrame =
+    profiles.withColumn("essays",
+      TextFunctions.assembleEssays((0 to 9).map(i => col(s"essay$i"))))
+
+  /** The full feature pipeline as MLlib stages (composable, savable). */
+  def featurePipeline(minDocFreq: Int = 25, minTermFreq: Int = 35): Pipeline = {
+    val cleaner = new RegexCleaner()
+      .setInputCol("essays").setOutputCol("cleaned")
+    val tokenizer = new WordTokenizer()
+      .setInputCol("cleaned").setOutputCol("raw_tokens")
+    val stopwords = new SnowballStopWords()
+      .setInputCol("raw_tokens").setOutputCol("unstemmed")
+    val stemmer = new PorterStemmer()
+      .setInputCol("unstemmed").setOutputCol("tokens")
+    val vectorizer = new TrimmedCountVectorizer()
+      .setInputCol("tokens").setOutputCol("features")
+      .setMinDocFreq(minDocFreq).setMinTermFreq(minTermFreq)
+    new Pipeline().setStages(
+      Array(cleaner, tokenizer, stopwords, stemmer, vectorizer))
+  }
+
+  /** Train + evaluate: stratified 70/30 (seed 32984, the reference's),
+    * depth-bounded tree (rpart cp=0.02 yielded depth 3), returns the
+    * confusion matrix (prediction × label counts) and accuracy.
+    */
+  def trainAndEvaluate(
+      profiles: DataFrame,
+      minDocFreq: Int = 25,
+      minTermFreq: Int = 35,
+      maxDepth: Int = 3,
+      seed: Long = 32984L): (DataFrame, Double) = {
+    val essays = withEssays(profiles)
+      .withColumn("label", (col("sex") === "m").cast("double"))
+    val features = featurePipeline(minDocFreq, minTermFreq)
+      .fit(essays).transform(essays)
+    val (train, test) = StratifiedSplit.split(features, "label", 0.7, seed)
+    val dt = new DecisionTreeClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxDepth(maxDepth).setSeed(seed)
+    val model = dt.fit(train)
+    val predictions = model.transform(test)
+    val confusion = predictions
+      .groupBy(col("prediction"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prediction"), col("label"))
+    val correct = predictions
+      .filter(col("prediction") === col("label")).count()
+    val total = predictions.count()
+    (confusion, correct.toDouble / total)
+  }
+}

@@ -17,7 +17,8 @@ object SparkEntry {
     graft.queries.TextQueries.all ++
       graft.queries.RelationalQueries.all ++
       graft.queries.MLQueries.all ++
-      graft.queries.ExtensionQueries.all
+      graft.queries.ExtensionQueries.all ++
+      graft.queries.EventQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -19,8 +19,18 @@ object Tables {
     apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "customer")
-  def events(spark: SparkSession, dir: String): DataFrame =
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
+    * which Spark rejects by default — read nanos as long and floor to
+    * microseconds (`ts div 1000`, integer division: double division
+    * would lose precision above 2^53). DuckDB's µs timestamps truncate
+    * identically, keeping the oracle aligned.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(spark, dir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "embeddings")
 }

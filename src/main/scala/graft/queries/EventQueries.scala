@@ -1,0 +1,158 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Events-table queries: batch window aggregation, sessionization,
+  * JSON extraction — each with a Structured-Streaming twin where the
+  * semantics allow a deterministic batch oracle — plus the multimodal
+  * binary-column queries.
+  */
+object EventQueries {
+
+  /** Batch oracle shared by the batch and streaming window queries. */
+  private val windowOracle = """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+  """
+
+  /** Batch oracle shared by the batch and streaming sessionizers:
+    * sessions break on inactivity gaps > 1800 s.
+    */
+  private val sessionsOracle = """
+    WITH e AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CASE WHEN pt IS NULL OR epoch(ts) - epoch(pt) > 1800
+                    THEN 1 ELSE 0 END) AS n_sessions
+    FROM e
+    GROUP BY user_id
+    ORDER BY user_id
+  """
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Tumbling-window aggregation (batch): hour buckets as epoch
+    // seconds, exact decimal sums cast to double at the edge.
+    QueryDef(
+      "q_events_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+          .select(unix_timestamp(col("window.start")).as("hour_start"),
+            col("event_type"), col("n"),
+            col("sum_value").cast("double").as("sum_value"))
+          .orderBy(col("hour_start"), col("event_type")),
+      Some(windowOracle)),
+
+    // The SAME aggregation as a watermarked streaming query (memory
+    // sink, complete mode) — must match the batch oracle exactly.
+    QueryDef(
+      "q_stream_events",
+      (s, dir) =>
+        StreamingOps.eventWindowCounts(s, s"$dir/events.parquet")
+          .orderBy(col("hour_start"), col("event_type")),
+      Some(windowOracle)),
+
+    // Sessionization (batch): lag-window gap detection.
+    QueryDef(
+      "q_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(s, dir)
+          .withColumn("pt", lag(col("ts"), 1).over(w))
+          .withColumn("new_session",
+            when(col("pt").isNull ||
+              (unix_micros(col("ts")) - unix_micros(col("pt"))) >
+                1800L * 1000000L, 1L).otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("new_session")).as("n_sessions"))
+          .orderBy(col("user_id"))
+      },
+      Some(sessionsOracle)),
+
+    // The SAME sessionization as stateful streaming
+    // (mapGroupsWithState) — matches the lag-window batch oracle.
+    QueryDef(
+      "q_stream_sessions",
+      (s, dir) =>
+        StreamingOps.sessionCounts(s, s"$dir/events.parquet")
+          .orderBy(col("user_id")),
+      Some(sessionsOracle)),
+
+    // JSON extraction from the props column: per-event-type stats of
+    // $.k (bigint), exercising get_json_object pushdown-free scans.
+    QueryDef(
+      "q_json_extract",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"), sum(col("k")).as("sum_k"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+      """)),
+
+    // ---- Multimodal binary columns ----
+
+    // Payload metadata via the partition-batched stub decoder; the
+    // oracle reproduces the deterministic fake (dims from nbytes,
+    // md5 checksum) in SQL.
+    QueryDef(
+      "q_multimodal_meta",
+      (s, dir) =>
+        Multimodal.decodeMeta(
+            Multimodal.withPayload(
+              Tables.documents(s, dir), "doc_id", "text"))
+          .orderBy(col("id")),
+      Some("""
+        SELECT doc_id AS id,
+               octet_length(CAST(text AS BLOB)) AS nbytes,
+               'txt' AS format,
+               CAST(320 + (octet_length(CAST(text AS BLOB)) % 13) * 32 AS INT) AS width,
+               CAST(240 + (octet_length(CAST(text AS BLOB)) % 7) * 40 AS INT) AS height,
+               md5(text) AS checksum
+        FROM documents
+        ORDER BY id
+      """)),
+
+    // Byte-range frame sampling + fingerprint (video-pipeline shape).
+    QueryDef(
+      "q_multimodal_frames",
+      (s, dir) =>
+        Multimodal.sampleFrames(
+            Multimodal.withPayload(
+              Tables.documents(s, dir), "doc_id", "text"),
+            frameBytes = 128, maxFrames = 3)
+          .orderBy(col("id"), col("frame_idx")),
+      Some("""
+        SELECT doc_id AS id, f.i AS frame_idx,
+               md5(substr(text, f.i * 128 + 1, 128)) AS frame_md5
+        FROM documents, (VALUES (0), (1), (2)) AS f(i)
+        WHERE f.i * 128 < length(text)
+        ORDER BY id, frame_idx
+      """))
+  )
+}

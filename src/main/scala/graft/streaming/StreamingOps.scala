@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Event row for the stateful sessionizer (top-level: Catalyst
+  * encoders generate code that cannot access non-public nested types).
+  */
+case class Ev(user_id: Long, ts: java.sql.Timestamp)
+
+/** Sessionizer output record. */
+case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
+
+/** Structured Streaming operators over the events table: watermarked
+  * tumbling-window aggregation and stateful sessionization via
+  * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
+  * these are the engine's scale-path extensions.
+  *
+  * Each helper runs `readStream` → transform → memory sink and blocks
+  * with `processAllAvailable()` so a bounded parquet input behaves as a
+  * deterministic one-batch stream (the pattern the driver harness can
+  * check against a batch oracle). On a real cluster the same plans run
+  * unbounded with kafka/file sources and checkpointed sinks.
+  */
+object StreamingOps {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Streaming read of the events parquet (nanos timestamps → µs;
+    * see Tables.events for the rationale).
+    */
+  private def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    // The file stream source wants a directory; when given a single
+    // file, stream its parent with a glob filter on the file name.
+    val f = new java.io.File(path)
+    val (dir, glob) =
+      if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Hourly tumbling-window counts and exact sums per event_type.
+    * Watermark bounds state; complete output mode emits every window
+    * (append would withhold windows newer than the final watermark).
+    * Money-style sums run in DECIMAL for order-independence.
+    */
+  def eventWindowCounts(
+      spark: SparkSession,
+      path: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val stream = readEventStream(spark, path)
+    val agg = stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select(
+      unix_timestamp(col("window.start")).as("hour_start"),
+      col("event_type"), col("n"),
+      col("sum_value").cast("double").as("sum_value"))
+  }
+
+  /** Per-user session statistics with a fixed inactivity gap, kept as
+    * streaming state (`mapGroupsWithState`). State per user is only
+    * (last ts, counts) — bounded, timeout-evictable in production.
+    */
+  def sessionCounts(
+      spark: SparkSession,
+      path: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id"), col("ts")).as[Ev]
+
+    def update(userId: Long, events: Iterator[Ev],
+        state: GroupState[(Long, Long, Long)]): UserSessions = {
+      // (lastTsMicros, nEvents, nSessions)
+      var (lastTs, nEvents, nSessions) =
+        state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+      // one micro-batch delivers events unordered — sort within group
+      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime // millis
+        if (lastTs == Long.MinValue || t - lastTs > gapSeconds * 1000L)
+          nSessions += 1
+        nEvents += 1
+        lastTs = t
+      }
+      state.update((lastTs, nEvents, nSessions))
+      UserSessions(userId, nEvents, nSessions)
+    }
+
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = sessions.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}
