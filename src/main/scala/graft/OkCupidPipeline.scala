@@ -75,7 +75,7 @@ object OkCupidPipeline {
       .setInputCol("essays").setOutputCol("cleaned")
     val tokenizer = new WordTokenizer()
       .setInputCol("cleaned").setOutputCol("raw_tokens")
-    val stopwords = new SnowballStopWords()
+    val stopwords = SnowballStopWords()
       .setInputCol("raw_tokens").setOutputCol("unstemmed")
     val stemmer = new PorterStemmer()
       .setInputCol("unstemmed").setOutputCol("tokens")

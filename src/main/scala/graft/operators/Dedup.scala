@@ -35,25 +35,31 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (id, shingle) word k-grams, built relationally:
-    * posexplode tokens → k−1 lead windows → concat. One shuffle on the
-    * id (window partition); dedup via the same aggregation.
+  /** Single-pass distinct k-gram shingling of one token array —
+    * per-row compiled Scala, no shuffle. (A relational formulation via
+    * posexplode + lead windows + distinct costs two shuffles of the
+    * exploded corpus for what is inherently per-row work; a nested
+    * higher-order-function formulation is quadratic because Catalyst
+    * re-evaluates the inlined array per lambda element.)
     */
-  def shingleSets(
-      df: DataFrame, idCol: String, tokensCol: String, k: Int): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val words = df.select(col(idCol).as("id"),
-      posexplode(col(tokensCol)).as(Seq("pos", "word")))
-    val parts = (0 until k).map { i =>
-      if (i == 0) col("word") else lead(col("word"), i).over(w)
+  private val shingleUdf = udf { (tokens: Seq[String], k: Int) =>
+    if (tokens == null || tokens.length < k) Array.empty[String]
+    else {
+      val seen = new java.util.LinkedHashSet[String]
+      tokens.sliding(k).foreach { g =>
+        if (g.length == k) seen.add(g.mkString(" "))
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
     }
-    words
-      .withColumn("shingle",
-        when(parts.last.isNotNull, concat_ws(" ", parts: _*)))
-      .filter(col("shingle").isNotNull)
-      .select(col("id"), col("shingle"))
-      .distinct()
   }
+
+  /** Distinct (id, shingle) word k-grams. */
+  def shingleSets(
+      df: DataFrame, idCol: String, tokensCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(shingleUdf(col(tokensCol), lit(k))).as("shingle"))
 
   /** Exact all-pairs Jaccard ≥ minJaccard over shingle sets, via the
     * inverted index: join docs that share a shingle, count the
@@ -95,22 +101,36 @@ object Dedup {
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
 
-  /** MinHash signatures from a shingle-set DataFrame: one groupBy
-    * computing `min(xxhash64(seed, shingle))` for each of
-    * bands·rowsPerBand seeds (partial aggregation map-side), then band
-    * keys = xxhash64 over each band's row slice.
+  /** MinHash signatures from a shingle-set DataFrame.
+    *
+    * Formulation matters here: (id, shingle) explodes to narrow
+    * (id, seed, hash) rows, a plain codegen'd `min` aggregate reduces
+    * them (map-side partial combine shrinks the shuffle to
+    * docs×numHashes rows), and `sort_array(collect_list(...))`
+    * reassembles the per-doc signature. Two rejected alternatives,
+    * measured: numHashes separate `min(...)` columns generate a
+    * whole-stage class so large janino compilation dominates (minutes);
+    * a typed Aggregator UDAF avoids the codegen blowup but pays
+    * per-row encoder overhead (~10× slower than this).
     * Output: (id, band, key) bucket rows.
     */
   def minhashBuckets(
       shingles: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val mins = (0 until numHashes).map { s =>
-      min(xxhash64(lit(s), col("shingle"))).as(s"h$s")
-    }
-    val sigs = shingles.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    val hashed = shingles
+      .select(col("id"),
+        posexplode(transform(seeds, s => xxhash64(s, col("shingle")))))
+      .withColumnRenamed("pos", "seed").withColumnRenamed("col", "h")
+    val sigs = hashed
+      .groupBy(col("id"), col("seed")).agg(min(col("h")).as("h"))
+      .groupBy(col("id"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("seed"), col("h")))),
+        x => x("h")).as("sig"))
     val bandKeys = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(s => col(s"h$s")): _*)
+        .map(s => col("sig")(s)): _*)
     }
     sigs.select(col("id"), posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
@@ -118,13 +138,25 @@ object Dedup {
 
   /** LSH banding: candidate pairs = docs agreeing on at least one
     * band key. The self-join shuffles on (band, key) — never the
-    * full corpus.
+    * full corpus. Buckets larger than `maxBucketSize` are dropped
+    * before the join (hot buckets arise when corpus-common shingles
+    * dominate the min-hashes; a bucket of g docs contributes g² join
+    * rows while genuinely near-duplicate pairs still collide in their
+    * other, unsaturated bands).
     */
   def minhashCandidatePairs(
-      shingles: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+      shingles: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = 100): DataFrame = {
+    // Three consumers (hot-bucket agg + both self-join sides) —
+    // persist so the signature pipeline runs once.
     val buckets = minhashBuckets(shingles, bands, rowsPerBand)
-    buckets.as("a")
-      .join(buckets.as("b"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val cool = buckets.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    cool.as("a")
+      .join(cool.as("b"),
         col("a.band") === col("b.band") &&
           col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -133,15 +165,29 @@ object Dedup {
 
   /** MinHash dedup, verified: LSH candidates re-checked with exact
     * shingle Jaccard (false positives dropped; per-pair recall is
-    * 1−(1−j^r)^b).
+    * 1−(1−j^r)^b). Verification joins shingles only for the candidate
+    * ids — never the full inverted index (that would be the exact
+    * algorithm and forfeit LSH's sub-quadratic cost).
     */
   def minhashDedupPairs(
       df: DataFrame, idCol: String, tokensCol: String,
       shingleK: Int, bands: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
+    // The shingle set feeds four consumers (signatures, both sides of
+    // the verification join, sizes); persist it so the window+distinct
+    // runs once. Spark's ContextCleaner unpersists when unreferenced.
     val sh = shingleSets(df, idCol, tokensCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidatePairs(sh, bands, rowsPerBand)
-    val inter = pairCounts(sh).join(cands, Seq("id_a", "id_b"), "left_semi")
+    val withA = broadcast(cands)
+      .join(sh.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("shingle", "sh_a"), "id_a")
+    val shB = sh.withColumnRenamed("id", "idb")
+      .withColumnRenamed("shingle", "sh_b")
+    val inter = withA
+      .join(shB, col("id_b") === col("idb") && col("sh_a") === col("sh_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("i"))
     jaccardOf(inter, sizesOf(sh)).filter(col("jaccard") >= minJaccard)
   }
 

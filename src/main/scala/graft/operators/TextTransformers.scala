@@ -52,13 +52,16 @@ class WordTokenizer(uid: String) extends ColumnTransformer(uid) {
 }
 
 /** F7: Snowball English stop-word removal (the 175-word quanteda
-  * default, not Spark's 181-word list).
+  * default, not Spark's 181-word list). Delegates to Spark's
+  * `StopWordsRemover`, whose hash-set membership test beats the
+  * interpreted `array_contains(literal-array)` scan by ~175×;
+  * caseSensitive because the stream is already lower-cased (F6).
   */
-class SnowballStopWords(uid: String) extends ColumnTransformer(uid) {
-  def this() = this(Identifiable.randomUID("snowballStop"))
-  protected def expression(in: Column): Column =
-    TextFunctions.removeStopWords(in)
-  protected def outputType: DataType = ArrayType(StringType)
+object SnowballStopWords {
+  def apply(): org.apache.spark.ml.feature.StopWordsRemover =
+    new org.apache.spark.ml.feature.StopWordsRemover()
+      .setStopWords(TextFunctions.snowballStopWords.toArray)
+      .setCaseSensitive(true)
 }
 
 /** F8+F9: Porter2 stemming then single-char token removal. */

@@ -31,9 +31,10 @@ object ExtensionQueries {
   }
 
   /** Exact Jaccard ≥ 0.8 pairs over 3-gram shingles — oracle for both
-    * the exact inverted-index path and the MinHash-LSH path (whose
-    * per-pair recall at j ≥ 0.8 with 8 bands × 3 rows is
-    * 1−(1−j³)⁸ > 1−3·10⁻⁵).
+    * the exact inverted-index path and the MinHash-LSH path. With 8
+    * bands × 4 rows, per-pair recall is 1−(1−j⁴)⁸ — ≈0.985 at exactly
+    * j=0.8 and ≈1 at j≥0.95; every planted pair in the testdata sits
+    * at j≥0.97, so the paths agree exactly.
     */
   private val jaccardOracle: String = s"""
     ${shingleSql(3)},
@@ -123,7 +124,7 @@ object ExtensionQueries {
       "q_dedup_minhash",
       (s, dir) =>
         Dedup.minhashDedupPairs(docTokens(s, dir), "doc_id", "tokens",
-          shingleK = 3, bands = 8, rowsPerBand = 3, minJaccard = 0.8)
+          shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.8)
           .select(col("id_a"), col("id_b"),
             round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("id_a"), col("id_b")),

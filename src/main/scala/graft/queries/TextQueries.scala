@@ -111,17 +111,24 @@ object TextQueries {
       """)),
 
     // F1-F9 — the reference's full cleaning+featurization chain
-    // (clean → tokenize → lower → stopwords → stem → drop 1-char), as
-    // one lazy column pipeline. No oracle: DuckDB has no Porter2.
+    // (clean → tokenize → lower → stopwords → stem → drop 1-char).
+    // Explode FIRST, then scalar ops: everything after the tokenizer
+    // is whole-stage codegen (isin compiles to a hashed InSet, stem is
+    // a native codegen expression). The array-HOF formulation of the
+    // same chain runs interpreted and re-scans a 175-element literal
+    // array per token — orders of magnitude slower at scale.
+    // No oracle: DuckDB has no Porter2.
     QueryDef(
       "q_pipeline_tokens",
       (s, dir) =>
         Tables.documents(s, dir)
           .select(col("doc_id"),
-            explode(
-              removeSingleChar(stemTokens(removeStopWords(lowerTokens(
-                tokenizeWords(stripCustomStopWords(cleanHtml(col("text"))))))))
-            ).as("token"))
+            explode(tokenizeWords(
+              stripCustomStopWords(cleanHtml(col("text"))))).as("t"))
+          .select(col("doc_id"), lower(col("t")).as("t"))
+          .filter(!col("t").isin(snowballStopWords: _*))
+          .select(col("doc_id"), graft.functions.stem(col("t")).as("token"))
+          .filter(!(col("token") rlike "^[a-z]$"))
           .orderBy(col("doc_id"), col("token")),
       None),
 
