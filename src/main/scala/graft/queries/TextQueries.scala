@@ -58,6 +58,41 @@ object TextQueries {
         LIMIT 25
       """)),
 
+    // P1/P2/P5 — projection + column drop + row filter, pushed to the
+    // parquet scan (explain shows PushedFilters + pruned ReadSchema).
+    QueryDef(
+      "q_projection",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, source, n_chars
+        FROM documents
+        WHERE lang = 'en'
+        ORDER BY doc_id
+      """)),
+
+    // A8 — per-document row sum (the TF denominator, `sum(row)` per
+    // doc R:216) as an explicit query.
+    QueryDef(
+      "q_doc_lengths",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(splitWords(col("text"))).as("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("word")).as("n_types"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT word) AS n_types
+        FROM ($wordsSql)
+        GROUP BY doc_id
+        ORDER BY doc_id
+      """)),
+
     // F3+F4 — HTML strip + custom stop-word strip (case-sensitive,
     // single-pass, pre-lowercase; quirk Q5). Pure codegen'd
     // regexp_replace chain, no shuffle except the output sort.
