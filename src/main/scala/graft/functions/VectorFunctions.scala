@@ -33,7 +33,11 @@ object VectorFunctions {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity of two embedding columns, computed in double. */
+  /** Cosine similarity of two embedding columns, computed in double.
+    * Backed by the native codegen [[CosineSimilarity]] expression (one
+    * fused loop inside whole-stage codegen); `dot`/`norm2` above are
+    * the HOF building blocks for ad-hoc column math.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    graft.functions.cosine_similarity(a, b)
 }

@@ -10,4 +10,9 @@ package object functions {
     */
   def stem(c: Column): Column =
     Bridge.column(StemExpression(Bridge.expression(c)))
+
+  /** Codegen cosine similarity of two embedding-array columns. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    Bridge.column(
+      CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 }
