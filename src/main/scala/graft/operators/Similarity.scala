@@ -92,6 +92,55 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-style approximate top-k: fit a k-means codebook (nlist
+    * centroids) over the corpus embeddings, assign every corpus row to
+    * its nearest centroid (inverted lists), then search each query
+    * only in its `nprobe` nearest cells with exact cosine re-ranking.
+    *
+    * The scale path with a trained codebook (vs the training-free LSH
+    * variant): corpus assignment is one MLlib transform; the probe
+    * join broadcasts (query, cell) pairs so the corpus shuffles only
+    * on its cell id. Deterministic for a fixed seed.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val toVec = graft.functions.VectorFunctions.toMlVector
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), toVec(col(vecCol)).as("mlv"))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("mlv").setPredictionCol("cell")
+    val model = km.fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    // nprobe nearest cells per query, via a broadcast centroid table
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centDf = queries.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(desc("csim"), asc("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("csim",
+        VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("prank", row_number().over(probeW))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Exact most-similar pairs in a corpus (cross-join; quadratic —
     * small corpora or within-bucket use only; the LSH path is the
     * scale route).

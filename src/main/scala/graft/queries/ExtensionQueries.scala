@@ -177,6 +177,19 @@ object ExtensionQueries {
       },
       Some(annOracle("q.vec_id < 10", 5))),
 
+    // IVF (k-means codebook) approximate variant — no oracle
+    // (approximate by construction; ground truth is q_ann_topk).
+    QueryDef(
+      "q_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(
+            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
+            nlist = 16, nprobe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // LSH-bucketed approximate variant (no oracle: approximate by
     // construction; ground truth is q_ann_topk).
     QueryDef(
