@@ -25,16 +25,23 @@ object EventQueries {
   """
 
   /** Batch oracle shared by the batch and streaming sessionizers:
-    * sessions break on inactivity gaps > 1800 s.
+    * sessions break on inactivity gaps > 1800 s. Gaps compare in epoch
+    * MICROseconds after casting to µs TIMESTAMP, so a DuckDB that reads
+    * the parquet's TIMESTAMP(NANOS) natively floors exactly like Spark
+    * (which reads nanos-as-long and divides by 1000). The SUM is cast
+    * to BIGINT: DuckDB types an integer SUM as HUGEINT (int128), which
+    * the driver's hash serializes differently from Spark's BIGINT.
     */
   private val sessionsOracle = """
     WITH e AS (
-      SELECT user_id, ts,
-             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP))) AS pus
       FROM events)
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CASE WHEN pt IS NULL OR epoch(ts) - epoch(pt) > 1800
-                    THEN 1 ELSE 0 END) AS n_sessions
+           CAST(SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
     FROM e
     GROUP BY user_id
     ORDER BY user_id
@@ -109,7 +116,8 @@ object EventQueries {
         SELECT event_type, COUNT(*) AS n,
                MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
         FROM events
         GROUP BY event_type
         ORDER BY event_type

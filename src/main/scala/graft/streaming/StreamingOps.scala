@@ -9,8 +9,11 @@ import org.apache.spark.sql.types.DecimalType
 
 /** Event row for the stateful sessionizer (top-level: Catalyst
   * encoders generate code that cannot access non-public nested types).
+  * Carries the event time as epoch MICROseconds — the table's native
+  * precision — so gap tests agree bit-for-bit with the batch twin
+  * (`java.sql.Timestamp.getTime` is millis and would truncate).
   */
-case class Ev(user_id: Long, ts: java.sql.Timestamp)
+case class Ev(user_id: Long, us: Long)
 
 /** Sessionizer output record. */
 case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
@@ -83,7 +86,7 @@ object StreamingOps {
       gapSeconds: Long = 1800L): DataFrame = {
     import spark.implicits._
     val stream = readEventStream(spark, path)
-      .select(col("user_id"), col("ts")).as[Ev]
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).as[Ev]
 
     def update(userId: Long, events: Iterator[Ev],
         state: GroupState[(Long, Long, Long)]): UserSessions = {
@@ -91,9 +94,9 @@ object StreamingOps {
       var (lastTs, nEvents, nSessions) =
         state.getOption.getOrElse((Long.MinValue, 0L, 0L))
       // one micro-batch delivers events unordered — sort within group
-      events.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime // millis
-        if (lastTs == Long.MinValue || t - lastTs > gapSeconds * 1000L)
+      events.toSeq.sortBy(_.us).foreach { e =>
+        val t = e.us // micros, same precision as the batch lag-window
+        if (lastTs == Long.MinValue || t - lastTs > gapSeconds * 1000000L)
           nSessions += 1
         nEvents += 1
         lastTs = t
