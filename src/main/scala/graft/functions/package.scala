@@ -15,4 +15,12 @@ package object functions {
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(
       CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** All random-hyperplane LSH bucket ids (one per table) of an
+    * embedding-array column, as `array<long>` — codegen'd single pass.
+    */
+  def hyperplane_buckets(
+      vec: Column, bits: Int, tables: Int, seed: Long = 0x5eedL): Column =
+    Bridge.column(
+      HyperplaneBucketsExpression(Bridge.expression(vec), bits, tables, seed))
 }

@@ -178,8 +178,13 @@ object Dedup {
     // runs once. Spark's ContextCleaner unpersists when unreferenced.
     val sh = shingleSets(df, idCol, tokensCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No broadcast hint on the candidate set: it is output-sized
+    // (unbounded at corpus scale), so forcing it through the driver
+    // would OOM exactly when dedup matters most. A plain shuffle join
+    // on id_a is scale-safe, and AQE still picks a broadcast join at
+    // runtime when the candidate set turns out small.
     val cands = minhashCandidatePairs(sh, bands, rowsPerBand)
-    val withA = broadcast(cands)
+    val withA = cands
       .join(sh.withColumnRenamed("id", "id_a")
         .withColumnRenamed("shingle", "sh_a"), "id_a")
     val shB = sh.withColumnRenamed("id", "idb")

@@ -138,13 +138,17 @@ object ExtensionQueries {
           .orderBy(col("id_a"), col("id_b")),
       None),
 
-    // Embedding near-dup: exact top-20 most-cosine-similar pairs
-    // (corpus has no planted >0.95 pairs, so top-N instead of a
-    // threshold keeps the result non-empty and deterministic).
+    // Embedding near-dup: top-20 most-cosine-similar pairs (corpus has
+    // no planted >0.95 pairs, so top-N instead of a threshold keeps the
+    // result non-empty and deterministic). Routed through the IVF
+    // cell-blocked scale path — no all-pairs join; the oracle is the
+    // exact answer, so a hash match doubles as a full-recall check
+    // (these pairs sit at cosine ≈0.43-0.51, far below planted-dup
+    // territory, and the probe sets still recall every one).
     QueryDef(
       "q_dedup_embedding",
       (s, dir) =>
-        Similarity.topSimilarPairs(
+        Similarity.nearDupPairsIvf(
           Tables.embeddings(s, dir), "vec_id", "embedding", 20),
       Some(s"""
         WITH dims AS (

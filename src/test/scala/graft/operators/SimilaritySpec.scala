@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSuite
+import graft.functions.hyperplane_buckets
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Hyperplane-LSH bucketing (codegen expression) and the IVF
+  * cell-blocked near-dup pair path.
+  */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def randVec(r: Random, dim: Int): Array[Float] =
+    Array.fill(dim)((r.nextDouble() - 0.5).toFloat)
+
+  test("hyperplane_buckets: shape, determinism, scale invariance") {
+    val r = new Random(11)
+    val vecs = (0L until 50L).map(i => (i, randVec(r, 16))).toDF("id", "v")
+    val bits = 6
+    val tables = 4
+    val out = vecs
+      .select($"id", hyperplane_buckets($"v", bits, tables).as("b"),
+        hyperplane_buckets($"v", bits, tables).as("b2"),
+        // positive scaling preserves every projection's sign
+        hyperplane_buckets(transform($"v", x => x * 3.0f), bits, tables)
+          .as("bScaled"))
+      .collect()
+    out.foreach { row =>
+      val b = row.getSeq[Long](1)
+      assert(b.length == tables)
+      assert(b.forall(k => k >= 0L && k < (1L << bits)))
+      assert(b == row.getSeq[Long](2))
+      assert(b == row.getSeq[Long](3))
+    }
+  }
+
+  test("lshTopK recalls a planted near-duplicate at rank 1") {
+    val r = new Random(23)
+    val base = (0L until 100L).map(i => (i, randVec(r, 16)))
+    // vec 100 = vec 0 plus a tiny perturbation (cosine ≈ 1)
+    val near = (100L, base.head._2.map(x => x + 0.001f))
+    val corpus = (base :+ near).toDF("vec_id", "embedding")
+    val top = Similarity.lshTopK(
+        corpus.filter($"vec_id" === 0L), corpus, "vec_id", "embedding",
+        k = 1, bits = 4, tables = 8)
+      .collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("neighbor_id") == 100L)
+    assert(top(0).getAs[Double]("cosine") > 0.999)
+  }
+
+  test("nearDupPairsIvf matches the exact all-pairs top-N") {
+    val r = new Random(5)
+    val base = (0L until 200L).map(i => (i, randVec(r, 16)))
+    // plant 10 near-dup pairs well above the random background
+    val dups = (0 until 10).map { i =>
+      (200L + i, base(i * 7)._2.map(x => x + (r.nextFloat() - 0.5f) * 0.01f))
+    }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Similarity.topSimilarPairs(corpus, "vec_id", "embedding", 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    val ivf = Similarity.nearDupPairsIvf(corpus, "vec_id", "embedding", 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(ivf.toSeq == exact.toSeq)
+  }
+}
