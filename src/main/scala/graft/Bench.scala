@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs the headline queries against
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
@@ -9,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * Queries execute to a `noop` sink — `count()` would let Catalyst
   * prune projections and undercount the real work (e.g. a regex-clean
   * query "counts" without ever running the regex).
+  *
+  * Trust measures (the build box suffers documented 10-30× host CPU
+  * contention):
+  *  - a single-thread calm-check gates the timed region: a fixed spin
+  *    is re-measured until it stops improving AND the box looks quiet,
+  *    and the final calibration number is recorded in the JSON;
+  *  - every headline query is timed best-of-2;
+  *  - a query that throws is reported in a "failures" list and the
+  *    process exits nonzero — a crash must never *improve* the total.
   */
 object Bench {
 
@@ -21,6 +31,81 @@ object Bench {
     "q_top_words", "q_pipeline_tokens", "q_tfidf",
     "q_dedup_minhash", "q_ann_topk",
     "q_events_window", "q_sessions")
+
+  /** Fixed single-thread spin (~0.2 s on a calm modern core); the
+    * wall-time in ms is the contention gauge.
+    */
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var i = 0L
+    var x = 0L
+    while (i < 400000000L) { x ^= i; i += 1 }
+    if (x == 42L) print("") // keep the loop observable
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  /** Re-measure the spin until two consecutive runs sit within 25% of
+    * the best seen (the box stopped improving ⇒ likely quiet), up to
+    * `maxWaitSec`. Returns the final calibration in ms.
+    */
+  private def calmCheck(maxWaitSec: Int): Double = {
+    var best = calibrate()
+    var last = best
+    val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+    var ok = false
+    while (!ok && System.nanoTime() < deadline) {
+      val c = calibrate()
+      best = math.min(best, c)
+      ok = c < best * 1.25 && last < best * 1.25
+      last = c
+      if (!ok) Thread.sleep(5000)
+    }
+    last
+  }
+
+  /** ~60k synthetic profiles of the reference corpus's shape (59,946
+    * docs; the trimmed DFM lands near its 1,246 features): essay text
+    * drawn from a 2,000-word vocabulary with a u² rank skew, one word
+    * in five flipped to the mirrored rank for one class so the tree
+    * has real signal to split on. Deterministic (xxhash64 of the row
+    * id), generated distributed by native expressions — no driver data.
+    */
+  def syntheticProfiles(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = 2000
+    val wordsPerDoc = 150
+    val isF = pmod(xxhash64(col("id")), lit(2)) === 1
+    val essay = array_join(
+      transform(sequence(lit(1), lit(wordsPerDoc)), i => {
+        val u = pmod(xxhash64(col("id"), i), lit(1000000))
+          .cast("double") / lit(1e6)
+        val idx = floor(u * u * lit(vocab)).cast("long")
+        val shifted = when(isF && pmod(i, lit(5)) === 0,
+          lit(vocab - 1L) - idx).otherwise(idx)
+        concat(lit("w"), shifted.cast("string"))
+      }), " ")
+    spark.range(n).select(
+      Seq(when(isF, "f").otherwise("m").as("sex"), essay.as("essay0")) ++
+        (1 to 9).map(j => lit("").as(s"essay$j")): _*)
+  }
+
+  /** The flagship comparison: the reference's only published timing is
+    * 27-30 min single-threaded rpart training on the 59,946-doc DFM
+    * (reference README:14, out.txt:1; BASELINE.md). Same shape here:
+    * feature pipeline fit + transform, stratified 70/30, depth-3 tree,
+    * confusion matrix — end-to-end, distributed, sparse throughout.
+    */
+  private def benchOkCupidTree(spark: SparkSession): Double = {
+    val profiles = syntheticProfiles(spark, 59946L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    profiles.count() // materialize the corpus outside the timed region
+    val t0 = System.nanoTime()
+    val (confusion, acc) = OkCupidPipeline.trainAndEvaluate(profiles)
+    confusion.collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[bench] q_okcupid_tree accuracy=$acc%.4f")
+    profiles.unpersist()
+    sec
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,22 +122,45 @@ object Bench {
     // JVM/codegen warmup outside the timed region
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
-    def run(name: String): Double = {
+    val calibMs = calmCheck(maxWaitSec = 120)
+
+    var failures = List.empty[String]
+
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => return -1.0 }
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = headline.map(n => n -> run(n))
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    def bestOf2(name: String): Option[Double] =
+      try Some(math.min(runOnce(name), runOnce(name)))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          failures ::= name
+          None
+      }
+
+    val results: Seq[(String, Option[Double])] =
+      headline.map(n => n -> bestOf2(n)) :+
+        ("q_okcupid_tree" -> (
+          try Some(benchOkCupidTree(spark))
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] q_okcupid_tree FAILED: ${e.getMessage}")
+              failures ::= "q_okcupid_tree"
+              None
+          }))
+
+    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.flatMap(_._2).sum
+    val failJson = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failures":$failJson,"calib_ms":$calibMs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }

@@ -89,6 +89,15 @@ object OkCupidPipeline {
   /** Train + evaluate: stratified 70/30 (seed 32984, the reference's),
     * depth-bounded tree (rpart cp=0.02 yielded depth 3), returns the
     * confusion matrix (prediction × label counts) and accuracy.
+    *
+    * The transformed corpus is projected down to (label, features) and
+    * persisted before the split: the text chain (clean → tokenize →
+    * stop → stem → vectorize) is array-valued per row and evaluates
+    * interpreted, so letting the split window, the tree fit, and each
+    * evaluation action re-derive it from raw essays — while also
+    * shuffling every intermediate column — multiplies the most
+    * expensive stage of the whole pipeline by the number of downstream
+    * actions (~6× measured at 60k docs).
     */
   def trainAndEvaluate(
       profiles: DataFrame,
@@ -98,21 +107,49 @@ object OkCupidPipeline {
       seed: Long = 32984L): (DataFrame, Double) = {
     val essays = withEssays(profiles)
       .withColumn("label", (col("sex") === "m").cast("double"))
-    val features = featurePipeline(minDocFreq, minTermFreq)
+    // Evaluate the text chain ONCE: run the transformer prefix of the
+    // feature pipeline, persist the (label, tokens) projection, and
+    // let the vectorizer fit AND transform read the persisted tokens —
+    // otherwise the vocab fit and the feature transform each re-derive
+    // every token from raw essays.
+    val stages = featurePipeline(minDocFreq, minTermFreq).getStages
+    val tokens = new Pipeline().setStages(stages.init)
       .fit(essays).transform(essays)
-    val (train, test) = StratifiedSplit.split(features, "label", 0.7, seed)
-    val dt = new DecisionTreeClassifier()
-      .setLabelCol("label").setFeaturesCol("features")
-      .setMaxDepth(maxDepth).setSeed(seed)
-    val model = dt.fit(train)
-    val predictions = model.transform(test)
-    val confusion = predictions
-      .groupBy(col("prediction"), col("label"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("prediction"), col("label"))
-    val correct = predictions
-      .filter(col("prediction") === col("label")).count()
-    val total = predictions.count()
-    (confusion, correct.toDouble / total)
+      .select(col("label"), col("tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val features = stages.last.asInstanceOf[TrimmedCountVectorizer]
+      .fit(tokens).transform(tokens)
+      .select(col("label"), col("features"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    features.count()
+    tokens.unpersist()
+    try {
+      val (train, test) = StratifiedSplit.split(features, "label", 0.7, seed)
+      val dt = new DecisionTreeClassifier()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setMaxDepth(maxDepth).setSeed(seed)
+      val model = dt.fit(train)
+      val predictions = model.transform(test)
+        .select(col("prediction"), col("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val confusionRows = predictions
+        .groupBy(col("prediction"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("prediction"), col("label"))
+        .collect()
+      val total = confusionRows.map(_.getAs[Long]("n")).sum
+      val correct = confusionRows
+        .filter(r => r.getDouble(0) == r.getDouble(1))
+        .map(_.getAs[Long]("n")).sum
+      predictions.unpersist()
+      val confusion = profiles.sparkSession
+        .createDataFrame(
+          profiles.sparkSession.sparkContext.parallelize(confusionRows.toSeq, 1),
+          StructType(Seq(
+            StructField("prediction", DoubleType, nullable = false),
+            StructField("label", DoubleType, nullable = false),
+            StructField("n", LongType, nullable = false))))
+      (confusion, correct.toDouble / total)
+    } finally features.unpersist()
   }
 }

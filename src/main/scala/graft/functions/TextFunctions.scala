@@ -124,9 +124,15 @@ object TextFunctions {
     filter(tokens, t => !array_contains(stops, t))
   }
 
-  /** F9 — drop single-character [a-z] tokens post-stem (R:86-87). */
+  /** F9 — drop single-character [a-z] tokens post-stem (R:86-87).
+    * Expressed as comparisons, not `rlike "^[a-z]$"`: inside the
+    * interpreted array filter a regex costs a Matcher allocation and a
+    * UTF8String→String copy per token (measured hot at 9M tokens);
+    * the length + range test is equivalent for this pattern.
+    */
   def removeSingleChar(tokens: Column): Column =
-    filter(tokens, t => !(t rlike "^[a-z]$"))
+    filter(tokens, t =>
+      !(length(t) === 1 && t >= "a" && t <= "z"))
 
   /** F8 — Porter2 (Snowball English) stem of every token (R:84),
     * via the native Catalyst expression (codegen, null-safe).

@@ -1,10 +1,11 @@
 package graft.operators
 
 import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.graftbridge.MLBridge
 import org.apache.spark.ml.linalg.{DenseVector, SparseVector, SQLDataTypes, Vector, Vectors}
 import org.apache.spark.ml.param.{Param, ParamMap}
 import org.apache.spark.ml.stat.Summarizer
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -19,7 +20,8 @@ import org.apache.spark.sql.types.StructType
   * the data, tree-aggregated to the driver); the idf vector is then
   * broadcast inside the transform closure. Terms with df=0 get idf=0.
   */
-class Log10IDF(override val uid: String) extends Estimator[Log10IDFModel] {
+class Log10IDF(override val uid: String)
+    extends Estimator[Log10IDFModel] with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("log10idf"))
 
@@ -51,9 +53,11 @@ class Log10IDF(override val uid: String) extends Estimator[Log10IDFModel] {
   override def copy(extra: ParamMap): Log10IDF = defaultCopy(extra)
 }
 
+object Log10IDF extends DefaultParamsReadable[Log10IDF]
+
 /** Fitted model: element-wise multiply by the idf vector. */
 class Log10IDFModel(override val uid: String, val idf: Vector)
-    extends Model[Log10IDFModel] {
+    extends Model[Log10IDFModel] with MLWritable {
 
   final val inputCol =
     new Param[String](this, "inputCol", "count/tf vector input column")
@@ -91,4 +95,36 @@ class Log10IDFModel(override val uid: String, val idf: Vector)
     val copied = new Log10IDFModel(uid, idf)
     copyValues(copied, extra).setParent(parent)
   }
+
+  override def write: MLWriter = new Log10IDFModel.Writer(this)
+}
+
+/** S4 persistence: `metadata/` + a one-row `data/` parquet holding the
+  * idf vector values (mirrors Spark's IDFModel writer).
+  */
+object Log10IDFModel extends MLReadable[Log10IDFModel] {
+
+  private class Writer(instance: Log10IDFModel) extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      MLBridge.saveMetadata(instance, path, sparkSession)
+      val spark = sparkSession
+      import spark.implicits._
+      Seq(Tuple1(instance.idf.toArray)).toDF("idf")
+        .repartition(1).write.parquet(s"$path/data")
+    }
+  }
+
+  private class Reader extends MLReader[Log10IDFModel] {
+    private val className = classOf[Log10IDFModel].getName
+    override def load(path: String): Log10IDFModel = {
+      val metadata = MLBridge.loadMetadata(path, sparkSession, className)
+      val idf = sparkSession.read.parquet(s"$path/data")
+        .select("idf").head().getSeq[Double](0).toArray
+      val model = new Log10IDFModel(metadata.uid, Vectors.dense(idf))
+      MLBridge.getAndSetParams(model, metadata)
+      model
+    }
+  }
+
+  override def read: MLReader[Log10IDFModel] = new Reader
 }

@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{Param, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * native expression.
   */
 abstract class ColumnTransformer(override val uid: String)
-    extends Transformer {
+    extends Transformer with DefaultParamsWritable {
   final val inputCol = new Param[String](this, "inputCol", "input column")
   final val outputCol = new Param[String](this, "outputCol", "output column")
   def setInputCol(v: String): this.type = set(inputCol, v)
@@ -43,6 +43,8 @@ class RegexCleaner(uid: String) extends ColumnTransformer(uid) {
   protected def outputType: DataType = StringType
 }
 
+object RegexCleaner extends DefaultParamsReadable[RegexCleaner]
+
 /** F5+F6: word tokenization + lower-casing → array<string>. */
 class WordTokenizer(uid: String) extends ColumnTransformer(uid) {
   def this() = this(Identifiable.randomUID("wordTokenizer"))
@@ -50,6 +52,8 @@ class WordTokenizer(uid: String) extends ColumnTransformer(uid) {
     TextFunctions.lowerTokens(TextFunctions.tokenizeWords(in))
   protected def outputType: DataType = ArrayType(StringType)
 }
+
+object WordTokenizer extends DefaultParamsReadable[WordTokenizer]
 
 /** F7: Snowball English stop-word removal (the 175-word quanteda
   * default, not Spark's 181-word list). Delegates to Spark's
@@ -71,3 +75,5 @@ class PorterStemmer(uid: String) extends ColumnTransformer(uid) {
     TextFunctions.removeSingleChar(TextFunctions.stemTokens(in))
   protected def outputType: DataType = ArrayType(StringType)
 }
+
+object PorterStemmer extends DefaultParamsReadable[PorterStemmer]

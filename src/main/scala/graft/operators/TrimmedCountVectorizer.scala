@@ -2,9 +2,10 @@ package graft.operators
 
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.graftbridge.MLBridge
 import org.apache.spark.ml.linalg.{SparseVector, SQLDataTypes, Vectors}
 import org.apache.spark.ml.param.{IntParam, Param, ParamMap, ParamValidators}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -23,7 +24,8 @@ import org.apache.spark.sql.types._
   * bounded by the trim — ever reaches the driver.
   */
 class TrimmedCountVectorizer(override val uid: String)
-    extends Estimator[TrimmedCountVectorizerModel] {
+    extends Estimator[TrimmedCountVectorizerModel]
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("trimCountVec"))
 
@@ -78,11 +80,14 @@ class TrimmedCountVectorizer(override val uid: String)
     defaultCopy(extra)
 }
 
+object TrimmedCountVectorizer
+    extends DefaultParamsReadable[TrimmedCountVectorizer]
+
 /** Fitted model: vocabulary → sparse count vectors. */
 class TrimmedCountVectorizerModel(
     override val uid: String,
     val vocabulary: Array[String])
-    extends Model[TrimmedCountVectorizerModel] {
+    extends Model[TrimmedCountVectorizerModel] with MLWritable {
 
   final val inputCol =
     new Param[String](this, "inputCol", "token array input column")
@@ -123,4 +128,39 @@ class TrimmedCountVectorizerModel(
     val copied = new TrimmedCountVectorizerModel(uid, vocabulary)
     copyValues(copied, extra).setParent(parent)
   }
+
+  override def write: MLWriter = new TrimmedCountVectorizerModel.Writer(this)
+}
+
+/** S4 persistence (mirrors Spark's CountVectorizerModel writer):
+  * `metadata/` via the canonical emitter + a one-row `data/` parquet
+  * holding the vocabulary. Loadable from inside a saved PipelineModel.
+  */
+object TrimmedCountVectorizerModel
+    extends MLReadable[TrimmedCountVectorizerModel] {
+
+  private class Writer(instance: TrimmedCountVectorizerModel)
+      extends MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      MLBridge.saveMetadata(instance, path, sparkSession)
+      val spark = sparkSession
+      import spark.implicits._
+      Seq(Tuple1(instance.vocabulary)).toDF("vocabulary")
+        .repartition(1).write.parquet(s"$path/data")
+    }
+  }
+
+  private class Reader extends MLReader[TrimmedCountVectorizerModel] {
+    private val className = classOf[TrimmedCountVectorizerModel].getName
+    override def load(path: String): TrimmedCountVectorizerModel = {
+      val metadata = MLBridge.loadMetadata(path, sparkSession, className)
+      val vocab = sparkSession.read.parquet(s"$path/data")
+        .select("vocabulary").head().getSeq[String](0).toArray
+      val model = new TrimmedCountVectorizerModel(metadata.uid, vocab)
+      MLBridge.getAndSetParams(model, metadata)
+      model
+    }
+  }
+
+  override def read: MLReader[TrimmedCountVectorizerModel] = new Reader
 }
