@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Whole-operator sessionization as a first-class Catalyst operator —
+  * the engine's demonstration of extension tier (c) from the build
+  * rules: custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`.
+  *
+  * Semantics: within each `user` partition ordered by `ts`, assign a
+  * 1-based `session_id` that increments whenever the gap to the
+  * previous event exceeds `gapMicros` (strictly — matching the batch
+  * lag-window twin in EventQueries and the streaming sessionizer).
+  *
+  * Why an operator instead of the lag-window formulation: the physical
+  * node declares `ClusteredDistribution(user)` + per-partition
+  * ordering `(user, ts)`, so EnsureRequirements plans exactly one
+  * exchange + one sort, the session pass itself is a single streaming
+  * iterator (no window-frame buffering), and — because
+  * `outputPartitioning` is preserved — a downstream `groupBy(user)`
+  * needs NO second shuffle. The lag-window twin costs the same
+  * exchange + sort but adds window machinery and re-shuffles for the
+  * aggregate unless AQE notices.
+  */
+case class SessionizeLogical(
+    user: Attribute,
+    ts: Attribute,
+    gapMicros: Long,
+    sessionAttr: AttributeReference,
+    child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ sessionAttr
+  override def producedAttributes: AttributeSet = AttributeSet(sessionAttr)
+  override protected def withNewChildInternal(
+      newChild: LogicalPlan): SessionizeLogical = copy(child = newChild)
+}
+
+/** Plans [[SessionizeLogical]] into [[SessionizeExec]]. Registered via
+  * `spark.experimental.extraStrategies` (equivalently injectable with
+  * `SparkSessionExtensions.injectPlannerStrategy` when building the
+  * session).
+  */
+object SessionizeStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case SessionizeLogical(u, t, gap, out, child) =>
+      SessionizeExec(u, t, gap, out, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class SessionizeExec(
+    user: Attribute,
+    ts: Attribute,
+    gapMicros: Long,
+    sessionAttr: AttributeReference,
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ sessionAttr
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(user)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(user, Ascending), SortOrder(ts, Ascending)))
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(user, Ascending), SortOrder(ts, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val userBound = BindReferences.bindReference(
+      user: org.apache.spark.sql.catalyst.expressions.Expression, child.output)
+    val tsBound = BindReferences.bindReference(
+      ts: org.apache.spark.sql.catalyst.expressions.Expression, child.output)
+    val childOutput = child.output
+    val sessAttr = sessionAttr
+    val gap = gapMicros
+    child.execute().mapPartitions({ iter =>
+      val proj = UnsafeProjection.create(
+        childOutput :+ sessAttr, childOutput :+ sessAttr)
+      val sessRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      var curUser: Any = null
+      var haveUser = false
+      var lastTs = Long.MinValue
+      var sid = 0L
+      iter.map { row =>
+        val u = userBound.eval(row)
+        val t = tsBound.eval(row).asInstanceOf[Long]
+        if (!haveUser || u != curUser) {
+          haveUser = true; curUser = u; sid = 1L
+        } else if (t - lastTs > gap) {
+          sid += 1L
+        }
+        lastTs = t
+        sessRow.setLong(0, sid)
+        proj(joined(row, sessRow))
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: SparkPlan): SessionizeExec = copy(child = newChild)
+}
+
+/** Public API: append a `session_id` column via the custom operator. */
+object Sessionize {
+
+  def apply(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      outCol: String = "session_id"): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.exists(_ eq SessionizeStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ SessionizeStrategy
+    val plan = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(",")}"))
+    val t = attr(tsCol)
+    require(t.dataType == TimestampType || t.dataType == LongType,
+      s"$tsCol must be timestamp (µs) or long, got ${t.dataType}")
+    val out = AttributeReference(outCol, LongType, nullable = false)()
+    Bridge.dataFrame(spark,
+      SessionizeLogical(attr(userCol), t, gapSeconds * 1000000L, out, plan))
+  }
+}

@@ -100,6 +100,23 @@ object EventQueries {
           .orderBy(col("user_id")),
       Some(sessionsOracle)),
 
+    // The SAME sessionization a third way: the custom whole-operator
+    // plan (SessionizeLogical → SessionizeStrategy → SessionizeExec).
+    // One exchange+sort feeds a single-pass session assignment, and
+    // the downstream groupBy(user_id) reuses the partitioning with no
+    // second shuffle — checked against the same batch oracle.
+    QueryDef(
+      "q_sessionize_op",
+      (s, dir) =>
+        graft.plans.Sessionize(
+            Tables.events(s, dir).select(col("user_id"), col("ts")),
+            "user_id", "ts", gapSeconds = 1800L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("session_id")).as("n_sessions"))
+          .orderBy(col("user_id")),
+      Some(sessionsOracle)),
+
     // JSON extraction from the props column: per-event-type stats of
     // $.k (bigint), exercising get_json_object pushdown-free scans.
     QueryDef(

@@ -1,16 +1,24 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.{ExpressionColumnNode, ExpressionUtils}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, ExpressionColumnNode, ExpressionUtils}
 
-/** Thin bridge into Spark's `private[sql]` Column ⇄ Expression
-  * conversions, the standard technique for libraries that ship native
-  * Catalyst expressions on Spark 4.x (where `Column` wraps a
-  * `ColumnNode` rather than an `Expression`). Lives under
-  * `org.apache.spark.sql` solely for access; contains no logic.
+/** Thin bridge into Spark's `private[sql]` Column ⇄ Expression and
+  * LogicalPlan ⇄ DataFrame conversions, the standard technique for
+  * libraries that ship native Catalyst expressions / custom logical
+  * operators on Spark 4.x (where `Column` wraps a `ColumnNode` rather
+  * than an `Expression`). Lives under `org.apache.spark.sql` solely
+  * for access; contains no logic.
   */
 object Bridge {
   def column(e: Expression): Column = Column(ExpressionColumnNode(e))
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved) logical plan as a DataFrame — `Dataset.ofRows`
+    * for custom operators built from analyzed child plans.
+    */
+  def dataFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
