@@ -1,0 +1,122 @@
+package graft.functions
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused native kernels for the ML-pipeline token stages (F5+F6 and
+  * F8+F9). The column-function formulations in [[TextFunctions]] are
+  * semantically identical but run as interpreted array higher-order
+  * functions — measured at ~150 s for one pass over the 59,946-doc
+  * flagship corpus (9M tokens) at local[4], dominated by per-element
+  * interpreter dispatch, Matcher allocation, and UTF8String↔String
+  * copies. Each kernel here is one compiled loop per row.
+  *
+  * Kept in plain objects (no companion class) so janino-generated code
+  * reaches them through static forwarders.
+  */
+object TokenizeLower {
+
+  private val splitPat = Pattern.compile("[^\\p{L}\\p{N}']+")
+  private val numPat = Pattern.compile("^[\\p{N}][\\p{N}.,]*$")
+
+  /** quanteda-style word tokenization + lower-casing (F5+F6): split on
+    * non-letter/digit/apostrophe runs, drop empties and pure-number
+    * tokens (checked on the RAW token, like the column formulation),
+    * lower-case via UTF8String (bit-identical to Spark's `lower`).
+    */
+  def apply(s: UTF8String): ArrayData = {
+    val parts = splitPat.split(s.toString, -1)
+    val out = new java.util.ArrayList[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i)
+      if (p.nonEmpty && !numPat.matcher(p).matches())
+        out.add(UTF8String.fromString(p).toLowerCase)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+object StemPrune {
+
+  /** Porter2 stem then single-char [a-z] pruning (F8+F9), checked on
+    * the STEMMED token like the column formulation.
+    */
+  def apply(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t == null) {
+        // like transform+filter: stem(null) = null, and a null filter
+        // predicate drops the element
+      } else {
+        val stemmed = Porter2.stem(t.toString)
+        val single = stemmed.length == 1 && {
+          val c = stemmed.charAt(0); c >= 'a' && c <= 'z'
+        }
+        if (!single) out.add(UTF8String.fromString(stemmed))
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `string → array<string>` tokenize+lower as a codegen expression. */
+case class TokenizeLowerExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokenize_lower"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string input, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(v: Any): Any =
+    TokenizeLower(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenizeLower.apply($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenizeLowerExpression = copy(child = newChild)
+}
+
+/** `array<string> → array<string>` stem+prune as a codegen expression. */
+case class StemPruneExpression(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "stem_prune"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    StemPrune(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StemPrune.apply($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StemPruneExpression = copy(child = newChild)
+}

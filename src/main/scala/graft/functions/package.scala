@@ -23,4 +23,12 @@ package object functions {
       vec: Column, bits: Int, tables: Int, seed: Long = 0x5eedL): Column =
     Bridge.column(
       HyperplaneBucketsExpression(Bridge.expression(vec), bits, tables, seed))
+
+  /** Fused F5+F6 (tokenize + lower) as one codegen pass. */
+  def tokenize_lower(c: Column): Column =
+    Bridge.column(TokenizeLowerExpression(Bridge.expression(c)))
+
+  /** Fused F8+F9 (Porter2 stem + single-char prune) as one codegen pass. */
+  def stem_prune(c: Column): Column =
+    Bridge.column(StemPruneExpression(Bridge.expression(c)))
 }

@@ -196,6 +196,56 @@ object Dedup {
     jaccardOf(inter, sizesOf(sh)).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over near-duplicate pairs: every document
+    * that appears in a pair gets the minimum doc id of its duplicate
+    * group as `label` (the canonical survivor id — the step that turns
+    * pairwise dedup output into keep/drop decisions).
+    *
+    * Min-label propagation: each round joins the current labels across
+    * the (symmetrized) edge list and keeps the per-node minimum —
+    * converging in O(component diameter) rounds. Near-dup groups are
+    * clique-like (diameter 1-2), so 2-3 rounds typical. Scale notes:
+    * per-round cost is one shuffle join keyed by node id; lineage is
+    * truncated with `localCheckpoint` every few rounds so the plan
+    * doesn't deepen unboundedly (the classic driver-loop trap);
+    * `maxIter` bounds adversarial chains.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs
+        .select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "dlabel"), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val stepped =
+        if (iter % 4 == 3) next.localCheckpoint(true)
+        else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = stepped
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = stepped
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 64-bit SimHash over a token multiset (FNV-1a per token, weight =
     * occurrence count). One UDF call per row; no shuffle.
     */

@@ -45,11 +45,16 @@ class RegexCleaner(uid: String) extends ColumnTransformer(uid) {
 
 object RegexCleaner extends DefaultParamsReadable[RegexCleaner]
 
-/** F5+F6: word tokenization + lower-casing → array<string>. */
+/** F5+F6: word tokenization + lower-casing → array<string>. Backed by
+  * the fused native [[graft.functions.TokenizeLowerExpression]] — one
+  * compiled loop per row; the interpreted `filter`/`transform` HOF
+  * formulation (still available as `TextFunctions.tokenizeWords`/
+  * `lowerTokens` for ad-hoc column math) computes the same tokens.
+  */
 class WordTokenizer(uid: String) extends ColumnTransformer(uid) {
   def this() = this(Identifiable.randomUID("wordTokenizer"))
   protected def expression(in: Column): Column =
-    TextFunctions.lowerTokens(TextFunctions.tokenizeWords(in))
+    graft.functions.tokenize_lower(in)
   protected def outputType: DataType = ArrayType(StringType)
 }
 
@@ -68,11 +73,14 @@ object SnowballStopWords {
       .setCaseSensitive(true)
 }
 
-/** F8+F9: Porter2 stemming then single-char token removal. */
+/** F8+F9: Porter2 stemming then single-char token removal. Backed by
+  * the fused native [[graft.functions.StemPruneExpression]] (same
+  * semantics as `removeSingleChar(stemTokens(in))`, one compiled loop).
+  */
 class PorterStemmer(uid: String) extends ColumnTransformer(uid) {
   def this() = this(Identifiable.randomUID("porterStemmer"))
   protected def expression(in: Column): Column =
-    TextFunctions.removeSingleChar(TextFunctions.stemTokens(in))
+    graft.functions.stem_prune(in)
   protected def outputType: DataType = ArrayType(StringType)
 }
 

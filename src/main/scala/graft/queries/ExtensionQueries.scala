@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
 object ExtensionQueries {
 
   /** Shared oracle SQL: distinct word-3-gram shingles via lead-window
-    * (relational twin of Dedup.tokenShingles).
+    * (relational twin of Dedup.tokenShingles). Returns the CTE chain
+    * WITHOUT the `WITH` keyword so callers can pick `WITH` or
+    * `WITH RECURSIVE`.
     */
-  private def shingleSql(k: Int): String = {
+  private def shingleCtes(k: Int): String = {
     val leads = (1 until k)
       .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
     s"""
-    WITH words AS (
+    words AS (
       SELECT doc_id, unnest(string_split(text,' ')) AS word,
              generate_subscripts(string_split(text,' '), 1) AS pos
       FROM documents),
@@ -30,14 +32,19 @@ object ExtensionQueries {
     """
   }
 
+  private def shingleSql(k: Int): String = s" WITH ${shingleCtes(k)}"
+
   /** Exact Jaccard ≥ 0.8 pairs over 3-gram shingles — oracle for both
     * the exact inverted-index path and the MinHash-LSH path. With 8
     * bands × 4 rows, per-pair recall is 1−(1−j⁴)⁸ — ≈0.985 at exactly
     * j=0.8 and ≈1 at j≥0.95; every planted pair in the testdata sits
     * at j≥0.97, so the paths agree exactly.
     */
-  private val jaccardOracle: String = s"""
-    ${shingleSql(3)},
+  /** CTE chain ending in `j(id_a, id_b, jac)` — exact shingle Jaccard
+    * over all candidate pairs (no WITH keyword; see [[shingleCtes]]).
+    */
+  private val jaccardCtes: String = s"""
+    ${shingleCtes(3)},
     sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
     inter AS (
       SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
@@ -48,11 +55,24 @@ object ExtensionQueries {
              CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jac
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b)
+      JOIN sizes sb ON sb.doc_id = id_b)"""
+
+  private val jaccardOracle: String = s"""
+    WITH $jaccardCtes
     SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
     FROM j WHERE jac >= 0.8
     ORDER BY id_a, id_b
   """
+
+  /** Same chain plus the symmetrized ≥0.8 edge list (for the
+    * connected-components oracle).
+    */
+  private val jaccardEdgesCte: String = s"""
+    $jaccardCtes,
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.8
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM j WHERE jac >= 0.8)"""
 
   private def docTokens(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
@@ -129,6 +149,31 @@ object ExtensionQueries {
             round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("id_a"), col("id_b")),
       Some(jaccardOracle)),
+
+    // Duplicate-GROUP resolution: connected components over the exact
+    // Jaccard ≥ 0.8 pairs — every dup-involved doc labeled with its
+    // group's canonical (minimum) id. Oracle: transitive closure via
+    // a recursive CTE over the same edges.
+    QueryDef(
+      "q_dedup_groups",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs).orderBy(col("id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${jaccardEdgesCte},
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        )
+        SELECT a AS id, least(a, MIN(b)) AS label
+        FROM reach
+        GROUP BY a
+        ORDER BY id
+      """)),
 
     // SimHash blocking (no oracle: hash internals not in DuckDB).
     QueryDef(
