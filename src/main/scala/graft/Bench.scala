@@ -30,7 +30,10 @@ object Bench {
     "q1_agg", "q_join_agg", "q_topk_orders",
     "q_top_words", "q_pipeline_tokens", "q_tfidf",
     "q_dedup_minhash", "q_ann_topk",
-    "q_events_window", "q_sessions")
+    "q_events_window", "q_sessions",
+    // round-2 additions (new keys only — earlier keys stay comparable)
+    "q_sessionize_op", "q_dedup_groups", "q_dedup_spans",
+    "q_pack_sequences", "q_dedup_embedding")
 
   /** Fixed single-thread spin (~0.2 s on a calm modern core); the
     * wall-time in ms is the contention gauge.

@@ -196,6 +196,42 @@ object Dedup {
     jaccardOf(inter, sizesOf(sh)).filter(col("jaccard") >= minJaccard)
   }
 
+  /** Exact duplicate-SPAN detection (the "exact substring dedup" of
+    * training-data pipelines, cf. Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", at n-token-span
+    * granularity): every position whose n-token span also occurs in at
+    * least `minDocs` distinct documents, as (doc_id, pos, h).
+    *
+    * Relational and scale-safe: posexplode → one window computing the
+    * n−1 lead tokens per position (shuffle key: doc id) → md5 span
+    * hash → hash-keyed group to find cross-document spans → join back.
+    * Spans are persisted for their two consumers; the hot-span list is
+    * duplicate-output-sized, so the final join is left to AQE rather
+    * than a forced broadcast.
+    */
+  def duplicateSpans(
+      df: DataFrame, idCol: String, tokensCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    val words = df
+      .select(col(idCol).as("doc_id"), posexplode(col(tokensCol)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("word"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("word"), i).over(w))
+    // concat (NOT concat_ws): a null lead (span past end) nulls the
+    // whole span, exactly like SQL || with NULL
+    val parts = Seq(col("word")) ++ leads.flatMap(l => Seq(lit(" "), l))
+    val spans = words
+      .select(col("doc_id"), col("pos"), md5(concat(parts: _*)).as("h"))
+      .filter(col("h").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    spans.join(hot, "h").select(col("doc_id"), col("pos"), col("h"))
+  }
+
   /** Connected components over near-duplicate pairs: every document
     * that appears in a pair gets the minimum doc id of its duplicate
     * group as `label` (the canonical survivor id — the step that turns

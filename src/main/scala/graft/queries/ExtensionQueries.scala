@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sqlList
 import graft.functions.{TextAnalysis, TextFunctions}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, SequencePacking, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension queries (beyond the reference's
@@ -173,6 +173,68 @@ object ExtensionQueries {
         FROM reach
         GROUP BY a
         ORDER BY id
+      """)),
+
+    // Exact duplicate-span detection (training-data "exact substring
+    // dedup" at 20-token-span granularity): positions whose span
+    // recurs in ≥2 distinct docs.
+    QueryDef(
+      "q_dedup_spans",
+      (s, dir) =>
+        Dedup.duplicateSpans(
+            Tables.documents(s, dir)
+              .select(col("doc_id"),
+                TextFunctions.splitWords(col("text")).as("toks")),
+            "doc_id", "toks", n = 20)
+          .orderBy(col("doc_id"), col("pos")),
+      Some {
+        val leads = (1 until 20)
+          .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
+        s"""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                 generate_subscripts(string_split(text,' '), 1) AS pos
+          FROM documents),
+        spans AS (
+          SELECT doc_id, pos, md5(word || ' ' || $leads) AS h
+          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        sp AS (SELECT * FROM spans WHERE h IS NOT NULL),
+        hot AS (SELECT h FROM sp GROUP BY h
+                HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT doc_id, pos, h FROM sp JOIN hot USING (h)
+        ORDER BY doc_id, pos
+        """
+      }),
+
+    // Concat-and-chunk sequence packing (pretraining batching):
+    // global token offset, chunk id and in-chunk offset per doc, via
+    // the sharded two-pass prefix sum (no corpus-wide single-partition
+    // window). shardSize=100 exercises the shard rollup on testdata.
+    QueryDef(
+      "q_pack_sequences",
+      (s, dir) =>
+        SequencePacking.pack(
+            Tables.documents(s, dir)
+              .select(col("doc_id"),
+                TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens")),
+            "doc_id", "ws_tokens", capacity = 512L, shardSize = 100L)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+          FROM documents),
+        c AS (
+          SELECT doc_id, ntok,
+                 CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_tok
+          FROM t)
+        SELECT doc_id, ntok, start_tok,
+               start_tok // 512 AS chunk_id,
+               start_tok % 512 AS chunk_off
+        FROM c
+        ORDER BY doc_id
       """)),
 
     // SimHash blocking (no oracle: hash internals not in DuckDB).
