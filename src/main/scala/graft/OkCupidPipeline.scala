@@ -121,10 +121,26 @@ object OkCupidPipeline {
       .fit(tokens).transform(tokens)
       .select(col("label"), col("features"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    features.count()
+    val nRows = features.count()
     tokens.unpersist()
     try {
-      val (train, test) = StratifiedSplit.split(features, "label", 0.7, seed)
+      val (train0, test0) = StratifiedSplit.split(features, "label", 0.7, seed)
+      // The split's rank window shuffles by label — 2 distinct keys —
+      // so its output has only 2 non-empty partitions and everything
+      // downstream (tree binning, stats aggregation, evaluation)
+      // would run 2-wide regardless of cluster size. Rebalance the
+      // slim (label, features) rows before training — but right-size
+      // to the DATA, not the session parallelism: tree training over
+      // thousand-row partitions is pure per-task/GC overhead (measured
+      // 10× at local[32] over 60k rows), and the same holds for 1000
+      // executors over a small training set.
+      val parallelism = features.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt
+      val rowsPerPartition = 8192L
+      val nPart = math.max(1L,
+        math.min(parallelism.toLong, nRows / rowsPerPartition + 1)).toInt
+      val train = train0.repartition(nPart)
+      val test = test0.repartition(nPart)
       val dt = new DecisionTreeClassifier()
         .setLabelCol("label").setFeaturesCol("features")
         .setMaxDepth(maxDepth).setSeed(seed)

@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   * higher-cardinality salt only if a single label dominates badly
   * enough to exceed one executor's partition (rarely — the window only
   * carries a double per row).
+  *
+  * CAVEAT for consumers: the output's partitioning is the label hash —
+  * as many non-empty partitions as label VALUES. Feeding it directly
+  * into compute-heavy downstream work (model training, heavy UDFs)
+  * collapses that work's parallelism to the label cardinality;
+  * `repartition(...)` the slim result first (see
+  * OkCupidPipeline.trainAndEvaluate, where this cost minutes at 60k
+  * docs before the rebalance).
   */
 object StratifiedSplit {
 
