@@ -100,14 +100,15 @@ object Bench {
   private def benchOkCupidTree(spark: SparkSession): Double = {
     val profiles = syntheticProfiles(spark, 59946L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    profiles.count() // materialize the corpus outside the timed region
-    val t0 = System.nanoTime()
-    val (confusion, acc) = OkCupidPipeline.trainAndEvaluate(profiles)
-    confusion.collect()
-    val sec = (System.nanoTime() - t0) / 1e9
-    System.err.println(f"[bench] q_okcupid_tree accuracy=$acc%.4f")
-    profiles.unpersist()
-    sec
+    try {
+      profiles.count() // materialize the corpus outside the timed region
+      val t0 = System.nanoTime()
+      val (confusion, acc) = OkCupidPipeline.trainAndEvaluate(profiles)
+      confusion.collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] q_okcupid_tree accuracy=$acc%.4f")
+      sec
+    } finally profiles.unpersist()
   }
 
   def main(args: Array[String]): Unit = {

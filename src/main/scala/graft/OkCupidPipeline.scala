@@ -117,55 +117,68 @@ object OkCupidPipeline {
       .fit(essays).transform(essays)
       .select(col("label"), col("tokens"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val features = stages.last.asInstanceOf[TrimmedCountVectorizer]
-      .fit(tokens).transform(tokens)
-      .select(col("label"), col("features"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nRows = features.count()
-    tokens.unpersist()
+    // try/finally from the FIRST persist: a mid-pipeline failure must
+    // not leave 60k-row caches stranded in the block manager (the
+    // bench keeps the JVM alive across queries)
     try {
-      val (train0, test0) = StratifiedSplit.split(features, "label", 0.7, seed)
-      // The split's rank window shuffles by label — 2 distinct keys —
-      // so its output has only 2 non-empty partitions and everything
-      // downstream (tree binning, stats aggregation, evaluation)
-      // would run 2-wide regardless of cluster size. Rebalance the
-      // slim (label, features) rows before training — but right-size
-      // to the DATA, not the session parallelism: tree training over
-      // thousand-row partitions is pure per-task/GC overhead (measured
-      // 10× at local[32] over 60k rows), and the same holds for 1000
-      // executors over a small training set.
-      val parallelism = features.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt
-      val rowsPerPartition = 8192L
-      val nPart = math.max(1L,
-        math.min(parallelism.toLong, nRows / rowsPerPartition + 1)).toInt
-      val train = train0.repartition(nPart)
-      val test = test0.repartition(nPart)
-      val dt = new DecisionTreeClassifier()
-        .setLabelCol("label").setFeaturesCol("features")
-        .setMaxDepth(maxDepth).setSeed(seed)
-      val model = dt.fit(train)
-      val predictions = model.transform(test)
-        .select(col("prediction"), col("label"))
+      val features = stages.last.asInstanceOf[TrimmedCountVectorizer]
+        .fit(tokens).transform(tokens)
+        .select(col("label"), col("features"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val confusionRows = predictions
-        .groupBy(col("prediction"), col("label"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("prediction"), col("label"))
-        .collect()
-      val total = confusionRows.map(_.getAs[Long]("n")).sum
-      val correct = confusionRows
-        .filter(r => r.getDouble(0) == r.getDouble(1))
-        .map(_.getAs[Long]("n")).sum
-      predictions.unpersist()
-      val confusion = profiles.sparkSession
-        .createDataFrame(
-          profiles.sparkSession.sparkContext.parallelize(confusionRows.toSeq, 1),
-          StructType(Seq(
-            StructField("prediction", DoubleType, nullable = false),
-            StructField("label", DoubleType, nullable = false),
-            StructField("n", LongType, nullable = false))))
-      (confusion, correct.toDouble / total)
-    } finally features.unpersist()
+      try {
+        trainOnFeatures(features, profiles, maxDepth, seed)
+      } finally features.unpersist()
+    } finally tokens.unpersist()
+  }
+
+  /** Split + train + evaluate on a persisted (label, features) frame. */
+  private def trainOnFeatures(
+      features: DataFrame,
+      profiles: DataFrame,
+      maxDepth: Int,
+      seed: Long): (DataFrame, Double) = {
+    val nRows = features.count()
+    val (train0, test0) = StratifiedSplit.split(features, "label", 0.7, seed)
+    // The split's rank window shuffles by label — 2 distinct keys —
+    // so its output has only 2 non-empty partitions and everything
+    // downstream (tree binning, stats aggregation, evaluation)
+    // would run 2-wide regardless of cluster size. Rebalance the
+    // slim (label, features) rows before training — but right-size
+    // to the DATA, not the session parallelism: tree training over
+    // thousand-row partitions is pure per-task/GC overhead (measured
+    // 10× at local[32] over 60k rows), and the same holds for 1000
+    // executors over a small training set.
+    val parallelism = features.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val rowsPerPartition = 8192L
+    val nPart = math.max(1L,
+      math.min(parallelism.toLong, nRows / rowsPerPartition + 1)).toInt
+    val train = train0.repartition(nPart)
+    val test = test0.repartition(nPart)
+    val dt = new DecisionTreeClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxDepth(maxDepth).setSeed(seed)
+    val model = dt.fit(train)
+    val predictions = model.transform(test)
+      .select(col("prediction"), col("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val confusionRows = predictions
+      .groupBy(col("prediction"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prediction"), col("label"))
+      .collect()
+    val total = confusionRows.map(_.getAs[Long]("n")).sum
+    val correct = confusionRows
+      .filter(r => r.getDouble(0) == r.getDouble(1))
+      .map(_.getAs[Long]("n")).sum
+    predictions.unpersist()
+    val confusion = profiles.sparkSession
+      .createDataFrame(
+        profiles.sparkSession.sparkContext.parallelize(confusionRows.toSeq, 1),
+        StructType(Seq(
+          StructField("prediction", DoubleType, nullable = false),
+          StructField("label", DoubleType, nullable = false),
+          StructField("n", LongType, nullable = false))))
+    (confusion, correct.toDouble / total)
   }
 }

@@ -40,6 +40,14 @@ object Hyperplane {
     val n = vec.numElements()
     var i = 0
     while (i < n) {
+      if (vec.isNullAt(i)) {
+        // a null element nulls every dot product in the HOF
+        // formulation this replaces, and a null `when` predicate falls
+        // through to the 0 branch for every sign bit — so a corrupt
+        // vector lands in the recognizable all-zero bucket, not an
+        // arbitrary one
+        return new GenericArrayData(new Array[Long](tables))
+      }
       val v = if (elemIsFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
       var p = 0
       while (p < nPlanes) { dots(p) += v * weight(seed, p, i); p += 1 }

@@ -259,6 +259,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    // previous generation eligible for unpersist (plain persists only:
+    // unpersisting a localCheckpoint would destroy data its successors
+    // may still need to recompute evicted partitions from)
+    var prevPersisted: Option[DataFrame] = None
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -269,16 +273,27 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val checkpointed = iter % 4 == 3
       val stepped =
-        if (iter % 4 == 3) next.localCheckpoint(true)
+        if (checkpointed) next.localCheckpoint(true)
         else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = stepped
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
+      // `stepped` is fully materialized; its superseded plain-persist
+      // predecessor would otherwise stay cached until GC
+      prevPersisted.foreach(_.unpersist())
+      prevPersisted = if (checkpointed) None else Some(stepped)
       labels = stepped
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0) {
+      System.err.println(
+        s"[graft] connectedComponents did NOT converge in $maxIter rounds " +
+          s"($changed labels still changing) — returned labels are not " +
+          "component minima; raise maxIter for long duplicate chains")
+    }
     labels
   }
 

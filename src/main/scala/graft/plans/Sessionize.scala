@@ -92,16 +92,30 @@ case class SessionizeExec(
       var curUser: Any = null
       var haveUser = false
       var lastTs = Long.MinValue
+      var lastTsNull = true
       var sid = 0L
       iter.map { row =>
-        val u = userBound.eval(row)
-        val t = tsBound.eval(row).asInstanceOf[Long]
+        // copy buffer-backed keys: a UTF8String from eval points into
+        // the sort iterator's (reused) record buffer, so retaining it
+        // across rows without a clone compares corrupted bytes after
+        // a spill
+        val u = userBound.eval(row) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case other => other
+        }
+        val tRaw = tsBound.eval(row)
         if (!haveUser || u != curUser) {
-          haveUser = true; curUser = u; sid = 1L
-        } else if (t - lastTs > gap) {
+          haveUser = true; curUser = u; sid = 1L; lastTsNull = true
+        } else if (lastTsNull) {
+          // matches the lag-window twin: a null previous ts (NULLS
+          // FIRST under the ascending sort) always opens a session
+          sid += 1L
+        } else if (tRaw != null &&
+            tRaw.asInstanceOf[Long] - lastTs > gap) {
           sid += 1L
         }
-        lastTs = t
+        if (tRaw == null) lastTsNull = true
+        else { lastTsNull = false; lastTs = tRaw.asInstanceOf[Long] }
         sessRow.setLong(0, sid)
         proj(joined(row, sessRow))
       }

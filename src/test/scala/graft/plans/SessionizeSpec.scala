@@ -33,6 +33,35 @@ class SessionizeSpec extends SparkSuite {
     assert(got.map(_._3).toSeq == Seq(1L, 1L, 2L, 1L, 2L))
   }
 
+  test("null timestamps open sessions exactly like the lag-window twin") {
+    val base = 1700000000000000L
+    val rows: Seq[(Long, Option[Long])] = Seq(
+      (1L, None), (1L, None), (1L, Some(base)),
+      (1L, Some(base + 10L)),
+      (2L, Some(base)), (2L, None))
+    val df = rows.toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val op = Sessionize(df, "user_id", "ts", gap)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"session_id").as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts") // asc = NULLS FIRST, like the operator
+    val lagged = df
+      .withColumn("pt", lag($"ts", 1).over(w))
+      .withColumn("ns",
+        when($"pt".isNull ||
+          (unix_micros($"ts") - unix_micros($"pt")) > gap * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"ns").as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(op.toSeq == lagged.toSeq)
+    // user 1: null, null, real, real(+10µs) → sessions open at row 1,
+    // row 2 (prev ts null), row 3 (prev ts null); row 4 continues → 3
+    assert(op.find(_._1 == 1L).get._3 == 3L)
+  }
+
   test("plan: SessionizeExec present; one shuffle feeds sessionize AND groupBy") {
     val df = (0L until 1000L).map(i => (i % 7, 1700000000000000L + i * 1000000L))
       .toDF("user_id", "us")
