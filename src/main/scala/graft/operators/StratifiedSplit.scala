@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,20 +9,37 @@ import org.apache.spark.sql.functions._
   * `createDataPartition(p=0.7)`, `Week5_datingNLP.R:137-142`, which
   * yields 41,963/17,983 on the real corpus).
   *
-  * Spark's `randomSplit`/`sampleBy` are approximate (SURVEY M1); this
-  * ranks rows inside each label partition by `rand(seed)` and takes the
-  * exact prefix. One shuffle on the label column; at scale prefer a
-  * higher-cardinality salt only if a single label dominates badly
-  * enough to exceed one executor's partition (rarely — the window only
-  * carries a double per row).
+  * Spark's `randomSplit`/`sampleBy` are approximate (SURVEY M1). A
+  * single rank window partitioned by the label would be exact but
+  * funnels the whole corpus through |labels| tasks (binary label ⇒
+  * the entire dataset sorted on 2 executors). Instead this runs a
+  * two-phase exact split that keeps input-partition parallelism:
   *
-  * CAVEAT for consumers: the output's partitioning is the label hash —
-  * as many non-empty partitions as label VALUES. Feeding it directly
-  * into compute-heavy downstream work (model training, heavy UDFs)
-  * collapses that work's parallelism to the label cardinality;
-  * `repartition(...)` the slim result first (see
-  * OkCupidPipeline.trainAndEvaluate, where this cost minutes at 60k
-  * docs before the rebalance).
+  *   1. Stamp each row with its input partition id and `rand(seed)`.
+  *   2. Aggregate tiny per-(partition, label) counts (≤ P·L rows).
+  *   3. Over those counts, compute integer-exact per-partition train
+  *      quotas by largest-remainder apportionment: for label quota
+  *      q = ceil(p·n), partition i gets base⌊q·cᵢ/n⌋ plus one of the
+  *      (q − Σbase) remainder seats, awarded by largest `(q·cᵢ) mod n`
+  *      (pid as deterministic tie-break). Σquotaᵢ = q exactly and
+  *      quotaᵢ ≤ cᵢ always, all in integer arithmetic.
+  *   4. Broadcast-join quotas back and mark the first quotaᵢ rows of
+  *      each (partition, label) group in `rand(seed)` order as train.
+  *
+  * The rank window in phase 4 partitions by (pid, label) — P·L keys —
+  * so the sort parallelism scales with the input partition count, not
+  * the label cardinality; no single task ever sees more than one input
+  * partition's worth of rows. Every partition contributes ≈ p of its
+  * rows, so the sample is stratified by partition as well (lower
+  * variance than a global draw).
+  *
+  * Determinism/exactness contract: the counts branch and the main
+  * branch scan the input independently, so partition MEMBERSHIP must
+  * be stable across recomputes — true for file scans and hash/range
+  * shuffles; avoid calling directly on a round-robin
+  * `repartition(n)` output (persist it first). Intra-partition row
+  * order only permutes which rows draw which `rand` value; the split
+  * sizes stay exact regardless.
   */
 object StratifiedSplit {
 
@@ -35,12 +52,46 @@ object StratifiedSplit {
       p: Double,
       seed: Long,
       isTrainCol: String = "is_train"): DataFrame = {
+    val pid = "__split_pid"
+    val r = "__split_r"
+    val stamped = df
+      .withColumn(pid, spark_partition_id())
+      .withColumn(r, rand(seed))
+
+    // Phase 2: tiny counts — P·L rows, column-pruned to (pid, label).
+    val counts = stamped.groupBy(col(pid), col(labelCol)).agg(count(lit(1)).as("__c"))
+
+    // Phase 3: largest-remainder apportionment, exact in Long math.
+    // n, q are per-label; base/rem_rank are per-(label, partition).
     val byLabel = Window.partitionBy(col(labelCol))
-    val rn = row_number().over(byLabel.orderBy(rand(seed)))
-    df.withColumn("__n", count(lit(1)).over(byLabel))
+    val remOrder = Window
+      .partitionBy(col(labelCol))
+      .orderBy(col("__mod").desc, col(pid))
+    val quotas = counts
+      .withColumn("__n", sum(col("__c")).over(byLabel))
+      // q = ceil(p·n) via Spark's ceil on the double product — matches
+      // the window implementation's ceil(lit(p) * n) semantics.
+      .withColumn("__q", ceil(lit(p) * col("__n")).cast("long"))
+      // Integer DIV keeps this exact past 2^53 (q·c ≤ n · maxPartitionRows,
+      // far under Long range for any sane partition sizing).
+      .withColumn("__base", expr(s"(__q * __c) DIV __n"))
+      .withColumn("__mod", (col("__q") * col("__c")) % col("__n"))
+      .withColumn("__rem", col("__q") - sum(col("__base")).over(byLabel))
+      .withColumn("__seat", row_number().over(remOrder))
+      .withColumn("__quota", col("__base") + when(col("__seat") <= col("__rem"), 1L).otherwise(0L))
+      .select(col(pid).as("__q_pid"), col(labelCol).as("__q_label"), col("__quota"))
+
+    // Phase 4: local prefix take per (pid, label) in rand order.
+    val rn = row_number().over(
+      Window.partitionBy(col(pid), col(labelCol)).orderBy(col(r)))
+    stamped
+      .join(
+        broadcast(quotas),
+        col(pid) === col("__q_pid") && col(labelCol) <=> col("__q_label"),
+        "left")
       .withColumn("__rn", rn)
-      .withColumn(isTrainCol, col("__rn") <= ceil(lit(p) * col("__n")))
-      .drop("__n", "__rn")
+      .withColumn(isTrainCol, col("__rn") <= coalesce(col("__quota"), lit(0L)))
+      .drop(pid, r, "__q_pid", "__q_label", "__quota", "__rn")
   }
 
   /** (train, test) pair. */

@@ -88,6 +88,28 @@ class OperatorsSpec extends SparkSuite {
     assert(b == 18, s"b train = $b")
   }
 
+  test("StratifiedSplit: parallelism scales past the label cardinality") {
+    // 10k rows, binary label. The old label-window split left exactly
+    // 2 non-empty output partitions (one per label value); the
+    // two-phase split must keep >2 while staying count-exact.
+    val df = (1 to 10000).map(i => (i.toLong, (i % 2).toString))
+      .toDF("id", "label").repartition(8, $"id")
+    val flagged = StratifiedSplit.withSplitFlag(df, "label", 0.7, 11L)
+    val nonEmpty = flagged
+      .groupBy(spark_partition_id().as("pid")).count()
+      .count()
+    assert(nonEmpty > 2, s"only $nonEmpty non-empty partitions")
+    // Exact ceil(0.7·n) per class: 5000 each → 3500 train.
+    val perClass = flagged.filter($"is_train")
+      .groupBy($"label").count().as[(String, Long)].collect().toMap
+    assert(perClass == Map("0" -> 3500L, "1" -> 3500L), perClass.toString)
+    // Deterministic for fixed seed/data/partitioning.
+    val again = StratifiedSplit.withSplitFlag(df, "label", 0.7, 11L)
+    assert(
+      flagged.filter($"is_train").select($"id")
+        .except(again.filter($"is_train").select($"id")).count() == 0)
+  }
+
   test("StratifiedSplit: train/test are a disjoint cover") {
     val df = (1 to 50).map(i => (i.toLong, (i % 2).toString))
       .toDF("id", "label")
