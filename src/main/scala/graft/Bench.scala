@@ -112,6 +112,11 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Optional args: query names to run (subset of `headline` plus
+    // "q_okcupid_tree") — iteration aid; the driver passes none.
+    val wanted: Option[Set[String]] =
+      if (args.isEmpty) None else Some(args.toSet)
+    def selected(name: String): Boolean = wanted.forall(_.contains(name))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -159,8 +164,9 @@ object Bench {
       }
 
     val results: Seq[(String, Option[Double])] =
-      headline.map(n => n -> bestOf2(n)) :+
-        ("q_okcupid_tree" -> (
+      headline.filter(selected).map(n => n -> bestOf2(n)) ++
+        (if (!selected("q_okcupid_tree")) Nil
+         else Seq("q_okcupid_tree" -> (
           try {
             calmCheck(maxWaitSec = 60) // the tree is minutes of wall —
             // re-gate so tail-of-run host contention can't own it
@@ -172,7 +178,7 @@ object Bench {
               System.err.println(s"[bench] q_okcupid_tree FAILED: ${e.getMessage}")
               failures ::= "q_okcupid_tree"
               None
-          }))
+          })))
 
     val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

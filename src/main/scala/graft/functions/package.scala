@@ -31,4 +31,21 @@ package object functions {
   /** Fused F8+F9 (Porter2 stem + single-char prune) as one codegen pass. */
   def stem_prune(c: Column): Column =
     Bridge.column(StemPruneExpression(Bridge.expression(c)))
+
+  /** Vocabulary bag-of-words counts (`array<string> → ml vector`) as a
+    * single codegen pass — backs TrimmedCountVectorizerModel.transform.
+    */
+  def count_vectorize(c: Column, vocabulary: Array[String]): Column =
+    Bridge.column(CountVectorizeExpression(
+      Bridge.expression(c), new CountVectorizeKernel(vocabulary)))
+
+  /** Bounded per-group top-k by (score desc, id asc) —
+    * `array<struct<score,id>>`, best first. Map-side partial buffers
+    * are capped at k, so the aggregation exchange carries ≤ groups×k
+    * rows per partition (vs a rank window's every-candidate shuffle).
+    */
+  def top_k_by(score: Column, id: Column, k: Int): Column =
+    Bridge.column(TopKByScore(
+      Bridge.expression(score), Bridge.expression(id), k)
+      .toAggregateExpression())
 }

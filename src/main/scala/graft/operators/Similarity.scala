@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-query top-k of pre-scored (query_id, neighbor_id, cosine)
+    * rows via the bounded [[graft.functions.top_k_by]] aggregate:
+    * map-side partial top-k caps the exchange at queries×k rows per
+    * partition (a rank window would shuffle every scored row), then
+    * posexplode restores (rank, neighbor, cosine) rows in the same
+    * (cosine desc, neighbor_id asc) total order a row_number window
+    * would produce.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k_by(col("cosine"), col("neighbor_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).as("rank"))
+
   /** Exact top-k cosine neighbors for each query row.
     * Output: (query_id, neighbor_id, cosine) with rank ≤ k, ties on
     * the 6-decimal rounded cosine broken by neighbor id (deterministic
@@ -39,10 +58,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine"), asc("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Bucket ids for all hash tables at once: `bits` sign bits of
@@ -70,13 +86,10 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("qv"), col("neighbor_id"), col("cv"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine"), asc("neighbor_id"))
-    cands
-      .select(col("query_id"), col("neighbor_id"),
-        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(
+      cands.select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine")),
+      k)
   }
 
   /** IVF-style approximate top-k: fit a k-means codebook (nlist
@@ -118,14 +131,12 @@ object Similarity {
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine"), asc("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine")),
+      k)
   }
 
   /** Exact most-similar pairs in a corpus (cross-join; quadratic —

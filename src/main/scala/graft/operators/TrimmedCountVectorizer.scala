@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.graftbridge.MLBridge
-import org.apache.spark.ml.linalg.{SparseVector, SQLDataTypes, Vectors}
+import org.apache.spark.ml.linalg.SQLDataTypes
 import org.apache.spark.ml.param.{IntParam, Param, ParamMap, ParamValidators}
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
 import org.apache.spark.sql.{DataFrame, Dataset}
@@ -97,29 +96,12 @@ class TrimmedCountVectorizerModel(
   def setInputCol(v: String): this.type = set(inputCol, v)
   def setOutputCol(v: String): this.type = set(outputCol, v)
 
-  override def transform(ds: Dataset[_]): DataFrame = {
-    val spark = ds.sparkSession
-    val bcVocab: Broadcast[Map[String, Int]] =
-      spark.sparkContext.broadcast(vocabulary.zipWithIndex.toMap)
-    val size = vocabulary.length
-    val toVec = udf { tokens: Seq[String] =>
-      val index = bcVocab.value
-      val counts = new java.util.TreeMap[Int, Double]()
-      if (tokens != null) tokens.foreach { t =>
-        val i = index.getOrElse(t, -1)
-        if (i >= 0) counts.merge(i, 1.0, (a, b) => a + b)
-      }
-      val idx = new Array[Int](counts.size)
-      val vals = new Array[Double](counts.size)
-      var j = 0
-      val it = counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next(); idx(j) = e.getKey; vals(j) = e.getValue; j += 1
-      }
-      Vectors.sparse(size, idx, vals)
-    }
-    ds.withColumn($(outputCol), toVec(col($(inputCol))))
-  }
+  override def transform(ds: Dataset[_]): DataFrame =
+    // Native codegen kernel — UTF8String-keyed probes, thread-local
+    // dense scatter, sort-once; the old per-row TreeMap UDF was the
+    // flagship pipeline's largest remaining interpreted cost.
+    ds.withColumn($(outputCol),
+      graft.functions.count_vectorize(col($(inputCol)), vocabulary))
 
   override def transformSchema(schema: StructType): StructType =
     schema.add($(outputCol), SQLDataTypes.VectorType, nullable = false)

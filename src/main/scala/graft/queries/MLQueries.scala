@@ -91,12 +91,14 @@ object MLQueries {
         // fit on counts (df = nonzero slots), apply to TF vectors
         val idfModel = idf.fit(tf)
         idfModel.setInputCol("tf").setOutputCol("tfidf")
-        val normUdf = udf { v: org.apache.spark.ml.linalg.Vector =>
-          math.sqrt(v.toArray.map(x => x * x).sum)
-        }
+        // L2 norm via the MLlib array bridge + Catalyst aggregate —
+        // keeps the norm math codegen'd instead of a Scala UDF.
         idfModel.transform(tf)
           .select(col("doc_id"),
-            round(normUdf(col("tfidf")), 6).as("tfidf_l2"))
+            round(
+              VectorFunctions.norm2(
+                org.apache.spark.ml.functions.vector_to_array(col("tfidf"))),
+              6).as("tfidf_l2"))
           .orderBy(col("doc_id"))
       },
       None),
