@@ -3,9 +3,9 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -89,6 +89,12 @@ final class TopKHeap(val k: Int) extends Serializable {
   * buffers are capped at k entries, so map-side combine bounds the
   * exchange to groups × k rows per map partition, independent of the
   * corpus size.
+  *
+  * Semantics vs the window formulation: rows where score or id is
+  * null are SKIPPED (a `desc` window would rank null scores last and
+  * could pad the tail with them); inputs must already be double/long
+  * (no implicit coercion — `AbstractDataType` is private[sql], so the
+  * [[graft.functions.top_k_by]] wrapper casts explicitly instead).
   */
 case class TopKByScore(
     left: Expression,
@@ -97,7 +103,6 @@ case class TopKByScore(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKHeap]
-    with ImplicitCastInputTypes
     with BinaryLike[Expression] {
 
   require(k >= 1, s"top_k_by requires k >= 1, got $k")
@@ -105,7 +110,12 @@ case class TopKByScore(
   def score: Expression = left
   def id: Expression = right
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by requires (double, bigint) inputs, got " +
+        s"(${score.dataType.sql}, ${id.dataType.sql}); cast explicitly")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(

@@ -43,9 +43,14 @@ package object functions {
     * `array<struct<score,id>>`, best first. Map-side partial buffers
     * are capped at k, so the aggregation exchange carries ≤ groups×k
     * rows per partition (vs a rank window's every-candidate shuffle).
+    * Inputs are cast to (double, bigint) here — callers whose id type
+    * is narrower should cast the exploded result back if schema
+    * stability matters. Null score/id rows are skipped, not ranked
+    * last (see [[TopKByScore]]).
     */
   def top_k_by(score: Column, id: Column, k: Int): Column =
     Bridge.column(TopKByScore(
-      Bridge.expression(score), Bridge.expression(id), k)
+      Bridge.expression(score.cast("double")),
+      Bridge.expression(id.cast("bigint")), k)
       .toAggregateExpression())
 }

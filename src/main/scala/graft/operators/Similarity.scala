@@ -33,16 +33,21 @@ object Similarity {
     * (cosine desc, neighbor_id asc) total order a row_number window
     * would produce.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    // top_k_by coerces ids to bigint; cast back so the output schema
+    // matches the caller's id type. Null cosines are skipped by the
+    // aggregate (never in the top-k anyway — see TopKByScore scaladoc).
+    val idType = scored.schema("neighbor_id").dataType
     scored
       .groupBy(col("query_id"))
       .agg(graft.functions.top_k_by(col("cosine"), col("neighbor_id"), k)
         .as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"),
-        col("col.id").as("neighbor_id"),
+        col("col.id").cast(idType).as("neighbor_id"),
         col("col.score").as("cosine"),
         (col("pos") + 1).as("rank"))
+  }
 
   /** Exact top-k cosine neighbors for each query row.
     * Output: (query_id, neighbor_id, cosine) with rank ≤ k, ties on

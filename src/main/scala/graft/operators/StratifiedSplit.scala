@@ -34,12 +34,13 @@ import org.apache.spark.sql.functions._
   * variance than a global draw).
   *
   * Determinism/exactness contract: the counts branch and the main
-  * branch scan the input independently, so partition MEMBERSHIP must
-  * be stable across recomputes — true for file scans and hash/range
-  * shuffles; avoid calling directly on a round-robin
-  * `repartition(n)` output (persist it first). Intra-partition row
-  * order only permutes which rows draw which `rand` value; the split
-  * sizes stay exact regardless.
+  * branch must see the SAME partition membership. Independent scans
+  * don't guarantee that — AQE can coalesce the two subtrees of a
+  * shared upstream shuffle differently, and round-robin repartition
+  * is order-sensitive — so the stamped input is persisted here and
+  * both branches read the cached blocks. Intra-partition row order
+  * only permutes which rows draw which `rand` value; the split sizes
+  * stay exact regardless.
   */
 object StratifiedSplit {
 
@@ -54,9 +55,15 @@ object StratifiedSplit {
       isTrainCol: String = "is_train"): DataFrame = {
     val pid = "__split_pid"
     val r = "__split_r"
+    // Persisted: the counts branch and the main branch below must
+    // agree on (pid, rand) per row — recomputation under AQE may
+    // re-coalesce partitions between the two scans (see scaladoc).
+    // ContextCleaner unpersists the blocks once the plan is
+    // unreferenced; callers on hot paths already persist slim inputs.
     val stamped = df
       .withColumn(pid, spark_partition_id())
       .withColumn(r, rand(seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Phase 2: tiny counts — P·L rows, column-pruned to (pid, label).
     val counts = stamped.groupBy(col(pid), col(labelCol)).agg(count(lit(1)).as("__c"))
@@ -72,10 +79,13 @@ object StratifiedSplit {
       // q = ceil(p·n) via Spark's ceil on the double product — matches
       // the window implementation's ceil(lit(p) * n) semantics.
       .withColumn("__q", ceil(lit(p) * col("__n")).cast("long"))
-      // Integer DIV keeps this exact past 2^53 (q·c ≤ n · maxPartitionRows,
-      // far under Long range for any sane partition sizing).
-      .withColumn("__base", expr(s"(__q * __c) DIV __n"))
-      .withColumn("__mod", (col("__q") * col("__c")) % col("__n"))
+      // q·c through DECIMAL(38,0): a Long product would overflow near
+      // n ≈ 1e12 × partition ≈ 1e7 (q·c ≈ 7e18 ≈ Long.Max). Integral
+      // DIV / % of the decimal product are exact, and both results
+      // (base ≤ q, mod < n) fit comfortably back in Long.
+      .withColumn("__qc", col("__q").cast("decimal(38,0)") * col("__c"))
+      .withColumn("__base", expr("CAST(__qc DIV __n AS LONG)"))
+      .withColumn("__mod", expr("CAST(__qc % __n AS LONG)"))
       .withColumn("__rem", col("__q") - sum(col("__base")).over(byLabel))
       .withColumn("__seat", row_number().over(remOrder))
       .withColumn("__quota", col("__base") + when(col("__seat") <= col("__rem"), 1L).otherwise(0L))
