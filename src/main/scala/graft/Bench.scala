@@ -12,11 +12,17 @@ import org.apache.spark.sql.functions._
   * query "counts" without ever running the regex).
   *
   * Trust measures (the build box suffers documented 10-30× host CPU
-  * contention):
-  *  - a single-thread calm-check gates the timed region: a fixed spin
-  *    is re-measured until it stops improving AND the box looks quiet,
-  *    and the final calibration number is recorded in the JSON;
-  *  - every headline query is timed best-of-2;
+  * contention, and it can arrive MID-RUN — a start-of-run gate alone
+  * cannot be audited after the fact):
+  *  - a single-thread calm-check gates the timed region and anchors
+  *    `quietMs`, the box's quiet spin time;
+  *  - EVERY query re-gates against `quietMs` (bounded wait) and
+  *    records its own pre-run calibration spin + /proc/loadavg into
+  *    the JSON (`"calib"` / `"load"` maps keyed like `"queries"`), so
+  *    a contended timing is identifiable per-query after the fact;
+  *  - the heavy block (q_dedup_groups onward — the long-running dedup
+  *    /packing/embedding queries) re-gates with a longer budget and is
+  *    timed best-of-3; the rest stay best-of-2;
   *  - a query that throws is reported in a "failures" list and the
   *    process exits nonzero — a crash must never *improve* the total.
   */
@@ -35,6 +41,13 @@ object Bench {
     "q_sessionize_op", "q_dedup_groups", "q_dedup_spans",
     "q_pack_sequences", "q_dedup_embedding")
 
+  /** The long-running back half: minutes of wall under contention, so
+    * these get the stricter calm re-gate and an extra repetition.
+    */
+  private val heavy: Set[String] = Set(
+    "q_dedup_groups", "q_dedup_spans", "q_pack_sequences",
+    "q_dedup_embedding")
+
   /** Fixed single-thread spin (~0.2 s on a calm modern core); the
     * wall-time in ms is the contention gauge.
     */
@@ -46,6 +59,13 @@ object Bench {
     if (x == 42L) print("") // keep the loop observable
     (System.nanoTime() - t0) / 1e6
   }
+
+  /** First field of /proc/loadavg (1-min load), or -1 off-Linux. */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
 
   /** Re-measure the spin until two consecutive runs sit within 25% of
     * the best seen (the box stopped improving ⇒ likely quiet), up to
@@ -132,8 +152,30 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val calibMs = calmCheck(maxWaitSec = 120)
+    // Quiet anchor for per-query re-gates: the best spin seen at gate
+    // time. If later spins exceed it by 40%+ the box got noisy again.
+    var quietMs = calibMs
 
     var failures = List.empty[String]
+    var perCalib = Vector.empty[(String, Double)]
+    var perLoad = Vector.empty[(String, Double)]
+
+    /** Per-query calm re-gate: spin once; while contended (>1.4× the
+      * quiet anchor) sleep-and-respin up to `maxWaitSec`. Returns the
+      * last spin — recorded in the JSON so a timing taken under
+      * contention is self-incriminating rather than silent.
+      */
+    def gate(maxWaitSec: Int): Double = {
+      var c = calibrate()
+      quietMs = math.min(quietMs, c)
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      while (c > quietMs * 1.4 && System.nanoTime() < deadline) {
+        Thread.sleep(5000)
+        c = calibrate()
+        quietMs = math.min(quietMs, c)
+      }
+      c
+    }
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -150,11 +192,18 @@ object Bench {
       System.gc()
     }
 
-    def bestOf2(name: String): Option[Double] =
+    def bestOf(name: String, reps: Int, gateSec: Int): Option[Double] =
       try {
-        val a = runOnce(name); clearCaches()
-        val b = runOnce(name); clearCaches()
-        Some(math.min(a, b))
+        perLoad :+= (name -> loadAvg())
+        perCalib :+= (name -> gate(gateSec))
+        var best = Double.MaxValue
+        var i = 0
+        while (i < reps) {
+          val t = runOnce(name); clearCaches()
+          best = math.min(best, t)
+          i += 1
+        }
+        Some(best)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -164,15 +213,28 @@ object Bench {
       }
 
     val results: Seq[(String, Option[Double])] =
-      headline.filter(selected).map(n => n -> bestOf2(n)) ++
+      headline.filter(selected).map { n =>
+        val reps = if (heavy(n)) 3 else 2
+        val gateSec = if (heavy(n)) 120 else 30
+        n -> bestOf(n, reps, gateSec)
+      } ++
         (if (!selected("q_okcupid_tree")) Nil
          else Seq("q_okcupid_tree" -> (
           try {
-            calmCheck(maxWaitSec = 60) // the tree is minutes of wall —
-            // re-gate so tail-of-run host contention can't own it
+            // The tree is minutes of wall — re-gate hard, and only pay
+            // a third repetition when the first two disagree (>25%),
+            // i.e. when one of them was probably contended.
+            perLoad :+= ("q_okcupid_tree" -> loadAvg())
+            perCalib :+= ("q_okcupid_tree" -> gate(120))
             val a = benchOkCupidTree(spark); clearCaches()
             val b = benchOkCupidTree(spark); clearCaches()
-            Some(math.min(a, b))
+            val two = math.min(a, b)
+            val best =
+              if (math.max(a, b) > two * 1.25) {
+                val c = benchOkCupidTree(spark); clearCaches()
+                math.min(two, c)
+              } else two
+            Some(best)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] q_okcupid_tree FAILED: ${e.getMessage}")
@@ -180,13 +242,15 @@ object Bench {
               None
           })))
 
-    val qs = results.collect { case (k, Some(v)) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.collect { case (k, Some(v)) => k -> v })
     val total = results.flatMap(_._2).sum
     val failJson = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failures":$failJson,"calib_ms":$calibMs,"sf":"$sfDir"}""")
+        s""""calib":${jmap(perCalib)},"load":${jmap(perLoad)},""" +
+        s""""failures":$failJson,"calib_ms":$calibMs,"quiet_ms":$quietMs,"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -110,12 +110,31 @@ case class TopKByScore(
   def score: Expression = left
   def id: Expression = right
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (score.dataType == DoubleType && id.dataType == LongType)
+  /** The wrapper casts id→bigint and score→double for the buffer; a
+    * silent cast from a string/decimal/fractional id would null or
+    * truncate rows invisibly, so this check looks THROUGH a top-level
+    * cast at the source type and rejects non-integral ids and
+    * non-numeric scores at analysis time.
+    */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def source(e: Expression): DataType = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => c.child.dataType
+      case other => other.dataType
+    }
+    if (!TopKByScore.isIntegral(source(id)))
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by id must be integral (byte/short/int/long), got " +
+          s"${source(id).sql}: a non-integral id would cast to null or " +
+          "truncate silently")
+    else if (!source(score).isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by score must be numeric, got ${source(score).sql}")
+    else if (score.dataType == DoubleType && id.dataType == LongType)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"top_k_by requires (double, bigint) inputs, got " +
         s"(${score.dataType.sql}, ${id.dataType.sql}); cast explicitly")
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -169,4 +188,12 @@ case class TopKByScore(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TopKByScore =
     copy(left = newLeft, right = newRight)
+}
+
+object TopKByScore {
+  /** `IntegralType` is private[sql]; enumerate the concrete types. */
+  def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
 }

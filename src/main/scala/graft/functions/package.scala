@@ -43,12 +43,20 @@ package object functions {
     * `array<struct<score,id>>`, best first. Map-side partial buffers
     * are capped at k, so the aggregation exchange carries ≤ groups×k
     * rows per partition (vs a rank window's every-candidate shuffle).
-    * Inputs are cast to (double, bigint) here — callers whose id type
-    * is narrower should cast the exploded result back if schema
-    * stability matters. Null score/id rows are skipped, not ranked
-    * last (see [[TopKByScore]]).
+    * The id must be an INTEGRAL column (byte/short/int/long) and the
+    * score numeric — enforced eagerly here, because a silent
+    * `cast("bigint")` of a string/uuid id would null every row and
+    * return empty top-k sets with no error, and a fractional id would
+    * round-trip lossily. Callers whose id type is narrower than long
+    * should cast the exploded result back if schema stability matters.
+    * Null score/id rows are skipped, not ranked last
+    * (see [[TopKByScore]]).
     */
   def top_k_by(score: Column, id: Column, k: Int): Column =
+    // Type safety lives in TopKByScore.checkInputDataTypes, which runs
+    // at analysis (when types are known — a Column here may still be
+    // unresolved) and looks THROUGH these casts at the source types,
+    // rejecting non-integral ids and non-numeric scores loudly.
     Bridge.column(TopKByScore(
       Bridge.expression(score.cast("double")),
       Bridge.expression(id.cast("bigint")), k)

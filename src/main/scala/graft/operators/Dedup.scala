@@ -174,8 +174,12 @@ object Dedup {
       shingleK: Int, bands: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
     // The shingle set feeds four consumers (signatures, both sides of
-    // the verification join, sizes); persist it so the window+distinct
-    // runs once. Spark's ContextCleaner unpersists when unreferenced.
+    // the verification join, sizes); persist it so the shingling runs
+    // once. The cache entry lives in CacheManager until the caller
+    // unpersists or clears the catalog cache (NOT freed automatically
+    // when the plan becomes unreferenced); callers running many dedup
+    // jobs per session should `spark.catalog.clearCache()` between
+    // them, as Bench does.
     val sh = shingleSets(df, idCol, tokensCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // No broadcast hint on the candidate set: it is output-sized
@@ -319,19 +323,35 @@ object Dedup {
     * by 16-bit band blocking (any pair within Hamming ≤ 3 of a 64-bit
     * hash agrees on at least one of 4 bands; wider distances may need
     * more bands — documented approximation).
+    *
+    * Like `minhashCandidatePairs`, band buckets larger than
+    * `maxBucketSize` are dropped before the self-join: a
+    * boilerplate-heavy corpus puts thousands of near-identical docs in
+    * one 16-bit band bucket, turning the join into g² rows on a single
+    * key — the classic dedup skew-killer. Genuinely-near pairs inside a
+    * dropped bucket still collide in their other, unsaturated bands
+    * (exact duplicates sharing ALL four hot bands should be removed by
+    * exact dedup first — that is the documented pipeline order).
     */
   def simhashPairs(
       df: DataFrame, idCol: String, tokensCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBucketSize: Int = 1000): DataFrame = {
     val hashed = df.select(col(idCol).as("id"),
       simhash64(col(tokensCol)).as("simhash"))
+    // Three consumers (hot-bucket agg + both self-join sides) — persist
+    // so the per-row simhash UDF runs once.
     val banded = hashed.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map { b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    banded.as("a")
-      .join(banded.as("b"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = banded.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val cool = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    cool.as("a")
+      .join(cool.as("b"),
         col("a.band") === col("b.band") &&
           col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

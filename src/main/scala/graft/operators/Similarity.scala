@@ -202,8 +202,11 @@ object Similarity {
     val probeW = Window.partitionBy(col("id"))
       .orderBy(desc("csim"), asc("cell"))
     // Both sides of the within-cell self-join read `probed` — persist
-    // so the scan + probe ranking runs once (ContextCleaner unpersists
-    // when the plan is unreferenced).
+    // so the scan + probe ranking runs once. The cache entry lives in
+    // CacheManager until the caller unpersists or clears the catalog
+    // cache (it is NOT freed automatically when the plan becomes
+    // unreferenced); callers running many of these per session should
+    // `spark.catalog.clearCache()` between them, as Bench does.
     val probed = base.crossJoin(broadcast(centDf))
       .withColumn("csim", VectorFunctions.cosine(col("v"), col("centroid")))
       .withColumn("prank", row_number().over(probeW))

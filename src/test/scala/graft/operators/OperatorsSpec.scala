@@ -173,4 +173,17 @@ class OperatorsSpec extends SparkSuite {
     assert(top(0).getAs[Long]("neighbor_id") == 1L)
     assert(top(0).getAs[Double]("cosine") > 0.99)
   }
+
+  test("top_k_by rejects non-integral ids at analysis, not silently") {
+    val df = Seq((1.0, "u-1"), (2.0, "u-2")).toDF("score", "uid")
+    val err = intercept[Exception] {
+      df.agg(graft.functions.top_k_by($"score", $"uid", 2)).collect()
+    }
+    assert(err.getMessage.contains("must be integral"), err.getMessage)
+    // fractional ids would truncate — also rejected
+    val err2 = intercept[Exception] {
+      df.agg(graft.functions.top_k_by($"score", $"score", 2)).collect()
+    }
+    assert(err2.getMessage.contains("must be integral"), err2.getMessage)
+  }
 }
