@@ -144,6 +144,79 @@ object Similarity {
       k)
   }
 
+  /** IVF top-k with a DETERMINISTIC corpus-sampled codebook: the
+    * centroids are the `nlist` corpus rows with the smallest ids (no
+    * k-means fit, no seed). Same plumbing as [[ivfTopK]] — cell
+    * assignment, multi-cell probing, candidate join, exact re-rank —
+    * but every step is a pure function of the data, so the whole
+    * search (and its recall against [[bruteForceTopK]]) is
+    * SQL-expressible and oracle-checkable; `q_ann_recall` pins it.
+    *
+    * Plan shape is the scale shape: the codebook is broadcast (nlist
+    * rows), corpus assignment is one map-side cross-join + partial
+    * `max_by` aggregate (shuffle carries ONE row per corpus vector,
+    * not nlist), probes broadcast, and the candidate join shuffles the
+    * corpus only on its cell id. Cosines are rounded to 6 decimals
+    * BEFORE every argmax/rank so tie-breaks (asc cell / asc neighbor)
+    * are reproducible across engines.
+    */
+  def ivfTopKSampledCodebook(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centDf = broadcast(
+      corpus.select(col(idCol).cast("long").as("cell"),
+          col(vecCol).as("centroid"))
+        .orderBy(col("cell")).limit(nlist))
+    // Corpus assignment: nearest centroid by cosine, ties to the
+    // smaller cell id. max_by on (csim, -cell) keeps the aggregate
+    // partial-merge friendly — no window, no corpus×nlist shuffle.
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val assigned = c.crossJoin(centDf)
+      .withColumn("csim",
+        round(VectorFunctions.cosine(col("cv"), col("centroid")), 6))
+      .groupBy(col("neighbor_id"))
+      .agg(max_by(struct(col("cell"), col("cv")),
+        struct(col("csim"), negate(col("cell")))).as("best"))
+      .select(col("neighbor_id"), col("best.cell").as("cell"),
+        col("best.cv").as("cv"))
+    // nprobe nearest cells per query via the bounded top-k aggregate
+    // (same (csim desc, cell asc) order a rank window would give).
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = q.crossJoin(centDf)
+      .withColumn("csim",
+        round(VectorFunctions.cosine(col("qv"), col("centroid")), 6))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k_by(col("csim"), col("cell"), nprobe)
+          .as("top"),
+        first(col("qv")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(col("top")).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.id").as("cell"))
+    topKPerQuery(
+      assigned.join(broadcast(probes), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(VectorFunctions.cosine(col("qv"), col("cv")), 6)
+            .as("cosine")),
+      k)
+  }
+
+  /** Per-query recall@k of an approximate top-k result against the
+    * exact one: |approx ∩ exact| / |exact| per query id. Both inputs
+    * are (query_id, neighbor_id, ...) frames as produced by the topK
+    * methods here.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0L))).cast("double")
+        / count(lit(1)).cast("double")).as("recall"))
+      .orderBy(col("query_id"))
+
   /** Exact most-similar pairs in a corpus (cross-join; quadratic —
     * small corpora or within-bucket use only; [[nearDupPairsIvf]] is
     * the scale route). Ground-truth helper for the approximate paths.

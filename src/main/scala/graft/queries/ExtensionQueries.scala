@@ -318,6 +318,111 @@ object ExtensionQueries {
       },
       None),
 
+    // Recall@5 of the IVF search with the DETERMINISTIC corpus-sampled
+    // codebook (16 centroids = the smallest vec_ids, nprobe 4) against
+    // the exact brute-force top-5 — the whole approximate search is a
+    // pure function of the data, so the recall number itself is
+    // oracle-checked end to end (cell assignment, probing, candidate
+    // join, re-rank). The seeded kmeans/LSH variants share this exact
+    // plumbing; their recall floors are pinned by AnnRecallSpec.
+    QueryDef(
+      "q_ann_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5),
+          Similarity.ivfTopKSampledCodebook(
+            queries, emb, "vec_id", "embedding", 5,
+            nlist = 16, nprobe = 4))
+      },
+      Some(s"""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        -- exact top-5 per query (vec_id < 10), rounded-then-ranked
+        edots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sum(q.x * c.x) AS d
+          FROM dims q JOIN dims c ON q.i = c.i
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+          GROUP BY 1, 2),
+        escored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
+          FROM edots
+          JOIN norms nq ON nq.vec_id = query_id
+          JOIN norms nc ON nc.vec_id = neighbor_id),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM escored) WHERE rk <= 5),
+        -- codebook: the 16 smallest vec_ids
+        cent AS (SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 16),
+        -- cosine of every corpus vector to every centroid
+        adots AS (
+          SELECT v.vec_id AS nid, c.vec_id AS cell, sum(v.x * c.x) AS d
+          FROM dims v
+          JOIN dims c ON c.i = v.i
+          JOIN cent ON c.vec_id = cent.cell
+          GROUP BY 1, 2),
+        asim AS (
+          SELECT nid, cell, ROUND(d / (nv.nrm * nc.nrm), 6) AS csim
+          FROM adots
+          JOIN norms nv ON nv.vec_id = nid
+          JOIN norms nc ON nc.vec_id = cell),
+        -- corpus assignment: argmax csim, ties to the smaller cell
+        asg AS (
+          SELECT nid, cell FROM (
+            SELECT nid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY nid
+                                      ORDER BY csim DESC, cell) AS rn
+            FROM asim) WHERE rn = 1),
+        -- queries probe their 4 nearest cells (queries are corpus rows,
+        -- so their centroid cosines are already in asim)
+        probes AS (
+          SELECT nid AS query_id, cell FROM (
+            SELECT nid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY nid
+                                      ORDER BY csim DESC, cell) AS rn
+            FROM asim WHERE nid < 10) WHERE rn <= 4),
+        acand AS (
+          SELECT p.query_id, a.nid AS neighbor_id
+          FROM probes p JOIN asg a ON a.cell = p.cell
+          WHERE a.nid <> p.query_id),
+        pdots AS (
+          SELECT c.query_id, c.neighbor_id, sum(qd.x * nd.x) AS d
+          FROM acand c
+          JOIN dims qd ON qd.vec_id = c.query_id
+          JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.i = qd.i
+          GROUP BY 1, 2),
+        pscored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(d / (nq.nrm * nn.nrm), 6) AS cosine
+          FROM pdots
+          JOIN norms nq ON nq.vec_id = query_id
+          JOIN norms nn ON nn.vec_id = neighbor_id),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM pscored) WHERE rk <= 5)
+        SELECT e.query_id,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+        ORDER BY 1
+      """)),
+
     // ---- Text analytics ----
 
     QueryDef(

@@ -51,6 +51,37 @@ class SimilaritySpec extends SparkSuite {
     assert(top(0).getAs[Double]("cosine") > 0.999)
   }
 
+  test("recall@5 floors: sampled-codebook IVF, kmeans IVF, LSH") {
+    val r = new Random(42)
+    val dim = 16
+    // 8 well-separated clusters of 25; id = i*8 + c interleaves them
+    // so the 16 smallest ids (the sampled codebook) cover every
+    // cluster twice. Within-cluster cosine ≈ 1, across ≈ 0: a query's
+    // exact top-5 are cluster-mates, so recall measures whether the
+    // index keeps clusters together.
+    val centers = Array.fill(8)(randVec(r, dim))
+    val rows = for { i <- 0 until 25; c <- 0 until 8 } yield
+      ((i * 8 + c).toLong,
+        centers(c).map(x => x + (r.nextFloat() - 0.5f) * 0.05f))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 24) // 3 per cluster
+    val exact =
+      Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", 5)
+    def avgRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(exact, approx)
+        .agg(avg($"recall")).head().getDouble(0)
+    assert(avgRecall(exact) == 1.0)
+    assert(avgRecall(Similarity.ivfTopKSampledCodebook(
+      queries, corpus, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4)) >= 0.9)
+    assert(avgRecall(Similarity.ivfTopK(
+      queries, corpus, "vec_id", "embedding", 5,
+      nlist = 8, nprobe = 2)) >= 0.9)
+    assert(avgRecall(Similarity.lshTopK(
+      queries, corpus, "vec_id", "embedding", 5,
+      bits = 4, tables = 8)) >= 0.6)
+  }
+
   test("nearDupPairsIvf matches the exact all-pairs top-N") {
     val r = new Random(5)
     val base = (0L until 200L).map(i => (i, randVec(r, 16)))
