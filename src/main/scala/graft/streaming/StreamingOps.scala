@@ -49,6 +49,45 @@ object StreamingOps {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** The windowed-aggregation transform itself, source-agnostic: a
+    * watermarked hourly tumbling window with exact DECIMAL sums. Shared
+    * by [[eventWindowCounts]] (parquet → memory, one batch) and the
+    * watermark-eviction spec, which drives it from a MemoryStream
+    * across several micro-batches in append mode — the semantics
+    * (late-row drop, state eviction) a production stream depends on.
+    */
+  def windowedCounts(stream: DataFrame, watermark: String): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+
+  /** The stateful sessionizer transform, source-agnostic (see
+    * [[sessionCounts]]); exposed so specs can drive it across
+    * micro-batches and assert state carries over.
+    */
+  def sessionize(stream: Dataset[Ev], gapSeconds: Long): Dataset[UserSessions] = {
+    def update(userId: Long, events: Iterator[Ev],
+        state: GroupState[(Long, Long, Long)]): UserSessions = {
+      // (lastTsMicros, nEvents, nSessions)
+      var (lastTs, nEvents, nSessions) =
+        state.getOption.getOrElse((Long.MinValue, 0L, 0L))
+      // one micro-batch delivers events unordered — sort within group
+      events.toSeq.sortBy(_.us).foreach { e =>
+        val t = e.us // micros, same precision as the batch lag-window
+        if (lastTs == Long.MinValue || t - lastTs > gapSeconds * 1000000L)
+          nSessions += 1
+        nEvents += 1
+        lastTs = t
+      }
+      state.update((lastTs, nEvents, nSessions))
+      UserSessions(userId, nEvents, nSessions)
+    }
+    stream.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
   /** Hourly tumbling-window counts and exact sums per event_type.
     * Watermark bounds state; complete output mode emits every window
     * (append would withhold windows newer than the final watermark).
@@ -59,11 +98,7 @@ object StreamingOps {
       path: String,
       watermark: String = "1 hour"): DataFrame = {
     val stream = readEventStream(spark, path)
-    val agg = stream
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+    val agg = windowedCounts(stream, watermark)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = agg.writeStream
       .outputMode(OutputMode.Complete)
@@ -87,27 +122,7 @@ object StreamingOps {
     import spark.implicits._
     val stream = readEventStream(spark, path)
       .select(col("user_id"), unix_micros(col("ts")).as("us")).as[Ev]
-
-    def update(userId: Long, events: Iterator[Ev],
-        state: GroupState[(Long, Long, Long)]): UserSessions = {
-      // (lastTsMicros, nEvents, nSessions)
-      var (lastTs, nEvents, nSessions) =
-        state.getOption.getOrElse((Long.MinValue, 0L, 0L))
-      // one micro-batch delivers events unordered — sort within group
-      events.toSeq.sortBy(_.us).foreach { e =>
-        val t = e.us // micros, same precision as the batch lag-window
-        if (lastTs == Long.MinValue || t - lastTs > gapSeconds * 1000000L)
-          nSessions += 1
-        nEvents += 1
-        lastTs = t
-      }
-      state.update((lastTs, nEvents, nSessions))
-      UserSessions(userId, nEvents, nSessions)
-    }
-
-    val sessions = stream
-      .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+    val sessions = sessionize(stream, gapSeconds)
 
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = sessions.toDF().writeStream

@@ -69,4 +69,81 @@ class StreamingOpsSpec extends SparkSuite {
       .sortBy(_._1)
     assert(batch === got)
   }
+
+  test("append-mode watermark drops a late row across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(Long, String, Double)]
+    val stream = input.toDF().toDF("us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val agg = StreamingOps.windowedCounts(stream, watermark = "10 minutes")
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("wm_spec")
+      .start()
+    try {
+      val H = 3600L * 1000000L
+      val M = 60L * 1000000L
+      val h0 = 1699999200000000L // hour-aligned epoch µs
+      // Batch 1: two rows in hour 0, plus one at h1+50m. After the
+      // batch the watermark is (h1+50m − 10m) ≥ h1, so append mode
+      // finalizes and emits window [h0, h1).
+      input.addData((h0 + 5 * M, "A", 1.0), (h0 + 20 * M, "A", 2.0),
+        (h0 + H + 50 * M, "A", 4.0))
+      q.processAllAvailable()
+      // Batch 2: a LATE row for hour 0 — behind the watermark and its
+      // window already finalized — must be dropped, not re-emitted.
+      input.addData((h0 + 30 * M, "A", 100.0), (h0 + 2 * H + 10 * M, "A", 8.0))
+      q.processAllAvailable()
+      // Batch 3: advance the watermark past h2 to flush windows 1-2.
+      input.addData((h0 + 3 * H + 30 * M, "A", 16.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("wm_spec")
+        .select(unix_micros(col("window.start")).as("ws"), col("n"),
+          col("sum_value").cast("double").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // hour 0 was emitted exactly once, WITHOUT the late row's 100.0
+      val hour0 = rows.filter(_._1 == h0 / 1000000L)
+      assert(hour0.toSeq == Seq((h0 / 1000000L, 2L, 3.0)))
+      // hour 1 and hour 2 flushed with their single rows
+      assert(rows.filter(_._1 == h0 / 1000000L + 3600L).map(x => (x._2, x._3)).toSeq == Seq((1L, 4.0)))
+      assert(rows.filter(_._1 == h0 / 1000000L + 7200L).map(x => (x._2, x._3)).toSeq == Seq((1L, 8.0)))
+      // and the drop is visible in the state-operator metrics
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped == 1L, s"expected 1 watermark-dropped row, got $dropped")
+    } finally q.stop()
+  }
+
+  test("sessionizer state carries across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[Ev]
+    val sessions = StreamingOps.sessionize(input.toDS(), gapSeconds = 1800L)
+    val q = sessions.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("sess_multibatch")
+      .start()
+    try {
+      val base = 1700000000000000L
+      input.addData(Ev(1L, base), Ev(1L, base + 10L * 1000000L))
+      q.processAllAvailable()
+      // same session (20 s after batch 1's last event) + a new one 2 h later:
+      // correct only if (lastTs, counts) state survived the batch boundary
+      input.addData(Ev(1L, base + 20L * 1000000L),
+        Ev(1L, base + 2L * 3600L * 1000000L))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_multibatch")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 2L, 1L), (1L, 4L, 2L)))
+    } finally q.stop()
+  }
 }
