@@ -68,6 +68,7 @@ object StreamingOps {
     * micro-batches and assert state carries over.
     */
   def sessionize(stream: Dataset[Ev], gapSeconds: Long): Dataset[UserSessions] = {
+    import stream.sparkSession.implicits._
     def update(userId: Long, events: Iterator[Ev],
         state: GroupState[(Long, Long, Long)]): UserSessions = {
       // (lastTsMicros, nEvents, nSessions)

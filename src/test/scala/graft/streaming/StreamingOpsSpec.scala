@@ -102,8 +102,11 @@ class StreamingOpsSpec extends SparkSuite {
       input.addData((h0 + 3 * H + 30 * M, "A", 16.0))
       q.processAllAvailable()
 
+      // window.start comes back in SECONDS here (unix_timestamp), to
+      // match the h0/1000000L literals below — r5 selected unix_micros
+      // and compared micros to seconds, failing on correct sink output.
       val rows = spark.table("wm_spec")
-        .select(unix_micros(col("window.start")).as("ws"), col("n"),
+        .select(unix_timestamp(col("window.start")).as("ws"), col("n"),
           col("sum_value").cast("double").as("s"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       // hour 0 was emitted exactly once, WITHOUT the late row's 100.0
