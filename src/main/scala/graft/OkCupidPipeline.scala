@@ -139,12 +139,11 @@ object OkCupidPipeline {
       seed: Long): (DataFrame, Double) = {
     val nRows = features.count()
     val (train0, test0) = StratifiedSplit.split(features, "label", 0.7, seed)
-    // The split's rank window shuffles by label — 2 distinct keys —
-    // so its output has only 2 non-empty partitions and everything
-    // downstream (tree binning, stats aggregation, evaluation)
-    // would run 2-wide regardless of cluster size. Rebalance the
-    // slim (label, features) rows before training — but right-size
-    // to the DATA, not the session parallelism: tree training over
+    // The content-hash split keeps the input's partitioning (its only
+    // shuffle is the tiny per-(shard,label) quota aggregate), so the
+    // train/test frames inherit whatever width the feature pipeline
+    // left. Right-size before training — to the DATA, not the session
+    // parallelism: tree training over
     // thousand-row partitions is pure per-task/GC overhead (measured
     // 10× at local[32] over 60k rows), and the same holds for 1000
     // executors over a small training set.

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Self-contained lifecycle for operator-internal caches.
+  *
+  * Several operators persist a multi-consumer intermediate (shingle
+  * sets, LSH buckets, probed IVF replicas). A lazily-returned result
+  * gives the caller no handle to that cache, and `Dataset.persist`
+  * entries live in CacheManager until an explicit unpersist or session
+  * end — NOT freed by ContextCleaner when the plan becomes
+  * unreferenced. A long-lived session issuing many dedup/similarity
+  * calls would accumulate whole-corpus cache entries without bound.
+  *
+  * `sealAndRelease` closes the hole: eagerly materialize the result
+  * with a distributed `localCheckpoint` (executor-local blocks, no
+  * driver collect), then drop the feeding caches before returning. The
+  * returned frame's storage IS ContextCleaner-managed — its blocks
+  * free when the Dataset is garbage-collected.
+  *
+  * Trade-offs, deliberate:
+  *  - the call becomes eager (the job runs at operator-call time) —
+  *    right for these operators, whose results are consumed fully
+  *    (pair lists, span lists) rather than further optimized into;
+  *  - localCheckpoint truncates lineage without replication, so losing
+  *    an executor mid-read fails the downstream job instead of
+  *    recomputing; on an unreliable cluster set
+  *    `spark.checkpoint.dir` and swap in reliable `checkpoint` — for
+  *    bounded operator OUTPUTS the local variant is the standard cost/
+  *    durability point (same call connectedComponents already uses).
+  */
+private[graft] object CacheLifecycle {
+
+  /** Materialize `result` eagerly, then unpersist every cache in
+    * `feeds`. Returns the checkpointed frame.
+    */
+  def sealAndRelease(result: DataFrame, feeds: Dataset[_]*): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    feeds.foreach(_.unpersist())
+    out
+  }
+}

@@ -148,19 +148,22 @@ object Dedup {
       shingles: DataFrame, bands: Int, rowsPerBand: Int,
       maxBucketSize: Int = 100): DataFrame = {
     // Three consumers (hot-bucket agg + both self-join sides) —
-    // persist so the signature pipeline runs once.
+    // persist so the signature pipeline runs once; the candidate list
+    // is sealed eagerly below and the bucket cache released before
+    // returning (CacheLifecycle).
     val buckets = minhashBuckets(shingles, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = buckets.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucketSize)
       .select(col("band"), col("key"))
     val cool = buckets.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    cool.as("a")
+    val pairs = cool.as("a")
       .join(cool.as("b"),
         col("a.band") === col("b.band") &&
           col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    CacheLifecycle.sealAndRelease(pairs, buckets)
   }
 
   /** MinHash dedup, verified: LSH candidates re-checked with exact
@@ -175,11 +178,9 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     // The shingle set feeds four consumers (signatures, both sides of
     // the verification join, sizes); persist it so the shingling runs
-    // once. The cache entry lives in CacheManager until the caller
-    // unpersists or clears the catalog cache (NOT freed automatically
-    // when the plan becomes unreferenced); callers running many dedup
-    // jobs per session should `spark.catalog.clearCache()` between
-    // them, as Bench does.
+    // once. Released before returning — the verified pair list is
+    // sealed eagerly below (CacheLifecycle), so no CacheManager entry
+    // survives the call.
     val sh = shingleSets(df, idCol, tokensCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // No broadcast hint on the candidate set: it is output-sized
@@ -197,7 +198,8 @@ object Dedup {
       .join(shB, col("id_b") === col("idb") && col("sh_a") === col("sh_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("i"))
-    jaccardOf(inter, sizesOf(sh)).filter(col("jaccard") >= minJaccard)
+    CacheLifecycle.sealAndRelease(
+      jaccardOf(inter, sizesOf(sh)).filter(col("jaccard") >= minJaccard), sh)
   }
 
   /** Exact duplicate-SPAN detection (the "exact substring dedup" of
@@ -233,7 +235,8 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"))
-    spans.join(hot, "h").select(col("doc_id"), col("pos"), col("h"))
+    CacheLifecycle.sealAndRelease(
+      spans.join(hot, "h").select(col("doc_id"), col("pos"), col("h")), spans)
   }
 
   /** Connected components over near-duplicate pairs: every document
@@ -350,7 +353,7 @@ object Dedup {
       .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucketSize)
       .select(col("band"), col("key"))
     val cool = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    cool.as("a")
+    val pairs = cool.as("a")
       .join(cool.as("b"),
         col("a.band") === col("b.band") &&
           col("a.key") === col("b.key") && col("a.id") < col("b.id"))
@@ -359,5 +362,6 @@ object Dedup {
           col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    CacheLifecycle.sealAndRelease(pairs, banded)
   }
 }

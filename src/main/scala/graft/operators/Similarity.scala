@@ -275,18 +275,18 @@ object Similarity {
     val probeW = Window.partitionBy(col("id"))
       .orderBy(desc("csim"), asc("cell"))
     // Both sides of the within-cell self-join read `probed` — persist
-    // so the scan + probe ranking runs once. The cache entry lives in
-    // CacheManager until the caller unpersists or clears the catalog
-    // cache (it is NOT freed automatically when the plan becomes
-    // unreferenced); callers running many of these per session should
-    // `spark.catalog.clearCache()` between them, as Bench does.
+    // so the scan + probe ranking runs once. The tiny top-N result is
+    // sealed eagerly and the probe cache released before returning
+    // (CacheLifecycle), so repeated calls can't accumulate corpus-sized
+    // CacheManager entries.
     val probed = base.crossJoin(broadcast(centDf))
       .withColumn("csim", VectorFunctions.cosine(col("v"), col("centroid")))
       .withColumn("prank", row_number().over(probeW))
       .filter(col("prank") <= nprobe)
       .select(col("cell"), col("id"), col("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    probed.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val top = probed
+      .select(col("cell"), col("id").as("id_a"), col("v").as("va"))
       .join(probed.select(col("cell"), col("id").as("id_b"), col("v").as("vb")),
         Seq("cell"))
       .filter(col("id_a") < col("id_b"))
@@ -295,5 +295,6 @@ object Similarity {
       .distinct() // a pair may share several probe cells
       .orderBy(desc("cosine"), asc("id_a"), asc("id_b"))
       .limit(topN)
+    graft.operators.CacheLifecycle.sealAndRelease(top, probed)
   }
 }

@@ -4,11 +4,12 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, BindReferences, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, LongType, StringType, TimestampType}
 
 /** Whole-operator sessionization as a first-class Catalyst operator —
   * the engine's demonstration of extension tier (c) from the build
@@ -61,9 +62,11 @@ case class SessionizeExec(
     gapMicros: Long,
     sessionAttr: AttributeReference,
     child: SparkPlan)
-    extends UnaryExecNode {
+    extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output :+ sessionAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(sessionAttr)
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(user)) :: Nil
@@ -75,6 +78,72 @@ case class SessionizeExec(
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(user, Ascending), SortOrder(ts, Ascending))
+
+  // ---- whole-stage codegen ----------------------------------------
+  // The session pass is a per-row map with three words of carried
+  // state, so it fuses into the surrounding codegen span (typically
+  // Sort → this → HashAggregate) instead of forcing a codegen boundary
+  // with per-row iterator dispatch + an UnsafeProjection copy. State
+  // lives in generated-class fields; WholeStageCodegenExec instantiates
+  // one generated instance per partition, so fields start zeroed
+  // exactly where the interpreted path resets its locals.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String = {
+    val userEv = input(child.output.indexWhere(_.exprId == user.exprId))
+    val tsEv = input(child.output.indexWhere(_.exprId == ts.exprId))
+    // usedInputs (= references = {user, ts}) are force-evaluated by
+    // consume() before this runs, so userEv/tsEv values are live here;
+    // the passthrough columns keep their deferred code for downstream.
+    val haveUser = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessHaveUser")
+    val curUserNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessCurUserNull")
+    val curUser =
+      ctx.addMutableState(CodeGenerator.javaType(user.dataType), "sessCurUser")
+    val lastTs = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessLastTs")
+    val lastTsNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "sessLastTsNull")
+    val sid = ctx.addMutableState(CodeGenerator.JAVA_LONG, "sessSid")
+    val changed = ctx.freshName("groupChanged")
+    val sidLocal = ctx.freshName("sessionId")
+    val userNull = if (user.nullable) userEv.isNull.toString else "false"
+    val tsNull = if (ts.nullable) tsEv.isNull.toString else "false"
+    // retained keys must not alias the producer's reused buffers (the
+    // sort iterator recycles its record memory) — same clone the
+    // interpreted path does
+    val store = user.dataType match {
+      case StringType => s"$curUser = ${userEv.value}.clone();"
+      case BinaryType =>
+        s"$curUser = java.util.Arrays.copyOf(${userEv.value}, ${userEv.value}.length);"
+      case _ => s"$curUser = ${userEv.value};"
+    }
+    val sidEv = ExprCode.forNonNullValue(JavaCode.variable(sidLocal, LongType))
+    s"""
+       |boolean $changed;
+       |if (!$haveUser) { $changed = true; }
+       |else if ($userNull != $curUserNull) { $changed = true; }
+       |else if ($userNull) { $changed = false; }
+       |else { $changed = !(${ctx.genEqual(user.dataType, curUser, userEv.value.toString)}); }
+       |if ($changed) {
+       |  $haveUser = true; $curUserNull = $userNull;
+       |  if (!$userNull) { $store }
+       |  $sid = 1L; $lastTsNull = true;
+       |} else if ($lastTsNull) {
+       |  // null previous ts always opens a session (lag-twin semantics)
+       |  $sid += 1L;
+       |} else if (!$tsNull && ${tsEv.value} - $lastTs > ${gapMicros}L) {
+       |  $sid += 1L;
+       |}
+       |if ($tsNull) { $lastTsNull = true; }
+       |else { $lastTsNull = false; $lastTs = ${tsEv.value}; }
+       |long $sidLocal = $sid;
+       |${consume(ctx, input :+ sidEv)}
+     """.stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val userBound = BindReferences.bindReference(

@@ -64,8 +64,9 @@ class SimHashSpec extends SparkSuite {
     assert(uncapped.count() == 66)
     val capped = Dedup.simhashPairs(df, "doc_id", "tokens", 3,
       maxBucketSize = 4)
+    // 0 vs 66 is the cap's behavioral proof. (The anti-join is no
+    // longer visible from the returned frame: simhashPairs seals its
+    // result via CacheLifecycle, so the caller sees a checkpoint scan.)
     assert(capped.count() == 0)
-    // and the cap is visible in the plan as the anti-join
-    assert(capped.queryExecution.optimizedPlan.toString.contains("LeftAnti"))
   }
 }

@@ -85,6 +85,58 @@ class SessionizeSpec extends SparkSuite {
     assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles")
   }
 
+  test("plan: SessionizeExec fuses into a WholeStageCodegen span") {
+    val df = (0L until 1000L).map(i => (i % 7, 1700000000000000L + i * 1000000L))
+      .toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val agg = Sessionize(df, "user_id", "ts", gap)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"session_id").as("n_sessions"))
+    agg.collect()
+
+    def collectNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: collectNodes(q.plan)
+      case other => other +: other.children.flatMap(collectNodes)
+    }
+    val nodes = collectNodes(agg.queryExecution.executedPlan)
+    val wscg = nodes.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.exists(w =>
+      w.collect { case s: SessionizeExec => s }.nonEmpty),
+      s"SessionizeExec outside codegen:\n${agg.queryExecution.executedPlan}")
+  }
+
+  test("string user keys survive buffer reuse across the sorted stream") {
+    // string keys exercise the generated clone-on-retain path: the sort
+    // iterator recycles its record buffer, so an unclosed UTF8String
+    // would compare corrupted bytes once the group spans a page
+    val rows = (0 until 3000).map { i =>
+      val u = s"user_${(i * 2654435761L) % 11}"
+      (u, 1700000000000000L + ((i * 40503L) % 9973) * 700000000L)
+    }
+    val df = rows.toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    val op = Sessionize(df, "user_id", "ts", gap)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), max($"session_id").as("n_sessions"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val lagged = df
+      .withColumn("pt", lag($"ts", 1).over(w))
+      .withColumn("ns",
+        when($"pt".isNull ||
+          (unix_micros($"ts") - unix_micros($"pt")) > gap * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"ns").as("n_sessions"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(op.toSeq == lagged.toSeq)
+  }
+
   test("matches the lag-window formulation on random-ish data") {
     val rows = (0 until 2000).map { i =>
       val u = (i * 2654435761L) % 13
