@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.multimodal.Multimodal
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -178,6 +179,79 @@ object EventQueries {
         FROM documents, (VALUES (0), (1), (2)) AS f(i)
         WHERE f.i * 128 < length(text)
         ORDER BY id, frame_idx
+      """)),
+
+    // ---- Temporal / range joins ----
+
+    // Backward as-of join: each event picks up the same user's most
+    // recent purchase at-or-before its timestamp. Implemented as one
+    // key-shuffle + ordered window pass (AsOfJoin.backward) — never a
+    // non-equi join. The oracle is DuckDB's native ASOF LEFT JOIN,
+    // compared at µs precision on both sides (Spark's event ts is
+    // already µs-floored by Tables.events).
+    QueryDef(
+      "q_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"),
+            col("value").as("purchase_value"))
+        AsOfJoin.backward(
+            ev.select(col("event_id"), col("user_id"), col("ts")),
+            purchases, key = "user_id", leftTime = "ts",
+            rightTime = "ts",
+            payload = Seq("purchase_id", "purchase_value"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("purchase_id"), col("purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id, e.user_id,
+               epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+               p.event_id AS purchase_id, p.value AS purchase_value
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id,
+                               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                               event_id, value
+                        FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id
+         AND p.us <= epoch_us(CAST(e.ts AS TIMESTAMP))
+        ORDER BY e.event_id
+      """)),
+
+    // Range (point-in-interval) join: band each event's value into
+    // fixed price bands and aggregate per band. The band table is a
+    // dimension → broadcast nested-loop is the RIGHT plan (zero
+    // shuffles of the fact side); RangeJoinSpec proves the bucketed
+    // equi-join variant equivalent for the large-interval-side case.
+    QueryDef(
+      "q_range_join",
+      (s, dir) => {
+        val bands = s.createDataFrame(
+            (0L until 10L).map(i => (i, i * 50.0, (i + 1) * 50.0)))
+          .toDF("band_id", "lo", "hi")
+        RangeJoin.broadcastPointInInterval(
+            Tables.events(s, dir).select(col("value")), "value",
+            bands, "lo", "hi")
+          .groupBy(col("band_id"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_value"))
+          .orderBy(col("band_id"))
+      },
+      Some("""
+        SELECT CAST(b.band_id AS BIGINT) AS band_id, b.lo, b.hi,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_value
+        FROM events e
+        JOIN (SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+              FROM range(0, 10) t(i)) b
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY 1, 2, 3
+        ORDER BY 1
       """))
   )
 }
