@@ -89,6 +89,27 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** Streaming exact dedup with bounded state: the first row per key
+    * passes through, later copies arriving within the watermark delay
+    * of it are dropped, and the key's state is evicted once the
+    * watermark passes — so state holds only the keys seen in the last
+    * `watermark` of event time, not the whole stream history. This is
+    * the streaming twin of `Dedup.exactDuplicates`: an unbounded
+    * `dropDuplicates` would grow state forever at ingest scale, which
+    * is exactly the failure mode `dropDuplicatesWithinWatermark`
+    * exists to prevent. A key re-appearing after eviction is emitted
+    * again — at-least-once dedup, the standard contract for
+    * watermarked pipelines (exact global dedup is a batch job).
+    */
+  def dedupWithinWatermark(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Hourly tumbling-window counts and exact sums per event_type.
     * Watermark bounds state; complete output mode emits every window
     * (append would withhold windows newer than the final watermark).

@@ -122,6 +122,51 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("dedup within watermark: drops dups, evicts state, re-admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val M = 60L * 1000000L
+    val base = 1700000000000000L // epoch µs, far from the 0-clamp
+    val input = MemoryStream[(Long, Long)]
+    val stream = input.toDF().toDF("id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val deduped = StreamingOps.dedupWithinWatermark(
+      stream, Seq("id"), "ts", watermark = "10 minutes")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_spec")
+      .start()
+    try {
+      // Batch 1: id 1 twice (in-batch dup) + id 2 → emits 1, 2 once.
+      input.addData((1L, base), (2L, base + 1 * M), (1L, base + 2 * M))
+      q.processAllAvailable()
+      // Batch 2: id 1 again within the watermark delay → dropped;
+      // id 3 is new → emitted.
+      input.addData((1L, base + 5 * M), (3L, base + 6 * M))
+      q.processAllAvailable()
+      // Batch 3: advance the watermark to base+20m, past id 1's
+      // expiry (first-seen base + 10m delay) → its state is evicted.
+      input.addData((9L, base + 30 * M))
+      q.processAllAvailable()
+      // Batch 4: id 1 re-appears after eviction (and ahead of the
+      // watermark) → emitted a second time.
+      input.addData((1L, base + 25 * M))
+      q.processAllAvailable()
+
+      val got = spark.table("dedup_spec")
+        .select(col("id"), col("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(x => (x._2, x._1)).toSeq
+      // exactly one copy of each key per watermark horizon; id 1's
+      // first-seen copy is the one kept (base, not base+2m or +5m)
+      assert(got == Seq((1L, base), (2L, base + 1 * M),
+        (3L, base + 6 * M), (1L, base + 25 * M), (9L, base + 30 * M)))
+    } finally q.stop()
+  }
+
   test("sessionizer state carries across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
