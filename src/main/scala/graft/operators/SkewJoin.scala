@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-resilient equi-join by hot-key salting. AQE's skew-join
+  * handling splits oversized sort-merge partitions at runtime, but it
+  * cannot help when a single join key concentrates a large fraction
+  * of the fact side into ONE hash bucket that must still meet the
+  * matching dimension rows — the bucket lands on one task and the
+  * stage runs at the speed of that straggler. The standing fix is to
+  * salt: spread each hot key's fact rows over `salts` sub-keys and
+  * replicate the dimension rows once per sub-key, so the hot key's
+  * work fans out over `salts` tasks. Cold keys join unsalted — no
+  * replication cost where there is no skew.
+  *
+  * Join semantics are inner, on a single key column present on both
+  * sides (right key may be named differently). Correct for arbitrary
+  * right-side multiplicity: a right row is replicated once per salt
+  * and each left row joins exactly its own salt's replica.
+  */
+object SkewJoin {
+
+  /** Exact hot-key detection: keys whose left-side row count exceeds
+    * `threshold`. One map-side-combined count agg + a driver collect
+    * of only the over-threshold keys — for any meaningful threshold
+    * (≫ rows/partition) the result is a handful of heavy hitters,
+    * never the key domain.
+    */
+  def hotKeys(left: DataFrame, key: String, threshold: Long): Seq[Any] =
+    left.groupBy(col(key)).count()
+      .where(col("count") > threshold)
+      .select(col(key))
+      .collect().map(_.get(0)).toSeq
+
+  /** Inner equi-join with the given hot keys salted `salts` ways.
+    * With an empty hot set this degrades to a plain join. The salt is
+    * derived from a per-row physical id, which distributes uniformly
+    * and needs no extra column; it never affects WHICH rows match,
+    * only where they are computed.
+    */
+  def saltedInnerJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      salts: Int,
+      hot: Seq[Any]): DataFrame = {
+    require(salts > 1, s"salts must be > 1: $salts")
+    if (hot.isEmpty) return left.join(right, keyEq(left, leftKey, right, rightKey))
+
+    val hotSet = hot
+    val lHot = left.where(col(leftKey).isin(hotSet: _*))
+      .withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    val rHot = right.where(col(rightKey).isin(hotSet: _*))
+      .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    val hotJoined = lHot.join(rHot,
+        lHot(leftKey) === rHot(rightKey) && lHot("__salt") === rHot("__salt"))
+      .drop("__salt")
+
+    val lCold = left.where(!col(leftKey).isin(hotSet: _*))
+    val rCold = right.where(!col(rightKey).isin(hotSet: _*))
+    val coldJoined = lCold.join(rCold, keyEq(lCold, leftKey, rCold, rightKey))
+
+    coldJoined.unionByName(hotJoined)
+  }
+
+  /** Detection + salting in one call. */
+  def saltedInnerJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      salts: Int,
+      hotThreshold: Long): DataFrame =
+    saltedInnerJoin(left, right, leftKey, rightKey, salts,
+      hotKeys(left, leftKey, hotThreshold))
+
+  private def keyEq(l: DataFrame, lk: String, r: DataFrame, rk: String): Column =
+    l(lk) === r(rk)
+}

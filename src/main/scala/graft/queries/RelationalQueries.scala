@@ -102,6 +102,35 @@ object RelationalQueries {
         JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+      """)),
+
+    // The same logical join under hot-key salting (SkewJoin): events
+    // fact ⋈ customer dim on user_id, hot users spread over 8 salts.
+    // Salting must never change WHICH rows match — the oracle is the
+    // plain SQL join. (Threshold 50: at sf0.01+ most users exceed it
+    // and take the salted path; at sf0.001 none do and the operator
+    // degrades to the plain join — both regimes stay oracle-exact.)
+    QueryDef(
+      "q_skew_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "value")
+        val cust = Tables.customer(s, dir)
+          .select("c_custkey", "c_mktsegment")
+        graft.operators.SkewJoin.saltedInnerJoin(
+            ev, cust, "user_id", "c_custkey", salts = 8,
+            hotThreshold = 50L)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(dec)).cast("double").as("sum_value"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
       """))
   )
 }
