@@ -39,7 +39,9 @@ object Bench {
     "q_events_window", "q_sessions",
     // round-2 additions (new keys only — earlier keys stay comparable)
     "q_sessionize_op", "q_dedup_groups", "q_dedup_spans",
-    "q_pack_sequences", "q_dedup_embedding")
+    "q_pack_sequences", "q_dedup_embedding",
+    // round-6 additions: temporal/range/skew joins
+    "q_asof_join", "q_range_join", "q_skew_join")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.
