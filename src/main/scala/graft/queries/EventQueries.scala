@@ -252,6 +252,60 @@ object EventQueries {
           ON e.value >= b.lo AND e.value < b.hi
         GROUP BY 1, 2, 3
         ORDER BY 1
+      """)),
+
+    // ---- Reshaping / sketches ----
+
+    // Pivot (long → wide): per-user event counts, one column per
+    // event type. The value list is explicit — at scale the implicit
+    // form costs an extra distinct-collect job over the fact table to
+    // discover the columns; never leave it implicit in a pipeline.
+    QueryDef(
+      "q_pivot_events",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+      """)),
+
+    // Distinct users per event type, twice: exact (count-distinct's
+    // two-shuffle expand) and via a DataSketches HLL sketch — the
+    // 100 TB path, because sketches partial-aggregate map-side and
+    // merge associatively across partitions/days, which exact distinct
+    // cannot. At this cardinality (150 users ≪ 2^lgK=4096 buckets) the
+    // sketch is still in exact (coupon) mode, so the oracle can demand
+    // equality with COUNT(DISTINCT) for BOTH columns.
+    QueryDef(
+      "q_distinct_sketch",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+              .as("sketch_users"))
+          .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS exact_users,
+               COUNT(DISTINCT user_id) AS sketch_users
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
       """))
   )
 }

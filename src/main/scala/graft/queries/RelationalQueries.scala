@@ -131,6 +131,28 @@ object RelationalQueries {
         JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
+      """)),
+
+    // Hierarchical totals in ONE pass: rollup emits (priority, status),
+    // per-priority and grand-total rows from a single shuffle — the
+    // alternative (three groupBys + union) scans and shuffles thrice.
+    QueryDef(
+      "q_rollup_orders",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec)).cast("double")
+              .as("sum_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first),
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
       """))
   )
 }
