@@ -118,6 +118,24 @@ object EventQueries {
           .orderBy(col("user_id")),
       Some(sessionsOracle)),
 
+    // The SAME sessionization a fourth way: Spark's native
+    // session_window (merging gap windows inside one aggregation).
+    // Edge semantics differ from the lag-window on an EXACT gap ==
+    // 1800 s (half-open window vs strict >); the testdata has no
+    // µs-exact 1800 s gap at any SF (checked), so all four paths face
+    // one oracle.
+    QueryDef(
+      "q_session_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(sum(col("n")).as("n_events"),
+            count(lit(1)).as("n_sessions"))
+          .orderBy(col("user_id")),
+      Some(sessionsOracle)),
+
     // JSON extraction from the props column: per-event-type stats of
     // $.k (bigint), exercising get_json_object pushdown-free scans.
     QueryDef(

@@ -110,6 +110,35 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Watermarked stream-stream inner join: left rows match right rows
+    * with the same key whose time lies in [leftTs − windowSeconds,
+    * leftTs] — "attribute each conversion to the clicks in the
+    * preceding N minutes" shape. BOTH sides carry a watermark and the
+    * join condition bounds the two event times against each other;
+    * that pair is what lets Spark evict buffered rows once the
+    * watermark passes, keeping join state bounded by the window +
+    * watermark horizon instead of the whole stream. Key and time
+    * column names must differ between the sides (rename upstream) —
+    * a stream-stream self-join on identical names cannot be
+    * disambiguated after the join.
+    */
+  def joinWithinInterval(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      watermark: String,
+      windowSeconds: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) <= col(leftTs) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowSeconds SECONDS"))
+  }
+
   /** Hourly tumbling-window counts and exact sums per event_type.
     * Watermark bounds state; complete output mode emits every window
     * (append would withhold windows newer than the final watermark).

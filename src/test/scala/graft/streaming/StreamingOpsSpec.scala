@@ -167,6 +167,65 @@ class StreamingOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: window bounds and state eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val M = 60L * 1000000L
+    val base = 1700000000000000L
+    val clicks = MemoryStream[(Long, Long, Long)]    // (user, click_id, us)
+    val convs = MemoryStream[(Long, Long, Long)]     // (user, conv_id, us)
+    val cDf = clicks.toDF().toDF("c_user", "click_id", "c_us")
+      .withColumn("c_ts", timestamp_micros(col("c_us")))
+    val vDf = convs.toDF().toDF("v_user", "conv_id", "v_us")
+      .withColumn("v_ts", timestamp_micros(col("v_us")))
+    // each conversion joins the same user's clicks from the previous
+    // 10 minutes (inclusive both ends)
+    val joined = StreamingOps.joinWithinInterval(
+      vDf, cDf, "v_user", "c_user", "v_ts", "c_ts",
+      watermark = "5 minutes", windowSeconds = 600L)
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("ssjoin_spec")
+      .start()
+    try {
+      // user 1: clicks at 0m and 4m; user 2: click at 0m
+      clicks.addData((1L, 10L, base), (1L, 11L, base + 4 * M),
+        (2L, 20L, base))
+      convs.addData()
+      q.processAllAvailable()
+      // conversion for user 1 at 8m → joins both clicks (0m and 4m
+      // are within the preceding 10 min); user 2 converts at 12m →
+      // its 0m click is 12 min old, outside the window.
+      convs.addData((1L, 100L, base + 8 * M), (2L, 200L, base + 12 * M))
+      q.processAllAvailable()
+
+      val got = spark.table("ssjoin_spec")
+        .select(col("conv_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(got == Seq((100L, 10L), (100L, 11L)))
+
+      // advance both watermarks far past the clicks' eviction bound;
+      // a conversion near the old clicks then finds evicted state.
+      clicks.addData((9L, 90L, base + 120 * M))
+      convs.addData((9L, 900L, base + 120 * M))
+      q.processAllAvailable()
+      convs.addData((1L, 101L, base + 9 * M)) // late conv, behind watermark
+      q.processAllAvailable()
+      val after = spark.table("ssjoin_spec")
+        .select(col("conv_id"), col("click_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      // the late conversion produced nothing: its candidate clicks
+      // were evicted and the row itself is behind the watermark;
+      // user 9's self-pair (click and conv at the same instant) joins.
+      assert(after == Seq((100L, 10L), (100L, 11L), (900L, 90L)))
+    } finally q.stop()
+  }
+
   test("sessionizer state carries across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
