@@ -58,6 +58,45 @@ object AsOfJoin {
       payload: Seq[String]): DataFrame =
     joined(left, right, key, leftTime, rightTime, payload, forward = true)
 
+  /** Backward as-of join against a DIMENSION-sized right side, with
+    * ZERO shuffle of the left (fact) side: the right timeline is
+    * grouped per key into a time-sorted array of (time, payload)
+    * structs — one small shuffle of the dimension only — broadcast,
+    * equi-joined, and the match is `element_at(filter(timeline, ≤ t),
+    * -1)`: the last qualifying entry of the pre-sorted array. Linear
+    * in the per-key timeline length per fact row; use [[backward]]
+    * when the right side is fact-scale too. Same semantics as
+    * [[backward]] (inclusive bound, null-time right rows dropped,
+    * left join).
+    */
+  def broadcastBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide " +
+        "with left columns; rename on the right side first")
+    val timeline = right
+      .where(col(rightTime).isNotNull)
+      .groupBy(col(key).as("__k"))
+      .agg(sort_array(collect_list(
+        struct(col(rightTime).as("__mt") +: payload.map(col): _*)))
+        .as("__tl"))
+    val lt = col(leftTime)
+    // try_element_at: an empty filtered timeline (no entry ≤ t, or a
+    // null left time) yields null instead of ANSI's array-index error.
+    val matched = try_element_at(
+      filter(col("__tl"), e => e.getField("__mt") <= lt), lit(-1))
+    left.join(broadcast(timeline), col(key) === col("__k"), "left")
+      .withColumn("__match", matched)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__match").getField(p).as(p)): _*)
+  }
+
   private def joined(
       left: DataFrame,
       right: DataFrame,

@@ -79,6 +79,32 @@ class AsOfRangeJoinSpec extends SparkSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("AsOfJoin.broadcastBackward: equals the shuffle path, fact side unshuffled") {
+    val viaShuffle = AsOfJoin.backward(left, right, "k", "t", "t",
+        Seq("pid", "pv"))
+      .orderBy(col("id")).collect().map(_.toSeq).toSeq
+    val df = AsOfJoin.broadcastBackward(left, right, "k", "t", "t",
+      Seq("pid", "pv"))
+    assert(df.orderBy(col("id")).collect().map(_.toSeq).toSeq == viaShuffle)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan)
+    // the only hash exchange is the dimension groupBy — the fact side
+    // reaches the join shuffle-free
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"fact side must not shuffle:\n$plan")
+  }
+
+  test("AsOfJoin.broadcastBackward: null left time and missing key → null") {
+    import spark.implicits._
+    val l = Seq((1L, "a", Option(10L)), (2L, "a", Option.empty[Long]),
+        (3L, "zzz", Option(10L)))
+      .toDF("id", "k", "t")
+    val out = AsOfJoin.broadcastBackward(l, right, "k", "t", "t", Seq("pid"))
+      .orderBy(col("id")).select(col("pid"))
+      .collect().map(x => if (x.isNullAt(0)) null else x.getLong(0))
+    assert(out.toSeq == Seq(null, null, null)) // a@10 precedes a@20
+  }
+
   test("RangeJoin: broadcast and bucketed paths agree on random data") {
     val rnd = new Random(42)
     val points = (0 until 2000)
