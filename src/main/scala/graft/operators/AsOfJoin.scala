@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -47,6 +47,30 @@ object AsOfJoin {
       rightTime: String,
       payload: Seq[String]): DataFrame =
     joined(left, right, key, leftTime, rightTime, payload, forward = false)
+
+  /** Backward as-of join with a staleness bound: like [[backward]],
+    * but a match older than `maxGap` (an interval Column for
+    * timestamp time columns, e.g. `expr("INTERVAL 30 MINUTES")`, or a
+    * numeric Column for numeric time columns) is nulled out — the
+    * pandas `merge_asof(tolerance=...)` contract. The bound is
+    * applied AFTER the window pass, so it costs one extra predicate,
+    * not a second shuffle.
+    */
+  def backwardWithin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      payload: Seq[String],
+      maxGap: Column): DataFrame = {
+    val withT = joined(left, right, key, leftTime, rightTime, payload,
+      forward = false, keepMatchTime = true)
+    val fresh = col("__matched_t") >= col(leftTime) - maxGap
+    payload.foldLeft(withT) { (df, p) =>
+      df.withColumn(p, when(fresh, col(p)))
+    }.drop("__matched_t")
+  }
 
   /** Forward as-of join: earliest right row at or after the left time. */
   def forward(
@@ -104,7 +128,8 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      keepMatchTime: Boolean = false): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide " +
@@ -120,7 +145,7 @@ object AsOfJoin {
         col(key).as("__k"),
         col(rightTime).as("__t"),
         lit(0).as("__side"),
-        struct(payload.map(col): _*).as("__p"))
+        struct(col(rightTime).as("__mt") +: payload.map(col): _*).as("__p"))
 
     // One shuffle: both sides hash-partition on __k, then a single
     // in-partition sort orders each key's timeline. asc for backward
@@ -135,10 +160,13 @@ object AsOfJoin {
     val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val matchTime =
+      if (keepMatchTime) Seq(col("__match").getField("__mt").as("__matched_t"))
+      else Nil
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__match", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payload.map(p => col("__match").getField(p).as(p)): _*)
+        payload.map(p => col("__match").getField(p).as(p)) ++ matchTime: _*)
   }
 }

@@ -79,6 +79,21 @@ class AsOfRangeJoinSpec extends SparkSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
   }
 
+  test("AsOfJoin.backwardWithin: stale matches nulled by tolerance") {
+    val out = AsOfJoin.backwardWithin(left, right, "k", "t", "t",
+        Seq("pid"), maxGap = lit(4))
+      .orderBy(col("id")).select(col("pid"))
+      .collect().map(x => if (x.isNullAt(0)) null else x.getLong(0))
+    assert(out.toSeq == Seq(
+      null,  // id 1: no match at all
+      100L,  // id 2: tie match, gap 0
+      null,  // id 3: match at 20, gap 5 > 4 → stale
+      101L,  // id 4: match at 28, gap 2
+      null,  // id 5: no match
+      102L,  // id 6: match at 49, gap 1
+      null)) // id 7: key without right rows
+  }
+
   test("AsOfJoin.broadcastBackward: equals the shuffle path, fact side unshuffled") {
     val viaShuffle = AsOfJoin.backward(left, right, "k", "t", "t",
         Seq("pid", "pv"))
