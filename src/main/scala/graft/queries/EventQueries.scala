@@ -239,6 +239,76 @@ object EventQueries {
         ORDER BY e.event_id
       """)),
 
+    // The SAME as-of join through the broadcast variant (per-key
+    // timeline arrays, zero fact-side shuffle) — must match the same
+    // ASOF oracle as the shuffle path.
+    QueryDef(
+      "q_asof_broadcast",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"),
+            col("value").as("purchase_value"))
+        AsOfJoin.broadcastBackward(
+            ev.select(col("event_id"), col("user_id"), col("ts")),
+            purchases, key = "user_id", leftTime = "ts",
+            rightTime = "ts",
+            payload = Seq("purchase_id", "purchase_value"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            col("purchase_id"), col("purchase_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id, e.user_id,
+               epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+               p.event_id AS purchase_id, p.value AS purchase_value
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id,
+                               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                               event_id, value
+                        FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id
+         AND p.us <= epoch_us(CAST(e.ts AS TIMESTAMP))
+        ORDER BY e.event_id
+      """)),
+
+    // As-of with a staleness bound: purchases older than 30 minutes
+    // don't count (merge_asof tolerance). The oracle post-filters
+    // DuckDB's ASOF match with the same bound.
+    QueryDef(
+      "q_asof_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("purchase_id"))
+        AsOfJoin.backwardWithin(
+            ev.select(col("event_id"), col("user_id"), col("ts")),
+            purchases, key = "user_id", leftTime = "ts",
+            rightTime = "ts", payload = Seq("purchase_id"),
+            maxGap = expr("INTERVAL 30 MINUTES"))
+          .select(col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("purchase_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id,
+               epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+               CASE WHEN p.us >= epoch_us(CAST(e.ts AS TIMESTAMP))
+                             - 1800000000
+                    THEN p.event_id END AS purchase_id
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id,
+                               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                               event_id
+                        FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id
+         AND p.us <= epoch_us(CAST(e.ts AS TIMESTAMP))
+        ORDER BY e.event_id
+      """)),
+
     // Range (point-in-interval) join: band each event's value into
     // fixed price bands and aggregate per band. The band table is a
     // dimension → broadcast nested-loop is the RIGHT plan (zero
