@@ -342,6 +342,37 @@ object EventQueries {
         ORDER BY 1
       """)),
 
+    // The SAME banding through the bucketed equi-join path (the
+    // large-interval-side strategy): must match the identical
+    // inequality-join oracle as the broadcast path.
+    QueryDef(
+      "q_range_bucketed",
+      (s, dir) => {
+        val bands = s.createDataFrame(
+            (0L until 10L).map(i => (i, i * 50.0, (i + 1) * 50.0)))
+          .toDF("band_id", "lo", "hi")
+        RangeJoin.bucketedPointInInterval(
+            Tables.events(s, dir).select(col("value")), "value",
+            bands, "lo", "hi", bucketWidth = 25.0)
+          .groupBy(col("band_id"), col("lo"), col("hi"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_value"))
+          .orderBy(col("band_id"))
+      },
+      Some("""
+        SELECT CAST(b.band_id AS BIGINT) AS band_id, b.lo, b.hi,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_value
+        FROM events e
+        JOIN (SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+              FROM range(0, 10) t(i)) b
+          ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY 1, 2, 3
+        ORDER BY 1
+      """)),
+
     // ---- Reshaping / sketches ----
 
     // Pivot (long → wide): per-user event counts, one column per

@@ -153,6 +153,40 @@ object RelationalQueries {
         FROM orders
         GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+      """)),
+
+    // ntile quartiles per priority (deterministic tie-break on the
+    // key), folded to per-bucket stats — the distribution-summary
+    // window shape. One shuffle on the partition key serves both the
+    // window and (via partial agg) the groupBy.
+    QueryDef(
+      "q_ntile_orders",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .groupBy(col("o_orderpriority"), col("quartile"))
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy(col("o_orderpriority"), col("quartile"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT o_orderpriority,
+                 NTILE(4) OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey)
+                   AS quartile,
+                 o_totalprice
+          FROM orders)
+        SELECT o_orderpriority, quartile, COUNT(*) AS n,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM q
+        GROUP BY o_orderpriority, quartile
+        ORDER BY o_orderpriority, quartile
       """))
   )
 }
