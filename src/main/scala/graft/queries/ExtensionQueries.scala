@@ -526,6 +526,32 @@ object ExtensionQueries {
                w.winnow_fp
         FROM documents d JOIN winnow w ON w.doc_id = d.doc_id
         ORDER BY d.doc_id
+      """)),
+
+    // Fixed-size overlapping chunking (TextChunking.chunkFixed): the
+    // splitter ahead of embedding/RAG pipelines — 200-char chunks,
+    // 50-char overlap (stride 150). Relational explode+substring,
+    // shuffle-free; the oracle replays the same windows with a range
+    // join.
+    QueryDef(
+      "q_chunk_docs",
+      (s, dir) =>
+        graft.operators.TextChunking.chunkFixed(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            "text", size = 200, overlap = 50)
+          .select(col("doc_id"), col("chunk_idx"),
+            length(col("chunk")).cast("long").as("chunk_len"),
+            md5(col("chunk")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      Some("""
+        SELECT doc_id, r.i AS chunk_idx,
+               CAST(length(substr(text, CAST(r.i * 150 + 1 AS BIGINT), 200))
+                    AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(r.i * 150 + 1 AS BIGINT), 200))
+                 AS chunk_md5
+        FROM documents, range(0, 100) r(i)
+        WHERE r.i * 150 < length(text)
+        ORDER BY doc_id, chunk_idx
       """))
   )
 }
