@@ -74,6 +74,52 @@ object ExtensionQueries {
       UNION ALL
       SELECT id_b AS src, id_a AS dst FROM j WHERE jac >= 0.8)"""
 
+  /** DuckDB replay of Dedup.simhash64 + the band self-join (see the
+    * q_dedup_simhash comment). The 64 per-bit majority sums and the
+    * signature rebuild are generated here rather than hand-written.
+    */
+  private lazy val simhashOracle: String = {
+    // BigInt: (1L << 63) would overflow Long to a negative literal
+    val bitSums = (0 until 64).map { b =>
+      s"SUM(CASE WHEN (h // CAST(${BigInt(1) << b} AS HUGEINT)) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n               ")
+    val shTerms = (0 until 64).map { b =>
+      s"CASE WHEN s$b > 0 THEN CAST(${BigInt(1) << b} AS HUGEINT) ELSE 0 END"
+    }.mkString(" + ")
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents),
+      fnv AS (
+        SELECT doc_id, list_reduce(
+          list_prepend(CAST(14695981039346656037 AS HUGEINT),
+            list_transform(string_split(t, ''),
+              c -> CAST(unicode(c) AS HUGEINT))),
+          (h, c) -> (xor(h, c) * CAST(1099511628211 AS HUGEINT))
+                    % CAST(18446744073709551616 AS HUGEINT)) AS h
+        FROM toks),
+      bits AS (SELECT doc_id,
+               $bitSums
+               FROM fnv GROUP BY doc_id),
+      sh AS (SELECT doc_id, $shTerms AS simhash FROM bits),
+      bands AS (
+        SELECT doc_id, simhash, b.i AS band,
+               (simhash // CAST(POWER(2, b.i * 16) AS HUGEINT)) % 65536
+                 AS key
+        FROM sh, range(0, 4) b(i)),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(CAST(a.simhash AS UBIGINT),
+                             CAST(b.simhash AS UBIGINT))) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+      FROM pairs WHERE hamming <= 6
+      ORDER BY id_a, id_b
+    """
+  }
+
   private def docTokens(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
@@ -237,13 +283,21 @@ object ExtensionQueries {
         ORDER BY doc_id
       """)),
 
-    // SimHash blocking (no oracle: hash internals not in DuckDB).
+    // SimHash blocking, FULLY oracle-checked: DuckDB replays the exact
+    // FNV-1a 64 per-token hash as a `list_reduce` fold in HUGEINT with
+    // explicit mod-2^64 (the corpus is ASCII, so `unicode(c)` equals
+    // Scala's UTF-16 charAt), the per-bit majority vote as 64 generated
+    // CASE sums, and the 16-bit band self-join + Hamming filter
+    // relationally. The oracle replicates the UNCAPPED band join —
+    // sound at the sf0.01 gate, where no band bucket can exceed the
+    // 1000-doc hot cap (corpus is 500 docs).
     QueryDef(
       "q_dedup_simhash",
       (s, dir) =>
         Dedup.simhashPairs(docTokens(s, dir), "doc_id", "tokens", 6)
+          .withColumn("hamming", col("hamming").cast("long"))
           .orderBy(col("id_a"), col("id_b")),
-      None),
+      Some(simhashOracle)),
 
     // Embedding near-dup: top-20 most-cosine-similar pairs (corpus has
     // no planted >0.95 pairs, so top-N instead of a threshold keeps the
