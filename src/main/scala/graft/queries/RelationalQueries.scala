@@ -187,6 +187,32 @@ object RelationalQueries {
         FROM q
         GROUP BY o_orderpriority, quartile
         ORDER BY o_orderpriority, quartile
+      """)),
+
+    // Exact interpolated percentiles (not approx sketches): both
+    // engines use the standard (n-1)·p rank interpolation; a 3-dp
+    // round at the edge absorbs last-ulp divergence, which is safe
+    // because the true values are multiples of 0.001 (2-dp prices,
+    // tenth-valued interpolation fractions) — never near a rounding
+    // boundary.
+    QueryDef(
+      "q_percentiles",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 3).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 3).as("p90"),
+            count(lit(1)).as("n"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority,
+               ROUND(quantile_cont(o_totalprice, 0.5), 3) AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 3) AS p90,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
       """))
   )
 }
