@@ -274,6 +274,38 @@ object EventQueries {
         ORDER BY e.event_id
       """)),
 
+    // Forward direction: each event attributed to the same user's NEXT
+    // purchase at-or-after it (DuckDB's ASOF infers direction from the
+    // >= inequality).
+    QueryDef(
+      "q_asof_forward",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("next_purchase_id"))
+        AsOfJoin.forward(
+            ev.select(col("event_id"), col("user_id"), col("ts")),
+            purchases, key = "user_id", leftTime = "ts",
+            rightTime = "ts", payload = Seq("next_purchase_id"))
+          .select(col("event_id"),
+            unix_micros(col("ts")).as("ts_us"), col("next_purchase_id"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT e.event_id,
+               epoch_us(CAST(e.ts AS TIMESTAMP)) AS ts_us,
+               p.event_id AS next_purchase_id
+        FROM events e
+        ASOF LEFT JOIN (SELECT user_id,
+                               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                               event_id
+                        FROM events WHERE event_type = 'purchase') p
+          ON e.user_id = p.user_id
+         AND p.us >= epoch_us(CAST(e.ts AS TIMESTAMP))
+        ORDER BY e.event_id
+      """)),
+
     // As-of with a staleness bound: purchases older than 30 minutes
     // don't count (merge_asof tolerance). The oracle post-filters
     // DuckDB's ASOF match with the same bound.

@@ -189,6 +189,27 @@ object RelationalQueries {
         ORDER BY o_orderpriority, quartile
       """)),
 
+    // Full cube over the same pair: all four grouping sets from one
+    // Expand + one shuffle.
+    QueryDef(
+      "q_cube_orders",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(dec)).cast("double")
+              .as("sum_price"))
+          .orderBy(col("o_orderpriority").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first),
+      Some("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+      """)),
+
     // Exact interpolated percentiles (not approx sketches): both
     // engines use the standard (n-1)·p rank interpolation; a 3-dp
     // round at the edge absorbs last-ulp divergence, which is safe
