@@ -33,21 +33,35 @@ object SkewJoin {
       .select(col(key))
       .collect().map(_.get(0)).toSeq
 
-  /** Inner equi-join with the given hot keys salted `salts` ways.
-    * With an empty hot set this degrades to a plain join. The salt is
-    * derived from a per-row physical id, which distributes uniformly
-    * and needs no extra column; it never affects WHICH rows match,
-    * only where they are computed.
+  /** Left-preserving join types the salted rewrite stays correct for:
+    * a left row carries exactly ONE salt, so per-salt matching against
+    * the fully-replicated right side preserves inner/outer/semi/anti
+    * semantics row for row. (Right-preserving types would need the
+    * mirrored construction — salt the right, replicate the left.)
     */
-  def saltedInnerJoin(
+  private val supported =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+
+  /** Equi-join with the given hot keys salted `salts` ways. With an
+    * empty hot set this degrades to a plain join. The salt is derived
+    * from a per-row physical id, which distributes uniformly and
+    * needs no extra column; it never affects WHICH rows match, only
+    * where they are computed.
+    */
+  def saltedJoin(
       left: DataFrame,
       right: DataFrame,
       leftKey: String,
       rightKey: String,
       salts: Int,
-      hot: Seq[Any]): DataFrame = {
+      hot: Seq[Any],
+      joinType: String = "inner"): DataFrame = {
     require(salts > 1, s"salts must be > 1: $salts")
-    if (hot.isEmpty) return left.join(right, keyEq(left, leftKey, right, rightKey))
+    require(supported(joinType.toLowerCase),
+      s"unsupported joinType for left-salting: $joinType")
+    if (hot.isEmpty)
+      return left.join(right, keyEq(left, leftKey, right, rightKey), joinType)
 
     val hotSet = hot
     val lHot = left.where(col(leftKey).isin(hotSet: _*))
@@ -56,15 +70,31 @@ object SkewJoin {
     val rHot = right.where(col(rightKey).isin(hotSet: _*))
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     val hotJoined = lHot.join(rHot,
-        lHot(leftKey) === rHot(rightKey) && lHot("__salt") === rHot("__salt"))
+        lHot(leftKey) === rHot(rightKey) && lHot("__salt") === rHot("__salt"),
+        joinType)
       .drop("__salt")
 
-    val lCold = left.where(!col(leftKey).isin(hotSet: _*))
+    // null-key left rows must survive outer/anti joins: `isin` yields
+    // null for them on BOTH branches, which would silently drop them —
+    // route them cold explicitly (they never equi-match anything).
+    val lCold = left.where(col(leftKey).isNull ||
+      !col(leftKey).isin(hotSet: _*))
     val rCold = right.where(!col(rightKey).isin(hotSet: _*))
-    val coldJoined = lCold.join(rCold, keyEq(lCold, leftKey, rCold, rightKey))
+    val coldJoined = lCold.join(rCold,
+      keyEq(lCold, leftKey, rCold, rightKey), joinType)
 
     coldJoined.unionByName(hotJoined)
   }
+
+  /** Inner-join convenience, kept as the primary entry point. */
+  def saltedInnerJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      salts: Int,
+      hot: Seq[Any]): DataFrame =
+    saltedJoin(left, right, leftKey, rightKey, salts, hot)
 
   /** Detection + salting in one call. */
   def saltedInnerJoin(

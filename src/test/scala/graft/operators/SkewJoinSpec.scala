@@ -39,6 +39,27 @@ class SkewJoinSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("left_outer/semi/anti salted joins equal their plain twins") {
+    import org.apache.spark.sql.DataFrame
+    // left gains an unmatched hot key (77) and a null-key row
+    val l2 = left.unionByName(
+      (Seq((77L, 5000L)) ++ (0 until 20).map(i => (77L, 5001L + i)))
+        .toDF("k", "payload"))
+      .unionByName(Seq((Option.empty[Long], 9999L)).toDF("k", "payload"))
+    def plain(t: String) = l2.join(right, l2("k") === right("rk"), t)
+    def salted(t: String) = SkewJoin.saltedJoin(
+      l2, right, "k", "rk", salts = 4, hot = Seq(7L, 77L), joinType = t)
+    def canonCols(df: DataFrame, cols: Seq[String]) =
+      df.select(cols.map(col): _*)
+        .collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+
+    for (t <- Seq("left_outer", "left_semi", "left_anti")) {
+      val cols = if (t == "left_outer") Seq("k", "payload", "label")
+        else Seq("k", "payload")
+      assert(canonCols(salted(t), cols) == canonCols(plain(t), cols), t)
+    }
+  }
+
   test("auto-detected hot set and empty hot set both stay correct") {
     val plain = canon(left.join(right, left("k") === right("rk")))
     val auto = canon(SkewJoin.saltedInnerJoin(
