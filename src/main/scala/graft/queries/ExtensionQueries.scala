@@ -606,6 +606,35 @@ object ExtensionQueries {
         FROM documents, range(0, 100) r(i)
         WHERE r.i * 150 < length(text)
         ORDER BY doc_id, chunk_idx
+      """)),
+
+    // Deterministic content-hash sampling as an oracle-checked query:
+    // membership from md5(id) (DuckDB-replicable — the Sampling
+    // operator's xxhash64 is not, same pattern otherwise), keeping
+    // ids whose hash lands in 3 of 10 residue classes. The aggregate
+    // over the kept set proves BOTH engines selected the same rows.
+    QueryDef(
+      "q_sample_docs",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("h",
+            expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+              .cast("long"))
+          .where(pmod(col("h"), lit(10L)) < 3)
+          .agg(count(lit(1)).as("n_kept"),
+            sum(length(col("text")).cast("long")).as("sum_len"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id")),
+      Some("""
+        SELECT COUNT(*) AS n_kept,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM (SELECT doc_id, text,
+                     CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT) AS h
+              FROM documents)
+        WHERE h % 10 < 3
       """))
   )
 }
