@@ -120,6 +120,115 @@ object ExtensionQueries {
     """
   }
 
+  /** DuckDB replay of [[graft.functions.Hyperplane]] — the random-
+    * hyperplane LSH kernel behind `q_ann_lsh` — plus the (table,
+    * bucket) candidate join and exact cosine re-rank, making the LSH
+    * ANN path fully hash-checked (the same move that oracled SimHash:
+    * replay the exact bit-level hash in HUGEINT with explicit
+    * mod-2^64).
+    *
+    * Determinism notes:
+    *  - splitmix64's two 64×64-bit wrapping multiplies would overflow
+    *    even HUGEINT (2^128), so the oracle multiplies via a 32-bit
+    *    split: (a·b) mod 2^64 = ((a÷2^32·b mod 2^32)·2^32 + (a mod
+    *    2^32)·b) mod 2^64 — every intermediate < 2^97.
+    *  - the projection weight ((mix >>> 11)/2^53 − 0.5) is exactly
+    *    representable (numerator an integer ≤ 2^53, power-of-two
+    *    denominator), so both engines compute bit-identical doubles.
+    *  - each dot product is folded in dimension order via
+    *    `list_reduce(list(term ORDER BY d))`, matching the Scala
+    *    kernel's sequential loop exactly — the bucket sign bits are
+    *    reproduced bit-for-bit, not approximately.
+    *  - the re-rank reuses the q_ann_topk cosine shape (unordered SUM,
+    *    rounded to 6 decimals before ranking).
+    */
+  private lazy val lshOracle: String = {
+    def u(x: Long): String =
+      s"CAST(${java.lang.Long.toUnsignedString(x)} AS HUGEINT)"
+    val m64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
+    // (a*b) mod 2^64 with a < 2^64 and b a 64-bit constant, HUGEINT-safe
+    def mulMod(a: String, b: String): String =
+      s"((($a) // 4294967296 * $b % 4294967296) * 4294967296" +
+        s" + ($a) % 4294967296 * $b) % $m64"
+    val bits = 4
+    val tables = 8
+    val nPlanes = bits * tables
+    val seed = u(0x5eedL)
+    val planeK = u(0x100000001b3L)
+    val dimK = u(0x27d4eb2f165667c5L)
+    val golden = u(0x9e3779b97f4a7c15L)
+    val mixC1 = u(0xbf58476d1ce4e5b9L)
+    val mixC2 = u(0x94d049bb133111ebL)
+    s"""
+      WITH dims AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               CAST(generate_subscripts(embedding, 1) - 1 AS HUGEINT) AS d
+        FROM embeddings),
+      -- splitmix64(seed + plane·K1 + dim·K2) per (plane, dimension);
+      -- dimension ids come from the data itself (range() can't take a
+      -- subquery bound in DuckDB)
+      dimids AS (SELECT DISTINCT d FROM dims),
+      wz1 AS (
+        SELECT p.p, dimids.d,
+               ($seed + CAST(p.p AS HUGEINT) * $planeK
+                + dimids.d * $dimK + $golden) % $m64 AS z1
+        FROM range(0, $nPlanes) p(p), dimids),
+      wz2 AS (SELECT p, d,
+              ${mulMod("xor(z1, z1 // 1073741824)", mixC1)} AS z2 FROM wz1),
+      wz3 AS (SELECT p, d,
+              ${mulMod("xor(z2, z2 // 134217728)", mixC2)} AS z3 FROM wz2),
+      wt AS (
+        SELECT p, CAST(d AS HUGEINT) AS d,
+               CAST(xor(z3, z3 // 2147483648) // 2048 AS DOUBLE)
+                 / 9007199254740992.0 - 0.5 AS w
+        FROM wz3),
+      -- dot products folded in dimension order (bit-exact vs Scala)
+      dterms AS (
+        SELECT dm.vec_id, wt.p, dm.d, dm.x * wt.w AS term
+        FROM dims dm JOIN wt ON wt.d = dm.d),
+      dots AS (
+        SELECT vec_id, p,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(term ORDER BY d)),
+                           (a, b) -> a + b) AS dot
+        FROM dterms GROUP BY vec_id, p),
+      -- pack sign bits: table = p // bits, bit = p % bits
+      buckets AS (
+        SELECT vec_id, p // $bits AS tbl,
+               SUM(CASE WHEN dot >= 0
+                        THEN CAST(1 AS BIGINT) << CAST(p % $bits AS INTEGER)
+                        ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2),
+      qb AS (SELECT vec_id AS query_id, tbl, bucket
+             FROM buckets WHERE vec_id < 10),
+      cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM qb q JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id),
+      norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+      cdots AS (
+        SELECT cd.query_id, cd.neighbor_id, sum(qd.x * nd.x) AS dt
+        FROM cand cd
+        JOIN dims qd ON qd.vec_id = cd.query_id
+        JOIN dims nd ON nd.vec_id = cd.neighbor_id AND nd.d = qd.d
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(dt / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM cdots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, neighbor_id, cosine, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank
+    """
+  }
+
   private def docTokens(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
@@ -355,8 +464,13 @@ object ExtensionQueries {
       },
       None),
 
-    // LSH-bucketed approximate variant (no oracle: approximate by
-    // construction; ground truth is q_ann_topk).
+    // LSH-bucketed approximate variant — FULLY oracle-checked even
+    // though it's an approximate algorithm: the hyperplane buckets are
+    // a deterministic pure function of (seed, data), so DuckDB replays
+    // the splitmix64 projection weights, the dimension-ordered dot
+    // folds, the sign-bit packing, the band join, and the cosine
+    // re-rank bit-for-bit (see lshOracle). Ground truth for RECALL is
+    // still q_ann_topk; this pins the mechanism itself.
     QueryDef(
       "q_ann_lsh",
       (s, dir) => {
@@ -370,7 +484,7 @@ object ExtensionQueries {
             bits = 4, tables = 8)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(lshOracle)),
 
     // Recall@5 of the IVF search with the DETERMINISTIC corpus-sampled
     // codebook (16 centroids = the smallest vec_ids, nprobe 4) against
