@@ -92,6 +92,45 @@ object EventQueries {
       },
       Some(sessionsOracle)),
 
+    // Streaming exact dedup (dropDuplicatesWithinWatermark) keyed on
+    // (user_id, event_type). Only the surviving KEY SET is projected —
+    // which duplicate row survives inside a micro-batch is an
+    // execution-order accident, but the key set equals the distinct
+    // keys, which the batch oracle checks exactly.
+    QueryDef(
+      "q_stream_dedup",
+      (s, dir) =>
+        StreamingOps.dedupedEventKeys(s, s"$dir/events.parquet")
+          .orderBy(col("user_id"), col("event_type")),
+      Some("""
+        SELECT DISTINCT user_id, event_type
+        FROM events
+        ORDER BY user_id, event_type
+      """)),
+
+    // Watermarked stream-stream interval join: each purchase joined to
+    // the same user's clicks in the preceding hour. Inner matches emit
+    // eagerly, so the bounded one-batch run produces the complete
+    // interval join; the oracle replays it relationally in epoch µs
+    // (the engine's event-time precision).
+    QueryDef(
+      "q_stream_join",
+      (s, dir) =>
+        StreamingOps.attributedConversions(s, s"$dir/events.parquet")
+          .orderBy(col("conv_id"), col("click_id")),
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events)
+        SELECT l.event_id AS conv_id, r.event_id AS click_id
+        FROM e l JOIN e r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'purchase' AND r.event_type = 'click'
+         AND r.us <= l.us AND r.us >= l.us - 3600000000
+        ORDER BY conv_id, click_id
+      """)),
+
     // The SAME sessionization as stateful streaming
     // (mapGroupsWithState) — matches the lag-window batch oracle.
     QueryDef(

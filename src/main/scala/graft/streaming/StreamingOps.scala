@@ -139,6 +139,66 @@ object StreamingOps {
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** Runs [[dedupWithinWatermark]] over the events parquet (memory
+    * sink, append mode) keyed on (user_id, event_type), returning the
+    * surviving keys. Only the KEY columns are projected: within a
+    * micro-batch, WHICH duplicate survives is an execution-order
+    * accident, but the set of surviving keys is exactly the distinct
+    * key set — the deterministic face of an at-least-once streaming
+    * dedup, and the one a batch oracle can check.
+    */
+  def dedupedEventKeys(
+      spark: SparkSession,
+      path: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val stream = readEventStream(spark, path)
+    val deduped =
+      dedupWithinWatermark(stream, Seq("user_id", "event_type"), "ts", watermark)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select(col("user_id"), col("event_type"))
+  }
+
+  /** Runs [[joinWithinInterval]] as a click-attribution stream: each
+    * `convType` event joined to the same user's `clickType` events in
+    * the preceding `windowSeconds`. Both sides stream from the same
+    * events parquet with renamed columns (a stream-stream self-join on
+    * identical names cannot be disambiguated after the join). Inner
+    * stream-stream matches emit eagerly, so with a bounded one-batch
+    * input the append-mode output is the complete interval join —
+    * deterministic, batch-oracle-checkable.
+    */
+  def attributedConversions(
+      spark: SparkSession,
+      path: String,
+      convType: String = "purchase",
+      clickType: String = "click",
+      windowSeconds: Long = 3600L,
+      watermark: String = "2 hours"): DataFrame = {
+    val conv = readEventStream(spark, path)
+      .filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"),
+        col("user_id").as("conv_user"), col("ts").as("conv_ts"))
+    val clicks = readEventStream(spark, path)
+      .filter(col("event_type") === clickType)
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+    val joined = joinWithinInterval(conv, clicks,
+      "conv_user", "click_user", "conv_ts", "click_ts",
+      watermark, windowSeconds)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select(col("conv_id"), col("click_id"))
+  }
+
   /** Hourly tumbling-window counts and exact sums per event_type.
     * Watermark bounds state; complete output mode emits every window
     * (append would withhold windows newer than the final watermark).
