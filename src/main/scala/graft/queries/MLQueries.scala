@@ -72,9 +72,12 @@ object MLQueries {
       None),
 
     // M5-M7 as vectors — TF (L1) ∘ Log10IDF over trimmed count
-    // vectors; returns per-doc L2 norm of the tf-idf vector (a scalar
-    // fingerprint of the vector pipeline; the exact per-cell values are
-    // oracle-checked relationally by q_tfidf). No oracle: VectorUDT.
+    // vectors; returns per-doc L2 norm of the tf-idf vector, which IS
+    // SQL-expressible: with the default (1,1) trim the vocabulary is
+    // every split token, so the norm is sqrt(Σ ((cnt/doc_total) ·
+    // log10(N/df))²) over the q_tfidf cell values. The oracle replays
+    // exactly that; rounding to 6 decimals absorbs libm log10 ulps and
+    // summation-order noise (same policy as the cosine oracles).
     QueryDef(
       "q_tfidf_vectors",
       (s, dir) => {
@@ -101,7 +104,28 @@ object MLQueries {
               6).as("tfidf_l2"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""
+        WITH counts AS (
+          SELECT doc_id, word, COUNT(*) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY doc_id, word),
+        df AS (SELECT word, COUNT(*) AS df FROM counts GROUP BY word),
+        tot AS (SELECT doc_id, SUM(cnt) AS tot FROM counts GROUP BY doc_id),
+        cells AS (
+          SELECT c.doc_id,
+                 (CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                   * LOG10(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                           / CAST(df.df AS DOUBLE)) AS cell
+          FROM counts c
+          JOIN tot t ON t.doc_id = c.doc_id
+          JOIN df ON df.word = c.word)
+        SELECT d.doc_id,
+               ROUND(COALESCE(sqrt(SUM(cell * cell)), 0.0), 6) AS tfidf_l2
+        FROM documents d LEFT JOIN cells ON cells.doc_id = d.doc_id
+        GROUP BY d.doc_id
+        ORDER BY d.doc_id
+      """)),
 
     // M8 — k-means on the embeddings table (k=10, fixed seed); cluster
     // sizes + training cost. The reference's nstart=50 best-of-restarts
