@@ -27,12 +27,14 @@ object TextAnalysis {
   def bpeTokenEstimate(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePattern), lit(0)))
 
-  /** Fraction of whitespace tokens that are Snowball stopwords. */
+  /** Fraction of whitespace tokens that are Snowball stopwords. The
+    * count runs as the native [[StopwordCountExpression]] — one hashed
+    * set probe per token inside whole-stage codegen, not an interpreted
+    * HOF re-scanning a 175-element literal array per token.
+    */
   def stopwordRatio(text: Column): Column = {
     val toks = split(text, " ", -1)
-    val stops = array(TextFunctions.snowballStopWords.map(lit): _*)
-    size(filter(toks, t => array_contains(stops, t))).cast("double") /
-      size(toks).cast("double")
+    stopword_count(toks).cast("double") / size(toks).cast("double")
   }
 
   /** Fraction of distinct tokens (type/token ratio). */

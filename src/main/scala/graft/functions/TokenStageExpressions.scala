@@ -70,6 +70,38 @@ object StemPrune {
   }
 }
 
+object StopwordCount {
+
+  /** Snowball stopwords as a UTF8String hash set, built once per JVM —
+    * the same hashed-membership shape `isin` compiles to (InSet). The
+    * HOF formulation this replaces (`filter(toks, t =>
+    * array_contains(stops, t))`) ran interpreted and re-scanned a
+    * 175-element literal array per token — the engine's own documented
+    * anti-pattern (see TextQueries' q_pipeline_tokens note).
+    */
+  private val stops: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](512)
+    TextFunctions.snowballStopWords
+      .foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  /** Number of array elements that are Snowball stopwords (null
+    * elements don't count, like the filter-with-null-predicate HOF).
+    */
+  def apply(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      if (t != null && stops.contains(t)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 /** `string → array<string>` tokenize+lower as a codegen expression. */
 case class TokenizeLowerExpression(child: Expression)
     extends UnaryExpression {
@@ -93,6 +125,34 @@ case class TokenizeLowerExpression(child: Expression)
 
   override protected def withNewChildInternal(
       newChild: Expression): TokenizeLowerExpression = copy(child = newChild)
+}
+
+/** `array<string> → int` Snowball-stopword count as a codegen
+  * expression — one compiled loop per row over a static hash set.
+  */
+case class StopwordCountExpression(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stopword_count"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string> input, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    StopwordCount(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StopwordCount.apply($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StopwordCountExpression = copy(child = newChild)
 }
 
 /** `array<string> → array<string>` stem+prune as a codegen expression. */

@@ -28,6 +28,12 @@ package object functions {
   def tokenize_lower(c: Column): Column =
     Bridge.column(TokenizeLowerExpression(Bridge.expression(c)))
 
+  /** Snowball-stopword count of a token-array column (hashed set probe
+    * per token, codegen'd — never an array scan per token).
+    */
+  def stopword_count(c: Column): Column =
+    Bridge.column(StopwordCountExpression(Bridge.expression(c)))
+
   /** Fused F8+F9 (Porter2 stem + single-char prune) as one codegen pass. */
   def stem_prune(c: Column): Column =
     Bridge.column(StemPruneExpression(Bridge.expression(c)))
