@@ -116,8 +116,9 @@ object Bench {
   /** The flagship comparison: the reference's only published timing is
     * 27-30 min single-threaded rpart training on the 59,946-doc DFM
     * (reference README:14, out.txt:1; BASELINE.md). Same shape here:
-    * feature pipeline fit + transform, stratified 70/30, depth-3 tree,
-    * confusion matrix — end-to-end, distributed, sparse throughout.
+    * feature pipeline fit + transform, stratified 70/30, tree grown to
+    * depth 8 then cp=0.02 weakest-link pruned (rpart's own capacity
+    * control), confusion matrix — end-to-end, distributed, sparse.
     */
   private def benchOkCupidTree(spark: SparkSession): Double = {
     val profiles = syntheticProfiles(spark, 59946L)

@@ -87,8 +87,12 @@ object OkCupidPipeline {
   }
 
   /** Train + evaluate: stratified 70/30 (seed 32984, the reference's),
-    * depth-bounded tree (rpart cp=0.02 yielded depth 3), returns the
-    * confusion matrix (prediction × label counts) and accuracy.
+    * rpart-semantics tree — grown to `maxDepth`, then weakest-link
+    * cost-complexity pruned at `cp` (TreePruning; the reference's
+    * `rpart(..., cp = .02)` at R:178 — rpart grows with no depth cap
+    * of consequence and cp does the capacity control, which is what
+    * the earlier fixed depth-3 approximated). Returns the confusion
+    * matrix (prediction × label counts) and accuracy.
     *
     * The transformed corpus is projected down to (label, features) and
     * persisted before the split: the text chain (clean → tokenize →
@@ -103,8 +107,9 @@ object OkCupidPipeline {
       profiles: DataFrame,
       minDocFreq: Int = 25,
       minTermFreq: Int = 35,
-      maxDepth: Int = 3,
-      seed: Long = 32984L): (DataFrame, Double) = {
+      maxDepth: Int = 8,
+      seed: Long = 32984L,
+      cp: Double = 0.02): (DataFrame, Double) = {
     val essays = withEssays(profiles)
       .withColumn("label", (col("sex") === "m").cast("double"))
     // Evaluate the text chain ONCE: run the transformer prefix of the
@@ -126,7 +131,7 @@ object OkCupidPipeline {
         .select(col("label"), col("features"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        trainOnFeatures(features, profiles, maxDepth, seed)
+        trainOnFeatures(features, profiles, maxDepth, seed, cp)
       } finally features.unpersist()
     } finally tokens.unpersist()
   }
@@ -136,7 +141,8 @@ object OkCupidPipeline {
       features: DataFrame,
       profiles: DataFrame,
       maxDepth: Int,
-      seed: Long): (DataFrame, Double) = {
+      seed: Long,
+      cp: Double): (DataFrame, Double) = {
     val nRows = features.count()
     val (train0, test0) = StratifiedSplit.split(features, "label", 0.7, seed)
     // The content-hash split keeps the input's partitioning (its only
@@ -157,7 +163,10 @@ object OkCupidPipeline {
     val dt = new DecisionTreeClassifier()
       .setLabelCol("label").setFeaturesCol("features")
       .setMaxDepth(maxDepth).setSeed(seed)
-    val model = dt.fit(train)
+    val grown = dt.fit(train)
+    // rpart's capacity control: weakest-link prune at cp (driver-side
+    // over the node tree; the model is already driver-resident)
+    val model = if (cp > 0) TreePruning.pruneCp(grown, cp) else grown
     val predictions = model.transform(test)
       .select(col("prediction"), col("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -44,9 +44,10 @@ object MLQueries {
 
     // M3/M4 — decision-tree classifier on trimmed count vectors
     // (binary: lang == 'en'), stratified split, confusion matrix (A7).
-    // The reference's rpart cp=0.02 produced a depth-3 tree; maxDepth=3
-    // approximates that capacity (SURVEY H2: metric parity, not tree
-    // identity). No oracle: DuckDB trains no trees.
+    // rpart semantics honored (R:178): grow deep (maxDepth=8), then
+    // weakest-link cost-complexity prune at cp=0.02 (TreePruning) —
+    // cp, not a depth cap, is the capacity control, closing SURVEY H2.
+    // No oracle: DuckDB trains no trees.
     QueryDef(
       "q_confusion",
       (s, dir) => {
@@ -62,8 +63,8 @@ object MLQueries {
           StratifiedSplit.split(featurized, "label", 0.7, 32984L)
         val dt = new DecisionTreeClassifier()
           .setLabelCol("label").setFeaturesCol("features")
-          .setMaxDepth(3).setSeed(32984L)
-        val model = dt.fit(train)
+          .setMaxDepth(8).setSeed(32984L)
+        val model = graft.operators.TreePruning.pruneCp(dt.fit(train), 0.02)
         model.transform(test)
           .groupBy(col("prediction"), col("label"))
           .agg(count(lit(1)).as("n"))
