@@ -88,28 +88,69 @@ object Bench {
     last
   }
 
-  /** ~60k synthetic profiles of the reference corpus's shape (59,946
-    * docs; the trimmed DFM lands near its 1,246 features): essay text
-    * drawn from a 2,000-word vocabulary with a u² rank skew, one word
-    * in five flipped to the mirrored rank for one class so the tree
-    * has real signal to split on. Deterministic (xxhash64 of the row
-    * id), generated distributed by native expressions — no driver data.
+  /** ~60k synthetic profiles matching the reference corpus's PUBLISHED
+    * shape (BASELINE.md anchors, out.txt:1), not just its row count:
+    *
+    *  - vocabulary is a two-regime mixture — a bounded-Zipf (s=1.1)
+    *    core of 11,500 stems that survives the (25,35) dfm_trim, plus
+    *    a 130k-word rare tail (10% of tokens, ~7 occurrences each)
+    *    that inflates the RAW vocabulary but never clears the trim.
+    *    Calibrated by simulation to the anchors: raw ≈153,385 features
+    *    (−0.3%), trimmed ≈12,857 (−3.7%) — real corpora show the
+    *    same two-regime Zipf break, which is WHY a single power law
+    *    cannot reproduce the published raw:trimmed ratio of 11.9 (a
+    *    pure Zipf pins distinct:trimmed near 25 at any exponent);
+    *  - class balance is the reference's f 0.40 / m 0.60 (out.txt
+    *    class-balance anchor), not 50/50;
+    *  - every 20th word of an 'f' doc is flipped to a mirrored word id
+    *    (class-exclusive mid-frequency terms) so the tree has real but
+    *    imperfect signal;
+    *  - ~3% of docs have an empty essay0 (the real corpus has empty
+    *    essays; exercises the ""-token quirk path at bench scale).
+    *
+    * Deterministic (xxhash64 of the row id), generated distributed by
+    * native expressions — no driver data. The trimmed DFM is now the
+    * reference's actual 59,946 × ~12.9k training shape, making the
+    * rpart-baseline comparison apples-to-apples.
     */
   def syntheticProfiles(spark: SparkSession, n: Long): DataFrame = {
-    val vocab = 2000
-    val wordsPerDoc = 150
-    val isF = pmod(xxhash64(col("id")), lit(2)) === 1
+    val coreV = 12000L // Zipf core: survives the (25,35) trim
+    val tailV = 131000L // rare tail: raw-vocab mass below the trim
+    val pTail = 0.1
+    val s = 1.1 // core Zipf exponent
+    val wordsPerDoc = 160
+    // f 0.40 / m 0.60, deterministic per row
+    val isF = pmod(xxhash64(col("id")), lit(5)) < 2
+    val emptyDoc = pmod(xxhash64(col("id"), lit(999)), lit(100)) < 3
     val essay = array_join(
       transform(sequence(lit(1), lit(wordsPerDoc)), i => {
-        val u = pmod(xxhash64(col("id"), i), lit(1000000))
-          .cast("double") / lit(1e6)
-        val idx = floor(u * u * lit(vocab)).cast("long")
-        val shifted = when(isF && pmod(i, lit(5)) === 0,
-          lit(vocab - 1L) - idx).otherwise(idx)
-        concat(lit("w"), shifted.cast("string"))
+        // 1e9 granularity: at 1e-6 the tail inverse-CDF could reach
+        // only 100k distinct ids (floor(k·1.3) over 100k lattice
+        // points) and the raw vocabulary fell 20% short of its anchor
+        val u = pmod(xxhash64(col("id"), i), lit(1000000000L))
+          .cast("double") / lit(1e9)
+        // tail branch: uniform over tailV ids above the core
+        val tailId = lit(coreV) + lit(1L) +
+          floor(u / lit(pTail) * lit(tailV)).cast("long")
+        // core branch: bounded-Zipf rank via the continuous inverse
+        // CDF x = (1 − t·(1 − V^(1−s)))^(1/(1−s)), t ∈ (0,1)
+        val t = (u - lit(pTail)) / lit(1.0 - pTail)
+        val x = pow(
+          lit(1.0) - t * lit(1.0 - math.pow(coreV.toDouble, 1.0 - s)),
+          lit(1.0 / (1.0 - s)))
+        val coreId = least(floor(x).cast("long"), lit(coreV))
+        // class signal: every 10th CORE word of an f doc mirrors into
+        // a class-exclusive id space (stays above the trim thresholds
+        // because mirrored ids inherit the head ranks' draw frequency)
+        val mirrored = lit(coreV + tailV) + (lit(coreV) + 1L - coreId)
+        val id = when(u < pTail, tailId)
+          .when(isF && pmod(i, lit(20)) === 0, mirrored)
+          .otherwise(coreId)
+        concat(lit("w"), id.cast("string"))
       }), " ")
     spark.range(n).select(
-      Seq(when(isF, "f").otherwise("m").as("sex"), essay.as("essay0")) ++
+      Seq(when(isF, "f").otherwise("m").as("sex"),
+        when(emptyDoc, "").otherwise(essay).as("essay0")) ++
         (1 to 9).map(j => lit("").as(s"essay$j")): _*)
   }
 
@@ -120,11 +161,36 @@ object Bench {
     * depth 8 then cp=0.02 weakest-link pruned (rpart's own capacity
     * control), confusion matrix — end-to-end, distributed, sparse.
     */
+  private var vocabPrinted = false
+
+  /** One-time corpus-shape report against the BASELINE.md anchors
+    * (raw 153,385 / trimmed 12,857): raw vocabulary and (25,35)-trim
+    * survivors of the synthetic corpus. Synthetic word ids pass the
+    * token chain unchanged, so the space-split DFM equals the
+    * pipeline's. Runs outside the timed region.
+    */
+  private def printVocabShape(profiles: DataFrame): Unit = {
+    import org.apache.spark.sql.Row
+    val Row(raw: Long, trimmed: Long) = profiles
+      .select(monotonically_increasing_id().as("d"), col("essay0"))
+      .select(col("d"), explode(split(col("essay0"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(countDistinct(col("d")).as("df"), count(lit(1)).as("tf"))
+      .agg(count(lit(1)),
+        sum(when(col("df") >= 25 && col("tf") >= 35, 1L).otherwise(0L)))
+      .head()
+    System.err.println(
+      s"[bench] corpus raw_vocab=$raw trimmed_vocab=$trimmed " +
+        "(anchors 153385 / 12857)")
+  }
+
   private def benchOkCupidTree(spark: SparkSession): Double = {
     val profiles = syntheticProfiles(spark, 59946L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       profiles.count() // materialize the corpus outside the timed region
+      if (!vocabPrinted) { vocabPrinted = true; printVocabShape(profiles) }
       val t0 = System.nanoTime()
       val (confusion, acc) = OkCupidPipeline.trainAndEvaluate(profiles)
       confusion.collect()
