@@ -1,0 +1,88 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression gates for the properties the engine's
+  * scale story depends on — previously audited by hand each round,
+  * now failing loudly if a change silently degrades a plan:
+  *
+  *  - predicate pushdown + column pruning reach the parquet scan
+  *    (q_projection);
+  *  - top-k plans as TakeOrderedAndProject (k rows per partition +
+  *    k at the driver), never a global sort (q_topk_orders,
+  *    q_top_words);
+  *  - small dimensions broadcast (q_join_agg) — no shuffle of the
+  *    dim side, no sort-merge fallback;
+  *  - no CartesianProduct anywhere in the declarative query surface:
+  *    the engine's only unconditioned joins are tiny broadcast
+  *    cross-joins (literal counts, centroid tables), which plan as
+  *    BroadcastNestedLoopJoin.
+  *
+  * Plans are built against sf0.001 and never executed (queries whose
+  * CONSTRUCTION executes jobs — ML fits, iterative dedup, streaming
+  * runners, hot-key collection — are exercised by their own specs and
+  * the correctness gate instead).
+  */
+class PlanShapeSpec extends SparkSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+  }
+
+  test("q_projection: filter pushed to parquet, text column pruned") {
+    val p = plan("q_projection")
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed:\n$p")
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$p"))
+    assert(!readSchema.contains("text"),
+      s"scan reads the unprojected text column: $readSchema")
+  }
+
+  test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("q_topk_orders", "q_top_words")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q:\n$p")
+    }
+  }
+
+  test("q_join_agg broadcasts the customer dimension") {
+    val p = plan("q_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    // the dim join must not fall back to sort-merge (the fact-fact
+    // join may legitimately SMJ at scale, but sf0.001 facts are tiny
+    // and AQE may pick broadcast for both — assert only the absence
+    // of a sort-merge on the BROADCAST-hinted custkey equi-join)
+    assert(!p.matches("(?s).*SortMergeJoin.*c_custkey.*"),
+      s"customer dim joined by sort-merge:\n$p")
+  }
+
+  test("no CartesianProduct in the declarative query surface") {
+    // every SparkEntry query whose plan builds without running jobs
+    val lazyQueries = Seq(
+      "q1_agg", "q_projection", "q_topk_orders", "q_join_agg",
+      "q_cube_orders", "q_rollup_orders", "q_ntile_orders",
+      "q_percentiles", "q_pivot_events", "q_json_extract",
+      "q_events_window", "q_sessions", "q_session_window",
+      "q_top_words", "q_doc_lengths", "q_clean", "q_tokenize",
+      "q_stopwords", "q_pipeline_tokens", "q_stem_terms",
+      "q_dfm_counts", "q_docfreq", "q_vocab_trim", "q_sparsity",
+      "q_class_balance", "q_tf", "q_idf", "q_tfidf",
+      "q_words_by_group", "q_top500_diff",
+      "q_dedup_exact", "q_dedup_spans", "q_chunk_docs",
+      "q_sample_docs", "q_token_stats", "q_quality", "q_lang_id",
+      "q_fingerprint", "q_multimodal_meta", "q_multimodal_frames",
+      "q_ann_topk", "q_asof_join", "q_asof_forward",
+      "q_asof_tolerance", "q_range_join")
+    for (q <- lazyQueries) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a CartesianProduct:\n$p")
+    }
+  }
+}
