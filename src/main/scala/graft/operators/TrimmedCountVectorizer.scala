@@ -38,12 +38,20 @@ class TrimmedCountVectorizer(override val uid: String)
   final val minTermFreq = new IntParam(this, "minTermFreq",
     "minimum corpus-wide occurrence count of a term",
     ParamValidators.gtEq(1))
-  setDefault(outputCol -> "features", minDocFreq -> 1, minTermFreq -> 1)
+  final val maxVocabSize = new IntParam(this, "maxVocabSize",
+    "hard cap on the vocabulary (top terms by corpus frequency, ties " +
+      "broken by term; bounds the driver-side vocabulary collect " +
+      "explicitly — at 100 TB with low trim thresholds the surviving " +
+      "vocabulary itself can be huge)",
+    ParamValidators.gtEq(1))
+  setDefault(outputCol -> "features", minDocFreq -> 1, minTermFreq -> 1,
+    maxVocabSize -> Int.MaxValue)
 
   def setInputCol(v: String): this.type = set(inputCol, v)
   def setOutputCol(v: String): this.type = set(outputCol, v)
   def setMinDocFreq(v: Int): this.type = set(minDocFreq, v)
   def setMinTermFreq(v: Int): this.type = set(minTermFreq, v)
+  def setMaxVocabSize(v: Int): this.type = set(maxVocabSize, v)
 
   override def fit(ds: Dataset[_]): TrimmedCountVectorizerModel = {
     val spark = ds.sparkSession
@@ -56,13 +64,20 @@ class TrimmedCountVectorizer(override val uid: String)
       .select(col("__doc"), explode(col("__tokens")).as("__term"))
       .groupBy(col("__doc"), col("__term"))
       .agg(count(lit(1)).as("__cnt"))
-    val vocabRows = byDocTerm
+    // The (tf desc, term asc) order doubles as the deterministic
+    // maxVocabSize tie-break; limit() plans TakeOrderedAndProject (k
+    // rows per partition, k at the driver), so the collect is bounded
+    // by construction, not by hoping the trim thresholds are high.
+    val survivors = byDocTerm
       .groupBy(col("__term"))
       .agg(count(lit(1)).as("__df"), sum(col("__cnt")).as("__tf"))
       .filter(col("__df") >= $(minDocFreq) && col("__tf") >= $(minTermFreq))
       .orderBy(desc("__tf"), asc("__term"))
       .select(col("__term"))
-      .collect()
+    val vocabRows =
+      (if ($(maxVocabSize) == Int.MaxValue) survivors
+       else survivors.limit($(maxVocabSize)))
+        .collect()
     val vocab = vocabRows.map(_.getString(0))
     copyValues(new TrimmedCountVectorizerModel(uid, vocab).setParent(this))
   }
