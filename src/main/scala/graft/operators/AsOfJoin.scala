@@ -100,6 +100,7 @@ object AsOfJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String]): DataFrame = {
+    Reserved.check("left" -> left, "right" -> right)
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide " +
@@ -130,6 +131,7 @@ object AsOfJoin {
       payload: Seq[String],
       forward: Boolean,
       keepMatchTime: Boolean = false): DataFrame = {
+    Reserved.check("left" -> left, "right" -> right)
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide " +

@@ -56,6 +56,7 @@ object RangeJoin {
       hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    Reserved.check("points" -> points, "intervals" -> intervals)
     val w = lit(bucketWidth)
     // Interval [lo, hi) overlaps buckets floor(lo/w)..floor(hi/w).
     // The hi bucket is included even when hi is on a boundary — the

@@ -23,9 +23,17 @@ object SkewJoin {
 
   /** Exact hot-key detection: keys whose left-side row count exceeds
     * `threshold`. One map-side-combined count agg + a driver collect
-    * of only the over-threshold keys — for any meaningful threshold
-    * (≫ rows/partition) the result is a handful of heavy hitters,
-    * never the key domain.
+    * of only the over-threshold keys.
+    *
+    * PICK THE THRESHOLD RELATIVE TO THE DATA — a multiple of the mean
+    * per-key count (e.g. 8×), or sized so only genuine stragglers
+    * qualify. A threshold below the mean makes MOST of the key domain
+    * "hot": every such key is collected to the driver, compiled into
+    * the two `isin` routing predicates, and the right side replicates
+    * `salts`× for it — still correct (the bench's q_skew_join runs
+    * that all-hot regime deliberately, as a worst case the oracle
+    * checks), but it is the degenerate configuration, not skew
+    * handling.
     */
   def hotKeys(left: DataFrame, key: String, threshold: Long): Seq[Any] =
     left.groupBy(col(key)).count()
@@ -60,6 +68,7 @@ object SkewJoin {
     require(salts > 1, s"salts must be > 1: $salts")
     require(supported(joinType.toLowerCase),
       s"unsupported joinType for left-salting: $joinType")
+    Reserved.check("left" -> left, "right" -> right)
     if (hot.isEmpty)
       return left.join(right, keyEq(left, leftKey, right, rightKey), joinType)
 

@@ -399,7 +399,13 @@ object ExtensionQueries {
     // CASE sums, and the 16-bit band self-join + Hamming filter
     // relationally. The oracle replicates the UNCAPPED band join —
     // sound at the sf0.01 gate, where no band bucket can exceed the
-    // 1000-doc hot cap (corpus is 500 docs).
+    // 1000-doc hot cap (corpus is 500 docs). SECOND ASSUMPTION:
+    // non-empty text — Spark bands an empty/whitespace-only doc with
+    // simhash=0, while the oracle's unnest yields no rows and drops it
+    // before banding, so a PAIR of empty docs would appear only on the
+    // Spark side. The sf corpora have no empty documents; a corpus
+    // that gains them needs the oracle to emit simhash=0 for
+    // token-less docs.
     QueryDef(
       "q_dedup_simhash",
       (s, dir) =>
@@ -700,7 +706,12 @@ object ExtensionQueries {
     // splitter ahead of embedding/RAG pipelines — 200-char chunks,
     // 50-char overlap (stride 150). Relational explode+substring,
     // shuffle-free; the oracle replays the same windows with a range
-    // join.
+    // join. ORACLE SOUNDNESS BOUND: range(0,100) caps the replay at
+    // 100 chunks/doc, i.e. docs ≤ 15,000 chars (100·stride); DuckDB's
+    // range() cannot take a data-derived bound. The sf corpora max out
+    // at 577 chars (3 chunks) — a future corpus with longer docs must
+    // raise the 100 or the oracle silently undercounts while Spark
+    // does not.
     QueryDef(
       "q_chunk_docs",
       (s, dir) =>

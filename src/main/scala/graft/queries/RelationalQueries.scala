@@ -107,9 +107,15 @@ object RelationalQueries {
     // The same logical join under hot-key salting (SkewJoin): events
     // fact ⋈ customer dim on user_id, hot users spread over 8 salts.
     // Salting must never change WHICH rows match — the oracle is the
-    // plain SQL join. (Threshold 50: at sf0.01+ most users exceed it
-    // and take the salted path; at sf0.001 none do and the operator
-    // degrades to the plain join — both regimes stay oracle-exact.)
+    // plain SQL join. Threshold 50 is INTENTIONALLY below the mean
+    // per-user event count at sf0.01+ (~67), so nearly every key goes
+    // hot: the query exercises the salted rewrite's WORST case (full
+    // key-domain collect + isin routing + salts× dim replication)
+    // under the oracle, while at sf0.001 no key qualifies and the
+    // plain-join degradation path is checked instead. Production
+    // thresholds should be a multiple of the mean (see
+    // SkewJoin.hotKeys); this is a correctness fixture, not a tuning
+    // example.
     QueryDef(
       "q_skew_join",
       (s, dir) => {

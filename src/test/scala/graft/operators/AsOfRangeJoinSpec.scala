@@ -155,4 +155,27 @@ class AsOfRangeJoinSpec extends SparkSuite {
       .select("pid").as[Long].collect().toSeq
     assert(k == Seq(1L))
   }
+
+  test("reserved __ column names are rejected eagerly, by name") {
+    val poisonedLeft = left.withColumn("__salt", lit(1))
+    val poisonedRight = right.withColumn("__k", lit(1))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(poisonedLeft, right, "k", "t", "t", Seq("pid"))
+    }
+    assert(e1.getMessage.contains("__salt"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.broadcastBackward(left, poisonedRight, "k", "t", "t",
+        Seq("pid"))
+    }
+    assert(e2.getMessage.contains("__k"))
+    val e3 = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(poisonedLeft, right, "k", "k", 4, Seq("a"))
+    }
+    assert(e3.getMessage.contains("__salt"))
+    val e4 = intercept[IllegalArgumentException] {
+      RangeJoin.bucketedPointInInterval(
+        left.withColumn("__b", lit(1)), "t", right, "t", "pid", 4.0)
+    }
+    assert(e4.getMessage.contains("__b"))
+  }
 }
