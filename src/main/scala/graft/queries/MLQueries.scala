@@ -149,6 +149,21 @@ object MLQueries {
       },
       None),
 
+    // M9 — t-SNE (R:318-322), the real thing rather than the PCA-2D
+    // substitute: exact seeded t-SNE (operators.Tsne) over a
+    // deterministic content-hash sample. No oracle (500 gradient
+    // iterations of coupled float math have no SQL twin); TsneSpec
+    // pins cluster preservation and determinism, and the row count +
+    // schema are driver-checked.
+    QueryDef(
+      "q_tsne",
+      (s, dir) =>
+        graft.operators.Tsne.embedSampled(
+            Tables.embeddings(s, dir), "vec_id", "embedding",
+            maxRows = 300, perplexity = 25, iterations = 300)
+          .orderBy(col("vec_id")),
+      None),
+
     // M10 — standardize (guarding zero-variance is unnecessary on the
     // synthetic embeddings; see OkCupidPipeline for the guarded path)
     // then PCA; per-component explained variance.
