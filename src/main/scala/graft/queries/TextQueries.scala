@@ -111,6 +111,12 @@ object TextQueries {
 
     // F5 — word tokenization (quanteda tokens() approximation):
     // split on non-[letter digit apostrophe], drop numeric tokens.
+    // NOTE (here and in q_stopwords/q_pipeline_tokens): the final
+    // orderBy over the fully exploded corpus exists ONLY so the
+    // driver's hash compare sees a total order — it is a range
+    // exchange + sort of every token and would dominate at 100×. Do
+    // NOT copy the trailing sort into production pipelines; the
+    // operators themselves are shuffle-free.
     QueryDef(
       "q_tokenize",
       (s, dir) =>

@@ -62,6 +62,21 @@ class PlanShapeSpec extends SparkSuite {
       s"customer dim joined by sort-merge:\n$p")
   }
 
+  test("as-of join: ONE key shuffle plus only the output sort") {
+    // AsOfJoin's whole reason to exist: union + a single hash
+    // exchange on the key + one window pass — never a non-equi
+    // sort-merge join. q_asof_join adds exactly one more exchange,
+    // the driver-determinism range sort on the output.
+    val p = plan("q_asof_join")
+    val exchanges = "Exchange (hash|range)partitioning".r
+      .findAllIn(p).toSeq
+    assert(exchanges.count(_.contains("hash")) == 1,
+      s"expected exactly 1 hash exchange:\n$p")
+    assert(exchanges.count(_.contains("range")) == 1,
+      s"expected exactly 1 range exchange (output sort):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"non-equi SMJ crept in:\n$p")
+  }
+
   test("no CartesianProduct in the declarative query surface") {
     // every SparkEntry query whose plan builds without running jobs
     val lazyQueries = Seq(
