@@ -215,9 +215,12 @@ object Dedup {
     * duplicate-output-sized, so the final join is left to AQE rather
     * than a forced broadcast.
     */
-  def duplicateSpans(
-      df: DataFrame, idCol: String, tokensCol: String,
-      n: Int, minDocs: Int = 2): DataFrame = {
+  /** (doc_id, pos, h) — md5 of each position's n-token span (null
+    * spans past the end dropped). One doc-keyed window pass; shared by
+    * [[duplicateSpans]] and [[contaminatedDocs]].
+    */
+  private def spanHashes(
+      df: DataFrame, idCol: String, tokensCol: String, n: Int): DataFrame = {
     val words = df
       .select(col(idCol).as("doc_id"), posexplode(col(tokensCol)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
@@ -227,9 +230,15 @@ object Dedup {
     // concat (NOT concat_ws): a null lead (span past end) nulls the
     // whole span, exactly like SQL || with NULL
     val parts = Seq(col("word")) ++ leads.flatMap(l => Seq(lit(" "), l))
-    val spans = words
+    words
       .select(col("doc_id"), col("pos"), md5(concat(parts: _*)).as("h"))
       .filter(col("h").isNotNull)
+  }
+
+  def duplicateSpans(
+      df: DataFrame, idCol: String, tokensCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    val spans = spanHashes(df, idCol, tokensCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = spans.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -237,6 +246,30 @@ object Dedup {
       .select(col("h"))
     CacheLifecycle.sealAndRelease(
       spans.join(hot, "h").select(col("doc_id"), col("pos"), col("h")), spans)
+  }
+
+  /** Test-set DECONTAMINATION (the GPT-3/Brown et al. appendix-C and
+    * Lee et al. 2022 protocol): find every corpus document sharing at
+    * least one n-token span with a benchmark/eval set, so it can be
+    * dropped from training data before it inflates eval scores.
+    * Returns (doc_id, n_hits, first_pos) per contaminated corpus doc.
+    *
+    * Scale design: the benchmark side is SMALL by nature (eval sets —
+    * thousands of documents against a 100-TB corpus), so its distinct
+    * span-hash set is broadcast and the corpus side is a scan →
+    * window span-hash → broadcast LEFT SEMI join → per-doc agg. The
+    * corpus shuffles once, keyed by doc id (the window + the agg reuse
+    * the same partitioning); no corpus×benchmark join ever forms.
+    */
+  def contaminatedDocs(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, tokensCol: String, n: Int): DataFrame = {
+    val benchSpans = spanHashes(benchmark, idCol, tokensCol, n)
+      .select(col("h")).distinct()
+    spanHashes(corpus, idCol, tokensCol, n)
+      .join(broadcast(benchSpans), Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
   }
 
   /** Connected components over near-duplicate pairs: every document

@@ -392,6 +392,44 @@ object ExtensionQueries {
         ORDER BY doc_id
       """)),
 
+    // Test-set decontamination (GPT-3 appendix-C protocol): corpus
+    // docs sharing any 10-token span with a held-out "benchmark" set
+    // (every 10th doc plays the eval set). The benchmark span-hash set
+    // is broadcast; the corpus is never joined against the benchmark
+    // rows themselves. Oracle replays the span windows relationally.
+    QueryDef(
+      "q_decontaminate",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.splitWords(col("text")).as("toks"))
+        val bench = toks.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val corpus = toks.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        Dedup.contaminatedDocs(corpus, bench, "doc_id", "toks", n = 10)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val leads = (1 until 10)
+          .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
+        s"""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                 generate_subscripts(string_split(text,' '), 1) AS pos
+          FROM documents),
+        spans AS (
+          SELECT doc_id, pos, md5(word || ' ' || $leads) AS h
+          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        sp AS (SELECT * FROM spans WHERE h IS NOT NULL),
+        bench AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 = 0)
+        SELECT doc_id, COUNT(*) AS n_hits,
+               CAST(MIN(pos) AS BIGINT) AS first_pos
+        FROM sp JOIN bench USING (h)
+        WHERE doc_id % 10 <> 0
+        GROUP BY doc_id
+        ORDER BY doc_id
+        """
+      }),
+
     // SimHash blocking, FULLY oracle-checked: DuckDB replays the exact
     // FNV-1a 64 per-token hash as a `list_reduce` fold in HUGEINT with
     // explicit mod-2^64 (the corpus is ASCII, so `unicode(c)` equals
