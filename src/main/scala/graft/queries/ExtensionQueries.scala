@@ -689,6 +689,50 @@ object ExtensionQueries {
         ORDER BY doc_id
       """)),
 
+    // PII redaction: emails → IPv4 → phone runs, fixed order, all
+    // RE2-safe so DuckDB runs the IDENTICAL patterns. The corpus has
+    // no natural PII, so the query plants deterministic pseudo-PII
+    // derived from doc_id (same construction in both engines) — the
+    // oracle exercises real matches, not a vacuous no-op pass.
+    // DuckDB's regexp_replace needs the explicit 'g' flag to match
+    // Spark's replace-all semantics.
+    QueryDef(
+      "q_redact",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(
+              lit("contact u"), col("doc_id"),
+              lit("@mail.example.com from 10.0."),
+              pmod(col("doc_id"), lit(256)),
+              lit(".7 or call +1 555 01"),
+              pmod(col("doc_id"), lit(90)) + 10,
+              lit(" "), col("text")).as("raw"))
+          .select(col("doc_id"),
+            graft.functions.Redaction.redactPii(col("raw")).as("redacted"))
+          .orderBy(col("doc_id")),
+      Some {
+        import graft.functions.Redaction._
+        s"""
+        WITH built AS (
+          SELECT doc_id,
+                 'contact u' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com from 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR)
+                 || '.7 or call +1 555 01'
+                 || CAST(doc_id % 90 + 10 AS VARCHAR)
+                 || ' ' || text AS raw
+          FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(raw,
+                 '$emailPattern', '<EMAIL>', 'g'),
+                 '$ipv4Pattern', '<IP>', 'g'),
+                 '$phonePattern', '<PHONE>', 'g') AS redacted
+        FROM built
+        ORDER BY doc_id
+        """
+      }),
+
     QueryDef(
       "q_lang_id",
       (s, dir) =>
