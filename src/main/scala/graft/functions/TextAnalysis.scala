@@ -110,6 +110,49 @@ object TextAnalysis {
   def fingerprintCanonical(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(split(text, " ", -1)))))
 
+  /** Gopher/MassiveText-style repetition statistics per document
+    * (Rae et al. 2021 §A1.1 quality filters, token-level variants):
+    * duplicate-token fraction (1 − types/tokens) and top-bigram
+    * fraction (tokens covered by the single most frequent bigram /
+    * total tokens) — the signals used to drop boilerplate and
+    * degenerate repetition from pretraining corpora.
+    *
+    * Relational and doc-partitioned throughout: one explode, a lead
+    * window, and two aggregations all keyed by doc id — the exchange
+    * happens once and is reused (same shape as Dedup's span pass).
+    */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ", -1)))
+      .select(col("doc_id"), col("pos"), col("col").as("word"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // concat null-propagates: the last position's bigram is null and
+    // dropped, like the oracle's `word || ' ' || lead(word)`
+    val bigrams = words
+      .withColumn("bigram",
+        concat(col("word"), lit(" "), lead(col("word"), 1).over(w)))
+      .filter(col("bigram").isNotNull)
+    val topBigram = bigrams
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_bi"))
+    val totals = words.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("word")).as("n_types"))
+    totals.join(topBigram, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_types").cast("double")
+          / col("n_tokens").cast("double")).as("dup_token_frac"),
+        coalesce(
+          col("max_bi") * lit(2.0) / col("n_tokens").cast("double"),
+          lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Word k-gram shingles as a single-pass UDF. (Deliberately NOT the
     * nested transform/slice formulation: referencing a computed array
     * inside its own lambda makes Catalyst re-evaluate it per element —

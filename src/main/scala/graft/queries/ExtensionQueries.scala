@@ -689,6 +689,38 @@ object ExtensionQueries {
         ORDER BY doc_id
       """)),
 
+    // Gopher-style repetition filters (token-level): duplicate-token
+    // fraction and most-frequent-bigram coverage per doc — the
+    // MassiveText signals for dropping boilerplate/degenerate docs.
+    QueryDef(
+      "q_repetition",
+      (s, dir) =>
+        TextAnalysis.repetitionStats(
+            Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                 generate_subscripts(string_split(text,' '), 1) AS pos
+          FROM documents),
+        big AS (
+          SELECT doc_id, word || ' ' || lead(word,1) OVER w AS bigram
+          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM big
+               WHERE bigram IS NOT NULL GROUP BY 1, 2),
+        mb AS (SELECT doc_id, MAX(c) AS max_bi FROM bc GROUP BY 1),
+        tot AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                       COUNT(DISTINCT word) AS n_types
+                FROM words GROUP BY 1)
+        SELECT t.doc_id, t.n_tokens,
+               1.0 - CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 AS dup_token_frac,
+               COALESCE(CAST(max_bi * 2 AS DOUBLE)
+                 / CAST(n_tokens AS DOUBLE), 0.0) AS top_bigram_frac
+        FROM tot t LEFT JOIN mb USING (doc_id)
+        ORDER BY doc_id
+      """)),
+
     // PII redaction: emails → IPv4 → phone runs, fixed order, all
     // RE2-safe so DuckDB runs the IDENTICAL patterns. The corpus has
     // no natural PII, so the query plants deterministic pseudo-PII
