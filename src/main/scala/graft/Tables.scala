@@ -33,4 +33,15 @@ object Tables {
   }
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "embeddings")
+
+  /** Register every testdata table as a temp view, enabling the
+    * `spark.sql(...)` front-end over the same data the DataFrame
+    * loaders serve; `events` gets the identical µs normalization.
+    * Idempotent (createOrReplaceTempView).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n => apply(spark, dir, n).createOrReplaceTempView(n)
+    }
 }

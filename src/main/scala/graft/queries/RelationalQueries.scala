@@ -19,7 +19,36 @@ object RelationalQueries {
   private val dec = DecimalType(18, 2)
   private val dec4 = DecimalType(18, 4)
 
+  /** Dialect-neutral Q1 text: runs verbatim in BOTH Spark SQL and
+    * DuckDB — shared by q1_agg's oracle and q_sql_q1's Spark side.
+    */
+  private val q1Sql = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """
+
   val all: Seq[QueryDef] = Seq(
+
+    // The SQL front-end, end to end: register the testdata as temp
+    // views and run the EXACT oracle text through spark.sql — one
+    // string, two engines, hash-identical results. This is the API a
+    // SQL-first user of the engine gets (Tables.registerAll), checked
+    // with the same rigor as the DataFrame surface.
+    QueryDef(
+      "q_sql_q1",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql(q1Sql)
+      },
+      Some(q1Sql)),
 
     // TPC-H Q1-style pricing summary: scan → filter (pushed to parquet)
     // → partial+final hash agg on 2 low-cardinality keys → tiny sort.
@@ -39,18 +68,7 @@ object RelationalQueries {
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
-      Some("""
-        SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-               COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus
-      """)),
+      Some(q1Sql)),
 
     // Top-k without a global sort: Spark plans TakeOrderedAndProject,
     // which holds only k rows per partition then k at the driver.

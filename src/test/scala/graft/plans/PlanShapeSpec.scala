@@ -80,7 +80,7 @@ class PlanShapeSpec extends SparkSuite {
   test("no CartesianProduct in the declarative query surface") {
     // every SparkEntry query whose plan builds without running jobs
     val lazyQueries = Seq(
-      "q1_agg", "q_projection", "q_topk_orders", "q_join_agg",
+      "q1_agg", "q_sql_q1", "q_projection", "q_topk_orders", "q_join_agg",
       "q_cube_orders", "q_rollup_orders", "q_ntile_orders",
       "q_percentiles", "q_pivot_events", "q_json_extract",
       "q_events_window", "q_sessions", "q_session_window",
