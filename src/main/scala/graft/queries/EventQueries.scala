@@ -140,6 +140,41 @@ object EventQueries {
           .orderBy(col("user_id")),
       Some(sessionsOracle)),
 
+    // Closed-session SPANS via flatMapGroupsWithState (the 0..n-rows
+    // state API; the fifth sessionizer face): every session except
+    // each user's final still-open one, with start/end/count. The
+    // oracle replays the lag-window sessionization and drops each
+    // user's last session.
+    QueryDef(
+      "q_stream_session_spans",
+      (s, dir) =>
+        StreamingOps.closedSessionSpans(s, s"$dir/events.parquet")
+          .orderBy(col("user_id"), col("start_us")),
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(CAST(ts AS TIMESTAMP))) AS pus
+          FROM events),
+        s AS (
+          SELECT user_id, us,
+                 SUM(CASE WHEN pus IS NULL OR us - pus > 1800000000
+                          THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us
+                         ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e),
+        spans AS (
+          SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us,
+                 COUNT(*) AS n_events
+          FROM s GROUP BY 1, 2),
+        last AS (SELECT user_id, MAX(sid) AS maxsid FROM spans GROUP BY 1)
+        SELECT sp.user_id, sp.start_us, sp.end_us, sp.n_events
+        FROM spans sp JOIN last l
+          ON l.user_id = sp.user_id AND sp.sid < l.maxsid
+        ORDER BY sp.user_id, sp.start_us
+      """)),
+
     // The SAME sessionization a third way: the custom whole-operator
     // plan (SessionizeLogical → SessionizeStrategy → SessionizeExec).
     // One exchange+sort feeds a single-pass session assignment, and

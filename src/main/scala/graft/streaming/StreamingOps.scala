@@ -18,6 +18,13 @@ case class Ev(user_id: Long, us: Long)
 /** Sessionizer output record. */
 case class UserSessions(user_id: Long, n_events: Long, n_sessions: Long)
 
+/** A CLOSED session span emitted by [[StreamingOps.sessionSpans]]. */
+case class SessionSpan(
+    user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+/** Open-session state carried between micro-batches. */
+case class OpenSession(start_us: Long, last_us: Long, n_events: Long)
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation and stateful sessionization via
   * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
@@ -87,6 +94,65 @@ object StreamingOps {
     }
     stream.groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** Closed-session emitter via `flatMapGroupsWithState` — the 0..n
+    * outputs-per-group-per-batch state API ([[sessionize]]'s
+    * mapGroupsWithState can only emit exactly one row per group): each
+    * detected gap CLOSES a session and emits its full span
+    * (start/end/count); the still-open session rides in state to the
+    * next micro-batch. This is the shape incremental session analytics
+    * actually needs — completed sessions flow downstream as they
+    * close, state holds exactly one open span per active user.
+    */
+  def sessionSpans(
+      stream: Dataset[Ev], gapSeconds: Long): Dataset[SessionSpan] = {
+    import stream.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    def update(userId: Long, events: Iterator[Ev],
+        state: GroupState[OpenSession]): Iterator[SessionSpan] = {
+      var open = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionSpan]
+      // one micro-batch delivers events unordered — sort within group
+      events.toSeq.sortBy(_.us).foreach { e =>
+        open match {
+          case None =>
+            open = Some(OpenSession(e.us, e.us, 1L))
+          case Some(OpenSession(s0, last, n)) =>
+            if (e.us - last > gapUs) {
+              closed += SessionSpan(userId, s0, last, n)
+              open = Some(OpenSession(e.us, e.us, 1L))
+            } else open = Some(OpenSession(s0, e.us, n + 1))
+        }
+      }
+      open.foreach(state.update)
+      closed.iterator
+    }
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[sessionSpans]] over the events parquet (memory sink, append):
+    * with a bounded one-batch input the output is every session except
+    * each user's final (still-open) one — deterministic, so the batch
+    * lag-window oracle can drop each user's last session and hash-match.
+    */
+  def closedSessionSpans(
+      spark: SparkSession,
+      path: String,
+      gapSeconds: Long = 1800L): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).as[Ev]
+    val spans = sessionSpans(stream, gapSeconds)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = spans.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
   }
 
   /** Streaming exact dedup with bounded state: the first row per key

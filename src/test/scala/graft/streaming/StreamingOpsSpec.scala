@@ -253,4 +253,38 @@ class StreamingOpsSpec extends SparkSuite {
       assert(got == Set((1L, 2L, 1L), (1L, 4L, 2L)))
     } finally q.stop()
   }
+
+  test("sessionSpans emits CLOSED spans; the open one rides state " +
+      "across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = 1700000000000000L
+    val input = MemoryStream[Ev]
+    val spans = StreamingOps.sessionSpans(input.toDS(), gapSeconds = 1800L)
+    val q = spans.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("spans_multibatch")
+      .start()
+    try {
+      // Batch 1: two events 10 s apart — ONE open session, nothing
+      // emitted yet.
+      input.addData(Ev(1L, base), Ev(1L, base + 10L * 1000000L))
+      q.processAllAvailable()
+      assert(spark.table("spans_multibatch").count() == 0)
+
+      // Batch 2: an event 2 h later CLOSES the first session (its span
+      // must come from batch-1 state: start=base, end=base+10s, n=2)
+      // and opens a new one, which stays unreported.
+      input.addData(Ev(1L, base + 2L * 3600L * 1000000L))
+      q.processAllAvailable()
+      val got = spark.table("spans_multibatch")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == Seq((1L, base, base + 10L * 1000000L, 2L)))
+    } finally q.stop()
+  }
 }
