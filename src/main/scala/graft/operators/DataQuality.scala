@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-validation profiling (the Deequ-style pre-training gate):
+  * per-column row count, non-null count (completeness), and exact
+  * distinct count (uniqueness) in long form — the report a pipeline
+  * checks before pointing a trainer at a new snapshot.
+  *
+  * One logical aggregation over one scan; Spark plans the multiple
+  * DISTINCT aggregates via a single Expand (rows × columns profiled),
+  * so cost scales with the profiled column list, not with extra
+  * passes. At 100 TB swap `countDistinct` for
+  * `approx_count_distinct` (HLL, one pass, no Expand) — exact is kept
+  * here because the correctness oracle hash-compares the counts.
+  */
+object DataQuality {
+
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val aggs = columns.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    }
+    val wide = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    // long form: one row per profiled column
+    val rows = columns.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nonnull"), col(s"__nd_$c").as("n_distinct"))
+    }
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.column"), col("r.n_rows"),
+        col("r.n_nonnull"), col("r.n_distinct"))
+  }
+}

@@ -689,6 +689,33 @@ object ExtensionQueries {
         ORDER BY doc_id
       """)),
 
+    // Deequ-style data-validation profile: per-column completeness
+    // (non-null count) and uniqueness (exact distinct) in one
+    // aggregation pass — the gate a pipeline runs before training on
+    // a new snapshot.
+    QueryDef(
+      "q_profile",
+      (s, dir) =>
+        graft.operators.DataQuality.profile(
+            Tables.documents(s, dir),
+            Seq("doc_id", "lang", "source", "text"))
+          .orderBy(col("column")),
+      Some("""
+        SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+               COUNT(doc_id) AS n_nonnull,
+               COUNT(DISTINCT doc_id) AS n_distinct FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang)
+        FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source)
+        FROM documents
+        UNION ALL
+        SELECT 'text', COUNT(*), COUNT(text), COUNT(DISTINCT text)
+        FROM documents
+        ORDER BY "column"
+      """)),
+
     // Gopher-style repetition filters (token-level): duplicate-token
     // fraction and most-frequent-bigram coverage per doc — the
     // MassiveText signals for dropping boilerplate/degenerate docs.
