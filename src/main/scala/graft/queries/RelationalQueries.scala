@@ -213,6 +213,58 @@ object RelationalQueries {
         ORDER BY o_orderpriority, quartile
       """)),
 
+    // Analytic-window breadth on one pass: running delta to the
+    // previous order (lag), cumulative distribution, and dense rank —
+    // all over the same (priority, price, key) ordering, so ONE
+    // exchange + sort serves all three window functions.
+    QueryDef(
+      "q_window_funcs",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            col("o_totalprice"))
+          .withColumn("delta_prev",
+            col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+          .withColumn("cume", cume_dist().over(w))
+          .withColumn("drank", dense_rank().over(w).cast("long"))
+          .orderBy(col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               o_totalprice - lag(o_totalprice, 1) OVER w AS delta_prev,
+               cume_dist() OVER w AS cume,
+               dense_rank() OVER w AS drank
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderpriority, o_totalprice, o_orderkey
+      """)),
+
+    // Set operations (distinct semantics in both engines): nations
+    // with BUILDING and AUTOMOBILE customers but no MACHINERY ones.
+    QueryDef(
+      "q_setops",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        def seg(v: String) = cust.filter(col("c_mktsegment") === v)
+          .select(col("c_nationkey"))
+        seg("BUILDING").intersect(seg("AUTOMOBILE"))
+          .except(seg("MACHINERY"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        EXCEPT
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        ORDER BY c_nationkey
+      """)),
+
     // Full cube over the same pair: all four grouping sets from one
     // Expand + one shuffle.
     QueryDef(
