@@ -41,7 +41,10 @@ object Bench {
     "q_sessionize_op", "q_dedup_groups", "q_dedup_spans",
     "q_pack_sequences", "q_dedup_embedding",
     // round-6 additions: temporal/range/skew joins
-    "q_asof_join", "q_range_join", "q_skew_join")
+    "q_asof_join", "q_range_join", "q_skew_join",
+    // round-7 additions: curation operators (new keys only — earlier
+    // keys stay comparable across rounds)
+    "q_decontaminate", "q_repetition", "q_redact")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.
