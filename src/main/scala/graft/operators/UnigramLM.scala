@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** CCNet-style unigram language-model scoring for corpus curation
+  * (Wenzek et al. 2020 filter perplexity-by-LM; the unigram variant
+  * here is the model-free analogue a pipeline can fit from the corpus
+  * itself in one aggregation pass).
+  *
+  * Per-document cross-entropy under the corpus unigram distribution:
+  * `H(d) = (1/|d|) Σ_w −log10 p(w)`, with `p(w) = count(w) / Σ count`.
+  * Low H ≈ stereotyped/boilerplate text (all high-frequency words);
+  * high H ≈ rare-token soup — both tails are what quality filters cut.
+  *
+  * Scale design (100 TB):
+  *  - the model is ONE map-side-combined `groupBy(word).count` over the
+  *    token stream — linear, no all-pairs anything;
+  *  - with `maxVocab` set the model is bounded and force-broadcast, so
+  *    scoring is a broadcast hash join at scan speed and the Zipf-hot
+  *    head word never becomes a shuffle-skew key; unbounded models fall
+  *    back to a shuffle join that AQE still broadcasts when small;
+  *  - out-of-vocabulary tokens (only possible under `maxVocab`) take
+  *    the floor probability 1/total — the standard add-floor fallback.
+  *
+  * Determinism across engines: each per-word negative log-prob is
+  * rounded to 9 dp (a lattice far coarser than double ULP), summed
+  * EXACTLY in DECIMAL(38,12) so accumulation order cannot perturb the
+  * result, and only the final per-doc mean is cast to double and
+  * rounded at the edge — the same exact-decimal-interior discipline as
+  * the rest of the engine (see QueryDef scaladoc).
+  */
+object UnigramLM {
+
+  /** (id, n_tokens, xent): per-doc token count and mean negative
+    * log10-probability, rounded to 6 dp. Tokenization is the corpus
+    * convention: literal single-space split.
+    */
+  def crossEntropy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxVocab: Option[Int] = None): DataFrame = {
+    maxVocab.foreach(n => require(n > 0, s"maxVocab: $n"))
+
+    val toks = docs.select(col(idCol), explode(split(col(textCol), " ", -1)).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+    // Total stays the FULL corpus mass even when the vocab is capped,
+    // so capping changes only which words take the OOV floor, not the
+    // probabilities of the words that survive.
+    val total = counts.agg(sum(col("cnt")).cast("double").as("tot"))
+
+    val kept = maxVocab match {
+      case Some(n) =>
+        // Deterministic cap: top-n by count, ties broken by word. The
+        // TakeOrderedAndProject this plans is bounded by n — the whole
+        // point of the cap.
+        counts.orderBy(col("cnt").desc, col("word").asc).limit(n)
+      case None => counts
+    }
+
+    val nlp = round(-log10(col("cnt").cast("double") / col("tot")), 9)
+    val modelRaw = kept.crossJoin(broadcast(total))
+      .select(col("word"), nlp.as("nlp"))
+    val model = if (maxVocab.isDefined) broadcast(modelRaw) else modelRaw
+
+    val scoredToks = maxVocab match {
+      case Some(_) =>
+        toks.join(model, Seq("word"), "left")
+          .crossJoin(broadcast(total))
+          .select(col(idCol),
+            coalesce(col("nlp"),
+              round(-log10(lit(1.0) / col("tot")), 9)).as("nlp"))
+      case None =>
+        // Uncapped: every token is in-vocabulary by construction.
+        toks.join(model, Seq("word")).select(col(idCol), col("nlp"))
+    }
+
+    scoredToks
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("nlp").cast(DecimalType(38, 12))).as("__sum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__sum").cast("double") / col("n_tokens"), 6).as("xent"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sqlList
 import graft.functions.{TextAnalysis, TextFunctions}
-import graft.operators.{Dedup, SequencePacking, Similarity}
+import graft.operators.{CorpusMixing, Dedup, SequencePacking, Similarity, UnigramLM}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension queries (beyond the reference's
@@ -901,6 +901,112 @@ object ExtensionQueries {
                        AS UBIGINT) AS h
               FROM documents)
         WHERE h % 10 < 3
+      """)),
+
+    // CCNet-style unigram cross-entropy (UnigramLM scaladoc): the
+    // model is one map-side-combined count agg; per-word −log10 p is
+    // rounded to a 9 dp lattice and summed in exact DECIMAL so
+    // accumulation order cannot perturb the per-doc mean.
+    QueryDef(
+      "q_lm_score",
+      (s, dir) =>
+        UnigramLM.crossEntropy(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        counts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+        total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM counts),
+        model AS (
+          SELECT word, ROUND(-LOG10(CAST(cnt AS DOUBLE) / tot), 9) AS nlp
+          FROM counts, total)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               ROUND(CAST(sum(CAST(m.nlp AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 6) AS xent
+        FROM toks t JOIN model m ON m.word = t.word
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+      """)),
+
+    // Domain-mixture resampling to per-lang target rates (DoReMi-style
+    // mixture weights). The rates are all binary-exact doubles, so the
+    // floor/fraction split replays bit-for-bit in both engines; the
+    // per-doc uniform draw is the same md5 trick as q_sample_docs.
+    QueryDef(
+      "q_mix_sources",
+      (s, dir) =>
+        CorpusMixing.resampleByRates(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            "doc_id", "lang",
+            Map("en" -> 1.5, "de" -> 1.0, "es" -> 0.75,
+              "fr" -> 0.5, "zh" -> 0.25))
+          .orderBy(col("doc_id"), col("copy")),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 CASE lang WHEN 'en' THEN 1.5 WHEN 'de' THEN 1.0
+                           WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.5
+                           WHEN 'zh' THEN 0.25 ELSE 1.0 END AS rate,
+                 CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT) AS DOUBLE)
+                   / 1152921504606846976.0 AS u
+          FROM documents),
+        counted AS (
+          SELECT doc_id, lang,
+                 CAST(floor(rate) +
+                      (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END)
+                   AS INT) AS copies
+          FROM base),
+        exploded AS (
+          SELECT doc_id, lang,
+                 CAST(unnest(generate_series(1, copies)) AS INT) AS copy
+          FROM counted WHERE copies > 0)
+        SELECT doc_id, lang, copy FROM exploded ORDER BY doc_id, copy
+      """)),
+
+    // FineWeb-style per-domain quality selection: keep the best 30% of
+    // each lang by the composite quality score (pre-rounded to the
+    // 6 dp oracle edge so the window order is float-noise-free).
+    QueryDef(
+      "q_select_quality",
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        CorpusMixing.selectTopFraction(scored, "lang", "quality", 0.3, "doc_id")
+          .orderBy(col("lang"), col("quality").desc, col("doc_id"))
+      },
+      Some(s"""
+        WITH parts AS (
+          SELECT doc_id, lang,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
+                 abs(CAST(len(list_filter(string_split(text, ' '),
+                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4) AS stop_penalty,
+                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct
+          FROM documents),
+        scored AS (
+          SELECT doc_id, lang,
+                 ROUND(len_score * 0.3 + diversity * 0.3 +
+                       (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6)
+                   AS quality
+          FROM parts),
+        ranked AS (
+          SELECT doc_id, lang, quality,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY quality DESC, doc_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM scored)
+        SELECT doc_id, lang, quality FROM ranked
+        WHERE rn <= CEIL(0.3 * n)
+        ORDER BY lang, quality DESC, doc_id
       """))
   )
 }

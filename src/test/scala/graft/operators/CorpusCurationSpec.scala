@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** CorpusMixing (mixture resampling, per-domain quality selection) and
+  * UnigramLM (cross-entropy scoring) semantics.
+  */
+class CorpusCurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs() = Seq(
+    (0L, "en", "a a b"), (1L, "en", "a b c"), (2L, "en", "b c d"),
+    (3L, "de", "c d e"), (4L, "de", "d e a"), (5L, "zh", "e a b")
+  ).toDF("doc_id", "lang", "text")
+
+  test("resampleByRates: integer rates are exact multiplicities") {
+    val out = CorpusMixing.resampleByRates(
+      docs(), "doc_id", "lang", Map("en" -> 2.0, "de" -> 1.0, "zh" -> 0.0))
+    val counts = out.groupBy("doc_id").count().as[(Long, Long)]
+      .collect().toMap
+    assert(counts == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    assert(!counts.contains(5L), "rate 0.0 must drop every row")
+    // Copy indices are 1-based and dense.
+    val copies = out.where($"doc_id" === 0L).select("copy")
+      .as[Int].collect().sorted
+    assert(copies.toSeq == Seq(1, 2))
+  }
+
+  test("resampleByRates: missing key passes through; fractional rate is a fixed subset") {
+    val out = CorpusMixing.resampleByRates(
+      docs(), "doc_id", "lang", Map("en" -> 0.5))
+    // de/zh have no configured rate -> identity.
+    assert(out.where($"lang" =!= "en").count() == 3)
+    val kept = out.where($"lang" === "en").select("doc_id")
+      .as[Long].collect().toSet
+    // Deterministic: same verdict regardless of partitioning.
+    val kept2 = CorpusMixing.resampleByRates(
+      docs().repartition(7, $"text"), "doc_id", "lang", Map("en" -> 0.5))
+      .where($"lang" === "en").select("doc_id").as[Long].collect().toSet
+    assert(kept == kept2)
+    assert(kept.subsetOf(Set(0L, 1L, 2L)))
+  }
+
+  test("resampleByRates rejects reserved __ columns") {
+    val bad = docs().withColumn("__copies", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      CorpusMixing.resampleByRates(bad, "doc_id", "lang", Map.empty)
+    }
+    assert(e.getMessage.contains("__copies"))
+  }
+
+  test("selectTopFraction keeps ceil(f*n) best rows per domain") {
+    val scored = Seq(
+      (0L, "en", 0.9), (1L, "en", 0.8), (2L, "en", 0.7), (3L, "en", 0.6),
+      (4L, "de", 0.5), (5L, "de", 0.4)
+    ).toDF("doc_id", "lang", "quality")
+    val out = CorpusMixing
+      .selectTopFraction(scored, "lang", "quality", 0.5, "doc_id")
+    val byLang = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang == Map("en" -> 2L, "de" -> 1L))
+    val en = out.where($"lang" === "en").select("doc_id").as[Long]
+      .collect().toSet
+    assert(en == Set(0L, 1L), "must keep the highest-scored rows")
+  }
+
+  test("selectTopFraction breaks score ties by ascending tie column") {
+    val tied = Seq(
+      (10L, "en", 0.5), (11L, "en", 0.5), (12L, "en", 0.5), (13L, "en", 0.5)
+    ).toDF("doc_id", "lang", "quality")
+    val out = CorpusMixing
+      .selectTopFraction(tied, "lang", "quality", 0.5, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(10L, 11L))
+  }
+
+  test("crossEntropy: uniform unigram distribution gives log10(V) for every doc") {
+    // Cyclic construction: 5 words, 5 docs of 3 tokens, each word
+    // appearing exactly 3 times -> p(w) = 1/5 everywhere.
+    val w = Vector("a", "b", "c", "d", "e")
+    val uniform = (0 until 5)
+      .map(i => (i.toLong, s"${w(i)} ${w((i + 1) % 5)} ${w((i + 2) % 5)}"))
+      .toDF("doc_id", "text")
+    val xents = UnigramLM.crossEntropy(uniform, "doc_id", "text")
+      .select("xent").as[Double].collect().distinct
+    val expect = BigDecimal(math.log10(5.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(xents.toSeq == Seq(expect))
+  }
+
+  test("crossEntropy: rarer tokens raise a doc's cross-entropy") {
+    val skewed = Seq(
+      (0L, "the the the the the the the the"),
+      (1L, "the the the the the the the rare")
+    ).toDF("doc_id", "text")
+    val m = UnigramLM.crossEntropy(skewed, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(m(1L) > m(0L))
+  }
+
+  test("crossEntropy with maxVocab: OOV tokens take the 1/total floor") {
+    val skewed = Seq(
+      (0L, "the the the the"),
+      (1L, "the the the rare")
+    ).toDF("doc_id", "text")
+    // Vocab capped to 1 -> "rare" is OOV. total=8, p(the)=7/8, floor=1/8.
+    val m = UnigramLM.crossEntropy(skewed, "doc_id", "text", maxVocab = Some(1))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    def r9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nlpThe = r9(-math.log10(7.0 / 8.0))
+    val nlpOov = r9(-math.log10(1.0 / 8.0))
+    assert(m(0L) == r6(nlpThe))
+    assert(m(1L) == r6((3 * nlpThe + nlpOov) / 4.0))
+  }
+}
