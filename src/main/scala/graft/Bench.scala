@@ -44,7 +44,8 @@ object Bench {
     "q_asof_join", "q_range_join", "q_skew_join",
     // round-7 additions: curation operators (new keys only — earlier
     // keys stay comparable across rounds)
-    "q_decontaminate", "q_repetition", "q_redact")
+    "q_decontaminate", "q_repetition", "q_redact",
+    "q_lm_score", "q_mix_sources", "q_select_quality")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.
