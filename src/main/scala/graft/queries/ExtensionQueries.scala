@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sqlList
 import graft.functions.{TextAnalysis, TextFunctions}
-import graft.operators.{CorpusMixing, Dedup, SequencePacking, Similarity, UnigramLM}
+import graft.operators.{CorpusMixing, Dedup, GlobalIds, SequencePacking, Similarity, UnigramLM}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension queries (beyond the reference's
@@ -1007,6 +1007,28 @@ object ExtensionQueries {
         SELECT doc_id, lang, quality FROM ranked
         WHERE rn <= CEIL(0.3 * n)
         ORDER BY lang, quality DESC, doc_id
+      """)),
+
+    // Contiguous global row ids WITHOUT the single-partition global
+    // window (GlobalIds scaladoc): range exchange + partition-local
+    // numbering + broadcast prefix-sum offsets. The md5 sort key
+    // scrambles the input order so the test is not vacuous, and is
+    // unique by construction (the operator's total-order contract).
+    QueryDef(
+      "q_assign_ids",
+      (s, dir) => {
+        val keyed = Tables.documents(s, dir)
+          .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+        GlobalIds.withOrderedIds(keyed, "k", "row_id")
+          .select(col("doc_id"), col("row_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+                 AS row_id
+        FROM documents
+        ORDER BY doc_id
       """))
   )
 }
