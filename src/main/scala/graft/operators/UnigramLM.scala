@@ -45,7 +45,14 @@ object UnigramLM {
     maxVocab.foreach(n => require(n > 0, s"maxVocab: $n"))
 
     val toks = docs.select(col(idCol), explode(split(col(textCol), " ", -1)).as("word"))
+    // Pinned eagerly: total, the vocab cap, and the model all derive
+    // from the counts, and Catalyst plans each branch as its own
+    // corpus scan + re-aggregation. Checkpointing the VOCAB-sized
+    // frame (executor-local blocks, ContextCleaner-managed — see
+    // CacheLifecycle) caps the operator at two corpus passes: one to
+    // fit the model, one to score against it.
     val counts = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     // Total stays the FULL corpus mass even when the vocab is capped,
     // so capping changes only which words take the OOV floor, not the
     // probabilities of the words that survive.
