@@ -45,7 +45,8 @@ object Bench {
     // round-7 additions: curation operators (new keys only — earlier
     // keys stay comparable across rounds)
     "q_decontaminate", "q_repetition", "q_redact",
-    "q_lm_score", "q_mix_sources", "q_select_quality")
+    "q_lm_score", "q_mix_sources", "q_select_quality",
+    "q_dedup_incremental")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -183,12 +183,67 @@ object Dedup {
     // survives the call.
     val sh = shingleSets(df, idCol, tokensCol, shingleK)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // No broadcast hint on the candidate set: it is output-sized
-    // (unbounded at corpus scale), so forcing it through the driver
-    // would OOM exactly when dedup matters most. A plain shuffle join
-    // on id_a is scale-safe, and AQE still picks a broadcast join at
-    // runtime when the candidate set turns out small.
     val cands = minhashCandidatePairs(sh, bands, rowsPerBand)
+    CacheLifecycle.sealAndRelease(
+      verifiedJaccard(cands, sh).filter(col("jaccard") >= minJaccard), sh)
+  }
+
+  /** Incremental MinHash dedup: verified near-duplicate pairs that
+    * involve at least one NEW document — the per-ingest shape of a
+    * production pipeline, where yesterday's corpus is already
+    * deduplicated and only `new × (old ∪ new)` pairs are of interest.
+    *
+    * The asymmetry is enforced at the BUCKET join, not by filtering
+    * its output: one side of the (band, key) join is restricted to the
+    * new batch's bucket rows first, so the join's output is
+    * |new bucket rows| × bucket occupancy — old×old pairs are never
+    * generated, which is the entire cost difference when a small
+    * increment lands on a huge corpus. (In a production deployment the
+    * old side's bucket rows come from a persisted signature store
+    * rather than being recomputed; recomputation here keeps the
+    * operator self-contained, and [[minhashBuckets]] is the store's
+    * write path.)
+    *
+    * `newIds` carries the new batch's ids in `idCol`. Pairs are
+    * normalized to `id_a < id_b` regardless of which side is new.
+    */
+  def incrementalMinhashPairs(
+      corpus: DataFrame, newIds: DataFrame, idCol: String, tokensCol: String,
+      shingleK: Int, bands: Int, rowsPerBand: Int, minJaccard: Double,
+      maxBucketSize: Int = 100): DataFrame = {
+    val sh = shingleSets(corpus, idCol, tokensCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = minhashBuckets(sh, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val cool = buckets.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    // No broadcast hint on newIds: a "batch" can be arbitrarily large
+    // (a backfill); the semi-join shuffles on id and AQE still
+    // broadcasts a genuinely small increment.
+    val newSide = cool.join(
+      newIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val cands = newSide.as("a")
+      .join(cool.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    CacheLifecycle.sealAndRelease(
+      verifiedJaccard(cands, sh).filter(col("jaccard") >= minJaccard),
+      sh, buckets)
+  }
+
+  /** Exact shingle Jaccard for an explicit candidate-pair list.
+    * No broadcast hint on the candidate set: it is output-sized
+    * (unbounded at corpus scale), so forcing it through the driver
+    * would OOM exactly when dedup matters most. A plain shuffle join
+    * on id_a is scale-safe, and AQE still picks a broadcast join at
+    * runtime when the candidate set turns out small.
+    */
+  private def verifiedJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
     val withA = cands
       .join(sh.withColumnRenamed("id", "id_a")
         .withColumnRenamed("shingle", "sh_a"), "id_a")
@@ -198,8 +253,7 @@ object Dedup {
       .join(shB, col("id_b") === col("idb") && col("sh_a") === col("sh_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("i"))
-    CacheLifecycle.sealAndRelease(
-      jaccardOf(inter, sizesOf(sh)).filter(col("jaccard") >= minJaccard), sh)
+    jaccardOf(inter, sizesOf(sh))
   }
 
   /** Exact duplicate-SPAN detection (the "exact substring dedup" of

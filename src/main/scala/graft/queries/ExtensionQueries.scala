@@ -305,6 +305,30 @@ object ExtensionQueries {
           .orderBy(col("id_a"), col("id_b")),
       Some(jaccardOracle)),
 
+    // Incremental (per-ingest) dedup: docs with doc_id % 5 == 0 play
+    // the "new batch"; only pairs touching the batch are generated —
+    // old×old never is (Dedup.incrementalMinhashPairs scaladoc). The
+    // oracle is the full exact-Jaccard pair list filtered the same
+    // way; recall relies on the same ≥0.97 planted-pair margin as
+    // q_dedup_minhash.
+    QueryDef(
+      "q_dedup_incremental",
+      (s, dir) => {
+        val docs = docTokens(s, dir)
+        val newIds = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(5L)) === 0)
+        Dedup.incrementalMinhashPairs(docs, newIds, "doc_id", "tokens",
+          shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH $jaccardCtes
+        SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+        FROM j WHERE jac >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+        ORDER BY id_a, id_b
+      """)),
+
     // Duplicate-GROUP resolution: connected components over the exact
     // Jaccard ≥ 0.8 pairs — every dup-involved doc labeled with its
     // group's canonical (minimum) id. Oracle: transitive closure via

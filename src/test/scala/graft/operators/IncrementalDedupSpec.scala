@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Incremental MinHash dedup: must equal the full pair list filtered
+  * to batch-touching pairs, and never emit an old×old pair.
+  */
+class IncrementalDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Small corpus with planted near-dups across and within the batch
+  // boundary: (1,2) old×old, (3,4) new×old, (5,10) new×new (ids 0,5,10
+  // are "new" under id % 5 == 0). Distinct filler words keep
+  // non-planted Jaccard at zero.
+  private def corpus() = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta",
+    2L -> "alpha beta gamma delta epsilon zeta eta iota",
+    3L -> "one two three four five six seven eight",
+    5L -> "one two three four five six seven nine",
+    10L -> "red orange yellow green blue indigo violet black",
+    11L -> "cat dog fish bird mouse horse cow sheep",
+    12L -> "sun moon star cloud rain snow wind fog"
+  ).toDF("doc_id", "text")
+    .withColumn("tokens", split(col("text"), " "))
+
+  private val minJ = 0.5
+
+  test("incremental pairs = full pairs touching the batch; old×old excluded") {
+    val docs = corpus()
+    val newIds = docs.select($"doc_id").where(pmod($"doc_id", lit(5L)) === 0)
+
+    val full = Dedup.minhashDedupPairs(docs, "doc_id", "tokens",
+        shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = minJ)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val inc = Dedup.incrementalMinhashPairs(docs, newIds, "doc_id", "tokens",
+        shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = minJ)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val touchingBatch = full.filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }
+    assert(inc == touchingBatch)
+    assert(full.contains((1L, 2L)), "sanity: the old×old pair exists in full dedup")
+    assert(!inc.contains((1L, 2L)), "old×old must not be emitted incrementally")
+    assert(inc.contains((3L, 5L)), "new×old pair found")
+  }
+
+  test("pairs are normalized id_a < id_b regardless of which side is new") {
+    val docs = corpus()
+    val newIds = docs.select($"doc_id").where(pmod($"doc_id", lit(5L)) === 0)
+    val inc = Dedup.incrementalMinhashPairs(docs, newIds, "doc_id", "tokens",
+        shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = minJ)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(inc.forall { case (a, b) => a < b })
+    assert(inc.length == inc.distinct.length)
+  }
+}
