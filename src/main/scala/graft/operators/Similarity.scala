@@ -160,26 +160,46 @@ object Similarity {
     * BEFORE every argmax/rank so tie-breaks (asc cell / asc neighbor)
     * are reproducible across engines.
     */
+  /** Deterministic corpus-sampled codebook: the `nlist` smallest ids'
+    * vectors, broadcast. A pure function of the data — every consumer
+    * (ANN probing, diversity sampling) is oracle-replayable.
+    */
+  def sampledCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int)
+      : DataFrame =
+    broadcast(
+      corpus.select(col(idCol).cast("long").as("cell"),
+          col(vecCol).as("centroid"))
+        .orderBy(col("cell")).limit(nlist))
+
+  /** Nearest-centroid cell assignment against the deterministic
+    * sampled codebook: (id, cell, vec) per corpus row. Ties go to the
+    * smaller cell id. max_by on (csim, -cell) keeps the aggregate
+    * partial-merge friendly — no window, no corpus×nlist shuffle.
+    */
+  def assignCellsSampledCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int)
+      : DataFrame = {
+    val centDf = sampledCodebook(corpus, idCol, vecCol, nlist)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+      .crossJoin(centDf)
+      .withColumn("csim",
+        round(VectorFunctions.cosine(col("cv"), col("centroid")), 6))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cell"), col("cv")),
+        struct(col("csim"), negate(col("cell")))).as("best"))
+      .select(col("id"), col("best.cell").as("cell"),
+        col("best.cv").as("cv"))
+  }
+
   def ivfTopKSampledCodebook(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centDf = broadcast(
-      corpus.select(col(idCol).cast("long").as("cell"),
-          col(vecCol).as("centroid"))
-        .orderBy(col("cell")).limit(nlist))
-    // Corpus assignment: nearest centroid by cosine, ties to the
-    // smaller cell id. max_by on (csim, -cell) keeps the aggregate
-    // partial-merge friendly — no window, no corpus×nlist shuffle.
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val assigned = c.crossJoin(centDf)
-      .withColumn("csim",
-        round(VectorFunctions.cosine(col("cv"), col("centroid")), 6))
-      .groupBy(col("neighbor_id"))
-      .agg(max_by(struct(col("cell"), col("cv")),
-        struct(col("csim"), negate(col("cell")))).as("best"))
-      .select(col("neighbor_id"), col("best.cell").as("cell"),
-        col("best.cv").as("cv"))
+    val centDf = sampledCodebook(corpus, idCol, vecCol, nlist)
+    val assigned =
+      assignCellsSampledCodebook(corpus, idCol, vecCol, nlist)
+        .withColumnRenamed("id", "neighbor_id")
     // nprobe nearest cells per query via the bounded top-k aggregate
     // (same (csim desc, cell asc) order a rank window would give).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))

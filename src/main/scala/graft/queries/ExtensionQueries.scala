@@ -120,6 +120,39 @@ object ExtensionQueries {
     """
   }
 
+  /** Shared IVF oracle chain (no WITH keyword): per-dimension explode,
+    * L2 norms, the deterministic 16-smallest-ids codebook, per-vector
+    * centroid cosines, and the argmax cell assignment `asg(nid, cell)`
+    * — the relational twin of Similarity.assignCellsSampledCodebook.
+    * Used by the q_ann_recall and q_diversity_sample oracles.
+    */
+  private val ivfAssignCtes: String = """dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        -- codebook: the 16 smallest vec_ids
+        cent AS (SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 16),
+        -- cosine of every corpus vector to every centroid
+        adots AS (
+          SELECT v.vec_id AS nid, c.vec_id AS cell, sum(v.x * c.x) AS d
+          FROM dims v
+          JOIN dims c ON c.i = v.i
+          JOIN cent ON c.vec_id = cent.cell
+          GROUP BY 1, 2),
+        asim AS (
+          SELECT nid, cell, ROUND(d / (nv.nrm * nc.nrm), 6) AS csim
+          FROM adots
+          JOIN norms nv ON nv.vec_id = nid
+          JOIN norms nc ON nc.vec_id = cell),
+        -- corpus assignment: argmax csim, ties to the smaller cell
+        asg AS (
+          SELECT nid, cell FROM (
+            SELECT nid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY nid
+                                      ORDER BY csim DESC, cell) AS rn
+            FROM asim) WHERE rn = 1)"""
+
   /** DuckDB replay of [[graft.functions.Hyperplane]] — the random-
     * hyperplane LSH kernel behind `q_ann_lsh` — plus the (table,
     * bucket) candidate join and exact cosine re-rank, making the LSH
@@ -573,11 +606,7 @@ object ExtensionQueries {
             nlist = 16, nprobe = 4))
       },
       Some(s"""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        WITH $ivfAssignCtes,
         -- exact top-5 per query (vec_id < 10), rounded-then-ranked
         edots AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -597,27 +626,6 @@ object ExtensionQueries {
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY cosine DESC, neighbor_id) AS rk
             FROM escored) WHERE rk <= 5),
-        -- codebook: the 16 smallest vec_ids
-        cent AS (SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 16),
-        -- cosine of every corpus vector to every centroid
-        adots AS (
-          SELECT v.vec_id AS nid, c.vec_id AS cell, sum(v.x * c.x) AS d
-          FROM dims v
-          JOIN dims c ON c.i = v.i
-          JOIN cent ON c.vec_id = cent.cell
-          GROUP BY 1, 2),
-        asim AS (
-          SELECT nid, cell, ROUND(d / (nv.nrm * nc.nrm), 6) AS csim
-          FROM adots
-          JOIN norms nv ON nv.vec_id = nid
-          JOIN norms nc ON nc.vec_id = cell),
-        -- corpus assignment: argmax csim, ties to the smaller cell
-        asg AS (
-          SELECT nid, cell FROM (
-            SELECT nid, cell,
-                   ROW_NUMBER() OVER (PARTITION BY nid
-                                      ORDER BY csim DESC, cell) AS rn
-            FROM asim) WHERE rn = 1),
         -- queries probe their 4 nearest cells (queries are corpus rows,
         -- so their centroid cosines are already in asim)
         probes AS (
@@ -1053,6 +1061,44 @@ object ExtensionQueries {
                  AS row_id
         FROM documents
         ORDER BY doc_id
+      """)),
+
+    // Cluster-balanced diversity sampling: assign every embedding to
+    // its nearest deterministic-codebook cell, then keep a fixed
+    // md5-hash-ordered quarter of each cell — a uniform-per-cluster
+    // subset that preserves the corpus's semantic spread (the
+    // embedding-space analogue of per-domain selection). The whole
+    // chain (assignment + draw) is a pure function of the data, so it
+    // is hash-checked end to end via the shared IVF assignment CTEs.
+    QueryDef(
+      "q_diversity_sample",
+      (s, dir) => {
+        val assigned = Similarity.assignCellsSampledCodebook(
+            Tables.embeddings(s, dir), "vec_id", "embedding", nlist = 16)
+          .select(col("id").as("vec_id"), col("cell"),
+            CorpusMixing.hashFraction(col("id")).as("h"))
+        CorpusMixing.selectTopFraction(assigned, "cell", "h", 0.25, "vec_id")
+          .select(col("vec_id"), col("cell"))
+          .orderBy(col("vec_id"))
+      },
+      Some(s"""
+        WITH $ivfAssignCtes,
+        hashed AS (
+          SELECT nid, cell,
+                 CAST(CAST(concat('0x',
+                        substr(md5(CAST(nid AS VARCHAR)), 1, 15))
+                      AS UBIGINT) AS DOUBLE)
+                   / 1152921504606846976.0 AS h
+          FROM asg),
+        ranked AS (
+          SELECT nid, cell,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                                    ORDER BY h DESC, nid) AS rn,
+                 COUNT(*) OVER (PARTITION BY cell) AS n
+          FROM hashed)
+        SELECT nid AS vec_id, cell FROM ranked
+        WHERE rn <= CEIL(0.25 * n)
+        ORDER BY vec_id
       """))
   )
 }
