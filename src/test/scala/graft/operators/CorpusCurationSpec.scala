@@ -42,6 +42,33 @@ class CorpusCurationSpec extends SparkSuite {
     assert(kept.subsetOf(Set(0L, 1L, 2L)))
   }
 
+  test("resampleByRates: realized copies are floor(r) or ceil(r), mean ~ r") {
+    // Fixed-seed randomized corpus: 300 rows over 3 keys with
+    // fractional rates. Every realized multiplicity must be one of
+    // the two admissible integers, and the mean must approximate the
+    // rate (hash-uniform draw; 300 rows give +-0.15 at 95%).
+    val rnd = new scala.util.Random(7)
+    val rates = Map("a" -> 0.3, "b" -> 1.7, "c" -> 2.0)
+    val rows = (0 until 300)
+      .map(i => (i.toLong, Seq("a", "b", "c")(rnd.nextInt(3))))
+    val df = rows.toDF("doc_id", "k")
+    val got = CorpusMixing.resampleByRates(df, "doc_id", "k", rates)
+      .groupBy("doc_id", "k").count().as[(Long, String, Long)].collect()
+    val realized = got.map { case (id, k, n) => (id, k) -> n }.toMap
+    for ((id, k) <- rows) {
+      val r = rates(k)
+      val n = realized.getOrElse((id, k), 0L)
+      assert(n == math.floor(r).toLong || n == math.ceil(r).toLong,
+        s"doc $id key $k: $n copies for rate $r")
+    }
+    for ((k, r) <- rates) {
+      val ids = rows.filter(_._2 == k)
+      val mean = ids.map(x => realized.getOrElse((x._1, k), 0L)).sum
+        .toDouble / ids.size
+      assert(math.abs(mean - r) < 0.2, s"key $k: mean $mean vs rate $r")
+    }
+  }
+
   test("resampleByRates rejects reserved __ columns") {
     val bad = docs().withColumn("__copies", lit(1))
     val e = intercept[IllegalArgumentException] {
