@@ -33,4 +33,31 @@ object DataQuality {
       .select(col("r.column"), col("r.n_rows"),
         col("r.n_nonnull"), col("r.n_distinct"))
   }
+
+  /** Row-level rule validation (the dead-letter-queue split): each
+    * rule is a named pass predicate; the result is one (row, rule)
+    * violation per failed rule, so a row failing two rules appears
+    * twice and a clean corpus yields zero rows. `null` predicate
+    * results count as violations (a null `BETWEEN` is not a pass) —
+    * the standard quarantine semantics.
+    *
+    * Pure per-row column logic: no shuffle, codegen'd, scan-speed;
+    * the violations frame is the quarantine sink and
+    * `df.join(violations, keys, "left_anti")` is the clean side.
+    */
+  def validate(
+      df: DataFrame,
+      keyCols: Seq[String],
+      rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(rules.nonEmpty, "validate needs at least one rule")
+    val checks = rules.map { case (name, pred) =>
+      when(coalesce(pred, lit(false)), lit(null).cast("string"))
+        .otherwise(lit(name))
+    }
+    df.select(keyCols.map(col) :+
+        array_compact(array(checks: _*)).as("__failed"): _*)
+      .where(size(col("__failed")) > 0)
+      .select(keyCols.map(col) :+
+        explode(col("__failed")).as("failed_rule"): _*)
+  }
 }

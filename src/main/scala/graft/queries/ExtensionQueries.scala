@@ -748,6 +748,35 @@ object ExtensionQueries {
         ORDER BY "column"
       """)),
 
+    // Row-level rule validation (DataQuality.validate): the
+    // dead-letter-queue split. One (doc_id, failed_rule) row per
+    // violated rule; the rule set mixes always-pass integrity checks
+    // with a length rule that actually fires, so both branches of the
+    // null-safe pass logic are exercised.
+    QueryDef(
+      "q_quarantine",
+      (s, dir) =>
+        graft.operators.DataQuality.validate(
+            Tables.documents(s, dir), Seq("doc_id"),
+            Seq(
+              "too_short" -> (col("n_chars") >= 200),
+              "lang_known" ->
+                col("lang").isin("en", "de", "es", "fr", "zh"),
+              "chars_match_text" -> (col("n_chars") === length(col("text")))))
+          .orderBy(col("doc_id"), col("failed_rule")),
+      Some("""
+        SELECT doc_id, failed_rule FROM (
+          SELECT doc_id, 'too_short' AS failed_rule FROM documents
+          WHERE NOT coalesce(n_chars >= 200, false)
+          UNION ALL
+          SELECT doc_id, 'lang_known' FROM documents
+          WHERE NOT coalesce(lang IN ('en','de','es','fr','zh'), false)
+          UNION ALL
+          SELECT doc_id, 'chars_match_text' FROM documents
+          WHERE NOT coalesce(n_chars = length(text), false))
+        ORDER BY doc_id, failed_rule
+      """)),
+
     // Gopher-style repetition filters (token-level): duplicate-token
     // fraction and most-frequent-bigram coverage per doc — the
     // MassiveText signals for dropping boilerplate/degenerate docs.
