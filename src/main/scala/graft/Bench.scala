@@ -46,7 +46,8 @@ object Bench {
     // keys stay comparable across rounds)
     "q_decontaminate", "q_repetition", "q_redact",
     "q_lm_score", "q_mix_sources", "q_select_quality",
-    "q_dedup_incremental", "q_diversity_sample")
+    "q_dedup_incremental", "q_diversity_sample",
+    "q_hard_negatives", "q_curriculum", "q_quarantine", "q_assign_ids")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -48,15 +48,27 @@ object GlobalIds {
       df: DataFrame,
       key: String,
       idCol: String = "row_id",
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    withOrderedIds(df, Seq(key), idCol, partitions)
+
+  /** Multi-column key variant: the total order is the lexicographic
+    * order of `keys` (compose a tie-breaking id as the last key when
+    * the leading ones can collide).
+    */
+  def withOrderedIds(
+      df: DataFrame,
+      keys: Seq[String],
+      idCol: String,
+      partitions: Int): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
     Reserved.check("withOrderedIds" -> df)
 
     val n = if (partitions > 0) partitions
             else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, col(key))
+    val ranged = df.repartitionByRange(n, keys.map(col): _*)
       .withColumn("__pid", spark_partition_id())
 
-    val local = Window.partitionBy(col("__pid")).orderBy(col(key))
+    val local = Window.partitionBy(col("__pid")).orderBy(keys.map(col): _*)
     val numbered = ranged.withColumn("__rn", row_number().over(local))
       .localCheckpoint(true)
 

@@ -66,6 +66,33 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Hard-negative mining for embedding-model training: each query's
+    * top-k most-similar corpus rows with a DIFFERENT label — the
+    * "looks alike, isn't" pairs a contrastive trainer wants. The
+    * label predicate is applied BEFORE the top-k aggregate, so the
+    * result is the exact top-k of the filtered candidate set (not a
+    * post-filtered top-k that can come up short).
+    *
+    * Exact brute-force kernel (queries broadcast, same shape as
+    * [[bruteForceTopK]]); at corpus scale swap the candidate
+    * generation for the IVF/LSH paths above and keep this label
+    * filter + re-rank — the aggregate bound stays queries×k.
+    */
+  def hardNegatives(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("cl"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        !(col("ql") <=> col("cl")))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
   /** Bucket ids for all hash tables at once: `bits` sign bits of
     * seeded pseudo-random projections packed into a long per table —
     * the native codegen [[graft.functions.HyperplaneBucketsExpression]]

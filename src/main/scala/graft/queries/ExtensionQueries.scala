@@ -64,6 +64,25 @@ object ExtensionQueries {
     ORDER BY id_a, id_b
   """
 
+  /** Unigram cross-entropy chain ending in `lm(doc_id, n_tokens,
+    * xent)` — the relational twin of UnigramLM.crossEntropy (no WITH
+    * keyword). Used by the q_lm_score and q_curriculum oracles.
+    */
+  private val lmXentCtes: String = """toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents),
+        counts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
+        total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM counts),
+        model AS (
+          SELECT word, ROUND(-LOG10(CAST(cnt AS DOUBLE) / tot), 9) AS nlp
+          FROM counts, total),
+        lm AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 ROUND(CAST(sum(CAST(m.nlp AS DECIMAL(38,12))) AS DOUBLE)
+                       / count(*), 6) AS xent
+          FROM toks t JOIN model m ON m.word = t.word
+          GROUP BY t.doc_id)"""
+
   /** Same chain plus the symmetrized ≥0.8 edge list (for the
     * connected-components oracle).
     */
@@ -552,6 +571,51 @@ object ExtensionQueries {
       },
       Some(annOracle("q.vec_id < 10", 5))),
 
+    // Hard-negative mining (contrastive-training prep): top-3
+    // most-similar neighbors with a DIFFERENT label, label filter
+    // applied BEFORE the bounded top-k aggregate.
+    QueryDef(
+      "q_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.hardNegatives(
+            emb.filter(col("vec_id") < 10), emb,
+            "vec_id", "embedding", "label", 3)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sum(q.x * c.x) AS d
+          FROM dims q JOIN dims c ON q.i = c.i
+          WHERE q.vec_id < 10
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
+          FROM dots
+          JOIN norms nq ON nq.vec_id = query_id
+          JOIN norms nc ON nc.vec_id = neighbor_id
+          JOIN embeddings eq ON eq.vec_id = query_id
+          JOIN embeddings en ON en.vec_id = neighbor_id
+          WHERE query_id <> neighbor_id
+            AND eq.label IS DISTINCT FROM en.label),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY query_id, rank
+      """)),
+
     // IVF (k-means codebook) approximate variant — no oracle
     // (approximate by construction; ground truth is q_ann_topk).
     QueryDef(
@@ -975,21 +1039,44 @@ object ExtensionQueries {
             Tables.documents(s, dir).select(col("doc_id"), col("text")),
             "doc_id", "text")
           .orderBy(col("doc_id")),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS word
-          FROM documents),
-        counts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
-        total AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM counts),
-        model AS (
-          SELECT word, ROUND(-LOG10(CAST(cnt AS DOUBLE) / tot), 9) AS nlp
-          FROM counts, total)
-        SELECT t.doc_id, count(*) AS n_tokens,
-               ROUND(CAST(sum(CAST(m.nlp AS DECIMAL(38,12))) AS DOUBLE)
-                     / count(*), 6) AS xent
-        FROM toks t JOIN model m ON m.word = t.word
-        GROUP BY t.doc_id
-        ORDER BY t.doc_id
+      Some(s"""
+        WITH $lmXentCtes
+        SELECT doc_id, n_tokens, xent FROM lm ORDER BY doc_id
+      """)),
+
+    // Curriculum sharding: order the corpus easy->hard by unigram
+    // cross-entropy and cut it into 8 contiguous shards — the
+    // curriculum-learning data prep. Built on GlobalIds (no
+    // single-partition window; an NTILE over the corpus would funnel
+    // everything through one task). shard = floor((row_id-1)*8/n):
+    // both factors are exact integers in double range, so the floored
+    // quotient replays identically in any IEEE engine.
+    QueryDef(
+      "q_curriculum",
+      (s, dir) => {
+        val scored = UnigramLM.crossEntropy(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        val total = scored.agg(count(lit(1)).as("__n"))
+        GlobalIds.withOrderedIds(
+            scored.select(col("doc_id"), col("xent")),
+            Seq("xent", "doc_id"), "row_id", partitions = 0)
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("xent"),
+            floor((col("row_id") - 1) * 8 / col("__n")).cast("int")
+              .as("shard"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $lmXentCtes,
+        r AS (
+          SELECT doc_id, xent,
+                 ROW_NUMBER() OVER (ORDER BY xent, doc_id) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM lm)
+        SELECT doc_id, xent,
+               CAST(floor((rn - 1) * 8.0 / n) AS INT) AS shard
+        FROM r ORDER BY doc_id
       """)),
 
     // Domain-mixture resampling to per-lang target rates (DoReMi-style

@@ -96,4 +96,28 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
     assert(ivf.toSeq == exact.toSeq)
   }
+
+  test("hardNegatives: nearest cross-label neighbors only, exact top-k of the filtered set") {
+    val r = new Random(41)
+    // Two tight clusters; labels split WITHIN each cluster so every
+    // query's nearest same-cluster neighbors include both labels.
+    val base = randVec(r, 16)
+    val far = randVec(r, 16)
+    val rows = (0L until 20L).map { i =>
+      val centre = if (i < 10) base else far
+      val v = centre.zip(randVec(r, 16)).map { case (c, n) => c + 0.05f * n }
+      (i, v, (i % 2).toInt)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        df.filter($"vec_id" === 0L), df, "vec_id", "embedding", "label", 3)
+      .collect().map(_.getLong(1))
+    // All results carry the opposite label to query 0 (label 0).
+    val ids = out
+    val labels = rows.filter(x => ids.contains(x._1)).map(_._3)
+    assert(labels.forall(_ == 1), s"same-label leak: ${labels.toSeq}")
+    assert(ids.length == 3)
+    // ...and they come from the query's own (near) cluster.
+    assert(ids.forall(_ < 10), s"picked far-cluster rows: ${ids.toSeq}")
+  }
 }
