@@ -236,6 +236,21 @@ object Dedup {
       sh, buckets)
   }
 
+  /** Materialize the DEDUPLICATED corpus: keep every row that is
+    * either untouched by duplication or the canonical (minimum-id)
+    * member of its duplicate group. `pairs` is any near-dup pair list
+    * from the operators above; group resolution reuses
+    * [[connectedComponents]]. The drop set is group-membership-sized
+    * (≪ corpus), joined anti — the corpus itself never shuffles.
+    */
+  def keepCanonical(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dropIds = connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact shingle Jaccard for an explicit candidate-pair list.
     * No broadcast hint on the candidate set: it is output-sized
     * (unbounded at corpus scale), so forcing it through the driver

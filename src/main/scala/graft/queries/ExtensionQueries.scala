@@ -406,6 +406,34 @@ object ExtensionQueries {
         ORDER BY id
       """)),
 
+    // The payoff query of the dedup chain: the corpus a trainer
+    // actually reads — drop every non-canonical duplicate-group
+    // member, keep everything else (Dedup.keepCanonical).
+    QueryDef(
+      "q_dedup_keep",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        Dedup.keepCanonical(Tables.documents(s, dir), "doc_id", pairs)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${jaccardEdgesCte},
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        labels AS (
+          SELECT a AS id, least(a, MIN(b)) AS label
+          FROM reach GROUP BY a)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        ORDER BY doc_id
+      """)),
+
     // Exact duplicate-span detection (training-data "exact substring
     // dedup" at 20-token-span granularity): positions whose span
     // recurs in ≥2 distinct docs.
@@ -757,6 +785,44 @@ object ExtensionQueries {
                      / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
         FROM documents
         ORDER BY doc_id
+      """)),
+
+    // Token-budget accounting per (source, lang): the table a mixture
+    // plan (q_mix_sources rates) is computed FROM. Share uses a
+    // broadcast total, not a global window (a single-partition window
+    // over even a small frame is the pattern this engine bans).
+    QueryDef(
+      "q_token_budget",
+      (s, dir) => {
+        val perDoc = Tables.documents(s, dir)
+          .select(col("source"), col("lang"),
+            TextAnalysis.bpeTokenEstimate(col("text"))
+              .cast("long").as("toks"))
+        val grouped = perDoc.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
+        val total = grouped.agg(sum(col("tokens")).as("__t"))
+        grouped.crossJoin(broadcast(total))
+          .select(col("source"), col("lang"), col("n_docs"), col("tokens"),
+            round(col("tokens").cast("double") / col("__t").cast("double"), 6)
+              .as("share"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some(s"""
+        WITH per AS (
+          SELECT source, lang,
+                 CAST(len(regexp_extract_all(text,
+                   '${TextAnalysis.bpePattern.replace("'", "''")}')) AS BIGINT)
+                   AS toks
+          FROM documents),
+        grouped AS (
+          SELECT source, lang, COUNT(*) AS n_docs, SUM(toks) AS tokens
+          FROM per GROUP BY 1, 2)
+        SELECT source, lang, n_docs, tokens,
+               ROUND(CAST(tokens AS DOUBLE)
+                     / CAST((SELECT SUM(tokens) FROM grouped) AS DOUBLE), 6)
+                 AS share
+        FROM grouped
+        ORDER BY source, lang
       """)),
 
     QueryDef(

@@ -44,6 +44,26 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(inc.contains((3L, 5L)), "new×old pair found")
   }
 
+  test("keepCanonical drops exactly the non-minimum group members") {
+    val docs = corpus()
+    val sh = Dedup.shingleSets(docs, "doc_id", "tokens", 3)
+    val pairs = Dedup.jaccardPairs(sh, minJ).select($"id_a", $"id_b")
+    val kept = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // Groups: {1,2}, {3,5}, {10}? (10 pairs with nothing at 0.5),
+    // untouched: 11, 12. Canonicals keep the minimum id.
+    val full = Dedup.minhashDedupPairs(docs, "doc_id", "tokens",
+        3, 8, 4, minJ).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val dupIds = full.flatMap(p => Seq(p._1, p._2))
+    val canonical = dupIds.groupBy(identity).keySet // ids in groups
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept.contains(3L) && !kept.contains(5L))
+    assert(Set(10L, 11L, 12L).subsetOf(kept), "untouched docs all kept")
+    assert(kept.size == docs.count() - 2)
+    assert(canonical.nonEmpty) // sanity: dup groups exist
+  }
+
   test("pairs are normalized id_a < id_b regardless of which side is new") {
     val docs = corpus()
     val newIds = docs.select($"doc_id").where(pmod($"doc_id", lit(5L)) === 0)

@@ -94,7 +94,7 @@ class PlanShapeSpec extends SparkSuite {
       "q_decontaminate", "q_redact", "q_repetition",
       "q_lm_score", "q_mix_sources", "q_select_quality",
       "q_diversity_sample", "q_quarantine", "q_hard_negatives",
-      "q_sample_docs", "q_token_stats", "q_quality", "q_lang_id",
+      "q_sample_docs", "q_token_stats", "q_token_budget", "q_quality", "q_lang_id",
       "q_fingerprint", "q_multimodal_meta", "q_multimodal_frames",
       "q_ann_topk", "q_asof_join", "q_asof_forward",
       "q_asof_tolerance", "q_range_join")
