@@ -97,6 +97,32 @@ object EventQueries {
     // which duplicate row survives inside a micro-batch is an
     // execution-order accident, but the key set equals the distinct
     // keys, which the batch oracle checks exactly.
+    // Streaming curation gate: stateless batch curation expressions
+    // run unchanged under the streaming engine (StreamingOps
+    // .curatedDocRejects scaladoc); the oracle is the batch replay.
+    QueryDef(
+      "q_stream_curate",
+      (s, dir) =>
+        graft.streaming.StreamingOps
+          .curatedDocRejects(s, s"$dir/documents.parquet")
+          .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, failed_rule FROM (
+          SELECT doc_id,
+                 CASE WHEN len(string_split(text, ' ')) < 30
+                        THEN 'too_few_tokens'
+                      WHEN CAST(len(list_distinct(string_split(text, ' ')))
+                             AS DOUBLE)
+                           / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                           < 0.3
+                        THEN 'low_diversity'
+                      WHEN length(text) < 200 THEN 'too_short'
+                      ELSE NULL END AS failed_rule
+          FROM documents)
+        WHERE failed_rule IS NOT NULL
+        ORDER BY doc_id
+      """)),
+
     QueryDef(
       "q_stream_dedup",
       (s, dir) =>

@@ -205,6 +205,44 @@ object StreamingOps {
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $windowSeconds SECONDS"))
   }
 
+  /** Streaming curation gate: the SAME stateless column expressions
+    * the batch curation queries use (token count, type/token ratio,
+    * length), applied under the streaming engine — documents stream
+    * in, rejects stream out with the rule that fired. Proves the
+    * curation surface is mode-agnostic: a per-ingest pipeline can run
+    * these filters on arriving files with zero code change, because
+    * pure projections/filters have no state, no watermark, and no
+    * output-mode constraints.
+    */
+  def curatedDocRejects(
+      spark: SparkSession,
+      path: String,
+      minTokens: Int = 30,
+      minUniqueRatio: Double = 0.3,
+      minChars: Int = 200): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val (dir, glob) =
+      if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val toks = split(col("text"), " ", -1)
+    val rejected = docs.select(col("doc_id"),
+        when(size(toks) < minTokens, "too_few_tokens")
+          .when(size(array_distinct(toks)).cast("double")
+            / size(toks).cast("double") < minUniqueRatio, "low_diversity")
+          .when(length(col("text")) < minChars, "too_short")
+          .as("failed_rule"))
+      .where(col("failed_rule").isNotNull)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = rejected.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Runs [[dedupWithinWatermark]] over the events parquet (memory
     * sink, append mode) keyed on (user_id, event_type), returning the
     * surviving keys. Only the KEY columns are projected: within a
