@@ -97,6 +97,92 @@ object EventQueries {
     // which duplicate row survives inside a micro-batch is an
     // execution-order accident, but the key set equals the distinct
     // keys, which the batch oracle checks exactly.
+    // Funnel analysis: per-user FIRST occurrence of each stage, depth
+    // = longest strictly-increasing prefix of
+    // signup -> view -> click -> purchase. One aggregation (min-when
+    // per stage) + one tiny group-by — never a per-user sort or a
+    // self-join per stage.
+    QueryDef(
+      "q_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        def firstOf(t: String) =
+          min(when(col("event_type") === t, col("us"))).as(s"t_$t")
+        val stage = when(col("t_signup").isNull, 0)
+          .when(col("t_view").isNull || col("t_view") <= col("t_signup"), 1)
+          .when(col("t_click").isNull || col("t_click") <= col("t_view"), 2)
+          .when(col("t_purchase").isNull ||
+            col("t_purchase") <= col("t_click"), 3)
+          .otherwise(4)
+        e.groupBy(col("user_id"))
+          .agg(firstOf("signup"), firstOf("view"),
+            firstOf("click"), firstOf("purchase"))
+          .select(stage.as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t1,
+                 min(CASE WHEN event_type = 'view'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t2,
+                 min(CASE WHEN event_type = 'click'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t3,
+                 min(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t4
+          FROM events GROUP BY 1),
+        s AS (
+          SELECT CASE WHEN t1 IS NULL THEN 0
+                      WHEN t2 IS NULL OR t2 <= t1 THEN 1
+                      WHEN t3 IS NULL OR t3 <= t2 THEN 2
+                      WHEN t4 IS NULL OR t4 <= t3 THEN 3
+                      ELSE 4 END AS stage
+          FROM f)
+        SELECT stage, COUNT(*) AS n_users FROM s
+        GROUP BY stage ORDER BY stage
+      """)),
+
+    // Cohort retention: users grouped by first-active ISO week,
+    // distinct-active counts at each whole-week offset. Two
+    // aggregations + one join on user_id; the cohort table is
+    // user-sized, not event-sized.
+    QueryDef(
+      "q_cohort_retention",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val cohorts = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+        e.join(cohorts, "user_id")
+          .select(col("user_id"), col("cohort"),
+            (datediff(col("wk"), col("cohort")) / 7).cast("int")
+              .as("week_offset"))
+          .groupBy(col("cohort"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy(col("cohort"), col("week_offset"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS wk
+          FROM events),
+        cohorts AS (
+          SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1)
+        SELECT c.cohort,
+               CAST(datediff('day', c.cohort, e.wk) / 7 AS INT)
+                 AS week_offset,
+               COUNT(DISTINCT e.user_id) AS n_active
+        FROM e JOIN cohorts c ON c.user_id = e.user_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
     // Streaming curation gate: stateless batch curation expressions
     // run unchanged under the streaming engine (StreamingOps
     // .curatedDocRejects scaladoc); the oracle is the batch replay.

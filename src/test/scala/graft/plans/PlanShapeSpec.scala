@@ -85,6 +85,7 @@ class PlanShapeSpec extends SparkSuite {
       "q_window_funcs", "q_setops",
       "q_percentiles", "q_pivot_events", "q_json_extract",
       "q_events_window", "q_sessions", "q_session_window",
+      "q_funnel", "q_cohort_retention",
       "q_top_words", "q_doc_lengths", "q_clean", "q_tokenize",
       "q_stopwords", "q_pipeline_tokens", "q_stem_terms",
       "q_dfm_counts", "q_docfreq", "q_vocab_trim", "q_sparsity",
