@@ -48,7 +48,8 @@ object Bench {
     "q_lm_score", "q_mix_sources", "q_select_quality",
     "q_dedup_incremental", "q_diversity_sample",
     "q_hard_negatives", "q_curriculum", "q_quarantine", "q_assign_ids",
-    "q_dedup_keep", "q_token_budget", "q_stream_curate")
+    "q_dedup_keep", "q_token_budget", "q_stream_curate",
+    "q_funnel", "q_cohort_retention")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.
