@@ -77,6 +77,19 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), s"non-equi SMJ crept in:\n$p")
   }
 
+  test("row-local curation queries never hash-shuffle") {
+    // These are per-row filters/projections/explodes; their ONLY
+    // exchange is the oracle-determinism output sort (range). A hash
+    // exchange appearing here means someone introduced an aggregation
+    // or join into what must stay a scan-speed operator.
+    for (q <- Seq("q_mix_sources", "q_quarantine", "q_redact",
+        "q_chunk_docs", "q_token_stats", "q_fingerprint")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q hash-shuffles a row-local operator:\n$p")
+    }
+  }
+
   test("no CartesianProduct in the declarative query surface") {
     // every SparkEntry query whose plan builds without running jobs
     val lazyQueries = Seq(
