@@ -790,7 +790,12 @@ object ExtensionQueries {
     // Token-budget accounting per (source, lang): the table a mixture
     // plan (q_mix_sources rates) is computed FROM. Share uses a
     // broadcast total, not a global window (a single-partition window
-    // over even a small frame is the pattern this engine bans).
+    // over even a small frame is the pattern this engine bans). The
+    // share is emitted as integer parts-per-million via integer
+    // division — no double ever reaches the hashed output, so no
+    // ROUND(double, n) implementation skew between engines (or between
+    // DuckDB builds) can flip a bit. Both `div` (Spark) and `//`
+    // (DuckDB) floor on the all-positive operands here.
     QueryDef(
       "q_token_budget",
       (s, dir) => {
@@ -803,8 +808,8 @@ object ExtensionQueries {
         val total = grouped.agg(sum(col("tokens")).as("__t"))
         grouped.crossJoin(broadcast(total))
           .select(col("source"), col("lang"), col("n_docs"), col("tokens"),
-            round(col("tokens").cast("double") / col("__t").cast("double"), 6)
-              .as("share"))
+            expr("(tokens * CAST(1000000 AS BIGINT)) div __t")
+              .as("share_ppm"))
           .orderBy(col("source"), col("lang"))
       },
       Some(s"""
@@ -818,9 +823,9 @@ object ExtensionQueries {
           SELECT source, lang, COUNT(*) AS n_docs, SUM(toks) AS tokens
           FROM per GROUP BY 1, 2)
         SELECT source, lang, n_docs, tokens,
-               ROUND(CAST(tokens AS DOUBLE)
-                     / CAST((SELECT SUM(tokens) FROM grouped) AS DOUBLE), 6)
-                 AS share
+               CAST((tokens * 1000000)
+                    // (SELECT SUM(tokens) FROM grouped) AS BIGINT)
+                 AS share_ppm
         FROM grouped
         ORDER BY source, lang
       """)),

@@ -76,9 +76,14 @@ object MLQueries {
     // vectors; returns per-doc L2 norm of the tf-idf vector, which IS
     // SQL-expressible: with the default (1,1) trim the vocabulary is
     // every split token, so the norm is sqrt(Σ ((cnt/doc_total) ·
-    // log10(N/df))²) over the q_tfidf cell values. The oracle replays
-    // exactly that; rounding to 6 decimals absorbs libm log10 ulps and
-    // summation-order noise (same policy as the cosine oracles).
+    // log10(N/df))²) over the q_tfidf cell values. To make the hash
+    // order-independent (Spark folds the vector in slot order, DuckDB
+    // SUMs in arbitrary order) each cell is snapped to a 1e-9 lattice
+    // first; the squares and their sum are then exact integers
+    // (DECIMAL in Spark, HUGEINT in DuckDB), so both engines feed the
+    // SAME exact value into sqrt (IEEE-correctly-rounded, build
+    // independent). Per-cell 9-dp rounding also absorbs libm log10
+    // ulps — same policy as q_lm_score's UnigramLM decimal lattice.
     QueryDef(
       "q_tfidf_vectors",
       (s, dir) => {
@@ -96,12 +101,21 @@ object MLQueries {
         val idfModel = idf.fit(tf)
         idfModel.setInputCol("tf").setOutputCol("tfidf")
         // L2 norm via the MLlib array bridge + Catalyst aggregate —
-        // keeps the norm math codegen'd instead of a Scala UDF.
+        // keeps the norm math codegen'd instead of a Scala UDF. Cells
+        // are snapped to integer nanounits (x·1e9, exact in double up
+        // to |x| < 2^53/1e9) so the sum of squares is exact DECIMAL
+        // arithmetic, immune to fold order.
         idfModel.transform(tf)
+          .withColumn("__cells",
+            org.apache.spark.ml.functions.vector_to_array(col("tfidf")))
           .select(col("doc_id"),
             round(
-              VectorFunctions.norm2(
-                org.apache.spark.ml.functions.vector_to_array(col("tfidf"))),
+              sqrt(expr(
+                """CAST(aggregate(__cells, CAST(0 AS DECIMAL(38,0)),
+                  |  (acc, x) -> acc
+                  |    + CAST(round(x * 1e9) AS DECIMAL(19,0))
+                  |    * CAST(round(x * 1e9) AS DECIMAL(19,0)))
+                  |  AS DOUBLE)""".stripMargin)) / lit(1e9),
               6).as("tfidf_l2"))
           .orderBy(col("doc_id"))
       },
@@ -122,7 +136,10 @@ object MLQueries {
           JOIN tot t ON t.doc_id = c.doc_id
           JOIN df ON df.word = c.word)
         SELECT d.doc_id,
-               ROUND(COALESCE(sqrt(SUM(cell * cell)), 0.0), 6) AS tfidf_l2
+               ROUND(sqrt(CAST(COALESCE(
+                       SUM(CAST(ROUND(cell * 1e9) AS HUGEINT)
+                           * CAST(ROUND(cell * 1e9) AS HUGEINT)), 0)
+                     AS DOUBLE)) / 1e9, 6) AS tfidf_l2
         FROM documents d LEFT JOIN cells ON cells.doc_id = d.doc_id
         GROUP BY d.doc_id
         ORDER BY d.doc_id
