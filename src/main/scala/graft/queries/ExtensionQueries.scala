@@ -644,18 +644,56 @@ object ExtensionQueries {
         ORDER BY query_id, rank
       """)),
 
-    // IVF (k-means codebook) approximate variant — no oracle
-    // (approximate by construction; ground truth is q_ann_topk).
+    // IVF approximate variant with the DETERMINISTIC corpus-sampled
+    // codebook (16 smallest vec_ids, nprobe 4) — fully hash-checked:
+    // the whole search is a pure function of the data, so DuckDB
+    // replays cell assignment, probing, candidate join, and the exact
+    // cosine re-rank (same ivfAssignCtes chain q_ann_recall pins; this
+    // exposes the ranked neighbor list itself). The seeded
+    // MLlib-k-means codebook variant (Similarity.ivfTopK) keeps its
+    // coverage spec-side in AnnRecallSpec — a trained codebook is
+    // inherently non-replayable in SQL.
     QueryDef(
       "q_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopK(
+        Similarity.ivfTopKSampledCodebook(
             emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
             nlist = 16, nprobe = 4)
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      Some(s"""
+        WITH $ivfAssignCtes,
+        probes AS (
+          SELECT nid AS query_id, cell FROM (
+            SELECT nid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY nid
+                                      ORDER BY csim DESC, cell) AS rn
+            FROM asim WHERE nid < 10) WHERE rn <= 4),
+        acand AS (
+          SELECT p.query_id, a.nid AS neighbor_id
+          FROM probes p JOIN asg a ON a.cell = p.cell
+          WHERE a.nid <> p.query_id),
+        pdots AS (
+          SELECT c.query_id, c.neighbor_id, sum(qd.x * nd.x) AS d
+          FROM acand c
+          JOIN dims qd ON qd.vec_id = c.query_id
+          JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.i = qd.i
+          GROUP BY 1, 2),
+        pscored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(d / (nq.nrm * nn.nrm), 6) AS cosine
+          FROM pdots
+          JOIN norms nq ON nq.vec_id = query_id
+          JOIN norms nn ON nn.vec_id = neighbor_id)
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM pscored) WHERE rank <= 5
+        ORDER BY query_id, rank
+      """)),
 
     // LSH-bucketed approximate variant — FULLY oracle-checked even
     // though it's an approximate algorithm: the hyperplane buckets are

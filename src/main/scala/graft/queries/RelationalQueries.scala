@@ -244,25 +244,30 @@ object RelationalQueries {
         ORDER BY o_orderpriority, o_totalprice, o_orderkey
       """)),
 
-    // Set operations (distinct semantics in both engines): nations
-    // with BUILDING and AUTOMOBILE customers but no MACHINERY ones.
+    // Set operations (distinct semantics in both engines): customers
+    // who placed both URGENT and 2-HIGH orders but never a 5-LOW one.
+    // The key is o_custkey (not nationkey): at ~10 orders/customer the
+    // intersect-minus-except is non-empty at every SF (15 rows at
+    // sf0.001, 166 at sf0.01, 1510 at sf0.1), so the oracle hash
+    // actually witnesses the set semantics — a coarser key emptied
+    // out above sf0.001 and passed vacuously.
     QueryDef(
       "q_setops",
       (s, dir) => {
-        val cust = Tables.customer(s, dir)
-        def seg(v: String) = cust.filter(col("c_mktsegment") === v)
-          .select(col("c_nationkey"))
-        seg("BUILDING").intersect(seg("AUTOMOBILE"))
-          .except(seg("MACHINERY"))
-          .orderBy(col("c_nationkey"))
+        val ord = Tables.orders(s, dir)
+        def prio(v: String) = ord.filter(col("o_orderpriority") === v)
+          .select(col("o_custkey"))
+        prio("1-URGENT").intersect(prio("2-HIGH"))
+          .except(prio("5-LOW"))
+          .orderBy(col("o_custkey"))
       },
       Some("""
-        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         INTERSECT
-        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
         EXCEPT
-        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
-        ORDER BY c_nationkey
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+        ORDER BY o_custkey
       """)),
 
     // Full cube over the same pair: all four grouping sets from one
