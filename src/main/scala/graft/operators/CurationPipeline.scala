@@ -50,11 +50,23 @@ object CurationPipeline {
       domainCol: String,
       config: Config = Config()): Result = {
     var ledger = Vector.empty[(String, Long)]
+    val staged = scala.collection.mutable.Buffer.empty[DataFrame]
+    // Pin each stage boundary before counting it: the ledger count AND
+    // every downstream stage then read the cached frame, so each
+    // stage's work runs once instead of re-executing the whole
+    // upstream chain per action (5 counts + the final materialization
+    // would otherwise replay quarantine/quality/dedup several times).
     def note(stage: String, df: DataFrame): DataFrame = {
-      ledger :+= (stage -> df.count()); df
+      val pinned = df.persist()
+      staged += pinned
+      ledger :+= (stage -> pinned.count())
+      pinned
     }
 
-    note("input", docs)
+    // The raw corpus is counted but never cached — pinning the input
+    // is the one thing a 100-TB run must not do; the scan is the
+    // cheapest stage to repeat (and runs only once more, in stage 1).
+    ledger :+= ("input" -> docs.count())
 
     // 1. rule quarantine (null/empty/integrity)
     val violations = DataQuality.validate(docs, Seq(idCol), Seq(
@@ -80,10 +92,13 @@ object CurationPipeline {
     val deduped = note("dedup",
       Dedup.keepCanonical(good, idCol, pairs))
 
-    // 4. mixture resampling (identity when no rates configured)
-    val mixed = note("mix",
-      if (config.rates.isEmpty) deduped
-      else CorpusMixing.resampleByRates(
+    // 4. mixture resampling (identity when no rates configured — the
+    // ledger entry then reuses the dedup count instead of re-pinning
+    // the same frame)
+    val dedupCount = ledger.last._2
+    val mixed =
+      if (config.rates.isEmpty) { ledger :+= ("mix" -> dedupCount); deduped }
+      else note("mix", CorpusMixing.resampleByRates(
         deduped, idCol, domainCol, config.rates))
 
     // 5. contiguous ids in deterministic (md5, copy) order; the copy
@@ -98,6 +113,10 @@ object CurationPipeline {
       .withOrderedIds(keyed, "curation_sort_key", "row_id")
       .drop("curation_sort_key")
 
+    // withOrderedIds eagerly localCheckpoints its numbered frame, so
+    // `curated` no longer reaches back into the stage caches — release
+    // them before handing the result out.
+    staged.foreach(_.unpersist())
     Result(curated, ledger)
   }
 }

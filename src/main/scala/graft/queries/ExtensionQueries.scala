@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sqlList
 import graft.functions.{TextAnalysis, TextFunctions}
-import graft.operators.{CorpusMixing, Dedup, GlobalIds, SequencePacking, Similarity, UnigramLM}
+import graft.operators.{CorpusMixing, CurationPipeline, Dedup, GlobalIds, SequencePacking, Similarity, UnigramLM}
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension queries (beyond the reference's
@@ -17,14 +17,14 @@ object ExtensionQueries {
     * WITHOUT the `WITH` keyword so callers can pick `WITH` or
     * `WITH RECURSIVE`.
     */
-  private def shingleCtes(k: Int): String = {
+  private def shingleCtes(k: Int, src: String = "documents"): String = {
     val leads = (1 until k)
       .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
     s"""
     words AS (
       SELECT doc_id, unnest(string_split(text,' ')) AS word,
              generate_subscripts(string_split(text,' '), 1) AS pos
-      FROM documents),
+      FROM $src),
     sh0 AS (
       SELECT doc_id, word || ' ' || $leads AS shingle
       FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
@@ -42,9 +42,11 @@ object ExtensionQueries {
     */
   /** CTE chain ending in `j(id_a, id_b, jac)` — exact shingle Jaccard
     * over all candidate pairs (no WITH keyword; see [[shingleCtes]]).
+    * `src` is the relation shingled — "documents" for the standalone
+    * dedup oracles, a filtered CTE for the q_curate composite.
     */
-  private val jaccardCtes: String = s"""
-    ${shingleCtes(3)},
+  private def jaccardCtesOver(src: String): String = s"""
+    ${shingleCtes(3, src)},
     sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
     inter AS (
       SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
@@ -56,6 +58,8 @@ object ExtensionQueries {
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b)"""
+
+  private val jaccardCtes: String = jaccardCtesOver("documents")
 
   private val jaccardOracle: String = s"""
     WITH $jaccardCtes
@@ -948,6 +952,72 @@ object ExtensionQueries {
           SELECT doc_id, 'chars_match_text' FROM documents
           WHERE NOT coalesce(n_chars = length(text), false))
         ORDER BY doc_id, failed_rule
+      """)),
+
+    // The batch-curation composite, end to end: CurationPipeline.run
+    // chains quarantine → quality floor → MinHash near-dup dedup →
+    // (identity) mixture → contiguous global ids, each stage the
+    // already-oracled operator. The oracle replays the whole five-
+    // stage chain — row filters, the 6-dp-rounded quality threshold,
+    // exact-Jaccard closure over the SURVIVING docs (the LSH path
+    // agrees exactly: planted pairs sit at j≥0.97 where banded recall
+    // is deterministic — see q_dedup_minhash), and row_number over the
+    // md5 sort key GlobalIds orders by. A green row here verifies the
+    // composite's plumbing, not just its stages.
+    QueryDef(
+      "q_curate",
+      (s, dir) => {
+        val r = CurationPipeline.run(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"), col("source")),
+          "doc_id", "text", "source")
+        r.curated.select(col("row_id"), col("doc_id"))
+          .orderBy(col("row_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        valid AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 1
+            AND source IS NOT NULL),
+        qparts AS (
+          SELECT doc_id,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                   AS len_score,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS diversity,
+                 abs(CAST(len(list_filter(string_split(text, ' '),
+                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4)
+                   AS stop_penalty,
+                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct
+          FROM valid),
+        good AS (
+          SELECT v.doc_id, v.text
+          FROM valid v JOIN qparts p ON p.doc_id = v.doc_id
+          WHERE ROUND(p.len_score * 0.3 + p.diversity * 0.3 +
+                      (1.0 - p.stop_penalty) * 0.3 +
+                      (1.0 - p.punct) * 0.1, 6) >= 0.5),
+        ${jaccardCtesOver("good")},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.8
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM j WHERE jac >= 0.8),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+        labels AS (
+          SELECT a AS id, least(a, MIN(b)) AS label FROM reach GROUP BY a)
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '#0'))
+               AS BIGINT) AS row_id,
+               doc_id
+        FROM good
+        WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        ORDER BY row_id
       """)),
 
     // Gopher-style repetition filters (token-level): duplicate-token
