@@ -55,8 +55,13 @@ object Multimodal {
     payloads.select(col("id"), col("payload"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // a native decoder would process `batch` in one call
-          batch.map(r => stubDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
+          // a native decoder would process `batch` in one call;
+          // null payload → empty array rather than an NPE'd task
+          batch.map { r =>
+            val bytes = Option(r.getAs[Array[Byte]](1))
+              .getOrElse(Array.emptyByteArray)
+            stubDecode(r.getLong(0), bytes)
+          }
         }
       }(enc).toDF()
   }
@@ -79,7 +84,10 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { r =>
-            val bytes = r.getAs[Array[Byte]](1)
+            // null payload → empty array, keeping the NaN-free /
+            // norm-bounded output contract (same guard as decodeMeta)
+            val bytes = Option(r.getAs[Array[Byte]](1))
+              .getOrElse(Array.emptyByteArray)
             val hist = new Array[Float](16)
             bytes.foreach(b => hist((b & 0xff) >> 4) += 1f)
             val total = math.max(1f, bytes.length.toFloat)

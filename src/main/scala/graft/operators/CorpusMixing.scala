@@ -94,9 +94,16 @@ object CorpusMixing {
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy(col(partitionCol))
 
+    // The cutoff is computed in exact decimal, not double: with a
+    // double, fractions whose binary representation exceeds the
+    // rational value (e.g. 0.35 · 20 → 7.000000000000001 → ceil 8)
+    // keep one extra row per partition vs an exact-arithmetic oracle.
+    // fraction.toString round-trips the decimal literal the caller
+    // wrote, so DECIMAL · BIGINT → CEIL is exact.
+    val fracDec = lit(new java.math.BigDecimal(fraction.toString))
     df.withColumn("__rn", row_number().over(byScore))
       .withColumn("__n", count(lit(1)).over(whole))
-      .where(col("__rn") <= ceil(lit(fraction) * col("__n")))
+      .where(col("__rn") <= ceil(fracDec * col("__n")))
       .drop("__rn", "__n")
   }
 }

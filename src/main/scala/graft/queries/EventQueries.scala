@@ -92,11 +92,6 @@ object EventQueries {
       },
       Some(sessionsOracle)),
 
-    // Streaming exact dedup (dropDuplicatesWithinWatermark) keyed on
-    // (user_id, event_type). Only the surviving KEY SET is projected —
-    // which duplicate row survives inside a micro-batch is an
-    // execution-order accident, but the key set equals the distinct
-    // keys, which the batch oracle checks exactly.
     // Funnel analysis: per-user FIRST occurrence of each stage, depth
     // = longest strictly-increasing prefix of
     // signup -> view -> click -> purchase. One aggregation (min-when

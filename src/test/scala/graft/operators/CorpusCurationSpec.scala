@@ -91,6 +91,18 @@ class CorpusCurationSpec extends SparkSuite {
     assert(en == Set(0L, 1L), "must keep the highest-scored rows")
   }
 
+  test("selectTopFraction cutoff is exact decimal, not double ceil") {
+    // 0.35 in double is 0.35000000000000003…: 0.35 * 20 →
+    // 7.000000000000001 → ceil 8 under double arithmetic. The exact
+    // decimal cutoff must keep ceil(7/20ths of 20) = 7 rows.
+    val scored = (0 until 20).map(i => (i.toLong, "en", 1.0 - i * 0.01))
+      .toDF("doc_id", "lang", "quality")
+    val out = CorpusMixing
+      .selectTopFraction(scored, "lang", "quality", 0.35, "doc_id")
+    assert(out.count() == 7L,
+      "double ceil(0.35*20) would keep 8; exact decimal keeps 7")
+  }
+
   test("selectTopFraction breaks score ties by ascending tie column") {
     val tied = Seq(
       (10L, "en", 0.5), (11L, "en", 0.5), (12L, "en", 0.5), (13L, "en", 0.5)

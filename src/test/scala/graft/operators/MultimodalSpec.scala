@@ -31,6 +31,21 @@ class MultimodalSpec extends SparkSuite {
     assert(feats == feats2)
   }
 
+  test("decodeMeta and extractFeatures tolerate null payloads") {
+    val withNull = payloads().limit(3)
+      .withColumn("payload",
+        when(col("id") === 0L, lit(null).cast("binary"))
+          .otherwise(col("payload")))
+    val meta = Multimodal.decodeMeta(withNull).collect()
+    assert(meta.length == 3)
+    assert(meta.find(_.getLong(0) == 0L).get.getLong(1) == 0L,
+      "null payload decodes as zero-length")
+    val feats = Multimodal.extractFeatures(withNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(0L).forall(x => x == 0f), "null payload → zero histogram")
+    assert(feats.size == 3)
+  }
+
   test("extracted features feed the Similarity operators unchanged") {
     val feats = Multimodal.extractFeatures(payloads())
       .withColumnRenamed("id", "vec_id")
