@@ -49,7 +49,11 @@ object Bench {
     "q_dedup_incremental", "q_diversity_sample",
     "q_hard_negatives", "q_curriculum", "q_quarantine", "q_assign_ids",
     "q_dedup_keep", "q_token_budget", "q_stream_curate",
-    "q_funnel", "q_cohort_retention")
+    "q_funnel", "q_cohort_retention",
+    // round-8 additions: the relational surface that had no bench
+    // coverage, plus the batch-curation composite front door
+    "q_window_funcs", "q_setops", "q_cube_orders", "q_percentiles",
+    "q_distinct_sketch", "q_curate")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.
@@ -193,18 +197,24 @@ object Bench {
         "(anchors 153385 / 12857)")
   }
 
-  private def benchOkCupidTree(spark: SparkSession): Double = {
+  /** Returns (total seconds, per-stage seconds) — the stage split
+    * (featurize / fit / prune_eval) makes a tree-time regression
+    * attributable instead of a coin flip on one ~85%-of-wall number.
+    */
+  private def benchOkCupidTree(
+      spark: SparkSession): (Double, Seq[(String, Double)]) = {
     val profiles = syntheticProfiles(spark, 59946L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       profiles.count() // materialize the corpus outside the timed region
       if (!vocabPrinted) { vocabPrinted = true; printVocabShape(profiles) }
       val t0 = System.nanoTime()
-      val (confusion, acc) = OkCupidPipeline.trainAndEvaluate(profiles)
+      val (confusion, acc, stages) =
+        OkCupidPipeline.trainAndEvaluateTimed(profiles)
       confusion.collect()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] q_okcupid_tree accuracy=$acc%.4f")
-      sec
+      (sec, stages)
     } finally profiles.unpersist()
   }
 
@@ -236,6 +246,8 @@ object Bench {
     var failures = List.empty[String]
     var perCalib = Vector.empty[(String, Double)]
     var perLoad = Vector.empty[(String, Double)]
+    // per-stage seconds of the BEST q_okcupid_tree repetition
+    var treeStages = Seq.empty[(String, Double)]
 
     /** Per-query calm re-gate: spin once; while contended (>1.4× the
       * quiet anchor) sleep-and-respin up to `maxWaitSec`. Returns the
@@ -305,13 +317,14 @@ object Bench {
             perCalib :+= ("q_okcupid_tree" -> gate(120))
             val a = benchOkCupidTree(spark); clearCaches()
             val b = benchOkCupidTree(spark); clearCaches()
-            val two = math.min(a, b)
+            val two = if (a._1 <= b._1) a else b
             val best =
-              if (math.max(a, b) > two * 1.25) {
+              if (math.max(a._1, b._1) > two._1 * 1.25) {
                 val c = benchOkCupidTree(spark); clearCaches()
-                math.min(two, c)
+                if (c._1 <= two._1) c else two
               } else two
-            Some(best)
+            treeStages = best._2
+            Some(best._1)
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] q_okcupid_tree FAILED: ${e.getMessage}")
@@ -326,6 +339,7 @@ object Bench {
     val failJson = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""tree_stages":${jmap(treeStages)},""" +
         s""""calib":${jmap(perCalib)},"load":${jmap(perLoad)},""" +
         s""""failures":$failJson,"calib_ms":$calibMs,"quiet_ms":$quietMs,"sf":"$sfDir"}""")
     spark.stop()

@@ -110,6 +110,26 @@ object OkCupidPipeline {
       maxDepth: Int = 8,
       seed: Long = 32984L,
       cp: Double = 0.02): (DataFrame, Double) = {
+    val (confusion, acc, _) =
+      trainAndEvaluateTimed(profiles, minDocFreq, minTermFreq,
+        maxDepth, seed, cp)
+    (confusion, acc)
+  }
+
+  /** [[trainAndEvaluate]] plus per-stage wall seconds — featurize
+    * (token chain + vectorizer fit/transform, forced by the row
+    * count), fit (stratified split + data-sized repartition + tree
+    * grow), prune_eval (cp prune + predict + confusion) — so a bench
+    * regression is attributable to a stage instead of a coin flip on
+    * the ~85%-of-wall total.
+    */
+  def trainAndEvaluateTimed(
+      profiles: DataFrame,
+      minDocFreq: Int = 25,
+      minTermFreq: Int = 35,
+      maxDepth: Int = 8,
+      seed: Long = 32984L,
+      cp: Double = 0.02): (DataFrame, Double, Seq[(String, Double)]) = {
     val essays = withEssays(profiles)
       .withColumn("label", (col("sex") === "m").cast("double"))
     // Evaluate the text chain ONCE: run the transformer prefix of the
@@ -117,6 +137,7 @@ object OkCupidPipeline {
     // let the vectorizer fit AND transform read the persisted tokens —
     // otherwise the vocab fit and the feature transform each re-derive
     // every token from raw essays.
+    val tFeat0 = System.nanoTime()
     val stages = featurePipeline(minDocFreq, minTermFreq).getStages
     val tokens = new Pipeline().setStages(stages.init)
       .fit(essays).transform(essays)
@@ -131,19 +152,29 @@ object OkCupidPipeline {
         .select(col("label"), col("features"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        trainOnFeatures(features, profiles, maxDepth, seed, cp)
+        val nRows = features.count() // forces the whole featurize chain
+        val featurizeSec = (System.nanoTime() - tFeat0) / 1e9
+        val (confusion, acc, fitSec, pruneEvalSec) =
+          trainOnFeatures(features, profiles, nRows, maxDepth, seed, cp)
+        (confusion, acc, Seq(
+          "featurize" -> featurizeSec,
+          "fit" -> fitSec,
+          "prune_eval" -> pruneEvalSec))
       } finally features.unpersist()
     } finally tokens.unpersist()
   }
 
-  /** Split + train + evaluate on a persisted (label, features) frame. */
+  /** Split + train + evaluate on a persisted (label, features) frame.
+    * Returns (confusion, accuracy, fit seconds, prune+eval seconds).
+    */
   private def trainOnFeatures(
       features: DataFrame,
       profiles: DataFrame,
+      nRows: Long,
       maxDepth: Int,
       seed: Long,
-      cp: Double): (DataFrame, Double) = {
-    val nRows = features.count()
+      cp: Double): (DataFrame, Double, Double, Double) = {
+    val tFit0 = System.nanoTime()
     val (train0, test0) = StratifiedSplit.split(features, "label", 0.7, seed)
     // The content-hash split keeps the input's partitioning (its only
     // shuffle is the tiny per-(shard,label) quota aggregate), so the
@@ -164,6 +195,8 @@ object OkCupidPipeline {
       .setLabelCol("label").setFeaturesCol("features")
       .setMaxDepth(maxDepth).setSeed(seed)
     val grown = dt.fit(train)
+    val fitSec = (System.nanoTime() - tFit0) / 1e9
+    val tEval0 = System.nanoTime()
     // rpart's capacity control: weakest-link prune at cp (driver-side
     // over the node tree; the model is already driver-resident)
     val model = if (cp > 0) TreePruning.pruneCp(grown, cp) else grown
@@ -187,6 +220,7 @@ object OkCupidPipeline {
           StructField("prediction", DoubleType, nullable = false),
           StructField("label", DoubleType, nullable = false),
           StructField("n", LongType, nullable = false))))
-    (confusion, correct.toDouble / total)
+    val pruneEvalSec = (System.nanoTime() - tEval0) / 1e9
+    (confusion, correct.toDouble / total, fitSec, pruneEvalSec)
   }
 }
