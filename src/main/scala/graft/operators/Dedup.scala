@@ -236,6 +236,59 @@ object Dedup {
       sh, buckets)
   }
 
+  /** Store-fed incremental dedup — the deployment shape the
+    * [[incrementalMinhashPairs]] scaladoc describes. The old corpus's
+    * bucket rows are READ from a persisted signature store (`store`:
+    * the (id, band, key) parquet written by [[minhashBuckets]], the
+    * store's write path) instead of being reshingled and re-minhashed
+    * on every ingest; only the NEW batch runs the signature pipeline.
+    * At a 100-TB corpus with small daily ingests this is the entire
+    * cost difference: signature work is O(batch), not O(corpus).
+    *
+    * Exact-Jaccard verification still reads the corpus text — but the
+    * verification join only ever touches candidate ids, which are
+    * batch-bounded.
+    *
+    * Equivalence contract: with `store` = minhashBuckets over the old
+    * docs (same shingleK/bands/rowsPerBand), the result is identical
+    * to [[incrementalMinhashPairs]] recomputing everything —
+    * hot-bucket stats are taken over store ∪ new buckets, i.e. the
+    * same full bucket set. IncrementalDedupSpec proves store-fed ≡
+    * recompute-fed across two chained ingests.
+    */
+  def incrementalMinhashPairsFromStore(
+      corpus: DataFrame, newIds: DataFrame, store: DataFrame,
+      idCol: String, tokensCol: String,
+      shingleK: Int, bands: Int, rowsPerBand: Int, minJaccard: Double,
+      maxBucketSize: Int = 100): DataFrame = {
+    val sh = shingleSets(corpus, idCol, tokensCol, shingleK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature pipeline over the NEW batch only
+    val newDocs = corpus.join(
+      newIds.select(col(idCol)), Seq(idCol), "left_semi")
+    val newBuckets = minhashBuckets(
+      shingleSets(newDocs, idCol, tokensCol, shingleK), bands, rowsPerBand)
+    val buckets = store.select(col("id"), col("band"), col("key"))
+      .unionByName(newBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucketSize)
+      .select(col("band"), col("key"))
+    val cool = buckets.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val newSide = cool.join(
+      newIds.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val cands = newSide.as("a")
+      .join(cool.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    CacheLifecycle.sealAndRelease(
+      verifiedJaccard(cands, sh).filter(col("jaccard") >= minJaccard),
+      sh, buckets)
+  }
+
   /** Materialize the DEDUPLICATED corpus: keep every row that is
     * either untouched by duplication or the canonical (minimum-id)
     * member of its duplicate group. `pairs` is any near-dup pair list

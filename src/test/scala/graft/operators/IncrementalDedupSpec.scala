@@ -64,6 +64,52 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(canonical.nonEmpty) // sanity: dup groups exist
   }
 
+  test("signature store round-trip: store-fed ≡ recompute-fed across two ingests") {
+    // Three arrival waves by id mod 5: base ∈ {1,2,3} → docs
+    // {1,2,3,11,12}, batch1 == 4 → planted doc 14, batch2 == 0 →
+    // docs {5,10}. Doc 14 near-duplicates base doc 12 so ingest 1
+    // emits a pair; ingest 2's pairs come from the %5==0 docs.
+    val all = corpus().unionByName(
+      Seq(14L -> "sun moon star cloud rain snow wind haze")
+        .toDF("doc_id", "text")
+        .withColumn("tokens", split(col("text"), " ")))
+    val base = all.where(pmod($"doc_id", lit(5L)).isin(1L, 2L, 3L))
+    val batch1Ids = all.select($"doc_id").where(pmod($"doc_id", lit(5L)) === 4)
+    val batch2Ids = all.select($"doc_id").where(pmod($"doc_id", lit(5L)) === 0)
+    val corpus1 = all.where(pmod($"doc_id", lit(5L)) =!= 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // ingest 1: write the base signatures (the store's write path),
+    // read them back, dedup batch1 against the store
+    Dedup.minhashBuckets(Dedup.shingleSets(base, "doc_id", "tokens", 3), 8, 4)
+      .write.mode("overwrite").parquet(s"$dir/store")
+    val store0 = spark.read.parquet(s"$dir/store")
+    val fed1 = pairSet(Dedup.incrementalMinhashPairsFromStore(
+      corpus1, batch1Ids, store0, "doc_id", "tokens", 3, 8, 4, minJ))
+    val rec1 = pairSet(Dedup.incrementalMinhashPairs(
+      corpus1, batch1Ids, "doc_id", "tokens", 3, 8, 4, minJ))
+    assert(fed1 == rec1, "ingest 1: store-fed must equal recompute-fed")
+    assert(fed1.contains((12L, 14L)), "ingest 1 finds the planted pair")
+
+    // append batch1's signatures (incremental store maintenance) and
+    // run ingest 2 against the grown store
+    val batch1Docs = corpus1.join(batch1Ids, Seq("doc_id"), "left_semi")
+    Dedup.minhashBuckets(
+        Dedup.shingleSets(batch1Docs, "doc_id", "tokens", 3), 8, 4)
+      .write.mode("append").parquet(s"$dir/store")
+    val store1 = spark.read.parquet(s"$dir/store")
+    val fed2 = pairSet(Dedup.incrementalMinhashPairsFromStore(
+      all, batch2Ids, store1, "doc_id", "tokens", 3, 8, 4, minJ))
+    val rec2 = pairSet(Dedup.incrementalMinhashPairs(
+      all, batch2Ids, "doc_id", "tokens", 3, 8, 4, minJ))
+    assert(fed2 == rec2, "ingest 2: store-fed must equal recompute-fed")
+    assert(fed2.contains((3L, 5L)), "ingest 2 finds its new×old pair")
+    assert(!fed2.contains((12L, 14L)), "prior-ingest pair not re-emitted")
+  }
+
   test("pairs are normalized id_a < id_b regardless of which side is new") {
     val docs = corpus()
     val newIds = docs.select($"doc_id").where(pmod($"doc_id", lit(5L)) === 0)
