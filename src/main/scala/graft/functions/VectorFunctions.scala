@@ -33,6 +33,16 @@ object VectorFunctions {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
+  /** Squared euclidean distance of two array columns (codegen HOFs,
+    * no UDF) — the kNN-graph kernel for [[graft.operators.Tsne]].
+    */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two embedding columns, computed in double.
     * Backed by the native codegen [[CosineSimilarity]] expression (one
     * fused loop inside whole-stage codegen); `dot`/`norm2` above are

@@ -66,6 +66,28 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Exact k-nearest-neighbor graph of a (bounded) point set by
+    * squared euclidean distance — the input stage for t-SNE and other
+    * manifold methods. Same plan shape as [[bruteForceTopK]]: the
+    * point set is broadcast, scoring is map-side, and the per-query
+    * bounded top-k aggregate caps the exchange at points×k rows
+    * (score = −d², so "largest score" = "nearest"). Ties break on the
+    * ascending neighbor id, deterministically.
+    * Output: (query_id, neighbor_id, d2, rank), rank ≤ k.
+    */
+  def euclideanKnn(
+      points: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = points.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = points.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        negate(VectorFunctions.dist2(col("qv"), col("cv"))).as("cosine"))
+    topKPerQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        negate(col("cosine")).as("d2"), col("rank"))
+  }
+
   /** Hard-negative mining for embedding-model training: each query's
     * top-k most-similar corpus rows with a DIFFERENT label — the
     * "looks alike, isn't" pairs a contrastive trainer wants. The

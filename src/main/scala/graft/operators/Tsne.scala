@@ -24,9 +24,13 @@ import org.apache.spark.sql.functions._
   *    seed. O(n) memory per gradient row (Q is recomputed, not stored).
   *
   * For corpus-scale n the right decomposition is a distributed kNN
-  * graph (the engine's ANN operators) + a Barnes-Hut/interpolation
-  * solver on the sparse graph; at the reference's own working sizes
-  * the exact driver solver is faithful and fast.
+  * graph + a sparse solver: [[embedKnnSampled]] builds the graph with
+  * the engine's own ANN operator (only ids and n·k edges ever reach
+  * the driver — a 10× larger sample bound than the dense collect) and
+  * feeds sparse affinities into the shared gradient loop; swapping
+  * the exact-repulsion loop for Barnes-Hut is the remaining step
+  * beyond ~10⁴ points. At the reference's own working sizes the
+  * exact driver solver is faithful and fast.
   */
 object Tsne {
 
@@ -112,12 +116,28 @@ object Tsne {
       i += 1
     }
 
+    gradientLoop(p, iterations, seed, learningRate)
+  }
+
+  /** The t-SNE gradient descent over a symmetrized affinity matrix
+    * `p` (n × n, floored, row/col sums normalized) — shared by the
+    * dense [[embed]] path and the kNN-graph [[embedKnnSampled]] path.
+    * Exact repulsion (Q recomputed per pair, no n² Q storage);
+    * deterministic for a fixed seed.
+    */
+  private def gradientLoop(
+      p: Array[Array[Double]],
+      iterations: Int,
+      seed: Long,
+      learningRate: Double): Array[Array[Double]] = {
+    val n = p.length
     // seeded init ~ N(0, 1e-4)
     val rnd = new java.util.Random(seed)
     val y = Array.fill(n, 2)(rnd.nextGaussian() * 1e-2)
     val vel = Array.ofDim[Double](n, 2)
     val grad = Array.ofDim[Double](n, 2)
 
+    var i = 0
     var iter = 0
     while (iter < iterations) {
       val exag = if (iter < 100) 12.0 else 1.0
@@ -169,6 +189,73 @@ object Tsne {
     y
   }
 
+  /** Symmetrized affinities from a kNN graph: per-row beta binary
+    * search restricted to the row's neighbor list (the Barnes-Hut
+    * input treatment — P is exactly zero off the graph before the
+    * floor), then the same symmetrize/normalize/floor the dense path
+    * applies, so [[gradientLoop]] is shared verbatim. `nbr(i)` /
+    * `nd2(i)` are row i's neighbor indices and squared distances.
+    */
+  private def knnAffinities(
+      n: Int,
+      nbr: Array[Array[Int]],
+      nd2: Array[Array[Double]],
+      perplexity: Double): Array[Array[Double]] = {
+    val p = Array.ofDim[Double](n, n)
+    val logPerp = math.log(perplexity)
+    var i = 0
+    while (i < n) {
+      val js = nbr(i)
+      val ds = nd2(i)
+      val e = new Array[Double](js.length)
+      var beta = 1.0
+      var betaMin = Double.NegativeInfinity
+      var betaMax = Double.PositiveInfinity
+      var it = 0
+      while (it < 50) {
+        var sum = 0.0
+        var dot = 0.0
+        var j = 0
+        while (j < js.length) {
+          val v = math.exp(-beta * ds(j))
+          e(j) = v; sum += v; dot += v * ds(j)
+          j += 1
+        }
+        val h = math.log(sum) + beta * dot / sum
+        if (math.abs(h - logPerp) < 1e-5) it = 50
+        else {
+          if (h > logPerp) {
+            betaMin = beta
+            beta = if (betaMax.isPosInfinity) beta * 2 else (beta + betaMax) / 2
+          } else {
+            betaMax = beta
+            beta = if (betaMin.isNegInfinity) beta / 2 else (beta + betaMin) / 2
+          }
+        }
+        it += 1
+      }
+      var sum = 0.0
+      var j = 0
+      while (j < js.length) { sum += e(j); j += 1 }
+      j = 0
+      while (j < js.length) { p(i)(js(j)) = e(j) / sum; j += 1 }
+      i += 1
+    }
+    // symmetrize, normalize, floor — identical to the dense path
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val v = math.max((p(i)(j) + p(j)(i)) / (2.0 * n), 1e-12)
+        p(i)(j) = v; p(j)(i) = v
+        j += 1
+      }
+      p(i)(i) = 0.0
+      i += 1
+    }
+    p
+  }
+
   /** Deterministic bounded-sample wrapper: the `maxRows` vectors with
     * the smallest xxhash64(id) (content-hash order — stable across
     * partitioning, planned as TakeOrderedAndProject), embedded on the
@@ -195,5 +282,62 @@ object Tsne {
     spark.createDataFrame(
       rows.indices.map(k => (rows(k)._1, y(k)(0), y(k)(1))))
       .toDF(idCol, "tsne_x", "tsne_y")
+  }
+
+  /** The 10×-scale path: the kNN INPUT stage runs distributed through
+    * the engine's own ANN operator ([[Similarity.euclideanKnn]] — the
+    * broadcast + bounded-top-k-aggregate plan), so the driver never
+    * sees a vector: it collects only the n ids and the n·k graph
+    * edges, builds the sparse affinities ([[knnAffinities]]), and
+    * runs the shared exact solver. This is the decomposition the
+    * class scaladoc names; swapping the exact-repulsion loop for
+    * Barnes-Hut would be the remaining step beyond ~10⁴ points.
+    *
+    * `k` defaults to the standard ⌊3·perplexity⌋ neighbor budget.
+    * Deterministic: content-hash sample, ascending-id index order,
+    * per-row edges sorted by (d², neighbor).
+    */
+  def embedKnnSampled(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      maxRows: Int,
+      perplexity: Double = 30.0,
+      iterations: Int = 500,
+      seed: Long = 42L,
+      k: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val kEff = if (k > 0) k else (3 * perplexity).toInt
+    val sample = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(maxRows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ids only — the vectors stay on the executors
+      val idArr = sample.select($"id").as[Long].collect().sorted
+      val n = idArr.length
+      require(n >= 4, s"t-SNE needs at least 4 rows, got $n")
+      require(kEff >= 2 && kEff < n,
+        s"k=$kEff out of range for n=$n")
+      val idx = idArr.zipWithIndex.toMap
+      val edges = Similarity.euclideanKnn(sample, "id", "v", kEff)
+        .select($"query_id", $"neighbor_id", $"d2")
+        .as[(Long, Long, Double)].collect()
+      val nbrB = Array.fill(n)(Array.newBuilder[(Double, Int)])
+      edges.foreach { case (q, nb, d) => nbrB(idx(q)) += ((d, idx(nb))) }
+      // per-row sort by (d², neighbor): collect order is not
+      // deterministic, the affinity fold order must be
+      val sorted = nbrB.map(_.result().sortBy(identity))
+      val nbr = sorted.map(_.map(_._2))
+      val nd2 = sorted.map(_.map(_._1))
+      val p = knnAffinities(n, nbr, nd2, perplexity)
+      val y = gradientLoop(p, iterations, seed, learningRate = 200.0)
+      spark.createDataFrame(
+        idArr.indices.map(i => (idArr(i), y(i)(0), y(i)(1))))
+        .toDF(idCol, "tsne_x", "tsne_y")
+    } finally sample.unpersist()
   }
 }
