@@ -110,7 +110,8 @@ class PlanShapeSpec extends SparkSuite {
       "q_diversity_sample", "q_quarantine", "q_hard_negatives",
       "q_sample_docs", "q_token_stats", "q_token_budget", "q_quality", "q_lang_id",
       "q_fingerprint", "q_multimodal_meta", "q_multimodal_frames",
-      "q_ann_topk", "q_asof_join", "q_asof_forward",
+      "q_ann_topk", "q_ann_lsh", "q_ann_ivf", "q_ann_recall",
+      "q_asof_join", "q_asof_forward",
       "q_asof_tolerance", "q_range_join")
     for (q <- lazyQueries) {
       val p = plan(q)
