@@ -394,6 +394,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
   }
 
+  /** Bloom-prefiltered decontamination — the shape for when the
+    * benchmark span-hash set outgrows a comfortable broadcast (a full
+    * eval-suite union can reach 10⁸ distinct spans ≈ GBs of exact
+    * hashes, while its Bloom summary at that count is ~100 MB at 1%
+    * FPR). Three stages:
+    *
+    *   1. build the filter over the benchmark spans — a distributed
+    *      aggregation (`stat.bloomFilter` merges per-partition
+    *      filters), so the exact span set never collects;
+    *   2. probe every corpus span MAP-SIDE against the broadcast
+    *      filter — drops (1 − fpp) of clean spans at scan speed;
+    *   3. confirm the surviving candidates with an exact semi-join
+    *      against the benchmark spans. Deliberately NOT
+    *      broadcast-hinted: the premise is that the exact set is too
+    *      big to broadcast, and after the bloom only the ~fpp-sized
+    *      candidate slice of the corpus shuffles (AQE still
+    *      broadcasts a genuinely small set at runtime).
+    *
+    * The result is IDENTICAL to [[contaminatedDocs]] — the bloom only
+    * over-approximates and the verify join removes its false
+    * positives (DecontaminationSpec asserts equality). The probe is a
+    * Scala UDF by necessity: Spark exposes no public might-contain
+    * expression over a broadcast sketch; the UDF sits at the same
+    * documented sketch boundary as `stat.countMinSketch`.
+    */
+  def contaminatedDocsBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, tokensCol: String, n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val benchSpans = spanHashes(benchmark, idCol, tokensCol, n)
+      .select(col("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSpans = benchSpans.count()
+    if (nSpans == 0L) {
+      // stat.bloomFilter NPEs on an empty frame; an empty benchmark
+      // contaminates nothing (same output schema, zero rows)
+      benchSpans.unpersist()
+      return spanHashes(corpus, idCol, tokensCol, n)
+        .filter(lit(false))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+    }
+    val bloom = benchSpans.stat.bloomFilter("h", nSpans, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain =
+      udf((h: String) => h != null && bc.value.mightContainString(h))
+    val result = spanHashes(corpus, idCol, tokensCol, n)
+      .filter(mightContain(col("h")))
+      .join(benchSpans, Seq("h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+    CacheLifecycle.sealAndRelease(result, benchSpans)
+  }
+
   /** Connected components over near-duplicate pairs: every document
     * that appears in a pair gets the minimum doc id of its duplicate
     * group as `label` (the canonical survivor id — the step that turns
