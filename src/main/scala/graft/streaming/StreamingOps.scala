@@ -243,6 +243,81 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Streaming incremental NEAR-dup ingest — the production loop
+    * whose kernel is [[graft.operators.Dedup.incrementalMinhashPairsFromStore]].
+    * Per micro-batch (foreachBatch):
+    *
+    *   1. emit verified near-dup pairs between the batch and
+    *      everything ingested before it, plus intra-batch pairs —
+    *      old×old is never recomputed;
+    *   2. append the batch's docs to the corpus store and its minhash
+    *      bucket rows to the signature store, which become the next
+    *      batch's "old" side.
+    *
+    * State lives in parquet stores, not executor memory — restartable
+    * and unbounded-corpus-safe where a stateful-operator formulation
+    * would hold every signature ever seen in the state store forever
+    * (near-dup keys never expire, so no watermark can evict them:
+    * exactly the case the docs-level store exists for). Per-batch
+    * cost: O(batch) signature work + the candidate-bounded verify
+    * join. The batch's signatures are computed twice (pair kernel +
+    * store append) — batch-sized, kept for operator isolation.
+    *
+    * Returns the started query; the caller drives triggers and stops
+    * it (tests step batches via MemoryStream + processAllAvailable).
+    */
+  def dedupIngest(
+      stream: DataFrame,
+      corpusDir: String,
+      storeDir: String,
+      pairsDir: String,
+      idCol: String,
+      tokensCol: String,
+      shingleK: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      minJaccard: Double): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist()
+        try {
+          if (b.count() > 0L) {
+            val batchIds = b.select(col(idCol))
+            def dirNonEmpty(p: String) = {
+              val f = new java.io.File(p)
+              f.exists && f.listFiles != null &&
+                f.listFiles.exists(_.getName.endsWith(".parquet"))
+            }
+            val corpus =
+              if (dirNonEmpty(corpusDir))
+                spark.read.parquet(corpusDir).unionByName(b)
+              else b
+            val store =
+              if (dirNonEmpty(storeDir)) spark.read.parquet(storeDir)
+              else // first batch: an empty, schema-correct store
+                graft.operators.Dedup.minhashBuckets(
+                  graft.operators.Dedup.shingleSets(
+                    b.filter(lit(false)), idCol, tokensCol, shingleK),
+                  bands, rowsPerBand)
+            graft.operators.Dedup
+              .incrementalMinhashPairsFromStore(corpus, batchIds, store,
+                idCol, tokensCol, shingleK, bands, rowsPerBand, minJaccard)
+              .write.mode("append").parquet(pairsDir)
+            // store maintenance AFTER pair emission: the pair kernel
+            // must see the batch only on its new side
+            graft.operators.Dedup.minhashBuckets(
+                graft.operators.Dedup.shingleSets(
+                  b, idCol, tokensCol, shingleK), bands, rowsPerBand)
+              .write.mode("append").parquet(storeDir)
+            b.write.mode("append").parquet(corpusDir)
+          }
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+
   /** Runs [[dedupWithinWatermark]] over the events parquet (memory
     * sink, append mode) keyed on (user_id, event_type), returning the
     * surviving keys. Only the KEY columns are projected: within a

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSuite
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental near-dup ingest: across micro-batches the
+  * parquet-store loop must emit exactly the pairs the batch
+  * incremental operator produces at each step — new×old and
+  * intra-batch pairs on arrival, prior pairs never re-emitted — and
+  * leave the stores equal to a full recompute's view of the world.
+  */
+class DedupIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Same planted shape as IncrementalDedupSpec: (1,2) near-dups
+  // arriving together, (3,5) split across batches, (12,14) split
+  // across batches, 10/11 untouched.
+  private val wave1 = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta",
+    2L -> "alpha beta gamma delta epsilon zeta eta iota",
+    3L -> "one two three four five six seven eight",
+    11L -> "cat dog fish bird mouse horse cow sheep",
+    12L -> "sun moon star cloud rain snow wind fog")
+  private val wave2 = Seq(
+    5L -> "one two three four five six seven nine",
+    10L -> "red orange yellow green blue indigo violet black",
+    14L -> "sun moon star cloud rain snow wind haze")
+
+  test("two micro-batches maintain the stores and emit stepwise pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("ingest").toString
+    val (corpusDir, storeDir, pairsDir) =
+      (s"$root/corpus", s"$root/store", s"$root/pairs")
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+      .withColumn("tokens", split(col("text"), " ")).drop("text")
+    val q = StreamingOps.dedupIngest(stream, corpusDir, storeDir, pairsDir,
+      "doc_id", "tokens", shingleK = 3, bands = 8, rowsPerBand = 4,
+      minJaccard = 0.5)
+    try {
+      input.addData(wave1: _*)
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(pairsDir)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(after1 == Set((1L, 2L)),
+        s"batch 1 must emit only its intra-batch pair, got $after1")
+
+      input.addData(wave2: _*)
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(pairsDir)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(after2 == Set((1L, 2L), (3L, 5L), (12L, 14L)),
+        s"batch 2 adds its new×old pairs exactly once, got $after2")
+    } finally q.stop()
+
+    // stores equal a from-scratch view: corpus holds every doc once,
+    // signature store equals minhashBuckets over that corpus
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (wave1 ++ wave2).map(_._1).sorted)
+    val storeRows = spark.read.parquet(storeDir)
+      .select("id", "band", "key").as[(Long, Int, Long)].collect().toSet
+    val recomputed = Dedup.minhashBuckets(
+        Dedup.shingleSets(corpus, "doc_id", "tokens", 3), 8, 4)
+      .select("id", "band", "key").as[(Long, Int, Long)].collect().toSet
+    assert(storeRows == recomputed,
+      "signature store must equal a recompute over the full corpus")
+  }
+}
