@@ -61,6 +61,33 @@ object ExtensionQueries {
 
   private val jaccardCtes: String = jaccardCtesOver("documents")
 
+  /** Exact decontamination oracle (docs with doc_id % 10 == 0 play
+    * the benchmark) — shared by q_decontaminate and its
+    * bloom-prefiltered twin, whose verify join makes the outputs
+    * identical by construction.
+    */
+  private val decontaminateOracle: String = {
+    val leads = (1 until 10)
+      .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
+    s"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text,' ')) AS word,
+             generate_subscripts(string_split(text,' '), 1) AS pos
+      FROM documents),
+    spans AS (
+      SELECT doc_id, pos, md5(word || ' ' || $leads) AS h
+      FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sp AS (SELECT * FROM spans WHERE h IS NOT NULL),
+    bench AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 = 0)
+    SELECT doc_id, COUNT(*) AS n_hits,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM sp JOIN bench USING (h)
+    WHERE doc_id % 10 <> 0
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+  }
+
   private val jaccardOracle: String = s"""
     WITH $jaccardCtes
     SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
@@ -516,27 +543,27 @@ object ExtensionQueries {
         Dedup.contaminatedDocs(corpus, bench, "doc_id", "toks", n = 10)
           .orderBy(col("doc_id"))
       },
-      Some {
-        val leads = (1 until 10)
-          .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
-        s"""
-        WITH words AS (
-          SELECT doc_id, unnest(string_split(text,' ')) AS word,
-                 generate_subscripts(string_split(text,' '), 1) AS pos
-          FROM documents),
-        spans AS (
-          SELECT doc_id, pos, md5(word || ' ' || $leads) AS h
-          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        sp AS (SELECT * FROM spans WHERE h IS NOT NULL),
-        bench AS (SELECT DISTINCT h FROM sp WHERE doc_id % 10 = 0)
-        SELECT doc_id, COUNT(*) AS n_hits,
-               CAST(MIN(pos) AS BIGINT) AS first_pos
-        FROM sp JOIN bench USING (h)
-        WHERE doc_id % 10 <> 0
-        GROUP BY doc_id
-        ORDER BY doc_id
-        """
-      }),
+      Some(decontaminateOracle)),
+
+    // The Bloom-prefiltered scale variant, checked against the SAME
+    // exact oracle: the filter only over-approximates and the exact
+    // verify join removes its false positives, so the output is
+    // bit-identical to q_decontaminate regardless of the bloom's
+    // internal hashing — which is what makes an approximate
+    // prefilter oracle-checkable at all.
+    QueryDef(
+      "q_decontaminate_bloom",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.splitWords(col("text")).as("toks"))
+        val bench = toks.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val corpus = toks.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        Dedup.contaminatedDocsBloom(corpus, bench, "doc_id", "toks",
+            n = 10, fpp = 0.01)
+          .orderBy(col("doc_id"))
+      },
+      Some(decontaminateOracle)),
 
     // SimHash blocking, FULLY oracle-checked: DuckDB replays the exact
     // FNV-1a 64 per-token hash as a `list_reduce` fold in HUGEINT with
