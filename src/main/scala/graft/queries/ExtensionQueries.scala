@@ -61,6 +61,52 @@ object ExtensionQueries {
 
   private val jaccardCtes: String = jaccardCtesOver("documents")
 
+  /** The CurationPipeline replay chain (no WITH keyword; needs
+    * RECURSIVE): quarantine filters → 6-dp quality threshold →
+    * exact-Jaccard closure over the survivors → `kept(doc_id,
+    * source)`, the deduplicated corpus stage 4 consumes. Shared by
+    * q_curate / q_curate_ledger / q_curate_mix.
+    */
+  private lazy val curateCtes: String = s"""
+        valid AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE text IS NOT NULL AND length(text) >= 1
+            AND source IS NOT NULL),
+        qparts AS (
+          SELECT doc_id,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                   AS len_score,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS diversity,
+                 abs(CAST(len(list_filter(string_split(text, ' '),
+                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4)
+                   AS stop_penalty,
+                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct
+          FROM valid),
+        good AS (
+          SELECT v.doc_id, v.text, v.source
+          FROM valid v JOIN qparts p ON p.doc_id = v.doc_id
+          WHERE ROUND(p.len_score * 0.3 + p.diversity * 0.3 +
+                      (1.0 - p.stop_penalty) * 0.3 +
+                      (1.0 - p.punct) * 0.1, 6) >= 0.5),
+        ${jaccardCtesOver("good")},
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.8
+          UNION ALL
+          SELECT id_b AS src, id_a AS dst FROM j WHERE jac >= 0.8),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+        labels AS (
+          SELECT a AS id, least(a, MIN(b)) AS label FROM reach GROUP BY a),
+        kept AS (
+          SELECT doc_id, source FROM good
+          WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label))"""
+
   /** Exact decontamination oracle (docs with doc_id % 10 == 0 play
     * the benchmark) — shared by q_decontaminate and its
     * bloom-prefiltered twin, whose verify join makes the outputs
@@ -1003,47 +1049,89 @@ object ExtensionQueries {
       },
       Some(s"""
         WITH RECURSIVE
-        valid AS (
-          SELECT doc_id, text, source FROM documents
-          WHERE text IS NOT NULL AND length(text) >= 1
-            AND source IS NOT NULL),
-        qparts AS (
-          SELECT doc_id,
-                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-                   AS len_score,
-                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
-                   AS diversity,
-                 abs(CAST(len(list_filter(string_split(text, ' '),
-                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4)
-                   AS stop_penalty,
-                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS punct
-          FROM valid),
-        good AS (
-          SELECT v.doc_id, v.text
-          FROM valid v JOIN qparts p ON p.doc_id = v.doc_id
-          WHERE ROUND(p.len_score * 0.3 + p.diversity * 0.3 +
-                      (1.0 - p.stop_penalty) * 0.3 +
-                      (1.0 - p.punct) * 0.1, 6) >= 0.5),
-        ${jaccardCtesOver("good")},
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.8
-          UNION ALL
-          SELECT id_b AS src, id_a AS dst FROM j WHERE jac >= 0.8),
-        reach(a, b) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-        labels AS (
-          SELECT a AS id, least(a, MIN(b)) AS label FROM reach GROUP BY a)
+        $curateCtes
         SELECT CAST(ROW_NUMBER() OVER (
                  ORDER BY md5(CAST(doc_id AS VARCHAR) || '#0'))
                AS BIGINT) AS row_id,
                doc_id
-        FROM good
-        WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        FROM kept
+        ORDER BY row_id
+      """)),
+
+    // The composite's per-stage row LEDGER — the operational contract
+    // a pipeline report is built from — verified as data: five (step,
+    // stage, n_rows) rows counted from the same replayed chain.
+    QueryDef(
+      "q_curate_ledger",
+      (s, dir) => {
+        val r = CurationPipeline.run(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"), col("source")),
+          "doc_id", "text", "source")
+        val rows = r.ledger.zipWithIndex.map { case ((stage, n), i) =>
+          (i, stage, n)
+        }
+        s.createDataFrame(rows).toDF("step", "stage", "n_rows")
+          .orderBy(col("step"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        $curateCtes
+        SELECT * FROM (
+          SELECT 0 AS step, 'input' AS stage,
+                 (SELECT COUNT(*) FROM documents) AS n_rows
+          UNION ALL SELECT 1, 'quarantine', (SELECT COUNT(*) FROM valid)
+          UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM good)
+          UNION ALL SELECT 3, 'dedup', (SELECT COUNT(*) FROM kept)
+          UNION ALL SELECT 4, 'mix', (SELECT COUNT(*) FROM kept))
+        ORDER BY step
+      """)),
+
+    // The composite with a REAL mixture stage (stage 4 non-identity):
+    // per-source DoReMi-style rates over the deduped survivors, then
+    // ids over (doc, copy). The md5 15-hex uniform draw and the
+    // binary-exact rates replay bit-for-bit (q_mix_sources pattern),
+    // so the full chain stays hash-checkable.
+    QueryDef(
+      "q_curate_mix",
+      (s, dir) => {
+        val r = CurationPipeline.run(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"), col("source")),
+          "doc_id", "text", "source",
+          CurationPipeline.Config(rates =
+            Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.25)))
+        r.curated.select(col("row_id"), col("doc_id"), col("copy"))
+          .orderBy(col("row_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        $curateCtes,
+        mixb AS (
+          SELECT doc_id,
+                 CASE source WHEN 'src0' THEN 1.5 WHEN 'src1' THEN 0.5
+                             WHEN 'src2' THEN 0.25 ELSE 1.0 END AS rate,
+                 CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT) AS DOUBLE)
+                   / 1152921504606846976.0 AS u
+          FROM kept),
+        counted AS (
+          SELECT doc_id,
+                 CAST(floor(rate) +
+                      (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END)
+                   AS INT) AS copies
+          FROM mixb),
+        expl AS (
+          SELECT doc_id,
+                 CAST(unnest(generate_series(1, copies)) AS INT) AS copy
+          FROM counted WHERE copies > 0)
+        SELECT CAST(ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '#'
+                              || CAST(copy AS VARCHAR)))
+               AS BIGINT) AS row_id,
+               doc_id, copy
+        FROM expl
         ORDER BY row_id
       """)),
 
