@@ -262,6 +262,10 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(col("top")).as("probe"))
       .select(col("query_id"), col("qv"), col("probe.id").as("cell"))
+    // `probes` is queries×nprobe rows — broadcastable because ANN
+    // queries are a workload, not the corpus. If queries ever became
+    // corpus-sized (all-pairs search), drop the hint and shuffle the
+    // join on `cell` instead.
     topKPerQuery(
       assigned.join(broadcast(probes), Seq("cell"))
         .filter(col("query_id") =!= col("neighbor_id"))
