@@ -53,7 +53,8 @@ object Bench {
     // round-8 additions: the relational surface that had no bench
     // coverage, plus the batch-curation composite front door
     "q_window_funcs", "q_setops", "q_cube_orders", "q_percentiles",
-    "q_distinct_sketch", "q_curate")
+    "q_distinct_sketch", "q_curate",
+    "q_grouping_sets", "q_range_frame", "q_full_outer")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

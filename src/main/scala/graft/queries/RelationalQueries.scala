@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -315,6 +316,100 @@ object RelationalQueries {
         FROM orders
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
+      """)),
+
+    // Explicit GROUPING SETS with grouping_id — the middle ground
+    // between rollup and cube (pick exactly the sets you pay for:
+    // here (priority, status), (priority), ()); one Expand + one
+    // shuffle, same as cube. grouping_id disambiguates natural NULLs
+    // from subtotal rows — the reason the function exists.
+    QueryDef(
+      "q_grouping_sets",
+      (s, dir) => {
+        Tables.registerAll(s, dir)
+        s.sql("""
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT)
+                   AS gid,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                  (o_orderpriority), ())
+          ORDER BY gid, o_orderpriority NULLS FIRST,
+                   o_orderstatus NULLS FIRST
+        """)
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+      """)),
+
+    // RANGE-framed sliding sum: value-based frames (all orders whose
+    // key lies within 1000 of the current row's), not row-counted —
+    // the frame semantics ROWS BETWEEN cannot express. One exchange
+    // on the partition key; exact-decimal interior, double at the
+    // edge (q1_agg policy).
+    QueryDef(
+      "q_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+          .rangeBetween(-1000L, 0L)
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(dec)).over(w)
+              .cast("double").as("trailing_sum"))
+          .orderBy(col("o_orderpriority"), col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderpriority, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS trailing_sum
+        FROM orders
+        ORDER BY o_orderpriority, o_orderkey
+      """)),
+
+    // FULL OUTER join, non-vacuous on BOTH sides: BUILDING customers
+    // without orders surface with NULL counts, and ordering customers
+    // outside the segment surface with NULL segment rows.
+    QueryDef(
+      "q_full_outer",
+      (s, dir) => {
+        val bc = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val oc = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+        bc.join(oc, bc("c_custkey") === oc("o_custkey"), "full_outer")
+          .select(
+            coalesce(bc("c_custkey"), oc("o_custkey")).as("custkey"),
+            bc("c_custkey").isNotNull.as("in_segment"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+          .orderBy(col("custkey"))
+      },
+      Some("""
+        SELECT COALESCE(bc.c_custkey, oc.o_custkey) AS custkey,
+               bc.c_custkey IS NOT NULL AS in_segment,
+               COALESCE(oc.n_orders, 0) AS n_orders
+        FROM (SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING') bc
+        FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                   FROM orders GROUP BY o_custkey) oc
+          ON bc.c_custkey = oc.o_custkey
+        ORDER BY custkey
       """))
   )
 }

@@ -95,7 +95,8 @@ class PlanShapeSpec extends SparkSuite {
     val lazyQueries = Seq(
       "q1_agg", "q_sql_q1", "q_projection", "q_topk_orders", "q_join_agg",
       "q_cube_orders", "q_rollup_orders", "q_ntile_orders",
-      "q_window_funcs", "q_setops",
+      "q_window_funcs", "q_setops", "q_grouping_sets",
+      "q_range_frame", "q_full_outer",
       "q_percentiles", "q_pivot_events", "q_json_extract",
       "q_events_window", "q_sessions", "q_session_window",
       "q_funnel", "q_cohort_retention",
