@@ -33,15 +33,15 @@ object VectorFunctions {
     sqrt(aggregate(a, lit(0.0),
       (acc, v) => acc + v.cast("double") * v.cast("double")))
 
-  /** Squared euclidean distance of two array columns (codegen HOFs,
-    * no UDF) — the kNN-graph kernel for [[graft.operators.Tsne]].
+  /** Squared euclidean distance of two array columns — the kNN-graph
+    * kernel for [[graft.operators.Tsne]]. Backed by the native
+    * codegen [[EuclideanDist2]] expression (one fused loop inside
+    * whole-stage codegen; the HOF formulation is interpreted and
+    * allocates a zipped array per pair — on an n² kNN build that is
+    * the scoring rate).
     */
   def dist2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.euclidean_dist2(a, b)
 
   /** Cosine similarity of two embedding columns, computed in double.
     * Backed by the native codegen [[CosineSimilarity]] expression (one

@@ -16,6 +16,13 @@ package object functions {
     Bridge.column(
       CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Codegen squared euclidean distance of two embedding-array
+    * columns — the kNN scoring kernel.
+    */
+  def euclidean_dist2(a: Column, b: Column): Column =
+    Bridge.column(
+      EuclideanDist2(Bridge.expression(a), Bridge.expression(b)))
+
   /** All random-hyperplane LSH bucket ids (one per table) of an
     * embedding-array column, as `array<long>` — codegen'd single pass.
     */
