@@ -249,10 +249,22 @@ object Similarity {
     val assigned =
       assignCellsSampledCodebook(corpus, idCol, vecCol, nlist)
         .withColumnRenamed("id", "neighbor_id")
-    // nprobe nearest cells per query via the bounded top-k aggregate
-    // (same (csim desc, cell asc) order a rank window would give).
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probes = q.crossJoin(centDf)
+    ivfSearch(assigned, centDf,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      k, nprobe)
+  }
+
+  /** The IVF probe-and-rerank tail, shared by the live path and the
+    * persisted-index path: nprobe nearest cells per query via the
+    * bounded top-k aggregate (same (csim desc, cell asc) order a rank
+    * window would give), candidate join on the cell id, exact cosine
+    * re-rank. `assigned` = (neighbor_id, cell, cv); `centDf` =
+    * (cell, centroid), broadcast-sized.
+    */
+  private def ivfSearch(
+      assigned: DataFrame, centDf: DataFrame,
+      q: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val probes = q.crossJoin(broadcast(centDf))
       .withColumn("csim",
         round(VectorFunctions.cosine(col("qv"), col("centroid")), 6))
       .groupBy(col("query_id"))
@@ -273,6 +285,40 @@ object Similarity {
           round(VectorFunctions.cosine(col("qv"), col("cv")), 6)
             .as("cosine")),
       k)
+  }
+
+  /** Persist the IVF index — codebook (nlist rows) and cell-assigned
+    * corpus — as parquet under `dir`. The build-once half of the
+    * build-once/query-many deployment shape (the ANN twin of the
+    * dedup signature store): index maintenance is a write-time cost,
+    * query latency never pays the assignment pass again.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, dir: String): Unit = {
+    sampledCodebook(corpus, idCol, vecCol, nlist)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    assignCellsSampledCodebook(corpus, idCol, vecCol, nlist)
+      .write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
+  /** Query a persisted IVF index: identical results to
+    * [[ivfTopKSampledCodebook]] over the corpus the index was built
+    * from (IvfIndexSpec proves the round-trip), with zero corpus
+    * scans at query time — the scan reads only the assignment store,
+    * and partition pruning applies if it was written bucketed or
+    * partitioned by cell.
+    */
+  def ivfTopKFromIndex(
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int, dir: String): DataFrame = {
+    val spark = queries.sparkSession
+    val centDf = spark.read.parquet(s"$dir/codebook")
+    val assigned = spark.read.parquet(s"$dir/assignments")
+      .withColumnRenamed("id", "neighbor_id")
+    ivfSearch(assigned, centDf,
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      k, nprobe)
   }
 
   /** Per-query recall@k of an approximate top-k result against the
