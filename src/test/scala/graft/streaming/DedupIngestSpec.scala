@@ -69,5 +69,23 @@ class DedupIngestSpec extends SparkSuite {
       .select("id", "band", "key").as[(Long, Int, Long)].collect().toSet
     assert(storeRows == recomputed,
       "signature store must equal a recompute over the full corpus")
+
+    // restart resilience: a BRAND NEW query (fresh MemoryStream, the
+    // old one stopped) resumes purely from the on-disk stores — a
+    // third wave near-duplicating a wave-1 doc still pairs up
+    val input2 = MemoryStream[(Long, String)]
+    val stream2 = input2.toDF().toDF("doc_id", "text")
+      .withColumn("tokens", split(col("text"), " ")).drop("text")
+    val q2 = StreamingOps.dedupIngest(stream2, corpusDir, storeDir,
+      pairsDir, "doc_id", "tokens", shingleK = 3, bands = 8,
+      rowsPerBand = 4, minJaccard = 0.5)
+    try {
+      input2.addData(21L -> "cat dog fish bird mouse horse cow goat")
+      q2.processAllAvailable()
+      val after3 = spark.read.parquet(pairsDir)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(after3 == Set((1L, 2L), (3L, 5L), (12L, 14L), (11L, 21L)),
+        s"restarted query pairs the new doc against the stored corpus, got $after3")
+    } finally q2.stop()
   }
 }
