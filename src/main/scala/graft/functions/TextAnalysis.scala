@@ -63,6 +63,34 @@ object TextAnalysis {
         (lit(1.0) - stopPenalty) * 0.3 + (lit(1.0) - punct) * 0.1, 6)
   }
 
+  /** Deflate compression ratio of the text (compressed bytes / raw
+    * UTF-8 bytes, level 6, raw stream): the cheap entropy/boilerplate
+    * signal production pipelines filter on — degenerate repetition
+    * compresses far below natural prose, and random noise compresses
+    * above it, so both tails of the ratio are drop candidates
+    * (RefinedWeb/MassiveText-style). A Scala UDF by necessity: Spark
+    * has no compression scalar, and the kernel is a per-row byte op
+    * at the same documented boundary as the bloom-filter probe.
+    * Deterministic (fixed level, no preset dictionary, ratio of byte
+    * counts) but not SQL-replayable — CompressionRatioSpec covers it;
+    * no oracle query.
+    */
+  val compressionRatio = udf { s: String =>
+    if (s == null || s.isEmpty) 1.0
+    else {
+      val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, true)
+      try {
+        d.setInput(raw)
+        d.finish()
+        val buf = new Array[Byte](8192)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / raw.length
+      } finally d.end()
+    }
+  }
+
   /** Tiny function-word lexicons for the lexicon-overlap language ID.
     * Real deployments would use char-n-gram profiles; the lexicon
     * variant is shuffle-free, SQL-reproducible, and good enough to
