@@ -416,4 +416,67 @@ object Similarity {
       .limit(topN)
     graft.operators.CacheLifecycle.sealAndRelease(top, probed)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    * cluster the corpus, call two documents semantic duplicates when
+    * their embedding cosine within a shared cluster reaches `tau`, and
+    * of each duplicate pair KEEP the one farther from the centroid —
+    * pruning redundant near-centroid copies while preserving the
+    * cluster's outliers (the paper's keep rule, which measurably
+    * beats keep-random for downstream training).
+    *
+    * Decision rule, made deterministic and order-free: a document is
+    * dropped iff SOME same-cell neighbor at cosine ≥ tau dominates it
+    * under (centroid-cosine asc, id asc) — i.e. the neighbor is
+    * strictly farther from the centroid, or equally far with a
+    * smaller id. Survivors are exactly the per-duplicate-relation
+    * minimal elements; no iterative sweep, so the result is a pure
+    * function of the data (and therefore oracle-replayable).
+    *
+    * Scale shape: clustering is the deterministic sampled codebook
+    * (broadcast, nlist rows) + one partial-aggregate assignment pass;
+    * the pair search self-joins WITHIN cells only (shuffle key =
+    * cell id, candidate volume Σ g² — grow `nlist` with the corpus to
+    * bound g); the verdict is a group-sized distinct + one anti-ish
+    * left join back to the corpus-sized assignment. Nothing is ever
+    * all-pairs, driver-collected, or corpus-broadcast.
+    *
+    * Returns one row per document: (id, cell, csim, dropped) where
+    * `csim` is the 6-dp-rounded cosine to the assigned centroid.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, nlist: Int = 16): DataFrame = {
+    val centDf = sampledCodebook(df, idCol, vecCol, nlist)
+    // (id, cell, cv, csim): assignment + cosine to the OWN centroid.
+    // Three consumers (both self-join sides + the final verdict join)
+    // — persist so assignment runs once.
+    val assigned = assignCellsSampledCodebook(df, idCol, vecCol, nlist)
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("csim",
+        round(VectorFunctions.cosine(col("cv"), col("centroid")), 6))
+      .select(col("id"), col("cell"), col("cv"), col("csim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = assigned
+      .select(col("cell"), col("id").as("id_a"), col("cv").as("va"),
+        col("csim").as("ca"))
+      .join(assigned.select(col("cell"), col("id").as("id_b"),
+          col("cv").as("vb"), col("csim").as("cb")),
+        Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(VectorFunctions.cosine(col("va"), col("vb")), 6)
+        >= lit(tau))
+    // Of each duplicate pair the nearer-to-centroid side is dropped;
+    // ties drop the larger id (with a < b: ca <= cb drops b).
+    val dropped = pairs
+      .select(when(col("ca") <= col("cb"), col("id_b"))
+        .otherwise(col("id_a")).as("id"))
+      .distinct()
+    val out = assigned.select(col("id"), col("cell"), col("csim"))
+      .join(dropped.withColumn("__hit", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), col("cell"), col("csim"),
+        coalesce(col("__hit"), lit(false)).as("dropped"))
+      .orderBy(col("id"))
+    CacheLifecycle.sealAndRelease(out, assigned)
+  }
 }

@@ -664,6 +664,53 @@ object ExtensionQueries {
         LIMIT 20
       """)),
 
+    // SemDeDup semantic dedup: cluster-blocked cosine pairs at
+    // tau=0.35 (≈p99 of the within-cell cosine distribution in this
+    // corpus — it has no planted >0.95 near-dups, so the paper's 0.95+
+    // thresholds would be vacuous at every SF; 0.35 drops 48/55/560
+    // docs at sf0.001/0.01/0.1), keep-the-outlier rule. The oracle
+    // replays the full chain on the shared ivfAssignCtes: own-centroid
+    // cosines from the asim CTE, within-cell pairwise cosines, the
+    // (centroid-cosine asc, id asc) domination verdict.
+    QueryDef(
+      "q_dedup_semantic",
+      (s, dir) =>
+        Similarity.semanticDedup(
+            Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.35)
+          .withColumn("dropped", col("dropped").cast("long"))
+          .orderBy(col("id")),
+      Some(s"""
+        WITH $ivfAssignCtes,
+        own AS (
+          SELECT asg.nid AS id, asg.cell, asim.csim
+          FROM asg JOIN asim
+            ON asim.nid = asg.nid AND asim.cell = asg.cell),
+        pdots AS (
+          SELECT a.nid AS id_a, b.nid AS id_b, sum(da.x * db.x) AS d
+          FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid < b.nid
+          JOIN dims da ON da.vec_id = a.nid
+          JOIN dims db ON db.vec_id = b.nid AND db.i = da.i
+          GROUP BY 1, 2),
+        pcos AS (
+          SELECT id_a, id_b, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
+          FROM pdots
+          JOIN norms na ON na.vec_id = id_a
+          JOIN norms nb ON nb.vec_id = id_b),
+        sim AS (
+          SELECT p.id_a, p.id_b, oa.csim AS ca, ob.csim AS cb
+          FROM pcos p
+          JOIN own oa ON oa.id = p.id_a
+          JOIN own ob ON ob.id = p.id_b
+          WHERE p.cos >= 0.35),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN ca <= cb THEN id_b ELSE id_a END AS id
+          FROM sim)
+        SELECT own.id, own.cell, own.csim,
+               CAST(dropped.id IS NOT NULL AS BIGINT) AS dropped
+        FROM own LEFT JOIN dropped ON dropped.id = own.id
+        ORDER BY own.id
+      """)),
+
     // ---- Similarity search ----
 
     QueryDef(
@@ -1509,6 +1556,35 @@ object ExtensionQueries {
         SELECT nid AS vec_id, cell FROM ranked
         WHERE rn <= CEIL(0.25 * n)
         ORDER BY vec_id
+      """)),
+
+    // Z-order (Morton) clustering key for multi-dimensional data
+    // skipping: interleave 8 bucketed bits of user and time so a
+    // range-partitioned write is narrow on BOTH columns' file
+    // min/max stats (ZOrderLayoutSpec proves the layout property;
+    // this pins the curve itself — the SQL twin is generated from
+    // the same bit terms, so expression and oracle cannot drift).
+    QueryDef(
+      "q_zorder",
+      (s, dir) => {
+        val za = pmod(col("user_id"), lit(256L))
+        val zb = pmod(unix_timestamp(col("ts")), lit(256L))
+        Tables.events(s, dir)
+          .select(col("event_id"), za.as("za"), zb.as("zb"),
+            graft.sources.ZOrderLayout.zValue(za, zb, 8).as("z"))
+          .orderBy(col("event_id"))
+      },
+      Some(s"""
+        WITH zk AS (
+          SELECT event_id,
+                 user_id % 256 AS za,
+                 -- floor, not CAST: epoch() is fractional seconds and
+                 -- CAST rounds, while Spark's unix_timestamp truncates
+                 CAST(floor(epoch(ts)) AS BIGINT) % 256 AS zb
+          FROM events)
+        SELECT event_id, za, zb,
+               ${graft.sources.ZOrderLayout.zValueSql("za", "zb", 8)} AS z
+        FROM zk ORDER BY event_id
       """))
   )
 }
