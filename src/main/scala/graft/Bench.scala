@@ -55,8 +55,9 @@ object Bench {
     "q_window_funcs", "q_setops", "q_cube_orders", "q_percentiles",
     "q_distinct_sketch", "q_curate",
     "q_grouping_sets", "q_range_frame", "q_full_outer",
-    // late round-8 additions: semantic dedup + the z-order curve
-    "q_dedup_semantic", "q_zorder")
+    // late round-8 additions: semantic dedup, the z-order curve, and
+    // bounded-memory frequent items
+    "q_dedup_semantic", "q_zorder", "q_heavy_hitters")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

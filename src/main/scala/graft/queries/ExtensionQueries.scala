@@ -1585,6 +1585,32 @@ object ExtensionQueries {
         SELECT event_id, za, zb,
                ${graft.sources.ZOrderLayout.zValueSql("za", "zb", 8)} AS z
         FROM zk ORDER BY event_id
+      """)),
+
+    // Heavy hitters over the open token domain: Misra-Gries candidate
+    // pass (bounded memory, shuffle carries ≤ partitions×⌈1/φ⌉ rows,
+    // not one per distinct token) + exact verification recount — the
+    // result is EXACT, so the oracle is the plain GROUP BY/HAVING
+    // answer. Threshold ⌈0.002·n⌉ is computed in exact decimal in
+    // both engines (30 items at every SF; no CEIL boundary risk:
+    // 0.002·n is an exact decimal for integer n).
+    QueryDef(
+      "q_heavy_hitters",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(TextFunctions.splitWords(col("text")))
+            .as("item"))
+        graft.operators.HeavyHitters.frequentItems(words, "item", 0.002)
+      },
+      Some("""
+        WITH words AS (
+          SELECT unnest(string_split(text, ' ')) AS item FROM documents),
+        tot AS (SELECT count(*) AS n FROM words)
+        SELECT item, count(*) AS cnt
+        FROM words GROUP BY item
+        HAVING count(*) >=
+          CEIL(CAST(0.002 AS DECIMAL(10,6)) * (SELECT n FROM tot))
+        ORDER BY cnt DESC, item
       """))
   )
 }
