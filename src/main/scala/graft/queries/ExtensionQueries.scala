@@ -1611,6 +1611,60 @@ object ExtensionQueries {
         HAVING count(*) >=
           CEIL(CAST(0.002 AS DECIMAL(10,6)) * (SELECT n FROM tot))
         ORDER BY cnt DESC, item
+      """)),
+
+    // Symmetric int8 embedding quantization (absmax scheme): per-row
+    // pure functions end to end — scale and the sequential-fold
+    // reconstruction SSE are identical doubles in both engines, and
+    // are hashed as integer NANO-lattices (explicit ×1e9 in double,
+    // then round-to-integer, which is engine-agnostic for the same
+    // double) — ROUND(x, 9) itself is NOT cross-engine-stable: the
+    // engines' internal 10^9 scaling disagrees on ~10% of rows at
+    // this magnitude (the q_token_budget lesson, one decade deeper).
+    // l1 is exact integer arithmetic in double range.
+    QueryDef(
+      "q_quantize",
+      (s, dir) => {
+        import graft.functions.Quantization
+        Tables.embeddings(s, dir)
+          .withColumn("scale", Quantization.absmaxScale(col("embedding")))
+          .withColumn("codes",
+            Quantization.quantizeInt8(col("embedding"), col("scale")))
+          .select(col("vec_id"),
+            round(col("scale") * lit(1e9)).cast("long").as("scale_nano"),
+            aggregate(col("codes"), lit(0L),
+              (acc, q) => acc + abs(q.cast("long"))).as("l1_q"),
+            round(Quantization.reconstructionSse(
+                col("embedding"), col("codes"), col("scale")) * lit(1e9))
+              .cast("long").as("sse_nano"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+          FROM embeddings),
+        c AS (
+          SELECT e.vec_id, s.scale,
+                 list_transform(e.embedding, x ->
+                   CASE WHEN s.scale = 0 THEN 0
+                        ELSE GREATEST(-127.0, LEAST(127.0,
+                               ROUND(CAST(x AS DOUBLE) / s.scale))) END)
+                   AS qs,
+                 e.embedding AS emb
+          FROM embeddings e JOIN s USING (vec_id))
+        SELECT vec_id,
+               CAST(ROUND(scale * 1000000000.0) AS BIGINT) AS scale_nano,
+               CAST(list_reduce(list_prepend(0.0,
+                      list_transform(qs, q -> abs(q))), (a,b) -> a+b)
+                 AS BIGINT) AS l1_q,
+               CAST(ROUND(list_reduce(list_prepend(0.0,
+                 list_transform(list_zip(emb, qs), p ->
+                   (CAST(p[1] AS DOUBLE) - p[2]*scale)
+                   * (CAST(p[1] AS DOUBLE) - p[2]*scale))),
+                 (a,b) -> a+b) * 1000000000.0) AS BIGINT) AS sse_nano
+        FROM c ORDER BY vec_id
       """))
   )
 }
