@@ -57,7 +57,8 @@ object Bench {
     "q_grouping_sets", "q_range_frame", "q_full_outer",
     // late round-8 additions: semantic dedup, the z-order curve, and
     // bounded-memory frequent items
-    "q_dedup_semantic", "q_zorder", "q_heavy_hitters", "q_quantize")
+    "q_dedup_semantic", "q_zorder", "q_heavy_hitters", "q_quantize",
+    "q_snapshot_diff")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

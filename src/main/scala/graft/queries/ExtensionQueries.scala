@@ -1665,6 +1665,44 @@ object ExtensionQueries {
                    * (CAST(p[1] AS DOUBLE) - p[2]*scale))),
                  (a,b) -> a+b) * 1000000000.0) AS BIGINT) AS sse_nano
         FROM c ORDER BY vec_id
+      """)),
+
+    // Snapshot diff (crawl-to-crawl delta): two snapshots carved
+    // deterministically from `documents` (old = id%7≠0, new = id%5≠0
+    // with id%11=0 texts revised), every key classified
+    // added/removed/changed/unchanged. The oracle classifies by
+    // DIRECT text comparison on a full outer join — it does not
+    // replay the operator's md5 fingerprints, so a hash match proves
+    // the semantic outcome, not the mechanism.
+    QueryDef(
+      "q_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(11)) === 0,
+              concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        graft.operators.SnapshotDiff
+          .diff(oldSnap, newSnap, "doc_id", Seq("text"))
+          .orderBy(col("key"))
+      },
+      Some("""
+        WITH oldd AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        newd AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                      ELSE text END AS text
+          FROM documents WHERE doc_id % 5 <> 0)
+        SELECT COALESCE(o.doc_id, n.doc_id) AS key,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN o.text = n.text THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
+        ORDER BY key
       """))
   )
 }
