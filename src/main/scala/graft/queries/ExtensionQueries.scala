@@ -216,6 +216,56 @@ object ExtensionQueries {
     """
   }
 
+  /** DuckDB replay of the q_pagerank lattice: 5-NN edges from
+    * 6-dp-rounded squared distances (the q_ann cosine-oracle shape),
+    * then ten unrolled contribution/rank CTE pairs in exact integer
+    * arithmetic — `//` floor division matches Spark's `div` on the
+    * all-positive picounit masses, so the replay is bit-exact, not
+    * approximate. SUM(BIGINT) widens to HUGEINT in DuckDB; each
+    * iteration casts back so `rank // deg` stays BIGINT.
+    */
+  private lazy val pagerankOracle: String = {
+    val iters = (1 to 10).map { i =>
+      s"""c$i AS (
+          SELECT e.dst AS id, SUM(r.rank // d.deg) AS s
+          FROM edges e
+          JOIN r${i - 1} r ON r.id = e.src
+          JOIN deg d ON d.id = e.src
+          GROUP BY e.dst),
+        r$i AS (
+          SELECT n.id,
+                 CAST((SELECT b FROM consts)
+                      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN c$i c ON c.id = n.id)"""
+    }.mkString(",\n        ")
+    s"""
+      WITH dims AS (
+        SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+      dd AS (
+        SELECT a.vec_id AS qid, b.vec_id AS nid,
+               ROUND(SUM((a.x - b.x) * (a.x - b.x)), 6) AS d2
+        FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d2, nid) AS rn
+        FROM dd),
+      edges AS (SELECT qid AS src, nid AS dst FROM ranked WHERE rn <= 5),
+      nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+      consts AS (
+        SELECT 1000000000000 // count(*) AS i0,
+               (1000000000000 * 15 // 100) // count(*) AS b
+        FROM nodes),
+      r0 AS (SELECT id, (SELECT i0 FROM consts) AS rank FROM nodes),
+      $iters
+      SELECT id, rank FROM r10 ORDER BY id
+    """
+  }
+
   /** Shared IVF oracle chain (no WITH keyword): per-dimension explode,
     * L2 norms, the deterministic 16-smallest-ids codebook, per-vector
     * centroid cosines, and the argmax cell assignment `asg(nid, cell)`
@@ -1703,6 +1753,34 @@ object ExtensionQueries {
                     ELSE 'changed' END AS status
         FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
         ORDER BY key
-      """))
+      """)),
+
+    // PageRank over the embedding 5-NN similarity graph, 10 fixed
+    // iterations on the exact integer picounit lattice — every step
+    // is integer floor division, so the fixed point is bit-identical
+    // under any partitioning and the oracle can unroll the same
+    // lattice (generated below: kNN edges from 6-dp-rounded
+    // distances, then r0..r10). Graph centrality as a curation
+    // signal: hubs are "representative", low-rank rows outliers.
+    QueryDef(
+      "q_pagerank",
+      (s, dir) => {
+        val pts = Tables.embeddings(s, dir)
+        val q = pts.select(col("vec_id").as("src"), col("embedding").as("qv"))
+        val c = pts.select(col("vec_id").as("dst"), col("embedding").as("cv"))
+        val edges = c.crossJoin(broadcast(q))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            negate(round(graft.functions.VectorFunctions
+              .dist2(col("qv"), col("cv")), 6)).as("score"))
+          .groupBy(col("src"))
+          .agg(graft.functions.top_k_by(col("score"), col("dst"), 5)
+            .as("top"))
+          .select(col("src"), explode(col("top")).as("t"))
+          .select(col("src"), col("t.id").as("dst"))
+        graft.operators.PageRank.run(edges, "src", "dst", 10)
+          .orderBy(col("id"))
+      },
+      Some(pagerankOracle))
   )
 }
