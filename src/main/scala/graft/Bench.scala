@@ -58,7 +58,7 @@ object Bench {
     // late round-8 additions: semantic dedup, the z-order curve, and
     // bounded-memory frequent items
     "q_dedup_semantic", "q_zorder", "q_heavy_hitters", "q_quantize",
-    "q_snapshot_diff", "q_pagerank")
+    "q_snapshot_diff", "q_pagerank", "q_agg_merge")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -1781,6 +1781,41 @@ object ExtensionQueries {
         graft.operators.PageRank.run(edges, "src", "dst", 10)
           .orderBy(col("id"))
       },
-      Some(pagerankOracle))
+      Some(pagerankOracle)),
+
+    // Incremental aggregate maintenance: history and batch partials
+    // merged (full outer join on the 80-group key, null-safe
+    // combination) must equal a from-scratch recompute — the oracle
+    // IS that recompute, so the hash match proves the merge algebra,
+    // not a replay of it. Sum rounded at the edge (q1_agg's
+    // convention for cross-engine double sums).
+    QueryDef(
+      "q_agg_merge",
+      (s, dir) => {
+        import graft.operators.AggMaintenance
+        val ev = Tables.events(s, dir)
+          .withColumn("bucket", pmod(col("user_id"), lit(16L)))
+        val keys = Seq("event_type", "bucket")
+        val history = AggMaintenance.partials(
+          ev.filter(pmod(col("event_id"), lit(4)) =!= 0), keys, Seq("value"))
+        val delta = AggMaintenance.partials(
+          ev.filter(pmod(col("event_id"), lit(4)) === 0), keys, Seq("value"))
+        AggMaintenance.merge(history, delta, keys, Seq("value"))
+          .select(col("event_type"), col("bucket"),
+            col("value_cnt"), round(col("value_sum"), 6).as("value_sum"),
+            round(col("value_min"), 6).as("value_min"),
+            round(col("value_max"), 6).as("value_max"))
+          .orderBy(col("event_type"), col("bucket"))
+      },
+      Some("""
+        SELECT event_type, user_id % 16 AS bucket,
+               count(value) AS value_cnt,
+               ROUND(sum(value), 6) AS value_sum,
+               ROUND(min(value), 6) AS value_min,
+               ROUND(max(value), 6) AS value_max
+        FROM events
+        GROUP BY event_type, user_id % 16
+        ORDER BY event_type, bucket
+      """))
   )
 }
