@@ -58,7 +58,8 @@ object Bench {
     // late round-8 additions: semantic dedup, the z-order curve, and
     // bounded-memory frequent items
     "q_dedup_semantic", "q_zorder", "q_heavy_hitters", "q_quantize",
-    "q_snapshot_diff", "q_pagerank", "q_agg_merge")
+    "q_snapshot_diff", "q_pagerank", "q_agg_merge",
+    "q_retrieval_metrics")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

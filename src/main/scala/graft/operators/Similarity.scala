@@ -336,6 +336,49 @@ object Similarity {
         / count(lit(1)).cast("double")).as("recall"))
       .orderBy(col("query_id"))
 
+  /** Position discounts 1/log2(rank+1) for NDCG, in integer
+    * nanounits — shared between [[retrievalMetrics]] and its SQL
+    * oracle so both engines use the SAME constants and never call
+    * log: libm vs JVM log could differ at the last ulp, an integer
+    * literal cannot.
+    */
+  def ndcgDiscountsNano(k: Int): Seq[Long] =
+    (1 to k).map(i => math.round(1e9 * math.log(2) / math.log(i + 1)))
+
+  /** Retrieval quality of an approximate top-k against the exact one,
+    * per query, entirely on integer lattices (exact in both engines —
+    * no float aggregation): `hits` = |approx ∩ exact|, `mrr_micro` =
+    * ⌊1e6 / first-hit-rank⌋ (0 when nothing relevant was retrieved),
+    * `ndcg_ppb` = ⌊dcg·1e9 / idcg⌋ with binary relevance (membership
+    * in the exact top-k) and the standard 1/log2(rank+1) discounts.
+    * Both inputs are (query_id, neighbor_id, …, rank) frames as the
+    * topK methods produce; `k` is the ranking depth of both.
+    *
+    * One broadcast-joinable hit-mark join + one partial-aggregate
+    * pass — queries×k rows end to end.
+    */
+  def retrievalMetrics(exact: DataFrame, approx: DataFrame, k: Int)
+      : DataFrame = {
+    val discounts = ndcgDiscountsNano(k)
+    val idcg = discounts.sum
+    val dArr = array(discounts.map(lit): _*)
+    val hits = exact
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    approx.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        min(when(col("__hit").isNotNull, col("rank"))).as("__fh"),
+        sum(when(col("__hit").isNotNull,
+            element_at(dArr, col("rank").cast("int")))
+          .otherwise(lit(0L))).as("__dcg"))
+      .select(col("query_id"), col("hits"),
+        coalesce(expr("1000000 div __fh"), lit(0L)).as("mrr_micro"),
+        expr(s"(__dcg * 1000000000) div ${idcg}L").as("ndcg_ppb"))
+      .orderBy(col("query_id"))
+  }
+
   /** Exact most-similar pairs in a corpus (cross-join; quadratic —
     * small corpora or within-bucket use only; [[nearDupPairsIvf]] is
     * the scale route). Ground-truth helper for the approximate paths.

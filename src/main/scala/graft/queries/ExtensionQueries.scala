@@ -266,6 +266,85 @@ object ExtensionQueries {
     """
   }
 
+  /** DuckDB replay of q_retrieval_metrics: the q_ann_recall chain
+    * (exact brute-force top-5 + deterministic-IVF top-5, both with
+    * ranks) followed by hit marking and the integer-lattice MRR/NDCG
+    * arithmetic. The discount table and idcg are interpolated from
+    * [[graft.operators.Similarity.ndcgDiscountsNano]] — one source of
+    * truth for both engines.
+    */
+  private lazy val retrievalMetricsOracle: String = {
+    val d = graft.operators.Similarity.ndcgDiscountsNano(5)
+    val idcg = d.sum
+    val discVals =
+      d.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    s"""
+      WITH $ivfAssignCtes,
+      edots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               sum(q.x * c.x) AS d
+        FROM dims q JOIN dims c ON q.i = c.i
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        GROUP BY 1, 2),
+      escored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
+        FROM edots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = neighbor_id),
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rk
+          FROM escored) WHERE rk <= 5),
+      probes AS (
+        SELECT nid AS query_id, cell FROM (
+          SELECT nid, cell,
+                 ROW_NUMBER() OVER (PARTITION BY nid
+                                    ORDER BY csim DESC, cell) AS rn
+          FROM asim WHERE nid < 10) WHERE rn <= 4),
+      acand AS (
+        SELECT p.query_id, a.nid AS neighbor_id
+        FROM probes p JOIN asg a ON a.cell = p.cell
+        WHERE a.nid <> p.query_id),
+      pdots AS (
+        SELECT c.query_id, c.neighbor_id, sum(qd.x * nd.x) AS d
+        FROM acand c
+        JOIN dims qd ON qd.vec_id = c.query_id
+        JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.i = qd.i
+        GROUP BY 1, 2),
+      pscored AS (
+        SELECT query_id, neighbor_id,
+               ROUND(d / (nq.nrm * nn.nrm), 6) AS cosine
+        FROM pdots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nn ON nn.vec_id = neighbor_id),
+      approx AS (
+        SELECT query_id, neighbor_id, rk FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rk
+          FROM pscored) WHERE rk <= 5),
+      disc(rank, dsc) AS (VALUES $discVals),
+      marked AS (
+        SELECT a.query_id, a.rk AS rank,
+               CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM approx a LEFT JOIN exact e
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+      m AS (
+        SELECT marked.query_id, SUM(hit) AS hits,
+               MIN(CASE WHEN hit = 1 THEN rank END) AS fh,
+               SUM(CASE WHEN hit = 1 THEN dsc ELSE 0 END) AS dcg
+        FROM marked JOIN disc USING (rank)
+        GROUP BY 1)
+      SELECT query_id, CAST(hits AS BIGINT) AS hits,
+             CAST(COALESCE(1000000 // fh, 0) AS BIGINT) AS mrr_micro,
+             CAST((dcg * 1000000000) // $idcg AS BIGINT) AS ndcg_ppb
+      FROM m ORDER BY query_id
+    """
+  }
+
   /** Shared IVF oracle chain (no WITH keyword): per-dimension explode,
     * L2 norms, the deterministic 16-smallest-ids codebook, per-vector
     * centroid cosines, and the argmax cell assignment `asg(nid, cell)`
@@ -970,6 +1049,25 @@ object ExtensionQueries {
         GROUP BY 1
         ORDER BY 1
       """)),
+
+    // Retrieval-quality metrics (MRR, NDCG@5) of the deterministic
+    // IVF search against the exact top-5 — the evaluation harness for
+    // the ANN surface, entirely on integer lattices: reciprocal ranks
+    // in micros, NDCG discounts as shared integer nano constants
+    // (generated from the SAME Scala values the operator uses — no
+    // log() in either engine, so no libm-vs-JVM ulp exposure).
+    QueryDef(
+      "q_retrieval_metrics",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.retrievalMetrics(
+          Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5),
+          Similarity.ivfTopKSampledCodebook(
+            queries, emb, "vec_id", "embedding", 5, nlist = 16, nprobe = 4),
+          5)
+      },
+      Some(retrievalMetricsOracle)),
 
     // ---- Text analytics ----
 
