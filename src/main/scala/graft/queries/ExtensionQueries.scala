@@ -1914,6 +1914,35 @@ object ExtensionQueries {
         FROM events
         GROUP BY event_type, user_id % 16
         ORDER BY event_type, bucket
+      """)),
+
+    // Bloom-prefiltered join (native BloomFilterAggregate /
+    // might_contain — the AQE runtime-filter machinery used
+    // explicitly): lineitem rows are dropped map-side before the
+    // shuffle unless their order key might be in the selective order
+    // subset; the real join then removes the ~fpp false positives,
+    // so the oracle is the PLAIN join — the hash match proves
+    // exactness of the whole prefilter+join composition.
+    // expectedKeys is a static 1000: undersizing only raises fpp
+    // (more shuffle, never wrong results), so it is scale-safe.
+    QueryDef(
+      "q_bloom_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        val hot = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 480000)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        graft.operators.BloomJoin
+          .innerPrefiltered(li, hot, "l_orderkey", expectedKeys = 1000)
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_totalprice > 480000
+        ORDER BY l.l_orderkey, l.l_linenumber
       """))
   )
 }
