@@ -1885,34 +1885,42 @@ object ExtensionQueries {
     // merged (full outer join on the 80-group key, null-safe
     // combination) must equal a from-scratch recompute — the oracle
     // IS that recompute, so the hash match proves the merge algebra,
-    // not a replay of it. Sum rounded at the edge (q1_agg's
-    // convention for cross-engine double sums).
+    // not a replay of it. `value` is snapped to an exact integer
+    // micro lattice BEFORE aggregation (round-to-integer of a scaled
+    // double is engine-agnostic; events.value is not integer-valued,
+    // so hashing ROUND(SUM(double),6) would carry the cross-engine
+    // sum-order ulp risk the round-7 verdict flagged).
     QueryDef(
       "q_agg_merge",
       (s, dir) => {
         import graft.operators.AggMaintenance
         val ev = Tables.events(s, dir)
           .withColumn("bucket", pmod(col("user_id"), lit(16L)))
+          .withColumn("vmicro",
+            round(col("value") * lit(1e6)).cast("long"))
         val keys = Seq("event_type", "bucket")
         val history = AggMaintenance.partials(
-          ev.filter(pmod(col("event_id"), lit(4)) =!= 0), keys, Seq("value"))
+          ev.filter(pmod(col("event_id"), lit(4)) =!= 0), keys, Seq("vmicro"))
         val delta = AggMaintenance.partials(
-          ev.filter(pmod(col("event_id"), lit(4)) === 0), keys, Seq("value"))
-        AggMaintenance.merge(history, delta, keys, Seq("value"))
+          ev.filter(pmod(col("event_id"), lit(4)) === 0), keys, Seq("vmicro"))
+        AggMaintenance.merge(history, delta, keys, Seq("vmicro"))
           .select(col("event_type"), col("bucket"),
-            col("value_cnt"), round(col("value_sum"), 6).as("value_sum"),
-            round(col("value_min"), 6).as("value_min"),
-            round(col("value_max"), 6).as("value_max"))
+            col("vmicro_cnt"), col("vmicro_sum").cast("long").as("vmicro_sum"),
+            col("vmicro_min"), col("vmicro_max"))
           .orderBy(col("event_type"), col("bucket"))
       },
       Some("""
-        SELECT event_type, user_id % 16 AS bucket,
-               count(value) AS value_cnt,
-               ROUND(sum(value), 6) AS value_sum,
-               ROUND(min(value), 6) AS value_min,
-               ROUND(max(value), 6) AS value_max
-        FROM events
-        GROUP BY event_type, user_id % 16
+        WITH ev AS (
+          SELECT event_type, user_id % 16 AS bucket,
+                 CAST(ROUND(value * 1000000.0) AS BIGINT) AS vmicro
+          FROM events)
+        SELECT event_type, bucket,
+               count(vmicro) AS vmicro_cnt,
+               CAST(sum(vmicro) AS BIGINT) AS vmicro_sum,
+               min(vmicro) AS vmicro_min,
+               max(vmicro) AS vmicro_max
+        FROM ev
+        GROUP BY event_type, bucket
         ORDER BY event_type, bucket
       """)),
 
