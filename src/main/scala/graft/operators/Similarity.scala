@@ -33,7 +33,7 @@ object Similarity {
     * (cosine desc, neighbor_id asc) total order a row_number window
     * would produce.
     */
-  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     // top_k_by coerces ids to bigint; cast back so the output schema
     // matches the caller's id type. Null cosines are skipped by the
     // aggregate (never in the top-k anyway — see TopKByScore scaladoc).

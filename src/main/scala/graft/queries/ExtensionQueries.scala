@@ -897,6 +897,133 @@ object ExtensionQueries {
         ORDER BY query_id, rank
       """)),
 
+    // kNN label propagation: rows with vec_id % 7 == 0 play the
+    // unlabeled corpus, the rest the human-labeled seed set; each
+    // unlabeled row takes the majority label of its 5 nearest labeled
+    // neighbors (6-dp cosine, neighbor-id tie-break; vote ties break
+    // on smallest label). Oracle replays the full chain: restricted
+    // brute-force cosine rank, label join, vote window.
+    QueryDef(
+      "q_knn_classify",
+      (s, dir) => {
+        import graft.operators.KnnClassifier
+        val emb = Tables.embeddings(s, dir)
+        KnnClassifier.classify(
+            emb.filter(pmod(col("vec_id"), lit(7L)) === 0),
+            emb.filter(pmod(col("vec_id"), lit(7L)) =!= 0),
+            "vec_id", "embedding", "label", 5)
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sum(q.x * c.x) AS d
+          FROM dims q JOIN dims c ON q.i = c.i
+          WHERE q.vec_id % 7 = 0 AND c.vec_id % 7 <> 0
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
+          FROM dots
+          JOIN norms nq ON nq.vec_id = query_id
+          JOIN norms nc ON nc.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM scored),
+        votes AS (
+          SELECT r.query_id, e.label,
+                 count(*) AS votes, min(r.rank) AS best_rank
+          FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+          WHERE r.rank <= 5
+          GROUP BY 1, 2),
+        win AS (
+          SELECT query_id, label, votes, best_rank,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY votes DESC, label) AS rn
+          FROM votes)
+        SELECT query_id, label, votes, best_rank
+        FROM win WHERE rn = 1
+        ORDER BY query_id
+      """)),
+
+    // BM25 top-10 retrieval: docs with doc_id % 97 == 0 play the
+    // query batch (query terms = the DISTINCT tokens among each query
+    // doc's first 8 positions; the query doc itself is excluded from
+    // its results). Per-term contributions snap to an integer nano
+    // lattice BEFORE the per-doc sum (order-independent long adds —
+    // the UnigramLM policy), idf is base-10 (see Bm25 scaladoc), and
+    // the oracle replays the whole inverted-index build + scoring +
+    // rank chain.
+    QueryDef(
+      "q_bm25",
+      (s, dir) => {
+        import graft.operators.Bm25
+        val docs = docTokens(s, dir)
+        val queryTerms = docs
+          .filter(pmod(col("doc_id"), lit(97L)) === 0)
+          .select(col("doc_id").as("query_id"),
+            explode(slice(col("tokens"), 1, 8)).as("term"))
+          .distinct()
+        Bm25.scoreTopK(
+            Bm25.postings(docs, "doc_id", "tokens"),
+            Bm25.totals(docs, "doc_id", "tokens"),
+            queryTerms, k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        tot AS (SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                         AS avgdl
+                FROM dl),
+        qterms AS (
+          SELECT DISTINCT doc_id AS query_id, term FROM toks
+          WHERE doc_id % 97 = 0 AND pos <= 8),
+        contrib AS (
+          SELECT q.query_id, t.doc_id,
+                 CAST(ROUND(
+                   log10(1.0 + (CAST(tot.n_docs AS DOUBLE)
+                                - CAST(df.df AS DOUBLE) + 0.5)
+                               / (CAST(df.df AS DOUBLE) + 0.5))
+                   * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+                     / (CAST(t.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                               / tot.avgdl))
+                   * 1e9) AS BIGINT) AS c_nano
+          FROM qterms q
+          JOIN tf t ON t.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl ON dl.doc_id = t.doc_id
+          CROSS JOIN tot
+          WHERE t.doc_id <> q.query_id),
+        scores AS (
+          SELECT query_id, doc_id, sum(c_nano) AS score_nano
+          FROM contrib GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, doc_id, score_nano,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score_nano DESC, doc_id)
+                   AS rank
+          FROM scores)
+        SELECT query_id, doc_id, score_nano, rank
+        FROM ranked WHERE rank <= 10
+        ORDER BY query_id, rank
+      """)),
+
     // IVF approximate variant with the DETERMINISTIC corpus-sampled
     // codebook (16 smallest vec_ids, nprobe 4) — fully hash-checked:
     // the whole search is a pure function of the data, so DuckDB
