@@ -60,8 +60,9 @@ object Bench {
     "q_dedup_semantic", "q_zorder", "q_heavy_hitters", "q_quantize",
     "q_snapshot_diff", "q_pagerank", "q_agg_merge",
     "q_retrieval_metrics", "q_bloom_join",
-    // session-3 additions: lexical retrieval + label propagation
-    "q_bm25", "q_knn_classify")
+    // session-3 additions: lexical retrieval, label propagation,
+    // bigram perplexity filtering
+    "q_bm25", "q_knn_classify", "q_bigram_score")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

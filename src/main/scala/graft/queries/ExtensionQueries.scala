@@ -1660,6 +1660,50 @@ object ExtensionQueries {
         SELECT doc_id, n_tokens, xent FROM lm ORDER BY doc_id
       """)),
 
+    // Bigram-LM cross-entropy (Jelinek-Mercer λ=0.75 interpolation
+    // with the unigram marginal) — the perplexity filter one model
+    // order above q_lm_score. Oracle replays transition extraction
+    // (lead window), both count models, the interpolated probability
+    // with IDENTICAL parenthesization, and the 9-dp/DECIMAL sum
+    // discipline.
+    QueryDef(
+      "q_bigram_score",
+      (s, dir) => {
+        import graft.operators.BigramLM
+        BigramLM.crossEntropy(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        trans0 AS (
+          SELECT doc_id, word AS w1,
+                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS w2
+          FROM words),
+        trans AS (SELECT * FROM trans0 WHERE w2 IS NOT NULL),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM trans GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        c2 AS (SELECT word AS w2, count(*) AS c2 FROM words GROUP BY 1),
+        tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS tot FROM c2),
+        model AS (
+          SELECT c12.w1, c12.w2,
+                 ROUND(-LOG10(
+                   0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                   + 0.25 * (CAST(c2.c2 AS DOUBLE) / tot.tot)), 9) AS nlp
+          FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot)
+        SELECT t.doc_id, count(*) AS n_transitions,
+               ROUND(CAST(sum(CAST(m.nlp AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 6) AS xent
+        FROM trans t JOIN model m ON m.w1 = t.w1 AND m.w2 = t.w2
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+      """)),
+
     // Curriculum sharding: order the corpus easy->hard by unigram
     // cross-entropy and cut it into 8 contiguous shards — the
     // curriculum-learning data prep. Built on GlobalIds (no

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class BigramLMSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("transitions extracts adjacent pairs row-locally") {
+    val docs = Seq((1L, "a b c"), (2L, "x"), (3L, "p q")).toDF("doc_id", "text")
+    val t = BigramLM.transitions(docs, "doc_id", "text")
+      .orderBy("doc_id", "w1").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(t === Seq((1L, "a", "b"), (1L, "b", "c"), (3L, "p", "q")))
+    // no shuffle: the pair build is an array transform, not a window
+    val plan = BigramLM.transitions(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("shuffled word salad scores higher than the corpus idiom") {
+    // Same unigram distribution in both docs — only transition order
+    // differs, which a unigram LM cannot see.
+    val idiom = "the cat sat on the mat"
+    val salad = "mat the on sat cat the"
+    val filler = Seq.tabulate(8)(i =>
+      (10L + i, "the cat sat on the mat again and again"))
+    val docs = (filler :+ (1L, idiom) :+ (2L, salad)).toDF("doc_id", "text")
+    val out = BigramLM.crossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > out(1L),
+      s"salad ${out(2L)} should out-score idiom ${out(1L)}")
+  }
+
+  test("single-token docs are absent; counts are per-transition") {
+    val docs = Seq((1L, "a b c d"), (2L, "solo")).toDF("doc_id", "text")
+    val out = BigramLM.crossEntropy(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(out.head.getLong(1) === 3L) // n_transitions = tokens - 1
+  }
+
+  test("result is partitioning-independent") {
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok${i % 5} tok${(i + 1) % 7} tok${(i + 2) % 3} tok${i % 2}"))
+      .toDF("doc_id", "text")
+    val a = BigramLM.crossEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = BigramLM.crossEntropy(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}

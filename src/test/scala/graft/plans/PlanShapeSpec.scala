@@ -118,7 +118,8 @@ class PlanShapeSpec extends SparkSuite {
       // q_pagerank, q_heavy_hitters — run jobs at build and are
       // plan-audited in their own specs instead)
       "q_zorder", "q_quantize", "q_snapshot_diff", "q_agg_merge",
-      "q_retrieval_metrics", "q_bm25", "q_knn_classify")
+      "q_retrieval_metrics", "q_bm25", "q_knn_classify",
+      "q_bigram_score")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
