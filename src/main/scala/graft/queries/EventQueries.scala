@@ -646,6 +646,46 @@ object EventQueries {
         FROM events
         GROUP BY event_type
         ORDER BY event_type
+      """)),
+
+    // SCD2 dimension history from the event log: each user's
+    // consecutive runs of the same event_type collapse into
+    // [valid_from, valid_to) intervals, latest run open. One
+    // exchange end-to-end (Scd2 scaladoc; Scd2Spec asserts it).
+    // Oracle replays the gaps-and-islands chain with the same
+    // (ts, event_id) tiebreak.
+    QueryDef(
+      "q_scd2",
+      (s, dir) =>
+        graft.operators.Scd2.fromChangeLog(
+            Tables.events(s, dir), keyCols = Seq("user_id"),
+            attrCols = Seq("event_type"), tsCol = "ts",
+            tieCols = Seq("event_id"))
+          .orderBy(col("user_id"), col("valid_from")),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN lag(event_type, 1) OVER w
+                           IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        runs AS (
+          SELECT user_id, event_type, ts,
+                 sum(chg) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+          FROM flagged),
+        collapsed AS (
+          SELECT user_id, run, min(event_type) AS event_type,
+                 min(ts) AS valid_from
+          FROM runs GROUP BY 1, 2)
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from, 1) OVER wk AS valid_to,
+               (lead(valid_from, 1) OVER wk IS NULL) AS is_current
+        FROM collapsed
+        WINDOW wk AS (PARTITION BY user_id ORDER BY valid_from)
+        ORDER BY user_id, valid_from
       """))
   )
 }

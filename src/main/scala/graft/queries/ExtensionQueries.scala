@@ -612,6 +612,39 @@ object ExtensionQueries {
         ORDER BY id
       """)),
 
+    // Cross-source duplication matrix — corpus governance: which
+    // ingest feeds mirror each other. Near-dup pairs (exact Jaccard
+    // ≥ 0.8) joined to each side's source, unordered source pair
+    // normalized by least/greatest, counted. The pair list is
+    // group-sized; the corpus never reshuffles for the rollup.
+    QueryDef(
+      "q_dedup_sources",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""
+        WITH $jaccardCtes,
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8)
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM pairs
+        JOIN documents da ON da.doc_id = pairs.id_a
+        JOIN documents db ON db.doc_id = pairs.id_b
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
     // The payoff query of the dedup chain: the corpus a trainer
     // actually reads — drop every non-canonical duplicate-group
     // member, keep everything else (Dedup.keepCanonical).
