@@ -69,6 +69,45 @@ object CorpusMixing {
       .drop("__copies")
   }
 
+  /** Temperature-flattened source sampling rates — the multilingual
+    * α-sampling of Conneau & Lample (XLM, 2019) at α = 0.5: target
+    * share q_s ∝ √n_s, so head sources shrink and tail sources keep
+    * relatively more mass. α is FIXED at 0.5 because √ is the one
+    * fractional power with a bit-replayable cross-engine primitive
+    * (`sqrt`); arbitrary temperatures would ride `Math.pow` vs libm
+    * `pow`, which the engine's oracle discipline avoids (the same
+    * reasoning as Bm25's log-base choice).
+    *
+    * Returns one TINY row per key: (keyCol, n_rows, weight_ppm,
+    * rate). `weight_ppm` is the target share on the ppm lattice;
+    * `rate` is the per-row keep probability normalized so the
+    * most-upweighted (smallest) source keeps everything — the
+    * downsample-only, replication-free formulation. Feed `rate` to a
+    * [[hashFraction]] filter to materialize the mixture.
+    *
+    * Determinism: √n snapped to the 9-dp lattice, the share
+    * denominator summed in exact DECIMAL, max() is order-free, and
+    * every division is written with the same parenthesization the
+    * SQL oracle uses. The counts frame is checkpointed so its three
+    * consumers (total, max, output) cost one corpus pass.
+    */
+  def temperatureRatesSqrt(df: DataFrame, keyCol: String): DataFrame = {
+    Reserved.check("temperatureRatesSqrt" -> df)
+    val u = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+      .select(col(keyCol), col("__n"),
+        round(sqrt(col("__n").cast("double")), 9).as("__u"))
+      .localCheckpoint(true)
+    val tot = u.agg(
+      sum(col("__u").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double").as("__su"))
+    val mx = u.agg(max(col("__u") / col("__n").cast("double")).as("__m"))
+    u.crossJoin(broadcast(tot)).crossJoin(broadcast(mx))
+      .select(col(keyCol), col("__n").as("n_rows"),
+        round(lit(1e6) * (col("__u") / col("__su"))).cast("long")
+          .as("weight_ppm"),
+        ((col("__u") / col("__n").cast("double")) / col("__m")).as("rate"))
+  }
+
   /** Keep the best `ceil(fraction · n)` rows of each domain by
     * `scoreCol` (descending, ties broken by ascending `tieCol` so the
     * cut is total and reproducible). One window exchange on

@@ -1809,6 +1809,44 @@ object ExtensionQueries {
         SELECT doc_id, lang, copy FROM exploded ORDER BY doc_id, copy
       """)),
 
+    // Temperature (α=0.5) source sampling: rates computed IN-ENGINE
+    // from the per-source counts (√-flattened shares, normalized
+    // downsample-only), then materialized with the same md5 draw as
+    // q_mix_sources. The oracle replays rate derivation (9-dp √
+    // lattice, DECIMAL share denominator, order-free max) and the
+    // draw — the surviving (doc_id, source) set is hash-checked.
+    QueryDef(
+      "q_mix_temperature",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        val rates = CorpusMixing.temperatureRatesSqrt(docs, "source")
+        docs.join(broadcast(rates.select(col("source"), col("rate"))), "source")
+          .where(CorpusMixing.hashFraction(col("doc_id")) < col("rate"))
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        u AS (SELECT source, n,
+                     ROUND(sqrt(CAST(n AS DOUBLE)), 9) AS u
+              FROM counts),
+        mx AS (SELECT max(u / CAST(n AS DOUBLE)) AS m FROM u),
+        rates AS (
+          SELECT source,
+                 (u / CAST(n AS DOUBLE)) / mx.m AS rate
+          FROM u CROSS JOIN mx),
+        drawn AS (
+          SELECT d.doc_id, d.source, r.rate,
+                 CAST(CAST(concat('0x',
+                        substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT) AS DOUBLE)
+                   / 1152921504606846976.0 AS u
+          FROM documents d JOIN rates r USING (source))
+        SELECT doc_id, source FROM drawn WHERE u < rate
+        ORDER BY doc_id
+      """)),
+
     // FineWeb-style per-domain quality selection: keep the best 30% of
     // each lang by the composite quality score (pre-rounded to the
     // 6 dp oracle edge so the window order is float-noise-free).

@@ -113,6 +113,32 @@ class CorpusCurationSpec extends SparkSuite {
     assert(out == Set(10L, 11L))
   }
 
+  test("temperatureRatesSqrt: √-flattened shares, smallest source keeps all") {
+    // 100 'a' rows, 25 'b', 4 'c' → u = 10, 5, 2.
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 125).map(i => (i.toLong, "b")) ++
+      (126 to 129).map(i => (i.toLong, "c"))).toDF("id", "src")
+    val r = CorpusMixing.temperatureRatesSqrt(df, "src")
+      .orderBy("src").collect()
+    assert(r.map(_.getLong(1)).toSeq === Seq(100L, 25L, 4L))
+    // shares ∝ √n: 10/17, 5/17, 2/17 in ppm
+    assert(r.map(_.getLong(2)).toSeq ===
+      Seq(math.round(1e6 * 10 / 17.0), math.round(1e6 * 5 / 17.0),
+        math.round(1e6 * 2 / 17.0)))
+    // rates ∝ u/n = .1, .2, .5, normalized by max (.5): .2, .4, 1.0
+    val rates = r.map(_.getDouble(3))
+    assert(math.abs(rates(0) - 0.2) < 1e-9)
+    assert(math.abs(rates(1) - 0.4) < 1e-9)
+    assert(rates(2) === 1.0) // the tail source is never downsampled
+  }
+
+  test("temperatureRatesSqrt: equal sources get equal rates of 1") {
+    val df = (1 to 20).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+    val r = CorpusMixing.temperatureRatesSqrt(df, "src").collect()
+    assert(r.forall(_.getDouble(3) === 1.0))
+    assert(r.forall(_.getLong(2) === 250000L))
+  }
+
   test("crossEntropy: uniform unigram distribution gives log10(V) for every doc") {
     // Cyclic construction: 5 words, 5 docs of 3 tokens, each word
     // appearing exactly 3 times -> p(w) = 1/5 everywhere.

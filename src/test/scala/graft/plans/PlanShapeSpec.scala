@@ -119,7 +119,8 @@ class PlanShapeSpec extends SparkSuite {
       // plan-audited in their own specs instead)
       "q_zorder", "q_quantize", "q_snapshot_diff", "q_agg_merge",
       "q_retrieval_metrics", "q_bm25", "q_knn_classify",
-      "q_bigram_score", "q_scd2", "q_dedup_sources")
+      "q_bigram_score", "q_scd2", "q_dedup_sources",
+      "q_mix_temperature")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
