@@ -686,6 +686,46 @@ object EventQueries {
         FROM collapsed
         WINDOW wk AS (PARTITION BY user_id ORDER BY valid_from)
         ORDER BY user_id, valid_from
+      """)),
+
+    // The SAME SCD2 semantics as a stream (flatMapGroupsWithState):
+    // closed intervals flow downstream as runs end; each key's open
+    // run rides in state — so the emitted set is exactly the batch
+    // operator's valid_to-non-null rows, and the batch gaps-and-
+    // islands chain (in µs) is the oracle.
+    QueryDef(
+      "q_stream_scd2",
+      (s, dir) =>
+        StreamingOps.scd2History(s, s"$dir/events.parquet")
+          .orderBy(col("user_id"), col("from_us")),
+      Some("""
+        WITH flagged AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+                 CASE WHEN lag(event_type, 1) OVER w
+                           IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
+        runs AS (
+          SELECT user_id, event_type, us,
+                 sum(chg) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+          FROM flagged),
+        collapsed AS (
+          SELECT user_id, run, min(event_type) AS event_type,
+                 min(us) AS from_us
+          FROM runs GROUP BY 1, 2),
+        intervals AS (
+          SELECT user_id, event_type, from_us,
+                 lead(from_us, 1) OVER (PARTITION BY user_id
+                                        ORDER BY from_us) AS to_us
+          FROM collapsed)
+        SELECT user_id, event_type, from_us, to_us
+        FROM intervals WHERE to_us IS NOT NULL
+        ORDER BY user_id, from_us
       """))
   )
 }

@@ -25,6 +25,16 @@ case class SessionSpan(
 /** Open-session state carried between micro-batches. */
 case class OpenSession(start_us: Long, last_us: Long, n_events: Long)
 
+/** A change-log row for [[StreamingOps.scd2Intervals]]. */
+case class Chg(user_id: Long, us: Long, event_type: String, event_id: Long)
+
+/** A CLOSED SCD2 interval; the open run stays in state. */
+case class ClosedInterval(
+    user_id: Long, event_type: String, from_us: Long, to_us: Long)
+
+/** Open-run state for the streaming SCD2 operator. */
+case class OpenRun(event_type: String, from_us: Long)
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation and stateful sessionization via
   * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
@@ -148,6 +158,61 @@ object StreamingOps {
     val spans = sessionSpans(stream, gapSeconds)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = spans.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming SCD2: closed dimension-history intervals via
+    * `flatMapGroupsWithState` — the streaming twin of
+    * [[graft.operators.Scd2]]. State per key = the one OPEN run
+    * (tracked attribute + its valid_from); each arriving change that
+    * differs from the open run's attribute closes the interval
+    * downstream and opens a new one. Emitted rows are exactly the
+    * batch operator's `valid_to IS NOT NULL` rows (the open run rides
+    * in state, as the still-open session does in [[sessionSpans]]),
+    * so the batch oracle checks the stream.
+    */
+  def scd2Intervals(stream: Dataset[Chg]): Dataset[ClosedInterval] = {
+    import stream.sparkSession.implicits._
+    def update(userId: Long, events: Iterator[Chg],
+        state: GroupState[OpenRun]): Iterator[ClosedInterval] = {
+      var open = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedInterval]
+      // micro-batch delivery is unordered — sort by the same
+      // (ts, event_id) total order the batch operator uses
+      events.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        open match {
+          case None =>
+            open = Some(OpenRun(e.event_type, e.us))
+          case Some(OpenRun(attr, from)) =>
+            if (attr != e.event_type) {
+              closed += ClosedInterval(userId, attr, from, e.us)
+              open = Some(OpenRun(e.event_type, e.us))
+            } // same attribute: the run extends, nothing to emit
+        }
+      }
+      open.foreach(state.update)
+      closed.iterator
+    }
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[scd2Intervals]] over the events parquet (memory sink, append),
+    * tracking event_type as the dimension attribute.
+    */
+  def scd2History(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id")).as[Chg]
+    val out = scd2Intervals(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName(name)
       .start()

@@ -287,4 +287,50 @@ class StreamingOpsSpec extends SparkSuite {
       assert(got == Seq((1L, base, base + 10L * 1000000L, 2L)))
     } finally q.stop()
   }
+
+  test("scd2Intervals: closed intervals emit on change; open run " +
+      "carries state across batches; same-value runs extend silently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val base = 1700000000000000L
+    val M = 60L * 1000000L
+    val input = MemoryStream[Chg]
+    val out = StreamingOps.scd2Intervals(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("scd2_multibatch")
+      .start()
+    try {
+      // Batch 1: bronze, bronze — one open run, nothing emitted.
+      input.addData(Chg(1L, base, "bronze", 1L),
+        Chg(1L, base + M, "bronze", 2L))
+      q.processAllAvailable()
+      assert(spark.table("scd2_multibatch").count() == 0)
+
+      // Batch 2: gold closes the bronze run (valid_from must come
+      // from batch-1 state) and the new gold run stays open.
+      input.addData(Chg(1L, base + 2 * M, "gold", 3L))
+      q.processAllAvailable()
+      val got = spark.table("scd2_multibatch").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == Seq((1L, "bronze", base, base + 2 * M)))
+
+      // Batch 3: out-of-order WITHIN the batch — sorted by (us,
+      // event_id) before folding, so silver@+3m closes gold and
+      // bronze@+4m closes silver.
+      input.addData(Chg(1L, base + 4 * M, "bronze", 5L),
+        Chg(1L, base + 3 * M, "silver", 4L))
+      q.processAllAvailable()
+      val got3 = spark.table("scd2_multibatch").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got3 === Set(
+        ("bronze", base, base + 2 * M),
+        ("gold", base + 2 * M, base + 3 * M),
+        ("silver", base + 3 * M, base + 4 * M)))
+    } finally q.stop()
+  }
 }
