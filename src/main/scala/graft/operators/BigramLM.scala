@@ -57,6 +57,41 @@ object BigramLM {
       .select(col(idCol), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
   }
 
+  /** Top-k collocations by pointwise mutual information — the
+    * classic "which word pairs belong together" extraction (Church &
+    * Hanks 1990), over the same transition stream the LM uses. All
+    * probabilities come from ONE event space (the transition stream:
+    * joint c₁₂/N, marginals = row/column sums of the bigram counts),
+    * so PMI = log10(c₁₂·N / (c₁·c₂)) is a pure function of four
+    * integers — no mixed-denominator convention to disagree on.
+    *
+    * `minCount` floors the joint count (PMI's low-frequency bias is
+    * the textbook failure mode); ordering is (6-dp PMI desc, w1, w2)
+    * so the cut is total, and the top-k plans as TakeOrdered —
+    * bounded, never a global sort materialization.
+    */
+  def collocations(
+      docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, s"minCount=$minCount k=$k")
+    val c12 = transitions(docs, idCol, textCol)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = c12.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = c12.agg(sum(col("c12")).as("n12"))
+    val pmi = log10(
+      (col("c12").cast("double") * col("n12").cast("double")) /
+        (col("c1").cast("double") * col("c2").cast("double")))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** (id, n_transitions, xent): per-doc transition count and mean
     * −log10 p̂ under the interpolated bigram model, rounded to 6 dp.
     * `lambda` must be exactly representable in double on both sides

@@ -1737,6 +1737,46 @@ object ExtensionQueries {
         ORDER BY t.doc_id
       """)),
 
+    // Top-30 PMI collocations (joint floor 5) on the same transition
+    // stream — all four integers come from one event space, PMI is a
+    // per-row log10 rounded at the edge (no float aggregation), and
+    // the (pmi, w1, w2) order is total.
+    QueryDef(
+      "q_collocations",
+      (s, dir) => {
+        import graft.operators.BigramLM
+        BigramLM.collocations(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", minCount = 5, k = 30)
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        trans0 AS (
+          SELECT doc_id, word AS w1,
+                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS w2
+          FROM words),
+        trans AS (SELECT * FROM trans0 WHERE w2 IS NOT NULL),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM trans GROUP BY 1, 2),
+        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+        c2 AS (SELECT w2, sum(c12) AS c2 FROM c12 GROUP BY 1),
+        n AS (SELECT sum(c12) AS n12 FROM c12),
+        scored AS (
+          SELECT c12.w1, c12.w2, c12.c12,
+                 ROUND(LOG10(
+                   (CAST(c12.c12 AS DOUBLE) * CAST(n.n12 AS DOUBLE))
+                   / (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))), 6)
+                   AS pmi
+          FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+          WHERE c12.c12 >= 5)
+        SELECT w1, w2, c12, pmi FROM scored
+        ORDER BY pmi DESC, w1, w2
+        LIMIT 30
+      """)),
+
     // Curriculum sharding: order the corpus easy->hard by unigram
     // cross-entropy and cut it into 8 contiguous shards — the
     // curriculum-learning data prep. Built on GlobalIds (no

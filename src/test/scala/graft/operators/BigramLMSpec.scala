@@ -38,6 +38,23 @@ class BigramLMSpec extends SparkSuite {
     assert(out.head.getLong(1) === 3L) // n_transitions = tokens - 1
   }
 
+  test("collocations: an exclusive pair out-ranks a promiscuous one; " +
+      "minCount drops rare pairs") {
+    // "new york" always co-occur exclusively; "the" pairs with many
+    // words; "rare gem" is perfect but appears only twice.
+    val docs = (1L to 10L).map(i =>
+      (i, s"new york is the city the place the spot t$i")) ++
+      Seq((11L, "rare gem rare gem x"))
+    val df = docs.toDF("doc_id", "text")
+    val out = BigramLM.collocations(df, "doc_id", "text",
+      minCount = 3, k = 5).collect()
+    val pairs = out.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.head === (("new", "york")))
+    assert(!pairs.contains(("rare", "gem"))) // c12=2 < minCount
+    // every returned joint count respects the floor
+    assert(out.forall(_.getLong(2) >= 3L))
+  }
+
   test("result is partitioning-independent") {
     val docs = (1L to 40L).map(i =>
       (i, s"tok${i % 5} tok${(i + 1) % 7} tok${(i + 2) % 3} tok${i % 2}"))
