@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-key time-series smoothing. EWMA is a RECURSIVE fold
+  * (yᵢ = (yᵢ₋₁ + xᵢ)·α) — not expressible as any built-in window
+  * aggregate, which is exactly why it earns an operator: the engine's
+  * answer to "analytics that need an ordered carry".
+  *
+  * α is FIXED at 1/2: `(a + x) · 0.5` is an exact halving, so the
+  * fold is a deterministic chain of IEEE add/halve with no `pow`
+  * (whose libm-vs-JVM bits the oracle discipline avoids — the Bm25
+  * log-base reasoning). The same left fold replays bit-for-bit as a
+  * DuckDB `list_reduce` over `list(value ORDER BY ...)`.
+  *
+  * Scale shape: one shuffle on the key; each group's history is
+  * collected into ONE array on the reducer — bounded by the per-key
+  * row count, which for telemetry/user streams is the natural state
+  * bound (the events table: ≤ ~100 rows/user at any SF). For
+  * unbounded keys, run the same recurrence as streaming state
+  * (y rides a `mapGroupsWithState` value) instead of a batch
+  * collect — the fold is associative-free either way, so there is
+  * no partial-aggregate formulation to prefer.
+  */
+object TimeSeries {
+
+  /** (keyCols..., n, ewma): the α=0.5 exponential moving average of
+    * `valueCol` over each key's rows in `(orderCols)` order —
+    * y₁ = x₁, yᵢ = (yᵢ₋₁ + xᵢ)·0.5 — rounded to 6 dp at the edge.
+    * `orderCols` must totally order each key's rows (pass a unique
+    * tiebreaker; an ambiguous order has no well-defined EWMA in any
+    * engine).
+    */
+  def ewmaHalf(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "keys/order required")
+    Reserved.check("ewmaHalf" -> df)
+
+    val sortStruct = struct(
+      (orderCols.map(col) :+ col(valueCol).as("__v")): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(sortStruct)).as("__hist"))
+      .select((keyCols.map(col) :+ col("n") :+
+        round(expr(
+          "aggregate(slice(__hist, 2, size(__hist) - 1), " +
+            "__hist[0].__v, (a, x) -> (a + x.__v) * 0.5D)"), 6)
+          .as("ewma")): _*)
+  }
+}

@@ -726,6 +726,26 @@ object EventQueries {
         SELECT user_id, event_type, from_us, to_us
         FROM intervals WHERE to_us IS NOT NULL
         ORDER BY user_id, from_us
+      """)),
+
+    // Per-user EWMA (α=0.5) of the event value — a recursive fold no
+    // window aggregate expresses (TimeSeries scaladoc). The identical
+    // left fold replays in DuckDB as list_reduce over the same
+    // (ts, event_id)-ordered list: exact halvings, bit-for-bit.
+    QueryDef(
+      "q_ewma",
+      (s, dir) =>
+        graft.operators.TimeSeries.ewmaHalf(
+            Tables.events(s, dir), keyCols = Seq("user_id"),
+            orderCols = Seq("ts", "event_id"), valueCol = "value")
+          .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id, count(*) AS n,
+               ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                                 (a, b) -> (a + b) * 0.5), 6) AS ewma
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
       """))
   )
 }
