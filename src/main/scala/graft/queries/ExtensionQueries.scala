@@ -1326,6 +1326,49 @@ object ExtensionQueries {
         ORDER BY doc_id
       """)),
 
+    // Quality calibration: the raw composite score is NOT comparable
+    // across sources (different boilerplate/length profiles), so a
+    // single global threshold over- or under-prunes per source. The
+    // fix used by per-domain curation: rank-normalize within source —
+    // cume_dist of the 6-dp score, ties sharing a value (both engines
+    // define cume_dist as rows≤current / n, an exact integer ratio).
+    // One window exchange on source.
+    QueryDef(
+      "q_quality_calibrated",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+          .withColumn("pct", cume_dist().over(
+            Window.partitionBy(col("source")).orderBy(col("quality"))))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH parts AS (
+          SELECT doc_id, source,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
+                 abs(CAST(len(list_filter(string_split(text, ' '),
+                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4) AS stop_penalty,
+                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct
+          FROM documents),
+        scored AS (
+          SELECT doc_id, source,
+                 ROUND(len_score * 0.3 + diversity * 0.3 +
+                       (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6)
+                   AS quality
+          FROM parts)
+        SELECT doc_id, source, quality,
+               cume_dist() OVER (PARTITION BY source ORDER BY quality)
+                 AS pct
+        FROM scored
+        ORDER BY doc_id
+      """)),
+
     // Deequ-style data-validation profile: per-column completeness
     // (non-null count) and uniqueness (exact distinct) in one
     // aggregation pass — the gate a pipeline runs before training on
@@ -2223,16 +2266,23 @@ object ExtensionQueries {
         val hot = Tables.orders(s, dir)
           .filter(col("o_totalprice") > 480000)
           .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+        // Order by EVERY emitted column: the synthetic lineitem does
+        // not have TPC-H's unique (orderkey, linenumber) — at sf0.1,
+        // ~118k pairs repeat with differing quantities, so the
+        // two-column order was not total (caught by the sf0.1 sweep;
+        // rows still tying on all four columns are identical, so
+        // their order is irrelevant to the comparison).
         graft.operators.BloomJoin
           .innerPrefiltered(li, hot, "l_orderkey", expectedKeys = 1000)
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("o_totalprice"))
       },
       Some("""
         SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
         FROM lineitem l
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         WHERE o.o_totalprice > 480000
-        ORDER BY l.l_orderkey, l.l_linenumber
+        ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
       """))
   )
 }

@@ -120,7 +120,8 @@ class PlanShapeSpec extends SparkSuite {
       "q_zorder", "q_quantize", "q_snapshot_diff", "q_agg_merge",
       "q_retrieval_metrics", "q_bm25", "q_knn_classify",
       "q_bigram_score", "q_scd2", "q_dedup_sources",
-      "q_mix_temperature", "q_collocations", "q_ewma")
+      "q_mix_temperature", "q_collocations", "q_ewma",
+      "q_quality_calibrated")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
