@@ -35,6 +35,12 @@ case class ClosedInterval(
 /** Open-run state for the streaming SCD2 operator. */
 case class OpenRun(event_type: String, from_us: Long)
 
+/** A measurement row for [[StreamingOps.ewmaState]]. */
+case class Meas(key: Long, us: Long, tie: Long, v: Double)
+
+/** Running EWMA state/output for [[StreamingOps.ewmaState]]. */
+case class EwmaRow(key: Long, n: Long, ewma: Double)
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation and stateful sessionization via
   * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
@@ -218,6 +224,34 @@ object StreamingOps {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
+  }
+
+  /** Streaming EWMA (α=1/2): the [[graft.operators.TimeSeries]]
+    * recurrence as `mapGroupsWithState` — state per key is the ONE
+    * running average, so unbounded keys cost O(1) state where the
+    * batch operator collects the key's history. Each micro-batch's
+    * rows fold in (us, tie) order on top of the carried state;
+    * cross-batch disorder cannot be repaired (state has already
+    * folded), so feed this batch-monotonic input per key — the batch
+    * operator is the replay tool when order is not guaranteed.
+    * Emits each key's current (n, ewma) after every batch (update
+    * semantics).
+    */
+  def ewmaState(stream: Dataset[Meas]): Dataset[EwmaRow] = {
+    import stream.sparkSession.implicits._
+    def update(key: Long, rows: Iterator[Meas],
+        state: GroupState[EwmaRow]): EwmaRow = {
+      var cur = state.getOption.getOrElse(EwmaRow(key, 0L, 0.0))
+      rows.toSeq.sortBy(m => (m.us, m.tie)).foreach { m =>
+        cur =
+          if (cur.n == 0L) EwmaRow(key, 1L, m.v)
+          else EwmaRow(key, cur.n + 1L, (cur.ewma + m.v) * 0.5)
+      }
+      state.update(cur)
+      cur
+    }
+    stream.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
   /** Streaming exact dedup with bounded state: the first row per key

@@ -333,4 +333,39 @@ class StreamingOpsSpec extends SparkSuite {
         ("silver", base + 3 * M, base + 4 * M)))
     } finally q.stop()
   }
+
+  test("ewmaState: the recurrence rides O(1) state across batches and " +
+      "matches the batch fold") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[Meas]
+    val out = StreamingOps.ewmaState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("ewma_state")
+      .start()
+    try {
+      // Batch 1: 4, 2 (in-batch disorder: 2 has later us) → y=(4+2)/2=3
+      input.addData(Meas(1L, 2L, 0L, 2.0), Meas(1L, 1L, 0L, 4.0))
+      q.processAllAvailable()
+      // Batch 2: 8 folds onto carried y=3 → (3+8)/2 = 5.5 — the same
+      // value the batch operator computes over [4, 2, 8].
+      input.addData(Meas(1L, 3L, 0L, 8.0))
+      q.processAllAvailable()
+      val last = spark.table("ewma_state")
+        .orderBy(col("n").desc).collect().head
+      assert(last.getLong(1) === 3L)
+      assert(last.getDouble(2) === 5.5)
+
+      // cross-check against the batch operator on the same rows
+      val batch = graft.operators.TimeSeries.ewmaHalf(
+        Seq((1L, 1L, 0L, 4.0), (1L, 2L, 0L, 2.0), (1L, 3L, 0L, 8.0))
+          .toDF("k", "us", "tie", "v"),
+        Seq("k"), Seq("us", "tie"), "v").collect().head
+      assert(batch.getDouble(2) === 5.5)
+    } finally q.stop()
+  }
 }
