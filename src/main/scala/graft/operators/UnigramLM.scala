@@ -91,4 +91,45 @@ object UnigramLM {
       .select(col(idCol), col("n_tokens"),
         round(col("__sum").cast("double") / col("n_tokens"), 6).as("xent"))
   }
+
+  /** Per-group distribution drift: KL(P_g ‖ Q) in log10 units, where
+    * P_g is group g's add-one-smoothed unigram distribution and Q the
+    * corpus's — the "did this source/snapshot shift vocabulary?"
+    * monitor a continuously-ingesting corpus runs per feed.
+    *
+    * Exact KL needs the FULL vocabulary per group (terms a group
+    * never uses still carry p = 1/(T_g+V) mass), so the join frame is
+    * |groups| × |vocab| — the honest cost, fine for the few-groups
+    * case this monitors; the frame builds from the (group, word)
+    * counts, never by rescanning the corpus. Per-term contributions
+    * p·log10(p/q) snap to the 9-dp lattice and sum in exact DECIMAL
+    * (order-free); log10 per the engine's cross-engine log policy.
+    */
+  def sourceDrift(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val cg = docs
+      .select(col(groupCol).as("g"),
+        explode(split(col(textCol), " ", -1)).as("w"))
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("cgw"))
+      .localCheckpoint(true)
+    val cw = cg.groupBy(col("w")).agg(sum(col("cgw")).as("cw"))
+    val tg = cg.groupBy(col("g")).agg(sum(col("cgw")).as("tg"))
+    val tot = cg.agg(sum(col("cgw")).as("t"),
+      countDistinct(col("w")).as("v"))
+
+    val full = tg.crossJoin(cw) // groups × vocab
+      .join(cg, Seq("g", "w"), "left")
+      .na.fill(0L, Seq("cgw"))
+      .crossJoin(broadcast(tot))
+    val p = (col("cgw").cast("double") + lit(1.0)) /
+      (col("tg").cast("double") + col("v").cast("double"))
+    val q = (col("cw").cast("double") + lit(1.0)) /
+      (col("t").cast("double") + col("v").cast("double"))
+    full
+      .select(col("g"), round(p * log10(p / q), 9).as("__c"))
+      .groupBy(col("g"))
+      .agg(sum(col("__c").cast(DecimalType(38, 12))).as("__kl"))
+      .select(col("g").as(groupCol),
+        round(col("__kl").cast("double"), 6).as("kl"))
+  }
 }

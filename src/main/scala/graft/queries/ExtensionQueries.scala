@@ -1780,6 +1780,49 @@ object ExtensionQueries {
         ORDER BY t.doc_id
       """)),
 
+    // Per-source vocabulary drift: KL(source ‖ corpus) with add-one
+    // smoothing over the FULL vocab (absent terms carry smoothed mass
+    // — the |groups|×|vocab| frame is the honest exact cost, see
+    // UnigramLM.sourceDrift). 9-dp lattice + DECIMAL sum, log10.
+    QueryDef(
+      "q_corpus_drift",
+      (s, dir) =>
+        UnigramLM.sourceDrift(
+            Tables.documents(s, dir).select(col("source"), col("text")),
+            "text", "source")
+          .orderBy(col("source")),
+      Some("""
+        WITH toks AS (
+          SELECT source AS g, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        cg AS (SELECT g, w, count(*) AS cgw FROM toks GROUP BY 1, 2),
+        cw AS (SELECT w, sum(cgw) AS cw FROM cg GROUP BY 1),
+        tg AS (SELECT g, sum(cgw) AS tg FROM cg GROUP BY 1),
+        tot AS (SELECT sum(cgw) AS t, count(DISTINCT w) AS v FROM cg),
+        pairs AS (
+          SELECT tg.g, cw.w, tg.tg, cw.cw,
+                 COALESCE(cg.cgw, 0) AS cgw, tot.t, tot.v
+          FROM tg CROSS JOIN cw
+          LEFT JOIN cg ON cg.g = tg.g AND cg.w = cw.w
+          CROSS JOIN tot),
+        contrib AS (
+          SELECT g,
+                 ROUND(((CAST(cgw AS DOUBLE) + 1.0)
+                        / (CAST(tg AS DOUBLE) + CAST(v AS DOUBLE)))
+                   * LOG10(((CAST(cgw AS DOUBLE) + 1.0)
+                            / (CAST(tg AS DOUBLE) + CAST(v AS DOUBLE)))
+                           / ((CAST(cw AS DOUBLE) + 1.0)
+                              / (CAST(t AS DOUBLE) + CAST(v AS DOUBLE)))),
+                   9) AS c
+          FROM pairs)
+        SELECT g AS source,
+               ROUND(CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6)
+                 AS kl
+        FROM contrib
+        GROUP BY 1
+        ORDER BY source
+      """)),
+
     // Top-30 PMI collocations (joint floor 5) on the same transition
     // stream — all four integers come from one event space, PMI is a
     // per-row log10 rounded at the edge (no float aggregation), and

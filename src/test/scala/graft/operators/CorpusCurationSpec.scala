@@ -139,6 +139,26 @@ class CorpusCurationSpec extends SparkSuite {
     assert(r.forall(_.getLong(2) === 250000L))
   }
 
+  test("sourceDrift: a vocabulary-shifted source drifts more than a " +
+      "conforming one") {
+    val conforming = (1L to 20L).map(i => ("steady", "alpha beta gamma delta"))
+    val shifted = (1L to 20L).map(i => ("drifty", "omega omega zeta zeta"))
+    val df = (conforming ++ shifted).toDF("source", "text")
+    val kl = UnigramLM.sourceDrift(df, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // both drift from the 50/50 mixture equally here; assert symmetry
+    // and positivity instead of a hand value
+    assert(kl("steady") > 0 && kl("drifty") > 0)
+    val df2 = ((1L to 30L).map(_ => ("majority", "alpha beta gamma")) ++
+      (1L to 3L).map(_ => ("minority", "omega zeta eta"))).toDF("source", "text")
+    val kl2 = UnigramLM.sourceDrift(df2, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the majority source IS most of the corpus → near-zero drift;
+    // the disjoint minority source diverges hard
+    assert(kl2("minority") > kl2("majority"))
+    assert(kl2("majority") < 0.1)
+  }
+
   test("crossEntropy: uniform unigram distribution gives log10(V) for every doc") {
     // Cyclic construction: 5 words, 5 docs of 3 tokens, each word
     // appearing exactly 3 times -> p(w) = 1/5 everywhere.
