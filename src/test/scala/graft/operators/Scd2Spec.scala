@@ -52,6 +52,49 @@ class Scd2Spec extends SparkSuite {
     assert(exchanges === 1, s"expected 1 exchange:\n$plan")
   }
 
+  test("invariants on a seeded random log: intervals chain, cover, " +
+      "and classify every event") {
+    val rnd = new scala.util.Random(42)
+    val log = (1L to 400L).map { i =>
+      (rnd.nextInt(10).toLong, ts((i % 50).toInt), // many ts collisions
+        s"v${rnd.nextInt(3)}", i)                  // tie = unique event id
+    }.toDF("user_id", "ts", "tier", "event_id")
+    val hist = Scd2.fromChangeLog(log, Seq("user_id"), Seq("tier"),
+        "ts", Seq("event_id"))
+      .orderBy("user_id", "valid_from").collect()
+      .groupBy(_.getLong(0))
+
+    val events = log.collect().map(r =>
+      (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+
+    for ((key, runs) <- hist) {
+      // chained: valid_to(i) == valid_from(i+1); only the last open
+      runs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(3) === b.getTimestamp(2))
+        case _ =>
+      }
+      assert(runs.init.forall(!_.getBoolean(4)) && runs.last.getBoolean(4))
+      assert(runs.last.isNullAt(3))
+      // coverage: first valid_from is the key's earliest change
+      val keyEvents = events.filter(_._1 == key)
+      assert(runs.head.getTimestamp(2).getTime ===
+        keyEvents.map(_._2.getTime).min)
+      // classification: the run containing each event (by the same
+      // (ts, event_id) order) carries the event's attribute... the
+      // run's attr is the attr of the FIRST event in the run, and
+      // every event between two boundaries shares it by construction
+      // of the change flag — verify via total run count:
+      val ordered = keyEvents.sortBy(e => (e._2.getTime, e._4))
+      val changes = 1 + ordered.sliding(2).count {
+        case Array(a, b) => a._3 != b._3
+        case _ => false
+      }
+      assert(runs.length === changes,
+        s"key $key: ${runs.length} runs vs $changes change points")
+    }
+  }
+
   test("multi-attribute change detection tracks the tuple") {
     val log = Seq(
       (1L, ts(1), "a", 10, 1L),
