@@ -39,6 +39,34 @@ class ShardedWriteSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/data").count() == 1000L)
   }
 
+  test("readRange prunes to the manifest's intersecting shards and " +
+      "matches a full-scan filter exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("shards_rr").toString
+    val df = spark.range(0, 1000)
+      .select($"id", concat(lit("doc"), $"id").as("text"))
+    ShardedWrite.writeSharded(df, dir, "id", rowsPerShard = 100,
+      targetTasks = 4)
+
+    // a narrow slice must open a strict subset of shards
+    val (files, total) = ShardedWrite.pruneShards(spark, dir, 250L, 310L)
+    assert(total >= 10L, s"expected ≥10 shards, got $total")
+    assert(files.nonEmpty && files.length <= 2,
+      s"61-id slice over 100-row shards should touch ≤2 files, " +
+        s"got ${files.length} of $total")
+
+    val pruned = ShardedWrite.readRange(spark, dir, "id", 250L, 310L)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val full = spark.read.parquet(s"$dir/data")
+      .filter($"id".between(250L, 310L))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(pruned === full)
+    assert(pruned.length === 61)
+
+    // an out-of-range slice reads nothing (and doesn't error)
+    assert(ShardedWrite.readRange(spark, dir, "id", 5000L, 6000L)
+      .count() === 0L)
+  }
+
   test("overwrite is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("shards2").toString
     val df = spark.range(0, 200).select($"id", ($"id" % 7).as("v"))
