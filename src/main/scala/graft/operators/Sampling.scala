@@ -63,4 +63,38 @@ object Sampling {
     require(k > 0, s"k: $k")
     df.withColumn(foldCol, pmod(xxhash64(lit(seed), col(idCol)), lit(k.toLong)))
   }
+
+  /** Weighted sampling WITHOUT replacement, k rows, inclusion odds ∝
+    * `weightCol` — Efraimidis-Spirakis (2006) reservoir keys, made
+    * deterministic: each row's uniform draw comes from the md5
+    * content hash ([[CorpusMixing.hashFraction]] domain, offset by
+    * +0.5 so the draw is strictly positive — Spark's log10 returns
+    * NULL at 0 where DuckDB returns -inf, so a zero draw would
+    * diverge between engines), and the selection key is the
+    * log-space equivalent log10(u)/w, whose descending order equals
+    * the paper's u^(1/w) order monotonically.
+    *
+    * Scale shape: one map-side key computation + a bounded
+    * TakeOrdered top-k — no shuffle of the corpus, no per-partition
+    * reservoir to merge (the key trick makes global top-k ≡ the
+    * sequential weighted draw). Ties (measure-zero on real weights)
+    * break on the id. Rows with weight ≤ 0 are excluded, matching
+    * the algorithm's domain.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      keyOut: String = "es_key"): DataFrame = {
+    require(k > 0, s"k: $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) /
+      lit(CorpusMixing.HashDomain)
+    df.filter(col(weightCol) > 0)
+      .withColumn(keyOut,
+        round(log10(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col(keyOut).desc, col(idCol))
+      .limit(k)
+  }
 }

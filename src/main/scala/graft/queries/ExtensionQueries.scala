@@ -1720,6 +1720,82 @@ object ExtensionQueries {
         WHERE h % 10 < 3
       """)),
 
+    // Per-source token-vs-chars calibration curves: thousands-of-
+    // small-models grouped OLS in ONE aggregation pass (GroupedOls
+    // scaladoc) — five exact integer statistics per group, double
+    // arithmetic on them exact below 2^53, slope/intercept/r² pure
+    // functions of integers.
+    QueryDef(
+      "q_group_regression",
+      (s, dir) =>
+        graft.operators.GroupedOls.fit(
+            Tables.documents(s, dir).select(col("source"), col("n_chars"),
+              TextAnalysis.bpeTokenEstimate(col("text"))
+                .cast("long").as("toks")),
+            "source", "n_chars", "toks")
+          .orderBy(col("source")),
+      Some(s"""
+        WITH d AS (
+          SELECT source, n_chars,
+                 CAST(len(regexp_extract_all(text,
+                   '${TextAnalysis.bpePattern.replace("'", "''")}')) AS BIGINT)
+                   AS toks
+          FROM documents),
+        stats AS (
+          SELECT source, count(*) AS n,
+                 sum(n_chars) AS sx, sum(toks) AS sy,
+                 sum(n_chars * toks) AS sxy,
+                 sum(n_chars * n_chars) AS sxx,
+                 sum(toks * toks) AS syy
+          FROM d GROUP BY 1),
+        calc AS (
+          SELECT source, n,
+                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(n AS DOUBLE) AS nd
+          FROM stats)
+        SELECT source, n,
+               ROUND(cov / varx, 6) AS slope,
+               ROUND((syd - (cov / varx) * sxd) / nd, 6) AS intercept,
+               CASE WHEN vary = 0 THEN NULL
+                    ELSE ROUND((cov * cov) / (varx * vary), 6) END AS r2
+        FROM calc
+        WHERE n >= 2 AND varx <> 0
+        ORDER BY source
+      """)),
+
+    // Weighted sampling without replacement (Efraimidis-Spirakis
+    // keys, odds ∝ n_chars): the md5 draw is offset +0.5 so log10
+    // never sees 0 (Spark NULL vs DuckDB -inf), the log-space key
+    // order equals u^(1/w) monotonically, and top-k is a bounded
+    // TakeOrdered — no reservoir merge, no corpus shuffle.
+    QueryDef(
+      "q_weighted_sample",
+      (s, dir) => {
+        import graft.operators.Sampling
+        Sampling.weightedSample(
+            Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+            "doc_id", "n_chars", k = 20)
+          .orderBy(col("es_key").desc, col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, n_chars,
+               ROUND(log10((CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT) AS DOUBLE) + 0.5)
+                     / 1152921504606846976.0)
+                 / CAST(n_chars AS DOUBLE), 9) AS es_key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY es_key DESC, doc_id
+        LIMIT 20
+      """)),
+
     // CCNet-style unigram cross-entropy (UnigramLM scaladoc): the
     // model is one map-side-combined count agg; per-word −log10 p is
     // rounded to a 9 dp lattice and summed in exact DECIMAL so

@@ -45,4 +45,26 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.sampleByHash(ids, "id", 0.0).count() == 0L)
     assert(Sampling.sampleByHash(ids, "id", 1.0).count() == 20000L)
   }
+
+  test("weightedSample: heavier rows win more often; k and " +
+      "determinism hold") {
+    import spark.implicits._
+    // 50 heavy rows (w=100) vs 50 light (w=1): the top-20 should be
+    // dominated by heavy rows (odds ratio 100:1 per ES key).
+    val df = ((1L to 50L).map(i => (i, 100L)) ++
+      (51L to 100L).map(i => (i, 1L))).toDF("id", "w")
+    val a = Sampling.weightedSample(df, "id", "w", 20).collect()
+    assert(a.length === 20)
+    val heavy = a.count(_.getLong(0) <= 50L)
+    assert(heavy >= 15, s"only $heavy/20 heavy rows sampled")
+    // deterministic: same input (any partitioning) → same sample
+    val b = Sampling.weightedSample(df.repartition(7), "id", "w", 20)
+      .collect()
+    assert(a.map(_.getLong(0)).toSet === b.map(_.getLong(0)).toSet)
+    // zero/negative weights are excluded
+    val c = Sampling.weightedSample(
+      Seq((1L, 0L), (2L, -5L), (3L, 1L)).toDF("id", "w"), "id", "w", 10)
+      .collect()
+    assert(c.map(_.getLong(0)).toSeq === Seq(3L))
+  }
 }

@@ -121,7 +121,8 @@ class PlanShapeSpec extends SparkSuite {
       "q_retrieval_metrics", "q_bm25", "q_knn_classify",
       "q_bigram_score", "q_scd2", "q_dedup_sources",
       "q_mix_temperature", "q_collocations", "q_ewma",
-      "q_quality_calibrated", "q_corpus_drift")
+      "q_quality_calibrated", "q_corpus_drift",
+      "q_weighted_sample", "q_group_regression")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
