@@ -318,6 +318,36 @@ object RelationalQueries {
         ORDER BY o_orderpriority
       """)),
 
+    // The 100 TB quantile path: approx_percentile's GK sketch
+    // partial-aggregates map-side and merges associatively, where
+    // exact percentile gathers every group value. Like
+    // q_distinct_sketch, the HASHED column is the accuracy-bound
+    // check (the approx p50 must land within the exact p40–p60
+    // band — far looser than the sketch's rank guarantee of
+    // n/1000), because the raw estimate depends on merge order at
+    // scale; the exact band itself is the engine-proven exact
+    // percentile.
+    QueryDef(
+      "q_quantile_sketch",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.4)"), 3).as("__lo"),
+            round(expr("percentile(o_totalprice, 0.6)"), 3).as("__hi"),
+            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("__ap"),
+            count(lit(1)).as("n"))
+          .select(col("o_orderpriority"), col("n"),
+            (col("__ap") >= col("__lo") && col("__ap") <= col("__hi"))
+              .as("approx_in_band"))
+          .orderBy(col("o_orderpriority")),
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n, TRUE AS approx_in_band
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)),
+
     // Explicit GROUPING SETS with grouping_id — the middle ground
     // between rollup and cube (pick exactly the sets you pay for:
     // here (priority, status), (priority), ()); one Expand + one
