@@ -66,7 +66,8 @@ object Bench {
     "q_scd2", "q_dedup_sources", "q_mix_temperature",
     "q_stream_scd2", "q_collocations", "q_ewma",
     "q_quality_calibrated", "q_corpus_drift",
-    "q_weighted_sample", "q_group_regression", "q_quantile_sketch")
+    "q_weighted_sample", "q_group_regression", "q_quantile_sketch",
+    "q_dedup_keep_best")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

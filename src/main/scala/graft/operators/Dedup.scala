@@ -304,6 +304,36 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** [[keepCanonical]] with a QUALITY-aware keeper: within each
+    * duplicate group, keep the member with the highest `scoreCol`
+    * (ties on the smaller id) instead of the smallest id — the
+    * FineWeb-style rule, because near-dup groups often pair a clean
+    * original with boilerplate-wrapped copies and min-id keeps
+    * whichever was crawled first. Callers should pre-round the score
+    * to the precision they trust (the 6-dp oracle-edge convention)
+    * so the keeper choice never rides float noise.
+    *
+    * Same scale shape as [[keepCanonical]]: groups resolve on the
+    * pair list, the score join touches only group MEMBERS (a
+    * semi-join-sized slice of the corpus), and the corpus itself is
+    * anti-joined once, never shuffled.
+    */
+  def keepBest(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val members = connectedComponents(pairs) // (id, label)
+    val scored = members
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("__s").desc, col("id").asc)
+    val dropIds = scored
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") =!= 1)
+      .select(col("id").as(idCol))
+    df.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact shingle Jaccard for an explicit candidate-pair list.
     * No broadcast hint on the candidate set: it is output-sized
     * (unbounded at corpus scale), so forcing it through the driver

@@ -673,6 +673,62 @@ object ExtensionQueries {
         ORDER BY doc_id
       """)),
 
+    // Quality-aware canonical keep (FineWeb rule): within each dup
+    // group keep the HIGHEST-quality member (6-dp score, id
+    // tie-break) instead of the smallest id — min-id keeps whichever
+    // copy was crawled first, not the cleanest one. Oracle extends
+    // the q_dedup_keep closure with the quality join + keeper window.
+    QueryDef(
+      "q_dedup_keep_best",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        val docs = Tables.documents(s, dir)
+          .withColumn("quality",
+            round(TextAnalysis.qualityScore(col("text")), 6))
+        Dedup.keepBest(docs, "doc_id", pairs, "quality")
+          .select(col("doc_id"), col("n_chars"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${jaccardEdgesCte},
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        labels AS (
+          SELECT a AS id, least(a, MIN(b)) AS label
+          FROM reach GROUP BY a),
+        parts AS (
+          SELECT doc_id,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
+                 abs(CAST(len(list_filter(string_split(text, ' '),
+                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4) AS stop_penalty,
+                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+                 ROUND(len_score * 0.3 + diversity * 0.3 +
+                       (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6)
+                   AS quality
+          FROM parts),
+        ranked AS (
+          SELECT l.id,
+                 ROW_NUMBER() OVER (PARTITION BY l.label
+                                    ORDER BY q.quality DESC, l.id) AS rn
+          FROM labels l JOIN q ON q.doc_id = l.id)
+        SELECT d.doc_id, d.n_chars, q.quality
+        FROM documents d JOIN q ON q.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT id FROM ranked WHERE rn <> 1)
+        ORDER BY d.doc_id
+      """)),
+
     // Exact duplicate-span detection (training-data "exact substring
     // dedup" at 20-token-span granularity): positions whose span
     // recurs in ≥2 distinct docs.

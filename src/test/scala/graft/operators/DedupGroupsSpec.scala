@@ -20,4 +20,20 @@ class DedupGroupsSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("keepBest keeps the highest-score member per group, not min-id") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),  // group {1,2,3}: keep 2
+      (10L, 0.7), (11L, 0.7),           // score tie: keep smaller id 10
+      (50L, 0.1)                        // untouched by duplication
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.keepBest(docs, "doc_id", pairs, "quality")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(2L, 10L, 50L))
+    // contrast: min-id canonical keeps 1, not the cleanest copy
+    val canon = Dedup.keepCanonical(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(canon === Seq(1L, 10L, 50L))
+  }
 }

@@ -122,7 +122,8 @@ class PlanShapeSpec extends SparkSuite {
       "q_bigram_score", "q_scd2", "q_dedup_sources",
       "q_mix_temperature", "q_collocations", "q_ewma",
       "q_quality_calibrated", "q_corpus_drift",
-      "q_weighted_sample", "q_group_regression", "q_quantile_sketch")
+      "q_weighted_sample", "q_group_regression", "q_quantile_sketch",
+      "q_dedup_keep_best")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
