@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType}
 
 /** Per-group simple linear regression by the exact closed form —
   * "fit thousands of small models in one pass", the grouped-ML shape
@@ -30,14 +31,34 @@ object GroupedOls {
   /** (groupCol, n, slope, intercept, r2), 6-dp at the edge. Groups
     * with a degenerate x (zero variance) or fewer than 2 rows are
     * excluded — their slope is undefined in any engine.
+    *
+    * Integral inputs ride the lattice as-is. Fractional inputs MUST
+    * pass an explicit `scale` (values are snapped to `round(v·scale)`
+    * lattice units): a silent cast would truncate fractions and
+    * return a wrong slope with no error. Scaling x and y by the same
+    * s leaves slope and r² unchanged and multiplies intercept by s,
+    * so the intercept is divided back out at the edge — outputs are
+    * always in the caller's original units.
     */
   def fit(
       df: DataFrame, groupCol: String,
-      xCol: String, yCol: String): DataFrame = {
+      xCol: String, yCol: String, scale: Long = 1L): DataFrame = {
     Reserved.check("fit" -> df)
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    def lattice(c: String) = df.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType if scale == 1L =>
+        col(c).cast("long")
+      case ByteType | ShortType | IntegerType | LongType =>
+        (col(c) * lit(scale)).cast("long")
+      case FloatType | DoubleType | _: DecimalType if scale > 1L =>
+        round(col(c) * lit(scale.toDouble)).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"GroupedOls.fit: column '$c' is $dt; fractional inputs need an " +
+          "explicit scale (lattice granularity) — a bare cast would " +
+          "silently truncate fractions and corrupt the fit")
+    }
     val stats = df
-      .select(col(groupCol),
-        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .select(col(groupCol), lattice(xCol).as("__x"), lattice(yCol).as("__y"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"),
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
@@ -57,7 +78,8 @@ object GroupedOls {
       .filter(col("__n") >= 2 && varx =!= lit(0.0))
       .select(col(groupCol), col("__n").as("n"),
         round(cov / varx, 6).as("slope"),
-        round((sy - (cov / varx) * sx) / n, 6).as("intercept"),
+        round((sy - (cov / varx) * sx) / n / lit(scale.toDouble), 6)
+          .as("intercept"),
         when(vary === lit(0.0), lit(null))
           .otherwise(round((cov * cov) / (varx * vary), 6)).as("r2"))
   }

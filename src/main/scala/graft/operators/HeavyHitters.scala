@@ -41,10 +41,13 @@ import scala.collection.mutable
 object HeavyHitters {
 
   /** Items of `itemCol` (cast to string) occurring in at least
-    * ⌈support·n⌉ of `df`'s n rows, with their exact counts,
-    * (count desc, item asc)-ordered. `support` must be in (0, 1];
-    * pass it as the decimal you mean (e.g. 0.002) — the counter
-    * budget is ⌈1/support⌉ per partition.
+    * ⌈support·n⌉ of `df`'s n NON-NULL rows, with their exact counts,
+    * (count desc, item asc)-ordered. Null items are excluded up front
+    * — they'd be unreportable anyway (a null key never survives the
+    * recount join), so letting them inflate n would only deflate
+    * every real item's support. `support` must be in (0, 1]; pass it
+    * as the decimal you mean (e.g. 0.002) — the counter budget is
+    * ⌈1/support⌉ per partition.
     */
   def frequentItems(
       df: DataFrame, itemCol: String, support: Double): DataFrame = {
@@ -53,6 +56,7 @@ object HeavyHitters {
     import spark.implicits._
     val k = math.ceil(1.0 / support).toInt
     val items = df.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
 
     // Pass 0: n (parquet-metadata-cheap; also reused for the threshold)
     val n = items.count()
@@ -81,8 +85,16 @@ object HeavyHitters {
       }(org.apache.spark.sql.Encoders.row(items.schema))
       .distinct()
 
-    // Pass 2: exact recount over candidate rows only
-    items.join(broadcast(candidates), Seq("item"))
+    // Pass 2: exact recount over candidate rows only. Broadcast is
+    // only hinted when the worst-case candidate bound (partitions × k
+    // MG counters) is modest; at small support on a wide cluster that
+    // bound can pass the broadcast threshold, so fall back to letting
+    // AQE pick the join (it still broadcasts when the ACTUAL candidate
+    // count turns out small).
+    val candidateBound = items.rdd.getNumPartitions.toLong * k
+    val candidateSide =
+      if (candidateBound <= 1000000L) broadcast(candidates) else candidates
+    items.join(candidateSide, Seq("item"))
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= lit(threshold))

@@ -1100,7 +1100,13 @@ object ExtensionQueries {
           CROSS JOIN tot
           WHERE t.doc_id <> q.query_id),
         scores AS (
-          SELECT query_id, doc_id, sum(c_nano) AS score_nano
+          -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which lands in
+          -- pandas as float64 — the driver hashes values, so an
+          -- uncast sum reads 1234.0 vs Spark's 1234 and goes red even
+          -- with identical numbers (the r08 q_bm25/q_token_budget
+          -- failure mode; tools/dtypecheck.py now detects it).
+          SELECT query_id, doc_id,
+                 CAST(sum(c_nano) AS BIGINT) AS score_nano
           FROM contrib GROUP BY 1, 2),
         ranked AS (
           SELECT query_id, doc_id, score_nano,
@@ -1346,7 +1352,12 @@ object ExtensionQueries {
                    AS toks
           FROM documents),
         grouped AS (
-          SELECT source, lang, COUNT(*) AS n_docs, SUM(toks) AS tokens
+          -- CAST: SUM(BIGINT) is HUGEINT → float64 in pandas → the
+          -- driver's value hash reads 1234.0 vs Spark's 1234. THIS
+          -- column (not share rounding) was the persistent r07/r08
+          -- q_token_budget red cell.
+          SELECT source, lang, COUNT(*) AS n_docs,
+                 CAST(SUM(toks) AS BIGINT) AS tokens
           FROM per GROUP BY 1, 2)
         SELECT source, lang, n_docs, tokens,
                CAST((tokens * 1000000)

@@ -384,10 +384,16 @@ object StreamingOps {
         try {
           if (b.count() > 0L) {
             val batchIds = b.select(col(idCol))
+            // Hadoop FS, not java.io.File: the stores live wherever
+            // the checkpoint does (HDFS/S3/local). A local-only probe
+            // would silently report "empty" on a remote store every
+            // batch and drop all cross-batch pairs.
             def dirNonEmpty(p: String) = {
-              val f = new java.io.File(p)
-              f.exists && f.listFiles != null &&
-                f.listFiles.exists(_.getName.endsWith(".parquet"))
+              val path = new org.apache.hadoop.fs.Path(p)
+              val fs = path.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              fs.exists(path) && fs.listStatus(path)
+                .exists(_.getPath.getName.endsWith(".parquet"))
             }
             val corpus =
               if (dirNonEmpty(corpusDir))

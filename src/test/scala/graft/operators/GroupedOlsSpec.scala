@@ -33,4 +33,25 @@ class GroupedOlsSpec extends SparkSuite {
     assert(out.head.getDouble(2) === 0.0)  // flat line
     assert(out.head.isNullAt(4))           // r2 undefined
   }
+
+  test("fractional input without a scale is rejected, not truncated") {
+    val df = Seq(("g", 0.1, 1.0), ("g", 0.2, 2.0)).toDF("g", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      GroupedOls.fit(df, "g", "x", "y")
+    }
+    assert(e.getMessage.contains("scale"))
+  }
+
+  test("fractional input with a scale recovers the relation in " +
+    "original units") {
+    // y = 0.5x + 0.25 exactly on a 1/1000 lattice
+    val df = (1 to 10).map { i =>
+      val x = i / 4.0; ("g", x, 0.5 * x + 0.25)
+    }.toDF("g", "x", "y")
+    val out = GroupedOls.fit(df, "g", "x", "y", scale = 1000L)
+      .collect().head
+    assert(out.getDouble(2) === 0.5)   // slope unit-free
+    assert(out.getDouble(3) === 0.25)  // intercept divided back to units
+    assert(out.getDouble(4) === 1.0)
+  }
 }

@@ -41,12 +41,28 @@ def main():
         elif len(got) != len(exp):
             status = f"ROWCOUNT {len(got)} vs {len(exp)}"
         else:
-            try:
-                pd.testing.assert_frame_equal(
-                    got.reset_index(drop=True), exp.reset_index(drop=True),
-                    check_dtype=False, check_exact=True)
-            except AssertionError as e:
-                status = "MISMATCH " + str(e).replace("\n", " | ")[:300]
+            # Driver-faithful dtype-class guard: the driver hashes
+            # VALUES, so a float64 oracle column (e.g. HUGEINT from
+            # SUM(BIGINT)) against a Spark int column reads 1234.0 vs
+            # 1234 and goes red even when numerically equal. Integer
+            # WIDTH differences (int32 vs int64) are fine at the
+            # driver; float-vs-int class differences are not.
+            bad_cols = [
+                c for c in got.columns
+                if (got[c].dtype.kind in "iu") != (exp[c].dtype.kind in "iu")
+                and {got[c].dtype.kind, exp[c].dtype.kind} & {"i", "u", "f"}
+            ]
+            if bad_cols:
+                status = "DTYPE-CLASS " + ", ".join(
+                    f"{c}: spark={got[c].dtype} oracle={exp[c].dtype}"
+                    for c in bad_cols)
+            else:
+                try:
+                    pd.testing.assert_frame_equal(
+                        got.reset_index(drop=True), exp.reset_index(drop=True),
+                        check_dtype=False, check_exact=True)
+                except AssertionError as e:
+                    status = "MISMATCH " + str(e).replace("\n", " | ")[:300]
         print(f"{name}: {status}")
         if status == "OK":
             n_ok += 1
