@@ -67,7 +67,10 @@ object Bench {
     "q_stream_scd2", "q_collocations", "q_ewma",
     "q_quality_calibrated", "q_corpus_drift",
     "q_weighted_sample", "q_group_regression", "q_quantile_sketch",
-    "q_dedup_keep_best")
+    "q_dedup_keep_best",
+    // round-9 additions: tokenizer training stats, repeated-CV fold
+    // dealing, epoch shuffle, plot-data histogram
+    "q_bpe_pairs", "q_cv_folds", "q_epoch_shuffle", "q_length_histogram")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

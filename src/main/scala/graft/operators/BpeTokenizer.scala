@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training — the
+  * tokenizer-side stage of an LLM data pipeline (Sennrich, Haddow &
+  * Birch 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units"). Word-level BPE: the corpus collapses to a DISTINCT-word
+  * frequency table first, so every subsequent pass is vocab-sized,
+  * not corpus-sized — the detail that makes BPE training feasible at
+  * 100 TB (the corpus is scanned exactly once, by [[wordCounts]];
+  * the merge loop never touches it again).
+  *
+  *  - [[wordCounts]]: one corpus scan + one (word) aggregation.
+  *  - [[pairStats]]: adjacent-symbol-pair counts weighted by word
+  *    frequency — row-local pair extraction (a `transform` over index
+  *    ranges), one (left, right) aggregation. This is the per-
+  *    iteration statistic; its top-1 row is the next merge.
+  *  - [[train]]: the greedy merge loop. Inherently sequential (merge
+  *    i+1's counts depend on merge i), so the LOOP runs on the
+  *    driver; each iteration is one vocab-sized aggregation. The
+  *    symbol table is localCheckpoint'd per iteration — merge k would
+  *    otherwise replay all k−1 prior HOF rewrites per pass.
+  *  - [[segment]]: tokenizes via the trained merges — applied to the
+  *    DISTINCT word table, which downstream joins back to the corpus
+  *    (broadcast at realistic vocab sizes), never per-occurrence.
+  *
+  * Symbols use the paper's end-of-word convention: the last character
+  * of each word carries a `</w>` suffix, so "low" starts as
+  * [l, o, w</w>] and learned pieces distinguish word-final from
+  * word-internal units. Merge application is greedy left-to-right
+  * non-overlapping (an `aggregate` fold that merges when the
+  * accumulator tail equals the left symbol) — `(a,a)` on "a a a"
+  * yields [aa, a], matching the reference implementation's
+  * `str.replace` semantics. Ties in pair counts break on
+  * (left, right) lexicographic order, making training a pure
+  * function of the corpus.
+  */
+object BpeTokenizer {
+
+  val EndOfWord = "</w>"
+
+  /** Whitespace-word frequency table `(word, freq)` — the single
+    * corpus-sized pass. Empty strings (from repeated separators) are
+    * dropped; they have no symbols.
+    */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol decomposition: `(word, freq, syms)` with syms =
+    * characters, last one suffixed `</w>`.
+    */
+  def initialSymbols(words: DataFrame): DataFrame = {
+    val chars = split(col("word"), "")
+    val n = size(chars)
+    words.withColumn("syms",
+      concat(
+        slice(chars, lit(1), greatest(n - 1, lit(0))),
+        array(concat(element_at(chars, -1), lit(EndOfWord)))))
+  }
+
+  /** Adjacent-pair counts over a symbol table `(freq, syms)`:
+    * `(left, right, cnt)` with cnt = Σ freq · (occurrences in word).
+    * Row-local extraction, one aggregation.
+    */
+  def pairStats(symbols: DataFrame): DataFrame =
+    symbols
+      .select(col("freq"),
+        // guard: Spark's sequence(1, 0) DESCENDS to [1, 0] rather
+        // than being empty, so a 1-symbol word (single char + </w>)
+        // must short-circuit to no pairs explicitly
+        explode(expr(
+          """CASE WHEN size(syms) < 2 THEN
+               CAST(array() AS array<struct<left: string, right: string>>)
+             ELSE
+               transform(sequence(1, size(syms) - 1),
+                 i -> struct(element_at(syms, i) AS left,
+                             element_at(syms, i + 1) AS right))
+             END"""))
+          .as("pair"))
+      .groupBy(col("pair.left").as("left"), col("pair.right").as("right"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** One greedy non-overlapping merge of (l, r) → l+r over a symbol
+    * array column.
+    */
+  private def applyMerge(syms: Column, l: String, r: String): Column = {
+    val merged = lit(l + r)
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
+            x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+          .otherwise(concat(acc, array(x))))
+  }
+
+  /** Greedy BPE training: `nMerges` (left, right) merges in learned
+    * order. Stops early if no pair occurs at least `minCount` times.
+    */
+  def train(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    var symbols = initialSymbols(wordCounts(docs, textCol))
+      .select(col("freq"), col("syms")).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var continue = true
+    var i = 0
+    while (continue && i < nMerges) {
+      val top = pairStats(symbols)
+        .orderBy(desc("cnt"), asc("left"), asc("right"))
+        .limit(1).collect()
+      top.headOption.filter(_.getLong(2) >= minCount) match {
+        case Some(row) =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          merges += ((l, r))
+          symbols = symbols
+            .withColumn("syms", applyMerge(col("syms"), l, r))
+            .localCheckpoint()
+        case None => continue = false
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  /** Tokenize the DISTINCT words of `docs` with a trained merge list:
+    * `(word, freq, pieces)`. Downstream corpus tokenization is a
+    * (broadcast) join on word — never per-occurrence piece work.
+    */
+  def segment(
+      docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val base = initialSymbols(wordCounts(docs, textCol))
+    val pieces = merges.foldLeft(col("syms")) { case (c, (l, r)) =>
+      applyMerge(c, l, r)
+    }
+    base.select(col("word"), col("freq"), pieces.as("pieces"))
+  }
+}

@@ -97,4 +97,35 @@ object Sampling {
       .orderBy(col(keyOut).desc, col(idCol))
       .limit(k)
   }
+
+  /** Deterministic per-epoch training-order shuffle: every epoch
+    * deals each row to a shard (epoch-salted md5 hash) and positions
+    * it within the shard by a second hash — a training loop reads
+    * shards in (shard, pos) order and sees a different, reproducible
+    * global permutation each epoch. The expensive alternative — one
+    * global row_number per epoch — is a single-partition sort (the
+    * GlobalIds cliff); here the only exchange is the (epoch, shard)
+    * window, whose parallelism is epochs × shards. The draw is the
+    * cross-engine md5 pattern, so the permutation is a pure function
+    * of (id, epoch) — any engine, any partitioning, same order.
+    *
+    * Output: input columns + (epoch, shard, pos) with pos 1-based
+    * within (epoch, shard).
+    */
+  def epochShuffle(
+      df: DataFrame, idCol: String, epochs: Int, shards: Int): DataFrame = {
+    require(epochs >= 1, s"epochs: $epochs")
+    require(shards >= 1, s"shards: $shards")
+    Reserved.check("epochShuffle" -> df)
+    import org.apache.spark.sql.expressions.Window
+    def draw(tag: String) =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(tag),
+        col("epoch").cast("string"))), 1, 15), 16, 10).cast("long")
+    val dealt = df
+      .withColumn("epoch", explode(sequence(lit(1), lit(epochs))))
+      .withColumn("shard", pmod(draw("#"), lit(shards.toLong)).cast("int"))
+    dealt.withColumn("pos", row_number().over(
+      Window.partitionBy(col("epoch"), col("shard"))
+        .orderBy(draw("@"), col(idCol))))
+  }
 }

@@ -2469,6 +2469,127 @@ object ExtensionQueries {
         JOIN orders o ON o.o_orderkey = l.l_orderkey
         WHERE o.o_totalprice > 480000
         ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+      """)),
+
+    // BPE tokenizer training statistics: top-100 initial symbol-pair
+    // counts (the argmax of this table IS the first learned merge).
+    // The corpus collapses to a distinct-word frequency table before
+    // any pair work, so the aggregation is vocab-sized (BpeTokenizer
+    // scaladoc). left/right are aliased lhs/rhs — both are reserved
+    // words in DuckDB. The oracle replays char decomposition with the
+    // </w> end-of-word marker via substr over per-row index ranges.
+    QueryDef(
+      "q_bpe_pairs",
+      (s, dir) => {
+        import graft.operators.BpeTokenizer
+        BpeTokenizer.pairStats(BpeTokenizer.initialSymbols(
+            BpeTokenizer.wordCounts(Tables.documents(s, dir), "text")))
+          .select(col("left").as("lhs"), col("right").as("rhs"),
+            col("cnt"))
+          .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
+          .limit(100)
+      },
+      Some("""
+        WITH words AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE length(word) > 0
+          GROUP BY 1),
+        pairs AS (
+          SELECT freq,
+                 substr(word, i, 1) AS lhs,
+                 substr(word, i + 1, 1) ||
+                   CASE WHEN i + 1 = n THEN '</w>' ELSE '' END AS rhs
+          FROM (SELECT word, freq, length(word) AS n,
+                       unnest(range(1, length(word))) AS i
+                FROM words))
+        SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM pairs GROUP BY 1, 2
+        ORDER BY cnt DESC, lhs, rhs
+        LIMIT 100
+      """)),
+
+    // Repeated stratified k-fold assignment (SURVEY §2.8 M2 — the
+    // reference's createMultiFolds intent): witness = per-(rep, fold,
+    // label) counts, which the exact dealing bounds to a ±1 spread
+    // within every (rep, label). The md5-draw round-robin is
+    // replayable in any engine; the oracle re-deals from scratch.
+    QueryDef(
+      "q_cv_folds",
+      (s, dir) =>
+        graft.operators.CrossValidation.exactFolds(
+            Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+            "lang", "doc_id", k = 5, times = 2)
+          .groupBy(col("rep"), col("fold"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("rep"), col("fold"), col("lang")),
+      Some("""
+        WITH reps AS (
+          SELECT doc_id, lang, unnest(range(1, 3)) AS rep
+          FROM documents),
+        dealt AS (
+          SELECT rep, lang,
+                 ((ROW_NUMBER() OVER (PARTITION BY rep, lang
+                     ORDER BY md5(doc_id || ':' || rep), doc_id) - 1)
+                  % 5) + 1 AS fold
+          FROM reps)
+        SELECT rep, fold, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dealt GROUP BY 1, 2, 3
+        ORDER BY rep, fold, lang
+      """)),
+
+    // Per-epoch training-order shuffle: deterministic (id, epoch)
+    // permutation dealt into shards (Sampling.epochShuffle). Witness:
+    // the first 5 positions of every (epoch, shard) — replays the
+    // full double-hash deal, and any dealt-to-the-wrong-shard or
+    // mis-ordered row shifts some emitted prefix.
+    QueryDef(
+      "q_epoch_shuffle",
+      (s, dir) =>
+        graft.operators.Sampling.epochShuffle(
+            Tables.documents(s, dir).select(col("doc_id")),
+            "doc_id", epochs = 2, shards = 8)
+          .filter(col("pos") <= 5)
+          .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+          .orderBy(col("epoch"), col("shard"), col("pos")),
+      Some("""
+        WITH dealt AS (
+          SELECT doc_id, epoch,
+                 CAST(CAST(concat('0x', substr(md5(doc_id || '#' || epoch),
+                        1, 15)) AS UBIGINT) % 8 AS INT) AS shard,
+                 CAST(concat('0x', substr(md5(doc_id || '@' || epoch),
+                        1, 15)) AS UBIGINT) AS ord
+          FROM (SELECT doc_id, unnest(range(1, 3)) AS epoch
+                FROM documents)),
+        positioned AS (
+          SELECT epoch, shard, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                                    ORDER BY ord, doc_id) AS pos
+          FROM dealt)
+        SELECT epoch, shard, pos, doc_id
+        FROM positioned WHERE pos <= 5
+        ORDER BY epoch, shard, pos
+      """)),
+
+    // Plot-data sink (SURVEY §2.1 S5): the engine returns the data
+    // BEHIND a plot — here a fixed-width histogram of document
+    // lengths, the aggregate a length-distribution chart renders.
+    QueryDef(
+      "q_length_histogram",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy((floor(col("n_chars") / 200) * 200).as("bin_lo"))
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_len"),
+            max(col("n_chars")).as("max_len"))
+          .orderBy(col("bin_lo")),
+      Some("""
+        SELECT (n_chars // 200) * 200 AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
+        FROM documents
+        GROUP BY 1 ORDER BY bin_lo
       """))
   )
 }

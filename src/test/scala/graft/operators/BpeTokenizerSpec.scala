@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class BpeTokenizerSpec extends SparkSuite {
+  import spark.implicits._
+
+  // The canonical Sennrich toy corpus: {low×5, lower×2, newest×6,
+  // widest×3} learns est</w>-family merges first.
+  private def corpus = Seq(
+    (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+  ).toDF("text")
+
+  test("initialSymbols decomposes to chars with the </w> marker") {
+    val syms = BpeTokenizer
+      .initialSymbols(BpeTokenizer.wordCounts(corpus, "text"))
+      .filter(col("word") === "low").select("syms")
+      .as[Seq[String]].collect().head
+    assert(syms === Seq("l", "o", "w</w>"))
+  }
+
+  test("pairStats counts frequency-weighted adjacent pairs") {
+    val stats = BpeTokenizer
+      .pairStats(BpeTokenizer.initialSymbols(
+        BpeTokenizer.wordCounts(corpus, "text")))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    // (e, s): newest×6 + widest×3 = 9; (s, t</w>): same 9
+    assert(stats(("e", "s")) === 9L)
+    assert(stats(("s", "t</w>")) === 9L)
+    // (l, o): low×5 + lower×2 = 7
+    assert(stats(("l", "o")) === 7L)
+  }
+
+  test("train learns the canonical first merges on the toy corpus") {
+    val merges = BpeTokenizer.train(corpus, "text", nMerges = 4)
+    // (e,s) and (es,t</w>) are the forced first two (count 9);
+    // then (l,o) at 7, (lo,w</w>) at 5 (lower's 'lo w' pair is
+    // w-internal: (lo, w) has only 2)
+    assert(merges.take(2) === Seq(("e", "s"), ("es", "t</w>")))
+    assert(merges(2) === (("l", "o")))
+    // 6-count tie between (e,w), (n,e), (w,est</w>) breaks
+    // lexicographically
+    assert(merges(3) === (("e", "w")))
+  }
+
+  test("segment applies merges greedily left-to-right") {
+    val merges = BpeTokenizer.train(corpus, "text", nMerges = 3)
+    val pieces = BpeTokenizer.segment(corpus, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(pieces("newest") === Seq("n", "e", "w", "est</w>"))
+    assert(pieces("low") === Seq("lo", "w</w>"))
+    assert(pieces("lower") === Seq("lo", "w", "e", "r</w>"))
+  }
+
+  test("overlapping merge is non-overlapping left-to-right") {
+    val df = Seq("aaa").toDF("text")
+    val out = BpeTokenizer.segment(df, "text", Seq(("a", "a")))
+      .collect().head.getSeq[String](2)
+    // chars: a a a</w>; merge (a,a) hits the first pair only
+    assert(out === Seq("aa", "a</w>"))
+  }
+
+  test("train stops early when no pair reaches minCount") {
+    val df = Seq("ab cd").toDF("text")
+    val merges = BpeTokenizer.train(df, "text", nMerges = 10)
+    assert(merges.isEmpty) // every pair occurs once < minCount=2
+  }
+}

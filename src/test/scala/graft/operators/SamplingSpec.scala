@@ -67,4 +67,36 @@ class SamplingSpec extends SparkSuite {
       .collect()
     assert(c.map(_.getLong(0)).toSeq === Seq(3L))
   }
+
+  test("epochShuffle: per-epoch permutations differ, are dense in " +
+      "(shard, pos), and are partitioning-independent") {
+    import spark.implicits._
+    val ids = (1L to 500L).toDF("id")
+    val out = Sampling.epochShuffle(ids, "id", epochs = 2, shards = 4)
+      .cache()
+    try {
+      assert(out.count() === 1000L) // every row dealt every epoch
+      // positions are 1..count within each (epoch, shard)
+      val dense = out.groupBy("epoch", "shard")
+        .agg(org.apache.spark.sql.functions.count("*").as("n"),
+          org.apache.spark.sql.functions.max("pos").as("maxp"),
+          org.apache.spark.sql.functions.min("pos").as("minp"))
+        .collect()
+      assert(dense.forall(r => r.getLong(2) == r.getInt(3) &&
+        r.getInt(4) == 1))
+      // epochs yield different global orders for the same ids
+      val e1 = out.filter($"epoch" === 1).orderBy("shard", "pos")
+        .select("id").as[Long].collect().toSeq
+      val e2 = out.filter($"epoch" === 2).orderBy("shard", "pos")
+        .select("id").as[Long].collect().toSeq
+      assert(e1 !== e2)
+      assert(e1.toSet === e2.toSet)
+      // deterministic under repartitioning
+      val again = Sampling
+        .epochShuffle(ids.repartition(7), "id", 2, 4)
+        .select("id", "epoch", "shard", "pos").collect().toSet
+      assert(again === out.select("id", "epoch", "shard", "pos")
+        .collect().toSet)
+    } finally { out.unpersist(); () }
+  }
 }
