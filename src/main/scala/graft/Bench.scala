@@ -70,7 +70,8 @@ object Bench {
     "q_dedup_keep_best",
     // round-9 additions: tokenizer training stats, repeated-CV fold
     // dealing, epoch shuffle, plot-data histogram
-    "q_bpe_pairs", "q_cv_folds", "q_epoch_shuffle", "q_length_histogram")
+    "q_bpe_pairs", "q_cv_folds", "q_epoch_shuffle", "q_length_histogram",
+    "q_ann_pq")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

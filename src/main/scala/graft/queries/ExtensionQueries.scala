@@ -2572,6 +2572,68 @@ object ExtensionQueries {
         ORDER BY epoch, shard, pos
       """)),
 
+    // Product-quantization ADC search: corpus vectors collapse to m
+    // sub-codebook codes; query scoring is m integer table lookups
+    // summed (ProductQuantization scaladoc). Every subspace distance
+    // snaps to the micro lattice BEFORE argmin/sum, so encode + rank
+    // are long arithmetic and the oracle replays the whole chain —
+    // sub-codebook sampling, encoding, distance tables, ADC rank.
+    QueryDef(
+      "q_ann_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.ProductQuantization.adcTopK(
+            emb.filter(col("vec_id") < 10), emb,
+            "vec_id", "embedding", k = 5, m = 8, ksub = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        subdims AS (
+          SELECT vec_id, (i - 1) // 8 AS j, (i - 1) % 8 AS si, x
+          FROM dims),
+        cb AS (
+          SELECT vec_id AS donor,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT DISTINCT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT 16)),
+        cdims AS (
+          SELECT cb.code, s.j, s.si, s.x
+          FROM cb JOIN subdims s ON s.vec_id = cb.donor),
+        sdist AS (
+          SELECT s.vec_id AS id, s.j, c.code,
+                 CAST(ROUND(SUM((s.x - c.x) * (s.x - c.x)) * 1e6)
+                   AS BIGINT) AS dmicro
+          FROM subdims s
+          JOIN cdims c ON c.j = s.j AND c.si = s.si
+          GROUP BY 1, 2, 3),
+        enc AS (
+          SELECT id, j, code FROM (
+            SELECT id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY id, j
+                                      ORDER BY dmicro, code) AS rn
+            FROM sdist) WHERE rn = 1),
+        scored AS (
+          SELECT q.id AS query_id, e.id AS neighbor_id,
+                 CAST(SUM(q.dmicro) AS BIGINT) AS dist_micro
+          FROM enc e
+          JOIN sdist q ON q.j = e.j AND q.code = e.code
+          WHERE q.id < 10 AND e.id <> q.id
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, neighbor_id, dist_micro,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dist_micro, neighbor_id)
+                   AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, dist_micro, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """)),
+
     // Plot-data sink (SURVEY §2.1 S5): the engine returns the data
     // BEHIND a plot — here a fixed-width histogram of document
     // lengths, the aggregate a length-distribution chart renders.
