@@ -120,6 +120,55 @@ object ProductQuantization {
         (col("pos") + 1).as("rank"))
   }
 
+  /** IVF-PQ: cell blocking for candidate generation (the
+    * [[Similarity]] sampled-codebook IVF), ADC integer scoring for
+    * the rank — the standard composition for corpus-scale search:
+    * candidates shrink to the nprobe nearest cells (the corpus never
+    * full-scans per query), and each surviving candidate costs m
+    * table lookups, touching only its m-byte code. Output shape
+    * matches [[adcTopK]].
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int): DataFrame = {
+    val centDf = Similarity.sampledCodebook(corpus, idCol, vecCol, nlist)
+    val assigned =
+      Similarity.assignCellsSampledCodebook(corpus, idCol, vecCol, nlist)
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    val probes = q.crossJoin(centDf)
+      .withColumn("csim",
+        round(VectorFunctions.cosine(col("qv"), col("centroid")), 6))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k_by(col("csim"), col("cell"), nprobe)
+        .as("top"))
+      .select(col("query_id"), explode(col("top")).as("probe"))
+      .select(col("query_id"), col("probe.id").as("cell"))
+    val dists = subspaceDistances(corpus, idCol, vecCol, m, ksub)
+    val queryIds = queries.select(col(idCol).cast("long").as("query_id"))
+    val tables = dists
+      .join(broadcast(queryIds), dists("id") === queryIds("query_id"))
+      .select(col("query_id"), col("j"), col("code"), col("dmicro"))
+    val candidates = assigned.select(col("id"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"))
+    val scored = candidates
+      .join(encode(corpus, idCol, vecCol, m, ksub), Seq("id"))
+      .join(broadcast(tables), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("dmicro")).as("dist_micro"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k_by(
+        negate(col("dist_micro")).cast("double"), col("id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        negate(col("col.score")).cast("long").as("dist_micro"),
+        (col("pos") + 1).as("rank"))
+  }
+
   private def subDim(corpus: DataFrame, vecCol: String, m: Int): Int = {
     require(m >= 1, s"m: $m")
     val dim = corpus.select(size(col(vecCol))).limit(1).collect() match {

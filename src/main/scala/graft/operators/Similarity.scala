@@ -326,6 +326,35 @@ object Similarity {
     * are (query_id, neighbor_id, ...) frames as produced by the topK
     * methods here.
     */
+  /** Exact L2 top-k of `queries` against `corpus` — the ground truth
+    * the PQ/ADC path is measured against. Distances snap to the
+    * micro lattice before ranking (the [[ProductQuantization]]
+    * convention), so rank + emitted distance are cross-engine longs.
+    * Output: (query_id, neighbor_id, dist_micro, rank).
+    */
+  def euclideanTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.dist2(col("qv"), col("cv")) * lit(1e6))
+          .cast("long").as("dist_micro"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k_by(
+        negate(col("dist_micro")).cast("double"), col("neighbor_id"), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        negate(col("col.score")).cast("long").as("dist_micro"),
+        (col("pos") + 1).as("rank"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
       .join(approx.select(col("query_id"), col("neighbor_id"))

@@ -351,6 +351,38 @@ object ExtensionQueries {
     * — the relational twin of Similarity.assignCellsSampledCodebook.
     * Used by the q_ann_recall and q_diversity_sample oracles.
     */
+  /** The PQ replay chain (assumes a preceding `dims` CTE): subspace
+    * decomposition (m=8 subspaces of 8 dims over the 64-dim
+    * embeddings), the 16-donor sub-codebooks, micro-lattice subspace
+    * distances (`sdist` — whose query-id restriction is the ADC
+    * table), and the per-(id, subspace) argmin encoding. Shared by
+    * the q_ann_pq / q_ann_pq_recall / q_ann_ivfpq oracles.
+    */
+  private val pqChainCtes: String = """subdims AS (
+          SELECT vec_id, (i - 1) // 8 AS j, (i - 1) % 8 AS si, x
+          FROM dims),
+        cb AS (
+          SELECT vec_id AS donor,
+                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+          FROM (SELECT DISTINCT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT 16)),
+        cdims AS (
+          SELECT cb.code, s.j, s.si, s.x
+          FROM cb JOIN subdims s ON s.vec_id = cb.donor),
+        sdist AS (
+          SELECT s.vec_id AS id, s.j, c.code,
+                 CAST(ROUND(SUM((s.x - c.x) * (s.x - c.x)) * 1e6)
+                   AS BIGINT) AS dmicro
+          FROM subdims s
+          JOIN cdims c ON c.j = s.j AND c.si = s.si
+          GROUP BY 1, 2, 3),
+        enc AS (
+          SELECT id, j, code FROM (
+            SELECT id, j, code,
+                   ROW_NUMBER() OVER (PARTITION BY id, j
+                                      ORDER BY dmicro, code) AS rn
+            FROM sdist) WHERE rn = 1)"""
+
   private val ivfAssignCtes: String = """dims AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                  generate_subscripts(embedding, 1) AS i
@@ -2587,35 +2619,12 @@ object ExtensionQueries {
             "vec_id", "embedding", k = 5, m = 8, ksub = 16)
           .orderBy(col("query_id"), col("rank"))
       },
-      Some("""
+      Some(s"""
         WITH dims AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings),
-        subdims AS (
-          SELECT vec_id, (i - 1) // 8 AS j, (i - 1) % 8 AS si, x
-          FROM dims),
-        cb AS (
-          SELECT vec_id AS donor,
-                 ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
-          FROM (SELECT DISTINCT vec_id FROM embeddings
-                ORDER BY vec_id LIMIT 16)),
-        cdims AS (
-          SELECT cb.code, s.j, s.si, s.x
-          FROM cb JOIN subdims s ON s.vec_id = cb.donor),
-        sdist AS (
-          SELECT s.vec_id AS id, s.j, c.code,
-                 CAST(ROUND(SUM((s.x - c.x) * (s.x - c.x)) * 1e6)
-                   AS BIGINT) AS dmicro
-          FROM subdims s
-          JOIN cdims c ON c.j = s.j AND c.si = s.si
-          GROUP BY 1, 2, 3),
-        enc AS (
-          SELECT id, j, code FROM (
-            SELECT id, j, code,
-                   ROW_NUMBER() OVER (PARTITION BY id, j
-                                      ORDER BY dmicro, code) AS rn
-            FROM sdist) WHERE rn = 1),
+        $pqChainCtes,
         scored AS (
           SELECT q.id AS query_id, e.id AS neighbor_id,
                  CAST(SUM(q.dmicro) AS BIGINT) AS dist_micro
@@ -2631,6 +2640,110 @@ object ExtensionQueries {
           FROM scored)
         SELECT query_id, neighbor_id, dist_micro, rank
         FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """)),
+
+    // Honest accuracy accounting for the PQ path: recall@5 of ADC
+    // against the exact L2 top-5 — the compression-vs-accuracy number
+    // a deployment decision needs next to q_ann_recall's IVF figure.
+    QueryDef(
+      "q_ann_pq_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+        Similarity.recallAtK(
+          Similarity.euclideanTopK(queries, emb, "vec_id", "embedding", 5),
+          graft.operators.ProductQuantization.adcTopK(
+            queries, emb, "vec_id", "embedding", 5, m = 8, ksub = 16))
+      },
+      Some(s"""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        $pqChainCtes,
+        ascored AS (
+          SELECT q.id AS query_id, e.id AS neighbor_id,
+                 CAST(SUM(q.dmicro) AS BIGINT) AS dist_micro
+          FROM enc e
+          JOIN sdist q ON q.j = e.j AND q.code = e.code
+          WHERE q.id < 10 AND e.id <> q.id
+          GROUP BY 1, 2),
+        approx AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dist_micro, neighbor_id)
+                     AS rank
+            FROM ascored) WHERE rank <= 5),
+        edist AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(ROUND(SUM((q.x - c.x) * (q.x - c.x)) * 1e6)
+                   AS BIGINT) AS dmicro
+          FROM dims q JOIN dims c ON c.i = q.i
+          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dmicro, neighbor_id)
+                     AS rank
+            FROM edist) WHERE rank <= 5)
+        SELECT e.query_id,
+               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.query_id = e.query_id
+                          AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1 ORDER BY e.query_id
+      """)),
+
+    // IVF-PQ composition: candidates shrink to the query's nprobe
+    // nearest cells (the corpus never full-scans per query), then
+    // ADC integer scoring ranks them — the standard corpus-scale
+    // search shape. Oracle = the proven IVF cell chain + the proven
+    // PQ chain, composed.
+    QueryDef(
+      "q_ann_ivfpq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.ProductQuantization.ivfPqTopK(
+            emb.filter(col("vec_id") < 10), emb,
+            "vec_id", "embedding", k = 5,
+            nlist = 16, nprobe = 4, m = 8, ksub = 16)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH $ivfAssignCtes,
+        $pqChainCtes,
+        probes AS (
+          SELECT nid AS query_id, cell FROM (
+            SELECT nid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY nid
+                                      ORDER BY csim DESC, cell) AS rn
+            FROM asim WHERE nid < 10) WHERE rn <= 4),
+        cand AS (
+          SELECT p.query_id, a.nid AS id
+          FROM asg a JOIN probes p ON p.cell = a.cell
+          WHERE a.nid <> p.query_id),
+        pscored AS (
+          SELECT c.query_id, c.id AS neighbor_id,
+                 CAST(SUM(q.dmicro) AS BIGINT) AS dist_micro
+          FROM cand c
+          JOIN enc e ON e.id = c.id
+          JOIN sdist q ON q.id = c.query_id AND q.j = e.j
+                      AND q.code = e.code
+          GROUP BY 1, 2),
+        pranked AS (
+          SELECT query_id, neighbor_id, dist_micro,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY dist_micro, neighbor_id)
+                   AS rank
+          FROM pscored)
+        SELECT query_id, neighbor_id, dist_micro, rank
+        FROM pranked WHERE rank <= 5
         ORDER BY query_id, rank
       """)),
 

@@ -65,6 +65,33 @@ class ProductQuantizationSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("ivfPqTopK agrees with full-scan ADC on an easy corpus") {
+    // nprobe = nlist: cell blocking drops nothing, so IVF-PQ must
+    // reproduce the full ADC ranking exactly
+    val queries = corpus.filter(col("vec_id") < 2)
+    val full = ProductQuantization
+      .adcTopK(queries, corpus, "vec_id", "embedding", 5, 4, 8)
+      .collect().map(_.toSeq).toSet
+    val ivf = ProductQuantization
+      .ivfPqTopK(queries, corpus, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 8, m = 4, ksub = 8)
+      .collect().map(_.toSeq).toSet
+    assert(ivf === full)
+  }
+
+  test("euclideanTopK ranks the exact nearest neighbors") {
+    val out = Similarity
+      .euclideanTopK(corpus.filter(col("vec_id") === 0), corpus,
+        "vec_id", "embedding", 3)
+      .collect()
+    assert(out.length === 3)
+    // nearest to vec 0 (jitter 0.00) are the even ids with the
+    // smallest jitter gaps — all same-cluster
+    assert(out.forall(_.getLong(1) % 2 === 0L))
+    val dists = out.sortBy(_.getInt(3)).map(_.getLong(2))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+  }
+
   test("dimension not divisible by m is rejected") {
     val e = intercept[IllegalArgumentException] {
       ProductQuantization.encode(corpus, "vec_id", "embedding", 3, 4)
