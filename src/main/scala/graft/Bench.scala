@@ -71,7 +71,11 @@ object Bench {
     // round-9 additions: tokenizer training stats, repeated-CV fold
     // dealing, epoch shuffle, plot-data histogram
     "q_bpe_pairs", "q_cv_folds", "q_epoch_shuffle", "q_length_histogram",
-    "q_ann_pq", "q_ann_ivfpq")
+    "q_ann_pq", "q_ann_ivfpq",
+    // round-9 additions: exact NB classifier filtering, cross-modal
+    // alignment, skew profiling, compaction planning
+    "q_nb_classify", "q_nb_confusion", "q_modal_align",
+    "q_key_skew", "q_compaction_plan")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -60,4 +60,42 @@ object DataQuality {
       .select(keyCols.map(col) :+
         explode(col("__failed")).as("failed_rule"): _*)
   }
+
+  /** Join-key skew profile: the diagnostic run BEFORE choosing a join
+    * strategy at scale — a key owning >~20% of rows is the signal to
+    * salt ([[SkewJoin]]) or let AQE split; without measuring, skew
+    * shows up as one straggler task an hour into the job.
+    *
+    * Output: the `topK` heaviest keys as (rank, key, cnt, share_ppm,
+    * cum_share_ppm) — share on the integer parts-per-million lattice
+    * (floor division; no float reaches the result), cumulative share
+    * summing those integers so "top 5 keys own 31% of the table" reads
+    * directly off the frame.
+    *
+    * Scale: one map-side-combined `groupBy(key).count`, then a
+    * bounded `TakeOrderedAndProject` of `topK` rows; the running sum
+    * windows over that K-row frame only (bounded by construction —
+    * NOT a corpus-sized global window). Null keys count as a key:
+    * null is precisely the skew value most joins explode on.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK: $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("__t"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        expr("(cnt * CAST(1000000 AS BIGINT)) div __t").as("share_ppm"))
+    // K-row frame: the partition-less window is bounded by topK.
+    val w = Window.orderBy(col("cnt").desc, col("key").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("key").asc)))
+      .withColumn("cum_share_ppm", sum(col("share_ppm")).over(w))
+      .select(col("rank"), col("key"), col("cnt"),
+        col("share_ppm"), col("cum_share_ppm"))
+  }
 }

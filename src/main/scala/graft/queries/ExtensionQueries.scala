@@ -2765,6 +2765,244 @@ object ExtensionQueries {
                MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
         FROM documents
         GROUP BY 1 ORDER BY bin_lo
+      """)),
+
+    // ---- Model-based filtering: exact multinomial Naive Bayes ----
+    // The deterministic analogue of the fastText classifier stage
+    // (CCNet-style language/quality filtering): train on docs with
+    // doc_id % 5 <> 0 (label = lang), score the HELD-OUT fifth — so
+    // unseen test terms genuinely exercise the exact default-mass
+    // path. All logs land on the integer micro-lattice and every
+    // downstream op is integer-only (see NaiveBayes scaladoc), so
+    // DuckDB replays the full train + classify chain bit-exactly.
+
+    QueryDef(
+      "q_nb_model",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.operators.NaiveBayes.fit(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
+        model.classes
+          .select(col("label").as("lang"), col("n_docs"), col("tokens"),
+            col("prior_micro"), col("default_micro"))
+          .orderBy(col("lang"))
+      },
+      Some(s"WITH $nbTrainCtes" + """
+        SELECT label AS lang, n_docs, tokens, prior_micro, default_micro
+        FROM classes
+        ORDER BY lang
+      """)),
+
+    QueryDef(
+      "q_nb_classify",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        val model = graft.operators.NaiveBayes.fit(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
+        graft.operators.NaiveBayes.classify(model, test, "doc_id", "text")
+          .join(test.select(col("doc_id"), col("lang").as("actual")),
+            "doc_id")
+          .select(col("doc_id"), col("pred"), col("actual"),
+            col("score_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH $nbTrainCtes, $nbClassifyCtes" + """
+        SELECT b.doc_id, b.label AS pred, te.lang AS actual, b.score_micro
+        FROM best b JOIN te USING (doc_id)
+        WHERE b.rn = 1
+        ORDER BY b.doc_id
+      """)),
+
+    QueryDef(
+      "q_nb_confusion",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        val model = graft.operators.NaiveBayes.fit(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
+        graft.operators.NaiveBayes
+          .confusion(model, test, "doc_id", "text", "lang")
+          .orderBy(col("actual"), col("pred"))
+      },
+      Some(s"WITH $nbTrainCtes, $nbClassifyCtes" + """
+        SELECT te.lang AS actual, b.label AS pred, count(*) AS n
+        FROM best b JOIN te USING (doc_id)
+        WHERE b.rn = 1
+        GROUP BY 1, 2
+        ORDER BY actual, pred
+      """)),
+
+    // Cross-modal mutual-best alignment (LAION-style pair filter):
+    // even vec_ids stand in for the image tower, odd for the text
+    // tower; a pair survives only if each side is the other's top-1
+    // cosine neighbor. The oracle replays both directional argmaxes
+    // on the shared 6-dp cosine lattice.
+    QueryDef(
+      "q_modal_align",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.ModalAlign.mutualTop1(
+            emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+            emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
+            "vec_id", "embedding")
+          .orderBy(col("left_id"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+                 sum(l.x * r.x) AS d
+          FROM dims l JOIN dims r ON l.i = r.i
+          WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 1
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT left_id, right_id,
+                 ROUND(d / (nl.nrm * nr.nrm), 6) AS cosine
+          FROM dots
+          JOIN norms nl ON nl.vec_id = left_id
+          JOIN norms nr ON nr.vec_id = right_id),
+        l2r AS (
+          SELECT left_id, right_id, cosine FROM (
+            SELECT left_id, right_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY left_id
+                                      ORDER BY cosine DESC, right_id) AS rn
+            FROM scored) WHERE rn = 1),
+        r2l AS (
+          SELECT left_id, right_id FROM (
+            SELECT left_id, right_id,
+                   ROW_NUMBER() OVER (PARTITION BY right_id
+                                      ORDER BY cosine DESC, left_id) AS rn
+            FROM scored) WHERE rn = 1)
+        SELECT l.left_id, l.right_id, l.cosine
+        FROM l2r l
+        JOIN r2l r ON r.left_id = l.left_id AND r.right_id = l.right_id
+        ORDER BY l.left_id
+      """)),
+
+    // Join-key skew profile over orders.o_custkey — the measurement
+    // that decides salting vs AQE before a big join. Integer-ppm
+    // shares; the cumulative sum windows over the bounded top-20
+    // frame only.
+    QueryDef(
+      "q_key_skew",
+      (s, dir) =>
+        graft.operators.DataQuality.keySkew(
+          Tables.orders(s, dir), "o_custkey", 20),
+      Some("""
+        WITH c AS (
+          SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+        top AS (
+          SELECT key, cnt,
+                 CAST((cnt * 1000000) // (SELECT tot FROM t) AS BIGINT)
+                   AS share_ppm
+          FROM c ORDER BY cnt DESC, key LIMIT 20)
+        SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank,
+               key, cnt, share_ppm,
+               CAST(SUM(share_ppm) OVER (ORDER BY cnt DESC, key
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_share_ppm
+        FROM top
+        ORDER BY rank
+      """)),
+
+    // Compaction plan over documents partitioned by source: file
+    // boundaries every 2k chars of exclusive per-source prefix (see
+    // Compaction scaladoc) — the lakehouse small-file maintenance
+    // pass, planned identically by both engines from pure integer
+    // arithmetic.
+    QueryDef(
+      "q_compaction_plan",
+      (s, dir) =>
+        graft.operators.Compaction.plan(
+            Tables.documents(s, dir), "source", "doc_id", "n_chars", 2000L)
+          .orderBy(col("source"), col("file_idx")),
+      Some("""
+        WITH pre AS (
+          SELECT source, doc_id, COALESCE(n_chars, 0) AS sz,
+                 CAST(COALESCE(SUM(COALESCE(n_chars, 0)) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prefix
+          FROM documents)
+        SELECT source, CAST(prefix // 2000 AS BIGINT) AS file_idx,
+               count(*) AS n_records, CAST(sum(sz) AS BIGINT) AS bytes
+        FROM pre
+        GROUP BY 1, 2
+        ORDER BY source, file_idx
       """))
   )
+
+  /** Shared NB oracle: the training half of the chain (no WITH
+    * keyword) — model fit on docs with doc_id % 5 <> 0, label =
+    * lang, Laplace add-one, integer micro-log lattice. Mirrors
+    * [[graft.operators.NaiveBayes.fit]] exactly.
+    */
+  private lazy val nbTrainCtes: String = """
+        tr AS (
+          SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+        ttoks AS (
+          SELECT lang AS label, unnest(string_split(text, ' ')) AS term
+          FROM tr),
+        tcnt AS (
+          SELECT label, term, count(*) AS cnt FROM ttoks GROUP BY 1, 2),
+        ttot AS (
+          SELECT label, CAST(sum(cnt) AS BIGINT) AS tokens
+          FROM tcnt GROUP BY 1),
+        tvoc AS (SELECT count(DISTINCT term) AS v FROM tcnt),
+        tnd AS (SELECT lang AS label, count(*) AS n_docs FROM tr GROUP BY 1),
+        tn AS (SELECT count(*) AS n FROM tr),
+        classes AS (
+          SELECT t.label, d.n_docs, t.tokens,
+                 CAST(ROUND(log10(CAST(d.n_docs AS DOUBLE)
+                   / CAST((SELECT n FROM tn) AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) AS prior_micro,
+                 CAST(ROUND(log10(1.0
+                   / CAST(t.tokens + (SELECT v FROM tvoc) AS DOUBLE))
+                   * 1000000.0) AS BIGINT) AS default_micro
+          FROM ttot t JOIN tnd d USING (label)),
+        terms AS (
+          SELECT c.label, v.term,
+                 CAST(ROUND(log10(CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)
+                   / CAST(c.tokens + (SELECT v FROM tvoc) AS DOUBLE))
+                   * 1000000.0) AS BIGINT) - c.default_micro AS delta_micro
+          FROM (SELECT DISTINCT term FROM tcnt) v
+          CROSS JOIN classes c
+          LEFT JOIN tcnt tc ON tc.label = c.label AND tc.term = v.term)"""
+
+  /** Shared NB oracle: the held-out scoring half (continues
+    * [[nbTrainCtes]]; no WITH keyword) — ends in `best(doc_id, label,
+    * score_micro, rn)` with rn = 1 the argmax row. Mirrors
+    * [[graft.operators.NaiveBayes.scores]]/classify.
+    */
+  private lazy val nbClassifyCtes: String = """
+        te AS (
+          SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+        dterms AS (
+          SELECT doc_id, term, count(*) AS dcnt FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM te) GROUP BY 1, 2),
+        dn AS (
+          SELECT doc_id, CAST(sum(dcnt) AS BIGINT) AS n_d
+          FROM dterms GROUP BY 1),
+        seen AS (
+          SELECT d.doc_id, m.label, sum(d.dcnt * m.delta_micro) AS seen_sum
+          FROM dterms d JOIN terms m ON m.term = d.term
+          GROUP BY 1, 2),
+        sc AS (
+          SELECT dn.doc_id, c.label,
+                 CAST(c.prior_micro + dn.n_d * c.default_micro
+                      + COALESCE(s.seen_sum, 0) AS BIGINT) AS score_micro
+          FROM dn CROSS JOIN classes c
+          LEFT JOIN seen s ON s.doc_id = dn.doc_id AND s.label = c.label),
+        best AS (
+          SELECT doc_id, label, score_micro,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score_micro DESC, label) AS rn
+          FROM sc)"""
 }

@@ -28,4 +28,22 @@ class DataQualitySpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(clean == Set(1L, 3L))
   }
+
+  test("keySkew ranks the heavy key first with exact ppm shares") {
+    // key "hot" owns 6 of 10 rows → 600000 ppm
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val out = DataQuality.keySkew(df, "k", 3).orderBy("rank").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      Seq((1, "hot", 6L, 600000L), (2, "a", 1L, 100000L),
+        (3, "b", 1L, 100000L)))
+    // cumulative share accumulates the integer shares
+    assert(out.map(_.getLong(4)).toSeq === Seq(600000L, 700000L, 800000L))
+  }
+
+  test("keySkew counts null keys (the classic join-exploder)") {
+    val df = Seq(Some("x"), None, None, None).toDF("k")
+    val top = DataQuality.keySkew(df, "k", 1).collect().head
+    assert(top.isNullAt(1) && top.getLong(2) === 3L)
+  }
 }
