@@ -81,6 +81,44 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric near-SUBSET pairs: containment |A∩B| / min(|A|,|B|)
+    * ≥ `minContainment`. Jaccard alone misses the
+    * boilerplate-wrapper case — a doc quoted whole inside a larger
+    * page has containment ≈ 1 but Jaccard |A∩B|/|A∪B| arbitrarily
+    * low, so a Jaccard-threshold dedup keeps both copies (Lee et al.
+    * 2022 motivate exact-substring dedup with the same failure).
+    * Emits both metrics on the 6-dp lattice so the caller can see
+    * WHICH criterion fired.
+    *
+    * Same scale shape as [[jaccardPairs]]: inverted shingle index,
+    * hot-shingle cap, candidate pairs only where a shingle is
+    * shared — never doc × doc.
+    */
+  def containmentPairs(
+      shingles: DataFrame,
+      minContainment: Double,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val capped = maxShingleDocFreq match {
+      case Some(cap) =>
+        val hot = shingles.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select("shingle")
+        shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => shingles
+    }
+    pairCounts(capped)
+      .join(sizesOf(capped).withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n", "na"), "id_a")
+      .join(sizesOf(capped).withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n", "nb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("containment"),
+        round(col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double"), 6).as("jaccard"))
+      .filter(col("containment") >= minContainment)
+  }
+
   private def sizesOf(shingles: DataFrame): DataFrame =
     shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
 

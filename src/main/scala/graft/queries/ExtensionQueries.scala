@@ -2807,7 +2807,7 @@ object ExtensionQueries {
             col("score_micro"))
           .orderBy(col("doc_id"))
       },
-      Some(s"WITH $nbTrainCtes, $nbClassifyCtes" + """
+      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}" + """
         SELECT b.doc_id, b.label AS pred, te.lang AS actual, b.score_micro
         FROM best b JOIN te USING (doc_id)
         WHERE b.rn = 1
@@ -2825,7 +2825,7 @@ object ExtensionQueries {
           .confusion(model, test, "doc_id", "text", "lang")
           .orderBy(col("actual"), col("pred"))
       },
-      Some(s"WITH $nbTrainCtes, $nbClassifyCtes" + """
+      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}" + """
         SELECT te.lang AS actual, b.label AS pred, count(*) AS n
         FROM best b JOIN te USING (doc_id)
         WHERE b.rn = 1
@@ -2935,6 +2935,108 @@ object ExtensionQueries {
         FROM pre
         GROUP BY 1, 2
         ORDER BY source, file_idx
+      """)),
+
+    // Near-SUBSET dedup by containment |A∩B|/min(|A|,|B|): catches
+    // the quoted-whole-inside-a-wrapper pairs a Jaccard threshold
+    // keeps (see Dedup.containmentPairs scaladoc). Both metrics on
+    // the 6-dp lattice so the output shows which criterion fired.
+    QueryDef(
+      "q_dedup_containment",
+      (s, dir) =>
+        Dedup.containmentPairs(
+            Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3),
+            minContainment = 0.9)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""
+        WITH ${shingleCtes(3)},
+        sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+          FROM grams a
+          JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        c AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(i AS DOUBLE)
+                       / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+                   AS containment,
+                 ROUND(CAST(i AS DOUBLE)
+                       / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, containment, jaccard
+        FROM c WHERE containment >= 0.9
+        ORDER BY id_a, id_b
+      """)),
+
+    // Tokenizer fertility per language: BPE-estimate tokens per
+    // whitespace word — the multilingual-tokenizer health metric (a
+    // lang whose fertility balloons is being shredded into bytes and
+    // effectively taxed in context length). Integer-ppm ratio; one
+    // aggregate over per-row codegen'd counts.
+    QueryDef(
+      "q_tokenizer_fertility",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"),
+            size(TextFunctions.splitWords(col("text"))).cast("long")
+              .as("ws"),
+            TextAnalysis.bpeTokenEstimate(col("text")).cast("long")
+              .as("bpe"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+            sum(col("bpe")).as("bpe_tokens"))
+          .select(col("lang"), col("n_docs"), col("ws_tokens"),
+            col("bpe_tokens"),
+            expr("(bpe_tokens * CAST(1000000 AS BIGINT)) div ws_tokens")
+              .as("fertility_ppm"))
+          .orderBy(col("lang")),
+      Some(s"""
+        WITH per AS (
+          SELECT lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+                 CAST(len(regexp_extract_all(text,
+                   '${TextAnalysis.bpePattern.replace("'", "''")}'))
+                   AS BIGINT) AS bpe
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+               CAST((CAST(sum(bpe) AS BIGINT) * 1000000)
+                    // CAST(sum(ws) AS BIGINT) AS BIGINT)
+                 AS fertility_ppm
+        FROM per GROUP BY 1
+        ORDER BY lang
+      """)),
+
+    // Streaming model serving: the q_nb_classify model (fit offline
+    // on the 4/5 train split) scores EVERY document as it streams in,
+    // via the foreachBatch batch kernel — identical results to the
+    // batch path by construction, micro-batching-invariant because
+    // scores are integer-lattice (see StreamingOps.classifiedDocStream).
+    QueryDef(
+      "q_stream_classify",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val model = graft.operators.NaiveBayes.fit(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_stream_nb").toString
+        graft.streaming.StreamingOps
+          .classifiedDocStream(s, s"$dir/documents.parquet", model, out)
+          .join(docs.select(col("doc_id"), col("lang").as("actual")),
+            "doc_id")
+          .select(col("doc_id"), col("pred"), col("actual"),
+            col("score_micro"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("TRUE")}" + """
+        SELECT b.doc_id, b.label AS pred, te.lang AS actual, b.score_micro
+        FROM best b JOIN te USING (doc_id)
+        WHERE b.rn = 1
+        ORDER BY b.doc_id
       """))
   )
 
@@ -2975,14 +3077,16 @@ object ExtensionQueries {
           CROSS JOIN classes c
           LEFT JOIN tcnt tc ON tc.label = c.label AND tc.term = v.term)"""
 
-  /** Shared NB oracle: the held-out scoring half (continues
-    * [[nbTrainCtes]]; no WITH keyword) — ends in `best(doc_id, label,
-    * score_micro, rn)` with rn = 1 the argmax row. Mirrors
-    * [[graft.operators.NaiveBayes.scores]]/classify.
+  /** Shared NB oracle: the scoring half (continues [[nbTrainCtes]];
+    * no WITH keyword) — ends in `best(doc_id, label, score_micro,
+    * rn)` with rn = 1 the argmax row. Mirrors
+    * [[graft.operators.NaiveBayes.scores]]/classify. `pred` selects
+    * the scored population (held-out fifth for q_nb_*; everything
+    * for the streaming twin).
     */
-  private lazy val nbClassifyCtes: String = """
+  private def nbClassifyCtesOver(pred: String): String = s"""
         te AS (
-          SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+          SELECT doc_id, lang, text FROM documents WHERE $pred),
         dterms AS (
           SELECT doc_id, term, count(*) AS dcnt FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -342,6 +342,49 @@ object StreamingOps {
     spark.table(name)
   }
 
+  /** Streaming model serving: classify each micro-batch of documents
+    * against a pre-fitted STATIC [[graft.operators.NaiveBayes]] model
+    * inside foreachBatch — the fit-offline/serve-online shape a
+    * curation gate runs at ingest (the fastText-stage deployment;
+    * batch twin: q_nb_classify). A stream-side aggregation
+    * formulation would need a watermark per doc for Append mode;
+    * foreachBatch keeps the scoring the SAME broadcast-join batch
+    * kernel, so results are identical to the batch path by
+    * construction, and the integer-lattice scores make the output
+    * invariant to how the stream happens to micro-batch.
+    *
+    * Results land in a parquet sink (restartable; no unbounded
+    * memory-sink state). Returns the classified frame read back from
+    * the sink.
+    */
+  def classifiedDocStream(
+      spark: SparkSession,
+      path: String,
+      model: graft.operators.NaiveBayes.Model,
+      outDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val f = new java.io.File(path)
+    val (dir, glob) =
+      if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    val docs = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(dir)
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.NaiveBayes
+          .classify(model, batch, "doc_id", "text")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming incremental NEAR-dup ingest — the production loop
     * whose kernel is [[graft.operators.Dedup.incrementalMinhashPairsFromStore]].
     * Per micro-batch (foreachBatch):

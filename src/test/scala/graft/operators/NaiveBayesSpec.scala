@@ -87,6 +87,17 @@ class NaiveBayesSpec extends SparkSuite {
     assert(asMap(("spam", "spam")) === 1L)
   }
 
+  test("scoring broadcasts the model; no cartesian product") {
+    val m = NaiveBayes.fit(train, "text", "label")
+    val plan = NaiveBayes
+      .scores(m, train.select($"id", $"text"), "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"model join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scores plans a CartesianProduct:\n$plan")
+  }
+
   test("reserved __ columns are rejected") {
     val bad = train.withColumn("__x", lit(1))
     intercept[IllegalArgumentException] {

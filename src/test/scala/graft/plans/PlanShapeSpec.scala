@@ -123,7 +123,11 @@ class PlanShapeSpec extends SparkSuite {
       "q_mix_temperature", "q_collocations", "q_ewma",
       "q_quality_calibrated", "q_corpus_drift",
       "q_weighted_sample", "q_group_regression", "q_quantile_sketch",
-      "q_dedup_keep_best")
+      "q_dedup_keep_best",
+      // round-9 additions (q_nb_* fit eagerly via localCheckpoint and
+      // are plan-audited in NaiveBayesSpec instead)
+      "q_modal_align", "q_key_skew", "q_compaction_plan",
+      "q_dedup_containment", "q_tokenizer_fertility")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),

@@ -368,4 +368,39 @@ class StreamingOpsSpec extends SparkSuite {
       assert(batch.getDouble(2) === 5.5)
     } finally q.stop()
   }
+
+  test("classifiedDocStream under multi-batch ingest equals the " +
+      "batch classify path") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "spam", "buy cheap pills now buy"),
+      (2L, "spam", "cheap pills cheap offer"),
+      (3L, "ham", "meeting at noon about the report"),
+      (4L, "ham", "the report is due at noon")
+    ).toDF("doc_id", "label", "text")
+    val model = graft.operators.NaiveBayes.fit(train, "text", "label")
+
+    val docs = Seq(
+      (10L, "cheap pills offer today"),
+      (11L, "the report at noon"),
+      (12L, "buy now cheap"),
+      (13L, "noon meeting about the due report"),
+      (14L, "pills pills pills"),
+      (15L, "entirely novel vocabulary here")
+    ).toDF("doc_id", "text")
+    val inDir = Files.createTempDirectory("graft_nb_in").toString
+    // three files → three micro-batches under maxFilesPerTrigger=1
+    docs.repartition(3).write.mode("overwrite").parquet(inDir)
+    val outDir = Files.createTempDirectory("graft_nb_out").toString
+
+    val streamed = graft.streaming.StreamingOps
+      .classifiedDocStream(spark, inDir, model, outDir,
+        maxFilesPerTrigger = Some(1))
+      .orderBy("doc_id").collect().toSeq
+    val batch = graft.operators.NaiveBayes
+      .classify(model, docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.size === 6)
+  }
 }
