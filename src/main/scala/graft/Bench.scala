@@ -76,7 +76,8 @@ object Bench {
     // alignment, skew profiling, compaction planning
     "q_nb_classify", "q_nb_confusion", "q_modal_align",
     "q_key_skew", "q_compaction_plan",
-    "q_dedup_containment", "q_tokenizer_fertility", "q_stream_classify")
+    "q_dedup_containment", "q_tokenizer_fertility", "q_stream_classify",
+    "q_apply_changes")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -3037,6 +3037,76 @@ object ExtensionQueries {
         FROM best b JOIN te USING (doc_id)
         WHERE b.rn = 1
         ORDER BY b.doc_id
+      """)),
+
+    // CDC MERGE: a four-part changeset (rev7 updates at seq 1,
+    // rev21 re-updates at seq 2 proving last-writer-wins, seq-3
+    // deletes for id%13, inserts cloned at id+100000) folds into the
+    // documents snapshot. Output rows carry md5(text) so the hash
+    // pins every surviving row image without dumping full texts.
+    QueryDef(
+      "q_apply_changes",
+      (s, dir) => {
+        val snap = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        val changes =
+          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(7L)) === 0)
+            .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+              concat(col("text"), lit(" rev7")).as("text"), col("source"))
+          .unionByName(
+            Tables.documents(s, dir)
+              .filter(pmod(col("doc_id"), lit(21L)) === 0)
+              .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
+                concat(col("text"), lit(" rev21")).as("text"),
+                col("source")))
+          .unionByName(
+            Tables.documents(s, dir)
+              .filter(pmod(col("doc_id"), lit(13L)) === 0)
+              .select(col("doc_id"), lit(3L).as("seq"), lit("D").as("op"),
+                lit(null).cast("string").as("text"),
+                lit(null).cast("string").as("source")))
+          .unionByName(
+            Tables.documents(s, dir)
+              .filter(pmod(col("doc_id"), lit(97L)) === 0)
+              .select((col("doc_id") + 100000L).as("doc_id"),
+                lit(1L).as("seq"), lit("I").as("op"), col("text"),
+                col("source")))
+        graft.operators.ChangeApply
+          .applyChangeset(snap, changes, "doc_id", "seq", "op")
+          .select(col("doc_id"), md5(col("text")).as("text_md5"),
+            col("source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH changes AS (
+          SELECT doc_id, 1 AS seq, 'U' AS op, text || ' rev7' AS text,
+                 source
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT doc_id, 2, 'U', text || ' rev21', source
+          FROM documents WHERE doc_id % 21 = 0
+          UNION ALL
+          SELECT doc_id, 3, 'D', NULL, NULL
+          FROM documents WHERE doc_id % 13 = 0
+          UNION ALL
+          SELECT doc_id + 100000, 1, 'I', text, source
+          FROM documents WHERE doc_id % 97 = 0),
+        last AS (
+          SELECT doc_id, op, text, source FROM (
+            SELECT doc_id, op, text, source,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY seq DESC, op) AS rn
+            FROM changes) WHERE rn = 1),
+        final AS (
+          SELECT s.doc_id, s.text, s.source
+          FROM documents s
+          LEFT JOIN last l ON l.doc_id = s.doc_id
+          WHERE l.doc_id IS NULL
+          UNION ALL
+          SELECT doc_id, text, source FROM last WHERE op IN ('I', 'U'))
+        SELECT doc_id, md5(text) AS text_md5, source
+        FROM final
+        ORDER BY doc_id
       """))
   )
 

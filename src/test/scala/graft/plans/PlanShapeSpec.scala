@@ -127,7 +127,7 @@ class PlanShapeSpec extends SparkSuite {
       // round-9 additions (q_nb_* fit eagerly via localCheckpoint and
       // are plan-audited in NaiveBayesSpec instead)
       "q_modal_align", "q_key_skew", "q_compaction_plan",
-      "q_dedup_containment", "q_tokenizer_fertility")
+      "q_dedup_containment", "q_tokenizer_fertility", "q_apply_changes")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
