@@ -61,6 +61,28 @@ object DataQuality {
         explode(col("__failed")).as("failed_rule"): _*)
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple: every
+    * combination of the given columns shared by FEWER than k rows is
+    * a re-identification risk (Sweeney 2002) — the governance gate a
+    * corpus with user-derived metadata runs before release. Returns
+    * the risky groups with their sizes; an empty result certifies
+    * k-anonymity at that k. Numeric quasi-identifiers should be
+    * banded by the caller first (a raw continuous column makes every
+    * row its own group and the audit trivially fails).
+    *
+    * One map-side-combined aggregation; the filter keeps only
+    * below-threshold groups, so the output is bounded by the risky
+    * tail, not the group count.
+    */
+  def kAnonymityViolations(
+      df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k > 1, s"k: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
+
   /** Join-key skew profile: the diagnostic run BEFORE choosing a join
     * strategy at scale — a key owning >~20% of rows is the signal to
     * salt ([[SkewJoin]]) or let AQE split; without measuring, skew

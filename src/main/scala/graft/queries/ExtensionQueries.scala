@@ -3107,6 +3107,69 @@ object ExtensionQueries {
         SELECT doc_id, md5(text) AS text_md5, source
         FROM final
         ORDER BY doc_id
+      """)),
+
+    // Largest-remainder apportionment of a 97-doc eval budget across
+    // sources (prime budget → remainders genuinely decide seats).
+    // Pure integer arithmetic end-to-end; Σquota = 97 exactly, which
+    // independent per-source rounding cannot guarantee.
+    QueryDef(
+      "q_eval_allocation",
+      (s, dir) =>
+        graft.operators.Apportionment.largestRemainder(
+            Tables.documents(s, dir).groupBy(col("source"))
+              .agg(count(lit(1)).as("n_docs")),
+            "source", "n_docs", budget = 97L)
+          .orderBy(col("source")),
+      Some("""
+        WITH w AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM w),
+        based AS (
+          SELECT source, n_docs,
+                 CAST((n_docs * 97) // (SELECT tot FROM t) AS BIGINT)
+                   AS fl,
+                 CAST(n_docs * 97
+                      - ((n_docs * 97) // (SELECT tot FROM t))
+                        * (SELECT tot FROM t) AS BIGINT) AS rem
+          FROM w),
+        lv AS (SELECT 97 - CAST(sum(fl) AS BIGINT) AS leftover FROM based),
+        rk AS (
+          SELECT source, n_docs, fl, rem,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk
+          FROM based)
+        SELECT source, n_docs,
+               fl + CASE WHEN rnk <= (SELECT leftover FROM lv)
+                         THEN 1 ELSE 0 END AS quota
+        FROM rk
+        ORDER BY source
+      """)),
+
+    // k-anonymity audit over (nation, segment, banded balance):
+    // quasi-identifier tuples shared by fewer than 3 customers are
+    // re-identification risks. The balance band floors scaled integer
+    // cents (explicit FLOOR, not integer div — balances go negative
+    // and div-vs-// truncation direction differs across engines).
+    QueryDef(
+      "q_k_anonymity",
+      (s, dir) =>
+        graft.operators.DataQuality.kAnonymityViolations(
+            Tables.customer(s, dir)
+              .select(col("c_nationkey"), col("c_mktsegment"),
+                floor((col("c_acctbal") * 100).cast("long") /
+                  lit(200000.0)).as("bal_band")),
+            Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 3)
+          .orderBy(col("c_nationkey"), col("c_mktsegment"),
+            col("bal_band")),
+      Some("""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)
+                          / 200000.0) AS BIGINT) AS bal_band,
+               count(*) AS n
+        FROM customer
+        GROUP BY 1, 2, 3
+        HAVING count(*) < 3
+        ORDER BY c_nationkey, c_mktsegment, bal_band
       """))
   )
 

@@ -46,4 +46,23 @@ class DataQualitySpec extends SparkSuite {
     val top = DataQuality.keySkew(df, "k", 1).collect().head
     assert(top.isNullAt(1) && top.getLong(2) === 3L)
   }
+
+  test("kAnonymityViolations flags only below-k groups") {
+    val df = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"),  // size 3: safe at k=3
+      ("fr", "a"), ("fr", "a"),               // size 2: risky
+      ("de", "b")                             // size 1: risky
+    ).toDF("nation", "seg")
+    val out = DataQuality
+      .kAnonymityViolations(df, Seq("nation", "seg"), 3)
+      .orderBy("nation").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out === Seq(("de", "b", 1L), ("fr", "a", 2L)))
+  }
+
+  test("empty violations certify k-anonymity") {
+    val df = Seq.fill(4)(("us", "a")).toDF("nation", "seg")
+    assert(DataQuality
+      .kAnonymityViolations(df, Seq("nation", "seg"), 3).count() === 0L)
+  }
 }

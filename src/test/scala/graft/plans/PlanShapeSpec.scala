@@ -127,7 +127,8 @@ class PlanShapeSpec extends SparkSuite {
       // round-9 additions (q_nb_* fit eagerly via localCheckpoint and
       // are plan-audited in NaiveBayesSpec instead)
       "q_modal_align", "q_key_skew", "q_compaction_plan",
-      "q_dedup_containment", "q_tokenizer_fertility", "q_apply_changes")
+      "q_dedup_containment", "q_tokenizer_fertility", "q_apply_changes",
+      "q_eval_allocation", "q_k_anonymity")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
