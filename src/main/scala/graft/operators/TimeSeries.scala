@@ -51,4 +51,41 @@ object TimeSeries {
             "__hist[0].__v, (a, x) -> (a + x.__v) * 0.5D)"), 6)
           .as("ewma")): _*)
   }
+
+  /** Per-key windowed count-anomaly detection: flag hourly buckets
+    * whose count sits more than `z` standard deviations from the
+    * key's own mean — the ingestion-monitoring alarm ("this source's
+    * volume spiked/dropped") a pipeline runs per feed.
+    *
+    * The z-test is evaluated WITHOUT sqrt or any float: with H
+    * buckets, total S and sum of squares SS for a key,
+    *   |c − μ| > z·σ  ⟺  (c·H − S)² > z²·(H·SS − S²)
+    * — pure integer arithmetic, so the flag set is bit-identical in
+    * any engine and under any partitioning. (Long overflow bound:
+    * c·H < 2^31 keeps the square exact — per-key hourly counts up to
+    * ~2e9·hours⁻¹; beyond that move the comparison onto DECIMAL.)
+    *
+    * Scale: one map-side-combined (key, hour) count, one key-level
+    * re-aggregation (bucket-count-sized), one broadcastable join
+    * back. No windows at all.
+    */
+  def anomalousCounts(
+      df: DataFrame, keyCol: String, tsCol: String, z: Int = 2)
+      : DataFrame = {
+    require(z > 0, s"z: $z")
+    val counts = df
+      .groupBy(col(keyCol), window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol),
+        unix_timestamp(col("window.start")).as("hour_start"), col("n"))
+    val stats = counts.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__h"), sum(col("n")).as("__s"),
+        sum(col("n") * col("n")).as("__ss"))
+    val dev = col("n") * col("__h") - col("__s")
+    counts.join(broadcast(stats), keyCol)
+      .filter(dev * dev >
+        lit(z.toLong * z) * (col("__h") * col("__ss") - col("__s") * col("__s")))
+      .select(col(keyCol), col("hour_start"), col("n"),
+        when(dev > 0, "high").otherwise("low").as("side"))
+  }
 }

@@ -746,6 +746,38 @@ object EventQueries {
         FROM events
         GROUP BY user_id
         ORDER BY user_id
+      """)),
+
+    // Ingestion-volume anomaly alarm: hourly buckets more than 2σ
+    // from their event type's own mean, z-tested in pure integer
+    // arithmetic — (c·H−S)² > 4·(H·SS−S²), no sqrt, no float — so
+    // the flag set is engine- and partitioning-exact (TimeSeries
+    // .anomalousCounts scaladoc).
+    QueryDef(
+      "q_event_anomaly",
+      (s, dir) =>
+        graft.operators.TimeSeries.anomalousCounts(
+            Tables.events(s, dir), "event_type", "ts", z = 2)
+          .orderBy(col("event_type"), col("hour_start")),
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                   AS hour_start,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, count(*) AS h,
+                 CAST(sum(n) AS BIGINT) AS s,
+                 CAST(sum(n * n) AS BIGINT) AS ss
+          FROM c GROUP BY 1)
+        SELECT c.event_type, c.hour_start, c.n,
+               CASE WHEN c.n * st.h - st.s > 0 THEN 'high'
+                    ELSE 'low' END AS side
+        FROM c JOIN st USING (event_type)
+        WHERE (c.n * st.h - st.s) * (c.n * st.h - st.s)
+              > 4 * (st.h * st.ss - st.s * st.s)
+        ORDER BY c.event_type, c.hour_start
       """))
   )
 }

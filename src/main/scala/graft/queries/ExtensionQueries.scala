@@ -3170,6 +3170,52 @@ object ExtensionQueries {
         GROUP BY 1, 2, 3
         HAVING count(*) < 3
         ORDER BY c_nationkey, c_mktsegment, bal_band
+      """)),
+
+    // Annotator agreement: Cohen's κ of the NB classifier against
+    // the true lang label on the held-out fifth — the
+    // chance-corrected label-quality gate (Agreement scaladoc).
+    // Integer numerators/denominators end-to-end; the single κ
+    // division rounds the same exact double in both engines.
+    QueryDef(
+      "q_cohens_kappa",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        val model = graft.operators.NaiveBayes.fit(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
+        val labeled = graft.operators.NaiveBayes
+          .classify(model, test, "doc_id", "text")
+          .join(test.select(col("doc_id"), col("lang").as("actual")),
+            "doc_id")
+        graft.operators.Agreement.cohensKappa(labeled, "pred", "actual")
+      },
+      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}," +
+        """
+        pairs AS (
+          SELECT b.label AS pa, te.lang AS pb, count(*) AS c
+          FROM best b JOIN te USING (doc_id)
+          WHERE b.rn = 1
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN pa = pb THEN c ELSE 0 END) AS BIGINT)
+                   AS agree
+          FROM pairs),
+        rt AS (SELECT pa AS l, CAST(sum(c) AS BIGINT) AS ra
+               FROM pairs GROUP BY 1),
+        ct AS (SELECT pb AS l, CAST(sum(c) AS BIGINT) AS rb
+               FROM pairs GROUP BY 1),
+        pe AS (SELECT CAST(COALESCE(sum(ra * rb), 0) AS BIGINT) AS p
+               FROM rt JOIN ct USING (l))
+        SELECT tot.n, tot.agree,
+               CAST((tot.agree * 1000000) // tot.n AS BIGINT) AS po_ppm,
+               CAST((pe.p * 1000000) // (tot.n * tot.n) AS BIGINT)
+                 AS pe_ppm,
+               CAST(ROUND(CAST(tot.n * tot.agree - pe.p AS DOUBLE)
+                          / CAST(tot.n * tot.n - pe.p AS DOUBLE)
+                          * 1000000.0) AS BIGINT) AS kappa_ppm
+        FROM tot CROSS JOIN pe
       """))
   )
 
