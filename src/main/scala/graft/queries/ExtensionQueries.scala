@@ -3216,6 +3216,58 @@ object ExtensionQueries {
                           / CAST(tot.n * tot.n - pe.p AS DOUBLE)
                           * 1000000.0) AS BIGINT) AS kappa_ppm
         FROM tot CROSS JOIN pe
+      """)),
+
+    // Feed-overlap governance: exact shingle-set Jaccard BETWEEN
+    // SOURCES — "are two feeds scraping the same sites?" — by
+    // re-keying the existing inverted-index Jaccard kernel on source
+    // instead of doc (the corpus aggregates to |sources| shingle
+    // sets; the pair join is source-pair-bounded).
+    QueryDef(
+      "q_source_overlap",
+      (s, dir) =>
+        // distinct: a shingle repeated across a source's docs must
+        // count once in the source's SET (per-doc shingleSets are
+        // doc-distinct, not source-distinct)
+        Dedup.jaccardPairs(
+            Dedup.shingleSets(
+              Tables.documents(s, dir).select(col("source"),
+                TextFunctions.splitWords(col("text")).as("tokens")),
+              "source", "tokens", 3).distinct(),
+            minJaccard = 0.03)
+          .select(col("id_a").as("src_a"), col("id_b").as("src_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("src_a"), col("src_b")),
+      Some(s"""
+        WITH words AS (
+          SELECT source, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 doc_id
+          FROM documents),
+        sh0 AS (
+          SELECT source,
+                 word || ' ' || lead(word, 1) OVER w || ' '
+                   || lead(word, 2) OVER w AS shingle
+          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        grams AS (
+          SELECT DISTINCT source, shingle FROM sh0
+          WHERE shingle IS NOT NULL),
+        sizes AS (SELECT source, count(*) n FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b, count(*) i
+          FROM grams a
+          JOIN grams b ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY 1, 2),
+        j AS (
+          SELECT src_a, src_b,
+                 CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                   AS jac
+          FROM inter
+          JOIN sizes sa ON sa.source = src_a
+          JOIN sizes sb ON sb.source = src_b)
+        SELECT src_a, src_b, ROUND(jac, 6) AS jaccard
+        FROM j WHERE jac >= 0.03
+        ORDER BY src_a, src_b
       """))
   )
 
