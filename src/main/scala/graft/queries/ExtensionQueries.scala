@@ -3268,6 +3268,45 @@ object ExtensionQueries {
         SELECT src_a, src_b, ROUND(jac, 6) AS jaccard
         FROM j WHERE jac >= 0.03
         ORDER BY src_a, src_b
+      """)),
+
+    // Winsorized per-group price stats: clip to the group's own
+    // [p05, p95] then average — the robust-mean treatment for
+    // heavy-tailed metrics. Percentile boundaries snap straight to
+    // the integer micro lattice; everything downstream is integer
+    // (RobustStats scaladoc).
+    QueryDef(
+      "q_winsorize",
+      (s, dir) =>
+        graft.operators.RobustStats.winsorizedMean(
+            Tables.lineitem(s, dir)
+              .select(col("l_returnflag"), col("l_extendedprice")),
+            "l_returnflag", "l_extendedprice", 0.05, 0.95)
+          .orderBy(col("l_returnflag")),
+      Some("""
+        WITH b AS (
+          SELECT l_returnflag,
+                 CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                   0.05) * 1000000.0) AS BIGINT) AS lo_micro,
+                 CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
+                   0.95) * 1000000.0) AS BIGINT) AS hi_micro
+          FROM lineitem GROUP BY 1),
+        v AS (
+          SELECT l.l_returnflag, b.lo_micro, b.hi_micro,
+                 CAST(l.l_extendedprice * 1000000 AS BIGINT) AS x,
+                 GREATEST(b.lo_micro, LEAST(b.hi_micro,
+                   CAST(l.l_extendedprice * 1000000 AS BIGINT))) AS cv
+          FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag)
+        SELECT l_returnflag, count(*) AS n, lo_micro, hi_micro,
+               CAST(sum(CASE WHEN x < lo_micro THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_lo,
+               CAST(sum(CASE WHEN x > hi_micro THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_hi,
+               CAST(CAST(sum(cv) AS HUGEINT) // count(*) AS BIGINT)
+                 AS wmean_micro
+        FROM v
+        GROUP BY l_returnflag, lo_micro, hi_micro
+        ORDER BY l_returnflag
       """))
   )
 

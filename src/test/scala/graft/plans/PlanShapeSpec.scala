@@ -129,7 +129,7 @@ class PlanShapeSpec extends SparkSuite {
       "q_modal_align", "q_key_skew", "q_compaction_plan",
       "q_dedup_containment", "q_tokenizer_fertility", "q_apply_changes",
       "q_eval_allocation", "q_k_anonymity", "q_event_anomaly",
-      "q_source_overlap")
+      "q_source_overlap", "q_winsorize")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
