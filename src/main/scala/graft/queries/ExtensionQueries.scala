@@ -3307,6 +3307,69 @@ object ExtensionQueries {
         FROM v
         GROUP BY l_returnflag, lo_micro, hi_micro
         ORDER BY l_returnflag
+      """)),
+
+    // Greedy token-budget selection via the distributed prefix-sum
+    // primitive: take documents in quality order until 10k BPE
+    // tokens are spent. `prefix < budget` IS the greedy take — the
+    // GlobalScan two-pass scan replaces the single-partition
+    // SUM OVER (ORDER BY) cliff, and the oracle replays that naive
+    // window, proving the scale-safe plan computes the identical
+    // scan (the GlobalIds verification pattern, lifted to values).
+    QueryDef(
+      "q_budget_select",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          round(TextAnalysis.qualityScore(col("text")) * lit(1e6))
+            .cast("long").as("q_micro"),
+          TextAnalysis.bpeTokenEstimate(col("text")).cast("long")
+            .as("toks"))
+          .withColumn("neg_q", negate(col("q_micro")))
+        graft.operators.GlobalScan
+          .withPrefixSum(d, Seq("neg_q", "doc_id"), "toks", "prefix")
+          .filter(col("prefix") < 10000)
+          .select(col("doc_id"), col("q_micro"), col("toks"),
+            col("prefix"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH parts AS (
+          SELECT doc_id,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                   AS len_score,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                   AS diversity,
+                 abs(CAST(len(list_filter(string_split(text, ' '),
+                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4)
+                   AS stop_penalty,
+                 CAST(length(text) - length(regexp_replace(text,
+                   '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+                 CAST(ROUND(ROUND(len_score * 0.3 + diversity * 0.3 +
+                   (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6)
+                   * 1000000.0) AS BIGINT) AS q_micro
+          FROM parts),
+        d AS (
+          SELECT q.doc_id, q.q_micro,
+                 CAST(len(regexp_extract_all(text,
+                   '${TextAnalysis.bpePattern.replace("'", "''")}'))
+                   AS BIGINT) AS toks
+          FROM q JOIN documents USING (doc_id)),
+        p AS (
+          SELECT doc_id, q_micro, toks,
+                 CAST(COALESCE(SUM(toks) OVER (
+                   ORDER BY q_micro DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS prefix
+          FROM d)
+        SELECT doc_id, q_micro, toks, prefix
+        FROM p WHERE prefix < 10000
+        ORDER BY doc_id
       """))
   )
 
