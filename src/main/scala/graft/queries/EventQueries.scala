@@ -778,6 +778,37 @@ object EventQueries {
         WHERE (c.n * st.h - st.s) * (c.n * st.h - st.s)
               > 4 * (st.h * st.ss - st.s * st.s)
         ORDER BY c.event_type, c.hour_start
+      """)),
+
+    // The SAME alarm with the counts accumulated by a watermarked
+    // streaming window aggregation — identical flag set by
+    // construction (integer z-test over the materialized counts), so
+    // it shares q_event_anomaly's batch oracle.
+    QueryDef(
+      "q_stream_anomaly",
+      (s, dir) =>
+        graft.streaming.StreamingOps
+          .anomalousCountStream(s, s"$dir/events.parquet", z = 2)
+          .orderBy(col("event_type"), col("hour_start")),
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                   AS hour_start,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, count(*) AS h,
+                 CAST(sum(n) AS BIGINT) AS s,
+                 CAST(sum(n * n) AS BIGINT) AS ss
+          FROM c GROUP BY 1)
+        SELECT c.event_type, c.hour_start, c.n,
+               CASE WHEN c.n * st.h - st.s > 0 THEN 'high'
+                    ELSE 'low' END AS side
+        FROM c JOIN st USING (event_type)
+        WHERE (c.n * st.h - st.s) * (c.n * st.h - st.s)
+              > 4 * (st.h * st.ss - st.s * st.s)
+        ORDER BY c.event_type, c.hour_start
       """))
   )
 }

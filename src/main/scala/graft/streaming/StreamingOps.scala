@@ -549,6 +549,51 @@ object StreamingOps {
       col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** Streaming twin of [[graft.operators.TimeSeries.anomalousCounts]]:
+    * the hourly per-type counts accumulate as a watermarked streaming
+    * window aggregation (the q_stream_events plan), and the
+    * integer z-test — (c·H−S)² > z²·(H·SS−S²), no sqrt, no float —
+    * evaluates over the materialized counts, so the alarm set is
+    * identical to the batch path by construction. In production the
+    * per-key stats would refresh on a cadence (they are
+    * H-buckets-sized, not stream-sized); here they derive from the
+    * same completed aggregation the memory sink holds.
+    */
+  def anomalousCountStream(
+      spark: SparkSession,
+      path: String,
+      z: Int = 2,
+      watermark: String = "1 hour"): DataFrame = {
+    require(z > 0, s"z: $z")
+    val stream = readEventStream(spark, path)
+    val agg = windowedCounts(stream, watermark)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // every column re-aliased: the memory-sink view hands out FIXED
+    // attribute ids (with watermark metadata), so a frame joined with
+    // its own aggregate trips conflicting-reference resolution unless
+    // each read mints fresh exprIds
+    def countsFrom: DataFrame = spark.table(name).select(
+      col("event_type").as("event_type"),
+      unix_timestamp(col("window.start")).as("hour_start"),
+      col("n").as("n"))
+    val counts = countsFrom
+    val stats = countsFrom.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__h"), sum(col("n")).as("__s"),
+        sum(col("n") * col("n")).as("__ss"))
+    val dev = col("n") * col("__h") - col("__s")
+    counts.join(broadcast(stats), "event_type")
+      .filter(dev * dev >
+        lit(z.toLong * z) *
+          (col("__h") * col("__ss") - col("__s") * col("__s")))
+      .select(col("event_type"), col("hour_start"), col("n"),
+        when(dev > 0, "high").otherwise("low").as("side"))
+  }
+
   /** Per-user session statistics with a fixed inactivity gap, kept as
     * streaming state (`mapGroupsWithState`). State per user is only
     * (last ts, counts) — bounded, timeout-evictable in production.
