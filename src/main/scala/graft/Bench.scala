@@ -86,7 +86,7 @@ object Bench {
     */
   private val heavy: Set[String] = Set(
     "q_dedup_groups", "q_dedup_spans", "q_pack_sequences",
-    "q_dedup_embedding")
+    "q_dedup_embedding", "q_curate")
 
   /** Fixed single-thread spin (~0.2 s on a calm modern core); the
     * wall-time in ms is the contention gauge.
