@@ -43,6 +43,60 @@ object RangeJoin {
       broadcast(intervals),
       col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
 
+  /** Interval × interval overlap join (both sides large): match every
+    * left interval `[lLo, lHi]` to every right interval `[rLo, rHi]`
+    * with `lLo <= rHi AND rLo <= lHi` (CLOSED-interval overlap — the
+    * session-span / genomics convention, unlike the half-open
+    * point-in-interval banding above). Declaratively this is a pure
+    * inequality join, which Spark plans as a cartesian product — fatal
+    * when both sides are large.
+    *
+    * Grid blocking turns it into an equi-join: each interval
+    * replicates into every fixed-width bucket it touches (explode over
+    * `sequence`), candidates meet on bucket id, and the exact overlap
+    * predicate filters residuals. A genuinely overlapping pair shares
+    * EVERY bucket in the overlap region, so to emit it exactly once
+    * without a distinct (which would be a second pair-sized shuffle),
+    * the join keeps a pair only in the FIRST bucket both sides occupy:
+    * `bucket == max(floor(lLo/w), floor(rLo/w))`. One shuffle keyed by
+    * bucket; replication factor = avg interval width / bucketWidth.
+    * Pick `bucketWidth` near the typical interval length: too narrow
+    * replicates wide intervals heavily, too wide piles unrelated
+    * intervals into the same bucket (fan-in → per-bucket mini
+    * cartesian). Skewed hot buckets (rush hour) are bounded by that
+    * fan-in choice; AQE's skew-join split handles the rest.
+    *
+    * Output: all left columns + all right columns (names must not
+    * collide — rename upstream). Null or inverted (`lo > hi`) bounds
+    * never match.
+    */
+  def bucketedIntervalOverlap(
+      left: DataFrame,
+      lLoCol: String,
+      lHiCol: String,
+      right: DataFrame,
+      rLoCol: String,
+      rHiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    Reserved.check("left" -> left, "right" -> right)
+    val w = lit(bucketWidth)
+    def buckets(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.where(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+        .withColumn("__lb", floor(col(lo).cast("double") / w).cast("long"))
+        .withColumn("__b",
+          explode(sequence(col("__lb"),
+            floor(col(hi).cast("double") / w).cast("long"))))
+    val l = buckets(left, lLoCol, lHiCol)
+      .withColumnRenamed("__lb", "__lbl")
+    val r = buckets(right, rLoCol, rHiCol)
+      .withColumnRenamed("__lb", "__lbr")
+    l.join(r, Seq("__b"))
+      .where(col(lLoCol) <= col(rHiCol) && col(rLoCol) <= col(lHiCol) &&
+        col("__b") === greatest(col("__lbl"), col("__lbr")))
+      .drop("__b", "__lbl", "__lbr")
+  }
+
   /** Large interval side: bucketed equi-join. `bucketWidth` is in the
     * units of the range domain (cast to double); intervals wider than
     * ~1000× bucketWidth will replicate heavily — pick a width near

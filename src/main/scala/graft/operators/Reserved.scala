@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 
 /** The join operators stage internal temp columns under a reserved
   * `__` prefix (`__k`, `__t`, `__side`, `__p`, `__match`,
-  * `__matched_t`, `__salt`, `__b`, `__tl`, `__mt`). An input already
+  * `__matched_t`, `__salt`, `__b`, `__tl`, `__mt`, `__lb`, `__g`,
+  * `__t`, `__w`). An input already
   * carrying such a name would produce a confusing ambiguous-reference
   * analysis error — or, worse, silently resolve to the wrong column —
   * so every operator rejects it eagerly with a named error.

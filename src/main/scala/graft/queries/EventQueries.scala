@@ -809,6 +809,113 @@ object EventQueries {
         WHERE (c.n * st.h - st.s) * (c.n * st.h - st.s)
               > 4 * (st.h * st.ss - st.s * st.s)
         ORDER BY c.event_type, c.hour_start
+      """)),
+
+    // Interval × interval overlap join: concurrent-session pairs
+    // across the user-population split (users < 75 vs >= 75), session
+    // spans from the 1800 s gap rule. Declaratively this is a pure
+    // inequality join (cartesian plan); RangeJoin.bucketedIntervalOverlap
+    // grid-blocks both sides into 1-hour buckets and emits each pair
+    // in its first shared bucket — one bucket-keyed shuffle, no
+    // distinct pass. Oracle runs the naive theta join.
+    QueryDef(
+      "q_interval_join",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        val spans = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .withColumn("pus", lag(col("us"), 1).over(w))
+          .withColumn("brk",
+            when(col("pus").isNull ||
+              col("us") - col("pus") > 1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("brk")).over(w))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("us")).as("st"), max(col("us")).as("en"))
+        val a = spans.filter(col("user_id") < 75)
+          .select(col("user_id").as("a_user"), col("sid").as("a_sid"),
+            col("st").as("a_st"), col("en").as("a_en"))
+        val b = spans.filter(col("user_id") >= 75)
+          .select(col("user_id").as("b_user"), col("sid").as("b_sid"),
+            col("st").as("b_st"), col("en").as("b_en"))
+        RangeJoin.bucketedIntervalOverlap(
+            a, "a_st", "a_en", b, "b_st", "b_en",
+            bucketWidth = 3600e6)
+          .select(col("a_user"), col("a_sid"), col("b_user"), col("b_sid"),
+            (least(col("a_en"), col("b_en")) -
+              greatest(col("a_st"), col("b_st"))).as("overlap_us"))
+          .orderBy(col("a_user"), col("a_sid"), col("b_user"), col("b_sid"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        d AS (
+          SELECT user_id, us,
+                 lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus
+          FROM e),
+        m AS (
+          SELECT user_id, us,
+                 CASE WHEN pus IS NULL OR us - pus > 1800000000
+                      THEN 1 ELSE 0 END AS brk
+          FROM d),
+        ss AS (
+          SELECT user_id, us,
+                 CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us)
+                      AS BIGINT) AS sid
+          FROM m),
+        spans AS (
+          SELECT user_id, sid, min(us) AS st, max(us) AS en
+          FROM ss GROUP BY 1, 2)
+        SELECT a.user_id AS a_user, a.sid AS a_sid,
+               b.user_id AS b_user, b.sid AS b_sid,
+               CAST(least(a.en, b.en) - greatest(a.st, b.st) AS BIGINT)
+                 AS overlap_us
+        FROM spans a JOIN spans b
+          ON a.user_id < 75 AND b.user_id >= 75
+         AND a.st <= b.en AND b.st <= a.en
+        ORDER BY a_user, a_sid, b_user, b_sid
+      """)),
+
+    // Event-path mining: per-user ordered event-type trigrams (the
+    // Markov-chain / user-journey kernel), counted corpus-wide, top
+    // 25 by (n desc, path asc) — deterministic through the tie group
+    // the cut splits. One window exchange keyed by user, one
+    // path-keyed aggregation, bounded TakeOrdered final.
+    QueryDef(
+      "q_session_paths",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("event_type"))
+          .withColumn("t1", lead(col("event_type"), 1).over(w))
+          .withColumn("t2", lead(col("event_type"), 2).over(w))
+          .where(col("t1").isNotNull && col("t2").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+            .as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path"))
+          .limit(25)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+          FROM events),
+        p AS (
+          SELECT event_type,
+                 lead(event_type, 1) OVER w AS t1,
+                 lead(event_type, 2) OVER w AS t2
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        paths AS (
+          SELECT event_type || '>' || t1 || '>' || t2 AS path
+          FROM p WHERE t1 IS NOT NULL AND t2 IS NOT NULL)
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM paths GROUP BY 1
+        ORDER BY n DESC, path LIMIT 25
       """))
   )
 }

@@ -3370,6 +3370,113 @@ object ExtensionQueries {
         SELECT doc_id, q_micro, toks, prefix
         FROM p WHERE prefix < 10000
         ORDER BY doc_id
+      """)),
+
+    // Fuzzy (edit-distance) self-join over the part-name domain —
+    // entity resolution's candidate-generate/verify kernel. The
+    // operator blocks on positional q-grams (Gravano-count filter)
+    // before any levenshtein evaluates; with every name >= q·(k+1)
+    // chars the blocked result EQUALS the naive cross join, which is
+    // exactly what the oracle runs (DuckDB and Spark both ship
+    // unit-cost levenshtein built-ins).
+    QueryDef(
+      "q_fuzzy_join",
+      (s, dir) => {
+        import graft.operators.FuzzyJoin
+        FuzzyJoin.similarPairs(
+            Tables(s, dir, "part").select(col("p_name")), "p_name",
+            maxDist = 2)
+          .orderBy(col("name_a"), col("name_b"))
+      },
+      Some("""
+        WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+        SELECT a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        FROM n a JOIN n b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 2
+        ORDER BY name_a, name_b
+      """)),
+
+    // Corpus-frequency boilerplate stripping (the C4 repeated-line
+    // rule, block-tiled for line-less token streams): 4-token tiles
+    // seen in >= 3 distinct docs are removed everywhere, documents
+    // reassembled in order. Oracle replays tile → docfreq → mark →
+    // ordered string_agg.
+    QueryDef(
+      "q_boilerplate",
+      (s, dir) => {
+        import graft.operators.Boilerplate
+        Boilerplate.stripFrequentBlocks(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            "doc_id", "text", blockSize = 4, minDf = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        b AS (
+          SELECT doc_id, CAST((pos - 1) // 4 AS BIGINT) AS bidx,
+                 string_agg(word, ' ' ORDER BY pos) AS blk
+          FROM w GROUP BY 1, 2),
+        df AS (SELECT blk, count(DISTINCT doc_id) AS df FROM b GROUP BY 1),
+        m AS (
+          SELECT b.doc_id, b.bidx, b.blk, df.df >= 3 AS boiler
+          FROM b JOIN df USING (blk))
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS blocks_total,
+               CAST(count(CASE WHEN boiler THEN 1 END) AS BIGINT)
+                 AS blocks_removed,
+               COALESCE(string_agg(CASE WHEN NOT boiler THEN blk END,
+                                   ' ' ORDER BY bidx), '') AS clean_text
+        FROM m GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // DSIR importance weights (target slice = source 'src0'): top-100
+    // raw docs by add-one-smoothed unigram log-likelihood ratio
+    // log10 p_target/p_raw, 9-dp per-word lattice, exact DECIMAL
+    // per-doc sums, 6-dp weight edge — ties at the cut break on
+    // doc_id in both engines.
+    QueryDef(
+      "q_dsir_weights",
+      (s, dir) => {
+        import graft.operators.Dsir
+        Dsir.importanceWeights(
+            Tables.documents(s, dir)
+              .select(col("doc_id"), col("text"), col("source")),
+            "doc_id", "text", col("source") === "src0")
+          .orderBy(col("weight").desc, col("doc_id"))
+          .limit(100)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source = 'src0' AS t,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        counts AS (
+          SELECT w, count(*) AS rc,
+                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tc
+          FROM toks GROUP BY 1),
+        tot AS (
+          SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+                 CAST(sum(tc) AS BIGINT) AS ttot,
+                 count(*) AS v
+          FROM counts),
+        ratios AS (
+          SELECT w, ROUND(
+                   log10(CAST(tc + 1 AS DOUBLE) / CAST(ttot + v AS DOUBLE))
+                   - log10(CAST(rc + 1 AS DOUBLE) / CAST(rtot + v AS DOUBLE)),
+                   9) AS lr
+          FROM counts, tot),
+        d AS (
+          SELECT t.doc_id, count(*) AS n_tokens,
+                 ROUND(CAST(sum(CAST(r.lr AS DECIMAL(38,12))) AS DOUBLE), 6)
+                   AS weight
+          FROM toks t JOIN ratios r ON r.w = t.w
+          GROUP BY 1)
+        SELECT doc_id, n_tokens, weight FROM d
+        ORDER BY weight DESC, doc_id LIMIT 100
       """))
   )
 
