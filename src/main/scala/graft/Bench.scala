@@ -79,7 +79,11 @@ object Bench {
     "q_dedup_containment", "q_tokenizer_fertility", "q_stream_classify",
     "q_apply_changes", "q_eval_allocation", "q_k_anonymity",
     "q_event_anomaly", "q_cohens_kappa", "q_source_overlap",
-    "q_winsorize", "q_budget_select", "q_stream_anomaly")
+    "q_winsorize", "q_budget_select", "q_stream_anomaly",
+    // round-9 additions: fuzzy matching, boilerplate strip, DSIR
+    // selection, interval overlap, journey mining
+    "q_fuzzy_join", "q_boilerplate", "q_dsir_weights",
+    "q_interval_join", "q_session_paths")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

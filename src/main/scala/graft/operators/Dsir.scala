@@ -71,8 +71,14 @@ object Dsir {
               (col("__rtot") + col("__v")).cast("double")),
           9).as("__lr"))
 
+    // Broadcast the MODEL, not the corpus: without the hint the
+    // static planner may pick the token stream as the build side
+    // (aggregate-derived stats are unreliable), which inverts
+    // fatally at scale. The ratio table is vocabulary-sized; the
+    // published method bounds it by construction (hashed features),
+    // so the broadcast is safe.
     toks
-      .join(ratios, Seq("__w"))
+      .join(broadcast(ratios), Seq("__w"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(

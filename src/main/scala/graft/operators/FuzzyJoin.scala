@@ -86,9 +86,17 @@ object FuzzyJoin {
         greatest(length(col("name_a")), length(col("name_b")))
           - lit(q - 1) - lit(maxDist * q))
 
+    // The `when` guard ties the distance expression to the aggregate
+    // output column: a bare levenshtein predicate here references only
+    // grouping keys, and Catalyst would push it below the aggregate
+    // into the gram join — evaluating the verify once per shared-gram
+    // OCCURRENCE (before the count filter) instead of once per
+    // surviving pair. `__shared >= 0` is vacuously true but not
+    // foldable, so the verify stays where the algorithm wants it.
     candidates
       .select(col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("dist"))
+        when(col("__shared") >= 0,
+          levenshtein(col("name_a"), col("name_b"))).as("dist"))
       .where(col("dist") <= maxDist)
   }
 }
