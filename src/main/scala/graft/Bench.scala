@@ -83,7 +83,8 @@ object Bench {
     // round-9 additions: fuzzy matching, boilerplate strip, DSIR
     // selection, interval overlap, journey mining
     "q_fuzzy_join", "q_boilerplate", "q_dsir_weights",
-    "q_interval_join", "q_session_paths")
+    "q_interval_join", "q_session_paths",
+    "q_triangles", "q_feature_mi", "q_rolling_features")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

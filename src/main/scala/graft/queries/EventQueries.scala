@@ -916,6 +916,47 @@ object EventQueries {
         SELECT path, CAST(count(*) AS BIGINT) AS n
         FROM paths GROUP BY 1
         ORDER BY n DESC, path LIMIT 25
+      """)),
+
+    // Rolling-window feature backfill (training-feature engineering):
+    // per-user ROWS-frame rolling mean/max over the trailing 5 events
+    // plus the lag delta — one window exchange serves all three. The
+    // frame sum rides DECIMAL(18,2) so accumulation order can't
+    // perturb the 6-dp mean; max and the lag subtraction are
+    // order-safe doubles.
+    QueryDef(
+      "q_rolling_features",
+      (s, dir) => {
+        val wo = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val w5 = wo.rowsBetween(-4, 0)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            round(sum(col("value").cast(DecimalType(18, 2))).over(w5)
+              .cast("double") / count(lit(1)).over(w5), 6)
+              .as("roll_avg5"),
+            max(col("value")).over(w5).as("roll_max5"),
+            (col("value") - lag(col("value"), 1).over(wo)).as("delta"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+          FROM events)
+        SELECT event_id, user_id, value,
+               ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w5
+                          AS DOUBLE) / (count(*) OVER w5), 6)
+                 AS roll_avg5,
+               max(value) OVER w5 AS roll_max5,
+               value - lag(value) OVER wo AS delta
+        FROM e
+        WINDOW wo AS (PARTITION BY user_id ORDER BY us, event_id),
+               w5 AS (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
       """))
   )
 }

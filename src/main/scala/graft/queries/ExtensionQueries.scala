@@ -3477,6 +3477,110 @@ object ExtensionQueries {
           GROUP BY 1)
         SELECT doc_id, n_tokens, weight FROM d
         ORDER BY weight DESC, doc_id LIMIT 100
+      """)),
+
+    // Triangle enumeration over the exact kNN-3 similarity graph —
+    // the community-density measure for embedding-space cluster
+    // audits. The operator orients edges by (degree, id) so each
+    // triangle survives as exactly one wedge + closing edge (out-
+    // degree bounded by O(√m)); the oracle enumerates the same set
+    // from the id-ordered edge list, where each triangle also
+    // appears exactly once.
+    QueryDef(
+      "q_triangles",
+      (s, dir) => {
+        import graft.operators.Triangles
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.bruteForceTopK(
+          emb, emb, "vec_id", "embedding", 3)
+        Triangles.enumerate(
+            knn.select(col("query_id").as("src"),
+              col("neighbor_id").as("dst")),
+            "src", "dst")
+          .orderBy(col("a"), col("b"), col("c"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS d
+          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT qa, qb, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
+          FROM dots
+          JOIN norms na ON na.vec_id = qa
+          JOIN norms nb ON nb.vec_id = qb),
+        ranked AS (
+          SELECT qa, qb,
+                 ROW_NUMBER() OVER (PARTITION BY qa
+                                    ORDER BY cos DESC, qb) AS rn
+          FROM scored),
+        e AS (
+          SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
+          FROM ranked WHERE rn <= 3)
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM e e1
+        JOIN e e2 ON e2.id_a = e1.id_b
+        JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        ORDER BY a, b, c
+      """)),
+
+    // Mutual-information term ranking against the language label —
+    // supervised feature selection over the presence/class
+    // contingency grid (absent cells included via the vocab × class
+    // cross join). 9-dp cell lattice, DECIMAL per-term interior,
+    // 6-dp edge; top 40 by (mi desc, term asc).
+    QueryDef(
+      "q_feature_mi",
+      (s, dir) => {
+        import graft.operators.FeatureSelection
+        FeatureSelection.mutualInformation(
+            Tables.documents(s, dir)
+              .select(col("doc_id"), col("text"), col("lang")),
+            "doc_id", "text", "lang")
+          .orderBy(col("mi").desc, col("term"))
+          .limit(40)
+      },
+      Some("""
+        WITH pres AS (
+          SELECT DISTINCT doc_id, c, w FROM (
+            SELECT doc_id, lang AS c,
+                   unnest(string_split(text, ' ')) AS w
+            FROM documents)),
+        nn AS (SELECT count(*) AS n FROM documents),
+        bc AS (SELECT lang AS c, count(*) AS nc FROM documents GROUP BY 1),
+        bt AS (SELECT w, count(DISTINCT doc_id) AS nt FROM pres GROUP BY 1),
+        btc AS (
+          SELECT w, c, count(DISTINCT doc_id) AS ntc
+          FROM pres GROUP BY 1, 2),
+        grid AS (
+          SELECT bt.w, bt.nt, bc.c, bc.nc,
+                 COALESCE(btc.ntc, 0) AS ntc, nn.n
+          FROM bt CROSS JOIN bc
+          LEFT JOIN btc ON btc.w = bt.w AND btc.c = bc.c
+          CROSS JOIN nn),
+        cells AS (
+          SELECT w, nt, CAST(
+            (CASE WHEN ntc > 0 THEN
+               ROUND((CAST(ntc AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 log10((CAST(ntc AS DOUBLE) * CAST(n AS DOUBLE)) /
+                       (CAST(nt AS DOUBLE) * CAST(nc AS DOUBLE))), 9)
+             ELSE 0.0 END
+             +
+             CASE WHEN nc - ntc > 0 THEN
+               ROUND((CAST(nc - ntc AS DOUBLE) / CAST(n AS DOUBLE)) *
+                 log10((CAST(nc - ntc AS DOUBLE) * CAST(n AS DOUBLE)) /
+                       (CAST(n - nt AS DOUBLE) * CAST(nc AS DOUBLE))), 9)
+             ELSE 0.0 END) AS DECIMAL(38,12)) AS mi_c
+          FROM grid)
+        SELECT w AS term, CAST(nt AS BIGINT) AS n_docs_with,
+               ROUND(CAST(sum(mi_c) AS DOUBLE), 6) AS mi
+        FROM cells GROUP BY 1, 2
+        ORDER BY mi DESC, term LIMIT 40
       """))
   )
 
