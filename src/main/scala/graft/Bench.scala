@@ -84,7 +84,11 @@ object Bench {
     // selection, interval overlap, journey mining
     "q_fuzzy_join", "q_boilerplate", "q_dsir_weights",
     "q_interval_join", "q_session_paths",
-    "q_triangles", "q_feature_mi", "q_rolling_features")
+    "q_triangles", "q_feature_mi", "q_rolling_features",
+    // round-9 additions: label propagation, nucleus truncation, rank
+    // normalization, attribution, debounce
+    "q_label_prop", "q_top_p", "q_rank_normalize",
+    "q_attribution", "q_debounce")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.
@@ -363,16 +367,46 @@ object Bench {
               None
           })))
 
+    // Milliseconds are plenty of precision; full doubles only bloat
+    // the line (the driver keeps a bounded tail of the output).
+    def fmt(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jmap(results.collect { case (k, Some(v)) => k -> v })
+      kv.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val done = results.collect { case (k, Some(v)) => k -> v }
     val total = results.flatMap(_._2).sum
     val failJson = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(done)},""" +
         s""""tree_stages":${jmap(treeStages)},""" +
         s""""calib":${jmap(perCalib)},"load":${jmap(perLoad)},""" +
-        s""""failures":$failJson,"calib_ms":$calibMs,"quiet_ms":$quietMs,"sf":"$sfDir"}""")
+        s""""failures":$failJson,"calib_ms":${fmt(calibMs)},"quiet_ms":${fmt(quietMs)},"sf":"$sfDir"}"""
+    // Full per-query detail: to a repo file + stderr. The driver's
+    // output tail is ~2000 chars, so the one stdout JSON line must stay
+    // well under that — a headline subset, with everything else in
+    // bench_full.json.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: $e") }
+    System.err.println(fullJson)
+    val compactKeys = Seq(
+      "q1_agg", "q_join_agg", "q_topk_orders", "q_top_words",
+      "q_pipeline_tokens", "q_tfidf", "q_dedup_minhash", "q_ann_topk",
+      "q_events_window", "q_sessions", "q_dedup_groups", "q_dedup_spans",
+      "q_pack_sequences", "q_dedup_embedding", "q_asof_join", "q_curate",
+      "q_bm25", "q_okcupid_tree")
+    val doneMap = done.toMap
+    val compact = compactKeys.collect {
+      case k if doneMap.contains(k) => k -> doneMap(k)
+    }
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""queries":${jmap(compact)},"n_queries":${done.size},""" +
+        s""""n_failures":${failures.size},"quiet_ms":${fmt(quietMs)},""" +
+        s""""sf":"$sfDir","detail":"bench_full.json"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

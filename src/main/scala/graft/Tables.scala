@@ -19,17 +19,29 @@ object Tables {
     apply(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "customer")
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps,
-    * which Spark rejects by default — read nanos as long and floor to
-    * microseconds (`ts div 1000`, integer division: double division
-    * would lose precision above 2^53). DuckDB's µs timestamps truncate
-    * identically, keeping the oracle aligned.
+  /** The events table's `ts` column has shipped in different parquet
+    * flavors across testdata generations — TIMESTAMP(NANOS) (which
+    * Spark rejects by default; read nanos as long and floor to µs with
+    * integer division — double division would lose precision above
+    * 2^53) and plain µs TIMESTAMP (sometimes NTZ). Normalize all of
+    * them to session-zone µs TimestampType so every downstream query
+    * and its DuckDB oracle (which truncates to µs identically) see the
+    * same values regardless of the generator's choice.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        // session tz is UTC everywhere in this engine, so the rebase
+        // is value-preserving
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     apply(spark, dir, "embeddings")

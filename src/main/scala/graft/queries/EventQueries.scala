@@ -957,6 +957,96 @@ object EventQueries {
                w5 AS (PARTITION BY user_id ORDER BY us, event_id
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         ORDER BY event_id
+      """)),
+
+    // Last-touch attribution: each purchase claims the same user's
+    // most recent strictly-earlier click/view (id, channel, and µs
+    // gap come from the SAME row because all three last_value frames
+    // share one total order). One user-keyed window exchange over the
+    // full stream, then the purchase filter — no self-join, so the
+    // 100-TB shape is a single shuffle keyed by the user.
+    QueryDef(
+      "q_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isTouch = col("event_type").isin("click", "view")
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("touch_event_id",
+            last(when(isTouch, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("touch_type",
+            last(when(isTouch, col("event_type")), ignoreNulls = true)
+              .over(w))
+          .withColumn("touch_us",
+            last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("touch_event_id"),
+            col("touch_type"),
+            (col("us") - col("touch_us")).as("gap_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        t AS (
+          SELECT event_id, user_id, event_type, us,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_id END IGNORE NULLS) OVER w
+                   AS touch_event_id,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN us END IGNORE NULLS) OVER w
+                   AS touch_us
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING))
+        SELECT event_id, user_id, touch_event_id, touch_type,
+               us - touch_us AS gap_us
+        FROM t WHERE event_type = 'purchase'
+        ORDER BY event_id
+      """)),
+
+    // Debounce: drop an event when the same user emitted the same
+    // event type within the trailing hour — the telemetry-retry /
+    // double-fire cleanup that runs before any funnel or attribution
+    // analysis. Pure lag comparison on the (user, type) window: one
+    // exchange, no state beyond a single predecessor row.
+    QueryDef(
+      "q_debounce",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev_us", lag(col("us"), 1).over(w))
+          .filter(col("prev_us").isNull ||
+            col("us") - col("prev_us") > lit(3600000000L))
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        l AS (
+          SELECT event_id, user_id, event_type, us,
+                 lag(us) OVER (PARTITION BY user_id, event_type
+                               ORDER BY us, event_id) AS prev_us
+          FROM e)
+        SELECT event_id, user_id, event_type
+        FROM l
+        WHERE prev_us IS NULL OR us - prev_us > 3600000000
+        ORDER BY event_id
       """))
   )
 }

@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.QueryDef.sqlList
 import graft.functions.{TextAnalysis, TextFunctions}
 import graft.operators.{CorpusMixing, CurationPipeline, Dedup, GlobalIds, SequencePacking, Similarity, UnigramLM}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline extension queries (beyond the reference's
@@ -3581,6 +3582,146 @@ object ExtensionQueries {
                ROUND(CAST(sum(mi_c) AS DOUBLE), 6) AS mi
         FROM cells GROUP BY 1, 2
         ORDER BY mi DESC, term LIMIT 40
+      """)),
+
+    // Semi-supervised label propagation: the vec_id%7 seed labels hop
+    // outward two rounds over the 5-cosine-NN graph (majority vote,
+    // votes desc / smallest-label tie-break; seeds immutable). The
+    // oracle unrolls both rounds over the identical edge list — edge
+    // build is the ANN surface's job (brute-force here, LSH/IVF at
+    // scale); the propagation itself joins k·|V| edges to a |V| label
+    // table per round, never touching vectors again.
+    QueryDef(
+      "q_label_prop",
+      (s, dir) => {
+        import graft.operators.LabelPropagation
+        LabelPropagation.propagate(
+            Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+            pmod(col("vec_id"), lit(7L)) === 0, 5, 2)
+          .orderBy(col("id"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (
+          SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS node_id, c.vec_id AS neighbor_id,
+                 sum(q.x * c.x) AS d
+          FROM dims q JOIN dims c ON q.i = c.i
+          WHERE q.vec_id <> c.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT node_id, neighbor_id,
+                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
+          FROM dots
+          JOIN norms nq ON nq.vec_id = node_id
+          JOIN norms nc ON nc.vec_id = neighbor_id),
+        edges AS (
+          SELECT node_id, neighbor_id FROM (
+            SELECT node_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY node_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                     AS rnk
+            FROM scored) WHERE rnk <= 5),
+        seeds AS (
+          SELECT vec_id AS id, label FROM embeddings WHERE vec_id % 7 = 0),
+        v1 AS (
+          SELECT e.node_id, s.label, count(*) AS votes
+          FROM edges e JOIN seeds s ON s.id = e.neighbor_id
+          GROUP BY 1, 2),
+        w1 AS (
+          SELECT node_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY node_id
+                                    ORDER BY votes DESC, label) AS rn
+          FROM v1),
+        l1 AS (
+          SELECT id, label, 'seed' AS origin FROM seeds
+          UNION ALL
+          SELECT node_id, label, 'iter1' FROM w1
+          WHERE rn = 1 AND node_id NOT IN (SELECT id FROM seeds)),
+        v2 AS (
+          SELECT e.node_id, l.label, count(*) AS votes
+          FROM edges e JOIN l1 l ON l.id = e.neighbor_id
+          GROUP BY 1, 2),
+        w2 AS (
+          SELECT node_id, label,
+                 ROW_NUMBER() OVER (PARTITION BY node_id
+                                    ORDER BY votes DESC, label) AS rn
+          FROM v2),
+        l2 AS (
+          SELECT id, label, origin FROM l1
+          UNION ALL
+          SELECT node_id, label, 'iter2' FROM w2
+          WHERE rn = 1 AND node_id NOT IN (SELECT id FROM l1))
+        SELECT emb.vec_id AS id, l.label,
+               COALESCE(l.origin, 'none') AS origin
+        FROM embeddings emb LEFT JOIN l2 l ON l.id = emb.vec_id
+        ORDER BY id
+      """)),
+
+    // Per-source nucleus (top-p) truncation: keep each source's
+    // biggest documents while the cumulative char mass stays under
+    // half the source's total — the sampling-temperature move applied
+    // to corpus pruning. Entirely integer arithmetic (2·cum < tot
+    // instead of a float share), so the keep set is exact in any
+    // engine; one window exchange keyed by source.
+    QueryDef(
+      "q_top_p",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("cum", sum(col("n_chars")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot",
+            sum(col("n_chars")).over(Window.partitionBy(col("source"))))
+          .filter((col("cum") - col("n_chars")) * 2 < col("tot"))
+          .select(col("source"), col("doc_id"), col("n_chars"), col("rnk"))
+          .orderBy(col("source"), col("rnk"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT source, doc_id, n_chars,
+                 ROW_NUMBER() OVER w AS rnk,
+                 SUM(n_chars) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum,
+                 SUM(n_chars) OVER (PARTITION BY source) AS tot
+          FROM documents
+          WINDOW w AS (PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id))
+        SELECT source, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
+        FROM r WHERE (cum - n_chars) * 2 < tot
+        ORDER BY source, rnk
+      """)),
+
+    // Per-source rank normalization: percent_rank (an exact rational —
+    // ties are impossible under the (n_chars, doc_id) total order, so
+    // both engines compute (rank−1)/(n−1) over identical ranks) plus
+    // the ntile quartile, the distribution-free feature transforms
+    // for heavy-tailed metrics. One window exchange serves both.
+    QueryDef(
+      "q_rank_normalize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("quartile", ntile(4).over(w))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, source, n_chars,
+               ROUND(percent_rank() OVER w, 6) AS pr,
+               ntile(4) OVER w AS quartile
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+        ORDER BY doc_id
       """))
   )
 

@@ -67,9 +67,15 @@ object StreamingOps {
     val f = new java.io.File(path)
     val (dir, glob) =
       if (f.isFile) (f.getParent, f.getName) else (path, "*")
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** The windowed-aggregation transform itself, source-agnostic: a
