@@ -88,7 +88,8 @@ object Bench {
     // round-9 additions: label propagation, nucleus truncation, rank
     // normalization, attribution, debounce
     "q_label_prop", "q_top_p", "q_rank_normalize",
-    "q_attribution", "q_debounce")
+    "q_attribution", "q_debounce", "q_token_entropy",
+    "q_stream_attribution")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

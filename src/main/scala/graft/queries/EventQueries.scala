@@ -1047,6 +1047,41 @@ object EventQueries {
         FROM l
         WHERE prev_us IS NULL OR us - prev_us > 3600000000
         ORDER BY event_id
+      """)),
+
+    // Streaming twin of q_attribution: last-touch state per user via
+    // flatMapGroupsWithState (O(1) state per user — one Touch row),
+    // purchases emitting as they arrive. Same oracle as the batch
+    // window pass, proving stateful replay ≡ window replay.
+    QueryDef(
+      "q_stream_attribution",
+      (s, dir) =>
+        StreamingOps.attributionHistory(s, s"$dir/events.parquet")
+          .orderBy(col("event_id")),
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        t AS (
+          SELECT event_id, user_id, event_type, us,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_id END IGNORE NULLS) OVER w
+                   AS touch_event_id,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN us END IGNORE NULLS) OVER w
+                   AS touch_us
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING))
+        SELECT event_id, user_id, touch_event_id, touch_type,
+               us - touch_us AS gap_us
+        FROM t WHERE event_type = 'purchase'
+        ORDER BY event_id
       """))
   )
 }

@@ -3722,6 +3722,54 @@ object ExtensionQueries {
         FROM documents
         WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
         ORDER BY doc_id
+      """)),
+
+    // Per-doc token entropy: −Σ p·log10 p over the doc's token
+    // distribution — the low-entropy (repetitive/templated) and
+    // high-entropy (random-noise) quality tails in one signal. Each
+    // term's contribution snaps to the 9-dp lattice before a DECIMAL
+    // sum (order-independent), the cross-engine-proven log10
+    // discipline. The doc-keyed window sum and the final groupBy
+    // share one hash partitioning — a single exchange end to end.
+    QueryDef(
+      "q_token_entropy",
+      (s, dir) => {
+        val cnts = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        val p = col("c").cast("double") /
+          sum(col("c")).over(Window.partitionBy(col("doc_id")))
+        cnts
+          .select(col("doc_id"),
+            sum(col("c")).over(Window.partitionBy(col("doc_id"))).as("n"),
+            round(-p * log10(p), 9)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("h"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n_tokens"),
+            round(sum(col("h")).cast("double"), 6).as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        cnts AS (
+          SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        wn AS (
+          SELECT doc_id, c,
+                 CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+          FROM cnts),
+        contrib AS (
+          SELECT doc_id, n,
+                 CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+                              * log10(CAST(c AS DOUBLE) / n), 9)
+                      AS DECIMAL(38,12)) AS h
+          FROM wn)
+        SELECT doc_id, max(n) AS n_tokens,
+               ROUND(CAST(sum(h) AS DOUBLE), 6) AS entropy
+        FROM contrib GROUP BY doc_id
+        ORDER BY doc_id
       """))
   )
 

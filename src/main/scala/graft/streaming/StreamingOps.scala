@@ -35,6 +35,18 @@ case class ClosedInterval(
 /** Open-run state for the streaming SCD2 operator. */
 case class OpenRun(event_type: String, from_us: Long)
 
+/** Last-touch state for [[StreamingOps.attributionStream]]: the most
+  * recent click/view seen for the user.
+  */
+case class Touch(event_id: Long, event_type: String, us: Long)
+
+/** An attributed purchase; touch fields are None when the purchase
+  * had no prior click/view.
+  */
+case class Attrib(
+    event_id: Long, user_id: Long, touch_event_id: Option[Long],
+    touch_type: Option[String], gap_us: Option[Long])
+
 /** A measurement row for [[StreamingOps.ewmaState]]. */
 case class Meas(key: Long, us: Long, tie: Long, v: Double)
 
@@ -223,6 +235,57 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[Chg]
     val out = scd2Intervals(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming last-touch attribution: the batch `q_attribution`
+    * window pass as `flatMapGroupsWithState` — state per user is ONE
+    * [[Touch]] row (the latest click/view), so unbounded users cost
+    * O(1) state each where the batch plan re-sorts the user's whole
+    * history. Purchases emit immediately with the carried touch;
+    * cross-batch order is the arrival order (state has already
+    * advanced), so feed batch-monotonic input per user — the batch
+    * operator is the replay tool when order is not guaranteed.
+    */
+  def attributionStream(stream: Dataset[Chg]): Dataset[Attrib] = {
+    import stream.sparkSession.implicits._
+    def update(userId: Long, events: Iterator[Chg],
+        state: GroupState[Touch]): Iterator[Attrib] = {
+      var touch = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[Attrib]
+      // micro-batch delivery is unordered — restore the batch total
+      // order within the batch
+      events.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "click" | "view" =>
+            touch = Some(Touch(e.event_id, e.event_type, e.us))
+          case "purchase" =>
+            out += Attrib(e.event_id, userId, touch.map(_.event_id),
+              touch.map(_.event_type), touch.map(t => e.us - t.us))
+          case _ => ()
+        }
+      }
+      touch.foreach(state.update)
+      out.iterator
+    }
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[attributionStream]] over the events parquet (memory sink). */
+  def attributionHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id")).as[Chg]
+    val out = attributionStream(stream)
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val q = out.toDF().writeStream
       .outputMode(OutputMode.Append)
