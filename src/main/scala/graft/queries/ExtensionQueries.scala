@@ -3770,6 +3770,88 @@ object ExtensionQueries {
                ROUND(CAST(sum(h) AS DOUBLE), 6) AS entropy
         FROM contrib GROUP BY doc_id
         ORDER BY doc_id
+      """)),
+
+    // Incremental join maintenance: the new orders⋈customer rows an
+    // ingest batch (orderkey%10 orders, custkey%7 customers)
+    // contributes on top of the standing snapshots — three
+    // delta-on-the-build-side joins instead of re-shuffling both full
+    // snapshots (JoinMaintenance scaladoc). Each (order, customer)
+    // pair lands in exactly one branch, so the union needs no
+    // distinct; the oracle recomputes the same three-way split.
+    QueryDef(
+      "q_join_delta",
+      (s, dir) => {
+        import graft.operators.JoinMaintenance
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))
+        JoinMaintenance.joinDelta(
+            o.filter(pmod(col("o_orderkey"), lit(10L)) =!= 0),
+            o.filter(pmod(col("o_orderkey"), lit(10L)) === 0),
+            c.filter(pmod(col("c_custkey"), lit(7L)) =!= 0),
+            c.filter(pmod(col("c_custkey"), lit(7L)) === 0),
+            "o_custkey", "c_custkey")
+          .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+            col("branch"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH dA AS (SELECT o_orderkey, o_custkey FROM orders
+                    WHERE o_orderkey % 10 = 0),
+        sA AS (SELECT o_orderkey, o_custkey FROM orders
+               WHERE o_orderkey % 10 <> 0),
+        dB AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey % 7 = 0),
+        sB AS (SELECT c_custkey, c_name FROM customer
+               WHERE c_custkey % 7 <> 0)
+        SELECT o_orderkey, o_custkey, c_name, 'delta_left' AS branch
+        FROM dA JOIN sB ON o_custkey = c_custkey
+        UNION ALL
+        SELECT o_orderkey, o_custkey, c_name, 'delta_right'
+        FROM sA JOIN dB ON o_custkey = c_custkey
+        UNION ALL
+        SELECT o_orderkey, o_custkey, c_name, 'delta_both'
+        FROM dA JOIN dB ON o_custkey = c_custkey
+        ORDER BY o_orderkey
+      """)),
+
+    // Skip-gram co-occurrence counts (the word2vec/GloVe input
+    // matrix): ordered token pairs at distance 1-2 within a document,
+    // counted corpus-wide, top 30 by (n desc, w1, w2) — deterministic
+    // through the cut. Pair generation is a doc-keyed position
+    // self-join (row-local after the one doc-hash exchange); the
+    // pair-keyed count is map-side combined before its shuffle.
+    QueryDef(
+      "q_skipgrams",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val left = toks.select(col("doc_id"), col("pos"), col("w").as("w1"))
+        val right = toks
+          .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+            col("w").as("w2"))
+        left
+          .join(right, col("doc_id") === col("doc_id2") &&
+            col("pos2") - col("pos") >= 1 && col("pos2") - col("pos") <= 2)
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("w1"), col("w2"))
+          .limit(30)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents)
+        SELECT a.w AS w1, b.w AS w2, count(*) AS n
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id
+         AND b.pos - a.pos BETWEEN 1 AND 2
+        GROUP BY 1, 2
+        ORDER BY n DESC, w1, w2 LIMIT 30
       """))
   )
 
