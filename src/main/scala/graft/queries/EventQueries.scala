@@ -1082,6 +1082,53 @@ object EventQueries {
                us - touch_us AS gap_us
         FROM t WHERE event_type = 'purchase'
         ORDER BY event_id
+      """)),
+
+    // A/B experiment readout: odd-user cohort vs even-user cohort,
+    // conversion = value > 50, per event type. The z-test verdict is
+    // exact integer arithmetic (AbTest scaladoc: z²=2401/625 cross-
+    // multiplied, DECIMAL interior) — one map-side-combined groupBy,
+    // no join, no window, so both engines agree bit-for-bit.
+    QueryDef(
+      "q_ab_test",
+      (s, dir) => {
+        import graft.operators.AbTest
+        AbTest.twoProportion(
+            Tables.events(s, dir),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            col("value") > 50.0)
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b,
+                 CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+          FROM events),
+        g AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN b = 0 THEN s ELSE 0 END) AS BIGINT)
+                   AS c_a,
+                 CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(sum(CASE WHEN b = 1 THEN s ELSE 0 END) AS BIGINT)
+                   AS c_b
+          FROM e GROUP BY 1)
+        SELECT event_type, n_a, c_a, n_b, c_b,
+               CASE WHEN CAST(625 AS HUGEINT)
+                         * (c_a*n_b - c_b*n_a) * (c_a*n_b - c_b*n_a)
+                         * (n_a + n_b)
+                       > CAST(2401 AS HUGEINT)
+                         * (c_a + c_b) * ((n_a + n_b) - (c_a + c_b))
+                         * n_a * n_b
+                    THEN CASE WHEN c_a*n_b - c_b*n_a > 0
+                              THEN 'a' ELSE 'b' END
+                    ELSE 'none' END AS winner
+        FROM g
+        ORDER BY event_type
       """))
   )
 }

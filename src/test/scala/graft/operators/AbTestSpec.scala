@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Hand-checked verdicts against the textbook two-proportion z-test:
+  * 10% vs 30% at n=100/100 is z≈3.5 (significant, B wins); 10% vs
+  * 17% at the same n is z≈1.45 (not significant).
+  */
+class AbTestSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cohortRows(
+      group: String, nA: Int, cA: Int, nB: Int, cB: Int) =
+    (Seq.fill(cA)((group, 0, 1)) ++ Seq.fill(nA - cA)((group, 0, 0)) ++
+      Seq.fill(cB)((group, 1, 1)) ++ Seq.fill(nB - cB)((group, 1, 0)))
+
+  test("significant and insignificant gaps get the textbook verdict") {
+    val df = (cohortRows("sig", 100, 10, 100, 30) ++
+      cohortRows("ns", 100, 10, 100, 17))
+      .toDF("grp", "b", "s")
+    val out = AbTest.twoProportion(
+        df, "grp", col("b") === 1, col("s") === 1)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5))).toMap
+    assert(out("sig") === ((100L, 10L, 100L, 30L, "b")))
+    assert(out("ns") === ((100L, 10L, 100L, 17L, "none")))
+  }
+
+  test("winner a when cohort A is significantly higher") {
+    val df = cohortRows("g", 100, 30, 100, 10).toDF("grp", "b", "s")
+    val out = AbTest.twoProportion(
+        df, "grp", col("b") === 1, col("s") === 1)
+      .collect().head.getString(5)
+    assert(out === "a")
+  }
+}
