@@ -52,6 +52,46 @@ object TimeSeries {
           .as("ewma")): _*)
   }
 
+  /** (keyCols..., n, level, trend, forecast): Holt's linear
+    * (double-exponential) smoothing with α = β = 1/2 — the one-step
+    * trend-aware forecast EWMA cannot give. Recurrence per key in
+    * `(orderCols)` order, initialized l₁ = x₁, b₁ = 0:
+    *
+    *   l' = 0.5·x + 0.5·(l + b)
+    *   b' = 0.5·(l' − l) + 0.5·b
+    *
+    * Every step is IEEE adds and exact halvings applied in ONE defined
+    * order, so any engine replaying the same fold (DuckDB:
+    * `list_transform` to (l,b) structs then `list_reduce`) produces
+    * bit-identical doubles; 6-dp rounding at the edge only. Same scale
+    * shape and caveats as [[ewmaHalf]] — one key shuffle, per-key
+    * history bounded, streaming state for unbounded keys.
+    */
+  def holtHalf(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "keys/order required")
+    Reserved.check("holtHalf" -> df)
+    val sortStruct = struct(
+      (orderCols.map(col) :+ col(valueCol).as("__v")): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(sortStruct)).as("__hist"))
+      .withColumn("__fit", expr(
+        "aggregate(slice(__hist, 2, size(__hist) - 1), " +
+          "named_struct('l', __hist[0].__v, 'b', 0.0D), " +
+          "(a, x) -> named_struct(" +
+          "'l', 0.5D * x.__v + 0.5D * (a.l + a.b), " +
+          "'b', 0.5D * ((0.5D * x.__v + 0.5D * (a.l + a.b)) - a.l) " +
+          "+ 0.5D * a.b))"))
+      .select((keyCols.map(col) :+ col("n") :+
+        round(col("__fit.l"), 6).as("level") :+
+        round(col("__fit.b"), 6).as("trend") :+
+        round(col("__fit.l") + col("__fit.b"), 6).as("forecast")): _*)
+  }
+
   /** Per-key windowed count-anomaly detection: flag hourly buckets
     * whose count sits more than `z` standard deviations from the
     * key's own mean — the ingestion-monitoring alarm ("this source's

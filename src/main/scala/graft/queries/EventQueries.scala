@@ -748,6 +748,48 @@ object EventQueries {
         ORDER BY user_id
       """)),
 
+    // Holt linear (double-exponential) smoothing, α=β=1/2: per-user
+    // level + trend + one-step forecast — the trend-aware companion
+    // to q_ewma, same exact-halving fold discipline (TimeSeries
+    // .holtHalf scaladoc), oracle-replayed as a struct-accumulator
+    // list_reduce over the identically ordered history.
+    QueryDef(
+      "q_holt",
+      (s, dir) =>
+        graft.operators.TimeSeries.holtHalf(
+            Tables.events(s, dir), keyCols = Seq("user_id"),
+            orderCols = Seq("ts", "event_id"), valueCol = "value")
+          .orderBy(col("user_id")),
+      Some("""
+        -- a list_reduce lambda would be natural here, but DuckDB
+        -- computes struct_pack fields sequentially INTO the
+        -- accumulator, so the b-field's formula reads the already-
+        -- updated l — replay the fold row-by-row instead
+        WITH RECURSIVE ordered AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i
+          FROM events),
+        rec AS (
+          SELECT user_id, i, value AS l, CAST(0.0 AS DOUBLE) AS b
+          FROM ordered WHERE i = 1
+          UNION ALL
+          SELECT o.user_id, o.i,
+                 0.5 * o.value + 0.5 * (r.l + r.b),
+                 0.5 * ((0.5 * o.value + 0.5 * (r.l + r.b)) - r.l)
+                   + 0.5 * r.b
+          FROM rec r JOIN ordered o
+            ON o.user_id = r.user_id AND o.i = r.i + 1),
+        last AS (
+          SELECT user_id, max(i) AS n FROM rec GROUP BY 1)
+        SELECT r.user_id, CAST(l2.n AS BIGINT) AS n,
+               ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+               ROUND(r.l + r.b, 6) AS forecast
+        FROM rec r JOIN last l2
+          ON r.user_id = l2.user_id AND r.i = l2.n
+        ORDER BY r.user_id
+      """)),
+
     // Ingestion-volume anomaly alarm: hourly buckets more than 2σ
     // from their event type's own mean, z-tested in pure integer
     // arithmetic — (c·H−S)² > 4·(H·SS−S²), no sqrt, no float — so
