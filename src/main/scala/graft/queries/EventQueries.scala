@@ -790,6 +790,68 @@ object EventQueries {
         ORDER BY r.user_id
       """)),
 
+    // Poisson-bootstrap 95% CI on the conversion rate: 200 replicate
+    // rates from ONE corpus pass (per-row Poisson(1) weights from a
+    // 31-bit LCG both engines evaluate exactly — Bootstrap scaladoc),
+    // reported as exact order statistics, no float summation. The
+    // scale story IS the operator: B resamples without a single
+    // resampling shuffle.
+    QueryDef(
+      "q_bootstrap_ci",
+      (s, dir) => {
+        import graft.operators.Bootstrap
+        Bootstrap.rateCI(
+            Tables.events(s, dir).select(col("event_id"), col("value")),
+            "event_id", col("value") > 50.0, b = 200)
+          .orderBy(col("stat"))
+      },
+      Some("""
+        WITH reps AS (SELECT unnest(range(0, 200)) AS rep),
+        base AS (
+          SELECT event_id AS id,
+                 CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS s
+          FROM events),
+        d AS (
+          SELECT rep, s,
+                 xor((id * 2654435761) % 2147483648,
+                     (rep * 2246822519) % 2147483648) AS seed
+          FROM base CROSS JOIN reps),
+        d1 AS (
+          SELECT rep, s,
+                 (seed * 1103515245 + 12345) % 2147483648 AS s1
+          FROM d),
+        d2 AS (
+          SELECT rep, s, xor(s1, s1 >> 15) AS s2 FROM d1),
+        u AS (
+          SELECT rep, s,
+                 CAST((s2 * 32310901 + 1013904223) % 2147483648 AS DOUBLE)
+                   / 2147483648.0 AS u
+          FROM d2),
+        w AS (
+          SELECT rep, s,
+                 CASE WHEN u < 0.367879 THEN 0
+                      WHEN u < 0.735759 THEN 1
+                      WHEN u < 0.919699 THEN 2
+                      WHEN u < 0.981012 THEN 3
+                      WHEN u < 0.996340 THEN 4
+                      WHEN u < 0.999406 THEN 5
+                      ELSE 6 END AS w
+          FROM u),
+        rates AS (
+          SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+                 ROUND(CAST(sum(w * s) AS DOUBLE)
+                       / CAST(sum(w) AS BIGINT), 6) AS rate
+          FROM w GROUP BY rep),
+        ranked AS (
+          SELECT rep, n_eff, rate,
+                 ROW_NUMBER() OVER (ORDER BY rate, rep) AS rn
+          FROM rates)
+        SELECT CASE WHEN rn = 5 THEN 'p025' WHEN rn = 100 THEN 'p500'
+                    ELSE 'p975' END AS stat, rep, n_eff, rate
+        FROM ranked WHERE rn IN (5, 100, 196)
+        ORDER BY stat
+      """)),
+
     // Ingestion-volume anomaly alarm: hourly buckets more than 2σ
     // from their event type's own mean, z-tested in pure integer
     // arithmetic — (c·H−S)² > 4·(H·SS−S²), no sqrt, no float — so
