@@ -32,6 +32,50 @@ object AbTest {
     * winner ∈ a|b|none — 'a' means cohort A's rate is significantly
     * higher at 95%.
     */
+  /** Mann-Whitney U (Wilcoxon rank-sum) per group — the nonparametric
+    * two-sample test for a SHIFT in a numeric metric, where the
+    * z-test above compares proportions. Ranks are assigned under the
+    * (value, tieCol) total order (unique ranks, so no tie-correction
+    * term), making U a pure integer:
+    *
+    *   U = R_b − n_b(n_b+1)/2,   μ = n_a·n_b/2,
+    *   σ² = n_a·n_b·(N+1)/12
+    *
+    * and the 95% verdict cross-multiplies (z² = 2401/625) to
+    *
+    *   1875 · (2U − n_a·n_b)²  >  2401 · n_a·n_b · (N+1)
+    *
+    * — integers end to end, DECIMAL(38,0) interior. One window
+    * exchange keyed by the group (rank), one re-aggregation.
+    */
+  def rankSum(
+      df: DataFrame, groupCol: String, inB: Column,
+      valueCol: String, tieCol: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val ranked = df.select(col(groupCol), inB.as("__b"),
+      col(valueCol), col(tieCol))
+      .withColumn("__r", row_number().over(w).cast("long"))
+    val agg = ranked.groupBy(col(groupCol))
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__b"), col("__r")).otherwise(0L)).as("__rb"))
+    // work on 2U to stay in integers (Column `/` is double division);
+    // 2U = 2·R_b − n_b(n_b+1), always even, so U = 2U div 2 is exact
+    val u2 = lit(2L) * col("__rb") - col("n_b") * (col("n_b") + 1)
+    val dev = u2 - col("n_a") * col("n_b")
+    val lhs = lit(1875L).cast(d) * dev.cast(d) * dev.cast(d)
+    val rhs = lit(2401L).cast(d) * col("n_a").cast(d) *
+      col("n_b").cast(d) * (col("n_a") + col("n_b") + 1).cast(d)
+    agg.select(col(groupCol), col("n_a"), col("n_b"),
+      u2.divide(lit(2)).cast("long").as("u"),
+      when(lhs > rhs, when(dev > 0, "b_high").otherwise("b_low"))
+        .otherwise("none").as("verdict"))
+  }
+
   def twoProportion(
       df: DataFrame, groupCol: String, inB: Column, success: Column)
       : DataFrame = {

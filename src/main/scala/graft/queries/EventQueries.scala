@@ -790,6 +790,54 @@ object EventQueries {
         ORDER BY r.user_id
       """)),
 
+    // Mann-Whitney rank-sum per event type: does the odd-user
+    // cohort's value distribution sit higher or lower? Ranks under
+    // the (value, event_id) total order make U a pure integer, and
+    // the 95% verdict is the 1875·(2U−n_a n_b)² > 2401·n_a n_b(N+1)
+    // cross-multiplication — no sqrt, no float (AbTest.rankSum).
+    QueryDef(
+      "q_mann_whitney",
+      (s, dir) => {
+        import graft.operators.AbTest
+        AbTest.rankSum(
+            Tables.events(s, dir),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "value", "event_id")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT event_type,
+                 CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rnk
+          FROM events),
+        g AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(sum(CASE WHEN b = 1 THEN rnk ELSE 0 END) AS BIGINT)
+                   AS rb
+          FROM r GROUP BY 1),
+        stat AS (
+          SELECT event_type, n_a, n_b,
+                 2 * rb - n_b * (n_b + 1) AS u2
+          FROM g)
+        SELECT event_type, n_a, n_b, u2 // 2 AS u,
+               CASE WHEN CAST(1875 AS HUGEINT)
+                         * (u2 - n_a*n_b) * (u2 - n_a*n_b)
+                       > CAST(2401 AS HUGEINT)
+                         * n_a * n_b * (n_a + n_b + 1)
+                    THEN CASE WHEN u2 - n_a*n_b > 0
+                              THEN 'b_high' ELSE 'b_low' END
+                    ELSE 'none' END AS verdict
+        FROM stat
+        ORDER BY event_type
+      """)),
+
     // Poisson-bootstrap 95% CI on the conversion rate: 200 replicate
     // rates from ONE corpus pass (per-row Poisson(1) weights from a
     // 31-bit LCG both engines evaluate exactly — Bootstrap scaladoc),

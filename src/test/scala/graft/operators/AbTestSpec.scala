@@ -36,4 +36,18 @@ class AbTestSpec extends SparkSuite {
       .collect().head.getString(5)
     assert(out === "a")
   }
+
+  test("rankSum flags a clean shift and passes interleaved samples") {
+    // shifted: A holds ranks 1-10, B ranks 11-20 → U = 100 (max)
+    val shifted = (1 to 10).map(i => ("sh", 0, i.toDouble, i.toLong)) ++
+      (11 to 20).map(i => ("sh", 1, i.toDouble, i.toLong))
+    // interleaved: B on the odd ranks → R_b = 100, U = 100−55 = 45
+    val mixed = (1 to 20).map(i => ("mx", i % 2, i.toDouble, i.toLong))
+    val df = (shifted ++ mixed).toDF("grp", "b", "v", "tie")
+    val out = AbTest.rankSum(df, "grp", col("b") === 1, "v", "tie")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(out("sh") === ((100L, "b_high")))
+    assert(out("mx") === ((45L, "none")))
+  }
 }
