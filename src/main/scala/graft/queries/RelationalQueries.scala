@@ -440,6 +440,61 @@ object RelationalQueries {
                    FROM orders GROUP BY o_custkey) oc
           ON bc.c_custkey = oc.o_custkey
         ORDER BY custkey
+      """)),
+
+    // Pearson correlation of quantity vs price per return flag — the
+    // classic second-moment statistic with an EXACT interior: all five
+    // sums run in DECIMAL (order-independent), the only floats are the
+    // final sqrt (IEEE-correctly-rounded in every engine, unlike log)
+    // and one division, applied in one written order and rounded to 6
+    // dp. Single map-side-combined aggregation, no join, no window —
+    // Spark's own corr() is a float accumulator and would not
+    // hash-match across engines.
+    QueryDef(
+      "q_correlation",
+      (s, dir) => {
+        val x = col("l_quantity").cast(dec)
+        val y = col("l_extendedprice").cast(dec)
+        val d38 = DecimalType(38, 4)
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum((x * x).cast(d38)).as("sxx"),
+            sum((y * y).cast(d38)).as("syy"),
+            sum((x * y).cast(d38)).as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            round(
+              ((col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")) /
+                (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double")) *
+                  sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                    .cast("double"))), 6).as("corr"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                 SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2))
+                     AS DECIMAL(38,4))) AS sxx,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_extendedprice AS DECIMAL(18,2))
+                     AS DECIMAL(38,4))) AS syy,
+                 SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                     * CAST(l_extendedprice AS DECIMAL(18,2))
+                     AS DECIMAL(38,4))) AS sxy
+          FROM lineitem GROUP BY 1)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                 AS corr
+        FROM a
+        ORDER BY l_returnflag
       """))
   )
 }
