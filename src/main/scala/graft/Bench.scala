@@ -90,7 +90,8 @@ object Bench {
     "q_label_prop", "q_top_p", "q_rank_normalize",
     "q_attribution", "q_debounce", "q_token_entropy",
     "q_stream_attribution", "q_join_delta", "q_skipgrams", "q_ab_test",
-    "q_holt", "q_bootstrap_ci", "q_mann_whitney", "q_correlation")
+    "q_holt", "q_bootstrap_ci", "q_mann_whitney", "q_correlation",
+    "q_gini")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -495,6 +495,55 @@ object RelationalQueries {
                  AS corr
         FROM a
         ORDER BY l_returnflag
+      """)),
+
+    // Gini concentration of order value per priority class — the
+    // inequality gauge a corpus-governance pass runs per source
+    // ("is one feed's value concentrated in a few rows?"). The ranked
+    // form G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) needs ONE group-keyed
+    // window for the rank and keeps every sum in DECIMAL; the single
+    // division happens at the edge, rounded to 6 dp. Ranks are unique
+    // under the (price, orderkey) total order, so both engines rank
+    // identically.
+    QueryDef(
+      "q_gini",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val d38 = DecimalType(38, 2)
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderkey"), col("o_totalprice").cast(dec).as("x"))
+          .withColumn("i", row_number().over(w).cast("long"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x").cast(d38)).as("sx"),
+            sum((col("i") * col("x")).cast(d38)).as("six"))
+          .select(col("o_orderpriority"), col("n"),
+            round(
+              (lit(2) * col("six") - (col("n") + 1) * col("sx"))
+                .cast("double") /
+                (col("n") * col("sx")).cast("double"), 6).as("gini"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT o_orderpriority,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey)
+                   AS i
+          FROM orders),
+        a AS (
+          SELECT o_orderpriority, COUNT(*) AS n,
+                 SUM(CAST(x AS DECIMAL(38,2))) AS sx,
+                 SUM(CAST(i * x AS DECIMAL(38,2))) AS six
+          FROM r GROUP BY 1)
+        SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE), 6) AS gini
+        FROM a
+        ORDER BY o_orderpriority
       """))
   )
 }
