@@ -51,6 +51,7 @@ object AbTest {
   def rankSum(
       df: DataFrame, groupCol: String, inB: Column,
       valueCol: String, tieCol: String): DataFrame = {
+    Reserved.check("input" -> df)
     val d = DecimalType(38, 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))

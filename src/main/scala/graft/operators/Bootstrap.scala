@@ -59,6 +59,7 @@ object Bootstrap {
   def rateCI(df: DataFrame, idCol: String, success: Column, b: Int)
       : DataFrame = {
     require(b >= 40, s"b: $b (need ≥ 40 for a 2.5% tail rank)")
+    Reserved.check("input" -> df)
     val weighted = df
       .select(col(idCol).as("__id"), when(success, 1L).otherwise(0L).as("__s"))
       .select(col("__id"), col("__s"),
