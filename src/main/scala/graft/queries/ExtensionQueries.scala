@@ -3852,6 +3852,64 @@ object ExtensionQueries {
          AND b.pos - a.pos BETWEEN 1 AND 2
         GROUP BY 1, 2
         ORDER BY n DESC, w1, w2 LIMIT 30
+      """)),
+
+    // Confidence calibration of the NB filter: held-out docs bucketed
+    // into margin deciles (top-1 minus top-2 score — integer micro
+    // units), accuracy per bucket in ppm by integer division — "is
+    // the classifier's confidence monotone in its accuracy?", the
+    // check a curation pipeline runs before thresholding on margin.
+    // The decile ntile windows over the EVAL SET (bounded by
+    // construction — eval sets are sampled, never corpus-sized); at
+    // corpus scale the cut would come from the quantile sketch
+    // instead.
+    QueryDef(
+      "q_confidence_bins",
+      (s, dir) => {
+        import graft.operators.NaiveBayes
+        val docs = Tables.documents(s, dir)
+        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        val model = NaiveBayes.fit(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("label").asc)
+        val top2 = NaiveBayes.scores(model, test, "doc_id", "text")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy(col("doc_id"))
+          .agg(
+            max(when(col("rn") === 1, col("label"))).as("pred"),
+            (max(when(col("rn") === 1, col("score_micro"))) -
+              max(when(col("rn") === 2, col("score_micro"))))
+              .as("margin"))
+        val graded = top2
+          .join(test.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("margin"),
+            when(col("pred") === col("lang"), 1L).otherwise(0L).as("ok"))
+          .withColumn("decile", ntile(10).over(
+            Window.orderBy(col("margin"), col("doc_id"))))
+        graded.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"))
+          .withColumn("acc_ppm",
+            expr("(n_correct * CAST(1000000 AS BIGINT)) div n"))
+          .orderBy(col("decile"))
+      },
+      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}" + """
+        , m AS (
+          SELECT b1.doc_id, b1.label AS pred,
+                 b1.score_micro - b2.score_micro AS margin
+          FROM best b1 JOIN best b2
+            ON b1.doc_id = b2.doc_id AND b1.rn = 1 AND b2.rn = 2),
+        graded AS (
+          SELECT m.doc_id, m.margin,
+                 CASE WHEN m.pred = te.lang THEN 1 ELSE 0 END AS ok
+          FROM m JOIN te USING (doc_id)),
+        dec AS (
+          SELECT ok, ntile(10) OVER (ORDER BY margin, doc_id) AS decile
+          FROM graded)
+        SELECT decile, COUNT(*) AS n, CAST(sum(ok) AS BIGINT) AS n_correct,
+               (CAST(sum(ok) AS BIGINT) * 1000000) // COUNT(*) AS acc_ppm
+        FROM dec GROUP BY 1 ORDER BY 1
       """))
   )
 

@@ -544,6 +544,62 @@ object RelationalQueries {
                      / CAST(n * sx AS DOUBLE), 6) AS gini
         FROM a
         ORDER BY o_orderpriority
+      """)),
+
+    // Lorenz curve behind q_gini: per priority class, the cumulative
+    // value share at each decile — S5-style plot data on an integer
+    // lattice end to end (micro-truncated values, ppm shares by
+    // integer division; the winsorize-proven CAST(x*1e6 AS BIGINT)
+    // truncation both engines apply identically). The decile ntile
+    // and the 10-row running sum ride the same priority-keyed window
+    // partitioning.
+    QueryDef(
+      "q_lorenz",
+      (s, dir) => {
+        val wRank = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wCum = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy(col("o_orderpriority"))
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority"), col("o_totalprice"),
+            col("o_orderkey"),
+            (col("o_totalprice") * 1000000).cast("long").as("x_micro"))
+          .withColumn("decile", ntile(10).over(wRank))
+          .groupBy(col("o_orderpriority"), col("decile"))
+          .agg(count(lit(1)).as("n"), sum(col("x_micro")).as("dsum"))
+          .withColumn("cum_share_ppm",
+            // cumsum·1e6 outgrows BIGINT at sf≥0.01 — DECIMAL interior
+            expr("CAST((CAST(sum(dsum) OVER (PARTITION BY " +
+              "o_orderpriority ORDER BY decile ROWS UNBOUNDED " +
+              "PRECEDING) AS DECIMAL(38,0)) * 1000000) div " +
+              "sum(dsum) OVER (PARTITION BY o_orderpriority) AS BIGINT)"))
+          .select(col("o_orderpriority"), col("decile"), col("n"),
+            col("cum_share_ppm"))
+          .orderBy(col("o_orderpriority"), col("decile"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT o_orderpriority,
+                 CAST(o_totalprice * 1000000 AS BIGINT) AS x_micro,
+                 ntile(10) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey)
+                   AS decile
+          FROM orders),
+        d AS (
+          SELECT o_orderpriority, decile, COUNT(*) AS n,
+                 CAST(SUM(x_micro) AS BIGINT) AS dsum
+          FROM r GROUP BY 1, 2)
+        SELECT o_orderpriority, decile, n,
+               CAST((SUM(dsum) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY decile
+                                     ROWS UNBOUNDED PRECEDING)
+                     * 1000000)
+                    // SUM(dsum) OVER (PARTITION BY o_orderpriority)
+                 AS BIGINT) AS cum_share_ppm
+        FROM d
+        ORDER BY o_orderpriority, decile
       """))
   )
 }
