@@ -790,6 +790,41 @@ object EventQueries {
         ORDER BY r.user_id
       """)),
 
+    // Streaming twin of q_holt: the level/trend recurrence as O(1)
+    // mapGroupsWithState per user; the JVM fold replays the batch
+    // Catalyst expression's exact IEEE op sequence, so the batch
+    // oracle checks the stream bit-for-bit.
+    QueryDef(
+      "q_stream_holt",
+      (s, dir) =>
+        StreamingOps.holtHistory(s, s"$dir/events.parquet")
+          .orderBy(col("user_id")),
+      Some("""
+        WITH RECURSIVE ordered AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i
+          FROM events),
+        rec AS (
+          SELECT user_id, i, value AS l, CAST(0.0 AS DOUBLE) AS b
+          FROM ordered WHERE i = 1
+          UNION ALL
+          SELECT o.user_id, o.i,
+                 0.5 * o.value + 0.5 * (r.l + r.b),
+                 0.5 * ((0.5 * o.value + 0.5 * (r.l + r.b)) - r.l)
+                   + 0.5 * r.b
+          FROM rec r JOIN ordered o
+            ON o.user_id = r.user_id AND o.i = r.i + 1),
+        last AS (
+          SELECT user_id, max(i) AS n FROM rec GROUP BY 1)
+        SELECT r.user_id, CAST(l2.n AS BIGINT) AS n,
+               ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+               ROUND(r.l + r.b, 6) AS forecast
+        FROM rec r JOIN last l2
+          ON r.user_id = l2.user_id AND r.i = l2.n
+        ORDER BY r.user_id
+      """)),
+
     // Mann-Whitney rank-sum per event type: does the odd-user
     // cohort's value distribution sit higher or lower? Ranks under
     // the (value, event_id) total order make U a pure integer, and

@@ -53,6 +53,9 @@ case class Meas(key: Long, us: Long, tie: Long, v: Double)
 /** Running EWMA state/output for [[StreamingOps.ewmaState]]. */
 case class EwmaRow(key: Long, n: Long, ewma: Double)
 
+/** Running Holt level/trend state for [[StreamingOps.holtState]]. */
+case class HoltRow(key: Long, n: Long, l: Double, b: Double)
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation and stateful sessionization via
   * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
@@ -321,6 +324,56 @@ object StreamingOps {
     }
     stream.groupByKey(_.key)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** Streaming Holt (α=β=1/2): [[graft.operators.TimeSeries.holtHalf]]
+    * as `mapGroupsWithState` — O(1) (level, trend) state per key where
+    * the batch operator collects the key's history. The JVM fold
+    * applies the identical IEEE op sequence the batch Catalyst
+    * expression does, so a single-batch replay is bit-equal to the
+    * batch plan (the q_stream_holt check). Same cross-batch-order
+    * caveat as [[ewmaState]].
+    */
+  def holtState(stream: Dataset[Meas]): Dataset[HoltRow] = {
+    import stream.sparkSession.implicits._
+    def update(key: Long, rows: Iterator[Meas],
+        state: GroupState[HoltRow]): HoltRow = {
+      var cur = state.getOption.getOrElse(HoltRow(key, 0L, 0.0, 0.0))
+      rows.toSeq.sortBy(m => (m.us, m.tie)).foreach { m =>
+        cur =
+          if (cur.n == 0L) HoltRow(key, 1L, m.v, 0.0)
+          else {
+            val l1 = 0.5 * m.v + 0.5 * (cur.l + cur.b)
+            val b1 = 0.5 * (l1 - cur.l) + 0.5 * cur.b
+            HoltRow(key, cur.n + 1L, l1, b1)
+          }
+      }
+      state.update(cur)
+      cur
+    }
+    stream.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[holtState]] over the events parquet (memory sink, update mode);
+    * output shape and rounding match the batch `q_holt`.
+    */
+  def holtHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+        col("event_id").as("tie"), col("value").as("v")).as[Meas]
+    val out = holtState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("key").as("user_id"), col("n"),
+        round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
+        round(col("l") + col("b"), 6).as("forecast"))
   }
 
   /** Streaming exact dedup with bounded state: the first row per key
