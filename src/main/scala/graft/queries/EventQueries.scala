@@ -790,6 +790,24 @@ object EventQueries {
         ORDER BY r.user_id
       """)),
 
+    // Streaming twin of q_ewma: the α=1/2 recurrence as O(1)
+    // mapGroupsWithState per user (one running average in state where
+    // the batch operator collects the history); shares q_ewma's
+    // list_reduce oracle — the JVM fold is the same IEEE op sequence.
+    QueryDef(
+      "q_stream_ewma",
+      (s, dir) =>
+        StreamingOps.ewmaHistory(s, s"$dir/events.parquet")
+          .orderBy(col("user_id")),
+      Some("""
+        SELECT user_id, count(*) AS n,
+               ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                                 (a, b) -> (a + b) * 0.5), 6) AS ewma
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+      """)),
+
     // Streaming twin of q_holt: the level/trend recurrence as O(1)
     // mapGroupsWithState per user; the JVM fold replays the batch
     // Catalyst expression's exact IEEE op sequence, so the batch

@@ -326,6 +326,26 @@ object StreamingOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
   }
 
+  /** [[ewmaState]] over the events parquet (memory sink, update
+    * mode); output shape and rounding match the batch `q_ewma`.
+    */
+  def ewmaHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+        col("event_id").as("tie"), col("value").as("v")).as[Meas]
+    val out = ewmaState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("key").as("user_id"), col("n"),
+        round(col("ewma"), 6).as("ewma"))
+  }
+
   /** Streaming Holt (α=β=1/2): [[graft.operators.TimeSeries.holtHalf]]
     * as `mapGroupsWithState` — O(1) (level, trend) state per key where
     * the batch operator collects the key's history. The JVM fold
