@@ -1254,6 +1254,76 @@ object EventQueries {
         ORDER BY event_id
       """)),
 
+    // Click/view-to-purchase latency: the exact LOWER median of the
+    // attribution gap per channel, selected by rank ((n+1) div 2
+    // under the (gap, event_id) total order) rather than interpolated
+    // — engines disagree on even-n interpolation, never on element
+    // selection. Composes the attribution window pass; one extra
+    // channel-keyed window for the rank.
+    QueryDef(
+      "q_step_latency",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isTouch = col("event_type").isin("click", "view")
+        val gaps = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("touch_type",
+            last(when(isTouch, col("event_type")), ignoreNulls = true)
+              .over(w))
+          .withColumn("touch_us",
+            last(when(isTouch, col("us")), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase" &&
+            col("touch_us").isNotNull)
+          .select(col("event_id"), col("touch_type"),
+            (col("us") - col("touch_us")).as("gap_us"))
+        val wr = Window.partitionBy(col("touch_type"))
+          .orderBy(col("gap_us"), col("event_id"))
+        val wn = Window.partitionBy(col("touch_type"))
+        gaps
+          .withColumn("rnk", row_number().over(wr))
+          .withColumn("n", count(lit(1)).over(wn))
+          .filter(col("rnk") === (col("n") + 1).divide(2).cast("long"))
+          .select(col("touch_type"), col("n"),
+            col("gap_us").as("median_gap_us"))
+          .orderBy(col("touch_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        t AS (
+          SELECT event_id, event_type, us,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN us END IGNORE NULLS) OVER w
+                   AS touch_us
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING)),
+        gaps AS (
+          SELECT event_id, touch_type, us - touch_us AS gap_us
+          FROM t
+          WHERE event_type = 'purchase' AND touch_us IS NOT NULL),
+        ranked AS (
+          SELECT touch_type, event_id, gap_us,
+                 ROW_NUMBER() OVER (PARTITION BY touch_type
+                                    ORDER BY gap_us, event_id) AS rnk,
+                 COUNT(*) OVER (PARTITION BY touch_type) AS n
+          FROM gaps)
+        SELECT touch_type, CAST(n AS BIGINT) AS n,
+               gap_us AS median_gap_us
+        FROM ranked
+        WHERE rnk = (n + 1) // 2
+        ORDER BY touch_type
+      """)),
+
     // Streaming twin of q_attribution: last-touch state per user via
     // flatMapGroupsWithState (O(1) state per user — one Touch row),
     // purchases emitting as they arrive. Same oracle as the batch
