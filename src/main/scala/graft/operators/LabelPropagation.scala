@@ -80,9 +80,11 @@ object LabelPropagation {
           .select(col("node_id").as("id"), col("label"),
             lit(s"iter$t").as("origin"))
           .join(labels.select(col("id")), Seq("id"), "left_anti")
+        val prev = labels
         labels = labels.unionByName(winners)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         labels.count() // materialize per round: bound lineage, free votes
+        prev.unpersist() // round t-1's cache is folded into round t's
       }
       ids.join(labels, Seq("id"), "left")
         .select(col("id"), col("label"),
