@@ -29,10 +29,18 @@ object Tables {
     * same values regardless of the generator's choice.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(apply(spark, dir, "events"))
+  }
+
+  /** Shared `ts` normalization for batch AND streaming events readers
+    * — one place to teach the next parquet flavor the generator
+    * ships (a one-sided fix would desynchronize the batch queries
+    * from the streaming twins that share their oracles).
+    */
+  def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

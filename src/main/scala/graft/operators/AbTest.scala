@@ -26,17 +26,11 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AbTest {
 
-  /** Per-`groupCol` cohort counts and the significance verdict.
-    * `inB` assigns the row's cohort; `success` is the conversion
-    * predicate. Output: (group, n_a, c_a, n_b, c_b, winner) with
-    * winner ∈ a|b|none — 'a' means cohort A's rate is significantly
-    * higher at 95%.
-    */
   /** Mann-Whitney U (Wilcoxon rank-sum) per group — the nonparametric
-    * two-sample test for a SHIFT in a numeric metric, where the
-    * z-test above compares proportions. Ranks are assigned under the
-    * (value, tieCol) total order (unique ranks, so no tie-correction
-    * term), making U a pure integer:
+    * two-sample test for a SHIFT in a numeric metric, where
+    * [[twoProportion]] compares conversion rates. Ranks are assigned
+    * under the (value, tieCol) total order (unique ranks, so no
+    * tie-correction term), making U a pure integer:
     *
     *   U = R_b − n_b(n_b+1)/2,   μ = n_a·n_b/2,
     *   σ² = n_a·n_b·(N+1)/12
@@ -46,7 +40,9 @@ object AbTest {
     *   1875 · (2U − n_a·n_b)²  >  2401 · n_a·n_b · (N+1)
     *
     * — integers end to end, DECIMAL(38,0) interior. One window
-    * exchange keyed by the group (rank), one re-aggregation.
+    * exchange keyed by the group (rank), one re-aggregation. Rows
+    * whose `inB` evaluates NULL are dropped before ranking — counted
+    * in neither cohort, they would still consume ranks and corrupt U.
     */
   def rankSum(
       df: DataFrame, groupCol: String, inB: Column,
@@ -56,8 +52,9 @@ object AbTest {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col(valueCol), col(tieCol))
-    val ranked = df.select(col(groupCol), inB.as("__b"),
-      col(valueCol), col(tieCol))
+    val ranked = df.where(inB.isNotNull)
+      .select(col(groupCol), inB.as("__b"),
+        col(valueCol), col(tieCol))
       .withColumn("__r", row_number().over(w).cast("long"))
     val agg = ranked.groupBy(col(groupCol))
       .agg(
@@ -77,6 +74,13 @@ object AbTest {
         .otherwise("none").as("verdict"))
   }
 
+  /** Per-`groupCol` cohort counts and the significance verdict.
+    * `inB` assigns the row's cohort; `success` is the conversion
+    * predicate. Output: (group, n_a, c_a, n_b, c_b, winner) with
+    * winner ∈ a|b|none — 'a' means cohort A's rate is significantly
+    * higher at 95%. Rows with NULL `inB` join neither cohort; a NULL
+    * `success` counts as a non-conversion.
+    */
   def twoProportion(
       df: DataFrame, groupCol: String, inB: Column, success: Column)
       : DataFrame = {

@@ -41,8 +41,11 @@ object Bootstrap {
     */
   private def u01(id: Column, rep: Column): Column = {
     val m = 2147483648L // 2^31
-    val a = (id * lit(2654435761L)) % lit(m)
-    val b = (rep * lit(2246822519L)) % lit(m)
+    // reduce id mod 2^31 BEFORE the multiply: a raw id ≥ ~3.5e9 would
+    // overflow Long in id*2654435761 (Spark wraps silently, DuckDB
+    // errors); (id % m)·2654435761 ≤ 5.7e18 stays inside 2^63
+    val a = ((id % lit(m)) * lit(2654435761L)) % lit(m)
+    val b = ((rep % lit(m)) * lit(2246822519L)) % lit(m)
     val s = a.bitwiseXOR(b)
     val s1 = (s * lit(1103515245L) + lit(12345L)) % lit(m)
     val s2 = s1.bitwiseXOR(shiftright(s1, 15))

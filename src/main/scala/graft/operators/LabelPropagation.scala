@@ -86,9 +86,16 @@ object LabelPropagation {
         labels.count() // materialize per round: bound lineage, free votes
         prev.unpersist() // round t-1's cache is folded into round t's
       }
-      ids.join(labels, Seq("id"), "left")
+      // localCheckpoint (eager) materializes the result and severs
+      // lineage, so the per-round caches can be released HERE instead
+      // of leaking one cached table per call for the session's life;
+      // the checkpoint blocks free with the RDD on GC.
+      val out = ids.join(labels, Seq("id"), "left")
         .select(col("id"), col("label"),
           coalesce(col("origin"), lit("none")).as("origin"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      out
     } finally edges.unpersist()
   }
 }

@@ -914,8 +914,9 @@ object EventQueries {
           FROM events),
         d AS (
           SELECT rep, s,
-                 xor((id * 2654435761) % 2147483648,
-                     (rep * 2246822519) % 2147483648) AS seed
+                 xor(((id % 2147483648) * 2654435761) % 2147483648,
+                     ((rep % 2147483648) * 2246822519) % 2147483648)
+                   AS seed
           FROM base CROSS JOIN reps),
         d1 AS (
           SELECT rep, s,

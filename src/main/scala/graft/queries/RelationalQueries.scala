@@ -464,13 +464,22 @@ object RelationalQueries {
             sum((y * y).cast(d38)).as("syy"),
             sum((x * y).cast(d38)).as("sxy"))
           .select(col("l_returnflag"), col("n"),
-            round(
-              ((col("n") * col("sxy") - col("sx") * col("sy"))
-                .cast("double")) /
-                (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                  .cast("double")) *
-                  sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-                    .cast("double"))), 6).as("corr"))
+            // combine in DOUBLE from the exact DECIMAL sums: products
+            // like n·sxy outgrow DECIMAL(38) (DuckDB silently degrades
+            // such expressions to DOUBLE), so BOTH engines must apply
+            // the same IEEE sequence — cast each sum first, then
+            // multiply/subtract in one written order
+            {
+              val nD = col("n").cast("double")
+              val sx = col("sx").cast("double")
+              val sy = col("sy").cast("double")
+              val sxx = col("sxx").cast("double")
+              val syy = col("syy").cast("double")
+              val sxy = col("sxy").cast("double")
+              round((nD * sxy - sx * sy) /
+                (sqrt(nD * sxx - sx * sx) * sqrt(nD * syy - sy * sy)),
+                6).as("corr")
+            })
           .orderBy(col("l_returnflag"))
       },
       Some("""
@@ -489,9 +498,13 @@ object RelationalQueries {
                      AS DECIMAL(38,4))) AS sxy
           FROM lineitem GROUP BY 1)
         SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE)
+                                 * CAST(sy AS DOUBLE))), 6)
                  AS corr
         FROM a
         ORDER BY l_returnflag
@@ -520,10 +533,15 @@ object RelationalQueries {
             sum(col("x").cast(d38)).as("sx"),
             sum((col("i") * col("x")).cast(d38)).as("six"))
           .select(col("o_orderpriority"), col("n"),
-            round(
-              (lit(2) * col("six") - (col("n") + 1) * col("sx"))
-                .cast("double") /
-                (col("n") * col("sx")).cast("double"), 6).as("gini"))
+            // same DOUBLE-combination discipline as q_correlation:
+            // (n+1)·sx outgrows DECIMAL(38) width in DuckDB
+            {
+              val nD = col("n").cast("double")
+              val sx = col("sx").cast("double")
+              val six = col("six").cast("double")
+              round((lit(2.0) * six - (nD + 1.0) * sx) / (nD * sx), 6)
+                .as("gini")
+            })
           .orderBy(col("o_orderpriority"))
       },
       Some("""
@@ -540,8 +558,10 @@ object RelationalQueries {
                  SUM(CAST(i * x AS DECIMAL(38,2))) AS six
           FROM r GROUP BY 1)
         SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
-               ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
-                     / CAST(n * sx AS DOUBLE), 6) AS gini
+               ROUND((2.0 * CAST(six AS DOUBLE)
+                      - (CAST(n AS DOUBLE) + 1.0) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS gini
         FROM a
         ORDER BY o_orderpriority
       """)),

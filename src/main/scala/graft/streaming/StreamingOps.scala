@@ -82,15 +82,9 @@ object StreamingOps {
     val f = new java.io.File(path)
     val (dir, glob) =
       if (f.isFile) (f.getParent, f.getName) else (path, "*")
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", glob).parquet(dir)
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir))
   }
 
   /** The windowed-aggregation transform itself, source-agnostic: a
@@ -341,7 +335,16 @@ object StreamingOps {
       .format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
+    // Update mode appends one row per key per trigger; keep only the
+    // LAST state per key (max n — n is monotone in the fold) so the
+    // result is one row per user even if the file source happens to
+    // split the input into several micro-batches.
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n").desc)
     spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
       .select(col("key").as("user_id"), col("n"),
         round(col("ewma"), 6).as("ewma"))
   }
@@ -390,7 +393,13 @@ object StreamingOps {
       .format("memory").queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
+    // last state per key only — see ewmaHistory
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n").desc)
     spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
       .select(col("key").as("user_id"), col("n"),
         round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
         round(col("l") + col("b"), 6).as("forecast"))
