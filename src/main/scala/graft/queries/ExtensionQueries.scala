@@ -3854,6 +3854,58 @@ object ExtensionQueries {
         ORDER BY n DESC, w1, w2 LIMIT 30
       """)),
 
+    // Lexical-diversity profile per document: type-token ratio, hapax
+    // ratio, and mean word length — the vocabulary-compactness
+    // signals beside q_token_entropy's distribution one. Entirely
+    // integer interior (ppm by integer division, mean length from two
+    // integer sums rounded at the edge); one doc-keyed exchange
+    // serves all three.
+    QueryDef(
+      "q_lexical_profile",
+      (s, dir) => {
+        val cnts = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("c"), length(col("w")).as("len"))
+        cnts.groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+            sum(col("c") * col("len")).as("__chars"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            expr("(n_types * CAST(1000000 AS BIGINT)) div n_tokens")
+              .as("ttr_ppm"),
+            expr("(n_hapax * CAST(1000000 AS BIGINT)) div n_types")
+              .as("hapax_ppm"),
+            round(col("__chars").cast("double") /
+              col("n_tokens").cast("double"), 6).as("mean_len"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        cnts AS (
+          SELECT doc_id, w, count(*) AS c, len(w) AS len
+          FROM toks GROUP BY 1, 2),
+        agg AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_types,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+                 CAST(sum(c * len) AS BIGINT) AS chars
+          FROM cnts GROUP BY 1)
+        SELECT doc_id, n_tokens, CAST(n_types AS BIGINT) AS n_types,
+               (n_types * 1000000) // n_tokens AS ttr_ppm,
+               (n_hapax * 1000000) // n_types AS hapax_ppm,
+               ROUND(CAST(chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                 AS mean_len
+        FROM agg
+        ORDER BY doc_id
+      """)),
+
     // Confidence calibration of the NB filter: held-out docs bucketed
     // into margin deciles (top-1 minus top-2 score — integer micro
     // units), accuracy per bucket in ppm by integer division — "is
