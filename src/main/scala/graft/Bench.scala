@@ -92,7 +92,8 @@ object Bench {
     "q_stream_attribution", "q_join_delta", "q_skipgrams", "q_ab_test",
     "q_holt", "q_bootstrap_ci", "q_mann_whitney", "q_correlation",
     "q_gini", "q_lorenz", "q_confidence_bins", "q_stream_holt",
-    "q_stream_ewma", "q_step_latency", "q_lexical_profile")
+    "q_stream_ewma", "q_step_latency", "q_lexical_profile",
+    "q_stream_debounce")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

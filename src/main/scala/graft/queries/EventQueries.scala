@@ -1325,6 +1325,31 @@ object EventQueries {
         ORDER BY touch_type
       """)),
 
+    // Streaming twin of q_debounce: one last-SEEN timestamp of state
+    // per (user, type) — lag semantics, a suppressed row still
+    // extends the window — sharing the batch oracle.
+    QueryDef(
+      "q_stream_debounce",
+      (s, dir) =>
+        StreamingOps.debounceHistory(
+            s, s"$dir/events.parquet", gapUs = 3600000000L)
+          .orderBy(col("event_id")),
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        l AS (
+          SELECT event_id, user_id, event_type, us,
+                 lag(us) OVER (PARTITION BY user_id, event_type
+                               ORDER BY us, event_id) AS prev_us
+          FROM e)
+        SELECT event_id, user_id, event_type
+        FROM l
+        WHERE prev_us IS NULL OR us - prev_us > 3600000000
+        ORDER BY event_id
+      """)),
+
     // Streaming twin of q_attribution: last-touch state per user via
     // flatMapGroupsWithState (O(1) state per user — one Touch row),
     // purchases emitting as they arrive. Same oracle as the batch

@@ -349,6 +349,54 @@ object StreamingOps {
         round(col("ewma"), 6).as("ewma"))
   }
 
+  /** Streaming debounce: the q_debounce lag-comparison as
+    * `flatMapGroupsWithState` keyed by (user, type) — state is ONE
+    * long: the last SEEN row's event time (kept or suppressed),
+    * because the batch predicate compares each row against lag(us),
+    * not against the last emitted row — a suppressed row still
+    * extends the suppression window. O(1) state per key; same
+    * cross-batch order caveat as the other stateful twins.
+    */
+  def debounceStream(
+      stream: Dataset[Chg], gapUs: Long): Dataset[Chg] = {
+    import stream.sparkSession.implicits._
+    def update(key: (Long, String), events: Iterator[Chg],
+        state: GroupState[Long]): Iterator[Chg] = {
+      var lastSeen = state.getOption.getOrElse(Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Chg]
+      events.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        if (lastSeen == Long.MinValue || e.us - lastSeen > gapUs)
+          out += e
+        lastSeen = e.us
+      }
+      state.update(lastSeen)
+      out.iterator
+    }
+    stream.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[debounceStream]] over the events parquet (memory sink);
+    * output shape matches the batch `q_debounce`.
+    */
+  def debounceHistory(
+      spark: SparkSession, path: String, gapUs: Long): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id")).as[Chg]
+    val out = debounceStream(stream, gapUs)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+  }
+
   /** Streaming Holt (α=β=1/2): [[graft.operators.TimeSeries.holtHalf]]
     * as `mapGroupsWithState` — O(1) (level, trend) state per key where
     * the batch operator collects the key's history. The JVM fold
