@@ -93,7 +93,7 @@ object Bench {
     "q_holt", "q_bootstrap_ci", "q_mann_whitney", "q_correlation",
     "q_gini", "q_lorenz", "q_confidence_bins", "q_stream_holt",
     "q_stream_ewma", "q_step_latency", "q_lexical_profile",
-    "q_stream_debounce")
+    "q_stream_debounce", "q_chi_square", "q_ks_test")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

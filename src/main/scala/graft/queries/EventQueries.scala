@@ -891,6 +891,60 @@ object EventQueries {
         ORDER BY event_type
       """)),
 
+    // Two-sample Kolmogorov-Smirnov per event type: did the odd-user
+    // cohort's value DISTRIBUTION shift (not just its mean — the
+    // Mann-Whitney question)? D = max|cumA·n_b − cumB·n_a|/(n_a·n_b)
+    // over the merged (value, event_id) order — integers until one
+    // edge division; verdict by maxdiff²·10⁴ > 18442·n_a n_b(N)
+    // cross-multiplication (DistributionTests scaladoc).
+    QueryDef(
+      "q_ks_test",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.ksTwoSample(
+            Tables.events(s, dir),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "value", "event_id")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b,
+                 value, event_id
+          FROM events),
+        m AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+                      OVER wr AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)
+                      OVER wr AS BIGINT) AS cb,
+                 CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+                      OVER wg AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)
+                      OVER wg AS BIGINT) AS nb
+          FROM e
+          WINDOW wr AS (PARTITION BY event_type
+                        ORDER BY value, event_id
+                        ROWS UNBOUNDED PRECEDING),
+                 wg AS (PARTITION BY event_type)),
+        a AS (
+          SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+                 max(abs(ca * nb - cb * na)) AS maxdiff
+          FROM m GROUP BY 1)
+        SELECT event_type, n_a, n_b,
+               ROUND(CAST(maxdiff AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+                 AS ks_d,
+               CASE WHEN CAST(maxdiff AS HUGEINT) * maxdiff * 10000
+                       > CAST(18442 AS HUGEINT) * n_a * n_b
+                         * (n_a + n_b)
+                    THEN 'shifted' ELSE 'same' END AS verdict
+        FROM a
+        ORDER BY event_type
+      """)),
+
     // Poisson-bootstrap 95% CI on the conversion rate: 200 replicate
     // rates from ONE corpus pass (per-row Poisson(1) weights from a
     // 31-bit LCG both engines evaluate exactly — Bootstrap scaladoc),

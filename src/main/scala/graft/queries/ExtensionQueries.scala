@@ -3854,6 +3854,33 @@ object ExtensionQueries {
         ORDER BY n DESC, w1, w2 LIMIT 30
       """)),
 
+    // χ² goodness-of-fit: is the corpus uniformly spread over its
+    // sources? Exact-rational statistic Σ(k·O−n)²/(n·k) via the
+    // k²·ΣO²−k·n² identity (one k-row re-aggregation, no second
+    // category pass); verdict against the 4-dp df=19 critical value
+    // by integer cross-multiplication (DistributionTests scaladoc).
+    QueryDef(
+      "q_chi_square",
+      (s, dir) =>
+        graft.operators.DistributionTests.chiSquareUniform(
+          Tables.documents(s, dir), "source", crit4 = 301435L),
+      Some("""
+        WITH c AS (
+          SELECT source, count(*) AS o FROM documents GROUP BY 1),
+        a AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(o) AS BIGINT) AS n,
+                 CAST(sum(CAST(o AS HUGEINT) * o) AS HUGEINT) AS oo
+          FROM c)
+        SELECT k, n,
+               ROUND(CAST(k*k*oo - k*n*n AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)), 6)
+                 AS chi2,
+               CASE WHEN (k*k*oo - k*n*n) * 10000 > 301435 * n * k
+                    THEN 'nonuniform' ELSE 'uniform' END AS verdict
+        FROM a
+      """)),
+
     // Lexical-diversity profile per document: type-token ratio, hapax
     // ratio, and mean word length — the vocabulary-compactness
     // signals beside q_token_entropy's distribution one. Entirely

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Hand-checked distribution-test verdicts: χ² for 90/10 vs 50/50 on
+  * df=1 (crit 3.8415), KS for a shift of half the range vs perfectly
+  * interleaved samples.
+  */
+class DistributionTestsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("chi-square flags 90/10 and passes 50/50 at df=1") {
+    val even = (Seq.fill(50)("A") ++ Seq.fill(50)("B")).toDF("cat")
+    val skew = (Seq.fill(90)("A") ++ Seq.fill(10)("B")).toDF("cat")
+    val e = DistributionTests.chiSquareUniform(even, "cat", 38415L)
+      .collect().head
+    assert(e.getDouble(2) === 0.0 && e.getString(3) === "uniform")
+    val s = DistributionTests.chiSquareUniform(skew, "cat", 38415L)
+      .collect().head
+    // chi2 = ((90-50)^2 + (10-50)^2) / 50 = 64
+    assert(s.getDouble(2) === 64.0 && s.getString(3) === "nonuniform")
+  }
+
+  test("KS flags a half-range shift and passes interleaved samples") {
+    val shifted = (1 to 100).map(i => ("sh", 0, i.toDouble, i.toLong)) ++
+      (1 to 100).map(i => ("sh", 1, i + 50.0, 1000L + i))
+    val mixed = (1 to 200).map(i => ("mx", i % 2, i.toDouble, i.toLong))
+    val df = (shifted ++ mixed).toDF("grp", "b", "v", "tie")
+    val out = DistributionTests.ksTwoSample(
+        df, "grp", col("b") === 1, "v", "tie")
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getString(4)))
+      .toMap
+    // D is evaluated per merged-order row (the documented, engine-
+    // replayable definition): at the first overlapping value the A row
+    // sorts before the B row, so the running gap peaks at 51/100
+    // rather than the value-level 0.5
+    assert(out("sh") === ((0.51, "shifted")))
+    assert(out("mx")._2 === "same")
+    assert(out("mx")._1 <= 0.01)
+  }
+}
