@@ -620,6 +620,68 @@ object RelationalQueries {
                  AS BIGINT) AS cum_share_ppm
         FROM d
         ORDER BY o_orderpriority, decile
+      """)),
+
+    // Bucketed co-located join: orders and lineitem are rewritten
+    // ONCE as co-bucketed tables on the join key, then joined with
+    // ZERO Exchange — the layout move that amortizes the recurring
+    // fact-fact shuffle at 100 TB (pay it at write, never at read).
+    // StorageLayoutSpec pins the no-Exchange physical plan; here the
+    // oracle pins that the bucketed path returns exactly the plain
+    // join's answer (layout must never change semantics).
+    QueryDef(
+      "q_bucketed_join",
+      (s, dir) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_layout"
+        val (o, l) = graft.operators.StorageLayout.coBucketed(s,
+          Tables.orders(s, dir), "graft_b_orders", "o_orderkey",
+          Tables.lineitem(s, dir), "graft_b_lineitem", "l_orderkey",
+          numBuckets = 8, baseDir = base)
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast(dec)).cast("double")
+              .as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)),
+
+    // Partition-pruned scan: documents rewritten hive-partitioned by
+    // lang, then `WHERE lang = 'en'` becomes a directory listing
+    // (PartitionFilters in the plan — StorageLayoutSpec pins it);
+    // the other languages' files are never opened. The oracle pins
+    // layout-independence of the answer.
+    QueryDef(
+      "q_partitioned_scan",
+      (s, dir) => {
+        val path =
+          s"${sys.props("java.io.tmpdir")}/graft_layout/docs_by_lang"
+        graft.operators.StorageLayout.writePartitioned(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("n_chars"),
+              col("lang")),
+          path, Seq("lang"))
+        s.read.parquet(path)
+          .filter(col("lang") === "en")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS chars
+        FROM documents
+        WHERE lang = 'en'
+        GROUP BY source
+        ORDER BY source
       """))
   )
 }
