@@ -1152,6 +1152,49 @@ object ExtensionQueries {
         ORDER BY query_id, rank
       """)),
 
+    // Exact phrase search over the positional inverted index: each
+    // query doc (doc_id % 97 == 0) searches for its own tokens at
+    // positions 3..5 as a consecutive 3-token phrase; result = every
+    // other doc containing that exact phrase, with occurrence counts.
+    // The phrase set broadcasts; the index is filtered map-side to
+    // phrase terms — the corpus never reshuffles per query batch.
+    QueryDef(
+      "q_phrase_search",
+      (s, dir) => {
+        import graft.operators.PhraseSearch
+        val docs = docTokens(s, dir)
+        PhraseSearch.phraseMatches(
+            PhraseSearch.positionalPostings(docs, "doc_id", "tokens"),
+            PhraseSearch.phrasesFromTokens(
+              docs.filter(pmod(col("doc_id"), lit(97L)) === 0),
+              "doc_id", "tokens", startPos = 3, len = 3),
+            len = 3)
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        -- docs with <5 tokens yield <3 phrase offsets and can never
+        -- reach HAVING count(*) = 3 below — no length guard needed
+        -- (the Spark side drops them up front, same net result)
+        phr AS (
+          SELECT doc_id AS query_id, term, pos - 3 AS off
+          FROM toks
+          WHERE doc_id % 97 = 0 AND pos BETWEEN 3 AND 5),
+        cand AS (
+          SELECT p.query_id, t.doc_id, t.pos - p.off AS start
+          FROM phr p JOIN toks t ON t.term = p.term
+          WHERE t.doc_id <> p.query_id),
+        hits AS (
+          SELECT query_id, doc_id, start
+          FROM cand GROUP BY 1, 2, 3 HAVING count(*) = 3)
+        SELECT query_id, doc_id, count(*) AS n_matches
+        FROM hits GROUP BY 1, 2
+        ORDER BY query_id, doc_id
+      """)),
+
     // IVF approximate variant with the DETERMINISTIC corpus-sampled
     // codebook (16 smallest vec_ids, nprobe 4) — fully hash-checked:
     // the whole search is a pure function of the data, so DuckDB
