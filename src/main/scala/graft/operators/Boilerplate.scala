@@ -84,6 +84,43 @@ object Boilerplate {
           " ").as("clean_text"))
   }
 
+  /** WITHIN-document repeated-block pruning — the intra-doc
+    * complement of [[stripFrequentBlocks]] (CCNet paragraph dedup
+    * applied inside one document: scraped pages repeat their own
+    * nav/footer blocks; Gopher's repetition FILTERS only score such
+    * docs, this TRANSFORM repairs them). The first occurrence of each
+    * block text is kept in place; later occurrences are dropped and
+    * the survivors reassembled in order.
+    *
+    * Scale shape: ZERO shuffles. A document's own dedup needs no
+    * cross-row information, so the whole transform is one codegen
+    * projection per row — tile to a block array, `array_distinct`
+    * (which keeps FIRST occurrences in encounter order), re-join.
+    * This is the operator's 100-TB argument: corpus-size-independent
+    * per-row cost, nothing exchanged.
+    *
+    * Output: `(idCol, blocks_total, blocks_removed, clean_text)`.
+    */
+  def dedupWithinDoc(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockSize: Int): DataFrame = {
+    require(blockSize >= 1, s"blockSize must be >= 1: $blockSize")
+    val toks = split(col(textCol), " ", -1)
+    val blocks = transform(
+      sequence(lit(0),
+        floor((size(toks) - lit(1)) / lit(blockSize)).cast("int")),
+      i => array_join(
+        slice(toks, i * lit(blockSize) + lit(1), lit(blockSize)), " "))
+    docs.select(
+      col(idCol),
+      size(blocks).cast("long").as("blocks_total"),
+      (size(blocks) - size(array_distinct(blocks))).cast("long")
+        .as("blocks_removed"),
+      array_join(array_distinct(blocks), " ").as("clean_text"))
+  }
+
   /** Row-local tiling: `(idCol, bidx, block)` — block `bidx` holds
     * tokens `[bidx·n, (bidx+1)·n)` joined by single spaces.
     */

@@ -3477,6 +3477,48 @@ object ExtensionQueries {
         FROM m GROUP BY doc_id ORDER BY doc_id
       """)),
 
+    // WITHIN-doc repeated-block pruning (q_boilerplate's intra-doc
+    // complement — scraped pages repeating their own nav blocks):
+    // first occurrence kept in place, survivors reassembled. The
+    // Spark side is ONE shuffle-free codegen projection
+    // (array_distinct keeps first occurrences); the oracle replays
+    // first-occurrence semantics positionally (min bidx per block +
+    // ordered string_agg) — deliberately NOT DuckDB's list_distinct,
+    // whose order is unspecified. blockSize 2 is the witness-bearing
+    // tile at test scale (250 removals at sf0.01; larger tiles never
+    // repeat in synthetic text).
+    QueryDef(
+      "q_chunk_dedup",
+      (s, dir) => {
+        import graft.operators.Boilerplate
+        Boilerplate.dedupWithinDoc(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            "doc_id", "text", blockSize = 2)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (
+          SELECT doc_id, t,
+                 unnest(range(0, CAST(floor((len(t) - 1) / 2) AS BIGINT)
+                                 + 1)) AS bidx
+          FROM toks),
+        blocks AS (
+          SELECT doc_id, bidx,
+                 array_to_string(t[(bidx * 2 + 1):(bidx * 2 + 2)], ' ')
+                   AS block
+          FROM idx),
+        firsts AS (
+          SELECT doc_id, block, min(bidx) AS bidx, count(*) AS occ
+          FROM blocks GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(occ) AS BIGINT) AS blocks_total,
+               CAST(sum(occ) - count(*) AS BIGINT) AS blocks_removed,
+               string_agg(block, ' ' ORDER BY bidx) AS clean_text
+        FROM firsts GROUP BY doc_id ORDER BY doc_id
+      """)),
+
     // DSIR importance weights (target slice = source 'src0'): top-100
     // raw docs by add-one-smoothed unigram log-likelihood ratio
     // log10 p_target/p_raw, 9-dp per-word lattice, exact DECIMAL

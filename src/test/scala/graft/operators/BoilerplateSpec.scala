@@ -60,5 +60,31 @@ class BoilerplateSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Boilerplate.stripFrequentBlocks(docs, "doc_id", "text", 2, 1)
     }
+    intercept[IllegalArgumentException] {
+      Boilerplate.dedupWithinDoc(docs, "doc_id", "text", 0)
+    }
+  }
+
+  test("dedupWithinDoc keeps first occurrence, preserves order") {
+    val d = Seq(
+      (0L, "a b c d a b e f"),  // "a b" repeats at tiles 0 and 2
+      (1L, "x y x y x y"),      // one survivor of three
+      (2L, "p q r"),            // trailing partial tile "r", no dups
+      (3L, "m n m")             // full tile "m n", partial "m" distinct
+    ).toDF("doc_id", "text")
+    val out = Boilerplate.dedupWithinDoc(d, "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((4L, 1L, "a b c d e f")))
+    assert(out(1L) == ((3L, 2L, "x y")))
+    assert(out(2L) == ((2L, 0L, "p q r")))
+    assert(out(3L) == ((2L, 0L, "m n m")))
+  }
+
+  test("dedupWithinDoc at blockSize 1 is token-level first-occurrence") {
+    val d = Seq((7L, "w w z w z")).toDF("doc_id", "text")
+    val out = Boilerplate.dedupWithinDoc(d, "doc_id", "text", 1)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out == ((7L, 5L, 3L, "w z")))
   }
 }
