@@ -682,6 +682,73 @@ object RelationalQueries {
         WHERE lang = 'en'
         GROUP BY source
         ORDER BY source
+      """)),
+
+    // Wide→long melt of the lineitem measures (the schema-reshaping
+    // inverse of q_pivot_events): Spark's built-in Dataset.unpivot —
+    // a codegen Expand, row-local, shuffle-free — against DuckDB's
+    // UNPIVOT. Values pass through untouched (no arithmetic → no
+    // float edge); the measure NAME column carries the original
+    // column names in both engines.
+    QueryDef(
+      "q_unpivot",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(pmod(col("l_orderkey"), lit(53L)) === 0)
+          .unpivot(
+            ids = Array(col("l_orderkey"), col("l_linenumber")),
+            values = Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            variableColumnName = "measure",
+            valueColumnName = "value")
+          // (l_orderkey, l_linenumber) is NOT unique in the testdata —
+          // value joins the sort key to make the order total
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"),
+            col("value")),
+      Some("""
+        WITH src AS (
+          SELECT l_orderkey, l_linenumber,
+                 l_quantity, l_extendedprice, l_discount, l_tax
+          FROM lineitem WHERE l_orderkey % 53 = 0)
+        SELECT l_orderkey, l_linenumber, measure, value
+        FROM (UNPIVOT src
+              ON l_quantity, l_extendedprice, l_discount, l_tax
+              INTO NAME measure VALUE value)
+        ORDER BY l_orderkey, l_linenumber, measure, value
+      """)),
+
+    // Robust per-group dispersion: median + median absolute deviation
+    // of document length per source. Both medians are the exact
+    // interpolated quantile (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`: position q·(n−1), linear midpoint) — on
+    // integer lengths every interpolation lands on the ¼-lattice, so
+    // the doubles are exact and hash-stable with no rounding edge.
+    // Two aggregation passes + one broadcast-sized join on source.
+    QueryDef(
+      "q_mad",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("n_chars"))
+        val med = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(n_chars, 0.5)").as("med_chars"))
+        docs.join(broadcast(med), "source")
+          .select(col("source"), col("n"), col("med_chars"),
+            abs(col("n_chars") - col("med_chars")).as("adev"))
+          .groupBy(col("source"), col("n"), col("med_chars"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH med AS (
+          SELECT source, COUNT(*) AS n,
+                 quantile_cont(n_chars, 0.5) AS med_chars
+          FROM documents GROUP BY source)
+        SELECT d.source, med.n, med.med_chars,
+               quantile_cont(abs(d.n_chars - med.med_chars), 0.5) AS mad
+        FROM documents d JOIN med ON med.source = d.source
+        GROUP BY d.source, med.n, med.med_chars
+        ORDER BY d.source
       """))
   )
 }
