@@ -225,8 +225,14 @@ object ExtensionQueries {
     * approximate. SUM(BIGINT) widens to HUGEINT in DuckDB; each
     * iteration casts back so `rank // deg` stays BIGINT.
     */
-  private lazy val pagerankOracle: String = {
-    val iters = (1 to 10).map { i =>
+  /** The unrolled integer-lattice PageRank iteration CTEs r1..rN —
+    * shared by every oracle that replays [[graft.operators.PageRank]]
+    * (q_pagerank's kNN graph, q_keywords' co-occurrence graph). The
+    * surrounding query must define CTEs `edges(src, dst)`,
+    * `nodes(id)`, `deg(id, deg)`, `consts(i0, b)`, and `r0(id, rank)`.
+    */
+  private def prIterCtes(n: Int): String =
+    (1 to n).map { i =>
       s"""c$i AS (
           SELECT e.dst AS id, SUM(r.rank // d.deg) AS s
           FROM edges e
@@ -239,6 +245,9 @@ object ExtensionQueries {
                       + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
           FROM nodes n LEFT JOIN c$i c ON c.id = n.id)"""
     }.mkString(",\n        ")
+
+  private lazy val pagerankOracle: String = {
+    val iters = prIterCtes(10)
     s"""
       WITH dims AS (
         SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -264,6 +273,52 @@ object ExtensionQueries {
       r0 AS (SELECT id, (SELECT i0 FROM consts) AS rank FROM nodes),
       $iters
       SELECT id, rank FROM r10 ORDER BY id
+    """
+  }
+
+  /** DuckDB replay of q_keywords: top-200-docfreq vocabulary, ±2
+    * co-occurrence edges, then the same unrolled PageRank lattice as
+    * [[pagerankOracle]] (shared [[prIterCtes]]), top-30 by rank.
+    */
+  private lazy val keywordsOracle: String = {
+    val iters = prIterCtes(10)
+    s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      dfreq AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      v200 AS (
+        SELECT term FROM dfreq
+        ORDER BY df DESC, term LIMIT 200),
+      ids AS (
+        SELECT term,
+               CAST(ROW_NUMBER() OVER (ORDER BY term) AS BIGINT) AS id
+        FROM v200),
+      vt AS (
+        SELECT t.doc_id, t.pos, i.id
+        FROM toks t JOIN ids i USING (term)),
+      und AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM vt a JOIN vt b
+          ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+        WHERE a.id <> b.id),
+      edges AS (
+        SELECT DISTINCT src, dst FROM
+          (SELECT src, dst FROM und
+           UNION ALL SELECT dst AS src, src AS dst FROM und)),
+      nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY 1),
+      consts AS (
+        SELECT 1000000000000 // count(*) AS i0,
+               (1000000000000 * 15 // 100) // count(*) AS b
+        FROM nodes),
+      r0 AS (SELECT id, (SELECT i0 FROM consts) AS rank FROM nodes),
+      $iters
+      SELECT i.term, r.rank
+      FROM r10 r JOIN ids i USING (id)
+      ORDER BY r.rank DESC, i.term LIMIT 30
     """
   }
 
@@ -2467,6 +2522,48 @@ object ExtensionQueries {
           .orderBy(col("id"))
       },
       Some(pagerankOracle)),
+
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    // over the term co-occurrence graph — vocab = top-200 terms by
+    // docfreq (df desc, term tiebreak), undirected edges between
+    // vocab terms co-occurring within distance <= 2, 10 lattice
+    // iterations, top-30 keywords by rank. Co-occurrence is built as
+    // TWO EQUI-joins on (doc_id, pos±δ) — never a per-doc position
+    // cross join — and the 200-row vocab broadcasts; the only
+    // single-partition step is numbering those 200 rows.
+    QueryDef(
+      "q_keywords",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = docTokens(s, dir)
+          .select(col("doc_id"),
+            posexplode(col("tokens")).as(Seq("pos", "term")))
+        val vocab = toks.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(200)
+        // 200 rows: the empty-partition-spec window is bounded here
+        val ids = vocab.select(col("term"),
+          row_number().over(Window.orderBy(col("term"))).cast("long")
+            .as("id"))
+        val vt = toks.join(broadcast(ids), "term")
+          .select(col("doc_id"), col("pos"), col("id"))
+        val und = Seq(1, 2).map { d =>
+          vt.select(col("doc_id"), col("pos"), col("id").as("src"))
+            .join(vt.select(col("doc_id"), (col("pos") - lit(d)).as("pos"),
+              col("id").as("dst")), Seq("doc_id", "pos"))
+            .select(col("src"), col("dst"))
+        }.reduce(_ union _).filter(col("src") =!= col("dst"))
+        val edges = und
+          .union(und.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        graft.operators.PageRank.run(edges, "src", "dst", 10)
+          .join(ids, "id")
+          .select(col("term"), col("rank"))
+          .orderBy(col("rank").desc, col("term"))
+          .limit(30)
+      },
+      Some(keywordsOracle)),
 
     // Incremental aggregate maintenance: history and batch partials
     // merged (full outer join on the 80-group key, null-safe
