@@ -238,6 +238,43 @@ object EventQueries {
         ORDER BY conv_id, click_id
       """)),
 
+    // LEFT-OUTER twin of q_stream_join: conversions with NO
+    // attributable click emit (conv_id, NULL) once the final global
+    // watermark (min of both sides' max event time − 2 h) proves no
+    // match can arrive; unmatched conversions above it stay buffered,
+    // exactly as a live stream would withhold them. The oracle
+    // replays both the interval join AND that emission rule.
+    QueryDef(
+      "q_stream_left_join",
+      (s, dir) =>
+        StreamingOps.attributedConversionsLeftOuter(s, s"$dir/events.parquet")
+          .orderBy(col("conv_id"), col("click_id")),
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        conv AS (SELECT event_id AS conv_id, user_id, us
+                 FROM e WHERE event_type = 'purchase'),
+        clk AS (SELECT event_id AS click_id, user_id, us
+                FROM e WHERE event_type = 'click'),
+        wm AS (SELECT least((SELECT max(us) FROM conv),
+                            (SELECT max(us) FROM clk))
+                      - 7200000000 AS w),
+        m AS (
+          SELECT c.conv_id, k.click_id
+          FROM conv c JOIN clk k
+            ON c.user_id = k.user_id
+           AND k.us <= c.us AND k.us >= c.us - 3600000000)
+        SELECT conv_id, click_id FROM m
+        UNION ALL
+        SELECT c.conv_id, NULL AS click_id
+        FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.conv_id = c.conv_id)
+          AND c.us < (SELECT w FROM wm)
+        ORDER BY conv_id, click_id NULLS FIRST
+      """)),
+
     // The SAME sessionization as stateful streaming
     // (mapGroupsWithState) — matches the lag-window batch oracle.
     QueryDef(

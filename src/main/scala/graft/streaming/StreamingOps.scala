@@ -725,6 +725,59 @@ object StreamingOps {
     spark.table(name).select(col("conv_id"), col("click_id"))
   }
 
+  /** LEFT-OUTER streaming attribution: every conversion, matched to
+    * same-user clicks in the preceding `windowSeconds` — or emitted
+    * with a NULL click once the watermark proves no match can arrive.
+    * The outer side is what the inner q_stream_join cannot express:
+    * "conversions with NO attributable click" stream out too, which
+    * is the row a production funnel alerts on.
+    *
+    * Emission semantics (and what the oracle replays): inner matches
+    * emit eagerly; an unmatched conversion emits (conv_id, NULL) only
+    * when its event time drops below the final global watermark =
+    * min(max conv_ts, max click_ts) − delay, the point where the
+    * join-condition analysis proves no future click (all ≥ watermark)
+    * can satisfy `click_ts <= conv_ts`. Conversions above the final
+    * watermark stay buffered forever — a BOUNDED run simply never
+    * reports them, exactly as a live stream wouldn't yet. The
+    * no-data micro-batch after the last file batch (Spark's default)
+    * is what flushes the evictable state.
+    *
+    * Scale: same shape as the inner join — state is bounded by the
+    * watermark horizon per user key, nothing global.
+    */
+  def attributedConversionsLeftOuter(
+      spark: SparkSession,
+      path: String,
+      convType: String = "purchase",
+      clickType: String = "click",
+      windowSeconds: Long = 3600L,
+      watermark: String = "2 hours"): DataFrame = {
+    val conv = readEventStream(spark, path)
+      .filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_id"),
+        col("user_id").as("conv_user"), col("ts").as("conv_ts"))
+      .withWatermark("conv_ts", watermark)
+    val clicks = readEventStream(spark, path)
+      .filter(col("event_type") === clickType)
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val joined = conv.join(clicks,
+      col("conv_user") === col("click_user") &&
+        col("click_ts") <= col("conv_ts") &&
+        col("click_ts") >= col("conv_ts") -
+          expr(s"INTERVAL $windowSeconds SECONDS"),
+      "left_outer")
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select(col("conv_id"), col("click_id"))
+  }
+
   /** Hourly tumbling-window counts and exact sums per event_type.
     * Watermark bounds state; complete output mode emits every window
     * (append would withhold windows newer than the final watermark).
