@@ -275,6 +275,43 @@ object EventQueries {
         ORDER BY conv_id, click_id NULLS FIRST
       """)),
 
+    // Rolling DISTINCT count over a row window — the aggregate Spark's
+    // window functions lack natively (no count(DISTINCT) OVER):
+    // expressed as size(array_distinct(collect_list OVER)), which
+    // stays a single per-user window pass with a 10-row frame. Per
+    // event: how many distinct event types the user produced in their
+    // last 10 events — a session-richness signal.
+    QueryDef(
+      "q_rolling_distinct",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(-9, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("k10",
+            size(array_distinct(collect_list(col("event_type")).over(w)))
+              .cast("long"))
+          .select(col("event_id"), col("user_id"), col("us"), col("k10"))
+          .orderBy(col("user_id"), col("us"), col("event_id"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events)
+        SELECT event_id, user_id, us,
+               CAST(len(list_distinct(
+                 list(event_type) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)))
+                 AS BIGINT) AS k10
+        FROM e
+        ORDER BY user_id, us, event_id
+      """)),
+
     // The SAME sessionization as stateful streaming
     // (mapGroupsWithState) — matches the lag-window batch oracle.
     QueryDef(

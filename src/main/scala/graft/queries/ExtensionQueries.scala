@@ -2403,6 +2403,66 @@ object ExtensionQueries {
         ORDER BY cnt DESC, item
       """)),
 
+    // Count-min sketch with REPLAYABLE hashing (md5-prefix double
+    // hashing, CmsSketch scaladoc): 4×1024 counters built in one
+    // aggregation pass, point-queried for the 30 most frequent terms.
+    // exact_cnt is carried only to exhibit the one-sided error
+    // (cms_cnt ≥ exact_cnt always; small bounded overcount) — a
+    // deployment keeps just the kilobyte counter table. The oracle
+    // replays hash, counters, and min end to end.
+    QueryDef(
+      "q_cms_counts",
+      (s, dir) => {
+        import graft.operators.CmsSketch
+        val words = Tables.documents(s, dir)
+          .select(explode(TextFunctions.splitWords(col("text")))
+            .as("term"))
+        val counters = CmsSketch.buildCounters(words, "term")
+        val exact = words.groupBy(col("term"))
+          .agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("term"))
+          .limit(30)
+        CmsSketch.estimate(counters, exact.select(col("term")), "term")
+          .join(broadcast(exact), "term")
+          .select(col("term"), col("exact_cnt"), col("cms_cnt"),
+            (col("cms_cnt") - col("exact_cnt")).as("overcount"))
+          .orderBy(col("term"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        hh AS (
+          SELECT term,
+                 CAST(h % 1048576 AS BIGINT) AS h1,
+                 CAST(((h // 1048576) % 1048576) * 2 + 1 AS BIGINT) AS h2
+          FROM (SELECT DISTINCT term,
+                       CAST(concat('0x', substr(md5(term), 1, 15))
+                         AS UBIGINT) AS h
+                FROM toks)),
+        counters AS (
+          SELECT r.j, (o.h1 + r.j * o.h2) % 1024 AS bucket,
+                 count(*) AS cnt
+          FROM toks t JOIN hh o USING (term), range(0, 4) r(j)
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT term, count(*) AS exact_cnt
+          FROM toks GROUP BY 1
+          ORDER BY exact_cnt DESC, term LIMIT 30),
+        est AS (
+          SELECT e.term, e.exact_cnt,
+                 min(COALESCE(c.cnt, 0)) AS cms_cnt
+          FROM exact e
+          JOIN hh o USING (term)
+          CROSS JOIN range(0, 4) r(j)
+          LEFT JOIN counters c
+            ON c.j = r.j AND c.bucket = (o.h1 + r.j * o.h2) % 1024
+          GROUP BY 1, 2)
+        SELECT term, exact_cnt,
+               CAST(cms_cnt AS BIGINT) AS cms_cnt,
+               CAST(cms_cnt - exact_cnt AS BIGINT) AS overcount
+        FROM est ORDER BY term
+      """)),
+
     // Symmetric int8 embedding quantization (absmax scheme): per-row
     // pure functions end to end — scale and the sequential-fold
     // reconstruction SSE are identical doubles in both engines, and

@@ -749,6 +749,45 @@ object RelationalQueries {
         FROM documents d JOIN med ON med.source = d.source
         GROUP BY d.source, med.n, med.med_chars
         ORDER BY d.source
+      """)),
+
+    // Star-schema rollup (TPC-H Q5 shape): the fact chain
+    // lineitem⋈orders⋈customer shuffles on its keys, while the
+    // nation/region dimensions ride explicit broadcasts — the classic
+    // snowflake plan where only fact-fact edges ever exchange data.
+    // Revenue in exact DECIMAL, cast to double at the edge.
+    QueryDef(
+      "q_star_join",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            sum((col("l_extendedprice").cast(dec) *
+              (lit(BigDecimal(1)).cast(dec) -
+                col("l_discount").cast(dec4))))
+              .cast("double").as("revenue"))
+          .orderBy(col("r_name"), col("n_name")),
+      Some("""
+        SELECT r_name, n_name, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
       """))
   )
 }
