@@ -1918,6 +1918,45 @@ object ExtensionQueries {
         WHERE h % 10 < 3
       """)),
 
+    // Deterministic per-stratum reservoir: exactly 5 docs per source,
+    // drawn as the 5 SMALLEST md5 hashes — a uniform-without-
+    // replacement sample that is a pure function of the ids (same
+    // rows on any cluster, any partitioning, any engine). The draw
+    // uses the bounded top_k_by aggregate (map-side partial heaps,
+    // k·|groups| state) — NOT a per-group rank window, so no stratum
+    // ever gathers on one task: the 100-TB shape for "n per bucket".
+    QueryDef(
+      "q_reservoir",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"))
+          .withColumn("h",
+            expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+              .cast("long"))
+          .groupBy(col("source"))
+          .agg(graft.functions.top_k_by(negate(col("h")), col("doc_id"), 5)
+            .as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), col("col.id").as("doc_id"),
+            (col("pos") + 1).as("draw_rank"))
+          .orderBy(col("source"), col("draw_rank")),
+      Some("""
+        WITH h AS (
+          SELECT source, doc_id,
+                 CAST(concat('0x',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS UBIGINT) AS h
+          FROM documents),
+        r AS (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY h, doc_id) AS draw_rank
+          FROM h)
+        SELECT source, doc_id, draw_rank
+        FROM r WHERE draw_rank <= 5
+        ORDER BY source, draw_rank
+      """)),
+
     // Per-source token-vs-chars calibration curves: thousands-of-
     // small-models grouped OLS in ONE aggregation pass (GroupedOls
     // scaladoc) — five exact integer statistics per group, double

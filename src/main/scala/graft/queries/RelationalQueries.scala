@@ -788,6 +788,57 @@ object RelationalQueries {
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name
+      """)),
+
+    // Robust outlier flagging on the q_mad statistics: docs whose
+    // length sits beyond 1.5 robust z (1.4826·MAD ≈ σ for normal
+    // data; the synthetic lengths are near-uniform, so the classic
+    // 3-z gate would pass nothing at any test scale — 1.5 flags
+    // ~40 docs per sf, a real witness).
+    // med/mad are exact ¼-lattice doubles, the ratio is the same IEEE
+    // expression in both engines, and the hashed edge is an explicit
+    // round-to-integer ppm (the q_quantize idiom) — never
+    // ROUND(double, n). Groups with MAD = 0 are excluded (a robust z
+    // is undefined there in any engine).
+    QueryDef(
+      "q_robust_outliers",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+        val med = docs.groupBy(col("source"))
+          .agg(expr("percentile(n_chars, 0.5)").as("med"))
+        val stats = docs.join(broadcast(med), "source")
+          .select(col("source"), col("med"),
+            abs(col("n_chars") - col("med")).as("adev"))
+          .groupBy(col("source"), col("med"))
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+          .filter(col("mad") > 0)
+        docs.join(broadcast(stats), "source")
+          .withColumn("rz",
+            (col("n_chars") - col("med")) / (lit(1.4826) * col("mad")))
+          .filter(abs(col("rz")) > 1.5)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(col("rz") * lit(1e6)).cast("long").as("rz_ppm"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH med AS (
+          SELECT source, quantile_cont(n_chars, 0.5) AS med
+          FROM documents GROUP BY source),
+        stats AS (
+          SELECT d.source, med.med,
+                 quantile_cont(abs(d.n_chars - med.med), 0.5) AS mad
+          FROM documents d JOIN med ON med.source = d.source
+          GROUP BY d.source, med.med),
+        rz AS (
+          SELECT d.doc_id, d.source, d.n_chars,
+                 (d.n_chars - st.med) / (1.4826 * st.mad) AS rz
+          FROM documents d JOIN stats st ON st.source = d.source
+          WHERE st.mad > 0)
+        SELECT doc_id, source, n_chars,
+               CAST(ROUND(rz * 1000000.0) AS BIGINT) AS rz_ppm
+        FROM rz WHERE abs(rz) > 1.5
+        ORDER BY doc_id
       """))
   )
 }

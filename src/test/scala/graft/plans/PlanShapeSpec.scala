@@ -90,6 +90,24 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("q_star_join: snowflake dims broadcast, facts never nested-loop") {
+    val p = plan("q_star_join")
+    // nation and region must ride broadcast hash joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"snowflake dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
+  test("q_reservoir: per-stratum draw is an aggregate, not a window") {
+    // the bounded top_k_by heap replaces a rank window: no per-group
+    // sort materialization, map-side partials before one exchange
+    val p = plan("q_reservoir")
+    assert(!p.contains("Window"), s"reservoir fell back to a window:\n$p")
+    assert(p.contains("top_k_by") || p.contains("topkbyscore"),
+      s"bounded top-k aggregate missing:\n$p")
+  }
+
   test("no CartesianProduct in the declarative query surface") {
     // every SparkEntry query whose plan builds without running jobs
     val lazyQueries = Seq(
@@ -129,7 +147,13 @@ class PlanShapeSpec extends SparkSuite {
       "q_modal_align", "q_key_skew", "q_compaction_plan",
       "q_dedup_containment", "q_tokenizer_fertility", "q_apply_changes",
       "q_eval_allocation", "q_k_anonymity", "q_event_anomaly",
-      "q_source_overlap", "q_winsorize")
+      "q_source_overlap", "q_winsorize",
+      // this round's additions (q_bucketed_join/q_partitioned_scan
+      // write tables at build time and are plan-audited in
+      // StorageLayoutSpec; q_keywords runs PageRank jobs eagerly)
+      "q_phrase_search", "q_chunk_dedup", "q_unpivot", "q_mad",
+      "q_star_join", "q_cms_counts", "q_rolling_distinct",
+      "q_reservoir", "q_robust_outliers")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
