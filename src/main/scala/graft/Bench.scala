@@ -93,7 +93,14 @@ object Bench {
     "q_holt", "q_bootstrap_ci", "q_mann_whitney", "q_correlation",
     "q_gini", "q_lorenz", "q_confidence_bins", "q_stream_holt",
     "q_stream_ewma", "q_step_latency", "q_lexical_profile",
-    "q_stream_debounce", "q_chi_square", "q_ks_test")
+    "q_stream_debounce", "q_chi_square", "q_ks_test",
+    // this round's additions: storage layout, positional/phrase IR,
+    // intra-doc dedup, reshaping, graphs-over-text, sketches, robust
+    // stats, streaming outer join
+    "q_bucketed_join", "q_partitioned_scan", "q_phrase_search",
+    "q_chunk_dedup", "q_unpivot", "q_mad", "q_keywords",
+    "q_star_join", "q_cms_counts", "q_rolling_distinct",
+    "q_reservoir", "q_robust_outliers", "q_stream_left_join")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.
