@@ -55,14 +55,16 @@ object CmsSketch {
 
   /** Point-query estimates for `probes` (distinct values of
     * `itemCol`): `(itemCol, cms_cnt)` = min over the Depth counters.
-    * The probe side broadcasts; the counter table is itself bounded.
+    * The COUNTER side broadcasts — it is the ≤ Depth·Width-row table
+    * (and the probe side, being the preserved side of the left join,
+    * cannot be broadcast anyway) — so an arbitrarily large probe set
+    * never shuffles.
     */
   def estimate(
       counters: DataFrame, probes: DataFrame, itemCol: String): DataFrame =
-    broadcast(
-      withHashPair(probes.select(col(itemCol)), col(itemCol))
-        .select(col(itemCol), buckets.as(Seq("j", "bucket"))))
-      .join(counters, Seq("j", "bucket"), "left")
+    withHashPair(probes.select(col(itemCol)), col(itemCol))
+      .select(col(itemCol), buckets.as(Seq("j", "bucket")))
+      .join(broadcast(counters), Seq("j", "bucket"), "left")
       .groupBy(col(itemCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_cnt"))
 }

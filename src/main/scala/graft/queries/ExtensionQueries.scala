@@ -2641,10 +2641,15 @@ object ExtensionQueries {
           .agg(countDistinct(col("doc_id")).as("df"))
           .orderBy(col("df").desc, col("term"))
           .limit(200)
-        // 200 rows: the empty-partition-spec window is bounded here
+        // 200 rows: the empty-partition-spec window is bounded here.
+        // Pinned eagerly — ids feeds the token join AND the final
+        // name join, and PageRank already runs jobs at build time, so
+        // the checkpoint costs nothing extra and saves two replays of
+        // the vocabulary aggregation.
         val ids = vocab.select(col("term"),
           row_number().over(Window.orderBy(col("term"))).cast("long")
             .as("id"))
+          .localCheckpoint(true)
         val vt = toks.join(broadcast(ids), "term")
           .select(col("doc_id"), col("pos"), col("id"))
         val und = Seq(1, 2).map { d =>
