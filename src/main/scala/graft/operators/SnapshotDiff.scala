@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * document size, so the shuffle carries 16 bytes of content per row
   * instead of the document). At 100 TB with both snapshots bucketed
   * on the key column the exchange disappears entirely
-  * (BucketedTables); `changed`/`added` output is typically a small
+  * (StorageLayout); `changed`/`added` output is typically a small
   * fraction to feed incremental dedup (`Dedup.
   * incrementalMinhashPairsFromStore`) and re-embedding.
   */

@@ -1,10 +1,13 @@
 package graft.sources
 
 import graft.SparkSuite
+import graft.operators.StorageLayout
 import org.apache.spark.sql.functions._
 
-/** Bucketed co-located joins: same-count bucketed+sorted tables must
-  * join WITHOUT a shuffle exchange, produce exactly the plain join's
+/** Bucketed co-located joins (operators/StorageLayout — the single
+  * bucketing implementation, also driven end-to-end by
+  * q_bucketed_join): same-count bucketed+sorted tables must join
+  * WITHOUT a shuffle exchange, produce exactly the plain join's
   * rows, and the non-bucketed control must show the exchanges the
   * bucketed plan elides.
   */
@@ -26,11 +29,11 @@ class BucketedTablesSpec extends SparkSuite {
     val custs = (0 until 50)
       .map(i => (i.toLong, s"c$i"))
       .toDF("c_id", "name")
-    BucketedTables.writeBucketed(orders, "b_orders", s"$root/o", "cust", 8)
-    BucketedTables.writeBucketed(custs, "b_custs", s"$root/c", "c_id", 8)
+    StorageLayout.writeBucketed(orders, "b_orders", s"$root/o", "cust", 8)
+    StorageLayout.writeBucketed(custs, "b_custs", s"$root/c", "c_id", 8)
     withSmjOnly {
-      val joined = BucketedTables.bucketJoin(
-        spark, "b_orders", "b_custs", "cust", "c_id")
+      val joined = spark.table("b_orders").join(spark.table("b_custs"),
+        col("cust") === col("c_id"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle:\n$plan")
@@ -55,7 +58,7 @@ class BucketedTablesSpec extends SparkSuite {
       val orders = (0 until 400)
         .map(i => (i.toLong, i.toLong % 50, i * 10.0))
         .toDF("o_id", "cust", "price")
-      BucketedTables.writeBucketed(orders, "b_orders", s"$root/o", "cust", 8)
+      StorageLayout.writeBucketed(orders, "b_orders", s"$root/o", "cust", 8)
     }
     withSmjOnly {
       val agg = spark.table("b_orders")
