@@ -100,7 +100,8 @@ object Bench {
     "q_bucketed_join", "q_partitioned_scan", "q_phrase_search",
     "q_chunk_dedup", "q_unpivot", "q_mad", "q_keywords",
     "q_star_join", "q_cms_counts", "q_rolling_distinct",
-    "q_reservoir", "q_robust_outliers", "q_stream_left_join")
+    "q_reservoir", "q_robust_outliers", "q_stream_left_join",
+    "q_clustering")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -87,4 +87,40 @@ object Triangles {
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     enumerate(edges, srcCol, dstCol)
       .agg(count(lit(1)).as("n_triangles"))
+
+  /** Local clustering coefficient per node:
+    * `(id, deg, triangles, coeff_ppm)` with
+    * coeff = 2·T(v) / (deg(v)·(deg(v)−1)), emitted as integer ppm by
+    * floor division (all operands positive — exact in any engine).
+    * Nodes of degree < 2 are excluded: their coefficient is
+    * undefined (0/0). On a near-dup or kNN graph this is the
+    * community-density curation signal — tight cliques (boilerplate
+    * families) score 1e6, bridge nodes score low.
+    *
+    * Cost on top of [[enumerate]]: one explode+aggregate over the
+    * (already small) triangle list and a node-keyed degree join.
+    */
+  def clusteringCoefficient(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val tri = enumerate(edges, srcCol, dstCol)
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__u"),
+        greatest(col(srcCol), col(dstCol)).as("__v"))
+      .distinct()
+    val deg = e.select(explode(array(col("__u"), col("__v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    deg
+      .join(triPerNode, Seq("id"), "left")
+      .withColumn("triangles",
+        coalesce(col("triangles"), lit(0L)))
+      .filter(col("deg") >= 2)
+      .select(col("id"), col("deg"), col("triangles"),
+        expr("(2 * triangles * 1000000) div (deg * (deg - 1))")
+          .as("coeff_ppm"))
+  }
 }

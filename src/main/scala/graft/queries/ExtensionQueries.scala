@@ -3816,6 +3816,70 @@ object ExtensionQueries {
         ORDER BY a, b, c
       """)),
 
+    // Local clustering coefficient over the same 3-NN graph as
+    // q_triangles: per node, 2T/(d(d−1)) on the integer ppm lattice —
+    // community density as a curation signal (cliques ≈ 1e6, bridges
+    // low). The oracle extends the triangle replay with the per-node
+    // rollup and the same floor-division lattice.
+    QueryDef(
+      "q_clustering",
+      (s, dir) => {
+        import graft.operators.Triangles
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.bruteForceTopK(
+          emb, emb, "vec_id", "embedding", 3)
+        Triangles.clusteringCoefficient(
+            knn.select(col("query_id").as("src"),
+              col("neighbor_id").as("dst")),
+            "src", "dst")
+          .orderBy(col("id"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS d
+          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT qa, qb, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
+          FROM dots
+          JOIN norms na ON na.vec_id = qa
+          JOIN norms nb ON nb.vec_id = qb),
+        ranked AS (
+          SELECT qa, qb,
+                 ROW_NUMBER() OVER (PARTITION BY qa
+                                    ORDER BY cos DESC, qb) AS rn
+          FROM scored),
+        e AS (
+          SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
+          FROM ranked WHERE rn <= 3),
+        tri AS (
+          SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+          FROM e e1
+          JOIN e e2 ON e2.id_a = e1.id_b
+          JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+        tn AS (
+          SELECT id, count(*) AS triangles FROM (
+            SELECT a AS id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+          GROUP BY 1),
+        deg AS (
+          SELECT id, count(*) AS deg FROM (
+            SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+          GROUP BY 1)
+        SELECT d.id, d.deg, COALESCE(t.triangles, 0) AS triangles,
+               CAST((2 * COALESCE(t.triangles, 0) * 1000000)
+                    // (d.deg * (d.deg - 1)) AS BIGINT) AS coeff_ppm
+        FROM deg d LEFT JOIN tn t USING (id)
+        WHERE d.deg >= 2
+        ORDER BY d.id
+      """)),
+
     // Mutual-information term ranking against the language label —
     // supervised feature selection over the presence/class
     // contingency grid (absent cells included via the vocab × class

@@ -20,6 +20,16 @@ object RelationalQueries {
   private val dec = DecimalType(18, 2)
   private val dec4 = DecimalType(18, 4)
 
+  /** Scratch dir for the storage-layout queries, keyed by the sf dir:
+    * a Verify at one sf and a Bench at another must never overwrite
+    * each other's table data.
+    */
+  private def layoutBase(dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_layout_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+
   /** Dialect-neutral Q1 text: runs verbatim in BOTH Spark SQL and
     * DuckDB — shared by q1_agg's oracle and q_sql_q1's Spark side.
     */
@@ -632,7 +642,7 @@ object RelationalQueries {
     QueryDef(
       "q_bucketed_join",
       (s, dir) => {
-        val base = s"${sys.props("java.io.tmpdir")}/graft_layout"
+        val base = layoutBase(dir)
         val (o, l) = graft.operators.StorageLayout.coBucketed(s,
           Tables.orders(s, dir), "graft_b_orders", "o_orderkey",
           Tables.lineitem(s, dir), "graft_b_lineitem", "l_orderkey",
@@ -661,8 +671,7 @@ object RelationalQueries {
     QueryDef(
       "q_partitioned_scan",
       (s, dir) => {
-        val path =
-          s"${sys.props("java.io.tmpdir")}/graft_layout/docs_by_lang"
+        val path = s"${layoutBase(dir)}/docs_by_lang"
         graft.operators.StorageLayout.writePartitioned(
           Tables.documents(s, dir)
             .select(col("doc_id"), col("source"), col("n_chars"),

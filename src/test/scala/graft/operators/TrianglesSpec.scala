@@ -53,4 +53,20 @@ class TrianglesSpec extends SparkSuite {
     assert(Triangles.enumerate(messy, "s", "d")
       .as[(Long, Long, Long)].collect().toSeq == Seq((0L, 1L, 2L)))
   }
+
+  test("clustering coefficient: clique 1e6, bridge low, pendants out") {
+    // triangle 1-2-3 plus pendant 4 attached to 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val out = Triangles.clusteringCoefficient(edges, "s", "d")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // node 1: deg 3, 1 triangle -> 2*1e6/(3*2) = 333333 (floor)
+    assert(out(1L) == ((3L, 1L, 333333L)))
+    // nodes 2,3: deg 2, 1 triangle -> full clique locally
+    assert(out(2L) == ((2L, 1L, 1000000L)))
+    assert(out(3L) == ((2L, 1L, 1000000L)))
+    // pendant node 4 has deg 1 -> excluded
+    assert(!out.contains(4L))
+  }
 }
