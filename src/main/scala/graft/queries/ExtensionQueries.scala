@@ -3880,6 +3880,47 @@ object ExtensionQueries {
         ORDER BY d.id
       """)),
 
+    // Per-label semantic diversity: average pairwise cosine WITHOUT
+    // the n² pairwise join — ‖Σû‖² − n over micro-lattice unit
+    // vectors (SemanticDiversity scaladoc). High = redundant
+    // self-similar cluster, low = diverse. The oracle replays the
+    // lattice with HUGEINT where Spark uses DECIMAL(38,0).
+    QueryDef(
+      "q_semantic_diversity",
+      (s, dir) =>
+        graft.operators.SemanticDiversity.averagePairwiseCosine(
+            Tables.embeddings(s, dir), "label", "embedding")
+          .orderBy(col("label")),
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        u AS (
+          SELECT d.label, d.i,
+                 CAST(ROUND(d.x / n.nrm * 1e6) AS BIGINT) AS un
+          FROM dims d JOIN nrm n USING (vec_id) WHERE n.nrm > 0),
+        s AS (
+          SELECT label, i, CAST(SUM(un) AS HUGEINT) AS sd
+          FROM u GROUP BY 1, 2),
+        q AS (
+          SELECT label, CAST(SUM(sd * sd) AS DOUBLE) AS ssq
+          FROM s GROUP BY 1),
+        c AS (
+          SELECT e.label, count(*) AS n
+          FROM embeddings e JOIN nrm ON nrm.vec_id = e.vec_id
+          WHERE nrm.nrm > 0 GROUP BY 1)
+        SELECT q.label, c.n,
+               CAST(ROUND((q.ssq / 1e12 - CAST(c.n AS DOUBLE))
+                          / (CAST(c.n AS DOUBLE)
+                             * (CAST(c.n AS DOUBLE) - 1.0)) * 1e6)
+                 AS BIGINT) AS avg_cos_ppm
+        FROM q JOIN c USING (label)
+        WHERE c.n >= 2
+        ORDER BY q.label
+      """)),
+
     // Mutual-information term ranking against the language label —
     // supervised feature selection over the presence/class
     // contingency grid (absent cells included via the vocab × class
