@@ -67,6 +67,26 @@ class StorageLayoutSpec extends SparkSuite {
     assert(df.count() === expected)
   }
 
+  test("point lookup on the bucket key prunes to one bucket") {
+    // the read-side payoff beyond join elision: an equality filter on
+    // the bucket key scans 1 of N buckets, not the whole table
+    StorageLayout.writeBucketed(
+      graft.Tables.orders(spark, sfDir), "spec_b_prune", tmp("prune"),
+      "o_orderkey", 4)
+    // autoBucketedScan turns bucketed reads OFF for plans with no
+    // join/agg on the bucket key — pruning needs the bucketed scan
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key, "true")
+    try {
+      spark.conf.set(key, "false")
+      val df = spark.table("spec_b_prune")
+        .filter(col("o_orderkey") === 42L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"bucket pruning missing:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("writeBucketed validates numBuckets") {
     intercept[IllegalArgumentException] {
       StorageLayout.writeBucketed(
