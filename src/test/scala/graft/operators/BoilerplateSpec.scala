@@ -87,4 +87,32 @@ class BoilerplateSpec extends SparkSuite {
       .as[(Long, Long, Long, String)].collect().head
     assert(out == ((7L, 5L, 3L, "w z")))
   }
+
+  test("dedupWithinDoc matches a sequential reference on random docs") {
+    // seeded generator over a tiny vocabulary (forces collisions)
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "ab", "x")
+    val docs = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(17)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def reference(text: String, bs: Int): (Long, Long, String) = {
+      val toks = text.split(" ", -1)
+      val blocks = toks.grouped(bs).map(_.mkString(" ")).toVector
+      val kept = blocks.distinct // Scala Vector.distinct keeps first
+      (blocks.size.toLong, (blocks.size - kept.size).toLong,
+        kept.mkString(" "))
+    }
+    for (bs <- Seq(1, 2, 3)) {
+      val got = Boilerplate
+        .dedupWithinDoc(docs.toDF("doc_id", "text"), "doc_id", "text", bs)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      docs.foreach { case (id, text) =>
+        val (t, rm, clean) = reference(text, bs)
+        assert(got(id) == ((t, rm, clean)),
+          s"doc $id bs=$bs: got ${got(id)}, want ($t,$rm,$clean)")
+      }
+    }
+  }
 }
