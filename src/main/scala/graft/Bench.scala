@@ -101,7 +101,7 @@ object Bench {
     "q_chunk_dedup", "q_unpivot", "q_mad", "q_keywords",
     "q_star_join", "q_cms_counts", "q_rolling_distinct",
     "q_reservoir", "q_robust_outliers", "q_stream_left_join",
-    "q_clustering", "q_semantic_diversity")
+    "q_clustering", "q_semantic_diversity", "q_stream_enrich")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

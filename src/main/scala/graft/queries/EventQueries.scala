@@ -275,6 +275,24 @@ object EventQueries {
         ORDER BY conv_id, click_id NULLS FIRST
       """)),
 
+    // Stream-static broadcast enrichment: the stateless lookup join
+    // at ingest (events stream × customer dim). The oracle is the
+    // plain batch join — stream-static joins are batch-equivalent by
+    // construction, which is exactly the property worth pinning.
+    QueryDef(
+      "q_stream_enrich",
+      (s, dir) =>
+        StreamingOps.enrichedEventStream(s, s"$dir/events.parquet",
+            Tables.customer(s, dir)
+              .select(col("c_custkey"), col("c_mktsegment")),
+            "user_id", "c_custkey", Seq("c_mktsegment"))
+          .orderBy(col("event_id")),
+      Some("""
+        SELECT e.event_id, e.user_id AS key, c.c_mktsegment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+      """)),
+
     // Rolling DISTINCT count over a row window — the aggregate Spark's
     // window functions lack natively (no count(DISTINCT) OVER):
     // expressed as size(array_distinct(collect_list OVER)), which

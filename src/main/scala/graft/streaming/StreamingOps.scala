@@ -725,6 +725,35 @@ object StreamingOps {
     spark.table(name).select(col("conv_id"), col("click_id"))
   }
 
+  /** Stream-STATIC enrichment: each micro-batch of events joined to a
+    * broadcast static dimension — the stateless lookup-join every
+    * ingest pipeline runs (no watermark, no state store, no output-
+    * mode constraint: the dim is bounded, so each batch joins
+    * independently). The static side is broadcast ONCE and reused by
+    * every micro-batch; at cluster scale this is a map-side hash join
+    * per batch, never a shuffle of the stream.
+    */
+  def enrichedEventStream(
+      spark: SparkSession,
+      path: String,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String,
+      dimCols: Seq[String]): DataFrame = {
+    val stream = readEventStream(spark, path)
+    val joined = stream.join(broadcast(dim),
+      col(streamKey) === col(dimKey))
+      .select((col("event_id") +: col(streamKey).as("key") +:
+        dimCols.map(col)): _*)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** LEFT-OUTER streaming attribution: every conversion, matched to
     * same-user clicks in the preceding `windowSeconds` — or emitted
     * with a NULL click once the watermark proves no match can arrive.
