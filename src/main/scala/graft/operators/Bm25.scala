@@ -27,12 +27,18 @@ import org.apache.spark.sql.functions._
   *    final top-k uses the bounded `top_k_by` aggregate (map-side
   *    partial heaps), never a global rank window.
   *
-  * Determinism: each per-term contribution is snapped to an integer
-  * nanounit lattice BEFORE the per-document sum, so the score is a
-  * long addition — order-independent and replayable bit-for-bit in
-  * any engine (the `UnigramLM`/q_token_budget oracle policy). With
-  * contributions ≤ ~20 and ≤ thousands of query terms, the nano sum
-  * stays far below 2^53, so the double handed to `top_k_by` is exact.
+  * Determinism: two-stage integer lattice. Of the whole scoring
+  * chain, `log10` is the ONLY operation IEEE-754 does not require to
+  * be correctly rounded — every other step (+, ·, /) is exact-rounded
+  * and therefore bit-identical in any compliant engine. So the idf is
+  * snapped ALONE to a coarse micro lattice (`round(idf·1e6)`, ~9
+  * orders of margin over a 1-ulp libm wobble), and the per-term
+  * contribution `round(idf_micro·tfNorm·1e3)` then rounds a
+  * bit-identical double — deterministic across engines by
+  * construction, not by luck. Contributions sum as longs
+  * (order-independent, the `UnigramLM` policy); with contributions
+  * ≤ ~2e10 nano and ≤ thousands of query terms the sum stays below
+  * 2^53, so the double handed to `top_k_by` is exact.
   */
 object Bm25 {
 
@@ -82,9 +88,9 @@ object Bm25 {
       index: DataFrame, corpusTotals: DataFrame, queryTerms: DataFrame,
       k: Int, k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
     Reserved.check("queryTerms" -> queryTerms)
-    val idf = log10(lit(1.0) +
+    val idfMicro = round(log10(lit(1.0) +
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
+        (col("df").cast("double") + lit(0.5))) * lit(1e6)).cast("long")
     val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) +
@@ -94,7 +100,8 @@ object Bm25 {
       .filter(col("doc_id") =!= col("query_id"))
       .crossJoin(broadcast(corpusTotals))
       .select(col("query_id"), col("doc_id"),
-        round(idf * tfNorm * lit(1e9)).cast("long").as("c_nano"))
+        round(idfMicro.cast("double") * tfNorm * lit(1e3)).cast("long")
+          .as("c_nano"))
     val scored = contrib
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("c_nano")).as("score_nano"))

@@ -71,17 +71,29 @@ object StreamingOps {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** The file stream source wants a directory; when given a single
+    * file, stream its parent with a glob filter on the file name.
+    * Probed through the Hadoop FileSystem API, not java.io.File — the
+    * input can live wherever the checkpoint does (HDFS/S3/local), and
+    * a local-only isFile probe silently misclassifies every remote
+    * path as a directory (the dedupIngest store-probe lesson).
+    */
+  private def dirAndGlob(
+      spark: SparkSession, path: String): (String, String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isFile)
+      (p.getParent.toString, p.getName)
+    else (path, "*")
+  }
+
   /** Streaming read of the events parquet (nanos timestamps → µs;
     * see Tables.events for the rationale).
     */
   private def readEventStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    // The file stream source wants a directory; when given a single
-    // file, stream its parent with a glob filter on the file name.
-    val f = new java.io.File(path)
-    val (dir, glob) =
-      if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) = dirAndGlob(spark, path)
     graft.Tables.normalizeTs(
       spark.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(dir))
@@ -519,9 +531,7 @@ object StreamingOps {
       minUniqueRatio: Double = 0.3,
       minChars: Int = 200): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val (dir, glob) =
-      if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) = dirAndGlob(spark, path)
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     val toks = split(col("text"), " ", -1)
@@ -563,9 +573,7 @@ object StreamingOps {
       outDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val (dir, glob) =
-      if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) = dirAndGlob(spark, path)
     val reader = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob)
     val docs = maxFilesPerTrigger
