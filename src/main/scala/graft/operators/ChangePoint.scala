@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline change-point detection and autocorrelation over grouped
+  * integer series — the monitoring layer a corpus-ingest pipeline
+  * runs over its own volume/quality counters (per-source daily doc
+  * counts, dedup rates, rejection rates).
+  *
+  * CUSUM (Page 1954, offline single-change form): for a series
+  * x_1..x_n with mean x̄, S_i = Σ_{j≤i}(x_j − x̄); the change point
+  * estimate is argmax_i |S_i| — where the cumulative deviation from
+  * the global mean peaks. EVERYTHING stays on an exact integer
+  * lattice by scaling by n: n·S_i = n·Σ_{j≤i}x_j − i·Σx — two integer
+  * products of prefix sums, so the argmax comparison is exact integer
+  * comparison, with no mean-as-double anywhere (the GroupedOls
+  * sufficient-statistics policy).
+  *
+  * Autocorrelation: r_ℓ = Σ(x_t−x̄)(x_{t+ℓ}−x̄) / Σ(x_t−x̄)², the
+  * standard large-n estimator with the full-series mean in both
+  * factors and the lag-0 variance in the denominator. Multiplying
+  * through by n² turns both sides into exact integers:
+  *   n²·num_ℓ = n²·Σ_t x_t·x_{t+ℓ} − n·Σx·(Σ_head + Σ_tail)
+  *              + (n−ℓ)·(Σx)²,
+  *   n²·den   = n²·Σx² − n·(Σx)²·…  — see the code; the emitted
+  * r_ℓ is one correctly-rounded division of those two integers,
+  * snapped to a micro lattice. (With counts ≤ ~10⁶ and series length
+  * ≤ ~10⁴ the integer terms stay below 2^63; callers with bigger
+  * magnitudes should pre-scale, as documented for GroupedOls.)
+  *
+  * Scale shape: one window pass per series for prefix sums (the
+  * series key partitions the window — no global window), then a
+  * per-series aggregation; the lag join for autocorrelation is a
+  * self-join on (series, t+ℓ) — shuffle keyed by the series, sized
+  * by series length × lags, never by the corpus.
+  */
+object ChangePoint {
+
+  /** Change-point per series: (seriesCol, change_idx, ns_dev, n)
+    * where change_idx is the 1-based argmax of |n·S_i| (ties → the
+    * EARLIEST index; i = n is excluded — S_n ≡ 0 carries no signal),
+    * and ns_dev = n·S_{change_idx}, the n-scaled cumulative deviation
+    * (sign tells the direction: negative = the series ran below its
+    * mean up to the change). Input: one row per (series, idx, x) with
+    * idx 1..n dense and x integral. Series with n < 2 are dropped.
+    */
+  def cusum(df: DataFrame, seriesCol: String, idxCol: String,
+      xCol: String): DataFrame = {
+    Reserved.check("cusum" -> df)
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("__i"))
+    val pre = df.select(col(seriesCol), col(idxCol).cast("long").as("__i"),
+        col(xCol).cast("long").as("__x"))
+      .withColumn("__ps", sum(col("__x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = pre.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"))
+    pre.join(tot, seriesCol)
+      .filter(col("__n") >= 2 && col("__i") < col("__n"))
+      .select(col(seriesCol),
+        col("__i"), col("__n"),
+        (col("__n") * col("__ps") - col("__i") * col("__sx")).as("__nsi"))
+      .groupBy(col(seriesCol))
+      .agg(max(struct(abs(col("__nsi")).as("a"), (-col("__i")).as("negI"),
+          col("__nsi").as("v"), col("__n").as("n"))).as("best"))
+      .select(col(seriesCol), (-col("best.negI")).as("change_idx"),
+        col("best.v").as("ns_dev"), col("best.n").as("n"))
+  }
+
+  /** Autocorrelation r_ℓ for ℓ = 1..maxLag per series, micro-lattice:
+    * (seriesCol, lag, r_micro, n). Input as in [[cusum]]; series
+    * shorter than maxLag + 2 still emit the lags they support
+    * (n − ℓ ≥ 1 pairs); zero-variance series are dropped (r is
+    * undefined in any engine).
+    */
+  def autocorr(df: DataFrame, seriesCol: String, idxCol: String,
+      xCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    Reserved.check("autocorr" -> df)
+    val base = df.select(col(seriesCol), col(idxCol).cast("long").as("__i"),
+      col(xCol).cast("long").as("__x"))
+    val tot = base.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    // head rows fan out ×maxLag, then ONE equi-join on (series, i+ℓ)
+    // — n·maxLag join rows, not the n² of a raw self-join filtered
+    // down to the lag band
+    val pairs = base
+      .withColumn("__lag",
+        explode(array((1 to maxLag).map(l => lit(l.toLong)): _*)))
+      .select(col(seriesCol), (col("__i") + col("__lag")).as("__ti"),
+        col("__lag"), col("__x").as("__xh"))
+      .join(base.select(col(seriesCol), col("__i").as("__ti"),
+          col("__x").as("__xt")),
+        Seq(seriesCol, "__ti"))
+    val perLag = pairs.groupBy(col(seriesCol), col("__lag"))
+      .agg(sum(col("__xh") * col("__xt")).as("__sxy"),
+        sum(col("__xh")).as("__sh"), sum(col("__xt")).as("__st"))
+    perLag.join(tot, seriesCol)
+      .filter(col("__n") * col("__sxx") =!= col("__sx") * col("__sx"))
+      .select(col(seriesCol), col("__lag").as("lag"), col("__n").as("n"),
+        round(
+          ((col("__n") * col("__n") * col("__sxy")
+            - col("__n") * col("__sx") * (col("__sh") + col("__st"))
+            + (col("__n") - col("__lag")) * col("__sx") * col("__sx"))
+            .cast("double") * lit(1e6)) /
+          ((col("__n") * col("__n") * col("__sxx")
+            - col("__n") * col("__sx") * col("__sx"))
+            .cast("double"))).cast("long").as("r_micro"))
+  }
+}

@@ -120,4 +120,38 @@ object DataQuality {
       .select(col("rank"), col("key"), col("cnt"),
         col("share_ppm"), col("cum_share_ppm"))
   }
+
+  /** Benford first-digit audit — the classic fabricated-or-degenerate
+    * numeric-column screen: the distribution of leading significant
+    * digits of naturally-occurring multi-scale amounts follows
+    * P(d) = log10(1 + 1/d); a column that departs wildly is
+    * synthetic, truncated, or unit-capped. Output per digit 1..9:
+    * observed count, observed_ppm, and the Benford expectation
+    * expected_ppm — one aggregation pass.
+    *
+    * The leading digit is taken from the value's canonical decimal
+    * STRING form, not via floor(x/10^floor(log10 x)) — the log/pow
+    * route misclassifies exact powers of ten when log10 lands an ulp
+    * low (e.g. 1000 → digit 9), and is exactly the kind of
+    * libm-dependent edge this engine keeps out of hashed outputs.
+    * Rows that are null, zero, or non-positive are excluded (Benford
+    * is defined on positive magnitudes).
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(regexp_extract(col(valueCol).cast("string"),
+        "([1-9])", 1).as("digit"))
+      .filter(col("digit") =!= "")
+    val counts = digits.groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("(n * CAST(1000000 AS BIGINT)) div __t").as("observed_ppm"),
+        round(log10(lit(1.0) +
+          lit(1.0) / col("digit").cast("double")) * lit(1e6))
+          .cast("long").as("expected_ppm"))
+      .orderBy(col("digit"))
+  }
 }

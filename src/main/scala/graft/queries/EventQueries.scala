@@ -1576,6 +1576,117 @@ object EventQueries {
                     ELSE 'none' END AS winner
         FROM g
         ORDER BY event_type
+      """)),
+
+    // Offline CUSUM change point over each event type's daily count
+    // series: argmax_i |n·S_i| on the exact integer lattice
+    // (ChangePoint.cusum scaladoc). One window pass per series + one
+    // per-series aggregation.
+    QueryDef(
+      "q_changepoint",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        graft.operators.ChangePoint.cusum(daily, "event_type", "i", "x")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS i
+          FROM series),
+        pre AS (
+          SELECT event_type, i, x,
+                 SUM(x) OVER (PARTITION BY event_type ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS ps
+          FROM idx),
+        tot AS (
+          SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx
+          FROM idx GROUP BY 1),
+        nsi AS (
+          SELECT p.event_type, p.i, t.n,
+                 CAST(t.n * p.ps - p.i * t.sx AS BIGINT) AS nsi
+          FROM pre p JOIN tot t USING (event_type)
+          WHERE t.n >= 2 AND p.i < t.n),
+        best AS (
+          SELECT event_type, i AS change_idx, nsi AS ns_dev, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY abs(nsi) DESC, i) AS rn
+          FROM nsi)
+        SELECT event_type, change_idx, ns_dev, n
+        FROM best WHERE rn = 1
+        ORDER BY event_type
+      """)),
+
+    // Per-series autocorrelation at lags 1..3 on the n²-scaled exact
+    // integer lattice (ChangePoint.autocorr scaladoc): is event
+    // volume persistent day-over-day, and at what horizon?
+    QueryDef(
+      "q_acf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        graft.operators.ChangePoint.autocorr(
+            daily, "event_type", "i", "x", maxLag = 3)
+          .select(col("event_type"), col("lag"), col("n"), col("r_micro"))
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, CAST(x AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS i
+          FROM series),
+        tot AS (
+          SELECT event_type, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM idx GROUP BY 1),
+        lags AS (SELECT unnest([1, 2, 3]) AS lag),
+        pairs AS (
+          SELECT h.event_type, l.lag, h.x AS xh, t.x AS xt
+          FROM idx h
+          CROSS JOIN lags l
+          JOIN idx t ON t.event_type = h.event_type
+                    AND t.i = h.i + l.lag),
+        perlag AS (
+          SELECT event_type, lag,
+                 CAST(SUM(xh * xt) AS BIGINT) AS sxy,
+                 CAST(SUM(xh) AS BIGINT) AS sh,
+                 CAST(SUM(xt) AS BIGINT) AS st
+          FROM pairs GROUP BY 1, 2)
+        SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag, t.n,
+               CAST(ROUND(
+                 CAST(t.n * t.n * p.sxy
+                      - t.n * t.sx * (p.sh + p.st)
+                      + (t.n - p.lag) * t.sx * t.sx AS DOUBLE) * 1e6
+                 / CAST(t.n * t.n * t.sxx - t.n * t.sx * t.sx AS DOUBLE))
+                 AS BIGINT) AS r_micro
+        FROM perlag p JOIN tot t USING (event_type)
+        WHERE t.n * t.sxx <> t.sx * t.sx
+        ORDER BY event_type, lag
       """))
   )
 }

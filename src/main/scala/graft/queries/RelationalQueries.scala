@@ -848,6 +848,40 @@ object RelationalQueries {
                CAST(ROUND(rz * 1000000.0) AS BIGINT) AS rz_ppm
         FROM rz WHERE abs(rz) > 1.5
         ORDER BY doc_id
+      """)),
+
+    // Benford first-digit audit over line-item amounts. The double
+    // price column is snapped to an exact integer cents lattice FIRST
+    // (round(x·100) of a correctly-rounded product — deterministic),
+    // because a double's canonical string form is engine-formatting
+    // territory while a BIGINT's is not (DataQuality.benford scaladoc).
+    QueryDef(
+      "q_benford",
+      (s, dir) => {
+        val cents = Tables.lineitem(s, dir)
+          .filter(col("l_extendedprice") > 0)
+          .select(round(col("l_extendedprice") * lit(100.0))
+            .cast("long").as("cents"))
+        graft.operators.DataQuality.benford(cents, "cents")
+      },
+      Some("""
+        WITH cents AS (
+          SELECT CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS cents
+          FROM lineitem WHERE l_extendedprice > 0),
+        d AS (
+          SELECT regexp_extract(CAST(cents AS VARCHAR), '([1-9])', 1)
+                   AS digit
+          FROM cents WHERE cents > 0),
+        counts AS (
+          SELECT digit, COUNT(*) AS n FROM d WHERE digit <> ''
+          GROUP BY 1)
+        SELECT digit, n,
+               CAST((n * 1000000) // (SELECT SUM(n) FROM counts)
+                 AS BIGINT) AS observed_ppm,
+               CAST(ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS expected_ppm
+        FROM counts
+        ORDER BY digit
       """))
   )
 }
