@@ -16,6 +16,12 @@ run / fork := true
 // "[info] "/"[error] ", which breaks any consumer that json-parses the
 // bench/verify output lines.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Keep sbt's own "[success] Total time ..." epilogue off stdout: the
+// bench consumer json-parses the LAST line of the run's output, and
+// every round so far that line was sbt's success banner, not the
+// bench JSON (BENCH_r01..r08 all carry parsed:null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

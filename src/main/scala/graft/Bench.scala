@@ -415,12 +415,19 @@ object Bench {
     val compact = compactKeys.collect {
       case k if doneMap.contains(k) => k -> doneMap(k)
     }
+    // Stop Spark (and silence its shutdown chatter) BEFORE emitting the
+    // one-line JSON: anything logged after it would displace it from
+    // the driver's bounded output tail, whose LAST line is what gets
+    // json-parsed. Combined with build.sbt's showSuccess := false this
+    // makes the compact line the final line of the run's output.
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":${jmap(compact)},"n_queries":${done.size},""" +
         s""""n_failures":${failures.size},"quiet_ms":${fmt(quietMs)},""" +
         s""""sf":"$sfDir","detail":"bench_full.json"}""")
-    spark.stop()
+    Console.out.flush()
     if (failures.nonEmpty) sys.exit(1)
   }
 }
