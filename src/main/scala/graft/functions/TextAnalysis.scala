@@ -27,6 +27,37 @@ object TextAnalysis {
   def bpeTokenEstimate(text: Column): Column =
     size(regexp_extract_all(text, lit(bpePattern), lit(0)))
 
+  /** Sentence count: runs of terminal punctuation (`.`, `!`, `?`),
+    * clamped to ≥ 1 so fragment-only docs still divide cleanly.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Syllable-count estimate: vowel-group runs (`[aeiouyAEIOUY]+`),
+    * clamped to ≥ 1. The standard dictionary-free heuristic — exact
+    * syllabification needs a pronunciation lexicon; vowel runs are
+    * within ~10% on English prose and 100% replayable cross-engine.
+    */
+  def syllableEstimate(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[aeiouyAEIOUY]+"), lit(0))),
+      lit(1))
+
+  /** Flesch-Kincaid grade level from the three counts above:
+    *
+    *   0.39·words/sentences + 11.8·syllables/words − 15.59
+    *
+    * All three inputs are exact integers, so the double combine is a
+    * fixed IEEE op sequence (two divisions, two multiplies, add,
+    * subtract — written in this order in the oracle too) and the
+    * 6-dp edge replays bit-for-bit. Pure row-local expression:
+    * readability over 100 TB is a scan, no shuffle.
+    */
+  def fleschKincaidGrade(
+      words: Column, sentences: Column, syllables: Column): Column =
+    lit(0.39) * (words.cast("double") / sentences.cast("double")) +
+      lit(11.8) * (syllables.cast("double") / words.cast("double")) -
+      lit(15.59)
+
   /** Fraction of whitespace tokens that are Snowball stopwords. The
     * count runs as the native [[StopwordCountExpression]] — one hashed
     * set probe per token inside whole-stage codegen, not an interpreted

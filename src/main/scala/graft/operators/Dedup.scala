@@ -119,6 +119,66 @@ object Dedup {
       .filter(col("containment") >= minContainment)
   }
 
+  /** IDF-WEIGHTED Jaccard pairs: near-dup scoring where rare shingles
+    * count more than ubiquitous ones —
+    *
+    *   J_w(A,B) = Σ_{s∈A∩B} w_s / Σ_{s∈A∪B} w_s,
+    *   w_s = round(log10(N/df_s)·10⁶)
+    *
+    * Unweighted Jaccard saturates on boilerplate: two distinct news
+    * articles sharing a site template score high because template
+    * shingles dominate the union. Down-weighting by idf (SpotSigs,
+    * Theobald et al. 2008 use the same idea) makes the score track
+    * the DISTINCTIVE overlap. Weights ride the bm25 idf micro-lattice
+    * (the one non-correctly-rounded op, log10, is snapped once), so
+    * intersection and per-doc weight totals are exact LONG sums —
+    * order-free — and only the final ratio is a double.
+    *
+    * Scale shape identical to [[jaccardPairs]]: inverted shingle
+    * index with the hot-shingle cap, pairs only where a shingle is
+    * shared. The df/N pass reuses the same index frame; N travels as
+    * a broadcast 1-row frame, never a driver action.
+    */
+  def weightedJaccardPairs(
+      shingles: DataFrame,
+      minWeightedJaccard: Double,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val capped = maxShingleDocFreq match {
+      case Some(cap) =>
+        val hot = shingles.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") > cap)
+          .select("shingle")
+        shingles.join(broadcast(hot), Seq("shingle"), "left_anti")
+      case None => shingles
+    }
+    val docFreq = capped.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+    val nDocs = capped.select(col("id")).distinct()
+      .agg(count(lit(1)).as("__n_docs"))
+    val weighted = capped
+      .join(docFreq, "shingle")
+      .crossJoin(broadcast(nDocs))
+      .select(col("id"), col("shingle"),
+        round(log10(col("__n_docs").cast("double") /
+          col("__df").cast("double")) * lit(1e6)).cast("long").as("__w"))
+    val wSizes = weighted.groupBy(col("id")).agg(sum(col("__w")).as("wt"))
+    val wInter = weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.__w")).as("iw"))
+    wInter
+      .join(wSizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("wt", "wa"), "id_a")
+      .join(wSizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("wt", "wb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("iw").cast("double") /
+          (col("wa") + col("wb") - col("iw")).cast("double"), 6)
+          .as("weighted_jaccard"))
+      .filter(col("weighted_jaccard") >= minWeightedJaccard)
+  }
+
   private def sizesOf(shingles: DataFrame): DataFrame =
     shingles.groupBy(col("id")).agg(count(lit(1)).as("n"))
 

@@ -99,4 +99,112 @@ object DistributionTests {
             (col("n_a") + col("n_b")).cast(d),
           "shifted").otherwise("same").as("verdict"))
   }
+
+  /** Welch's unequal-variance t-test per group between cohorts A and
+    * B on an integral metric: the mean-shift test that does NOT
+    * assume equal variances (the realistic case when cohort B is a
+    * different ingest source). Per (group, cohort) the sufficient
+    * statistics n, Σx, Σx² are exact (LONG / DECIMAL(38), order-free
+    * map-side-combined aggregates); the combine then casts each exact
+    * sum to double once and evaluates
+    *
+    *   mᵢ = Σx/n,  vᵢ = (n·Σx² − (Σx)²) / (n·(n−1)),  sᵢ = vᵢ/nᵢ
+    *   t  = (m_a − m_b)/√(s_a + s_b)
+    *   df = (s_a + s_b)² / (s_a²/(n_a−1) + s_b²/(n_b−1))
+    *
+    * in one written IEEE sequence (mirrored in the oracle SQL), so
+    * the 6-dp edge replays bit-for-bit. ONE aggregation pass over
+    * the corpus; groups with a cohort under 2 rows or zero pooled
+    * standard error are dropped (t undefined).
+    */
+  def welchT(
+      df: DataFrame, groupCol: String, inB: Column,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    val d38 = DecimalType(38, 0)
+    val x = col(valueCol).cast("long")
+    val stats = df.where(inB.isNotNull)
+      .select(col(groupCol), inB.as("__b"), x.as("__x"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__b"), col("__x")).otherwise(0L)).as("__sxa"),
+        sum(when(col("__b"), col("__x")).otherwise(0L)).as("__sxb"),
+        sum(when(!col("__b"), col("__x").cast(d38) * col("__x").cast(d38))
+          .otherwise(lit(0L).cast(d38))).as("__sxxa"),
+        sum(when(col("__b"), col("__x").cast(d38) * col("__x").cast(d38))
+          .otherwise(lit(0L).cast(d38))).as("__sxxb"))
+    def se(n: org.apache.spark.sql.Column, sx: org.apache.spark.sql.Column,
+        sxx: org.apache.spark.sql.Column) = {
+      val nD = n.cast("double")
+      val v = (nD * sxx.cast("double") - sx.cast("double") * sx.cast("double")) /
+        (nD * (nD - lit(1.0)))
+      v / nD
+    }
+    val sa = se(col("n_a"), col("__sxa"), col("__sxxa"))
+    val sb = se(col("n_b"), col("__sxb"), col("__sxxb"))
+    val ma = col("__sxa").cast("double") / col("n_a").cast("double")
+    val mb = col("__sxb").cast("double") / col("n_b").cast("double")
+    stats
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("__sa", sa).withColumn("__sb", sb)
+      .filter(col("__sa") + col("__sb") > lit(0.0))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+        round((ma - mb) / sqrt(col("__sa") + col("__sb")), 6).as("t_stat"),
+        round((col("__sa") + col("__sb")) * (col("__sa") + col("__sb")) /
+          (col("__sa") * col("__sa") / (col("n_a").cast("double") - lit(1.0)) +
+            col("__sb") * col("__sb") / (col("n_b").cast("double") - lit(1.0))),
+          6).as("df"))
+  }
+
+  /** Cramér's V association between two categorical columns — "is
+    * `lang` independent of `source`?" scored in [0,1]. The χ²
+    * statistic over the r×c contingency table is assembled as
+    *
+    *   χ² = n · (Σ O²/(R·C) − 1)
+    *
+    * with each cell term O²/(R·C) evaluated in ONE written double
+    * sequence (mirrored in the oracle), snapped to 9 dp, and summed
+    * as DECIMAL(38,12) — the exact order-free cell-sum policy
+    * [[graft.operators.FeatureSelection.mutualInformation]] uses, so
+    * partitioning never reorders a float sum.
+    * V = √(max(Σ−1, 0)/(min(r,c)−1)), 6 dp at the edge.
+    *
+    * Scale shape: one corpus aggregation to cells, two cell-local
+    * re-aggregations for totals (broadcast back), one cell-sum — the
+    * corpus is touched once; everything after is table-of-cells
+    * sized.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col(aCol)).agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy(col(bCol)).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(
+      sum(col("o")).as("n"),
+      countDistinct(col(aCol)).as("nr"),
+      countDistinct(col(bCol)).as("nc"))
+    val terms = cells
+      .join(broadcast(rowTot), aCol).join(broadcast(colTot), bCol)
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("nr"), col("nc"),
+        // O²/(R·C) — doubles BEFORE the product (O² overflows BIGINT
+        // at corpus scale), 9-dp snap, exact DECIMAL sum
+        round(
+          (col("o").cast("double") * col("o").cast("double")) /
+            (col("r").cast("double") * col("c").cast("double")), 9)
+          .cast(DecimalType(38, 12)).as("__term"))
+    terms
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("__term")).as("__terms"))
+      .select(col("n"), col("nr"), col("nc"),
+        round(col("n").cast("double") *
+          (col("__terms").cast("double") - lit(1.0)), 6).as("chi2"),
+        round(sqrt(
+          greatest(col("__terms").cast("double") - lit(1.0), lit(0.0)) /
+            (least(col("nr"), col("nc")).cast("double") - lit(1.0))), 6)
+          .as("cramers_v"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.QueryDef.sqlList
 import graft.functions.{TextAnalysis, TextFunctions}
-import graft.operators.{CorpusMixing, CurationPipeline, Dedup, GlobalIds, SequencePacking, Similarity, UnigramLM}
+import graft.operators.{CorpusMixing, CurationPipeline, Dedup, DistributionTests, GlobalIds, RankCorrelation, SequencePacking, Similarity, Skyline, UnigramLM}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -4371,6 +4371,247 @@ object ExtensionQueries {
                CASE WHEN (k*k*oo - k*n*n) * 10000 > 301435 * n * k
                     THEN 'nonuniform' ELSE 'uniform' END AS verdict
         FROM a
+      """)),
+
+    // Welch's unequal-variance t-test per source: English vs
+    // non-English doc lengths — the mean-shift monitor that holds
+    // when cohort variances differ (they do across ingest sources).
+    // Exact integer sufficient statistics, one corpus aggregation;
+    // the t/df combine is a single written IEEE sequence mirrored
+    // verbatim below (DistributionTests.welchT scaladoc).
+    QueryDef(
+      "q_welch_t",
+      (s, dir) =>
+        DistributionTests.welchT(
+          Tables.documents(s, dir), "source", col("lang") === "en",
+          "n_chars")
+          .orderBy(col("source")),
+      Some("""
+        WITH s0 AS (
+          SELECT source, (lang = 'en') AS b, CAST(n_chars AS BIGINT) AS x
+          FROM documents WHERE lang IS NOT NULL),
+        g AS (
+          SELECT source,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN NOT b THEN x ELSE 0 END) AS BIGINT) AS sxa,
+                 CAST(SUM(CASE WHEN b THEN x ELSE 0 END) AS BIGINT) AS sxb,
+                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxa,
+                 SUM(CASE WHEN b THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxb
+          FROM s0 GROUP BY 1),
+        c AS (
+          SELECT source, n_a, n_b,
+                 CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                 CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                 ((CAST(n_a AS DOUBLE) * CAST(sxxa AS DOUBLE)
+                   - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+                  / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
+                   / CAST(n_a AS DOUBLE) AS sa,
+                 ((CAST(n_b AS DOUBLE) * CAST(sxxb AS DOUBLE)
+                   - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
+                  / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
+                   / CAST(n_b AS DOUBLE) AS sb
+          FROM g WHERE n_a >= 2 AND n_b >= 2)
+        SELECT source, n_a, n_b,
+               ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+               ROUND((ma - mb) / sqrt(sa + sb), 6) AS t_stat,
+               ROUND((sa + sb) * (sa + sb)
+                     / (sa * sa / (CAST(n_a AS DOUBLE) - 1.0)
+                        + sb * sb / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df
+        FROM c WHERE sa + sb > 0.0
+        ORDER BY source
+      """)),
+
+    // Cramér's V: is `lang` independent of `source`? χ² over the r×c
+    // contingency table with the 9-dp-snap/DECIMAL-sum cell policy
+    // (order-free; DistributionTests.cramersV scaladoc), V in [0,1].
+    QueryDef(
+      "q_cramers_v",
+      (s, dir) =>
+        DistributionTests.cramersV(Tables.documents(s, dir),
+          "source", "lang"),
+      Some("""
+        WITH cells AS (
+          SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+        rt AS (SELECT source, SUM(o) AS r FROM cells GROUP BY 1),
+        ct AS (SELECT lang, SUM(o) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
+                       CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc
+                FROM cells),
+        terms AS (
+          SELECT n, nr, nc,
+                 CAST(ROUND(
+                   (CAST(o AS DOUBLE) * CAST(o AS DOUBLE))
+                     / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)), 9)
+                   AS DECIMAL(38,12)) AS term
+          FROM cells JOIN rt USING (source) JOIN ct USING (lang)
+          CROSS JOIN tot),
+        agg AS (SELECT n, nr, nc, SUM(term) AS terms
+                FROM terms GROUP BY 1, 2, 3)
+        SELECT n, nr, nc,
+               ROUND(CAST(n AS DOUBLE) * (CAST(terms AS DOUBLE) - 1.0), 6)
+                 AS chi2,
+               ROUND(sqrt(greatest(CAST(terms AS DOUBLE) - 1.0, 0.0)
+                          / (CAST(least(nr, nc) AS DOUBLE) - 1.0)), 6)
+                 AS cramers_v
+        FROM agg
+      """)),
+
+    // Spearman rank correlation per source (chars vs whitespace
+    // tokens): monotone association robust to outliers, on the
+    // doubled-average-rank integer lattice (RankCorrelation scaladoc)
+    // so tie handling replays exactly in both engines.
+    QueryDef(
+      "q_spearman",
+      (s, dir) =>
+        RankCorrelation.spearman(
+          Tables.documents(s, dir)
+            .select(col("source"), col("n_chars"),
+              TextAnalysis.whitespaceTokenCount(col("text"))
+                .as("ws_tokens")),
+          "source", "n_chars", "ws_tokens")
+          .orderBy(col("source")),
+      Some("""
+        WITH pts AS (
+          SELECT source, n_chars AS x, len(string_split(text, ' ')) AS y
+          FROM documents),
+        ranked AS (
+          SELECT source,
+                 2 * rank() OVER (PARTITION BY source ORDER BY x)
+                   + count(*) OVER (PARTITION BY source, x) - 1 AS rx,
+                 2 * rank() OVER (PARTITION BY source ORDER BY y)
+                   + count(*) OVER (PARTITION BY source, y) - 1 AS ry
+          FROM pts),
+        g AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+                 SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+                 SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+                 SUM(CAST(ry AS HUGEINT) * ry) AS syy
+          FROM ranked GROUP BY 1)
+        SELECT source, n,
+               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS rho
+        FROM g
+        WHERE n >= 2
+          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0.0
+        ORDER BY source
+      """)),
+
+    // Flesch-Kincaid grade per doc from three exact regexp counts
+    // (words, sentence-terminator runs, vowel-group runs) — pure
+    // row-local scan, no shuffle; the grade combine is one written
+    // IEEE sequence (TextAnalysis.fleschKincaidGrade scaladoc).
+    QueryDef(
+      "q_readability",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.whitespaceTokenCount(col("text")).as("words"),
+            TextAnalysis.sentenceCount(col("text")).as("sentences"),
+            TextAnalysis.syllableEstimate(col("text")).as("syllables"))
+          .select(col("doc_id"), col("words"), col("sentences"),
+            col("syllables"),
+            round(TextAnalysis.fleschKincaidGrade(
+              col("words"), col("sentences"), col("syllables")), 6)
+              .as("fk_grade"))
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH c AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS words,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS sentences,
+                 greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
+                   AS syllables
+          FROM documents)
+        SELECT doc_id, words, sentences, syllables,
+               ROUND(0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+                     + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+                     - 15.59, 6) AS fk_grade
+        FROM c ORDER BY doc_id
+      """)),
+
+    // 2-D Pareto frontier (maximize chars, minimize whitespace
+    // tokens): the docs on the chars-per-token efficiency frontier.
+    // No all-pairs — per-x collapse, one window over the collapsed
+    // table, broadcast semi-join back (Skyline scaladoc).
+    QueryDef(
+      "q_pareto",
+      (s, dir) =>
+        Skyline.frontier(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("n_chars"),
+              TextAnalysis.whitespaceTokenCount(col("text"))
+                .as("ws_tokens")),
+          "n_chars", "ws_tokens")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH pts AS (
+          SELECT doc_id, n_chars AS x, len(string_split(text, ' ')) AS y
+          FROM documents),
+        perx AS (SELECT x, min(y) AS miny FROM pts GROUP BY 1),
+        fr AS (
+          SELECT x, miny,
+                 min(miny) OVER (ORDER BY x DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS best
+          FROM perx)
+        SELECT p.doc_id, p.x AS n_chars, p.y AS ws_tokens
+        FROM pts p JOIN fr ON fr.x = p.x AND fr.miny = p.y
+        WHERE fr.best IS NULL OR fr.miny < fr.best
+        ORDER BY p.doc_id
+      """)),
+
+    // IDF-weighted Jaccard near-dup pairs: rare shingles dominate the
+    // score, so template/boilerplate overlap no longer saturates it
+    // (Dedup.weightedJaccardPairs scaladoc). Same inverted-index
+    // shape as q_dedup_jaccard; weights on the bm25 idf micro-lattice.
+    QueryDef(
+      "q_dedup_weighted",
+      (s, dir) =>
+        Dedup.weightedJaccardPairs(
+          Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3), 0.8)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""
+        WITH ${shingleCtes(3)},
+        docfreq AS (SELECT shingle, count(*) AS df FROM grams GROUP BY 1),
+        ndocs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                  FROM grams),
+        wgrams AS (
+          SELECT g.doc_id, g.shingle,
+                 CAST(ROUND(log10(CAST(n_docs AS DOUBLE)
+                                  / CAST(df AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS w
+          FROM grams g JOIN docfreq USING (shingle) CROSS JOIN ndocs),
+        wsizes AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wt
+                   FROM wgrams GROUP BY 1),
+        winter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(SUM(a.w) AS BIGINT) AS iw
+          FROM wgrams a
+          JOIN wgrams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        wj AS (
+          SELECT id_a, id_b,
+                 ROUND(CAST(iw AS DOUBLE)
+                       / CAST(sa.wt + sb.wt - iw AS DOUBLE), 6)
+                   AS weighted_jaccard
+          FROM winter
+          JOIN wsizes sa ON sa.doc_id = id_a
+          JOIN wsizes sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, weighted_jaccard FROM wj
+        WHERE weighted_jaccard >= 0.8
+        ORDER BY id_a, id_b
       """)),
 
     // Lexical-diversity profile per document: type-token ratio, hapax
