@@ -101,7 +101,11 @@ object Bench {
     "q_chunk_dedup", "q_unpivot", "q_mad", "q_keywords",
     "q_star_join", "q_cms_counts", "q_rolling_distinct",
     "q_reservoir", "q_robust_outliers", "q_stream_left_join",
-    "q_clustering", "q_semantic_diversity", "q_stream_enrich")
+    "q_clustering", "q_semantic_diversity", "q_stream_enrich",
+    // this round's additions: inference stats, readability, skyline,
+    // idf-weighted dedup
+    "q_welch_t", "q_cramers_v", "q_spearman", "q_readability",
+    "q_pareto", "q_dedup_weighted")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.
