@@ -105,7 +105,8 @@ object Bench {
     // this round's additions: inference stats, readability, skyline,
     // idf-weighted dedup
     "q_welch_t", "q_cramers_v", "q_spearman", "q_readability",
-    "q_pareto", "q_dedup_weighted")
+    "q_pareto", "q_dedup_weighted",
+    "q_seasonality", "q_summarize", "q_stream_topk", "q_l_diversity")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -83,6 +83,26 @@ object DataQuality {
       .filter(col("n") < k)
   }
 
+  /** l-diversity audit — k-anonymity's necessary companion: a
+    * quasi-identifier group can be k-large yet still leak the
+    * sensitive attribute if every member shares one value (the
+    * homogeneity attack). Violations = QI groups whose sensitive
+    * column takes fewer than `l` distinct values. Same single
+    * map-side-combined aggregation shape as
+    * [[kAnonymityViolations]]; `n_distinct` is exact (the QI group
+    * is the shuffle key, so the distinct count is group-local).
+    */
+  def lDiversityViolations(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l > 1, s"l: $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("n_distinct"))
+      .filter(col("n_distinct") < l)
+  }
+
   /** Join-key skew profile: the diagnostic run BEFORE choosing a join
     * strategy at scale — a key owning >~20% of rows is the signal to
     * salt ([[SkewJoin]]) or let AQE split; without measuring, skew

@@ -109,6 +109,42 @@ object TimeSeries {
     * re-aggregation (bucket-count-sized), one broadcastable join
     * back. No windows at all.
     */
+  /** Additive hour-of-day seasonal profile per key — the
+    * decomposition that explains WHICH hours run hot before an
+    * anomaly test ([[anomalousCounts]]) asks whether one bucket
+    * broke the pattern. Per (key, hour-of-day): row count, mean
+    * value in integer micro-units (floor division on the caller's
+    * integral value lattice — pass cents/micros, not raw doubles),
+    * and the seasonal delta vs the key's own overall mean
+    * (mean_micro − overall_micro, an exact integer difference of two
+    * floor-divided means).
+    *
+    * `valueCol` must be non-negative: Spark's `div` truncates toward
+    * zero while DuckDB's `//` floors, so negative lattices would
+    * diverge by one (the q_k_anonymity FLOOR lesson).
+    *
+    * Scale: one map-side-combined (key, hour) aggregation — 24
+    * cells per key — then a key-level rollup of those cells
+    * (broadcast back). The corpus is touched once; no windows.
+    */
+  def seasonalProfile(
+      df: DataFrame, keyCol: String, tsCol: String, valueCol: String)
+      : DataFrame = {
+    val cells = df
+      .select(col(keyCol), hour(col(tsCol)).as("hour_of_day"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col(keyCol), col("hour_of_day"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s"))
+    val overall = cells.groupBy(col(keyCol))
+      .agg(sum(col("n")).as("__tn"), sum(col("__s")).as("__ts"))
+    cells.join(broadcast(overall), keyCol)
+      .select(col(keyCol), col("hour_of_day"), col("n"),
+        expr("(__s * CAST(1000000 AS BIGINT)) div n").as("mean_micro"),
+        (expr("(__s * CAST(1000000 AS BIGINT)) div n") -
+          expr("(__ts * CAST(1000000 AS BIGINT)) div __tn"))
+          .as("seasonal_micro"))
+  }
+
   def anomalousCounts(
       df: DataFrame, keyCol: String, tsCol: String, z: Int = 2)
       : DataFrame = {

@@ -74,6 +74,66 @@ object EventQueries {
           .orderBy(col("hour_start"), col("event_type")),
       Some(windowOracle)),
 
+    // Streaming top-3 event types per hourly window: the watermarked
+    // window aggregation plus a stateless cells-sized rank projection
+    // (StreamingOps.windowTypeTopK scaladoc) — the oracle is the
+    // batch rank over the same counts.
+    QueryDef(
+      "q_stream_topk",
+      (s, dir) =>
+        StreamingOps.windowTypeTopK(s, s"$dir/events.parquet", k = 3)
+          .orderBy(col("hour_start"), col("rank")),
+      Some("""
+        WITH c AS (
+          SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                   AS hour_start,
+                 event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT hour_start, event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY hour_start
+                                    ORDER BY n DESC, event_type)
+                   AS rank
+          FROM c)
+        SELECT hour_start, rank, event_type, n
+        FROM r WHERE rank <= 3
+        ORDER BY hour_start, rank
+      """)),
+
+    // Additive hour-of-day seasonality per event type: which hours
+    // run hot, as exact integer micro-cent means and deltas vs the
+    // type's own overall mean (TimeSeries.seasonalProfile scaladoc).
+    QueryDef(
+      "q_seasonality",
+      (s, dir) =>
+        graft.operators.TimeSeries.seasonalProfile(
+          Tables.events(s, dir)
+            .select(col("event_type"), col("ts"),
+              (col("value").cast(DecimalType(18, 2)) * 100)
+                .cast("long").as("cents")),
+          "event_type", "ts", "cents")
+          .orderBy(col("event_type"), col("hour_of_day")),
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+                 CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour_of_day,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) AS BIGINT) AS s
+          FROM events GROUP BY 1, 2),
+        o AS (
+          SELECT event_type, CAST(SUM(n) AS BIGINT) AS tn,
+                 CAST(SUM(s) AS BIGINT) AS ts
+          FROM c GROUP BY 1)
+        SELECT c.event_type, c.hour_of_day, c.n,
+               CAST((c.s * 1000000) // c.n AS BIGINT) AS mean_micro,
+               CAST((c.s * 1000000) // c.n
+                    - (o.ts * 1000000) // o.tn AS BIGINT)
+                 AS seasonal_micro
+        FROM c JOIN o ON o.event_type = c.event_type
+        ORDER BY c.event_type, c.hour_of_day
+      """)),
+
     // Sessionization (batch): lag-window gap detection.
     QueryDef(
       "q_sessions",

@@ -3518,6 +3518,32 @@ object ExtensionQueries {
         ORDER BY c_nationkey, c_mktsegment, bal_band
       """)),
 
+    // l-diversity companion audit: QI groups that are k-large can
+    // still leak when every member shares one sensitive value — flag
+    // groups whose sensitive column (market segment) has < 2 distinct
+    // values within (nation, balance band).
+    QueryDef(
+      "q_l_diversity",
+      (s, dir) =>
+        graft.operators.DataQuality.lDiversityViolations(
+            Tables.customer(s, dir)
+              .select(col("c_nationkey"), col("c_mktsegment"),
+                floor((col("c_acctbal") * 100).cast("long") /
+                  lit(200000.0)).as("bal_band")),
+            Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 2)
+          .orderBy(col("c_nationkey"), col("bal_band")),
+      Some("""
+        SELECT c_nationkey,
+               CAST(FLOOR(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)
+                          / 200000.0) AS BIGINT) AS bal_band,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct
+        FROM customer
+        GROUP BY 1, 2
+        HAVING count(DISTINCT c_mktsegment) < 2
+        ORDER BY c_nationkey, bal_band
+      """)),
+
     // Annotator agreement: Cohen's κ of the NB classifier against
     // the true lang label on the held-out fifth — the
     // chance-corrected label-quality gate (Agreement scaladoc).
@@ -4539,6 +4565,55 @@ object ExtensionQueries {
                      + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
                      - 15.59, 6) AS fk_grade
         FROM c ORDER BY doc_id
+      """)),
+
+    // Frequency-centroid extractive summaries: per doc, the top-3
+    // sentences by coverage of the doc's own top-10 terms — all
+    // exchanges doc-keyed, no model, no float
+    // (Summarize.centroidSummary scaladoc).
+    QueryDef(
+      "q_summarize",
+      (s, dir) =>
+        graft.operators.Summarize.centroidSummary(
+          Tables.documents(s, dir), "doc_id", "text",
+          topTerms = 10, k = 3)
+          .orderBy(col("doc_id"), col("rank")),
+      Some("""
+        WITH sent0 AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '[.!?]+')) AS raw,
+                 generate_subscripts(
+                   regexp_split_to_array(text, '[.!?]+'), 1) AS pos
+          FROM documents),
+        sent AS (
+          SELECT doc_id, pos, trim(raw) AS sentence
+          FROM sent0 WHERE length(trim(raw)) > 0),
+        stok AS (
+          SELECT doc_id, pos, unnest(string_split(sentence, ' ')) AS w
+          FROM sent),
+        st AS (SELECT * FROM stok WHERE w <> ''),
+        dc AS (SELECT doc_id, w, count(*) AS cnt
+               FROM st GROUP BY 1, 2),
+        top AS (
+          SELECT doc_id, w FROM (
+            SELECT doc_id, w,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, w) AS rn
+            FROM dc) WHERE rn <= 10),
+        score AS (
+          SELECT t.doc_id, t.pos, CAST(count(*) AS BIGINT) AS score
+          FROM st t JOIN top ON top.doc_id = t.doc_id AND top.w = t.w
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT s.doc_id, s.pos, se.sentence, s.score,
+                 ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                    ORDER BY s.score DESC, s.pos)
+                   AS rank
+          FROM score s
+          JOIN sent se ON se.doc_id = s.doc_id AND se.pos = s.pos)
+        SELECT doc_id, rank, pos, sentence, score
+        FROM ranked WHERE rank <= 3
+        ORDER BY doc_id, rank
       """)),
 
     // 2-D Pareto frontier (maximize chars, minimize whitespace

@@ -838,6 +838,33 @@ object StreamingOps {
       col("sum_value").cast("double").as("sum_value"))
   }
 
+  /** Streaming top-k event types per hourly window — the live
+    * "what's trending this hour" board. The stream side is exactly
+    * the [[eventWindowCounts]] watermarked aggregation (state =
+    * windows×types cells, watermark-evicted); the rank is a
+    * STATELESS projection over those cells — per trigger it costs a
+    * cells-sized window sort, never a second corpus pass — so the
+    * final board equals the batch rank over the same counts by
+    * construction. Ties break (n desc, event_type asc), the engine's
+    * quirk-Q6 order.
+    */
+  def windowTypeTopK(
+      spark: SparkSession,
+      path: String,
+      k: Int = 3,
+      watermark: String = "1 hour"): DataFrame = {
+    require(k > 0, s"k: $k")
+    val counts = eventWindowCounts(spark, path, watermark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("hour_start"), col("rank"), col("event_type"),
+        col("n"))
+  }
+
   /** Streaming twin of [[graft.operators.TimeSeries.anomalousCounts]]:
     * the hourly per-type counts accumulate as a watermarked streaming
     * window aggregation (the q_stream_events plan), and the

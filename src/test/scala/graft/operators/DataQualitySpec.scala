@@ -65,4 +65,19 @@ class DataQualitySpec extends SparkSuite {
     assert(DataQuality
       .kAnonymityViolations(df, Seq("nation", "seg"), 3).count() === 0L)
   }
+
+  test("lDiversityViolations flags k-large but homogeneous groups") {
+    val df = Seq(
+      ("us", "cancer"), ("us", "cancer"), ("us", "cancer"), // 3 rows, 1 value
+      ("fr", "flu"), ("fr", "cancer"),                      // diverse: safe
+      ("de", "flu")                                         // 1 row, 1 value
+    ).toDF("nation", "diag")
+    val out = DataQuality
+      .lDiversityViolations(df, Seq("nation"), "diag", 2)
+      .orderBy("nation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // "us" is 3-anonymous yet fully homogeneous — exactly the case
+    // kAnonymityViolations cannot see
+    assert(out === Seq(("de", 1L, 1L), ("us", 3L, 1L)))
+  }
 }
