@@ -83,10 +83,33 @@ class PlanShapeSpec extends SparkSuite {
     // exchange appearing here means someone introduced an aggregation
     // or join into what must stay a scan-speed operator.
     for (q <- Seq("q_mix_sources", "q_quarantine", "q_redact",
-        "q_chunk_docs", "q_token_stats", "q_fingerprint")) {
+        "q_chunk_docs", "q_token_stats", "q_fingerprint",
+        "q_readability")) {
       val p = plan(q)
       assert(!p.contains("Exchange hashpartitioning"),
         s"$q hash-shuffles a row-local operator:\n$p")
+    }
+  }
+
+  test("q_pareto: frontier joins back by broadcast, never all-pairs") {
+    val p = plan("q_pareto")
+    assert(p.contains("BroadcastHashJoin"),
+      s"frontier semi-join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline degenerated to an all-pairs comparison:\n$p")
+  }
+
+  test("one-pass inference stats never sort or window the corpus") {
+    // welchT / cramersV / seasonalProfile are single aggregation
+    // chains: a Window or corpus Sort appearing here means the
+    // sufficient-statistics formulation regressed to a per-group
+    // gather (the final output orderBy plans as a range-exchange
+    // sort AFTER group-sized aggregation — assert on Window only)
+    for (q <- Seq("q_welch_t", "q_cramers_v", "q_seasonality")) {
+      val p = plan(q)
+      assert(!p.contains("Window"),
+        s"$q gathers groups through a window:\n$p")
     }
   }
 
@@ -153,7 +176,11 @@ class PlanShapeSpec extends SparkSuite {
       // StorageLayoutSpec; q_keywords runs PageRank jobs eagerly)
       "q_phrase_search", "q_chunk_dedup", "q_unpivot", "q_mad",
       "q_star_join", "q_cms_counts", "q_rolling_distinct",
-      "q_reservoir", "q_robust_outliers")
+      "q_reservoir", "q_robust_outliers",
+      // round-9 inference/curation additions
+      "q_welch_t", "q_spearman", "q_readability", "q_pareto",
+      "q_dedup_weighted", "q_seasonality", "q_summarize",
+      "q_l_diversity")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
