@@ -106,7 +106,8 @@ object Bench {
     // idf-weighted dedup
     "q_welch_t", "q_cramers_v", "q_spearman", "q_readability",
     "q_pareto", "q_dedup_weighted",
-    "q_seasonality", "q_summarize", "q_stream_topk", "q_l_diversity")
+    "q_seasonality", "q_summarize", "q_stream_topk", "q_l_diversity",
+    "q_zipf", "q_assortativity")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -123,4 +123,58 @@ object Triangles {
         expr("(2 * triangles * 1000000) div (deg * (deg - 1))")
           .as("coeff_ppm"))
   }
+
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over all edges, both directions — "do
+    * well-connected nodes link to each other?" On a near-dup graph,
+    * strong positive r means duplicate families clump into dense
+    * cores (one canonical survives per community); negative r means
+    * hub-and-spoke boilerplate (one template linked by many
+    * singletons). Output: one row `(n_edges, r)`, r at 6 dp.
+    *
+    * Determinism: degrees are exact integers, the five sufficient
+    * statistics accumulate in DECIMAL(38) (order-free), and the
+    * final combine is one written IEEE sequence — the q_correlation
+    * policy. Scale: canonical-edge dedup shuffle, node-keyed degree
+    * aggregation joined back edge-keyed (AQE broadcasts the
+    * node-sized side when small), ONE aggregation to the single
+    * output row. Degenerate graphs (zero degree variance, e.g. a
+    * perfect cycle or clique) yield a non-finite r (0/0) — callers
+    * filter on `isnan` if regular graphs are expected.
+    */
+  def degreeAssortativity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val e = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("__u"),
+        greatest(col(srcCol), col(dstCol)).as("__v"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = e.select(explode(array(col("__u"), col("__v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val pairs = e.select(col("__u").as("u"), col("__v").as("v"))
+      .union(e.select(col("__v").as("u"), col("__u").as("v")))
+    val dp = pairs
+      .join(deg.withColumnRenamed("id", "u")
+        .withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("id", "v")
+        .withColumnRenamed("deg", "dv"), "v")
+    val stats = dp.agg(
+      count(lit(1)).as("m"),
+      sum(col("du")).as("__sx"), sum(col("dv")).as("__sy"),
+      sum(col("du").cast(d38) * col("dv").cast(d38)).as("__sxy"),
+      sum(col("du").cast(d38) * col("du").cast(d38)).as("__sxx"),
+      sum(col("dv").cast(d38) * col("dv").cast(d38)).as("__syy"))
+    val mD = col("m").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    stats.select(
+      (col("m") / 2).cast("long").as("n_edges"),
+      round((mD * col("__sxy").cast("double") - sx * sy) /
+        sqrt((mD * col("__sxx").cast("double") - sx * sx) *
+          (mD * col("__syy").cast("double") - sy * sy)), 6).as("r"))
+  }
 }

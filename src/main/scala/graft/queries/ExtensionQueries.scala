@@ -4007,6 +4007,74 @@ object ExtensionQueries {
         ORDER BY d.id
       """)),
 
+    // Degree assortativity of the same 3-NN graph: one number for
+    // whether similar docs clump into dense cores (r > 0) or
+    // hub-and-spoke around templates (r < 0) —
+    // Triangles.degreeAssortativity scaladoc.
+    QueryDef(
+      "q_assortativity",
+      (s, dir) => {
+        import graft.operators.Triangles
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.bruteForceTopK(
+          emb, emb, "vec_id", "embedding", 3)
+        Triangles.degreeAssortativity(
+          knn.select(col("query_id").as("src"),
+            col("neighbor_id").as("dst")),
+          "src", "dst")
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS d
+          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT qa, qb, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
+          FROM dots
+          JOIN norms na ON na.vec_id = qa
+          JOIN norms nb ON nb.vec_id = qb),
+        ranked AS (
+          SELECT qa, qb,
+                 ROW_NUMBER() OVER (PARTITION BY qa
+                                    ORDER BY cos DESC, qb) AS rn
+          FROM scored),
+        e AS (
+          SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
+          FROM ranked WHERE rn <= 3),
+        deg AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+          GROUP BY 1),
+        dp AS (
+          SELECT du.deg AS du, dv.deg AS dv
+          FROM (SELECT id_a AS u, id_b AS v FROM e
+                UNION ALL SELECT id_b, id_a FROM e) p
+          JOIN deg du ON du.id = p.u
+          JOIN deg dv ON dv.id = p.v),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(du) AS BIGINT) AS sx,
+                 CAST(SUM(dv) AS BIGINT) AS sy,
+                 SUM(CAST(du AS HUGEINT) * dv) AS sxy,
+                 SUM(CAST(du AS HUGEINT) * du) AS sxx,
+                 SUM(CAST(dv AS HUGEINT) * dv) AS syy
+          FROM dp)
+        SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+               ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                     6) AS r
+        FROM g
+      """)),
+
     // Per-label semantic diversity: average pairwise cosine WITHOUT
     // the n² pairwise join — ‖Σû‖² − n over micro-lattice unit
     // vectors (SemanticDiversity scaladoc). High = redundant
@@ -4614,6 +4682,73 @@ object ExtensionQueries {
         SELECT doc_id, rank, pos, sentence, score
         FROM ranked WHERE rank <= 3
         ORDER BY doc_id, rank
+      """)),
+
+    // Zipf-law slope per source: machine-generated boilerplate
+    // flattens the head, dedup'd spam steepens it — natural text
+    // sits near −1 (ZipfFit scaladoc: exact ranks, micro-lattice
+    // logs, exact OLS sums).
+    QueryDef(
+      "q_zipf",
+      (s, dir) =>
+        graft.operators.ZipfFit.fit(
+          Tables.documents(s, dir)
+            .select(col("source"),
+              explode(split(col("text"), " ", -1)).as("term"))
+            .filter(col("term") =!= ""),
+          "source", "term")
+          .orderBy(col("source")),
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        t2 AS (SELECT * FROM toks WHERE term <> ''),
+        counts AS (
+          SELECT source, term, count(*) AS cnt FROM t2 GROUP BY 1, 2),
+        ranked AS (
+          SELECT source, cnt,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, term) AS rnk
+          FROM counts),
+        lat AS (
+          SELECT source,
+                 CAST(ROUND(log10(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS lx,
+                 CAST(ROUND(log10(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS ly
+          FROM ranked),
+        g AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(SUM(lx) AS BIGINT) AS sx,
+                 CAST(SUM(ly) AS BIGINT) AS sy,
+                 SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+                 SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+                 SUM(CAST(ly AS HUGEINT) * ly) AS syy
+          FROM lat GROUP BY 1)
+        SELECT source, n_terms,
+               ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS slope,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n_terms AS DOUBLE) / 1e6, 6) AS intercept,
+               ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS r2
+        FROM g WHERE n_terms >= 2
+        ORDER BY source
       """)),
 
     // 2-D Pareto frontier (maximize chars, minimize whitespace
