@@ -103,6 +103,45 @@ object DataQuality {
       .filter(col("n_distinct") < l)
   }
 
+  /** Exact join-size profile WITHOUT executing the join — the
+    * pre-flight check before a 100 TB equi-join: |A ⋈ B| =
+    * Σ_k cntA(k)·cntB(k), computed from the two key histograms, so a
+    * blowup (a hot key contributing 10¹² output rows) is visible for
+    * the cost of two map-side-combined counts and a key-sized join —
+    * never the join itself.
+    *
+    * Output: one row (n_keys, join_rows, max_key_rows,
+    * max_share_ppm) — matched key count, exact output cardinality,
+    * the heaviest key's contribution, and its integer-ppm share of
+    * the output. Per-key products accumulate in DECIMAL(38) (a
+    * 3e9×3e9 hot key already overflows BIGINT); the edge casts to
+    * LONG, which bounds reportable totals at 2^63 rows. NULL keys
+    * match nothing in an equi-join and are excluded, as the join
+    * itself would.
+    */
+  def joinCardinality(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val lc = left.where(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__lc"))
+    val rc = right.where(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__rc"))
+    lc.join(rc, "__k")
+      .select((col("__lc").cast(d38) * col("__rc").cast(d38)).as("__rows"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("__rows")).as("__jr"), max(col("__rows")).as("__mx"))
+      .select(col("n_keys"),
+        col("__jr").cast("long").as("join_rows"),
+        col("__mx").cast("long").as("max_key_rows"))
+      // ppm by LONG floor division (the q_token_budget pattern) —
+      // decimal division would round at scale 6 before the floor
+      .select(col("n_keys"), col("join_rows"), col("max_key_rows"),
+        expr("(max_key_rows * CAST(1000000 AS BIGINT)) div join_rows")
+          .as("max_share_ppm"))
+  }
+
   /** Join-key skew profile: the diagnostic run BEFORE choosing a join
     * strategy at scale — a key owning >~20% of rows is the signal to
     * salt ([[SkewJoin]]) or let AQE split; without measuring, skew

@@ -59,4 +59,30 @@ object KnnClassifier {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Label-noise detection (confident-learning style, deterministic):
+    * re-predict every LABELED row's label from its k nearest OTHER
+    * labeled rows (leave-one-out — [[classify]] already excludes
+    * self-matches) and surface the disagreements. On a curation
+    * pipeline this is the label-QA pass before the labels train a
+    * quality filter: a row whose neighborhood votes against its
+    * recorded label is either mislabeled or sits on a genuine class
+    * boundary, and `votes`/`best_rank` say which.
+    *
+    * Output: (vec_id, recorded, predicted, votes, best_rank), only
+    * rows where predicted ≠ recorded. Same scale shape as
+    * [[classify]] — the labeled set is the broadcast side twice
+    * (scoring and vote join); candidate generation swaps to the
+    * [[Similarity]] ANN paths when the labeled set outgrows a
+    * broadcast.
+    */
+  def labelNoise(
+      labeled: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame =
+    classify(labeled, labeled, idCol, vecCol, labelCol, k)
+      .join(broadcast(labeled.select(col(idCol).as("query_id"),
+        col(labelCol).as("recorded"))), "query_id")
+      .filter(col("label") =!= col("recorded"))
+      .select(col("query_id").as("vec_id"), col("recorded"),
+        col("label").as("predicted"), col("votes"), col("best_rank"))
 }

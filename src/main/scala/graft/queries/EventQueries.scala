@@ -100,6 +100,48 @@ object EventQueries {
         ORDER BY hour_start, rank
       """)),
 
+    // First-order Markov transition matrix over per-user event
+    // sequences: counts and integer-ppm row-normalized probabilities
+    // of event_type → next event_type — the user-flow model behind
+    // funnel/journey analytics. ONE user-keyed window pass for the
+    // lead, then state-pair-sized aggregations (|types|² rows).
+    QueryDef(
+      "q_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, dir)
+          .withColumn("to_state", lead(col("event_type"), 1).over(w))
+          .filter(col("to_state").isNotNull)
+          .groupBy(col("event_type").as("from_state"), col("to_state"))
+          .agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy(col("from_state"))
+          .agg(sum(col("n")).as("__t"))
+        pairs.join(broadcast(totals), "from_state")
+          .select(col("from_state"), col("to_state"), col("n"),
+            expr("(n * CAST(1000000 AS BIGINT)) div __t").as("p_ppm"))
+          .orderBy(col("from_state"), col("to_state"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT event_type AS from_state,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                   AS to_state
+          FROM events),
+        pairs AS (
+          SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE to_state IS NOT NULL
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT from_state, CAST(SUM(n) AS BIGINT) AS t
+          FROM pairs GROUP BY 1)
+        SELECT p.from_state, p.to_state, p.n,
+               CAST((p.n * 1000000) // t.t AS BIGINT) AS p_ppm
+        FROM pairs p JOIN tot t USING (from_state)
+        ORDER BY p.from_state, p.to_state
+      """)),
+
     // Additive hour-of-day seasonality per event type: which hours
     // run hot, as exact integer micro-cent means and deltas vs the
     // type's own overall mean (TimeSeries.seasonalProfile scaladoc).

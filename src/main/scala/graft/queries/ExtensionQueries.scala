@@ -3257,6 +3257,89 @@ object ExtensionQueries {
         ORDER BY rank
       """)),
 
+    // Exact join-size pre-flight from the two key histograms — the
+    // blowup check BEFORE executing a corpus-scale equi-join
+    // (DataQuality.joinCardinality scaladoc): orders ⋈ lineitem on
+    // orderkey, without materializing a single joined row.
+    QueryDef(
+      "q_join_cardinality",
+      (s, dir) =>
+        graft.operators.DataQuality.joinCardinality(
+          Tables.orders(s, dir), "o_orderkey",
+          Tables.lineitem(s, dir), "l_orderkey"),
+      Some("""
+        WITH lc AS (
+          SELECT o_orderkey AS k, count(*) AS c FROM orders
+          WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        rc AS (
+          SELECT l_orderkey AS k, count(*) AS c FROM lineitem
+          WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        per AS (
+          SELECT CAST(lc.c AS HUGEINT) * rc.c AS rows_
+          FROM lc JOIN rc USING (k)),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(rows_) AS BIGINT) AS join_rows,
+                 CAST(MAX(rows_) AS BIGINT) AS max_key_rows
+          FROM per)
+        SELECT n_keys, join_rows, max_key_rows,
+               CAST((max_key_rows * 1000000) // join_rows AS BIGINT)
+                 AS max_share_ppm
+        FROM agg
+      """)),
+
+    // kNN label-noise sweep: every labeled embedding re-predicted
+    // from its 5 nearest other labeled rows (leave-one-out); rows
+    // whose neighborhood outvotes the recorded label surface as
+    // candidates for relabeling (KnnClassifier.labelNoise scaladoc).
+    QueryDef(
+      "q_label_noise",
+      (s, dir) =>
+        graft.operators.KnnClassifier.labelNoise(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label", 5)
+          .orderBy(col("vec_id")),
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sum(q.x * c.x) AS d
+          FROM dims q JOIN dims c ON q.i = c.i
+          WHERE q.vec_id <> c.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
+          FROM dots
+          JOIN norms nq ON nq.vec_id = query_id
+          JOIN norms nc ON nc.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM scored),
+        votes AS (
+          SELECT r.query_id, e.label,
+                 count(*) AS votes, min(r.rank) AS best_rank
+          FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+          WHERE r.rank <= 5
+          GROUP BY 1, 2),
+        win AS (
+          SELECT query_id, label, votes, best_rank,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY votes DESC, label) AS rn
+          FROM votes)
+        SELECT w.query_id AS vec_id, e.label AS recorded,
+               w.label AS predicted, w.votes, w.best_rank
+        FROM win w JOIN embeddings e ON e.vec_id = w.query_id
+        WHERE w.rn = 1 AND w.label <> e.label
+        ORDER BY vec_id
+      """)),
+
     // Compaction plan over documents partitioned by source: file
     // boundaries every 2k chars of exclusive per-source prefix (see
     // Compaction scaladoc) — the lakehouse small-file maintenance
