@@ -114,4 +114,43 @@ object Bm25 {
         col("col.score").cast("long").as("score_nano"),
         (col("pos") + 1).as("rank"))
   }
+
+  /** Rocchio-style pseudo-relevance-feedback expansion: run the
+    * query batch once, take each query's top-`m` documents as
+    * pseudo-relevant, and add the `e` terms with the highest summed
+    * tf across them (excluding the query's own terms; ties tf-sum
+    * desc, term asc). Returns the EXPANDED `(query_id, term)` batch —
+    * feed it back through [[scoreTopK]] for the second pass. One
+    * round of the classical PRF loop, fully deterministic.
+    *
+    * Scale shape: the feedback set is queries×m rows (broadcast into
+    * the posting-list join, so the index filters map-side exactly
+    * like query scoring); candidate terms group on (query, term) —
+    * bounded by the feedback docs' vocabularies, never the corpus —
+    * and the top-e window runs per query over that bounded frame.
+    */
+  def prfExpandTerms(
+      index: DataFrame, corpusTotals: DataFrame, queryTerms: DataFrame,
+      m: Int = 5, e: Int = 3,
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    require(m > 0, s"m: $m")
+    require(e > 0, s"e: $e")
+    val feedback = scoreTopK(index, corpusTotals, queryTerms, m, k1, b)
+      .select(col("query_id"), col("doc_id"))
+    val cand = index
+      .join(broadcast(feedback), "doc_id")
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(col("tf")).as("__tfsum"))
+      .join(queryTerms.select(col("query_id"), col("term")),
+        Seq("query_id", "term"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("__tfsum").desc, col("term"))
+    val expansion = cand
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= e)
+      .select(col("query_id"), col("term"))
+    queryTerms.select(col("query_id"), col("term"))
+      .union(expansion).distinct()
+  }
 }

@@ -1213,6 +1213,79 @@ object ExtensionQueries {
         ORDER BY query_id, rank
       """)),
 
+    // One round of Rocchio pseudo-relevance feedback: BM25 top-5 as
+    // pseudo-relevant, add each query's 3 heaviest non-query terms,
+    // rescore top-10 (Bm25.prfExpandTerms scaladoc — the feedback
+    // set broadcasts, candidates bounded by feedback vocabularies).
+    QueryDef(
+      "q_prf_expand",
+      (s, dir) => {
+        import graft.operators.Bm25
+        val docs = docTokens(s, dir)
+        val index = Bm25.postings(docs, "doc_id", "tokens")
+        val totals = Bm25.totals(docs, "doc_id", "tokens")
+        val q0 = retrievalQueryTerms(docs)
+        Bm25.scoreTopK(index, totals,
+            Bm25.prfExpandTerms(index, totals, q0, m = 5, e = 3),
+            k = 10)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(s"""
+        WITH $retrievalCtes,
+        $bm25ScoredCtes,
+        fb AS (SELECT query_id, doc_id FROM bm25_ranked WHERE rank <= 5),
+        cand AS (
+          SELECT f.query_id, t.term, SUM(t.tf) AS tfsum
+          FROM fb f JOIN tf t ON t.doc_id = f.doc_id
+          GROUP BY 1, 2),
+        cand2 AS (
+          SELECT c.* FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                            WHERE q.query_id = c.query_id
+                              AND q.term = c.term)),
+        expn AS (
+          SELECT query_id, term FROM (
+            SELECT query_id, term,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY tfsum DESC, term) AS rn
+            FROM cand2) WHERE rn <= 3),
+        q2 AS (SELECT query_id, term FROM qterms
+               UNION SELECT query_id, term FROM expn),
+        contrib2 AS (
+          -- the q_bm25 two-stage lattice, over the expanded batch
+          SELECT q.query_id, t.doc_id,
+                 CAST(ROUND(
+                   CAST(CAST(ROUND(
+                     log10(1.0 + (CAST(tot.n_docs AS DOUBLE)
+                                  - CAST(df.df AS DOUBLE) + 0.5)
+                                 / (CAST(df.df AS DOUBLE) + 0.5))
+                     * 1e6) AS BIGINT) AS DOUBLE)
+                   * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
+                     / (CAST(t.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
+                                               / tot.avgdl))
+                   * 1e3) AS BIGINT) AS c_nano
+          FROM q2 q
+          JOIN tf t ON t.term = q.term
+          JOIN df ON df.term = q.term
+          JOIN dl ON dl.doc_id = t.doc_id
+          CROSS JOIN tot
+          WHERE t.doc_id <> q.query_id),
+        scores2 AS (
+          SELECT query_id, doc_id,
+                 CAST(sum(c_nano) AS BIGINT) AS score_nano
+          FROM contrib2 GROUP BY 1, 2),
+        ranked2 AS (
+          SELECT query_id, doc_id, score_nano,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score_nano DESC, doc_id)
+                   AS rank
+          FROM scores2)
+        SELECT query_id, doc_id, score_nano, rank
+        FROM ranked2 WHERE rank <= 10
+        ORDER BY query_id, rank
+      """)),
+
     // Exact phrase search over the positional inverted index: each
     // query doc (doc_id % 97 == 0) searches for its own tokens at
     // positions 3..5 as a consecutive 3-token phrase; result = every
@@ -4821,7 +4894,10 @@ object ExtensionQueries {
                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * CAST(sx AS DOUBLE))
                      / CAST(n_terms AS DOUBLE) / 1e6, 6) AS intercept,
-               ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+               CASE WHEN CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+                    THEN NULL
+                    ELSE ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                      * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -4829,9 +4905,78 @@ object ExtensionQueries {
                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                         * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-                 AS r2
+               END AS r2
         FROM g WHERE n_terms >= 2
         ORDER BY source
+      """)),
+
+    // Heaps'-law vocabulary growth V(N) = K·N^β, one checkpoint per
+    // doc in id order — no sequential corpus scan: a term's first
+    // appearance is min(doc_id), so both cumulatives are prefix sums
+    // over the doc-sized table (ZipfFit.heaps scaladoc). β prices
+    // the vocab table a tokenizer build needs at 100 TB.
+    QueryDef(
+      "q_heaps",
+      (s, dir) =>
+        graft.operators.ZipfFit.heaps(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              explode(split(col("text"), " ", -1)).as("term"))
+            .filter(col("term") =!= ""),
+          "doc_id", "term"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        t2 AS (SELECT * FROM toks WHERE term <> ''),
+        perdoc AS (SELECT doc_id, count(*) AS n FROM t2 GROUP BY 1),
+        firstd AS (SELECT min(doc_id) AS doc_id FROM t2 GROUP BY term),
+        vat AS (SELECT doc_id, count(*) AS v FROM firstd GROUP BY 1),
+        cum AS (
+          SELECT p.doc_id,
+                 SUM(p.n) OVER (ORDER BY p.doc_id) AS nn,
+                 SUM(COALESCE(va.v, 0)) OVER (ORDER BY p.doc_id) AS vv
+          FROM perdoc p LEFT JOIN vat va USING (doc_id)),
+        lat AS (
+          SELECT CAST(ROUND(log10(CAST(nn AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS lx,
+                 CAST(ROUND(log10(CAST(vv AS DOUBLE)) * 1e6) AS BIGINT)
+                   AS ly
+          FROM cum),
+        g AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+                 CAST(SUM(lx) AS BIGINT) AS sx,
+                 CAST(SUM(ly) AS BIGINT) AS sy,
+                 SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
+                 SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+                 SUM(CAST(ly AS HUGEINT) * ly) AS syy
+          FROM lat)
+        SELECT n_points,
+               ROUND((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS beta,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n_points AS DOUBLE) / 1e6, 6) AS log10_k,
+               CASE WHEN CAST(n_points AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+                    THEN NULL
+                    ELSE ROUND((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / ((CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_points AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               END AS r2
+        FROM g WHERE n_points >= 2
       """)),
 
     // 2-D Pareto frontier (maximize chars, minimize whitespace
