@@ -109,7 +109,8 @@ object Bench {
     "q_seasonality", "q_summarize", "q_stream_topk", "q_l_diversity",
     "q_zipf", "q_assortativity",
     "q_transitions", "q_join_cardinality", "q_label_noise",
-    "q_heaps", "q_prf_expand")
+    "q_heaps", "q_prf_expand",
+    "q_entity_counts", "q_burstiness", "q_negative_sampling")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -46,4 +46,15 @@ object Redaction {
   /** The full scrub, in the documented order. */
   def redactPii(c: Column): Column =
     redactPhones(redactIpv4(redactEmails(c)))
+
+  /** Entity-count profile from the SAME patterns the scrubber
+    * applies — the audit side of redaction: how much PII-shaped
+    * content does each doc carry before scrubbing (threshold-able
+    * for quarantine), and did a redacted corpus really go to zero.
+    * Pure codegen regexp counts, scan-speed row-local.
+    */
+  def entityCounts(c: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(c, lit(emailPattern), lit(0))),
+    size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))),
+    size(regexp_extract_all(c, lit(phonePattern), lit(0))))
 }

@@ -1981,6 +1981,117 @@ object ExtensionQueries {
         """
       }),
 
+    // The audit side of redaction: per-doc counts of PII-shaped
+    // entities from the SAME patterns the scrubber applies —
+    // quarantine-thresholdable before scrubbing, zero-provable after.
+    // Row-local codegen regexp counts; the planted PII from q_redact's
+    // construction guarantees nonzero counts at any SF.
+    QueryDef(
+      "q_entity_counts",
+      (s, dir) => {
+        val (em, ip, ph) =
+          graft.functions.Redaction.entityCounts(col("raw"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            concat(
+              lit("contact u"), col("doc_id"),
+              lit("@mail.example.com from 10.0."),
+              pmod(col("doc_id"), lit(256)),
+              lit(".7 or call +1 555 01"),
+              pmod(col("doc_id"), lit(90)) + 10,
+              lit(" "), col("text")).as("raw"))
+          .select(col("doc_id"), em.as("n_emails"), ip.as("n_ipv4"),
+            ph.as("n_phones"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        import graft.functions.Redaction._
+        s"""
+        WITH built AS (
+          SELECT doc_id,
+                 'contact u' || CAST(doc_id AS VARCHAR)
+                 || '@mail.example.com from 10.0.'
+                 || CAST(doc_id % 256 AS VARCHAR)
+                 || '.7 or call +1 555 01'
+                 || CAST(doc_id % 90 + 10 AS VARCHAR)
+                 || ' ' || text AS raw
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '$emailPattern')) AS n_emails,
+               len(regexp_extract_all(raw, '$ipv4Pattern')) AS n_ipv4,
+               len(regexp_extract_all(raw, '$phonePattern')) AS n_phones
+        FROM built
+        ORDER BY doc_id
+        """
+      }),
+
+    // Term burstiness (Fano factor of per-doc tf): content words
+    // clump, function words spread — Church & Gale's
+    // deviation-from-Poisson content-word signal
+    // (TermStats.burstiness scaladoc).
+    QueryDef(
+      "q_burstiness",
+      (s, dir) =>
+        graft.operators.TermStats.burstiness(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              explode(split(col("text"), " ", -1)).as("term"))
+            .filter(col("term") =!= ""),
+          "doc_id", "term", minDf = 5)
+          .orderBy(col("term")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        t2 AS (SELECT * FROM toks WHERE term <> ''),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
+        g AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df,
+                 CAST(SUM(tf) AS BIGINT) AS total_tf,
+                 SUM(CAST(tf AS HUGEINT) * tf) AS stt
+          FROM tf GROUP BY 1 HAVING count(*) >= 5)
+        SELECT term, df, total_tf,
+               ROUND(CAST(total_tf AS DOUBLE) / CAST(df AS DOUBLE), 6)
+                 AS mean_tf,
+               ROUND(((CAST(df AS DOUBLE) * CAST(stt AS DOUBLE)
+                       - CAST(total_tf AS DOUBLE) * CAST(total_tf AS DOUBLE))
+                      / (CAST(df AS DOUBLE) * (CAST(df AS DOUBLE) - 1.0)))
+                     / (CAST(total_tf AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                 AS fano
+        FROM g ORDER BY term
+      """)),
+
+    // word2vec negative-sampling table: p ∝ count^(3/4) via two
+    // correctly-rounded sqrts, micro-lattice weights, integer-ppm
+    // shares (TermStats.negativeSamplingTable scaladoc).
+    QueryDef(
+      "q_negative_sampling",
+      (s, dir) =>
+        graft.operators.TermStats.negativeSamplingTable(
+          Tables.documents(s, dir)
+            .select(explode(split(col("text"), " ", -1)).as("term"))
+            .filter(col("term") =!= ""),
+          "term")
+          .orderBy(col("term")),
+      Some("""
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        t2 AS (SELECT * FROM toks WHERE term <> ''),
+        counts AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
+        wt AS (
+          SELECT term, cnt,
+                 CAST(ROUND(sqrt(CAST(cnt AS DOUBLE))
+                            * sqrt(sqrt(CAST(cnt AS DOUBLE))) * 1e6)
+                   AS BIGINT) AS weight_micro
+          FROM counts),
+        tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS t FROM wt)
+        SELECT term, cnt, weight_micro,
+               CAST((weight_micro * 1000000) // (SELECT t FROM tot)
+                 AS BIGINT) AS p_ppm
+        FROM wt ORDER BY term
+      """)),
+
     QueryDef(
       "q_lang_id",
       (s, dir) =>
