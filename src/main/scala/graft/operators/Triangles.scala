@@ -27,23 +27,33 @@ object Triangles {
     * self-looped — they are canonicalized first. Null endpoints are
     * dropped.
     */
-  def enumerate(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def enumerate(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    enumerateCanonical(canonicalEdges(edges, srcCol, dstCol))
+
+  /** Canonical undirected edge set `(__u < __v)`, deduped, pinned
+    * eagerly: the edge set feeds the degree aggregation AND the
+    * orientation join, and Catalyst plans each consumer as its own
+    * full upstream recompute (for a kNN input that means re-scoring
+    * the whole similarity graph per reference). The edge-sized
+    * localCheckpoint (executor-local blocks, ContextCleaner-managed —
+    * see CacheLifecycle) caps the input pipeline at ONE execution.
+    * Shared by [[enumerate]] / [[clusteringCoefficient]] /
+    * [[degreeAssortativity]] so composite graph metrics evaluate the
+    * (possibly expensive) edge input exactly once.
+    */
+  private def canonicalEdges(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     Reserved.check("edges" -> edges)
-    // Pinned eagerly: the edge set feeds the degree aggregation AND
-    // the orientation join, and Catalyst plans each consumer as its
-    // own full upstream recompute (for a kNN input that means
-    // re-scoring the whole similarity graph per reference). The
-    // edge-sized localCheckpoint (executor-local blocks,
-    // ContextCleaner-managed — see CacheLifecycle) caps the input
-    // pipeline at ONE execution.
-    val e = edges
+    edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("__u"),
         greatest(col(srcCol), col(dstCol)).as("__v"))
       .distinct()
       .localCheckpoint(true)
+  }
 
+  private def enumerateCanonical(e: DataFrame): DataFrame = {
     val deg = e.select(explode(array(col("__u"), col("__v"))).as("__n"))
       .groupBy(col("__n")).agg(count(lit(1)).as("__d"))
 
@@ -102,16 +112,14 @@ object Triangles {
     */
   def clusteringCoefficient(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val tri = enumerate(edges, srcCol, dstCol)
+    // ONE canonical edge set serves both the triangle enumeration and
+    // the degree table — previously the raw edge input (a full kNN
+    // scoring pass when fed from bruteForceTopK) evaluated twice
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val tri = enumerateCanonical(e)
     val triPerNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
-    val e = edges
-      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("__u"),
-        greatest(col(srcCol), col(dstCol)).as("__v"))
-      .distinct()
     val deg = e.select(explode(array(col("__u"), col("__v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     deg
@@ -146,13 +154,7 @@ object Triangles {
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
-    val e = edges
-      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("__u"),
-        greatest(col(srcCol), col(dstCol)).as("__v"))
-      .distinct()
-      .localCheckpoint(true)
+    val e = canonicalEdges(edges, srcCol, dstCol)
     val deg = e.select(explode(array(col("__u"), col("__v"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val pairs = e.select(col("__u").as("u"), col("__v").as("v"))
