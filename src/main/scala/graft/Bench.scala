@@ -110,7 +110,8 @@ object Bench {
     "q_zipf", "q_assortativity",
     "q_transitions", "q_join_cardinality", "q_label_noise",
     "q_heaps", "q_prf_expand",
-    "q_entity_counts", "q_burstiness", "q_negative_sampling")
+    "q_entity_counts", "q_burstiness", "q_negative_sampling",
+    "q_simpson", "q_lang_mix", "q_stream_transitions")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

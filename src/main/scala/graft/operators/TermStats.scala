@@ -64,6 +64,36 @@ object TermStats {
     * counts are below ~8·10⁸; beyond that move the ppm numerator to
     * DECIMAL — the GroupedOls squared-lattice convention.)
     */
+  /** Gini-Simpson diversity per group: the probability two tokens
+    * drawn WITHOUT replacement are different types,
+    *
+    *   D = 1 − Σ cnt·(cnt−1) / (n·(n−1))
+    *
+    * — an exact integer rational, emitted as ppm by floor division
+    * (1e6 − collision_ppm). The ecology-standard evenness gauge,
+    * complementing `q_token_entropy`'s Shannon view with one that
+    * needs NO logs at all: bit-replayable anywhere. Groups of < 2
+    * tokens are dropped (undefined). One (group, term) count, one
+    * group rollup. (LONG bound: Σcnt(cnt−1)·10⁶ under 2^63 holds to
+    * ~3·10⁶ occurrences of a group's top term; beyond, DECIMAL.)
+    *
+    * Output: (groupCol, n_tokens, n_types, simpson_ppm).
+    */
+  def simpsonDiversity(
+      docTerms: DataFrame, groupCol: String, termCol: String): DataFrame = {
+    val counts = docTerms.groupBy(col(groupCol), col(termCol).as("__t"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c") * (col("__c") - lit(1L))).as("__coll"))
+      .filter(col("n_tokens") >= 2)
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        (lit(1000000L) -
+          expr("(__coll * CAST(1000000 AS BIGINT)) div (n_tokens * (n_tokens - 1))"))
+          .as("simpson_ppm"))
+  }
+
   def negativeSamplingTable(
       docTerms: DataFrame, termCol: String): DataFrame = {
     val counts = docTerms.groupBy(col(termCol).as("term"))

@@ -15,6 +15,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object EventQueries {
 
+  /** Batch oracle shared by q_transitions and its streaming twin. */
+  private val transitionsOracle = """
+    WITH seq AS (
+      SELECT event_type AS from_state,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+               AS to_state
+      FROM events),
+    pairs AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_state IS NOT NULL
+      GROUP BY 1, 2),
+    tot AS (
+      SELECT from_state, CAST(SUM(n) AS BIGINT) AS t
+      FROM pairs GROUP BY 1)
+    SELECT p.from_state, p.to_state, p.n,
+           CAST((p.n * 1000000) // t.t AS BIGINT) AS p_ppm
+    FROM pairs p JOIN tot t USING (from_state)
+    ORDER BY p.from_state, p.to_state
+  """
+
   /** Batch oracle shared by the batch and streaming window queries. */
   private val windowOracle = """
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
@@ -122,25 +143,19 @@ object EventQueries {
             expr("(n * CAST(1000000 AS BIGINT)) div __t").as("p_ppm"))
           .orderBy(col("from_state"), col("to_state"))
       },
-      Some("""
-        WITH seq AS (
-          SELECT event_type AS from_state,
-                 lead(event_type, 1) OVER (PARTITION BY user_id
-                                           ORDER BY ts, event_id)
-                   AS to_state
-          FROM events),
-        pairs AS (
-          SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
-          FROM seq WHERE to_state IS NOT NULL
-          GROUP BY 1, 2),
-        tot AS (
-          SELECT from_state, CAST(SUM(n) AS BIGINT) AS t
-          FROM pairs GROUP BY 1)
-        SELECT p.from_state, p.to_state, p.n,
-               CAST((p.n * 1000000) // t.t AS BIGINT) AS p_ppm
-        FROM pairs p JOIN tot t USING (from_state)
-        ORDER BY p.from_state, p.to_state
-      """)),
+      Some(transitionsOracle)),
+
+    // Streaming twin of q_transitions: one last-event row of state
+    // per user emits (prev -> current) pairs across micro-batches
+    // (StreamingOps.transitionPairs); the matrix aggregation runs
+    // over the emitted pair stream, so the batch oracle checks the
+    // stream by construction.
+    QueryDef(
+      "q_stream_transitions",
+      (s, dir) =>
+        StreamingOps.transitionMatrixStream(s, s"$dir/events.parquet")
+          .orderBy(col("from_state"), col("to_state")),
+      Some(transitionsOracle)),
 
     // Additive hour-of-day seasonality per event type: which hours
     // run hot, as exact integer micro-cent means and deltas vs the

@@ -2092,6 +2092,41 @@ object ExtensionQueries {
         FROM wt ORDER BY term
       """)),
 
+    // Gini-Simpson lexical diversity per source: collision
+    // probability complement on an exact integer rational — no logs
+    // anywhere, the evenness gauge beside q_token_entropy's Shannon
+    // one (TermStats.simpsonDiversity scaladoc).
+    QueryDef(
+      "q_simpson",
+      (s, dir) =>
+        graft.operators.TermStats.simpsonDiversity(
+          Tables.documents(s, dir)
+            .select(col("source"),
+              explode(split(col("text"), " ", -1)).as("term"))
+            .filter(col("term") =!= ""),
+          "source", "term")
+          .orderBy(col("source")),
+      Some("""
+        WITH toks AS (
+          SELECT source, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        t2 AS (SELECT * FROM toks WHERE term <> ''),
+        counts AS (
+          SELECT source, term, CAST(count(*) AS BIGINT) AS c
+          FROM t2 GROUP BY 1, 2),
+        g AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+          FROM counts GROUP BY 1)
+        SELECT source, n_tokens, n_types,
+               1000000 - CAST((coll * 1000000)
+                              // (n_tokens * (n_tokens - 1)) AS BIGINT)
+                 AS simpson_ppm
+        FROM g WHERE n_tokens >= 2
+        ORDER BY source
+      """)),
+
     QueryDef(
       "q_lang_id",
       (s, dir) =>
@@ -2120,6 +2155,64 @@ object ExtensionQueries {
         FROM best WHERE rn = 1
         GROUP BY 1, 2
         ORDER BY 1, 2
+        """
+      }),
+
+    // Code-switching detection: language-ID each HALF of the doc (by
+    // token count) and flag docs whose halves disagree — the
+    // mixed-language curation filter a doc-level vote misses. Pure
+    // row-local langId over two derived texts, scan-speed.
+    QueryDef(
+      "q_lang_mix",
+      (s, dir) => {
+        val toks = split(col("text"), " ", -1)
+        val n = size(toks)
+        val h = (n.cast("long") / lit(2L)).cast("int")
+        val first = array_join(slice(toks, lit(1), h), " ")
+        val second = array_join(slice(toks, h + 1, n - h), " ")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextAnalysis.langId(first).as("lang_a"),
+            TextAnalysis.langId(second).as("lang_b"))
+          .withColumn("mixed", col("lang_a") =!= col("lang_b"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val unions = TextAnalysis.langLexicons.map { case (l, lex) =>
+          s"""SELECT doc_id, half, '$l' AS guess,
+              len(list_intersect(list_distinct(string_split(t, ' ')),
+                  [${sqlList(lex)}])) AS s
+              FROM halves"""
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS toks,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        halves AS (
+          SELECT doc_id, 1 AS half,
+                 array_to_string(toks[1:CAST(n // 2 AS INT)], ' ') AS t
+          FROM base
+          UNION ALL
+          SELECT doc_id, 2,
+                 array_to_string(toks[CAST(n // 2 + 1 AS INT):CAST(n AS INT)],
+                                 ' ')
+          FROM base),
+        scores AS ($unions),
+        best AS (
+          SELECT doc_id, half,
+                 CASE WHEN s > 0 THEN guess ELSE 'und' END AS pl,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, half
+                                    ORDER BY s DESC, guess ASC) AS rn
+          FROM scores),
+        langs AS (
+          SELECT doc_id,
+                 MAX(CASE WHEN half = 1 THEN pl END) AS lang_a,
+                 MAX(CASE WHEN half = 2 THEN pl END) AS lang_b
+          FROM best WHERE rn = 1 GROUP BY doc_id)
+        SELECT doc_id, lang_a, lang_b, lang_a <> lang_b AS mixed
+        FROM langs
+        ORDER BY doc_id
         """
       }),
 

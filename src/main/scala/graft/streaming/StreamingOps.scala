@@ -32,6 +32,9 @@ case class Chg(user_id: Long, us: Long, event_type: String, event_id: Long)
 case class ClosedInterval(
     user_id: Long, event_type: String, from_us: Long, to_us: Long)
 
+/** One observed state transition for [[StreamingOps.transitionPairs]]. */
+case class Transition(from_state: String, to_state: String)
+
 /** Open-run state for the streaming SCD2 operator. */
 case class OpenRun(event_type: String, from_us: Long)
 
@@ -848,6 +851,65 @@ object StreamingOps {
     * construction. Ties break (n desc, event_type asc), the engine's
     * quirk-Q6 order.
     */
+  /** Per-user event-type transitions as a stream: state = the ONE
+    * last-seen event per user (O(1), the attribution/debounce bound),
+    * each arriving event emits the (previous → current) pair under
+    * the batch operator's (ts, event_id) total order. Pairs compose
+    * downstream into the Markov matrix — cross-micro-batch
+    * transitions work because the previous event rides in state.
+    */
+  def transitionPairs(stream: Dataset[Chg]): Dataset[Transition] = {
+    import stream.sparkSession.implicits._
+    def update(userId: Long, events: Iterator[Chg],
+        state: GroupState[Chg]): Iterator[Transition] = {
+      var last = state.getOption
+      val out = scala.collection.mutable.ArrayBuffer.empty[Transition]
+      // micro-batch delivery is unordered — sort by the same
+      // (ts, event_id) total order the batch operator uses
+      events.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+        last.foreach(l => out += Transition(l.event_type, e.event_type))
+        last = Some(e)
+      }
+      last.foreach(state.update)
+      out.iterator
+    }
+    stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[transitionPairs]] over the events parquet → the Markov
+    * transition matrix (counts + integer-ppm row probabilities).
+    * The aggregation runs batch-side over the emitted pair stream
+    * (state-pair-sized), so the result equals the batch q_transitions
+    * chain by construction and shares its oracle.
+    */
+  def transitionMatrixStream(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id")).as[Chg]
+    val pairs = transitionPairs(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = pairs.toDF().writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val counts = spark.table(name)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    // fresh name on the totals key: both sides descend from the same
+    // sink table, so joining on the original column is an ambiguous
+    // self-join (the Skyline.frontier lesson)
+    val totals = counts.groupBy(col("from_state").as("__fs"))
+      .agg(sum(col("n")).as("__t"))
+    counts
+      .join(broadcast(totals), col("from_state") === col("__fs"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("(n * CAST(1000000 AS BIGINT)) div __t").as("p_ppm"))
+  }
+
   def windowTypeTopK(
       spark: SparkSession,
       path: String,

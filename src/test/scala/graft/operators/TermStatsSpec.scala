@@ -41,6 +41,20 @@ class TermStatsSpec extends SparkSuite {
       ("b", 1L, 1000000L, 111111L)))
   }
 
+  test("simpson: uniform tokens max diversity, single token zero") {
+    // g1: 4 distinct tokens once each → coll 0 → 1e6
+    // g2: one token 4 times → coll 12, n(n-1) 12 → 0
+    val rows = Seq(("g1", "a"), ("g1", "b"), ("g1", "c"), ("g1", "d")) ++
+      Seq.fill(4)(("g2", "same"))
+    val out = TermStats.simpsonDiversity(rows.toDF("grp", "term"),
+        "grp", "term")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      ("g1", 4L, 4L, 1000000L),
+      ("g2", 4L, 1L, 0L)))
+  }
+
   test("entityCounts sees what redactPii scrubs") {
     val (em, ip, ph) = graft.functions.Redaction.entityCounts(col("t"))
     val r = Seq("mail a@b.co and c@d.org via 10.0.0.7 call +1 555 0100 99")
