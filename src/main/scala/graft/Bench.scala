@@ -111,7 +111,8 @@ object Bench {
     "q_transitions", "q_join_cardinality", "q_label_noise",
     "q_heaps", "q_prf_expand",
     "q_entity_counts", "q_burstiness", "q_negative_sampling",
-    "q_simpson", "q_lang_mix", "q_stream_transitions")
+    "q_simpson", "q_lang_mix", "q_stream_transitions",
+    "q_period_delta")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

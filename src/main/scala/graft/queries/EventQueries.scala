@@ -121,6 +121,49 @@ object EventQueries {
         ORDER BY hour_start, rank
       """)),
 
+    // Period-over-period deltas: hourly event counts per type with
+    // the previous hour's count, absolute delta, and integer-ppm
+    // ratio — the dashboard staple. Pure integers (counts are
+    // positive, so `div`/`//` agree); ONE type-keyed lag window over
+    // the hours-sized aggregate, never the event stream.
+    QueryDef(
+      "q_period_delta",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            unix_timestamp(date_trunc("hour", col("ts")))
+              .as("hour_start"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("hour_start"))
+        hourly
+          .withColumn("prev_n", lag(col("n"), 1).over(w))
+          .filter(col("prev_n").isNotNull)
+          .select(col("event_type"), col("hour_start"), col("n"),
+            col("prev_n"), (col("n") - col("prev_n")).as("delta"),
+            expr("(n * CAST(1000000 AS BIGINT)) div prev_n")
+              .as("ratio_ppm"))
+          .orderBy(col("event_type"), col("hour_start"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type,
+                 CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                   AS hour_start,
+                 COUNT(*) AS n
+          FROM events GROUP BY 1, 2),
+        lagged AS (
+          SELECT event_type, hour_start, n,
+                 lag(n, 1) OVER (PARTITION BY event_type
+                                 ORDER BY hour_start) AS prev_n
+          FROM hourly)
+        SELECT event_type, hour_start, n, prev_n,
+               n - prev_n AS delta,
+               CAST((n * 1000000) // prev_n AS BIGINT) AS ratio_ppm
+        FROM lagged WHERE prev_n IS NOT NULL
+        ORDER BY event_type, hour_start
+      """)),
+
     // First-order Markov transition matrix over per-user event
     // sequences: counts and integer-ppm row-normalized probabilities
     // of event_type → next event_type — the user-flow model behind
