@@ -112,7 +112,11 @@ object Bench {
     "q_heaps", "q_prf_expand",
     "q_entity_counts", "q_burstiness", "q_negative_sampling",
     "q_simpson", "q_lang_mix", "q_stream_transitions",
-    "q_period_delta")
+    "q_period_delta",
+    // this round's additions: Kneser-Ney scoring, ANOVA, t-closeness,
+    // graph core/reachability, trigram-index search, SAX motifs
+    "q_kneser_ney", "q_anova", "q_t_closeness", "q_kcore",
+    "q_bfs_hops", "q_trigram_search", "q_sax")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

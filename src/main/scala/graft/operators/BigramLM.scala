@@ -140,4 +140,73 @@ object BigramLM {
         round(col("__sum").cast("double") / col("n_transitions"), 6)
           .as("xent"))
   }
+
+  /** (id, n_transitions, kn_xent): per-doc cross-entropy under an
+    * interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    * Goodman 1999 eq. 4.26) fit on the corpus itself:
+    *
+    *   p_KN(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *                 + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with absolute discount D (default 0.75). The continuation
+    * distribution N₁₊(·w₂)/N₁₊(··) — "in how many distinct contexts
+    * does w₂ complete a bigram" — is what distinguishes KN from the
+    * Jelinek-Mercer [[crossEntropy]]: a token that is frequent but
+    * only ever follows ONE context (the "Francisco" problem) gets a
+    * small continuation weight even though its unigram count is
+    * large. For curation that means templated boilerplate (huge
+    * counts, few contexts) stops scoring as "plausible text".
+    *
+    * Because the model is fit on the same corpus it scores, every
+    * scored transition has c(w₁w₂) ≥ 1 — the unseen-bigram branch of
+    * KN never fires and the max(·,0) is load-bearing only for
+    * bigrams with count < D (impossible for D < 1). No OOV handling
+    * is therefore needed, and both engines agree by construction.
+    *
+    * Scale shape: identical to [[crossEntropy]] — all four model
+    * ingredients (c₁₂, c(w₁·), N₁₊(w₁·), N₁₊(·w₂)) are re-aggregations
+    * of the ONE checkpointed bigram-vocab-sized counts frame; the
+    * corpus is scanned exactly once for transitions and never again.
+    * N₁₊(··) is a 1-row broadcast. Determinism: the per-transition
+    * −log10 p snaps to the 9-dp lattice, DECIMAL(38,12) sum, 6-dp
+    * mean at the edge (the [[UnigramLM]] discipline).
+    */
+  def kneserNey(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount: $discount")
+
+    val trans = transitions(docs, idCol, textCol)
+    val c12 = trans.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .localCheckpoint(true)
+    // all three marginals derive from the counts frame, not the corpus
+    val left = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1plus_fwd"))
+    val cont = c12.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1plus_bwd"))
+    val nBigrams = c12.agg(count(lit(1)).cast("double").as("n_bigrams"))
+
+    // explicit parenthesization, mirrored verbatim in the SQL oracle:
+    // (c12−D)/c1 + (D·n1plus_fwd/c1) · (n1plus_bwd/nBigrams)
+    val p =
+      (col("c12").cast("double") - lit(discount)) / col("c1").cast("double") +
+        (lit(discount) * col("n1plus_fwd").cast("double") /
+          col("c1").cast("double")) *
+          (col("n1plus_bwd").cast("double") / col("n_bigrams"))
+    val model = c12
+      .join(left, "w1")
+      .join(cont, "w2")
+      .crossJoin(broadcast(nBigrams))
+      .select(col("w1"), col("w2"), round(-log10(p), 9).as("nlp"))
+
+    trans
+      .join(model, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("nlp").cast(DecimalType(38, 12))).as("__sum"))
+      .select(col(idCol), col("n_transitions"),
+        round(col("__sum").cast("double") / col("n_transitions"), 6)
+          .as("kn_xent"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-validation profiling (the Deequ-style pre-training gate):
   * per-column row count, non-null count (completeness), and exact
@@ -101,6 +102,73 @@ object DataQuality {
       .agg(count(lit(1)).as("n"),
         countDistinct(col(sensitiveCol)).as("n_distinct"))
       .filter(col("n_distinct") < l)
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    * third rung after [[kAnonymityViolations]] and
+    * [[lDiversityViolations]]: a QI group can be k-large AND
+    * l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    * is far from the table's (the skewness attack — "3 distinct
+    * diagnoses, but 98% cancer"). Violations = QI groups whose total
+    * variation distance to the global sensitive distribution exceeds
+    * `tPpm` parts per million.
+    *
+    * TVD stays on the integer lattice end-to-end: for group g with
+    * n_g rows of which c_gs carry sensitive value s (global: N, c_s),
+    *
+    *   TVD_g = Σ_s max(p_gs − p_s, 0)
+    *         = Σ_s max(c_gs·N − c_s·n_g, 0) / (n_g·N)
+    *
+    * — the numerator is an exact BIGINT sum (one-sided, which equals
+    * ½·L1 exactly), and the single division floors onto ppm. The sum
+    * ranges over the GLOBAL sensitive domain: values absent from the
+    * group contribute max(−c_s·n_g, 0) = 0, so iterating only the
+    * group's own (QI, s) cells is exact — no dense QI×domain frame is
+    * ever built.
+    *
+    * Scale shape: one corpus aggregation to (QI, s) cells, a
+    * domain-sized re-agg broadcast back onto the cells, one cell-key
+    * re-agg to groups. The corpus is touched once; nothing after is
+    * bigger than the cell table.
+    */
+  def tClosenessViolations(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      tPpm: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    require(tPpm > 0 && tPpm < 1000000L, s"tPpm: $tPpm")
+    val d38 = DecimalType(38, 0)
+    val cells = df
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val groupTot = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__ng"))
+    val domTot = cells.groupBy(col(sensitiveCol))
+      .agg(sum(col("__c")).as("__cs"))
+    val grand = cells.agg(sum(col("__c")).as("__nn"))
+    cells
+      .join(broadcast(domTot), sensitiveCol)
+      .join(groupTot, quasiCols)
+      .crossJoin(broadcast(grand))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max(col("__ng")).as("n"),
+        // c_gs·N − c_s·n_g in DECIMAL(38,0): both products overflow
+        // BIGINT when a 100-TB table's N meets a large cell count
+        sum(greatest(
+          col("__c").cast(d38) * col("__nn").cast(d38) -
+            col("__cs").cast(d38) * col("__ng").cast(d38),
+          lit(0L).cast(d38))).as("__num"),
+        max(col("__nn")).as("__nn2"))
+      .select(quasiCols.map(col) ++ Seq(col("n"), {
+        // exact floor division on DECIMAL via the remainder identity
+        // (A − A mod B)/B — a bare decimal divide rounds HALF_UP at
+        // the result scale, which can flip the floor at a boundary;
+        // DuckDB's `//` floors exactly, so this must too
+        val a = col("__num") * lit(1000000L).cast(d38)
+        val b = col("n").cast(d38) * col("__nn2").cast(d38)
+        ((a - a % b) / b).cast("long").as("tvd_ppm")
+      }): _*)
+      .filter(col("tvd_ppm") > tPpm)
   }
 
   /** Exact join-size profile WITHOUT executing the join — the

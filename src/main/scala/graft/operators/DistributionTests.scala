@@ -207,4 +207,74 @@ object DistributionTests {
             (least(col("nr"), col("nc")).cast("double") - lit(1.0))), 6)
           .as("cramers_v"))
   }
+
+  /** One-way ANOVA F across the groups of `groupCol` on an integral
+    * `valueCol` — "does mean document length differ by source?" as a
+    * single statistic, the k-group generalization of [[welchT]]'s
+    * two-cohort question (classical fixed-effects decomposition,
+    * e.g. Scheffé 1959 ch. 3):
+    *
+    *   SS_between = Σ_g S_g²/n_g − S²/N
+    *   SS_within  = Σx² − Σ_g S_g²/n_g
+    *   F = (SS_between/(k−1)) / (SS_within/(N−k))
+    *
+    * Everything right of the decompositions is exact integers: S_g,
+    * n_g, and Σx² (DECIMAL(38,0) — squares overflow BIGINT at corpus
+    * scale). The one float-sum in the statistic, Σ_g S_g²/n_g, is a
+    * sum over GROUPS, so it snaps per-group to the 9-dp lattice and
+    * accumulates as DECIMAL(38,12) (the [[cramersV]] cell-sum
+    * policy) — partitioning can never reorder a float add.
+    *
+    * Output: one row (k_groups, n, ss_between, ss_within, f_stat),
+    * 6-dp at the edge. Scale shape: one map-side-combined corpus
+    * aggregation to k group rows; all downstream math is k-row-sized.
+    * Groups are the statistic's own cells — a group with n_g = 0
+    * cannot exist, and k < 2 or a zero SS_within yields no row (F
+    * undefined).
+    */
+  def oneWayAnova(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"oneWayAnova: column '$valueCol' is $dt; fractional inputs need " +
+          "an explicit integer lattice first (the GroupedOls.fit policy)")
+    }
+    val d38 = DecimalType(38, 0)
+    val x = col(valueCol).cast("long")
+    val perGroup = df
+      .select(col(groupCol).as("__g"), x.as("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"))
+    val agg = perGroup
+      .select(col("__n"), col("__s"), col("__sxx"),
+        // S_g²/n_g — doubles before the divide (S_g² overflows
+        // BIGINT), 9-dp snap, exact DECIMAL sum across groups
+        round(
+          (col("__s").cast("double") * col("__s").cast("double")) /
+            col("__n").cast("double"), 9)
+          .cast(DecimalType(38, 12)).as("__t"))
+      .agg(count(lit(1)).as("k_groups"), sum(col("__n")).as("n"),
+        sum(col("__s")).as("__stot"), sum(col("__sxx")).as("__sxxtot"),
+        sum(col("__t")).as("__tsum"))
+    val t = col("__tsum").cast("double")
+    val grand = (col("__stot").cast("double") * col("__stot").cast("double")) /
+      col("n").cast("double")
+    val ssb = t - grand
+    val ssw = col("__sxxtot").cast("double") - t
+    val f = (ssb / (col("k_groups").cast("double") - lit(1.0))) /
+      (ssw / (col("n").cast("double") - col("k_groups").cast("double")))
+    agg
+      .filter(col("k_groups") >= 2)
+      .withColumn("__ssw", ssw)
+      .filter(col("__ssw") > lit(0.0))
+      .select(col("k_groups"), col("n"),
+        round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
+        round(f, 6).as("f_stat"))
+  }
 }

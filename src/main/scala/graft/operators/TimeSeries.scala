@@ -164,4 +164,57 @@ object TimeSeries {
       .select(col(keyCol), col("hour_start"), col("n"),
         when(dev > 0, "high").otherwise("low").as("side"))
   }
+
+  /** SAX — Symbolic Aggregate approXimation (Lin, Keogh, Lonardi &
+    * Chiu 2003) of each key's hourly activity series: the series is
+    * piecewise-aggregated into `segments` equal-count chunks (PAA)
+    * and each chunk is mapped to a letter, so a 10⁶-point series
+    * becomes a `segments`-char word on which motif mining, indexing,
+    * and anomaly lookup are string problems. Two SAX conventions are
+    * replaced by deterministic integer-lattice equivalents:
+    *
+    *  - PAA keeps the chunk SUM (exact BIGINT), not a float mean —
+    *    equal-count chunks make sum and mean rank identically within
+    *    a key, which is all the letter assignment reads;
+    *  - breakpoints are per-key equal-frequency (`ntile` over the
+    *    key's own `segments` chunk sums, ties broken by segment
+    *    index) instead of global Gaussian quantiles — no float
+    *    z-normalization, bit-stable in any engine.
+    *
+    * Output: (key, segment 0-based, n_hours, paa_sum, symbol
+    * 'a'..'a'+alphabet−1). Hours are the key's OBSERVED hours in
+    * order; `(rank·segments) div n_hours` assigns chunks, so keys
+    * with fewer hours than `segments` simply emit shorter words.
+    *
+    * Scale shape: one (key, hour) map-side-combined aggregation,
+    * then all windows partition BY KEY over hour- and segment-sized
+    * frames — never a global window, never a collect.
+    */
+  def saxWords(
+      df: DataFrame, keyCol: String, tsCol: String,
+      segments: Int, alphabet: Int): DataFrame = {
+    require(segments >= 2 && segments <= 64, s"segments: $segments")
+    require(alphabet >= 2 && alphabet <= 26, s"alphabet: $alphabet")
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .groupBy(col(keyCol), window(col(tsCol), "1 hour"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col(keyCol),
+        unix_timestamp(col("window.start")).as("__h"), col("__n"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__h"))
+    val wKey = Window.partitionBy(col(keyCol))
+    val chunks = hourly
+      .withColumn("__i", row_number().over(wOrd) - lit(1))
+      .withColumn("__nh", count(lit(1)).over(wKey))
+      .withColumn("segment",
+        expr(s"(__i * $segments) div __nh").cast("int"))
+      .groupBy(col(keyCol), col("segment"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("__n")).as("paa_sum"))
+    val wSym = Window.partitionBy(col(keyCol))
+      .orderBy(col("paa_sum"), col("segment"))
+    chunks
+      .withColumn("__q", ntile(alphabet).over(wSym))
+      .select(col(keyCol), col("segment"), col("n_hours"), col("paa_sum"),
+        expr("chr(96 + __q)").as("symbol"))
+  }
 }

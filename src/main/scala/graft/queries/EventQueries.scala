@@ -1847,6 +1847,77 @@ object EventQueries {
         FROM perlag p JOIN tot t USING (event_type)
         WHERE t.n * t.sxx <> t.sx * t.sx
         ORDER BY event_type, lag
+      """)),
+
+    // SAX symbolization of each event type's hourly series: 8
+    // equal-count PAA chunks, 4-letter equal-frequency alphabet — a
+    // million-point series becomes an 8-char motif word, with both
+    // classic float steps replaced by integer-lattice equivalents
+    // (TimeSeries.saxWords scaladoc). Oracle replays the chunk
+    // assignment and the per-key ntile with the same tie order.
+    QueryDef(
+      "q_sax",
+      (s, dir) =>
+        graft.operators.TimeSeries.saxWords(
+            Tables.events(s, dir), "event_type", "ts",
+            segments = 8, alphabet = 4)
+          .orderBy(col("event_type"), col("segment")),
+      Some("""
+        WITH hourly AS (
+          SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY h) - 1 AS i,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nh
+          FROM hourly),
+        chunks AS (
+          SELECT event_type,
+                 CAST((i * 8) // nh AS INTEGER) AS segment,
+                 CAST(count(*) AS BIGINT) AS n_hours,
+                 CAST(sum(n) AS BIGINT) AS paa_sum
+          FROM idx GROUP BY 1, 2)
+        SELECT event_type, segment, n_hours, paa_sum,
+               chr(CAST(96 + ntile(4) OVER (PARTITION BY event_type
+                                            ORDER BY paa_sum, segment)
+                        AS INTEGER)) AS symbol
+        FROM chunks
+        ORDER BY event_type, segment
+      """)),
+
+    // Streaming twin of q_funnel: per-user earliest stage touches as
+    // O(1) mapGroupsWithState (min-merge — commutative, so arrival
+    // order cannot change the state), stage verdict computed on the
+    // final state exactly like the batch aggregate — shares
+    // q_funnel's oracle (StreamingOps.funnelState scaladoc).
+    QueryDef(
+      "q_stream_funnel",
+      (s, dir) =>
+        StreamingOps.funnelHistogram(s, s"$dir/events.parquet")
+          .orderBy(col("stage")),
+      Some("""
+        WITH f AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t1,
+                 min(CASE WHEN event_type = 'view'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t2,
+                 min(CASE WHEN event_type = 'click'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t3,
+                 min(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t4
+          FROM events GROUP BY 1),
+        s AS (
+          SELECT CASE WHEN t1 IS NULL THEN 0
+                      WHEN t2 IS NULL OR t2 <= t1 THEN 1
+                      WHEN t3 IS NULL OR t3 <= t2 THEN 2
+                      WHEN t4 IS NULL OR t4 <= t3 THEN 3
+                      ELSE 4 END AS stage
+          FROM f)
+        SELECT stage, COUNT(*) AS n_users FROM s
+        GROUP BY stage ORDER BY stage
       """))
   )
 }

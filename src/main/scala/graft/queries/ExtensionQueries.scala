@@ -5463,6 +5463,280 @@ object ExtensionQueries {
         $mmrPickCtes
         SELECT query_id, doc_id, mmr_score, pick FROM su5
         ORDER BY query_id, pick
+      """)),
+
+    // Interpolated Kneser-Ney bigram scoring (D=0.75): the
+    // continuation-count cousin of q_bigram_score — templated
+    // boilerplate (huge counts, few contexts) stops scoring as
+    // plausible text (BigramLM.kneserNey scaladoc). Same 9-dp-
+    // lattice / DECIMAL-sum / 6-dp-edge replay discipline.
+    QueryDef(
+      "q_kneser_ney",
+      (s, dir) => {
+        import graft.operators.BigramLM
+        BigramLM.kneserNey(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        trans0 AS (
+          SELECT doc_id, word AS w1,
+                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS w2
+          FROM words),
+        trans AS (SELECT * FROM trans0 WHERE w2 IS NOT NULL),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM trans GROUP BY 1, 2),
+        lft AS (SELECT w1, sum(c12) AS c1, count(*) AS fwd
+                FROM c12 GROUP BY 1),
+        cont AS (SELECT w2, count(*) AS bwd FROM c12 GROUP BY 1),
+        nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM c12),
+        model AS (
+          SELECT c12.w1, c12.w2,
+                 ROUND(-LOG10(
+                   (CAST(c12.c12 AS DOUBLE) - 0.75)
+                     / CAST(lft.c1 AS DOUBLE)
+                   + (0.75 * CAST(lft.fwd AS DOUBLE)
+                      / CAST(lft.c1 AS DOUBLE))
+                     * (CAST(cont.bwd AS DOUBLE) / nb.nb)), 9) AS nlp
+          FROM c12 JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN nb)
+        SELECT t.doc_id, count(*) AS n_transitions,
+               ROUND(CAST(sum(CAST(m.nlp AS DECIMAL(38,12))) AS DOUBLE)
+                     / count(*), 6) AS kn_xent
+        FROM trans t JOIN model m ON m.w1 = t.w1 AND m.w2 = t.w2
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+      """)),
+
+    // One-way ANOVA across sources on document length — "is mean
+    // n_chars the same in every feed?" as one F statistic, integer
+    // sums + the cramersV 9-dp/DECIMAL group-sum policy
+    // (DistributionTests.oneWayAnova scaladoc).
+    QueryDef(
+      "q_anova",
+      (s, dir) =>
+        DistributionTests.oneWayAnova(
+          Tables.documents(s, dir), "source", "n_chars"),
+      Some("""
+        WITH g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS s,
+                 SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx,
+                 CAST(ROUND(
+                   (CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
+                     / CAST(count(*) AS DOUBLE), 9) AS DECIMAL(38,12)) AS t
+          FROM documents GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(s) AS BIGINT) AS stot,
+                 sum(sxx) AS sxxtot, sum(t) AS tsum
+          FROM g)
+        SELECT k_groups, n,
+               ROUND(CAST(tsum AS DOUBLE)
+                     - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
+                       / CAST(n AS DOUBLE), 6) AS ss_between,
+               ROUND(CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE), 6)
+                 AS ss_within,
+               ROUND(((CAST(tsum AS DOUBLE)
+                       - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
+                         / CAST(n AS DOUBLE))
+                      / (CAST(k_groups AS DOUBLE) - 1.0))
+                     / ((CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))),
+                     6) AS f_stat
+        FROM agg
+        WHERE k_groups >= 2
+          AND CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE) > 0.0
+      """)),
+
+    // t-closeness audit over the same QI lattice as q_k_anonymity /
+    // q_l_diversity — the skewness-attack rung: groups whose market-
+    // segment DISTRIBUTION sits > 0.5 total-variation from the
+    // table's, TVD exact on the integer ppm lattice
+    // (DataQuality.tClosenessViolations scaladoc).
+    QueryDef(
+      "q_t_closeness",
+      (s, dir) =>
+        graft.operators.DataQuality.tClosenessViolations(
+            Tables.customer(s, dir)
+              .select(col("c_nationkey"), col("c_mktsegment"),
+                floor((col("c_acctbal") * 100).cast("long") /
+                  lit(200000.0)).as("bal_band")),
+            Seq("c_nationkey", "bal_band"), "c_mktsegment",
+            tPpm = 500000L)
+          .orderBy(col("c_nationkey"), col("bal_band")),
+      Some("""
+        WITH cells AS (
+          SELECT c_nationkey,
+                 CAST(FLOOR(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)
+                            / 200000.0) AS BIGINT) AS bal_band,
+                 c_mktsegment AS s, count(*) AS c
+          FROM customer GROUP BY 1, 2, 3),
+        gt AS (SELECT c_nationkey, bal_band, sum(c) AS ng
+               FROM cells GROUP BY 1, 2),
+        dt AS (SELECT s, sum(c) AS cs FROM cells GROUP BY 1),
+        tot AS (SELECT sum(c) AS nn FROM cells),
+        grp AS (
+          SELECT cells.c_nationkey, cells.bal_band,
+                 CAST(max(ng) AS BIGINT) AS n,
+                 sum(greatest(CAST(c AS HUGEINT) * nn
+                              - CAST(cs AS HUGEINT) * ng, 0)) AS num,
+                 max(nn) AS nn
+          FROM cells JOIN dt USING (s)
+          JOIN gt USING (c_nationkey, bal_band) CROSS JOIN tot
+          GROUP BY 1, 2)
+        SELECT c_nationkey, bal_band, n,
+               CAST((num * 1000000) // (n * nn) AS BIGINT) AS tvd_ppm
+        FROM grp
+        WHERE (num * 1000000) // (n * nn) > 500000
+        ORDER BY c_nationkey, bal_band
+      """)),
+
+    // k-core of the term co-occurrence graph (top-200-df vocab,
+    // distance <= 2 — the q_keywords graph): three peel rounds at
+    // k=20 isolate the dense topical core from tendril terms
+    // (GraphOps.kCore scaladoc). The oracle unrolls the same three
+    // rounds over the replayed edge set.
+    QueryDef(
+      "q_kcore",
+      (s, dir) => {
+        val toks = docTokens(s, dir)
+          .select(col("doc_id"),
+            posexplode(col("tokens")).as(Seq("pos", "term")))
+        val vocab = toks.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(200)
+          .select(col("term"))
+        val vt = toks.join(broadcast(vocab), "term")
+        val edges = Seq(1, 2).map { d =>
+          vt.select(col("doc_id"), col("pos"), col("term").as("src"))
+            .join(vt.select(col("doc_id"), (col("pos") - lit(d)).as("pos"),
+              col("term").as("dst")), Seq("doc_id", "pos"))
+            .select(col("src"), col("dst"))
+        }.reduce(_ union _).filter(col("src") =!= col("dst"))
+        graft.operators.GraphOps.kCore(edges, "src", "dst",
+            k = 20, rounds = 3)
+          .orderBy(col("id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+          FROM documents),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+            ORDER BY df DESC, term LIMIT 200)),
+        vt AS (SELECT t.doc_id, t.pos, t.term
+               FROM toks t JOIN vocab v USING (term)),
+        e AS (
+          SELECT DISTINCT least(a.term, b.term) AS id_a,
+                          greatest(a.term, b.term) AS id_b
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+          WHERE a.term <> b.term),
+        d0 AS (SELECT id, count(*) AS d FROM (
+                 SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
+               GROUP BY 1),
+        k0 AS (SELECT id FROM d0 WHERE d >= 20),
+        e1 AS (SELECT id_a, id_b FROM e
+               WHERE id_a IN (SELECT id FROM k0)
+                 AND id_b IN (SELECT id FROM k0)),
+        d1 AS (SELECT id, count(*) AS d FROM (
+                 SELECT id_a AS id FROM e1 UNION ALL SELECT id_b FROM e1)
+               GROUP BY 1),
+        k1 AS (SELECT id FROM d1 WHERE d >= 20),
+        e2 AS (SELECT id_a, id_b FROM e1
+               WHERE id_a IN (SELECT id FROM k1)
+                 AND id_b IN (SELECT id FROM k1)),
+        d2 AS (SELECT id, count(*) AS d FROM (
+                 SELECT id_a AS id FROM e2 UNION ALL SELECT id_b FROM e2)
+               GROUP BY 1),
+        k2 AS (SELECT id FROM d2 WHERE d >= 20),
+        e3 AS (SELECT id_a, id_b FROM e2
+               WHERE id_a IN (SELECT id FROM k2)
+                 AND id_b IN (SELECT id FROM k2)),
+        d3 AS (SELECT id, count(*) AS d FROM (
+                 SELECT id_a AS id FROM e3 UNION ALL SELECT id_b FROM e3)
+               GROUP BY 1)
+        SELECT id, CAST(d AS BIGINT) AS deg FROM d3 WHERE d >= 20
+        ORDER BY id
+      """)),
+
+    // Multi-source BFS over the 3-NN similarity graph: minimum hop
+    // distance (<= 3) from the doc_id%97 seed set — "how far does a
+    // contaminated cluster spread" (GraphOps.bfsHops scaladoc). The
+    // oracle unrolls the same three frontier expansions over the
+    // shared knnEdgeCtes replay.
+    QueryDef(
+      "q_bfs_hops",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.bruteForceTopK(
+          emb, emb, "vec_id", "embedding", 3)
+        graft.operators.GraphOps.bfsHops(
+            knn.select(col("query_id").as("src"),
+              col("neighbor_id").as("dst")),
+            "src", "dst",
+            emb.filter(pmod(col("vec_id"), lit(97L)) === 0), "vec_id",
+            maxHops = 3)
+          .orderBy(col("id"))
+      },
+      Some(s"""
+        WITH $knnEdgeCtes,
+        und AS (SELECT id_a AS u, id_b AS v FROM e
+                UNION SELECT id_b, id_a FROM e),
+        h0 AS (SELECT DISTINCT vec_id AS id FROM embeddings
+               WHERE vec_id % 97 = 0),
+        h1 AS (SELECT DISTINCT v AS id FROM und JOIN h0 ON und.u = h0.id
+               WHERE v NOT IN (SELECT id FROM h0)),
+        h2 AS (SELECT DISTINCT v AS id FROM und JOIN h1 ON und.u = h1.id
+               WHERE v NOT IN (SELECT id FROM h0)
+                 AND v NOT IN (SELECT id FROM h1)),
+        h3 AS (SELECT DISTINCT v AS id FROM und JOIN h2 ON und.u = h2.id
+               WHERE v NOT IN (SELECT id FROM h0)
+                 AND v NOT IN (SELECT id FROM h1)
+                 AND v NOT IN (SELECT id FROM h2))
+        SELECT id, hop FROM (
+          SELECT id, 0 AS hop FROM h0
+          UNION ALL SELECT id, 1 FROM h1
+          UNION ALL SELECT id, 2 FROM h2
+          UNION ALL SELECT id, 3 FROM h3)
+        ORDER BY id
+      """)),
+
+    // Trigram-index exact substring search: each query doc's chars
+    // 11..18 as a literal %pattern%, served from the character-
+    // trigram inverted index + exact contains verify — bit-identical
+    // to the brute LIKE scan the oracle runs (TrigramSearch
+    // scaladoc; at sf0.01 no trigram exceeds the hot cap, so the
+    // served set is total).
+    QueryDef(
+      "q_trigram_search",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.TrigramSearch.search(
+            docs, "doc_id", "text",
+            docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+              .select(col("doc_id"),
+                substring(col("text"), 11, 8).as("pattern")),
+            "doc_id", "pattern", excludeSelf = true)
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some("""
+        SELECT q.doc_id AS query_id, d.doc_id
+        FROM (SELECT doc_id, substring(text, 11, 8) AS pat
+              FROM documents WHERE doc_id % 97 = 0) q
+        JOIN documents d
+          ON length(q.pat) >= 3 AND contains(d.text, q.pat)
+         AND d.doc_id <> q.doc_id
+        ORDER BY query_id, d.doc_id
       """))
   )
 
@@ -5552,6 +5826,37 @@ object ExtensionQueries {
     * lengths, tf/df, corpus totals, and the query batch — the common
     * prefix of every retrieval oracle.
     */
+  /** Shared exact 3-NN similarity-graph oracle prefix (no WITH
+    * keyword): replays Similarity.bruteForceTopK(k=3) + undirected
+    * canonicalization, ending in `e(id_a, id_b)` with id_a < id_b —
+    * the edge set q_triangles / q_clustering / q_assortativity also
+    * inline, shared by the round-9 graph queries (q_kcore,
+    * q_bfs_hops).
+    */
+  private lazy val knnEdgeCtes: String = """
+        dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS d
+          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id <> b.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT qa, qb, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
+          FROM dots
+          JOIN norms na ON na.vec_id = qa
+          JOIN norms nb ON nb.vec_id = qb),
+        ranked AS (
+          SELECT qa, qb,
+                 ROW_NUMBER() OVER (PARTITION BY qa
+                                    ORDER BY cos DESC, qb) AS rn
+          FROM scored),
+        e AS (
+          SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
+          FROM ranked WHERE rn <= 3)"""
+
   private def retrievalCtes: String = """
         toks AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term,

@@ -59,6 +59,14 @@ case class EwmaRow(key: Long, n: Long, ewma: Double)
 /** Running Holt level/trend state for [[StreamingOps.holtState]]. */
 case class HoltRow(key: Long, n: Long, l: Double, b: Double)
 
+/** Per-user funnel state for [[StreamingOps.funnelState]]: earliest
+  * µs of each stage event seen so far (0 = not yet seen — event
+  * times are epoch-positive), plus the monotone event count used to
+  * select the final state row from an update-mode sink.
+  */
+case class FunnelRow(
+    userId: Long, n: Long, t1: Long, t2: Long, t3: Long, t4: Long)
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation and stateful sessionization via
   * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
@@ -466,6 +474,72 @@ object StreamingOps {
       .select(col("key").as("user_id"), col("n"),
         round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
         round(col("l") + col("b"), 6).as("forecast"))
+  }
+
+  /** Streaming funnel state: earliest signup/view/click/purchase
+    * µs per user as O(1) `mapGroupsWithState` — each event only
+    * min-merges into its stage slot, so arrival ORDER cannot change
+    * the state (min is commutative), unlike the order-sensitive
+    * recurrence twins. The stage verdict itself is computed
+    * downstream from the final state, exactly as the batch q_funnel
+    * computes it from min-per-stage aggregates.
+    */
+  def funnelState(stream: Dataset[Chg]): Dataset[FunnelRow] = {
+    import stream.sparkSession.implicits._
+    def update(userId: Long, events: Iterator[Chg],
+        state: GroupState[FunnelRow]): FunnelRow = {
+      var cur = state.getOption.getOrElse(
+        FunnelRow(userId, 0L, 0L, 0L, 0L, 0L))
+      def mn(old: Long, t: Long) = if (old == 0L || t < old) t else old
+      events.foreach { e =>
+        cur = e.event_type match {
+          case "signup" => cur.copy(n = cur.n + 1, t1 = mn(cur.t1, e.us))
+          case "view" => cur.copy(n = cur.n + 1, t2 = mn(cur.t2, e.us))
+          case "click" => cur.copy(n = cur.n + 1, t3 = mn(cur.t3, e.us))
+          case "purchase" => cur.copy(n = cur.n + 1, t4 = mn(cur.t4, e.us))
+          case _ => cur.copy(n = cur.n + 1)
+        }
+      }
+      state.update(cur)
+      cur
+    }
+    stream.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[funnelState]] over the events parquet → the q_funnel stage
+    * histogram (memory sink, update mode; last state per user by the
+    * monotone n). The ordered-progression verdict (a later stage's
+    * first touch must FOLLOW the earlier stage's) is evaluated on
+    * the final per-user state, so it matches the batch aggregate
+    * bit-for-bit and shares its oracle.
+    */
+  def funnelHistogram(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("event_id")).as[Chg]
+    val out = funnelState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId")).orderBy(col("n").desc)
+    val stage = when(col("t1") === 0L, 0)
+      .when(col("t2") === 0L || col("t2") <= col("t1"), 1)
+      .when(col("t3") === 0L || col("t3") <= col("t2"), 2)
+      .when(col("t4") === 0L || col("t4") <= col("t3"), 3)
+      .otherwise(4)
+    spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .select(stage.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
   }
 
   /** Streaming exact dedup with bounded state: the first row per key

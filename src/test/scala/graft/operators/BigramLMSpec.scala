@@ -65,4 +65,31 @@ class BigramLMSpec extends SparkSuite {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("kneserNey matches the hand-computed interpolated-KN lattice") {
+    // c12: (a,b)=2, (a,c)=1; c(a·)=3, N1+(a·)=2; N1+(·b)=N1+(·c)=1;
+    // N1+(··)=2. p(b|a) = (2−.75)/3 + (.75·2/3)·(1/2) = 2/3
+    // p(c|a) = (1−.75)/3 + (.75·2/3)·(1/2) = 1/3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = BigramLM.kneserNey(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val xB = math.rint(-math.log10(2.0 / 3.0) * 1e6) / 1e6
+    val xC = math.rint(-math.log10(1.0 / 3.0) * 1e6) / 1e6
+    assert(out === Seq((1L, 1L, xB), (2L, 1L, xB), (3L, 1L, xC)))
+  }
+
+  test("kneserNey is partitioning-independent and covers every doc " +
+      "with >= 2 tokens (self-fit model has no unseen transitions)") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"w${i % 4} w${(i + 1) % 6} w${i % 3} w${(i + 2) % 5}"))
+      .toDF("doc_id", "text")
+    val a = BigramLM.kneserNey(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = BigramLM.kneserNey(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(a.size === 30)
+  }
 }

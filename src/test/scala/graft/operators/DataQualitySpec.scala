@@ -80,4 +80,37 @@ class DataQualitySpec extends SparkSuite {
     // kAnonymityViolations cannot see
     assert(out === Seq(("de", 1L, 1L), ("us", 3L, 1L)))
   }
+
+  test("tClosenessViolations: exact integer-ppm TVD, threshold cut") {
+    // global: x=5/6, y=1/6. A=[x,x,x,x]: TVD = 4/6−5/6→0 on x? no:
+    // p_A(x)=1 vs 5/6 → Σmax = (4·6−5·4)/(4·6) = 4/24 = 1/6.
+    // B=[x,y]: y term (1·6−1·2)/(2·6) = 4/12 = 1/3.
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y")).toDF("qi", "s")
+    val hi = DataQuality.tClosenessViolations(df, Seq("qi"), "s", 200000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(hi.toSeq === Seq(("B", 2L, 333333L)))
+    val lo = DataQuality.tClosenessViolations(df, Seq("qi"), "s", 100000L)
+      .orderBy("qi")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(lo === Seq(("A", 166666L), ("B", 333333L)))
+  }
+
+  test("tClosenessViolations: a group matching the global " +
+      "distribution never violates; partitioning-independent") {
+    val rows = (1 to 120).map { i =>
+      (s"g${i % 3}", if (i % 4 == 0) "rare" else "common")
+    }
+    val df = rows.toDF("qi", "s")
+    // every group has the same 1/4-3/4 split as the table
+    assert(DataQuality.tClosenessViolations(df, Seq("qi"), "s", 1L)
+      .count() === 0)
+    val skewed = df.union(Seq(("gz", "rare")).toDF("qi", "s"))
+    val a = DataQuality.tClosenessViolations(skewed, Seq("qi"), "s", 1L)
+      .orderBy("qi").collect().toSeq
+    val b = DataQuality
+      .tClosenessViolations(skewed.repartition(11), Seq("qi"), "s", 1L)
+      .orderBy("qi").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }

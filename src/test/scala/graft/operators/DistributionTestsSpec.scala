@@ -40,4 +40,36 @@ class DistributionTestsSpec extends SparkSuite {
     assert(out("mx")._2 === "same")
     assert(out("mx")._1 <= 0.01)
   }
+
+  test("oneWayAnova matches the hand-computed F on three groups") {
+    // g1=[1,2,3] g2=[4,5,6] g3=[7,8,9]: SSB=54, SSW=6,
+    // F = (54/2)/(6/6) = 27
+    val df = Seq(("g1", 1), ("g1", 2), ("g1", 3), ("g2", 4), ("g2", 5),
+      ("g2", 6), ("g3", 7), ("g3", 8), ("g3", 9)).toDF("g", "x")
+    val r = DistributionTests.oneWayAnova(df, "g", "x").collect().head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 9L)))
+    assert(r.getDouble(2) === 54.0 && r.getDouble(3) === 6.0)
+    assert(r.getDouble(4) === 27.0)
+  }
+
+  test("oneWayAnova: no row when groups are identical (SSW=0 with " +
+      "one value per group) or k<2; fractional input rejected") {
+    val flat = Seq(("a", 5), ("a", 5), ("b", 5), ("b", 5)).toDF("g", "x")
+    assert(DistributionTests.oneWayAnova(flat, "g", "x").count() === 0)
+    val one = Seq(("a", 1), ("a", 2)).toDF("g", "x")
+    assert(DistributionTests.oneWayAnova(one, "g", "x").count() === 0)
+    val frac = Seq(("a", 1.5)).toDF("g", "x")
+    val e = intercept[IllegalArgumentException] {
+      DistributionTests.oneWayAnova(frac, "g", "x")
+    }
+    assert(e.getMessage.contains("lattice"))
+  }
+
+  test("oneWayAnova is partitioning-independent") {
+    val df = (1 to 200).map(i => (s"g${i % 5}", i * 3 % 17)).toDF("g", "x")
+    val a = DistributionTests.oneWayAnova(df, "g", "x").collect().toSeq
+    val b = DistributionTests.oneWayAnova(df.repartition(13), "g", "x")
+      .collect().toSeq
+    assert(a === b)
+  }
 }

@@ -69,4 +69,46 @@ class TimeSeriesSpec extends SparkSuite {
     assert(math.abs(forecast - next) < 0.1,
       s"forecast $forecast should be near $next")
   }
+
+  test("saxWords: hand-checked chunk sums and letter assignment") {
+    // 8 observed hours with counts [1,1,5,5,9,9,2,2] → 4 chunks of 2
+    // hours: sums [2,10,18,4] → equal-frequency letters a,c,d,b
+    val counts = Seq(1, 1, 5, 5, 9, 9, 2, 2)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("k", java.sql.Timestamp.valueOf(
+        f"2024-01-01 $h%02d:30:00")))
+    }
+    val df = rows.toDF("key", "ts")
+    val out = TimeSeries.saxWords(df, "key", "ts",
+        segments = 4, alphabet = 4)
+      .orderBy("segment").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(out === Seq((0, 2L, 2L, "a"), (1, 2L, 10L, "c"),
+      (2, 2L, 18L, "d"), (3, 2L, 4L, "b")))
+  }
+
+  test("saxWords: fewer hours than segments emits a shorter word; " +
+      "ties break by segment index; partitioning-independent") {
+    val rows = Seq(0, 1, 2).flatMap(h =>
+      Seq.fill(3)(("s", java.sql.Timestamp.valueOf(
+        f"2024-02-01 $h%02d:15:00"))))
+    val df = rows.toDF("key", "ts")
+    val out = TimeSeries.saxWords(df, "key", "ts",
+        segments = 8, alphabet = 3)
+      .orderBy("segment").collect()
+      .map(r => (r.getInt(1), r.getLong(3), r.getString(4))).toSeq
+    // 3 hours → 3 non-empty chunks, equal sums → letters follow
+    // segment order (the deterministic tie-break)
+    assert(out.map(_._2).forall(_ == 3L) && out.size === 3)
+    assert(out.map(_._3) === Seq("a", "b", "c"))
+    val big = (1 to 300).map(i => (s"k${i % 3}",
+      java.sql.Timestamp.valueOf(
+        f"2024-03-01 ${i % 24}%02d:05:00"))).toDF("key", "ts")
+    val a = TimeSeries.saxWords(big, "key", "ts", 8, 4)
+      .orderBy("key", "segment").collect().toSeq
+    val b = TimeSeries.saxWords(big.repartition(11), "key", "ts", 8, 4)
+      .orderBy("key", "segment").collect().toSeq
+    assert(a === b)
+  }
 }
