@@ -130,6 +130,23 @@ object BpeTokenizer {
     merges.result()
   }
 
+  /** The argmax pair of a symbol table under the training order
+    * (cnt desc, left, right) — the next merge [[train]] would learn.
+    * A 1-row bounded collect, exactly like the loop's own step.
+    */
+  def topPair(symbols: DataFrame): Option[(String, String, Long)] =
+    pairStats(symbols)
+      .orderBy(desc("cnt"), asc("left"), asc("right"))
+      .limit(1).collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** One [[train]] iteration's merge application exposed as a
+    * standalone step (the oracle-replayable unit): greedy
+    * non-overlapping (l, r) → l+r over the `syms` column.
+    */
+  def mergePair(symbols: DataFrame, l: String, r: String): DataFrame =
+    symbols.withColumn("syms", applyMerge(col("syms"), l, r))
+
   /** Tokenize the DISTINCT words of `docs` with a trained merge list:
     * `(word, freq, pieces)`. Downstream corpus tokenization is a
     * (broadcast) join on word — never per-occurrence piece work.

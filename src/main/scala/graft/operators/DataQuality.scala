@@ -171,6 +171,47 @@ object DataQuality {
       .filter(col("tvd_ppm") > tPpm)
   }
 
+  /** Order-independent per-group table fingerprints — "are these two
+    * snapshots / replicas / migration outputs the same table?"
+    * answered WITHOUT shipping or sorting rows (the Merkle-leaf
+    * trick every storage migration re-invents): each row hashes to a
+    * 60-bit integer (md5 over the ``-joined column values, the
+    * engine's cross-engine hash convention), and a group's signature
+    * is the pair (XOR, SUM mod 2⁶¹) of its row hashes — both
+    * combiners are commutative and associative, so the signature is
+    * identical under ANY partitioning, row order, or engine, and
+    * mergeable across shards. Carrying two independent combiners
+    * makes the check robust where either alone has cheap collisions
+    * (XOR cancels duplicate rows in pairs; SUM alone is
+    * counter-swappable).
+    *
+    * One map-side-combined aggregation; output is group-sized:
+    * (group cols…, n_rows, xor_sig, sum_sig). Compare two tables'
+    * outputs with a join — any differing group names exactly which
+    * slice diverged. NULL column values fingerprint as the literal
+    * used by `concat_ws` (dropped) — normalize NULLs upstream if two
+    * tables may differ only in NULL-vs-empty.
+    */
+  def tableFingerprint(
+      df: DataFrame, groupCols: Seq[String], hashCols: Seq[String])
+      : DataFrame = {
+    require(hashCols.nonEmpty, "need at least one hash column")
+    val d38 = DecimalType(38, 0)
+    val rowHash = conv(substring(md5(concat_ws("",
+      hashCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
+      .cast("long")
+    val grouped =
+      if (groupCols.isEmpty) df.select(rowHash.as("__h")).groupBy()
+      else df.select((groupCols.map(col) :+ rowHash.as("__h")): _*)
+        .groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_sig"),
+        pmod(sum(col("__h").cast(d38)),
+          lit(2305843009213693952L).cast(d38))
+          .cast("long").as("sum_sig"))
+  }
+
   /** Exact join-size profile WITHOUT executing the join — the
     * pre-flight check before a 100 TB equi-join: |A ⋈ B| =
     * Σ_k cntA(k)·cntB(k), computed from the two key histograms, so a

@@ -5737,6 +5737,178 @@ object ExtensionQueries {
           ON length(q.pat) >= 3 AND contains(d.text, q.pat)
          AND d.doc_id <> q.doc_id
         ORDER BY query_id, d.doc_id
+      """)),
+
+    // One full BPE training iteration, oracle-replayed: learn the
+    // argmax pair, apply the greedy non-overlapping merge across the
+    // (vocab-sized) symbol table, recount pairs — the step q_bpe_pairs
+    // only argmaxes. The oracle applies the merge as a left-to-right
+    // string replace over space-joined symbols with a TRAILING-space
+    // pattern: on initial single-char symbols every match is
+    // symbol-aligned ('<'/'>' never appear in the corpus charset and
+    // the only multi-char symbol tail is '>'), and Python-replace
+    // semantics coincide with the fold on runs — sound for the FIRST
+    // merge, which is exactly what this query replays (the engine's
+    // applyMerge fold is the general path for later merges).
+    QueryDef(
+      "q_bpe_merge",
+      (s, dir) => {
+        import graft.operators.BpeTokenizer
+        val syms = BpeTokenizer.initialSymbols(
+          BpeTokenizer.wordCounts(Tables.documents(s, dir), "text"))
+          .select(col("freq"), col("syms")).localCheckpoint(true)
+        val (l, r, _) = BpeTokenizer.topPair(syms).get
+        BpeTokenizer.pairStats(BpeTokenizer.mergePair(syms, l, r))
+          .select(col("left").as("lhs"), col("right").as("rhs"), col("cnt"))
+          .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
+          .limit(50)
+      },
+      Some("""
+        WITH words AS (
+          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE length(word) > 0
+          GROUP BY 1),
+        pairs0 AS (
+          SELECT freq,
+                 substr(word, i, 1) AS lhs,
+                 substr(word, i + 1, 1) ||
+                   CASE WHEN i + 1 = n THEN '</w>' ELSE '' END AS rhs
+          FROM (SELECT word, freq, length(word) AS n,
+                       unnest(range(1, length(word))) AS i
+                FROM words)),
+        top1 AS (
+          SELECT lhs, rhs FROM (
+            SELECT lhs, rhs, SUM(freq) AS cnt
+            FROM pairs0 GROUP BY 1, 2
+            ORDER BY cnt DESC, lhs, rhs LIMIT 1)),
+        spaced AS (
+          SELECT freq,
+                 rtrim(regexp_replace(word, '(.)', '\1 ', 'g'))
+                   || '</w> ' AS s
+          FROM words),
+        merged AS (
+          SELECT freq,
+                 string_split(rtrim(replace(
+                   s, t.lhs || ' ' || t.rhs || ' ',
+                   t.lhs || t.rhs || ' ')), ' ') AS syms
+          FROM spaced CROSS JOIN top1 t),
+        pairs1 AS (
+          SELECT freq, syms[i] AS lhs, syms[i + 1] AS rhs
+          FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+                FROM merged))
+        SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM pairs1 GROUP BY 1, 2
+        ORDER BY cnt DESC, lhs, rhs
+        LIMIT 50
+      """)),
+
+    // T5 span-corruption example prep: replayable md5 span draws,
+    // one sentinel per corrupted span in the inputs, sentinel-
+    // enumerated span tokens in the targets (SpanCorruption
+    // scaladoc). Hashing the assembled strings verifies the whole
+    // mask/renumber/reassemble chain end to end.
+    QueryDef(
+      "q_span_corruption",
+      (s, dir) =>
+        graft.operators.SpanCorruption.corrupt(
+            Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+          FROM documents),
+        t2 AS (
+          SELECT doc_id, tok, pos, pos // 8 AS block, pos % 8 AS ofs,
+                 (CAST(concat('0x', substr(md5(doc_id || ':'
+                       || CAST(pos // 8 AS VARCHAR)), 1, 15))
+                    AS UBIGINT) % 3 = 0)
+                   AND pos % 8 BETWEEN 3 AND 5 AS masked
+          FROM toks),
+        mb AS (
+          SELECT doc_id, block,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY block) - 1 AS k
+          FROM (SELECT DISTINCT doc_id, block FROM t2 WHERE masked)),
+        tg AS (SELECT t2.*, mb.k FROM t2
+               LEFT JOIN mb USING (doc_id, block))
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_masked,
+               COALESCE(string_agg(
+                 CASE WHEN NOT masked THEN tok
+                      WHEN ofs = 3 THEN '<extra_id_' || k || '>' END,
+                 ' ' ORDER BY pos), '') AS inputs,
+               COALESCE(string_agg(
+                 CASE WHEN masked AND ofs = 3
+                        THEN '<extra_id_' || k || '> ' || tok
+                      WHEN masked THEN tok END,
+                 ' ' ORDER BY pos), '') AS targets
+        FROM tg GROUP BY doc_id
+        ORDER BY doc_id
+      """)),
+
+    // Length-bucketed batch assembly with padding-waste accounting
+    // (SequencePacking.lengthBuckets scaladoc): buckets of 200 chars,
+    // batches of 16 by the md5 draw — the fine-tuning counterpart of
+    // q_pack_sequences' causal concat-packing.
+    QueryDef(
+      "q_length_buckets",
+      (s, dir) =>
+        graft.operators.SequencePacking.lengthBuckets(
+            Tables.documents(s, dir), "doc_id", "n_chars",
+            bucketWidth = 200L, batchSize = 16)
+          .orderBy(col("bucket"), col("batch_id")),
+      Some("""
+        WITH rows0 AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+                 n_chars // 200 AS bucket,
+                 CAST(concat('0x',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS UBIGINT) AS h
+          FROM documents),
+        dealt AS (
+          SELECT bucket, len,
+                 (ROW_NUMBER() OVER (PARTITION BY bucket
+                                     ORDER BY h, doc_id) - 1) // 16
+                   AS batch_id
+          FROM rows0)
+        SELECT bucket, batch_id, COUNT(*) AS n_rows,
+               MIN(len) AS min_len, MAX(len) AS max_len,
+               CAST(SUM(len) AS BIGINT) AS sum_len,
+               CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS pad_waste
+        FROM dealt GROUP BY 1, 2
+        ORDER BY bucket, batch_id
+      """)),
+
+    // Order-independent snapshot fingerprints per source: XOR + SUM
+    // mod 2^61 of 60-bit row hashes — snapshot equality without row
+    // comparison, mergeable across shards, identical under any
+    // partitioning (DataQuality.tableFingerprint scaladoc). The
+    // oracle recomputes both combiners from the same md5 lattice.
+    QueryDef(
+      "q_table_fingerprint",
+      (s, dir) =>
+        graft.operators.DataQuality.tableFingerprint(
+            Tables.documents(s, dir), Seq("source"),
+            Seq("doc_id", "text", "lang", "n_chars"))
+          .orderBy(col("source")),
+      Some("""
+        WITH h AS (
+          SELECT source,
+                 CAST(concat('0x', substr(md5(
+                     doc_id || chr(1) || text || chr(1) || lang
+                       || chr(1) || n_chars), 1, 15))
+                   AS BIGINT) AS h
+          FROM documents)
+        SELECT source, COUNT(*) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+               CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
+                    % 2305843009213693952 AS BIGINT) AS sum_sig
+        FROM h GROUP BY 1
+        ORDER BY source
       """))
   )
 

@@ -68,4 +68,21 @@ class BpeTokenizerSpec extends SparkSuite {
     val merges = BpeTokenizer.train(df, "text", nMerges = 10)
     assert(merges.isEmpty) // every pair occurs once < minCount=2
   }
+
+  test("topPair + mergePair reproduce train's first iteration") {
+    val df = Seq("low low lower lowest").toDF("text")
+    val syms = BpeTokenizer.initialSymbols(
+      BpeTokenizer.wordCounts(df, "text"))
+    val Some((l, r, cnt)) = BpeTokenizer.topPair(syms)
+    assert((l, r) === (("l", "o")) && cnt === 4L)
+    val mergedDf = BpeTokenizer.mergePair(syms, l, r)
+    val merged = mergedDf.collect().map(x => x.getSeq[String](2)).toSet
+    assert(merged.contains(Seq("lo", "w</w>")))
+    // the recounted argmax equals train's second learned merge
+    val second = BpeTokenizer.topPair(mergedDf).get
+    val trained = BpeTokenizer.train(df, "text", nMerges = 2,
+      minCount = 1L)
+    assert(trained.head === ((l, r)))
+    assert(trained(1) === ((second._1, second._2)))
+  }
 }

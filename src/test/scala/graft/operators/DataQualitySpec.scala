@@ -113,4 +113,43 @@ class DataQualitySpec extends SparkSuite {
       .orderBy("qi").collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("tableFingerprint: invariant to row order and partitioning, " +
+      "sensitive to any single-row change") {
+    val df = (1L to 200L).map(i => (s"g${i % 3}", i, s"payload-$i"))
+      .toDF("g", "id", "v")
+    def sig(d: org.apache.spark.sql.DataFrame) =
+      DataQuality.tableFingerprint(d, Seq("g"), Seq("id", "v"))
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+    val base = sig(df)
+    assert(sig(df.repartition(13)) === base)
+    assert(sig(df.orderBy(org.apache.spark.sql.functions.desc("id")))
+      === base)
+    // flip one row's payload: only its group's signature moves
+    val touched = (1L to 200L).map(i =>
+      (s"g${i % 3}", i, if (i == 77L) "corrupt" else s"payload-$i"))
+      .toDF("g", "id", "v")
+    val changed = sig(touched)
+    assert(changed.size === base.size)
+    base.zip(changed).foreach { case (o, c) =>
+      if (o._1 == "g2") assert(o !== c) // 77 % 3 == 2
+      else assert(o === c)
+    }
+  }
+
+  test("tableFingerprint signatures merge across shards") {
+    val df = (1L to 100L).map(i => ("all", i)).toDF("g", "id")
+    val whole = DataQuality.tableFingerprint(df, Seq("g"), Seq("id"))
+      .collect().head
+    val half1 = DataQuality.tableFingerprint(
+      df.filter($"id" <= 50), Seq("g"), Seq("id")).collect().head
+    val half2 = DataQuality.tableFingerprint(
+      df.filter($"id" > 50), Seq("g"), Seq("id")).collect().head
+    assert(half1.getLong(1) + half2.getLong(1) === whole.getLong(1))
+    assert((half1.getLong(2) ^ half2.getLong(2)) === whole.getLong(2))
+    val m = 2305843009213693952L
+    assert((half1.getLong(3) + half2.getLong(3)) % m === whole.getLong(3))
+  }
 }

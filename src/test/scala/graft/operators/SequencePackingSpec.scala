@@ -43,4 +43,36 @@ class SequencePackingSpec extends SparkSuite {
     assert(dup.filter(_._1 == 1L).map(_._2).sorted.toSeq == (2L to 7L))
     assert(dup.filter(_._1 == 2L).map(_._2).sorted.toSeq == (3L to 8L))
   }
+
+  test("lengthBuckets: batches respect size and bucket bounds; " +
+      "waste is n·max − sum; totals conserved") {
+    val df = (1L to 100L).map(i => (i, 10L + (i * 37) % 490))
+      .toDF("doc_id", "len")
+    val out = SequencePacking
+      .lengthBuckets(df, "doc_id", "len", bucketWidth = 100L,
+        batchSize = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    out.foreach { case (b, _, n, mn, mx, sm, waste) =>
+      assert(n >= 1 && n <= 8)
+      // every member's length lies in the bucket's band
+      assert(mn >= b * 100 && mx < (b + 1) * 100, s"bucket $b: [$mn,$mx]")
+      assert(waste === n * mx - sm)
+    }
+    assert(out.map(_._3).sum === 100L) // every doc lands somewhere
+    // at most one partial batch per bucket
+    out.groupBy(_._1).foreach { case (b, batches) =>
+      assert(batches.count(_._3 < 8) <= 1, s"bucket $b")
+    }
+  }
+
+  test("lengthBuckets is partitioning-independent") {
+    val df = (1L to 80L).map(i => (i, 5L + (i * 13) % 300))
+      .toDF("doc_id", "len")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SequencePacking.lengthBuckets(d, "doc_id", "len", 50L, 4)
+        .orderBy("bucket", "batch_id").collect().toSeq
+    assert(run(df) === run(df.repartition(9)))
+  }
 }
