@@ -118,7 +118,8 @@ object Bench {
     "q_kneser_ney", "q_anova", "q_t_closeness", "q_kcore",
     "q_bfs_hops", "q_trigram_search", "q_sax",
     "q_bpe_merge", "q_span_corruption", "q_length_buckets",
-    "q_table_fingerprint", "q_stream_funnel")
+    "q_table_fingerprint", "q_stream_funnel",
+    "q_minhash_calibration", "q_kendall", "q_percolate")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -199,6 +199,60 @@ object Dedup {
         (col("i").cast("double") /
           (col("na") + col("nb") - col("i")).cast("double")).as("jaccard"))
 
+  /** MinHash estimator-quality audit: for every exact-Jaccard pair at
+    * or above `minExactPpm`, the md5-lattice MinHash estimate beside
+    * the exact value — the calibration table that answers "are 16
+    * hashes enough at my threshold?" with measurements instead of
+    * the 1/√k folklore bound, BEFORE committing a 100-TB dedup run
+    * to a signature width. (The production signatures use xxhash64
+    * ([[minhashBuckets]]); the estimator's algebra is hash-agnostic,
+    * and the md5 lattice is the engine's replayable-draw convention,
+    * so the whole audit is oracle-checkable.)
+    *
+    * Everything is integer: exact_ppm = ⌊i·10⁶/union⌋ from the
+    * inverted-index counts, est_ppm = ⌊matches·10⁶/numHashes⌋ from
+    * per-seed signature agreement, err_ppm = |est − exact|. Scale
+    * shape: the signature table is docs×numHashes rows (one
+    * map-side-combined min per (doc, seed)); the agreement join runs
+    * over the ALREADY-BOUNDED exact pair list, never doc×doc.
+    */
+  def minhashCalibration(
+      shingles: DataFrame, numHashes: Int, minExactPpm: Long): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 512, s"numHashes: $numHashes")
+    require(minExactPpm >= 0 && minExactPpm <= 1000000L,
+      s"minExactPpm: $minExactPpm")
+    val sh = shingles.localCheckpoint(true)
+    val sizes = sizesOf(sh)
+    val exact = pairCounts(sh)
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n", "na"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("exact_ppm",
+        expr("(i * CAST(1000000 AS BIGINT)) div (na + nb - i)"))
+      .filter(col("exact_ppm") >= minExactPpm)
+      .select(col("id_a"), col("id_b"), col("exact_ppm"))
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    val hs = sh
+      .select(col("id"), posexplode(transform(seeds, s =>
+        conv(substring(md5(concat(s.cast("string"), lit(":"),
+          col("shingle"))), 1, 15), 16, 10).cast("long"))))
+      .withColumnRenamed("pos", "seed").withColumnRenamed("col", "h")
+      .groupBy(col("id"), col("seed")).agg(min(col("h")).as("h"))
+    exact
+      .join(hs.select(col("id").as("id_a"), col("seed"),
+        col("h").as("ha")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("seed"),
+        col("h").as("hb")), Seq("id_b", "seed"))
+      .groupBy(col("id_a"), col("id_b"), col("exact_ppm"))
+      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L))
+        .as("matches"))
+      .select(col("id_a"), col("id_b"), col("exact_ppm"),
+        expr(s"(matches * CAST(1000000 AS BIGINT)) div $numHashes")
+          .as("est_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+  }
+
   /** MinHash signatures from a shingle-set DataFrame.
     *
     * Formulation matters here: (id, shingle) explodes to narrow

@@ -70,4 +70,83 @@ object RankCorrelation {
       .select(col(groupCol), col("n"),
         round(cov / sqrt(varx * vary), 6).as("rho"))
   }
+
+  /** Kendall's τ-b per group — [[spearman]]'s sibling with the
+    * pair-concordance interpretation auditors actually want ("in
+    * what fraction of pairs do the two metrics agree on direction"),
+    * and the tie-corrected denominator (Kendall 1945):
+    *
+    *   τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂))
+    *
+    * with n₀ = n(n−1)/2, n₁/n₂ = Σ tᵢ(tᵢ−1)/2 over x-/y-tie blocks.
+    * C, D, and all three tie terms are exact BIGINT counts; float
+    * appears only in the final sqrt/divide (one written sequence,
+    * oracle-mirrored).
+    *
+    * Scale: C and D come from an in-group pair self-join — O(nᵍ²)
+    * per group BY DEFINITION (every exact Kendall is), so the
+    * operator REQUIRES bounded strata: it asserts no group exceeds
+    * `maxGroupRows` (two group-sized counts, checked before the
+    * join is even planned) and refuses otherwise — sample a stratum
+    * upstream ([[Sampling]]) rather than letting a 10⁹-row group
+    * plan a 10¹⁸-pair join. Ties contribute to neither C nor D.
+    */
+  def kendallTauB(
+      df: DataFrame, groupCol: String,
+      xCol: String, yCol: String, maxGroupRows: Long = 100000L): DataFrame = {
+    require(maxGroupRows >= 2, s"maxGroupRows: $maxGroupRows")
+    Reserved.check("input" -> df)
+    Seq(xCol, yCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"kendallTauB: column '$c' is $dt; fractional inputs need an " +
+            "explicit integer lattice first (the GroupedOls.fit policy)")
+      }
+    }
+    val rows = df.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .localCheckpoint(true)
+    val oversized = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxGroupRows)
+      .limit(1).collect()
+    require(oversized.isEmpty,
+      s"kendallTauB: group '${oversized.headOption.map(_.get(0))}' " +
+        s"exceeds maxGroupRows=$maxGroupRows — exact Kendall is " +
+        "O(n^2) per group; sample the stratum upstream")
+
+    val a = rows.select(col("__g"), col("__x").as("__xa"),
+      col("__y").as("__ya"))
+    val b = rows.select(col("__g"), col("__x").as("__xb"),
+      col("__y").as("__yb"))
+    // each unordered pair appears twice in the full self-join; C and
+    // D halve at the end (exact: both counts are even)
+    val pairs = a.join(b, "__g")
+      .groupBy(col("__g"))
+      .agg(expr("sum(case when (__xa - __xb) * (__ya - __yb) > 0 " +
+        "then 1 else 0 end) div 2").as("concordant"),
+        expr("sum(case when (__xa - __xb) * (__ya - __yb) < 0 " +
+          "then 1 else 0 end) div 2").as("discordant"))
+    def tieTerm(c: String) = rows.groupBy(col("__g"), col(c))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(expr("sum(__t * (__t - 1)) div 2").as(s"__tie$c"))
+    val stats = rows.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+      .join(pairs, "__g")
+      .join(tieTerm("__x"), "__g")
+      .join(tieTerm("__y"), "__g")
+    val n0 = expr("(n * (n - 1)) div 2")
+    val den = sqrt((n0 - col("__tie__x")).cast("double") *
+      (n0 - col("__tie__y")).cast("double"))
+    stats
+      .filter(col("n") >= 2 && n0 > col("__tie__x") && n0 > col("__tie__y"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("concordant"), col("discordant"),
+        round((col("concordant") - col("discordant")).cast("double") / den,
+          6).as("tau_b"))
+  }
 }

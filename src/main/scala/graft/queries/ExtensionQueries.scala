@@ -5909,6 +5909,150 @@ object ExtensionQueries {
                     % 2305843009213693952 AS BIGINT) AS sum_sig
         FROM h GROUP BY 1
         ORDER BY source
+      """)),
+
+    // MinHash estimator calibration: every exact-Jaccard pair at
+    // >= 0.5 with its 16-hash md5-lattice estimate beside it — the
+    // "are 16 hashes enough at my threshold" audit, measured instead
+    // of folklore-bounded (Dedup.minhashCalibration scaladoc). The
+    // oracle replays shingles, signatures, and both ppm lattices.
+    QueryDef(
+      "q_minhash_calibration",
+      (s, dir) =>
+        Dedup.minhashCalibration(
+            Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3),
+            numHashes = 16, minExactPpm = 500000L)
+          .orderBy(col("id_a"), col("id_b")),
+      Some(s"""
+        WITH ${shingleCtes(3, "documents")},
+        sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+          FROM grams a JOIN grams b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT id_a, id_b,
+                 CAST((i * 1000000) // (sa.n + sb.n - i) AS BIGINT)
+                   AS exact_ppm
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE (i * 1000000) // (sa.n + sb.n - i) >= 500000),
+        seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        hs AS (
+          SELECT g.doc_id, s.seed,
+                 min(CAST(concat('0x', substr(md5(
+                     s.seed || ':' || g.shingle), 1, 15)) AS BIGINT)) AS h
+          FROM grams g CROSS JOIN seeds s
+          GROUP BY 1, 2),
+        est AS (
+          SELECT e.id_a, e.id_b, e.exact_ppm,
+                 CAST(SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END)
+                   AS BIGINT) AS matches
+          FROM exact e
+          JOIN hs ha ON ha.doc_id = e.id_a
+          JOIN hs hb ON hb.doc_id = e.id_b AND hb.seed = ha.seed
+          GROUP BY 1, 2, 3)
+        SELECT id_a, id_b, exact_ppm,
+               CAST((matches * 1000000) // 16 AS BIGINT) AS est_ppm,
+               CAST(abs((matches * 1000000) // 16 - exact_ppm) AS BIGINT)
+                 AS err_ppm
+        FROM est
+        ORDER BY id_a, id_b
+      """)),
+
+    // Kendall's tau-b per nation: account balance (cents lattice) vs
+    // order count — the pair-concordance twin of q_spearman, exact
+    // C/D/tie counts with the operator refusing unbounded strata
+    // (RankCorrelation.kendallTauB scaladoc).
+    QueryDef(
+      "q_kendall",
+      (s, dir) => {
+        val oc = Tables.orders(s, dir)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        val pts = Tables.customer(s, dir)
+          .join(oc, col("o_custkey") === col("c_custkey"), "left")
+          .select(col("c_nationkey"),
+            (col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        RankCorrelation.kendallTauB(pts, "c_nationkey",
+            "bal_cents", "n_orders")
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""
+        WITH oc AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        pts AS (
+          SELECT c_nationkey AS g, CAST(c_acctbal * 100 AS BIGINT) AS x,
+                 COALESCE(n_orders, 0) AS y
+          FROM customer LEFT JOIN oc ON o_custkey = c_custkey),
+        cd AS (
+          SELECT a.g,
+                 CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                          THEN 1 ELSE 0 END) // 2 AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                          THEN 1 ELSE 0 END) // 2 AS BIGINT) AS d
+          FROM pts a JOIN pts b USING (g)
+          GROUP BY 1),
+        tx AS (SELECT g, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS tiex
+               FROM (SELECT g, x, count(*) AS t FROM pts GROUP BY 1, 2)
+               GROUP BY 1),
+        ty AS (SELECT g, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS tiey
+               FROM (SELECT g, y, count(*) AS t FROM pts GROUP BY 1, 2)
+               GROUP BY 1),
+        nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1)
+        SELECT nn.g AS c_nationkey, nn.n, cd.c AS concordant,
+               cd.d AS discordant,
+               ROUND(CAST(cd.c - cd.d AS DOUBLE)
+                     / sqrt(CAST((nn.n * (nn.n - 1)) // 2 - tx.tiex
+                                 AS DOUBLE)
+                            * CAST((nn.n * (nn.n - 1)) // 2 - ty.tiey
+                                   AS DOUBLE)), 6) AS tau_b
+        FROM nn JOIN cd USING (g) JOIN tx USING (g) JOIN ty USING (g)
+        WHERE nn.n >= 2
+          AND (nn.n * (nn.n - 1)) // 2 > tx.tiex
+          AND (nn.n * (nn.n - 1)) // 2 > ty.tiey
+        ORDER BY c_nationkey
+      """)),
+
+    // Reverse search (percolation): stored queries = each %97 doc's
+    // first-3-token conjunction; the incoming batch (doc_id%5=4) is
+    // indexed ONCE and routed to every stored query whose terms it
+    // fully contains — exact by construction, no verify pass
+    // (Percolator scaladoc).
+    QueryDef(
+      "q_percolate",
+      (s, dir) => {
+        val docs = docTokens(s, dir)
+        graft.operators.Percolator.percolate(
+            docs.filter(pmod(col("doc_id"), lit(5L)) === 4),
+            "doc_id", "tokens",
+            docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+              .select(col("doc_id").as("query_id"),
+                explode(slice(col("tokens"), 1, 3)).as("term")),
+            "query_id", "term")
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT DISTINCT doc_id AS query_id, term
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos
+                FROM documents WHERE doc_id % 97 = 0) t
+          WHERE pos <= 3),
+        need AS (SELECT query_id, count(*) AS need FROM q GROUP BY 1),
+        p AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                       AS term
+              FROM documents WHERE doc_id % 5 = 4),
+        m AS (SELECT q.query_id, p.doc_id, count(*) AS got
+              FROM q JOIN p USING (term) GROUP BY 1, 2)
+        SELECT m.query_id, m.doc_id
+        FROM m JOIN need USING (query_id)
+        WHERE got = need
+        ORDER BY query_id, doc_id
       """))
   )
 

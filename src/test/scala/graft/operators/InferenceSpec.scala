@@ -62,4 +62,41 @@ class InferenceSpec extends SparkSuite {
       .toDF("grp", "x", "y")
     assert(RankCorrelation.spearman(const, "grp", "x", "y").count() === 0)
   }
+
+  test("Kendall tau-b: ±1 on monotone data, hand-computed tie case") {
+    val mono = Seq(("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("dn", 1L, 9L), ("dn", 2L, 5L), ("dn", 3L, 1L))
+      .toDF("grp", "x", "y")
+    val out = RankCorrelation.kendallTauB(mono, "grp", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(out("up") === 1.0 && out("dn") === -1.0)
+    // x=(1,2,2,3), y=(4,3,2,1): the x-tied pair (2,3)-(2,2) counts
+    // for neither side; every other pair is discordant → C=0, D=5,
+    // tiex=1, tiey=0, tau_b = -5/sqrt((6-1)(6-0)) = -5/sqrt(30)
+    val tied = Seq(("t", 1L, 4L), ("t", 2L, 3L), ("t", 2L, 2L),
+      ("t", 3L, 1L)).toDF("grp", "x", "y")
+    val r = RankCorrelation.kendallTauB(tied, "grp", "x", "y")
+      .collect().head
+    assert((r.getLong(2), r.getLong(3)) === ((0L, 5L)))
+    assert(r.getDouble(4) ===
+      BigDecimal(-5.0 / math.sqrt(30.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("Kendall refuses unbounded strata; all-tied groups drop; " +
+      "fractional input rejected") {
+    val df = (1L to 20L).map(i => ("g", i, i * 2)).toDF("grp", "x", "y")
+    val e = intercept[IllegalArgumentException] {
+      RankCorrelation.kendallTauB(df, "grp", "x", "y",
+        maxGroupRows = 10L)
+    }
+    assert(e.getMessage.contains("O(n^2)"))
+    val allTied = Seq(("a", 1L, 5L), ("a", 1L, 6L)).toDF("grp", "x", "y")
+    assert(RankCorrelation.kendallTauB(allTied, "grp", "x", "y")
+      .count() === 0)
+    val frac = Seq(("f", 1.5, 2.0)).toDF("grp", "x", "y")
+    intercept[IllegalArgumentException] {
+      RankCorrelation.kendallTauB(frac, "grp", "x", "y")
+    }
+  }
 }
