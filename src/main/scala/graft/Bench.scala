@@ -119,7 +119,8 @@ object Bench {
     "q_bfs_hops", "q_trigram_search", "q_sax",
     "q_bpe_merge", "q_span_corruption", "q_length_buckets",
     "q_table_fingerprint", "q_stream_funnel",
-    "q_minhash_calibration", "q_kendall", "q_percolate")
+    "q_minhash_calibration", "q_kendall", "q_percolate",
+    "q_holt_winters", "q_stream_holt_winters", "q_rbo")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

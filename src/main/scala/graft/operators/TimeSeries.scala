@@ -92,6 +92,61 @@ object TimeSeries {
         round(col("__fit.l") + col("__fit.b"), 6).as("forecast")): _*)
   }
 
+  /** (keyCols..., n, level, trend, s0..s3, forecast): additive
+    * Holt-Winters with period 4 and α = β = γ = 1/2 — [[holtHalf]]
+    * plus a seasonal component, the triple-exponential smoother for
+    * series with a short repeating cycle (Winters 1960). Recurrence
+    * per key in `(orderCols)` order, obs t using seasonal slot
+    * (t−1) mod 4, initialized l₁ = x₁, b₁ = 0, s ≡ 0:
+    *
+    *   l' = 0.5·(x − s_slot) + 0.5·(l + b)
+    *   b' = 0.5·(l' − l) + 0.5·b
+    *   s_slot' = 0.5·(x − l') + 0.5·s_slot
+    *
+    * The zero-init seasonal state means early observations load the
+    * trend before the slots differentiate — the standard trade-off
+    * for an init that needs no first-cycle averaging pass (and the
+    * one that keeps the fold a pure per-row recurrence). All steps
+    * are IEEE adds and exact halvings in ONE defined order (the
+    * [[holtHalf]] discipline — a recursive CTE replays them
+    * bit-for-bit); forecast = l + b + s_{n mod 4}; 6-dp edge.
+    */
+  def holtWintersHalf(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty && orderCols.nonEmpty, "keys/order required")
+    Reserved.check("holtWintersHalf" -> df)
+    val sortStruct = struct(
+      (orderCols.map(col) :+ col(valueCol).as("__v")): _*)
+    val lNew = "0.5D * (x.__v - element_at(a.s, (a.i % 4) + 1)) " +
+      "+ 0.5D * (a.l + a.b)"
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(sortStruct)).as("__hist"))
+      .withColumn("__fit", expr(
+        "aggregate(slice(__hist, 2, size(__hist) - 1), " +
+          "named_struct('l', __hist[0].__v, 'b', 0.0D, " +
+          "'s', array(0.0D, 0.0D, 0.0D, 0.0D), 'i', 1), " +
+          s"(a, x) -> named_struct(" +
+          s"'l', $lNew, " +
+          s"'b', 0.5D * (($lNew) - a.l) + 0.5D * a.b, " +
+          s"'s', transform(a.s, (sv, j) -> IF(j = a.i % 4, " +
+          s"0.5D * (x.__v - ($lNew)) + 0.5D * sv, sv)), " +
+          "'i', a.i + 1))"))
+      .select((keyCols.map(col) :+ col("n") :+
+        round(col("__fit.l"), 6).as("level") :+
+        round(col("__fit.b"), 6).as("trend") :+
+        round(element_at(col("__fit.s"), 1), 6).as("s0") :+
+        round(element_at(col("__fit.s"), 2), 6).as("s1") :+
+        round(element_at(col("__fit.s"), 3), 6).as("s2") :+
+        round(element_at(col("__fit.s"), 4), 6).as("s3") :+
+        round(col("__fit.l") + col("__fit.b") +
+          element_at(col("__fit.s"), pmod(col("n"), lit(4)).cast("int") + 1),
+          6).as("forecast")): _*)
+  }
+
   /** Per-key windowed count-anomaly detection: flag hourly buckets
     * whose count sits more than `z` standard deviations from the
     * key's own mean — the ingestion-monitoring alarm ("this source's

@@ -1042,6 +1042,26 @@ object EventQueries {
         ORDER BY r.user_id
       """)),
 
+    // Additive Holt-Winters (period 4, α=β=γ=1/2) per user: level +
+    // trend + four seasonal slots + the seasonal one-step forecast —
+    // the triple-exponential rung above q_holt, same exact-halving
+    // fold discipline (TimeSeries.holtWintersHalf scaladoc). The
+    // oracle replays the recurrence row-by-row through a recursive
+    // CTE carrying the four slots as columns. The shared s_slot and
+    // l' subexpressions are INLINED at every use — a lateral alias
+    // would silently resolve to the recursive table's same-named
+    // column (previous row's value), a DuckDB name-resolution trap
+    // this query hit in development; identical expressions produce
+    // identical IEEE bits, so inlining preserves the replay.
+    QueryDef(
+      "q_holt_winters",
+      (s, dir) =>
+        graft.operators.TimeSeries.holtWintersHalf(
+            Tables.events(s, dir), keyCols = Seq("user_id"),
+            orderCols = Seq("ts", "event_id"), valueCol = "value")
+          .orderBy(col("user_id")),
+      Some(holtWintersOracle)),
+
     // Streaming twin of q_ewma: the α=1/2 recurrence as O(1)
     // mapGroupsWithState per user (one running average in state where
     // the batch operator collects the history); shares q_ewma's
@@ -1094,6 +1114,18 @@ object EventQueries {
           ON r.user_id = l2.user_id AND r.i = l2.n
         ORDER BY r.user_id
       """)),
+
+    // Streaming twin of q_holt_winters: level/trend + four seasonal
+    // slots as O(1) mapGroupsWithState per user; the JVM fold
+    // replays the batch expressions' exact IEEE op sequence, so it
+    // shares q_holt_winters' recursive-CTE oracle bit-for-bit
+    // (StreamingOps.holtWintersState scaladoc).
+    QueryDef(
+      "q_stream_holt_winters",
+      (s, dir) =>
+        StreamingOps.holtWintersHistory(s, s"$dir/events.parquet")
+          .orderBy(col("user_id")),
+      Some(holtWintersOracle)),
 
     // Mann-Whitney rank-sum per event type: does the odd-user
     // cohort's value distribution sit higher or lower? Ranks under
@@ -1920,4 +1952,58 @@ object EventQueries {
         GROUP BY stage ORDER BY stage
       """))
   )
+
+  /** The Holt-Winters recursive-CTE replay shared by q_holt_winters
+    * and its streaming twin. The s_slot and l' subexpressions are
+    * INLINED at every use — a lateral alias would silently resolve
+    * to the recursive table's same-named column (the previous row's
+    * value), a DuckDB name-resolution trap this oracle hit in
+    * development; identical expressions produce identical IEEE bits,
+    * so inlining preserves the bit-exact replay.
+    */
+  private lazy val holtWintersOracle: String = {
+    val sold = "CASE (o.i - 1) % 4 WHEN 0 THEN r.s1 WHEN 1 THEN " +
+      "r.s2 WHEN 2 THEN r.s3 ELSE r.s4 END"
+    val lp = s"0.5 * (o.value - ($sold)) + 0.5 * (r.l + r.b)"
+    val snew = s"0.5 * (o.value - ($lp)) + 0.5 * ($sold)"
+    s"""
+        WITH RECURSIVE ordered AS (
+          SELECT user_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS i
+          FROM events),
+        rec AS (
+          SELECT user_id, i,
+                 value AS l, CAST(0.0 AS DOUBLE) AS b,
+                 CAST(0.0 AS DOUBLE) AS s1, CAST(0.0 AS DOUBLE) AS s2,
+                 CAST(0.0 AS DOUBLE) AS s3, CAST(0.0 AS DOUBLE) AS s4
+          FROM ordered WHERE i = 1
+          UNION ALL
+          SELECT o.user_id, o.i,
+                 $lp AS l,
+                 0.5 * (($lp) - r.l) + 0.5 * r.b AS b,
+                 CASE WHEN (o.i - 1) % 4 = 0 THEN $snew
+                      ELSE r.s1 END AS s1,
+                 CASE WHEN (o.i - 1) % 4 = 1 THEN $snew
+                      ELSE r.s2 END AS s2,
+                 CASE WHEN (o.i - 1) % 4 = 2 THEN $snew
+                      ELSE r.s3 END AS s3,
+                 CASE WHEN (o.i - 1) % 4 = 3 THEN $snew
+                      ELSE r.s4 END AS s4
+          FROM rec r JOIN ordered o
+            ON o.user_id = r.user_id AND o.i = r.i + 1),
+        last AS (
+          SELECT user_id, max(i) AS n FROM rec GROUP BY 1)
+        SELECT r.user_id, CAST(l2.n AS BIGINT) AS n,
+               ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+               ROUND(r.s1, 6) AS s0, ROUND(r.s2, 6) AS s1,
+               ROUND(r.s3, 6) AS s2, ROUND(r.s4, 6) AS s3,
+               ROUND(r.l + r.b +
+                 CASE l2.n % 4 WHEN 0 THEN r.s1 WHEN 1 THEN r.s2
+                      WHEN 2 THEN r.s3 ELSE r.s4 END, 6) AS forecast
+        FROM rec r JOIN last l2
+          ON r.user_id = l2.user_id AND r.i = l2.n
+        ORDER BY r.user_id
+      """
+  }
 }

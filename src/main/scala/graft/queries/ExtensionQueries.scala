@@ -6053,7 +6053,59 @@ object ExtensionQueries {
         FROM m JOIN need USING (query_id)
         WHERE got = need
         ORDER BY query_id, doc_id
-      """))
+      """)),
+
+    // Ranking-agreement eval: truncated RBO@10 (p=1/2) between the
+    // BM25 and query-likelihood rankers per query — "do the two
+    // retrieval stacks agree on the head", top-weighted. Per-match
+    // weights are shared 9-dp DECIMAL constants (RankFusion
+    // .rboWeights), so neither engine computes a power or division
+    // at query time and the sum is exact DECIMAL addition.
+    QueryDef(
+      "q_rbo",
+      (s, dir) => {
+        import graft.operators.{Bm25, QueryLikelihood, RankFusion}
+        val docs = docTokens(s, dir)
+        val index = Bm25.postings(docs, "doc_id", "tokens")
+        val qt = retrievalQueryTerms(docs)
+        val bm = Bm25.scoreTopK(
+          index, Bm25.totals(docs, "doc_id", "tokens"), qt, k = 10)
+        val ql = QueryLikelihood.scoreTopK(index, qt, k = 10)
+        RankFusion.rankBiasedOverlap(
+            bm.select(col("query_id"), col("doc_id"), col("rank")),
+            ql.select(col("query_id"), col("doc_id"), col("rank")),
+            k = 10)
+          .orderBy(col("query_id"))
+      },
+      Some {
+        val wts = graft.operators.RankFusion.rboWeights(10)
+          .map { case (m, w) =>
+            s"($m, CAST($w AS DECIMAL(18,9)))"
+          }.mkString(", ")
+        s"""
+        WITH $retrievalCtes,
+        $bm25ScoredCtes,
+        $qlScoredCtes,
+        wts(m, w) AS (VALUES $wts),
+        aa AS (SELECT query_id, doc_id, rank
+               FROM bm25_ranked WHERE rank <= 10),
+        bb AS (SELECT query_id, doc_id, rank
+               FROM ql_ranked WHERE rank <= 10),
+        mt AS (
+          SELECT aa.query_id, count(*) AS n_overlap,
+                 SUM(CAST(w AS DECIMAL(38,12))) AS s
+          FROM aa JOIN bb USING (query_id, doc_id)
+          JOIN wts ON wts.m = greatest(aa.rank, bb.rank)
+          GROUP BY 1),
+        qs AS (SELECT query_id FROM aa
+               UNION SELECT query_id FROM bb)
+        SELECT qs.query_id,
+               CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+               ROUND(COALESCE(CAST(s AS DOUBLE), 0.0), 6) AS rbo
+        FROM qs LEFT JOIN mt USING (query_id)
+        ORDER BY query_id
+      """
+      })
   )
 
   /** Shared NB oracle: the training half of the chain (no WITH

@@ -59,6 +59,13 @@ case class EwmaRow(key: Long, n: Long, ewma: Double)
 /** Running Holt level/trend state for [[StreamingOps.holtState]]. */
 case class HoltRow(key: Long, n: Long, l: Double, b: Double)
 
+/** Running Holt-Winters state for [[StreamingOps.holtWintersState]]:
+  * level, trend, and the four period-4 seasonal slots.
+  */
+case class HwRow(
+    key: Long, n: Long, l: Double, b: Double,
+    s0: Double, s1: Double, s2: Double, s3: Double)
+
 /** Per-user funnel state for [[StreamingOps.funnelState]]: earliest
   * µs of each stage event seen so far (0 = not yet seen — event
   * times are epoch-positive), plus the monotone event count used to
@@ -474,6 +481,83 @@ object StreamingOps {
       .select(col("key").as("user_id"), col("n"),
         round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
         round(col("l") + col("b"), 6).as("forecast"))
+  }
+
+  /** Streaming Holt-Winters (period 4, α=β=γ=1/2): the
+    * `TimeSeries.holtWintersHalf` recurrence as O(1)
+    * mapGroupsWithState — level, trend, and FOUR seasonal doubles of
+    * state per key where the batch operator collects the history.
+    * The JVM fold applies the batch Catalyst expressions' exact IEEE
+    * op sequences, so the stream shares the batch oracle
+    * bit-for-bit; same cross-batch order caveat as the other
+    * recurrence twins.
+    */
+  def holtWintersState(stream: Dataset[Meas]): Dataset[HwRow] = {
+    import stream.sparkSession.implicits._
+    def update(key: Long, rows: Iterator[Meas],
+        state: GroupState[HwRow]): HwRow = {
+      var cur = state.getOption.getOrElse(
+        HwRow(key, 0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+      rows.toSeq.sortBy(m => (m.us, m.tie)).foreach { m =>
+        cur =
+          if (cur.n == 0L)
+            HwRow(key, 1L, m.v, 0.0, 0.0, 0.0, 0.0, 0.0)
+          else {
+            val slot = (cur.n % 4L).toInt
+            val sOld = slot match {
+              case 0 => cur.s0
+              case 1 => cur.s1
+              case 2 => cur.s2
+              case _ => cur.s3
+            }
+            val lp = 0.5 * (m.v - sOld) + 0.5 * (cur.l + cur.b)
+            val bp = 0.5 * (lp - cur.l) + 0.5 * cur.b
+            val sNew = 0.5 * (m.v - lp) + 0.5 * sOld
+            HwRow(key, cur.n + 1L, lp, bp,
+              if (slot == 0) sNew else cur.s0,
+              if (slot == 1) sNew else cur.s1,
+              if (slot == 2) sNew else cur.s2,
+              if (slot == 3) sNew else cur.s3)
+          }
+      }
+      state.update(cur)
+      cur
+    }
+    stream.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[holtWintersState]] over the events parquet; output shape and
+    * rounding match the batch `q_holt_winters` (memory sink, update
+    * mode, last state per key by the monotone n).
+    */
+  def holtWintersHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
+        col("event_id").as("tie"), col("value").as("v")).as[Meas]
+    val out = holtWintersState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n").desc)
+    spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("key").as("user_id"), col("n"),
+        round(col("l"), 6).as("level"), round(col("b"), 6).as("trend"),
+        round(col("s0"), 6).as("s0"), round(col("s1"), 6).as("s1"),
+        round(col("s2"), 6).as("s2"), round(col("s3"), 6).as("s3"),
+        round(col("l") + col("b") +
+          when(pmod(col("n"), lit(4L)) === 0, col("s0"))
+            .when(pmod(col("n"), lit(4L)) === 1, col("s1"))
+            .when(pmod(col("n"), lit(4L)) === 2, col("s2"))
+            .otherwise(col("s3")), 6).as("forecast"))
   }
 
   /** Streaming funnel state: earliest signup/view/click/purchase

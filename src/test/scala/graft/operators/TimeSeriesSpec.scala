@@ -70,6 +70,40 @@ class TimeSeriesSpec extends SparkSuite {
       s"forecast $forecast should be near $next")
   }
 
+  test("holtWintersHalf learns a pure period-4 cycle: the seasonal " +
+      "forecast beats Holt's trend-only one") {
+    // y cycles 10,20,30,40 — zero trend, pure seasonality
+    val cyc = (0 until 40).map(i => (1L, i.toLong, 1L,
+      10.0 * (i % 4) + 10.0))
+    val df = cyc.toDF("k", "t", "tie", "v")
+    val hw = TimeSeries.holtWintersHalf(df, Seq("k"), Seq("t", "tie"), "v")
+      .collect().head
+    // next obs (t=40) is slot 0 → value 10
+    val hwErr = math.abs(hw.getDouble(8) - 10.0)
+    val holt = TimeSeries.holtHalf(df, Seq("k"), Seq("t", "tie"), "v")
+      .collect().head
+    val holtErr = math.abs(holt.getDouble(4) - 10.0)
+    assert(hwErr < 2.0, s"seasonal forecast off by $hwErr")
+    assert(hwErr < holtErr,
+      s"HW err $hwErr should beat Holt err $holtErr on a cycle")
+    // slots ordered like the cycle: s0 < s1 < s2 < s3
+    val slots = (4 to 7).map(hw.getDouble)
+    assert(slots === slots.sorted, s"slots $slots")
+  }
+
+  test("holtWintersHalf first-obs init matches holtHalf on a " +
+      "2-point series (seasonals still zero)") {
+    val df = Seq((1L, 1L, 1L, 8.0), (1L, 2L, 2L, 12.0))
+      .toDF("k", "t", "tie", "v")
+    val hw = TimeSeries.holtWintersHalf(df, Seq("k"), Seq("t", "tie"), "v")
+      .collect().head
+    // l2 = .5·12 + .5·8 = 10, b2 = .5·2 = 1, s-slot1 = .5·(12−10) = 1
+    assert(hw.getDouble(2) === 10.0 && hw.getDouble(3) === 1.0)
+    assert(hw.getDouble(4) === 0.0 && hw.getDouble(5) === 1.0)
+    // forecast t=3 → slot 2, still 0: l + b + 0 = 11
+    assert(hw.getDouble(8) === 11.0)
+  }
+
   test("saxWords: hand-checked chunk sums and letter assignment") {
     // 8 observed hours with counts [1,1,5,5,9,9,2,2] → 4 chunks of 2
     // hours: sums [2,10,18,4] → equal-frequency letters a,c,d,b
