@@ -120,7 +120,8 @@ object Bench {
     "q_bpe_merge", "q_span_corruption", "q_length_buckets",
     "q_table_fingerprint", "q_stream_funnel",
     "q_minhash_calibration", "q_kendall", "q_percolate",
-    "q_holt_winters", "q_stream_holt_winters", "q_rbo")
+    "q_holt_winters", "q_stream_holt_winters", "q_rbo",
+    "q_stream_fingerprint", "q_stream_percolate", "q_unicode_normalize")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

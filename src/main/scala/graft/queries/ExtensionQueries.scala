@@ -6105,8 +6105,115 @@ object ExtensionQueries {
         FROM qs LEFT JOIN mt USING (query_id)
         ORDER BY query_id
       """
-      })
+      }),
+
+    // Streaming twin of q_table_fingerprint: the XOR/SUM combiners
+    // ARE legal incremental stream-aggregation state (commutative,
+    // associative), so complete-mode output is always the fingerprint
+    // of everything ingested — continuous replica comparison instead
+    // of a nightly batch (StreamingOps.fingerprintStream scaladoc).
+    // Shares the batch oracle.
+    QueryDef(
+      "q_stream_fingerprint",
+      (s, dir) =>
+        graft.streaming.StreamingOps.fingerprintStream(
+            s, s"$dir/documents.parquet", "source",
+            Seq("doc_id", "text", "lang", "n_chars"))
+          .orderBy(col("source")),
+      Some("""
+        WITH h AS (
+          SELECT source,
+                 CAST(concat('0x', substr(md5(
+                     doc_id || chr(1) || text || chr(1) || lang
+                       || chr(1) || n_chars), 1, 15))
+                   AS BIGINT) AS h
+          FROM documents)
+        SELECT source, COUNT(*) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+               CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
+                    % 2305843009213693952 AS BIGINT) AS sum_sig
+        FROM h GROUP BY 1
+        ORDER BY source
+      """)),
+
+    // Streaming twin of q_percolate: per-micro-batch stateless
+    // routing of incoming docs to the static stored-query set —
+    // percolation needs no streaming state at all (a doc matches on
+    // its own content), so the append-mode result over a bounded
+    // stream equals the batch answer and shares its oracle.
+    QueryDef(
+      "q_stream_percolate",
+      (s, dir) => {
+        val docs = docTokens(s, dir)
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_stream_perc").toString
+        graft.streaming.StreamingOps.percolateStream(
+            s, s"$dir/documents.parquet",
+            docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+              .select(col("doc_id").as("query_id"),
+                explode(slice(col("tokens"), 1, 3)).as("term")),
+            "query_id", "term", out)
+          .filter(pmod(col("doc_id"), lit(5L)) === 4)
+          .orderBy(col("query_id"), col("doc_id"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT DISTINCT doc_id AS query_id, term
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS pos
+                FROM documents WHERE doc_id % 97 = 0) t
+          WHERE pos <= 3),
+        need AS (SELECT query_id, count(*) AS need FROM q GROUP BY 1),
+        p AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+                       AS term
+              FROM documents WHERE doc_id % 5 = 4),
+        m AS (SELECT q.query_id, p.doc_id, count(*) AS got
+              FROM q JOIN p USING (term) GROUP BY 1, 2)
+        SELECT m.query_id, m.doc_id
+        FROM m JOIN need USING (query_id)
+        WHERE got = need
+        ORDER BY query_id, doc_id
+      """)),
+
+    // Unicode NFC canonicalization via the native codegen expression
+    // (NfcNormalize scaladoc) — the step that keeps "é"-precomposed
+    // and "e"+combining-accent from hashing as different documents.
+    // The synthetic corpus is pure ASCII (NFC normalization of it is
+    // a vacuous witness), so a decomposed suffix is appended to make
+    // the normalization OBSERVABLE: nfc_len = raw_len − 2 exactly
+    // when the two combining marks compose.
+    QueryDef(
+      "q_unicode_normalize",
+      (s, dir) => {
+        val suffixed = concat(col("text"), lit(decomposedSuffix))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            length(suffixed).as("raw_len"),
+            length(graft.functions.NfcNormalize(suffixed)).as("nfc_len"),
+            graft.functions.NfcNormalize(suffixed).as("normalized"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        SELECT doc_id,
+               CAST(length(text || '$decomposedSuffix') AS BIGINT)
+                 AS raw_len,
+               CAST(length(nfc_normalize(text || '$decomposedSuffix'))
+                 AS BIGINT) AS nfc_len,
+               nfc_normalize(text || '$decomposedSuffix') AS normalized
+        FROM documents
+        ORDER BY doc_id
+      """))
   )
+
+  /** DECOMPOSED "cafe\u0301 A\u030A" — e and A followed by combining
+    * marks (acute, ring), so NFC composition shortens the suffix by
+    * exactly 2 characters. Built from explicit escapes (a source-file
+    * literal would itself be precomposed and make the witness
+    * vacuous) and interpolated into BOTH the Spark literal and the
+    * oracle SQL so the engines see identical bytes.
+    */
+  private lazy val decomposedSuffix: String = " cafe\u0301 A\u030A"
 
   /** Shared NB oracle: the training half of the chain (no WITH
     * keyword) — model fit on docs with doc_id % 5 <> 0, label =

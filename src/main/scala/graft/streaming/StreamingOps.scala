@@ -753,6 +753,78 @@ object StreamingOps {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming per-group table fingerprints: the
+    * `DataQuality.tableFingerprint` combiners (COUNT, XOR, SUM mod
+    * 2⁶¹) as a live streaming aggregation — both combiners are
+    * commutative/associative, which is exactly what makes them legal
+    * incremental stream-aggregation states; complete-mode output is
+    * therefore ALWAYS the fingerprint of everything ingested so far,
+    * and a replica comparison can run continuously instead of as a
+    * nightly batch. Shares the batch oracle by construction.
+    */
+  def fingerprintStream(
+      spark: SparkSession,
+      path: String,
+      groupCol: String,
+      hashCols: Seq[String]): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val (dir, glob) = dirAndGlob(spark, path)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val d38 = DecimalType(38, 0)
+    val rowHash = conv(substring(md5(concat_ws("",
+      hashCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
+      .cast("long")
+    val agg = stream
+      .select(col(groupCol), rowHash.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_sig"),
+        pmod(sum(col("__h").cast(d38)),
+          lit(2305843009213693952L).cast(d38))
+          .cast("long").as("sum_sig"))
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming percolation: every micro-batch of incoming docs is
+    * routed to the (static, broadcastable) stored-query set via
+    * [[graft.operators.Percolator.percolate]] inside foreachBatch —
+    * percolation is stateless per batch (a doc matches on its own
+    * content alone), so no streaming state at all: the scale cost is
+    * the per-batch index build, and results append monotonically.
+    */
+  def percolateStream(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      termCol: String,
+      outDir: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    val (dir, glob) = dirAndGlob(spark, path)
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Percolator.percolate(
+            batch.select(col("doc_id"),
+              split(col("text"), " ", -1).as("tokens")),
+            "doc_id", "tokens", queries, queryIdCol, termCol)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming incremental NEAR-dup ingest — the production loop
     * whose kernel is [[graft.operators.Dedup.incrementalMinhashPairsFromStore]].
     * Per micro-batch (foreachBatch):
