@@ -121,7 +121,8 @@ object Bench {
     "q_table_fingerprint", "q_stream_funnel",
     "q_minhash_calibration", "q_kendall", "q_percolate",
     "q_holt_winters", "q_stream_holt_winters", "q_rbo",
-    "q_stream_fingerprint", "q_stream_percolate", "q_unicode_normalize")
+    "q_stream_fingerprint", "q_stream_percolate", "q_unicode_normalize",
+    "q_theil_sen", "q_conformal", "q_neyman_alloc")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

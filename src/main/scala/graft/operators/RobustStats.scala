@@ -61,4 +61,86 @@ object RobustStats {
         col("n_lo"), col("n_hi"),
         expr("__sum div n").as("wmean_micro"))
   }
+
+  /** Theil-Sen robust regression per group (Theil 1950; Sen 1968):
+    * slope = the MEDIAN of all pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ),
+    * intercept = the median of (y − slope·x) — up to ~29% of the
+    * points can be arbitrary outliers before the fit moves, where
+    * one bad row drags OLS ([[graft.operators.GroupedOls]])
+    * anywhere. Like every exact pairwise statistic
+    * ([[graft.operators.RankCorrelation.kendallTauB]]), the pair
+    * join is O(nᵍ²) BY DEFINITION, so the operator asserts no group
+    * exceeds `maxGroupRows` and refuses otherwise — sample the
+    * stratum upstream.
+    *
+    * Determinism: x/y ride the caller's integer lattice (validated);
+    * each pairwise slope is ONE correctly-rounded IEEE division of
+    * exact integers — bit-identical in any engine — and both
+    * medians are EXACT LOWER-MEDIAN SELECTION under a total order
+    * ((slope, idᵢ, idⱼ) and (residual, id)), rank (m+1) div 2: the
+    * q_step_latency convention, because engines disagree on even-n
+    * interpolation but never on element selection. 6-dp at the edge.
+    *
+    * Output: (group, n, n_pairs, slope, intercept). Groups need ≥ 2
+    * distinct x values (vertical-only pairs are excluded; a group
+    * with none has no slope in any engine).
+    */
+  def theilSen(
+      df: DataFrame, groupCol: String, idCol: String,
+      xCol: String, yCol: String, maxGroupRows: Long = 100000L)
+      : DataFrame = {
+    require(maxGroupRows >= 2, s"maxGroupRows: $maxGroupRows")
+    Reserved.check("input" -> df)
+    Seq(xCol, yCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"theilSen: column '$c' is $dt; fractional inputs need an " +
+            "explicit integer lattice first (the GroupedOls.fit policy)")
+      }
+    }
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .localCheckpoint(true)
+    val oversized = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxGroupRows)
+      .limit(1).collect()
+    require(oversized.isEmpty,
+      s"theilSen: group '${oversized.headOption.map(_.get(0))}' exceeds " +
+        s"maxGroupRows=$maxGroupRows — exact Theil-Sen is O(n^2) per " +
+        "group; sample the stratum upstream")
+
+    val a = rows.select(col("__g"), col("__id").as("__ia"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = rows.select(col("__g"), col("__id").as("__ib"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val slopes = a.join(b, "__g")
+      .filter(col("__ia") < col("__ib") && col("__xa") =!= col("__xb"))
+      .select(col("__g"), col("__ia"), col("__ib"),
+        ((col("__yb") - col("__ya")).cast("double") /
+          (col("__xb") - col("__xa")).cast("double")).as("__s"))
+    val wS = Window.partitionBy(col("__g"))
+      .orderBy(col("__s"), col("__ia"), col("__ib"))
+    val slopeMed = slopes
+      .withColumn("__rk", row_number().over(wS))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__rk") === expr("(__m + 1) div 2"))
+      .select(col("__g"), col("__m").as("n_pairs"), col("__s").as("__slope"))
+    val resid = rows.join(slopeMed, "__g")
+      .select(col("__g"), col("n_pairs"), col("__slope"), col("__id"),
+        (col("__y").cast("double") -
+          col("__slope") * col("__x").cast("double")).as("__r"))
+    val wR = Window.partitionBy(col("__g")).orderBy(col("__r"), col("__id"))
+    resid
+      .withColumn("__rk", row_number().over(wR))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__rk") === expr("(__n + 1) div 2"))
+      .select(col("__g").as(groupCol), col("__n").as("n"), col("n_pairs"),
+        round(col("__slope"), 6).as("slope"),
+        round(col("__r"), 6).as("intercept"))
+  }
 }

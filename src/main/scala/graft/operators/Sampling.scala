@@ -128,4 +128,59 @@ object Sampling {
       Window.partitionBy(col("epoch"), col("shard"))
         .orderBy(draw("@"), col(idCol))))
   }
+
+  /** Neyman-optimal stratified sample allocation (Neyman 1934): the
+    * per-stratum sample quota that minimizes estimator variance at a
+    * fixed budget is nₕ ∝ Nₕ·σₕ — big AND noisy strata get the
+    * samples; a uniform or proportional split wastes budget on
+    * homogeneous strata. The statistic a data pipeline uses to plan
+    * QA/eval label budgets over sources.
+    *
+    * Chain: per-stratum exact (n, Σx, Σx²) sufficient statistics →
+    * sd via one written IEEE sequence (sqrt is correctly rounded
+    * where log is not) → weight = round(n·σ·10⁶) on the micro
+    * lattice → [[Apportionment.largestRemainder]], so quotas are
+    * integers summing EXACTLY to `budget` and the whole allocation
+    * replays in any engine. Strata with n < 2 (sd undefined) or zero
+    * variance carry weight 0 — nothing to learn from sampling them
+    * beyond one row, which the caller can add back explicitly.
+    *
+    * One map-side-combined aggregation + the group-sized remainder
+    * rank — `valueCol` must be integral (the GroupedOls policy).
+    */
+  def neymanAllocation(
+      df: DataFrame, stratumCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget: $budget")
+    df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"neymanAllocation: column '$valueCol' is $dt; fractional " +
+          "inputs need an explicit integer lattice first")
+    }
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(valueCol).cast("long")
+    val stats = df
+      .select(col(stratumCol), x.as("__x"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
+        sum(col("__x").cast(d38) * col("__x").cast(d38)).as("__ss"))
+    val nD = col("n").cast("double")
+    val varD = (nD * col("__ss").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double")) /
+      (nD * (nD - lit(1.0)))
+    val weights = stats.select(col(stratumCol), col("n"),
+      when(col("n") >= 2,
+        round(nD * sqrt(varD) * lit(1e6)).cast("long"))
+        .otherwise(0L).as("weight_micro"))
+    Apportionment.largestRemainder(
+        weights.select(col(stratumCol), col("weight_micro")),
+        stratumCol, "weight_micro", budget)
+      .join(weights.select(col(stratumCol), col("n")), stratumCol)
+      .select(col(stratumCol), col("n"), col("weight_micro"),
+        col("quota"))
+  }
 }

@@ -6203,6 +6203,201 @@ object ExtensionQueries {
                nfc_normalize(text || '$decomposedSuffix') AS normalized
         FROM documents
         ORDER BY doc_id
+      """)),
+
+    // Theil-Sen robust slope per nation (balance cents vs order
+    // count) — the outlier-immune companion to q_group_regression's
+    // OLS, exact lower-median SELECTION of pairwise slopes and
+    // residuals under total orders (RobustStats.theilSen scaladoc;
+    // the same O(n^2)-pairs stratum guard as q_kendall).
+    QueryDef(
+      "q_theil_sen",
+      (s, dir) => {
+        val oc = Tables.orders(s, dir)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        val pts = Tables.customer(s, dir)
+          .join(oc, col("o_custkey") === col("c_custkey"), "left")
+          .select(col("c_nationkey"), col("c_custkey"),
+            (col("c_acctbal") * 100).cast("long").as("bal_cents"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        graft.operators.RobustStats.theilSen(pts, "c_nationkey",
+            "c_custkey", "bal_cents", "n_orders")
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""
+        WITH oc AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        pts AS (
+          SELECT c_nationkey AS g, c_custkey AS id,
+                 CAST(c_acctbal * 100 AS BIGINT) AS x,
+                 COALESCE(n_orders, 0) AS y
+          FROM customer LEFT JOIN oc ON o_custkey = c_custkey),
+        slopes AS (
+          SELECT a.g, a.id AS ia, b.id AS ib,
+                 CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                   AS s
+          FROM pts a JOIN pts b
+            ON a.g = b.g AND a.id < b.id AND a.x <> b.x),
+        smed AS (
+          SELECT g, m AS n_pairs, s AS slope FROM (
+            SELECT g, s,
+                   ROW_NUMBER() OVER (PARTITION BY g
+                                      ORDER BY s, ia, ib) AS rk,
+                   COUNT(*) OVER (PARTITION BY g) AS m
+            FROM slopes)
+          WHERE rk = (m + 1) // 2),
+        resid AS (
+          SELECT p.g, sm.n_pairs, sm.slope, p.id,
+                 CAST(p.y AS DOUBLE)
+                   - sm.slope * CAST(p.x AS DOUBLE) AS r
+          FROM pts p JOIN smed sm USING (g))
+        SELECT g AS c_nationkey, n, n_pairs,
+               ROUND(slope, 6) AS slope, ROUND(r, 6) AS intercept
+        FROM (
+          SELECT g, n_pairs, slope, r,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, id) AS rk,
+                 COUNT(*) OVER (PARTITION BY g) AS n
+          FROM resid)
+        WHERE rk = (n + 1) // 2
+        ORDER BY c_nationkey
+      """)),
+
+    // Split-conformal interval audit per source: GroupedOls point
+    // predictor (chars → BPE tokens), q-hat by exact order-statistic
+    // selection on the md5-dealt calibration split, realized
+    // coverage on the held-out test split (Conformal scaladoc). The
+    // md5 deal decorrelates roles from the source-blocked doc_id.
+    QueryDef(
+      "q_conformal",
+      (s, dir) => {
+        val role = expr(
+          "CASE pmod(cast(conv(substring(md5(cast(doc_id as string)), " +
+            "1, 15), 16, 10) as bigint), 5) " +
+            "WHEN 0 THEN 1 WHEN 4 THEN 2 ELSE 0 END")
+        graft.operators.Conformal.splitConformal(
+            Tables.documents(s, dir)
+              .select(col("source"), col("doc_id"), col("n_chars"),
+                TextAnalysis.bpeTokenEstimate(col("text"))
+                  .cast("long").as("toks"),
+                role.as("role")),
+            "source", "doc_id", "n_chars", "toks", "role")
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT source, doc_id, n_chars,
+                 CAST(len(regexp_extract_all(text,
+                   '${TextAnalysis.bpePattern.replace("'", "''")}'))
+                   AS BIGINT) AS toks,
+                 CASE CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS UBIGINT) % 5
+                   WHEN 0 THEN 1 WHEN 4 THEN 2 ELSE 0 END AS role
+          FROM documents),
+        stats AS (
+          SELECT source, count(*) AS n,
+                 sum(n_chars) AS sx, sum(toks) AS sy,
+                 sum(n_chars * toks) AS sxy,
+                 sum(n_chars * n_chars) AS sxx
+          FROM base WHERE role = 0 GROUP BY 1),
+        model AS (
+          SELECT source,
+                 ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS slope,
+                 ROUND((CAST(sy AS DOUBLE)
+                        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                   AS intercept
+          FROM stats
+          WHERE n >= 2
+            AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                <> CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+        scored AS (
+          SELECT b.source, b.role, b.doc_id,
+                 abs(CAST(b.toks AS DOUBLE)
+                     - (m.slope * CAST(b.n_chars AS DOUBLE)
+                        + m.intercept)) AS res
+          FROM base b JOIN model m USING (source)
+          WHERE b.role <> 0),
+        qh AS (
+          SELECT source, ncal AS n_cal, k AS k_rank, res AS qhat
+          FROM (
+            SELECT source, res,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY res, doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS ncal,
+                   least((900000 * (COUNT(*) OVER (PARTITION BY source)
+                                    + 1) + 999999) // 1000000,
+                         COUNT(*) OVER (PARTITION BY source)) AS k
+            FROM scored WHERE role = 1)
+          WHERE rk = k)
+        SELECT s.source, q.n_cal, q.k_rank,
+               ROUND(q.qhat, 6) AS qhat,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN s.res <= q.qhat THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_covered,
+               CAST((sum(CASE WHEN s.res <= q.qhat THEN 1 ELSE 0 END)
+                     * 1000000) // count(*) AS BIGINT) AS coverage_ppm
+        FROM scored s JOIN qh q USING (source)
+        WHERE s.role = 2
+        GROUP BY 1, 2, 3, 4
+        ORDER BY s.source
+      """)),
+
+    // Neyman-optimal eval-label allocation over sources: quota ∝
+    // stratum size × stratum sd of doc length, snapped to the micro
+    // lattice and dealt by largest remainder so quotas sum EXACTLY
+    // to the budget (Sampling.neymanAllocation scaladoc) — where
+    // q_eval_allocation deals proportionally, this spends the budget
+    // where the variance is.
+    QueryDef(
+      "q_neyman_alloc",
+      (s, dir) =>
+        graft.operators.Sampling.neymanAllocation(
+            Tables.documents(s, dir), "source", "n_chars",
+            budget = 1000L)
+          .orderBy(col("source")),
+      Some("""
+        WITH stats AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS s,
+                 SUM(CAST(n_chars AS HUGEINT) * n_chars) AS ss
+          FROM documents GROUP BY 1),
+        w AS (
+          SELECT source, n,
+                 CASE WHEN n >= 2 THEN
+                   CAST(ROUND(CAST(n AS DOUBLE)
+                     * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) - 1.0)))
+                     * 1e6) AS BIGINT)
+                 ELSE 0 END AS weight_micro
+          FROM stats),
+        tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS t FROM w),
+        based AS (
+          SELECT source, n, weight_micro,
+                 (weight_micro * 1000) // t AS fl,
+                 weight_micro * 1000 - ((weight_micro * 1000) // t) * t
+                   AS rem
+          FROM w CROSS JOIN tot),
+        lft AS (SELECT 1000 - SUM(fl) AS lv FROM based),
+        ranked AS (
+          SELECT based.*,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+          FROM based)
+        SELECT source, n, weight_micro,
+               CAST(fl + CASE WHEN rk <= (SELECT lv FROM lft)
+                              THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM ranked
+        ORDER BY source
       """))
   )
 

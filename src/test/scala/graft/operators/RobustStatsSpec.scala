@@ -56,4 +56,42 @@ class RobustStatsSpec extends SparkSuite {
       RobustStats.winsorizedMean(df, "g", "v", 0.9, 0.1)
     }
   }
+
+  test("theilSen: one wild outlier cannot move the median slope") {
+    // 9 points on y = 2x + 1, one outlier at (100, -999)
+    val clean = (1L to 9L).map(i => ("g", i, i, 2 * i + 1))
+    val df = (clean :+ (("g", 10L, 100L, -999L)))
+      .toDF("g", "id", "x", "y")
+    val r = RobustStats.theilSen(df, "g", "id", "x", "y").collect().head
+    assert(r.getDouble(3) === 2.0, s"slope ${r.getDouble(3)}")
+    assert(r.getDouble(4) === 1.0, s"intercept ${r.getDouble(4)}")
+    // OLS on the same data is dragged far from 2
+    val ols = GroupedOls.fit(df, "g", "x", "y").collect().head
+    assert(math.abs(ols.getDouble(2) - 2.0) > 1.0)
+  }
+
+  test("theilSen: vertical pairs excluded; stratum guard refuses " +
+      "oversized groups; fractional input rejected") {
+    val dup = Seq(("g", 1L, 5L, 1L), ("g", 2L, 5L, 9L), ("g", 3L, 6L, 2L))
+      .toDF("g", "id", "x", "y")
+    val r = RobustStats.theilSen(dup, "g", "id", "x", "y").collect().head
+    assert(r.getLong(2) === 2L) // only the two x=5 vs x=6 pairs
+    val big = (1L to 30L).map(i => ("g", i, i, i)).toDF("g", "id", "x", "y")
+    intercept[IllegalArgumentException] {
+      RobustStats.theilSen(big, "g", "id", "x", "y", maxGroupRows = 10L)
+    }
+    intercept[IllegalArgumentException] {
+      RobustStats.theilSen(Seq(("g", 1L, 1.5, 2.0)).toDF("g", "id", "x", "y"),
+        "g", "id", "x", "y")
+    }
+  }
+
+  test("theilSen is partitioning-independent") {
+    val df = (1L to 40L).map(i => ("s", i, i % 13, (i * 7) % 19))
+      .toDF("g", "id", "x", "y")
+    val a = RobustStats.theilSen(df, "g", "id", "x", "y").collect().toSeq
+    val b = RobustStats.theilSen(df.repartition(9), "g", "id", "x", "y")
+      .collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }

@@ -99,4 +99,33 @@ class SamplingSpec extends SparkSuite {
         .collect().toSet)
     } finally { out.unpersist(); () }
   }
+
+  test("neymanAllocation: budget goes where the variance is and " +
+      "quotas sum exactly to the budget") {
+    // stratum "noisy": values swing 0/100; "flat": constant;
+    // "tiny": single row (sd undefined -> weight 0)
+    val df = ((1 to 40).map(i => ("noisy", if (i % 2 == 0) 100 else 0)) ++
+      (1 to 40).map(_ => ("flat", 50)) ++ Seq(("tiny", 7)))
+      .toDF("s", "v")
+    val out = Sampling.neymanAllocation(df, "s", "v", budget = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("noisy")._3 === 100L) // all budget: only nonzero sd
+    assert(out("flat")._3 === 0L && out("flat")._2 === 0L)
+    assert(out("tiny")._3 === 0L && out("tiny")._2 === 0L)
+    assert(out.values.map(_._3).sum === 100L)
+  }
+
+  test("neymanAllocation: proportional to n*sd; fractional rejected") {
+    // equal sd, one stratum twice the size -> quota ratio 2:1
+    def spread(g: String, n: Int) =
+      (1 to n).map(i => (g, if (i % 2 == 0) 10 else 0))
+    val df = (spread("big", 60) ++ spread("small", 30)).toDF("s", "v")
+    val out = Sampling.neymanAllocation(df, "s", "v", budget = 90L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("big") === 60L && out("small") === 30L)
+    intercept[IllegalArgumentException] {
+      Sampling.neymanAllocation(Seq(("g", 1.5)).toDF("s", "v"), "s", "v", 10L)
+    }
+  }
 }
