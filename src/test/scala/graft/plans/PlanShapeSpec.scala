@@ -180,7 +180,14 @@ class PlanShapeSpec extends SparkSuite {
       // round-9 inference/curation additions
       "q_welch_t", "q_spearman", "q_readability", "q_pareto",
       "q_dedup_weighted", "q_seasonality", "q_summarize",
-      "q_l_diversity")
+      "q_l_diversity",
+      // round-9 continuation additions (the eager ones — graph ops,
+      // trigram index, minhash calibration, kneser-ney, kendall,
+      // theil-sen, bpe merge, t-closeness — checkpoint or collect at
+      // build and carry their own specs)
+      "q_anova", "q_sax", "q_span_corruption", "q_length_buckets",
+      "q_table_fingerprint", "q_percolate", "q_rbo", "q_conformal",
+      "q_neyman_alloc", "q_unicode_normalize", "q_holt_winters")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
