@@ -122,7 +122,8 @@ object Bench {
     "q_minhash_calibration", "q_kendall", "q_percolate",
     "q_holt_winters", "q_stream_holt_winters", "q_rbo",
     "q_stream_fingerprint", "q_stream_percolate", "q_unicode_normalize",
-    "q_theil_sen", "q_conformal", "q_neyman_alloc")
+    "q_theil_sen", "q_conformal", "q_neyman_alloc",
+    "q_dbscan", "q_silhouette")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -241,6 +241,59 @@ object Similarity {
         col("best.cv").as("cv"))
   }
 
+  /** Simplified (centroid-based) silhouette per cell over the
+    * deterministic sampled-codebook assignment — the clustering-
+    * quality gauge (Rousseeuw 1987, the medoid simplification):
+    * per point, a = cosine distance to its OWN cell's centroid, b =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈
+    * [−1, 1]; a cell whose mean s approaches 0 is merging into a
+    * neighbor — the signal for re-picking nlist. The true silhouette
+    * needs all pairwise distances (quadratic and
+    * order-float-fragile); against centroids it is one broadcast
+    * nlist-cross per row, and mean_silhouette is the 6-dp/DECIMAL
+    * order-free sum.
+    *
+    * Because the codebook is corpus-sampled, the codebook rows
+    * themselves sit at a = 0 and score s = 1 (or 0 when two corpus
+    * vectors tie at distance 0 — the degenerate-denominator
+    * convention). Output: (cell, n, mean_silhouette).
+    */
+  def silhouetteSampledCodebook(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val centDf = sampledCodebook(corpus, idCol, vecCol, nlist)
+    val sims = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .crossJoin(centDf)
+      .select(col("__id"), col("cell"),
+        round(VectorFunctions.cosine(col("__v"), col("centroid")), 6)
+          .as("__c"))
+    val top2 = sims
+      .groupBy(col("__id"))
+      // nlist-bounded list; order (csim desc, cell asc) via the
+      // (-csim, cell) sort key
+      .agg(sort_array(collect_list(
+        struct(negate(col("__c")).as("nc"), col("cell"), col("__c"))))
+        .as("__l"))
+      .select(col("__id"),
+        col("__l")(0)("cell").as("cell"),
+        col("__l")(0)("__c").as("__c1"),
+        col("__l")(1)("__c").as("__c2"))
+    val a = lit(1.0) - col("__c1")
+    val b = lit(1.0) - col("__c2")
+    val s = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise((col("__c1") - col("__c2")) / greatest(a, b))
+    top2
+      .select(col("cell"), round(s, 6).as("__s"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__s").cast(DecimalType(38, 12))).as("__sum"))
+      .select(col("cell"), col("n"),
+        round(col("__sum").cast("double") / col("n"), 6)
+          .as("mean_silhouette"))
+  }
+
   def ivfTopKSampledCodebook(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

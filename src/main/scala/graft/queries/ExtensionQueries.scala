@@ -6398,6 +6398,131 @@ object ExtensionQueries {
                               THEN 1 ELSE 0 END AS BIGINT) AS quota
         FROM ranked
         ORDER BY source
+      """)),
+
+    // DBSCAN over the embedding table at cosine-eps 0.3 / minPts 3
+    // (neighbor count excludes self): cores by degree, clusters =
+    // components of the core-core subgraph, borders take the MINIMUM
+    // core-neighbor label (classic DBSCAN is arrival-order-dependent
+    // there; the min convention is a pure function of the graph),
+    // noise keeps -1 (Dbscan scaladoc). Candidate pairs here are the
+    // exact dimension-keyed cosine join on the 6-dp lattice — the
+    // IVF/LSH blocked generator is the 100-TB swap-in. The oracle
+    // replays pairs, degrees, the reach closure, border mins, and
+    // the noise fill.
+    QueryDef(
+      "q_dbscan",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val dims = emb.select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+        val norms = dims.groupBy(col("vec_id"))
+          .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+        val pairs = dims.as("a").join(dims.as("b"),
+            col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
+          .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .agg(sum(col("a.x") * col("b.x")).as("d"))
+          .join(norms.select(col("vec_id").as("id_a"),
+            col("nrm").as("na")), "id_a")
+          .join(norms.select(col("vec_id").as("id_b"),
+            col("nrm").as("nb")), "id_b")
+          .filter(round(col("d") / (col("na") * col("nb")), 6) >= 0.3)
+          .select(col("id_a"), col("id_b"))
+        graft.operators.Dbscan.cluster(emb, "vec_id",
+            pairs, "id_a", "id_b", minPts = 3)
+          .orderBy(col("id"))
+      },
+      Some("""
+        WITH RECURSIVE dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
+                  FROM dims GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS d
+          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2),
+        e AS (
+          SELECT qa AS u, qb AS v
+          FROM dots
+          JOIN norms na ON na.vec_id = qa
+          JOIN norms nb ON nb.vec_id = qb
+          WHERE ROUND(d / (na.nrm * nb.nrm), 6) >= 0.3),
+        und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        deg AS (SELECT u AS id, count(*) AS d FROM und GROUP BY 1),
+        cores AS (SELECT id FROM deg WHERE d >= 3),
+        ce AS (
+          SELECT u, v FROM e
+          WHERE u IN (SELECT id FROM cores)
+            AND v IN (SELECT id FROM cores)),
+        reach(a, b) AS (
+          SELECT u, v FROM ce
+          UNION
+          SELECT v, u FROM ce
+          UNION
+          SELECT r.a, x.v FROM reach r JOIN
+            (SELECT u, v FROM ce UNION SELECT v, u FROM ce) x
+            ON x.u = r.b
+        ),
+        complab AS (
+          SELECT a AS id, least(a, MIN(b)) AS label
+          FROM reach GROUP BY a),
+        corelab AS (
+          SELECT c.id, COALESCE(cl.label, c.id) AS label
+          FROM cores c LEFT JOIN complab cl USING (id)),
+        borderlab AS (
+          SELECT und.u AS id, MIN(k.label) AS label
+          FROM und JOIN corelab k ON k.id = und.v
+          WHERE und.u NOT IN (SELECT id FROM cores)
+          GROUP BY 1),
+        clustered AS (
+          SELECT id, label, TRUE AS is_core FROM corelab
+          UNION ALL
+          SELECT id, label, FALSE FROM borderlab)
+        SELECT emb.vec_id AS id,
+               COALESCE(c.label, -1) AS label,
+               COALESCE(c.is_core, FALSE) AS is_core
+        FROM embeddings emb LEFT JOIN clustered c ON c.id = emb.vec_id
+        ORDER BY id
+      """)),
+
+    // Per-cell simplified silhouette over the IVF sampled-codebook
+    // assignment: (b−a)/max(a,b) against own vs nearest-other
+    // centroid on the 6-dp cosine lattice, cell means by the
+    // order-free DECIMAL sum — the "should nlist change" gauge
+    // (Similarity.silhouetteSampledCodebook scaladoc). The oracle
+    // reuses the shared IVF assignment replay's asim CTE.
+    QueryDef(
+      "q_silhouette",
+      (s, dir) =>
+        Similarity.silhouetteSampledCodebook(
+            Tables.embeddings(s, dir), "vec_id", "embedding", nlist = 16)
+          .orderBy(col("cell")),
+      Some(s"""
+        WITH $ivfAssignCtes,
+        ranked2 AS (
+          SELECT nid, cell, csim,
+                 ROW_NUMBER() OVER (PARTITION BY nid
+                                    ORDER BY csim DESC, cell) AS rn
+          FROM asim),
+        t2 AS (
+          SELECT r1.nid, r1.cell, r1.csim AS c1, r2.csim AS c2
+          FROM ranked2 r1 JOIN ranked2 r2
+            ON r2.nid = r1.nid AND r1.rn = 1 AND r2.rn = 2),
+        scored AS (
+          SELECT cell,
+                 ROUND(CASE WHEN greatest(1.0 - c1, 1.0 - c2) = 0
+                            THEN 0.0
+                            ELSE (c1 - c2) / greatest(1.0 - c1, 1.0 - c2)
+                       END, 6) AS s
+          FROM t2)
+        SELECT cell, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_silhouette
+        FROM scored GROUP BY 1
+        ORDER BY cell
       """))
   )
 
