@@ -123,7 +123,9 @@ object Bench {
     "q_holt_winters", "q_stream_holt_winters", "q_rbo",
     "q_stream_fingerprint", "q_stream_percolate", "q_unicode_normalize",
     "q_theil_sen", "q_conformal", "q_neyman_alloc",
-    "q_dbscan", "q_silhouette")
+    "q_dbscan", "q_silhouette",
+    "q_tpch_q3", "q_tpch_q5", "q_rfm", "q_funnel_steps",
+    "q_assoc_rules")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -1919,6 +1919,129 @@ object EventQueries {
         ORDER BY event_type, segment
       """)),
 
+    // RFM segmentation: per-user Recency/Frequency/Monetary quartile
+    // codes — the classic entity-scoring analytic. All three metrics
+    // are exact integers (last-touch µs, event count, value-cents
+    // sum); quartiles are ntile(4) with (metric, user_id) total
+    // orders so the cut replays exactly. The users frame is
+    // entity-sized — the quantile-sketch cut is the corpus-scale
+    // swap-in for the ntile windows (the q_confidence_bins note).
+    QueryDef(
+      "q_rfm",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val users = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(max(unix_micros(col("ts"))).as("last_us"),
+            count(lit(1)).as("freq"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+        users
+          .withColumn("r", ntile(4).over(
+            Window.orderBy(col("last_us").desc, col("user_id"))))
+          .withColumn("f", ntile(4).over(
+            Window.orderBy(col("freq").desc, col("user_id"))))
+          .withColumn("m", ntile(4).over(
+            Window.orderBy(col("cents").desc, col("user_id"))))
+          .select(col("user_id"), col("last_us"), col("freq"),
+            col("cents"),
+            (col("r") * 100 + col("f") * 10 + col("m")).as("rfm"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+                 count(*) AS freq,
+                 CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1)
+        SELECT user_id, last_us, freq, cents,
+               ntile(4) OVER (ORDER BY last_us DESC, user_id) * 100
+               + ntile(4) OVER (ORDER BY freq DESC, user_id) * 10
+               + ntile(4) OVER (ORDER BY cents DESC, user_id) AS rfm
+        FROM u
+        ORDER BY user_id
+      """)),
+
+    // Time-constrained funnel: each stage counts only when its FIRST
+    // touch lands within 72 h of the previous stage's — the "did the
+    // journey happen as a journey" variant of q_funnel (which admits
+    // a purchase months later). Each stage is one conditional min
+    // over the user's events after a broadcast join of the previous
+    // stage's anchors — funnel depth bounds the pass count.
+    QueryDef(
+      "q_funnel_steps",
+      (s, dir) => {
+        val win = 72L * 3600 * 1000000
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        def stage(prev: org.apache.spark.sql.DataFrame, t: String,
+            prevCol: String, outCol: String) =
+          e.join(prev, "user_id")
+            .groupBy(col("user_id"))
+            .agg(min(when(col("event_type") === t &&
+              col("us") > col(prevCol) &&
+              col("us") <= col(prevCol) + win, col("us"))).as(outCol),
+              max(col(prevCol)).as(prevCol))
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val s2 = stage(s1, "view", "t1", "t2")
+        val s3 = stage(s2.filter(col("t2").isNotNull)
+          .select(col("user_id"), col("t2")), "click", "t2", "t3")
+        val s4 = stage(s3.filter(col("t3").isNotNull)
+          .select(col("user_id"), col("t3")), "purchase", "t3", "t4")
+        val staged = s1
+          .join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+          .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+          .join(s4.select(col("user_id"), col("t4")), Seq("user_id"), "left")
+          .select(when(col("t4").isNotNull, 4)
+            .when(col("t3").isNotNull, 3)
+            .when(col("t2").isNotNull, 2)
+            .otherwise(1).as("stage"))
+        staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        s1 AS (SELECT user_id, min(us) AS t1 FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id,
+                 min(CASE WHEN e.event_type = 'view' AND e.us > s1.t1
+                          AND e.us <= s1.t1 + 259200000000
+                          THEN e.us END) AS t2
+          FROM e JOIN s1 USING (user_id) GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id,
+                 min(CASE WHEN e.event_type = 'click' AND e.us > s2.t2
+                          AND e.us <= s2.t2 + 259200000000
+                          THEN e.us END) AS t3
+          FROM e JOIN s2 USING (user_id)
+          WHERE s2.t2 IS NOT NULL GROUP BY 1),
+        s4 AS (
+          SELECT e.user_id,
+                 min(CASE WHEN e.event_type = 'purchase' AND e.us > s3.t3
+                          AND e.us <= s3.t3 + 259200000000
+                          THEN e.us END) AS t4
+          FROM e JOIN s3 USING (user_id)
+          WHERE s3.t3 IS NOT NULL GROUP BY 1),
+        staged AS (
+          SELECT CASE WHEN s4.t4 IS NOT NULL THEN 4
+                      WHEN s3.t3 IS NOT NULL THEN 3
+                      WHEN s2.t2 IS NOT NULL THEN 2
+                      ELSE 1 END AS stage
+          FROM s1
+          LEFT JOIN s2 USING (user_id)
+          LEFT JOIN s3 USING (user_id)
+          LEFT JOIN s4 USING (user_id))
+        SELECT stage, COUNT(*) AS n_users FROM staged
+        GROUP BY stage ORDER BY stage
+      """)),
+
     // Streaming twin of q_funnel: per-user earliest stage touches as
     // O(1) mapGroupsWithState (min-merge — commutative, so arrival
     // order cannot change the state), stage verdict computed on the

@@ -6523,6 +6523,81 @@ object ExtensionQueries {
                      / COUNT(*), 6) AS mean_silhouette
         FROM scored GROUP BY 1
         ORDER BY cell
+      """)),
+
+    // Association rules (Agrawal-Srikant market-basket, 2-itemsets)
+    // over per-doc presence of the top-200-df vocabulary: directed
+    // rules a→b with support count, integer-ppm confidence, and
+    // integer-micro lift, thresholded (co-count >= 10, conf >= 0.6),
+    // top-50 by (conf desc, a, b). The vocab cap blocks the pair
+    // space exactly like q_kcore's co-occurrence graph; every
+    // statistic is a pure integer ratio.
+    QueryDef(
+      "q_assoc_rules",
+      (s, dir) => {
+        val toks = docTokens(s, dir)
+          .select(col("doc_id"), explode(col("tokens")).as("term"))
+          .distinct()
+        val vocab = toks.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(200)
+          .select(col("term"))
+        val vt = toks.join(broadcast(vocab), "term")
+          .localCheckpoint(true)
+        val nDocs = Tables.documents(s, dir)
+          .agg(countDistinct(col("doc_id")).as("__n"))
+        val ca = vt.groupBy(col("term")).agg(count(lit(1)).as("__c"))
+        val ab = vt.select(col("doc_id"), col("term").as("a"))
+          .join(vt.select(col("doc_id"), col("term").as("b")), "doc_id")
+          .filter(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("co_count"))
+        ab
+          .join(ca.select(col("term").as("a"), col("__c").as("__cna")), "a")
+          .join(ca.select(col("term").as("b"), col("__c").as("__cnb")), "b")
+          .crossJoin(broadcast(nDocs))
+          .filter(col("co_count") >= 10)
+          .select(col("a"), col("b"), col("co_count"),
+            expr("(co_count * CAST(1000000 AS BIGINT)) div __cna")
+              .as("conf_ppm"),
+            expr("(co_count * __n * CAST(1000000 AS BIGINT)) " +
+              "div (__cna * __cnb)").as("lift_micro"))
+          .filter(col("conf_ppm") >= 600000L)
+          .orderBy(col("conf_ppm").desc, col("a"), col("b"))
+          .limit(50)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, count(*) AS df FROM toks GROUP BY 1
+            ORDER BY df DESC, term LIMIT 200)),
+        vt AS (SELECT t.doc_id, t.term FROM toks t JOIN vocab v
+               USING (term)),
+        nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        ca AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+               FROM vt GROUP BY 1),
+        ab AS (
+          SELECT a.term AS a, b.term AS b,
+                 CAST(count(*) AS BIGINT) AS co_count
+          FROM vt a JOIN vt b
+            ON a.doc_id = b.doc_id AND a.term <> b.term
+          GROUP BY 1, 2)
+        SELECT ab.a, ab.b, ab.co_count,
+               CAST((ab.co_count * 1000000) // x.c AS BIGINT) AS conf_ppm,
+               CAST((ab.co_count * nd.n * 1000000) // (x.c * y.c)
+                 AS BIGINT) AS lift_micro
+        FROM ab
+        JOIN ca x ON x.term = ab.a
+        JOIN ca y ON y.term = ab.b
+        CROSS JOIN nd
+        WHERE ab.co_count >= 10
+          AND (ab.co_count * 1000000) // x.c >= 600000
+        ORDER BY conf_ppm DESC, a, b
+        LIMIT 50
       """))
   )
 

@@ -882,6 +882,96 @@ object RelationalQueries {
                  AS BIGINT) AS expected_ppm
         FROM counts
         ORDER BY digit
+      """)),
+
+    // TPC-H Q3 (shipping priority), adapted to the star subset: the
+    // classic 3-way join workhorse — segment-filtered customers ⋈
+    // orders ⋈ lineitem with both date predicates pushed to the
+    // scans, revenue per order on the exact 1e4 integer lattice
+    // (extprice and discount are 2-dp decimals, so extprice·(1−disc)
+    // is exactly a 4-dp decimal — a raw double SUM would be
+    // partitioning-order-sensitive), bounded top-10.
+    QueryDef(
+      "q_tpch_q3",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * lit(1e4)).cast("long"))
+            .as("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l.l_orderkey, o.o_orderdate,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                     * (1.0 - l.l_discount) * 1e4) AS BIGINT))
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY 1, 2
+        ORDER BY revenue_e4 DESC, l_orderkey
+        LIMIT 10
+      """)),
+
+    // TPC-H Q5 (local-supplier volume), adapted: the 6-way snowflake
+    // join — revenue per nation where the CUSTOMER's and the
+    // SUPPLIER's nation agree, one region, one order year; dims
+    // (nation, region) broadcast, fact joins shuffle on their keys,
+    // revenue on the same 1e4 lattice as q_tpch_q3.
+    QueryDef(
+      "q_tpch_q5",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val rn = Tables(s, dir, "nation")
+          .join(broadcast(Tables(s, dir, "region")
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        Tables.lineitem(s, dir)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * lit(1e4)).cast("long"))
+            .as("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("n_name"))
+      },
+      Some("""
+        SELECT n.n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                     * (1.0 - l.l_discount) * 1e4) AS BIGINT))
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+        ORDER BY revenue_e4 DESC, n_name
       """))
   )
 }
