@@ -1919,6 +1919,87 @@ object EventQueries {
         ORDER BY event_type, segment
       """)),
 
+    // Kaplan-Meier + Nelson-Aalen survival curves for signup →
+    // purchase conversion with right censoring (users who never
+    // purchased leave the risk set at their last event instead of
+    // biasing the curve — Survival scaladoc). The oracle replays the
+    // risk sets with a reversed running count and the KM product
+    // with a recursive CTE in the same ascending step order.
+    QueryDef(
+      "q_survival",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val t0 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+        val dur = e.join(t0, "user_id")
+          .groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("us") > col("t0"), col("us"))).as("tp"),
+            max(col("us")).as("tmax"), max(col("t0")).as("t00"))
+          .select(
+            when(col("tp").isNotNull, col("tp") - col("t00"))
+              .otherwise(col("tmax") - col("t00")).as("duration"),
+            when(col("tp").isNotNull, 1L).otherwise(0L).as("event"))
+        graft.operators.Survival.curves(dur, "duration", "event")
+          .orderBy(col("t"))
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        t0 AS (SELECT user_id, min(us) AS t0 FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        dur AS (
+          SELECT CASE WHEN tp IS NOT NULL THEN tp - t00
+                      ELSE tmax - t00 END AS duration,
+                 CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+          FROM (
+            SELECT e.user_id,
+                   min(CASE WHEN e.event_type = 'purchase'
+                            AND e.us > t0.t0 THEN e.us END) AS tp,
+                   max(e.us) AS tmax, max(t0.t0) AS t00
+            FROM e JOIN t0 USING (user_id)
+            GROUP BY 1)),
+        byt AS (
+          SELECT duration AS t, count(*) AS alln,
+                 CAST(sum(event) AS BIGINT) AS d
+          FROM dur GROUP BY 1),
+        risked AS (
+          SELECT t, d,
+                 CAST(SUM(alln) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n
+          FROM byt),
+        steps AS (
+          SELECT t, n, d,
+                 ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                   AS term,
+                 ROUND(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                   AS factor,
+                 ROW_NUMBER() OVER (ORDER BY t) AS i
+          FROM risked WHERE d >= 1),
+        rec AS (
+          SELECT i, factor AS km FROM steps WHERE i = 1
+          UNION ALL
+          SELECT s.i, r.km * s.factor
+          FROM rec r JOIN steps s ON s.i = r.i + 1),
+        na AS (
+          SELECT t, n, d, i,
+                 SUM(CAST(term AS DECIMAL(38,12)))
+                   OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumhaz
+          FROM steps)
+        SELECT na.t, na.n AS n_risk, na.d AS n_events,
+               ROUND(rec.km, 6) AS km,
+               ROUND(CAST(na.cumhaz AS DOUBLE), 6) AS na_cumhaz
+        FROM na JOIN rec USING (i)
+        ORDER BY na.t
+      """)),
+
     // RFM segmentation: per-user Recency/Frequency/Monetary quartile
     // codes — the classic entity-scoring analytic. All three metrics
     // are exact integers (last-touch µs, event count, value-cents

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class SurvivalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("textbook KM: censoring keeps subjects in earlier risk sets") {
+    // durations (event): 1(e), 2(c), 3(e), 4(e), 5(c)
+    // t=1: n=5, d=1 → S=4/5=0.8
+    // t=3: n=3, d=1 → S=0.8·(2/3)
+    // t=4: n=2, d=1 → S=0.8·(2/3)·(1/2)
+    val df = Seq((1L, 1L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 0L))
+      .toDF("duration", "event")
+    val out = Survival.curves(df, "duration", "event")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ===
+      Seq((1L, 5L, 1L), (3L, 3L, 1L), (4L, 2L, 1L)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val f1 = BigDecimal(1.0 - 1.0 / 5.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val f3 = BigDecimal(1.0 - 1.0 / 3.0)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0)._4 === r6(f1))
+    assert(out(1)._4 === r6(f1 * f3))
+    assert(out(2)._4 === r6(f1 * f3 * 0.5))
+    // Nelson-Aalen: 1/5, +1/3, +1/2
+    assert(out(0)._5 === 0.2)
+    assert(math.abs(out(1)._5 - (0.2 + 1.0 / 3.0)) < 1e-6)
+    assert(math.abs(out(2)._5 - (0.2 + 1.0 / 3.0 + 0.5)) < 1e-6)
+  }
+
+  test("all-event data reduces to the empirical survival function") {
+    val df = (1L to 10L).map(i => (i, 1L)).toDF("duration", "event")
+    val out = Survival.curves(df, "duration", "event")
+      .orderBy("t").collect()
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(1) === 10L - i) // risk set shrinks by one
+      assert(math.abs(r.getDouble(3) - (9.0 - i) / 10.0) < 1e-6,
+        s"step $i km ${r.getDouble(3)}")
+    }
+  }
+
+  test("curves are partitioning-independent") {
+    val df = (1L to 200L).map(i => (i % 17 + 1, (i % 3 == 0).compare(false).toLong))
+      .toDF("duration", "event")
+    val a = Survival.curves(df, "duration", "event")
+      .orderBy("t").collect().toSeq
+    val b = Survival.curves(df.repartition(9), "duration", "event")
+      .orderBy("t").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+}
