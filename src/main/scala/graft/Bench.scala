@@ -125,7 +125,9 @@ object Bench {
     "q_theil_sen", "q_conformal", "q_neyman_alloc",
     "q_dbscan", "q_silhouette",
     "q_tpch_q3", "q_tpch_q5", "q_rfm", "q_funnel_steps",
-    "q_assoc_rules")
+    "q_assoc_rules",
+    "q_survival", "q_hill_tail", "q_embedding_drift",
+    "q_power_analysis", "q_dedup_threshold_sweep")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -6598,6 +6598,250 @@ object ExtensionQueries {
           AND (ab.co_count * 1000000) // x.c >= 600000
         ORDER BY conf_ppm DESC, a, b
         LIMIT 50
+      """)),
+
+    // Hill tail-index numerator per source (Hill 1975): mean excess
+    // log10 of the top-10 doc lengths over the 11th — the
+    // heavy-tail gauge that says whether a source's length
+    // distribution has Pareto tails (huge docs keep coming) or dies
+    // exponentially; complements q_zipf's rank-slope. Pure integer:
+    // each log10 snaps alone to the micro lattice, the mean is a
+    // floor division — the tail index itself is 1/(ln10 · Δ), left
+    // to the consumer so no engine-variant ln(10) enters the hash.
+    QueryDef(
+      "q_hill_tail",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val ranked = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            round(log10(col("n_chars").cast("double")) * lit(1e6))
+              .cast("long").as("lg"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 11)
+        val kth = ranked.filter(col("rk") === 11)
+          .select(col("source"), col("lg").as("lg11"))
+        ranked.filter(col("rk") <= 10)
+          .join(kth, "source")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("k"),
+            expr("sum(lg - lg11) div count(1)").as("hill_excess_micro"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 CAST(ROUND(log10(CAST(n_chars AS DOUBLE)) * 1e6)
+                   AS BIGINT) AS lg,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rk
+          FROM documents),
+        kth AS (SELECT source, lg AS lg11 FROM ranked WHERE rk = 11)
+        SELECT r.source, CAST(count(*) AS BIGINT) AS k,
+               CAST(SUM(r.lg - k2.lg11) // count(*) AS BIGINT)
+                 AS hill_excess_micro
+        FROM ranked r JOIN kth k2 USING (source)
+        WHERE r.rk <= 10
+        GROUP BY 1
+        ORDER BY source
+      """)),
+
+    // Embedding-distribution drift: squared mean discrepancy
+    // (linear-kernel MMD²) between the odd- and even-id halves of
+    // the embedding table — the vector-space drift monitor beside
+    // q_corpus_drift's token-level KL. Coordinates snap once to the
+    // 1e6 integer lattice so the per-dim mean difference is the
+    // EXACT rational (Sa·nb − Sb·na)/(na·nb); per-dim squared terms
+    // snap to 9 dp and sum as DECIMAL — order-free end to end.
+    QueryDef(
+      "q_embedding_drift",
+      (s, dir) => {
+        val dims = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding"))
+            .as(Seq("i", "x")))
+          .select(pmod(col("vec_id"), lit(2L)).as("half"), col("i"),
+            round(col("x").cast("double") * lit(1e6)).cast("long")
+              .as("xl"))
+        val sums = dims.groupBy(col("i"))
+          .agg(
+            sum(when(col("half") === 0, col("xl")).otherwise(0L)).as("sa"),
+            sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("half") === 1, col("xl")).otherwise(0L)).as("sb"),
+            sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
+        val diff = (col("sa").cast("double") * col("nb").cast("double") -
+          col("sb").cast("double") * col("na").cast("double")) /
+          (col("na").cast("double") * col("nb").cast("double")) / lit(1e6)
+        sums
+          .select(col("na"), col("nb"),
+            round(diff * diff, 9).cast(org.apache.spark.sql.types
+              .DecimalType(38, 12)).as("__t"))
+          .groupBy(col("na"), col("nb"))
+          .agg(round(sum(col("__t")).cast("double"), 6).as("mmd2"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id % 2 AS half, generate_subscripts(embedding, 1)
+                   AS i,
+                 CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                   AS BIGINT) AS xl
+          FROM embeddings),
+        sums AS (
+          SELECT i,
+                 CAST(SUM(CASE WHEN half = 0 THEN xl ELSE 0 END)
+                   AS BIGINT) AS sa,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN half = 1 THEN xl ELSE 0 END)
+                   AS BIGINT) AS sb,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb
+          FROM dims GROUP BY 1),
+        terms AS (
+          SELECT na, nb,
+                 CAST(ROUND(
+                   ((CAST(sa AS DOUBLE) * CAST(nb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(na AS DOUBLE))
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e6)
+                   * ((CAST(sa AS DOUBLE) * CAST(nb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(na AS DOUBLE))
+                      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e6),
+                   9) AS DECIMAL(38,12)) AS t
+          FROM sums)
+        SELECT na, nb,
+               ROUND(CAST(SUM(t) AS DOUBLE), 6) AS mmd2
+        FROM terms GROUP BY 1, 2
+      """)),
+
+    // A/B pre-flight power analysis per event type: the sample size
+    // each arm needs to detect the OBSERVED odd/even-cohort
+    // conversion gap at alpha=5%/power=80% — "how long must this
+    // experiment run". The z constants are shared 4-dp decimals
+    // (1.96, 0.8416) so neither engine inverts a normal CDF; rates
+    // are exact integer rationals and the closed form is one written
+    // double sequence, ceiling at the edge (both engines ceil the
+    // same bits). Cohorts with a zero gap are excluded (infinite n).
+    QueryDef(
+      "q_power_analysis",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"),
+            pmod(col("user_id"), lit(2L)).as("arm"),
+            when(col("value") > 50.0, 1L).otherwise(0L).as("conv"))
+        val stats = e.groupBy(col("event_type"))
+          .agg(
+            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+            sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("ca"),
+            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+            sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("cb"))
+        val pa = col("ca").cast("double") / col("na").cast("double")
+        val pb = col("cb").cast("double") / col("nb").cast("double")
+        val pbar = (col("ca") + col("cb")).cast("double") /
+          (col("na") + col("nb")).cast("double")
+        val delta = pa - pb
+        val nReq = ceil(
+          ((lit(1.96) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+            lit(0.8416) * sqrt(pa * (lit(1.0) - pa) +
+              pb * (lit(1.0) - pb))) / delta) *
+            ((lit(1.96) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+              lit(0.8416) * sqrt(pa * (lit(1.0) - pa) +
+                pb * (lit(1.0) - pb))) / delta)).cast("long")
+        stats
+          .filter(col("na") >= 1 && col("nb") >= 1)
+          .filter(pa =!= pb)
+          .select(col("event_type"), col("na"), col("ca"), col("nb"),
+            col("cb"), nReq.as("n_per_arm"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id % 2 AS arm,
+                 CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS conv
+          FROM events),
+        stats AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb,
+                 CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+                   AS BIGINT) AS cb
+          FROM e GROUP BY 1),
+        calc AS (
+          SELECT event_type, na, ca, nb, cb,
+                 CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+                 CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+                 CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+                   AS pbar
+          FROM stats
+          WHERE na >= 1 AND nb >= 1)
+        SELECT event_type, na, ca, nb, cb,
+               CAST(ceil(
+                 ((1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
+                   + 0.8416 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)))
+                  / (pa - pb))
+                 * ((1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
+                     + 0.8416 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)))
+                    / (pa - pb))) AS BIGINT) AS n_per_arm
+        FROM calc
+        WHERE pa <> pb
+        ORDER BY event_type
+      """)),
+
+    // Threshold-sweep operating table for near-dup dedup: pair counts
+    // per 0.05-wide exact-Jaccard band (>= 0.30) plus the cumulative
+    // pairs-at-or-above count — the one-pass table an operator reads
+    // to CHOOSE minJaccard instead of re-running dedup per candidate
+    // threshold. Bands and cumulations are pure integers; the
+    // cumulative window runs over the ~14-row band table.
+    QueryDef(
+      "q_dedup_threshold_sweep",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.30)
+          .select((round(col("jaccard") * lit(1e6)).cast("long"))
+            .as("jppm"))
+        val bands = pairs
+          .select(expr("jppm div 50000").as("band"))
+          .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+        bands
+          .withColumn("n_at_or_above",
+            sum(col("n_pairs")).over(Window.orderBy(col("band").desc)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select((col("band") * 50000).as("threshold_ppm"),
+            col("n_pairs"), col("n_at_or_above"))
+          .orderBy(col("threshold_ppm"))
+      },
+      Some(s"""
+        WITH ${shingleCtes(3, "documents")},
+        sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+          FROM grams a JOIN grams b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT CAST(ROUND(CAST(i AS DOUBLE)
+                   / CAST(sa.n + sb.n - i AS DOUBLE) * 1e6) AS BIGINT)
+                   AS jppm
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                >= 0.30),
+        bands AS (
+          SELECT jppm // 50000 AS band, CAST(count(*) AS BIGINT)
+                   AS n_pairs
+          FROM j GROUP BY 1)
+        SELECT CAST(band * 50000 AS BIGINT) AS threshold_ppm, n_pairs,
+               CAST(SUM(n_pairs) OVER (ORDER BY band DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS n_at_or_above
+        FROM bands
+        ORDER BY threshold_ppm
       """))
   )
 

@@ -188,7 +188,9 @@ class PlanShapeSpec extends SparkSuite {
       "q_anova", "q_sax", "q_span_corruption", "q_length_buckets",
       "q_table_fingerprint", "q_percolate", "q_rbo", "q_conformal",
       "q_neyman_alloc", "q_unicode_normalize", "q_holt_winters",
-      "q_tpch_q3", "q_tpch_q5", "q_rfm", "q_funnel_steps")
+      "q_tpch_q3", "q_tpch_q5", "q_rfm", "q_funnel_steps",
+      "q_survival", "q_hill_tail", "q_embedding_drift",
+      "q_power_analysis", "q_dedup_threshold_sweep")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
