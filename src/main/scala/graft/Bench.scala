@@ -127,7 +127,8 @@ object Bench {
     "q_tpch_q3", "q_tpch_q5", "q_rfm", "q_funnel_steps",
     "q_assoc_rules",
     "q_survival", "q_hill_tail", "q_embedding_drift",
-    "q_power_analysis", "q_dedup_threshold_sweep")
+    "q_power_analysis", "q_dedup_threshold_sweep",
+    "q_lsh_operating_point", "q_backtest")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

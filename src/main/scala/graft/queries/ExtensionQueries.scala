@@ -6842,6 +6842,158 @@ object ExtensionQueries {
                  AS BIGINT) AS n_at_or_above
         FROM bands
         ORDER BY threshold_ppm
+      """)),
+
+    // LSH banding operating point: candidate pairs from 4 bands × 4
+    // rows of md5-lattice minhash signatures, scored as a DETECTOR of
+    // exact Jaccard >= 0.7 — one row of precision/recall/candidate
+    // counts, the measured answer to "is (b, r) = (4, 4) right for my
+    // threshold" that the 1-(1-s^r)^b S-curve only estimates. Band
+    // agreement is plain equality on the 4-signature tuple (no
+    // re-hashing to replay); candidates are generated per band and
+    // deduped, never doc×doc; both sides of the confusion come from
+    // frames this engine already oracles (q_minhash_calibration's
+    // signatures, q_dedup_jaccard's exact pairs).
+    QueryDef(
+      "q_lsh_operating_point",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+          .localCheckpoint(true)
+        // md5-lattice signatures, 16 hashes (the calibration kernel)
+        val hs = sh
+          .select(col("id"), posexplode(transform(
+            sequence(lit(0), lit(15)), sd =>
+              conv(substring(md5(concat(sd.cast("string"), lit(":"),
+                col("shingle"))), 1, 15), 16, 10).cast("long"))))
+          .withColumnRenamed("pos", "seed").withColumnRenamed("col", "h")
+          .groupBy(col("id"), col("seed")).agg(min(col("h")).as("h"))
+        val bands = hs
+          .withColumn("band", expr("seed div 4"))
+          .groupBy(col("id"), col("band"))
+          .agg(concat_ws(":", transform(sort_array(collect_list(
+            struct(col("seed"), col("h")))),
+            x => x.getField("h").cast("string"))).as("key"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.key") === col("y.key") &&
+              col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .distinct()
+          .localCheckpoint(true)
+        val truth = Dedup.jaccardPairs(sh, 0.7)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val tp = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+        val counts = cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+        counts.select(col("n_candidates"), col("n_truth"), col("n_tp"),
+          expr("(n_tp * CAST(1000000 AS BIGINT)) div n_candidates")
+            .as("precision_ppm"),
+          expr("(n_tp * CAST(1000000 AS BIGINT)) div n_truth")
+            .as("recall_ppm"))
+      },
+      Some(s"""
+        WITH ${shingleCtes(3, "documents")},
+        seeds AS (SELECT unnest(range(0, 16)) AS seed),
+        hs AS (
+          SELECT g.doc_id AS id, s.seed,
+                 min(CAST(concat('0x', substr(md5(
+                     s.seed || ':' || g.shingle), 1, 15)) AS BIGINT)) AS h
+          FROM grams g CROSS JOIN seeds s
+          GROUP BY 1, 2),
+        bandkeys AS (
+          SELECT id, seed // 4 AS band,
+                 string_agg(CAST(h AS VARCHAR), ':' ORDER BY seed)
+                   AS key
+          FROM hs GROUP BY 1, 2),
+        cand AS (
+          SELECT DISTINCT x.id AS id_a, y.id AS id_b
+          FROM bandkeys x JOIN bandkeys y
+            ON x.band = y.band AND x.key = y.key AND x.id < y.id),
+        sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+          FROM grams a JOIN grams b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT id_a, id_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+                >= 0.7),
+        tp AS (SELECT * FROM cand SEMI JOIN truth
+               USING (id_a, id_b)),
+        c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+        c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+        c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_tp FROM tp)
+        SELECT n_candidates, n_truth, n_tp,
+               CAST((n_tp * 1000000) // n_candidates AS BIGINT)
+                 AS precision_ppm,
+               CAST((n_tp * 1000000) // n_truth AS BIGINT) AS recall_ppm
+        FROM c1 CROSS JOIN c2 CROSS JOIN c3
+      """)),
+
+    // Walk-forward forecast backtest per event type: naive
+    // (last-hour) vs seasonal-naive (same-hour-yesterday) MAE over
+    // the last quarter of each type's OBSERVED hours — the honest
+    // eval that predicts each test hour from ACTUAL history only
+    // (pure lag windows, no recursion, exact integer errors on the
+    // milli lattice).
+    QueryDef(
+      "q_backtest",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"),
+            unix_timestamp(col("window.start")).as("h"), col("n"))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val wAll = Window.partitionBy(col("event_type"))
+        val lagged = hourly
+          .withColumn("i", row_number().over(wOrd))
+          .withColumn("nh", count(lit(1)).over(wAll))
+          .withColumn("p_naive", lag(col("n"), 1).over(wOrd))
+          .withColumn("p_seasonal", lag(col("n"), 24).over(wOrd))
+          .filter(col("i") > expr("(3 * nh) div 4") &&
+            col("p_seasonal").isNotNull)
+        lagged.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            expr("(sum(abs(n - p_naive)) * CAST(1000 AS BIGINT)) " +
+              "div count(1)").as("mae_naive_milli"),
+            expr("(sum(abs(n - p_seasonal)) * CAST(1000 AS BIGINT)) " +
+              "div count(1)").as("mae_seasonal_milli"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type,
+                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        lagged AS (
+          SELECT event_type, n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY h) AS i,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nh,
+                 lag(n, 1) OVER (PARTITION BY event_type ORDER BY h)
+                   AS p_naive,
+                 lag(n, 24) OVER (PARTITION BY event_type ORDER BY h)
+                   AS p_seasonal
+          FROM hourly)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+               CAST((SUM(abs(n - p_naive)) * 1000) // count(*)
+                 AS BIGINT) AS mae_naive_milli,
+               CAST((SUM(abs(n - p_seasonal)) * 1000) // count(*)
+                 AS BIGINT) AS mae_seasonal_milli
+        FROM lagged
+        WHERE i > (3 * nh) // 4 AND p_seasonal IS NOT NULL
+        GROUP BY 1
+        ORDER BY event_type
       """))
   )
 
