@@ -6994,6 +6994,137 @@ object ExtensionQueries {
         WHERE i > (3 * nh) // 4 AND p_seasonal IS NOT NULL
         GROUP BY 1
         ORDER BY event_type
+      """)),
+
+    // Link prediction over the 3-NN similarity graph: for every
+    // 2-hop non-edge pair, common-neighbor count, neighbor-set
+    // Jaccard (ppm), and Adamic-Adar (Σ 1/log10 deg(z) over shared
+    // neighbors z, 9-dp-snapped per z then DECIMAL-summed) — the
+    // "which similar-doc edges are MISSING" candidates. Wedge
+    // generation is two node-keyed joins; existing edges drop by
+    // anti-join; top-50 by (aa desc, ids). Every common neighbor in
+    // an undirected kNN-3 graph has degree ≥ 2, so 1/log10(deg) is
+    // finite by construction.
+    QueryDef(
+      "q_link_prediction",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.bruteForceTopK(
+          emb, emb, "vec_id", "embedding", 3)
+        val e = knn
+          .select(least(col("query_id"), col("neighbor_id")).as("u"),
+            greatest(col("query_id"), col("neighbor_id")).as("v"))
+          .distinct().localCheckpoint(true)
+        val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val deg = und.groupBy(col("u").as("z"))
+          .agg(count(lit(1)).as("dz"))
+        val wedges = und.select(col("u").as("a"), col("v").as("z"))
+          .join(und.select(col("u").as("z"), col("v").as("b")), "z")
+          .filter(col("a") < col("b"))
+          .join(e.select(col("u").as("a"), col("v").as("b")),
+            Seq("a", "b"), "left_anti")
+        val scored = wedges
+          .join(deg, "z")
+          .groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("common_neighbors"),
+            sum(round(lit(1.0) / log10(col("dz").cast("double")), 9)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+              .as("__aa"))
+        scored
+          .join(deg.select(col("z").as("a"), col("dz").as("da")), "a")
+          .join(deg.select(col("z").as("b"), col("dz").as("db")), "b")
+          .select(col("a"), col("b"), col("common_neighbors"),
+            expr("(common_neighbors * CAST(1000000 AS BIGINT)) " +
+              "div (da + db - common_neighbors)").as("jaccard_ppm"),
+            round(col("__aa").cast("double"), 6).as("adamic_adar"))
+          .orderBy(col("adamic_adar").desc, col("a"), col("b"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH $knnEdgeCtes,
+        und AS (SELECT id_a AS u, id_b AS v FROM e
+                UNION ALL SELECT id_b, id_a FROM e),
+        deg AS (SELECT u AS z, CAST(count(*) AS BIGINT) AS dz
+                FROM und GROUP BY 1),
+        wedges AS (
+          SELECT x.u AS a, x.v AS z, y.v AS b
+          FROM und x JOIN und y ON y.u = x.v
+          WHERE x.u < y.v
+            AND NOT EXISTS (SELECT 1 FROM e
+                            WHERE e.id_a = x.u AND e.id_b = y.v)),
+        lpscored AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
+                 SUM(CAST(ROUND(1.0 / log10(CAST(dz AS DOUBLE)), 9)
+                   AS DECIMAL(38,12))) AS aa
+          FROM wedges JOIN deg USING (z)
+          GROUP BY 1, 2)
+        SELECT s.a, s.b, s.common_neighbors,
+               CAST((s.common_neighbors * 1000000)
+                    // (da.dz + db.dz - s.common_neighbors) AS BIGINT)
+                 AS jaccard_ppm,
+               ROUND(CAST(s.aa AS DOUBLE), 6) AS adamic_adar
+        FROM lpscored s
+        JOIN deg da ON da.z = s.a
+        JOIN deg db ON db.z = s.b
+        ORDER BY adamic_adar DESC, a, b
+        LIMIT 50
+      """)),
+
+    // Entity resolution end-to-end: blocked edit-distance pairs over
+    // part names (the q_fuzzy_join kernel) closed into entity
+    // clusters by the engine's own min-label components — the
+    // pairs→entities step every record-linkage pipeline needs after
+    // matching. Names map to stable numeric node ids (min partkey
+    // per name) so the component kernel and the recursive-reach
+    // oracle agree on labels; output = one row per multi-name
+    // entity with its size and canonical (minimum) name.
+    QueryDef(
+      "q_entity_clusters",
+      (s, dir) => {
+        import graft.operators.{Dedup, FuzzyJoin}
+        val parts = Tables(s, dir, "part")
+        val nameIds = parts.groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("nid"))
+          .localCheckpoint(true)
+        val pairs = FuzzyJoin.similarPairs(
+            parts.select(col("p_name")), "p_name", maxDist = 2)
+          .join(nameIds.select(col("p_name").as("name_a"),
+            col("nid").as("id_a")), "name_a")
+          .join(nameIds.select(col("p_name").as("name_b"),
+            col("nid").as("id_b")), "name_b")
+          .select(col("id_a"), col("id_b"))
+        val comp = Dedup.connectedComponents(pairs)
+        comp
+          .join(nameIds.select(col("nid").as("id"), col("p_name")), "id")
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_names"),
+            min(col("p_name")).as("canonical_name"))
+          .filter(col("n_names") >= 2)
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH RECURSIVE nm AS (
+          SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1),
+        pr AS (
+          SELECT a.nid AS id_a, b.nid AS id_b
+          FROM nm a JOIN nm b ON a.p_name < b.p_name
+          WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+        lab AS (
+          SELECT a AS id, least(a, MIN(b)) AS label
+          FROM reach GROUP BY a)
+        SELECT l.label, CAST(count(*) AS BIGINT) AS n_names,
+               min(nm.p_name) AS canonical_name
+        FROM lab l JOIN nm ON nm.nid = l.id
+        GROUP BY 1
+        HAVING count(*) >= 2
+        ORDER BY label
       """))
   )
 
