@@ -7125,6 +7125,130 @@ object ExtensionQueries {
         GROUP BY 1
         HAVING count(*) >= 2
         ORDER BY label
+      """)),
+
+    // Filtered vector search: top-5 cosine neighbors RESTRICTED to
+    // the query's own label — the metadata-filtered ANN every
+    // retrieval stack needs ("similar docs from the same collection
+    // only"). The filter applies BEFORE scoring (label equality
+    // rides the candidate join), so selective filters shrink the
+    // work instead of starving a post-filtered top-k; the label
+    // lives on the shuffle key alongside the dimension index.
+    QueryDef(
+      "q_ann_filtered",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val dims = emb.select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("label"), col("i"),
+            col("x").cast("double").as("x"))
+        val norms = dims.groupBy(col("vec_id"))
+          .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
+        val qd = dims.filter(pmod(col("vec_id"), lit(97L)) === 0)
+        val dots = qd.as("q").join(dims.as("c"),
+            col("q.i") === col("c.i") &&
+              col("q.label") === col("c.label") &&
+              col("q.vec_id") =!= col("c.vec_id"))
+          .groupBy(col("q.vec_id").as("query_id"),
+            col("c.vec_id").as("neighbor_id"))
+          .agg(sum(col("q.x") * col("c.x")).as("d"))
+        val scored = dots
+          .join(norms.select(col("vec_id").as("query_id"),
+            col("nrm").as("nq")), "query_id")
+          .join(norms.select(col("vec_id").as("neighbor_id"),
+            col("nrm").as("nc")), "neighbor_id")
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("d") / (col("nq") * col("nc")), 6).as("cosine"))
+        scored
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("query_id"))
+              .orderBy(col("cosine").desc, col("neighbor_id"))))
+          .filter(col("rank") <= 5)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
+                  FROM dims GROUP BY 1),
+        dots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sum(q.x * c.x) AS d
+          FROM dims q JOIN dims c
+            ON q.i = c.i AND q.label = c.label
+           AND q.vec_id <> c.vec_id
+          WHERE q.vec_id % 97 = 0
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
+          FROM dots
+          JOIN norms nq ON nq.vec_id = query_id
+          JOIN norms nc ON nc.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """)),
+
+    // Modality-mix budget accounting: per deterministic modality
+    // (doc_id mod 3 → text/image/audio) the byte and estimated
+    // patch-token totals plus integer-ppm shares — q_token_budget's
+    // multimodal sibling, computed on the same binary payload
+    // column the multimodal plumbing carries (patch tokens =
+    // ceil(bytes/256), the byte-budget stand-in for a real patch
+    // tokenizer).
+    QueryDef(
+      "q_modality_budget",
+      (s, dir) => {
+        val withMod = graft.multimodal.Multimodal.withPayload(
+            Tables.documents(s, dir), "doc_id", "text")
+          .select(col("id"),
+            element_at(array(lit("text"), lit("image"), lit("audio")),
+              (pmod(col("id"), lit(3L)) + 1).cast("int")).as("modality"),
+            octet_length(col("payload")).cast("long").as("bytes"))
+          .withColumn("patch_tokens", expr("(bytes + 255) div 256"))
+        val grouped = withMod.groupBy(col("modality"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("bytes")).as("total_bytes"),
+            sum(col("patch_tokens")).as("total_patch_tokens"))
+        grouped
+          .crossJoin(broadcast(
+            grouped.agg(sum(col("total_patch_tokens")).as("__t"))))
+          .select(col("modality"), col("n_items"), col("total_bytes"),
+            col("total_patch_tokens"),
+            expr("(total_patch_tokens * CAST(1000000 AS BIGINT)) div __t")
+              .as("share_ppm"))
+          .orderBy(col("modality"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT doc_id,
+                 CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
+                      ELSE 'audio' END AS modality,
+                 CAST(strlen(text) AS BIGINT) AS bytes,
+                 (CAST(strlen(text) AS BIGINT) + 255) // 256
+                   AS patch_tokens
+          FROM documents),
+        grouped AS (
+          SELECT modality, CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(bytes) AS BIGINT) AS total_bytes,
+                 CAST(sum(patch_tokens) AS BIGINT) AS total_patch_tokens
+          FROM m GROUP BY 1)
+        SELECT modality, n_items, total_bytes, total_patch_tokens,
+               CAST((total_patch_tokens * 1000000)
+                    // (SELECT SUM(total_patch_tokens) FROM grouped)
+                 AS BIGINT) AS share_ppm
+        FROM grouped
+        ORDER BY modality
       """))
   )
 
