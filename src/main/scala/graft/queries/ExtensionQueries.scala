@@ -7249,7 +7249,123 @@ object ExtensionQueries {
                  AS BIGINT) AS share_ppm
         FROM grouped
         ORDER BY modality
-      """))
+      """)),
+
+    // Slice-based evaluation: the NB classifier's held-out accuracy
+    // DISAGGREGATED by source — the responsible-eval table that
+    // catches a model that is 90% overall and 40% on one feed, which
+    // the global q_nb_confusion can hide. Integer counts + one ppm
+    // division per slice.
+    QueryDef(
+      "q_sliced_accuracy",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        val model = graft.operators.NaiveBayes.fit(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
+        graft.operators.NaiveBayes.classify(model, test, "doc_id", "text")
+          .join(test.select(col("doc_id"), col("lang"), col("source")),
+            "doc_id")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("acc_ppm",
+            expr("(n_correct * CAST(1000000 AS BIGINT)) div n"))
+          .orderBy(col("source"))
+      },
+      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}" +
+        """
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN b.label = te.lang THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_correct,
+               CAST((sum(CASE WHEN b.label = te.lang THEN 1 ELSE 0 END)
+                     * 1000000) // count(*) AS BIGINT) AS acc_ppm
+        FROM best b
+        JOIN te USING (doc_id)
+        JOIN documents d ON d.doc_id = te.doc_id
+        WHERE b.rn = 1
+        GROUP BY 1
+        ORDER BY d.source
+      """)),
+
+    // McNemar's paired test: is the NB classifier actually BETTER
+    // than the lexicon lang-id heuristic on the same held-out docs,
+    // or do they just disagree? Discordant counts b (lexicon right,
+    // NB wrong) and c (NB right, lexicon wrong), the continuity-
+    // corrected statistic as an exact integer rational, verdict by
+    // the chi-square(1) 5% cross-multiplication (the chiSquareUniform
+    // policy — no float anywhere).
+    QueryDef(
+      "q_mcnemar",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+        val model = graft.operators.NaiveBayes.fit(
+          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
+        val paired = graft.operators.NaiveBayes
+          .classify(model, test, "doc_id", "text")
+          .join(test.select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(col("text")).as("lex")), "doc_id")
+          .select(
+            when(col("pred") === col("lang"), 1L).otherwise(0L).as("nbok"),
+            when(col("lex") === col("lang"), 1L).otherwise(0L).as("lxok"))
+        paired.agg(count(lit(1)).as("n"),
+            sum(when(col("lxok") === 1 && col("nbok") === 0, 1L)
+              .otherwise(0L)).as("b"),
+            sum(when(col("nbok") === 1 && col("lxok") === 0, 1L)
+              .otherwise(0L)).as("c"))
+          .filter(col("b") + col("c") > 0)
+          .select(col("n"), col("b"), col("c"),
+            expr("((abs(b - c) - 1) * (abs(b - c) - 1) " +
+              "* CAST(10000 AS BIGINT)) div (b + c)").as("stat_e4"),
+            when(expr("(abs(b - c) - 1) * (abs(b - c) - 1) * 10000 " +
+              "> 38415 * (b + c)"), "different").otherwise("same")
+              .as("verdict"))
+      },
+      Some {
+        val unions = TextAnalysis.langLexicons.map { case (l, lex) =>
+          s"""SELECT doc_id, lang, '$l' AS guess,
+              len(list_intersect(list_distinct(string_split(text, ' ')),
+                  [${sqlList(lex)}])) AS s
+              FROM documents WHERE doc_id % 5 = 0"""
+        }.mkString(" UNION ALL ")
+        s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}," +
+          s"""
+        lexscores AS ($unions),
+        lexbest AS (
+          SELECT doc_id, lang,
+                 CASE WHEN s > 0 THEN guess ELSE 'und' END AS lex
+          FROM (SELECT doc_id, lang, guess, s,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY s DESC, guess ASC)
+                         AS rn
+                FROM lexscores)
+          WHERE rn = 1),
+        paired AS (
+          SELECT CASE WHEN b.label = te.lang THEN 1 ELSE 0 END AS nbok,
+                 CASE WHEN lx.lex = te.lang THEN 1 ELSE 0 END AS lxok
+          FROM best b
+          JOIN te USING (doc_id)
+          JOIN lexbest lx ON lx.doc_id = te.doc_id
+          WHERE b.rn = 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN lxok = 1 AND nbok = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(sum(CASE WHEN nbok = 1 AND lxok = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c
+          FROM paired)
+        SELECT n, b, c,
+               CAST(((abs(b - c) - 1) * (abs(b - c) - 1) * 10000)
+                    // (b + c) AS BIGINT) AS stat_e4,
+               CASE WHEN (abs(b - c) - 1) * (abs(b - c) - 1) * 10000
+                         > 38415 * (b + c)
+                    THEN 'different' ELSE 'same' END AS verdict
+        FROM agg
+        WHERE b + c > 0
+      """
+      })
   )
 
   /** DECOMPOSED "cafe\u0301 A\u030A" — e and A followed by combining
