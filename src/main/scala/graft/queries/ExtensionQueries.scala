@@ -6401,60 +6401,54 @@ object ExtensionQueries {
       """)),
 
     // DBSCAN over the embedding table at cosine-eps 0.3 / minPts 3
-    // (neighbor count excludes self): cores by degree, clusters =
+    // (neighbor count excludes self), with the ε-graph generated the
+    // way the operator's scaladoc prescribes FOR SCALE: candidate
+    // pairs come from IVF-cell blocking (the shared sampled-codebook
+    // assignment — same kernel as semantic dedup), so the pair join
+    // is cell-bounded instead of corpus². Cores by degree, clusters =
     // components of the core-core subgraph, borders take the MINIMUM
-    // core-neighbor label (classic DBSCAN is arrival-order-dependent
-    // there; the min convention is a pure function of the graph),
-    // noise keeps -1 (Dbscan scaladoc). Candidate pairs here are the
-    // exact dimension-keyed cosine join on the 6-dp lattice — the
-    // IVF/LSH blocked generator is the 100-TB swap-in. The oracle
-    // replays pairs, degrees, the reach closure, border mins, and
-    // the noise fill.
+    // core-neighbor label, noise keeps -1 (Dbscan scaladoc). The
+    // oracle replays assignment → within-cell pair cosines → degrees
+    // → recursive reach → border mins → noise fill on the shared
+    // ivfAssignCtes.
     QueryDef(
       "q_dbscan",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val dims = emb.select(col("vec_id"),
-            posexplode(col("embedding")).as(Seq("i", "x")))
-          .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
-        val norms = dims.groupBy(col("vec_id"))
-          .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-        val pairs = dims.as("a").join(dims.as("b"),
-            col("a.i") === col("b.i") && col("a.vec_id") < col("b.vec_id"))
-          .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-          .agg(sum(col("a.x") * col("b.x")).as("d"))
-          .join(norms.select(col("vec_id").as("id_a"),
-            col("nrm").as("na")), "id_a")
-          .join(norms.select(col("vec_id").as("id_b"),
-            col("nrm").as("nb")), "id_b")
-          .filter(round(col("d") / (col("na") * col("nb")), 6) >= 0.3)
+        val assigned = Similarity.assignCellsSampledCodebook(
+            emb, "vec_id", "embedding", nlist = 16)
+          .localCheckpoint(true)
+        val pairs = assigned
+          .select(col("cell"), col("id").as("id_a"), col("cv").as("va"))
+          .join(assigned.select(col("cell"), col("id").as("id_b"),
+            col("cv").as("vb")), Seq("cell"))
+          .filter(col("id_a") < col("id_b"))
+          .filter(round(graft.functions.VectorFunctions
+            .cosine(col("va"), col("vb")), 6) >= 0.3)
           .select(col("id_a"), col("id_b"))
         graft.operators.Dbscan.cluster(emb, "vec_id",
             pairs, "id_a", "id_b", minPts = 3)
           .orderBy(col("id"))
       },
-      Some("""
-        WITH RECURSIVE dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
-                  FROM dims GROUP BY 1),
-        dots AS (
-          SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS d
-          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+      Some(s"""
+        WITH RECURSIVE $ivfAssignCtes,
+        pdots AS (
+          SELECT a.nid AS id_a, b.nid AS id_b, sum(da.x * db.x) AS d
+          FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid < b.nid
+          JOIN dims da ON da.vec_id = a.nid
+          JOIN dims db ON db.vec_id = b.nid AND db.i = da.i
           GROUP BY 1, 2),
-        e AS (
-          SELECT qa AS u, qb AS v
-          FROM dots
-          JOIN norms na ON na.vec_id = qa
-          JOIN norms nb ON nb.vec_id = qb
+        eps AS (
+          SELECT id_a AS u, id_b AS v
+          FROM pdots
+          JOIN norms na ON na.vec_id = id_a
+          JOIN norms nb ON nb.vec_id = id_b
           WHERE ROUND(d / (na.nrm * nb.nrm), 6) >= 0.3),
-        und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        und AS (SELECT u, v FROM eps UNION ALL SELECT v, u FROM eps),
         deg AS (SELECT u AS id, count(*) AS d FROM und GROUP BY 1),
         cores AS (SELECT id FROM deg WHERE d >= 3),
         ce AS (
-          SELECT u, v FROM e
+          SELECT u, v FROM eps
           WHERE u IN (SELECT id FROM cores)
             AND v IN (SELECT id FROM cores)),
         reach(a, b) AS (
