@@ -131,7 +131,8 @@ object Bench {
     "q_lsh_operating_point", "q_backtest",
     "q_link_prediction", "q_entity_clusters",
     "q_ann_filtered", "q_modality_budget",
-    "q_sliced_accuracy", "q_mcnemar")
+    "q_sliced_accuracy", "q_mcnemar",
+    "q_coreset", "q_ngram_novelty")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -7359,7 +7359,110 @@ object ExtensionQueries {
         FROM agg
         WHERE b + c > 0
       """
-      })
+      }),
+
+    // Farthest-point coreset: 6 greedy k-center picks over the
+    // embedding table — the classic 2-approximation coverage sample
+    // ("the 6 most mutually-distant exemplars") behind coreset
+    // selection and diverse eval-set seeding. The greedy loop is
+    // inherently sequential, so it runs k−1 bounded driver steps
+    // (each one aggregation + a 1-row argmax collect — the BPE-train
+    // loop discipline); distances are 1 − cosine on the 6-dp
+    // lattice, argmax ties to the smaller id. The oracle unrolls the
+    // same five steps as generated CTEs over the shared all-pairs
+    // cosine replay (the mmrPickCtes move).
+    QueryDef(
+      "q_coreset",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+        val k = 6
+        val first = emb.agg(min(col("vec_id"))).collect().head.getLong(0)
+        var picks = Seq((first, 1, Option.empty[Double]))
+        while (picks.size < k) {
+          val pickedDf = emb
+            .filter(col("vec_id").isin(picks.map(_._1): _*))
+            .select(col("vec_id").as("pid"), col("embedding").as("pv"))
+          val next = emb
+            .filter(!col("vec_id").isin(picks.map(_._1): _*))
+            .crossJoin(broadcast(pickedDf))
+            .groupBy(col("vec_id"))
+            .agg(min(round(lit(1.0) - round(graft.functions
+              .VectorFunctions.cosine(col("embedding"), col("pv")), 6),
+              6)).as("md"))
+            .orderBy(col("md").desc, col("vec_id"))
+            .limit(1).collect().head
+          picks = picks :+ ((next.getLong(0), picks.size + 1,
+            Some(next.getDouble(1))))
+        }
+        import s.implicits._
+        picks.map(p => (p._2, p._1, p._3))
+          .toDF("pick", "vec_id", "min_dist")
+          .orderBy(col("pick"))
+      },
+      Some {
+        val steps = (2 to 6).map { i =>
+          val prev = s"sel${i - 1}"
+          s"""
+        c$i AS (
+          SELECT s.qa AS id, MIN(ROUND(1.0 - s.cos, 6)) AS md
+          FROM scored s
+          WHERE s.qb IN (SELECT id FROM $prev)
+            AND s.qa NOT IN (SELECT id FROM $prev)
+          GROUP BY 1),
+        p$i AS (SELECT id, md FROM c$i ORDER BY md DESC, id LIMIT 1),
+        sel$i AS (SELECT id FROM $prev UNION ALL SELECT id FROM p$i)"""
+        }.mkString(",")
+        s"""
+        WITH $knnEdgeCtes,
+        sel1 AS (SELECT min(vec_id) AS id FROM embeddings),
+        $steps
+        SELECT pick, id AS vec_id, md AS min_dist FROM (
+          SELECT 1 AS pick, id, CAST(NULL AS DOUBLE) AS md FROM sel1
+          UNION ALL SELECT 2, id, md FROM p2
+          UNION ALL SELECT 3, id, md FROM p3
+          UNION ALL SELECT 4, id, md FROM p4
+          UNION ALL SELECT 5, id, md FROM p5
+          UNION ALL SELECT 6, id, md FROM p6)
+        ORDER BY pick
+      """
+      }),
+
+    // Per-document n-gram novelty: the fraction of a doc's 3-gram
+    // shingles whose FIRST corpus appearance (min doc_id) is this
+    // doc — the memorization/novelty curation signal ("is this doc
+    // new content or recombined boilerplate"), one inverted-index
+    // pass on pure integers.
+    QueryDef(
+      "q_ngram_novelty",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+          .localCheckpoint(true)
+        val firstSeen = sh.groupBy(col("shingle"))
+          .agg(min(col("id")).as("first_id"))
+        sh.join(firstSeen, "shingle")
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_ppm",
+            expr("(n_novel * CAST(1000000 AS BIGINT)) div n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH ${shingleCtes(3, "documents")},
+        firstseen AS (
+          SELECT shingle, min(doc_id) AS first_id FROM grams GROUP BY 1)
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN f.first_id = g.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               CAST((sum(CASE WHEN f.first_id = g.doc_id
+                         THEN 1 ELSE 0 END) * 1000000) // count(*)
+                 AS BIGINT) AS novelty_ppm
+        FROM grams g JOIN firstseen f USING (shingle)
+        GROUP BY 1
+        ORDER BY g.doc_id
+      """))
   )
 
   /** DECOMPOSED "cafe\u0301 A\u030A" — e and A followed by combining
