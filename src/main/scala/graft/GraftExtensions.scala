@@ -70,6 +70,14 @@ object GraftFunctions {
           if (args.length == 4) longLit(args(3), "seed") else 0x5eedL
         HyperplaneBucketsExpression(args.head,
           intLit(args(1), "bits"), intLit(args(2), "tables"), seed)
+      }),
+    (FunctionIdentifier("graft_nfc_normalize"),
+      info("graft_nfc_normalize",
+        "graft_nfc_normalize(str) - Unicode NFC canonical form of " +
+          "`str` (already-normalized input is returned untouched)."),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_nfc_normalize(str)")
+        NfcNormalizeExpression(args.head)
       }))
 
   /** Register everything on a live session (runtime path; the
@@ -95,5 +103,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectPlannerStrategy(_ => graft.plans.SessionizeStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.CollapseNfcNormalize)
   }
 }

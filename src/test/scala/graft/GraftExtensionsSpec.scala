@@ -56,4 +56,28 @@ class GraftExtensionsSpec extends SparkSuite {
     assert(GraftFunctions.all.map(_._1.funcName).distinct.size
       == GraftFunctions.all.size)
   }
+
+  test("graft_nfc_normalize composes decomposed input from SQL") {
+    // the Scala lexer turns the \\u escapes below into the real
+    // decomposed/precomposed characters before the SQL parser sees them
+    val r = spark.sql(
+      "SELECT graft_nfc_normalize('cafe\u0301') AS n").head().getString(0)
+    assert(r === "caf\u00e9")
+  }
+
+  test("CollapseNfcNormalize removes redundant normalization layers") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq("cafe\u0301").toDF("s")
+    val nested = df.select(graft.functions.NfcNormalize(
+      graft.functions.NfcNormalize(
+        graft.functions.NfcNormalize(col("s")))).as("n"))
+    val optimized = graft.plans.CollapseNfcNormalize(
+      nested.queryExecution.analyzed)
+    val remaining = optimized.expressions.map(_.collect {
+      case e: graft.functions.NfcNormalizeExpression => e
+    }.size).sum
+    assert(remaining === 1, optimized.toString)
+    // semantics preserved
+    assert(nested.head().getString(0) === "caf\u00e9")
+  }
 }
