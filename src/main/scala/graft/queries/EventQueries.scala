@@ -1945,59 +1945,92 @@ object EventQueries {
         graft.operators.Survival.curves(dur, "duration", "event")
           .orderBy(col("t"))
       },
+      Some(survivalOracle)),
+
+    // Median signup→purchase conversion time under censoring: the
+    // first event time where the KM survival curve drops to <= 0.5 —
+    // THE "how long does conversion take" number, which a naive
+    // median-of-converters understates by ignoring everyone still
+    // unconverted. One more selection over the q_survival chain.
+    QueryDef(
+      "q_median_survival",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val t0 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+        val dur = e.join(t0, "user_id")
+          .groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("us") > col("t0"), col("us"))).as("tp"),
+            max(col("us")).as("tmax"), max(col("t0")).as("t00"))
+          .select(
+            when(col("tp").isNotNull, col("tp") - col("t00"))
+              .otherwise(col("tmax") - col("t00")).as("duration"),
+            when(col("tp").isNotNull, 1L).otherwise(0L).as("event"))
+        graft.operators.Survival.curves(dur, "duration", "event")
+          .filter(col("km") <= 0.5)
+          .orderBy(col("t"))
+          .limit(1)
+          .select(col("t").as("median_t_us"), col("n_risk"),
+            col("km"), col("na_cumhaz"))
+      },
+      Some {
+        // wrap the full survival replay: first step at or below 0.5
+        s"""WITH survival AS (
+          ${survivalOracle.replace("ORDER BY na.t", "")})
+        SELECT t AS median_t_us, n_risk, km, na_cumhaz
+        FROM survival WHERE km <= 0.5
+        ORDER BY t LIMIT 1
+      """
+      }),
+
+    // Per-user behavioral entropy: Shannon H over the user's
+    // event-type distribution — predictability scoring (H near 0 =
+    // single-purpose account, high H = diverse journeys), same
+    // 9-dp/DECIMAL per-term lattice as q_token_entropy, users with
+    // >= 5 events.
+    QueryDef(
+      "q_session_entropy",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnts = Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("user_id"))
+        val p = col("c").cast("double") / sum(col("c")).over(w)
+        cnts
+          .select(col("user_id"),
+            sum(col("c")).over(w).as("n"),
+            round(negate(p) * log10(p), 9)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 12))
+              .as("h"))
+          .groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"),
+            round(sum(col("h")).cast("double"), 6).as("entropy"))
+          .filter(col("n_events") >= 5)
+          .orderBy(col("user_id"))
+      },
       Some("""
-        WITH RECURSIVE e AS (
-          SELECT user_id, event_type,
-                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
-          FROM events),
-        t0 AS (SELECT user_id, min(us) AS t0 FROM e
-               WHERE event_type = 'signup' GROUP BY 1),
-        dur AS (
-          SELECT CASE WHEN tp IS NOT NULL THEN tp - t00
-                      ELSE tmax - t00 END AS duration,
-                 CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
-          FROM (
-            SELECT e.user_id,
-                   min(CASE WHEN e.event_type = 'purchase'
-                            AND e.us > t0.t0 THEN e.us END) AS tp,
-                   max(e.us) AS tmax, max(t0.t0) AS t00
-            FROM e JOIN t0 USING (user_id)
-            GROUP BY 1)),
-        byt AS (
-          SELECT duration AS t, count(*) AS alln,
-                 CAST(sum(event) AS BIGINT) AS d
-          FROM dur GROUP BY 1),
-        risked AS (
-          SELECT t, d,
-                 CAST(SUM(alln) OVER (ORDER BY t DESC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS n
-          FROM byt),
-        steps AS (
-          SELECT t, n, d,
-                 ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9)
-                   AS term,
-                 ROUND(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9)
-                   AS factor,
-                 ROW_NUMBER() OVER (ORDER BY t) AS i
-          FROM risked WHERE d >= 1),
-        rec AS (
-          SELECT i, factor AS km FROM steps WHERE i = 1
-          UNION ALL
-          SELECT s.i, r.km * s.factor
-          FROM rec r JOIN steps s ON s.i = r.i + 1),
-        na AS (
-          SELECT t, n, d, i,
-                 SUM(CAST(term AS DECIMAL(38,12)))
-                   OVER (ORDER BY t
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cumhaz
-          FROM steps)
-        SELECT na.t, na.n AS n_risk, na.d AS n_events,
-               ROUND(rec.km, 6) AS km,
-               ROUND(CAST(na.cumhaz AS DOUBLE), 6) AS na_cumhaz
-        FROM na JOIN rec USING (i)
-        ORDER BY na.t
+        WITH cnts AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM events GROUP BY 1, 2),
+        wn AS (
+          SELECT user_id, c,
+                 CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+          FROM cnts),
+        contrib AS (
+          SELECT user_id, n,
+                 CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+                              * log10(CAST(c AS DOUBLE) / n), 9)
+                      AS DECIMAL(38,12)) AS h
+          FROM wn)
+        SELECT user_id, max(n) AS n_events,
+               ROUND(CAST(sum(h) AS DOUBLE), 6) AS entropy
+        FROM contrib GROUP BY user_id
+        HAVING max(n) >= 5
+        ORDER BY user_id
       """)),
 
     // RFM segmentation: per-user Recency/Frequency/Monetary quartile
@@ -2156,6 +2189,64 @@ object EventQueries {
         GROUP BY stage ORDER BY stage
       """))
   )
+
+  /** The Kaplan-Meier / Nelson-Aalen replay shared by q_survival and
+    * q_median_survival (full SQL including the RECURSIVE keyword).
+    */
+  private lazy val survivalOracle: String = """
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        t0 AS (SELECT user_id, min(us) AS t0 FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        dur AS (
+          SELECT CASE WHEN tp IS NOT NULL THEN tp - t00
+                      ELSE tmax - t00 END AS duration,
+                 CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+          FROM (
+            SELECT e.user_id,
+                   min(CASE WHEN e.event_type = 'purchase'
+                            AND e.us > t0.t0 THEN e.us END) AS tp,
+                   max(e.us) AS tmax, max(t0.t0) AS t00
+            FROM e JOIN t0 USING (user_id)
+            GROUP BY 1)),
+        byt AS (
+          SELECT duration AS t, count(*) AS alln,
+                 CAST(sum(event) AS BIGINT) AS d
+          FROM dur GROUP BY 1),
+        risked AS (
+          SELECT t, d,
+                 CAST(SUM(alln) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n
+          FROM byt),
+        steps AS (
+          SELECT t, n, d,
+                 ROUND(CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                   AS term,
+                 ROUND(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                   AS factor,
+                 ROW_NUMBER() OVER (ORDER BY t) AS i
+          FROM risked WHERE d >= 1),
+        rec AS (
+          SELECT i, factor AS km FROM steps WHERE i = 1
+          UNION ALL
+          SELECT s.i, r.km * s.factor
+          FROM rec r JOIN steps s ON s.i = r.i + 1),
+        na AS (
+          SELECT t, n, d, i,
+                 SUM(CAST(term AS DECIMAL(38,12)))
+                   OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cumhaz
+          FROM steps)
+        SELECT na.t, na.n AS n_risk, na.d AS n_events,
+               ROUND(rec.km, 6) AS km,
+               ROUND(CAST(na.cumhaz AS DOUBLE), 6) AS na_cumhaz
+        FROM na JOIN rec USING (i)
+        ORDER BY na.t
+      """
 
   /** The Holt-Winters recursive-CTE replay shared by q_holt_winters
     * and its streaming twin. The s_slot and l' subexpressions are

@@ -191,7 +191,8 @@ class PlanShapeSpec extends SparkSuite {
       "q_tpch_q3", "q_tpch_q5", "q_rfm", "q_funnel_steps",
       "q_survival", "q_hill_tail", "q_embedding_drift",
       "q_power_analysis", "q_dedup_threshold_sweep", "q_backtest",
-      "q_ann_filtered", "q_modality_budget")
+      "q_ann_filtered", "q_modality_budget",
+      "q_session_entropy")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
