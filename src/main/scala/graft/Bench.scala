@@ -133,7 +133,8 @@ object Bench {
     "q_ann_filtered", "q_modality_budget",
     "q_sliced_accuracy", "q_mcnemar",
     "q_coreset", "q_ngram_novelty",
-    "q_median_survival", "q_session_entropy")
+    "q_median_survival", "q_session_entropy",
+    "q_source_anomaly", "q_interarrival")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

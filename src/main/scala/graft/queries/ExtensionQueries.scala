@@ -7462,6 +7462,134 @@ object ExtensionQueries {
         FROM grams g JOIN firstseen f USING (shingle)
         GROUP BY 1
         ORDER BY g.doc_id
+      """)),
+
+    // Peer-group source anomaly: which FEED is the outlier — each
+    // source's mean-doc-length micro-mean robust-z-scored against
+    // the CROSS-SOURCE median/MAD (the q_robust_outliers machinery
+    // one level up: within-feed tests ask "which doc broke", this
+    // asks "which feed broke"). Exact lower-median selection under
+    // total orders, z on the milli lattice, |z| > 3.5 flags.
+    QueryDef(
+      "q_source_anomaly",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val perSource = Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(expr("(sum(n_chars) * CAST(1000000 AS BIGINT)) " +
+            "div count(1)").as("mean_micro"))
+        val wVal = Window.orderBy(col("mean_micro"), col("source"))
+        val n = perSource.count()
+        val med = perSource
+          .withColumn("rk", row_number().over(wVal))
+          .filter(col("rk") === (n + 1) / 2)
+          .select(col("mean_micro").as("med"))
+        val devs = perSource.crossJoin(broadcast(med))
+          .withColumn("adev", abs(col("mean_micro") - col("med")))
+        val wDev = Window.orderBy(col("adev"), col("source"))
+        val mad = devs
+          .withColumn("rk", row_number().over(wDev))
+          .filter(col("rk") === (n + 1) / 2)
+          .select(col("adev").as("mad"))
+        devs.crossJoin(broadcast(mad))
+          .filter(col("mad") > 0)
+          // sign · (|diff|·1000 div mad): Spark's div truncates while
+          // DuckDB's // floors, so a signed lattice division would
+          // diverge by one on negative deviations (the q_k_anonymity
+          // FLOOR lesson) — magnitude-then-sign agrees everywhere
+          .select(col("source"), col("mean_micro"),
+            (signum((col("mean_micro") - col("med")).cast("double"))
+              .cast("long") *
+              expr("(abs(mean_micro - med) * CAST(1000 AS BIGINT)) " +
+                "div mad")).as("robust_z_milli"))
+          .withColumn("anomalous",
+            abs(col("robust_z_milli")) > lit(3500L))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT source,
+                 CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT)
+                   AS mean_micro
+          FROM documents GROUP BY 1),
+        nn AS (SELECT count(*) AS n FROM per),
+        med AS (
+          SELECT mean_micro AS med FROM (
+            SELECT mean_micro,
+                   ROW_NUMBER() OVER (ORDER BY mean_micro, source) AS rk
+            FROM per)
+          WHERE rk = ((SELECT n FROM nn) + 1) // 2),
+        devs AS (
+          SELECT p.source, p.mean_micro,
+                 abs(p.mean_micro - m.med) AS adev, m.med
+          FROM per p CROSS JOIN med m),
+        mad AS (
+          SELECT adev AS mad FROM (
+            SELECT adev,
+                   ROW_NUMBER() OVER (ORDER BY adev, source) AS rk
+            FROM devs)
+          WHERE rk = ((SELECT n FROM nn) + 1) // 2)
+        SELECT d.source, d.mean_micro,
+               CAST(CASE WHEN d.mean_micro >= d.med THEN 1 ELSE -1 END
+                    * ((abs(d.mean_micro - d.med) * 1000) // m.mad)
+                 AS BIGINT) AS robust_z_milli,
+               (abs(d.mean_micro - d.med) * 1000) // m.mad > 3500
+                 AS anomalous
+        FROM devs d CROSS JOIN mad m
+        WHERE m.mad > 0
+        ORDER BY d.source
+      """)),
+
+    // Inter-arrival-time percentiles per event type: exact p50/p90
+    // of the gaps between consecutive events (lag under the
+    // (ts, event_id) total order), selected by rank — the
+    // capacity-planning distribution behind rate alarms; engines
+    // agree on selection, never on interpolation.
+    QueryDef(
+      "q_interarrival",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(wOrd))
+          .filter(col("gap").isNotNull)
+        val wGap = Window.partitionBy(col("event_type"))
+          .orderBy(col("gap"), col("event_id"))
+        gaps
+          .withColumn("rk", row_number().over(wGap))
+          .withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_gaps"),
+            max(when(col("rk") === expr("(n + 1) div 2"), col("gap")))
+              .as("p50_us"),
+            max(when(col("rk") === expr("(9 * n + 9) div 10"),
+              col("gap"))).as("p90_us"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH gaps AS (
+          SELECT event_type, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP))
+                   - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
+                     OVER (PARTITION BY event_type
+                           ORDER BY ts, event_id) AS gap
+          FROM events),
+        ranked AS (
+          SELECT event_type, gap,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY gap, event_id) AS rk,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM gaps WHERE gap IS NOT NULL)
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+               max(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS p50_us,
+               max(CASE WHEN rk = (9 * n + 9) // 10 THEN gap END)
+                 AS p90_us
+        FROM ranked GROUP BY 1
+        ORDER BY event_type
       """))
   )
 

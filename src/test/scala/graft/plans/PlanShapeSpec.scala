@@ -192,7 +192,7 @@ class PlanShapeSpec extends SparkSuite {
       "q_survival", "q_hill_tail", "q_embedding_drift",
       "q_power_analysis", "q_dedup_threshold_sweep", "q_backtest",
       "q_ann_filtered", "q_modality_budget",
-      "q_session_entropy")
+      "q_session_entropy", "q_interarrival")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
