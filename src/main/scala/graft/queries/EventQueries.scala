@@ -1947,6 +1947,119 @@ object EventQueries {
       },
       Some(survivalOracle)),
 
+    // Stage-to-stage funnel conversion rates: of the users who
+    // reached stage k, what ppm continued to k+1 — the derivative
+    // view of q_funnel's histogram (reached(k) = Σ_{s>=k} n_users,
+    // all integers, one small rollup over the 5-row stage table).
+    QueryDef(
+      "q_funnel_rates",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        def firstOf(t: String) =
+          min(when(col("event_type") === t, col("us"))).as(s"t_$t")
+        val stage = when(col("t_signup").isNull, 0)
+          .when(col("t_view").isNull || col("t_view") <= col("t_signup"), 1)
+          .when(col("t_click").isNull || col("t_click") <= col("t_view"), 2)
+          .when(col("t_purchase").isNull ||
+            col("t_purchase") <= col("t_click"), 3)
+          .otherwise(4)
+        val hist = e.groupBy(col("user_id"))
+          .agg(firstOf("signup"), firstOf("view"),
+            firstOf("click"), firstOf("purchase"))
+          .select(stage.as("stage"))
+          .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+        val wGe = Window.orderBy(col("stage").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("reached", sum(col("n_users")).over(wGe))
+          .withColumn("reached_next",
+            lag(col("reached"), 1).over(Window.orderBy(col("stage"))))
+          .select(col("stage"), col("n_users"), col("reached"),
+            when(col("stage") > 0, expr(
+              "(reached * CAST(1000000 AS BIGINT)) div reached_next"))
+              .as("conv_from_prev_ppm"))
+          .orderBy(col("stage"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t1,
+                 min(CASE WHEN event_type = 'view'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t2,
+                 min(CASE WHEN event_type = 'click'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t3,
+                 min(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t4
+          FROM events GROUP BY 1),
+        s AS (
+          SELECT CASE WHEN t1 IS NULL THEN 0
+                      WHEN t2 IS NULL OR t2 <= t1 THEN 1
+                      WHEN t3 IS NULL OR t3 <= t2 THEN 2
+                      WHEN t4 IS NULL OR t4 <= t3 THEN 3
+                      ELSE 4 END AS stage
+          FROM f),
+        hist AS (
+          SELECT stage, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM s GROUP BY stage),
+        roll AS (
+          SELECT stage, n_users,
+                 CAST(SUM(n_users) OVER (ORDER BY stage DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS reached
+          FROM hist)
+        SELECT stage, n_users, reached,
+               CASE WHEN stage > 0 THEN
+                 CAST((reached * 1000000)
+                      // lag(reached, 1) OVER (ORDER BY stage)
+                   AS BIGINT) END AS conv_from_prev_ppm
+        FROM roll
+        ORDER BY stage
+      """)),
+
+    // Ingestion-coverage gap audit: hours inside each event type's
+    // own [first, last] span with ZERO events — the "did the feed go
+    // dark" completeness check (expected hours generated from the
+    // span, observed anti-joined away; counts only, all integer).
+    QueryDef(
+      "q_coverage_gaps",
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("event_type"),
+            unix_timestamp(col("window.start")).as("h"))
+        val spans = hourly.groupBy(col("event_type"))
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+            count(lit(1)).as("n_observed"))
+        spans
+          .select(col("event_type"), col("n_observed"),
+            ((col("h1") - col("h0")) / 3600 + 1).cast("long")
+              .as("n_expected"))
+          .withColumn("n_missing", col("n_expected") - col("n_observed"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH hourly AS (
+          SELECT event_type,
+                 epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS h
+          FROM events GROUP BY 1, 2),
+        spans AS (
+          SELECT event_type, min(h) AS h0, max(h) AS h1,
+                 CAST(count(*) AS BIGINT) AS n_observed
+          FROM hourly GROUP BY 1)
+        SELECT event_type, n_observed,
+               CAST((h1 - h0) / 3600 + 1 AS BIGINT) AS n_expected,
+               CAST((h1 - h0) / 3600 + 1 - n_observed AS BIGINT)
+                 AS n_missing
+        FROM spans
+        ORDER BY event_type
+      """)),
+
     // Median signup→purchase conversion time under censoring: the
     // first event time where the KM survival curve drops to <= 0.5 —
     // THE "how long does conversion take" number, which a naive
