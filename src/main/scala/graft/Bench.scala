@@ -135,7 +135,8 @@ object Bench {
     "q_coreset", "q_ngram_novelty",
     "q_median_survival", "q_session_entropy",
     "q_source_anomaly", "q_interarrival",
-    "q_funnel_rates", "q_coverage_gaps")
+    "q_funnel_rates", "q_coverage_gaps",
+    "q_lang_purity", "q_dedup_savings")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -7590,6 +7590,88 @@ object ExtensionQueries {
                  AS p90_us
         FROM ranked GROUP BY 1
         ORDER BY event_type
+      """)),
+
+    // Per-source language purity: the dominant recorded language's
+    // ppm share — a mixed-language feed dilutes monolingual training
+    // mixes, and this is the one-row-per-feed gauge a mixture plan
+    // filters on (dominant by count, ties to the smaller lang).
+    QueryDef(
+      "q_lang_purity",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cnts = Tables.documents(s, dir)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("lang"))
+        cnts
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", sum(col("c")).over(
+            Window.partitionBy(col("source"))))
+          .filter(col("rk") === 1)
+          .select(col("source"), col("lang").as("dominant_lang"),
+            col("n").as("n_docs"),
+            expr("(c * CAST(1000000 AS BIGINT)) div n").as("purity_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH cnts AS (
+          SELECT source, lang, count(*) AS c
+          FROM documents GROUP BY 1, 2),
+        ranked AS (
+          SELECT source, lang, c,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY c DESC, lang) AS rk,
+                 CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
+          FROM cnts)
+        SELECT source, lang AS dominant_lang, n AS n_docs,
+               CAST((c * 1000000) // n AS BIGINT) AS purity_ppm
+        FROM ranked WHERE rk = 1
+        ORDER BY source
+      """)),
+
+    // Exact-dedup ROI accounting per source: docs and bytes removed
+    // by the keep-min-id rule over md5(text) groups — the number
+    // that justifies (or kills) a dedup stage in a pipeline review,
+    // computed WITHOUT materializing the deduped corpus (group-sized
+    // aggregation only).
+    QueryDef(
+      "q_dedup_savings",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            md5(col("text")).as("h"))
+        val keep = docs.groupBy(col("h"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        docs.join(keep, "h")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+              .as("n_dropped"),
+            sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+              .otherwise(0L)).as("bytes_saved"))
+          .withColumn("saved_ppm",
+            expr("(n_dropped * CAST(1000000 AS BIGINT)) div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id, n_chars, md5(text) AS h
+          FROM documents),
+        keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1)
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN d.doc_id <> k.keep_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(sum(CASE WHEN d.doc_id <> k.keep_id
+                        THEN d.n_chars ELSE 0 END) AS BIGINT)
+                 AS bytes_saved,
+               CAST((sum(CASE WHEN d.doc_id <> k.keep_id
+                         THEN 1 ELSE 0 END) * 1000000) // count(*)
+                 AS BIGINT) AS saved_ppm
+        FROM d JOIN keep k USING (h)
+        GROUP BY 1
+        ORDER BY d.source
       """))
   )
 

@@ -192,7 +192,9 @@ class PlanShapeSpec extends SparkSuite {
       "q_survival", "q_hill_tail", "q_embedding_drift",
       "q_power_analysis", "q_dedup_threshold_sweep", "q_backtest",
       "q_ann_filtered", "q_modality_budget",
-      "q_session_entropy", "q_interarrival")
+      "q_session_entropy", "q_interarrival",
+      "q_lang_purity", "q_dedup_savings", "q_funnel_rates",
+      "q_coverage_gaps")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
