@@ -136,7 +136,7 @@ object Bench {
     "q_median_survival", "q_session_entropy",
     "q_source_anomaly", "q_interarrival",
     "q_funnel_rates", "q_coverage_gaps",
-    "q_lang_purity", "q_dedup_savings")
+    "q_lang_purity", "q_dedup_savings", "q_lof")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

@@ -7672,6 +7672,61 @@ object ExtensionQueries {
         FROM d JOIN keep k USING (h)
         GROUP BY 1
         ORDER BY d.source
+      """)),
+
+    // Embedding-space outlier factor (simplified LOF, Breunig et al.
+    // 2000): each point's mean distance to its 3 nearest neighbors,
+    // ratioed against its NEIGHBORS' own mean-kNN-distances — a
+    // point deep in a cluster scores ~1000 milli, an isolated point
+    // scores high because its neighbors are mutually close. Entirely
+    // on integer lattices: per-edge cosine DISTANCE micro, per-point
+    // mean by floor division, the final ratio in milli — two
+    // node-keyed joins over the directed kNN-3 edge list, top-20 by
+    // (lof desc, id).
+    QueryDef(
+      "q_lof",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val knn = Similarity.bruteForceTopK(
+            emb, emb, "vec_id", "embedding", 3)
+          .select(col("query_id").as("a"), col("neighbor_id").as("b"),
+            (lit(1000000L) -
+              round(col("cosine") * lit(1e6)).cast("long")).as("dmicro"))
+        val md = knn.groupBy(col("a"))
+          .agg(expr("sum(dmicro) div count(1)").as("md"))
+        val rm = knn
+          .join(md.select(col("a").as("b"), col("md").as("nbmd")), "b")
+          .groupBy(col("a"))
+          .agg(expr("sum(nbmd) div count(1)").as("rm"))
+        md.join(rm, "a")
+          .filter(col("rm") > 0)
+          .select(col("a").as("vec_id"), col("md").as("mean_dist_micro"),
+            expr("(md * CAST(1000 AS BIGINT)) div rm").as("lof_milli"))
+          .orderBy(col("lof_milli").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH $knnEdgeCtes,
+        knn AS (
+          -- ranked carries only (qa, qb, rn); rejoin scored for cos
+          SELECT r.qa AS a, r.qb AS b,
+                 1000000 - CAST(ROUND(s.cos * 1e6) AS BIGINT) AS dmicro
+          FROM ranked r
+          JOIN scored s ON s.qa = r.qa AND s.qb = r.qb
+          WHERE r.rn <= 3),
+        md AS (
+          SELECT a, CAST(SUM(dmicro) // count(*) AS BIGINT) AS md
+          FROM knn GROUP BY 1),
+        rm AS (
+          SELECT knn.a, CAST(SUM(nb.md) // count(*) AS BIGINT) AS rm
+          FROM knn JOIN md nb ON nb.a = knn.b
+          GROUP BY 1)
+        SELECT md.a AS vec_id, md.md AS mean_dist_micro,
+               CAST((md.md * 1000) // rm.rm AS BIGINT) AS lof_milli
+        FROM md JOIN rm ON rm.a = md.a
+        WHERE rm.rm > 0
+        ORDER BY lof_milli DESC, vec_id
+        LIMIT 20
       """))
   )
 
