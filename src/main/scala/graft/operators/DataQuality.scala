@@ -175,8 +175,11 @@ object DataQuality {
     * snapshots / replicas / migration outputs the same table?"
     * answered WITHOUT shipping or sorting rows (the Merkle-leaf
     * trick every storage migration re-invents): each row hashes to a
-    * 60-bit integer (md5 over the ``-joined column values, the
-    * engine's cross-engine hash convention), and a group's signature
+    * 60-bit integer (md5 over the column values joined by the
+    * U+0001 field separator — written as the visible "\\u0001"
+    * escape in code so the invisible byte cannot be silently
+    * dropped by an edit; the oracle's chr(1) — the engine's
+    * cross-engine hash convention), and a group's signature
     * is the pair (XOR, SUM mod 2⁶¹) of its row hashes — both
     * combiners are commutative and associative, so the signature is
     * identical under ANY partitioning, row order, or engine, and
@@ -197,7 +200,7 @@ object DataQuality {
       : DataFrame = {
     require(hashCols.nonEmpty, "need at least one hash column")
     val d38 = DecimalType(38, 0)
-    val rowHash = conv(substring(md5(concat_ws("",
+    val rowHash = conv(substring(md5(concat_ws("\u0001",
       hashCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
       .cast("long")
     val grouped =

@@ -41,6 +41,21 @@ object Dbscan {
       minPts: Int): DataFrame = {
     require(minPts >= 1, s"minPts: $minPts")
     Reserved.check("universe" -> universe, "pairs" -> pairs)
+    // ids are cast to long for the label lattice below; a non-numeric
+    // id would cast to NULL and silently degrade every row to noise
+    // (−1), so refuse up front (the kendallTauB/theilSen policy).
+    Seq(universe.schema(idCol).dataType,
+        pairs.schema(aCol).dataType, pairs.schema(bCol).dataType)
+      .zip(Seq(idCol, aCol, bCol)).foreach {
+        case (org.apache.spark.sql.types.ByteType, _) => ()
+        case (org.apache.spark.sql.types.ShortType, _) => ()
+        case (org.apache.spark.sql.types.IntegerType, _) => ()
+        case (org.apache.spark.sql.types.LongType, _) => ()
+        case (dt, c) => throw new IllegalArgumentException(
+          s"Dbscan.cluster: id column '$c' is $dt; integral ids are " +
+            "required — a non-numeric id casts to NULL and every row " +
+            "would silently become noise")
+      }
     val e = pairs
       .where(col(aCol).isNotNull && col(bCol).isNotNull &&
         col(aCol) =!= col(bCol))

@@ -68,7 +68,8 @@ object RankCorrelation {
     stats
       .filter(col("n") >= 2 && varx =!= lit(0.0) && vary =!= lit(0.0))
       .select(col(groupCol), col("n"),
-        round(cov / sqrt(varx * vary), 6).as("rho"))
+        (round(cov / sqrt(varx * vary) * lit(1e6)).cast("long")
+          .cast("double") / lit(1e6)).as("rho"))
   }
 
   /** Kendall's τ-b per group — [[spearman]]'s sibling with the
@@ -124,12 +125,19 @@ object RankCorrelation {
     val b = rows.select(col("__g"), col("__x").as("__xb"),
       col("__y").as("__yb"))
     // each unordered pair appears twice in the full self-join; C and
-    // D halve at the end (exact: both counts are even)
+    // D halve at the end (exact: both counts are even). Concordance
+    // is decided by COMPARISONS, never by the (xa−xb)(ya−yb) product:
+    // with large lattice values (microsecond timestamps) the BIGINT
+    // product exceeds 2^63 and Spark silently wraps (non-ANSI),
+    // flipping counts, while a replay engine may promote — the
+    // comparison form is overflow-free by construction.
     val pairs = a.join(b, "__g")
       .groupBy(col("__g"))
-      .agg(expr("sum(case when (__xa - __xb) * (__ya - __yb) > 0 " +
+      .agg(expr("sum(case when (__xa > __xb and __ya > __yb) " +
+        "or (__xa < __xb and __ya < __yb) " +
         "then 1 else 0 end) div 2").as("concordant"),
-        expr("sum(case when (__xa - __xb) * (__ya - __yb) < 0 " +
+        expr("sum(case when (__xa > __xb and __ya < __yb) " +
+          "or (__xa < __xb and __ya > __yb) " +
           "then 1 else 0 end) div 2").as("discordant"))
     def tieTerm(c: String) = rows.groupBy(col("__g"), col(c))
       .agg(count(lit(1)).as("__t"))
@@ -146,7 +154,7 @@ object RankCorrelation {
       .filter(col("n") >= 2 && n0 > col("__tie__x") && n0 > col("__tie__y"))
       .select(col("__g").as(groupCol), col("n"),
         col("concordant"), col("discordant"),
-        round((col("concordant") - col("discordant")).cast("double") / den,
-          6).as("tau_b"))
+        (round((col("concordant") - col("discordant")).cast("double") / den
+          * lit(1e6)).cast("long").cast("double") / lit(1e6)).as("tau_b"))
   }
 }

@@ -75,11 +75,20 @@ object RobustStats {
     *
     * Determinism: x/y ride the caller's integer lattice (validated);
     * each pairwise slope is ONE correctly-rounded IEEE division of
-    * exact integers — bit-identical in any engine — and both
-    * medians are EXACT LOWER-MEDIAN SELECTION under a total order
-    * ((slope, idᵢ, idⱼ) and (residual, id)), rank (m+1) div 2: the
-    * q_step_latency convention, because engines disagree on even-n
-    * interpolation but never on element selection. 6-dp at the edge.
+    * exact integers — bit-identical in any engine — oriented so
+    * dx > 0 (ends swapped when xa > xb), which pins dy = 0 slopes to
+    * +0.0: a `-0.0` (from dy = 0, dx < 0) sorts differently relative
+    * to +0.0 across engines, and if a zero straddles the median rank
+    * the SELECTED element differs. Both medians are EXACT
+    * LOWER-MEDIAN SELECTION under a total order ((slope, idᵢ, idⱼ)
+    * and (residual, id)), rank (m+1) div 2: the q_step_latency
+    * convention, because engines disagree on even-n interpolation
+    * but never on element selection. The output edge is the explicit
+    * micro-lattice snap (×1e6 in double → integer round → one IEEE
+    * division back), NOT `round(x, 6)` — Spark rounds HALF_UP on a
+    * BigDecimal of the double while DuckDB rounds the double
+    * directly, and they disagree at 6-dp magnitudes (the
+    * q_quantize/q_bm25 lesson).
     *
     * Output: (group, n, n_pairs, slope, intercept). Groups need ≥ 2
     * distinct x values (vertical-only pairs are excluded; a group
@@ -121,8 +130,12 @@ object RobustStats {
     val slopes = a.join(b, "__g")
       .filter(col("__ia") < col("__ib") && col("__xa") =!= col("__xb"))
       .select(col("__g"), col("__ia"), col("__ib"),
-        ((col("__yb") - col("__ya")).cast("double") /
-          (col("__xb") - col("__xa")).cast("double")).as("__s"))
+        when(col("__xa") < col("__xb"),
+          (col("__yb") - col("__ya")).cast("double") /
+            (col("__xb") - col("__xa")).cast("double"))
+          .otherwise(
+            (col("__ya") - col("__yb")).cast("double") /
+              (col("__xa") - col("__xb")).cast("double")).as("__s"))
     val wS = Window.partitionBy(col("__g"))
       .orderBy(col("__s"), col("__ia"), col("__ib"))
     val slopeMed = slopes
@@ -140,7 +153,9 @@ object RobustStats {
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
       .filter(col("__rk") === expr("(__n + 1) div 2"))
       .select(col("__g").as(groupCol), col("__n").as("n"), col("n_pairs"),
-        round(col("__slope"), 6).as("slope"),
-        round(col("__r"), 6).as("intercept"))
+        (round(col("__slope") * lit(1e6)).cast("long").cast("double")
+          / lit(1e6)).as("slope"),
+        (round(col("__r") * lit(1e6)).cast("long").cast("double")
+          / lit(1e6)).as("intercept"))
   }
 }

@@ -169,9 +169,17 @@ object Sampling {
       .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
         sum(col("__x").cast(d38) * col("__x").cast(d38)).as("__ss"))
     val nD = col("n").cast("double")
-    val varD = (nD * col("__ss").cast("double") -
-      col("__s").cast("double") * col("__s").cast("double")) /
-      (nD * (nD - lit(1.0)))
+    // greatest(·, 0): for a zero-variance stratum the two
+    // independently rounded doubles can leave a tiny NEGATIVE
+    // difference, and sqrt(-eps) = NaN -> round(NaN).cast(long) =
+    // NULL weight, which would corrupt the largest-remainder quota
+    // sum downstream; the clamp makes zero-variance strata
+    // deterministically weight 0.
+    val varD = greatest(
+      (nD * col("__ss").cast("double") -
+        col("__s").cast("double") * col("__s").cast("double")) /
+        (nD * (nD - lit(1.0))),
+      lit(0.0))
     val weights = stats.select(col(stratumCol), col("n"),
       when(col("n") >= 2,
         round(nD * sqrt(varD) * lit(1e6)).cast("long"))

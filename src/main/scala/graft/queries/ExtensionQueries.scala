@@ -4945,12 +4945,13 @@ object ExtensionQueries {
                  SUM(CAST(ry AS HUGEINT) * ry) AS syy
           FROM ranked GROUP BY 1)
         SELECT source, n,
-               ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    * 1000000.0) AS BIGINT) / 1000000.0
                  AS rho
         FROM g
         WHERE n >= 2
@@ -5990,9 +5991,11 @@ object ExtensionQueries {
           FROM customer LEFT JOIN oc ON o_custkey = c_custkey),
         cd AS (
           SELECT a.g,
-                 CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                 CAST(SUM(CASE WHEN (a.x > b.x AND a.y > b.y)
+                            OR (a.x < b.x AND a.y < b.y)
                           THEN 1 ELSE 0 END) // 2 AS BIGINT) AS c,
-                 CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                 CAST(SUM(CASE WHEN (a.x > b.x AND a.y < b.y)
+                            OR (a.x < b.x AND a.y > b.y)
                           THEN 1 ELSE 0 END) // 2 AS BIGINT) AS d
           FROM pts a JOIN pts b USING (g)
           GROUP BY 1),
@@ -6005,11 +6008,12 @@ object ExtensionQueries {
         nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1)
         SELECT nn.g AS c_nationkey, nn.n, cd.c AS concordant,
                cd.d AS discordant,
-               ROUND(CAST(cd.c - cd.d AS DOUBLE)
+               CAST(ROUND(CAST(cd.c - cd.d AS DOUBLE)
                      / sqrt(CAST((nn.n * (nn.n - 1)) // 2 - tx.tiex
                                  AS DOUBLE)
                             * CAST((nn.n * (nn.n - 1)) // 2 - ty.tiey
-                                   AS DOUBLE)), 6) AS tau_b
+                                   AS DOUBLE)) * 1000000.0) AS BIGINT)
+                 / 1000000.0 AS tau_b
         FROM nn JOIN cd USING (g) JOIN tx USING (g) JOIN ty USING (g)
         WHERE nn.n >= 2
           AND (nn.n * (nn.n - 1)) // 2 > tx.tiex
@@ -6235,8 +6239,11 @@ object ExtensionQueries {
           FROM customer LEFT JOIN oc ON o_custkey = c_custkey),
         slopes AS (
           SELECT a.g, a.id AS ia, b.id AS ib,
-                 CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
-                   AS s
+                 CASE WHEN a.x < b.x
+                   THEN CAST(b.y - a.y AS DOUBLE)
+                        / CAST(b.x - a.x AS DOUBLE)
+                   ELSE CAST(a.y - b.y AS DOUBLE)
+                        / CAST(a.x - b.x AS DOUBLE) END AS s
           FROM pts a JOIN pts b
             ON a.g = b.g AND a.id < b.id AND a.x <> b.x),
         smed AS (
@@ -6253,7 +6260,10 @@ object ExtensionQueries {
                    - sm.slope * CAST(p.x AS DOUBLE) AS r
           FROM pts p JOIN smed sm USING (g))
         SELECT g AS c_nationkey, n, n_pairs,
-               ROUND(slope, 6) AS slope, ROUND(r, 6) AS intercept
+               CAST(ROUND(slope * 1000000.0) AS BIGINT) / 1000000.0
+                 AS slope,
+               CAST(ROUND(r * 1000000.0) AS BIGINT) / 1000000.0
+                 AS intercept
         FROM (
           SELECT g, n_pairs, slope, r,
                  ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, id) AS rk,
@@ -6374,10 +6384,11 @@ object ExtensionQueries {
           SELECT source, n,
                  CASE WHEN n >= 2 THEN
                    CAST(ROUND(CAST(n AS DOUBLE)
-                     * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
-                             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                            / (CAST(n AS DOUBLE)
-                               * (CAST(n AS DOUBLE) - 1.0)))
+                     * sqrt(GREATEST(
+                         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / (CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)), 0.0))
                      * 1e6) AS BIGINT)
                  ELSE 0 END AS weight_micro
           FROM stats),

@@ -772,7 +772,7 @@ object StreamingOps {
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     val d38 = DecimalType(38, 0)
-    val rowHash = conv(substring(md5(concat_ws("",
+    val rowHash = conv(substring(md5(concat_ws("\u0001",
       hashCols.map(c => col(c).cast("string")): _*)), 1, 15), 16, 10)
       .cast("long")
     val agg = stream
