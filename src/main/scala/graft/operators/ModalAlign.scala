@@ -13,14 +13,17 @@ import org.apache.spark.sql.functions._
   * text boilerplate) wins none of its candidates' reverse matches and
   * is dropped, which a threshold filter cannot do.
   *
-  * Scale design: both directions ride [[Similarity.bruteForceTopK]]'s
-  * bounded map-side top-k (exchange ≤ queries×1 rows), so the mutual
-  * join is between two |left|- and |right|-sized frames, never the
-  * pairwise score matrix. The brute inner product broadcasts the
-  * query side — right-sized for the "queries ≪ corpus" shape; at
-  * corpus×corpus scale swap each direction for the IVF-blocked search
-  * ([[Similarity.ivfTopKSampledCodebook]]) and keep the same mutual
-  * join — the filter's semantics don't change with the search path.
+  * Scale design: the DEFAULT path is [[mutualTop1Blocked]] — one
+  * deterministic sampled codebook fitted over the union of both
+  * towers, each side assigned to its cell, candidates = same-cell
+  * cross pairs, directional top-1 within candidates, mutual join.
+  * Nothing larger than the nlist-row codebook is broadcast and the
+  * candidate join shuffles on `cell`, so the shape survives
+  * corpus×corpus at 1000 executors. [[mutualTop1]] keeps the exact
+  * brute kernel ([[Similarity.bruteForceTopK]], query side broadcast
+  * and guarded) for bounded eval slices and as the spec's small-n
+  * exactness cross-check — the mutual-join semantics are identical,
+  * only the candidate generator differs.
   */
 object ModalAlign {
 
@@ -28,6 +31,8 @@ object ModalAlign {
     * top-1 neighbor AND `left` is `right`'s top-1, cosine on the
     * engine's 6-dp lattice, ties broken by neighbor id asc (the
     * [[Similarity]] convention, so "top-1" is deterministic).
+    * Exact brute-force; refuses unbounded sides via the
+    * [[Similarity.bruteForceTopK]] broadcast guard.
     */
   def mutualTop1(
       left: DataFrame, right: DataFrame,
@@ -36,6 +41,47 @@ object ModalAlign {
       .select(col("query_id").as("left_id"),
         col("neighbor_id").as("right_id"), col("cosine"))
     val r2l = Similarity.bruteForceTopK(right, left, idCol, vecCol, k = 1)
+      .select(col("query_id").as("right_id"),
+        col("neighbor_id").as("left_id"))
+    l2r.join(r2l, Seq("left_id", "right_id"))
+  }
+
+  /** The scale path: same mutual-top-1 semantics restricted to the
+    * IVF-cell-blocked candidate set. The codebook is the `nlist`
+    * smallest-id vectors of left ∪ right (a pure function of the
+    * data — oracle-replayable), both sides are assigned against it
+    * ([[Similarity.assignCellsTo]]), and "top-1" is exact within a
+    * row's same-cell opposite-tower candidates, ties by neighbor id
+    * asc. A row whose cell holds no opposite-tower candidate emits
+    * nothing — the standard blocked-generator convention.
+    */
+  def mutualTop1Blocked(
+      left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, nlist: Int = 16): DataFrame = {
+    val centDf = Similarity.sampledCodebook(
+      left.select(col(idCol), col(vecCol))
+        .unionByName(right.select(col(idCol), col(vecCol))),
+      idCol, vecCol, nlist)
+    val la = Similarity.assignCellsTo(left, idCol, vecCol, centDf)
+      .localCheckpoint(true)
+    val ra = Similarity.assignCellsTo(right, idCol, vecCol, centDf)
+      .localCheckpoint(true)
+    val scored = la
+      .select(col("cell"), col("id").as("left_id"), col("cv").as("lv"))
+      .join(ra.select(col("cell"), col("id").as("right_id"),
+        col("cv").as("rv")), Seq("cell"))
+      .select(col("left_id"), col("right_id"),
+        round(graft.functions.VectorFunctions
+          .cosine(col("lv"), col("rv")), 6).as("cosine"))
+      .localCheckpoint(true)
+    val l2r = Similarity.topKPerQuery(
+        scored.select(col("left_id").as("query_id"),
+          col("right_id").as("neighbor_id"), col("cosine")), 1)
+      .select(col("query_id").as("left_id"),
+        col("neighbor_id").as("right_id"), col("cosine"))
+    val r2l = Similarity.topKPerQuery(
+        scored.select(col("right_id").as("query_id"),
+          col("left_id").as("neighbor_id"), col("cosine")), 1)
       .select(col("query_id").as("right_id"),
         col("neighbor_id").as("left_id"))
     l2r.join(r2l, Seq("left_id", "right_id"))

@@ -53,13 +53,60 @@ object Similarity {
     * Output: (query_id, neighbor_id, cosine) with rank ≤ k, ties on
     * the 6-decimal rounded cosine broken by neighbor id (deterministic
     * total order).
+    *
+    * The query side is BROADCAST — this kernel is for a bounded query
+    * workload against a large corpus, never for corpus×corpus. It
+    * refuses (cheap limit-probe, no full count) when `queries` exceeds
+    * `maxBroadcastRows`: a 100×-scale caller gets an actionable error
+    * pointing at [[cellBlockedTopK]] / [[ivfTopKSampledCodebook]]
+    * instead of an executor OOM from broadcasting the corpus.
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      maxBroadcastRows: Long = 100000L): DataFrame = {
+    require(maxBroadcastRows >= 1, s"maxBroadcastRows: $maxBroadcastRows")
+    val probe = queries.select(lit(1).as("__one"))
+      .limit((maxBroadcastRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(probe <= maxBroadcastRows,
+      s"bruteForceTopK: query side exceeds maxBroadcastRows=" +
+        s"$maxBroadcastRows — broadcasting it would not survive at " +
+        "scale. For corpus-sized query sets use cellBlockedTopK " +
+        "(IVF-cell-blocked kNN) or ivfTopKSampledCodebook.")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Corpus×corpus kNN WITHOUT the broadcast: top-k cosine neighbors
+    * of every corpus row among the rows of its OWN IVF cell (the
+    * deterministic sampled codebook of [[assignCellsSampledCodebook]]
+    * — same kernel as semantic dedup and the q_dbscan ε-graph). The
+    * pair join is cell-bounded instead of corpus², and nothing larger
+    * than the nlist-row codebook is ever broadcast: at 1000 executors
+    * the candidate join shuffles on `cell` and each task scores one
+    * cell's block. k is EXACT within the cell's candidate set, ties
+    * on the 6-dp cosine break by neighbor id — the [[bruteForceTopK]]
+    * total order restricted to the blocked candidates, so the whole
+    * graph is a pure function of the data and oracle-replayable.
+    *
+    * Rows in a singleton cell have no candidates and emit no edges —
+    * the same convention as every blocked candidate generator here.
+    * Output: (query_id, neighbor_id, cosine, rank), rank ≤ k.
+    */
+  def cellBlockedTopK(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16): DataFrame = {
+    val assigned = assignCellsSampledCodebook(corpus, idCol, vecCol, nlist)
+      .localCheckpoint(true)
+    val scored = assigned
+      .select(col("cell"), col("id").as("query_id"), col("cv").as("qv"))
+      .join(assigned.select(col("cell"), col("id").as("neighbor_id"),
+        col("cv")), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(VectorFunctions.cosine(col("qv"), col("cv")), 6).as("cosine"))
@@ -228,10 +275,21 @@ object Similarity {
     */
   def assignCellsSampledCodebook(
       corpus: DataFrame, idCol: String, vecCol: String, nlist: Int)
-      : DataFrame = {
-    val centDf = sampledCodebook(corpus, idCol, vecCol, nlist)
+      : DataFrame =
+    assignCellsTo(corpus, idCol, vecCol,
+      sampledCodebook(corpus, idCol, vecCol, nlist))
+
+  /** [[assignCellsSampledCodebook]] against a CALLER-SUPPLIED
+    * codebook `centDf` (cell, centroid) — the shape needed when two
+    * frames (e.g. the two modality towers of [[ModalAlign]]) must be
+    * blocked into the SAME cell space: fit the codebook once over
+    * their union, assign each side against it.
+    */
+  def assignCellsTo(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centDf: DataFrame): DataFrame =
     corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
-      .crossJoin(centDf)
+      .crossJoin(broadcast(centDf))
       .withColumn("csim",
         round(VectorFunctions.cosine(col("cv"), col("centroid")), 6))
       .groupBy(col("id"))
@@ -239,7 +297,6 @@ object Similarity {
         struct(col("csim"), negate(col("cell")))).as("best"))
       .select(col("id"), col("best.cell").as("cell"),
         col("best.cv").as("cv"))
-  }
 
   /** Simplified (centroid-based) silhouette per cell over the
     * deterministic sampled-codebook assignment — the clustering-

@@ -3459,34 +3459,37 @@ object ExtensionQueries {
     // Cross-modal mutual-best alignment (LAION-style pair filter):
     // even vec_ids stand in for the image tower, odd for the text
     // tower; a pair survives only if each side is the other's top-1
-    // cosine neighbor. The oracle replays both directional argmaxes
-    // on the shared 6-dp cosine lattice.
+    // cosine neighbor WITHIN the shared IVF-cell block
+    // (ModalAlign.mutualTop1Blocked — the codebook over left ∪ right
+    // here is exactly the 16-smallest-vec_ids codebook, so the
+    // oracle reuses the shared ivfAssignCtes assignment replay; no
+    // full-side broadcast anywhere in the plan).
     QueryDef(
       "q_modal_align",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        graft.operators.ModalAlign.mutualTop1(
+        graft.operators.ModalAlign.mutualTop1Blocked(
             emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
             emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
             "vec_id", "embedding")
           .orderBy(col("left_id"))
       },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        dots AS (
-          SELECT l.vec_id AS left_id, r.vec_id AS right_id,
-                 sum(l.x * r.x) AS d
-          FROM dims l JOIN dims r ON l.i = r.i
-          WHERE l.vec_id % 2 = 0 AND r.vec_id % 2 = 1
+      Some(s"""
+        WITH $ivfAssignCtes,
+        mpairs AS (
+          SELECT l.nid AS left_id, r.nid AS right_id
+          FROM asg l JOIN asg r ON l.cell = r.cell
+          WHERE l.nid % 2 = 0 AND r.nid % 2 = 1),
+        mdots AS (
+          SELECT p.left_id, p.right_id, sum(dl.x * dr.x) AS d
+          FROM mpairs p
+          JOIN dims dl ON dl.vec_id = p.left_id
+          JOIN dims dr ON dr.vec_id = p.right_id AND dr.i = dl.i
           GROUP BY 1, 2),
-        scored AS (
+        mscored AS (
           SELECT left_id, right_id,
                  ROUND(d / (nl.nrm * nr.nrm), 6) AS cosine
-          FROM dots
+          FROM mdots
           JOIN norms nl ON nl.vec_id = left_id
           JOIN norms nr ON nr.vec_id = right_id),
         l2r AS (
@@ -3494,13 +3497,13 @@ object ExtensionQueries {
             SELECT left_id, right_id, cosine,
                    ROW_NUMBER() OVER (PARTITION BY left_id
                                       ORDER BY cosine DESC, right_id) AS rn
-            FROM scored) WHERE rn = 1),
+            FROM mscored) WHERE rn = 1),
         r2l AS (
           SELECT left_id, right_id FROM (
             SELECT left_id, right_id,
                    ROW_NUMBER() OVER (PARTITION BY right_id
                                       ORDER BY cosine DESC, left_id) AS rn
-            FROM scored) WHERE rn = 1)
+            FROM mscored) WHERE rn = 1)
         SELECT l.left_id, l.right_id, l.cosine
         FROM l2r l
         JOIN r2l r ON r.left_id = l.left_id AND r.right_id = l.right_id
@@ -4253,7 +4256,10 @@ object ExtensionQueries {
         ORDER BY weight DESC, doc_id LIMIT 100
       """)),
 
-    // Triangle enumeration over the exact kNN-3 similarity graph —
+    // Triangle enumeration over the cell-blocked kNN-3 similarity
+    // graph (Similarity.cellBlockedTopK — candidates come from the
+    // row's own IVF cell, so the edge generator is cell-bounded
+    // instead of corpus² and nothing corpus-sized is broadcast) —
     // the community-density measure for embedding-space cluster
     // audits. The operator orients edges by (degree, id) so each
     // triangle survives as exactly one wedge + closing edge (out-
@@ -4265,37 +4271,16 @@ object ExtensionQueries {
       (s, dir) => {
         import graft.operators.Triangles
         val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.bruteForceTopK(
-          emb, emb, "vec_id", "embedding", 3)
+        val knn = Similarity.cellBlockedTopK(
+          emb, "vec_id", "embedding", 3)
         Triangles.enumerate(
             knn.select(col("query_id").as("src"),
               col("neighbor_id").as("dst")),
             "src", "dst")
           .orderBy(col("a"), col("b"), col("c"))
       },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        dots AS (
-          SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS d
-          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id <> b.vec_id
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT qa, qb, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
-          FROM dots
-          JOIN norms na ON na.vec_id = qa
-          JOIN norms nb ON nb.vec_id = qb),
-        ranked AS (
-          SELECT qa, qb,
-                 ROW_NUMBER() OVER (PARTITION BY qa
-                                    ORDER BY cos DESC, qb) AS rn
-          FROM scored),
-        e AS (
-          SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
-          FROM ranked WHERE rn <= 3)
+      Some(s"""
+        WITH $cellKnnEdgeCtes
         SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
         FROM e e1
         JOIN e e2 ON e2.id_a = e1.id_b
@@ -4303,47 +4288,26 @@ object ExtensionQueries {
         ORDER BY a, b, c
       """)),
 
-    // Local clustering coefficient over the same 3-NN graph as
-    // q_triangles: per node, 2T/(d(d−1)) on the integer ppm lattice —
-    // community density as a curation signal (cliques ≈ 1e6, bridges
-    // low). The oracle extends the triangle replay with the per-node
-    // rollup and the same floor-division lattice.
+    // Local clustering coefficient over the same cell-blocked 3-NN
+    // graph as q_triangles: per node, 2T/(d(d−1)) on the integer ppm
+    // lattice — community density as a curation signal (cliques ≈
+    // 1e6, bridges low). The oracle extends the triangle replay with
+    // the per-node rollup and the same floor-division lattice.
     QueryDef(
       "q_clustering",
       (s, dir) => {
         import graft.operators.Triangles
         val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.bruteForceTopK(
-          emb, emb, "vec_id", "embedding", 3)
+        val knn = Similarity.cellBlockedTopK(
+          emb, "vec_id", "embedding", 3)
         Triangles.clusteringCoefficient(
             knn.select(col("query_id").as("src"),
               col("neighbor_id").as("dst")),
             "src", "dst")
           .orderBy(col("id"))
       },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        dots AS (
-          SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS d
-          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id <> b.vec_id
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT qa, qb, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
-          FROM dots
-          JOIN norms na ON na.vec_id = qa
-          JOIN norms nb ON nb.vec_id = qb),
-        ranked AS (
-          SELECT qa, qb,
-                 ROW_NUMBER() OVER (PARTITION BY qa
-                                    ORDER BY cos DESC, qb) AS rn
-          FROM scored),
-        e AS (
-          SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
-          FROM ranked WHERE rn <= 3),
+      Some(s"""
+        WITH $cellKnnEdgeCtes,
         tri AS (
           SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
           FROM e e1
@@ -4367,45 +4331,24 @@ object ExtensionQueries {
         ORDER BY d.id
       """)),
 
-    // Degree assortativity of the same 3-NN graph: one number for
-    // whether similar docs clump into dense cores (r > 0) or
-    // hub-and-spoke around templates (r < 0) —
+    // Degree assortativity of the same cell-blocked 3-NN graph: one
+    // number for whether similar docs clump into dense cores (r > 0)
+    // or hub-and-spoke around templates (r < 0) —
     // Triangles.degreeAssortativity scaladoc.
     QueryDef(
       "q_assortativity",
       (s, dir) => {
         import graft.operators.Triangles
         val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.bruteForceTopK(
-          emb, emb, "vec_id", "embedding", 3)
+        val knn = Similarity.cellBlockedTopK(
+          emb, "vec_id", "embedding", 3)
         Triangles.degreeAssortativity(
           knn.select(col("query_id").as("src"),
             col("neighbor_id").as("dst")),
           "src", "dst")
       },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        dots AS (
-          SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x) AS d
-          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id <> b.vec_id
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT qa, qb, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
-          FROM dots
-          JOIN norms na ON na.vec_id = qa
-          JOIN norms nb ON nb.vec_id = qb),
-        ranked AS (
-          SELECT qa, qb,
-                 ROW_NUMBER() OVER (PARTITION BY qa
-                                    ORDER BY cos DESC, qb) AS rn
-          FROM scored),
-        e AS (
-          SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
-          FROM ranked WHERE rn <= 3),
+      Some(s"""
+        WITH $cellKnnEdgeCtes,
         deg AS (
           SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
             SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
@@ -5670,17 +5613,17 @@ object ExtensionQueries {
         ORDER BY id
       """)),
 
-    // Multi-source BFS over the 3-NN similarity graph: minimum hop
-    // distance (<= 3) from the doc_id%97 seed set — "how far does a
-    // contaminated cluster spread" (GraphOps.bfsHops scaladoc). The
-    // oracle unrolls the same three frontier expansions over the
-    // shared knnEdgeCtes replay.
+    // Multi-source BFS over the cell-blocked 3-NN similarity graph:
+    // minimum hop distance (<= 3) from the doc_id%97 seed set — "how
+    // far does a contaminated cluster spread" (GraphOps.bfsHops
+    // scaladoc). The oracle unrolls the same three frontier
+    // expansions over the shared cellKnnEdgeCtes replay.
     QueryDef(
       "q_bfs_hops",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.bruteForceTopK(
-          emb, emb, "vec_id", "embedding", 3)
+        val knn = Similarity.cellBlockedTopK(
+          emb, "vec_id", "embedding", 3)
         graft.operators.GraphOps.bfsHops(
             knn.select(col("query_id").as("src"),
               col("neighbor_id").as("dst")),
@@ -5690,7 +5633,7 @@ object ExtensionQueries {
           .orderBy(col("id"))
       },
       Some(s"""
-        WITH $knnEdgeCtes,
+        WITH $cellKnnEdgeCtes,
         und AS (SELECT id_a AS u, id_b AS v FROM e
                 UNION SELECT id_b, id_a FROM e),
         h0 AS (SELECT DISTINCT vec_id AS id FROM embeddings
@@ -7001,7 +6944,8 @@ object ExtensionQueries {
         ORDER BY event_type
       """)),
 
-    // Link prediction over the 3-NN similarity graph: for every
+    // Link prediction over the cell-blocked 3-NN similarity graph:
+    // for every
     // 2-hop non-edge pair, common-neighbor count, neighbor-set
     // Jaccard (ppm), and Adamic-Adar (Σ 1/log10 deg(z) over shared
     // neighbors z, 9-dp-snapped per z then DECIMAL-summed) — the
@@ -7014,8 +6958,8 @@ object ExtensionQueries {
       "q_link_prediction",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.bruteForceTopK(
-          emb, emb, "vec_id", "embedding", 3)
+        val knn = Similarity.cellBlockedTopK(
+          emb, "vec_id", "embedding", 3)
         val e = knn
           .select(least(col("query_id"), col("neighbor_id")).as("u"),
             greatest(col("query_id"), col("neighbor_id")).as("v"))
@@ -7046,7 +6990,7 @@ object ExtensionQueries {
           .limit(50)
       },
       Some(s"""
-        WITH $knnEdgeCtes,
+        WITH $cellKnnEdgeCtes,
         und AS (SELECT id_a AS u, id_b AS v FROM e
                 UNION ALL SELECT id_b, id_a FROM e),
         deg AS (SELECT u AS z, CAST(count(*) AS BIGINT) AS dz
@@ -7698,8 +7642,8 @@ object ExtensionQueries {
       "q_lof",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.bruteForceTopK(
-            emb, emb, "vec_id", "embedding", 3)
+        val knn = Similarity.cellBlockedTopK(
+            emb, "vec_id", "embedding", 3)
           .select(col("query_id").as("a"), col("neighbor_id").as("b"),
             (lit(1000000L) -
               round(col("cosine") * lit(1e6)).cast("long")).as("dmicro"))
@@ -7717,7 +7661,7 @@ object ExtensionQueries {
           .limit(20)
       },
       Some(s"""
-        WITH $knnEdgeCtes,
+        WITH $cellKnnEdgeCtes,
         knn AS (
           -- ranked carries only (qa, qb, rn); rejoin scored for cos
           SELECT r.qa AS a, r.qb AS b,
@@ -7836,13 +7780,47 @@ object ExtensionQueries {
     * lengths, tf/df, corpus totals, and the query batch — the common
     * prefix of every retrieval oracle.
     */
-  /** Shared exact 3-NN similarity-graph oracle prefix (no WITH
-    * keyword): replays Similarity.bruteForceTopK(k=3) + undirected
-    * canonicalization, ending in `e(id_a, id_b)` with id_a < id_b —
-    * the edge set q_triangles / q_clustering / q_assortativity also
-    * inline, shared by the round-9 graph queries (q_kcore,
-    * q_bfs_hops).
+  /** Shared exact full-pairwise cosine oracle prefix (no WITH
+    * keyword): all-pairs `scored(qa, qb, cos)` plus the exact-3NN
+    * `ranked`/`e` tail. Since round 10 the kNN-graph queries ride
+    * [[cellKnnEdgeCtes]] instead (cell-bounded candidates); this
+    * stays only for the farthest-point diversity replay, whose
+    * semantics genuinely need the full pairwise `scored`.
     */
+  /** Cell-blocked twin of [[knnEdgeCtes]]: replays
+    * Similarity.cellBlockedTopK(k=3) — the shared IVF sampled-codebook
+    * assignment ([[ivfAssignCtes]]), within-cell pairwise cosines,
+    * per-query rank ≤ 3, undirected canonicalization — ending in the
+    * same `scored(qa, qb, cos)` / `ranked(qa, qb, rn)` / `e(id_a,
+    * id_b)` names so graph-query continuations are interchangeable.
+    * This is the scale-shaped generator: candidates are cell-bounded,
+    * never corpus², and the oracle replays cell assignment exactly as
+    * q_dbscan's does.
+    */
+  private lazy val cellKnnEdgeCtes: String = s"""$ivfAssignCtes,
+        cpairs AS (
+          SELECT a.nid AS qa, b.nid AS qb
+          FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid <> b.nid),
+        cdots AS (
+          SELECT p.qa, p.qb, sum(da.x * db.x) AS d
+          FROM cpairs p
+          JOIN dims da ON da.vec_id = p.qa
+          JOIN dims db ON db.vec_id = p.qb AND db.i = da.i
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT qa, qb, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
+          FROM cdots
+          JOIN norms na ON na.vec_id = qa
+          JOIN norms nb ON nb.vec_id = qb),
+        ranked AS (
+          SELECT qa, qb,
+                 ROW_NUMBER() OVER (PARTITION BY qa
+                                    ORDER BY cos DESC, qb) AS rn
+          FROM scored),
+        e AS (
+          SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
+          FROM ranked WHERE rn <= 3)"""
+
   private lazy val knnEdgeCtes: String = """
         dims AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

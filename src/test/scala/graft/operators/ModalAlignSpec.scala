@@ -38,4 +38,29 @@ class ModalAlignSpec extends SparkSuite {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     assert(ModalAlign.mutualTop1(left, empty, "id", "vec").count() === 0L)
   }
+
+  test("mutualTop1Blocked with nlist=1 (single cell) equals the " +
+      "exact brute kernel") {
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("left_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(
+      key(ModalAlign.mutualTop1Blocked(left, right, "id", "vec",
+        nlist = 1))
+        === key(ModalAlign.mutualTop1(left, right, "id", "vec")))
+  }
+
+  test("mutualTop1Blocked: a pair split across cells cannot match") {
+    // nlist=6 makes every fixture row a centroid; left 4 sits in its
+    // own cell while right 11 keeps cell 11, so the (4, 11) mutual
+    // pair of the exact kernel disappears — blocked semantics are
+    // same-cell only, by design.
+    val out = ModalAlign.mutualTop1Blocked(left, right, "id", "vec",
+        nlist = 6)
+      .orderBy("left_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.contains((0L, 10L)), s"same-cell mutual pair lost: $out")
+    assert(!out.contains((4L, 11L)),
+      s"cross-cell pair must not survive blocking: $out")
+  }
 }

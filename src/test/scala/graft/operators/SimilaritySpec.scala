@@ -120,4 +120,52 @@ class SimilaritySpec extends SparkSuite {
     // ...and they come from the query's own (near) cluster.
     assert(ids.forall(_ < 10), s"picked far-cluster rows: ${ids.toSeq}")
   }
+
+  test("bruteForceTopK refuses an unbounded query side; " +
+      "cellBlockedTopK accepts the same corpus") {
+    val r = new Random(7)
+    val corpus = (0L until 30L).map(i => (i, randVec(r, 8)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(corpus, corpus, "vec_id", "embedding",
+        k = 3, maxBroadcastRows = 10L)
+    }
+    assert(err.getMessage.contains("cellBlockedTopK"),
+      s"refusal must point at the scale path: ${err.getMessage}")
+    val blocked = Similarity.cellBlockedTopK(
+      corpus, "vec_id", "embedding", k = 3, nlist = 4)
+    assert(blocked.count() > 0L)
+  }
+
+  test("cellBlockedTopK with nlist=1 (single cell) equals exact " +
+      "brute-force kNN") {
+    val r = new Random(13)
+    val corpus = (0L until 40L).map(i => (i, randVec(r, 8)))
+      .toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"query_id", $"rank")
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    val exact = key(Similarity.bruteForceTopK(
+      corpus, corpus, "vec_id", "embedding", 3))
+    val blocked = key(Similarity.cellBlockedTopK(
+      corpus, "vec_id", "embedding", 3, nlist = 1))
+    assert(blocked == exact)
+  }
+
+  test("cellBlockedTopK: candidates never cross cells") {
+    val r = new Random(17)
+    val corpus = (0L until 60L).map(i => (i, randVec(r, 8)))
+      .toDF("vec_id", "embedding")
+    val nlist = 8
+    val cells = Similarity.assignCellsSampledCodebook(
+        corpus, "vec_id", "embedding", nlist)
+      .select($"id", $"cell").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    Similarity.cellBlockedTopK(corpus, "vec_id", "embedding", 3, nlist)
+      .collect().foreach { e =>
+        assert(cells(e.getLong(0)) == cells(e.getLong(1)),
+          s"edge ${e.getLong(0)}->${e.getLong(1)} crosses cells")
+      }
+  }
 }

@@ -166,8 +166,10 @@ class PlanShapeSpec extends SparkSuite {
       "q_weighted_sample", "q_group_regression", "q_quantile_sketch",
       "q_dedup_keep_best",
       // round-9 additions (q_nb_* fit eagerly via localCheckpoint and
-      // are plan-audited in NaiveBayesSpec instead)
-      "q_modal_align", "q_key_skew", "q_compaction_plan",
+      // are plan-audited in NaiveBayesSpec instead; q_modal_align
+      // moved to the cell-blocked path in round 10 — it checkpoints
+      // at build and is plan-audited by the cell-blocked gate below)
+      "q_key_skew", "q_compaction_plan",
       "q_dedup_containment", "q_tokenizer_fertility", "q_apply_changes",
       "q_eval_allocation", "q_k_anonymity", "q_event_anomaly",
       "q_source_overlap", "q_winsorize",
@@ -200,5 +202,46 @@ class PlanShapeSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"),
         s"$q plans a CartesianProduct:\n$p")
     }
+  }
+
+  test("cell-blocked kNN: no full-table BroadcastExchange of the " +
+      "corpus — the only broadcast is the nlist-limited codebook") {
+    // The round-9 graph queries (q_triangles, q_clustering,
+    // q_assortativity, q_bfs_hops, q_link_prediction, q_lof) and
+    // q_modal_align all ride Similarity.cellBlockedTopK /
+    // assignCellsTo. Their checkpointed query plans truncate lineage,
+    // so gate the generator itself: its single broadcast build side
+    // must be the GlobalLimit-nlist codebook, never the corpus scan.
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val assigned = graft.operators.Similarity
+      .assignCellsTo(emb, "vec_id", "embedding",
+        graft.operators.Similarity
+          .sampledCodebook(emb, "vec_id", "embedding", 16))
+    val p = assigned.queryExecution
+      .explainString(ExplainMode.fromString("extended"))
+    val analyzed = assigned.queryExecution.analyzed
+    // exactly one broadcast hint in the logical plan...
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, s"codebook broadcast hint missing:\n$p")
+    // ...and every hinted subtree is row-bounded by the nlist limit
+    hints.foreach { h =>
+      val limited = h.child.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => l
+      }
+      assert(limited.nonEmpty,
+        s"broadcast build side is not nlist-limited (full-table " +
+          s"broadcast at 100x scale):\n$p")
+    }
+    // the corpus side itself must never carry a broadcast hint above
+    // an un-limited scan: collect relations under hints and require
+    // each to sit below a limit (covered by the check above — this
+    // asserts the complement: at least one UN-hinted corpus scan)
+    val scans = analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size >= 2, s"expected codebook + corpus scans:\n$p")
   }
 }
