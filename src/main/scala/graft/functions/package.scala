@@ -35,6 +35,14 @@ package object functions {
   def tokenize_lower(c: Column): Column =
     Bridge.column(TokenizeLowerExpression(Bridge.expression(c)))
 
+  /** F5+F6 in ICU fidelity mode: BreakIterator (UAX#29) word
+    * segmentation instead of the regex split — hyphenated words stay
+    * whole, grouped numbers segment as one token (see
+    * [[IcuTokenizeLower]]).
+    */
+  def icu_tokenize_lower(c: Column): Column =
+    Bridge.column(IcuTokenizeLowerExpression(Bridge.expression(c)))
+
   /** Snowball-stopword count of a token-array column (hashed set probe
     * per token, codegen'd — never an array scan per token).
     */

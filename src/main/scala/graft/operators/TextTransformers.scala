@@ -45,16 +45,33 @@ class RegexCleaner(uid: String) extends ColumnTransformer(uid) {
 
 object RegexCleaner extends DefaultParamsReadable[RegexCleaner]
 
-/** F5+F6: word tokenization + lower-casing → array<string>. Backed by
-  * the fused native [[graft.functions.TokenizeLowerExpression]] — one
-  * compiled loop per row; the interpreted `filter`/`transform` HOF
-  * formulation (still available as `TextFunctions.tokenizeWords`/
-  * `lowerTokens` for ad-hoc column math) computes the same tokens.
+/** F5+F6: word tokenization + lower-casing → array<string>. Two
+  * modes, both fused codegen expressions (one compiled loop per row):
+  *
+  *  - `"regex"` (default) — [[graft.functions.TokenizeLowerExpression]],
+  *    the split-on-`[^\p{L}\p{N}']` approximation every oracle-checked
+  *    query pins; the interpreted HOF formulation
+  *    (`TextFunctions.tokenizeWords`/`lowerTokens`) computes the same
+  *    tokens for ad-hoc column math.
+  *  - `"icu"` — [[graft.functions.IcuTokenizeLowerExpression]]: JDK
+  *    `BreakIterator` UAX#29 word segmentation, the fidelity mode for
+  *    the reference's quanteda/ICU tokenizer (SURVEY §8 H1,
+  *    `Week5_datingNLP.R:65-67`): hyphenated words stay whole
+  *    ("mid-century" — the out.txt all.tokens[[357]] anchor), grouped
+  *    numbers drop as one token, punctuation/symbol runs drop.
+  *    TokenStageSpec pins the doc-357-style fixture where the two
+  *    modes diverge.
   */
 class WordTokenizer(uid: String) extends ColumnTransformer(uid) {
   def this() = this(Identifiable.randomUID("wordTokenizer"))
+  final val mode = new Param[String](this, "mode",
+    "tokenizer mode: regex (default) or icu",
+    (v: String) => v == "regex" || v == "icu")
+  setDefault(mode, "regex")
+  def setMode(v: String): this.type = set(mode, v)
   protected def expression(in: Column): Column =
-    graft.functions.tokenize_lower(in)
+    if ($(mode) == "icu") graft.functions.icu_tokenize_lower(in)
+    else graft.functions.tokenize_lower(in)
   protected def outputType: DataType = ArrayType(StringType)
 }
 

@@ -43,4 +43,58 @@ class TokenStageSpec extends SparkSuite {
       .collect().map(_.getSeq[String](0))
     fused.zip(hof).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("icu_tokenize_lower reproduces the quanteda doc-357 anchors " +
+      "where the regex mode diverges (F5/H1)") {
+    // The reference transcript's all.tokens[[357]] (out.txt:1) keeps
+    // "mid-century" as ONE token — quanteda 3.x ICU segmentation
+    // ignores the deprecated remove_hyphens flag. The regex mode
+    // splits it; the BreakIterator mode must not. Same fixture also
+    // pins grouped-number drop (one ICU number token, not two
+    // digit-runs), punct/symbol-run drop, and apostrophe cohesion.
+    val fixture = Seq(
+      "Identify harpsichords, mid-century furniture ;) 42 and " +
+        "100,000 things I don't KNOW"
+    ).toDF("text")
+    val icu = fixture.select(icu_tokenize_lower(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(icu == Seq("identify", "harpsichords", "mid-century",
+      "furniture", "and", "things", "i", "don't", "know"),
+      s"icu mode: $icu")
+    val regex = fixture.select(tokenize_lower(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    // the documented divergence the icu mode closes:
+    assert(regex.contains("mid") && regex.contains("century") &&
+      !regex.contains("mid-century"), s"regex mode: $regex")
+  }
+
+  test("icu_tokenize_lower: multi-hyphen words, spaced hyphens, " +
+      "double hyphens") {
+    val rows = Seq(
+      "state-of-the-art",
+      "well - known",     // spaced hyphen: no join
+      "before--after",    // double hyphen: no join
+      "x 3-4 y"           // hyphenated digits: kept (not a pure number)
+    ).toDF("text")
+    val out = rows.select(icu_tokenize_lower(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(out(0) == Seq("state-of-the-art"), s"${out(0)}")
+    assert(out(1) == Seq("well", "known"), s"${out(1)}")
+    assert(out(2) == Seq("before", "after"), s"${out(2)}")
+    assert(out(3) == Seq("x", "3-4", "y"), s"${out(3)}")
+  }
+
+  test("WordTokenizer mode param selects the kernel; regex stays " +
+      "the default") {
+    import graft.operators.WordTokenizer
+    val fixture = Seq("mid-century modern").toDF("text")
+    val regexOut = new WordTokenizer()
+      .setInputCol("text").setOutputCol("t")
+      .transform(fixture).collect().head.getSeq[String](1)
+    assert(regexOut == Seq("mid", "century", "modern"))
+    val icuOut = new WordTokenizer().setMode("icu")
+      .setInputCol("text").setOutputCol("t")
+      .transform(fixture).collect().head.getSeq[String](1)
+    assert(icuOut == Seq("mid-century", "modern"))
+  }
 }
