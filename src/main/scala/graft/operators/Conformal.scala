@@ -71,7 +71,10 @@ object Conformal {
         sum(when(col("__res") <= col("__qhat"), 1L).otherwise(0L))
           .as("n_covered"))
       .select(col(groupCol), col("n_cal"), col("k_rank"),
-        round(col("__qhat"), 6).as("qhat"), col("n_test"),
+        // micro-lattice snap, not round(x, 6) — the GroupedOls edge
+        // convention (see its scaladoc for the cross-engine ROUND trap)
+        (round(col("__qhat") * lit(1e6)).cast("long").cast("double")
+          / lit(1e6)).as("qhat"), col("n_test"),
         col("n_covered"),
         expr("(n_covered * CAST(1000000 AS BIGINT)) div n_test")
           .as("coverage_ppm"))

@@ -74,13 +74,22 @@ object GroupedOls {
     val cov = n * sxy - sx * sy
     val varx = n * sxx - sx * sx
     val vary = n * syy - sy * sy
+    // Output edge: the explicit micro-lattice snap (×1e6 in double →
+    // integer round → one IEEE division back), NOT `round(x, 6)` —
+    // Spark rounds HALF_UP on a BigDecimal of the double's decimal
+    // string while a replay engine rounds the double's binary value,
+    // and the two disagree at 6-dp magnitudes (the q_theil_sen /
+    // q_bm25 / q_quantize lesson). The snap leaves only a scale-0
+    // integer round, where the engines agree.
+    def snap6(c: org.apache.spark.sql.Column) =
+      round(c * lit(1e6)).cast("long").cast("double") / lit(1e6)
     stats
       .filter(col("__n") >= 2 && varx =!= lit(0.0))
       .select(col(groupCol), col("__n").as("n"),
-        round(cov / varx, 6).as("slope"),
-        round((sy - (cov / varx) * sx) / n / lit(scale.toDouble), 6)
+        snap6(cov / varx).as("slope"),
+        snap6((sy - (cov / varx) * sx) / n / lit(scale.toDouble))
           .as("intercept"),
         when(vary === lit(0.0), lit(null))
-          .otherwise(round((cov * cov) / (varx * vary), 6)).as("r2"))
+          .otherwise(snap6((cov * cov) / (varx * vary))).as("r2"))
   }
 }

@@ -2375,10 +2375,14 @@ object ExtensionQueries {
                  CAST(n AS DOUBLE) AS nd
           FROM stats)
         SELECT source, n,
-               ROUND(cov / varx, 6) AS slope,
-               ROUND((syd - (cov / varx) * sxd) / nd, 6) AS intercept,
+               CAST(ROUND((cov / varx) * 1000000.0) AS BIGINT)
+                 / 1000000.0 AS slope,
+               CAST(ROUND(((syd - (cov / varx) * sxd) / nd) * 1000000.0)
+                 AS BIGINT) / 1000000.0 AS intercept,
                CASE WHEN vary = 0 THEN NULL
-                    ELSE ROUND((cov * cov) / (varx * vary), 6) END AS r2
+                    ELSE CAST(ROUND(((cov * cov) / (varx * vary))
+                           * 1000000.0) AS BIGINT) / 1000000.0
+               END AS r2
         FROM calc
         WHERE n >= 2 AND varx <> 0
         ORDER BY source
@@ -6256,17 +6260,19 @@ object ExtensionQueries {
           FROM base WHERE role = 0 GROUP BY 1),
         model AS (
           SELECT source,
-                 ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 CAST(ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * 1000000.0) AS BIGINT) / 1000000.0
                    AS slope,
-                 ROUND((CAST(sy AS DOUBLE)
+                 CAST(ROUND(((CAST(sy AS DOUBLE)
                         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+                          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                     * 1000000.0) AS BIGINT) / 1000000.0
                    AS intercept
           FROM stats
           WHERE n >= 2
@@ -6292,7 +6298,8 @@ object ExtensionQueries {
             FROM scored WHERE role = 1)
           WHERE rk = k)
         SELECT s.source, q.n_cal, q.k_rank,
-               ROUND(q.qhat, 6) AS qhat,
+               CAST(ROUND(q.qhat * 1000000.0) AS BIGINT) / 1000000.0
+                 AS qhat,
                CAST(count(*) AS BIGINT) AS n_test,
                CAST(sum(CASE WHEN s.res <= q.qhat THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_covered,
