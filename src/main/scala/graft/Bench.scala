@@ -136,7 +136,10 @@ object Bench {
     "q_median_survival", "q_session_entropy",
     "q_source_anomaly", "q_interarrival",
     "q_funnel_rates", "q_coverage_gaps",
-    "q_lang_purity", "q_dedup_savings", "q_lof")
+    "q_lang_purity", "q_dedup_savings", "q_lof",
+    // round-10 additions: nonparametric inference (trend, effect
+    // size, rank ANOVA)
+    "q_mann_kendall", "q_cliffs_delta", "q_kruskal")
 
   /** The long-running back half: minutes of wall under contention, so
     * these get the stricter calm re-gate and an extra repetition.

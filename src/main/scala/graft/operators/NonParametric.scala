@@ -1,0 +1,226 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-free inference the monitoring layer runs when the
+  * parametric assumptions of [[DistributionTests]] don't hold:
+  * monotone-trend detection (Mann-Kendall), rank-based k-group ANOVA
+  * (Kruskal-Wallis), and an ordinal effect size (Cliff's delta) —
+  * the companions to [[RankCorrelation]] and [[RobustStats]] with the
+  * same determinism contract: exact integer/DECIMAL sufficient
+  * statistics, comparison-based pair concordance (never the
+  * overflow-prone difference product — the kendallTauB lesson), and a
+  * single micro-lattice-snapped IEEE sequence at the output edge.
+  */
+object NonParametric {
+
+  private def requireIntegral(df: DataFrame, cols: String*): Unit =
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"NonParametric: column '$c' is $dt; fractional inputs need " +
+            "an explicit integer lattice first (the GroupedOls.fit policy)")
+      }
+    }
+
+  private def snapMicro(c: org.apache.spark.sql.Column) =
+    round(c * lit(1e6)).cast("long")
+
+  /** Mann-Kendall trend test per group (Mann 1945; Kendall 1975) —
+    * "is this series monotonically drifting", the alarm a feed-health
+    * monitor wants on daily volumes/latencies without assuming
+    * linearity (where [[GroupedOls]] fits a line, MK counts pair
+    * directions and survives any monotone transform of the values).
+    *
+    *   S      = Σ_{i<j by idx} sign(x_j − x_i)  (comparison-based)
+    *   Var(S) = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18  (tie-corrected)
+    *   z      = (S∓1)/√Var(S)  (continuity-corrected, 0 when S=0)
+    *
+    * S and the variance NUMERATOR are exact integers; z is one
+    * written IEEE sequence snapped to z_micro. Pairs are ordered by
+    * the integer `idxCol` (strictly increasing within a group —
+    * duplicate indexes are rejected: with tied timestamps "before"
+    * is undefined in any engine). Like every exact pairwise statistic
+    * here, O(nᵍ²) BY DEFINITION → the maxGroupRows guard refuses
+    * unbounded groups; aggregate upstream (MK is usually run on a
+    * daily/hourly rollup, which keeps n at the calendar's size no
+    * matter the corpus scale).
+    *
+    * Output: (group, n, s_stat, var_num, z_micro), var_num > 0 rows
+    * only (all-tied groups have no sampling distribution).
+    */
+  def mannKendall(
+      df: DataFrame, groupCol: String, idxCol: String, valueCol: String,
+      maxGroupRows: Long = 100000L): DataFrame = {
+    require(maxGroupRows >= 2, s"maxGroupRows: $maxGroupRows")
+    Reserved.check("input" -> df)
+    requireIntegral(df, idxCol, valueCol)
+    val rows = df.select(col(groupCol).as("__g"),
+      col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__x"))
+      .localCheckpoint(true)
+    val oversized = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("__i")).as("__d"))
+      .filter(col("__n") > maxGroupRows || col("__d") < col("__n"))
+      .limit(1).collect()
+    require(oversized.isEmpty,
+      s"mannKendall: group '${oversized.headOption.map(_.get(0))}' " +
+        "exceeds maxGroupRows or has duplicate indexes — exact MK is " +
+        "O(n^2) per group over a STRICT index order; roll the series " +
+        "up (daily/hourly) upstream")
+    val a = rows.select(col("__g"), col("__i").as("__ia"),
+      col("__x").as("__xa"))
+    val b = rows.select(col("__g"), col("__i").as("__ib"),
+      col("__x").as("__xb"))
+    val sStat = a.join(b, "__g")
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__xb") > col("__xa"), 1L)
+        .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = rows.groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tie"))
+    rows.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+      .join(sStat, "__g").join(ties, "__g")
+      .select(col("__g").as(groupCol), col("n"), col("s_stat"),
+        (expr("n * (n - 1) * (2 * n + 5)") - col("__tie")).as("var_num"))
+      .filter(col("var_num") > 0)
+      .select(col(groupCol), col("n"), col("s_stat"), col("var_num"),
+        snapMicro(
+          when(col("s_stat") > 0,
+            (col("s_stat") - lit(1)).cast("double"))
+            .when(col("s_stat") < 0,
+              (col("s_stat") + lit(1)).cast("double"))
+            .otherwise(lit(0.0))
+            / sqrt(col("var_num").cast("double") / lit(18.0)))
+          .as("z_micro"))
+  }
+
+  /** Cliff's delta per group (Cliff 1993) — the ordinal effect size
+    * an A/B readout reports next to [[AbTest]]'s rank-sum p-value:
+    * δ = (#(x₁ > x₀) − #(x₁ < x₀)) / (n₁·n₀) ∈ [−1, 1], the
+    * probability a treatment draw beats a control draw minus the
+    * reverse. Pure comparison counts (exact integers); the output
+    * rides the signed ppm lattice via sign·(|·| div m) so Spark's
+    * truncating `div` and a flooring replay agree on negatives (the
+    * q_source_anomaly convention).
+    *
+    * `treatCol` must be a boolean column (true = treatment). O(n₀·n₁)
+    * cross pairs per group BY DEFINITION → maxGroupRows guards the
+    * larger side; sample upstream past it.
+    *
+    * Output: (group, n0, n1, gt, lt, delta_ppm).
+    */
+  def cliffsDelta(
+      df: DataFrame, groupCol: String, treatCol: org.apache.spark.sql.Column,
+      valueCol: String, maxGroupRows: Long = 100000L): DataFrame = {
+    require(maxGroupRows >= 1, s"maxGroupRows: $maxGroupRows")
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val rows = df.select(col(groupCol).as("__g"), treatCol.as("__t"),
+      col(valueCol).cast("long").as("__x"))
+      .localCheckpoint(true)
+    val oversized = rows.groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxGroupRows)
+      .limit(1).collect()
+    require(oversized.isEmpty,
+      s"cliffsDelta: group '${oversized.headOption.map(_.get(0))}' " +
+        s"exceeds maxGroupRows=$maxGroupRows on one side — the cross " +
+        "pair set is O(n0*n1) by definition; sample upstream")
+    val t = rows.filter(col("__t")).select(col("__g"), col("__x").as("__x1"))
+    val c = rows.filter(!col("__t")).select(col("__g"), col("__x").as("__x0"))
+    t.join(c, "__g")
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__pairs"),
+        sum(when(col("__x1") > col("__x0"), 1L).otherwise(0L)).as("gt"),
+        sum(when(col("__x1") < col("__x0"), 1L).otherwise(0L)).as("lt"))
+      .join(rows.filter(!col("__t")).groupBy(col("__g"))
+        .agg(count(lit(1)).as("n0")), "__g")
+      .join(rows.filter(col("__t")).groupBy(col("__g"))
+        .agg(count(lit(1)).as("n1")), "__g")
+      .select(col("__g").as(groupCol), col("n0"), col("n1"),
+        col("gt"), col("lt"),
+        (signum((col("gt") - col("lt")).cast("double")).cast("long") *
+          expr("(abs(gt - lt) * CAST(1000000 AS BIGINT)) div __pairs"))
+          .as("delta_ppm"))
+  }
+
+  /** Kruskal-Wallis rank one-way ANOVA per partition (Kruskal &
+    * Wallis 1952) — "do the k sources draw from the same length/
+    * quality distribution", the rank twin of
+    * [[DistributionTests.oneWayAnova]] that ignores outliers and any
+    * monotone rescaling. Average-rank ties ride the doubled-rank
+    * integer lattice of [[RankCorrelation.spearman]] (2·rank_min +
+    * tieCount − 1 — exact integers), so with R2ᵢ = 2Rᵢ:
+    *
+    *   H = 3/(N(N+1)) · Σᵢ R2ᵢ²/nᵢ − 3(N+1)
+    *
+    * Σ R2ᵢ²/nᵢ is kept EXACT until the last step: each group
+    * contributes the integer quotient R2ᵢ² div nᵢ (DECIMAL-summed)
+    * plus a remainder fraction < 1 snapped alone to the nano lattice
+    * and integer-summed — the sum is order-free in both engines, and
+    * only then does ONE written IEEE sequence form H. Tie-corrected
+    * H_c = H / (1 − Σ(t³−t)/(N³−N)). Both snap to micro at the edge.
+    *
+    * R2ᵢ² stays in long up to N ≈ 1.5M rows per partition; a larger
+    * partition needs the DECIMAL widening documented here (the
+    * TermStats squared-lattice convention). Shape: two rank windows +
+    * node-keyed aggregates — no pairwise join, scale-safe.
+    *
+    * Output: (partCol, n, k_groups, h_micro, h_tie_corrected_micro),
+    * partitions with ≥ 2 groups and a nonzero tie denominator.
+    */
+  def kruskalWallis(
+      df: DataFrame, partCol: String, groupCol: String, valueCol: String)
+      : DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val wRank = Window.partitionBy(col("__p")).orderBy(col("__x"))
+    val wTie = Window.partitionBy(col("__p"), col("__x"))
+    val ranked = df.select(col(partCol).as("__p"), col(groupCol).as("__g"),
+      col(valueCol).cast("long").as("__x"))
+      .select(col("__p"), col("__g"), col("__x"),
+        (lit(2L) * rank().over(wRank).cast("long") +
+          count(lit(1)).over(wTie).cast("long") - lit(1L)).as("__r2"))
+    val d38 = DecimalType(38, 0)
+    // remainder fraction < 1, snapped alone to nano then integer-summed
+    val perGroup = ranked.groupBy(col("__p"), col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__r2")).as("__rsum"))
+      .select(col("__p"), col("__ng"),
+        expr("(__rsum * __rsum) div __ng").as("__q"),
+        round(expr("(__rsum * __rsum) % __ng").cast("double") /
+          col("__ng").cast("double") * lit(1e9)).cast("long")
+          .as("__remnano"))
+    val ties = ranked.groupBy(col("__p"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__p"))
+      .agg(sum(expr("__t * __t * __t - __t")).as("__tie"))
+    val stats = perGroup.groupBy(col("__p"))
+      .agg(sum(col("__ng")).as("n"),
+        count(lit(1)).as("k_groups"),
+        sum(col("__q").cast(d38)).as("__qsum"),
+        sum(col("__remnano")).as("__remsum"))
+      .join(ties, "__p")
+      .filter(col("k_groups") >= 2 && col("n") >= 2)
+    val nD = col("n").cast("double")
+    val sumR2OverN = col("__qsum").cast("double") +
+      col("__remsum").cast("double") / lit(1e9)
+    val h = lit(3.0) * sumR2OverN / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    val tieDen = lit(1.0) -
+      col("__tie").cast("double") / (nD * nD * nD - nD)
+    stats
+      .filter(col("__tie") < expr("n * n * n - n"))
+      .select(col("__p").as(partCol), col("n"), col("k_groups"),
+        snapMicro(h).as("h_micro"),
+        snapMicro(h / tieDen).as("h_tie_corrected_micro"))
+  }
+}

@@ -2300,6 +2300,67 @@ object EventQueries {
           FROM f)
         SELECT stage, COUNT(*) AS n_users FROM s
         GROUP BY stage ORDER BY stage
+      """)),
+
+    // Mann-Kendall monotone-trend test on the DAILY value rollup per
+    // event_type — the distribution-free drift alarm (is purchase
+    // volume trending?) that survives any monotone transform where
+    // q_group_regression assumes a line. The rollup keeps n at the
+    // calendar's size (30 points here) no matter the corpus scale;
+    // S and the tie-corrected variance numerator are exact integers,
+    // z snaps to micro (NonParametric.mannKendall scaladoc).
+    QueryDef(
+      "q_mann_kendall",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+          .select(col("event_type"),
+            datediff(col("day"), to_date(lit("2024-01-01")))
+              .cast("long").as("di"),
+            col("cents"))
+        graft.operators.NonParametric.mannKendall(
+            daily, "event_type", "di", "cents")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS di,
+                 CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2),
+        p AS (
+          SELECT a.event_type,
+                 CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                               WHEN b.cents < a.cents THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.di < b.di
+          GROUP BY 1),
+        nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM daily GROUP BY 1),
+        ties AS (
+          SELECT event_type,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+          FROM (SELECT event_type, cents, count(*) AS t
+                FROM daily GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT nn.event_type, nn.n, p.s_stat,
+               CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie AS BIGINT)
+                 AS var_num,
+               CAST(ROUND((CASE WHEN p.s_stat > 0
+                                THEN CAST(p.s_stat - 1 AS DOUBLE)
+                                WHEN p.s_stat < 0
+                                THEN CAST(p.s_stat + 1 AS DOUBLE)
+                                ELSE 0.0 END
+                           / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                                       - t.tie AS DOUBLE) / 18.0))
+                          * 1000000.0) AS BIGINT) AS z_micro
+        FROM nn JOIN p USING (event_type) JOIN ties t USING (event_type)
+        WHERE nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie > 0
+        ORDER BY event_type
       """))
   )
 

@@ -7689,6 +7689,108 @@ object ExtensionQueries {
         WHERE rm.rm > 0
         ORDER BY lof_milli DESC, vec_id
         LIMIT 20
+      """)),
+
+    // Cliff's delta ordinal effect size per source (doc length,
+    // odd-vs-even doc_id split) — the "how big is the difference"
+    // companion to q_mann_whitney's "is there one": exact comparison
+    // counts over the cross pairs, signed-ppm edge via the
+    // sign·(|·| div m) convention so truncating and flooring division
+    // agree (NonParametric.cliffsDelta scaladoc).
+    QueryDef(
+      "q_cliffs_delta",
+      (s, dir) =>
+        graft.operators.NonParametric.cliffsDelta(
+            Tables.documents(s, dir), "source",
+            pmod(col("doc_id"), lit(2L)) === 1, "n_chars")
+          .orderBy(col("source")),
+      Some("""
+        WITH d AS (
+          SELECT source, doc_id % 2 = 1 AS t, n_chars FROM documents),
+        x AS (
+          SELECT t1.source,
+                 CAST(count(*) AS BIGINT) AS pairs,
+                 CAST(SUM(CASE WHEN t1.n_chars > t0.n_chars
+                          THEN 1 ELSE 0 END) AS BIGINT) AS gt,
+                 CAST(SUM(CASE WHEN t1.n_chars < t0.n_chars
+                          THEN 1 ELSE 0 END) AS BIGINT) AS lt
+          FROM d t1 JOIN d t0
+            ON t1.source = t0.source AND t1.t AND NOT t0.t
+          GROUP BY 1),
+        c0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n0
+               FROM d WHERE NOT t GROUP BY 1),
+        c1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n1
+               FROM d WHERE t GROUP BY 1)
+        SELECT x.source, c0.n0, c1.n1, x.gt, x.lt,
+               CAST((CASE WHEN x.gt > x.lt THEN 1
+                          WHEN x.gt < x.lt THEN -1 ELSE 0 END)
+                    * ((abs(x.gt - x.lt) * 1000000) // x.pairs)
+                 AS BIGINT) AS delta_ppm
+        FROM x JOIN c0 USING (source) JOIN c1 USING (source)
+        ORDER BY x.source
+      """)),
+
+    // Kruskal-Wallis rank ANOVA: do the 20 sources draw doc lengths
+    // from one distribution, tested WITHIN each language partition —
+    // the rank twin of q_anova that outliers and monotone rescaling
+    // cannot move. Average-rank ties ride the doubled-rank integer
+    // lattice (the q_spearman convention); Σ R²/n stays exact as
+    // integer quotients + nano-snapped remainder fractions until ONE
+    // written IEEE sequence forms H (NonParametric.kruskalWallis
+    // scaladoc).
+    QueryDef(
+      "q_kruskal",
+      (s, dir) =>
+        graft.operators.NonParametric.kruskalWallis(
+            Tables.documents(s, dir), "lang", "source", "n_chars")
+          .orderBy(col("lang")),
+      Some("""
+        WITH ranked AS (
+          SELECT lang, source,
+                 2 * RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+                   + COUNT(*) OVER (PARTITION BY lang, n_chars) - 1
+                   AS r2
+          FROM documents),
+        pg AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS ng,
+                 CAST(sum(r2) AS BIGINT) AS rsum
+          FROM ranked GROUP BY 1, 2),
+        pq AS (
+          SELECT lang, ng,
+                 (rsum * rsum) // ng AS q,
+                 CAST(ROUND(CAST((rsum * rsum) % ng AS DOUBLE)
+                      / CAST(ng AS DOUBLE) * 1e9) AS BIGINT) AS remnano
+          FROM pg),
+        ties AS (
+          SELECT lang, CAST(SUM(t * t * t - t) AS BIGINT) AS tie
+          FROM (SELECT lang, n_chars, count(*) AS t
+                FROM documents GROUP BY 1, 2)
+          GROUP BY 1),
+        st AS (
+          SELECT lang, CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS k_groups,
+                 CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS qsum_d,
+                 CAST(SUM(remnano) AS BIGINT) AS remsum
+          FROM pq GROUP BY 1)
+        SELECT st.lang, st.n, st.k_groups,
+               CAST(ROUND((3.0 * (qsum_d + CAST(remsum AS DOUBLE) / 1e9)
+                           / (CAST(n AS DOUBLE)
+                              * (CAST(n AS DOUBLE) + 1.0))
+                           - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                          * 1000000.0) AS BIGINT) AS h_micro,
+               CAST(ROUND(((3.0 * (qsum_d + CAST(remsum AS DOUBLE) / 1e9)
+                            / (CAST(n AS DOUBLE)
+                               * (CAST(n AS DOUBLE) + 1.0))
+                            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                           / (1.0 - CAST(tie AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                   * CAST(n AS DOUBLE)
+                                   - CAST(n AS DOUBLE))))
+                          * 1000000.0) AS BIGINT)
+                 AS h_tie_corrected_micro
+        FROM st JOIN ties USING (lang)
+        WHERE k_groups >= 2 AND n >= 2 AND tie < n * n * n - n
+        ORDER BY lang
       """))
   )
 

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class NonParametricSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- Mann-Kendall ----
+
+  test("mannKendall: strictly increasing series maxes S; decreasing " +
+      "negates it; constant series has no sampling distribution") {
+    val up = (1L to 10L).map(i => ("up", i, i * 3))
+    val down = (1L to 10L).map(i => ("down", i, 100L - i))
+    val flat = (1L to 10L).map(i => ("flat", i, 7L))
+    val out = NonParametric.mannKendall(
+        (up ++ down ++ flat).toDF("g", "i", "x"), "g", "i", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getLong(2) === 45L)   // n(n-1)/2
+    assert(out("down").getLong(2) === -45L)
+    assert(out("up").getLong(4) > 0 && out("down").getLong(4) < 0)
+    assert(out("up").getLong(4) === -out("down").getLong(4))
+    assert(!out.contains("flat"), "all-tied group must be excluded")
+  }
+
+  test("mannKendall: tie correction shrinks var_num; duplicate " +
+      "indexes and oversized groups refuse") {
+    val tied = (1L to 8L).map(i => ("t", i, i / 2)) // pairs of ties
+    val free = (1L to 8L).map(i => ("f", i, i * 13 % 11))
+    val out = NonParametric.mannKendall(
+        (tied ++ free).toDF("g", "i", "x"), "g", "i", "x")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("t") < out("f"), s"tie correction missing: $out")
+    intercept[IllegalArgumentException] {
+      NonParametric.mannKendall(
+        Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("g", "i", "x"),
+        "g", "i", "x").collect()
+    }
+    intercept[IllegalArgumentException] {
+      NonParametric.mannKendall(
+        (1L to 30L).map(i => ("g", i, i)).toDF("g", "i", "x"),
+        "g", "i", "x", maxGroupRows = 10L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      NonParametric.mannKendall(
+        Seq(("g", 1L, 1.5)).toDF("g", "i", "x"), "g", "i", "x")
+    }
+  }
+
+  // ---- Cliff's delta ----
+
+  test("cliffsDelta: disjoint samples saturate at ±1e6 ppm; " +
+      "identical samples score 0") {
+    val rows = Seq.tabulate(20) { i =>
+      // group "hi": treatment values all above control
+      ("hi", i % 2 == 1, if (i % 2 == 1) 100L + i else i.toLong)
+    } ++ Seq.tabulate(20) { i =>
+      // group "eq": same values on both sides
+      ("eq", i % 2 == 1, (i / 2).toLong)
+    }
+    val out = NonParametric.cliffsDelta(
+        rows.toDF("g", "t", "x"), "g", col("t"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("hi").getLong(5) === 1000000L)
+    assert(out("eq").getLong(5) === 0L)
+    assert(out("hi").getLong(1) === 10L && out("hi").getLong(2) === 10L)
+  }
+
+  test("cliffsDelta: sign convention and the guard") {
+    // treatment strictly BELOW control -> negative delta, and the
+    // signed edge floors consistently (|gt-lt|*1e6 div pairs, signed)
+    val rows = Seq.tabulate(12) { i =>
+      ("g", i % 2 == 1, if (i % 2 == 1) i.toLong else 100L + i)
+    } :+ (("g", true, 1000L)) // one treatment win: 5 gt, 31 lt? no —
+    // 7 treatment rows x 6 control rows = 42 pairs, wins only via 1000
+    val out = NonParametric.cliffsDelta(
+        rows.toDF("g", "t", "x"), "g", col("t"), "x")
+      .collect().head
+    val gt = out.getLong(3); val lt = out.getLong(4)
+    val pairs = out.getLong(1) * out.getLong(2)
+    assert(out.getLong(5) ===
+      -((lt - gt) * 1000000L / pairs), s"row: $out")
+    intercept[IllegalArgumentException] {
+      NonParametric.cliffsDelta(
+        (1L to 30L).map(i => ("g", i % 2 == 0, i)).toDF("g", "t", "x"),
+        "g", col("t"), "x", maxGroupRows = 5L).collect()
+    }
+  }
+
+  // ---- Kruskal-Wallis ----
+
+  test("kruskalWallis: disjoint group ranges score far above " +
+      "interleaved ones; tie-corrected H >= H") {
+    // partition "sep": 3 groups occupying disjoint value ranges
+    val sep = (0 until 30).map { i =>
+      ("sep", s"g${i / 10}", (i / 10) * 1000L + i)
+    }
+    // partition "mix": same values dealt round-robin across groups
+    val mix = (0 until 30).map { i =>
+      ("mix", s"g${i % 3}", i.toLong)
+    }
+    // ties: duplicate values so the correction denominator bites
+    val tie = (0 until 30).map { i =>
+      ("tie", s"g${i % 3}", (i / 6).toLong)
+    }
+    val out = NonParametric.kruskalWallis(
+        (sep ++ mix ++ tie).toDF("p", "g", "x"), "p", "g", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // separated: H approaches its max (n-1 scaled); mixed: near 0
+    assert(out("sep").getLong(3) > 20 * 1000000L,
+      s"sep H: ${out("sep")}")
+    assert(math.abs(out("mix").getLong(3)) < 2 * 1000000L,
+      s"mix H: ${out("mix")}")
+    assert(out("tie").getLong(4) >= out("tie").getLong(3),
+      s"tie correction must not shrink H: ${out("tie")}")
+    assert(out("sep").getLong(1) === 30L &&
+      out("sep").getLong(2) === 3L)
+  }
+
+  test("kruskalWallis is partitioning-independent and rejects " +
+      "fractional values") {
+    val df = (0 until 60).map(i => ("p", s"g${i % 4}", (i * 7 % 23).toLong))
+      .toDF("p", "g", "x")
+    val a = NonParametric.kruskalWallis(df, "p", "g", "x").collect().toSeq
+    val b = NonParametric.kruskalWallis(df.repartition(7), "p", "g", "x")
+      .collect().toSeq
+    assert(a === b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      NonParametric.kruskalWallis(
+        Seq(("p", "g", 1.5)).toDF("p", "g", "x"), "p", "g", "x")
+    }
+  }
+}

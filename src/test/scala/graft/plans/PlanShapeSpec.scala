@@ -196,7 +196,10 @@ class PlanShapeSpec extends SparkSuite {
       "q_ann_filtered", "q_modality_budget",
       "q_session_entropy", "q_interarrival",
       "q_lang_purity", "q_dedup_savings", "q_funnel_rates",
-      "q_coverage_gaps")
+      "q_coverage_gaps",
+      // round-10: q_kruskal is window+agg only; the other two
+      // nonparametric queries checkpoint at build (stratum guards)
+      "q_kruskal")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
