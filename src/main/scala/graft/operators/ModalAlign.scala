@@ -54,14 +54,22 @@ object ModalAlign {
     * row's same-cell opposite-tower candidates, ties by neighbor id
     * asc. A row whose cell holds no opposite-tower candidate emits
     * nothing — the standard blocked-generator convention.
+    *
+    * `nlist = 0` (default) derives the codebook size from the UNION
+    * count via [[Similarity.derivedNlist]] — a fixed nlist makes the
+    * same-cell cross-tower join Θ(n²/nlist) pairs at scale (the
+    * cellBlockedTopK scaladoc's argument); deriving pins expected
+    * cell population and keeps pairs linear in the corpus. One cheap
+    * count job at plan-build time; pass nlist > 0 to skip it.
     */
   def mutualTop1Blocked(
       left: DataFrame, right: DataFrame,
-      idCol: String, vecCol: String, nlist: Int = 16): DataFrame = {
-    val centDf = Similarity.sampledCodebook(
-      left.select(col(idCol), col(vecCol))
-        .unionByName(right.select(col(idCol), col(vecCol))),
-      idCol, vecCol, nlist)
+      idCol: String, vecCol: String, nlist: Int = 0): DataFrame = {
+    val union = left.select(col(idCol), col(vecCol))
+      .unionByName(right.select(col(idCol), col(vecCol)))
+    val nl = if (nlist > 0) nlist
+      else Similarity.derivedNlist(union.select(col(idCol)).count())
+    val centDf = Similarity.sampledCodebook(union, idCol, vecCol, nl)
     val la = Similarity.assignCellsTo(left, idCol, vecCol, centDf)
       .localCheckpoint(true)
     val ra = Similarity.assignCellsTo(right, idCol, vecCol, centDf)

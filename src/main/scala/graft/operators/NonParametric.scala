@@ -51,14 +51,19 @@ object NonParametric {
     * here, O(nᵍ²) BY DEFINITION → the maxGroupRows guard refuses
     * unbounded groups; aggregate upstream (MK is usually run on a
     * daily/hourly rollup, which keeps n at the calendar's size no
-    * matter the corpus scale).
+    * matter the corpus scale). The default ceiling is 10,000 rows —
+    * already 5·10⁷ pair rows per group; a caller raising it accepts
+    * the quadratic pair cost knowingly. NULL indexes or values are
+    * REJECTED (not silently tied): a NULL comparison would fall
+    * through to the "tie" branch while n still counts the row,
+    * quietly biasing S and Var(S).
     *
     * Output: (group, n, s_stat, var_num, z_micro), var_num > 0 rows
     * only (all-tied groups have no sampling distribution).
     */
   def mannKendall(
       df: DataFrame, groupCol: String, idxCol: String, valueCol: String,
-      maxGroupRows: Long = 100000L): DataFrame = {
+      maxGroupRows: Long = 10000L): DataFrame = {
     require(maxGroupRows >= 2, s"maxGroupRows: $maxGroupRows")
     Reserved.check("input" -> df)
     requireIntegral(df, idxCol, valueCol)
@@ -67,14 +72,21 @@ object NonParametric {
       col(valueCol).cast("long").as("__x"))
       .localCheckpoint(true)
     val oversized = rows.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__n"), countDistinct(col("__i")).as("__d"))
-      .filter(col("__n") > maxGroupRows || col("__d") < col("__n"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("__i")).as("__d"),
+        sum(when(col("__i").isNull || col("__x").isNull, 1L)
+          .otherwise(0L)).as("__nulls"))
+      .filter(col("__n") > maxGroupRows || col("__d") < col("__n") ||
+        col("__nulls") > 0)
       .limit(1).collect()
     require(oversized.isEmpty,
-      s"mannKendall: group '${oversized.headOption.map(_.get(0))}' " +
-        "exceeds maxGroupRows or has duplicate indexes — exact MK is " +
-        "O(n^2) per group over a STRICT index order; roll the series " +
-        "up (daily/hourly) upstream")
+      s"mannKendall: group '${oversized.headOption.map(_.get(0))
+          .getOrElse("?")}' " +
+        s"exceeds maxGroupRows=$maxGroupRows (the pair set is " +
+        "O(n^2) per group — n=10000 already means 5e7 pairs), has " +
+        "duplicate indexes (with tied timestamps \"before\" is " +
+        "undefined), or carries NULL idx/value rows (a NULL " +
+        "comparison would silently count as a tie) — roll the " +
+        "series up (daily/hourly) and null-filter upstream")
     val a = rows.select(col("__g"), col("__i").as("__ia"),
       col("__x").as("__xa"))
     val b = rows.select(col("__g"), col("__i").as("__ib"),
@@ -113,28 +125,39 @@ object NonParametric {
     * truncating `div` and a flooring replay agree on negatives (the
     * q_source_anomaly convention).
     *
-    * `treatCol` must be a boolean column (true = treatment). O(n₀·n₁)
-    * cross pairs per group BY DEFINITION → maxGroupRows guards the
-    * larger side; sample upstream past it.
+    * `treatCol` must be a boolean column (true = treatment); rows
+    * where it evaluates NULL join neither cohort (the
+    * [[AbTest.rankSum]] convention), and NULL values are REJECTED —
+    * a NULL comparison would silently count as a tie in the pair
+    * counts while n still counts the row. O(n₀·n₁) cross pairs per
+    * group BY DEFINITION → maxGroupRows guards each side; the 10,000
+    * default already allows 10⁸ pairs per group — sample upstream
+    * past it.
     *
     * Output: (group, n0, n1, gt, lt, delta_ppm).
     */
   def cliffsDelta(
       df: DataFrame, groupCol: String, treatCol: org.apache.spark.sql.Column,
-      valueCol: String, maxGroupRows: Long = 100000L): DataFrame = {
+      valueCol: String, maxGroupRows: Long = 10000L): DataFrame = {
     require(maxGroupRows >= 1, s"maxGroupRows: $maxGroupRows")
     Reserved.check("input" -> df)
     requireIntegral(df, valueCol)
     val rows = df.select(col(groupCol).as("__g"), treatCol.as("__t"),
       col(valueCol).cast("long").as("__x"))
+      .filter(col("__t").isNotNull)
       .localCheckpoint(true)
     val oversized = rows.groupBy(col("__g"), col("__t"))
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxGroupRows)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__x").isNull, 1L).otherwise(0L)).as("__nulls"))
+      .filter(col("__n") > maxGroupRows || col("__nulls") > 0)
       .limit(1).collect()
     require(oversized.isEmpty,
-      s"cliffsDelta: group '${oversized.headOption.map(_.get(0))}' " +
-        s"exceeds maxGroupRows=$maxGroupRows on one side — the cross " +
-        "pair set is O(n0*n1) by definition; sample upstream")
+      s"cliffsDelta: group '${oversized.headOption.map(_.get(0))
+          .getOrElse("?")}' " +
+        s"exceeds maxGroupRows=$maxGroupRows on one side (the cross " +
+        "pair set is O(n0*n1) by definition) or has NULL values (a " +
+        "NULL comparison would silently tie) — sample and " +
+        "null-filter upstream")
     val t = rows.filter(col("__t")).select(col("__g"), col("__x").as("__x1"))
     val c = rows.filter(!col("__t")).select(col("__g"), col("__x").as("__x0"))
     t.join(c, "__g")
@@ -175,6 +198,11 @@ object NonParametric {
     * TermStats squared-lattice convention). Shape: two rank windows +
     * node-keyed aggregates — no pairwise join, scale-safe.
     *
+    * Rows with a NULL value are dropped BEFORE ranking (the
+    * [[AbTest.rankSum]] convention — ranked, a NULL would sort first
+    * and shift every rank; dropped lazily, no extra job): n counts
+    * only ranked rows, so the statistic stays unbiased.
+    *
     * Output: (partCol, n, k_groups, h_micro, h_tie_corrected_micro),
     * partitions with ≥ 2 groups and a nonzero tie denominator.
     */
@@ -185,7 +213,8 @@ object NonParametric {
     requireIntegral(df, valueCol)
     val wRank = Window.partitionBy(col("__p")).orderBy(col("__x"))
     val wTie = Window.partitionBy(col("__p"), col("__x"))
-    val ranked = df.select(col(partCol).as("__p"), col(groupCol).as("__g"),
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(partCol).as("__p"), col(groupCol).as("__g"),
       col(valueCol).cast("long").as("__x"))
       .select(col("__p"), col("__g"), col("__x"),
         (lit(2L) * rank().over(wRank).cast("long") +

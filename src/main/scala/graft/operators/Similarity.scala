@@ -56,18 +56,31 @@ object Similarity {
     *
     * The query side is BROADCAST — this kernel is for a bounded query
     * workload against a large corpus, never for corpus×corpus. It
-    * refuses (cheap limit-probe, no full count) when `queries` exceeds
-    * `maxBroadcastRows`: a 100×-scale caller gets an actionable error
-    * pointing at [[cellBlockedTopK]] / [[ivfTopKSampledCodebook]]
-    * instead of an executor OOM from broadcasting the corpus.
+    * refuses when `queries` exceeds `maxBroadcastRows`: a 100×-scale
+    * caller gets an actionable error pointing at [[cellBlockedTopK]]
+    * / [[ivfTopKSampledCodebook]] instead of an executor OOM from
+    * broadcasting the corpus. NOTE this guard is EAGER when the plan
+    * is not provably bounded: a bounded probe job (limit
+    * maxBroadcastRows+1, count) runs at call time, before the lazy
+    * plan is returned. A query side that is already a `limit(n)` with
+    * n ≤ maxBroadcastRows is recognized from the logical plan and
+    * pays no probe job.
     */
   def bruteForceTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       maxBroadcastRows: Long = 100000L): DataFrame = {
     require(maxBroadcastRows >= 1, s"maxBroadcastRows: $maxBroadcastRows")
-    val probe = queries.select(lit(1).as("__one"))
-      .limit((maxBroadcastRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    import org.apache.spark.sql.catalyst.plans.logical.GlobalLimit
+    import org.apache.spark.sql.catalyst.expressions.{Literal => Lit}
+    // a root GlobalLimit(n <= cap) proves boundedness without a job
+    val provenBound = queries.queryExecution.analyzed match {
+      case GlobalLimit(Lit(v: Int, _), _) => v.toLong <= maxBroadcastRows
+      case _ => false
+    }
+    val probe = if (provenBound) 0L
+      else queries.select(lit(1).as("__one"))
+        .limit((maxBroadcastRows + 1).min(Int.MaxValue.toLong).toInt).count()
     require(probe <= maxBroadcastRows,
       s"bruteForceTopK: query side exceeds maxBroadcastRows=" +
         s"$maxBroadcastRows — broadcasting it would not survive at " +
@@ -97,11 +110,26 @@ object Similarity {
     * Rows in a singleton cell have no candidates and emit no edges —
     * the same convention as every blocked candidate generator here.
     * Output: (query_id, neighbor_id, cosine, rank), rank ≤ k.
+    *
+    * `nlist = 0` (the default) DERIVES the codebook size from a
+    * corpus count: nlist = max(16, ceil(n / targetCellRows)). A fixed
+    * nlist is not a 100×-safe default — cells hold n/nlist rows and
+    * the same-cell self-join is Θ(n²/nlist) pairs, a quadratic blowup
+    * the old 16-cell constant silently re-admitted after the
+    * [[bruteForceTopK]] refusal closed the broadcast one. Deriving
+    * from n pins the EXPECTED cell population at `targetCellRows`
+    * regardless of corpus size, so the pair count stays Θ(n ·
+    * targetCellRows) — linear in the corpus. The count is one cheap
+    * bounded job at plan-build time (the [[bruteForceTopK]]
+    * eager-guard precedent); pass an explicit nlist > 0 to skip it.
     */
   def cellBlockedTopK(
       corpus: DataFrame, idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16): DataFrame = {
-    val assigned = assignCellsSampledCodebook(corpus, idCol, vecCol, nlist)
+      nlist: Int = 0, targetCellRows: Long = 128L): DataFrame = {
+    val nl = if (nlist > 0) nlist
+      else derivedNlist(
+        corpus.select(col(idCol)).count(), targetCellRows)
+    val assigned = assignCellsSampledCodebook(corpus, idCol, vecCol, nl)
       .localCheckpoint(true)
     val scored = assigned
       .select(col("cell"), col("id").as("query_id"), col("cv").as("qv"))
@@ -256,6 +284,18 @@ object Similarity {
     * BEFORE every argmax/rank so tie-breaks (asc cell / asc neighbor)
     * are reproducible across engines.
     */
+  /** Codebook size from a corpus count: max(16, ceil(n /
+    * targetCellRows)) — the scale rule behind [[cellBlockedTopK]]'s
+    * auto mode. Pure arithmetic (callers supply the count), so specs
+    * and oracles can replay the derivation exactly: DuckDB mirrors it
+    * as GREATEST(16, CAST(CEIL(n / t) AS BIGINT)).
+    */
+  def derivedNlist(n: Long, targetCellRows: Long = 128L): Int = {
+    require(targetCellRows >= 1, s"targetCellRows: $targetCellRows")
+    math.max(16L, (n + targetCellRows - 1) / targetCellRows)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
   /** Deterministic corpus-sampled codebook: the `nlist` smallest ids'
     * vectors, broadcast. A pure function of the data — every consumer
     * (ANN probing, diversity sampling) is oracle-replayable.

@@ -439,13 +439,16 @@ object ExtensionQueries {
                                       ORDER BY dmicro, code) AS rn
             FROM sdist) WHERE rn = 1)"""
 
-  private val ivfAssignCtes: String = """dims AS (
+  /** [[ivfAssignCtes]] with the codebook CTE (`cent(cell)`) supplied
+    * by the caller — the fixed-16 ANN replays and the derived-nlist
+    * kNN-graph replays share everything but the codebook size.
+    */
+  private def ivfAssignCtesWithCent(centSql: String): String = s"""dims AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings),
         norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        -- codebook: the 16 smallest vec_ids
-        cent AS (SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 16),
+        cent AS ($centSql),
         -- cosine of every corpus vector to every centroid
         adots AS (
           SELECT v.vec_id AS nid, c.vec_id AS cell, sum(v.x * c.x) AS d
@@ -465,6 +468,28 @@ object ExtensionQueries {
                    ROW_NUMBER() OVER (PARTITION BY nid
                                       ORDER BY csim DESC, cell) AS rn
             FROM asim) WHERE rn = 1)"""
+
+  /** The fixed-16 codebook chain: Similarity.assignCellsSampledCodebook
+    * with nlist = 16, as the explicit-nlist ANN queries invoke it.
+    */
+  private lazy val ivfAssignCtes: String = ivfAssignCtesWithCent(
+    "SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 16")
+
+  /** The DERIVED-nlist chain: codebook size = GREATEST(16,
+    * CEIL(n/128)) from the corpus count — the exact
+    * Similarity.derivedNlist rule cellBlockedTopK's auto mode (and
+    * ModalAlign.mutualTop1Blocked over the even∪odd towers = all of
+    * embeddings) applies, replayed so the oracle stays faithful at
+    * ANY scale factor, not just the ones where the derivation lands
+    * on 16.
+    */
+  private lazy val ivfAssignDerivedCtes: String = ivfAssignCtesWithCent(
+    """SELECT vec_id AS cell FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM embeddings)
+          WHERE rn <= (SELECT GREATEST(16, CAST(CEIL(count(*) / 128.0)
+                                               AS BIGINT))
+                       FROM embeddings)""")
 
   /** DuckDB replay of [[graft.functions.Hyperplane]] — the random-
     * hyperplane LSH kernel behind `q_ann_lsh` — plus the (table,
@@ -3465,9 +3490,10 @@ object ExtensionQueries {
     // tower; a pair survives only if each side is the other's top-1
     // cosine neighbor WITHIN the shared IVF-cell block
     // (ModalAlign.mutualTop1Blocked — the codebook over left ∪ right
-    // here is exactly the 16-smallest-vec_ids codebook, so the
-    // oracle reuses the shared ivfAssignCtes assignment replay; no
-    // full-side broadcast anywhere in the plan).
+    // here is the derived-nlist smallest-vec_ids codebook over ALL
+    // of embeddings, so the oracle reuses the shared derived-nlist
+    // assignment replay; no full-side broadcast anywhere in the
+    // plan).
     QueryDef(
       "q_modal_align",
       (s, dir) => {
@@ -3479,7 +3505,7 @@ object ExtensionQueries {
           .orderBy(col("left_id"))
       },
       Some(s"""
-        WITH $ivfAssignCtes,
+        WITH $ivfAssignDerivedCtes,
         mpairs AS (
           SELECT l.nid AS left_id, r.nid AS right_id
           FROM asg l JOIN asg r ON l.cell = r.cell
@@ -7692,21 +7718,27 @@ object ExtensionQueries {
       """)),
 
     // Cliff's delta ordinal effect size per source (doc length,
-    // odd-vs-even doc_id split) — the "how big is the difference"
-    // companion to q_mann_whitney's "is there one": exact comparison
-    // counts over the cross pairs, signed-ppm edge via the
+    // alternating-doc_id-block cohort split) — the "how big is the
+    // difference" companion to q_mann_whitney's "is there one": exact
+    // comparison counts over the cross pairs, signed-ppm edge via the
     // sign·(|·| div m) convention so truncating and flooring division
-    // agree (NonParametric.cliffsDelta scaladoc).
+    // agree (NonParametric.cliffsDelta scaladoc). The cohort
+    // predicate is (doc_id div 20) % 2 — INDEPENDENT of source
+    // (= doc_id mod 20 in the fixture): a doc_id-parity split is
+    // collinear with the source key and leaves every group's
+    // treatment side empty, a structurally-0-row "green" that
+    // exercises nothing (the round-10 vacuous-oracle lesson).
     QueryDef(
       "q_cliffs_delta",
       (s, dir) =>
         graft.operators.NonParametric.cliffsDelta(
             Tables.documents(s, dir), "source",
-            pmod(col("doc_id"), lit(2L)) === 1, "n_chars")
+            pmod(expr("doc_id div 20"), lit(2L)) === 1, "n_chars")
           .orderBy(col("source")),
       Some("""
         WITH d AS (
-          SELECT source, doc_id % 2 = 1 AS t, n_chars FROM documents),
+          SELECT source, (doc_id // 20) % 2 = 1 AS t, n_chars
+          FROM documents),
         x AS (
           SELECT t1.source,
                  CAST(count(*) AS BIGINT) AS pairs,
@@ -7906,7 +7938,7 @@ object ExtensionQueries {
     * never corpus², and the oracle replays cell assignment exactly as
     * q_dbscan's does.
     */
-  private lazy val cellKnnEdgeCtes: String = s"""$ivfAssignCtes,
+  private lazy val cellKnnEdgeCtes: String = s"""$ivfAssignDerivedCtes,
         cpairs AS (
           SELECT a.nid AS qa, b.nid AS qb
           FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid <> b.nid),

@@ -117,6 +117,70 @@ class NonParametricSpec extends SparkSuite {
       out("sep").getLong(2) === 3L)
   }
 
+  test("cliffsDelta and Mann-Whitney rank-sum agree in sign on a " +
+      "planted shift — the cross-operator direction net") {
+    // Both statistics measure the same direction (does treatment
+    // draw beat control): a planted +shift must read delta_ppm > 0
+    // AND verdict b_high; a -shift the mirror; no shift neither.
+    val up = (0 until 40).map(i =>
+      ("up", i % 2 == 1, (if (i % 2 == 1) 500 + i else i).toLong, i.toLong))
+    val down = (0 until 40).map(i =>
+      ("down", i % 2 == 1, (if (i % 2 == 1) i else 500 + i).toLong, i.toLong))
+    val flat = (0 until 40).map(i =>
+      ("flat", i % 2 == 1, (i / 2).toLong, i.toLong))
+    val df = (up ++ down ++ flat).toDF("g", "t", "x", "tie")
+    val delta = NonParametric.cliffsDelta(df, "g", col("t"), "x")
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    val mw = AbTest.rankSum(df, "g", col("t"), "x", "tie")
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(delta("up") > 0 && mw("up") == "b_high", s"$delta / $mw")
+    assert(delta("down") < 0 && mw("down") == "b_low", s"$delta / $mw")
+    assert(delta("flat") === 0L && mw("flat") == "none", s"$delta / $mw")
+  }
+
+  test("q_cliffs_delta populates every cohort on the shipped fixture " +
+      "— a 0-row oracle match proves nothing (the round-10 lesson)") {
+    // The fixture assigns source = doc_id mod 20, so any cohort
+    // predicate collinear with doc_id parity leaves one side empty in
+    // EVERY group. The shipped query splits on (doc_id div 20) % 2 —
+    // this pin fails if the split ever regresses to a vacuous one.
+    val rows = graft.SparkEntry
+      .queries("q_cliffs_delta")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty, "q_cliffs_delta returned 0 rows — vacuous")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0,
+        s"empty cohort side in group ${r.get(0)}: $r")
+    }
+  }
+
+  test("NULL idx/value rows refuse (MK, Cliff) or drop before " +
+      "ranking (KW) instead of silently tying") {
+    val mkRows = Seq(("g", 1L, java.lang.Long.valueOf(3L)),
+      ("g", 2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("g", "i", "x")
+    intercept[IllegalArgumentException] {
+      NonParametric.mannKendall(mkRows, "g", "i", "x").collect()
+    }
+    val cdRows = Seq(("g", true, java.lang.Long.valueOf(3L)),
+      ("g", false, null.asInstanceOf[java.lang.Long]))
+      .toDF("g", "t", "x")
+    intercept[IllegalArgumentException] {
+      NonParametric.cliffsDelta(cdRows, "g", col("t"), "x").collect()
+    }
+    // KW: a NULL value row is dropped, not ranked first — n excludes
+    // it and the result equals the null-free frame's
+    val base = (0 until 30).map(i => ("p", s"g${i % 3}", i.toLong))
+    val kwClean = NonParametric.kruskalWallis(
+      base.toDF("p", "g", "x"), "p", "g", "x").collect().toSeq
+    val withNull = base.map { case (p, g, x) =>
+      (p, g, java.lang.Long.valueOf(x))
+    } :+ (("p", "g0", null.asInstanceOf[java.lang.Long]))
+    val kwNull = NonParametric.kruskalWallis(
+      withNull.toDF("p", "g", "x"), "p", "g", "x").collect().toSeq
+    assert(kwNull === kwClean)
+  }
+
   test("kruskalWallis is partitioning-independent and rejects " +
       "fractional values") {
     val df = (0 until 60).map(i => ("p", s"g${i % 4}", (i * 7 % 23).toLong))

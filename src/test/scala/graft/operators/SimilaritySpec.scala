@@ -168,4 +168,40 @@ class SimilaritySpec extends SparkSuite {
           s"edge ${e.getLong(0)}->${e.getLong(1)} crosses cells")
       }
   }
+
+  test("derivedNlist pins expected cell population at any corpus " +
+      "size; auto mode matches the derived explicit call") {
+    // The scale rule itself: mean cell population n/nlist never
+    // exceeds targetCellRows, at the fixture size, 10x, and 1000x —
+    // so the same-cell pair join stays Θ(n · targetCellRows), linear
+    // in the corpus (a fixed nlist is Θ(n²/nlist)).
+    for (n <- Seq(500L, 5000L, 500000L); t <- Seq(64L, 128L, 1024L)) {
+      val nl = Similarity.derivedNlist(n, t)
+      assert(nl >= 16, s"n=$n t=$t nl=$nl")
+      assert(n.toDouble / nl <= t.toDouble,
+        s"mean cell population ${n.toDouble / nl} exceeds " +
+          s"targetCellRows=$t at n=$n (nlist=$nl)")
+    }
+    // floor: tiny corpora keep the 16-cell minimum
+    assert(Similarity.derivedNlist(10L, 128L) == 16)
+    // both test SFs land exactly on the historical 16 (the oracle-
+    // compatibility invariant the derived DuckDB replay depends on)
+    assert(Similarity.derivedNlist(500L, 128L) == 16) // sf0.01
+    assert(Similarity.derivedNlist(2000L, 128L) == 16) // sf0.1
+    // auto mode (nlist = 0) computes the same edges as passing the
+    // derived value explicitly
+    val r = new Random(29)
+    val corpus = (0L until 200L).map(i => (i, randVec(r, 8)))
+      .toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy($"query_id", $"rank").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    val auto = key(Similarity.cellBlockedTopK(
+      corpus, "vec_id", "embedding", 3, targetCellRows = 8L))
+    val explicit = key(Similarity.cellBlockedTopK(
+      corpus, "vec_id", "embedding", 3,
+      nlist = Similarity.derivedNlist(200L, 8L)))
+    assert(Similarity.derivedNlist(200L, 8L) == 25)
+    assert(auto == explicit && auto.nonEmpty)
+  }
 }
