@@ -27,6 +27,23 @@ object TextQueries {
     s"regexp_replace(regexp_replace(text, '${sqlEscape(htmlPat)}', ' ', 'g'), " +
       s"'${sqlEscape(customStopPat)}', ' ', 'g')"
 
+  /** Planted ICU-divergence suffix for q_tokenize_icu: every case
+    * where UAX#29 segmentation differs from the regex mode, in one
+    * constant string appended to each fixture doc.
+    */
+  private[graft] val icuSuffix: String =
+    " Mid-Century don't O'Neill e.g. 100,000 3.14 abc123 42 x-1 ;) " +
+      "state-of-the-art"
+
+  /** [[icuSuffix]]'s tokenization under the ICU kernel — derived by
+    * running [[graft.functions.IcuTokenizeLower]] itself and pinned
+    * (TokenStageSpec keeps this literal honest against the kernel;
+    * the q_tokenize_icu oracle replays it verbatim).
+    */
+  private[graft] val icuSuffixTokens: Seq[String] = Seq(
+    "mid-century", "don't", "o'neill", "e.g", "abc123", "x-1",
+    "state-of-the-art")
+
   /** Shared SQL fragments for the split-token relational twins. */
   private val wordsSql =
     "SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents"
@@ -131,6 +148,46 @@ object TextQueries {
           FROM documents)
         WHERE word <> '' AND NOT regexp_matches(word, '^[\p{N}][\p{N}.,]*$$')
         ORDER BY doc_id, word
+      """)),
+
+    // F5 fidelity mode — the ICU (JDK BreakIterator UAX#29) word
+    // tokenizer, oracle-checked. The fixture text is lowercase
+    // [a-z ]-only, where ICU and a space split agree, so the query
+    // appends a planted suffix covering exactly the boundary cases
+    // where ICU DIVERGES from the regex mode: hyphen rejoining
+    // ("Mid-Century", "state-of-the-art", "x-1"), MidNumLet
+    // apostrophes and periods ("don't", "o'neill", "e.g"),
+    // grouped-number dropping ("100,000", "3.14", "42"), symbol-run
+    // dropping (";)"), and lower-casing. DuckDB need not segment:
+    // the suffix's ICU tokenization is a CONSTANT, derived from the
+    // kernel itself and pinned both here (oracle literal) and in
+    // TokenStageSpec — the q_stream_* shared-oracle precedent. The
+    // raw-text half still crosses engines row by row (space split =
+    // ICU on this alphabet), so per-doc alignment, the empty-text
+    // path, and output positions are all hash-checked.
+    QueryDef(
+      "q_tokenize_icu",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(25L)) === 0)
+          .select(col("doc_id"),
+            posexplode(graft.functions.icu_tokenize_lower(
+              concat(col("text"), lit(icuSuffix)))))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"),
+            col("col").as("token"))
+          .orderBy(col("doc_id"), col("pos")),
+      Some(s"""
+        WITH ext AS (
+          SELECT doc_id,
+                 list_concat(
+                   list_filter(string_split(text, ' '), x -> x <> ''),
+                   [${icuSuffixTokens.map(t => s"'${sqlEscape(t)}'")
+                      .mkString(", ")}]) AS toks
+          FROM documents WHERE doc_id % 25 = 0)
+        SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+               unnest(toks) AS token
+        FROM ext
+        ORDER BY doc_id, pos
       """)),
 
     // F7 — Snowball stop-word removal on the tokenized stream.

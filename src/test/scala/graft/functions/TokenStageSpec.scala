@@ -97,4 +97,24 @@ class TokenStageSpec extends SparkSuite {
       .transform(fixture).collect().head.getSeq[String](1)
     assert(icuOut == Seq("mid-century", "modern"))
   }
+
+  test("q_tokenize_icu's pinned suffix tokens match the ICU kernel " +
+      "— the literal the oracle replays verbatim") {
+    // The q_tokenize_icu oracle cannot segment in DuckDB; it replays
+    // TextQueries.icuSuffixTokens as a constant list. This pin makes
+    // the constant a THEOREM about the kernel rather than a copy:
+    // if either the suffix or the segmenter changes, this fails
+    // before the cross-engine hash does.
+    val got = Seq(graft.queries.TextQueries.icuSuffix).toDF("text")
+      .select(icu_tokenize_lower(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(got == graft.queries.TextQueries.icuSuffixTokens,
+      s"kernel: $got\npinned: ${graft.queries.TextQueries.icuSuffixTokens}")
+    // and the raw-text half of the query really is a space split on
+    // the fixture alphabet: ICU over [a-z ]-only text = split
+    val plain = Seq("key agg row scan").toDF("text")
+      .select(icu_tokenize_lower(col("text")).as("t"))
+      .collect().head.getSeq[String](0)
+    assert(plain == Seq("key", "agg", "row", "scan"))
+  }
 }
