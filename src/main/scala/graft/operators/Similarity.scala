@@ -599,11 +599,16 @@ object Similarity {
     */
   def nearDupPairsIvf(
       df: DataFrame, idCol: String, vecCol: String, topN: Int,
-      nlist: Int = 16, nprobe: Int = 6, seed: Long = 42L): DataFrame = {
+      nlist: Int = 0, nprobe: Int = 6, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     val toVec = graft.functions.VectorFunctions.toMlVector
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val km = new KMeans().setK(nlist).setSeed(seed)
+    // nlist = 0 derives k from the corpus count (the cellBlockedTopK
+    // scale rule): fixed k makes the within-cell self-join quadratic
+    // at 100x; derived k pins expected cell population instead.
+    val nl = if (nlist > 0) nlist
+      else derivedNlist(df.select(col(idCol)).count())
+    val km = new KMeans().setK(nl).setSeed(seed)
       .setFeaturesCol("mlv").setPredictionCol("cell")
     val model = km.fit(base.select(toVec(col("v")).as("mlv")))
     val centroids = model.clusterCenters.zipWithIndex.map {
@@ -668,12 +673,18 @@ object Similarity {
     */
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String,
-      tau: Double, nlist: Int = 16): DataFrame = {
-    val centDf = sampledCodebook(df, idCol, vecCol, nlist)
+      tau: Double, nlist: Int = 0): DataFrame = {
+    // nlist = 0 derives the codebook size from the corpus count (the
+    // cellBlockedTopK scale rule) — the scaladoc's "grow nlist with
+    // the corpus" is now the default, not advice the caller must
+    // remember; the oracle replays the same derivation.
+    val nl = if (nlist > 0) nlist
+      else derivedNlist(df.select(col(idCol)).count())
+    val centDf = sampledCodebook(df, idCol, vecCol, nl)
     // (id, cell, cv, csim): assignment + cosine to the OWN centroid.
     // Three consumers (both self-join sides + the final verdict join)
     // — persist so assignment runs once.
-    val assigned = assignCellsSampledCodebook(df, idCol, vecCol, nlist)
+    val assigned = assignCellsSampledCodebook(df, idCol, vecCol, nl)
       .join(broadcast(centDf), Seq("cell"))
       .withColumn("csim",
         round(VectorFunctions.cosine(col("cv"), col("centroid")), 6))

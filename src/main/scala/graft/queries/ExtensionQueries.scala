@@ -1011,7 +1011,7 @@ object ExtensionQueries {
           .withColumn("dropped", col("dropped").cast("long"))
           .orderBy(col("id")),
       Some(s"""
-        WITH $ivfAssignCtes,
+        WITH $ivfAssignDerivedCtes,
         own AS (
           SELECT asg.nid AS id, asg.cell, asim.csim
           FROM asg JOIN asim
