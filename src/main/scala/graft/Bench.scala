@@ -140,8 +140,9 @@ object Bench {
     // round-10 additions: nonparametric inference (trend, effect
     // size, rank ANOVA)
     "q_mann_kendall", "q_cliffs_delta", "q_kruskal",
-    // round-11 additions: the ICU-fidelity tokenizer mode
-    "q_tokenize_icu")
+    // round-11 additions: the ICU-fidelity tokenizer mode, blocked
+    // rank ANOVA
+    "q_tokenize_icu", "q_friedman")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

@@ -252,4 +252,86 @@ object NonParametric {
         snapMicro(h).as("h_micro"),
         snapMicro(h / tieDen).as("h_tie_corrected_micro"))
   }
+
+  /** Friedman test per partition (Friedman 1937) — the BLOCKED rank
+    * ANOVA: "do the k treatments differ once the per-block level is
+    * ranked away", the within-subjects twin of [[kruskalWallis]]
+    * (KW pools all rows into one ranking; Friedman ranks the k
+    * treatments INSIDE each block, so day-to-day level shifts cannot
+    * masquerade as treatment effects — the right test for "does
+    * event-type mix differ, controlling for the day").
+    *
+    * Expects ONE observation per (partition, block, treatment) —
+    * aggregate upstream (the daily-rollup convention). Blocks missing
+    * any of the partition's treatments are DROPPED before ranking
+    * (Friedman is undefined on incomplete blocks; the drop is
+    * deterministic and oracle-replayable). NULL values drop lazily
+    * (the [[kruskalWallis]] convention). With doubled ranks
+    * R2ⱼ = 2·Rⱼ (the [[RankCorrelation.spearman]] integer tie
+    * lattice) the statistic is
+    *
+    *   χ²_F = 3·Σⱼ R2ⱼ² / (n·k·(k+1)) − 3·n·(k+1)
+    *
+    * where Σ R2ⱼ² is an exact integer (DECIMAL-summed squares) and
+    * ONE written IEEE sequence forms χ². Tie-corrected χ²_c =
+    * χ²_F / (1 − Σ_blocks Σ(t³−t) / (n·k·(k²−1))). Shape: two rank
+    * windows + keyed aggregates — no pairwise join, scale-safe at
+    * any corpus size (n is the calendar's size, k the treatment
+    * cardinality).
+    *
+    * Output: (partCol, n_blocks, k_treatments, chi2_micro,
+    * chi2_tie_corrected_micro) — partitions with ≥ 2 complete
+    * blocks, ≥ 2 treatments, and a nonzero tie denominator.
+    */
+  def friedman(
+      df: DataFrame, partCol: String, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val obs = df.filter(col(valueCol).isNotNull)
+      .select(col(partCol).as("__p"), col(blockCol).as("__b"),
+        col(treatCol).as("__t"), col(valueCol).cast("long").as("__x"))
+    val kPer = obs.groupBy(col("__p"))
+      .agg(countDistinct(col("__t")).as("__k"))
+    val complete = obs.groupBy(col("__p"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .join(kPer, "__p")
+      .filter(col("__c") === col("__k"))
+      .select(col("__p"), col("__b"))
+    val kept = obs.join(complete, Seq("__p", "__b"))
+    val wRank = Window.partitionBy(col("__p"), col("__b"))
+      .orderBy(col("__x"))
+    val wTie = Window.partitionBy(col("__p"), col("__b"), col("__x"))
+    val ranked = kept.select(col("__p"), col("__t"), col("__x"),
+      (lit(2L) * rank().over(wRank).cast("long") +
+        count(lit(1)).over(wTie).cast("long") - lit(1L)).as("__r2"))
+    val d38 = DecimalType(38, 0)
+    val perTreat = ranked.groupBy(col("__p"), col("__t"))
+      .agg(sum(col("__r2")).as("__rt"))
+    val ties = kept.groupBy(col("__p"), col("__b"), col("__x"))
+      .agg(count(lit(1)).as("__tt"))
+      .groupBy(col("__p"))
+      .agg(sum(expr("__tt * __tt * __tt - __tt")).as("__tie"))
+    val nBlocks = complete.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_blocks"))
+    val stats = perTreat.groupBy(col("__p"))
+      .agg(count(lit(1)).as("k_treatments"),
+        sum(col("__rt").cast(d38) * col("__rt").cast(d38)).as("__s"))
+      .join(nBlocks, "__p").join(ties, "__p")
+      .filter(col("k_treatments") >= 2 && col("n_blocks") >= 2)
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k_treatments").cast("double")
+    val chi2 = lit(3.0) * col("__s").cast("double") /
+      (nD * kD * (kD + lit(1.0))) - lit(3.0) * nD * (kD + lit(1.0))
+    val tieDen = lit(1.0) - col("__tie").cast("double") /
+      (nD * kD * (kD * kD - lit(1.0)))
+    stats
+      .filter(col("__tie") <
+        expr("n_blocks * k_treatments * " +
+          "(k_treatments * k_treatments - 1)"))
+      .select(col("__p").as(partCol), col("n_blocks"),
+        col("k_treatments"),
+        snapMicro(chi2).as("chi2_micro"),
+        snapMicro(chi2 / tieDen).as("chi2_tie_corrected_micro"))
+  }
 }

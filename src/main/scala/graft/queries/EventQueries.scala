@@ -1175,6 +1175,85 @@ object EventQueries {
         ORDER BY event_type
       """)),
 
+    // Friedman blocked rank ANOVA per user cohort: does the daily
+    // event-type MIX differ across the 5 types once each day's level
+    // is ranked away (blocks = calendar days, treatments = event
+    // types, observation = the day's count — a complete 30x5 design
+    // in the fixture)? Doubled-rank integer lattice, DECIMAL-summed
+    // squares, one written IEEE sequence per statistic
+    // (NonParametric.friedman scaladoc); the oracle replays the
+    // complete-block drop, both rank windows, and the tie
+    // correction verbatim.
+    QueryDef(
+      "q_friedman",
+      (s, dir) => {
+        import graft.operators.NonParametric
+        val daily = Tables.events(s, dir)
+          .groupBy(pmod(col("user_id"), lit(3L)).as("cohort"),
+            to_date(col("ts")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        NonParametric.friedman(daily, "cohort", "day", "event_type", "cnt")
+          .orderBy(col("cohort"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT user_id % 3 AS cohort, CAST(ts AS DATE) AS b,
+                 event_type AS t, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2, 3),
+        kp AS (SELECT cohort, count(DISTINCT t) AS k FROM obs GROUP BY 1),
+        comp AS (
+          SELECT o.cohort, o.b
+          FROM obs o JOIN kp USING (cohort)
+          GROUP BY o.cohort, o.b, kp.k
+          HAVING count(*) = kp.k),
+        kept AS (SELECT o.* FROM obs o JOIN comp USING (cohort, b)),
+        ranked AS (
+          SELECT cohort, t,
+                 2 * RANK() OVER (PARTITION BY cohort, b ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY cohort, b, x) - 1 AS r2
+          FROM kept),
+        rt AS (
+          SELECT cohort, t, CAST(SUM(r2) AS BIGINT) AS rt
+          FROM ranked GROUP BY 1, 2),
+        nb AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n
+               FROM comp GROUP BY 1),
+        sq AS (
+          SELECT cohort, CAST(count(*) AS BIGINT) AS kt,
+                 SUM(CAST(rt AS DECIMAL(38,0))
+                     * CAST(rt AS DECIMAL(38,0))) AS s
+          FROM rt GROUP BY 1),
+        ties AS (
+          SELECT cohort, CAST(SUM(tt*tt*tt - tt) AS BIGINT) AS tie
+          FROM (SELECT cohort, b, x, CAST(count(*) AS BIGINT) AS tt
+                FROM kept GROUP BY 1, 2, 3)
+          GROUP BY 1)
+        SELECT sq.cohort,
+               nb.n AS n_blocks, sq.kt AS k_treatments,
+               CAST(ROUND((3.0 * CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(kt AS DOUBLE)
+                              * (CAST(kt AS DOUBLE) + 1.0))
+                           - 3.0 * CAST(n AS DOUBLE)
+                             * (CAST(kt AS DOUBLE) + 1.0)) * 1e6)
+                 AS BIGINT) AS chi2_micro,
+               CAST(ROUND((3.0 * CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(kt AS DOUBLE)
+                              * (CAST(kt AS DOUBLE) + 1.0))
+                           - 3.0 * CAST(n AS DOUBLE)
+                             * (CAST(kt AS DOUBLE) + 1.0))
+                          / (1.0 - CAST(tie AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(kt AS DOUBLE)
+                                * (CAST(kt AS DOUBLE)
+                                   * CAST(kt AS DOUBLE) - 1.0)))
+                          * 1e6)
+                 AS BIGINT) AS chi2_tie_corrected_micro
+        FROM sq
+        JOIN nb USING (cohort) JOIN ties USING (cohort)
+        WHERE sq.kt >= 2 AND nb.n >= 2
+          AND ties.tie < nb.n * sq.kt * (sq.kt * sq.kt - 1)
+        ORDER BY sq.cohort
+      """)),
+
     // Two-sample Kolmogorov-Smirnov per event type: did the odd-user
     // cohort's value DISTRIBUTION shift (not just its mean — the
     // Mann-Whitney question)? D = max|cumA·n_b − cumB·n_a|/(n_a·n_b)

@@ -181,6 +181,61 @@ class NonParametricSpec extends SparkSuite {
     assert(kwNull === kwClean)
   }
 
+  // ---- Friedman ----
+
+  test("friedman: a consistent within-block treatment order maxes " +
+      "chi2; a shuffled one scores near 0; incomplete blocks drop") {
+    // "sep": treatment g2 > g1 > g0 in EVERY block (n=10 blocks,
+    // k=3) -> chi2 = n(k-1) = 20 at its maximum
+    val sep = for (b <- 0 until 10; t <- 0 until 3)
+      yield ("sep", b, s"g$t", (t * 100 + b).toLong)
+    // "mix": the treatment order rotates per block -> no effect
+    val mix = for (b <- 0 until 9; t <- 0 until 3)
+      yield ("mix", b, s"g$t", (((t + b) % 3) * 100 + b).toLong)
+    // "inc": one block misses a treatment -> that block drops and
+    // the remaining complete blocks still carry the sep signal
+    val inc = sep.map { case (_, b, t, x) => ("inc", b, t, x) }
+      .filterNot { case (_, b, t, _) => b == 3 && t == "g1" }
+    val out = NonParametric.friedman(
+        (sep ++ mix ++ inc).toDF("p", "b", "t", "x"), "p", "b", "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("sep").getLong(3) === 20000000L, s"sep: ${out("sep")}")
+    assert(math.abs(out("mix").getLong(3)) < 2000000L,
+      s"mix: ${out("mix")}")
+    assert(out("inc").getLong(1) === 9L, "incomplete block must drop")
+    assert(out("inc").getLong(3) === 18000000L, s"inc: ${out("inc")}")
+    // untied design: the corrected statistic equals the raw one
+    assert(out("sep").getLong(4) === out("sep").getLong(3))
+  }
+
+  test("friedman is partitioning-independent, drops NULL values, " +
+      "and excludes all-tied partitions") {
+    val base = for (b <- 0 until 8; t <- 0 until 4)
+      yield ("p", b, s"g$t", ((t * 7 + b * 3) % 13).toLong)
+    val df = base.toDF("p", "b", "t", "x")
+    val a = NonParametric.friedman(df, "p", "b", "t", "x")
+      .collect().toSeq
+    val b2 = NonParametric.friedman(df.repartition(7), "p", "b", "t", "x")
+      .collect().toSeq
+    assert(a === b2 && a.nonEmpty)
+    // every value identical -> tie denominator zero -> excluded
+    val tied = (for (b <- 0 until 4; t <- 0 until 3)
+      yield ("t", b, s"g$t", 5L)).toDF("p", "b", "t", "x")
+    assert(NonParametric.friedman(tied, "p", "b", "t", "x")
+      .collect().isEmpty)
+    // a NULL observation drops its row (making its block incomplete,
+    // so the block drops too) — never ranked as smallest
+    val withNull = base.map { case (p, b, t, x) =>
+      if (b == 0 && t == "g0")
+        (p, b, t, null.asInstanceOf[java.lang.Long])
+      else (p, b, t, java.lang.Long.valueOf(x))
+    }
+    val c = NonParametric.friedman(
+        withNull.toDF("p", "b", "t", "x"), "p", "b", "t", "x")
+      .collect().head
+    assert(c.getLong(1) === 7L, s"block 0 must drop: $c")
+  }
+
   test("kruskalWallis is partitioning-independent and rejects " +
       "fractional values") {
     val df = (0 until 60).map(i => ("p", s"g${i % 4}", (i * 7 % 23).toLong))
