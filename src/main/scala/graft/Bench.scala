@@ -141,8 +141,8 @@ object Bench {
     // size, rank ANOVA)
     "q_mann_kendall", "q_cliffs_delta", "q_kruskal",
     // round-11 additions: the ICU-fidelity tokenizer mode, blocked
-    // rank ANOVA
-    "q_tokenize_icu", "q_friedman")
+    // rank ANOVA, robust variance homogeneity
+    "q_tokenize_icu", "q_friedman", "q_brown_forsythe")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

@@ -334,4 +334,56 @@ object NonParametric {
         snapMicro(chi2).as("chi2_micro"),
         snapMicro(chi2 / tieDen).as("chi2_tie_corrected_micro"))
   }
+
+  /** Brown-Forsythe robust variance-homogeneity test (Brown &
+    * Forsythe 1974) — "do the k groups have the same SPREAD", the
+    * assumption check a reader runs beside
+    * [[DistributionTests.oneWayAnova]]'s mean comparison (classical
+    * ANOVA assumes homoscedasticity; this is the median-centered
+    * Levene variant, robust where the mean-centered original is
+    * itself outlier-sensitive). W = the one-way ANOVA F statistic
+    * computed on per-row absolute deviations from the GROUP MEDIAN.
+    *
+    * Exactness: the group median comes by positional order-statistic
+    * SELECTION (never interpolation — the [[RobustStats]] policy) on
+    * the DOUBLED lattice: m2 = x_(⌈n/2⌉) + x_(⌊n/2⌋+1) is an exact
+    * integer for odd and even n alike, so the deviation
+    * d = |2x − m2| is an exact integer, and because F is
+    * scale-invariant, F(d) ≡ F(d/2) — the doubling never reaches
+    * the statistic. The ANOVA decomposition itself is delegated to
+    * [[DistributionTests.oneWayAnova]] (exact integer sufficient
+    * statistics, per-group 9-dp snap, DECIMAL accumulation), so both
+    * tests share one arithmetic contract. NULL values drop lazily
+    * (the [[kruskalWallis]] convention).
+    *
+    * Shape: one rank window for the medians + the ANOVA's map-side
+    * combined aggregation — no pairwise join, scale-safe.
+    *
+    * Output: one row (k_groups, n, ss_between, ss_within, f_stat)
+    * on the doubled-deviation lattice, 6-dp edge; no row when k < 2
+    * or every deviation is 0.
+    */
+  def brownForsythe(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__x"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val ranked = rows
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+    // doubled median: the one (odd n) or two (even n) central order
+    // statistics; when they coincide the single row counts twice
+    val m2 = ranked
+      .filter(col("__r") === expr("(__n + 1) div 2") ||
+        col("__r") === expr("__n div 2 + 1"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__x")).as("__ms"), count(lit(1)).as("__mc"))
+      .select(col("__g"), expr("__ms * 2 div __mc").as("__m2"))
+    val dev = rows.join(m2, "__g")
+      .select(col("__g").as(groupCol),
+        abs(lit(2L) * col("__x") - col("__m2")).as("dev2"))
+    DistributionTests.oneWayAnova(dev, groupCol, "dev2")
+  }
 }

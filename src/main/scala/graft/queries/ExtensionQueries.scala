@@ -5528,6 +5528,68 @@ object ExtensionQueries {
           AND CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE) > 0.0
       """)),
 
+    // Brown-Forsythe robust variance-homogeneity test on the SAME
+    // fixture as q_anova — "do the sources draw lengths with the
+    // same SPREAD", the assumption check beside q_anova's mean
+    // comparison. Group medians by exact doubled-lattice selection
+    // (m2 = sum of the central order statistics), deviations
+    // |2x − m2| exact integers, then the shared oneWayAnova
+    // decomposition — F is scale-invariant so the doubling never
+    // reaches the statistic (NonParametric.brownForsythe scaladoc).
+    QueryDef(
+      "q_brown_forsythe",
+      (s, dir) =>
+        graft.operators.NonParametric.brownForsythe(
+          Tables.documents(s, dir), "source", "n_chars"),
+      Some("""
+        WITH rows0 AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS x
+          FROM documents WHERE n_chars IS NOT NULL),
+        rk AS (
+          SELECT source, x,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS r,
+                 COUNT(*) OVER (PARTITION BY source) AS n
+          FROM rows0),
+        m2 AS (
+          SELECT source, CAST(SUM(x) * 2 // COUNT(*) AS BIGINT) AS m2
+          FROM rk
+          WHERE r = (n + 1) // 2 OR r = n // 2 + 1
+          GROUP BY 1),
+        dev AS (
+          SELECT rows0.source, abs(2 * rows0.x - m2.m2) AS d
+          FROM rows0 JOIN m2 ON m2.source = rows0.source),
+        g AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(d) AS BIGINT) AS s,
+                 SUM(CAST(d AS HUGEINT) * d) AS sxx,
+                 CAST(ROUND(
+                   (CAST(sum(d) AS DOUBLE) * CAST(sum(d) AS DOUBLE))
+                     / CAST(count(*) AS DOUBLE), 9) AS DECIMAL(38,12)) AS t
+          FROM dev GROUP BY 1),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_groups,
+                 CAST(sum(n) AS BIGINT) AS n,
+                 CAST(sum(s) AS BIGINT) AS stot,
+                 sum(sxx) AS sxxtot, sum(t) AS tsum
+          FROM g)
+        SELECT k_groups, n,
+               ROUND(CAST(tsum AS DOUBLE)
+                     - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
+                       / CAST(n AS DOUBLE), 6) AS ss_between,
+               ROUND(CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE), 6)
+                 AS ss_within,
+               ROUND(((CAST(tsum AS DOUBLE)
+                       - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
+                         / CAST(n AS DOUBLE))
+                      / (CAST(k_groups AS DOUBLE) - 1.0))
+                     / ((CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE))
+                        / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))),
+                     6) AS f_stat
+        FROM agg
+        WHERE k_groups >= 2
+          AND CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE) > 0.0
+      """)),
+
     // t-closeness audit over the same QI lattice as q_k_anonymity /
     // q_l_diversity — the skewness-attack rung: groups whose market-
     // segment DISTRIBUTION sits > 0.5 total-variation from the

@@ -236,6 +236,37 @@ class NonParametricSpec extends SparkSuite {
     assert(c.getLong(1) === 7L, s"block 0 must drop: $c")
   }
 
+  // ---- Brown-Forsythe ----
+
+  test("brownForsythe: unequal spreads score a large F; identical " +
+      "spreads at different levels score exactly 0") {
+    // "eq": two groups with the SAME shape shifted by +1000 — a mean
+    // test fires, a spread test must not: deviation multisets are
+    // identical, so SS_between on deviations is exactly 0
+    val eq = (0 until 21).map(i => ("eq", "a", i.toLong)) ++
+      (0 until 21).map(i => ("eq", "b", (1000 + i).toLong))
+    val eqOut = NonParametric.brownForsythe(
+      eq.toDF("p", "g", "x").filter(col("p") === "eq"), "g", "x")
+      .collect().head
+    assert(eqOut.getLong(0) === 2L && eqOut.getLong(1) === 42L)
+    assert(eqOut.getDouble(2) === 0.0, s"ss_between: $eqOut")
+    // unequal: same medians, 10x the spread in one group
+    val uneq = (0 until 21).map(i => ("g1", (100 + i).toLong)) ++
+      (0 until 21).map(i => ("g2", (i * 10).toLong))
+    val uneqOut = NonParametric.brownForsythe(
+      uneq.toDF("g", "x"), "g", "x").collect().head
+    assert(uneqOut.getDouble(4) > 40.0, s"F: $uneqOut")
+    // the doubled-median lattice: even-n group median m2 = lo + hi,
+    // partitioning-independent result
+    val even = (0 until 20).map(i => ("g1", i.toLong)) ++
+      (0 until 20).map(i => ("g2", (i * 3).toLong))
+    val a = NonParametric.brownForsythe(
+      even.toDF("g", "x"), "g", "x").collect().toSeq
+    val b = NonParametric.brownForsythe(
+      even.toDF("g", "x").repartition(7), "g", "x").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   test("kruskalWallis is partitioning-independent and rejects " +
       "fractional values") {
     val df = (0 until 60).map(i => ("p", s"g${i % 4}", (i * 7 % 23).toLong))
