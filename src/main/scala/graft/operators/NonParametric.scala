@@ -386,4 +386,108 @@ object NonParametric {
         abs(lit(2L) * col("__x") - col("__m2")).as("dev2"))
     DistributionTests.oneWayAnova(dev, groupCol, "dev2")
   }
+
+  /** Jonckheere-Terpstra ordered-alternative test per partition
+    * (Jonckheere 1954; Terpstra 1952) — "does the metric TREND with
+    * the group ORDER": where [[kruskalWallis]] asks "any difference
+    * among the k groups", JT asks the sharper one-directional
+    * question against an a-priori group ordering (do doc lengths
+    * grow with source index, does quality rise across curation
+    * stages) and has strictly more power when that order is the
+    * alternative. `ordCol` must be an integral column carrying the
+    * group order.
+    *
+    *   J  = Σ_{i<j by ord} [#(x_i < x_j) + ½·#(x_i = x_j)]
+    *
+    * rides the DOUBLED lattice J2 = 2·gt + eq (exact integer; the
+    * ½-tie convention with no float), E2 = 2·E[J] = (N² − Σnᵢ²)/2 is
+    * exact (N² − Σnᵢ² is always even), and the tie-corrected null
+    * variance (Hollander & Wolfe 1999, eq. 6.19) is three exact
+    * integer aggregates
+    *
+    *   A = N(N−1)(2N+5) − Σᵢ nᵢ(nᵢ−1)(2nᵢ+5) − Σⱼ tⱼ(tⱼ−1)(2tⱼ+5)
+    *   B = [Σᵢ nᵢ(nᵢ−1)(nᵢ−2)]·[Σⱼ tⱼ(tⱼ−1)(tⱼ−2)]
+    *   C = [Σᵢ nᵢ(nᵢ−1)]·[Σⱼ tⱼ(tⱼ−1)]
+    *   Var = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1))
+    *
+    * with ONE written IEEE sequence forming z = (J2−E2)/(2·√Var) at
+    * the micro edge (nᵢ = group sizes, tⱼ = value-tie multiplicities
+    * within the partition; B's factors multiply as doubles — each
+    * factor is an exact long, the product would overflow it).
+    *
+    * Cross-group pairs are O(nᵖ²) per partition BY DEFINITION → the
+    * [[cliffsDelta]] guard: maxGroupRows refuses oversized
+    * partitions, NULL order/value rows are rejected (a NULL
+    * comparison would silently tie), aggregate upstream past it.
+    *
+    * Output: (partCol, n, k_groups, j2, e2, z_micro), Var > 0 rows
+    * only.
+    */
+  def jonckheereTerpstra(
+      df: DataFrame, partCol: String, ordCol: String, valueCol: String,
+      maxGroupRows: Long = 10000L): DataFrame = {
+    require(maxGroupRows >= 2, s"maxGroupRows: $maxGroupRows")
+    Reserved.check("input" -> df)
+    requireIntegral(df, ordCol, valueCol)
+    val rows = df.select(col(partCol).as("__p"),
+      col(ordCol).cast("long").as("__o"),
+      col(valueCol).cast("long").as("__x"))
+      .localCheckpoint(true)
+    val oversized = rows.groupBy(col("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__o").isNull || col("__x").isNull, 1L)
+          .otherwise(0L)).as("__nulls"))
+      .filter(col("__n") > maxGroupRows || col("__nulls") > 0)
+      .limit(1).collect()
+    require(oversized.isEmpty,
+      s"jonckheereTerpstra: partition '${oversized.headOption
+          .map(_.get(0)).getOrElse("?")}' " +
+        s"exceeds maxGroupRows=$maxGroupRows (cross-group pairs are " +
+        "O(n^2) by definition) or has NULL order/value rows — " +
+        "aggregate and null-filter upstream")
+    val a = rows.select(col("__p"), col("__o").as("__oa"),
+      col("__x").as("__xa"))
+    val b = rows.select(col("__p"), col("__o").as("__ob"),
+      col("__x").as("__xb"))
+    val j2 = a.join(b, "__p")
+      .filter(col("__oa") < col("__ob"))
+      .groupBy(col("__p"))
+      .agg(sum(when(col("__xb") > col("__xa"), 2L)
+        .when(col("__xb") === col("__xa"), 1L)
+        .otherwise(0L)).as("j2"))
+    val groups = rows.groupBy(col("__p"), col("__o"))
+      .agg(count(lit(1)).as("__ng"))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("k_groups"),
+        sum(col("__ng")).as("n"),
+        sum(expr("__ng * __ng")).as("__sn2"),
+        sum(expr("__ng * (__ng - 1) * (2 * __ng + 5)")).as("__ga"),
+        sum(expr("__ng * (__ng - 1) * (__ng - 2)")).as("__gb"),
+        sum(expr("__ng * (__ng - 1)")).as("__gc"))
+    val ties = rows.groupBy(col("__p"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__p"))
+      .agg(sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__ta"),
+        sum(expr("__t * (__t - 1) * (__t - 2)")).as("__tb"),
+        sum(expr("__t * (__t - 1)")).as("__tc"))
+    val joined = groups.join(ties, "__p").join(j2, "__p")
+      .filter(col("k_groups") >= 2)
+    val nD = col("n").cast("double")
+    val varD =
+      (expr("n * (n - 1) * (2 * n + 5)") - col("__ga") - col("__ta"))
+        .cast("double") / lit(72.0) +
+      col("__gb").cast("double") * col("__tb").cast("double") /
+        (lit(36.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))) +
+      col("__gc").cast("double") * col("__tc").cast("double") /
+        (lit(8.0) * nD * (nD - lit(1.0)))
+    joined
+      .select(col("__p").as(partCol), col("n"), col("k_groups"),
+        col("j2"), expr("(n * n - __sn2) div 2").as("e2"),
+        varD.as("__var"),
+        snapMicro((col("j2") - expr("(n * n - __sn2) div 2"))
+          .cast("double") / (lit(2.0) * sqrt(varD))).as("z_micro"))
+      .filter(col("__var") > 0)
+      .select(col(partCol), col("n"), col("k_groups"),
+        col("j2"), col("e2"), col("z_micro"))
+  }
 }

@@ -7885,6 +7885,76 @@ object ExtensionQueries {
         FROM st JOIN ties USING (lang)
         WHERE k_groups >= 2 AND n >= 2 AND tie < n * n * n - n
         ORDER BY lang
+      """)),
+
+    // Jonckheere-Terpstra ordered-alternative trend within each
+    // language partition: does doc length TREND with the source
+    // index (the src0 < src1 < ... ordering), the sharper
+    // one-directional companion to q_kruskal's "any difference" on
+    // the SAME partition/group layout. Doubled-J lattice (2·gt + eq
+    // — the exact ½-tie convention), exact integer E2 and
+    // tie-corrected variance aggregates, one written IEEE sequence
+    // for z (NonParametric.jonckheereTerpstra scaladoc).
+    QueryDef(
+      "q_jonckheere",
+      (s, dir) =>
+        graft.operators.NonParametric.jonckheereTerpstra(
+            Tables.documents(s, dir)
+              .withColumn("src_idx",
+                substring(col("source"), 4, 10).cast("long")),
+            "lang", "src_idx", "n_chars")
+          .orderBy(col("lang")),
+      Some("""
+        WITH r AS (
+          SELECT lang, CAST(substr(source, 4) AS BIGINT) AS o,
+                 CAST(n_chars AS BIGINT) AS x
+          FROM documents),
+        j AS (
+          SELECT a.lang,
+                 CAST(SUM(CASE WHEN b.x > a.x THEN 2
+                               WHEN b.x = a.x THEN 1
+                               ELSE 0 END) AS BIGINT) AS j2
+          FROM r a JOIN r b ON b.lang = a.lang AND a.o < b.o
+          GROUP BY 1),
+        gs AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS k_groups,
+                 CAST(sum(ng) AS BIGINT) AS n,
+                 CAST(sum(ng * ng) AS BIGINT) AS sn2,
+                 CAST(sum(ng * (ng - 1) * (2 * ng + 5)) AS BIGINT) AS ga,
+                 CAST(sum(ng * (ng - 1) * (ng - 2)) AS BIGINT) AS gb,
+                 CAST(sum(ng * (ng - 1)) AS BIGINT) AS gc
+          FROM (SELECT lang, o, CAST(count(*) AS BIGINT) AS ng
+                FROM r GROUP BY 1, 2)
+          GROUP BY 1),
+        ts AS (
+          SELECT lang,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ta,
+                 CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS tb,
+                 CAST(sum(t * (t - 1)) AS BIGINT) AS tc
+          FROM (SELECT lang, x, CAST(count(*) AS BIGINT) AS t
+                FROM r GROUP BY 1, 2)
+          GROUP BY 1),
+        stat AS (
+          SELECT gs.lang, gs.n, gs.k_groups, j.j2,
+                 (gs.n * gs.n - gs.sn2) // 2 AS e2,
+                 CAST(gs.n * (gs.n - 1) * (2 * gs.n + 5)
+                      - gs.ga - ts.ta AS DOUBLE) / 72.0
+                 + CAST(gs.gb AS DOUBLE) * CAST(ts.tb AS DOUBLE)
+                   / (36.0 * CAST(gs.n AS DOUBLE)
+                      * (CAST(gs.n AS DOUBLE) - 1.0)
+                      * (CAST(gs.n AS DOUBLE) - 2.0))
+                 + CAST(gs.gc AS DOUBLE) * CAST(ts.tc AS DOUBLE)
+                   / (8.0 * CAST(gs.n AS DOUBLE)
+                      * (CAST(gs.n AS DOUBLE) - 1.0)) AS v
+          FROM gs JOIN ts ON ts.lang = gs.lang
+          JOIN j ON j.lang = gs.lang
+          WHERE gs.k_groups >= 2)
+        SELECT lang, n, k_groups, j2, e2,
+               CAST(ROUND(CAST(j2 - e2 AS DOUBLE) / (2.0 * sqrt(v))
+                          * 1e6) AS BIGINT) AS z_micro
+        FROM stat
+        WHERE v > 0
+        ORDER BY lang
       """))
   )
 

@@ -236,6 +236,40 @@ class NonParametricSpec extends SparkSuite {
     assert(c.getLong(1) === 7L, s"block 0 must drop: $c")
   }
 
+  // ---- Jonckheere-Terpstra ----
+
+  test("jonckheereTerpstra: a monotone group trend saturates J2 at " +
+      "2x the cross-group pairs; reversing the order negates z; " +
+      "guards refuse oversized partitions and NULLs") {
+    // "up": 4 ordered groups of 5, every later-group value above
+    // every earlier one -> gt = all cross pairs, J2 = 2 * (6 * 25)
+    val up = for (g <- 0 until 4; i <- 0 until 5)
+      yield ("up", g.toLong, (g * 100 + i).toLong)
+    val down = up.map { case (_, g, x) => ("down", g, -x) }
+    // "mix": same values dealt round-robin across the order -> z ~ 0
+    val mix = (0 until 20).map(i => ("mix", (i % 4).toLong, (i / 4).toLong))
+    val out = NonParametric.jonckheereTerpstra(
+        (up ++ down ++ mix).toDF("p", "o", "x"), "p", "o", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getLong(3) === 300L, s"up: ${out("up")}")
+    assert(out("up").getLong(4) === 150L) // E2 = (400 - 100) / 2
+    assert(out("up").getLong(5) > 3000000L, "up z must be large +")
+    assert(out("down").getLong(5) === -out("up").getLong(5))
+    assert(math.abs(out("mix").getLong(5)) <
+      out("up").getLong(5) / 3, s"mix: ${out("mix")}")
+    intercept[IllegalArgumentException] {
+      NonParametric.jonckheereTerpstra(
+        (1L to 30L).map(i => ("g", i % 3, i)).toDF("p", "o", "x"),
+        "p", "o", "x", maxGroupRows = 5L).collect()
+    }
+    intercept[IllegalArgumentException] {
+      NonParametric.jonckheereTerpstra(
+        Seq(("g", java.lang.Long.valueOf(1L), null
+          .asInstanceOf[java.lang.Long])).toDF("p", "o", "x"),
+        "p", "o", "x").collect()
+    }
+  }
+
   // ---- Brown-Forsythe ----
 
   test("brownForsythe: unequal spreads score a large F; identical " +
