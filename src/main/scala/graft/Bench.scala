@@ -142,7 +142,8 @@ object Bench {
     "q_mann_kendall", "q_cliffs_delta", "q_kruskal",
     // round-11 additions: the ICU-fidelity tokenizer mode, blocked
     // rank ANOVA, robust variance homogeneity
-    "q_tokenize_icu", "q_friedman", "q_brown_forsythe", "q_jonckheere")
+    "q_tokenize_icu", "q_friedman", "q_brown_forsythe", "q_jonckheere",
+    "q_stream_mann_kendall")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

@@ -2402,7 +2402,29 @@ object EventQueries {
             daily, "event_type", "di", "cents")
           .orderBy(col("event_type"))
       },
-      Some("""
+      Some(mannKendallOracle)),
+
+    // Streaming twin of q_mann_kendall: the drift alarm as
+    // mapGroupsWithState — state per event_type is the day→cents
+    // rollup (CALENDAR-bounded, the batch operator's own scale
+    // contract), each trigger re-derives the exact integer (S,
+    // var_num) from it, and the z edge is the batch column sequence
+    // applied to the emitted integers, so the twin shares the batch
+    // oracle bit-for-bit. The (day→cents) merge is commutative, so
+    // the result is independent of micro-batch splits
+    // (StreamingOps.mannKendallState scaladoc).
+    QueryDef(
+      "q_stream_mann_kendall",
+      (s, dir) =>
+        StreamingOps.mannKendallHistory(s, s"$dir/events.parquet")
+          .orderBy(col("event_type")),
+      Some(mannKendallOracle))
+  )
+
+  /** The Mann-Kendall daily-rollup replay shared by q_mann_kendall
+    * and its streaming twin.
+    */
+  private lazy val mannKendallOracle: String = """
         WITH daily AS (
           SELECT event_type,
                  date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
@@ -2440,8 +2462,7 @@ object EventQueries {
         FROM nn JOIN p USING (event_type) JOIN ties t USING (event_type)
         WHERE nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie > 0
         ORDER BY event_type
-      """))
-  )
+      """
 
   /** The Kaplan-Meier / Nelson-Aalen replay shared by q_survival and
     * q_median_survival (full SQL including the RECURSIVE keyword).

@@ -74,6 +74,25 @@ case class HwRow(
 case class FunnelRow(
     userId: Long, n: Long, t1: Long, t2: Long, t3: Long, t4: Long)
 
+/** One event's integer-cents contribution to a (group, day) rollup
+  * cell, for [[StreamingOps.mannKendallState]].
+  */
+case class MkObs(group: String, di: Long, cents: Long)
+
+/** Mann-Kendall state: the calendar-bounded day→cents rollup (the
+  * operator's own scale contract — state is the CALENDAR's size, not
+  * the corpus's) plus the monotone count of folded events that lets
+  * an update-mode sink pick each group's final row.
+  */
+case class MkState(days: Map[Long, Long], eventsSeen: Long)
+
+/** Exact integer Mann-Kendall sufficient statistics emitted per
+  * trigger by [[StreamingOps.mannKendallState]].
+  */
+case class MkRow(
+    group: String, n: Long, s_stat: Long, var_num: Long,
+    events_seen: Long)
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation and stateful sessionization via
   * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
@@ -624,6 +643,94 @@ object StreamingOps {
       .select(stage.as("stage"))
       .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
       .orderBy(col("stage"))
+  }
+
+  /** Streaming Mann-Kendall drift monitor as `mapGroupsWithState` —
+    * the trend alarm running CONTINUOUSLY instead of as a batch
+    * sweep. State per group is the day→cents rollup map: bounded by
+    * the CALENDAR, not the corpus (the same contract that makes the
+    * batch operator's O(n²) pair join acceptable — n is the number
+    * of days), so unbounded event volume folds into O(days) state.
+    * Each trigger merges the batch's per-event cents into the rollup
+    * and re-derives the EXACT integer sufficient statistics from it:
+    * comparison-based S (never the overflow-prone difference — the
+    * kendallTauB lesson) and the tie-corrected variance numerator.
+    * Because (day→cents) merge is commutative and associative, the
+    * final emitted row is independent of how the file source splits
+    * micro-batches — unlike the fold-order-sensitive EWMA family,
+    * cross-batch disorder is harmless here. No float enters the
+    * fold; the z edge is applied by [[mannKendallHistory]] with the
+    * batch operator's own column expressions, so the twin shares
+    * q_mann_kendall's oracle bit-for-bit.
+    */
+  def mannKendallState(stream: Dataset[MkObs]): Dataset[MkRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[MkObs],
+        state: GroupState[MkState]): MkRow = {
+      var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
+      rows.foreach { o =>
+        st = MkState(
+          st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + o.cents),
+          st.eventsSeen + 1L)
+      }
+      state.update(st)
+      val xs = st.days.toSeq.sortBy(_._1).map(_._2)
+      val n = xs.length.toLong
+      var s = 0L
+      var i = 0
+      while (i < xs.length) {
+        var j = i + 1
+        while (j < xs.length) {
+          s += java.lang.Long.compare(xs(j), xs(i)).sign.toLong
+          j += 1
+        }
+        i += 1
+      }
+      val tie = xs.groupBy(identity).valuesIterator
+        .map(_.length.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+      MkRow(g, n, s, n * (n - 1) * (2 * n + 5) - tie, st.eventsSeen)
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[mannKendallState]] over the events parquet (memory sink,
+    * update mode): per-event integer cents are extracted by the SAME
+    * Spark expressions the batch rollup uses, and the z edge is the
+    * batch operator's exact column sequence over the emitted integer
+    * statistics — output shape matches `q_mann_kendall` and shares
+    * its oracle.
+    */
+  def mannKendallHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01")))
+          .cast("long").as("di"),
+        round(col("value") * 100).cast("long").as("cents")).as[MkObs]
+    val out = mannKendallState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .filter(col("var_num") > 0)
+      .select(col("group").as("event_type"), col("n"), col("s_stat"),
+        col("var_num"),
+        round((when(col("s_stat") > 0,
+            (col("s_stat") - lit(1)).cast("double"))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + lit(1)).cast("double"))
+          .otherwise(lit(0.0))
+          / sqrt(col("var_num").cast("double") / lit(18.0)))
+          * lit(1e6)).cast("long").as("z_micro"))
   }
 
   /** Streaming exact dedup with bounded state: the first row per key

@@ -403,4 +403,54 @@ class StreamingOpsSpec extends SparkSuite {
     assert(streamed === batch)
     assert(streamed.size === 6)
   }
+
+  test("mannKendallState: calendar-bounded rollup state across " +
+      "micro-batches equals the batch operator, in any batch split") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // 12 days of an upward-trending series for group "up", a flat
+    // tied series for "flat" (var_num = 0 at the edge), split so a
+    // DAY's contributions straddle two micro-batches — the merge is
+    // commutative, so the result must not care.
+    val up = (0L until 12L).map(d => MkObs("up", d, 10L + d))
+    val flat = (0L until 6L).map(d => MkObs("flat", d, 7L))
+    val input = MemoryStream[MkObs]
+    val out = StreamingOps.mannKendallState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("mk_spec")
+      .start()
+    try {
+      // batch 1: half of each day's cents for the first 6 "up" days
+      input.addData(up.take(6).map(o => o.copy(cents = o.cents - 3L)): _*)
+      q.processAllAvailable()
+      // batch 2: the other half of those days, plus the rest
+      input.addData((up.take(6).map(o => o.copy(cents = 3L)) ++
+        up.drop(6) ++ flat): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val streamed = spark.table("mk_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("group"), col("n"), col("s_stat"), col("var_num"))
+      .orderBy(col("group")).collect().toSeq.map(_.toSeq)
+    val batch = graft.operators.NonParametric.mannKendall(
+        (up ++ flat).toDF("g", "di", "cents"), "g", "di", "cents")
+      .select(col("g"), col("n"), col("s_stat"), col("var_num"))
+      .orderBy(col("g")).collect().toSeq.map(_.toSeq)
+    // "up": 12 strictly increasing days -> S = 66, matching batch
+    assert(streamed.find(_.head == "up").get ==
+      batch.find(_.head == "up").get)
+    assert(streamed.find(_.head == "up").get(2) === 66L)
+    // "flat" is all-tied: the batch operator excludes it (var_num =
+    // 0); the stream emits the raw statistics and the HISTORY edge
+    // applies the same var_num > 0 filter -> var_num must be 0 here
+    assert(streamed.find(_.head == "flat").get(3) === 0L)
+    assert(!batch.exists(_.head == "flat"))
+  }
 }
