@@ -170,6 +170,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e6
   }
 
+  /** Eight concurrent copies of the calibration spin, wall-clocked.
+    * On an uncapped multicore box the wall ≈ the single-thread spin
+    * (the copies ride free cores); under a host-level CPU cap —
+    * which the single-thread spin CANNOT see — the wall inflates by
+    * the capped parallelism factor. Motivating measurement (r11):
+    * the flagship fit read 12.6 s isolated vs 29.7 s in-suite with
+    * CLEAN single-thread bracket spins on both runs; only a parallel
+    * probe distinguishes those after the fact, so flagship reps are
+    * bracketed with this too and the values land in the artifact.
+    */
+  private def parallelCalibrate(threads: Int = 8): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => {
+        var i = 0L
+        var x = 0L
+        while (i < 400000000L) { x ^= i; i += 1 }
+        if (x == 42L) print("")
+      })
+    }
+    ts.foreach(_.start())
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
+
   /** First field of /proc/loadavg (1-min load), or -1 off-Linux. */
   private def loadAvg(): Double =
     try {
@@ -461,26 +486,38 @@ object Bench {
           // spins land in tree_stages, so a contended artifact is
           // self-incriminating instead of silently wrong.
           perLoad :+= ("q_okcupid_tree" -> loadAvg())
-          var reps = Vector
-            .empty[(Double, Double, Double, Seq[(String, Double)], Double)]
+          // (wall, preSpin, postSpin, parPre, parPost, stages, acc)
+          var reps = Vector.empty[(Double, Double, Double, Double,
+            Double, Seq[(String, Double)], Double)]
+          var parQuiet = Double.MaxValue
+          parallelCalibrate() // JIT-warm the probe: its first run
+          // measures compilation of the thread lambda, not the box
           var trusted = 0
           while (trusted < 2 && reps.size < 5) {
             val pre = gate(120)
+            val parPre = parallelCalibrate()
+            parQuiet = math.min(parQuiet, parPre)
             val r = benchOkCupidTree(spark); clearCaches()
             val post = calibrate()
             quietMs = math.min(quietMs, post)
-            reps :+= ((r._1, pre, post, r._2, r._3))
-            if (pre <= quietMs * 1.4 && post <= quietMs * 1.4) trusted += 1
+            val parPost = parallelCalibrate()
+            parQuiet = math.min(parQuiet, parPost)
+            reps :+= ((r._1, pre, post, parPre, parPost, r._2, r._3))
+            if (pre <= quietMs * 1.4 && post <= quietMs * 1.4 &&
+                parPre <= parQuiet * 1.4 && parPost <= parQuiet * 1.4)
+              trusted += 1
           }
           perCalib :+= ("q_okcupid_tree" -> reps.head._2)
           val best = reps.minBy(_._1)
-          treeStages = best._4 ++ reps.zipWithIndex.flatMap {
-            case ((sec, pre, post, _, _), i) => Seq(
+          treeStages = best._6 ++ reps.zipWithIndex.flatMap {
+            case ((sec, pre, post, parPre, parPost, _, _), i) => Seq(
               s"rep${i + 1}_sec" -> sec,
               s"rep${i + 1}_pre_spin_ms" -> pre,
-              s"rep${i + 1}_post_spin_ms" -> post)
-          }
-          treeAccuracy = best._5
+              s"rep${i + 1}_post_spin_ms" -> post,
+              s"rep${i + 1}_par_pre_ms" -> parPre,
+              s"rep${i + 1}_par_post_ms" -> parPost)
+          } :+ ("par_quiet_ms" -> parQuiet)
+          treeAccuracy = best._7
           Some(best._1)
         } catch {
           case e: Throwable =>
