@@ -635,14 +635,26 @@ object Dedup {
     * group as `label` (the canonical survivor id — the step that turns
     * pairwise dedup output into keep/drop decisions).
     *
-    * Min-label propagation: each round joins the current labels across
-    * the (symmetrized) edge list and keeps the per-node minimum —
-    * converging in O(component diameter) rounds. Near-dup groups are
-    * clique-like (diameter 1-2), so 2-3 rounds typical. Scale notes:
-    * per-round cost is one shuffle join keyed by node id; lineage is
-    * truncated with `localCheckpoint` every few rounds so the plan
-    * doesn't deepen unboundedly (the classic driver-loop trap);
-    * `maxIter` bounds adversarial chains.
+    * Min-label propagation WITH PATH HALVING: each round takes the
+    * minimum over (own label, neighbor labels, own label's label).
+    * The neighbor step alone converges in O(component diameter)
+    * rounds — fine for clique-like near-dup groups (diameter 1-2),
+    * but a CHAIN of length d (the shape long similarity paths and
+    * kNN-cell graphs produce) needs d rounds, each a full shuffle
+    * over the edge list: the classic 100 TB connected-components
+    * bottleneck. The label-of-label hop halves every pointer path
+    * per round (Shiloach-Vishkin-style pointer jumping, the same
+    * idea behind the large-star/small-star map-reduce CC), so rounds
+    * drop to O(log diameter) — a 1000-hop chain closes in ~10 rounds
+    * instead of 1000. Labels are always ids of live nodes (they
+    * start as ids and min() preserves membership), so the
+    * label-of-label join always finds its row.
+    *
+    * Scale notes: per-round cost is two shuffle joins keyed by node
+    * id (edges⋈labels, labels⋈labels); lineage is truncated with
+    * `localCheckpoint` every few rounds so the plan doesn't deepen
+    * unboundedly (the classic driver-loop trap); `maxIter` bounds
+    * adversarial inputs.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -668,9 +680,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dlabel"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val afterNbr = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // path halving: also adopt the label's OWN current label —
+      // every pointer chain shrinks by half per round, turning
+      // O(diameter) convergence into O(log diameter)
+      val next = afterNbr
+        .join(afterNbr.select(col("id").as("label"),
+          col("label").as("__ll")), Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label")))
+            .as("label"))
       val checkpointed = iter % 4 == 3
       val stepped =
         if (checkpointed) next.localCheckpoint(true)
