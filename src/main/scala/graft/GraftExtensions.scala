@@ -78,6 +78,48 @@ object GraftFunctions {
       { args: Seq[Expression] =>
         require(args.length == 1, "graft_nfc_normalize(str)")
         NfcNormalizeExpression(args.head)
+      }),
+    (FunctionIdentifier("graft_icu_tokenize_lower"),
+      info("graft_icu_tokenize_lower",
+        "graft_icu_tokenize_lower(str) - UAX#29 (BreakIterator) word " +
+          "tokenize + lowercase: hyphenated words stay whole, grouped " +
+          "numbers and symbol runs drop (the F5 fidelity mode)."),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_icu_tokenize_lower(str)")
+        IcuTokenizeLowerExpression(args.head)
+      }),
+    (FunctionIdentifier("graft_stopword_count"),
+      info("graft_stopword_count",
+        "graft_stopword_count(tokens) - number of Snowball-English " +
+          "stopwords in an array<string> (hash-set membership, one " +
+          "compiled loop per row)."),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_stopword_count(tokens)")
+        StopwordCountExpression(args.head)
+      }),
+    (FunctionIdentifier("graft_stem_prune"),
+      info("graft_stem_prune",
+        "graft_stem_prune(tokens) - Porter2-stem each token then drop " +
+          "single-letter results (the fused F8+F9 pipeline stage)."),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "graft_stem_prune(tokens)")
+        StemPruneExpression(args.head)
+      }),
+    (FunctionIdentifier("graft_top_k_by"),
+      info("graft_top_k_by",
+        "graft_top_k_by(score, id, k) - bounded per-group top-k " +
+          "aggregate by (score desc, id asc): array<struct<score,id>> " +
+          "best first; map-side partial buffers capped at k."),
+      { args: Seq[Expression] =>
+        require(args.length == 3, "graft_top_k_by(score, id, k)")
+        // same cast discipline as functions.top_k_by: the aggregate's
+        // checkInputDataTypes looks through them at the source types
+        TopKByScore(
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(0), org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            args(1), org.apache.spark.sql.types.LongType),
+          intLit(args(2), "k"))
       }))
 
   /** Register everything on a live session (runtime path; the

@@ -80,4 +80,42 @@ class GraftExtensionsSpec extends SparkSuite {
     // semantics preserved
     assert(nested.head().getString(0) === "caf\u00e9")
   }
+
+  test("graft_icu_tokenize_lower / graft_stopword_count / " +
+      "graft_stem_prune agree with their Column-API twins") {
+    val icu = spark.sql(
+      "SELECT graft_icu_tokenize_lower('Mid-Century don''t 3.14 x')")
+      .head().getSeq[String](0)
+    assert(icu == Seq("mid-century", "don't", "x"))
+    val counted = spark.sql(
+      "SELECT graft_stopword_count(array('the', 'quick', 'and', 'x'))")
+      .head().getInt(0)
+    assert(counted === 2) // 'the' and 'and' are Snowball stopwords
+    val stemmed = spark.sql(
+      "SELECT graft_stem_prune(array('consistently', 'a', 'dogs'))")
+      .head().getSeq[String](0)
+    assert(stemmed ==
+      Seq("consistently", "dogs").map(graft.functions.Porter2.stem))
+  }
+
+  test("graft_top_k_by aggregates from SQL with the bounded-heap " +
+      "semantics of the Column API") {
+    Seq((1L, 10L, 0.5), (1L, 11L, 0.9), (1L, 12L, 0.9), (1L, 13L, 0.1),
+      (2L, 20L, 0.3))
+      .toDF("g", "id", "score").createOrReplaceTempView("tkb")
+    val rows = spark.sql("""
+      SELECT g, graft_top_k_by(score, id, 2) AS top
+      FROM tkb GROUP BY g ORDER BY g""").collect()
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    // (score desc, id asc): 0.9@11 before 0.9@12; 0.5@10 drops at k=2
+    assert(g1.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((0.9, 11L), (0.9, 12L)))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getLong(1)) == Seq(20L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_top_k_by(score, id, 1 + 1) FROM tkb")
+        .collect()
+    }
+    assert(err.getMessage != null) // k must be a literal
+  }
 }
