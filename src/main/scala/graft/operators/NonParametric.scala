@@ -283,11 +283,15 @@ object NonParametric {
     * chi2_tie_corrected_micro) — partitions with ≥ 2 complete
     * blocks, ≥ 2 treatments, and a nonzero tie denominator.
     */
-  def friedman(
+  /** Shared complete-block doubled-rank chain for the blocked tests
+    * ([[friedman]], [[pageTrend]]): NULL values drop, blocks missing
+    * any of the partition's treatments drop, treatments rank inside
+    * each block on the doubled tie lattice. Returns (kept rows,
+    * ranked(__p,__t,__x,__r2), complete blocks(__p,__b)).
+    */
+  private def blockedRanks(
       df: DataFrame, partCol: String, blockCol: String, treatCol: String,
-      valueCol: String): DataFrame = {
-    Reserved.check("input" -> df)
-    requireIntegral(df, valueCol)
+      valueCol: String): (DataFrame, DataFrame, DataFrame) = {
     val obs = df.filter(col(valueCol).isNotNull)
       .select(col(partCol).as("__p"), col(blockCol).as("__b"),
         col(treatCol).as("__t"), col(valueCol).cast("long").as("__x"))
@@ -305,6 +309,16 @@ object NonParametric {
     val ranked = kept.select(col("__p"), col("__t"), col("__x"),
       (lit(2L) * rank().over(wRank).cast("long") +
         count(lit(1)).over(wTie).cast("long") - lit(1L)).as("__r2"))
+    (kept, ranked, complete)
+  }
+
+  def friedman(
+      df: DataFrame, partCol: String, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val (kept, ranked, complete) =
+      blockedRanks(df, partCol, blockCol, treatCol, valueCol)
     val d38 = DecimalType(38, 0)
     val perTreat = ranked.groupBy(col("__p"), col("__t"))
       .agg(sum(col("__r2")).as("__rt"))
@@ -385,6 +399,67 @@ object NonParametric {
       .select(col("__g").as(groupCol),
         abs(lit(2L) * col("__x") - col("__m2")).as("dev2"))
     DistributionTests.oneWayAnova(dev, groupCol, "dev2")
+  }
+
+  /** Page's trend test per partition (Page 1963) — the ORDERED
+    * alternative for the BLOCKED design, completing the 2×2 with its
+    * neighbors: [[kruskalWallis]] (pooled, unordered),
+    * [[jonckheereTerpstra]] (pooled, ordered), [[friedman]] (blocked,
+    * unordered). "Does the metric trend with the treatment order,
+    * once each block's level is ranked away" — the sharper question
+    * when the alternative IS the ordering (curation stages, model
+    * sizes, date-ordered sources).
+    *
+    *   L = Σ_j c_j·R_j,  c_j = 1..k by ascending treatment order
+    *
+    * rides the doubled lattice L2 = Σ c_j·R2ⱼ (exact — R2ⱼ are the
+    * [[friedman]] doubled rank sums), E2 = n·k·(k+1)²/2 is exact
+    * (k(k+1) is even), and z = (L2−E2)/(2·√Var) with the classical
+    * null variance Var = n·k²·(k+1)²·(k−1)/144 — the untied formula,
+    * as conventionally reported: average-rank ties still make L
+    * exact, only the variance keeps the classical form (documented
+    * approximation, same convention as R's published implementations).
+    * ONE written IEEE sequence forms z at the micro edge.
+    *
+    * `ordCol` is both the treatment identity and its order (integral
+    * — the [[jonckheereTerpstra]] contract); coefficients are the
+    * dense rank of the order values, so gaps in the ordering don't
+    * distort the weights. Complete-block and NULL policy are
+    * [[friedman]]'s. Shape: the shared blocked-rank chain + k-row
+    * aggregates — no pairwise join, scale-safe.
+    *
+    * Output: (partCol, n_blocks, k_treatments, l2, e2, z_micro),
+    * partitions with ≥ 2 complete blocks and ≥ 2 treatments.
+    */
+  def pageTrend(
+      df: DataFrame, partCol: String, blockCol: String, ordCol: String,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, ordCol, valueCol)
+    val (_, ranked, complete) =
+      blockedRanks(df, partCol, blockCol, ordCol, valueCol)
+    val perTreat = ranked.groupBy(col("__p"), col("__t"))
+      .agg(sum(col("__r2")).as("__rt"))
+    val wOrd = Window.partitionBy(col("__p")).orderBy(col("__t"))
+    val withC = perTreat
+      .withColumn("__c", dense_rank().over(wOrd).cast("long"))
+    val nBlocks = complete.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_blocks"))
+    val stats = withC.groupBy(col("__p"))
+      .agg(count(lit(1)).as("k_treatments"),
+        sum(col("__c") * col("__rt")).as("l2"))
+      .join(nBlocks, "__p")
+      .filter(col("k_treatments") >= 2 && col("n_blocks") >= 2)
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k_treatments").cast("double")
+    val varD = nD * kD * kD * (kD + lit(1.0)) * (kD + lit(1.0)) *
+      (kD - lit(1.0)) / lit(144.0)
+    val e2 = expr("n_blocks * k_treatments * (k_treatments + 1) * " +
+      "(k_treatments + 1) div 2")
+    stats.select(col("__p").as(partCol), col("n_blocks"),
+      col("k_treatments"), col("l2"), e2.as("e2"),
+      snapMicro((col("l2") - e2).cast("double") /
+        (lit(2.0) * sqrt(varD))).as("z_micro"))
   }
 
   /** Jonckheere-Terpstra ordered-alternative test per partition

@@ -1254,6 +1254,83 @@ object EventQueries {
         ORDER BY sq.cohort
       """)),
 
+    // Page's trend test per user cohort on the SAME blocked design
+    // as q_friedman — the ordered-alternative version: does daily
+    // volume TREND with the event type's (alphabetical-index) order,
+    // once each day's level is ranked away. L2 = Σ cⱼ·R2ⱼ over the
+    // shared doubled rank sums, integer E2, classical null variance,
+    // one IEEE sequence for z (NonParametric.pageTrend scaladoc).
+    QueryDef(
+      "q_page",
+      (s, dir) => {
+        import graft.operators.NonParametric
+        val daily = Tables.events(s, dir)
+          .groupBy(pmod(col("user_id"), lit(3L)).as("cohort"),
+            to_date(col("ts")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("ord", dense_rank().over(
+            Window.partitionBy(col("cohort")).orderBy(col("event_type")))
+            .cast("long"))
+        NonParametric.pageTrend(daily, "cohort", "day", "ord", "cnt")
+          .orderBy(col("cohort"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT user_id % 3 AS cohort, CAST(ts AS DATE) AS b,
+                 event_type AS t, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2, 3),
+        obs2 AS (
+          SELECT cohort, b,
+                 DENSE_RANK() OVER (PARTITION BY cohort ORDER BY t)
+                   AS o, x
+          FROM obs),
+        kp AS (SELECT cohort, count(DISTINCT o) AS k
+               FROM obs2 GROUP BY 1),
+        comp AS (
+          SELECT o2.cohort, o2.b
+          FROM obs2 o2 JOIN kp USING (cohort)
+          GROUP BY o2.cohort, o2.b, kp.k
+          HAVING count(*) = kp.k),
+        kept AS (SELECT o2.* FROM obs2 o2 JOIN comp USING (cohort, b)),
+        ranked AS (
+          SELECT cohort, o,
+                 2 * RANK() OVER (PARTITION BY cohort, b ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY cohort, b, x) - 1 AS r2
+          FROM kept),
+        rt AS (
+          SELECT cohort, o, CAST(SUM(r2) AS BIGINT) AS rt
+          FROM ranked GROUP BY 1, 2),
+        wc AS (
+          SELECT cohort,
+                 CAST(DENSE_RANK() OVER (PARTITION BY cohort ORDER BY o)
+                   AS BIGINT) AS c,
+                 rt
+          FROM rt),
+        nb AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n
+               FROM comp GROUP BY 1),
+        st AS (
+          SELECT cohort, CAST(count(*) AS BIGINT) AS kt,
+                 CAST(SUM(c * rt) AS BIGINT) AS l2
+          FROM wc GROUP BY 1)
+        SELECT st.cohort, nb.n AS n_blocks, st.kt AS k_treatments,
+               st.l2,
+               nb.n * st.kt * (st.kt + 1) * (st.kt + 1) // 2 AS e2,
+               CAST(ROUND(
+                 CAST(st.l2 - nb.n * st.kt * (st.kt + 1)
+                      * (st.kt + 1) // 2 AS DOUBLE)
+                 / (2.0 * sqrt(
+                     CAST(nb.n AS DOUBLE) * CAST(st.kt AS DOUBLE)
+                     * CAST(st.kt AS DOUBLE)
+                     * (CAST(st.kt AS DOUBLE) + 1.0)
+                     * (CAST(st.kt AS DOUBLE) + 1.0)
+                     * (CAST(st.kt AS DOUBLE) - 1.0) / 144.0))
+                 * 1e6) AS BIGINT) AS z_micro
+        FROM st JOIN nb USING (cohort)
+        WHERE st.kt >= 2 AND nb.n >= 2
+        ORDER BY st.cohort
+      """)),
+
     // Two-sample Kolmogorov-Smirnov per event type: did the odd-user
     // cohort's value DISTRIBUTION shift (not just its mean — the
     // Mann-Whitney question)? D = max|cumA·n_b − cumB·n_a|/(n_a·n_b)

@@ -270,6 +270,34 @@ class NonParametricSpec extends SparkSuite {
     }
   }
 
+  // ---- Page's trend test ----
+
+  test("pageTrend: a block-consistent treatment order maxes L2 with " +
+      "the exact closed form; reversal mirrors z; rotation scores 0") {
+    // ordered: treatment o ranks (o+1) in EVERY block (n=10, k=3):
+    // R2_j = 2(j+1)n, L2 = 20*(1+4+9) = 280, E2 = 240,
+    // Var = 10*9*16*2/144 = 20, z = 40/(2*sqrt(20)) = 4.472136
+    val up = for (b <- 0 until 10; o <- 0 until 3)
+      yield ("up", b, o.toLong, (o * 100 + b).toLong)
+    val down = up.map { case (_, b, o, x) => ("down", b, o, -x) }
+    val mix = for (b <- 0 until 9; o <- 0 until 3)
+      yield ("mix", b, o.toLong, (((o + b) % 3) * 100 + b).toLong)
+    val out = NonParametric.pageTrend(
+        (up ++ down ++ mix).toDF("p", "b", "o", "x"), "p", "b", "o", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getLong(3) === 280L, s"up: ${out("up")}")
+    assert(out("up").getLong(4) === 240L)
+    assert(out("up").getLong(5) === 4472136L)
+    assert(out("down").getLong(5) === -out("up").getLong(5))
+    assert(out("mix").getLong(5) === 0L, s"mix: ${out("mix")}")
+    // gapped order values weigh by dense rank, not raw value
+    val gapped = up.map { case (p, b, o, x) => ("g", b, o * 50, x) }
+    val g = NonParametric.pageTrend(
+        gapped.toDF("p", "b", "o", "x"), "p", "b", "o", "x")
+      .collect().head
+    assert(g.getLong(3) === 280L && g.getLong(5) === 4472136L)
+  }
+
   // ---- Brown-Forsythe ----
 
   test("brownForsythe: unequal spreads score a large F; identical " +
