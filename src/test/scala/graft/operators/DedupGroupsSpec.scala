@@ -37,15 +37,15 @@ class DedupGroupsSpec extends SparkSuite {
     assert(canon === Seq(1L, 10L, 50L))
   }
 
-  test("connectedComponents closes a 200-hop chain within 12 rounds " +
-      "— path halving makes convergence O(log diameter)") {
+  test("connectedComponents closes a 200-hop chain within 16 rounds " +
+      "— adaptive path halving makes convergence O(log diameter)") {
     import spark.implicits._
     // A pure neighbor-min propagation needs ~199 rounds for this
-    // chain; with the label-of-label hop it must close in
-    // ~2 + log2(200) ≈ 10. maxIter = 12 makes the bound the test:
-    // non-convergence would leave interior labels above 0.
+    // chain; with halving engaging after 6 plain rounds it must
+    // close in ~6 + log2(200) + slack. maxIter = 16 makes the bound
+    // the test: non-convergence would leave interior labels above 0.
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(chain, maxIter = 12)
+    val labels = Dedup.connectedComponents(chain, maxIter = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === 200)
     assert(labels.values.forall(_ == 0L),
