@@ -401,6 +401,44 @@ object NonParametric {
     DistributionTests.oneWayAnova(dev, groupCol, "dev2")
   }
 
+  /** Kendall's coefficient of concordance W per partition (Kendall &
+    * Babington Smith 1939) — multi-rater ORDINAL agreement: "do the
+    * m raters rank the k items the same way", the many-rater ordinal
+    * companion to [[Agreement]]'s two-rater nominal Cohen's κ. W ∈
+    * [0, 1]: 1 = every rater produces the identical ranking, 0 = no
+    * agreement beyond chance.
+    *
+    * Computed through the [[friedman]] identity χ²_F = m·(k−1)·W
+    * with raters as BLOCKS and items as TREATMENTS — one statistic
+    * chain, two readings (and the tie-corrected W uses the
+    * tie-corrected χ², the standard correction). The division rides
+    * the already-snapped micro lattice as an exact integer quotient
+    * (chi2_micro div (m·(k−1))), so both engines agree bit-for-bit
+    * and W keeps 6-dp resolution.
+    *
+    * Raters missing any item drop (the complete-block rule — W is
+    * undefined on incomplete rankings); NULL scores drop lazily.
+    * Output: (partCol, n_raters, k_items, w_micro,
+    * w_tie_corrected_micro).
+    */
+  def kendallW(
+      df: DataFrame, partCol: String, raterCol: String, itemCol: String,
+      scoreCol: String): DataFrame =
+    // sign·(|·| div m): χ² is theoretically ≥ 0 but its micro snap
+    // can land epsilon-negative, where Spark's truncating div and
+    // DuckDB's flooring // disagree (the q_source_anomaly convention)
+    friedman(df, partCol, raterCol, itemCol, scoreCol)
+      .select(col(partCol),
+        col("n_blocks").as("n_raters"),
+        col("k_treatments").as("k_items"),
+        expr("sign(chi2_micro) * (abs(chi2_micro) div " +
+          "(n_blocks * (k_treatments - 1)))").cast("long")
+          .as("w_micro"),
+        expr("sign(chi2_tie_corrected_micro) * " +
+          "(abs(chi2_tie_corrected_micro) div " +
+          "(n_blocks * (k_treatments - 1)))").cast("long")
+          .as("w_tie_corrected_micro"))
+
   /** Page's trend test per partition (Page 1963) — the ORDERED
     * alternative for the BLOCKED design, completing the 2×2 with its
     * neighbors: [[kruskalWallis]] (pooled, unordered),

@@ -1196,62 +1196,43 @@ object EventQueries {
         NonParametric.friedman(daily, "cohort", "day", "event_type", "cnt")
           .orderBy(col("cohort"))
       },
-      Some("""
-        WITH obs AS (
-          SELECT user_id % 3 AS cohort, CAST(ts AS DATE) AS b,
-                 event_type AS t, CAST(count(*) AS BIGINT) AS x
-          FROM events GROUP BY 1, 2, 3),
-        kp AS (SELECT cohort, count(DISTINCT t) AS k FROM obs GROUP BY 1),
-        comp AS (
-          SELECT o.cohort, o.b
-          FROM obs o JOIN kp USING (cohort)
-          GROUP BY o.cohort, o.b, kp.k
-          HAVING count(*) = kp.k),
-        kept AS (SELECT o.* FROM obs o JOIN comp USING (cohort, b)),
-        ranked AS (
-          SELECT cohort, t,
-                 2 * RANK() OVER (PARTITION BY cohort, b ORDER BY x)
-                   + COUNT(*) OVER (PARTITION BY cohort, b, x) - 1 AS r2
-          FROM kept),
-        rt AS (
-          SELECT cohort, t, CAST(SUM(r2) AS BIGINT) AS rt
-          FROM ranked GROUP BY 1, 2),
-        nb AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n
-               FROM comp GROUP BY 1),
-        sq AS (
-          SELECT cohort, CAST(count(*) AS BIGINT) AS kt,
-                 SUM(CAST(rt AS DECIMAL(38,0))
-                     * CAST(rt AS DECIMAL(38,0))) AS s
-          FROM rt GROUP BY 1),
-        ties AS (
-          SELECT cohort, CAST(SUM(tt*tt*tt - tt) AS BIGINT) AS tie
-          FROM (SELECT cohort, b, x, CAST(count(*) AS BIGINT) AS tt
-                FROM kept GROUP BY 1, 2, 3)
-          GROUP BY 1)
-        SELECT sq.cohort,
-               nb.n AS n_blocks, sq.kt AS k_treatments,
-               CAST(ROUND((3.0 * CAST(s AS DOUBLE)
-                           / (CAST(n AS DOUBLE) * CAST(kt AS DOUBLE)
-                              * (CAST(kt AS DOUBLE) + 1.0))
-                           - 3.0 * CAST(n AS DOUBLE)
-                             * (CAST(kt AS DOUBLE) + 1.0)) * 1e6)
-                 AS BIGINT) AS chi2_micro,
-               CAST(ROUND((3.0 * CAST(s AS DOUBLE)
-                           / (CAST(n AS DOUBLE) * CAST(kt AS DOUBLE)
-                              * (CAST(kt AS DOUBLE) + 1.0))
-                           - 3.0 * CAST(n AS DOUBLE)
-                             * (CAST(kt AS DOUBLE) + 1.0))
-                          / (1.0 - CAST(tie AS DOUBLE)
-                             / (CAST(n AS DOUBLE) * CAST(kt AS DOUBLE)
-                                * (CAST(kt AS DOUBLE)
-                                   * CAST(kt AS DOUBLE) - 1.0)))
-                          * 1e6)
-                 AS BIGINT) AS chi2_tie_corrected_micro
-        FROM sq
-        JOIN nb USING (cohort) JOIN ties USING (cohort)
-        WHERE sq.kt >= 2 AND nb.n >= 2
-          AND ties.tie < nb.n * sq.kt * (sq.kt * sq.kt - 1)
-        ORDER BY sq.cohort
+      Some(s"""
+        WITH $friedmanCtes
+        SELECT * FROM fr ORDER BY cohort
+      """)),
+
+    // Kendall's coefficient of concordance W on the same design read
+    // as an agreement question: do the 30 days (raters) rank the 5
+    // event types (items) the same way — the multi-rater ordinal
+    // companion to q_cohens_kappa's two-rater nominal agreement.
+    // Derived from the Friedman identity chi2 = m(k-1)W on the
+    // snapped micro lattice via the signed exact integer quotient
+    // (NonParametric.kendallW scaladoc), so the oracle is one extra
+    // select over the shared Friedman replay.
+    QueryDef(
+      "q_kendall_w",
+      (s, dir) => {
+        import graft.operators.NonParametric
+        val daily = Tables.events(s, dir)
+          .groupBy(pmod(col("user_id"), lit(3L)).as("cohort"),
+            to_date(col("ts")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        NonParametric.kendallW(daily, "cohort", "day", "event_type", "cnt")
+          .orderBy(col("cohort"))
+      },
+      Some(s"""
+        WITH $friedmanCtes
+        SELECT cohort, n_blocks AS n_raters, k_treatments AS k_items,
+               CAST(SIGN(chi2_micro)
+                    * (ABS(chi2_micro)
+                       // (n_blocks * (k_treatments - 1)))
+                 AS BIGINT) AS w_micro,
+               CAST(SIGN(chi2_tie_corrected_micro)
+                    * (ABS(chi2_tie_corrected_micro)
+                       // (n_blocks * (k_treatments - 1)))
+                 AS BIGINT) AS w_tie_corrected_micro
+        FROM fr ORDER BY cohort
       """)),
 
     // Page's trend test per user cohort on the SAME blocked design
@@ -2497,6 +2478,67 @@ object EventQueries {
           .orderBy(col("event_type")),
       Some(mannKendallOracle))
   )
+
+  /** The Friedman complete-block doubled-rank replay (no WITH
+    * keyword; ends in the `fr` CTE) shared by q_friedman and
+    * q_kendall_w — W reads the same chain through the
+    * χ² = m(k−1)W identity.
+    */
+  private lazy val friedmanCtes: String = """obs AS (
+          SELECT user_id % 3 AS cohort, CAST(ts AS DATE) AS b,
+                 event_type AS t, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2, 3),
+        kp AS (SELECT cohort, count(DISTINCT t) AS k FROM obs GROUP BY 1),
+        comp AS (
+          SELECT o.cohort, o.b
+          FROM obs o JOIN kp USING (cohort)
+          GROUP BY o.cohort, o.b, kp.k
+          HAVING count(*) = kp.k),
+        kept AS (SELECT o.* FROM obs o JOIN comp USING (cohort, b)),
+        ranked AS (
+          SELECT cohort, t,
+                 2 * RANK() OVER (PARTITION BY cohort, b ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY cohort, b, x) - 1 AS r2
+          FROM kept),
+        rt AS (
+          SELECT cohort, t, CAST(SUM(r2) AS BIGINT) AS rt
+          FROM ranked GROUP BY 1, 2),
+        nb AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n
+               FROM comp GROUP BY 1),
+        sq AS (
+          SELECT cohort, CAST(count(*) AS BIGINT) AS kt,
+                 SUM(CAST(rt AS DECIMAL(38,0))
+                     * CAST(rt AS DECIMAL(38,0))) AS s
+          FROM rt GROUP BY 1),
+        ties AS (
+          SELECT cohort, CAST(SUM(tt*tt*tt - tt) AS BIGINT) AS tie
+          FROM (SELECT cohort, b, x, CAST(count(*) AS BIGINT) AS tt
+                FROM kept GROUP BY 1, 2, 3)
+          GROUP BY 1),
+        fr AS (
+        SELECT sq.cohort,
+               nb.n AS n_blocks, sq.kt AS k_treatments,
+               CAST(ROUND((3.0 * CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(kt AS DOUBLE)
+                              * (CAST(kt AS DOUBLE) + 1.0))
+                           - 3.0 * CAST(n AS DOUBLE)
+                             * (CAST(kt AS DOUBLE) + 1.0)) * 1e6)
+                 AS BIGINT) AS chi2_micro,
+               CAST(ROUND((3.0 * CAST(s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * CAST(kt AS DOUBLE)
+                              * (CAST(kt AS DOUBLE) + 1.0))
+                           - 3.0 * CAST(n AS DOUBLE)
+                             * (CAST(kt AS DOUBLE) + 1.0))
+                          / (1.0 - CAST(tie AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(kt AS DOUBLE)
+                                * (CAST(kt AS DOUBLE)
+                                   * CAST(kt AS DOUBLE) - 1.0)))
+                          * 1e6)
+                 AS BIGINT) AS chi2_tie_corrected_micro
+        FROM sq
+        JOIN nb USING (cohort) JOIN ties USING (cohort)
+        WHERE sq.kt >= 2 AND nb.n >= 2
+          AND ties.tie < nb.n * sq.kt * (sq.kt * sq.kt - 1))"""
 
   /** The Mann-Kendall daily-rollup replay shared by q_mann_kendall
     * and its streaming twin.

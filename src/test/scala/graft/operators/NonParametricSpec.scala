@@ -270,6 +270,26 @@ class NonParametricSpec extends SparkSuite {
     }
   }
 
+  // ---- Kendall's W ----
+
+  test("kendallW: identical rankings from every rater read exactly " +
+      "1e6 micro; rotating rankings read 0") {
+    // raters = blocks, items = treatments: the friedman "sep"
+    // fixture IS perfect concordance (chi2 = m(k-1) => W = 1)
+    val agree = for (r <- 0 until 10; i <- 0 until 3)
+      yield ("agree", r, s"i$i", (i * 100 + r).toLong)
+    val rotate = for (r <- 0 until 9; i <- 0 until 3)
+      yield ("rotate", r, s"i$i", (((i + r) % 3) * 100 + r).toLong)
+    val out = NonParametric.kendallW(
+        (agree ++ rotate).toDF("p", "rater", "item", "score"),
+        "p", "rater", "item", "score")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(out("agree").getLong(1) === 10L) // n_raters
+    assert(out("agree").getLong(2) === 3L) // k_items
+    assert(out("agree").getLong(3) === 1000000L, s"${out("agree")}")
+    assert(out("rotate").getLong(3) === 0L, s"${out("rotate")}")
+  }
+
   // ---- Page's trend test ----
 
   test("pageTrend: a block-consistent treatment order maxes L2 with " +

@@ -61,7 +61,13 @@ class RoundEdgeSpec extends AnyFunSuite {
     "graft/operators/UnigramLM.scala" -> 5,
     "graft/operators/ZipfFit.scala" -> 6,
     "graft/queries/EventQueries.scala" -> 27,
-    "graft/queries/ExtensionQueries.scala" -> 107,
+    // 107 at round 10; +4 in round 11: q_brown_forsythe's oracle
+    // mirrors q_anova's registered edges verbatim (the per-group
+    // 9-dp snap into DECIMAL(38,12) and the three 6-dp output
+    // edges), because the operator delegates to the SAME
+    // DistributionTests.oneWayAnova decomposition — identical
+    // doubles on both sides, the mirrored-verbatim class.
+    "graft/queries/ExtensionQueries.scala" -> 111,
     "graft/queries/MLQueries.scala" -> 3,
     "graft/queries/RelationalQueries.scala" -> 10,
     "graft/queries/TextQueries.scala" -> 4,
