@@ -401,6 +401,92 @@ object NonParametric {
     DistributionTests.oneWayAnova(dev, groupCol, "dev2")
   }
 
+  /** Cochran's Q per partition (Cochran 1950) — the BLOCKED test for
+    * BINARY outcomes: "do the k treatments produce the same pass
+    * rate, block by block" — [[friedman]]'s dichotomous sibling and
+    * [[DistributionTests]]' McNemar generalized past two treatments.
+    * The curation reading: blocks = documents, treatments = quality
+    * filters, outcome = flagged; Q asks whether the filters disagree
+    * systematically (χ²_{k−1} under H0).
+    *
+    *   Q = (k−1)·[k·ΣⱼCⱼ² − N²] / [k·N − ΣᵢRᵢ²]
+    *
+    * Cⱼ = per-treatment success totals, Rᵢ = per-block success
+    * totals, N = ΣCⱼ — EVERY term an exact integer (DECIMAL-summed
+    * squares; no ranks, no pairs, no floats until the single output
+    * division), so unlike the rank family this is pure aggregation:
+    * scale-safe at ANY block count, no window, no guard needed.
+    * Blocks missing any treatment drop (the [[friedman]]
+    * complete-block rule); NULL outcomes drop lazily (dropping the
+    * block with them). `outcomeCol` must be boolean or integral 0/1
+    * (validated: any other integer REFUSES — a silent ≥1 coercion
+    * would double-count multi-flag blocks).
+    *
+    * Output: (partCol, n_blocks, k_treatments, n_success, q_micro);
+    * partitions with ≥ 2 treatments, ≥ 2 blocks, and a nonzero
+    * denominator (all-uniform blocks everywhere leave Q undefined).
+    */
+  def cochranQ(
+      df: DataFrame, partCol: String, blockCol: String, treatCol: String,
+      outcomeCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    val outcome = df.schema(outcomeCol).dataType match {
+      case org.apache.spark.sql.types.BooleanType =>
+        col(outcomeCol).cast("long")
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => col(outcomeCol).cast("long")
+      case dt => throw new IllegalArgumentException(
+        s"cochranQ: outcome column '$outcomeCol' is $dt; need boolean " +
+          "or integral 0/1")
+    }
+    val obs = df.filter(col(outcomeCol).isNotNull)
+      .select(col(partCol).as("__p"), col(blockCol).as("__b"),
+        col(treatCol).as("__t"), outcome.as("__y"))
+    val bad = obs.filter(col("__y") =!= 0L && col("__y") =!= 1L)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"cochranQ: outcome value '${bad.headOption.map(_.get(3))
+          .getOrElse("?")}' is not 0/1 — binarize upstream (a silent " +
+        ">=1 coercion would double-count multi-flag blocks)")
+    val kPer = obs.groupBy(col("__p"))
+      .agg(countDistinct(col("__t")).as("__k"))
+    val complete = obs.groupBy(col("__p"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .join(kPer, "__p")
+      .filter(col("__c") === col("__k"))
+      .select(col("__p"), col("__b"))
+    val kept = obs.join(complete, Seq("__p", "__b"))
+    val d38 = DecimalType(38, 0)
+    val colTot = kept.groupBy(col("__p"), col("__t"))
+      .agg(sum(col("__y")).as("__cj"))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("k_treatments"),
+        sum(col("__cj")).as("n_success"),
+        sum(col("__cj").cast(d38) * col("__cj").cast(d38)).as("__c2"))
+    val rowTot = kept.groupBy(col("__p"), col("__b"))
+      .agg(sum(col("__y")).as("__ri"))
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__ri").cast(d38) * col("__ri").cast(d38)).as("__r2"))
+    val stats = colTot.join(rowTot, "__p")
+      .filter(col("k_treatments") >= 2 && col("n_blocks") >= 2)
+      // exact integer numerator/denominator in DECIMAL
+      .withColumn("__num",
+        (col("k_treatments") - 1).cast(d38) *
+          (col("k_treatments").cast(d38) * col("__c2") -
+            col("n_success").cast(d38) * col("n_success").cast(d38)))
+      .withColumn("__den",
+        col("k_treatments").cast(d38) * col("n_success").cast(d38) -
+          col("__r2"))
+      .filter(col("__den") > 0)
+    stats.select(col("__p").as(partCol), col("n_blocks"),
+      col("k_treatments"), col("n_success"),
+      snapMicro(col("__num").cast("double") / col("__den").cast("double"))
+        .as("q_micro"))
+  }
+
   /** Kendall's coefficient of concordance W per partition (Kendall &
     * Babington Smith 1939) — multi-rater ORDINAL agreement: "do the
     * m raters rank the k items the same way", the many-rater ordinal

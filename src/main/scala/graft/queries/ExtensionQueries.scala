@@ -7955,6 +7955,77 @@ object ExtensionQueries {
         FROM stat
         WHERE v > 0
         ORDER BY lang
+      """)),
+
+    // Cochran's Q per source: do three binary quality filters
+    // (length >= 300 chars, >= 56 whitespace tokens, mentions
+    // 'data') flag the same documents — the blocked binary
+    // agreement test (Friedman's dichotomous sibling, McNemar past
+    // two raters), the pre-flight before composing filters into a
+    // curation gate. Every term is an exact integer aggregate — no
+    // ranks, no pairs — so the statistic is scale-safe at any
+    // document count (NonParametric.cochranQ scaladoc).
+    QueryDef(
+      "q_cochran_q",
+      (s, dir) => {
+        val obs = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"),
+            expr("stack(3, " +
+              "'f_len', n_chars >= 300, " +
+              "'f_toks', size(split(text, ' ')) >= 56, " +
+              "'f_word', text LIKE '%data%') AS (filter, pass)"))
+        graft.operators.NonParametric.cochranQ(
+            obs, "source", "doc_id", "filter", "pass")
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT source, doc_id, f.filter,
+                 CASE f.filter
+                   WHEN 'f_len' THEN n_chars >= 300
+                   WHEN 'f_toks' THEN len(string_split(text, ' ')) >= 56
+                   ELSE text LIKE '%data%' END AS pass
+          FROM documents
+          CROSS JOIN (SELECT unnest(['f_len', 'f_toks', 'f_word'])
+                      AS filter) f),
+        ct AS (
+          SELECT source, filter,
+                 CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cj
+          FROM obs GROUP BY 1, 2),
+        cs AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS kt,
+                 CAST(SUM(cj) AS BIGINT) AS nsucc,
+                 SUM(CAST(cj AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0)))
+                   AS c2
+          FROM ct GROUP BY 1),
+        rt AS (
+          SELECT source, doc_id,
+                 CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ri
+          FROM obs GROUP BY 1, 2),
+        rs AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS nb,
+                 SUM(CAST(ri AS DECIMAL(38,0)) * CAST(ri AS DECIMAL(38,0)))
+                   AS r2
+          FROM rt GROUP BY 1),
+        st AS (
+          SELECT cs.source, rs.nb, cs.kt, cs.nsucc,
+                 CAST(cs.kt - 1 AS DECIMAL(38,0))
+                   * (CAST(cs.kt AS DECIMAL(38,0)) * cs.c2
+                      - CAST(cs.nsucc AS DECIMAL(38,0))
+                        * CAST(cs.nsucc AS DECIMAL(38,0))) AS num,
+                 CAST(cs.kt AS DECIMAL(38,0))
+                   * CAST(cs.nsucc AS DECIMAL(38,0)) - rs.r2 AS den
+          FROM cs JOIN rs ON rs.source = cs.source
+          WHERE cs.kt >= 2 AND rs.nb >= 2)
+        SELECT source, nb AS n_blocks, kt AS k_treatments,
+               nsucc AS n_success,
+               CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                          * 1e6) AS BIGINT) AS q_micro
+        FROM st
+        WHERE den > 0
+        ORDER BY source
       """))
   )
 

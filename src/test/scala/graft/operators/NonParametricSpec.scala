@@ -270,6 +270,37 @@ class NonParametricSpec extends SparkSuite {
     }
   }
 
+  // ---- Cochran's Q ----
+
+  test("cochranQ: identical filters score exactly 0; a systematic " +
+      "disagreement scores large; non-binary outcomes refuse") {
+    // "same": equal MARGINAL pass rates (Q tests marginal
+    // homogeneity): f1 passes even blocks, f2 odd -> column totals
+    // equal, numerator exactly 0. (Identical columns would zero the
+    // DENOMINATOR too — every block uniform leaves Q undefined and
+    // the partition drops, which is the den > 0 edge, not this one.)
+    val same = for (b <- 0 until 20; t <- Seq("f1", "f2"))
+      yield ("same", b, t,
+        if (t == "f1") b % 2 == 0 else b % 2 == 1)
+    // "diff": f1 passes everything, f2 nothing, f3 every other --
+    // systematic disagreement, Q near its k-1 ceiling scaled by n
+    val diff = for (b <- 0 until 20; t <- Seq("f1", "f2", "f3"))
+      yield ("diff", b, t,
+        t == "f1" || (t == "f3" && b % 2 == 0))
+    val out = NonParametric.cochranQ(
+        (same ++ diff).toDF("p", "b", "t", "y"), "p", "b", "t", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("same").getLong(4) === 0L, s"${out("same")}")
+    assert(out("diff").getLong(4) > 20000000L, s"${out("diff")}")
+    assert(out("diff").getLong(1) === 20L &&
+      out("diff").getLong(2) === 3L && out("diff").getLong(3) === 30L)
+    intercept[IllegalArgumentException] {
+      NonParametric.cochranQ(
+        Seq(("p", 1, "t", 2L)).toDF("p", "b", "t", "y"),
+        "p", "b", "t", "y").collect()
+    }
+  }
+
   // ---- Kendall's W ----
 
   test("kendallW: identical rankings from every rater read exactly " +
