@@ -143,7 +143,8 @@ object Bench {
     // round-11 additions: the ICU-fidelity tokenizer mode, blocked
     // rank ANOVA, robust variance homogeneity
     "q_tokenize_icu", "q_friedman", "q_brown_forsythe", "q_jonckheere",
-    "q_stream_mann_kendall", "q_page", "q_kendall_w", "q_cochran_q")
+    "q_stream_mann_kendall", "q_page", "q_kendall_w", "q_cochran_q",
+    "q_seasonal_mk", "q_sprt")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

@@ -74,6 +74,56 @@ object AbTest {
         .otherwise("none").as("verdict"))
   }
 
+  /** Wald sequential probability ratio test per group (Wald 1945) —
+    * CONTINUOUS A/B monitoring with early stopping: unlike the
+    * fixed-horizon [[twoProportion]], SPRT may be evaluated after
+    * every batch without inflating the error rates — the boundaries
+    * A = log((1−β)/α), B = log(β/(1−α)) carry the α/β guarantees at
+    * ANY stopping time (Wald's optional-stopping theorem), which is
+    * exactly what a feed-health monitor that looks every hour needs.
+    *
+    * For Bernoulli outcomes the log-likelihood ratio is linear in
+    * the sufficient statistics:
+    *
+    *   LLR = c·log(p₁/p₀) + (n−c)·log((1−p₁)/(1−p₀))
+    *
+    * The two per-observation log terms and both boundaries are
+    * snapped ONCE to the log10 micro lattice at plan build (driver
+    * constants — the engine's cross-engine-proven log primitive is
+    * log10, and the base cancels between LLR and boundaries), so
+    * LLR is an EXACT integer linear form in (n, c): no float at
+    * runtime, one map-side-combined aggregate per group, trivially
+    * scale-safe and oracle-replayable with the same pinned
+    * constants. NULL outcomes count as failures (the
+    * [[twoProportion]] convention).
+    *
+    * Output: (group, n, successes, llr_micro, decision) with
+    * decision ∈ accept_h1 | accept_h0 | continue.
+    */
+  def sprt(
+      df: DataFrame, groupCol: String, success: Column,
+      p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"sprt: need 0 < p0 != p1 < 1, got p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"sprt: need alpha, beta in (0,1), got $alpha / $beta")
+    val l1 = math.round(math.log10(p1 / p0) * 1e6)
+    val l0 = math.round(math.log10((1 - p1) / (1 - p0)) * 1e6)
+    val aBound = math.round(math.log10((1 - beta) / alpha) * 1e6)
+    val bBound = math.round(math.log10(beta / (1 - alpha)) * 1e6)
+    val llr = col("successes") * lit(l1) +
+      (col("n") - col("successes")) * lit(l0)
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("successes"))
+      .select(col(groupCol), col("n"), col("successes"),
+        llr.as("llr_micro"),
+        when(llr >= lit(aBound), "accept_h1")
+          .when(llr <= lit(bBound), "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   /** Per-`groupCol` cohort counts and the significance verdict.
     * `inB` assigns the row's cohort; `success` is the conversion
     * predicate. Output: (group, n_a, c_a, n_b, c_b, winner) with

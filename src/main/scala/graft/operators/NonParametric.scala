@@ -87,25 +87,50 @@ object NonParametric {
         "undefined), or carries NULL idx/value rows (a NULL " +
         "comparison would silently count as a tie) — roll the " +
         "series up (daily/hourly) and null-filter upstream")
-    val a = rows.select(col("__g"), col("__i").as("__ia"),
-      col("__x").as("__xa"))
-    val b = rows.select(col("__g"), col("__i").as("__ib"),
-      col("__x").as("__xb"))
-    val sStat = a.join(b, "__g")
+    mkZEdge(mkStats(rows, Seq("__g")), groupCol, Seq(col("__g")))
+  }
+
+  /** Exact per-stratum MK sufficient statistics over pre-validated
+    * rows (__i, __x plus the stratum key columns): pairwise S by
+    * comparison, tie-corrected variance numerator, n — shared by
+    * [[mannKendall]] (stratum = group) and [[seasonalMannKendall]]
+    * (stratum = group × season; the pair join never crosses a
+    * stratum, which is the whole Hirsch-Slack point).
+    */
+  private def mkStats(
+      rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val a = rows.select(keyCols :+ col("__i").as("__ia") :+
+      col("__x").as("__xa"): _*)
+    val b = rows.select(keyCols :+ col("__i").as("__ib") :+
+      col("__x").as("__xb"): _*)
+    val sStat = a.join(b, keys)
       .filter(col("__ia") < col("__ib"))
-      .groupBy(col("__g"))
+      .groupBy(keyCols: _*)
       .agg(sum(when(col("__xb") > col("__xa"), 1L)
         .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s_stat"))
-    val ties = rows.groupBy(col("__g"), col("__x"))
+    val ties = rows.groupBy(keyCols :+ col("__x"): _*)
       .agg(count(lit(1)).as("__t"))
-      .groupBy(col("__g"))
+      .groupBy(keyCols: _*)
       .agg(sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tie"))
-    rows.groupBy(col("__g")).agg(count(lit(1)).as("n"))
-      .join(sStat, "__g").join(ties, "__g")
-      .select(col("__g").as(groupCol), col("n"), col("s_stat"),
-        (expr("n * (n - 1) * (2 * n + 5)") - col("__tie")).as("var_num"))
+    rows.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
+      .join(sStat, keys).join(ties, keys)
+      .select(keyCols :+ col("n") :+ col("s_stat") :+
+        (expr("n * (n - 1) * (2 * n + 5)") - col("__tie"))
+          .as("var_num"): _*)
+  }
+
+  /** The shared MK output edge: var_num > 0 filter, continuity-
+    * corrected z snapped to micro — applied to (possibly
+    * season-summed) exact integer statistics.
+    */
+  private def mkZEdge(
+      stats: DataFrame, groupCol: String,
+      groupExpr: Seq[org.apache.spark.sql.Column]): DataFrame =
+    stats
       .filter(col("var_num") > 0)
-      .select(col(groupCol), col("n"), col("s_stat"), col("var_num"),
+      .select(groupExpr.head.as(groupCol) +: Seq(col("n"),
+        col("s_stat"), col("var_num"),
         snapMicro(
           when(col("s_stat") > 0,
             (col("s_stat") - lit(1)).cast("double"))
@@ -113,7 +138,57 @@ object NonParametric {
               (col("s_stat") + lit(1)).cast("double"))
             .otherwise(lit(0.0))
             / sqrt(col("var_num").cast("double") / lit(18.0)))
-          .as("z_micro"))
+          .as("z_micro")): _*)
+
+  /** Seasonal Mann-Kendall per group (Hirsch & Slack 1984) — the
+    * trend alarm for series with a KNOWN cycle: plain MK reads a
+    * weekly rhythm as ties/noise and a strong seasonal pattern can
+    * mask or fake a trend. Pairs are compared only WITHIN each
+    * season (same weekday with daily data, same month with monthly),
+    * and the exact integer statistics sum across seasons:
+    *
+    *   S = Σ_seasons S_season,  Var = Σ_seasons Var_season
+    *
+    * (independence across seasons under H0 — the Hirsch-Slack
+    * additivity), with ONE continuity-corrected z over the summed
+    * statistics at the micro edge. All the [[mannKendall]] contracts
+    * hold per (group, season): strict index order, NULL refusal, the
+    * O(n²)-pairs guard (now per season — the seasonal split also
+    * cuts the pair cost by the season count). All-tied seasons
+    * contribute S = 0, Var = 0 — dropping out of both sums exactly.
+    *
+    * Output: (group, n, s_stat, var_num, z_micro) — n totals every
+    * seasonal point; groups where every season is all-tied drop.
+    */
+  def seasonalMannKendall(
+      df: DataFrame, groupCol: String, seasonCol: String, idxCol: String,
+      valueCol: String, maxGroupRows: Long = 10000L): DataFrame = {
+    require(maxGroupRows >= 2, s"maxGroupRows: $maxGroupRows")
+    Reserved.check("input" -> df)
+    requireIntegral(df, idxCol, valueCol)
+    val rows = df.select(col(groupCol).as("__g"),
+      col(seasonCol).as("__season"),
+      col(idxCol).cast("long").as("__i"),
+      col(valueCol).cast("long").as("__x"))
+      .localCheckpoint(true)
+    val oversized = rows.groupBy(col("__g"), col("__season"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col("__i")).as("__d"),
+        sum(when(col("__i").isNull || col("__x").isNull, 1L)
+          .otherwise(0L)).as("__nulls"))
+      .filter(col("__n") > maxGroupRows || col("__d") < col("__n") ||
+        col("__nulls") > 0)
+      .limit(1).collect()
+    require(oversized.isEmpty,
+      s"seasonalMannKendall: (group, season) '${oversized.headOption
+          .map(r => (r.get(0), r.get(1))).getOrElse("?")}' " +
+        s"exceeds maxGroupRows=$maxGroupRows, has duplicate indexes, " +
+        "or carries NULL idx/value rows — roll up and null-filter " +
+        "upstream (the mannKendall contracts, per season)")
+    val summed = mkStats(rows, Seq("__g", "__season"))
+      .groupBy(col("__g"))
+      .agg(sum(col("n")).as("n"), sum(col("s_stat")).as("s_stat"),
+        sum(col("var_num")).as("var_num"))
+    mkZEdge(summed, groupCol, Seq(col("__g")))
   }
 
   /** Cliff's delta per group (Cliff 1993) — the ordinal effect size

@@ -2476,7 +2476,116 @@ object EventQueries {
       (s, dir) =>
         StreamingOps.mannKendallHistory(s, s"$dir/events.parquet")
           .orderBy(col("event_type")),
-      Some(mannKendallOracle))
+      Some(mannKendallOracle)),
+
+    // Seasonal Mann-Kendall on the same daily rollup: pairs compare
+    // only within the same WEEKDAY, so the weekly rhythm can neither
+    // mask nor fake a trend; exact integer S/Var sum across the 7
+    // seasons and one continuity-corrected z forms at the edge
+    // (NonParametric.seasonalMannKendall scaladoc). Season ids need
+    // only GROUP the same dates in both engines — Spark's dayofweek
+    // (Sun=1..7) and DuckDB's dow (Sun=0..6) differ as VALUES but
+    // induce the identical partition, and the id never reaches the
+    // output.
+    QueryDef(
+      "q_seasonal_mk",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+          .select(col("event_type"),
+            dayofweek(col("day")).cast("long").as("season"),
+            datediff(col("day"), to_date(lit("2024-01-01")))
+              .cast("long").as("di"),
+            col("cents"))
+        graft.operators.NonParametric.seasonalMannKendall(
+            daily, "event_type", "season", "di", "cents")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 date_part('dow', CAST(ts AS DATE)) AS season,
+                 date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                   AS di,
+                 CAST(sum(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events GROUP BY 1, 2, 3),
+        p AS (
+          SELECT a.event_type, a.season,
+                 CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                               WHEN b.cents < a.cents THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.season = b.season
+            AND a.di < b.di
+          GROUP BY 1, 2),
+        nn AS (SELECT event_type, season, CAST(count(*) AS BIGINT) AS n
+               FROM daily GROUP BY 1, 2),
+        ties AS (
+          SELECT event_type, season,
+                 CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+          FROM (SELECT event_type, season, cents, count(*) AS t
+                FROM daily GROUP BY 1, 2, 3)
+          GROUP BY 1, 2),
+        per AS (
+          SELECT nn.event_type, nn.n, p.s_stat,
+                 nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie AS var_num
+          FROM nn
+          JOIN p ON p.event_type = nn.event_type
+            AND p.season = nn.season
+          JOIN ties t ON t.event_type = nn.event_type
+            AND t.season = nn.season),
+        tot AS (
+          SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(s_stat) AS BIGINT) AS s_stat,
+                 CAST(SUM(var_num) AS BIGINT) AS var_num
+          FROM per GROUP BY 1)
+        SELECT event_type, n, s_stat, var_num,
+               CAST(ROUND((CASE WHEN s_stat > 0
+                                THEN CAST(s_stat - 1 AS DOUBLE)
+                                WHEN s_stat < 0
+                                THEN CAST(s_stat + 1 AS DOUBLE)
+                                ELSE 0.0 END
+                           / sqrt(CAST(var_num AS DOUBLE) / 18.0))
+                          * 1000000.0) AS BIGINT) AS z_micro
+        FROM tot
+        WHERE var_num > 0
+        ORDER BY event_type
+      """)),
+
+    // Wald SPRT per event type: continuous "did the value>50 rate
+    // move from 30% toward 40%" monitoring with early stopping —
+    // boundaries keep their alpha/beta guarantees at ANY evaluation
+    // cadence (the optional-stopping property q_ab_test's
+    // fixed-horizon verdict lacks). The per-observation log terms
+    // and boundaries snap once to the log10 micro lattice at plan
+    // build, so the LLR is an exact integer linear form in (n,
+    // successes) and the oracle replays it with the same pinned
+    // constants (AbTest.sprt scaladoc).
+    QueryDef(
+      "q_sprt",
+      (s, dir) =>
+        graft.operators.AbTest.sprt(
+            Tables.events(s, dir), "event_type",
+            col("value") > 50, p0 = 0.30, p1 = 0.40)
+          .orderBy(col("event_type")),
+      Some("""
+        WITH g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS successes
+          FROM events GROUP BY 1)
+        SELECT event_type, n, successes,
+               successes * 124939 + (n - successes) * -66947
+                 AS llr_micro,
+               CASE WHEN successes * 124939 + (n - successes) * -66947
+                         >= 1278754 THEN 'accept_h1'
+                    WHEN successes * 124939 + (n - successes) * -66947
+                         <= -1278754 THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM g ORDER BY event_type
+      """))
   )
 
   /** The Friedman complete-block doubled-rank replay (no WITH

@@ -50,4 +50,29 @@ class AbTestSpec extends SparkSuite {
     assert(out("sh") === ((100L, "b_high")))
     assert(out("mx") === ((45L, "none")))
   }
+
+  test("sprt: the LLR is the exact pinned-lattice linear form; " +
+      "strong evidence crosses each boundary, thin evidence " +
+      "continues; invalid rates refuse") {
+    import org.apache.spark.sql.functions.col
+    // p0=0.3 -> p1=0.4 at alpha=beta=0.05: per-success +124939
+    // micro, per-failure -66947, boundaries +/-1278754 (log10
+    // lattice, computed once and pinned — the oracle's constants)
+    val h1 = (0 until 48).map(i => ("h1", i % 2 == 0)) // 50% >> p1
+    val h0 = (0 until 100).map(i => ("h0", i % 10 == 0)) // 10% << p0
+    val thin = (0 until 6).map(i => ("thin", i % 3 == 0))
+    val out = AbTest.sprt(
+        (h1 ++ h0 ++ thin).toDF("g", "ok"), "g", col("ok"),
+        p0 = 0.30, p1 = 0.40)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def llr(n: Long, c: Long) = c * 124939L + (n - c) * -66947L
+    assert(out("h1").getLong(3) === llr(48, 24))
+    assert(out("h1").getString(4) === "accept_h1")
+    assert(out("h0").getLong(3) === llr(100, 10))
+    assert(out("h0").getString(4) === "accept_h0")
+    assert(out("thin").getString(4) === "continue")
+    intercept[IllegalArgumentException] {
+      AbTest.sprt(h1.toDF("g", "ok"), "g", col("ok"), 0.3, 0.3)
+    }
+  }
 }

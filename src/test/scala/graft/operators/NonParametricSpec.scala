@@ -47,6 +47,43 @@ class NonParametricSpec extends SparkSuite {
     }
   }
 
+  // ---- Seasonal Mann-Kendall ----
+
+  test("seasonalMannKendall: a within-weekday trend under heavy " +
+      "weekly seasonality saturates S; pure seasonality (no trend) " +
+      "drops; plain MK on the same series reads far less signal") {
+    // 4 weeks x 7 weekdays; value = 1000*(weekday) + day: within
+    // each weekday strictly increasing (S_season = C(4,2) = 6,
+    // total S = 42), across weekdays dominated by the 1000-jumps
+    val trend = (0L until 28L).map(d =>
+      ("trend", d % 7, d, 1000L * (d % 7) + d))
+    val flat = (0L until 28L).map(d =>
+      ("flat", d % 7, d, 1000L * (d % 7)))
+    val out = NonParametric.seasonalMannKendall(
+        (trend ++ flat).toDF("g", "season", "di", "x"),
+        "g", "season", "di", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("trend").getLong(1) === 28L)
+    assert(out("trend").getLong(2) === 42L, s"${out("trend")}")
+    assert(out("trend").getLong(4) > 3000000L)
+    // every season all-tied -> S = Var = 0 -> the group drops
+    assert(!out.contains("flat"))
+    // the plain test on the same series: the seasonal jumps drown
+    // the trend (S far below the seasonal test's saturated ratio)
+    val plain = NonParametric.mannKendall(
+        trend.map { case (g, _, d, x) => (g, d, x) }.toDF("g", "di", "x"),
+        "g", "di", "x")
+      .collect().head
+    assert(plain.getLong(4) < out("trend").getLong(4),
+      s"plain z ${plain.getLong(4)} vs seasonal ${out("trend").getLong(4)}")
+    intercept[IllegalArgumentException] {
+      NonParametric.seasonalMannKendall(
+        Seq(("g", 1L, 5L, 1L), ("g", 1L, 5L, 2L)).toDF(
+          "g", "season", "di", "x"),
+        "g", "season", "di", "x").collect()
+    }
+  }
+
   // ---- Cliff's delta ----
 
   test("cliffsDelta: disjoint samples saturate at ±1e6 ppm; " +
