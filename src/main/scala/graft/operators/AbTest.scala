@@ -124,6 +124,86 @@ object AbTest {
           .otherwise("continue").as("decision"))
   }
 
+  /** CUPED variance-reduced A/B readout per group (Deng, Xu, Kohavi
+    * & Walker 2013) — the industry-standard sensitivity boost: a
+    * pre-experiment covariate X (last period's activity) explains
+    * away ρ² of the metric Y's variance, so the adjusted metric
+    * Y' = Y − θ·(X − X̄) detects the same lift with (1−ρ²)× the
+    * sample. θ = cov(X,Y)/var(X) is computed on the POOLED units
+    * (the paper's recommendation — under randomization X is
+    * independent of assignment, so pooling is unbiased).
+    *
+    * Exactness: X and Y arrive on an integer lattice (cents); every
+    * sufficient statistic (n, ΣX, ΣY, and the DECIMAL(38,0)
+    * products ΣXY, ΣX², ΣY²) is an exact order-free integer, the
+    * textbook identities n·ΣXY − ΣX·ΣY etc. stay exact in DECIMAL,
+    * and θ, the raw/adjusted cohort mean differences, and
+    * ρ² = cov²/(varX·varY) are each ONE written IEEE sequence over
+    * those integers, snapped at the edge. Units with NULL cohort
+    * drop (the [[rankSum]] convention). Shape: two map-side-combined
+    * aggregates to group-cardinality rows — scale-free.
+    *
+    * Output: (group, n, n_a, n_b, theta_micro, raw_diff_micro,
+    * adj_diff_micro, rho2_ppm); groups need both cohorts populated
+    * and nonzero var(X), var(Y).
+    */
+  def cuped(
+      df: DataFrame, groupCol: String, inB: Column,
+      xCol: String, yCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    Seq(xCol, yCol).foreach { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"cuped: column '$c' is $dt; put the metric on an integer " +
+            "lattice first (the GroupedOls.fit policy)")
+      }
+    }
+    val d38 = DecimalType(38, 0)
+    val rows = df.where(inB.isNotNull)
+      .select(col(groupCol).as("__g"), inB.as("__b"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val agg = rows.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x").cast(d38) * col("__y").cast(d38)).as("__sxy"),
+      sum(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"),
+      sum(col("__y").cast(d38) * col("__y").cast(d38)).as("__syy"),
+      sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__b"), col("__x")).otherwise(0L)).as("__sxa"),
+      sum(when(col("__b"), col("__x")).otherwise(0L)).as("__sxb"),
+      sum(when(!col("__b"), col("__y")).otherwise(0L)).as("__sya"),
+      sum(when(col("__b"), col("__y")).otherwise(0L)).as("__syb"))
+    val nD = col("n").cast(d38)
+    val covNum = nD * col("__sxy") - col("__sx").cast(d38) *
+      col("__sy").cast(d38)
+    val varXNum = nD * col("__sxx") - col("__sx").cast(d38) *
+      col("__sx").cast(d38)
+    val varYNum = nD * col("__syy") - col("__sy").cast(d38) *
+      col("__sy").cast(d38)
+    val theta = covNum.cast("double") / varXNum.cast("double")
+    val rawDiff = col("__syb").cast("double") / col("n_b").cast("double") -
+      col("__sya").cast("double") / col("n_a").cast("double")
+    val xDiff = col("__sxb").cast("double") / col("n_b").cast("double") -
+      col("__sxa").cast("double") / col("n_a").cast("double")
+    val rho2 = covNum.cast("double") * covNum.cast("double") /
+      (varXNum.cast("double") * varYNum.cast("double"))
+    def snap(c: Column) = round(c * lit(1e6)).cast("long")
+    agg
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .withColumn("__vx", varXNum).withColumn("__vy", varYNum)
+      .filter(col("__vx") > 0 && col("__vy") > 0)
+      .select(col("__g").as(groupCol), col("n"), col("n_a"), col("n_b"),
+        snap(theta).as("theta_micro"),
+        snap(rawDiff).as("raw_diff_micro"),
+        snap(rawDiff - theta * xDiff).as("adj_diff_micro"),
+        snap(rho2).as("rho2_ppm"))
+  }
+
   /** Per-`groupCol` cohort counts and the significance verdict.
     * `inB` assigns the row's cohort; `success` is the conversion
     * predicate. Output: (group, n_a, c_a, n_b, c_b, winner) with

@@ -2585,6 +2585,104 @@ object EventQueries {
                          <= -1278754 THEN 'accept_h0'
                     ELSE 'continue' END AS decision
         FROM g ORDER BY event_type
+      """)),
+
+    // CUPED variance-reduced A/B readout per event type: X = each
+    // user's first-half-of-January cents, Y = second-half cents
+    // (users active in both halves), cohort = user parity. theta
+    // and rho-squared from exact DECIMAL sufficient statistics, the
+    // adjusted lift as one IEEE sequence, everything micro-snapped
+    // (AbTest.cuped scaladoc) — the sensitivity-boost table an
+    // experimentation platform prints beside the raw lift.
+    QueryDef(
+      "q_cuped",
+      (s, dir) => {
+        import graft.operators.AbTest
+        val perUser = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"),
+            (dayofmonth(col("ts")) <= 15).as("pre"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+            sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"),
+            max(when(col("pre"), 1L).otherwise(0L)).as("hp"),
+            max(when(!col("pre"), 1L).otherwise(0L)).as("hq"))
+          .filter(col("hp") === 1L && col("hq") === 1L)
+        AbTest.cuped(perUser, "event_type",
+            pmod(col("user_id"), lit(2L)) === 1, "x", "y")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id,
+                 date_part('day', CAST(ts AS TIMESTAMP)) <= 15 AS pre,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events),
+        u AS (
+          SELECT event_type, user_id,
+                 CAST(SUM(CASE WHEN pre THEN cents ELSE 0 END)
+                   AS BIGINT) AS x,
+                 CAST(SUM(CASE WHEN NOT pre THEN cents ELSE 0 END)
+                   AS BIGINT) AS y,
+                 MAX(CASE WHEN pre THEN 1 ELSE 0 END) AS hp,
+                 MAX(CASE WHEN NOT pre THEN 1 ELSE 0 END) AS hq
+          FROM e GROUP BY 1, 2),
+        v AS (SELECT event_type, user_id % 2 = 1 AS b, x, y
+              FROM u WHERE hp = 1 AND hq = 1),
+        agg AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS sxy,
+                 SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx,
+                 SUM(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS syy,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(SUM(CASE WHEN NOT b THEN x ELSE 0 END) AS BIGINT)
+                   AS sxa,
+                 CAST(SUM(CASE WHEN b THEN x ELSE 0 END) AS BIGINT)
+                   AS sxb,
+                 CAST(SUM(CASE WHEN NOT b THEN y ELSE 0 END) AS BIGINT)
+                   AS sya,
+                 CAST(SUM(CASE WHEN b THEN y ELSE 0 END) AS BIGINT)
+                   AS syb
+          FROM v GROUP BY 1),
+        c AS (
+          SELECT event_type, n, n_a, n_b, sxa, sxb, sya, syb,
+                 CAST(n AS DECIMAL(38,0)) * sxy
+                   - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                   AS covn,
+                 CAST(n AS DECIMAL(38,0)) * sxx
+                   - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                   AS vxn,
+                 CAST(n AS DECIMAL(38,0)) * syy
+                   - CAST(sy AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                   AS vyn
+          FROM agg WHERE n_a > 0 AND n_b > 0)
+        SELECT event_type, n, n_a, n_b,
+               CAST(ROUND(CAST(covn AS DOUBLE) / CAST(vxn AS DOUBLE)
+                          * 1e6) AS BIGINT) AS theta_micro,
+               CAST(ROUND((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                           - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE))
+                          * 1e6) AS BIGINT) AS raw_diff_micro,
+               CAST(ROUND((CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                           - CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(covn AS DOUBLE) / CAST(vxn AS DOUBLE)
+                             * (CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                                - CAST(sxa AS DOUBLE)
+                                  / CAST(n_a AS DOUBLE)))
+                          * 1e6) AS BIGINT) AS adj_diff_micro,
+               CAST(ROUND(CAST(covn AS DOUBLE) * CAST(covn AS DOUBLE)
+                          / (CAST(vxn AS DOUBLE) * CAST(vyn AS DOUBLE))
+                          * 1e6) AS BIGINT) AS rho2_ppm
+        FROM c
+        WHERE vxn > 0 AND vyn > 0
+        ORDER BY event_type
       """))
   )
 

@@ -75,4 +75,35 @@ class AbTestSpec extends SparkSuite {
       AbTest.sprt(h1.toDF("g", "ok"), "g", col("ok"), 0.3, 0.3)
     }
   }
+
+  test("cuped: a covariate-explained metric reads theta ~ slope, " +
+      "rho2 near 1, and an adjusted lift closer to the planted one " +
+      "than the raw (covariate-imbalance-corrected) readout") {
+    import org.apache.spark.sql.functions.col
+    // y = 2x + 100*treatment: the true lift is 100 and the
+    // covariate dominates y's variance (rho2 ~ 0.95); the odd/even
+    // cohort split leaves a small x imbalance that biases the RAW
+    // difference (120) — exactly what the theta adjustment removes
+    val units = (0 until 40).map { i =>
+      val x = i.toLong * 10
+      val b = i % 2 == 1
+      ("g", b, x, 2 * x + (if (b) 100L else 0L))
+    }
+    val r = AbTest.cuped(units.toDF("g", "b", "x", "y"), "g",
+      col("b"), "x", "y").collect().head
+    val theta = r.getLong(4)
+    val raw = r.getLong(5)
+    val adj = r.getLong(6)
+    assert(r.getLong(1) === 40L && r.getLong(2) === 20L &&
+      r.getLong(3) === 20L)
+    assert(theta > 1900000L && theta < 2200000L, s"theta: $r")
+    assert(raw === 120000000L, s"raw: $r")
+    assert(math.abs(adj - 100000000L) < math.abs(raw - 100000000L),
+      s"adjustment must move toward the planted lift: $r")
+    assert(r.getLong(7) > 900000L, s"rho2: $r")
+    intercept[IllegalArgumentException] {
+      AbTest.cuped(Seq(("g", true, 1.5, 2.0)).toDF("g", "b", "x", "y"),
+        "g", col("b"), "x", "y")
+    }
+  }
 }
