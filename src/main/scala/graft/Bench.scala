@@ -144,7 +144,7 @@ object Bench {
     // rank ANOVA, robust variance homogeneity
     "q_tokenize_icu", "q_friedman", "q_brown_forsythe", "q_jonckheere",
     "q_stream_mann_kendall", "q_page", "q_kendall_w", "q_cochran_q",
-    "q_seasonal_mk", "q_sprt", "q_cuped")
+    "q_seasonal_mk", "q_sprt", "q_cuped", "q_stream_sprt")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

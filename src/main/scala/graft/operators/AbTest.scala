@@ -108,20 +108,38 @@ object AbTest {
       s"sprt: need 0 < p0 != p1 < 1, got p0=$p0 p1=$p1")
     require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
       s"sprt: need alpha, beta in (0,1), got $alpha / $beta")
+    sprtDecision(
+      df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n"),
+          sum(when(success, 1L).otherwise(0L)).as("successes")),
+      groupCol, p0, p1, alpha, beta)
+  }
+
+  /** The SPRT output edge over a pre-aggregated (group, n,
+    * successes) frame — the pinned-lattice LLR and boundary
+    * decision. Shared by [[sprt]] (batch aggregate) and the
+    * streaming twin (stateful fold), so both read the SAME
+    * constants and the twins share one oracle.
+    */
+  def sprtDecision(
+      counts: DataFrame, groupCol: String,
+      p0: Double, p1: Double,
+      alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"sprt: need 0 < p0 != p1 < 1, got p0=$p0 p1=$p1")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"sprt: need alpha, beta in (0,1), got $alpha / $beta")
     val l1 = math.round(math.log10(p1 / p0) * 1e6)
     val l0 = math.round(math.log10((1 - p1) / (1 - p0)) * 1e6)
     val aBound = math.round(math.log10((1 - beta) / alpha) * 1e6)
     val bBound = math.round(math.log10(beta / (1 - alpha)) * 1e6)
     val llr = col("successes") * lit(l1) +
       (col("n") - col("successes")) * lit(l0)
-    df.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"),
-        sum(when(success, 1L).otherwise(0L)).as("successes"))
-      .select(col(groupCol), col("n"), col("successes"),
-        llr.as("llr_micro"),
-        when(llr >= lit(aBound), "accept_h1")
-          .when(llr <= lit(bBound), "accept_h0")
-          .otherwise("continue").as("decision"))
+    counts.select(col(groupCol), col("n"), col("successes"),
+      llr.as("llr_micro"),
+      when(llr >= lit(aBound), "accept_h1")
+        .when(llr <= lit(bBound), "accept_h0")
+        .otherwise("continue").as("decision"))
   }
 
   /** CUPED variance-reduced A/B readout per group (Deng, Xu, Kohavi

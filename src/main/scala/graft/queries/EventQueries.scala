@@ -2570,22 +2570,23 @@ object EventQueries {
             Tables.events(s, dir), "event_type",
             col("value") > 50, p0 = 0.30, p1 = 0.40)
           .orderBy(col("event_type")),
-      Some("""
-        WITH g AS (
-          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                 CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS successes
-          FROM events GROUP BY 1)
-        SELECT event_type, n, successes,
-               successes * 124939 + (n - successes) * -66947
-                 AS llr_micro,
-               CASE WHEN successes * 124939 + (n - successes) * -66947
-                         >= 1278754 THEN 'accept_h1'
-                    WHEN successes * 124939 + (n - successes) * -66947
-                         <= -1278754 THEN 'accept_h0'
-                    ELSE 'continue' END AS decision
-        FROM g ORDER BY event_type
-      """)),
+      Some(sprtOracle)),
+
+    // Streaming twin of q_sprt — the test that EXISTS for this
+    // mode: Wald's boundaries hold at any evaluation cadence, so a
+    // per-micro-batch decision is statistically sound. State is the
+    // O(1) (n, successes) sufficient statistics; the decision edge
+    // is the batch operator's own pinned-lattice sprtDecision, so
+    // the twin shares q_sprt's oracle; counting is commutative, so
+    // batch splits can't change the result
+    // (StreamingOps.sprtState scaladoc).
+    QueryDef(
+      "q_stream_sprt",
+      (s, dir) =>
+        StreamingOps.sprtHistory(s, s"$dir/events.parquet",
+            p0 = 0.30, p1 = 0.40)
+          .orderBy(col("event_type")),
+      Some(sprtOracle)),
 
     // CUPED variance-reduced A/B readout per event type: X = each
     // user's first-half-of-January cents, Y = second-half cents
@@ -2685,6 +2686,29 @@ object EventQueries {
         ORDER BY event_type
       """))
   )
+
+  /** The SPRT replay shared by q_sprt and its streaming twin: the
+    * p0=0.30→p1=0.40, α=β=0.05 constants on the log10 micro lattice
+    * (124939 / −66947 per observation, ±1278754 boundaries) —
+    * pinned once, identical to AbTest.sprt's driver-computed
+    * literals.
+    */
+  private lazy val sprtOracle: String = """
+        WITH g AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS successes
+          FROM events GROUP BY 1)
+        SELECT event_type, n, successes,
+               successes * 124939 + (n - successes) * -66947
+                 AS llr_micro,
+               CASE WHEN successes * 124939 + (n - successes) * -66947
+                         >= 1278754 THEN 'accept_h1'
+                    WHEN successes * 124939 + (n - successes) * -66947
+                         <= -1278754 THEN 'accept_h0'
+                    ELSE 'continue' END AS decision
+        FROM g ORDER BY event_type
+      """
 
   /** The Friedman complete-block doubled-rank replay (no WITH
     * keyword; ends in the `fr` CTE) shared by q_friedman and

@@ -79,6 +79,14 @@ case class FunnelRow(
   */
 case class MkObs(group: String, di: Long, cents: Long)
 
+/** One Bernoulli observation for [[StreamingOps.sprtState]]. */
+case class SprtObs(group: String, ok: Boolean)
+
+/** Running SPRT sufficient statistics — the O(1) state AND the
+  * emitted row ((n, successes) is all Wald's test ever needs).
+  */
+case class SprtRow(group: String, n: Long, successes: Long)
+
 /** Mann-Kendall state: the calendar-bounded day→cents rollup (the
   * operator's own scale contract — state is the CALENDAR's size, not
   * the corpus's) plus the monotone count of folded events that lets
@@ -731,6 +739,66 @@ object StreamingOps {
           .otherwise(lit(0.0))
           / sqrt(col("var_num").cast("double") / lit(18.0)))
           * lit(1e6)).cast("long").as("z_micro"))
+  }
+
+  /** Streaming Wald SPRT as `mapGroupsWithState` — the test that
+    * EXISTS for this mode: Wald's boundaries keep their α/β
+    * guarantees at any evaluation cadence, so emitting a decision
+    * after every micro-batch is statistically sound (unlike
+    * re-reading a fixed-horizon test per batch). State per group is
+    * O(1) — just (n, successes), the Bernoulli sufficient
+    * statistics — and the fold is pure integer increments; the
+    * pinned-lattice LLR/boundary edge is applied by
+    * [[sprtHistory]] through the batch operator's own
+    * [[graft.operators.AbTest.sprtDecision]], so the twin shares
+    * q_sprt's oracle. Counting is commutative: micro-batch splits
+    * and intra-batch order cannot change the result.
+    */
+  def sprtState(stream: Dataset[SprtObs]): Dataset[SprtRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[SprtObs],
+        state: GroupState[SprtRow]): SprtRow = {
+      var cur = state.getOption.getOrElse(SprtRow(g, 0L, 0L))
+      rows.foreach { o =>
+        cur = SprtRow(g, cur.n + 1L,
+          cur.successes + (if (o.ok) 1L else 0L))
+      }
+      state.update(cur)
+      cur
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[sprtState]] over the events parquet (memory sink, update
+    * mode): the outcome predicate is the same Spark expression the
+    * batch q_sprt uses, and the final counts go through
+    * AbTest.sprtDecision — output shape and constants match q_sprt.
+    */
+  def sprtHistory(
+      spark: SparkSession, path: String,
+      p0: Double, p1: Double): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        (col("value") > 50).as("ok")).as[SprtObs]
+    val out = sprtState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("n").desc)
+    graft.operators.AbTest.sprtDecision(
+      spark.table(name)
+        .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+          .over(wLast))
+        .filter(col("__rn") === 1)
+        .select(col("group").as("event_type"), col("n"),
+          col("successes")),
+      "event_type", p0, p1)
   }
 
   /** Streaming exact dedup with bounded state: the first row per key

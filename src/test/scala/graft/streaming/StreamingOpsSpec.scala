@@ -453,4 +453,37 @@ class StreamingOpsSpec extends SparkSuite {
     assert(streamed.find(_.head == "flat").get(3) === 0L)
     assert(!batch.exists(_.head == "flat"))
   }
+
+  test("sprtState: O(1) sufficient statistics across micro-batches " +
+      "equal the batch totals, then cross the Wald boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SprtObs]
+    val out = StreamingOps.sprtState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("sprt_spec")
+      .start()
+    try {
+      input.addData((0 until 20).map(i => SprtObs("g", i % 2 == 0)): _*)
+      q.processAllAvailable()
+      input.addData((0 until 28).map(i => SprtObs("g", i % 2 == 0)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("n").desc)
+    val counts = spark.table("sprt_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("group").as("g"), col("n"), col("successes"))
+    val r = graft.operators.AbTest
+      .sprtDecision(counts, "g", p0 = 0.30, p1 = 0.40)
+      .collect().head
+    // 48 obs at 50% success: the same (n, c) the batch aggregate
+    // reads, and enough evidence to accept H1 (AbTestSpec's bound)
+    assert(r.getLong(1) === 48L && r.getLong(2) === 24L)
+    assert(r.getString(4) === "accept_h1", s"$r")
+  }
 }
