@@ -157,9 +157,11 @@ object AbTest {
     * textbook identities n·ΣXY − ΣX·ΣY etc. stay exact in DECIMAL,
     * and θ, the raw/adjusted cohort mean differences, and
     * ρ² = cov²/(varX·varY) are each ONE written IEEE sequence over
-    * those integers, snapped at the edge. Units with NULL cohort
-    * drop (the [[rankSum]] convention). Shape: two map-side-combined
-    * aggregates to group-cardinality rows — scale-free.
+    * those integers, snapped at the edge. Units with NULL cohort OR
+    * NULL x OR NULL y drop entirely (the [[rankSum]] convention —
+    * never a unit that n counts but the sums skip). Shape: two
+    * map-side-combined aggregates to group-cardinality rows —
+    * scale-free.
     *
     * Output: (group, n, n_a, n_b, theta_micro, raw_diff_micro,
     * adj_diff_micro, rho2_ppm); groups need both cohorts populated
@@ -181,7 +183,13 @@ object AbTest {
       }
     }
     val d38 = DecimalType(38, 0)
-    val rows = df.where(inB.isNotNull)
+    // NULL x or y drops the whole UNIT (the rankSum convention):
+    // sum() would skip the NULL while count() still counted the row,
+    // silently biasing theta/raw_diff/adj_diff/rho2 against their
+    // own n — the family's NULL policy is drop-the-row or refuse,
+    // never a half-counted unit.
+    val rows = df.where(inB.isNotNull &&
+        col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(groupCol).as("__g"), inB.as("__b"),
         col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
     val agg = rows.groupBy(col("__g")).agg(

@@ -635,7 +635,7 @@ object Dedup {
     * group as `label` (the canonical survivor id — the step that turns
     * pairwise dedup output into keep/drop decisions).
     *
-    * Min-label propagation with ADAPTIVE PATH HALVING. Rounds 0-2
+    * Min-label propagation with ADAPTIVE PATH HALVING. Rounds 0-5
     * are plain neighbor-min — one shuffle join each, and clique-like
     * near-dup groups (diameter 1-2, the common case) converge here
     * at minimum cost. From round 6 each round also takes the

@@ -95,7 +95,12 @@ object NonParametric {
     * comparison, tie-corrected variance numerator, n — shared by
     * [[mannKendall]] (stratum = group) and [[seasonalMannKendall]]
     * (stratum = group × season; the pair join never crosses a
-    * stratum, which is the whole Hirsch-Slack point).
+    * stratum, which is the whole Hirsch-Slack point). A 1-row
+    * stratum yields no pair rows, so s_stat arrives via LEFT join
+    * and coalesces to 0 — the stratum still contributes (n=1, S=0,
+    * Var=0) instead of vanishing from the seasonal sums (for plain
+    * MK a 1-row group has var_num=0 and drops at the z edge either
+    * way, so the left join only matters seasonally).
     */
   private def mkStats(
       rows: DataFrame, keys: Seq[String]): DataFrame = {
@@ -114,8 +119,9 @@ object NonParametric {
       .groupBy(keyCols: _*)
       .agg(sum(expr("__t * (__t - 1) * (2 * __t + 5)")).as("__tie"))
     rows.groupBy(keyCols: _*).agg(count(lit(1)).as("n"))
-      .join(sStat, keys).join(ties, keys)
-      .select(keyCols :+ col("n") :+ col("s_stat") :+
+      .join(sStat, keys, "left").join(ties, keys)
+      .select(keyCols :+ col("n") :+
+        coalesce(col("s_stat"), lit(0L)).as("s_stat") :+
         (expr("n * (n - 1) * (2 * n + 5)") - col("__tie"))
           .as("var_num"): _*)
   }
@@ -154,8 +160,9 @@ object NonParametric {
     * statistics at the micro edge. All the [[mannKendall]] contracts
     * hold per (group, season): strict index order, NULL refusal, the
     * O(n²)-pairs guard (now per season — the seasonal split also
-    * cuts the pair cost by the season count). All-tied seasons
-    * contribute S = 0, Var = 0 — dropping out of both sums exactly.
+    * cuts the pair cost by the season count). All-tied and 1-row
+    * seasons contribute S = 0, Var = 0 — their points still count
+    * in n but drop out of both statistic sums exactly.
     *
     * Output: (group, n, s_stat, var_num, z_micro) — n totals every
     * seasonal point; groups where every season is all-tied drop.
@@ -695,7 +702,10 @@ object NonParametric {
     * comparison would silently tie), aggregate upstream past it.
     *
     * Output: (partCol, n, k_groups, j2, e2, z_micro), Var > 0 rows
-    * only.
+    * only; partitions need k ≥ 2 groups AND n ≥ 3 total rows (at
+    * n = 2 the normal approximation is meaningless and the B
+    * variance term degenerates to 0/0 — excluded deliberately, not
+    * dropped by a NaN comparison).
     */
   def jonckheereTerpstra(
       df: DataFrame, partCol: String, ordCol: String, valueCol: String,
@@ -745,13 +755,21 @@ object NonParametric {
         sum(expr("__t * (__t - 1) * (__t - 2)")).as("__tb"),
         sum(expr("__t * (__t - 1)")).as("__tc"))
     val joined = groups.join(ties, "__p").join(j2, "__p")
-      .filter(col("k_groups") >= 2)
+      .filter(col("k_groups") >= 2 && col("n") >= 3)
     val nD = col("n").cast("double")
+    // At n=2 the B numerator is provably 0 (no group or tie class can
+    // reach size 3) while its denominator hits n−2 = 0 → 0/0 = NaN
+    // that the var>0 filter would swallow SILENTLY; the n>=3 filter
+    // above excludes that case deliberately, and the when() keeps the
+    // term well-defined even if the bound is ever relaxed.
+    val bTerm = when(col("n") > 2,
+      col("__gb").cast("double") * col("__tb").cast("double") /
+        (lit(36.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))))
+      .otherwise(lit(0.0))
     val varD =
       (expr("n * (n - 1) * (2 * n + 5)") - col("__ga") - col("__ta"))
         .cast("double") / lit(72.0) +
-      col("__gb").cast("double") * col("__tb").cast("double") /
-        (lit(36.0) * nD * (nD - lit(1.0)) * (nD - lit(2.0))) +
+      bTerm +
       col("__gc").cast("double") * col("__tc").cast("double") /
         (lit(8.0) * nD * (nD - lit(1.0)))
     joined

@@ -2529,10 +2529,11 @@ object EventQueries {
                 FROM daily GROUP BY 1, 2, 3)
           GROUP BY 1, 2),
         per AS (
-          SELECT nn.event_type, nn.n, p.s_stat,
+          SELECT nn.event_type, nn.n,
+                 COALESCE(p.s_stat, 0) AS s_stat,
                  nn.n * (nn.n - 1) * (2 * nn.n + 5) - t.tie AS var_num
           FROM nn
-          JOIN p ON p.event_type = nn.event_type
+          LEFT JOIN p ON p.event_type = nn.event_type
             AND p.season = nn.season
           JOIN ties t ON t.event_type = nn.event_type
             AND t.season = nn.season),

@@ -7888,27 +7888,37 @@ object ExtensionQueries {
       """)),
 
     // Jonckheere-Terpstra ordered-alternative trend within each
-    // language partition: does doc length TREND with the source
-    // index (the src0 < src1 < ... ordering), the sharper
+    // language partition: do per-batch character totals TREND with
+    // the source index (the src0 < src1 < ... ordering), the sharper
     // one-directional companion to q_kruskal's "any difference" on
-    // the SAME partition/group layout. Doubled-J lattice (2·gt + eq
-    // — the exact ½-tie convention), exact integer E2 and
-    // tie-corrected variance aggregates, one written IEEE sequence
-    // for z (NonParametric.jonckheereTerpstra scaladoc).
+    // the SAME partition layout. Observations are a SCALE-FREE
+    // upstream rollup — pmod(doc_id, 256) batches per source, so a
+    // lang partition holds at most sources×256 rows no matter the
+    // corpus size and the operator's O(n²) maxGroupRows guard can
+    // never trip at scale (the mannKendall roll-up-first contract).
+    // Doubled-J lattice (2·gt + eq — the exact ½-tie convention),
+    // exact integer E2 and tie-corrected variance aggregates, one
+    // written IEEE sequence for z
+    // (NonParametric.jonckheereTerpstra scaladoc).
     QueryDef(
       "q_jonckheere",
       (s, dir) =>
         graft.operators.NonParametric.jonckheereTerpstra(
             Tables.documents(s, dir)
-              .withColumn("src_idx",
-                substring(col("source"), 4, 10).cast("long")),
-            "lang", "src_idx", "n_chars")
+              .groupBy(
+                col("lang"),
+                substring(col("source"), 4, 10).cast("long")
+                  .as("src_idx"),
+                pmod(col("doc_id"), lit(256L)).as("batch"))
+              .agg(sum(col("n_chars")).cast("long").as("batch_chars")),
+            "lang", "src_idx", "batch_chars")
           .orderBy(col("lang")),
       Some("""
         WITH r AS (
           SELECT lang, CAST(substr(source, 4) AS BIGINT) AS o,
-                 CAST(n_chars AS BIGINT) AS x
-          FROM documents),
+                 CAST(SUM(n_chars) AS BIGINT) AS x
+          FROM documents
+          GROUP BY lang, o, doc_id % 256),
         j AS (
           SELECT a.lang,
                  CAST(SUM(CASE WHEN b.x > a.x THEN 2
@@ -7939,16 +7949,18 @@ object ExtensionQueries {
                  (gs.n * gs.n - gs.sn2) // 2 AS e2,
                  CAST(gs.n * (gs.n - 1) * (2 * gs.n + 5)
                       - gs.ga - ts.ta AS DOUBLE) / 72.0
-                 + CAST(gs.gb AS DOUBLE) * CAST(ts.tb AS DOUBLE)
-                   / (36.0 * CAST(gs.n AS DOUBLE)
-                      * (CAST(gs.n AS DOUBLE) - 1.0)
-                      * (CAST(gs.n AS DOUBLE) - 2.0))
+                 + CASE WHEN gs.n > 2 THEN
+                     CAST(gs.gb AS DOUBLE) * CAST(ts.tb AS DOUBLE)
+                     / (36.0 * CAST(gs.n AS DOUBLE)
+                        * (CAST(gs.n AS DOUBLE) - 1.0)
+                        * (CAST(gs.n AS DOUBLE) - 2.0))
+                   ELSE 0.0 END
                  + CAST(gs.gc AS DOUBLE) * CAST(ts.tc AS DOUBLE)
                    / (8.0 * CAST(gs.n AS DOUBLE)
                       * (CAST(gs.n AS DOUBLE) - 1.0)) AS v
           FROM gs JOIN ts ON ts.lang = gs.lang
           JOIN j ON j.lang = gs.lang
-          WHERE gs.k_groups >= 2)
+          WHERE gs.k_groups >= 2 AND gs.n >= 3)
         SELECT lang, n, k_groups, j2, e2,
                CAST(ROUND(CAST(j2 - e2 AS DOUBLE) / (2.0 * sqrt(v))
                           * 1e6) AS BIGINT) AS z_micro

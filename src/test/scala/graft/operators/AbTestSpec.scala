@@ -106,4 +106,29 @@ class AbTestSpec extends SparkSuite {
         "g", col("b"), "x", "y")
     }
   }
+
+  test("cuped: a unit with NULL x or NULL y drops ENTIRELY — same " +
+      "output as removing the row, never a unit n counts but the " +
+      "sums skip") {
+    import org.apache.spark.sql.functions.col
+    def lf(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val clean = (0 until 40).map { i =>
+      val x = i.toLong * 10
+      val b = i % 2 == 1
+      ("g", b, lf(x), lf(2 * x + (if (b) 100L else 0L)))
+    }
+    val nullX: (String, Boolean, java.lang.Long, java.lang.Long) =
+      ("g", true, null, lf(999L))
+    val nullY: (String, Boolean, java.lang.Long, java.lang.Long) =
+      ("g", false, lf(999L), null)
+    val base = AbTest.cuped(clean.toDF("g", "b", "x", "y"), "g",
+      col("b"), "x", "y").collect().toSeq
+    val dirty = AbTest.cuped(
+      (clean ++ Seq(nullX, nullY)).toDF("g", "b", "x", "y"), "g",
+      col("b"), "x", "y").collect().toSeq
+    assert(dirty === base,
+      s"NULL-metric units must not shift any statistic:\n$dirty\n$base")
+    assert(dirty.head.getLong(1) === 40L,
+      "n must not count the dropped units")
+  }
 }

@@ -84,6 +84,30 @@ class NonParametricSpec extends SparkSuite {
     }
   }
 
+  test("seasonalMannKendall: a 1-row season still contributes its " +
+      "point to n (S=0, Var=0) instead of vanishing; a group whose " +
+      "every season has <=1 rows drops at the z edge, not silently") {
+    // seasons 0 and 1: 4 strictly increasing points each
+    // (S_season = 6, Var_season > 0); season 2: ONE point — before
+    // the left-join fix the inner pair join dropped its stratum and
+    // n read 8, violating the "n totals every seasonal point" doc
+    val rows = (for (s <- 0L until 2L; k <- 0L until 4L)
+      yield ("g", s, s + 3 * k, k)) :+ ("g", 2L, 100L, 7L)
+    val out = NonParametric.seasonalMannKendall(
+        rows.toDF("g", "season", "di", "x"),
+        "g", "season", "di", "x")
+      .collect().head
+    assert(out.getLong(1) === 9L, s"n must total every point: $out")
+    assert(out.getLong(2) === 12L, s"S: $out")
+    // all-singleton group: every stratum contributes (1, 0, 0) ->
+    // var_num = 0 -> dropped by the z edge (deliberate, not a lost
+    // join row)
+    val solo = (0L until 3L).map(s => ("solo", s, s, s))
+    assert(NonParametric.seasonalMannKendall(
+      solo.toDF("g", "season", "di", "x"),
+      "g", "season", "di", "x").count() === 0L)
+  }
+
   // ---- Cliff's delta ----
 
   test("cliffsDelta: disjoint samples saturate at ±1e6 ppm; " +
@@ -305,6 +329,22 @@ class NonParametricSpec extends SparkSuite {
           .asInstanceOf[java.lang.Long])).toDF("p", "o", "x"),
         "p", "o", "x").collect()
     }
+  }
+
+  test("jonckheereTerpstra: an n=2 partition (two 1-row groups) is " +
+      "excluded DELIBERATELY by the n>=3 filter — not dropped by a " +
+      "0/0 NaN failing the var>0 comparison; n=3 computes normally") {
+    val rows = Seq(
+      ("tiny", 0L, 1L), ("tiny", 1L, 2L),               // n=2 -> out
+      ("ok", 0L, 1L), ("ok", 1L, 2L), ("ok", 1L, 3L))   // n=3 -> in
+    val out = NonParametric.jonckheereTerpstra(
+        rows.toDF("p", "o", "x"), "p", "o", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("tiny"), s"n=2 must be excluded: $out")
+    val ok = out("ok")
+    assert(ok.getLong(1) === 3L && ok.getLong(2) === 2L)
+    assert(ok.getLong(3) === 4L, s"J2 = 2 gt pairs: $ok")
+    assert(!ok.anyNull && ok.getLong(5) > 0L, s"finite z: $ok")
   }
 
   // ---- Cochran's Q ----
