@@ -782,4 +782,241 @@ object NonParametric {
       .select(col(partCol), col("n"), col("k_groups"),
         col("j2"), col("e2"), col("z_micro"))
   }
+
+  /** Wilcoxon signed-rank test per group (Wilcoxon 1945) — the
+    * PAIRED two-sample test this family was missing: where
+    * [[AbTest.rankSum]]/Mann-Whitney compares two independent
+    * samples, signed-rank asks "did the metric move within the SAME
+    * unit" (pre vs post cents per user, before/after a rollout) and
+    * gains its power from differencing away the per-unit level.
+    *
+    * d = y − x per pair; ZERO differences drop (Wilcoxon's own
+    * convention — a zero carries no sign information), pairs with
+    * NULL x or y drop entirely (the [[AbTest.cuped]] unit policy).
+    * |d| ranks on the doubled average-rank lattice of
+    * [[kruskalWallis]] (2·rank_min + tieCount − 1 — exact integers)
+    * and the DOUBLED statistic is
+    *
+    *   W2⁺ = Σ_{d>0} r2ᵢ,   E2 = n(n+1)/2  (both exact integers)
+    *   var_num = 2n(n+1)(2n+1) − Σ(t³−t),  Var(W2⁺) = var_num/12
+    *
+    * (the tie term over |d| tie groups; var_num is the exact integer
+    * 12·Var on the doubled lattice). z = (W2⁺ − E2 ∓ 1)/√(var_num/12)
+    * with the ±1 continuity correction (= ±½ in single-rank units),
+    * ONE written IEEE sequence snapped to micro. n(n+1)(2n+1) stays
+    * in long to n ≈ 2M nonzero pairs per group; larger groups need
+    * the DECIMAL widening documented at [[kruskalWallis]].
+    *
+    * Shape: one rank window inside the group + keyed aggregates — no
+    * pairwise join, scale-safe at any corpus size.
+    *
+    * Output: (group, n_pairs, w2_plus, e2, var_num, z_micro) —
+    * groups with ≥ 1 nonzero difference and var_num > 0 (all-tied
+    * |d| with n ≥ 2 keeps var_num > 0; var_num = 0 only when every
+    * difference was zero-dropped; a lone nonzero pair keeps
+    * var_num = 12 and saturates |z| at its continuity-corrected 0).
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String)
+      : DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, xCol, yCol)
+    val diffs = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        (col(yCol).cast("long") - col(xCol).cast("long")).as("__d"))
+      .filter(col("__d") =!= 0L)
+      .withColumn("__a", abs(col("__d")))
+    val wRank = Window.partitionBy(col("__g")).orderBy(col("__a"))
+    val wTie = Window.partitionBy(col("__g"), col("__a"))
+    val ranked = diffs.select(col("__g"), col("__d"),
+      (lit(2L) * rank().over(wRank).cast("long") +
+        count(lit(1)).over(wTie).cast("long") - lit(1L)).as("__r2"))
+    val ties = diffs.groupBy(col("__g"), col("__a"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(sum(expr("__t * __t * __t - __t")).as("__tie"))
+    val stats = ranked.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__d") > 0, col("__r2")).otherwise(0L))
+          .as("w2_plus"))
+      .join(ties, "__g")
+      .select(col("__g"), col("n_pairs"), col("w2_plus"),
+        expr("n_pairs * (n_pairs + 1) div 2").as("e2"),
+        (expr("2 * n_pairs * (n_pairs + 1) * (2 * n_pairs + 1)") -
+          col("__tie")).as("var_num"))
+    stats
+      .filter(col("var_num") > 0)
+      .select(col("__g").as(groupCol), col("n_pairs"), col("w2_plus"),
+        col("e2"), col("var_num"),
+        snapMicro(
+          when(col("w2_plus") > col("e2"),
+            (col("w2_plus") - col("e2") - lit(1L)).cast("double"))
+            .when(col("w2_plus") < col("e2"),
+              (col("w2_plus") - col("e2") + lit(1L)).cast("double"))
+            .otherwise(lit(0.0))
+            / sqrt(col("var_num").cast("double") / lit(12.0)))
+          .as("z_micro"))
+  }
+
+  /** Ansari-Bradley scale test per partition (Ansari & Bradley
+    * 1960) — "do the two cohorts differ in DISPERSION around a
+    * common center": the rank-based companion to [[brownForsythe]]
+    * (which compares spreads via |x − median| means) that needs no
+    * moments at all. Pooled values rank on the doubled average-rank
+    * lattice; each row scores from BOTH ENDS of the ranking
+    *
+    *   a2ᵢ = min(r2ᵢ, 2(N+1) − r2ᵢ)   (doubled midrank AB score)
+    *
+    * (small scores at the extremes, large in the middle — a cohort
+    * concentrated mid-ranking has LOW dispersion), and the doubled
+    * statistic AB2 = Σ_{cohort B} a2ᵢ compares against its exact
+    * conditional null moments given the observed (tie-shared) score
+    * multiset:
+    *
+    *   E[AB2]   = m·S2/N           (S2 = Σ a2ᵢ, m = |B|)
+    *   Var(AB2) = m·n·(N·Q2 − S2²) / (N²·(N−1))   (Q2 = Σ a2ᵢ²)
+    *
+    * z = (N·AB2 − m·S2) / √(m·n·(N·Q2 − S2²)/(N−1)) multiplies both
+    * sides by N so EVERY sufficient statistic (AB2, S2, Q2 and the
+    * DECIMAL products) is an exact integer, with ONE written IEEE
+    * sequence at the micro edge. This conditional-moment form is
+    * exactly R's `ansari.test` normal approximation with midrank
+    * ties. Rows with NULL value or NULL cohort drop (the
+    * [[cliffsDelta]] convention).
+    *
+    * Shape: one rank window + keyed aggregates — no pairwise join,
+    * scale-safe. Q2 terms square doubled ranks (≤ 2N), so N·Q2 stays
+    * in long to N ≈ 1M rows per partition — DECIMAL-summed beyond.
+    *
+    * Output: (part, n_a, n_b, ab2, z_micro) — partitions with both
+    * cohorts populated and a nonzero score variance (all-tied
+    * pooled values make every score equal → no test).
+    */
+  def ansariBradley(
+      df: DataFrame, partCol: String, inB: org.apache.spark.sql.Column,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val d38 = DecimalType(38, 0)
+    val rows = df
+      .filter(inB.isNotNull && col(valueCol).isNotNull)
+      .select(col(partCol).as("__p"), inB.as("__b"),
+        col(valueCol).cast("long").as("__x"))
+    val wRank = Window.partitionBy(col("__p")).orderBy(col("__x"))
+    val wTie = Window.partitionBy(col("__p"), col("__x"))
+    val wN = Window.partitionBy(col("__p"))
+    val scored = rows.select(col("__p"), col("__b"),
+      (lit(2L) * rank().over(wRank).cast("long") +
+        count(lit(1)).over(wTie).cast("long") - lit(1L)).as("__r2"),
+      count(lit(1)).over(wN).cast("long").as("__nn"))
+      .withColumn("__a2",
+        least(col("__r2"), lit(2L) * (col("__nn") + 1L) - col("__r2")))
+    val stats = scored.groupBy(col("__p"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), col("__a2")).otherwise(0L)).as("ab2"),
+        sum(col("__a2")).as("__s2"),
+        sum(col("__a2").cast(d38) * col("__a2").cast(d38)).as("__q2"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val zNum = (col("__n").cast(d38) * col("ab2").cast(d38) -
+      col("n_b").cast(d38) * col("__s2").cast(d38)).cast("double")
+    val varTerm = (col("__n").cast(d38) * col("__q2") -
+      col("__s2").cast(d38) * col("__s2").cast(d38)).cast("double")
+    stats
+      .filter(col("__n").cast(d38) * col("__q2") >
+        col("__s2").cast(d38) * col("__s2").cast(d38))
+      .select(col("__p").as(partCol), col("n_a"), col("n_b"),
+        col("ab2"),
+        snapMicro(zNum /
+          sqrt(col("n_a").cast("double") * col("n_b").cast("double") *
+            varTerm / (col("__n").cast("double") - lit(1.0))))
+          .as("z_micro"))
+  }
+
+  /** Mood's median test per partition (Mood 1950) — the bluntest
+    * k-group location test: dichotomize every value against the
+    * partition's POOLED median and chi-square the resulting 2×k
+    * table. Far less powerful than [[kruskalWallis]] but immune to
+    * anything but the center — the sanity check a monitor runs when
+    * even rank sums are suspect (extreme outliers, heavily censored
+    * values).
+    *
+    * The pooled median is pinned EXACTLY as the lower median: the
+    * smallest value v with #(x ≤ v) ≥ ⌈N/2⌉ — a deterministic
+    * order statistic both engines compute by cumulative value
+    * counts (no averaging of middle pairs, so no fractional values
+    * and no engine-variant interpolation). With A = #(x > m) total,
+    * B = N − A, aᵍ = #(x > m) in group g:
+    *
+    *   χ² = Σ_g (N·aᵍ − nᵍ·A)² / nᵍ / (A·B)
+    *
+    * — the algebraic collapse of the 2×k Pearson statistic in which
+    * every numerator (N·aᵍ − nᵍ·A)² is an exact DECIMAL integer;
+    * the per-group quotient rides [[kruskalWallis]]'s div+remnano
+    * lattice (integer quotient DECIMAL-summed, remainder fraction
+    * snapped alone to nano and integer-summed) and ONE written IEEE
+    * sequence forms χ² at the micro edge. NULL values drop (the
+    * [[kruskalWallis]] convention).
+    *
+    * Shape: a value-count aggregate + a cumulative window for the
+    * median, then keyed aggregates — no pairwise join, scale-safe
+    * (the window runs over DISTINCT values per partition, not rows).
+    *
+    * Output: (part, n, k_groups, above_total, chi2_micro) —
+    * partitions with ≥ 2 groups and both median sides populated
+    * (A = 0 — every value equal to the median — has no table).
+    */
+  def moodMedian(
+      df: DataFrame, partCol: String, groupCol: String, valueCol: String)
+      : DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val d38 = DecimalType(38, 0)
+    val rows = df.filter(col(valueCol).isNotNull)
+      .select(col(partCol).as("__p"), col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__x"))
+    val byValue = rows.groupBy(col("__p"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__p")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col("__p"))
+    val medians = byValue
+      .select(col("__p"), col("__x"),
+        sum(col("__c")).over(wCum).as("__cum"),
+        sum(col("__c")).over(wN).as("__N"))
+      .filter(col("__cum") * 2 >= col("__N"))
+      .groupBy(col("__p"))
+      .agg(min(col("__x")).as("__m"))
+    val tagged = rows.join(medians, "__p")
+    val perGroup = tagged.groupBy(col("__p"), col("__g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(when(col("__x") > col("__m"), 1L).otherwise(0L)).as("__ag"))
+    val totals = perGroup.groupBy(col("__p"))
+      .agg(sum(col("__ng")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("__ag")).as("above_total"))
+    val joined = perGroup.join(totals, "__p")
+      .withColumn("__num",
+        (col("n").cast(d38) * col("__ag").cast(d38) -
+          col("__ng").cast(d38) * col("above_total").cast(d38)))
+      .withColumn("__num2", col("__num") * col("__num"))
+    val agg = joined.groupBy(col("__p"))
+      .agg(first(col("n")).as("n"), first(col("k_groups")).as("k_groups"),
+        first(col("above_total")).as("above_total"),
+        sum((col("__num2") - pmod(col("__num2"), col("__ng").cast(d38)))
+          / col("__ng").cast(d38)).as("__qsum"),
+        sum(round(pmod(col("__num2"), col("__ng").cast(d38))
+          .cast("double") / col("__ng").cast("double") * lit(1e9))
+          .cast("long")).as("__remsum"))
+      .filter(col("k_groups") >= 2 && col("above_total") > 0 &&
+        col("above_total") < col("n"))
+    val aD = col("above_total").cast("double")
+    val bD = (col("n") - col("above_total")).cast("double")
+    agg.select(col("__p").as(partCol), col("n"), col("k_groups"),
+      col("above_total"),
+      snapMicro((col("__qsum").cast("double") +
+        col("__remsum").cast("double") / lit(1e9)) / (aD * bD))
+        .as("chi2_micro"))
+  }
 }

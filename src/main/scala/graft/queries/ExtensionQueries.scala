@@ -8038,6 +8038,191 @@ object ExtensionQueries {
         FROM st
         WHERE den > 0
         ORDER BY source
+      """)),
+
+    // Wilcoxon signed-rank per source: is "5 chars per token" a
+    // calibrated length model — pair each doc's n_chars against
+    // 5 × its whitespace token count and ask whether the signed
+    // differences center on zero WITHIN the doc (the paired
+    // companion to q_mann_whitney's independent-samples readout).
+    // Zero differences drop by Wilcoxon's own convention; |d| ranks
+    // on the doubled average-rank lattice and every sufficient
+    // statistic (W2+, E2, the tie-corrected 12·Var) is an exact
+    // integer until ONE written IEEE sequence forms the continuity-
+    // corrected z (NonParametric.wilcoxonSignedRank scaladoc).
+    QueryDef(
+      "q_wilcoxon_signed",
+      (s, dir) =>
+        graft.operators.NonParametric.wilcoxonSignedRank(
+            Tables.documents(s, dir)
+              .select(col("source"), col("n_chars").as("chars"),
+                (lit(5) * size(split(col("text"), " ")))
+                  .cast("long").as("toks5")),
+            "source", "chars", "toks5")
+          .orderBy(col("source")),
+      Some("""
+        WITH d0 AS (
+          SELECT source,
+                 5 * CAST(len(string_split(text, ' ')) AS BIGINT)
+                   - n_chars AS d
+          FROM documents),
+        d AS (SELECT source, d, abs(d) AS a FROM d0 WHERE d <> 0),
+        ranked AS (
+          SELECT source, d,
+                 2 * RANK() OVER (PARTITION BY source ORDER BY a)
+                   + COUNT(*) OVER (PARTITION BY source, a) - 1 AS r2
+          FROM d),
+        ties AS (
+          SELECT source, CAST(SUM(t * t * t - t) AS BIGINT) AS tie
+          FROM (SELECT source, a, count(*) AS t FROM d GROUP BY 1, 2)
+          GROUP BY 1),
+        st AS (
+          SELECT r.source, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN r.d > 0 THEN r.r2 ELSE 0 END)
+                   AS BIGINT) AS w2_plus
+          FROM ranked r GROUP BY 1),
+        ed AS (
+          SELECT st.source, st.n_pairs, st.w2_plus,
+                 st.n_pairs * (st.n_pairs + 1) // 2 AS e2,
+                 2 * st.n_pairs * (st.n_pairs + 1)
+                   * (2 * st.n_pairs + 1) - ties.tie AS var_num
+          FROM st JOIN ties USING (source))
+        SELECT source, n_pairs, w2_plus, e2, var_num,
+               CAST(ROUND(
+                 (CASE WHEN w2_plus > e2
+                       THEN CAST(w2_plus - e2 - 1 AS DOUBLE)
+                       WHEN w2_plus < e2
+                       THEN CAST(w2_plus - e2 + 1 AS DOUBLE)
+                       ELSE 0.0 END
+                  / sqrt(CAST(var_num AS DOUBLE) / 12.0))
+                 * 1000000.0) AS BIGINT) AS z_micro
+        FROM ed
+        WHERE var_num > 0
+        ORDER BY source
+      """)),
+
+    // Ansari-Bradley rank scale test per language: do odd- and
+    // even-doc_id cohorts differ in length DISPERSION around a
+    // common center — the moment-free companion to q_brown_forsythe
+    // on the same partition layout. Pooled lengths rank on the
+    // doubled lattice, every row scores from both ends
+    // (a2 = min(r2, 2(N+1) − r2)), and the conditional null moments
+    // given the observed tie-shared score multiset keep AB2/S2/Q2
+    // exact integers until the one written IEEE z
+    // (NonParametric.ansariBradley scaladoc).
+    QueryDef(
+      "q_ansari_bradley",
+      (s, dir) =>
+        graft.operators.NonParametric.ansariBradley(
+            Tables.documents(s, dir), "lang",
+            pmod(col("doc_id"), lit(2L)) === 1, "n_chars")
+          .orderBy(col("lang")),
+      Some("""
+        WITH d AS (
+          SELECT lang, doc_id % 2 = 1 AS b, n_chars AS x
+          FROM documents),
+        r AS (
+          SELECT lang, b,
+                 2 * RANK() OVER (PARTITION BY lang ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY lang, x) - 1 AS r2,
+                 COUNT(*) OVER (PARTITION BY lang) AS nn
+          FROM d),
+        sc AS (
+          SELECT lang, b,
+                 LEAST(r2, 2 * (nn + 1) - r2) AS a2
+          FROM r),
+        st AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(SUM(CASE WHEN b THEN a2 ELSE 0 END) AS BIGINT)
+                   AS ab2,
+                 CAST(SUM(a2) AS BIGINT) AS s2,
+                 SUM(CAST(a2 AS HUGEINT) * CAST(a2 AS HUGEINT)) AS q2
+          FROM sc GROUP BY 1)
+        SELECT lang, n_a, n_b, ab2,
+               CAST(ROUND(
+                 CAST(CAST(n AS HUGEINT) * ab2
+                      - CAST(n_b AS HUGEINT) * s2 AS DOUBLE)
+                 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        * CAST(CAST(n AS HUGEINT) * q2
+                               - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) - 1.0))
+                 * 1000000.0) AS BIGINT) AS z_micro
+        FROM st
+        WHERE n_a > 0 AND n_b > 0
+          AND CAST(n AS HUGEINT) * q2 > CAST(s2 AS HUGEINT) * s2
+        ORDER BY lang
+      """)),
+
+    // Mood's median test per language: dichotomize every doc length
+    // against the language's pooled LOWER median (an exact order
+    // statistic — no interpolation for either engine to disagree on)
+    // and chi-square the 2×20 source table — the bluntest location
+    // check, immune to everything but the center, run beside
+    // q_kruskal as the outlier-proof sanity net. Per-group quotients
+    // ride the kruskal div+remnano lattice; one written IEEE
+    // sequence forms chi2 (NonParametric.moodMedian scaladoc).
+    QueryDef(
+      "q_mood_median",
+      (s, dir) =>
+        graft.operators.NonParametric.moodMedian(
+            Tables.documents(s, dir), "lang", "source", "n_chars")
+          .orderBy(col("lang")),
+      Some("""
+        WITH rows_ AS (
+          SELECT lang, source, n_chars AS x FROM documents),
+        bv AS (
+          SELECT lang, x, CAST(count(*) AS BIGINT) AS c
+          FROM rows_ GROUP BY 1, 2),
+        med AS (
+          SELECT lang, MIN(x) AS m FROM (
+            SELECT lang, x,
+                   SUM(c) OVER (PARTITION BY lang ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                   SUM(c) OVER (PARTITION BY lang) AS nn
+            FROM bv)
+          WHERE cum * 2 >= nn GROUP BY 1),
+        pg AS (
+          SELECT r.lang, r.source, CAST(count(*) AS BIGINT) AS ng,
+                 CAST(SUM(CASE WHEN r.x > med.m THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ag
+          FROM rows_ r JOIN med ON med.lang = r.lang
+          GROUP BY 1, 2),
+        tot AS (
+          SELECT lang, CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k_groups,
+                 CAST(SUM(ag) AS BIGINT) AS above_total
+          FROM pg GROUP BY 1),
+        q AS (
+          SELECT pg.lang, pg.ng, tot.n, tot.k_groups, tot.above_total,
+                 CAST(tot.n AS HUGEINT) * pg.ag
+                   - CAST(pg.ng AS HUGEINT) * tot.above_total AS num
+          FROM pg JOIN tot USING (lang)),
+        q2 AS (
+          SELECT lang, n, k_groups, above_total,
+                 (num * num) // ng AS qq,
+                 CAST(ROUND(CAST((num * num) % ng AS DOUBLE)
+                      / CAST(ng AS DOUBLE) * 1e9) AS BIGINT) AS remnano
+          FROM q),
+        agg AS (
+          SELECT lang, MAX(n) AS n, MAX(k_groups) AS k_groups,
+                 MAX(above_total) AS above_total,
+                 CAST(SUM(qq) AS DOUBLE) AS qsum_d,
+                 CAST(SUM(remnano) AS BIGINT) AS remsum
+          FROM q2 GROUP BY 1)
+        SELECT lang, n, k_groups, above_total,
+               CAST(ROUND(
+                 (qsum_d + CAST(remsum AS DOUBLE) / 1e9)
+                 / (CAST(above_total AS DOUBLE)
+                    * CAST(n - above_total AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS chi2_micro
+        FROM agg
+        WHERE k_groups >= 2 AND above_total > 0 AND above_total < n
+        ORDER BY lang
       """))
   )
 

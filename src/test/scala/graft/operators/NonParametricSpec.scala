@@ -347,6 +347,81 @@ class NonParametricSpec extends SparkSuite {
     assert(!ok.anyNull && ok.getLong(5) > 0L, s"finite z: $ok")
   }
 
+  test("wilcoxonSignedRank: all-positive differences saturate W2 at " +
+      "n(n+1); swapping the columns negates z; zeros and NULL pairs " +
+      "drop; ties shrink var_num") {
+    // d = {1..5} all positive: W2+ = sum of doubled ranks = 30,
+    // E2 = 15, var_num = 2*5*6*11 = 660, z = 14/sqrt(55) = 1.8877596
+    val up = (1 to 5).map(i => ("up", 100L, 100L + i))
+    val down = up.map { case (_, x, y) => ("down", y, x) }
+    val out = NonParametric.wilcoxonSignedRank(
+        (up ++ down).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getLong(1) === 5L)
+    assert(out("up").getLong(2) === 30L, s"${out("up")}")
+    assert(out("up").getLong(3) === 15L && out("up").getLong(4) === 660L)
+    assert(out("up").getLong(5) === 1887760L, s"${out("up")}")
+    assert(out("down").getLong(5) === -out("up").getLong(5))
+    // zero differences and NULL pairs drop before ranking
+    def lf(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+    val dirty: Seq[(String, java.lang.Long, java.lang.Long)] =
+      up.map { case (g, x, y) => (g, lf(x), lf(y)) } ++
+        Seq(("up", lf(7L), lf(7L)), ("up", null, lf(1L)),
+          ("up", lf(1L), null))
+    val cleaned = NonParametric.wilcoxonSignedRank(
+        dirty.toDF("g", "x", "y"), "g", "x", "y").collect().head
+    assert(cleaned.getLong(1) === 5L && cleaned.getLong(2) === 30L)
+    // tied |d| values: d = {1,1,2,2} -> tie term 2*(8-2) = 12,
+    // var_num = 2*4*5*9 - 12 = 348
+    val tied = Seq(("t", 0L, 1L), ("t", 0L, 1L), ("t", 0L, 2L),
+      ("t", 0L, 2L))
+    val tr = NonParametric.wilcoxonSignedRank(
+        tied.toDF("g", "x", "y"), "g", "x", "y").collect().head
+    assert(tr.getLong(4) === 348L, s"$tr")
+  }
+
+  test("ansariBradley: a cohort sitting at the pooled extremes " +
+      "scores a large negative z (more dispersed); identical " +
+      "samples read near 0; all-tied partitions drop") {
+    // pooled 1..10, B = {1,2,9,10} (extremes): AB2 = 12, S2 = 60,
+    // Q2 = 440, zNum = -120, z = -120/sqrt(6*4*800/9) = -2.598
+    val a = Seq(3L, 4L, 5L, 6L, 7L, 8L).map(v => ("p", false, v))
+    val b = Seq(1L, 2L, 9L, 10L).map(v => ("p", true, v))
+    val same = (1L to 8L).map(v => ("same", v % 2 == 0, v))
+    val flat = Seq(("flat", true, 5L), ("flat", false, 5L))
+    val out = NonParametric.ansariBradley(
+        (a ++ b ++ same ++ flat).toDF("p", "b", "x"),
+        "p", col("b"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("p").getLong(1) === 6L && out("p").getLong(2) === 4L)
+    assert(out("p").getLong(3) === 12L, s"${out("p")}")
+    assert(out("p").getLong(4) === -2598076L, s"${out("p")}")
+    assert(math.abs(out("same").getLong(4)) < 1000000L)
+    assert(!out.contains("flat"), "all-tied scores have no variance")
+  }
+
+  test("moodMedian: perfectly separated groups hit chi2 = N; " +
+      "identical groups read 0; the lower-median pin is exact") {
+    // sep: a = 1..5, b = 6..10 -> lower median 5, A = 5,
+    // chi2 = ((10*0-5*5)^2/5 + (10*5-5*5)^2/5) / (5*5) = 10
+    val sep = (1L to 5L).map(v => ("sep", "a", v)) ++
+      (6L to 10L).map(v => ("sep", "b", v))
+    val same = (1L to 6L).flatMap(v =>
+      Seq(("same", "a", v), ("same", "b", v)))
+    val out = NonParametric.moodMedian(
+        (sep ++ same).toDF("p", "g", "x"), "p", "g", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("sep").getLong(1) === 10L &&
+      out("sep").getLong(2) === 2L && out("sep").getLong(3) === 5L)
+    assert(out("sep").getLong(4) === 10000000L, s"${out("sep")}")
+    assert(out("same").getLong(4) === 0L, s"${out("same")}")
+    // every value equal to the median on one side -> no table
+    val onesided = (1L to 4L).map(v => ("one", "a", 7L)) ++
+      Seq(("one", "b", 7L))
+    assert(NonParametric.moodMedian(
+      onesided.toDF("p", "g", "x"), "p", "g", "x").count() === 0L)
+  }
+
   // ---- Cochran's Q ----
 
   test("cochranQ: identical filters score exactly 0; a systematic " +
