@@ -366,10 +366,11 @@ object NonParametric {
     * blocks, ≥ 2 treatments, and a nonzero tie denominator.
     */
   /** Shared complete-block doubled-rank chain for the blocked tests
-    * ([[friedman]], [[pageTrend]]): NULL values drop, blocks missing
-    * any of the partition's treatments drop, treatments rank inside
-    * each block on the doubled tie lattice. Returns (kept rows,
-    * ranked(__p,__t,__x,__r2), complete blocks(__p,__b)).
+    * ([[friedman]], [[pageTrend]], [[quade]]): NULL values drop,
+    * blocks missing any of the partition's treatments drop,
+    * treatments rank inside each block on the doubled tie lattice.
+    * Returns (kept rows, ranked(__p,__b,__t,__x,__r2), complete
+    * blocks(__p,__b)).
     */
   private def blockedRanks(
       df: DataFrame, partCol: String, blockCol: String, treatCol: String,
@@ -388,7 +389,8 @@ object NonParametric {
     val wRank = Window.partitionBy(col("__p"), col("__b"))
       .orderBy(col("__x"))
     val wTie = Window.partitionBy(col("__p"), col("__b"), col("__x"))
-    val ranked = kept.select(col("__p"), col("__t"), col("__x"),
+    val ranked = kept.select(col("__p"), col("__b"), col("__t"),
+      col("__x"),
       (lit(2L) * rank().over(wRank).cast("long") +
         count(lit(1)).over(wTie).cast("long") - lit(1L)).as("__r2"))
     (kept, ranked, complete)
@@ -1018,5 +1020,244 @@ object NonParametric {
       snapMicro((col("__qsum").cast("double") +
         col("__remsum").cast("double") / lit(1e9)) / (aD * bD))
         .as("chi2_micro"))
+  }
+
+  /** Brunner-Munzel test per partition (Brunner & Munzel 2000) — the
+    * modern replacement for Mann-Whitney when the two cohorts may
+    * differ in SHAPE as well as location: MW's variance assumes
+    * exchangeability under H0, BM estimates a separate rank variance
+    * per cohort (the rank-world Welch correction) and tests the
+    * stochastic-superiority probability p = P(A < B) + ½P(A = B)
+    * directly.
+    *
+    * Everything rides the doubled average-rank lattice: pooled
+    * midranks r2 and WITHIN-cohort midranks r2w are exact integers,
+    * d = r2 − r2w ≥ 0, and the rank-variance numerator expands to
+    * per-cohort integer aggregates with no join-back:
+    *
+    *   cᵢ = sᵢ − nᵢ(nᵢ+1)            (sᵢ = Σ r2 over cohort i)
+    *   V2ᵢ = nᵢ²·Σd² − 2nᵢcᵢ·Σd + nᵢcᵢ²   (= Σ(nᵢ·devᵢₖ)², exact)
+    *   uᵢ = V2ᵢ / (nᵢ(nᵢ−1))          (= 4nᵢ·Sᵢ² of the paper)
+    *
+    *   p̂ = (s_b − n_b(n_b+1)) / (2·n_a·n_b)        (exact rational)
+    *   W = n_a·n_b·(s_b/n_b − s_a/n_a) / (N·√(u_a + u_b))
+    *   df = (u_a+u_b)² / (u_a²/(n_a−1) + u_b²/(n_b−1))   (Welch)
+    *
+    * p̂ lands on the exact ppm lattice via (num·10⁶) div (2·n_a·n_b)
+    * (num ≥ 0 always, so truncating and flooring division agree); W
+    * and df are ONE written IEEE sequence each over exact integer
+    * sufficient statistics, snapped to micro. V2 terms reach n²·4N³
+    * ≈ 4N⁵ — DECIMAL(38,0) accumulation from the start (long
+    * overflows past N ≈ 4k). Rows with NULL cohort or NULL value
+    * drop entirely (the [[cliffsDelta]] convention).
+    *
+    * Shape: two rank windows + keyed aggregates — no pairwise join,
+    * scale-safe at any corpus size.
+    *
+    * Output: (part, n_a, n_b, p_ppm, w_micro, df_micro) —
+    * partitions with both cohorts ≥ 2 rows and a positive variance
+    * sum (all-tied pooled values have no test).
+    */
+  def brunnerMunzel(
+      df: DataFrame, partCol: String, inB: org.apache.spark.sql.Column,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val d38 = DecimalType(38, 0)
+    val rows = df
+      .filter(inB.isNotNull && col(valueCol).isNotNull)
+      .select(col(partCol).as("__p"), inB.as("__b"),
+        col(valueCol).cast("long").as("__x"))
+    val wPool = Window.partitionBy(col("__p")).orderBy(col("__x"))
+    val wPoolTie = Window.partitionBy(col("__p"), col("__x"))
+    val wIn = Window.partitionBy(col("__p"), col("__b"))
+      .orderBy(col("__x"))
+    val wInTie = Window.partitionBy(col("__p"), col("__b"), col("__x"))
+    val ranked = rows.select(col("__p"), col("__b"),
+      (lit(2L) * rank().over(wPool).cast("long") +
+        count(lit(1)).over(wPoolTie).cast("long") - lit(1L)).as("__r2"),
+      (lit(2L) * rank().over(wIn).cast("long") +
+        count(lit(1)).over(wInTie).cast("long") - lit(1L)).as("__r2w"))
+      .withColumn("__d", col("__r2") - col("__r2w"))
+    val perCohort = ranked.groupBy(col("__p"), col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__r2")).as("__s"),
+        sum(col("__d")).as("__sd"),
+        sum(col("__d").cast(d38) * col("__d").cast(d38)).as("__sd2"))
+      .withColumn("__c",
+        col("__s").cast(d38) - col("__n").cast(d38) * (col("__n") + 1L))
+      .withColumn("__v2",
+        col("__n").cast(d38) * col("__n").cast(d38) * col("__sd2") -
+          lit(2L).cast(d38) * col("__n").cast(d38) * col("__c") *
+            col("__sd").cast(d38) +
+          col("__n").cast(d38) * col("__c") * col("__c"))
+    val a = perCohort.filter(!col("__b"))
+      .select(col("__p"), col("__n").as("n_a"), col("__s").as("__sa"),
+        col("__v2").as("__va"))
+    val b = perCohort.filter(col("__b"))
+      .select(col("__p"), col("__n").as("n_b"), col("__s").as("__sb"),
+        col("__v2").as("__vb"))
+    val joined = a.join(b, "__p")
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("__ua", col("__va").cast("double") /
+        (col("n_a").cast("double") * (col("n_a").cast("double") - 1.0)))
+      .withColumn("__ub", col("__vb").cast("double") /
+        (col("n_b").cast("double") * (col("n_b").cast("double") - 1.0)))
+      .filter(col("__ua") + col("__ub") > 0.0)
+      .withColumn("__pnum",
+        col("__sb") - col("n_b") * (col("n_b") + lit(1L)))
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    joined.select(col("__p").as(partCol), col("n_a"), col("n_b"),
+      expr("(__pnum * CAST(1000000 AS BIGINT)) div (2 * n_a * n_b)")
+        .as("p_ppm"),
+      snapMicro(
+        col("n_a").cast("double") * col("n_b").cast("double") *
+          (col("__sb").cast("double") / col("n_b").cast("double") -
+            col("__sa").cast("double") / col("n_a").cast("double")) /
+          (nD * sqrt(col("__ua") + col("__ub")))).as("w_micro"),
+      snapMicro(
+        (col("__ua") + col("__ub")) * (col("__ua") + col("__ub")) /
+          (col("__ua") * col("__ua") /
+            (col("n_a").cast("double") - 1.0) +
+            col("__ub") * col("__ub") /
+              (col("n_b").cast("double") - 1.0))).as("df_micro"))
+  }
+
+  /** Quade test per partition (Quade 1979) — the blocked-design test
+    * that WEIGHTS blocks by how much signal they carry: where
+    * [[friedman]] gives every block one vote, Quade multiplies each
+    * block's centered within-block ranks by the rank of the block's
+    * RANGE, so blocks where the treatments actually spread apart
+    * dominate — markedly more powerful than Friedman at small k.
+    *
+    * All statistics ride exact integer lattices: within-block
+    * doubled midranks r2 (so r2 − (k+1) doubles the centered rank),
+    * block ranges max−min (exact longs), doubled range midranks Q2
+    * across blocks, and the 4×-scaled scores
+    *
+    *   S4ᵢⱼ = Q2ᵢ·(r2ᵢⱼ − (k+1))       (exact integer)
+    *   A4 = Σᵢⱼ S4ᵢⱼ²,  SB4 = Σⱼ(Σᵢ S4ᵢⱼ)²   (DECIMAL, exact)
+    *   F = (n−1)·SB4 / (n·A4 − SB4)
+    *
+    * — the 16× scale of A and B cancels in F, so the doubled
+    * lattices never reach the statistic: ONE written IEEE division
+    * forms F at the micro edge. Incomplete blocks drop and NULLs
+    * drop per the [[blockedRanks]] contract (the Friedman family
+    * policy).
+    *
+    * Shape: the shared blocked-rank window + one range window across
+    * blocks + keyed aggregates — no pairwise join, scale-safe.
+    *
+    * Output: (part, n_blocks, k_treatments, f_micro) — partitions
+    * with ≥ 2 complete blocks, ≥ 2 treatments, and n·A4 > SB4 (the
+    * perfect-agreement boundary, where F diverges, drops; Conover
+    * treats it as p = (1/k!)^(n-1) by convention, a decision left
+    * to the caller).
+    */
+  def quade(
+      df: DataFrame, partCol: String, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val d38 = DecimalType(38, 0)
+    val (kept, ranked, _) =
+      blockedRanks(df, partCol, blockCol, treatCol, valueCol)
+    val kPer = ranked.groupBy(col("__p"))
+      .agg(countDistinct(col("__t")).as("__k"))
+    val ranges = kept.groupBy(col("__p"), col("__b"))
+      .agg((max(col("__x")) - min(col("__x"))).as("__range"))
+    val wQ = Window.partitionBy(col("__p")).orderBy(col("__range"))
+    val wQTie = Window.partitionBy(col("__p"), col("__range"))
+    val weights = ranges.select(col("__p"), col("__b"),
+      (lit(2L) * rank().over(wQ).cast("long") +
+        count(lit(1)).over(wQTie).cast("long") - lit(1L)).as("__q2"))
+    val scored = ranked.join(weights, Seq("__p", "__b")).join(kPer, "__p")
+      .select(col("__p"), col("__b"), col("__t"),
+        (col("__q2") * (col("__r2") - (col("__k") + 1L))).as("__s4"))
+    val perTreat = scored.groupBy(col("__p"), col("__t"))
+      .agg(sum(col("__s4").cast(d38)).as("__sj"),
+        sum(col("__s4").cast(d38) * col("__s4").cast(d38)).as("__a4j"),
+        count(lit(1)).as("__nb"))
+    val stats = perTreat.groupBy(col("__p"))
+      .agg(count(lit(1)).as("k_treatments"),
+        max(col("__nb")).as("n_blocks"),
+        sum(col("__a4j")).as("__a4"),
+        sum(col("__sj") * col("__sj")).as("__sb4"))
+      .filter(col("k_treatments") >= 2 && col("n_blocks") >= 2)
+      .filter(col("n_blocks").cast(d38) * col("__a4") > col("__sb4"))
+    stats.select(col("__p").as(partCol), col("n_blocks"),
+      col("k_treatments"),
+      snapMicro(
+        (col("n_blocks").cast("double") - 1.0) *
+          col("__sb4").cast("double") /
+          (col("n_blocks").cast("double") * col("__a4").cast("double") -
+            col("__sb4").cast("double"))).as("f_micro"))
+  }
+
+  /** Hodges-Lehmann two-sample shift estimator per group (Hodges &
+    * Lehmann 1963) — the EFFECT SIZE in the original units that
+    * [[cliffsDelta]]'s dimensionless δ cannot give: the median of
+    * all treatment-minus-control pairwise differences, the amount
+    * you'd subtract from every treatment row to best align the two
+    * distributions. Robust (50% breakdown on pairs) where the
+    * difference of means follows every outlier.
+    *
+    * The median of the n₀·n₁ differences is pinned EXACTLY on the
+    * doubled lattice of [[brownForsythe]]'s median policy: hl2 =
+    * d₍⌈P/2⌉₎ + d₍⌊P/2⌋+1₎ (sum of the two middle order statistics —
+    * equal for odd P), selected by cumulative value counts, never
+    * interpolated, so every output cell is an exact integer and the
+    * true estimator is hl2/2. O(n₀·n₁) pairs BY DEFINITION →
+    * maxGroupRows guards each cohort (the [[cliffsDelta]] contract);
+    * sample upstream past it. NULL cohorts and values drop.
+    *
+    * Output: (group, n0, n1, pairs, hl2_shift).
+    */
+  def hodgesLehmannShift(
+      df: DataFrame, groupCol: String, treatCol: org.apache.spark.sql.Column,
+      valueCol: String, maxGroupRows: Long = 10000L): DataFrame = {
+    require(maxGroupRows >= 1, s"maxGroupRows: $maxGroupRows")
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val rows = df.select(col(groupCol).as("__g"), treatCol.as("__t"),
+      col(valueCol).cast("long").as("__x"))
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+      .localCheckpoint(true)
+    val oversized = rows.groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxGroupRows)
+      .limit(1).collect()
+    require(oversized.isEmpty,
+      s"hodgesLehmannShift: group '${oversized.headOption.map(_.get(0))
+          .getOrElse("?")}' " +
+        s"exceeds maxGroupRows=$maxGroupRows on one side (the cross " +
+        "pair set is O(n0*n1) by definition) — sample upstream")
+    val t = rows.filter(col("__t"))
+      .select(col("__g"), col("__x").as("__x1"))
+    val c = rows.filter(!col("__t"))
+      .select(col("__g"), col("__x").as("__x0"))
+    val diffCounts = t.join(c, "__g")
+      .groupBy(col("__g"), (col("__x1") - col("__x0")).as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wP = Window.partitionBy(col("__g"))
+    val cum = diffCounts.select(col("__g"), col("__d"),
+      sum(col("__c")).over(wCum).as("__cum"),
+      sum(col("__c")).over(wP).as("__pairs"))
+    val lo = cum.filter(col("__cum") * 2 >= col("__pairs"))
+      .groupBy(col("__g"))
+      .agg(min(col("__d")).as("__dlo"), first(col("__pairs")).as("__pr"))
+    val hi = cum.filter(col("__cum") * 2 > col("__pairs"))
+      .groupBy(col("__g"))
+      .agg(min(col("__d")).as("__dhi"))
+    val sizes = rows.groupBy(col("__g"))
+      .agg(sum(when(!col("__t"), 1L).otherwise(0L)).as("n0"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n1"))
+      .filter(col("n0") > 0 && col("n1") > 0)
+    sizes.join(lo, "__g").join(hi, "__g")
+      .select(col("__g").as(groupCol), col("n0"), col("n1"),
+        col("__pr").as("pairs"),
+        (col("__dlo") + col("__dhi")).as("hl2_shift"))
   }
 }

@@ -1312,6 +1312,83 @@ object EventQueries {
         ORDER BY st.cohort
       """)),
 
+    // Quade range-weighted blocked test on the SAME daily design as
+    // q_friedman: does the event-type mix differ once each day's
+    // level is ranked away — but with days WEIGHTED by how far their
+    // five counts spread (the doubled midrank of the day's max−min
+    // range), so high-signal days dominate where Friedman gives
+    // every day one vote. 4×-scaled integer scores
+    // S4 = Q2·(r2 − (k+1)), DECIMAL-exact A4/SB4, and the 16× scale
+    // cancels in the single IEEE division that forms F
+    // (NonParametric.quade scaladoc).
+    QueryDef(
+      "q_quade",
+      (s, dir) => {
+        import graft.operators.NonParametric
+        val daily = Tables.events(s, dir)
+          .groupBy(pmod(col("user_id"), lit(3L)).as("cohort"),
+            to_date(col("ts")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        NonParametric.quade(daily, "cohort", "day", "event_type", "cnt")
+          .orderBy(col("cohort"))
+      },
+      Some("""
+        WITH obs AS (
+          SELECT user_id % 3 AS cohort, CAST(ts AS DATE) AS b,
+                 event_type AS t, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2, 3),
+        kp AS (SELECT cohort, count(DISTINCT t) AS k FROM obs GROUP BY 1),
+        comp AS (
+          SELECT o.cohort, o.b
+          FROM obs o JOIN kp USING (cohort)
+          GROUP BY o.cohort, o.b, kp.k
+          HAVING count(*) = kp.k),
+        kept AS (SELECT o.* FROM obs o JOIN comp USING (cohort, b)),
+        ranked AS (
+          SELECT cohort, b, t,
+                 2 * RANK() OVER (PARTITION BY cohort, b ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY cohort, b, x) - 1 AS r2
+          FROM kept),
+        rng AS (
+          SELECT cohort, b, MAX(x) - MIN(x) AS rg
+          FROM kept GROUP BY 1, 2),
+        wts AS (
+          SELECT cohort, b,
+                 2 * RANK() OVER (PARTITION BY cohort ORDER BY rg)
+                   + COUNT(*) OVER (PARTITION BY cohort, rg) - 1 AS q2
+          FROM rng),
+        scored AS (
+          SELECT r.cohort, r.t,
+                 CAST(w.q2 * (r.r2 - (kp.k + 1)) AS BIGINT) AS s4
+          FROM ranked r
+          JOIN wts w ON w.cohort = r.cohort AND w.b = r.b
+          JOIN kp ON kp.cohort = r.cohort),
+        pt AS (
+          SELECT cohort, t,
+                 SUM(CAST(s4 AS DECIMAL(38,0))) AS sj,
+                 SUM(CAST(s4 AS DECIMAL(38,0))
+                     * CAST(s4 AS DECIMAL(38,0))) AS a4j,
+                 CAST(count(*) AS BIGINT) AS nb
+          FROM scored GROUP BY 1, 2),
+        st AS (
+          SELECT cohort, CAST(count(*) AS BIGINT) AS kt,
+                 MAX(nb) AS n,
+                 SUM(a4j) AS a4,
+                 SUM(sj * sj) AS sb4
+          FROM pt GROUP BY 1)
+        SELECT cohort, n AS n_blocks, kt AS k_treatments,
+               CAST(ROUND(
+                 (CAST(n AS DOUBLE) - 1.0) * CAST(sb4 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(a4 AS DOUBLE)
+                    - CAST(sb4 AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS f_micro
+        FROM st
+        WHERE kt >= 2 AND n >= 2
+          AND CAST(n AS DECIMAL(38,0)) * a4 > sb4
+        ORDER BY cohort
+      """)),
+
     // Two-sample Kolmogorov-Smirnov per event type: did the odd-user
     // cohort's value DISTRIBUTION shift (not just its mean — the
     // Mann-Whitney question)? D = max|cumA·n_b − cumB·n_a|/(n_a·n_b)

@@ -8223,6 +8223,134 @@ object ExtensionQueries {
         FROM agg
         WHERE k_groups >= 2 AND above_total > 0 AND above_total < n
         ORDER BY lang
+      """)),
+
+    // Brunner-Munzel stochastic-superiority test per language on the
+    // SAME cohort split as q_ansari_bradley: the modern Mann-Whitney
+    // replacement that estimates a separate rank variance per cohort
+    // (the rank-world Welch correction), so it stays honest when the
+    // two cohorts differ in shape, not just location. Pooled and
+    // within-cohort doubled midranks; the variance numerator expands
+    // to per-cohort integer aggregates with no join-back; p̂ on the
+    // exact ppm lattice, one IEEE sequence each for W and the
+    // Welch-Satterthwaite df (NonParametric.brunnerMunzel scaladoc).
+    QueryDef(
+      "q_brunner_munzel",
+      (s, dir) =>
+        graft.operators.NonParametric.brunnerMunzel(
+            Tables.documents(s, dir), "lang",
+            pmod(col("doc_id"), lit(2L)) === 1, "n_chars")
+          .orderBy(col("lang")),
+      Some("""
+        WITH d AS (
+          SELECT lang, doc_id % 2 = 1 AS cb, n_chars AS x
+          FROM documents),
+        r AS (
+          SELECT lang, cb,
+                 2 * RANK() OVER (PARTITION BY lang ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY lang, x) - 1 AS r2,
+                 2 * RANK() OVER (PARTITION BY lang, cb ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY lang, cb, x) - 1
+                   AS r2w
+          FROM d),
+        pc AS (
+          SELECT lang, cb, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(r2) AS BIGINT) AS s,
+                 CAST(SUM(r2 - r2w) AS BIGINT) AS sd,
+                 SUM(CAST(r2 - r2w AS HUGEINT) * (r2 - r2w)) AS sd2
+          FROM r GROUP BY 1, 2),
+        pv AS (
+          SELECT lang, cb, n, s,
+                 CAST(n AS HUGEINT) * n * sd2
+                   - 2 * CAST(n AS HUGEINT)
+                     * (s - CAST(n AS HUGEINT) * (n + 1)) * sd
+                   + CAST(n AS HUGEINT)
+                     * (s - CAST(n AS HUGEINT) * (n + 1))
+                     * (s - CAST(n AS HUGEINT) * (n + 1)) AS v2
+          FROM pc),
+        j AS (
+          SELECT a.lang, a.n AS n_a, b.n AS n_b,
+                 a.s AS sa, b.s AS sb,
+                 CAST(a.v2 AS DOUBLE)
+                   / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))
+                   AS ua,
+                 CAST(b.v2 AS DOUBLE)
+                   / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0))
+                   AS ub
+          FROM pv a JOIN pv b ON a.lang = b.lang AND NOT a.cb AND b.cb
+          WHERE a.n >= 2 AND b.n >= 2)
+        SELECT lang, n_a, n_b,
+               CAST(((sb - n_b * (n_b + 1)) * 1000000) // (2 * n_a * n_b)
+                 AS BIGINT) AS p_ppm,
+               CAST(ROUND(
+                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                 * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)
+                    - CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 / (CAST(n_a + n_b AS DOUBLE) * sqrt(ua + ub))
+                 * 1000000.0) AS BIGINT) AS w_micro,
+               CAST(ROUND(
+                 (ua + ub) * (ua + ub)
+                 / (ua * ua / (CAST(n_a AS DOUBLE) - 1.0)
+                    + ub * ub / (CAST(n_b AS DOUBLE) - 1.0))
+                 * 1000000.0) AS BIGINT) AS df_micro
+        FROM j
+        WHERE ua + ub > 0
+        ORDER BY lang
+      """)),
+
+    // Hodges-Lehmann shift estimator per source on the SAME cohort
+    // split as q_cliffs_delta: where δ says HOW OFTEN treatment
+    // beats control, HL says BY HOW MUCH in original units — the
+    // exact lower+upper-middle median of all treatment-minus-control
+    // pairwise character-count differences, on the doubled lattice
+    // (hl2 = sum of the two middle order statistics, never
+    // interpolated; true estimator = hl2/2). The cross-pair set is
+    // O(n0·n1) by definition and guarded; every output cell is an
+    // exact integer — no IEEE anywhere
+    // (NonParametric.hodgesLehmannShift scaladoc).
+    QueryDef(
+      "q_hodges_lehmann",
+      (s, dir) =>
+        graft.operators.NonParametric.hodgesLehmannShift(
+            Tables.documents(s, dir), "source",
+            pmod(expr("doc_id div 20"), lit(2L)) === 1, "n_chars")
+          .orderBy(col("source")),
+      Some("""
+        WITH d AS (
+          SELECT source, (doc_id // 20) % 2 = 1 AS t, n_chars AS x
+          FROM documents),
+        diffs AS (
+          SELECT t1.source, t1.x - t0.x AS dd,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM d t1 JOIN d t0
+            ON t1.source = t0.source AND t1.t AND NOT t0.t
+          GROUP BY 1, 2),
+        cum AS (
+          SELECT source, dd,
+                 SUM(c) OVER (PARTITION BY source ORDER BY dd
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cm,
+                 SUM(c) OVER (PARTITION BY source) AS pr
+          FROM diffs),
+        lo AS (
+          SELECT source, MIN(dd) AS dlo, MAX(pr) AS pairs
+          FROM cum WHERE cm * 2 >= pr GROUP BY 1),
+        hi AS (
+          SELECT source, MIN(dd) AS dhi
+          FROM cum WHERE cm * 2 > pr GROUP BY 1),
+        sz AS (
+          SELECT source,
+                 CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+          FROM d GROUP BY 1)
+        SELECT sz.source, sz.n0, sz.n1,
+               CAST(lo.pairs AS BIGINT) AS pairs,
+               CAST(lo.dlo + hi.dhi AS BIGINT) AS hl2_shift
+        FROM sz JOIN lo USING (source) JOIN hi USING (source)
+        WHERE sz.n0 > 0 AND sz.n1 > 0
+        ORDER BY sz.source
       """))
   )
 

@@ -422,6 +422,84 @@ class NonParametricSpec extends SparkSuite {
       onesided.toDF("p", "g", "x"), "p", "g", "x").count() === 0L)
   }
 
+  test("brunnerMunzel: the shifted-overlap textbook case pins " +
+      "p=0.875, W=3, df=6 exactly; swapping cohorts mirrors p and " +
+      "negates W; 1-row cohorts and all-tied partitions drop") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: doubled pooled sums s_a=24,
+    // s_b=48, V2 = 96 both sides, u = 8 each ->
+    // p = 28/32 = 0.875, W = 16*(12-6)/(8*4) = 3, df = 256/(128/3) = 6
+    val a = Seq(1L, 2L, 3L, 4L).map(v => ("p", false, v))
+    val b = Seq(3L, 4L, 5L, 6L).map(v => ("p", true, v))
+    val swapped = (a ++ b).map { case (_, t, v) => ("q", !t, v) }
+    val lone = Seq(("lone", false, 1L), ("lone", false, 2L),
+      ("lone", true, 9L))
+    val flat = Seq(("flat", false, 5L), ("flat", false, 5L),
+      ("flat", true, 5L), ("flat", true, 5L))
+    val out = NonParametric.brunnerMunzel(
+        (a ++ b ++ swapped ++ lone ++ flat).toDF("p", "b", "x"),
+        "p", col("b"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("p").getLong(1) === 4L && out("p").getLong(2) === 4L)
+    assert(out("p").getLong(3) === 875000L, s"${out("p")}")
+    assert(out("p").getLong(4) === 3000000L, s"${out("p")}")
+    assert(out("p").getLong(5) === 6000000L, s"${out("p")}")
+    assert(out("q").getLong(3) === 125000L, s"${out("q")}")
+    assert(out("q").getLong(4) === -3000000L)
+    assert(!out.contains("lone"), "n_b = 1 has no rank variance")
+    assert(!out.contains("flat"), "all-tied pooled values have no test")
+  }
+
+  test("quade: range-weighted blocks pin F = 9.75 on the worked " +
+      "3x3 fixture; within-block-constant partitions drop; " +
+      "incomplete blocks drop first") {
+    // b1 = (1,2,3) range 2, b2 = (2,4,6) range 4, b3 = (1,1,7)
+    // range 6 -> Q2 = {2,4,6}, S4 per treatment {-18,-6,24},
+    // A4 = 376, SB4 = 936, F = 2*936/(3*376-936) = 9.75
+    val fix = Seq(
+      ("w", "b1", "t1", 1L), ("w", "b1", "t2", 2L), ("w", "b1", "t3", 3L),
+      ("w", "b2", "t1", 2L), ("w", "b2", "t2", 4L), ("w", "b2", "t3", 6L),
+      ("w", "b3", "t1", 1L), ("w", "b3", "t2", 1L), ("w", "b3", "t3", 7L),
+      // an incomplete block must drop before ranking
+      ("w", "b4", "t1", 9L), ("w", "b4", "t2", 9L))
+    val const = Seq(
+      ("c", "b1", "t1", 5L), ("c", "b1", "t2", 5L),
+      ("c", "b2", "t1", 8L), ("c", "b2", "t2", 8L))
+    val out = NonParametric.quade(
+        (fix ++ const).toDF("p", "blk", "t", "x"), "p", "blk", "t", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("w").getLong(1) === 3L, s"${out("w")}")
+    assert(out("w").getLong(2) === 3L)
+    assert(out("w").getLong(3) === 9750000L, s"${out("w")}")
+    assert(!out.contains("c"),
+      "all-tied within-block ranks sit on the perfect-agreement " +
+        "boundary and drop")
+  }
+
+  test("hodgesLehmannShift: even pair counts sum the two middle " +
+      "order statistics, odd counts double the middle one; the " +
+      "guard refuses oversized cohorts") {
+    // A = {1,4}, B = {3,5}: diffs {-1,1,2,4} -> hl2 = 1 + 2 = 3
+    val even = Seq(("e", false, 1L), ("e", false, 4L),
+      ("e", true, 3L), ("e", true, 5L))
+    // A = {0}, B = {5,7,9}: diffs {5,7,9} -> hl2 = 14
+    val odd = Seq(("o", false, 0L), ("o", true, 5L), ("o", true, 7L),
+      ("o", true, 9L))
+    val out = NonParametric.hodgesLehmannShift(
+        (even ++ odd).toDF("g", "t", "x"), "g", col("t"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("e").getLong(3) === 4L && out("e").getLong(4) === 3L,
+      s"${out("e")}")
+    assert(out("o").getLong(1) === 1L && out("o").getLong(2) === 3L)
+    assert(out("o").getLong(3) === 3L && out("o").getLong(4) === 14L,
+      s"${out("o")}")
+    val big = (1L to 12L).map(v => ("g", v % 2 == 0, v))
+    val e = intercept[IllegalArgumentException] {
+      NonParametric.hodgesLehmannShift(
+        big.toDF("g", "t", "x"), "g", col("t"), "x", maxGroupRows = 5L)
+    }
+    assert(e.getMessage.contains("maxGroupRows"))
+  }
+
   // ---- Cochran's Q ----
 
   test("cochranQ: identical filters score exactly 0; a systematic " +
