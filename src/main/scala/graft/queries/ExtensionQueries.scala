@@ -8060,46 +8060,23 @@ object ExtensionQueries {
                   .cast("long").as("toks5")),
             "source", "chars", "toks5")
           .orderBy(col("source")),
-      Some("""
-        WITH d0 AS (
-          SELECT source,
-                 5 * CAST(len(string_split(text, ' ')) AS BIGINT)
-                   - n_chars AS d
-          FROM documents),
-        d AS (SELECT source, d, abs(d) AS a FROM d0 WHERE d <> 0),
-        ranked AS (
-          SELECT source, d,
-                 2 * RANK() OVER (PARTITION BY source ORDER BY a)
-                   + COUNT(*) OVER (PARTITION BY source, a) - 1 AS r2
-          FROM d),
-        ties AS (
-          SELECT source, CAST(SUM(t * t * t - t) AS BIGINT) AS tie
-          FROM (SELECT source, a, count(*) AS t FROM d GROUP BY 1, 2)
-          GROUP BY 1),
-        st AS (
-          SELECT r.source, CAST(count(*) AS BIGINT) AS n_pairs,
-                 CAST(SUM(CASE WHEN r.d > 0 THEN r.r2 ELSE 0 END)
-                   AS BIGINT) AS w2_plus
-          FROM ranked r GROUP BY 1),
-        ed AS (
-          SELECT st.source, st.n_pairs, st.w2_plus,
-                 st.n_pairs * (st.n_pairs + 1) // 2 AS e2,
-                 2 * st.n_pairs * (st.n_pairs + 1)
-                   * (2 * st.n_pairs + 1) - ties.tie AS var_num
-          FROM st JOIN ties USING (source))
-        SELECT source, n_pairs, w2_plus, e2, var_num,
-               CAST(ROUND(
-                 (CASE WHEN w2_plus > e2
-                       THEN CAST(w2_plus - e2 - 1 AS DOUBLE)
-                       WHEN w2_plus < e2
-                       THEN CAST(w2_plus - e2 + 1 AS DOUBLE)
-                       ELSE 0.0 END
-                  / sqrt(CAST(var_num AS DOUBLE) / 12.0))
-                 * 1000000.0) AS BIGINT) AS z_micro
-        FROM ed
-        WHERE var_num > 0
-        ORDER BY source
-      """)),
+      Some(wilcoxonOracle)),
+
+    // Streaming twin of q_wilcoxon_signed — the paired drift monitor
+    // run as mapGroupsWithState: each doc folds one difference into
+    // a per-source value→count multiset (state is O(distinct
+    // differences), never the pair count) and the doubled-lattice
+    // statistics replay per trigger. The multiset fold is
+    // commutative, so the result is independent of micro-batch
+    // splits; the twin shares q_wilcoxon_signed's oracle
+    // (StreamingOps.wilcoxonState scaladoc).
+    QueryDef(
+      "q_stream_wilcoxon",
+      (s, dir) =>
+        graft.streaming.StreamingOps.wilcoxonHistory(
+            s, s"$dir/documents.parquet")
+          .orderBy(col("source")),
+      Some(wilcoxonOracle)),
 
     // Ansari-Bradley rank scale test per language: do odd- and
     // even-doc_id cohorts differ in length DISPERSION around a
@@ -8362,6 +8339,53 @@ object ExtensionQueries {
     * oracle SQL so the engines see identical bytes.
     */
   private lazy val decomposedSuffix: String = " cafe\u0301 A\u030A"
+
+  /** The Wilcoxon signed-rank replay shared by q_wilcoxon_signed and
+    * its streaming twin: pairs (n_chars, 5 \u00D7 whitespace tokens) per
+    * doc, zero differences dropped, |d| on the doubled average-rank
+    * lattice, exact integer W2\u207A/E2/var_num, one IEEE sequence for
+    * the continuity-corrected z.
+    */
+  private lazy val wilcoxonOracle: String = """
+        WITH d0 AS (
+          SELECT source,
+                 5 * CAST(len(string_split(text, ' ')) AS BIGINT)
+                   - n_chars AS d
+          FROM documents),
+        d AS (SELECT source, d, abs(d) AS a FROM d0 WHERE d <> 0),
+        ranked AS (
+          SELECT source, d,
+                 2 * RANK() OVER (PARTITION BY source ORDER BY a)
+                   + COUNT(*) OVER (PARTITION BY source, a) - 1 AS r2
+          FROM d),
+        ties AS (
+          SELECT source, CAST(SUM(t * t * t - t) AS BIGINT) AS tie
+          FROM (SELECT source, a, count(*) AS t FROM d GROUP BY 1, 2)
+          GROUP BY 1),
+        st AS (
+          SELECT r.source, CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN r.d > 0 THEN r.r2 ELSE 0 END)
+                   AS BIGINT) AS w2_plus
+          FROM ranked r GROUP BY 1),
+        ed AS (
+          SELECT st.source, st.n_pairs, st.w2_plus,
+                 st.n_pairs * (st.n_pairs + 1) // 2 AS e2,
+                 2 * st.n_pairs * (st.n_pairs + 1)
+                   * (2 * st.n_pairs + 1) - ties.tie AS var_num
+          FROM st JOIN ties USING (source))
+        SELECT source, n_pairs, w2_plus, e2, var_num,
+               CAST(ROUND(
+                 (CASE WHEN w2_plus > e2
+                       THEN CAST(w2_plus - e2 - 1 AS DOUBLE)
+                       WHEN w2_plus < e2
+                       THEN CAST(w2_plus - e2 + 1 AS DOUBLE)
+                       ELSE 0.0 END
+                  / sqrt(CAST(var_num AS DOUBLE) / 12.0))
+                 * 1000000.0) AS BIGINT) AS z_micro
+        FROM ed
+        WHERE var_num > 0
+        ORDER BY source
+      """
 
   /** Shared NB oracle: the training half of the chain (no WITH
     * keyword) — model fit on docs with doc_id % 5 <> 0, label =

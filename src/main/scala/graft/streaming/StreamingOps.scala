@@ -101,6 +101,26 @@ case class MkRow(
     group: String, n: Long, s_stat: Long, var_num: Long,
     events_seen: Long)
 
+/** One (x, y) pair for [[StreamingOps.wilcoxonState]] — the paired
+  * observation whose difference y − x feeds the signed-rank fold.
+  */
+case class WsrObs(group: String, x: Long, y: Long)
+
+/** Wilcoxon signed-rank state: the nonzero-difference value→count
+  * multiset (state is O(distinct differences) per group — the
+  * operator's scale contract, bounded by the value lattice, not the
+  * pair count) plus the monotone fold count for final-row selection
+  * from an update-mode sink.
+  */
+case class WsrState(diffs: Map[Long, Long], eventsSeen: Long)
+
+/** Exact integer Wilcoxon signed-rank sufficient statistics emitted
+  * per trigger by [[StreamingOps.wilcoxonState]].
+  */
+case class WsrRow(
+    group: String, n_pairs: Long, w2_plus: Long, e2: Long,
+    var_num: Long, events_seen: Long)
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation and stateful sessionization via
   * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
@@ -738,6 +758,97 @@ object StreamingOps {
             (col("s_stat") + lit(1)).cast("double"))
           .otherwise(lit(0.0))
           / sqrt(col("var_num").cast("double") / lit(18.0)))
+          * lit(1e6)).cast("long").as("z_micro"))
+  }
+
+  /** Streaming Wilcoxon signed-rank as `mapGroupsWithState` — the
+    * paired drift monitor: each arriving unit contributes one
+    * difference d = y − x, and the state folds the nonzero-
+    * difference multiset as a value→count map (zero differences
+    * drop at fold time — Wilcoxon's own convention, applied
+    * identically by the batch operator). Per trigger the doubled
+    * average-rank lattice replays over the sorted distinct |d|
+    * values — O(D log D) per group where D is the DISTINCT
+    * difference count, never the pair count — emitting the exact
+    * integer sufficient statistics (W2⁺, E2, tie-corrected 12·Var)
+    * of [[graft.operators.NonParametric.wilcoxonSignedRank]]. The
+    * multiset fold is commutative, so micro-batch splits and
+    * intra-batch order cannot change the result.
+    */
+  def wilcoxonState(stream: Dataset[WsrObs]): Dataset[WsrRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[WsrObs],
+        state: GroupState[WsrState]): WsrRow = {
+      var st = state.getOption.getOrElse(WsrState(Map.empty, 0L))
+      rows.foreach { o =>
+        val d = o.y - o.x
+        if (d != 0L)
+          st = WsrState(
+            st.diffs.updated(d, st.diffs.getOrElse(d, 0L) + 1L),
+            st.eventsSeen + 1L)
+        else st = WsrState(st.diffs, st.eventsSeen + 1L)
+      }
+      state.update(st)
+      val byAbs = st.diffs.toSeq
+        .groupBy { case (d, _) => math.abs(d) }
+        .toSeq.sortBy(_._1)
+      var cum = 0L; var w2 = 0L; var tie = 0L
+      byAbs.foreach { case (_, entries) =>
+        val t = entries.map(_._2).sum
+        val r2 = 2L * (cum + 1L) + t - 1L
+        val pos = entries.collect { case (d, c) if d > 0 => c }.sum
+        w2 += pos * r2
+        tie += t * t * t - t
+        cum += t
+      }
+      val n = cum
+      WsrRow(g, n, w2, n * (n + 1L) / 2L,
+        2L * n * (n + 1L) * (2L * n + 1L) - tie, st.eventsSeen)
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[wilcoxonState]] over the documents parquet (memory sink,
+    * update mode): pairs are (n_chars, 5 × whitespace token count)
+    * per doc — the SAME Spark expressions the batch query uses — and
+    * the z edge is the batch operator's exact column sequence over
+    * the emitted integer statistics. Output shape matches
+    * `q_wilcoxon_signed` and shares its oracle.
+    */
+  def wilcoxonHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(path).schema
+    val (dir, glob) = dirAndGlob(spark, path)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      .select(col("source").as("group"),
+        col("n_chars").cast("long").as("x"),
+        (lit(5) * size(split(col("text"), " ")))
+          .cast("long").as("y")).as[WsrObs]
+    val out = wilcoxonState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .filter(col("var_num") > 0)
+      .select(col("group").as("source"), col("n_pairs"),
+        col("w2_plus"), col("e2"), col("var_num"),
+        round((when(col("w2_plus") > col("e2"),
+            (col("w2_plus") - col("e2") - lit(1L)).cast("double"))
+          .when(col("w2_plus") < col("e2"),
+            (col("w2_plus") - col("e2") + lit(1L)).cast("double"))
+          .otherwise(lit(0.0))
+          / sqrt(col("var_num").cast("double") / lit(12.0)))
           * lit(1e6)).cast("long").as("z_micro"))
   }
 

@@ -454,6 +454,46 @@ class StreamingOpsSpec extends SparkSuite {
     assert(!batch.exists(_.head == "flat"))
   }
 
+  test("wilcoxonState: the difference multiset folds across " +
+      "micro-batches to the batch operator's exact statistics; " +
+      "zeros drop at fold time") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // "up": d = {1..5} all positive (the NonParametricSpec pin:
+    // W2+ = 30, E2 = 15, var_num = 660); a zero pair folds away.
+    // "tied": d = {1,1,2,2} -> var_num = 348.
+    val up = (1 to 5).map(i => WsrObs("up", 100L, 100L + i)) :+
+      WsrObs("up", 7L, 7L)
+    val tied = Seq(WsrObs("tied", 0L, 1L), WsrObs("tied", 0L, 1L),
+      WsrObs("tied", 0L, 2L), WsrObs("tied", 0L, 2L))
+    val input = MemoryStream[WsrObs]
+    val out = StreamingOps.wilcoxonState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("wsr_spec")
+      .start()
+    try {
+      input.addData(up.take(3): _*)
+      q.processAllAvailable()
+      input.addData((up.drop(3) ++ tied): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val streamed = spark.table("wsr_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("group"), col("n_pairs"), col("w2_plus"),
+        col("e2"), col("var_num"))
+      .orderBy(col("group")).collect().toSeq.map(_.toSeq)
+    assert(streamed.find(_.head == "up").get ==
+      Seq("up", 5L, 30L, 15L, 660L), s"$streamed")
+    assert(streamed.find(_.head == "tied").get(4) === 348L)
+  }
+
   test("sprtState: O(1) sufficient statistics across micro-batches " +
       "equal the batch totals, then cross the Wald boundary") {
     import spark.implicits._
