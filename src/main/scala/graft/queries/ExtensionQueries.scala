@@ -8328,8 +8328,191 @@ object ExtensionQueries {
         FROM sz JOIN lo USING (source) JOIN hi USING (source)
         WHERE sz.n0 > 0 AND sz.n1 > 0
         ORDER BY sz.source
+      """)),
+
+    // URL canonicalization over deterministically-derived messy URLs
+    // (upper-case scheme/host, www, userinfo-free, default :443,
+    // doubled slashes, trailing slash, tracking params in shuffled
+    // order, fragments): the crawl-curation primitive that collapses
+    // trivially-distinct URLs of one resource BEFORE any text-level
+    // dedup. Pure codegen'd regexp/array builtins — the
+    // canonicalizer fuses into the scan projection; both engines
+    // derive the identical raw string from (doc_id, source) and then
+    // canonicalize with their own pipelines, so the cross-check
+    // verifies the SEMANTICS, not a shared implementation
+    // (UrlOps.canonicalizeUrl scaladoc).
+    QueryDef(
+      "q_url_canonical",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), derivedUrl.as("url"))
+          .select(col("doc_id"),
+            graft.operators.UrlOps.canonicalizeUrl(col("url"))
+              .as("canonical"))
+          .orderBy(col("doc_id")),
+      Some(s"""
+        WITH $urlCanonCtes
+        SELECT doc_id, canonical FROM canon ORDER BY doc_id
+      """)),
+
+    // Per-domain cap (the C4/RefinedWeb corpus-balance rule): keep
+    // the 3 longest docs per REGISTRABLE domain (public-suffix-aware
+    // owner grouping, so src0.co.uk and www.src0.co.uk collapse while
+    // src0.com stays separate) with a pinned total order. One
+    // hash-partitioned window — the cap is k-bounded per domain, so
+    // output is domains×k no matter the corpus size
+    // (UrlOps.domainCap scaladoc).
+    QueryDef(
+      "q_domain_cap",
+      (s, dir) =>
+        graft.operators.UrlOps.domainCap(
+            Tables.documents(s, dir)
+              .select(col("doc_id"), col("n_chars"),
+                derivedUrl.as("url")),
+            "url", 3, Seq(col("n_chars").desc, col("doc_id")))
+          .select(col("domain"), col("doc_id"), col("rk"))
+          .orderBy(col("domain"), col("rk")),
+      Some(s"""
+        WITH $urlCanonCtes,
+        rk AS (
+          SELECT domain, doc_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY domain
+                        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+          FROM canon)
+        SELECT domain, doc_id, rk FROM rk
+        WHERE rk <= 3
+        ORDER BY domain, rk
+      """)),
+
+    // Per-domain corpus share audit: docs, characters, and the exact
+    // integer-ppm share per registrable domain — the "is any owner
+    // dominating the mix" pre-flight a corpus curator reads before
+    // setting caps. One aggregate + a broadcast scalar total
+    // (UrlOps.domainShares scaladoc).
+    QueryDef(
+      "q_domain_share",
+      (s, dir) =>
+        graft.operators.UrlOps.domainShares(
+            Tables.documents(s, dir)
+              .select(col("n_chars"), derivedUrl.as("url")),
+            "url", "n_chars")
+          .orderBy(col("domain")),
+      Some(s"""
+        WITH $urlCanonCtes,
+        pd AS (
+          SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS chars
+          FROM canon GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM pd)
+        SELECT pd.domain, pd.n_docs, pd.chars,
+               CAST((pd.n_docs * 1000000) // tot.t AS BIGINT)
+                 AS share_ppm
+        FROM pd, tot
+        ORDER BY pd.domain
       """))
   )
+
+  /** The deterministic messy-URL derivation shared by the q_url_* /
+    * q_domain_* queries: every canonicalization rule gets exercised
+    * (case, www, default port, doubled slashes, trailing slash,
+    * tracking params, param order, fragments) from (doc_id, source)
+    * alone, so both engines build the identical raw string.
+    */
+  private lazy val derivedUrl: org.apache.spark.sql.Column =
+    concat(
+      lit("HTTPS://"),
+      when(pmod(col("doc_id"), lit(3L)) === 0, lit("WWW."))
+        .otherwise(lit("")),
+      upper(col("source")),
+      when(pmod(col("doc_id"), lit(5L)) === 0, lit(".CO.UK:443"))
+        .otherwise(lit(".COM")),
+      lit("//pages//"), pmod(col("doc_id"), lit(7L)),
+      when(pmod(col("doc_id"), lit(2L)) === 0,
+          lit("/?utm_source=feed&b=2&a=1"))
+        .otherwise(lit("?b=2&utm_campaign=x&a=1")),
+      when(pmod(col("doc_id"), lit(6L)) === 0, lit("#frag"))
+        .otherwise(lit("")))
+
+  /** The DuckDB replay of [[derivedUrl]] + UrlOps.canonicalizeUrl +
+    * UrlOps.registrableDomain, shared by the three URL oracles. Ends
+    * in `canon(doc_id, n_chars, host, domain, canonical)`.
+    */
+  private lazy val urlCanonCtes: String = """
+        raw AS (
+          SELECT doc_id, n_chars,
+                 'HTTPS://'
+                   || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                   || upper(source)
+                   || CASE WHEN doc_id % 5 = 0 THEN '.CO.UK:443'
+                           ELSE '.COM' END
+                   || '//pages//' || CAST(doc_id % 7 AS VARCHAR)
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN '/?utm_source=feed&b=2&a=1'
+                           ELSE '?b=2&utm_campaign=x&a=1' END
+                   || CASE WHEN doc_id % 6 = 0 THEN '#frag'
+                           ELSE '' END AS url
+          FROM documents),
+        nf AS (
+          SELECT doc_id, n_chars,
+                 regexp_replace(url, '#.*$', '') AS u
+          FROM raw),
+        parts AS (
+          SELECT doc_id, n_chars,
+                 lower(regexp_extract(u,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(u,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+                 regexp_extract(u, '\?([^#]*)', 1) AS query
+          FROM nf),
+        hostp AS (
+          SELECT *,
+                 regexp_replace(regexp_replace(
+                   lower(regexp_extract(rest, '^([^/?]*)', 1)),
+                   '^[^@]*@', ''), '^www\.', '') AS hostport
+          FROM parts),
+        hp2 AS (
+          SELECT *,
+                 regexp_replace(hostport, ':[0-9]+$', '') AS host,
+                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                 regexp_replace(regexp_extract(rest,
+                   '^[^/?]*([^?]*)', 1), '/{2,}', '/', 'g') AS cp
+          FROM hostp),
+        pq AS (
+          SELECT *,
+                 CASE WHEN cp = '' THEN '/'
+                      WHEN cp <> '/' THEN regexp_replace(cp, '/$', '')
+                      ELSE cp END AS path,
+                 array_to_string(list_sort(list_filter(
+                   string_split(query, '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                     '^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_eid|ref|igshid)='))),
+                   '&') AS q
+          FROM hp2),
+        dom AS (
+          SELECT *, string_split(host, '.') AS ls FROM pq),
+        canon AS (
+          SELECT doc_id, n_chars, host,
+                 CASE WHEN len(ls) <= 1 THEN host
+                      WHEN len(ls) >= 3 AND list_contains(
+                          ['co.uk','org.uk','ac.uk','gov.uk','me.uk',
+                           'com.au','net.au','org.au','co.jp','ne.jp',
+                           'or.jp','co.kr','com.br','com.mx','co.in',
+                           'co.za','com.cn','com.tw','com.sg','co.nz',
+                           'com.ar','com.tr','co.il','com.hk','co.th',
+                           'com.my','co.id','com.ph','com.vn','com.eg'],
+                          ls[-2] || '.' || ls[-1])
+                        THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                      ELSE ls[-2] || '.' || ls[-1] END AS domain,
+                 scheme || '://' || host
+                   || CASE WHEN port <> ''
+                            AND NOT ((scheme = 'http' AND port = '80')
+                                     OR (scheme = 'https'
+                                         AND port = '443'))
+                           THEN ':' || port ELSE '' END
+                   || path
+                   || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                   AS canonical
+          FROM dom)"""
 
   /** DECOMPOSED "cafe\u0301 A\u030A" — e and A followed by combining
     * marks (acute, ring), so NFC composition shortens the suffix by
