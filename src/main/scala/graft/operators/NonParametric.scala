@@ -1260,4 +1260,69 @@ object NonParametric {
         col("__pr").as("pairs"),
         (col("__dlo") + col("__dhi")).as("hl2_shift"))
   }
+
+  /** Benjamini-Hochberg step-up FDR control (Benjamini & Hochberg
+    * 1995) over a battery of z-scored tests — the layer a monitor
+    * needs the moment it runs one of this family's tests per source/
+    * segment: at 20 groups and α = 0.05, one "significant" cell per
+    * readout is EXPECTED under the global null. BH sorts the
+    * two-sided p-values ascending and discovers every test up to
+    * k* = max{ i : pᵢ ≤ i·α/m }.
+    *
+    * p comes from z via the PINNED Abramowitz-Stegun 7.1.26 erfc
+    * polynomial (|ε| ≤ 1.5·10⁻⁷): p = erfc(|z|/√2) with
+    * t = 1/(1 + 0.3275911·x) and the Horner sequence
+    * ((((a₅t + a₄)t + a₃)t + a₂)t + a₁)t · e^(−x²) — ONE written
+    * IEEE sequence both engines replay verbatim (the [[snapMicro]]
+    * contract, at nano here for small-p resolution; the q_nb log10
+    * precedent covers the transcendental). After the nano snap every
+    * BH comparison is EXACT integer arithmetic:
+    * p_nano·m ≤ rank·alphaPpm·1000.
+    *
+    * Shape: the battery is the TEST LIST — m rows, one per already-
+    * aggregated test — so the unpartitioned rank window is m-bounded
+    * by construction; `maxTests` refuses batteries that should have
+    * been sharded (the [[mannKendall]] guard precedent).
+    *
+    * Output: (idCol, p_nano, p_rank, discovery) — `p_rank` the
+    * deterministic (p, id) order, `discovery` the step-up verdict.
+    */
+  def benjaminiHochberg(
+      df: DataFrame, idCol: String, zMicroCol: String,
+      alphaPpm: Long = 50000L, maxTests: Long = 100000L): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L, s"alphaPpm: $alphaPpm")
+    Reserved.check("input" -> df)
+    val rows = df.select(col(idCol).as("__id"),
+      col(zMicroCol).cast("long").as("__z"))
+      .localCheckpoint(true)
+    val bad = rows.agg(count(lit(1)).as("__n"),
+      sum(when(col("__z").isNull, 1L).otherwise(0L)).as("__nulls"))
+      .filter(col("__n") > maxTests || col("__nulls") > 0)
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"benjaminiHochberg: battery exceeds maxTests=$maxTests or " +
+        "carries NULL z — shard or null-filter upstream (the battery " +
+        "is a test list, not a corpus)")
+    val x = abs(col("__z").cast("double")) / lit(1e6) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val erfc =
+      ((((lit(1.061405429) * t - lit(1.453152027)) * t +
+        lit(1.421413741)) * t - lit(0.284496736)) * t +
+        lit(0.254829592)) * t * exp(-(x * x))
+    val withP = rows.select(col("__id"),
+      round(erfc * lit(1e9)).cast("long").as("p_nano"))
+    val wRank = Window.orderBy(col("p_nano"), col("__id"))
+    val wAll = Window.partitionBy()
+    val ranked = withP.select(col("__id"), col("p_nano"),
+      row_number().over(wRank).cast("long").as("p_rank"),
+      count(lit(1)).over(wAll).as("__m"))
+      .withColumn("__flag",
+        when(col("p_nano") * col("__m") <=
+          col("p_rank") * lit(alphaPpm) * lit(1000L), col("p_rank"))
+          .otherwise(lit(0L)))
+    ranked
+      .withColumn("__kstar", max(col("__flag")).over(wAll))
+      .select(col("__id").as(idCol), col("p_nano"), col("p_rank"),
+        (col("p_rank") <= col("__kstar")).as("discovery"))
+  }
 }

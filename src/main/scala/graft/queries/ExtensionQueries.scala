@@ -8078,6 +8078,61 @@ object ExtensionQueries {
           .orderBy(col("source")),
       Some(wilcoxonOracle)),
 
+    // Benjamini-Hochberg FDR control over the per-source Wilcoxon
+    // battery: with 20 sources at α = 0.05, one "significant" cell
+    // per readout is EXPECTED under the global null — the step-up
+    // rule is what makes a battery of this family's tests honest.
+    // p = erfc(|z|/√2) via the PINNED Abramowitz-Stegun 7.1.26
+    // polynomial (one IEEE sequence both engines replay — the q_nb
+    // log10 precedent); after the nano snap every BH comparison is
+    // exact integer arithmetic
+    // (NonParametric.benjaminiHochberg scaladoc).
+    QueryDef(
+      "q_fdr_battery",
+      (s, dir) =>
+        graft.operators.NonParametric.benjaminiHochberg(
+            graft.operators.NonParametric.wilcoxonSignedRank(
+              Tables.documents(s, dir)
+                .select(col("source"), col("n_chars").as("chars"),
+                  (lit(5) * size(split(col("text"), " ")))
+                    .cast("long").as("toks5")),
+              "source", "chars", "toks5"),
+            "source", "z_micro")
+          .orderBy(col("source")),
+      Some(s"""
+        WITH wsr AS ($wilcoxonOracle),
+        px AS (
+          SELECT source,
+                 abs(CAST(z_micro AS DOUBLE)) / 1000000.0 / sqrt(2.0)
+                   AS x
+          FROM wsr),
+        pt AS (
+          SELECT source, x, 1.0 / (1.0 + 0.3275911 * x) AS t FROM px),
+        pe AS (
+          SELECT source,
+                 CAST(ROUND(
+                   ((((1.061405429 * t - 1.453152027) * t
+                      + 1.421413741) * t - 0.284496736) * t
+                    + 0.254829592) * t * exp(-(x * x)) * 1e9)
+                   AS BIGINT) AS p_nano
+          FROM pt),
+        rk AS (
+          SELECT source, p_nano,
+                 CAST(ROW_NUMBER() OVER (ORDER BY p_nano, source)
+                   AS BIGINT) AS p_rank,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS m
+          FROM pe),
+        fl AS (
+          SELECT *,
+                 CASE WHEN p_nano * m <= p_rank * 50000 * 1000
+                      THEN p_rank ELSE 0 END AS fr
+          FROM rk),
+        ks AS (SELECT *, MAX(fr) OVER () AS kstar FROM fl)
+        SELECT source, p_nano, p_rank, p_rank <= kstar AS discovery
+        FROM ks
+        ORDER BY source
+      """)),
+
     // Ansari-Bradley rank scale test per language: do odd- and
     // even-doc_id cohorts differ in length DISPERSION around a
     // common center — the moment-free companion to q_brown_forsythe

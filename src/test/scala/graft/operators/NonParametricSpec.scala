@@ -500,6 +500,37 @@ class NonParametricSpec extends SparkSuite {
     assert(e.getMessage.contains("maxGroupRows"))
   }
 
+  test("benjaminiHochberg: strong signals pass, nulls don't, the " +
+      "step-up boundary is the MAX flagged rank, p is symmetric in " +
+      "±z, and the battery guard refuses oversized input") {
+    val battery = Seq(("a", 5000000L), ("b", -4500000L),
+      ("c", 4200000L), ("d", 0L), ("e", 100000L))
+    val out = NonParametric.benjaminiHochberg(
+        battery.toDF("test_id", "z_micro"), "test_id", "z_micro")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // |z| >= 4.2 -> p < 3e-5 << i*0.05/5: discoveries
+    assert(out("a")._3 && out("b")._3 && out("c")._3, s"$out")
+    // z = 0 -> p ~ 1; z = 0.1 -> p ~ 0.92: no discovery
+    assert(!out("d")._3 && !out("e")._3, s"$out")
+    assert(out("d")._1 > 990000000L && out("e")._1 > 900000000L)
+    // ranks are the deterministic (p, id) order: a < b < c < e < d
+    assert(Seq("a", "b", "c", "e", "d").map(k => out(k)._2)
+      === Seq(1L, 2L, 3L, 4L, 5L))
+    // symmetric in sign: same |z| gives the same p_nano
+    val pm = NonParametric.benjaminiHochberg(
+        Seq(("p", 3000000L), ("m", -3000000L)).toDF("i", "z_micro"),
+        "i", "z_micro")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pm("p") === pm("m"))
+    val e = intercept[IllegalArgumentException] {
+      NonParametric.benjaminiHochberg(
+        battery.toDF("test_id", "z_micro"), "test_id", "z_micro",
+        maxTests = 3L)
+    }
+    assert(e.getMessage.contains("maxTests"))
+  }
+
   // ---- Cochran's Q ----
 
   test("cochranQ: identical filters score exactly 0; a systematic " +
