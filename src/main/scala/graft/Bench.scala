@@ -144,7 +144,13 @@ object Bench {
     // rank ANOVA, robust variance homogeneity
     "q_tokenize_icu", "q_friedman", "q_brown_forsythe", "q_jonckheere",
     "q_stream_mann_kendall", "q_page", "q_kendall_w", "q_cochran_q",
-    "q_seasonal_mk", "q_sprt", "q_cuped", "q_stream_sprt")
+    "q_seasonal_mk", "q_sprt", "q_cuped", "q_stream_sprt",
+    // round-12 additions: paired/dispersion/weighted-block rank
+    // tests, FDR control, and the web-corpus URL layer
+    "q_wilcoxon_signed", "q_ansari_bradley", "q_mood_median",
+    "q_brunner_munzel", "q_quade", "q_hodges_lehmann",
+    "q_stream_wilcoxon", "q_fdr_battery",
+    "q_url_canonical", "q_domain_cap", "q_domain_share")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND
