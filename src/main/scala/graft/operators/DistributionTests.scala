@@ -277,4 +277,71 @@ object DistributionTests {
         round(ssb, 6).as("ss_between"), round(ssw, 6).as("ss_within"),
         round(f, 6).as("f_stat"))
   }
+
+  /** Two-sample Cramér-von Mises criterion per group (Anderson 1962)
+    * — the whole-ECDF companion to [[ksTwoSample]]: where KS reads
+    * only the single largest ECDF gap, CvM integrates the SQUARED
+    * gap over the whole distribution, so many small persistent
+    * differences (a re-binned metric, a subtle quantization change)
+    * register where KS stays quiet.
+    *
+    *   U = m·Σᵢ(rᵢ − i)² + n·Σⱼ(sⱼ − j)²
+    *   T = U/(m·n·N) − (4mn − 1)/(6N)
+    *
+    * (rᵢ the pooled ranks of cohort A sorted ascending, i its
+    * within-cohort index; Anderson's computing form). Everything
+    * rides the doubled average-rank lattice: with r2 = 2·midrank and
+    * 2i the doubled index, (r − i)² = (r2 − 2i)²/4 and U4 = 4U is an
+    * exact integer (DECIMAL-summed; per-row d² ≤ 4N²). Intra-tie
+    * index assignment cannot move the statistic — tied rows share
+    * one r2 while their index multiset is fixed, so Σd² is
+    * order-invariant and both engines agree without a tie-break
+    * column. ONE written IEEE sequence forms T at the micro edge.
+    * NULL cohorts and values drop (the [[AbTest.rankSum]]
+    * convention).
+    *
+    * Shape: two rank windows + keyed aggregates — no pairwise join,
+    * scale-safe at any corpus size.
+    *
+    * Output: (group, n_a, n_b, u4, t_micro) — groups with both
+    * cohorts populated.
+    */
+  def cramerVonMises(
+      df: DataFrame, groupCol: String, inB: Column, valueCol: String)
+      : DataFrame = {
+    Reserved.check("input" -> df)
+    val d38 = DecimalType(38, 0)
+    val rows = df
+      .where(inB.isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), inB.as("__b"),
+        col(valueCol).cast("long").as("__x"))
+    val wPool = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val wTie = Window.partitionBy(col("__g"), col("__x"))
+    val wIn = Window.partitionBy(col("__g"), col("__b"))
+      .orderBy(col("__x"))
+    val ranked = rows.select(col("__g"), col("__b"),
+      ((lit(2L) * rank().over(wPool).cast("long") +
+        count(lit(1)).over(wTie).cast("long") - lit(1L)) -
+        lit(2L) * row_number().over(wIn).cast("long")).as("__d"))
+    val perCohort = ranked.groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__d").cast(d38) * col("__d").cast(d38)).as("__s"))
+    val a = perCohort.filter(!col("__b"))
+      .select(col("__g"), col("__n").as("n_a"), col("__s").as("__sa"))
+    val b = perCohort.filter(col("__b"))
+      .select(col("__g"), col("__n").as("n_b"), col("__s").as("__sb"))
+    val joined = a.join(b, "__g")
+      .withColumn("__u4",
+        col("n_a").cast(d38) * col("__sa") +
+          col("n_b").cast(d38) * col("__sb"))
+    val mD = col("n_a").cast("double")
+    val nD = col("n_b").cast("double")
+    val bigN = (col("n_a") + col("n_b")).cast("double")
+    joined.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      col("__u4").cast("long").as("u4"),
+      (round((col("__u4").cast("double") / lit(4.0) /
+        (mD * nD * bigN) -
+        (lit(4.0) * mD * nD - lit(1.0)) / (lit(6.0) * bigN)) *
+        lit(1e6))).cast("long").as("t_micro"))
+  }
 }

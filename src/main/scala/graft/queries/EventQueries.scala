@@ -1443,6 +1443,61 @@ object EventQueries {
         ORDER BY event_type
       """)),
 
+    // Two-sample Cramér-von Mises on the SAME cohort split as
+    // q_ks_test, reading integer cents: where KS takes only the
+    // single largest ECDF gap, CvM integrates the SQUARED gap over
+    // the whole distribution — many small persistent differences
+    // register here while KS stays quiet. Doubled midrank lattice,
+    // order-invariant intra-tie indexes, exact integer U4 = 4U, one
+    // IEEE sequence for T (DistributionTests.cramerVonMises
+    // scaladoc).
+    QueryDef(
+      "q_cvm_test",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.cramerVonMises(
+            Tables.events(s, dir)
+              .select(col("event_type"), col("user_id"),
+                round(col("value") * 100).cast("long").as("cents")),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "cents")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events),
+        r AS (
+          SELECT event_type, b,
+                 (2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+                    + COUNT(*) OVER (PARTITION BY event_type, x) - 1)
+                   - 2 * ROW_NUMBER() OVER (PARTITION BY event_type, b
+                                            ORDER BY x) AS d
+          FROM e),
+        pc AS (
+          SELECT event_type, b, CAST(count(*) AS BIGINT) AS n,
+                 SUM(CAST(d AS HUGEINT) * d) AS s
+          FROM r GROUP BY 1, 2),
+        j AS (
+          SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+                 CAST(a.n AS HUGEINT) * a.s
+                   + CAST(b.n AS HUGEINT) * b.s AS u4
+          FROM pc a JOIN pc b
+            ON a.event_type = b.event_type AND NOT a.b AND b.b)
+        SELECT event_type, n_a, n_b, CAST(u4 AS BIGINT) AS u4,
+               CAST(ROUND((CAST(u4 AS DOUBLE) / 4.0
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                         * CAST(n_a + n_b AS DOUBLE))
+                      - (4.0 * CAST(n_a AS DOUBLE)
+                         * CAST(n_b AS DOUBLE) - 1.0)
+                        / (6.0 * CAST(n_a + n_b AS DOUBLE)))
+                     * 1e6) AS BIGINT) AS t_micro
+        FROM j
+        ORDER BY event_type
+      """)),
+
     // Poisson-bootstrap 95% CI on the conversion rate: 200 replicate
     // rates from ONE corpus pass (per-row Poisson(1) weights from a
     // 31-bit LCG both engines evaluate exactly — Bootstrap scaladoc),

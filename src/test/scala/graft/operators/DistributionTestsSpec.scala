@@ -41,6 +41,27 @@ class DistributionTestsSpec extends SparkSuite {
     assert(out("mx")._1 <= 0.01)
   }
 
+  test("cramerVonMises pins the hand-computed interleaved case, " +
+      "reads 0 on identical samples, and grows under a shift") {
+    // A = {1,3}, B = {2,4}: U = 2*1 + 2*5 = 12 (u4 = 48),
+    // T = 12/16 - 15/24 = 0.125
+    val inter = Seq(("i", false, 1L), ("i", false, 3L),
+      ("i", true, 2L), ("i", true, 4L))
+    // identical samples: T = 0 exactly on the midrank lattice
+    val same = (1L to 2L).flatMap(v => Seq(("s", false, v), ("s", true, v)))
+    // disjoint shift: T approaches its maximum
+    val shift = (1L to 10L).map(v => ("d", false, v)) ++
+      (11L to 20L).map(v => ("d", true, v))
+    val out = DistributionTests.cramerVonMises(
+        (inter ++ same ++ shift).toDF("g", "b", "x"), "g", col("b"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("i").getLong(1) === 2L && out("i").getLong(2) === 2L)
+    assert(out("i").getLong(3) === 48L, s"${out("i")}")
+    assert(out("i").getLong(4) === 125000L, s"${out("i")}")
+    assert(out("s").getLong(4) === 0L, s"${out("s")}")
+    assert(out("d").getLong(4) > 1000000L, s"${out("d")}")
+  }
+
   test("oneWayAnova matches the hand-computed F on three groups") {
     // g1=[1,2,3] g2=[4,5,6] g3=[7,8,9]: SSB=54, SSW=6,
     // F = (54/2)/(6/6) = 27
