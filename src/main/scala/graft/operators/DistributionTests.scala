@@ -344,4 +344,87 @@ object DistributionTests {
         (lit(4.0) * mD * nD - lit(1.0)) / (lit(6.0) * bigN)) *
         lit(1e6))).cast("long").as("t_micro"))
   }
+
+  /** Two-sample energy distance per group (Székely & Rizzo 2004) —
+    * the metric-space two-sample test, consistent against EVERY
+    * fixed alternative (KS and CvM read only the ECDF; energy reads
+    * the full metric structure and generalizes to vectors):
+    *
+    *   E = 2·AB/(mn) − 2·AA/m² − 2·BB/n²,   T = (mn/N)·E
+    *
+    * with AB = ΣΣ|x−y| over cross pairs and AA/BB the unordered
+    * within-cohort pair sums. The pairwise sums are NEVER formed as
+    * pairs: on the sorted merged order, Σ_x|y−x| collapses to
+    * y·(2·cA≤ − n_a) − 2·sA≤ + sA (cumulative A-counts/sums up to
+    * the row), and each within-cohort sum to x·(rank−1) −
+    * prefix-sum — O(N log N) windows, exact integer/DECIMAL
+    * accumulation throughout. Intra-tie window order cannot move any
+    * sum (tied values contribute |x−y| = 0 on either side of the
+    * cut), so both engines agree without a tie-break column. ONE
+    * written IEEE sequence forms E and T at the micro edge. NULL
+    * cohorts/values drop (the [[AbTest.rankSum]] convention).
+    *
+    * Output: (group, n_a, n_b, ab_sum, aa_sum, bb_sum, e_micro,
+    * t_micro) — groups with both cohorts populated; the sums are in
+    * the metric's own integer units.
+    */
+  def energyDistance(
+      df: DataFrame, groupCol: String, inB: Column, valueCol: String)
+      : DataFrame = {
+    Reserved.check("input" -> df)
+    val d38 = DecimalType(38, 0)
+    val rows = df
+      .where(inB.isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), inB.as("__b"),
+        col(valueCol).cast("long").as("__x"))
+    val wm = Window.partitionBy(col("__g")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col("__g"))
+    val wIn = Window.partitionBy(col("__g"), col("__b"))
+      .orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = rows
+      .withColumn("__ca",
+        sum(when(!col("__b"), 1L).otherwise(0L)).over(wm))
+      .withColumn("__sa",
+        sum(when(!col("__b"), col("__x")).otherwise(0L).cast(d38))
+          .over(wm))
+      .withColumn("__na",
+        sum(when(!col("__b"), 1L).otherwise(0L)).over(wg))
+      .withColumn("__ta",
+        sum(when(!col("__b"), col("__x")).otherwise(0L).cast(d38))
+          .over(wg))
+      .withColumn("__rin", count(lit(1)).over(wIn))
+      .withColumn("__sin", sum(col("__x").cast(d38)).over(wIn))
+    val perGroup = marked.groupBy(col("__g"))
+      .agg(
+        max(col("__na")).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__b"),
+          col("__x").cast(d38) *
+            (lit(2L) * col("__ca") - col("__na")).cast(d38) -
+            lit(2L).cast(d38) * col("__sa") + col("__ta"))
+          .otherwise(lit(0L).cast(d38))).as("ab_sum"),
+        sum(when(!col("__b"),
+          col("__x").cast(d38) * (col("__rin") - 1L).cast(d38) -
+            (col("__sin") - col("__x").cast(d38)))
+          .otherwise(lit(0L).cast(d38))).as("aa_sum"),
+        sum(when(col("__b"),
+          col("__x").cast(d38) * (col("__rin") - 1L).cast(d38) -
+            (col("__sin") - col("__x").cast(d38)))
+          .otherwise(lit(0L).cast(d38))).as("bb_sum"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val mD = col("n_a").cast("double")
+    val nD = col("n_b").cast("double")
+    val bigN = (col("n_a") + col("n_b")).cast("double")
+    val e = lit(2.0) * col("ab_sum").cast("double") / (mD * nD) -
+      lit(2.0) * col("aa_sum").cast("double") / (mD * mD) -
+      lit(2.0) * col("bb_sum").cast("double") / (nD * nD)
+    perGroup.select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+      col("ab_sum").cast("long").as("ab_sum"),
+      col("aa_sum").cast("long").as("aa_sum"),
+      col("bb_sum").cast("long").as("bb_sum"),
+      round(e * lit(1e6)).cast("long").as("e_micro"),
+      round(mD * nD / bigN * e * lit(1e6)).cast("long").as("t_micro"))
+  }
 }

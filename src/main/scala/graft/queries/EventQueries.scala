@@ -1498,6 +1498,89 @@ object EventQueries {
         ORDER BY event_type
       """)),
 
+    // Two-sample energy distance on the SAME cohort split as
+    // q_ks_test / q_cvm_test — the metric-space test consistent
+    // against EVERY fixed alternative: the pairwise |x−y| sums are
+    // never formed as pairs, collapsing to cumulative count/sum
+    // windows on the merged order (O(N log N), exact DECIMAL
+    // accumulation); intra-tie window order provably cannot move any
+    // sum, so both engines agree without a tie-break column
+    // (DistributionTests.energyDistance scaladoc).
+    QueryDef(
+      "q_energy_test",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.energyDistance(
+            Tables.events(s, dir)
+              .select(col("event_type"), col("user_id"),
+                round(col("value") * 100).cast("long").as("cents")),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "cents")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events),
+        m AS (
+          SELECT event_type, b, x,
+                 SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) OVER w AS ca,
+                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT)
+                          ELSE 0 END) OVER w AS sa,
+                 SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) OVER wg AS na,
+                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT)
+                          ELSE 0 END) OVER wg AS ta,
+                 COUNT(*) OVER wi AS rin,
+                 SUM(CAST(x AS HUGEINT)) OVER wi AS sin
+          FROM e
+          WINDOW w AS (PARTITION BY event_type ORDER BY x
+                       ROWS UNBOUNDED PRECEDING),
+                 wg AS (PARTITION BY event_type),
+                 wi AS (PARTITION BY event_type, b ORDER BY x
+                        ROWS UNBOUNDED PRECEDING)),
+        ag AS (
+          SELECT event_type,
+                 CAST(MAX(na) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 SUM(CASE WHEN b THEN
+                       CAST(x AS HUGEINT) * (2 * ca - na)
+                         - 2 * sa + ta
+                     ELSE 0 END) AS ab_sum,
+                 SUM(CASE WHEN NOT b THEN
+                       CAST(x AS HUGEINT) * (rin - 1) - (sin - x)
+                     ELSE 0 END) AS aa_sum,
+                 SUM(CASE WHEN b THEN
+                       CAST(x AS HUGEINT) * (rin - 1) - (sin - x)
+                     ELSE 0 END) AS bb_sum
+          FROM m GROUP BY 1)
+        SELECT event_type, n_a, n_b,
+               CAST(ab_sum AS BIGINT) AS ab_sum,
+               CAST(aa_sum AS BIGINT) AS aa_sum,
+               CAST(bb_sum AS BIGINT) AS bb_sum,
+               CAST(ROUND((2.0 * CAST(ab_sum AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                    - 2.0 * CAST(aa_sum AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                    - 2.0 * CAST(bb_sum AS DOUBLE)
+                      / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                   * 1e6) AS BIGINT) AS e_micro,
+               CAST(ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE)
+                    * (2.0 * CAST(ab_sum AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                     - 2.0 * CAST(aa_sum AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                     - 2.0 * CAST(bb_sum AS DOUBLE)
+                       / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                   * 1e6) AS BIGINT) AS t_micro
+        FROM ag
+        WHERE n_a > 0 AND n_b > 0
+        ORDER BY event_type
+      """)),
+
     // Poisson-bootstrap 95% CI on the conversion rate: 200 replicate
     // rates from ONE corpus pass (per-row Poisson(1) weights from a
     // 31-bit LCG both engines evaluate exactly — Bootstrap scaladoc),

@@ -62,6 +62,37 @@ class DistributionTestsSpec extends SparkSuite {
     assert(out("d").getLong(4) > 1000000L, s"${out("d")}")
   }
 
+  test("energyDistance pins the hand-computed interleaved case, " +
+      "reads 0 on identical samples, and the pair sums match the " +
+      "brute-force definition") {
+    // A = {0,2}, B = {1,3}: AB = 1+3+1+1 = 6, AA = 2, BB = 2,
+    // E = 2*6/4 - 2*2/4 - 2*2/4 = 1, T = (4/4)*1 = 1
+    val inter = Seq(("i", false, 0L), ("i", false, 2L),
+      ("i", true, 1L), ("i", true, 3L))
+    val same = (1L to 2L).flatMap(v => Seq(("s", false, v), ("s", true, v)))
+    val out = DistributionTests.energyDistance(
+        (inter ++ same).toDF("g", "b", "x"), "g", col("b"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("i").getLong(3) === 6L && out("i").getLong(4) === 2L &&
+      out("i").getLong(5) === 2L, s"${out("i")}")
+    assert(out("i").getLong(6) === 1000000L && out("i").getLong(7) === 1000000L)
+    assert(out("s").getLong(6) === 0L, s"${out("s")}")
+    // brute-force cross-check on a messier fixture with ties
+    val xs = Seq(5L, 9L, 9L, 14L)
+    val ys = Seq(2L, 9L, 11L)
+    val df = (xs.map(("m", false, _)) ++ ys.map(("m", true, _)))
+      .toDF("g", "b", "x")
+    val r = DistributionTests.energyDistance(df, "g", col("b"), "x")
+      .collect().map(row => row.getString(0) -> row).toMap
+    val ab = (for (x <- xs; y <- ys) yield math.abs(x - y)).sum
+    val aa = (for (i <- xs.indices; j <- i + 1 until xs.size)
+      yield math.abs(xs(i) - xs(j))).sum
+    val bb = (for (i <- ys.indices; j <- i + 1 until ys.size)
+      yield math.abs(ys(i) - ys(j))).sum
+    assert(r("m").getLong(3) === ab && r("m").getLong(4) === aa &&
+      r("m").getLong(5) === bb, s"${r("m")} vs ($ab,$aa,$bb)")
+  }
+
   test("oneWayAnova matches the hand-computed F on three groups") {
     // g1=[1,2,3] g2=[4,5,6] g3=[7,8,9]: SSB=54, SSW=6,
     // F = (54/2)/(6/6) = 27
