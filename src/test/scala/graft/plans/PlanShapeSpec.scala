@@ -247,4 +247,22 @@ class PlanShapeSpec extends SparkSuite {
     }
     assert(scans.size >= 2, s"expected codebook + corpus scans:\n$p")
   }
+
+  test("URL canonicalization is scan-projection-local: no hash " +
+      "shuffle, no UDF; the domain cap is exactly one hash exchange") {
+    // q_url_canonical: row-parallel regexp/array builtins only — the
+    // single exchange is the driver-determinism output sort.
+    val pc = plan("q_url_canonical")
+    assert(!pc.contains("Exchange hashpartitioning"),
+      s"canonicalize hash-shuffles:\n$pc")
+    assert(!pc.toLowerCase.contains("batchevalpython") &&
+      !pc.contains("ScalaUDF"), s"UDF crept into canonicalize:\n$pc")
+    // q_domain_cap: one hash exchange (the domain window) + the
+    // output range sort, nothing else.
+    val pd = plan("q_domain_cap")
+    val hashes = "Exchange hashpartitioning".r.findAllIn(pd).toSeq
+    assert(hashes.size == 1,
+      s"expected exactly 1 hash exchange (domain window):\n$pd")
+    assert(pd.contains("Window"), s"cap lost its window:\n$pd")
+  }
 }
