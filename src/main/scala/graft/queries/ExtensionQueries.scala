@@ -8439,6 +8439,34 @@ object ExtensionQueries {
         ORDER BY domain, rk
       """)),
 
+    // URL-keyed exact dedup — what the canonicalizer exists FOR: the
+    // derivation maps doc_ids to (source, doc_id%7, doc_id-parity)
+    // buckets, so distinct raw URLs (case, www, ports, tracking
+    // params, fragments) collapse to one canonical key and the
+    // keep-min rule picks a deterministic survivor; one hash
+    // aggregate, group-sized output (the Dedup.exact shape on the
+    // URL key instead of the text hash).
+    QueryDef(
+      "q_url_dedup",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("doc_id"), derivedUrl.as("url"))
+          .select(col("doc_id"),
+            graft.operators.UrlOps.canonicalizeUrl(col("url"))
+              .as("canonical"))
+          .groupBy(col("canonical"))
+          .agg(count(lit(1)).as("n_dups"),
+            min(col("doc_id")).as("keeper"))
+          .orderBy(col("canonical")),
+      Some(s"""
+        WITH $urlCanonCtes
+        SELECT canonical, CAST(count(*) AS BIGINT) AS n_dups,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper
+        FROM canon
+        GROUP BY canonical
+        ORDER BY canonical
+      """)),
+
     // Per-domain corpus share audit: docs, characters, and the exact
     // integer-ppm share per registrable domain — the "is any owner
     // dominating the mix" pre-flight a corpus curator reads before
