@@ -1519,67 +1519,24 @@ object EventQueries {
             "cents")
           .orderBy(col("event_type"))
       },
-      Some("""
-        WITH e AS (
-          SELECT event_type, user_id % 2 = 1 AS b,
-                 CAST(ROUND(value * 100) AS BIGINT) AS x
-          FROM events),
-        m AS (
-          SELECT event_type, b, x,
-                 SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) OVER w AS ca,
-                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT)
-                          ELSE 0 END) OVER w AS sa,
-                 SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) OVER wg AS na,
-                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT)
-                          ELSE 0 END) OVER wg AS ta,
-                 COUNT(*) OVER wi AS rin,
-                 SUM(CAST(x AS HUGEINT)) OVER wi AS sin
-          FROM e
-          WINDOW w AS (PARTITION BY event_type ORDER BY x
-                       ROWS UNBOUNDED PRECEDING),
-                 wg AS (PARTITION BY event_type),
-                 wi AS (PARTITION BY event_type, b ORDER BY x
-                        ROWS UNBOUNDED PRECEDING)),
-        ag AS (
-          SELECT event_type,
-                 CAST(MAX(na) AS BIGINT) AS n_a,
-                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_b,
-                 SUM(CASE WHEN b THEN
-                       CAST(x AS HUGEINT) * (2 * ca - na)
-                         - 2 * sa + ta
-                     ELSE 0 END) AS ab_sum,
-                 SUM(CASE WHEN NOT b THEN
-                       CAST(x AS HUGEINT) * (rin - 1) - (sin - x)
-                     ELSE 0 END) AS aa_sum,
-                 SUM(CASE WHEN b THEN
-                       CAST(x AS HUGEINT) * (rin - 1) - (sin - x)
-                     ELSE 0 END) AS bb_sum
-          FROM m GROUP BY 1)
-        SELECT event_type, n_a, n_b,
-               CAST(ab_sum AS BIGINT) AS ab_sum,
-               CAST(aa_sum AS BIGINT) AS aa_sum,
-               CAST(bb_sum AS BIGINT) AS bb_sum,
-               CAST(ROUND((2.0 * CAST(ab_sum AS DOUBLE)
-                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-                    - 2.0 * CAST(aa_sum AS DOUBLE)
-                      / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
-                    - 2.0 * CAST(bb_sum AS DOUBLE)
-                      / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
-                   * 1e6) AS BIGINT) AS e_micro,
-               CAST(ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                    / CAST(n_a + n_b AS DOUBLE)
-                    * (2.0 * CAST(ab_sum AS DOUBLE)
-                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-                     - 2.0 * CAST(aa_sum AS DOUBLE)
-                       / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
-                     - 2.0 * CAST(bb_sum AS DOUBLE)
-                       / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
-                   * 1e6) AS BIGINT) AS t_micro
-        FROM ag
-        WHERE n_a > 0 AND n_b > 0
-        ORDER BY event_type
-      """)),
+      Some(energyOracle)),
+
+    // Streaming twin of q_energy_test — the distribution-drift
+    // monitor as mapGroupsWithState: cohort A plays the reference
+    // window, cohort B the live feed, and every trigger re-derives
+    // the exact pairwise-sum statistics from two value→count maps
+    // (state is O(distinct values), never the row count; the replay
+    // walks merged sorted values once, the same O(D) collapse the
+    // batch operator expresses as windows). Map folds commute, so
+    // micro-batch splits cannot change the result; shares
+    // q_energy_test's oracle (StreamingOps.energyState scaladoc).
+    QueryDef(
+      "q_stream_energy",
+      (s, dir) =>
+        graft.streaming.StreamingOps.energyHistory(
+            s, s"$dir/events.parquet")
+          .orderBy(col("event_type")),
+      Some(energyOracle)),
 
     // Poisson-bootstrap 95% CI on the conversion rate: 200 replicate
     // rates from ONE corpus pass (per-row Poisson(1) weights from a
@@ -2986,6 +2943,73 @@ object EventQueries {
         JOIN nb USING (cohort) JOIN ties USING (cohort)
         WHERE sq.kt >= 2 AND nb.n >= 2
           AND ties.tie < nb.n * sq.kt * (sq.kt * sq.kt - 1))"""
+
+  /** The energy-distance replay shared by q_energy_test and its
+    * streaming twin: cumulative count/sum windows on the merged
+    * order, exact HUGEINT pair sums, one IEEE sequence each for E
+    * and T.
+    */
+  private lazy val energyOracle: String = """
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events),
+        m AS (
+          SELECT event_type, b, x,
+                 SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) OVER w AS ca,
+                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT)
+                          ELSE 0 END) OVER w AS sa,
+                 SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) OVER wg AS na,
+                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT)
+                          ELSE 0 END) OVER wg AS ta,
+                 COUNT(*) OVER wi AS rin,
+                 SUM(CAST(x AS HUGEINT)) OVER wi AS sin
+          FROM e
+          WINDOW w AS (PARTITION BY event_type ORDER BY x
+                       ROWS UNBOUNDED PRECEDING),
+                 wg AS (PARTITION BY event_type),
+                 wi AS (PARTITION BY event_type, b ORDER BY x
+                        ROWS UNBOUNDED PRECEDING)),
+        ag AS (
+          SELECT event_type,
+                 CAST(MAX(na) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 SUM(CASE WHEN b THEN
+                       CAST(x AS HUGEINT) * (2 * ca - na)
+                         - 2 * sa + ta
+                     ELSE 0 END) AS ab_sum,
+                 SUM(CASE WHEN NOT b THEN
+                       CAST(x AS HUGEINT) * (rin - 1) - (sin - x)
+                     ELSE 0 END) AS aa_sum,
+                 SUM(CASE WHEN b THEN
+                       CAST(x AS HUGEINT) * (rin - 1) - (sin - x)
+                     ELSE 0 END) AS bb_sum
+          FROM m GROUP BY 1)
+        SELECT event_type, n_a, n_b,
+               CAST(ab_sum AS BIGINT) AS ab_sum,
+               CAST(aa_sum AS BIGINT) AS aa_sum,
+               CAST(bb_sum AS BIGINT) AS bb_sum,
+               CAST(ROUND((2.0 * CAST(ab_sum AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                    - 2.0 * CAST(aa_sum AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                    - 2.0 * CAST(bb_sum AS DOUBLE)
+                      / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                   * 1e6) AS BIGINT) AS e_micro,
+               CAST(ROUND(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / CAST(n_a + n_b AS DOUBLE)
+                    * (2.0 * CAST(ab_sum AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                     - 2.0 * CAST(aa_sum AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                     - 2.0 * CAST(bb_sum AS DOUBLE)
+                       / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                   * 1e6) AS BIGINT) AS t_micro
+        FROM ag
+        WHERE n_a > 0 AND n_b > 0
+        ORDER BY event_type
+      """
 
   /** The Mann-Kendall daily-rollup replay shared by q_mann_kendall
     * and its streaming twin.

@@ -121,6 +121,26 @@ case class WsrRow(
     group: String, n_pairs: Long, w2_plus: Long, e2: Long,
     var_num: Long, events_seen: Long)
 
+/** One cohort-tagged observation for [[StreamingOps.energyState]]. */
+case class EnObs(group: String, b: Boolean, x: Long)
+
+/** Energy-distance state: one value→count map per cohort (state is
+  * O(distinct values) per group — the value lattice, not the row
+  * count) plus the monotone fold count for final-row selection.
+  */
+case class EnState(
+    a: Map[Long, Long], bm: Map[Long, Long], eventsSeen: Long)
+
+/** Exact integer energy-distance pair sums emitted per trigger by
+  * [[StreamingOps.energyState]]. Long accumulation bounds the
+  * replay at |value|·n² ≲ 9·10¹⁸ per group (integer cents at
+  * billions of rows) — the batch operator's DECIMAL lattice is the
+  * path past it.
+  */
+case class EnRow(
+    group: String, n_a: Long, n_b: Long, ab_sum: Long, aa_sum: Long,
+    bb_sum: Long, events_seen: Long)
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation and stateful sessionization via
   * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
@@ -850,6 +870,95 @@ object StreamingOps {
           .otherwise(lit(0.0))
           / sqrt(col("var_num").cast("double") / lit(12.0)))
           * lit(1e6)).cast("long").as("z_micro"))
+  }
+
+  /** Streaming two-sample energy distance as `mapGroupsWithState` —
+    * the distribution-drift monitor: cohort A is the reference
+    * window, cohort B the live feed, and every trigger re-derives
+    * the EXACT pairwise-sum statistics of
+    * [[graft.operators.DistributionTests.energyDistance]] from two
+    * value→count maps (state is O(distinct values) per group). The
+    * replay walks the merged sorted values once with cumulative
+    * count/sum accumulators — the same O(D) collapse the batch
+    * operator uses as windows, so no pair is ever formed. Map folds
+    * are commutative: micro-batch splits cannot change the result.
+    */
+  def energyState(stream: Dataset[EnObs]): Dataset[EnRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[EnObs],
+        state: GroupState[EnState]): EnRow = {
+      var st = state.getOption.getOrElse(EnState(Map.empty, Map.empty, 0L))
+      rows.foreach { o =>
+        st =
+          if (o.b) EnState(st.a,
+            st.bm.updated(o.x, st.bm.getOrElse(o.x, 0L) + 1L),
+            st.eventsSeen + 1L)
+          else EnState(st.a.updated(o.x, st.a.getOrElse(o.x, 0L) + 1L),
+            st.bm, st.eventsSeen + 1L)
+      }
+      state.update(st)
+      val nA = st.a.valuesIterator.sum
+      val nB = st.bm.valuesIterator.sum
+      val tA = st.a.iterator.map { case (v, c) => v * c }.sum
+      var cumA = 0L; var sumA = 0L; var cumB = 0L; var sumB = 0L
+      var ab = 0L; var aa = 0L; var bb = 0L
+      (st.a.keySet ++ st.bm.keySet).toSeq.sorted.foreach { v =>
+        val av = st.a.getOrElse(v, 0L)
+        val bv = st.bm.getOrElse(v, 0L)
+        // within-cohort sums use STRICT-less cumulatives (equal
+        // values contribute |x-x'| = 0); the cross sum uses <=
+        // cumulatives, invariant per the batch operator's tie
+        // argument
+        aa += av * (v * cumA - sumA)
+        bb += bv * (v * cumB - sumB)
+        ab += bv * (v * (2L * (cumA + av) - nA) -
+          2L * (sumA + v * av) + tA)
+        cumA += av; sumA += v * av
+        cumB += bv; sumB += v * bv
+      }
+      EnRow(g, nA, nB, ab, aa, bb, st.eventsSeen)
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[energyState]] over the events parquet (memory sink, update
+    * mode): cohorts and integer cents come from the SAME Spark
+    * expressions the batch query uses, and the E/T edge is the batch
+    * operator's exact IEEE column sequence over the emitted integer
+    * sums — output shape matches `q_energy_test` and shares its
+    * oracle.
+    */
+  def energyHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        (pmod(col("user_id"), lit(2L)) === 1).as("b"),
+        round(col("value") * 100).cast("long").as("x")).as[EnObs]
+    val out = energyState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val last = spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val mD = col("n_a").cast("double")
+    val nD = col("n_b").cast("double")
+    val bigN = (col("n_a") + col("n_b")).cast("double")
+    val e = lit(2.0) * col("ab_sum").cast("double") / (mD * nD) -
+      lit(2.0) * col("aa_sum").cast("double") / (mD * mD) -
+      lit(2.0) * col("bb_sum").cast("double") / (nD * nD)
+    last.select(col("group").as("event_type"), col("n_a"), col("n_b"),
+      col("ab_sum"), col("aa_sum"), col("bb_sum"),
+      round(e * lit(1e6)).cast("long").as("e_micro"),
+      round(mD * nD / bigN * e * lit(1e6)).cast("long").as("t_micro"))
   }
 
   /** Streaming Wald SPRT as `mapGroupsWithState` — the test that

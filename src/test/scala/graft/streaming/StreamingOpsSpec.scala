@@ -494,6 +494,46 @@ class StreamingOpsSpec extends SparkSuite {
     assert(streamed.find(_.head == "tied").get(4) === 348L)
   }
 
+  test("energyState: two value-count maps fold across micro-batches " +
+      "to the batch operator's exact pair sums, ties included") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the DistributionTestsSpec brute-force fixture, with ties
+    val xs = Seq(5L, 9L, 9L, 14L)
+    val ys = Seq(2L, 9L, 11L)
+    val obs = xs.map(EnObs("m", false, _)) ++ ys.map(EnObs("m", true, _))
+    val input = MemoryStream[EnObs]
+    val out = StreamingOps.energyState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("en_spec")
+      .start()
+    try {
+      input.addData(obs.take(4): _*)
+      q.processAllAvailable()
+      input.addData(obs.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val streamed = spark.table("en_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("n_a"), col("n_b"), col("ab_sum"), col("aa_sum"),
+        col("bb_sum"))
+      .collect().head.toSeq
+    val batch = graft.operators.DistributionTests.energyDistance(
+        (xs.map(("m", false, _)) ++ ys.map(("m", true, _)))
+          .toDF("g", "b", "x"), "g", col("b"), "x")
+      .select(col("n_a"), col("n_b"), col("ab_sum"), col("aa_sum"),
+        col("bb_sum"))
+      .collect().head.toSeq
+    assert(streamed === batch, s"stream $streamed vs batch $batch")
+  }
+
   test("sprtState: O(1) sufficient statistics across micro-batches " +
       "equal the batch totals, then cross the Wald boundary") {
     import spark.implicits._
