@@ -56,4 +56,84 @@ object Agreement {
           (col("n") * col("n") - col("__pe")).cast("double") * lit(1e6))
           .cast("long").as("kappa_ppm"))
   }
+
+  /** Krippendorff's alpha per partition, nominal metric
+    * (Krippendorff 1970; 2011) — the agreement coefficient an
+    * annotation pipeline standardizes on once [[cohensKappa]]'s
+    * limits bite: ANY number of raters, MISSING ratings allowed
+    * (units keep whatever ratings they have; only unpairable 1-rating
+    * units drop), and a chance model from the pooled value
+    * distribution rather than per-rater marginals.
+    *
+    * With n_uc the count of category c in unit u, m_u = Σ_c n_uc the
+    * unit's pairable ratings, n = Σ_u m_u and n_c = Σ_u n_uc:
+    *
+    *   α = 1 − (n−1) · [Σ_u Σ_c n_uc(m_u − n_uc)/(m_u−1)]
+    *               / [Σ_c n_c(n − n_c)]
+    *
+    * (the coincidence-matrix formulation collapsed for the nominal
+    * metric). The per-unit quotient rides the kruskalWallis
+    * div+remnano lattice — integer quotient T_u div (m_u−1)
+    * DECIMAL-summed, remainder fraction snapped alone to nano and
+    * integer-summed — and the expected-disagreement denominator is
+    * an exact DECIMAL integer, so ONE written IEEE sequence forms α
+    * at the micro edge. Rater identity is irrelevant under the
+    * nominal metric (only per-unit category counts enter), so the
+    * input is simply (part, unit, label) rows; NULL labels drop
+    * (an abstention, the missing-data path alpha exists for).
+    *
+    * Shape: two keyed aggregates + label-vocabulary-sized frames —
+    * no windows, no joins beyond group-sized ones, scale-safe.
+    *
+    * Output: (part, n_units, n_ratings, k_categories, alpha_micro) —
+    * partitions with ≥ 2 pairable units and a nonzero expected
+    * disagreement (all ratings one category → no test).
+    */
+  def krippendorffAlpha(
+      df: DataFrame, partCol: String, unitCol: String, labelCol: String)
+      : DataFrame = {
+    Reserved.check("labels" -> df)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.filter(col(labelCol).isNotNull)
+      .select(col(partCol).as("__p"), col(unitCol).as("__u"),
+        col(labelCol).as("__l"))
+    val perUnitLabel = rows.groupBy(col("__p"), col("__u"), col("__l"))
+      .agg(count(lit(1)).as("__nuc"))
+    val perUnit = perUnitLabel.groupBy(col("__p"), col("__u"))
+      .agg(sum(col("__nuc")).as("__mu"))
+      .filter(col("__mu") >= 2)
+    val kept = perUnitLabel.join(perUnit, Seq("__p", "__u"))
+    val unitDisagreement = kept
+      .groupBy(col("__p"), col("__u"))
+      .agg(first(col("__mu")).as("__mu"),
+        sum(col("__nuc") * (col("__mu") - col("__nuc"))).as("__tu"))
+    val no = unitDisagreement.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("__mu")).as("n_ratings"),
+        sum((col("__tu").cast(d38) -
+          pmod(col("__tu").cast(d38), (col("__mu") - 1L).cast(d38))) /
+          (col("__mu") - 1L).cast(d38)).as("__qsum"),
+        sum(round(pmod(col("__tu").cast(d38),
+          (col("__mu") - 1L).cast(d38)).cast("double") /
+          (col("__mu") - 1L).cast("double") * lit(1e9))
+          .cast("long")).as("__remsum"))
+    val catTotals = kept.groupBy(col("__p"), col("__l"))
+      .agg(sum(col("__nuc")).as("__nc"))
+    val de = catTotals
+      .join(no.select(col("__p"), col("n_ratings")), "__p")
+      .groupBy(col("__p"))
+      .agg(count(lit(1)).as("k_categories"),
+        sum(col("__nc").cast(d38) *
+          (col("n_ratings") - col("__nc")).cast(d38)).as("__de"))
+    no.join(de, "__p")
+      .filter(col("n_units") >= 2 && col("__de") > 0)
+      .select(col("__p").as(partCol), col("n_units"), col("n_ratings"),
+        col("k_categories"),
+        round((lit(1.0) -
+          (col("n_ratings").cast("double") - lit(1.0)) *
+            (col("__qsum").cast("double") +
+              col("__remsum").cast("double") / lit(1e9)) /
+            col("__de").cast("double")) * lit(1e6))
+          .cast("long").as("alpha_micro"))
+  }
 }

@@ -3983,6 +3983,86 @@ object ExtensionQueries {
         FROM tot CROSS JOIN pe
       """)),
 
+    // Krippendorff's alpha per language over a 3-annotator quality
+    // panel (two threshold annotators at 300/280 chars plus a noisy
+    // hash-driven one that ABSTAINS on every 11th doc) — the
+    // agreement coefficient that handles what Cohen's κ cannot:
+    // any number of raters and missing ratings, with units keeping
+    // whatever ratings they have. Per-unit disagreement rides the
+    // kruskal div+remnano lattice, the expected-disagreement
+    // denominator is an exact DECIMAL integer, one IEEE sequence
+    // forms α (Agreement.krippendorffAlpha scaladoc).
+    QueryDef(
+      "q_krippendorff",
+      (s, dir) =>
+        graft.operators.Agreement.krippendorffAlpha(
+            Tables.documents(s, dir)
+              .select(col("lang"), col("doc_id"),
+                expr("""stack(3,
+                  CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END,
+                  CASE WHEN n_chars >= 280 THEN 'good' ELSE 'bad' END,
+                  CASE WHEN doc_id % 11 = 0 THEN NULL
+                       WHEN (n_chars + doc_id) % 97 >= 30 THEN 'good'
+                       ELSE 'bad' END) AS (label)""")),
+            "lang", "doc_id", "label")
+          .orderBy(col("lang")),
+      Some("""
+        WITH r0 AS (
+          SELECT lang, doc_id,
+                 CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END
+                   AS l
+          FROM documents
+          UNION ALL
+          SELECT lang, doc_id,
+                 CASE WHEN n_chars >= 280 THEN 'good' ELSE 'bad' END
+          FROM documents
+          UNION ALL
+          SELECT lang, doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN NULL
+                      WHEN (n_chars + doc_id) % 97 >= 30 THEN 'good'
+                      ELSE 'bad' END
+          FROM documents),
+        r AS (SELECT * FROM r0 WHERE l IS NOT NULL),
+        pul AS (
+          SELECT lang, doc_id, l, CAST(count(*) AS BIGINT) AS nuc
+          FROM r GROUP BY 1, 2, 3),
+        pu AS (
+          SELECT lang, doc_id, CAST(SUM(nuc) AS BIGINT) AS mu
+          FROM pul GROUP BY 1, 2 HAVING SUM(nuc) >= 2),
+        kept AS (
+          SELECT pul.*, pu.mu FROM pul JOIN pu USING (lang, doc_id)),
+        ud AS (
+          SELECT lang, doc_id, MAX(mu) AS mu,
+                 CAST(SUM(nuc * (mu - nuc)) AS BIGINT) AS tu
+          FROM kept GROUP BY 1, 2),
+        noo AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(SUM(mu) AS BIGINT) AS n_ratings,
+                 CAST(SUM(CAST((tu - tu % (mu - 1)) // (mu - 1)
+                     AS HUGEINT)) AS DOUBLE) AS qsum_d,
+                 CAST(SUM(CAST(ROUND(CAST(tu % (mu - 1) AS DOUBLE)
+                     / CAST(mu - 1 AS DOUBLE) * 1e9) AS BIGINT))
+                   AS BIGINT) AS remsum
+          FROM ud GROUP BY 1),
+        cat AS (
+          SELECT lang, l, CAST(SUM(nuc) AS BIGINT) AS nc
+          FROM kept GROUP BY 1, 2),
+        dee AS (
+          SELECT cat.lang, CAST(count(*) AS BIGINT) AS k_categories,
+                 SUM(CAST(nc AS HUGEINT) * (noo.n_ratings - nc)) AS de
+          FROM cat JOIN noo USING (lang)
+          GROUP BY 1)
+        SELECT noo.lang, noo.n_units, noo.n_ratings, dee.k_categories,
+               CAST(ROUND((1.0
+                   - (CAST(noo.n_ratings AS DOUBLE) - 1.0)
+                     * (noo.qsum_d + CAST(noo.remsum AS DOUBLE) / 1e9)
+                     / CAST(dee.de AS DOUBLE))
+                 * 1000000.0) AS BIGINT) AS alpha_micro
+        FROM noo JOIN dee USING (lang)
+        WHERE noo.n_units >= 2 AND dee.de > 0
+        ORDER BY noo.lang
+      """)),
+
     // Feed-overlap governance: exact shingle-set Jaccard BETWEEN
     // SOURCES — "are two feeds scraping the same sites?" — by
     // re-keying the existing inverted-index Jaccard kernel on source

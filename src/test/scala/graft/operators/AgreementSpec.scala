@@ -46,4 +46,30 @@ class AgreementSpec extends SparkSuite {
       .collect().head.toSeq
     assert(one === many)
   }
+
+  test("krippendorffAlpha: perfect agreement reads 1, systematic " +
+      "flips read -0.5, the hand-computed 3-rater mix reads 0.375, " +
+      "1-rating units and NULL abstentions drop") {
+    import org.apache.spark.sql.functions.col
+    val perfect = Seq(("pf", 1L, "a"), ("pf", 1L, "a"),
+      ("pf", 2L, "b"), ("pf", 2L, "b"))
+    val flip = Seq(("fl", 1L, "a"), ("fl", 1L, "b"),
+      ("fl", 2L, "a"), ("fl", 2L, "b"))
+    // u1 = {a,a,b}: T=4, m-1=2 -> 2; u2 = {b,b,b}: 0.
+    // n=6, n_a=2, n_b=4 -> De = 2*4+4*2 = 16
+    // alpha = 1 - 5*2/16 = 0.375
+    val mix = Seq(("mx", 1L, "a"), ("mx", 1L, "a"), ("mx", 1L, "b"),
+      ("mx", 2L, "b"), ("mx", 2L, "b"), ("mx", 2L, "b"))
+    // a lone rating and a NULL abstention must not disturb anything
+    val noise: Seq[(String, Long, String)] =
+      Seq(("mx", 3L, "a"), ("mx", 4L, null))
+    val out = Agreement.krippendorffAlpha(
+        (perfect ++ flip ++ mix ++ noise).toDF("p", "u", "l"),
+        "p", "u", "l")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("pf").getLong(4) === 1000000L, s"${out("pf")}")
+    assert(out("fl").getLong(4) === -500000L, s"${out("fl")}")
+    assert(out("mx").getLong(1) === 2L && out("mx").getLong(2) === 6L)
+    assert(out("mx").getLong(4) === 375000L, s"${out("mx")}")
+  }
 }
