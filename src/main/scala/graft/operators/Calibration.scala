@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Monotone (isotonic) calibration over binned classifier output —
+  * the standard recalibration step a model-labeled data pipeline
+  * runs before trusting confidence scores as probabilities: raw
+  * per-bin positive rates wobble, but the true relationship between
+  * score and outcome is monotone, and isotonic regression is its
+  * least-squares monotone projection (the PAV solution).
+  *
+  * Instead of the sequential pool-adjacent-violators sweep (which
+  * does not distribute), this computes the IDENTICAL solution by
+  * the minimax characterization
+  *
+  *   ŷᵢ = max_{j ≤ i} min_{k ≥ i} mean(y_j..y_k)
+  *
+  * (Barlow et al. 1972, the closed form of weighted isotonic
+  * regression) over the BIN table: range means come from prefix
+  * sums, and the (j, i, k) enumeration is O(B³) in the BIN count —
+  * bins are a calibration artifact (tens, bounded by construction
+  * upstream), never the corpus, so the cost is fixed no matter the
+  * data scale. A `maxBins` guard refuses inputs that should have
+  * been binned coarser (the battery-guard precedent).
+  *
+  * Exactness: prefix sums are exact integers; each range mean is
+  * ONE IEEE division of exact integers (identical in both engines);
+  * min/max over those doubles is order-free; the ppm edge rounds
+  * once. Raw rates ride the exact integer div lattice.
+  *
+  * Output: (group, bin, n, pos, raw_ppm, iso_ppm) — iso_ppm is
+  * nondecreasing in bin within every group.
+  */
+object Calibration {
+
+  /** @param df per-bin aggregates: one row per (group, bin) with
+    *   integral trial and positive counts (aggregate the corpus
+    *   upstream — this operator's input IS the calibration table)
+    */
+  def isotonicBins(
+      df: DataFrame, groupCol: String, binCol: String, nCol: String,
+      posCol: String, maxBins: Long = 1000L): DataFrame = {
+    require(maxBins >= 1, s"maxBins: $maxBins")
+    Reserved.check("bins" -> df)
+    val bins = df.select(col(groupCol).as("__g"),
+      col(binCol).cast("long").as("__b"),
+      col(nCol).cast("long").as("__n"),
+      col(posCol).cast("long").as("__pos"))
+      .filter(col("__n") > 0)
+      .localCheckpoint(true)
+    val oversized = bins.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > maxBins)
+      .limit(1).collect()
+    require(oversized.isEmpty,
+      s"isotonicBins: group '${oversized.headOption.map(_.get(0))
+          .getOrElse("?")}' exceeds maxBins=$maxBins — the minimax " +
+        "enumeration is O(B^3) in the bin count; bin coarser upstream")
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = bins.select(col("__g"), col("__b"), col("__n"),
+      col("__pos"),
+      sum(col("__n")).over(wCum).as("__cn"),
+      sum(col("__pos")).over(wCum).as("__cp"))
+    // range (j..k) means from prefix sums: join start bins (their
+    // EXCLUSIVE prefix = cum - own) to end bins
+    val starts = pref.select(col("__g"), col("__b").as("__j"),
+      (col("__cn") - col("__n")).as("__cnj"),
+      (col("__cp") - col("__pos")).as("__cpj"))
+    val ends = pref.select(col("__g"), col("__b").as("__k"),
+      col("__cn").as("__cnk"), col("__cp").as("__cpk"))
+    val ranges = starts.join(ends, "__g")
+      .filter(col("__j") <= col("__k"))
+      .select(col("__g"), col("__j"), col("__k"),
+        ((col("__cpk") - col("__cpj")).cast("double") /
+          (col("__cnk") - col("__cnj")).cast("double")).as("__mean"))
+    // for each i: min over k >= i (per start j <= i), then max over j
+    val innerMin = ranges
+      .join(bins.select(col("__g"), col("__b").as("__i")), "__g")
+      .filter(col("__j") <= col("__i") && col("__i") <= col("__k"))
+      .groupBy(col("__g"), col("__i"), col("__j"))
+      .agg(min(col("__mean")).as("__lo"))
+    val iso = innerMin.groupBy(col("__g"), col("__i"))
+      .agg(max(col("__lo")).as("__iso"))
+      .select(col("__g"), col("__i").as("__b"), col("__iso"))
+    bins.join(iso, Seq("__g", "__b"))
+      .select(col("__g").as(groupCol), col("__b").as(binCol),
+        col("__n").as("n"), col("__pos").as("pos"),
+        expr("(__pos * CAST(1000000 AS BIGINT)) div __n").as("raw_ppm"),
+        round(col("__iso") * lit(1e6)).cast("long").as("iso_ppm"))
+  }
+}

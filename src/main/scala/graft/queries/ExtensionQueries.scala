@@ -4063,6 +4063,59 @@ object ExtensionQueries {
         ORDER BY noo.lang
       """)),
 
+    // Isotonic (PAV) calibration of the length→quality curve per
+    // language: raw per-bin 'contains data' rates wobble; the
+    // monotone least-squares projection is what a pipeline trusts as
+    // P(positive | length bin). Computed by the minimax closed form
+    // ŷᵢ = max_{j≤i} min_{k≥i} mean(j..k) over the BIN table — bins
+    // are a calibration artifact (13 per language here), so the
+    // O(B³) enumeration is fixed-cost no matter the corpus size;
+    // range means are single IEEE divisions of exact prefix-sum
+    // integers (Calibration.isotonicBins scaladoc).
+    QueryDef(
+      "q_isotonic",
+      (s, dir) =>
+        graft.operators.Calibration.isotonicBins(
+            Tables.documents(s, dir)
+              .groupBy(col("lang"), expr("n_chars div 40").as("bin"))
+              .agg(count(lit(1)).as("n"),
+                sum(when(col("text").like("%data%"), 1L).otherwise(0L))
+                  .as("pos")),
+            "lang", "bin", "n", "pos")
+          .orderBy(col("lang"), col("bin")),
+      Some("""
+        WITH bins AS (
+          SELECT lang, n_chars // 40 AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN text LIKE '%data%' THEN 1
+                          ELSE 0 END) AS BIGINT) AS pos
+          FROM documents GROUP BY 1, 2),
+        bp AS (
+          SELECT lang, bin, n, pos,
+                 SUM(n) OVER w AS cn, SUM(pos) OVER w AS cp
+          FROM bins
+          WINDOW w AS (PARTITION BY lang ORDER BY bin
+                       ROWS UNBOUNDED PRECEDING)),
+        ranges AS (
+          SELECT s.lang, s.bin AS j, e.bin AS k,
+                 CAST(e.cp - (s.cp - s.pos) AS DOUBLE)
+                   / CAST(e.cn - (s.cn - s.n) AS DOUBLE) AS mn
+          FROM bp s JOIN bp e
+            ON e.lang = s.lang AND s.bin <= e.bin),
+        im AS (
+          SELECT r.lang, b.bin AS i, r.j, MIN(r.mn) AS lo
+          FROM ranges r JOIN bins b
+            ON b.lang = r.lang AND r.j <= b.bin AND b.bin <= r.k
+          GROUP BY 1, 2, 3),
+        iso AS (
+          SELECT lang, i AS bin, MAX(lo) AS iso FROM im GROUP BY 1, 2)
+        SELECT b.lang, b.bin, b.n, b.pos,
+               CAST((b.pos * 1000000) // b.n AS BIGINT) AS raw_ppm,
+               CAST(ROUND(iso.iso * 1000000.0) AS BIGINT) AS iso_ppm
+        FROM bins b JOIN iso USING (lang, bin)
+        ORDER BY b.lang, b.bin
+      """)),
+
     // Feed-overlap governance: exact shingle-set Jaccard BETWEEN
     // SOURCES — "are two feeds scraping the same sites?" — by
     // re-keying the existing inverted-index Jaccard kernel on source
