@@ -77,4 +77,91 @@ object Survival {
             "(a, x) -> a * x.__factor)"), 6).as("km"),
         round(col("__s.__na").cast("double"), 6).as("na_cumhaz"))
   }
+
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) — the
+    * standard "do the two cohorts convert/churn at the same rate"
+    * comparison over right-censored durations: at every event time
+    * the observed cohort-B events compare against the hypergeometric
+    * expectation given the pooled risk sets, and censored subjects
+    * count correctly (they leave the risk set without an event —
+    * the whole point of the machinery; a naive rate comparison
+    * silently drops them).
+    *
+    * Per event time t (d events pooled, n at risk, n_b of cohort B):
+    *
+    *   E_t = d·n_b/n                        (rational)
+    *   V_t = d(n−d)·n_a·n_b / (n²(n−1))     (rational, n ≥ 2)
+    *   z = (O_B − ΣE_t)/√(ΣV_t),  O_B = Σ d_b
+    *
+    * Exactness: E sums ride the kruskalWallis div+remnano lattice
+    * ((d·n_b) div n DECIMAL-summed + remainder fraction nano-snapped
+    * and integer-summed); each V_t is ONE written IEEE sequence of
+    * exact integers snapped alone to nano and integer-summed
+    * (order-free in both engines); z is one IEEE sequence at the
+    * micro edge. NULL cohorts/durations drop.
+    *
+    * Shape: a per-duration rollup + one descending cumulative window
+    * per partition — risk sets never form a subject×times join,
+    * scale-safe (the [[curves]] shape with a cohort split).
+    *
+    * Output: (part, n_a, n_b, o_b, e_b_nano, v_nano, z_micro) —
+    * partitions with both cohorts populated and ΣV > 0.
+    */
+  def logRank(
+      df: DataFrame, partCol: String, inB: org.apache.spark.sql.Column,
+      durationCol: String, eventCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    val d38 = DecimalType(38, 0)
+    val rows = df
+      .filter(inB.isNotNull && col(durationCol).isNotNull)
+      .select(col(partCol).as("__p"), inB.as("__b"),
+        col(durationCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__e"))
+    val perTime = rows.groupBy(col("__p"), col("__t"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"),
+        sum(when(!col("__b"), col("__e")).otherwise(0L)).as("__da"),
+        sum(when(col("__b"), col("__e")).otherwise(0L)).as("__db"))
+    val wDesc = Window.partitionBy(col("__p"))
+      .orderBy(col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risked = perTime
+      .withColumn("__na", sum(col("__ca")).over(wDesc))
+      .withColumn("__nb", sum(col("__cb")).over(wDesc))
+      .withColumn("__d", col("__da") + col("__db"))
+      .withColumn("__n", col("__na") + col("__nb"))
+      .filter(col("__d") > 0)
+    val terms = risked.select(col("__p"), col("__db"),
+      expr("(__d * __nb) div __n").as("__eq"),
+      round(pmod(col("__d") * col("__nb"), col("__n")).cast("double") /
+        col("__n").cast("double") * lit(1e9)).cast("long").as("__er"),
+      when(col("__n") >= 2,
+        round((col("__d") * (col("__n") - col("__d"))).cast("double") *
+          col("__na").cast("double") * col("__nb").cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double") *
+            (col("__n").cast("double") - lit(1.0))) * lit(1e9))
+          .cast("long"))
+        .otherwise(0L).as("__vn"))
+    val sizes = rows.groupBy(col("__p"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+    val agg = terms.groupBy(col("__p"))
+      .agg(sum(col("__db")).as("o_b"),
+        sum(col("__eq").cast(d38)).as("__eqsum"),
+        sum(col("__er")).as("__ersum"),
+        sum(col("__vn")).as("v_nano"))
+      .filter(col("v_nano") > 0)
+    sizes.join(agg, "__p")
+      .select(col("__p").as(partCol), col("n_a"), col("n_b"),
+        col("o_b"),
+        (col("__eqsum").cast("long") * lit(1000000000L) +
+          col("__ersum")).as("e_b_nano"),
+        col("v_nano"),
+        round((col("o_b").cast("double") -
+          (col("__eqsum").cast("double") +
+            col("__ersum").cast("double") / lit(1e9))) /
+          sqrt(col("v_nano").cast("double") / lit(1e9)) * lit(1e6))
+          .cast("long").as("z_micro"))
+  }
 }

@@ -2256,6 +2256,112 @@ object EventQueries {
       },
       Some(survivalOracle)),
 
+    // Two-group log-rank test on the SAME signup→purchase durations
+    // as q_survival, cohorts by user parity: do the two cohorts
+    // convert at the same rate, with censored users counted
+    // correctly (they leave the risk set without an event — a naive
+    // rate comparison silently drops them). Hypergeometric O−E and
+    // variance terms per event time: E on the kruskal div+remnano
+    // lattice, each V term one IEEE sequence nano-snapped and
+    // integer-summed, z at the micro edge
+    // (Survival.logRank scaladoc).
+    QueryDef(
+      "q_logrank",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val t0 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+        val dur = e.join(t0, "user_id")
+          .groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("us") > col("t0"), col("us"))).as("tp"),
+            max(col("us")).as("tmax"), max(col("t0")).as("t00"))
+          .select(col("user_id"),
+            when(col("tp").isNotNull, col("tp") - col("t00"))
+              .otherwise(col("tmax") - col("t00")).as("duration"),
+            when(col("tp").isNotNull, 1L).otherwise(0L).as("event"))
+          .withColumn("part", lit("all"))
+        graft.operators.Survival.logRank(dur, "part",
+          pmod(col("user_id"), lit(2L)) === 1, "duration", "event")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        t0 AS (SELECT user_id, min(us) AS t0 FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        dur AS (
+          SELECT user_id % 2 = 1 AS b,
+                 CASE WHEN tp IS NOT NULL THEN tp - t00
+                      ELSE tmax - t00 END AS t,
+                 CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+          FROM (
+            SELECT e.user_id,
+                   min(CASE WHEN e.event_type = 'purchase'
+                            AND e.us > t0.t0 THEN e.us END) AS tp,
+                   max(e.us) AS tmax, max(t0.t0) AS t00
+            FROM e JOIN t0 USING (user_id)
+            GROUP BY 1)),
+        pt AS (
+          SELECT t,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb,
+                 CAST(SUM(CASE WHEN b THEN ev ELSE 0 END) AS BIGINT)
+                   AS db,
+                 CAST(SUM(ev) AS BIGINT) AS dall
+          FROM dur GROUP BY 1),
+        rk AS (
+          SELECT *,
+                 CAST(SUM(ca) OVER wd AS BIGINT) AS na,
+                 CAST(SUM(cb) OVER wd AS BIGINT) AS nb
+          FROM pt
+          WINDOW wd AS (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)),
+        evs AS (
+          SELECT dall AS d, na + nb AS n, na, nb, db
+          FROM rk WHERE dall > 0),
+        tm AS (
+          SELECT db,
+                 (d * nb) // n AS eq,
+                 CAST(ROUND(CAST((d * nb) % n AS DOUBLE)
+                      / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS er,
+                 CASE WHEN n >= 2 THEN
+                   CAST(ROUND(CAST(d * (n - d) AS DOUBLE)
+                        * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0)) * 1e9)
+                     AS BIGINT)
+                 ELSE 0 END AS vn
+          FROM evs),
+        sz AS (
+          SELECT CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b
+          FROM dur),
+        ag AS (
+          SELECT CAST(SUM(db) AS BIGINT) AS o_b,
+                 CAST(SUM(eq) AS BIGINT) AS eqs,
+                 CAST(SUM(er) AS BIGINT) AS ers,
+                 CAST(SUM(vn) AS BIGINT) AS v_nano
+          FROM tm)
+        SELECT 'all' AS part, sz.n_a, sz.n_b, ag.o_b,
+               CAST(ag.eqs * 1000000000 + ag.ers AS BIGINT)
+                 AS e_b_nano,
+               ag.v_nano,
+               CAST(ROUND((CAST(ag.o_b AS DOUBLE)
+                      - (CAST(ag.eqs AS DOUBLE)
+                         + CAST(ag.ers AS DOUBLE) / 1e9))
+                    / sqrt(CAST(ag.v_nano AS DOUBLE) / 1e9) * 1e6)
+                 AS BIGINT) AS z_micro
+        FROM sz, ag
+        WHERE sz.n_a > 0 AND sz.n_b > 0 AND ag.v_nano > 0
+      """)),
+
     // Stage-to-stage funnel conversion rates: of the users who
     // reached stage k, what ppm continued to k+1 — the derivative
     // view of q_funnel's histogram (reached(k) = Σ_{s>=k} n_users,

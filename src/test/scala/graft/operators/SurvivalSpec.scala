@@ -53,4 +53,31 @@ class SurvivalSpec extends SparkSuite {
       .orderBy("t").collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("logRank: hand-computed hypergeometric sums on a censored " +
+      "fixture; identical cohorts read z = 0; one-cohort partitions " +
+      "drop") {
+    import org.apache.spark.sql.functions.col
+    // A: events at 1, 3; B: event at 2, CENSORED at 4.
+    // E_B = 2/4 + 2/3 + 1/2 -> e_b_nano = 1666666667
+    // V   = 1/4 + 2/9 + 1/4 -> v_nano  = 722222222
+    val hand = Seq(("h", false, 1L, 1L), ("h", false, 3L, 1L),
+      ("h", true, 2L, 1L), ("h", true, 4L, 0L))
+    // identical cohorts: every event time splits evenly
+    val same = (1L to 4L).flatMap(t =>
+      Seq(("s", false, t, 1L), ("s", true, t, 1L)))
+    val lone = Seq(("l", true, 1L, 1L), ("l", true, 2L, 1L))
+    val out = Survival.logRank(
+        (hand ++ same ++ lone).toDF("p", "b", "dur", "ev"),
+        "p", col("b"), "dur", "ev")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("h").getLong(3) === 1L, s"${out("h")}")
+    assert(out("h").getLong(4) === 1666666667L, s"${out("h")}")
+    assert(out("h").getLong(5) === 722222222L, s"${out("h")}")
+    val expZ = math.round((1.0 - (0.0 + 1666666667.0 / 1e9)) /
+      math.sqrt(722222222.0 / 1e9) * 1e6)
+    assert(out("h").getLong(6) === expZ, s"${out("h")} vs $expZ")
+    assert(out("s").getLong(6) === 0L, s"${out("s")}")
+    assert(!out.contains("l"), "one-cohort partition has no test")
+  }
 }
