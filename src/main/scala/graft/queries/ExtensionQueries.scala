@@ -4116,6 +4116,86 @@ object ExtensionQueries {
         ORDER BY b.lang, b.bin
       """)),
 
+    // KMV sketch set operations across every source PAIR: distinct
+    // vocabulary sizes, union/intersection estimates and Jaccard —
+    // where q_source_overlap computes EXACT pair overlap via the
+    // inverted index, this is the SKETCH path a curator runs when
+    // the pair scan itself is too big: each source keeps only its
+    // k = 128 smallest pinned-lattice hashes and every pair
+    // statistic comes from merging k-row sketches (the pair table is
+    // sketch-sized, never corpus-sized). Determinism over
+    // approximation: the md5-prefix 60-bit hash makes the estimate a
+    // pure function of the data — every cell rides the exact integer
+    // div lattice, and sub-k sets degrade gracefully to exact counts
+    // (KmvSketch scaladoc).
+    QueryDef(
+      "q_kmv_setops",
+      (s, dir) =>
+        graft.operators.KmvSketch.pairwiseSetOps(
+            Tables.documents(s, dir)
+              .select(col("source"),
+                explode(split(col("text"), " ")).as("word"))
+              .filter(col("word") =!= ""),
+            "source", "word", k = 128)
+          .orderBy(col("g1"), col("g2")),
+      Some("""
+        WITH h0 AS (
+          SELECT DISTINCT source AS g,
+                 CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)
+                   AS h
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE word <> ''),
+        sk AS (
+          SELECT g, h,
+                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r
+          FROM h0 QUALIFY r <= 128),
+        ge AS (
+          SELECT g,
+                 CASE WHEN count(*) < 128 THEN CAST(count(*) AS BIGINT)
+                      ELSE CAST(CAST('146421031085069565952' AS HUGEINT)
+                           // MAX(CASE WHEN r = 128 THEN h END)
+                           AS BIGINT) END AS est
+          FROM sk GROUP BY g),
+        gl AS (SELECT DISTINCT g FROM sk),
+        cc AS (
+          SELECT g1, g2, h, MAX(ina) AS ina, MAX(inb) AS inb
+          FROM (
+            SELECT s.g AS g1, g2.g AS g2, s.h, 1 AS ina, 0 AS inb
+            FROM sk s JOIN gl g2 ON s.g < g2.g
+            UNION ALL
+            SELECT g1.g AS g1, s.g AS g2, s.h, 0 AS ina, 1 AS inb
+            FROM sk s JOIN gl g1 ON g1.g < s.g)
+          GROUP BY 1, 2, 3),
+        u AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY g1, g2
+                                       ORDER BY h) AS r
+          FROM cc QUALIFY r <= 128),
+        pp AS (
+          SELECT g1, g2, CAST(count(*) AS BIGINT) AS m,
+                 MAX(CASE WHEN r = 128 THEN h END) AS hk,
+                 CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1
+                          ELSE 0 END) AS BIGINT) AS shared
+          FROM u GROUP BY 1, 2),
+        pe AS (
+          SELECT g1, g2, m, shared,
+                 CASE WHEN m < 128 THEN m
+                      ELSE CAST(CAST('146421031085069565952' AS HUGEINT)
+                           // hk AS BIGINT) END AS union_est
+          FROM pp)
+        SELECT pe.g1, pe.g2, ga.est AS est_1, gb.est AS est_2,
+               pe.union_est, pe.shared,
+               CAST(CASE WHEN pe.m < 128 THEN pe.shared
+                    ELSE (pe.shared * pe.union_est) // 128 END
+                 AS BIGINT) AS inter_est,
+               CAST((pe.shared * 1000000) // pe.m AS BIGINT)
+                 AS jaccard_ppm
+        FROM pe
+        JOIN ge ga ON ga.g = pe.g1
+        JOIN ge gb ON gb.g = pe.g2
+        ORDER BY pe.g1, pe.g2
+      """)),
+
     // Feed-overlap governance: exact shingle-set Jaccard BETWEEN
     // SOURCES — "are two feeds scraping the same sites?" — by
     // re-keying the existing inverted-index Jaccard kernel on source
