@@ -4116,6 +4116,43 @@ object ExtensionQueries {
         ORDER BY b.lang, b.bin
       """)),
 
+    // Multi-format round-trip PROOF: documents written to JSON-lines,
+    // ORC, and CSV, re-read with the pinned schema, and each leg
+    // fingerprinted with the order-free XOR/SUM combiners — the
+    // oracle is the fingerprint of the ORIGINAL table, so equality
+    // is bit-level losslessness across all three formats, not a
+    // smoke test (any null/empty collapse, numeric widening, or
+    // encoding drift flips the hash). Each leg is one distributed
+    // write + read + hash aggregate; no driver data path
+    // (FormatRoundtrip scaladoc).
+    QueryDef(
+      "q_format_roundtrip",
+      (s, dir) => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_fmt_rt").toString
+        graft.sources.FormatRoundtrip.roundtripFingerprints(
+            s, Tables.documents(s, dir), base,
+            Seq("doc_id", "text", "lang", "source", "n_chars"))
+          .orderBy(col("format"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT CAST(concat('0x', substr(md5(
+                   doc_id || chr(1) || text || chr(1) || lang
+                     || chr(1) || source || chr(1) || n_chars),
+                   1, 15)) AS BIGINT) AS h
+          FROM documents),
+        fp AS (
+          SELECT COUNT(*) AS n_rows,
+                 CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+                 CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
+                      % 2305843009213693952 AS BIGINT) AS sum_sig
+          FROM h)
+        SELECT f.format, fp.n_rows, fp.xor_sig, fp.sum_sig
+        FROM (SELECT unnest(['csv', 'json', 'orc']) AS format) f, fp
+        ORDER BY f.format
+      """)),
+
     // KMV sketch set operations across every source PAIR: distinct
     // vocabulary sizes, union/intersection estimates and Jaccard —
     // where q_source_overlap computes EXACT pair overlap via the
