@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winsorized (percentile-clipped) robust statistics per group — the
@@ -157,5 +158,56 @@ object RobustStats {
           / lit(1e6)).as("slope"),
         (round(col("__r") * lit(1e6)).cast("long").cast("double")
           / lit(1e6)).as("intercept"))
+  }
+
+  /** Exact WEIGHTED quantiles per group — "the median document by
+    * TOKEN MASS, not by document count": the question a corpus audit
+    * actually asks, since a handful of huge documents can carry most
+    * of the training tokens while the unweighted median looks
+    * reassuring. Each requested quantile q (in ppm) is pinned as the
+    * weighted lower order statistic: the smallest value v whose
+    * cumulative weight reaches ⌈q·W/10⁶⌉ — a deterministic selection
+    * (never interpolation, the [[brownForsythe]] median policy), so
+    * every output is an exact integer both engines agree on.
+    *
+    * Threshold arithmetic stays integral via cross-multiplication —
+    * cumW·10⁶ ≥ W·q_ppm, exactly equivalent to the ceiling form for
+    * integer weights. Shape: one per-(group, value) weight rollup +
+    * one cumulative window over DISTINCT values — never a row-level
+    * sort of the corpus, scale-safe.
+    *
+    * Output: (group, w_total, q_<ppm> per requested quantile).
+    */
+  def weightedQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, qsPpm: Seq[Long]): DataFrame = {
+    require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L),
+      s"qsPpm: $qsPpm")
+    Reserved.check("input" -> df)
+    val rows = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__x"),
+        col(weightCol).cast("long").as("__w"))
+    val byValue = rows.groupBy(col("__g"), col("__x"))
+      .agg(sum(col("__w")).as("__wv"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("__g"))
+    val cum = byValue.select(col("__g"), col("__x"),
+      sum(col("__wv")).over(wCum).as("__cw"),
+      sum(col("__wv")).over(wG).as("__wt"))
+    val picks = qsPpm.map { q =>
+      cum.filter(col("__cw") * 1000000L >=
+          col("__wt") * lit(q))
+        .groupBy(col("__g"))
+        .agg(min(col("__x")).as(s"q_$q"))
+    }
+    val totals = rows.groupBy(col("__g"))
+      .agg(sum(col("__w")).as("w_total"))
+    picks.foldLeft(totals)((acc, p) => acc.join(p, "__g"))
+      .select(col("__g").as(groupCol) +: col("w_total") +:
+        qsPpm.map(q => col(s"q_$q")): _*)
   }
 }

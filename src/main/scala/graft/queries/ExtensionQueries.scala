@@ -4116,6 +4116,53 @@ object ExtensionQueries {
         ORDER BY b.lang, b.bin
       """)),
 
+    // Exact WEIGHTED quantiles per source — "the median document by
+    // TOKEN MASS, not by document count": a handful of huge docs can
+    // carry most of the training tokens while the unweighted median
+    // looks reassuring. Weighted lower order statistics pinned by
+    // integral cross-multiplied thresholds (cumW·10⁶ ≥ W·q_ppm) over
+    // a distinct-value cumulative window — never a row-level sort of
+    // the corpus (RobustStats.weightedQuantiles scaladoc).
+    QueryDef(
+      "q_weighted_quantiles",
+      (s, dir) =>
+        graft.operators.RobustStats.weightedQuantiles(
+            Tables.documents(s, dir)
+              .select(col("source"), col("n_chars"),
+                size(split(col("text"), " ")).cast("long").as("toks")),
+            "source", "n_chars", "toks",
+            Seq(500000L, 900000L, 990000L))
+          .orderBy(col("source")),
+      Some("""
+        WITH r AS (
+          SELECT source, n_chars AS x,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+          FROM documents),
+        bv AS (
+          SELECT source, x, CAST(SUM(w) AS BIGINT) AS wv
+          FROM r GROUP BY 1, 2),
+        cum AS (
+          SELECT source, x,
+                 SUM(wv) OVER (PARTITION BY source ORDER BY x
+                               ROWS UNBOUNDED PRECEDING) AS cw,
+                 SUM(wv) OVER (PARTITION BY source) AS wt
+          FROM bv),
+        q50 AS (SELECT source, MIN(x) AS q_500000 FROM cum
+                WHERE cw * 1000000 >= wt * 500000 GROUP BY 1),
+        q90 AS (SELECT source, MIN(x) AS q_900000 FROM cum
+                WHERE cw * 1000000 >= wt * 900000 GROUP BY 1),
+        q99 AS (SELECT source, MIN(x) AS q_990000 FROM cum
+                WHERE cw * 1000000 >= wt * 990000 GROUP BY 1),
+        tot AS (SELECT source, CAST(SUM(w) AS BIGINT) AS w_total
+                FROM r GROUP BY 1)
+        SELECT tot.source, tot.w_total,
+               q50.q_500000, q90.q_900000, q99.q_990000
+        FROM tot
+        JOIN q50 USING (source) JOIN q90 USING (source)
+        JOIN q99 USING (source)
+        ORDER BY tot.source
+      """)),
+
     // Multi-format round-trip PROOF: documents written to JSON-lines,
     // ORC, and CSV, re-read with the pinned schema, and each leg
     // fingerprinted with the order-free XOR/SUM combiners — the

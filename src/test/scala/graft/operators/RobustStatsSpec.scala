@@ -94,4 +94,22 @@ class RobustStatsSpec extends SparkSuite {
       .collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("weightedQuantiles: a heavy tail value owns the weighted " +
+      "median while the unweighted median sits low; boundary " +
+      "quantiles pin the extremes; zero weights drop") {
+    // values 1..4, weights 1,1,1,7: W=10; weighted p50 = 4 (cum at
+    // 3 is only 3), p10 = 1, p100 = 4
+    val tail = Seq(("t", 1L, 1L), ("t", 2L, 1L), ("t", 3L, 1L),
+      ("t", 4L, 7L), ("t", 5L, 0L))
+    val even = (1L to 4L).map(v => ("e", v, 5L))
+    val out = RobustStats.weightedQuantiles(
+        (tail ++ even).toDF("g", "x", "w"), "g", "x", "w",
+        Seq(100000L, 500000L, 1000000L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("t") === ((10L, 1L, 4L, 4L)), s"$out")
+    // even weights: p50 threshold 10 of 20 -> value 2 (cum 5,10,..)
+    assert(out("e") === ((20L, 1L, 2L, 4L)), s"$out")
+  }
 }
