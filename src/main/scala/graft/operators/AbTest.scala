@@ -258,4 +258,94 @@ object AbTest {
       when(lhs > rhs, when(diff > 0, "a").otherwise("b"))
         .otherwise("none").as("winner"))
   }
+
+  /** Mixture SPRT for CONTINUOUS metrics (Johari, Koomen, Pekelis &
+    * Walsh 2017 — the "always-valid inference" industry standard):
+    * where [[sprt]] monitors a Bernoulli rate, mSPRT monitors a mean
+    * difference under continuous peeking with the α guarantee intact
+    * at ANY stopping rule. The normal-mixture likelihood ratio over
+    * H0: δ = 0 with mixing prior N(0, τ²) is
+    *
+    *   Λ = √(s²/(s²+τ²)) · exp(δ̂²τ²/(2s²(s²+τ²)))
+    *
+    * with δ̂ the cohort mean difference and s² its plug-in variance
+    * (pooled two-sample); reject when Λ ≥ 1/α (always-valid
+    * p = 1/Λ ≤ α).
+    *
+    * Exactness: per-cohort sufficient statistics (n, Σx, and
+    * DECIMAL(38,0) Σx²) are exact order-free integers and the
+    * textbook identity n·Σx² − (Σx)² stays exact in DECIMAL (the
+    * [[cuped]] contract); τ² enters as the exact rational
+    * tauMicro²/10¹², and log₁₀Λ is ONE written IEEE sequence over
+    * those integers (log10/exp ride the q_nb transcendental
+    * precedent), snapped to micro. The reject boundary is the
+    * driver-computed integer −round(log₁₀(α)·10⁶), so the decision
+    * is an exact integer comparison. Units with NULL cohort or
+    * value drop (the [[rankSum]] convention).
+    *
+    * Shared by the batch aggregate ([[msprt]]) and the streaming
+    * fold through [[msprtDecision]] — both read the same constants,
+    * so the twins share one oracle.
+    *
+    * Output: (group, n_a, n_b, delta_micro, llr10_micro, decision ∈
+    * reject_h0 | continue) — groups with ≥ 2 units per cohort and a
+    * positive variance.
+    */
+  def msprt(
+      df: DataFrame, groupCol: String, inB: Column, valueCol: String,
+      tauMicro: Long, alphaPpm: Long = 50000L): DataFrame = {
+    val counts = df
+      .filter(inB.isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), inB.as("__b"),
+        col(valueCol).cast("long").as("__x"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__b"), col("__x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("__b"), col("__x")).otherwise(0L)).as("sx_b"),
+        sum(when(!col("__b"),
+          col("__x").cast(DecimalType(38, 0)) * col("__x"))
+          .otherwise(lit(0L).cast(DecimalType(38, 0)))).as("sxx_a"),
+        sum(when(col("__b"),
+          col("__x").cast(DecimalType(38, 0)) * col("__x"))
+          .otherwise(lit(0L).cast(DecimalType(38, 0)))).as("sxx_b"))
+    msprtDecision(counts, groupCol, tauMicro, alphaPpm)
+  }
+
+  /** The mSPRT output edge over a pre-aggregated (group, n_a, n_b,
+    * sx_a, sx_b, sxx_a, sxx_b) frame — see [[msprt]].
+    */
+  def msprtDecision(
+      counts: DataFrame, groupCol: String,
+      tauMicro: Long, alphaPpm: Long = 50000L): DataFrame = {
+    require(tauMicro > 0, s"msprt: tauMicro must be positive")
+    require(alphaPpm > 0 && alphaPpm < 1000000L, s"alphaPpm: $alphaPpm")
+    val d38 = DecimalType(38, 0)
+    val thr = math.round(-math.log10(alphaPpm / 1e6) * 1e6)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val vaNum = col("n_a").cast(d38) * col("sxx_a") -
+      col("sx_a").cast(d38) * col("sx_a").cast(d38)
+    val vbNum = col("n_b").cast(d38) * col("sxx_b") -
+      col("sx_b").cast(d38) * col("sx_b").cast(d38)
+    val sig2 = (vaNum.cast("double") / naD + vbNum.cast("double") / nbD) /
+      (naD + nbD - lit(2.0))
+    val s2 = sig2 * (naD + nbD) / (naD * nbD)
+    val tau2 = lit(tauMicro * tauMicro).cast("double") / lit(1e12)
+    val delta = col("sx_b").cast("double") / nbD -
+      col("sx_a").cast("double") / naD
+    val llr10 = lit(0.5) * log10(s2 / (s2 + tau2)) +
+      delta * delta * tau2 / (lit(2.0) * s2 * (s2 + tau2)) /
+        lit(2.302585092994046)
+    counts
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+      .withColumn("__s2", s2)
+      .filter(col("__s2") > 0.0)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(delta * lit(1e6)).cast("long").as("delta_micro"),
+        round(llr10 * lit(1e6)).cast("long").as("llr10_micro"),
+        when(round(llr10 * lit(1e6)).cast("long") >= thr, "reject_h0")
+          .otherwise("continue").as("decision"))
+  }
 }

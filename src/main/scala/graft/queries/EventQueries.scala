@@ -2851,6 +2851,41 @@ object EventQueries {
           .orderBy(col("event_type")),
       Some(sprtOracle)),
 
+    // Mixture SPRT per event type — always-valid inference for the
+    // CONTINUOUS metric (integer cents) where q_sprt monitors a
+    // rate: the normal-mixture likelihood ratio keeps α at any
+    // peeking cadence (Johari et al. 2017). Exact per-cohort
+    // (n, Σx, Σx²) integers, n·Σx² − (Σx)² exact in DECIMAL, τ² as
+    // the exact rational tauMicro²/10¹², one IEEE sequence for
+    // log₁₀Λ, and an integer-threshold decision
+    // (AbTest.msprt scaladoc). τ = 10 cents, α = 5%.
+    QueryDef(
+      "q_msprt",
+      (s, dir) =>
+        graft.operators.AbTest.msprt(
+            Tables.events(s, dir)
+              .select(col("event_type"), col("user_id"),
+                round(col("value") * 100).cast("long").as("cents")),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1, "cents",
+            tauMicro = 10000000L)
+          .orderBy(col("event_type")),
+      Some(msprtOracle)),
+
+    // Streaming twin of q_msprt — always-valid by construction, so
+    // a per-micro-batch readout is statistically sound; state is the
+    // O(1) per-cohort sufficient statistics (a pure commutative
+    // integer fold) and the decision edge is the batch operator's
+    // own msprtDecision, so the twin shares q_msprt's oracle
+    // (StreamingOps.msprtState scaladoc).
+    QueryDef(
+      "q_stream_msprt",
+      (s, dir) =>
+        graft.streaming.StreamingOps.msprtHistory(
+            s, s"$dir/events.parquet", tauMicro = 10000000L)
+          .orderBy(col("event_type")),
+      Some(msprtOracle)),
+
     // Streaming twin of q_sprt — the test that EXISTS for this
     // mode: Wald's boundaries hold at any evaluation cadence, so a
     // per-micro-batch decision is statistically sound. State is the
@@ -3049,6 +3084,72 @@ object EventQueries {
         JOIN nb USING (cohort) JOIN ties USING (cohort)
         WHERE sq.kt >= 2 AND nb.n >= 2
           AND ties.tie < nb.n * sq.kt * (sq.kt * sq.kt - 1))"""
+
+  /** The mSPRT replay shared by q_msprt and its streaming twin:
+    * exact integer sufficient statistics, the DECIMAL variance
+    * identity, τ² = 10¹⁴/10¹² = 100 cents² exactly, the pinned ln10
+    * constant, and the driver-computed integer reject boundary
+    * −round(log₁₀(0.05)·10⁶) = 1301030.
+    */
+  private lazy val msprtOracle: String = """
+        WITH e AS (
+          SELECT event_type AS g, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events),
+        c AS (
+          SELECT g,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(SUM(CASE WHEN NOT b THEN x ELSE 0 END) AS BIGINT)
+                   AS sx_a,
+                 CAST(SUM(CASE WHEN b THEN x ELSE 0 END) AS BIGINT)
+                   AS sx_b,
+                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT) * x
+                     ELSE 0 END) AS sxx_a,
+                 SUM(CASE WHEN b THEN CAST(x AS HUGEINT) * x
+                     ELSE 0 END) AS sxx_b
+          FROM e GROUP BY 1),
+        m AS (
+          SELECT g, n_a, n_b, sx_a, sx_b,
+                 CAST(n_a AS HUGEINT) * sxx_a
+                   - CAST(sx_a AS HUGEINT) * sx_a AS va,
+                 CAST(n_b AS HUGEINT) * sxx_b
+                   - CAST(sx_b AS HUGEINT) * sx_b AS vb
+          FROM c WHERE n_a >= 2 AND n_b >= 2),
+        s AS (
+          SELECT g, n_a, n_b,
+                 (CAST(va AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  + CAST(vb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)
+                   AS sig2,
+                 CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                   - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   AS delta
+          FROM m),
+        t AS (
+          SELECT g, n_a, n_b, delta,
+                 sig2 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS s2,
+                 CAST(100000000000000 AS DOUBLE) / 1e12 AS tau2
+          FROM s),
+        l AS (
+          SELECT g, n_a, n_b, delta,
+                 CAST(ROUND((0.5 * log10(s2 / (s2 + tau2))
+                        + delta * delta * tau2
+                          / (2.0 * s2 * (s2 + tau2))
+                          / 2.302585092994046) * 1e6) AS BIGINT)
+                   AS llr10_micro
+          FROM t WHERE s2 > 0)
+        SELECT g AS event_type, n_a, n_b,
+               CAST(ROUND(delta * 1e6) AS BIGINT) AS delta_micro,
+               llr10_micro,
+               CASE WHEN llr10_micro >= 1301030 THEN 'reject_h0'
+                    ELSE 'continue' END AS decision
+        FROM l
+        ORDER BY event_type
+      """
 
   /** The energy-distance replay shared by q_energy_test and its
     * streaming twin: cumulative count/sum windows on the merged

@@ -124,6 +124,15 @@ case class WsrRow(
 /** One cohort-tagged observation for [[StreamingOps.energyState]]. */
 case class EnObs(group: String, b: Boolean, x: Long)
 
+/** Running mSPRT sufficient statistics — O(1) state AND emitted row
+  * (per-cohort n/Σx/Σx² is all the mixture LR needs). Long Σx²
+  * bounds the fold at |x|²·n ≲ 9·10¹⁸ per group; the batch
+  * operator's DECIMAL lattice is the path past it.
+  */
+case class MsprtRow(
+    group: String, n_a: Long, n_b: Long, sx_a: Long, sx_b: Long,
+    sxx_a: Long, sxx_b: Long)
+
 /** Energy-distance state: one value→count map per cohort (state is
   * O(distinct values) per group — the value lattice, not the row
   * count) plus the monotone fold count for final-row selection.
@@ -870,6 +879,70 @@ object StreamingOps {
           .otherwise(lit(0.0))
           / sqrt(col("var_num").cast("double") / lit(12.0)))
           * lit(1e6)).cast("long").as("z_micro"))
+  }
+
+  /** Streaming mixture SPRT as `mapGroupsWithState` — always-valid
+    * continuous-metric monitoring: like [[sprtState]], the whole
+    * point of the test is that its α guarantee survives evaluation
+    * after EVERY micro-batch (any stopping rule), and its state is
+    * O(1) — the per-cohort (n, Σx, Σx²) sufficient statistics, a
+    * pure commutative integer fold. The pinned-lattice LR edge is
+    * applied by [[msprtHistory]] through the batch operator's own
+    * [[graft.operators.AbTest.msprtDecision]], so the twin shares
+    * q_msprt's oracle.
+    */
+  def msprtState(stream: Dataset[EnObs]): Dataset[MsprtRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[EnObs],
+        state: GroupState[MsprtRow]): MsprtRow = {
+      var cur = state.getOption
+        .getOrElse(MsprtRow(g, 0L, 0L, 0L, 0L, 0L, 0L))
+      rows.foreach { o =>
+        cur =
+          if (o.b) cur.copy(n_b = cur.n_b + 1L, sx_b = cur.sx_b + o.x,
+            sxx_b = cur.sxx_b + o.x * o.x)
+          else cur.copy(n_a = cur.n_a + 1L, sx_a = cur.sx_a + o.x,
+            sxx_a = cur.sxx_a + o.x * o.x)
+      }
+      state.update(cur)
+      cur
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[msprtState]] over the events parquet (memory sink, complete
+    * fold): cohorts and integer cents come from the SAME Spark
+    * expressions the batch query uses; the decision edge is
+    * [[graft.operators.AbTest.msprtDecision]] itself — output shape
+    * matches `q_msprt` and shares its oracle.
+    */
+  def msprtHistory(
+      spark: SparkSession, path: String, tauMicro: Long,
+      alphaPpm: Long = 50000L): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        (pmod(col("user_id"), lit(2L)) === 1).as("b"),
+        round(col("value") * 100).cast("long").as("x")).as[EnObs]
+    val out = msprtState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+      .orderBy((col("n_a") + col("n_b")).desc)
+    val last = spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    graft.operators.AbTest.msprtDecision(
+      last.withColumnRenamed("group", "event_type"), "event_type",
+      tauMicro, alphaPpm)
   }
 
   /** Streaming two-sample energy distance as `mapGroupsWithState` —

@@ -131,4 +131,44 @@ class AbTestSpec extends SparkSuite {
     assert(dirty.head.getLong(1) === 40L,
       "n must not count the dropped units")
   }
+
+  test("msprt: a planted 10x-of-tau lift rejects H0, a null split " +
+      "continues with negative llr, and the statistic equals a " +
+      "direct replication from the sufficient statistics") {
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(7)
+    val nullG = (1 to 400).map(i =>
+      ("null", i % 2 == 1, (rng.nextInt(200) + 100).toLong))
+    // lifted group: cohort B shifted by +100 cents (tau = 10 cents)
+    val lift = (1 to 400).map { i =>
+      val b = i % 2 == 1
+      ("lift", b, (rng.nextInt(200) + 100 + (if (b) 100 else 0)).toLong)
+    }
+    val df = (nullG ++ lift).toDF("g", "b", "x")
+    val out = AbTest.msprt(df, "g", col("b"), "x",
+        tauMicro = 10000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    assert(out("lift")._3 === "reject_h0", s"$out")
+    assert(out("null")._3 === "continue" && out("null")._2 < 0L,
+      s"$out")
+    // direct replication of the lifted group's llr10 from the raw
+    // sufficient statistics (the exact IEEE sequence)
+    val bs = lift.filter(_._2).map(_._3)
+    val as = lift.filter(!_._2).map(_._3)
+    val (na, nb) = (as.size.toDouble, bs.size.toDouble)
+    val vaNum = (BigInt(as.size) * as.map(x => BigInt(x) * BigInt(x)).sum -
+      BigInt(as.sum) * BigInt(as.sum)).toDouble
+    val vbNum = (BigInt(bs.size) * bs.map(x => BigInt(x) * BigInt(x)).sum -
+      BigInt(bs.sum) * BigInt(bs.sum)).toDouble
+    val sig2 = (vaNum / na + vbNum / nb) / (na + nb - 2.0)
+    val s2 = sig2 * (na + nb) / (na * nb)
+    val tau2 = (10000000L * 10000000L).toDouble / 1e12
+    val delta = bs.sum.toDouble / nb - as.sum.toDouble / na
+    val llr10 = 0.5 * math.log10(s2 / (s2 + tau2)) +
+      delta * delta * tau2 / (2.0 * s2 * (s2 + tau2)) /
+        2.302585092994046
+    assert(out("lift")._2 === math.round(llr10 * 1e6), s"$out vs $llr10")
+    assert(out("lift")._1 === math.round(delta * 1e6))
+  }
 }
