@@ -199,7 +199,16 @@ class PlanShapeSpec extends SparkSuite {
       "q_coverage_gaps",
       // round-10: q_kruskal is window+agg only; the other two
       // nonparametric queries checkpoint at build (stratum guards)
-      "q_kruskal")
+      "q_kruskal",
+      // round-12 additions (the lazy ones — q_hodges_lehmann /
+      // q_fdr_battery / q_kmv_setops checkpoint for their guards,
+      // q_isotonic checkpoints its bin table, q_format_roundtrip
+      // writes at build, streaming twins run eagerly)
+      "q_wilcoxon_signed", "q_ansari_bradley", "q_mood_median",
+      "q_brunner_munzel", "q_quade", "q_cvm_test", "q_energy_test",
+      "q_logrank", "q_weighted_quantiles", "q_krippendorff",
+      "q_url_canonical", "q_domain_cap", "q_domain_share",
+      "q_url_dedup", "q_msprt")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
