@@ -345,6 +345,67 @@ object DistributionTests {
         lit(1e6))).cast("long").as("t_micro"))
   }
 
+  /** Population Stability Index per group (the credit-scoring /
+    * ML-monitoring industry standard; see e.g. Siddiqi 2006) — "has
+    * the binned distribution of this feature moved between the
+    * reference cohort and the live cohort":
+    *
+    *   PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+    *
+    * with p/q the Laplace-smoothed bin shares ((c+1)/(N+B) over the
+    * union of occupied bins — empty bins on one side carry smoothed
+    * mass instead of blowing up the log, the [[graft.operators
+    * .UnigramLM]] smoothing convention). The conventional read:
+    * < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 action.
+    *
+    * Exactness: bin counts are exact integers; each bin's
+    * contribution is ONE written IEEE sequence snapped alone to the
+    * nano lattice and integer-summed (order-free in both engines —
+    * the log-rank per-term convention); the micro edge divides once.
+    * Caller supplies the binned column (pre-bucketed upstream — the
+    * operator never decides bin edges, so the contract is explicit).
+    *
+    * Shape: one (group, bin, cohort) rollup + group-keyed
+    * aggregates — scale-safe; the bin table is the output frame.
+    *
+    * Output: (group, n_a, n_b, n_bins, psi_micro) — groups with
+    * both cohorts populated.
+    */
+  def psi(
+      df: DataFrame, groupCol: String, inB: Column, binCol: String)
+      : DataFrame = {
+    Reserved.check("input" -> df)
+    val rows = df
+      .where(inB.isNotNull && col(binCol).isNotNull)
+      .select(col(groupCol).as("__g"), inB.as("__b"),
+        col(binCol).cast("long").as("__bin"))
+    val perBin = rows.groupBy(col("__g"), col("__bin"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+    val wg = Window.partitionBy(col("__g"))
+    val marked = perBin
+      .withColumn("__na", sum(col("__ca")).over(wg))
+      .withColumn("__nb", sum(col("__cb")).over(wg))
+      .withColumn("__nbins", count(lit(1)).over(wg))
+    val pA = (col("__ca").cast("double") + lit(1.0)) /
+      (col("__na").cast("double") + col("__nbins").cast("double"))
+    val pB = (col("__cb").cast("double") + lit(1.0)) /
+      (col("__nb").cast("double") + col("__nbins").cast("double"))
+    val termNano = round((pA - pB) * log(pA / pB) * lit(1e9))
+      .cast("long")
+    marked
+      .withColumn("__t", termNano)
+      .groupBy(col("__g"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__nbins")).as("n_bins"),
+        sum(col("__t")).as("__tsum"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_bins"),
+        round(col("__tsum").cast("double") / lit(1e9) * lit(1e6))
+          .cast("long").as("psi_micro"))
+  }
+
   /** Two-sample energy distance per group (Székely & Rizzo 2004) —
     * the metric-space two-sample test, consistent against EVERY
     * fixed alternative (KS and CvM read only the ECDF; energy reads

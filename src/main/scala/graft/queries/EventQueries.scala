@@ -1498,6 +1498,72 @@ object EventQueries {
         ORDER BY event_type
       """)),
 
+    // Population Stability Index per event type on the SAME cohort
+    // split as q_ks_test, over 10-dollar value bins — the
+    // ML-monitoring industry's drift number with its conventional
+    // 0.1/0.25 action bands, reported beside the sharper
+    // distribution tests. Laplace-smoothed shares over the union of
+    // occupied bins; per-bin contributions are one IEEE sequence
+    // nano-snapped and integer-summed
+    // (DistributionTests.psi scaladoc).
+    QueryDef(
+      "q_psi",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.psi(
+            Tables.events(s, dir)
+              .select(col("event_type"), col("user_id"),
+                expr("CAST(ROUND(value * 100) AS BIGINT) div 1000")
+                  .as("bin")),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "bin")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) // 1000 AS bin
+          FROM events),
+        pb AS (
+          SELECT event_type, bin,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM e GROUP BY 1, 2),
+        mk AS (
+          SELECT *,
+                 SUM(ca) OVER (PARTITION BY event_type) AS na,
+                 SUM(cb) OVER (PARTITION BY event_type) AS nb,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nbins
+          FROM pb),
+        tm AS (
+          SELECT event_type, na, nb, nbins,
+                 CAST(ROUND((
+                     (CAST(ca AS DOUBLE) + 1.0)
+                       / (CAST(na AS DOUBLE) + CAST(nbins AS DOUBLE))
+                   - (CAST(cb AS DOUBLE) + 1.0)
+                       / (CAST(nb AS DOUBLE) + CAST(nbins AS DOUBLE)))
+                   * ln(((CAST(ca AS DOUBLE) + 1.0)
+                         / (CAST(na AS DOUBLE)
+                            + CAST(nbins AS DOUBLE)))
+                        / ((CAST(cb AS DOUBLE) + 1.0)
+                           / (CAST(nb AS DOUBLE)
+                              + CAST(nbins AS DOUBLE))))
+                   * 1e9) AS BIGINT) AS t
+          FROM mk)
+        SELECT event_type,
+               CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CAST(MAX(nbins) AS BIGINT) AS n_bins,
+               CAST(ROUND(CAST(SUM(t) AS DOUBLE) / 1e9 * 1e6)
+                 AS BIGINT) AS psi_micro
+        FROM tm GROUP BY 1
+        HAVING MAX(na) > 0 AND MAX(nb) > 0
+        ORDER BY event_type
+      """)),
+
     // Two-sample energy distance on the SAME cohort split as
     // q_ks_test / q_cvm_test — the metric-space test consistent
     // against EVERY fixed alternative: the pairwise |x−y| sums are

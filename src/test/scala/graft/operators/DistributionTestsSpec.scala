@@ -93,6 +93,25 @@ class DistributionTestsSpec extends SparkSuite {
       r("m").getLong(5) === bb, s"${r("m")} vs ($ab,$aa,$bb)")
   }
 
+  test("psi: identical binned distributions read exactly 0, a " +
+      "planted shift lands in the action band, and PSI is symmetric " +
+      "under cohort swap") {
+    val same = (1 to 60).map(i => ("s", i % 2 == 1, (i % 3).toLong))
+    // shift: A mass on bins {0,1}, B mass on bins {1,2}
+    val shift = (1 to 30).map(i => ("d", false, (i % 2).toLong)) ++
+      (1 to 30).map(i => ("d", true, (i % 2 + 1).toLong))
+    val out = DistributionTests.psi(
+        (same ++ shift).toDF("g", "b", "bin"), "g", col("b"), "bin")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out("s") === 0L, s"$out")
+    assert(out("d") > 250000L, s"$out")
+    val swapped = DistributionTests.psi(
+        shift.map { case (g, b, x) => (g, !b, x) }.toDF("g", "b", "bin"),
+        "g", col("b"), "bin")
+      .collect().head.getLong(4)
+    assert(swapped === out("d"), "PSI must be symmetric")
+  }
+
   test("oneWayAnova matches the hand-computed F on three groups") {
     // g1=[1,2,3] g2=[4,5,6] g3=[7,8,9]: SSB=54, SSW=6,
     // F = (54/2)/(6/6) = 27
