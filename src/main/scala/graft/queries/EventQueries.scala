@@ -1520,49 +1520,22 @@ object EventQueries {
             "bin")
           .orderBy(col("event_type"))
       },
-      Some("""
-        WITH e AS (
-          SELECT event_type, user_id % 2 = 1 AS b,
-                 CAST(ROUND(value * 100) AS BIGINT) // 1000 AS bin
-          FROM events),
-        pb AS (
-          SELECT event_type, bin,
-                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS ca,
-                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS cb
-          FROM e GROUP BY 1, 2),
-        mk AS (
-          SELECT *,
-                 SUM(ca) OVER (PARTITION BY event_type) AS na,
-                 SUM(cb) OVER (PARTITION BY event_type) AS nb,
-                 COUNT(*) OVER (PARTITION BY event_type) AS nbins
-          FROM pb),
-        tm AS (
-          SELECT event_type, na, nb, nbins,
-                 CAST(ROUND((
-                     (CAST(ca AS DOUBLE) + 1.0)
-                       / (CAST(na AS DOUBLE) + CAST(nbins AS DOUBLE))
-                   - (CAST(cb AS DOUBLE) + 1.0)
-                       / (CAST(nb AS DOUBLE) + CAST(nbins AS DOUBLE)))
-                   * ln(((CAST(ca AS DOUBLE) + 1.0)
-                         / (CAST(na AS DOUBLE)
-                            + CAST(nbins AS DOUBLE)))
-                        / ((CAST(cb AS DOUBLE) + 1.0)
-                           / (CAST(nb AS DOUBLE)
-                              + CAST(nbins AS DOUBLE))))
-                   * 1e9) AS BIGINT) AS t
-          FROM mk)
-        SELECT event_type,
-               CAST(MAX(na) AS BIGINT) AS n_a,
-               CAST(MAX(nb) AS BIGINT) AS n_b,
-               CAST(MAX(nbins) AS BIGINT) AS n_bins,
-               CAST(ROUND(CAST(SUM(t) AS DOUBLE) / 1e9 * 1e6)
-                 AS BIGINT) AS psi_micro
-        FROM tm GROUP BY 1
-        HAVING MAX(na) > 0 AND MAX(nb) > 0
-        ORDER BY event_type
-      """)),
+      Some(psiOracle)),
+
+    // Streaming twin of q_psi — the live drift dashboard number as
+    // mapGroupsWithState: state is one bin→count map per cohort
+    // (O(occupied bins), never the row count) and every trigger
+    // replays the batch operator's exact per-bin nano lattice (the
+    // HALF_UP snap replicated bit-for-bit). Map folds commute, so
+    // micro-batch splits cannot change the result; shares q_psi's
+    // oracle (StreamingOps.psiState scaladoc).
+    QueryDef(
+      "q_stream_psi",
+      (s, dir) =>
+        graft.streaming.StreamingOps.psiHistory(
+            s, s"$dir/events.parquet")
+          .orderBy(col("event_type")),
+      Some(psiOracle)),
 
     // Two-sample energy distance on the SAME cohort split as
     // q_ks_test / q_cvm_test — the metric-space test consistent
@@ -3150,6 +3123,55 @@ object EventQueries {
         JOIN nb USING (cohort) JOIN ties USING (cohort)
         WHERE sq.kt >= 2 AND nb.n >= 2
           AND ties.tie < nb.n * sq.kt * (sq.kt * sq.kt - 1))"""
+
+  /** The PSI replay shared by q_psi and its streaming twin:
+    * Laplace-smoothed shares over the union of occupied 10-dollar
+    * bins, per-bin IEEE terms nano-snapped and integer-summed, one
+    * micro edge.
+    */
+  private lazy val psiOracle: String = """
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) // 1000 AS bin
+          FROM events),
+        pb AS (
+          SELECT event_type, bin,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM e GROUP BY 1, 2),
+        mk AS (
+          SELECT *,
+                 SUM(ca) OVER (PARTITION BY event_type) AS na,
+                 SUM(cb) OVER (PARTITION BY event_type) AS nb,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nbins
+          FROM pb),
+        tm AS (
+          SELECT event_type, na, nb, nbins,
+                 CAST(ROUND((
+                     (CAST(ca AS DOUBLE) + 1.0)
+                       / (CAST(na AS DOUBLE) + CAST(nbins AS DOUBLE))
+                   - (CAST(cb AS DOUBLE) + 1.0)
+                       / (CAST(nb AS DOUBLE) + CAST(nbins AS DOUBLE)))
+                   * ln(((CAST(ca AS DOUBLE) + 1.0)
+                         / (CAST(na AS DOUBLE)
+                            + CAST(nbins AS DOUBLE)))
+                        / ((CAST(cb AS DOUBLE) + 1.0)
+                           / (CAST(nb AS DOUBLE)
+                              + CAST(nbins AS DOUBLE))))
+                   * 1e9) AS BIGINT) AS t
+          FROM mk)
+        SELECT event_type,
+               CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CAST(MAX(nbins) AS BIGINT) AS n_bins,
+               CAST(ROUND(CAST(SUM(t) AS DOUBLE) / 1e9 * 1e6)
+                 AS BIGINT) AS psi_micro
+        FROM tm GROUP BY 1
+        HAVING MAX(na) > 0 AND MAX(nb) > 0
+        ORDER BY event_type
+      """
 
   /** The mSPRT replay shared by q_msprt and its streaming twin:
     * exact integer sufficient statistics, the DECIMAL variance

@@ -124,6 +124,14 @@ case class WsrRow(
 /** One cohort-tagged observation for [[StreamingOps.energyState]]. */
 case class EnObs(group: String, b: Boolean, x: Long)
 
+/** Exact PSI sufficient statistics emitted per trigger by
+  * [[StreamingOps.psiState]]: cohort sizes, occupied-bin count, and
+  * the nano-lattice term sum (the batch operator's own per-bin
+  * integer lattice).
+  */
+case class PsiRow(
+    group: String, n_a: Long, n_b: Long, n_bins: Long, tsum: Long)
+
 /** Running mSPRT sufficient statistics — O(1) state AND emitted row
   * (per-cohort n/Σx/Σx² is all the mixture LR needs). Long Σx²
   * bounds the fold at |x|²·n ≲ 9·10¹⁸ per group; the batch
@@ -879,6 +887,85 @@ object StreamingOps {
           .otherwise(lit(0.0))
           / sqrt(col("var_num").cast("double") / lit(12.0)))
           * lit(1e6)).cast("long").as("z_micro"))
+  }
+
+  /** Streaming Population Stability Index as `mapGroupsWithState` —
+    * the live drift dashboard number: state is one bin→count map
+    * per cohort (O(occupied bins) per group — the bin lattice, not
+    * the row count; [[EnState]] reused since the shape is
+    * identical), and every trigger replays the batch operator's
+    * EXACT per-bin lattice — Laplace-smoothed shares over the union
+    * of occupied bins, one IEEE sequence per bin nano-snapped and
+    * integer-summed (Math.log here ≡ the `ln`/`log` both engines
+    * run). Map folds commute, so micro-batch splits cannot change
+    * the result; the twin shares q_psi's oracle through
+    * [[psiHistory]]'s micro edge.
+    */
+  def psiState(stream: Dataset[EnObs]): Dataset[PsiRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[EnObs],
+        state: GroupState[EnState]): PsiRow = {
+      var st = state.getOption.getOrElse(EnState(Map.empty, Map.empty, 0L))
+      rows.foreach { o =>
+        st =
+          if (o.b) EnState(st.a,
+            st.bm.updated(o.x, st.bm.getOrElse(o.x, 0L) + 1L),
+            st.eventsSeen + 1L)
+          else EnState(st.a.updated(o.x, st.a.getOrElse(o.x, 0L) + 1L),
+            st.bm, st.eventsSeen + 1L)
+      }
+      state.update(st)
+      val bins = (st.a.keySet ++ st.bm.keySet).toSeq
+      val nA = st.a.valuesIterator.sum
+      val nB = st.bm.valuesIterator.sum
+      val nBins = bins.size.toLong
+      val tsum = bins.iterator.map { v =>
+        val pA = (st.a.getOrElse(v, 0L) + 1.0) / (nA + nBins.toDouble)
+        val pB = (st.bm.getOrElse(v, 0L) + 1.0) / (nB + nBins.toDouble)
+        // Spark's round() is HALF_UP on the BigDecimal of the
+        // double (away from zero for negatives) — math.round is
+        // NOT; replicate the batch lattice exactly
+        BigDecimal((pA - pB) * math.log(pA / pB) * 1e9)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }.sum
+      PsiRow(g, nA, nB, nBins, tsum)
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[psiState]] over the events parquet (memory sink, update
+    * mode): bins and cohorts come from the SAME Spark expressions
+    * the batch query uses; the micro edge is the batch operator's
+    * exact column sequence over the emitted nano term sum. Output
+    * shape matches `q_psi` and shares its oracle.
+    */
+  def psiHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        (pmod(col("user_id"), lit(2L)) === 1).as("b"),
+        expr("CAST(ROUND(value * 100) AS BIGINT) div 1000")
+          .as("x")).as[EnObs]
+    val out = psiState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+      .orderBy((col("n_a") + col("n_b")).desc)
+    spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("group").as("event_type"), col("n_a"), col("n_b"),
+        col("n_bins"),
+        round(col("tsum").cast("double") / lit(1e9) * lit(1e6))
+          .cast("long").as("psi_micro"))
   }
 
   /** Streaming mixture SPRT as `mapGroupsWithState` — always-valid
