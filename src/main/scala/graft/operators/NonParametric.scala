@@ -1325,4 +1325,95 @@ object NonParametric {
       .select(col("__id").as(idCol), col("p_nano"), col("p_rank"),
         (col("p_rank") <= col("__kstar")).as("discovery"))
   }
+
+  /** Conover-Iman post-hoc pairwise comparisons (Conover & Iman
+    * 1979) — the step AFTER a significant [[kruskalWallis]]: KW says
+    * "some group differs", Conover-Iman says WHICH pairs, on the
+    * SAME pooled midranks (more powerful than re-running pairwise
+    * Mann-Whitney, and the comparison Conover recommends):
+    *
+    *   t_ij = (R̄_i − R̄_j) / √(S²·(N−1−H_c)/(N−k)·(1/nᵢ+1/nⱼ))
+    *   S² = (ΣR² − N(N+1)²/4)/(N−1)
+    *
+    * with H_c the tie-corrected KW statistic. Every sufficient
+    * statistic rides the exact lattices: pooled doubled midranks,
+    * Σ(2R)² in DECIMAL, the [[kruskalWallis]] div+remnano quotient
+    * lattice for ΣR²ᵢ/nᵢ inside H_c, and ONE written IEEE sequence
+    * per output cell at the micro edge. Pairs enumerate over the
+    * GROUP-STATS table (k²-bounded — the table of groups, never the
+    * corpus). NULL values drop pre-ranking (the family convention).
+    *
+    * Output: (part, g1, g2, n1, n2, t_micro) for every g1 < g2 —
+    * partitions with ≥ 2 groups, untied variance, N > k, and a
+    * positive scale factor (perfect separation pins H_c at its
+    * maximum and leaves no within-group variance to test against).
+    */
+  def conoverIman(
+      df: DataFrame, partCol: String, groupCol: String, valueCol: String)
+      : DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val d38 = DecimalType(38, 0)
+    val wRank = Window.partitionBy(col("__p")).orderBy(col("__x"))
+    val wTie = Window.partitionBy(col("__p"), col("__x"))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .select(col(partCol).as("__p"), col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__x"))
+      .select(col("__p"), col("__g"), col("__x"),
+        (lit(2L) * rank().over(wRank).cast("long") +
+          count(lit(1)).over(wTie).cast("long") - lit(1L)).as("__r2"))
+    val perGroup = ranked.groupBy(col("__p"), col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__r2")).as("__rsum"))
+    val latticed = perGroup
+      .select(col("__p"), col("__ng"),
+        expr("(__rsum * __rsum) div __ng").as("__q"),
+        round(expr("(__rsum * __rsum) % __ng").cast("double") /
+          col("__ng").cast("double") * lit(1e9)).cast("long")
+          .as("__remnano"))
+    val ties = ranked.groupBy(col("__p"), col("__x"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__p"))
+      .agg(sum(expr("__t * __t * __t - __t")).as("__tie"))
+    val sq = ranked.groupBy(col("__p"))
+      .agg(sum(col("__r2").cast(d38) * col("__r2").cast(d38))
+        .as("__sumr2sq"))
+    val partStats = latticed.groupBy(col("__p"))
+      .agg(sum(col("__ng")).as("__n"), count(lit(1)).as("__k"),
+        sum(col("__q").cast(d38)).as("__qsum"),
+        sum(col("__remnano")).as("__remsum"))
+      .join(ties, "__p").join(sq, "__p")
+      .filter(col("__k") >= 2 && col("__n") > col("__k") &&
+        col("__tie") < expr("__n * __n * __n - __n"))
+    val nD = col("__n").cast("double")
+    val kD = col("__k").cast("double")
+    val sumR2OverN = col("__qsum").cast("double") +
+      col("__remsum").cast("double") / lit(1e9)
+    val hc = (lit(3.0) * sumR2OverN / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))) /
+      (lit(1.0) - col("__tie").cast("double") / (nD * nD * nD - nD))
+    val s2v = (col("__sumr2sq").cast("double") / lit(4.0) -
+      nD * (nD + lit(1.0)) * (nD + lit(1.0)) / lit(4.0)) /
+      (nD - lit(1.0))
+    val withFactor = partStats
+      .withColumn("__factor",
+        s2v * (nD - lit(1.0) - hc) / (nD - kD))
+      .filter(col("__factor") > 0.0)
+      .select(col("__p"), col("__factor"))
+    val a = perGroup.select(col("__p"), col("__g").as("g1"),
+      col("__ng").as("n1"), col("__rsum").as("__s1"))
+    val b = perGroup.select(col("__p"), col("__g").as("g2"),
+      col("__ng").as("n2"), col("__rsum").as("__s2"))
+    a.join(b, "__p").filter(col("g1") < col("g2"))
+      .join(withFactor, "__p")
+      .select(col("__p").as(partCol), col("g1"), col("g2"),
+        col("n1"), col("n2"),
+        snapMicro(
+          (col("__s1").cast("double") / col("n1").cast("double") -
+            col("__s2").cast("double") / col("n2").cast("double")) /
+            lit(2.0) /
+            sqrt(col("__factor") *
+              (lit(1.0) / col("n1").cast("double") +
+                lit(1.0) / col("n2").cast("double"))))
+          .as("t_micro"))
+  }
 }

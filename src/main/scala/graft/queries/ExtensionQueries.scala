@@ -8184,6 +8184,89 @@ object ExtensionQueries {
         ORDER BY lang
       """)),
 
+    // Conover-Iman post-hoc pairwise comparisons on the SAME pooled
+    // midranks as q_kruskal: KW says "some source differs",
+    // Conover-Iman says WHICH pairs — more powerful than re-running
+    // pairwise Mann-Whitney, and the comparison Conover recommends.
+    // Exact lattices throughout (doubled midranks, DECIMAL Σ(2R)²,
+    // the div+remnano quotient for H_c), one IEEE sequence per
+    // pair, pair enumeration over the GROUP-STATS table (k²-bounded,
+    // never the corpus) (NonParametric.conoverIman scaladoc).
+    QueryDef(
+      "q_conover_posthoc",
+      (s, dir) =>
+        graft.operators.NonParametric.conoverIman(
+            Tables.documents(s, dir), "lang", "source", "n_chars")
+          .orderBy(col("lang"), col("g1"), col("g2")),
+      Some("""
+        WITH ranked AS (
+          SELECT lang, source,
+                 2 * RANK() OVER (PARTITION BY lang ORDER BY n_chars)
+                   + COUNT(*) OVER (PARTITION BY lang, n_chars) - 1
+                   AS r2
+          FROM documents),
+        pg AS (
+          SELECT lang, source, CAST(count(*) AS BIGINT) AS ng,
+                 CAST(sum(r2) AS BIGINT) AS rsum
+          FROM ranked GROUP BY 1, 2),
+        pq AS (
+          SELECT lang, ng,
+                 (rsum * rsum) // ng AS q,
+                 CAST(ROUND(CAST((rsum * rsum) % ng AS DOUBLE)
+                      / CAST(ng AS DOUBLE) * 1e9) AS BIGINT)
+                   AS remnano
+          FROM pg),
+        ties AS (
+          SELECT lang, CAST(SUM(t * t * t - t) AS BIGINT) AS tie
+          FROM (SELECT lang, n_chars, count(*) AS t
+                FROM documents GROUP BY 1, 2)
+          GROUP BY 1),
+        sq AS (
+          SELECT lang, SUM(CAST(r2 AS HUGEINT) * r2) AS sumr2sq
+          FROM ranked GROUP BY 1),
+        st AS (
+          SELECT pq.lang, CAST(SUM(ng) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS k,
+                 CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS qsum_d,
+                 CAST(SUM(remnano) AS BIGINT) AS remsum
+          FROM pq GROUP BY 1),
+        fx AS (
+          SELECT st.lang,
+                 ((CAST(sq.sumr2sq AS DOUBLE) / 4.0
+                   - CAST(st.n AS DOUBLE)
+                     * (CAST(st.n AS DOUBLE) + 1.0)
+                     * (CAST(st.n AS DOUBLE) + 1.0) / 4.0)
+                  / (CAST(st.n AS DOUBLE) - 1.0))
+                 * (CAST(st.n AS DOUBLE) - 1.0
+                    - (3.0 * (qsum_d + CAST(remsum AS DOUBLE) / 1e9)
+                       / (CAST(st.n AS DOUBLE)
+                          * (CAST(st.n AS DOUBLE) + 1.0))
+                       - 3.0 * (CAST(st.n AS DOUBLE) + 1.0))
+                      / (1.0 - CAST(tie AS DOUBLE)
+                         / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)
+                            * CAST(st.n AS DOUBLE)
+                            - CAST(st.n AS DOUBLE))))
+                 / (CAST(st.n AS DOUBLE) - CAST(st.k AS DOUBLE))
+                   AS factor
+          FROM st JOIN ties USING (lang) JOIN sq USING (lang)
+          WHERE st.k >= 2 AND st.n > st.k
+            AND ties.tie < st.n * st.n * st.n - st.n)
+        SELECT a.lang, a.source AS g1, b.source AS g2,
+               a.ng AS n1, b.ng AS n2,
+               CAST(ROUND((CAST(a.rsum AS DOUBLE)
+                      / CAST(a.ng AS DOUBLE)
+                    - CAST(b.rsum AS DOUBLE) / CAST(b.ng AS DOUBLE))
+                    / 2.0
+                    / sqrt(fx.factor * (1.0 / CAST(a.ng AS DOUBLE)
+                           + 1.0 / CAST(b.ng AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS t_micro
+        FROM pg a
+        JOIN pg b ON a.lang = b.lang AND a.source < b.source
+        JOIN fx ON fx.lang = a.lang
+        WHERE fx.factor > 0
+        ORDER BY a.lang, g1, g2
+      """)),
+
     // Jonckheere-Terpstra ordered-alternative trend within each
     // language partition: do per-batch character totals TREND with
     // the source index (the src0 < src1 < ... ordering), the sharper

@@ -531,6 +531,32 @@ class NonParametricSpec extends SparkSuite {
     assert(e.getMessage.contains("maxTests"))
   }
 
+  test("conoverIman: the untied 3x2 hand fixture pins all three " +
+      "pairwise t values; equal groups read 0; a separated 2-group " +
+      "partition pins the classic -2.828") {
+    // groups a={1,2}, b={3,4}, c={5,6}: S2=3.5, Hc=4.571428...,
+    // factor = 0.5 -> t_ab = -2/sqrt(0.5) = -2.828427,
+    // t_ac = -4/sqrt(0.5) = -5.656854, t_bc = -2.828427
+    val hand = Seq(("h", "a", 1L), ("h", "a", 2L), ("h", "b", 3L),
+      ("h", "b", 4L), ("h", "c", 5L), ("h", "c", 6L))
+    val same = Seq("x", "y").flatMap(g =>
+      (1L to 4L).map(v => ("s", g, v)))
+    val sep = Seq(("p", "lo", 1L), ("p", "lo", 2L),
+      ("p", "hi", 9L), ("p", "hi", 10L))
+    val out = NonParametric.conoverIman(
+        (hand ++ same ++ sep).toDF("p", "g", "x"), "p", "g", "x")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(5)).toMap
+    assert(out(("h", "a", "b")) === -2828427L, s"$out")
+    assert(out(("h", "a", "c")) === -5656854L, s"$out")
+    assert(out(("h", "b", "c")) === -2828427L, s"$out")
+    assert(out(("s", "x", "y")) === 0L, s"$out")
+    // k=2 separated: H = 2.4, S2 = 5/3, factor = 0.5 ->
+    // t = (1.5 - 3.5)/sqrt(0.5) = -2.828427
+    assert(out(("p", "hi", "lo")) === 2828427L, s"$out")
+  }
+
   // ---- Cochran's Q ----
 
   test("cochranQ: identical filters score exactly 0; a systematic " +
