@@ -1326,6 +1326,69 @@ object NonParametric {
         (col("p_rank") <= col("__kstar")).as("discovery"))
   }
 
+  /** Conover's post-hoc pairwise comparisons for the BLOCKED design
+    * (Conover 1999, §5.8) — the step after a significant
+    * [[friedman]]: which treatment PAIRS differ, once each block's
+    * level is ranked away. On within-block midranks with treatment
+    * rank sums R_j and A1 = ΣΣ R²:
+    *
+    *   t_ij = (R_i − R_j) / √(2(n·A1 − ΣR_j²)/((n−1)(k−1)))
+    *
+    * Everything exact until one IEEE sequence per pair: the shared
+    * [[blockedRanks]] doubled lattice makes n·A1₂ − ΣR2_j² an exact
+    * DECIMAL integer (= 4× the classical quantity; the /4 happens
+    * inside the written sequence). Perfect agreement (every block
+    * ranks the treatments identically) zeroes the denominator and
+    * the partition DROPS — there is no within-treatment variance to
+    * test against. Incomplete blocks and NULLs drop per the
+    * [[blockedRanks]] contract.
+    *
+    * Shape: the shared blocked-rank window + keyed aggregates; pair
+    * enumeration is k²-bounded over the treatment-stats table.
+    *
+    * Output: (part, g1, g2, n_blocks, k_treatments, t_micro) for
+    * every treatment pair g1 < g2.
+    */
+  def friedmanPosthoc(
+      df: DataFrame, partCol: String, blockCol: String, treatCol: String,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    requireIntegral(df, valueCol)
+    val d38 = DecimalType(38, 0)
+    val (_, ranked, complete) =
+      blockedRanks(df, partCol, blockCol, treatCol, valueCol)
+    val perTreat = ranked.groupBy(col("__p"), col("__t"))
+      .agg(sum(col("__r2")).as("__rt"))
+    val a12 = ranked.groupBy(col("__p"))
+      .agg(sum(col("__r2").cast(d38) * col("__r2").cast(d38))
+        .as("__a12"))
+    val rsq = perTreat.groupBy(col("__p"))
+      .agg(sum(col("__rt").cast(d38) * col("__rt").cast(d38))
+        .as("__rsq"), count(lit(1)).as("k_treatments"))
+    val nBlocks = complete.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_blocks"))
+    val den = a12.join(rsq, "__p").join(nBlocks, "__p")
+      .filter(col("n_blocks") >= 2 && col("k_treatments") >= 2)
+      .withColumn("__numer",
+        col("n_blocks").cast(d38) * col("__a12") - col("__rsq"))
+      .filter(col("__numer") > 0)
+    val a = perTreat.select(col("__p"), col("__t").as("g1"),
+      col("__rt").as("__s1"))
+    val b = perTreat.select(col("__p"), col("__t").as("g2"),
+      col("__rt").as("__s2"))
+    a.join(b, "__p").filter(col("g1") < col("g2"))
+      .join(den.select(col("__p"), col("n_blocks"),
+        col("k_treatments"), col("__numer")), "__p")
+      .select(col("__p").as(partCol), col("g1"), col("g2"),
+        col("n_blocks"), col("k_treatments"),
+        snapMicro(
+          (col("__s1") - col("__s2")).cast("double") / lit(2.0) /
+            sqrt(lit(2.0) * (col("__numer").cast("double") / lit(4.0)) /
+              ((col("n_blocks").cast("double") - lit(1.0)) *
+                (col("k_treatments").cast("double") - lit(1.0)))))
+          .as("t_micro"))
+  }
+
   /** Conover-Iman post-hoc pairwise comparisons (Conover & Iman
     * 1979) — the step AFTER a significant [[kruskalWallis]]: KW says
     * "some group differs", Conover-Iman says WHICH pairs, on the

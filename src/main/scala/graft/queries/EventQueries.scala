@@ -1312,6 +1312,54 @@ object EventQueries {
         ORDER BY st.cohort
       """)),
 
+    // Conover's post-hoc for the blocked design on the SAME daily
+    // layout as q_friedman: which event-type PAIRS differ once each
+    // day's level is ranked away — the blocked twin of
+    // q_conover_posthoc. The shared doubled lattice keeps
+    // n·A1 − ΣR_j² an exact DECIMAL integer; one IEEE sequence per
+    // pair; enumeration k²-bounded over the treatment-stats table
+    // (NonParametric.friedmanPosthoc scaladoc).
+    QueryDef(
+      "q_friedman_posthoc",
+      (s, dir) => {
+        import graft.operators.NonParametric
+        val daily = Tables.events(s, dir)
+          .groupBy(pmod(col("user_id"), lit(3L)).as("cohort"),
+            to_date(col("ts")).as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        NonParametric.friedmanPosthoc(
+            daily, "cohort", "day", "event_type", "cnt")
+          .orderBy(col("cohort"), col("g1"), col("g2"))
+      },
+      Some(s"""
+        WITH $friedmanCtes,
+        a12 AS (
+          SELECT cohort, SUM(CAST(r2 AS HUGEINT) * r2) AS a12
+          FROM ranked GROUP BY 1),
+        rsq AS (
+          SELECT cohort, SUM(CAST(rt AS HUGEINT) * rt) AS rsq,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM rt GROUP BY 1),
+        den AS (
+          SELECT a12.cohort, nb.n, rsq.k,
+                 CAST(nb.n AS HUGEINT) * a12.a12 - rsq.rsq AS numer
+          FROM a12 JOIN rsq USING (cohort) JOIN nb USING (cohort)
+          WHERE nb.n >= 2 AND rsq.k >= 2
+            AND CAST(nb.n AS HUGEINT) * a12.a12 > rsq.rsq)
+        SELECT a.cohort, a.t AS g1, b.t AS g2,
+               den.n AS n_blocks, den.k AS k_treatments,
+               CAST(ROUND(CAST(a.rt - b.rt AS DOUBLE) / 2.0
+                    / sqrt(2.0 * (CAST(den.numer AS DOUBLE) / 4.0)
+                           / ((CAST(den.n AS DOUBLE) - 1.0)
+                              * (CAST(den.k AS DOUBLE) - 1.0)))
+                    * 1e6) AS BIGINT) AS t_micro
+        FROM rt a
+        JOIN rt b ON a.cohort = b.cohort AND a.t < b.t
+        JOIN den ON den.cohort = a.cohort
+        ORDER BY a.cohort, g1, g2
+      """)),
+
     // Quade range-weighted blocked test on the SAME daily design as
     // q_friedman: does the event-type mix differ once each day's
     // level is ranked away — but with days WEIGHTED by how far their

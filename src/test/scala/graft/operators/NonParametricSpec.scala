@@ -557,6 +557,32 @@ class NonParametricSpec extends SparkSuite {
     assert(out(("p", "hi", "lo")) === 2828427L, s"$out")
   }
 
+  test("friedmanPosthoc: the 3-block hand fixture pins all three " +
+      "pairwise t values; perfect agreement drops (zero denominator)") {
+    // blocks rank (t1,t2,t3) as (1,2,3),(1,2,3),(3,2,1):
+    // R = {5,6,7}, A1 = 42, n*A1 - sum(R^2) = 16,
+    // den = sqrt(2*16/4) = 2.828427 -> t12 = -0.353553,
+    // t13 = -0.707107, t23 = -0.353553
+    val mixed = Seq(
+      ("m", "b1", "t1", 1L), ("m", "b1", "t2", 2L), ("m", "b1", "t3", 3L),
+      ("m", "b2", "t1", 1L), ("m", "b2", "t2", 2L), ("m", "b2", "t3", 3L),
+      ("m", "b3", "t1", 3L), ("m", "b3", "t2", 2L), ("m", "b3", "t3", 1L))
+    val agree = Seq(
+      ("a", "b1", "t1", 1L), ("a", "b1", "t2", 2L),
+      ("a", "b2", "t1", 5L), ("a", "b2", "t2", 9L))
+    val out = NonParametric.friedmanPosthoc(
+        (mixed ++ agree).toDF("p", "blk", "t", "x"),
+        "p", "blk", "t", "x")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(5)).toMap
+    assert(out(("m", "t1", "t2")) === -353553L, s"$out")
+    assert(out(("m", "t1", "t3")) === -707107L, s"$out")
+    assert(out(("m", "t2", "t3")) === -353553L, s"$out")
+    assert(!out.keySet.exists(_._1 == "a"),
+      "perfect agreement has no within-treatment variance")
+  }
+
   // ---- Cochran's Q ----
 
   test("cochranQ: identical filters score exactly 0; a systematic " +
