@@ -155,7 +155,7 @@ object Bench {
     "q_stream_energy", "q_krippendorff", "q_isotonic", "q_logrank",
     "q_kmv_setops", "q_format_roundtrip", "q_weighted_quantiles",
     "q_msprt", "q_stream_msprt", "q_psi", "q_stream_psi",
-    "q_conover_posthoc", "q_friedman_posthoc")
+    "q_conover_posthoc", "q_friedman_posthoc", "q_icc")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

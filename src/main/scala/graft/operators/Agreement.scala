@@ -136,4 +136,71 @@ object Agreement {
             col("__de").cast("double")) * lit(1e6))
           .cast("long").as("alpha_micro"))
   }
+
+  /** Intraclass correlation ICC(1), one-way random effects (Shrout &
+    * Fleiss 1979, unbalanced form) — the CONTINUOUS-ratings
+    * agreement coefficient completing the family ([[cohensKappa]]
+    * nominal two-rater, [[krippendorffAlpha]] nominal multi-rater
+    * with missingness, Kendall's W ordinal): what fraction of score
+    * variance is BETWEEN the rated units rather than rater noise.
+    *
+    *   ICC = (MSB − MSW)/(MSB + (n₀−1)·MSW)
+    *   n₀ = (N − Σkᵤ²/N)/(U−1)      (the unbalanced group-size mean)
+    *
+    * with MSB/MSW the one-way ANOVA mean squares over units. Every
+    * sufficient statistic is exact: per-unit (kᵤ, Sᵤ) integers,
+    * ΣSᵤ²/kᵤ on the kruskalWallis div+remnano lattice, ΣX and
+    * DECIMAL ΣX²; ONE written IEEE sequence forms ICC at the micro
+    * edge. Units with a single rating still contribute (they carry
+    * between-unit information; SSW gains nothing from them — the
+    * one-way ANOVA handles unbalance natively). NULL ratings drop.
+    *
+    * Shape: two keyed aggregates — no windows, no joins beyond
+    * group-sized ones, scale-safe.
+    *
+    * Output: (part, n_units, n_ratings, icc_micro) — partitions
+    * with ≥ 2 units, N > U, and a nonzero denominator.
+    */
+  def icc1(
+      df: DataFrame, partCol: String, unitCol: String, scoreCol: String)
+      : DataFrame = {
+    Reserved.check("scores" -> df)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.filter(col(scoreCol).isNotNull)
+      .select(col(partCol).as("__p"), col(unitCol).as("__u"),
+        col(scoreCol).cast("long").as("__x"))
+    val perUnit = rows.groupBy(col("__p"), col("__u"))
+      .agg(count(lit(1)).as("__k"), sum(col("__x")).as("__s"))
+      .select(col("__p"), col("__k"),
+        expr("(__s * __s) div __k").as("__q"),
+        round(expr("(__s * __s) % __k").cast("double") /
+          col("__k").cast("double") * lit(1e9)).cast("long")
+          .as("__remnano"))
+    val units = perUnit.groupBy(col("__p"))
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("__k")).as("n_ratings"),
+        sum(col("__k").cast(d38) * col("__k").cast(d38)).as("__sk2"),
+        sum(col("__q").cast(d38)).as("__qsum"),
+        sum(col("__remnano")).as("__remsum"))
+    val totals = rows.groupBy(col("__p"))
+      .agg(sum(col("__x")).as("__t"),
+        sum(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"))
+    val j = units.join(totals, "__p")
+      .filter(col("n_units") >= 2 && col("n_ratings") > col("n_units"))
+    val nD = col("n_ratings").cast("double")
+    val uD = col("n_units").cast("double")
+    val sOverK = col("__qsum").cast("double") +
+      col("__remsum").cast("double") / lit(1e9)
+    val ssb = sOverK -
+      col("__t").cast("double") * col("__t").cast("double") / nD
+    val ssw = col("__sxx").cast("double") - sOverK
+    val n0 = (nD - col("__sk2").cast("double") / nD) / (uD - lit(1.0))
+    val msb = ssb / (uD - lit(1.0))
+    val msw = ssw / (nD - uD)
+    val den = msb + (n0 - lit(1.0)) * msw
+    j.filter(den > 0.0)
+      .select(col("__p").as(partCol), col("n_units"), col("n_ratings"),
+        round((msb - msw) / den * lit(1e6)).cast("long")
+          .as("icc_micro"))
+  }
 }

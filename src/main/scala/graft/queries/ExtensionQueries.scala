@@ -4063,6 +4063,83 @@ object ExtensionQueries {
         ORDER BY noo.lang
       """)),
 
+    // ICC(1) per language over a 3-annotator CONTINUOUS score panel
+    // (two offset annotators plus a hash-noised one that abstains on
+    // every 11th doc — the same missingness pattern as
+    // q_krippendorff, here exercising the unbalanced one-way form):
+    // what fraction of score variance is between the rated docs
+    // rather than rater noise — the continuous-ratings agreement
+    // coefficient completing kappa/alpha/W. Exact per-unit (k, S)
+    // integers, ΣS²/k on the div+remnano lattice, DECIMAL ΣX², one
+    // IEEE sequence for ICC (Agreement.icc1 scaladoc).
+    QueryDef(
+      "q_icc",
+      (s, dir) =>
+        graft.operators.Agreement.icc1(
+            Tables.documents(s, dir)
+              .select(col("lang"), col("doc_id"),
+                expr("""stack(3,
+                  n_chars,
+                  n_chars + 10,
+                  CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
+                       ELSE n_chars + doc_id % 37 END) AS (score)""")),
+            "lang", "doc_id", "score")
+          .orderBy(col("lang")),
+      Some("""
+        WITH r0 AS (
+          SELECT lang, doc_id, n_chars AS x FROM documents
+          UNION ALL
+          SELECT lang, doc_id, n_chars + 10 FROM documents
+          UNION ALL
+          SELECT lang, doc_id,
+                 CASE WHEN doc_id % 11 = 0 THEN NULL
+                      ELSE n_chars + doc_id % 37 END
+          FROM documents),
+        r AS (SELECT * FROM r0 WHERE x IS NOT NULL),
+        pu AS (
+          SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS k,
+                 CAST(SUM(x) AS BIGINT) AS s
+          FROM r GROUP BY 1, 2),
+        lat AS (
+          SELECT lang, k,
+                 (s * s) // k AS q,
+                 CAST(ROUND(CAST((s * s) % k AS DOUBLE)
+                      / CAST(k AS DOUBLE) * 1e9) AS BIGINT) AS remnano
+          FROM pu),
+        un AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_units,
+                 CAST(SUM(k) AS BIGINT) AS n_ratings,
+                 CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) AS sk2d,
+                 CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS qsum_d,
+                 CAST(SUM(remnano) AS BIGINT) AS remsum
+          FROM lat GROUP BY 1),
+        tt AS (
+          SELECT lang, CAST(SUM(x) AS BIGINT) AS t,
+                 CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxxd
+          FROM r GROUP BY 1),
+        cc AS (
+          SELECT un.lang, un.n_units, un.n_ratings,
+                 ((qsum_d + CAST(remsum AS DOUBLE) / 1e9)
+                  - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+                    / CAST(n_ratings AS DOUBLE))
+                 / (CAST(n_units AS DOUBLE) - 1.0) AS msb,
+                 (sxxd - (qsum_d + CAST(remsum AS DOUBLE) / 1e9))
+                 / (CAST(n_ratings AS DOUBLE)
+                    - CAST(n_units AS DOUBLE)) AS msw,
+                 (CAST(n_ratings AS DOUBLE)
+                  - sk2d / CAST(n_ratings AS DOUBLE))
+                 / (CAST(n_units AS DOUBLE) - 1.0) AS n0
+          FROM un JOIN tt USING (lang)
+          WHERE n_units >= 2 AND n_ratings > n_units)
+        SELECT lang, n_units, n_ratings,
+               CAST(ROUND((msb - msw)
+                    / (msb + (n0 - 1.0) * msw) * 1e6) AS BIGINT)
+                 AS icc_micro
+        FROM cc
+        WHERE msb + (n0 - 1.0) * msw > 0
+        ORDER BY lang
+      """)),
+
     // Isotonic (PAV) calibration of the length→quality curve per
     // language: raw per-bin 'contains data' rates wobble; the
     // monotone least-squares projection is what a pipeline trusts as

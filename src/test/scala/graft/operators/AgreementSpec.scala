@@ -72,4 +72,23 @@ class AgreementSpec extends SparkSuite {
     assert(out("mx").getLong(1) === 2L && out("mx").getLong(2) === 6L)
     assert(out("mx").getLong(4) === 375000L, s"${out("mx")}")
   }
+
+  test("icc1: the unbalanced hand fixture pins 11/13.5, perfectly " +
+      "consistent ratings read 1, unit-indistinguishable ratings " +
+      "read negative") {
+    // u1 = {1,2}, u2 = {4,6}: SSB = 12.25, SSW = 2.5, n0 = 2
+    // -> ICC = (12.25 - 1.25)/(12.25 + 1.25) = 11/13.5 = 0.814815
+    val hand = Seq(("h", 1L, 1L), ("h", 1L, 2L),
+      ("h", 2L, 4L), ("h", 2L, 6L))
+    val perfect = Seq(("pf", 1L, 10L), ("pf", 1L, 10L),
+      ("pf", 2L, 20L), ("pf", 2L, 20L))
+    val noise = Seq(("nz", 1L, 0L), ("nz", 1L, 10L),
+      ("nz", 2L, 10L), ("nz", 2L, 0L))
+    val out = Agreement.icc1(
+        (hand ++ perfect ++ noise).toDF("p", "u", "x"), "p", "u", "x")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("h") === 814815L, s"$out")
+    assert(out("pf") === 1000000L, s"$out")
+    assert(out("nz") < 0L, s"$out")
+  }
 }
