@@ -294,6 +294,10 @@ object AbTest {
   def msprt(
       df: DataFrame, groupCol: String, inB: Column, valueCol: String,
       tauMicro: Long, alphaPpm: Long = 50000L): DataFrame = {
+    Reserved.check("units" -> df)
+    // A fractional value column would silently truncate at the long
+    // cast — refuse eagerly (the rankSum/cuped input policy).
+    NonParametric.requireIntegral(df, valueCol)
     val counts = df
       .filter(inB.isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol), inB.as("__b"),

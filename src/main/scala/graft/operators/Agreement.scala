@@ -165,6 +165,10 @@ object Agreement {
       df: DataFrame, partCol: String, unitCol: String, scoreCol: String)
       : DataFrame = {
     Reserved.check("scores" -> df)
+    // A DoubleType score would silently truncate at the long cast
+    // below and yield a plausible-but-wrong ICC — refuse fractional
+    // inputs eagerly (the NonParametric family policy).
+    NonParametric.requireIntegral(df, scoreCol)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val rows = df.filter(col(scoreCol).isNotNull)
       .select(col(partCol).as("__p"), col(unitCol).as("__u"),

@@ -304,7 +304,12 @@ object DistributionTests {
     * scale-safe at any corpus size.
     *
     * Output: (group, n_a, n_b, u4, t_micro) — groups with both
-    * cohorts populated.
+    * cohorts populated. Long bound: U4 grows as ~4N⁴, so the u4
+    * column's long cast is exact only to N ≈ 39k rows per group
+    * (4N⁴ crosses Long.MaxValue there; past it the cast NULLs/wraps
+    * while t_micro — formed from the DECIMAL before the cast —
+    * stays correct); audits of larger groups should read t_micro
+    * and ignore u4, or widen u4 to DECIMAL at the call site.
     */
   def cramerVonMises(
       df: DataFrame, groupCol: String, inB: Column, valueCol: String)
@@ -427,7 +432,12 @@ object DistributionTests {
     *
     * Output: (group, n_a, n_b, ab_sum, aa_sum, bb_sum, e_micro,
     * t_micro) — groups with both cohorts populated; the sums are in
-    * the metric's own integer units.
+    * the metric's own integer units. Long bound: each pair sum grows
+    * as ~N²·|x|max, so the ab/aa/bb long casts are exact only while
+    * N²·|x|max < Long.MaxValue (e.g. N ≈ 3M at |x| ≤ 10⁶); past it
+    * the casts NULL/wrap while e_micro/t_micro — formed from the
+    * DECIMALs before the casts — stay correct (the bound the
+    * streaming twin documents; it applies here identically).
     */
   def energyDistance(
       df: DataFrame, groupCol: String, inB: Column, valueCol: String)

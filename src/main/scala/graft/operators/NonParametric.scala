@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object NonParametric {
 
-  private def requireIntegral(df: DataFrame, cols: String*): Unit =
+  private[operators] def requireIntegral(df: DataFrame, cols: String*): Unit =
     cols.foreach { c =>
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.ByteType |
@@ -806,8 +806,10 @@ object NonParametric {
     * 12·Var on the doubled lattice). z = (W2⁺ − E2 ∓ 1)/√(var_num/12)
     * with the ±1 continuity correction (= ±½ in single-rank units),
     * ONE written IEEE sequence snapped to micro. n(n+1)(2n+1) stays
-    * in long to n ≈ 2M nonzero pairs per group; larger groups need
-    * the DECIMAL widening documented at [[kruskalWallis]].
+    * in long only to n ≈ 1.3M nonzero pairs per group (var_num =
+    * 2n(n+1)(2n+1) crosses Long.MaxValue at n ≈ 1.32·10⁶); larger
+    * groups need the DECIMAL widening documented at
+    * [[kruskalWallis]].
     *
     * Shape: one rank window inside the group + keyed aggregates — no
     * pairwise join, scale-safe at any corpus size.

@@ -172,7 +172,12 @@ object RobustStats {
     *
     * Threshold arithmetic stays integral via cross-multiplication —
     * cumW·10⁶ ≥ W·q_ppm, exactly equivalent to the ceiling form for
-    * integer weights. Shape: one per-(group, value) weight rollup +
+    * integer weights; both sides widen to DECIMAL(38,0) first, so a
+    * group whose total weight exceeds Long.MaxValue/10⁶ ≈ 9.2·10¹²
+    * (plausible token mass) cannot silently wrap the product.
+    * Value and weight columns must already be integral (the
+    * [[NonParametric]] refusal policy — a fractional weight would
+    * silently truncate). Shape: one per-(group, value) weight rollup +
     * one cumulative window over DISTINCT values — never a row-level
     * sort of the corpus, scale-safe.
     *
@@ -184,6 +189,7 @@ object RobustStats {
     require(qsPpm.nonEmpty && qsPpm.forall(q => q > 0 && q <= 1000000L),
       s"qsPpm: $qsPpm")
     Reserved.check("input" -> df)
+    NonParametric.requireIntegral(df, valueCol, weightCol)
     val rows = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
@@ -198,9 +204,10 @@ object RobustStats {
     val cum = byValue.select(col("__g"), col("__x"),
       sum(col("__wv")).over(wCum).as("__cw"),
       sum(col("__wv")).over(wG).as("__wt"))
+    val d38w = org.apache.spark.sql.types.DecimalType(38, 0)
     val picks = qsPpm.map { q =>
-      cum.filter(col("__cw") * 1000000L >=
-          col("__wt") * lit(q))
+      cum.filter(col("__cw").cast(d38w) * lit(1000000L) >=
+          col("__wt").cast(d38w) * lit(q))
         .groupBy(col("__g"))
         .agg(min(col("__x")).as(s"q_$q"))
     }

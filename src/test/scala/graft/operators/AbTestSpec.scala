@@ -171,4 +171,16 @@ class AbTestSpec extends SparkSuite {
     assert(out("lift")._2 === math.round(llr10 * 1e6), s"$out vs $llr10")
     assert(out("lift")._1 === math.round(delta * 1e6))
   }
+
+  test("msprt: fractional value columns and reserved __ columns are " +
+      "refused eagerly (the rankSum/cuped input policy)") {
+    val frac = Seq(("g", true, 1.5)).toDF("g", "b", "x")
+    intercept[IllegalArgumentException] {
+      AbTest.msprt(frac, "g", col("b"), "x", tauMicro = 1000000L)
+    }
+    val reserved = Seq(("g", true, 1L)).toDF("g", "b", "__x")
+    intercept[IllegalArgumentException] {
+      AbTest.msprt(reserved, "g", col("b"), "__x", tauMicro = 1000000L)
+    }
+  }
 }

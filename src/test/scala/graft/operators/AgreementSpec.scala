@@ -91,4 +91,12 @@ class AgreementSpec extends SparkSuite {
     assert(out("pf") === 1000000L, s"$out")
     assert(out("nz") < 0L, s"$out")
   }
+
+  test("icc1: a fractional score column is refused eagerly rather " +
+      "than silently truncated at the long cast") {
+    val frac = Seq(("p", 1L, 1.5), ("p", 1L, 2.5)).toDF("p", "u", "x")
+    intercept[IllegalArgumentException] {
+      Agreement.icc1(frac, "p", "u", "x")
+    }
+  }
 }

@@ -112,4 +112,27 @@ class RobustStatsSpec extends SparkSuite {
     // even weights: p50 threshold 10 of 20 -> value 2 (cum 5,10,..)
     assert(out("e") === ((20L, 1L, 2L, 4L)), s"$out")
   }
+
+  test("weightedQuantiles: fractional value or weight columns are " +
+      "refused eagerly (silent long-truncation guard), and the " +
+      "cross-multiplied threshold survives >9.2e12 total weight") {
+    val frac = Seq(("g", 1.5, 1L)).toDF("g", "x", "w")
+    intercept[IllegalArgumentException] {
+      RobustStats.weightedQuantiles(frac, "g", "x", "w", Seq(500000L))
+    }
+    val fracW = Seq(("g", 1L, 1.5)).toDF("g", "x", "w")
+    intercept[IllegalArgumentException] {
+      RobustStats.weightedQuantiles(fracW, "g", "x", "w", Seq(500000L))
+    }
+    // Two values carrying 5e12 weight each: total weight 1e13 would
+    // wrap cumW*1e6 in pure long math (1e19 > Long.MaxValue); the
+    // DECIMAL widening must still pin the median to the first value
+    // (its cumulative 5e12 * 1e6 >= 1e13 * 500000 exactly at parity).
+    val heavy = Seq(("h", 1L, 5000000000000L), ("h", 2L, 5000000000000L))
+      .toDF("g", "x", "w")
+    val r = RobustStats.weightedQuantiles(heavy, "g", "x", "w",
+      Seq(500000L, 1000000L)).collect().head
+    assert(r.getLong(1) === 10000000000000L)
+    assert(r.getLong(2) === 1L && r.getLong(3) === 2L, s"$r")
+  }
 }
