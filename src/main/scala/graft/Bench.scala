@@ -498,14 +498,35 @@ object Bench {
           // spins land in tree_stages, so a contended artifact is
           // self-incriminating instead of silently wrong.
           perLoad :+= ("q_okcupid_tree" -> loadAvg())
-          // (wall, preSpin, postSpin, parPre, parPost, stages, acc)
+          // (wall, preSpin, postSpin, parPre, parPost, load, stages, acc)
           var reps = Vector.empty[(Double, Double, Double, Double,
-            Double, Seq[(String, Double)], Double)]
+            Double, Double, Seq[(String, Double)], Double)]
           var parQuiet = Double.MaxValue
           parallelCalibrate() // JIT-warm the probe: its first run
           // measures compilation of the thread lambda, not the box
+          // BENCH_r12 proved the spin/par probes alone pass
+          // contaminated reps (rep2: spins within 1.09x of quiet,
+          // fit 8x distorted — partial multi-core contention starves
+          // a 30-way stage but leaves 1-8 spare cores for the
+          // probes). /proc/loadavg DOES see it: the r12 artifact
+          // recorded 1-min load 4.2 at the flagship. So each rep is
+          // additionally REFUSED at start while load > 2.0 on this
+          // 32-cpu box (bounded wait, refusals recorded), and a rep
+          // that still started hot is never trusted.
+          var loadRefusals = 0.0
+          def loadGate(maxWaitSec: Int): Double = {
+            var l = loadAvg()
+            val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+            while (l > 2.0 && l >= 0.0 && System.nanoTime() < deadline) {
+              loadRefusals += 1
+              Thread.sleep(10000)
+              l = loadAvg()
+            }
+            l
+          }
           var trusted = 0
           while (trusted < 2 && reps.size < 5) {
+            val repLoad = loadGate(120)
             val pre = gate(120)
             val parPre = parallelCalibrate()
             parQuiet = math.min(parQuiet, parPre)
@@ -514,22 +535,26 @@ object Bench {
             quietMs = math.min(quietMs, post)
             val parPost = parallelCalibrate()
             parQuiet = math.min(parQuiet, parPost)
-            reps :+= ((r._1, pre, post, parPre, parPost, r._2, r._3))
+            reps :+= ((r._1, pre, post, parPre, parPost, repLoad,
+              r._2, r._3))
             if (pre <= quietMs * 1.4 && post <= quietMs * 1.4 &&
-                parPre <= parQuiet * 1.4 && parPost <= parQuiet * 1.4)
+                parPre <= parQuiet * 1.4 && parPost <= parQuiet * 1.4 &&
+                (repLoad <= 2.0 || repLoad < 0.0))
               trusted += 1
           }
           perCalib :+= ("q_okcupid_tree" -> reps.head._2)
           val best = reps.minBy(_._1)
-          treeStages = best._6 ++ reps.zipWithIndex.flatMap {
-            case ((sec, pre, post, parPre, parPost, _, _), i) => Seq(
+          treeStages = best._7 ++ reps.zipWithIndex.flatMap {
+            case ((sec, pre, post, parPre, parPost, ld, _, _), i) => Seq(
               s"rep${i + 1}_sec" -> sec,
               s"rep${i + 1}_pre_spin_ms" -> pre,
               s"rep${i + 1}_post_spin_ms" -> post,
               s"rep${i + 1}_par_pre_ms" -> parPre,
-              s"rep${i + 1}_par_post_ms" -> parPost)
-          } :+ ("par_quiet_ms" -> parQuiet)
-          treeAccuracy = best._7
+              s"rep${i + 1}_par_post_ms" -> parPost,
+              s"rep${i + 1}_load" -> ld)
+          } ++ Seq("par_quiet_ms" -> parQuiet,
+            "load_refusals" -> loadRefusals)
+          treeAccuracy = best._8
           Some(best._1)
         } catch {
           case e: Throwable =>
@@ -567,11 +592,25 @@ object Bench {
     // output tail is ~2000 chars, so the one stdout JSON line must stay
     // well under that — a headline subset, with everything else in
     // bench_full.json.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      (fullJson + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_full.json write failed: $e") }
+    // The working-tree bench_full.json is clobbered by ANY re-run
+    // (the r12 judge's flagship re-run overwrote the r12 detail), so
+    // the detail ALSO lands in a per-round file that re-runs within
+    // the round overwrite but later rounds never touch: round N is
+    // inferred as 1 + the highest committed BENCH_r*.json.
+    val roundN: Int =
+      try {
+        val dir = new java.io.File(".")
+        val pat = "BENCH_r(\\d+)\\.json".r
+        val prev = Option(dir.list()).getOrElse(Array.empty[String])
+          .collect { case pat(n) => n.toInt }
+        if (prev.isEmpty) 1 else prev.max + 1
+      } catch { case _: Throwable => 0 }
+    Seq("bench_full.json", s"bench_full_r$roundN.json").foreach { f =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(f), (fullJson + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $f write failed: $e") }
+    }
     System.err.println(fullJson)
     val compactKeys = Seq(
       "q1_agg", "q_join_agg", "q_topk_orders", "q_top_words",

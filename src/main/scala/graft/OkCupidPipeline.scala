@@ -164,6 +164,22 @@ object OkCupidPipeline {
     } finally tokens.unpersist()
   }
 
+  /** Tree-fit partition count: nRows/rowsPerPartition rounded up,
+    * clamped to [1, parallelism − 2]. The upper clamp ENFORCES the
+    * headroom rule the sweep comment above documents: the same
+    * round-11 sweep that measured 8.5 s at 30 busy partitions read a
+    * 52.9 s cliff at 32 (= every local[32] thread busy, starving
+    * Spark's scheduler/GC threads), so saturating `parallelism` is
+    * never the right answer — any corpus ≥ (parallelism−1)·2048 rows
+    * would land exactly on the measured cliff. Pure arithmetic so
+    * the spec pins the clamp without a fit.
+    */
+  private[graft] def treePartitions(
+      parallelism: Int, nRows: Long, rowsPerPartition: Long): Int = {
+    val cap = math.max(1, parallelism - 2).toLong
+    math.max(1L, math.min(cap, nRows / rowsPerPartition + 1)).toInt
+  }
+
   /** Split + train + evaluate on a persisted (label, features) frame.
     * Returns (confusion, accuracy, fit seconds, prune+eval seconds).
     */
@@ -194,8 +210,7 @@ object OkCupidPipeline {
     val rowsPerPartition =
       sys.env.get("SPARK_GRAFT_TREE_ROWS_PER_PART").map(_.toLong)
         .getOrElse(2048L)
-    val nPart = math.max(1L,
-      math.min(parallelism.toLong, nRows / rowsPerPartition + 1)).toInt
+    val nPart = treePartitions(parallelism, nRows, rowsPerPartition)
     val train = train0.repartition(nPart)
     val test = test0.repartition(nPart)
     val dt = new DecisionTreeClassifier()

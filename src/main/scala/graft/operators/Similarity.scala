@@ -354,29 +354,83 @@ object Similarity {
     * themselves sit at a = 0 and score s = 1 (or 0 when two corpus
     * vectors tie at distance 0 — the degenerate-denominator
     * convention). Output: (cell, n, mean_silhouette).
+    *
+    * `nlist = 0` (the default) DERIVES the codebook size from the
+    * corpus count — [[derivedNlist]], the same rule every other
+    * kNN-family consumer follows (a fixed nlist is not 100×-safe:
+    * cells hold n/nlist rows). Scale shape: full scoring is
+    * Θ(n·nlist) candidate rows; once the derived nlist exceeds
+    * `coarseThreshold` that itself stops being linear in n, so the
+    * operator switches to a two-level coarse quantizer (the IVF-of-
+    * the-codebook move): the nlist centroids are grouped into
+    * ncoarse = derivedNlist(nlist) super-cells, each point scores
+    * the ncoarse coarse centroids only (bounded top-2 aggregate) and
+    * then scores just the centroids of its top-2 coarse cells —
+    * Θ(n·(ncoarse + 2·targetCellRows)) work, linear in n again. The
+    * candidate join is deliberately un-hinted: the per-coarse-cell
+    * centroid table is codebook-sized, so AQE broadcasts it while it
+    * fits and shuffles on the coarse cell id when it no longer does.
+    * Top-2 pruning is the standard IVF approximation (the true
+    * nearest-other centroid can hide in a third coarse cell);
+    * SilhouetteSpec pins agreement with full scoring on a fixture.
     */
   def silhouetteSampledCodebook(
-      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int)
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int = 0,
+      targetCellRows: Long = 128L, coarseThreshold: Int = 256)
       : DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val centDf = sampledCodebook(corpus, idCol, vecCol, nlist)
-    val sims = corpus
+    val nl = if (nlist > 0) nlist
+      else derivedNlist(corpus.select(col(idCol)).count(), targetCellRows)
+    val centDf = sampledCodebook(corpus, idCol, vecCol, nl)
+    val rows = corpus
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
-      .crossJoin(centDf)
+    val candidates =
+      if (nl <= coarseThreshold)
+        rows.crossJoin(broadcast(centDf))
+          .select(col("__id"), col("__v"), col("cell"), col("centroid"))
+      else {
+        val ncoarse = derivedNlist(nl.toLong, targetCellRows)
+        val coarse = sampledCodebook(centDf, "cell", "centroid", ncoarse)
+          .select(col("cell").as("ccell"), col("centroid").as("ccent"))
+        // each fine centroid lands in its nearest coarse cell (ties
+        // to the smaller ccell — the assignCellsTo convention)
+        val centAssigned = centDf.crossJoin(broadcast(coarse))
+          .withColumn("__cc",
+            round(VectorFunctions.cosine(col("centroid"), col("ccent")), 6))
+          .groupBy(col("cell"))
+          .agg(max_by(struct(col("ccell"), col("centroid")),
+            struct(col("__cc"), negate(col("ccell")))).as("__b"))
+          .select(col("__b.ccell").as("ccell"), col("cell"),
+            col("__b.centroid").as("centroid"))
+        // per point: top-2 coarse cells via the bounded aggregate
+        val probes = rows.crossJoin(broadcast(coarse))
+          .withColumn("__cc",
+            round(VectorFunctions.cosine(col("__v"), col("ccent")), 6))
+          .groupBy(col("__id"))
+          .agg(graft.functions.top_k_by(col("__cc"), col("ccell"), 2)
+              .as("__top"),
+            first(col("__v")).as("__v"))
+          .select(col("__id"), col("__v"),
+            explode(col("__top")).as("__p"))
+          .select(col("__id"), col("__v"), col("__p.id").as("ccell"))
+        probes.join(centAssigned, Seq("ccell"))
+          .select(col("__id"), col("__v"), col("cell"), col("centroid"))
+      }
+    val sims = candidates
       .select(col("__id"), col("cell"),
         round(VectorFunctions.cosine(col("__v"), col("centroid")), 6)
           .as("__c"))
     val top2 = sims
       .groupBy(col("__id"))
-      // nlist-bounded list; order (csim desc, cell asc) via the
-      // (-csim, cell) sort key
-      .agg(sort_array(collect_list(
-        struct(negate(col("__c")).as("nc"), col("cell"), col("__c"))))
-        .as("__l"))
+      // bounded top-2 aggregate, (csim desc, cell asc) — the same
+      // total order the old nlist-wide sort_array(collect_list) gave,
+      // with k-capped partial buffers instead of nlist-wide arrays
+      .agg(graft.functions.top_k_by(col("__c"), col("cell"), 2)
+        .as("__t"))
       .select(col("__id"),
-        col("__l")(0)("cell").as("cell"),
-        col("__l")(0)("__c").as("__c1"),
-        col("__l")(1)("__c").as("__c2"))
+        col("__t")(0)("id").as("cell"),
+        col("__t")(0)("score").as("__c1"),
+        col("__t")(1)("score").as("__c2"))
     val a = lit(1.0) - col("__c1")
     val b = lit(1.0) - col("__c2")
     val s = when(greatest(a, b) === 0.0, lit(0.0))

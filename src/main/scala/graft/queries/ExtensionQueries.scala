@@ -6909,16 +6909,20 @@ object ExtensionQueries {
     // assignment: (b−a)/max(a,b) against own vs nearest-other
     // centroid on the 6-dp cosine lattice, cell means by the
     // order-free DECIMAL sum — the "should nlist change" gauge
-    // (Similarity.silhouetteSampledCodebook scaladoc). The oracle
-    // reuses the shared IVF assignment replay's asim CTE.
+    // (Similarity.silhouetteSampledCodebook scaladoc). nlist follows
+    // the kNN-family DERIVED rule (max(16, ceil(n/128)) — the r12
+    // fixed-16 was the one holdout), so the oracle replays the
+    // derived-codebook CTE chain; past nlist≈256 the operator
+    // switches to the two-level coarse-quantizer prune
+    // (SilhouetteSpec pins it), which these SFs never reach.
     QueryDef(
       "q_silhouette",
       (s, dir) =>
         Similarity.silhouetteSampledCodebook(
-            Tables.embeddings(s, dir), "vec_id", "embedding", nlist = 16)
+            Tables.embeddings(s, dir), "vec_id", "embedding")
           .orderBy(col("cell")),
       Some(s"""
-        WITH $ivfAssignCtes,
+        WITH $ivfAssignDerivedCtes,
         ranked2 AS (
           SELECT nid, cell, csim,
                  ROW_NUMBER() OVER (PARTITION BY nid

@@ -274,4 +274,18 @@ class PlanShapeSpec extends SparkSuite {
       s"expected exactly 1 hash exchange (domain window):\n$pd")
     assert(pd.contains("Window"), s"cap lost its window:\n$pd")
   }
+
+  test("silhouette rides the kNN-family conventions: the codebook " +
+      "cross is a BroadcastNestedLoopJoin (never CartesianProduct) " +
+      "and the top-2 is the bounded top_k_by aggregate, not a " +
+      "codebook-wide collect_list") {
+    val p = plan("q_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"codebook cross lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"q_silhouette plans a CartesianProduct:\n$p")
+    assert(p.contains("top_k_by"), s"bounded top-2 missing:\n$p")
+    assert(!p.contains("collect_list"),
+      s"unbounded collect_list crept back:\n$p")
+  }
 }
