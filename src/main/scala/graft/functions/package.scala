@@ -31,6 +31,13 @@ package object functions {
     Bridge.column(
       HyperplaneBucketsExpression(Bridge.expression(vec), bits, tables, seed))
 
+  /** PSL registrable ("owner") domain of a lowercase host column —
+    * static rule-base probes inside whole-stage codegen (see
+    * [[PublicSuffixes]]).
+    */
+  def registrable_domain(c: Column): Column =
+    Bridge.column(RegistrableDomainExpression(Bridge.expression(c)))
+
   /** Fused F5+F6 (tokenize + lower) as one codegen pass. */
   def tokenize_lower(c: Column): Column =
     Bridge.column(TokenizeLowerExpression(Bridge.expression(c)))

@@ -95,12 +95,13 @@ object UrlOps {
       regexp_extract(canonical, "^[a-z][a-z0-9+.-]*://([^/?:]*)", 1),
       "^www\\.", "")
 
-  /** Multi-label public suffixes recognized by
-    * [[registrableDomain]] — the high-traffic two-label subset of
-    * the public-suffix idea (country-code second-level domains).
-    * A full PSL is a data file a deployment would broadcast; the
-    * closed subset keeps the operator deterministic offline and the
-    * contract explicit.
+  /** The pre-r13 closed two-label suffix subset — now the documented
+    * FALLBACK rule base [[graft.functions.PublicSuffixes]] uses when
+    * the bundled PSL snapshot resource is absent (a stripped jar).
+    * The primary rule base is the pinned Public Suffix List snapshot
+    * at `src/main/resources/public_suffix_list.dat` (full grammar:
+    * 3+-label suffixes like `pvt.k12.ma.us`, wildcards `*.ck`,
+    * exceptions `!www.ck`, private suffixes like `github.io`).
     */
   val twoLabelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
@@ -110,25 +111,20 @@ object UrlOps {
     "com.hk", "co.th", "com.my", "co.id", "com.ph", "com.vn",
     "com.eg")
 
-  /** The registrable ("owner") domain of a host: the last two
-    * labels, or the last three when the last two form a recognized
-    * multi-label public suffix ([[twoLabelSuffixes]]) — so
-    * `a.b.example.co.uk` → `example.co.uk` and `sub.example.com` →
-    * `example.com`. A bare single-label host passes through
-    * unchanged. Pure array builtins; codegen-safe.
+  /** The registrable ("owner") domain of a host under the Public
+    * Suffix List ([[graft.functions.PublicSuffixes]]): public suffix
+    * + one label, with the full PSL grammar — `a.b.example.co.uk` →
+    * `example.co.uk`, `sub.example.com` → `example.com`, `a.x.github
+    * .io` → `x.github.io` (private suffix), `x.pvt.k12.ma.us` →
+    * itself (4-label suffix), `b.a.ck` → itself (wildcard `*.ck`),
+    * `a.www.ck` → `www.ck` (exception). A host that IS a public
+    * suffix (or a bare label) passes through unchanged — the dedup-
+    * grouping convention. A native codegen expression (static hash
+    * probes per row, no UDF, no broadcast): fuses into the scan
+    * projection like the rest of the layer.
     */
-  def registrableDomain(host: Column): Column = {
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val last2 = concat_ws(".",
-      element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3),
-      element_at(labels, -2), element_at(labels, -1))
-    val suffixes = typedLit(twoLabelSuffixes)
-    when(n <= 1, host)
-      .when(n >= 3 && array_contains(suffixes, last2), last3)
-      .otherwise(last2)
-  }
+  def registrableDomain(host: Column): Column =
+    graft.functions.registrable_domain(host)
 
   /** Per-domain cap (the C4/RefinedWeb balance rule): keep at most
     * `k` rows per registrable domain, best-first by `order`

@@ -8967,8 +8967,14 @@ object ExtensionQueries {
       lit("HTTPS://"),
       when(pmod(col("doc_id"), lit(3L)) === 0, lit("WWW."))
         .otherwise(lit("")),
+      // the extra label that makes the PSL cases non-degenerate:
+      // a.{source}.github.io must resolve to {source}.github.io
+      when(pmod(col("doc_id"), lit(11L)) === 0, lit("A."))
+        .otherwise(lit("")),
       upper(col("source")),
-      when(pmod(col("doc_id"), lit(5L)) === 0, lit(".CO.UK:443"))
+      when(pmod(col("doc_id"), lit(13L)) === 0, lit(".PVT.K12.MA.US"))
+        .when(pmod(col("doc_id"), lit(11L)) === 0, lit(".GITHUB.IO"))
+        .when(pmod(col("doc_id"), lit(5L)) === 0, lit(".CO.UK:443"))
         .otherwise(lit(".COM")),
       lit("//pages//"), pmod(col("doc_id"), lit(7L)),
       when(pmod(col("doc_id"), lit(2L)) === 0,
@@ -8981,13 +8987,16 @@ object ExtensionQueries {
     * UrlOps.registrableDomain, shared by the three URL oracles. Ends
     * in `canon(doc_id, n_chars, host, domain, canonical)`.
     */
-  private lazy val urlCanonCtes: String = """
+  private lazy val urlCanonCtes: String = raw"""
         raw AS (
           SELECT doc_id, n_chars,
                  'HTTPS://'
                    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0 THEN 'A.' ELSE '' END
                    || upper(source)
-                   || CASE WHEN doc_id % 5 = 0 THEN '.CO.UK:443'
+                   || CASE WHEN doc_id % 13 = 0 THEN '.PVT.K12.MA.US'
+                           WHEN doc_id % 11 = 0 THEN '.GITHUB.IO'
+                           WHEN doc_id % 5 = 0 THEN '.CO.UK:443'
                            ELSE '.COM' END
                    || '//pages//' || CAST(doc_id % 7 AS VARCHAR)
                    || CASE WHEN doc_id % 2 = 0
@@ -8998,7 +9007,7 @@ object ExtensionQueries {
           FROM documents),
         nf AS (
           SELECT doc_id, n_chars,
-                 regexp_replace(url, '#.*$', '') AS u
+                 regexp_replace(url, '#.*$$', '') AS u
           FROM raw),
         parts AS (
           SELECT doc_id, n_chars,
@@ -9016,15 +9025,15 @@ object ExtensionQueries {
           FROM parts),
         hp2 AS (
           SELECT *,
-                 regexp_replace(hostport, ':[0-9]+$', '') AS host,
-                 regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+                 regexp_replace(hostport, ':[0-9]+$$', '') AS host,
+                 regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
                  regexp_replace(regexp_extract(rest,
                    '^[^/?]*([^?]*)', 1), '/{2,}', '/', 'g') AS cp
           FROM hostp),
         pq AS (
           SELECT *,
                  CASE WHEN cp = '' THEN '/'
-                      WHEN cp <> '/' THEN regexp_replace(cp, '/$', '')
+                      WHEN cp <> '/' THEN regexp_replace(cp, '/$$', '')
                       ELSE cp END AS path,
                  array_to_string(list_sort(list_filter(
                    string_split(query, '&'),
@@ -9033,20 +9042,32 @@ object ExtensionQueries {
                    '&') AS q
           FROM hp2),
         dom AS (
-          SELECT *, string_split(host, '.') AS ls FROM pq),
+          SELECT *, string_split(host, '.') AS ls,
+                 len(string_split(host, '.')) AS hn
+          FROM pq),
+        -- the PSL rule base, generated from the SAME loader the Spark
+        -- expression reads (PublicSuffixes.oracleValuesSql): mstr =
+        -- the string the host's trailing mk labels must equal, publen
+        -- = resulting public-suffix label count, pri = precedence
+        -- (exceptions 10000, else publen - longest suffix wins)
+        pslr(mstr, mk, publen, pri) AS (VALUES
+            ${graft.functions.PublicSuffixes.oracleValuesSql}),
+        pmatch AS (
+          SELECT d.doc_id,
+                 COALESCE(
+                   MAX(CASE WHEN p.pri >= 10000 THEN p.publen END),
+                   MAX(p.publen), 1) AS publen
+          FROM dom d LEFT JOIN pslr p
+            ON p.mk <= d.hn
+           AND array_to_string(d.ls[d.hn - p.mk + 1 : d.hn], '.')
+               = p.mstr
+          GROUP BY d.doc_id),
         canon AS (
-          SELECT doc_id, n_chars, host,
-                 CASE WHEN len(ls) <= 1 THEN host
-                      WHEN len(ls) >= 3 AND list_contains(
-                          ['co.uk','org.uk','ac.uk','gov.uk','me.uk',
-                           'com.au','net.au','org.au','co.jp','ne.jp',
-                           'or.jp','co.kr','com.br','com.mx','co.in',
-                           'co.za','com.cn','com.tw','com.sg','co.nz',
-                           'com.ar','com.tr','co.il','com.hk','co.th',
-                           'com.my','co.id','com.ph','com.vn','com.eg'],
-                          ls[-2] || '.' || ls[-1])
-                        THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
-                      ELSE ls[-2] || '.' || ls[-1] END AS domain,
+          SELECT d.doc_id, d.n_chars, d.host,
+                 CASE WHEN d.hn <= pm.publen + 1 THEN d.host
+                      ELSE array_to_string(
+                             d.ls[d.hn - pm.publen : d.hn], '.')
+                 END AS domain,
                  scheme || '://' || host
                    || CASE WHEN port <> ''
                             AND NOT ((scheme = 'http' AND port = '80')
@@ -9056,7 +9077,7 @@ object ExtensionQueries {
                    || path
                    || CASE WHEN q <> '' THEN '?' || q ELSE '' END
                    AS canonical
-          FROM dom)"""
+          FROM dom d JOIN pmatch pm ON pm.doc_id = d.doc_id)"""
 
   /** DECOMPOSED "cafe\u0301 A\u030A" — e and A followed by combining
     * marks (acute, ring), so NFC composition shortens the suffix by
