@@ -4,8 +4,6 @@ import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.{Log10IDF, StratifiedSplit, TrimmedCountVectorizer}
 import org.apache.spark.ml.classification.DecisionTreeClassifier
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{PCA, StandardScaler}
 import org.apache.spark.sql.functions._
 
 /** ML operator queries (SURVEY §2.8) built from the engine's library
@@ -145,26 +143,28 @@ object MLQueries {
         ORDER BY d.doc_id
       """)),
 
-    // M8 — k-means on the embeddings table (k=10, fixed seed); cluster
-    // sizes + training cost. The reference's nstart=50 best-of-restarts
-    // intent is available via graft.operators.KMeansBestOfSeeds.
+    // M8 — k-means on the embeddings table: deterministic Lloyd's
+    // iterations (k=10, 3 steps) from the sampled-codebook init, all
+    // arithmetic on the exact micro lattice, so cluster sizes AND
+    // training cost hash-match a generated-CTE DuckDB replay (the
+    // q_coreset/q_pagerank unroll precedent — this was a no_oracle
+    // row through r12). The reference's nstart=50 best-of-restarts
+    // intent stays available via graft.operators.KMeansBestOfSeeds
+    // (seeded MLlib k-means||, spec-pinned).
     QueryDef(
       "q_kmeans_cost",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-          .select(VectorFunctions.toMlVector(col("embedding")).as("features"))
-        val km = new KMeans()
-          .setK(10).setSeed(42L).setFeaturesCol("features")
-          .setPredictionCol("cluster")
-        val model = km.fit(emb)
-        val cost = model.summary.trainingCost
-        model.summary.predictions
-          .groupBy(col("cluster"))
-          .agg(count(lit(1)).as("size"))
-          .withColumn("training_cost", round(lit(cost), 4))
-          .orderBy(col("cluster"))
-      },
-      None),
+      (s, dir) =>
+        graft.operators.LloydKMeans.fitSummary(
+            Tables.embeddings(s, dir), "vec_id", "embedding",
+            k = 10, iters = 3)
+          .orderBy(col("cluster")),
+      Some(s"""
+        WITH ${lloydCtes(10, 3)}
+        SELECT cell AS cluster, COUNT(*) AS size,
+               CAST(SUM(dist) AS BIGINT) AS cost_micro2
+        FROM af GROUP BY 1
+        ORDER BY cluster
+      """)),
 
     // M9 — t-SNE (R:318-322), the real thing rather than the PCA-2D
     // substitute: exact seeded t-SNE (operators.Tsne) over a
@@ -181,26 +181,80 @@ object MLQueries {
           .orderBy(col("vec_id")),
       None),
 
-    // M10 — standardize (guarding zero-variance is unnecessary on the
-    // synthetic embeddings; see OkCupidPipeline for the guarded path)
-    // then PCA; per-component explained variance.
+    // M10 — standardized PCA explained variance, the DETERMINISTIC
+    // spectral path (operators.SpectralPca: exact integer moments →
+    // driver-side correlation eigen — a pure function of the parquet
+    // bytes, proven repartition-stable). That determinism is what
+    // lets the oracle PIN the sf0.01 fixture's spectrum as constants
+    // (the q_tokenize_icu shared-constant precedent; this was a
+    // no_oracle row through r12) — the driver compare now guards the
+    // scan → exact-moments → eigen chain end to end. The MLlib
+    // StandardScaler+PCA chain remains the fidelity path in
+    // OkCupidPipeline (zero-var guard, quirk Q7). NOTE: the pinned
+    // VALUES are the sf0.01 verify fixture's spectrum; re-pin via
+    // SpectralPcaSpec's printout if the fixture ever changes.
     QueryDef(
       "q_pca_variance",
-      (s, dir) => {
-        import s.implicits._
-        val emb = Tables.embeddings(s, dir)
-          .select(VectorFunctions.toMlVector(col("embedding")).as("features"))
-        val scaler = new StandardScaler()
-          .setWithMean(true).setWithStd(true)
-          .setInputCol("features").setOutputCol("scaled")
-        val scaled = scaler.fit(emb).transform(emb)
-        val pca = new PCA().setK(8).setInputCol("scaled").setOutputCol("pc")
-        val model = pca.fit(scaled)
-        model.explainedVariance.toArray.zipWithIndex
-          .map { case (v, i) => (i, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
-          .toSeq.toDF("component", "explained_variance")
-          .orderBy(col("component"))
-      },
-      None)
+      (s, dir) =>
+        graft.operators.SpectralPca.explainedVariance(
+            Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
+          .orderBy(col("component")),
+      Some("""
+        SELECT * FROM (VALUES
+          (0, 0.027272), (1, 0.026912), (2, 0.026504), (3, 0.025643),
+          (4, 0.025003), (5, 0.024863), (6, 0.023848), (7, 0.022975))
+          AS t(component, explained_variance)
+        ORDER BY component
+      """))
   )
+
+  /** The DuckDB replay of [[graft.operators.LloydKMeans.fitSummary]]
+    * — `iters` Lloyd steps unrolled as generated CTEs (assign →
+    * re-center → keep-empty), every quantity on the same micro
+    * lattice the Spark operator uses. Ends in `af(id, cell, dist)`,
+    * the final assignment with its exact integer distance².
+    */
+  private def lloydCtes(k: Int, iters: Int): String = {
+    val init = s"""dims AS (
+          SELECT vec_id AS id, generate_subscripts(embedding, 1) AS i,
+                 CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+                      AS BIGINT) AS xm
+          FROM embeddings
+          WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        c0 AS (
+          SELECT d.id AS cell, d.i, d.xm AS cm FROM dims d
+          WHERE d.id IN (SELECT vec_id FROM embeddings
+                         ORDER BY vec_id LIMIT $k))"""
+    val steps = (1 to iters).map { t =>
+      s""",
+        d$t AS (
+          SELECT d.id, c.cell,
+                 SUM((d.xm - c.cm) * (d.xm - c.cm)) AS dist
+          FROM dims d JOIN c${t - 1} c ON c.i = d.i GROUP BY 1, 2),
+        a$t AS (
+          SELECT id, cell FROM (
+            SELECT id, cell, ROW_NUMBER() OVER (
+              PARTITION BY id ORDER BY dist, cell) AS rn
+            FROM d$t) WHERE rn = 1),
+        u$t AS (
+          SELECT a.cell, d.i,
+                 CAST(ROUND(CAST(SUM(d.xm) AS DOUBLE) / COUNT(*))
+                      AS BIGINT) AS cm
+          FROM a$t a JOIN dims d ON d.id = a.id GROUP BY 1, 2),
+        c$t AS (
+          SELECT p.cell, p.i, COALESCE(u.cm, p.cm) AS cm
+          FROM c${t - 1} p
+          LEFT JOIN u$t u ON u.cell = p.cell AND u.i = p.i)"""
+    }.mkString
+    init + steps + s""",
+        df AS (
+          SELECT d.id, c.cell,
+                 SUM((d.xm - c.cm) * (d.xm - c.cm)) AS dist
+          FROM dims d JOIN c$iters c ON c.i = d.i GROUP BY 1, 2),
+        af AS (
+          SELECT id, cell, dist FROM (
+            SELECT id, cell, dist, ROW_NUMBER() OVER (
+              PARTITION BY id ORDER BY dist, cell) AS rn
+            FROM df) WHERE rn = 1)"""
+  }
 }
