@@ -278,6 +278,71 @@ object DistributionTests {
         round(f, 6).as("f_stat"))
   }
 
+  /** Games-Howell post-hoc pairwise comparisons (Games & Howell
+    * 1976) — the step AFTER a significant [[oneWayAnova]], the
+    * parametric mirror of [[NonParametric.conoverIman]]'s rank
+    * post-hocs: ANOVA says "some group mean differs", Games-Howell
+    * says WHICH pairs, without assuming equal variances or equal
+    * group sizes (each pair gets its own Welch standard error and
+    * Welch-Satterthwaite df — the [[welchT]] machinery applied
+    * pairwise):
+    *
+    *   t_ij = (m_i − m_j)/√(s_i + s_j),   s_g = v_g/n_g
+    *   df_ij = (s_i+s_j)²/(s_i²/(n_i−1) + s_j²/(n_j−1))
+    *   q_ij = |t_ij|·√2      (the studentized-range statistic)
+    *
+    * Sufficient statistics are exact per group (n long, Σx long, Σx²
+    * DECIMAL; each variance numerator n·Σx² − (Σx)² is formed in
+    * DECIMAL and cast to double ONCE), then one written IEEE
+    * sequence per output cell at the micro edge — mirrored in the
+    * oracle SQL. Pairs enumerate over the GROUP-STATS table
+    * (k²-bounded, broadcast nested-loop on g1 < g2 — the table of
+    * groups, never the corpus). NULL values drop (the family
+    * convention); fractional inputs are refused.
+    *
+    * Output: (g1, g2, n1, n2, t_micro, df_micro, q_micro) for every
+    * g1 < g2 with both n ≥ 2 and a positive pooled standard error.
+    */
+  def gamesHowell(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    NonParametric.requireIntegral(df, valueCol)
+    val d38 = DecimalType(38, 0)
+    val perGroup = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        col(valueCol).cast("long").as("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x").cast(d38) * col("__x").cast(d38)).as("__sxx"))
+      .filter(col("__n") >= 2L)
+      .select(col("__g"), col("__n"), col("__s"),
+        (col("__n").cast(d38) * col("__sxx") -
+          col("__s").cast(d38) * col("__s").cast(d38)).as("__vn"))
+    val a = perGroup.select(col("__g").as("g1"), col("__n").as("n1"),
+      col("__s").as("__s1"), col("__vn").as("__vn1"))
+    val b = perGroup.select(col("__g").as("g2"), col("__n").as("n2"),
+      col("__s").as("__s2"), col("__vn").as("__vn2"))
+    val n1D = col("n1").cast("double")
+    val n2D = col("n2").cast("double")
+    val sA = col("__vn1").cast("double") /
+      (n1D * (n1D - lit(1.0))) / n1D
+    val sB = col("__vn2").cast("double") /
+      (n2D * (n2D - lit(1.0))) / n2D
+    val se2 = sA + sB
+    val t = (col("__s1").cast("double") / n1D -
+      col("__s2").cast("double") / n2D) / sqrt(se2)
+    val dfW = se2 * se2 /
+      (sA * sA / (n1D - lit(1.0)) + sB * sB / (n2D - lit(1.0)))
+    a.join(broadcast(b), col("g1") < col("g2"))
+      .withColumn("__se2", se2)
+      .filter(col("__se2") > 0.0)
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        round(t * lit(1e6)).cast("long").as("t_micro"),
+        round(dfW * lit(1e6)).cast("long").as("df_micro"),
+        round(abs(t) * sqrt(lit(2.0)) * lit(1e6)).cast("long")
+          .as("q_micro"))
+  }
+
   /** Two-sample Cramér-von Mises criterion per group (Anderson 1962)
     * — the whole-ECDF companion to [[ksTwoSample]]: where KS reads
     * only the single largest ECDF gap, CvM integrates the SQUARED
@@ -409,6 +474,65 @@ object DistributionTests {
         col("n_bins"),
         round(col("__tsum").cast("double") / lit(1e9) * lit(1e6))
           .cast("long").as("psi_micro"))
+  }
+
+  /** [[psi]] with ENGINE-DERIVED equal-frequency bins — drift
+    * monitoring without a caller-side pass over the corpus to decide
+    * bin edges (the gap [[psi]]'s explicit-bins contract left open):
+    * the B−1 interior edges are the reference cohort's exact
+    * equal-frequency quantiles, each pinned as the lower order
+    * statistic (smallest v with cumCount·B ≥ i·N — the
+    * [[RobustStats.weightedQuantiles]] cross-multiplied integral
+    * threshold with unit weights), so the edges — and therefore the
+    * PSI — are a pure function of the data both engines replay.
+    * bin(x) = #edges ≤ x; duplicate edges (a value owning several
+    * quantiles) collapse naturally to fewer occupied bins.
+    *
+    * Shape: the edge derivation is a cumulative window over the
+    * reference cohort's DISTINCT values (never a row sort of the
+    * corpus) + B−1 bounded mini-aggregates to a groups×(B−1) edge
+    * table; binning is one broadcast join of that edge table with a
+    * size(filter(...)) probe; then the [[psi]] rollup. Groups whose
+    * reference cohort is empty are dropped (no edges to bin
+    * against — the n_a > 0 filter [[psi]] already applies).
+    *
+    * Output: the [[psi]] frame — (group, n_a, n_b, n_bins,
+    * psi_micro).
+    */
+  def psiBinned(
+      df: DataFrame, groupCol: String, inB: Column, valueCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins: $nBins")
+    Reserved.check("input" -> df)
+    NonParametric.requireIntegral(df, valueCol)
+    val rows = df
+      .where(inB.isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), inB.as("__b"),
+        col(valueCol).cast("long").as("__x"))
+    val refByValue = rows.filter(!col("__b"))
+      .groupBy(col("__g"), col("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("__g"))
+    val cum = refByValue.select(col("__g"), col("__x"),
+      sum(col("__c")).over(wCum).as("__cw"),
+      sum(col("__c")).over(wG).as("__n"))
+    val edges = (1 until nBins).map { i =>
+      cum.filter(col("__cw") * lit(nBins.toLong) >=
+          col("__n") * lit(i.toLong))
+        .groupBy(col("__g"))
+        .agg(min(col("__x")).as("__e"))
+    }.reduce(_ unionByName _)
+    val edgeArr = edges.groupBy(col("__g"))
+      .agg(sort_array(collect_set(col("__e"))).as("__edges"))
+    val binned = rows.join(broadcast(edgeArr), Seq("__g"))
+      .withColumn("__bin",
+        expr("size(filter(__edges, e -> e <= __x))").cast("long"))
+      .select(col("__g").as("grp"), col("__b").as("in_b"),
+        col("__bin").as("bin"))
+    psi(binned, "grp", col("in_b"), "bin")
+      .withColumnRenamed("grp", groupCol)
   }
 
   /** Two-sample energy distance per group (Székely & Rizzo 2004) —

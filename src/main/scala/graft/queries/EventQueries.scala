@@ -1585,6 +1585,98 @@ object EventQueries {
           .orderBy(col("event_type")),
       Some(psiOracle)),
 
+    // PSI with ENGINE-DERIVED equal-frequency bins on the raw cents
+    // values — q_psi requires the caller to pre-bucket (explicit
+    // 10-dollar bins); here the 9 interior edges are the reference
+    // cohort's exact equal-frequency quantiles (lower order
+    // statistics on the cross-multiplied integral threshold), so
+    // drift monitoring needs no caller-side pass over 100 TB to
+    // decide edges and the whole chain stays oracle-replayable
+    // (DistributionTests.psiBinned scaladoc).
+    QueryDef(
+      "q_psi_binned",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.psiBinned(
+            Tables.events(s, dir)
+              .select(col("event_type"), col("user_id"),
+                expr("CAST(ROUND(value * 100) AS BIGINT)").as("cents")),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "cents", nBins = 10)
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events),
+        rv AS (
+          SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS c
+          FROM e WHERE NOT b GROUP BY 1, 2),
+        cum AS (
+          SELECT event_type, x,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY x)
+                   AS cw,
+                 SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM rv),
+        ed AS (
+          SELECT event_type, q.i, MIN(x) AS e
+          FROM cum CROSS JOIN
+               (SELECT unnest(range(1, 10)) AS i) q
+          WHERE cw * 10 >= n * q.i
+          GROUP BY 1, 2),
+        edd AS (SELECT DISTINCT event_type, e FROM ed),
+        vals AS (SELECT DISTINCT event_type, x FROM e
+                 WHERE event_type IN (SELECT event_type FROM edd)),
+        vb AS (
+          SELECT v.event_type, v.x, CAST(COUNT(d.e) AS BIGINT) AS bin
+          FROM vals v LEFT JOIN edd d
+            ON d.event_type = v.event_type AND d.e <= v.x
+          GROUP BY 1, 2),
+        eb AS (
+          SELECT e.event_type, e.b, vb.bin
+          FROM e JOIN vb
+            ON vb.event_type = e.event_type AND vb.x = e.x),
+        pb AS (
+          SELECT event_type, bin,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM eb GROUP BY 1, 2),
+        mk AS (
+          SELECT *,
+                 SUM(ca) OVER (PARTITION BY event_type) AS na,
+                 SUM(cb) OVER (PARTITION BY event_type) AS nb,
+                 COUNT(*) OVER (PARTITION BY event_type) AS nbins
+          FROM pb),
+        tm AS (
+          SELECT event_type, na, nb, nbins,
+                 CAST(ROUND((
+                     (CAST(ca AS DOUBLE) + 1.0)
+                       / (CAST(na AS DOUBLE) + CAST(nbins AS DOUBLE))
+                   - (CAST(cb AS DOUBLE) + 1.0)
+                       / (CAST(nb AS DOUBLE) + CAST(nbins AS DOUBLE)))
+                   * ln(((CAST(ca AS DOUBLE) + 1.0)
+                         / (CAST(na AS DOUBLE)
+                            + CAST(nbins AS DOUBLE)))
+                        / ((CAST(cb AS DOUBLE) + 1.0)
+                           / (CAST(nb AS DOUBLE)
+                              + CAST(nbins AS DOUBLE))))
+                   * 1e9) AS BIGINT) AS t
+          FROM mk)
+        SELECT event_type,
+               CAST(MAX(na) AS BIGINT) AS n_a,
+               CAST(MAX(nb) AS BIGINT) AS n_b,
+               CAST(MAX(nbins) AS BIGINT) AS n_bins,
+               CAST(ROUND(CAST(SUM(t) AS DOUBLE) / 1e9 * 1e6)
+                 AS BIGINT) AS psi_micro
+        FROM tm GROUP BY 1
+        HAVING MAX(na) > 0 AND MAX(nb) > 0
+        ORDER BY event_type
+      """)),
+
     // Two-sample energy distance on the SAME cohort split as
     // q_ks_test / q_cvm_test — the metric-space test consistent
     // against EVERY fixed alternative: the pairwise |x−y| sums are

@@ -5902,6 +5902,54 @@ object ExtensionQueries {
           AND CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE) > 0.0
       """)),
 
+    // Games-Howell post-hoc pairwise comparisons on the SAME fixture
+    // as q_anova — the parametric which-pairs answer after a
+    // significant F, completing the post-hoc symmetry with the rank
+    // family (Conover-Iman after KW, Conover after Friedman). Welch
+    // SE + Welch-Satterthwaite df per pair from exact integer group
+    // moments, pair table k²-bounded
+    // (DistributionTests.gamesHowell scaladoc).
+    QueryDef(
+      "q_anova_posthoc",
+      (s, dir) =>
+        DistributionTests.gamesHowell(
+            Tables.documents(s, dir), "source", "n_chars")
+          .orderBy(col("g1"), col("g2")),
+      Some("""
+        WITH g AS (
+          SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(n_chars) AS BIGINT) AS s,
+                 CAST(CAST(count(*) AS HUGEINT)
+                        * SUM(CAST(n_chars AS HUGEINT) * n_chars)
+                      - CAST(sum(n_chars) AS HUGEINT)
+                        * CAST(sum(n_chars) AS HUGEINT)
+                      AS DOUBLE) AS vn
+          FROM documents WHERE n_chars IS NOT NULL
+          GROUP BY 1 HAVING count(*) >= 2),
+        p AS (
+          SELECT a.grp AS g1, b.grp AS g2, a.n AS n1, b.n AS n2,
+                 a.vn / (CAST(a.n AS DOUBLE)
+                         * (CAST(a.n AS DOUBLE) - 1.0))
+                   / CAST(a.n AS DOUBLE) AS sa,
+                 b.vn / (CAST(b.n AS DOUBLE)
+                         * (CAST(b.n AS DOUBLE) - 1.0))
+                   / CAST(b.n AS DOUBLE) AS sb,
+                 CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                   - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS md
+          FROM g a JOIN g b ON a.grp < b.grp)
+        SELECT g1, g2, n1, n2,
+               CAST(ROUND(md / sqrt(sa + sb) * 1e6) AS BIGINT)
+                 AS t_micro,
+               CAST(ROUND((sa + sb) * (sa + sb)
+                    / (sa * sa / (CAST(n1 AS DOUBLE) - 1.0)
+                       + sb * sb / (CAST(n2 AS DOUBLE) - 1.0))
+                    * 1e6) AS BIGINT) AS df_micro,
+               CAST(ROUND(abs(md / sqrt(sa + sb)) * sqrt(2.0) * 1e6)
+                    AS BIGINT) AS q_micro
+        FROM p WHERE sa + sb > 0
+        ORDER BY g1, g2
+      """)),
+
     // Brown-Forsythe robust variance-homogeneity test on the SAME
     // fixture as q_anova — "do the sources draw lengths with the
     // same SPREAD", the assumption check beside q_anova's mean

@@ -143,4 +143,84 @@ class DistributionTestsSpec extends SparkSuite {
       .collect().toSeq
     assert(a === b)
   }
+
+  test("gamesHowell pins the textbook Welch pair: means 5 vs 10, " +
+      "variances 2.5 vs 10, t = -5/sqrt(2.5), df from " +
+      "Welch-Satterthwaite; q = |t|*sqrt(2); pair table covers " +
+      "every g1 < g2") {
+    // A: 3,4,5,6,7 (n=5, mean 5, var 2.5, s_A = 0.5)
+    // B: 6,8,10,12,14 (n=5, mean 10, var 10, s_B = 2)
+    // t = -5/sqrt(2.5) = -3.162278
+    // df = 2.5^2 / (0.25/4 + 4/4) = 6.25/1.0625 = 5.882353
+    val df = (Seq(3, 4, 5, 6, 7).map(("a", _)) ++
+      Seq(6, 8, 10, 12, 14).map(("b", _)) ++
+      Seq(1, 1, 1).map(("c", _))) // degenerate: zero variance, n=3
+      .toDF("g", "x")
+    val out = DistributionTests.gamesHowell(df, "g", "x")
+      .orderBy("g1", "g2").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    val ab = out(("a", "b"))
+    assert(ab._1 === 5L && ab._2 === 5L)
+    assert(ab._3 === math.round(-5.0 / math.sqrt(2.5) * 1e6), s"$ab")
+    assert(ab._4 === math.round(6.25 / 1.0625 * 1e6), s"$ab")
+    assert(ab._5 === math.round(5.0 / math.sqrt(2.5) * math.sqrt(2.0)
+      * 1e6), s"$ab")
+    // zero-variance c still pairs against a and b (its SE comes from
+    // the other side); all three pairs present
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // fractional input refused, single-row groups dropped
+    intercept[IllegalArgumentException] {
+      DistributionTests.gamesHowell(Seq(("a", 1.5)).toDF("g", "x"),
+        "g", "x")
+    }
+    val lone = (Seq(3, 4, 5).map(("a", _)) :+ (("b", 9))).toDF("g", "x")
+    val loneOut = DistributionTests.gamesHowell(lone, "g", "x").collect()
+    assert(loneOut.isEmpty) // b has n=1 -> no pair survives
+  }
+
+  test("psiBinned derives equal-frequency edges from the reference " +
+      "cohort: identical cohorts read ~0, a planted shift reads " +
+      "well past the 0.25 action band, and a ref-empty group drops") {
+    val rng = new scala.util.Random(7)
+    val same = (1 to 2000).map(i =>
+      ("same", i % 2 == 1, rng.nextInt(1000).toLong))
+    val shifted = (1 to 2000).map { i =>
+      val b = i % 2 == 1
+      ("shift", b, (rng.nextInt(1000) + (if (b) 800 else 0)).toLong)
+    }
+    val refEmpty = (1 to 50).map(i => ("noref", true, i.toLong))
+    val df = (same ++ shifted ++ refEmpty).toDF("g", "b", "x")
+    val out = DistributionTests.psiBinned(df, "g", col("b"), "x", 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    assert(!out.contains("noref"), s"$out")
+    assert(out("same")._1 === 10L, s"$out")
+    assert(math.abs(out("same")._2) < 100000L, s"$out") // PSI < 0.1
+    assert(out("shift")._2 > 250000L, s"$out")          // PSI > 0.25
+    // fractional values refused (edge derivation would truncate)
+    intercept[IllegalArgumentException] {
+      DistributionTests.psiBinned(
+        Seq(("g", true, 1.5)).toDF("g", "b", "x"), "g", col("b"),
+        "x", 10)
+    }
+    // partition-deterministic (edges are exact order statistics)
+    val a = DistributionTests.psiBinned(df, "g", col("b"), "x", 10)
+      .orderBy("g").collect().toSeq
+    val b2 = DistributionTests.psiBinned(df.repartition(13), "g",
+        col("b"), "x", 10)
+      .orderBy("g").collect().toSeq
+    assert(a === b2)
+  }
+
+  test("gamesHowell is partitioning-independent") {
+    val df = (1 to 300).map(i => (s"g${i % 4}", (i * 7) % 23))
+      .toDF("g", "x")
+    val a = DistributionTests.gamesHowell(df, "g", "x")
+      .orderBy("g1", "g2").collect().toSeq
+    val b = DistributionTests.gamesHowell(df.repartition(13), "g", "x")
+      .orderBy("g1", "g2").collect().toSeq
+    assert(a === b && a.size === 6)
+  }
 }
