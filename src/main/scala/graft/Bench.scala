@@ -155,7 +155,13 @@ object Bench {
     "q_stream_energy", "q_krippendorff", "q_isotonic", "q_logrank",
     "q_kmv_setops", "q_format_roundtrip", "q_weighted_quantiles",
     "q_msprt", "q_stream_msprt", "q_psi", "q_stream_psi",
-    "q_conover_posthoc", "q_friedman_posthoc", "q_icc")
+    "q_conover_posthoc", "q_friedman_posthoc", "q_icc",
+    // round-13 additions: parametric post-hoc + sketch-free PSI bins,
+    // then the whiteness/drift/survival completions
+    "q_anova_posthoc", "q_psi_binned",
+    "q_kuiper", "q_ad_test", "q_gtest",
+    "q_ljung_box", "q_durbin_watson", "q_rmst",
+    "q_cmh", "q_tpch_q6")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

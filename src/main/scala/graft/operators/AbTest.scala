@@ -352,4 +352,81 @@ object AbTest {
         when(round(llr10 * lit(1e6)).cast("long") >= thr, "reject_h0")
           .otherwise("continue").as("decision"))
   }
+
+  /** Cochran-Mantel-Haenszel test (Mantel & Haenszel 1959) — the
+    * STRATIFIED two-proportion test: does cohort B convert
+    * differently from A after controlling for a confounding stratum
+    * (source, country, device)? A pooled [[twoProportion]] can point
+    * the WRONG WAY when strata differ in both mix and base rate
+    * (Simpson's paradox); CMH compares each stratum's 2×2 table
+    * against its own hypergeometric expectation and sums:
+    *
+    *   per stratum: O = n₁₁,  E = n₁₊·n₊₁/n,
+    *                V = n₁₊·n₀₊·n₊₁·n₊₀ / (n²(n−1))
+    *   CMH = (ΣO − ΣE)² / ΣV   ~ χ²(1)   (no continuity correction)
+    *
+    * Exactness: the [[graft.operators.Survival.logRank]] lattice —
+    * per-stratum counts are exact longs; E rides the div+remnano
+    * split (integer quotient DECIMAL-summed, remainder fraction
+    * nano-snapped and integer-summed); each V is ONE written IEEE
+    * sequence of exact integers snapped alone to nano and
+    * integer-summed (order-free under any partitioning); the χ² edge
+    * is one IEEE sequence at the micro lattice, and the verdict is
+    * the integer comparison chi2_micro > crit4·100 against the
+    * caller's 4-dp χ²(1) critical value. n₁₊·n₊₁ runs in long —
+    * exact to ~3·10⁹ rows per stratum (the logRank d·n bound).
+    *
+    * Shape: ONE map-side-combined aggregation to stratum rows, then
+    * a stratum-count-sized re-aggregation — no join, no window.
+    * Strata with n < 2 drop (V undefined); rows with NULL cohort or
+    * outcome drop (the [[rankSum]] convention). Output: one row
+    * (k_strata, o, e_nano, v_nano, chi2_micro, verdict); ΣV = 0
+    * (every stratum degenerate) yields no row.
+    */
+  def cmh(
+      df: DataFrame, strataCol: String, inB: Column, success: Column,
+      crit4: Long = 38415L): DataFrame = {
+    require(crit4 > 0, s"crit4: $crit4")
+    Reserved.check("input" -> df)
+    val d38 = DecimalType(38, 0)
+    val per = df
+      .filter(inB.isNotNull && success.isNotNull)
+      .select(col(strataCol).as("__s"), inB.as("__b"), success.as("__y"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("__m1"),
+        sum(when(col("__b") && col("__y"), 1L).otherwise(0L)).as("__o"))
+      .filter(col("__n") >= 2)
+    val terms = per.select(col("__o"),
+      expr("(__n1 * __m1) div __n").as("__eq"),
+      round(pmod(col("__n1") * col("__m1"), col("__n")).cast("double") /
+        col("__n").cast("double") * lit(1e9)).cast("long").as("__er"),
+      round(col("__n1").cast("double") *
+        (col("__n") - col("__n1")).cast("double") *
+        col("__m1").cast("double") *
+        (col("__n") - col("__m1")).cast("double") /
+        (col("__n").cast("double") * col("__n").cast("double") *
+          (col("__n").cast("double") - lit(1.0))) * lit(1e9))
+        .cast("long").as("__vn"))
+    val dev = col("o").cast("double") -
+      (col("__eqsum").cast("double") +
+        col("__ersum").cast("double") / lit(1e9))
+    val chi2Micro = round(dev * dev /
+      (col("v_nano").cast("double") / lit(1e9)) * lit(1e6)).cast("long")
+    terms
+      .agg(count(lit(1)).as("k_strata"),
+        sum(col("__o")).as("o"),
+        sum(col("__eq").cast(d38)).as("__eqsum"),
+        sum(col("__er")).as("__ersum"),
+        sum(col("__vn")).as("v_nano"))
+      .filter(col("v_nano") > 0)
+      .select(col("k_strata"), col("o"),
+        (col("__eqsum").cast("long") * lit(1000000000L) +
+          col("__ersum")).as("e_nano"),
+        col("v_nano"),
+        chi2Micro.as("chi2_micro"),
+        when(chi2Micro > lit(crit4 * 100L), "dependent")
+          .otherwise("independent").as("verdict"))
+  }
 }

@@ -109,4 +109,124 @@ object ChangePoint {
             - col("__n") * col("__sx") * col("__sx"))
             .cast("double"))).cast("long").as("r_micro"))
   }
+
+  /** Ljung-Box portmanteau test (Ljung & Box 1978) per series: is
+    * there ANY autocorrelation in lags 1..maxLag, as one statistic —
+    * the whiteness check run on monitoring counters before trusting
+    * an i.i.d.-assuming test ([[AbTest]], [[DistributionTests]]) on
+    * them:
+    *
+    *   Q = n(n+2) Σ_{ℓ=1..h} r_ℓ² / (n−ℓ),   df = h
+    *
+    * r_ℓ rides [[autocorr]]'s exact n²-scaled lattice, but widened
+    * to DECIMAL(38,0) (num_ℓ and den are exact for series far past
+    * autocorr's documented long bound). Each lag's r_ℓ²/(n−ℓ) is ONE
+    * written IEEE sequence snapped alone to the 9-dp lattice and
+    * accumulated as DECIMAL(38,12) (the cramersV cell-sum policy;
+    * ≤ maxLag rows per series). Q and the verdict edge are one
+    * mirrored IEEE sequence at 6 dp against the caller's 4-dp χ²
+    * critical value for df = h.
+    *
+    * Output: (seriesCol, n, h, q_stat, verdict). Series with
+    * n ≤ maxLag + 1 or zero variance are dropped (Q undefined).
+    * Shape: the [[autocorr]] lag join — shuffle keyed by series,
+    * sized by series length × lags.
+    */
+  def ljungBox(df: DataFrame, seriesCol: String, idxCol: String,
+      xCol: String, maxLag: Int, crit4: Long): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    require(crit4 > 0, s"crit4: $crit4")
+    Reserved.check("ljungBox" -> df)
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(seriesCol), col(idxCol).cast("long").as("__i"),
+      col(xCol).cast("long").as("__x"))
+    val tot = base.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__x").cast(d) * col("__x").cast(d)).as("__sxx"))
+    val pairs = base
+      .withColumn("__lag",
+        explode(array((1 to maxLag).map(l => lit(l.toLong)): _*)))
+      .select(col(seriesCol), (col("__i") + col("__lag")).as("__ti"),
+        col("__lag"), col("__x").as("__xh"))
+      .join(base.select(col(seriesCol), col("__i").as("__ti"),
+          col("__x").as("__xt")),
+        Seq(seriesCol, "__ti"))
+    val perLag = pairs.groupBy(col(seriesCol), col("__lag"))
+      .agg(sum(col("__xh").cast(d) * col("__xt").cast(d)).as("__sxy"),
+        sum(col("__xh")).as("__sh"), sum(col("__xt")).as("__st"))
+    val num = col("__n").cast(d) * col("__n").cast(d) * col("__sxy") -
+      col("__n").cast(d) * col("__sx").cast(d) *
+        (col("__sh") + col("__st")).cast(d) +
+      (col("__n") - col("__lag")).cast(d) *
+        col("__sx").cast(d) * col("__sx").cast(d)
+    val den = col("__n").cast(d) * col("__n").cast(d) * col("__sxx") -
+      col("__n").cast(d) * col("__sx").cast(d) * col("__sx").cast(d)
+    perLag.join(tot, seriesCol)
+      .filter(col("__n") > maxLag + 1 &&
+        col("__n").cast(d) * col("__sxx") =!=
+          col("__sx").cast(d) * col("__sx").cast(d))
+      .select(col(seriesCol), col("__n"),
+        round(
+          (num.cast("double") / den.cast("double")) *
+            (num.cast("double") / den.cast("double")) /
+            (col("__n") - col("__lag")).cast("double"), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12))
+          .as("__term"))
+      .groupBy(col(seriesCol), col("__n"))
+      .agg(sum(col("__term")).as("__terms"))
+      .select(col(seriesCol), col("__n").as("n"),
+        lit(maxLag.toLong).as("h"),
+        round(col("__n").cast("double") *
+          (col("__n") + 2).cast("double") *
+          col("__terms").cast("double"), 6).as("q_stat"),
+        when(round(col("__n").cast("double") *
+          (col("__n") + 2).cast("double") *
+          col("__terms").cast("double"), 6) >
+          lit(crit4).cast("double") / lit(10000.0),
+          "autocorrelated").otherwise("white").as("verdict"))
+  }
+
+  /** Durbin-Watson statistic per series on the residuals from the
+    * per-series MEAN (equivalently the von Neumann ratio, since
+    * first-differencing cancels the mean exactly):
+    *
+    *   d = Σ_{t≥2}(e_t − e_{t−1})² / Σ e_t²
+    *     = n·Σ(x_t − x_{t−1})² / (n·Σx² − (Σx)²)
+    *
+    * — a fully exact rational: the numerator's mean cancellation
+    * makes BOTH sides integer (DECIMAL(38,0)), so d is one division
+    * at the 6-dp edge and the conventional verdict bands are exact
+    * integer cross-multiplications (d < 1 ⇔ num < den → "positive"
+    * serial correlation; d > 3 ⇔ num > 3·den → "negative"; else
+    * "none"; d ≈ 2 is white).
+    *
+    * Output: (seriesCol, n, dw, verdict). Series with n < 2 or zero
+    * variance are dropped. Shape: one ordered window per series for
+    * the lag diff, one aggregation — no self-join.
+    */
+  def durbinWatson(df: DataFrame, seriesCol: String, idxCol: String,
+      xCol: String): DataFrame = {
+    Reserved.check("durbinWatson" -> df)
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("__i"))
+    val pre = df.select(col(seriesCol), col(idxCol).cast("long").as("__i"),
+        col(xCol).cast("long").as("__x"))
+      .withColumn("__d", col("__x") - lag(col("__x"), 1).over(w))
+    val agg = pre.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__x").cast(d) * col("__x").cast(d)).as("__sxx"),
+        sum(col("__d").cast(d) * col("__d").cast(d)).as("__sdd"))
+    val num = col("__n").cast(d) * col("__sdd")
+    val den = col("__n").cast(d) * col("__sxx") -
+      col("__sx").cast(d) * col("__sx").cast(d)
+    agg
+      .filter(col("__n") >= 2 &&
+        col("__n").cast(d) * col("__sxx") =!=
+          col("__sx").cast(d) * col("__sx").cast(d))
+      .select(col(seriesCol), col("__n").as("n"),
+        round(num.cast("double") / den.cast("double"), 6).as("dw"),
+        when(num < den, "positive")
+          .when(num > den * lit(3L).cast(d), "negative")
+          .otherwise("none").as("verdict"))
+  }
 }

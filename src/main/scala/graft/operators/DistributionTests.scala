@@ -100,6 +100,67 @@ object DistributionTests {
           "shifted").otherwise("same").as("verdict"))
   }
 
+  /** Two-sample Kuiper test per group — the rotation-invariant
+    * sibling of [[ksTwoSample]] (Kuiper 1960): where KS takes only
+    * the single largest one-sided ECDF gap, Kuiper's V = D⁺ + D⁻
+    * adds the largest gaps in BOTH directions, so it keeps full
+    * power when the distributions cross (a median-preserving
+    * variance shift leaves KS half-blind) and is the standard test
+    * for circular/cyclic metrics (hour-of-day, day-of-week), where
+    * the statistic is invariant to where the cycle is cut.
+    *
+    * Exactness: the same merged (value, tieCol) total-order lattice
+    * as KS — running diff = cumA·n_b − cumB·n_a is an integer;
+    * D⁺ = max(diff), D⁻ = max(−diff) (both ≥ 0: the running diff
+    * ends at 0). V = (D⁺+D⁻)/(n_a·n_b) divides once at the 6-dp
+    * edge. The 95% verdict squares the asymptotic critical value
+    * c(α)·√((n_a+n_b)/(n_a·n_b)) with c = 1.747 (c² = 3.0520 at
+    * 4 dp; Stephens 1970, table for V*) into the integer
+    * cross-multiplication
+    *
+    *   (D⁺+D⁻)²·10⁴ > 30520 · n_a·n_b·(n_a+n_b).
+    *
+    * Shape: identical to KS — one group-keyed window exchange, one
+    * re-aggregation; NULL cohorts drop.
+    */
+  def kuiperTwoSample(
+      df: DataFrame, groupCol: String, inB: Column,
+      valueCol: String, tieCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    val d = DecimalType(38, 0)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wg = Window.partitionBy(col(groupCol))
+    val marked = df.where(inB.isNotNull)
+      .select(col(groupCol), inB.as("__b"), col(valueCol), col(tieCol))
+      .withColumn("__ca",
+        sum(when(!col("__b"), 1L).otherwise(0L)).over(w))
+      .withColumn("__cb",
+        sum(when(col("__b"), 1L).otherwise(0L)).over(w))
+      .withColumn("__na",
+        sum(when(!col("__b"), 1L).otherwise(0L)).over(wg))
+      .withColumn("__nb",
+        sum(when(col("__b"), 1L).otherwise(0L)).over(wg))
+    marked.groupBy(col(groupCol))
+      .agg(
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        max(col("__ca") * col("__nb") - col("__cb") * col("__na"))
+          .as("__dpos"),
+        max(col("__cb") * col("__na") - col("__ca") * col("__nb"))
+          .as("__dneg"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round((col("__dpos") + col("__dneg")).cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("kuiper_v"),
+        when((col("__dpos") + col("__dneg")).cast(d) *
+          (col("__dpos") + col("__dneg")).cast(d) * lit(10000L).cast(d) >
+          lit(30520L).cast(d) * col("n_a").cast(d) * col("n_b").cast(d) *
+            (col("n_a") + col("n_b")).cast(d),
+          "shifted").otherwise("same").as("verdict"))
+  }
+
   /** Welch's unequal-variance t-test per group between cohorts A and
     * B on an integral metric: the mean-shift test that does NOT
     * assume equal variances (the realistic case when cohort B is a
@@ -206,6 +267,140 @@ object DistributionTests {
           greatest(col("__terms").cast("double") - lit(1.0), lit(0.0)) /
             (least(col("nr"), col("nc")).cast("double") - lit(1.0))), 6)
           .as("cramers_v"))
+  }
+
+  /** k-sample Anderson-Darling test (Scholz & Stephens 1987, the
+    * tie-adjusted midrank version A²ₐₖₙ of their eq. 6) per group —
+    * "did ANY of these k ingest sources drift from the others?", in
+    * one statistic that weights the distribution TAILS, where KS and
+    * CvM are weakest. Over the L distinct pooled values z_j of a
+    * group (l_j = pooled multiplicity, B_j = pooled midrank mass
+    * c_j − l_j/2, M_ij = sample-i midrank mass ≤ z_j):
+    *
+    *   A² = (N−1)/N² Σ_i (1/n_i) Σ_j l_j·(N·M_ij − n_i·B_j)²
+    *                              / (B_j(N−B_j) − N·l_j/4)
+    *
+    * Doubling the midrank masses clears every half: with
+    * M2 = 2·cum_ij − l_ij and B2 = 2·c_j − l_j, both numerator and
+    * denominator scale by exactly 4 and cancel:
+    *
+    *   l_j·(N·M2 − n_i·B2)² / (B2·(2N−B2) − N·l_j)
+    *
+    * — exact integers (DECIMAL(38,0)) down to one written IEEE
+    * sequence per (i,j) cell, snapped alone to the 9-dp lattice and
+    * accumulated as DECIMAL(38,12) (the [[cramersV]] cell-sum
+    * policy, order-free under any partitioning); the (N−1)/N² edge
+    * is one mirrored IEEE sequence at the micro lattice. The
+    * denominator is positive for every j unless one value carries
+    * the whole group (l_j = N), which drops — A² is undefined there,
+    * as are groups with k < 2 samples.
+    *
+    * Output: (groupCol, n, k, a2_micro). Shape: two group-keyed
+    * aggregations, a distinct-values × samples grid join (L·k rows —
+    * sized by distinct values, never by the corpus), two group-keyed
+    * windows. NULL samples/values drop.
+    */
+  def andersonDarlingK(
+      df: DataFrame, groupCol: String, sampleCol: String,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    val d = DecimalType(38, 0)
+    val base = df
+      .where(col(sampleCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(sampleCol).as("__s"),
+        col(valueCol).cast("long").as("__x"))
+    val pooled = base.groupBy(col(groupCol), col("__x"))
+      .agg(count(lit(1)).as("__l"))
+      .withColumn("__c", sum(col("__l")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__b2", lit(2L) * col("__c") - col("__l"))
+    val sizes = base.groupBy(col(groupCol), col("__s"))
+      .agg(count(lit(1)).as("__ni"))
+    val cells = base.groupBy(col(groupCol), col("__s"), col("__x"))
+      .agg(count(lit(1)).as("__lij"))
+    val tot = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__nn"), countDistinct(col("__s")).as("__k"))
+    val grid = pooled
+      .join(sizes, Seq(groupCol.toString))
+      .join(cells, Seq(groupCol.toString, "__s", "__x"), "left")
+      .withColumn("__lij0", coalesce(col("__lij"), lit(0L)))
+      .withColumn("__cij", sum(col("__lij0")).over(
+        Window.partitionBy(col(groupCol), col("__s")).orderBy(col("__x"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__m2", lit(2L) * col("__cij") - col("__lij0"))
+    val num = col("__nn").cast(d) * col("__m2").cast(d) -
+      col("__ni").cast(d) * col("__b2").cast(d)
+    val den4 = col("__b2").cast(d) *
+      (lit(2L) * col("__nn") - col("__b2")).cast(d) -
+      col("__nn").cast(d) * col("__l").cast(d)
+    grid.join(tot, Seq(groupCol.toString))
+      .filter(col("__k") >= 2 && den4 > lit(0L).cast(d))
+      .select(col(groupCol), col("__nn"), col("__k"),
+        round(
+          (num.cast("double") * num.cast("double")) /
+            den4.cast("double") / col("__ni").cast("double") *
+            col("__l").cast("double"), 9)
+          .cast(DecimalType(38, 12)).as("__term"))
+      .groupBy(col(groupCol), col("__nn"), col("__k"))
+      .agg(sum(col("__term")).as("__terms"))
+      .select(col(groupCol), col("__nn").as("n"), col("__k").as("k"),
+        round((col("__nn") - 1).cast("double") *
+          col("__terms").cast("double") /
+          (col("__nn").cast("double") * col("__nn").cast("double")) *
+          lit(1e6)).cast("long").as("a2_micro"))
+  }
+
+  /** G-test of independence (log-likelihood ratio χ²; Sokal & Rohlf
+    * 1981 §17.2) between two categorical columns — the same
+    * contingency-table question as [[cramersV]]'s χ², but additive
+    * across partitions of the table (G over a merged table equals
+    * the sum of the component G's plus the between-table G), which
+    * makes it the right independence statistic for drill-downs:
+    *
+    *   G = 2 Σ_cells O·ln(O·N / (R·C)),   df = (r−1)(c−1)
+    *
+    * Empty cells contribute 0 (lim x·ln x = 0) and never appear in
+    * the observed-cell aggregate. Exactness: O, N, R, C are exact
+    * counts; each cell's O·ln(O·N/(R·C)) is ONE written IEEE
+    * sequence snapped alone to the 9-dp lattice and accumulated as
+    * DECIMAL(38,12) (the [[cramersV]] cell-sum policy — order-free
+    * under any partitioning). The verdict compares the exact
+    * DECIMAL 2·Σterm against the caller's 4-dp critical value for
+    * df = (r−1)(c−1): `Σterm·2·10⁴ > crit4` on the DECIMAL lattice.
+    *
+    * Output: one row (n, nr, nc, df, g_stat 6 dp, verdict). Shape:
+    * one cell aggregation (map-side combined), two broadcast margin
+    * joins — the [[cramersV]] plan.
+    */
+  def gTest(
+      df: DataFrame, aCol: String, bCol: String, crit4: Long): DataFrame = {
+    require(crit4 > 0, s"crit4: $crit4")
+    Reserved.check("input" -> df)
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col(aCol)).agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy(col(bCol)).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(
+      sum(col("o")).as("n"),
+      countDistinct(col(aCol)).as("nr"),
+      countDistinct(col(bCol)).as("nc"))
+    val terms = cells
+      .join(broadcast(rowTot), aCol).join(broadcast(colTot), bCol)
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("nr"), col("nc"),
+        round(col("o").cast("double") *
+          log(col("o").cast("double") * col("n").cast("double") /
+            (col("r").cast("double") * col("c").cast("double"))), 9)
+          .cast(DecimalType(38, 12)).as("__term"))
+    terms
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(col("__term")).as("__terms"))
+      .select(col("n"), col("nr"), col("nc"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("df"),
+        round(col("__terms").cast("double") * lit(2.0), 6).as("g_stat"),
+        when(col("__terms") * lit(20000L).cast(DecimalType(38, 12)) >
+          lit(crit4).cast(DecimalType(38, 12)),
+          "dependent").otherwise("independent").as("verdict"))
   }
 
   /** One-way ANOVA F across the groups of `groupCol` on an integral

@@ -164,4 +164,58 @@ object Survival {
           sqrt(col("v_nano").cast("double") / lit(1e9)) * lit(1e6))
           .cast("long").as("z_micro"))
   }
+
+  /** Restricted mean survival time (RMST; Royston & Parmar 2013) —
+    * the area under the Kaplan-Meier curve from 0 to the horizon
+    * `tau`: "expected time-to-convert within the first τ, counting
+    * the users who never did" — the single-number summary clinicians
+    * and growth teams use when the median never falls below 0.5
+    * ([[curves]]' km never crossing 0.5 leaves the median undefined;
+    * the τ-restricted mean always exists).
+    *
+    * The KM step function is constant at km_{i−1} on [t_{i−1}, t_i),
+    * so the integral is exact given the steps:
+    *
+    *   RMST(τ) = Σ_i km_{i−1}·(min(t_i,τ) − min(t_{i−1},τ))
+    *             + km_last·max(τ − t_last, 0),   km_0 = 1
+    *
+    * Exactness: each km is [[curves]]' 6-dp-snapped fold, so
+    * km·10⁶ is an exact integer; each step's area accumulates as
+    * km_micro × exact integer width on a DECIMAL(38,0) lattice
+    * (order-free — no float product anywhere); one cast to double
+    * at the 6-dp edge. Callers should pre-scale durations so
+    * τ·10⁶ stays comfortably inside the double edge (seconds, not
+    * microseconds, for month-scale horizons). Output: ONE row
+    * (tau, n_steps, rmst); no events → no steps → empty (RMST
+    * degenerates to τ with no curve to integrate — surfaced as
+    * absence, not a fabricated row).
+    *
+    * Shape: [[curves]]' plan plus one ordered window over the
+    * EVENT-STEP table (distinct event times — deliberately global,
+    * like the step table itself) and a one-row aggregation.
+    */
+  def rmst(
+      df: DataFrame, durationCol: String, eventCol: String,
+      tau: Long): DataFrame = {
+    require(tau > 0, s"tau: $tau")
+    val d38 = DecimalType(38, 0)
+    val w = Window.orderBy(col("t"))
+    curves(df, durationCol, eventCol)
+      .withColumn("__pkm", lag(col("km"), 1, 1.0).over(w))
+      .withColumn("__pt", lag(col("t"), 1, 0L).over(w))
+      .select(col("t"), col("km"),
+        (round(col("__pkm") * lit(1e6)).cast("long").cast(d38) *
+          (least(col("t"), lit(tau)) - least(col("__pt"), lit(tau)))
+            .cast(d38)).as("__area"))
+      .agg(count(lit(1)).as("n_steps"),
+        sum(col("__area")).as("__head"),
+        max(struct(col("t"), col("km"))).as("__last"))
+      // a global agg always emits one row; no steps → no RMST
+      .filter(col("n_steps") > 0)
+      .select(lit(tau).as("tau"), col("n_steps"),
+        round((col("__head") +
+          round(col("__last.km") * lit(1e6)).cast("long").cast(d38) *
+            greatest(lit(tau) - col("__last.t"), lit(0L)).cast(d38))
+          .cast("double") / lit(1e6), 6).as("rmst"))
+  }
 }

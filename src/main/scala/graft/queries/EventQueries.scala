@@ -3177,6 +3177,497 @@ object EventQueries {
         FROM c
         WHERE vxn > 0 AND vyn > 0
         ORDER BY event_type
+      """)),
+
+    // Two-sample Kuiper test on the SAME cohort split as q_ks_test:
+    // V = D⁺ + D⁻ adds the largest ECDF gaps in BOTH directions, so
+    // a median-preserving variance shift (where the ECDFs cross and
+    // KS goes half-blind) still registers, and the statistic is
+    // rotation-invariant for cyclic metrics. Same integer merged-
+    // order lattice as KS; verdict by (D⁺+D⁻)²·10⁴ >
+    // 30520·n_a·n_b·(n_a+n_b) (c = 1.747 at 95%;
+    // DistributionTests.kuiperTwoSample scaladoc).
+    QueryDef(
+      "q_kuiper",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.kuiperTwoSample(
+            Tables.events(s, dir),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "value", "event_id")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type,
+                 CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS b,
+                 value, event_id
+          FROM events),
+        m AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+                      OVER wr AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)
+                      OVER wr AS BIGINT) AS cb,
+                 CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END)
+                      OVER wg AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END)
+                      OVER wg AS BIGINT) AS nb
+          FROM e
+          WINDOW wr AS (PARTITION BY event_type
+                        ORDER BY value, event_id
+                        ROWS UNBOUNDED PRECEDING),
+                 wg AS (PARTITION BY event_type)),
+        a AS (
+          SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+                 max(ca * nb - cb * na) AS dpos,
+                 max(cb * na - ca * nb) AS dneg
+          FROM m GROUP BY 1)
+        SELECT event_type, n_a, n_b,
+               ROUND(CAST(dpos + dneg AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+                 AS kuiper_v,
+               CASE WHEN CAST(dpos + dneg AS HUGEINT) * (dpos + dneg)
+                         * 10000
+                       > CAST(30520 AS HUGEINT) * n_a * n_b
+                         * (n_a + n_b)
+                    THEN 'shifted' ELSE 'same' END AS verdict
+        FROM a
+        ORDER BY event_type
+      """)),
+
+    // k-sample Anderson-Darling (Scholz-Stephens A²akN, midrank tie
+    // version) across THREE user-cohort samples per event type, on
+    // integer cents: the tail-weighted "did ANY source drift?" test
+    // that fires on tail-only contamination KS and CvM dilute. The
+    // doubled-midrank lattice clears every half into exact integers;
+    // per-cell terms are one IEEE sequence 9-dp-snapped and
+    // DECIMAL-summed (DistributionTests.andersonDarlingK scaladoc).
+    QueryDef(
+      "q_ad_test",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.andersonDarlingK(
+            Tables.events(s, dir)
+              .select(col("event_type"),
+                pmod(col("user_id"), lit(3L)).as("cohort"),
+                round(col("value") * 100).cast("long").as("cents")),
+            "event_type", "cohort", "cents")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type AS g, user_id % 3 AS s,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events),
+        pooled AS (SELECT g, x, count(*) AS l FROM e GROUP BY 1, 2),
+        pc AS (
+          SELECT g, x, l,
+                 SUM(l) OVER (PARTITION BY g ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) AS c
+          FROM pooled),
+        bb AS (SELECT g, x, l, 2 * c - l AS b2 FROM pc),
+        sizes AS (SELECT g, s, count(*) AS ni FROM e GROUP BY 1, 2),
+        cells AS (SELECT g, s, x, count(*) AS lij FROM e GROUP BY 1, 2, 3),
+        grid AS (
+          SELECT bb.g, sz.s, bb.x, bb.l, bb.b2, sz.ni,
+                 COALESCE(c.lij, 0) AS lij
+          FROM bb JOIN sizes sz ON sz.g = bb.g
+          LEFT JOIN cells c ON c.g = bb.g AND c.s = sz.s AND c.x = bb.x),
+        gc AS (
+          SELECT g, s, x, l, b2, ni, lij,
+                 SUM(lij) OVER (PARTITION BY g, s ORDER BY x
+                   ROWS UNBOUNDED PRECEDING) AS cij
+          FROM grid),
+        mm AS (SELECT g, s, x, l, b2, ni, 2 * cij - lij AS m2 FROM gc),
+        tot AS (SELECT g, count(*) AS n, count(DISTINCT s) AS k
+                FROM e GROUP BY 1),
+        terms AS (
+          SELECT mm.g, t.n, t.k,
+                 ROUND(
+                   (CAST(CAST(t.n AS HUGEINT) * m2
+                         - CAST(ni AS HUGEINT) * b2 AS DOUBLE)
+                    * CAST(CAST(t.n AS HUGEINT) * m2
+                           - CAST(ni AS HUGEINT) * b2 AS DOUBLE))
+                   / CAST(CAST(b2 AS HUGEINT) * (2 * t.n - b2)
+                          - CAST(t.n AS HUGEINT) * l AS DOUBLE)
+                   / CAST(ni AS DOUBLE) * CAST(l AS DOUBLE), 9) AS term
+          FROM mm JOIN tot t ON t.g = mm.g
+          WHERE t.k >= 2
+            AND CAST(b2 AS HUGEINT) * (2 * t.n - b2)
+                - CAST(t.n AS HUGEINT) * l > 0),
+        agg AS (
+          SELECT g, n, k, SUM(CAST(term AS DECIMAL(38,12))) AS terms
+          FROM terms GROUP BY 1, 2, 3)
+        SELECT g AS event_type, n, k,
+               CAST(ROUND(CAST(n - 1 AS DOUBLE) * CAST(terms AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                 * 1e6) AS BIGINT) AS a2_micro
+        FROM agg
+        ORDER BY event_type
+      """)),
+
+    // G-test of independence (log-likelihood χ²) between event type
+    // and a three-way user cohort: the additive independence
+    // statistic (G over a merged table = Σ component G's + the
+    // between-table G), so per-shard G's roll up exactly — the right
+    // drill-down companion to q_cramers_v. Per-cell O·ln(O·N/(R·C))
+    // is one IEEE sequence 9-dp-snapped and DECIMAL-summed; verdict
+    // at the exact DECIMAL edge vs χ²(df=8, 95%) = 15.5073
+    // (DistributionTests.gTest scaladoc).
+    QueryDef(
+      "q_gtest",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.gTest(
+            Tables.events(s, dir)
+              .select(col("event_type"),
+                pmod(col("user_id"), lit(3L)).as("cohort")),
+            "event_type", "cohort", crit4 = 155073L)
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type AS a, user_id % 3 AS b FROM events),
+        cells AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       count(DISTINCT a) AS nr, count(DISTINCT b) AS nc
+                FROM cells),
+        terms AS (
+          SELECT t.n, t.nr, t.nc,
+                 ROUND(CAST(o AS DOUBLE) *
+                   ln(CAST(o AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))), 9)
+                   AS term
+          FROM cells
+          JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot t),
+        agg AS (
+          SELECT n, nr, nc, SUM(CAST(term AS DECIMAL(38,12))) AS terms
+          FROM terms GROUP BY 1, 2, 3)
+        SELECT n, nr, nc,
+               CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+               ROUND(CAST(terms AS DOUBLE) * 2.0, 6) AS g_stat,
+               CASE WHEN terms * CAST(20000 AS DECIMAL(38,12))
+                       > CAST(155073 AS DECIMAL(38,12))
+                    THEN 'dependent' ELSE 'independent' END AS verdict
+        FROM agg
+      """)),
+
+    // Ljung-Box whiteness test on each event type's daily-count
+    // series (the q_acf series), lags 1..3: is there ANY
+    // autocorrelation, as one χ²(3) statistic — the i.i.d. sanity
+    // check to run before trusting a drift test on a monitoring
+    // counter. r_ℓ rides the exact n²-scaled ACF lattice widened to
+    // DECIMAL; per-lag r²/(n−ℓ) terms 9-dp-snapped and
+    // DECIMAL-summed; verdict vs χ²(3, 95%) = 7.8147
+    // (ChangePoint.ljungBox scaladoc).
+    QueryDef(
+      "q_ljung_box",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        graft.operators.ChangePoint.ljungBox(
+            daily, "event_type", "i", "x", maxLag = 3, crit4 = 78147L)
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, CAST(x AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS i
+          FROM series),
+        tot AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM idx GROUP BY 1),
+        lags AS (SELECT unnest([1, 2, 3]) AS lag),
+        pairs AS (
+          SELECT h.event_type, l.lag, h.x AS xh, t.x AS xt
+          FROM idx h
+          CROSS JOIN lags l
+          JOIN idx t ON t.event_type = h.event_type
+                    AND t.i = h.i + l.lag),
+        perlag AS (
+          SELECT event_type, lag,
+                 SUM(CAST(xh AS HUGEINT) * xt) AS sxy,
+                 CAST(SUM(xh) AS BIGINT) AS sh,
+                 CAST(SUM(xt) AS BIGINT) AS st
+          FROM pairs GROUP BY 1, 2),
+        nd AS (
+          SELECT p.event_type, t.n, p.lag,
+                 CAST(t.n AS HUGEINT) * t.n * p.sxy
+                   - CAST(t.n AS HUGEINT) * t.sx * (p.sh + p.st)
+                   + CAST(t.n - p.lag AS HUGEINT) * t.sx * t.sx AS num,
+                 CAST(t.n AS HUGEINT) * t.n * t.sxx
+                   - CAST(t.n AS HUGEINT) * t.sx * t.sx AS den
+          FROM perlag p JOIN tot t USING (event_type)
+          WHERE t.n > 4
+            AND CAST(t.n AS HUGEINT) * t.sxx
+                <> CAST(t.sx AS HUGEINT) * t.sx),
+        terms AS (
+          SELECT event_type, n,
+                 ROUND((CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                       * (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                       / CAST(n - lag AS DOUBLE), 9) AS term
+          FROM nd),
+        agg AS (
+          SELECT event_type, n,
+                 SUM(CAST(term AS DECIMAL(38,12))) AS terms
+          FROM terms GROUP BY 1, 2)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(3 AS BIGINT) AS h,
+               ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                     * CAST(terms AS DOUBLE), 6) AS q_stat,
+               CASE WHEN ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+                               * CAST(terms AS DOUBLE), 6)
+                       > CAST(78147 AS DOUBLE) / 10000.0
+                    THEN 'autocorrelated' ELSE 'white' END AS verdict
+        FROM agg
+        ORDER BY event_type
+      """)),
+
+    // Durbin-Watson / von Neumann ratio on the SAME daily series:
+    // the lag-1 serial-correlation check as a fully EXACT rational —
+    // first-differencing cancels the mean, so both numerator and
+    // denominator are integers and the 1.0/3.0 verdict bands are
+    // exact integer cross-multiplications
+    // (ChangePoint.durbinWatson scaladoc).
+    QueryDef(
+      "q_durbin_watson",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        graft.operators.ChangePoint.durbinWatson(
+            daily, "event_type", "i", "x")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, CAST(x AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS i
+          FROM series),
+        lagged AS (
+          SELECT event_type, x,
+                 x - LAG(x) OVER (PARTITION BY event_type ORDER BY i)
+                   AS d
+          FROM idx),
+        agg AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(d AS HUGEINT) * d) AS sdd
+          FROM lagged GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(CAST(n AS HUGEINT) * sdd AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+                 AS dw,
+               CASE
+                 WHEN CAST(n AS HUGEINT) * sdd
+                      < CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx THEN 'positive'
+                 WHEN CAST(n AS HUGEINT) * sdd
+                      > 3 * (CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx) THEN 'negative'
+                 ELSE 'none' END AS verdict
+        FROM agg
+        WHERE n >= 2
+          AND CAST(n AS HUGEINT) * sxx <> CAST(sx AS HUGEINT) * sx
+        ORDER BY event_type
+      """)),
+
+    // Cochran-Mantel-Haenszel: does the odd-user cohort convert
+    // (value ≥ 100) differently AFTER controlling for event type?
+    // The stratified companion to q_ab_test — a pooled 2×2 can point
+    // the wrong way when strata differ in both mix and base rate
+    // (Simpson's paradox); CMH sums each stratum's hypergeometric
+    // O−E and variance on the logRank div+remnano lattice
+    // (AbTest.cmh scaladoc). Verdict vs χ²(1, 95%) as an integer
+    // comparison at the micro edge.
+    QueryDef(
+      "q_cmh",
+      (s, dir) => {
+        import graft.operators.AbTest
+        AbTest.cmh(
+          Tables.events(s, dir),
+          "event_type",
+          pmod(col("user_id"), lit(2L)) === 1,
+          col("value") >= 100.0,
+          crit4 = 38415L)
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type AS st,
+                 user_id % 2 = 1 AS b,
+                 value >= 100.0 AS y
+          FROM events),
+        per AS (
+          SELECT st, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m1,
+                 CAST(SUM(CASE WHEN b AND y THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o
+          FROM e GROUP BY 1),
+        terms AS (
+          SELECT o,
+                 (n1 * m1) // n AS eq,
+                 CAST(ROUND(CAST((n1 * m1) % n AS DOUBLE)
+                      / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS er,
+                 CAST(ROUND(CAST(n1 AS DOUBLE)
+                      * CAST(n - n1 AS DOUBLE)
+                      * CAST(m1 AS DOUBLE)
+                      * CAST(n - m1 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0))
+                      * 1e9) AS BIGINT) AS vn
+          FROM per WHERE n >= 2),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_strata,
+                 CAST(SUM(o) AS BIGINT) AS o,
+                 CAST(SUM(eq) AS BIGINT) AS eqsum,
+                 CAST(SUM(er) AS BIGINT) AS ersum,
+                 CAST(SUM(vn) AS BIGINT) AS v_nano
+          FROM terms)
+        SELECT k_strata, o,
+               eqsum * 1000000000 + ersum AS e_nano, v_nano,
+               CAST(ROUND(
+                 (CAST(o AS DOUBLE)
+                  - (CAST(eqsum AS DOUBLE)
+                     + CAST(ersum AS DOUBLE) / 1e9))
+                 * (CAST(o AS DOUBLE)
+                    - (CAST(eqsum AS DOUBLE)
+                       + CAST(ersum AS DOUBLE) / 1e9))
+                 / (CAST(v_nano AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+                 AS chi2_micro,
+               CASE WHEN CAST(ROUND(
+                 (CAST(o AS DOUBLE)
+                  - (CAST(eqsum AS DOUBLE)
+                     + CAST(ersum AS DOUBLE) / 1e9))
+                 * (CAST(o AS DOUBLE)
+                    - (CAST(eqsum AS DOUBLE)
+                       + CAST(ersum AS DOUBLE) / 1e9))
+                 / (CAST(v_nano AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+                 > 3841500 THEN 'dependent'
+                 ELSE 'independent' END AS verdict
+        FROM agg
+        WHERE v_nano > 0
+      """)),
+
+    // Restricted mean survival time at a 30-day horizon over the
+    // SAME signup→purchase durations as q_survival (in seconds):
+    // the area under the KM curve to τ — "expected days-to-convert
+    // within the first 30, counting the users who never did" — the
+    // summary that exists even when the median doesn't (km never
+    // crossing 0.5). km·10⁶ steps × integer widths on a DECIMAL
+    // lattice, one 6-dp edge (Survival.rmst scaladoc).
+    QueryDef(
+      "q_rmst",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val t0 = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t0"))
+        val dur = e.join(t0, "user_id")
+          .groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("us") > col("t0"), col("us"))).as("tp"),
+            max(col("us")).as("tmax"), max(col("t0")).as("t00"))
+          .select(
+            expr("(CASE WHEN tp IS NOT NULL THEN tp - t00 " +
+              "ELSE tmax - t00 END) div 1000000").as("duration"),
+            when(col("tp").isNotNull, 1L).otherwise(0L).as("event"))
+        graft.operators.Survival.rmst(
+          dur, "duration", "event", tau = 2592000L)
+      },
+      Some("""
+        WITH RECURSIVE e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        t0 AS (SELECT user_id, min(us) AS t0 FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        dur AS (
+          SELECT (CASE WHEN tp IS NOT NULL THEN tp - t00
+                       ELSE tmax - t00 END) // 1000000 AS duration,
+                 CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS event
+          FROM (
+            SELECT e.user_id,
+                   min(CASE WHEN e.event_type = 'purchase'
+                            AND e.us > t0.t0 THEN e.us END) AS tp,
+                   max(e.us) AS tmax, max(t0.t0) AS t00
+            FROM e JOIN t0 USING (user_id)
+            GROUP BY 1)),
+        byt AS (
+          SELECT duration AS t, count(*) AS alln,
+                 CAST(sum(event) AS BIGINT) AS d
+          FROM dur GROUP BY 1),
+        risked AS (
+          SELECT t, d,
+                 CAST(SUM(alln) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n
+          FROM byt),
+        steps AS (
+          SELECT t, n, d,
+                 ROUND(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                   AS factor,
+                 ROW_NUMBER() OVER (ORDER BY t) AS i
+          FROM risked WHERE d >= 1),
+        rec AS (
+          SELECT i, factor AS km FROM steps WHERE i = 1
+          UNION ALL
+          SELECT s.i, r.km * s.factor
+          FROM rec r JOIN steps s ON s.i = r.i + 1),
+        km6 AS (
+          SELECT s.t, CAST(ROUND(ROUND(rec.km, 6) * 1e6) AS BIGINT)
+                   AS km_micro,
+                 ROUND(rec.km, 6) AS km
+          FROM steps s JOIN rec USING (i)),
+        iv AS (
+          SELECT t, km, km_micro,
+                 COALESCE(LAG(km_micro) OVER (ORDER BY t), 1000000)
+                   AS pkm_micro,
+                 COALESCE(LAG(t) OVER (ORDER BY t), 0) AS pt
+          FROM km6),
+        area AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_steps,
+                 SUM(CAST(pkm_micro AS HUGEINT) *
+                     (LEAST(t, 2592000) - LEAST(pt, 2592000))) AS head,
+                 MAX(t) AS last_t,
+                 arg_max(km_micro, t) AS last_km_micro
+          FROM iv)
+        SELECT CAST(2592000 AS BIGINT) AS tau, n_steps,
+               ROUND(CAST(head + CAST(last_km_micro AS HUGEINT) *
+                 GREATEST(2592000 - last_t, 0) AS DOUBLE) / 1e6, 6)
+                 AS rmst
+        FROM area
       """))
   )
 

@@ -972,6 +972,35 @@ object RelationalQueries {
           AND o.o_orderdate < TIMESTAMP '1998-01-01'
         GROUP BY 1
         ORDER BY revenue_e4 DESC, n_name
+      """)),
+
+    // TPC-H Q6 (forecasting revenue change): the pushdown showcase —
+    // a joinless scan whose three predicates and two-column
+    // projection must ALL reach the parquet reader (PushedFilters +
+    // pruned ReadSchema; asserted in PlanShapeSpec), then one
+    // map-side-combined global agg. At 100 TB this is the plan whose
+    // cost is min-max-skipped row groups, not compute. Revenue on
+    // the q_tpch_q3 1e4 lattice.
+    QueryDef(
+      "q_tpch_q6",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+            && col("l_quantity") < 24)
+          .agg(sum(round(col("l_extendedprice") * col("l_discount") *
+            lit(1e4)).cast("long")).as("revenue_e4"),
+            count(lit(1)).as("n_lines")),
+      Some("""
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 1e4)
+                 AS BIGINT)) AS BIGINT) AS revenue_e4,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
       """))
   )
 }

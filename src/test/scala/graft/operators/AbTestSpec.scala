@@ -183,4 +183,35 @@ class AbTestSpec extends SparkSuite {
       AbTest.msprt(reserved, "g", col("b"), "__x", tauMicro = 1000000L)
     }
   }
+
+  test("cmh: hand-computed stratified 2x2 sums; tiny strata and " +
+      "NULLs drop") {
+    // two identical strata, each n=8, n₁₊=4, n₊₁=4:
+    // E = 2, V = 256/448 → vn = 571428571 per stratum
+    def stratum(s: String, oExposed: Int): Seq[(String, Boolean, Boolean)] =
+      (Seq.fill(oExposed)((s, true, true)) ++
+        Seq.fill(4 - oExposed)((s, true, false)) ++
+        Seq.fill(4 - oExposed)((s, false, true)) ++
+        Seq.fill(oExposed)((s, false, false)))
+    // O = 3+3 = 6, E = 4: CMH = 4/1.142857142 → 3500000 micro
+    val mild = stratum("s1", 3) ++ stratum("s2", 3)
+    val m = AbTest.cmh(mild.toDF("s", "b", "y"), "s", col("b"), col("y"))
+      .collect().head
+    assert(m.getLong(0) === 2L && m.getLong(1) === 6L)
+    assert(m.getLong(2) === 4000000000L)       // e_nano = 4.0
+    assert(m.getLong(3) === 1142857142L)       // ΣV nano
+    assert(m.getLong(4) === 3500000L && m.getString(5) === "independent")
+    // perfect within-stratum association: O = 8, CMH = 16/ΣV = 14
+    val strong = stratum("s1", 4) ++ stratum("s2", 4)
+    val st = AbTest.cmh(strong.toDF("s", "b", "y"), "s", col("b"),
+      col("y")).collect().head
+    assert(st.getLong(4) === 14000000L && st.getString(5) === "dependent")
+    // a 1-row stratum and NULL cohorts contribute nothing
+    val noisy = mild.toDF("s", "b", "y")
+      .union(Seq(("tiny", true, true)).toDF("s", "b", "y"))
+      .union(Seq(("s1", Option.empty[Boolean], true))
+        .toDF("s", "b", "y"))
+    val n = AbTest.cmh(noisy, "s", col("b"), col("y")).collect().head
+    assert(n.getLong(0) === 2L && n.getLong(4) === 3500000L)
+  }
 }

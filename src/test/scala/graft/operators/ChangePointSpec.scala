@@ -46,4 +46,61 @@ class ChangePointSpec extends SparkSuite {
     val df = (1 to 5).map(i => ("c", i.toLong, 7L)).toDF("s", "i", "x")
     assert(ChangePoint.autocorr(df, "s", "i", "x", 2).count() === 0L)
   }
+
+  test("ljungBox: hand-computed Q on an alternating series; short " +
+      "and zero-variance series drop") {
+    // x = [1,0]×5, n=10, S=5: den = 100·5 − 10·25 = 250;
+    // num₁ = −225 (r₁=−0.9), num₂ = 200 (r₂=0.8), num₃ = −175
+    // (r₃=−0.7); Q = 10·12·(0.81/9 + 0.64/8 + 0.49/7) = 28.8
+    val alt = (1 to 10).map(i => ("a", i.toLong, (i % 2).toLong))
+    val short5 = (1 to 5).map(i => ("sh", i.toLong, i.toLong)) // n ≤ h+1+1? n=5 > 4 keeps
+    val flat = (1 to 9).map(i => ("f", i.toLong, 4L))
+    val out = ChangePoint.ljungBox(
+        (alt ++ short5 ++ flat).toDF("s", "i", "x"),
+        "s", "i", "x", maxLag = 3, crit4 = 78147L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("f")) // zero variance
+    val a = out("a")
+    assert(a.getLong(1) === 10L && a.getLong(2) === 3L)
+    assert(a.getDouble(3) === 28.8)
+    assert(a.getString(4) === "autocorrelated")
+    // n=5 > maxLag+1=4 keeps the ramp; its Q replays the brute force
+    val sh = out("sh")
+    val xs = (1 to 5).map(_.toDouble)
+    val mean = xs.sum / 5
+    val d0 = xs.map(v => (v - mean) * (v - mean)).sum
+    val q = 5.0 * 7.0 * (1 to 3).map { l =>
+      val r = (0 until 5 - l)
+        .map(t => (xs(t) - mean) * (xs(t + l) - mean)).sum / d0
+      r * r / (5 - l)
+    }.sum
+    assert(math.abs(sh.getDouble(3) - q) < 1e-5, s"$sh vs $q")
+  }
+
+  test("ljungBox drops series at or under maxLag + 1 points") {
+    val df = (1 to 4).map(i => ("t", i.toLong, i.toLong)).toDF("s", "i", "x")
+    assert(ChangePoint.ljungBox(df, "s", "i", "x", 3, 78147L)
+      .count() === 0L)
+  }
+
+  test("durbinWatson: exact rationals and verdict bands") {
+    // ramp [1,2,3,4]: Σd²=3, num=12; den = 4·30−100 = 20 → d = 0.6
+    val ramp = (1 to 4).map(i => ("r", i.toLong, i.toLong))
+    // alternating [1,0]×3: Σd²=5, num=30; den = 6·3−9 = 9 → d = 10/3
+    val alt = (1 to 6).map(i => ("a", i.toLong, (i % 2).toLong))
+    // mixed [1,3,2,4]: Σd²=9, num=36; den = 4·30−100 = 20 → d = 1.8
+    val mix = Seq(("m", 1L, 1L), ("m", 2L, 3L), ("m", 3L, 2L),
+      ("m", 4L, 4L))
+    val flat = (1 to 5).map(i => ("f", i.toLong, 2L))
+    val out = ChangePoint.durbinWatson(
+        (ramp ++ alt ++ mix ++ flat).toDF("s", "i", "x"), "s", "i", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("f"))
+    assert(out("r").getDouble(2) === 0.6 &&
+      out("r").getString(3) === "positive")
+    assert(out("a").getDouble(2) === 3.333333 &&
+      out("a").getString(3) === "negative")
+    assert(out("m").getDouble(2) === 1.8 &&
+      out("m").getString(3) === "none")
+  }
 }

@@ -214,6 +214,106 @@ class DistributionTestsSpec extends SparkSuite {
     assert(a === b2)
   }
 
+  test("kuiper pins the hand case, flags a disjoint shift, and sees " +
+      "the ECDF crossing KS halves") {
+    // A={1,3}, B={2,4}: running diffs 2,0,2,0 → D⁺=2, D⁻=0, V=0.5
+    val tiny = Seq(("t", false, 1L), ("t", false, 3L),
+      ("t", true, 2L), ("t", true, 4L))
+    // disjoint: V = 1.0, shifted
+    val shift = (1L to 10L).map(v => ("d", false, v)) ++
+      (11L to 20L).map(v => ("d", true, v))
+    // crossing: A = 26..75 inside, B = 1..25 ∪ 76..100 outside —
+    // D⁺ = D⁻ = 0.5, so V = 1.0 while KS reads only 0.5
+    val cross = (26L to 75L).map(v => ("x", false, v)) ++
+      ((1L to 25L) ++ (76L to 100L)).map(v => ("x", true, v))
+    val df = (tiny ++ shift ++ cross).zipWithIndex
+      .map { case ((g, b, v), i) => (g, b, v, i.toLong) }
+      .toDF("g", "b", "v", "tie")
+    val out = DistributionTests.kuiperTwoSample(
+        df, "g", col("b"), "v", "tie")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("t").getDouble(3) === 0.5)
+    assert(out("d").getDouble(3) === 1.0 &&
+      out("d").getString(4) === "shifted")
+    assert(out("x").getDouble(3) === 1.0 &&
+      out("x").getString(4) === "shifted")
+    val ks = DistributionTests.ksTwoSample(df, "g", col("b"), "v", "tie")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(ks("x") === 0.5) // Kuiper doubles KS on the crossing pair
+  }
+
+  test("gTest: zero on an independent table, hand value on a " +
+      "2x2 association") {
+    // independent 2×2: every cell O = E exactly → G = 0
+    val ind = for (a <- Seq("A", "B"); b <- Seq("X", "Y");
+      _ <- 1 to 25) yield (a, b)
+    val i = DistributionTests.gTest(ind.toDF("a", "b"), "a", "b", 38415L)
+      .collect().head
+    assert(i.getLong(0) === 100L && i.getLong(3) === 1L)
+    assert(i.getDouble(4) === 0.0 && i.getString(5) === "independent")
+    // 30/10/10/30: G = 4·(30·ln1.5 + 10·ln0.5) = 20.929926 at 6 dp
+    val dep = Seq.fill(30)(("A", "X")) ++ Seq.fill(10)(("A", "Y")) ++
+      Seq.fill(10)(("B", "X")) ++ Seq.fill(30)(("B", "Y"))
+    val d = DistributionTests.gTest(dep.toDF("a", "b"), "a", "b", 38415L)
+      .collect().head
+    assert(d.getDouble(4) === 20.929926 && d.getString(5) === "dependent")
+  }
+
+  test("andersonDarlingK matches an independent brute-force " +
+      "Scholz-Stephens A²akN and separates shifted from same") {
+    // direct double implementation of the 1987 midrank formula
+    def adk(samples: Seq[Seq[Long]]): Double = {
+      val pooled = samples.flatten
+      val n = pooled.size
+      var total = 0.0
+      for (si <- samples) {
+        var inner = 0.0
+        for (z <- pooled.distinct.sorted) {
+          val lj = pooled.count(_ == z).toDouble
+          val bj = pooled.count(_ < z) + lj / 2.0
+          val ma = si.count(_ < z) + si.count(_ == z) / 2.0
+          val den = bj * (n - bj) - n * lj / 4.0
+          if (den > 0)
+            inner += (lj / n) * math.pow(n * ma - si.size * bj, 2) / den
+        }
+        total += inner / si.size
+      }
+      (n - 1).toDouble / n * total
+    }
+    val rnd = new scala.util.Random(7)
+    val same = Seq(Seq.fill(30)(rnd.nextInt(10).toLong),
+      Seq.fill(25)(rnd.nextInt(10).toLong),
+      Seq.fill(20)(rnd.nextInt(10).toLong))
+    val shifted = same.zipWithIndex.map { case (s, i) =>
+      if (i == 2) s.map(_ + 4L) else s }
+    def run(tag: String, ss: Seq[Seq[Long]]) = DistributionTests
+      .andersonDarlingK(
+        ss.zipWithIndex.flatMap { case (s, i) =>
+          s.map(v => (tag, i.toLong, v)) }.toDF("g", "s", "x"),
+        "g", "s", "x")
+      .collect().head
+    val a = run("same", same)
+    assert(a.getLong(1) === 75L && a.getLong(2) === 3L)
+    assert(math.abs(a.getLong(3) / 1e6 - adk(same)) < 1e-3,
+      s"$a vs ${adk(same)}")
+    val b = run("shift", shifted)
+    assert(math.abs(b.getLong(3) / 1e6 - adk(shifted)) < 1e-3,
+      s"$b vs ${adk(shifted)}")
+    // same-dist A² hovers near its k−1 = 2 expectation; the +4 shift
+    // drives it far out
+    assert(a.getLong(3) < 6000000L, s"$a")
+    assert(b.getLong(3) > 10000000L, s"$b")
+  }
+
+  test("andersonDarlingK drops degenerate groups: one sample or one " +
+      "pooled value") {
+    val df = (Seq.fill(10)(("k1", 0L, 5L)) ++
+      (1 to 10).map(i => ("const", (i % 2).toLong, 3L)))
+      .toDF("g", "s", "x")
+    assert(DistributionTests.andersonDarlingK(df, "g", "s", "x")
+      .count() === 0L)
+  }
+
   test("gamesHowell is partitioning-independent") {
     val df = (1 to 300).map(i => (s"g${i % 4}", (i * 7) % 23))
       .toDF("g", "x")

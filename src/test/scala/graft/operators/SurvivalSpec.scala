@@ -80,4 +80,26 @@ class SurvivalSpec extends SparkSuite {
     assert(out("s").getLong(6) === 0L, s"${out("s")}")
     assert(!out.contains("l"), "one-cohort partition has no test")
   }
+
+  test("rmst: hand-computed KM areas — full follow-up, censoring, " +
+      "and a horizon before the first event") {
+    // events at 2 and 4, no censoring: km = 1 on [0,2), 0.5 on
+    // [2,4), 0 after → RMST(10) = 1·2 + 0.5·2 + 0·6 = 3
+    val full = Seq((2L, 1L), (4L, 1L)).toDF("dur", "ev")
+    val f = Survival.rmst(full, "dur", "ev", tau = 10L).collect().head
+    assert(f.getLong(0) === 10L && f.getLong(1) === 2L)
+    assert(f.getDouble(2) === 3.0, s"$f")
+    // event at 2, censored at 4: km = 0.5 from t=2 on, never 0 →
+    // RMST(6) = 1·2 + 0.5·4 = 4 (the censored subject keeps paying)
+    val cens = Seq((2L, 1L), (4L, 0L)).toDF("dur", "ev")
+    val c = Survival.rmst(cens, "dur", "ev", tau = 6L).collect().head
+    assert(c.getLong(1) === 1L && c.getDouble(2) === 4.0, s"$c")
+    // horizon before the first event: the whole area is km=1
+    val late = Seq((5L, 1L)).toDF("dur", "ev")
+    val l = Survival.rmst(late, "dur", "ev", tau = 3L).collect().head
+    assert(l.getDouble(2) === 3.0, s"$l")
+    // no events at all → no steps → empty, not a fabricated row
+    val none = Seq((5L, 0L)).toDF("dur", "ev")
+    assert(Survival.rmst(none, "dur", "ev", tau = 3L).count() === 0L)
+  }
 }

@@ -122,6 +122,24 @@ class PlanShapeSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
   }
 
+  test("q_tpch_q6: all three predicates push to the scan; two-column " +
+      "ReadSchema; no join, no window") {
+    val p = plan("q_tpch_q6")
+    assert(p.contains("PushedFilters"), s"no pushdown section:\n$p")
+    for (f <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(p.matches(s"(?s).*PushedFilters:[^\\n]*$f.*"),
+        s"$f not pushed to the scan:\n$p")
+    // the scan must read only what the agg needs — the predicate
+    // columns plus l_extendedprice, never the full 11-column row
+    val readSchema = "ReadSchema:[^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") &&
+      !readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_returnflag"),
+      s"scan reads more than the projection needs:\n$readSchema")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"joinless scan-agg acquired a join/window:\n$p")
+  }
+
   test("q_reservoir: per-stratum draw is an aggregate, not a window") {
     // the bounded top_k_by heap replaces a rank window: no per-group
     // sort materialization, map-side partials before one exchange
@@ -208,7 +226,14 @@ class PlanShapeSpec extends SparkSuite {
       "q_brunner_munzel", "q_quade", "q_cvm_test", "q_energy_test",
       "q_logrank", "q_weighted_quantiles", "q_krippendorff",
       "q_url_canonical", "q_domain_cap", "q_domain_share",
-      "q_url_dedup", "q_msprt")
+      "q_url_dedup", "q_msprt",
+      // round-13 additions (all lazy: window+agg statistics and the
+      // KM-step rmst chain; q_gtest's only cross is a broadcast of
+      // the one-row totals, the registered cramersV shape)
+      "q_anova_posthoc", "q_psi_binned",
+      "q_kuiper", "q_ad_test", "q_gtest",
+      "q_ljung_box", "q_durbin_watson", "q_rmst",
+      "q_tpch_q6", "q_cmh")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),

@@ -43,8 +43,18 @@ class RoundEdgeSpec extends AnyFunSuite {
     "graft/operators/BigramLM.scala" -> 5,
     "graft/operators/Bootstrap.scala" -> 1,
     "graft/operators/CorpusMixing.scala" -> 1,
+    "graft/operators/ChangePoint.scala" -> 4,
     "graft/operators/Dedup.scala" -> 3,
-    "graft/operators/DistributionTests.scala" -> 13,
+    // round 13: +4 — kuiperTwoSample's kuiper_v (exact-integer
+    // division at 6 dp, the registered ks_d construction),
+    // andersonDarlingK's 9-dp cell snap and gTest's 9-dp cell snap
+    // (both the cramersV DECIMAL(38,12) cell-sum class) and gTest's
+    // 6-dp g_stat edge (the oneWayAnova f_stat class — a DECIMAL
+    // cast to double identically on both sides). ChangePoint's 4 =
+    // ljungBox 9-dp cell snap + two mirrored 6-dp q_stat edges +
+    // durbinWatson's exact-integer-division dw; Survival's +1 =
+    // rmst's 6-dp edge over a DECIMAL(38,0) micro-lattice sum.
+    "graft/operators/DistributionTests.scala" -> 17,
     "graft/operators/Dsir.scala" -> 2,
     "graft/operators/FeatureSelection.scala" -> 2,
     "graft/operators/KnnClassifier.scala" -> 1,
@@ -53,14 +63,21 @@ class RoundEdgeSpec extends AnyFunSuite {
     "graft/operators/ProductQuantization.scala" -> 1,
     "graft/operators/RankFusion.scala" -> 1,
     "graft/operators/Sampling.scala" -> 1,
-    "graft/operators/Similarity.scala" -> 15,
-    "graft/operators/Survival.scala" -> 4,
+    // round 13 (commit 39a7bc4): +2 — q_silhouette's kNN-family
+    // rework added two mirrored mid-chain cosine-lattice edges; the
+    // census update was missed in that commit and is trued up here.
+    "graft/operators/Similarity.scala" -> 17,
+    "graft/operators/Survival.scala" -> 5,
     "graft/operators/TermStats.scala" -> 2,
     "graft/operators/TimeSeries.scala" -> 11,
     "graft/operators/Triangles.scala" -> 1,
     "graft/operators/UnigramLM.scala" -> 5,
     "graft/operators/ZipfFit.scala" -> 6,
-    "graft/queries/EventQueries.scala" -> 27,
+    // round 13: +12 — the oracle mirrors of q_kuiper (1), q_ad_test
+    // (1), q_gtest (2), q_ljung_box (3), q_durbin_watson (1) and
+    // q_rmst (4), each mirroring its operator's registered edges
+    // verbatim.
+    "graft/queries/EventQueries.scala" -> 39,
     // 107 at round 10; +4 in round 11: q_brown_forsythe's oracle
     // mirrors q_anova's registered edges verbatim (the per-group
     // 9-dp snap into DECIMAL(38,12) and the three 6-dp output
@@ -68,7 +85,10 @@ class RoundEdgeSpec extends AnyFunSuite {
     // DistributionTests.oneWayAnova decomposition — identical
     // doubles on both sides, the mirrored-verbatim class.
     "graft/queries/ExtensionQueries.scala" -> 111,
-    "graft/queries/MLQueries.scala" -> 3,
+    // round 13 (commit 3d5f681-era oracle work): -1 — the
+    // q_kmeans_cost/q_pca_variance oracle rework removed a
+    // scale-bearing edge; trued up here with the Similarity entry.
+    "graft/queries/MLQueries.scala" -> 2,
     "graft/queries/RelationalQueries.scala" -> 10,
     "graft/queries/TextQueries.scala" -> 4,
     "graft/streaming/StreamingOps.scala" -> 11
