@@ -386,18 +386,32 @@ object AbTest {
   def cmh(
       df: DataFrame, strataCol: String, inB: Column, success: Column,
       crit4: Long = 38415L): DataFrame = {
-    require(crit4 > 0, s"crit4: $crit4")
     Reserved.check("input" -> df)
+    cmhFromCounts(
+      df.filter(inB.isNotNull && success.isNotNull)
+        .select(col(strataCol).as("__s"), inB.as("__b"), success.as("__y"))
+        .groupBy(col("__s"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("__b"), 1L).otherwise(0L)).as("__n1"),
+          sum(when(col("__y"), 1L).otherwise(0L)).as("__m1"),
+          sum(when(col("__b") && col("__y"), 1L).otherwise(0L)).as("__o")),
+      crit4)
+  }
+
+  /** [[cmh]]'s combine over an already-aggregated per-stratum count
+    * table `(__n, __n1, __m1, __o)` — the four counts per stratum
+    * are the test's complete sufficient statistics (a pure
+    * commutative integer fold), so the streaming twin accumulates
+    * them in per-stratum state and replays THIS code at every
+    * trigger, sharing the batch oracle. The div+remnano E lattice,
+    * nano V terms, and the micro χ² edge are identical to the batch
+    * path by construction; strata with n < 2 drop here so both
+    * paths agree on the refusal.
+    */
+  def cmhFromCounts(perStratum: DataFrame, crit4: Long): DataFrame = {
+    require(crit4 > 0, s"crit4: $crit4")
     val d38 = DecimalType(38, 0)
-    val per = df
-      .filter(inB.isNotNull && success.isNotNull)
-      .select(col(strataCol).as("__s"), inB.as("__b"), success.as("__y"))
-      .groupBy(col("__s"))
-      .agg(count(lit(1)).as("__n"),
-        sum(when(col("__b"), 1L).otherwise(0L)).as("__n1"),
-        sum(when(col("__y"), 1L).otherwise(0L)).as("__m1"),
-        sum(when(col("__b") && col("__y"), 1L).otherwise(0L)).as("__o"))
-      .filter(col("__n") >= 2)
+    val per = perStratum.filter(col("__n") >= 2)
     val terms = per.select(col("__o"),
       expr("(__n1 * __m1) div __n").as("__eq"),
       round(pmod(col("__n1") * col("__m1"), col("__n")).cast("double") /

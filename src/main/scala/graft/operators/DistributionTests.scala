@@ -375,9 +375,24 @@ object DistributionTests {
     */
   def gTest(
       df: DataFrame, aCol: String, bCol: String, crit4: Long): DataFrame = {
-    require(crit4 > 0, s"crit4: $crit4")
     Reserved.check("input" -> df)
-    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o"))
+    gTestFromCells(
+      df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o")),
+      aCol, bCol, crit4)
+  }
+
+  /** [[gTest]]'s combine over an already-aggregated contingency-cell
+    * table `(aCol, bCol, o)` — the exact per-cell counts are the
+    * test's complete sufficient statistics (a pure commutative
+    * integer fold), so the streaming twin accumulates cells in state
+    * and replays THIS code at every trigger, sharing the batch
+    * oracle. Margins, totals, and the 9-dp/DECIMAL term lattice are
+    * identical to the batch path by construction.
+    */
+  def gTestFromCells(
+      cells: DataFrame, aCol: String, bCol: String,
+      crit4: Long): DataFrame = {
+    require(crit4 > 0, s"crit4: $crit4")
     val rowTot = cells.groupBy(col(aCol)).agg(sum(col("o")).as("r"))
     val colTot = cells.groupBy(col(bCol)).agg(sum(col("o")).as("c"))
     val tot = cells.agg(

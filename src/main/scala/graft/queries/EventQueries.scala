@@ -3326,34 +3326,7 @@ object EventQueries {
                 pmod(col("user_id"), lit(3L)).as("cohort")),
             "event_type", "cohort", crit4 = 155073L)
       },
-      Some("""
-        WITH e AS (
-          SELECT event_type AS a, user_id % 3 AS b FROM events),
-        cells AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
-        rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
-        ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
-        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
-                       count(DISTINCT a) AS nr, count(DISTINCT b) AS nc
-                FROM cells),
-        terms AS (
-          SELECT t.n, t.nr, t.nc,
-                 ROUND(CAST(o AS DOUBLE) *
-                   ln(CAST(o AS DOUBLE) * CAST(t.n AS DOUBLE)
-                      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))), 9)
-                   AS term
-          FROM cells
-          JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot t),
-        agg AS (
-          SELECT n, nr, nc, SUM(CAST(term AS DECIMAL(38,12))) AS terms
-          FROM terms GROUP BY 1, 2, 3)
-        SELECT n, nr, nc,
-               CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
-               ROUND(CAST(terms AS DOUBLE) * 2.0, 6) AS g_stat,
-               CASE WHEN terms * CAST(20000 AS DECIMAL(38,12))
-                       > CAST(155073 AS DECIMAL(38,12))
-                    THEN 'dependent' ELSE 'independent' END AS verdict
-        FROM agg
-      """)),
+      Some(gtestOracle)),
 
     // Ljung-Box whiteness test on each event type's daily-count
     // series (the q_acf series), lags 1..3: is there ANY
@@ -3519,65 +3492,31 @@ object EventQueries {
           col("value") >= 100.0,
           crit4 = 38415L)
       },
-      Some("""
-        WITH e AS (
-          SELECT event_type AS st,
-                 user_id % 2 = 1 AS b,
-                 value >= 100.0 AS y
-          FROM events),
-        per AS (
-          SELECT st, CAST(count(*) AS BIGINT) AS n,
-                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n1,
-                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
-                   AS m1,
-                 CAST(SUM(CASE WHEN b AND y THEN 1 ELSE 0 END)
-                   AS BIGINT) AS o
-          FROM e GROUP BY 1),
-        terms AS (
-          SELECT o,
-                 (n1 * m1) // n AS eq,
-                 CAST(ROUND(CAST((n1 * m1) % n AS DOUBLE)
-                      / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS er,
-                 CAST(ROUND(CAST(n1 AS DOUBLE)
-                      * CAST(n - n1 AS DOUBLE)
-                      * CAST(m1 AS DOUBLE)
-                      * CAST(n - m1 AS DOUBLE)
-                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                         * (CAST(n AS DOUBLE) - 1.0))
-                      * 1e9) AS BIGINT) AS vn
-          FROM per WHERE n >= 2),
-        agg AS (
-          SELECT CAST(count(*) AS BIGINT) AS k_strata,
-                 CAST(SUM(o) AS BIGINT) AS o,
-                 CAST(SUM(eq) AS BIGINT) AS eqsum,
-                 CAST(SUM(er) AS BIGINT) AS ersum,
-                 CAST(SUM(vn) AS BIGINT) AS v_nano
-          FROM terms)
-        SELECT k_strata, o,
-               eqsum * 1000000000 + ersum AS e_nano, v_nano,
-               CAST(ROUND(
-                 (CAST(o AS DOUBLE)
-                  - (CAST(eqsum AS DOUBLE)
-                     + CAST(ersum AS DOUBLE) / 1e9))
-                 * (CAST(o AS DOUBLE)
-                    - (CAST(eqsum AS DOUBLE)
-                       + CAST(ersum AS DOUBLE) / 1e9))
-                 / (CAST(v_nano AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
-                 AS chi2_micro,
-               CASE WHEN CAST(ROUND(
-                 (CAST(o AS DOUBLE)
-                  - (CAST(eqsum AS DOUBLE)
-                     + CAST(ersum AS DOUBLE) / 1e9))
-                 * (CAST(o AS DOUBLE)
-                    - (CAST(eqsum AS DOUBLE)
-                       + CAST(ersum AS DOUBLE) / 1e9))
-                 / (CAST(v_nano AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
-                 > 3841500 THEN 'dependent'
-                 ELSE 'independent' END AS verdict
-        FROM agg
-        WHERE v_nano > 0
-      """)),
+      Some(cmhOracle)),
+
+    // Streaming twin of q_gtest: per-cell counts accumulate as O(1)
+    // mapGroupsWithState keyed by contingency CELL (a commutative
+    // fold — no global map), then the batch operator's own
+    // gTestFromCells combine runs over the latest cells. Shares
+    // q_gtest's oracle (StreamingOps.gtestHistory scaladoc).
+    QueryDef(
+      "q_stream_gtest",
+      (s, dir) =>
+        graft.streaming.StreamingOps.gtestHistory(
+          s, s"$dir/events.parquet", crit4 = 155073L),
+      Some(gtestOracle)),
+
+    // Streaming twin of q_cmh: the four per-stratum counts are the
+    // test's complete sufficient statistics, kept as O(1)
+    // mapGroupsWithState per stratum; the χ² combine is the batch
+    // operator's own cmhFromCounts. Shares q_cmh's oracle
+    // (StreamingOps.cmhHistory scaladoc).
+    QueryDef(
+      "q_stream_cmh",
+      (s, dir) =>
+        graft.streaming.StreamingOps.cmhHistory(
+          s, s"$dir/events.parquet", crit4 = 38415L),
+      Some(cmhOracle)),
 
     // Restricted mean survival time at a 30-day horizon over the
     // SAME signup→purchase durations as q_survival (in seconds):
@@ -3983,6 +3922,97 @@ object EventQueries {
   /** The Kaplan-Meier / Nelson-Aalen replay shared by q_survival and
     * q_median_survival (full SQL including the RECURSIVE keyword).
     */
+  /** Batch oracle shared by q_gtest and its streaming twin. */
+  private lazy val gtestOracle: String = """
+        WITH e AS (
+          SELECT event_type AS a, user_id % 3 AS b FROM events),
+        cells AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
+        rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       count(DISTINCT a) AS nr, count(DISTINCT b) AS nc
+                FROM cells),
+        terms AS (
+          SELECT t.n, t.nr, t.nc,
+                 ROUND(CAST(o AS DOUBLE) *
+                   ln(CAST(o AS DOUBLE) * CAST(t.n AS DOUBLE)
+                      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))), 9)
+                   AS term
+          FROM cells
+          JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot t),
+        agg AS (
+          SELECT n, nr, nc, SUM(CAST(term AS DECIMAL(38,12))) AS terms
+          FROM terms GROUP BY 1, 2, 3)
+        SELECT n, nr, nc,
+               CAST((nr - 1) * (nc - 1) AS BIGINT) AS df,
+               ROUND(CAST(terms AS DOUBLE) * 2.0, 6) AS g_stat,
+               CASE WHEN terms * CAST(20000 AS DECIMAL(38,12))
+                       > CAST(155073 AS DECIMAL(38,12))
+                    THEN 'dependent' ELSE 'independent' END AS verdict
+        FROM agg
+      """
+
+  /** Batch oracle shared by q_cmh and its streaming twin. */
+  private lazy val cmhOracle: String = """
+        WITH e AS (
+          SELECT event_type AS st,
+                 user_id % 2 = 1 AS b,
+                 value >= 100.0 AS y
+          FROM events),
+        per AS (
+          SELECT st, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1,
+                 CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m1,
+                 CAST(SUM(CASE WHEN b AND y THEN 1 ELSE 0 END)
+                   AS BIGINT) AS o
+          FROM e GROUP BY 1),
+        terms AS (
+          SELECT o,
+                 (n1 * m1) // n AS eq,
+                 CAST(ROUND(CAST((n1 * m1) % n AS DOUBLE)
+                      / CAST(n AS DOUBLE) * 1e9) AS BIGINT) AS er,
+                 CAST(ROUND(CAST(n1 AS DOUBLE)
+                      * CAST(n - n1 AS DOUBLE)
+                      * CAST(m1 AS DOUBLE)
+                      * CAST(n - m1 AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0))
+                      * 1e9) AS BIGINT) AS vn
+          FROM per WHERE n >= 2),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS k_strata,
+                 CAST(SUM(o) AS BIGINT) AS o,
+                 CAST(SUM(eq) AS BIGINT) AS eqsum,
+                 CAST(SUM(er) AS BIGINT) AS ersum,
+                 CAST(SUM(vn) AS BIGINT) AS v_nano
+          FROM terms)
+        SELECT k_strata, o,
+               eqsum * 1000000000 + ersum AS e_nano, v_nano,
+               CAST(ROUND(
+                 (CAST(o AS DOUBLE)
+                  - (CAST(eqsum AS DOUBLE)
+                     + CAST(ersum AS DOUBLE) / 1e9))
+                 * (CAST(o AS DOUBLE)
+                    - (CAST(eqsum AS DOUBLE)
+                       + CAST(ersum AS DOUBLE) / 1e9))
+                 / (CAST(v_nano AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+                 AS chi2_micro,
+               CASE WHEN CAST(ROUND(
+                 (CAST(o AS DOUBLE)
+                  - (CAST(eqsum AS DOUBLE)
+                     + CAST(ersum AS DOUBLE) / 1e9))
+                 * (CAST(o AS DOUBLE)
+                    - (CAST(eqsum AS DOUBLE)
+                       + CAST(ersum AS DOUBLE) / 1e9))
+                 / (CAST(v_nano AS DOUBLE) / 1e9) * 1e6) AS BIGINT)
+                 > 3841500 THEN 'dependent'
+                 ELSE 'independent' END AS verdict
+        FROM agg
+        WHERE v_nano > 0
+      """
+
   private lazy val survivalOracle: String = """
         WITH RECURSIVE e AS (
           SELECT user_id, event_type,

@@ -158,6 +158,20 @@ case class EnRow(
     group: String, n_a: Long, n_b: Long, ab_sum: Long, aa_sum: Long,
     bb_sum: Long, events_seen: Long)
 
+/** One contingency observation for [[StreamingOps.gtestCellState]]. */
+case class GtObs(a: String, c: Long)
+
+/** Per-cell running count for the streaming G-test — a cell's count
+  * is the complete per-cell sufficient statistic (commutative). */
+case class GtCellRow(a: String, c: Long, o: Long)
+
+/** One stratified-conversion observation for
+  * [[StreamingOps.cmhState]]. */
+case class CmhObs(group: String, b: Boolean, y: Boolean)
+
+/** Per-stratum CMH sufficient statistics (a commutative fold). */
+case class CmhRow(group: String, n: Long, n1: Long, m1: Long, o: Long)
+
 /** Structured Streaming operators over the events table: watermarked
   * tumbling-window aggregation and stateful sessionization via
   * `mapGroupsWithState`. The reference has no streaming (SURVEY §2.10);
@@ -1755,6 +1769,123 @@ object StreamingOps {
           (col("__h") * col("__ss") - col("__s") * col("__s")))
       .select(col("event_type"), col("hour_start"), col("n"),
         when(dev > 0, "high").otherwise("low").as("side"))
+  }
+
+  /** Streaming G-test cell accumulation as `mapGroupsWithState`
+    * keyed by CONTINGENCY CELL: a cell's count is its complete
+    * sufficient statistic and a commutative fold — O(1) state per
+    * cell, no global map, micro-batch splits cannot reorder
+    * anything. The G combine happens in [[gtestHistory]] through the
+    * batch operator's own code.
+    */
+  def gtestCellState(stream: Dataset[GtObs]): Dataset[GtCellRow] = {
+    import stream.sparkSession.implicits._
+    def update(key: (String, Long), rows: Iterator[GtObs],
+        state: GroupState[Long]): GtCellRow = {
+      var n = state.getOption.getOrElse(0L)
+      rows.foreach(_ => n += 1L)
+      state.update(n)
+      GtCellRow(key._1, key._2, n)
+    }
+    stream.groupByKey(o => (o.a, o.c))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[gtestCellState]] over the events parquet (memory sink,
+    * update mode): categories and cohorts come from the SAME Spark
+    * expressions the batch query uses, and the G combine is the
+    * batch operator's own
+    * [[graft.operators.DistributionTests.gTestFromCells]] over the
+    * latest per-cell counts — output shape matches `q_gtest` and
+    * shares its oracle. Streaming state is ONE long per contingency
+    * cell (keyed by cell, not by a global map), so micro-batch
+    * splits cannot reorder anything.
+    */
+  def gtestHistory(
+      spark: SparkSession, path: String, crit4: Long): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("a"),
+        pmod(col("user_id"), lit(3L)).as("c")).as[GtObs]
+    val out = gtestCellState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("c")).orderBy(col("o").desc)
+    // the combine margin-joins the cell table to itself; the memory
+    // view's attributes collide across the self-join branches, so
+    // pin the (tiny, cell-count-sized) table first
+    val cells = spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      // "c" would collide with the combine's internal column-total
+      // margin alias — hand over under neutral names
+      .select(col("a").as("cat"), col("c").as("cohort"), col("o"))
+      .localCheckpoint(true)
+    graft.operators.DistributionTests.gTestFromCells(
+      cells, "cat", "cohort", crit4)
+  }
+
+  /** Streaming Cochran-Mantel-Haenszel as `mapGroupsWithState` keyed
+    * by STRATUM: the four per-stratum counts (n, n₁₊, n₊₁, n₁₁) are
+    * the test's complete sufficient statistics and a pure
+    * commutative integer fold — O(1) state per stratum, micro-batch
+    * splits cannot change the result. The χ² combine is the batch
+    * operator's own [[graft.operators.AbTest.cmhFromCounts]] over
+    * the latest per-stratum rows, so the twin shares q_cmh's oracle.
+    */
+  def cmhState(stream: Dataset[CmhObs]): Dataset[CmhRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[CmhObs],
+        state: GroupState[CmhRow]): CmhRow = {
+      var cur = state.getOption.getOrElse(CmhRow(g, 0L, 0L, 0L, 0L))
+      rows.foreach { ob =>
+        cur = cur.copy(n = cur.n + 1L,
+          n1 = cur.n1 + (if (ob.b) 1L else 0L),
+          m1 = cur.m1 + (if (ob.y) 1L else 0L),
+          o = cur.o + (if (ob.b && ob.y) 1L else 0L))
+      }
+      state.update(cur)
+      cur
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[cmhState]] over the events parquet (memory sink, update
+    * mode): strata, cohorts, and the conversion predicate come from
+    * the SAME Spark expressions the batch query uses; the combine is
+    * [[graft.operators.AbTest.cmhFromCounts]] itself. Output shape
+    * matches `q_cmh` and shares its oracle.
+    */
+  def cmhHistory(
+      spark: SparkSession, path: String, crit4: Long): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        (pmod(col("user_id"), lit(2L)) === 1).as("b"),
+        (col("value") >= 100.0).as("y")).as[CmhObs]
+    val out = cmhState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("n").desc)
+    val per = spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("n").as("__n"), col("n1").as("__n1"),
+        col("m1").as("__m1"), col("o").as("__o"))
+    graft.operators.AbTest.cmhFromCounts(per, crit4)
   }
 
   /** Per-user session statistics with a fixed inactivity gap, kept as

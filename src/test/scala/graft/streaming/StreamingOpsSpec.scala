@@ -566,4 +566,77 @@ class StreamingOpsSpec extends SparkSuite {
     assert(r.getLong(1) === 48L && r.getLong(2) === 24L)
     assert(r.getString(4) === "accept_h1", s"$r")
   }
+
+  test("gtestCellState: per-cell counts fold across micro-batches to " +
+      "the batch G-test's exact cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the DistributionTestsSpec 30/10/10/30 association fixture
+    val obs = Seq.fill(30)(GtObs("A", 0L)) ++ Seq.fill(10)(GtObs("A", 1L)) ++
+      Seq.fill(10)(GtObs("B", 0L)) ++ Seq.fill(30)(GtObs("B", 1L))
+    val input = MemoryStream[GtObs]
+    val out = StreamingOps.gtestCellState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("gt_spec")
+      .start()
+    try {
+      input.addData(obs.take(37): _*)
+      q.processAllAvailable()
+      input.addData(obs.drop(37): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"), col("c")).orderBy(col("o").desc)
+    val cells = spark.table("gt_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("a").as("cat"), col("c").as("cohort"), col("o"))
+      .localCheckpoint(true)
+    val g = graft.operators.DistributionTests
+      .gTestFromCells(cells, "cat", "cohort", crit4 = 38415L)
+      .collect().head
+    // identical to the batch spec's hand value
+    assert(g.getDouble(4) === 20.929926 && g.getString(5) === "dependent",
+      s"$g")
+  }
+
+  test("cmhState: per-stratum sufficient statistics fold across " +
+      "micro-batches to the batch CMH's exact sums") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the AbTestSpec two-stratum fixture: CMH = 3.5 exactly
+    def stratum(s: String): Seq[CmhObs] =
+      Seq.fill(3)(CmhObs(s, true, true)) ++ Seq(CmhObs(s, true, false)) ++
+        Seq(CmhObs(s, false, true)) ++ Seq.fill(3)(CmhObs(s, false, false))
+    val obs = stratum("s1") ++ stratum("s2")
+    val input = MemoryStream[CmhObs]
+    val out = StreamingOps.cmhState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("cmh_spec")
+      .start()
+    try {
+      input.addData(obs.take(5): _*)
+      q.processAllAvailable()
+      input.addData(obs.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("n").desc)
+    val per = spark.table("cmh_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("n").as("__n"), col("n1").as("__n1"),
+        col("m1").as("__m1"), col("o").as("__o"))
+    val r = graft.operators.AbTest.cmhFromCounts(per, crit4 = 38415L)
+      .collect().head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 6L)
+    assert(r.getLong(4) === 3500000L && r.getString(5) === "independent",
+      s"$r")
+  }
 }
