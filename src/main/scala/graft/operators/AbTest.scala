@@ -353,6 +353,41 @@ object AbTest {
           .otherwise("continue").as("decision"))
   }
 
+  /** Wilson score interval (Wilson 1927) for a per-group conversion
+    * rate at 95% — the proportion CI that behaves at the edges where
+    * the Wald interval fails (p̂ near 0/1, small n: Wald collapses
+    * to zero width at c = 0; Wilson never leaves [0, 1]):
+    *
+    *   (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n),  z = 1.96
+    *
+    * Exactness: (n, c) per group are exact counts; lo/hi are ONE
+    * written IEEE sequence each over those integers (√ is a single
+    * correctly-rounded IEEE op — both engines agree bit-for-bit),
+    * snapped to the micro lattice. Rows with NULL success drop; any
+    * n ≥ 1 is valid (the whole point of Wilson).
+    *
+    * Output: (group, n, c, lo_micro, hi_micro). Shape: ONE
+    * map-side-combined aggregation, group-cardinality-sized output.
+    */
+  def wilsonCi(
+      df: DataFrame, groupCol: String, success: Column): DataFrame = {
+    Reserved.check("input" -> df)
+    val agg = df.where(success.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(success, 1L).otherwise(0L)).as("c"))
+    val nD = col("n").cast("double")
+    val p = col("c").cast("double") / nD
+    val z = lit(1.96)
+    val denom = lit(1.0) + z * z / nD
+    val center = (p + z * z / (lit(2.0) * nD)) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / nD +
+      z * z / (lit(4.0) * nD * nD)) / denom
+    agg.select(col(groupCol), col("n"), col("c"),
+      round((center - half) * lit(1e6)).cast("long").as("lo_micro"),
+      round((center + half) * lit(1e6)).cast("long").as("hi_micro"))
+  }
+
   /** Cochran-Mantel-Haenszel test (Mantel & Haenszel 1959) — the
     * STRATIFIED two-proportion test: does cohort B convert
     * differently from A after controlling for a confounding stratum

@@ -186,6 +186,98 @@ object ChangePoint {
           "autocorrelated").otherwise("white").as("verdict"))
   }
 
+  /** Partial autocorrelation at lags 1..3 per series — ACF's
+    * identification partner: r_ℓ ([[autocorr]]) says whether lag ℓ
+    * correlates AT ALL; φ_ℓℓ says whether it adds anything AFTER the
+    * shorter lags are accounted for (the AR-order cutoff signal a
+    * forecasting layer reads before fitting [[TimeSeries]] models).
+    * Closed-form Durbin-Levinson for the first three steps:
+    *
+    *   φ₁₁ = r₁
+    *   φ₂₂ = (r₂ − r₁²)/(1 − r₁²),   φ₂₁ = r₁ − φ₂₂·r₁
+    *   φ₃₃ = (r₃ − φ₂₁r₂ − φ₂₂r₁)/(1 − φ₂₁r₁ − φ₂₂r₂)
+    *
+    * r_ℓ rides the [[ljungBox]] DECIMAL-widened exact lattice
+    * (num_ℓ/den); each φ is ONE written IEEE sequence over the three
+    * r divisions, mirrored verbatim in the oracle, micro-snapped at
+    * the edge. Guards are exact where the lattice allows: series
+    * with zero variance or |r₁| = 1 (den² = num₁²) drop whole; a
+    * lag-3 row additionally drops when its own IEEE denominator is
+    * exactly 0. Series need n > 4 so every lag has ≥ 2 pairs.
+    *
+    * Output: (seriesCol, lag, n, phi_micro) — lag 1 equals
+    * [[autocorr]]'s r₁ by construction. Shape: the [[autocorr]] lag
+    * join plus a 3-column pivot per series.
+    */
+  def pacf(df: DataFrame, seriesCol: String, idxCol: String,
+      xCol: String): DataFrame = {
+    Reserved.check("pacf" -> df)
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(col(seriesCol), col(idxCol).cast("long").as("__i"),
+      col(xCol).cast("long").as("__x"))
+    val tot = base.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__x").cast(d) * col("__x").cast(d)).as("__sxx"))
+    val pairs = base
+      .withColumn("__lag",
+        explode(array((1 to 3).map(l => lit(l.toLong)): _*)))
+      .select(col(seriesCol), (col("__i") + col("__lag")).as("__ti"),
+        col("__lag"), col("__x").as("__xh"))
+      .join(base.select(col(seriesCol), col("__i").as("__ti"),
+          col("__x").as("__xt")),
+        Seq(seriesCol, "__ti"))
+    val perLag = pairs.groupBy(col(seriesCol), col("__lag"))
+      .agg(sum(col("__xh").cast(d) * col("__xt").cast(d)).as("__sxy"),
+        sum(col("__xh")).as("__sh"), sum(col("__xt")).as("__st"))
+    val num = col("__n").cast(d) * col("__n").cast(d) * col("__sxy") -
+      col("__n").cast(d) * col("__sx").cast(d) *
+        (col("__sh") + col("__st")).cast(d) +
+      (col("__n") - col("__lag")).cast(d) *
+        col("__sx").cast(d) * col("__sx").cast(d)
+    val den = col("__n").cast(d) * col("__n").cast(d) * col("__sxx") -
+      col("__n").cast(d) * col("__sx").cast(d) * col("__sx").cast(d)
+    val piv = perLag.join(tot, seriesCol)
+      .filter(col("__n") > 4 &&
+        col("__n").cast(d) * col("__sxx") =!=
+          col("__sx").cast(d) * col("__sx").cast(d))
+      .select(col(seriesCol), col("__n"), col("__lag"),
+        num.as("__num"), den.as("__den"))
+      .groupBy(col(seriesCol), col("__n"), col("__den"))
+      .agg(max(when(col("__lag") === 1L, col("__num"))).as("__n1"),
+        max(when(col("__lag") === 2L, col("__num"))).as("__n2"),
+        max(when(col("__lag") === 3L, col("__num"))).as("__n3"))
+      // |r₁| = 1 makes the step-2 denominator exactly 0 — exact
+      // integer guard on the lattice, not an IEEE compare
+      .filter(col("__den") * col("__den") =!= col("__n1") * col("__n1"))
+    val stepped = piv
+      .withColumn("__r1", col("__n1").cast("double") /
+        col("__den").cast("double"))
+      .withColumn("__r2", col("__n2").cast("double") /
+        col("__den").cast("double"))
+      .withColumn("__r3", col("__n3").cast("double") /
+        col("__den").cast("double"))
+      .withColumn("__p22",
+        (col("__r2") - col("__r1") * col("__r1")) /
+          (lit(1.0) - col("__r1") * col("__r1")))
+      .withColumn("__p21", col("__r1") - col("__p22") * col("__r1"))
+      .withColumn("__d3",
+        lit(1.0) - col("__p21") * col("__r1") - col("__p22") * col("__r2"))
+    stepped
+      .select(col(seriesCol), col("__n").as("n"),
+        explode(array(
+          struct(lit(1L).as("lag"), col("__r1").as("phi"),
+            lit(true).as("keep")),
+          struct(lit(2L).as("lag"), col("__p22").as("phi"),
+            lit(true).as("keep")),
+          struct(lit(3L).as("lag"),
+            ((col("__r3") - col("__p21") * col("__r2") -
+              col("__p22") * col("__r1")) / col("__d3")).as("phi"),
+            (col("__d3") =!= lit(0.0)).as("keep")))).as("__s"))
+      .filter(col("__s.keep"))
+      .select(col(seriesCol), col("__s.lag").as("lag"), col("n"),
+        round(col("__s.phi") * lit(1e6)).cast("long").as("phi_micro"))
+  }
+
   /** Durbin-Watson statistic per series on the residuals from the
     * per-series MEAN (equivalently the von Neumann ratio, since
     * first-differencing cancels the mean exactly):

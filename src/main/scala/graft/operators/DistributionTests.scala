@@ -269,6 +269,64 @@ object DistributionTests {
           .as("cramers_v"))
   }
 
+  /** Two-sample 1-Wasserstein distance (earth mover's distance on
+    * the line) per group — the ML-monitoring drift METRIC beside the
+    * tests: where KS/CvM/AD answer "did it shift?" with a verdict,
+    * W₁ answers "by HOW MUCH, in the metric's own units" (the
+    * average transport distance), so it is comparable across time
+    * and thresholdable by an SLO. On empirical distributions it is
+    * the area between the ECDFs:
+    *
+    *   W₁ = ∫ |F_A(v) − F_B(v)| dv
+    *      = Σ_i |cumA_i·n_b − cumB_i·n_a| · (v_{i+1} − v_i) / (n_a·n_b)
+    *
+    * over the sorted DISTINCT values v_i — fully EXACT integers
+    * (counts × integral value gaps, DECIMAL(38,0)-summed, order-free)
+    * down to ONE division at the micro edge. No tie-break column is
+    * needed: the ECDF gap between distinct values is tie-invariant.
+    *
+    * Output: (groupCol, n_a, n_b, w1_micro) in the value column's
+    * own units ×10⁻⁶. Shape: one distinct-value aggregation, one
+    * group-keyed window pass (cumulatives + lead) — sized by
+    * distinct values, never the corpus. NULL cohorts drop; a group
+    * with an empty cohort drops (W₁ undefined).
+    */
+  def wasserstein(
+      df: DataFrame, groupCol: String, inB: Column,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    NonParametric.requireIntegral(df, valueCol)
+    val d = DecimalType(38, 0)
+    val perVal = df.where(inB.isNotNull)
+      .select(col(groupCol), inB.as("__b"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val wg = Window.partitionBy(col(groupCol))
+    val stepped = perVal
+      .withColumn("__cumA", sum(col("__ca")).over(wCum))
+      .withColumn("__cumB", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wg))
+      .withColumn("__nb", sum(col("__cb")).over(wg))
+      .withColumn("__gap",
+        coalesce(lead(col("__v"), 1).over(wLead) - col("__v"), lit(0L)))
+    stepped
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .groupBy(col(groupCol))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(abs(col("__cumA").cast(d) * col("__nb").cast(d) -
+          col("__cumB").cast(d) * col("__na").cast(d)) *
+          col("__gap").cast(d)).as("__num"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        round(col("__num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")) *
+          lit(1e6)).cast("long").as("w1_micro"))
+  }
+
   /** k-sample Anderson-Darling test (Scholz & Stephens 1987, the
     * tie-adjusted midrank version A²ₐₖₙ of their eq. 6) per group —
     * "did ANY of these k ingest sources drift from the others?", in
@@ -349,6 +407,78 @@ object DistributionTests {
           col("__terms").cast("double") /
           (col("__nn").cast("double") * col("__nn").cast("double")) *
           lit(1e6)).cast("long").as("a2_micro"))
+  }
+
+  /** Bartlett's test of variance homogeneity (Bartlett 1937) across
+    * the k samples of `sampleCol` per group — the parametric
+    * "did the SPREAD change in any source?" companion to the rank
+    * scale tests ([[graft.operators.NonParametric]] Ansari-Bradley /
+    * Mood) and to `q_brown_forsythe` (which trades power for
+    * robustness; Bartlett is the sharper test when the data are
+    * near-normal):
+    *
+    *   B = [(N−k)·ln(s²_p) − Σ(nᵢ−1)·ln(s²ᵢ)] / C   ~ χ²(k−1)
+    *   C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1))
+    *
+    * Exactness: per-sample (n, Σx, DECIMAL Σx²) are exact order-free
+    * integers; each sample's three contributions — (nᵢ−1)s²ᵢ =
+    * (nᵢΣx²−S²)/nᵢ, (nᵢ−1)·ln(s²ᵢ), and 1/(nᵢ−1) — are ONE written
+    * IEEE sequence each, snapped alone to the 9-dp lattice and
+    * accumulated as DECIMAL(38,12) (the [[cramersV]] cell-sum
+    * policy); the B and C edges are one mirrored IEEE sequence at
+    * 6 dp against the caller's 4-dp χ²(k−1) critical value. Groups
+    * with any sample under 2 rows or with a zero-variance sample
+    * drop whole (ln undefined — a partial drop would silently
+    * change k), as do groups with k < 2.
+    *
+    * Output: (groupCol, k, n, b_stat, verdict). Shape: one
+    * map-side-combined aggregation to (group, sample) rows, then a
+    * k-row re-aggregation per group — no join, no window.
+    */
+  def bartlett(
+      df: DataFrame, groupCol: String, sampleCol: String,
+      valueCol: String, crit4: Long): DataFrame = {
+    require(crit4 > 0, s"crit4: $crit4")
+    Reserved.check("input" -> df)
+    NonParametric.requireIntegral(df, valueCol)
+    val d = DecimalType(38, 0)
+    val d12 = DecimalType(38, 12)
+    val per = df
+      .where(col(sampleCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(sampleCol).as("__i"),
+        col(valueCol).cast("long").as("__x"))
+      .groupBy(col(groupCol), col("__i"))
+      .agg(count(lit(1)).as("__ni"), sum(col("__x")).as("__sx"),
+        sum(col("__x").cast(d) * col("__x").cast(d)).as("__sxx"))
+    val vNum = col("__ni").cast(d) * col("__sxx") -
+      col("__sx").cast(d) * col("__sx").cast(d)
+    val ok = col("__ni") >= 2 && vNum > lit(0L).cast(d)
+    val vI = vNum.cast("double") /
+      (col("__ni").cast("double") * (col("__ni").cast("double") - lit(1.0)))
+    val terms = per.select(col(groupCol), col("__ni"),
+      when(ok, 1L).otherwise(0L).as("__ok"),
+      when(ok, round(vNum.cast("double") / col("__ni").cast("double"), 9))
+        .otherwise(0.0).cast(d12).as("__pool"),
+      when(ok, round((col("__ni").cast("double") - lit(1.0)) * log(vI), 9))
+        .otherwise(0.0).cast(d12).as("__lsum"),
+      when(ok, round(lit(1.0) / (col("__ni").cast("double") - lit(1.0)), 9))
+        .otherwise(0.0).cast(d12).as("__hsum"))
+    val g = terms.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k"), sum(col("__ni")).as("n"),
+        min(col("__ok")).as("__allok"),
+        sum(col("__pool")).as("__p"), sum(col("__lsum")).as("__l"),
+        sum(col("__hsum")).as("__h"))
+      .filter(col("__allok") === 1L && col("k") >= 2)
+    val nk = (col("n") - col("k")).cast("double")
+    val bStat = round(
+      (nk * log(col("__p").cast("double") / nk) -
+        col("__l").cast("double")) /
+      (lit(1.0) + (col("__h").cast("double") - lit(1.0) / nk) /
+        (lit(3.0) * (col("k").cast("double") - lit(1.0)))), 6)
+    g.select(col(groupCol), col("k"), col("n"),
+      bStat.as("b_stat"),
+      when(bStat > lit(crit4).cast("double") / lit(10000.0),
+        "heteroscedastic").otherwise("homoscedastic").as("verdict"))
   }
 
   /** G-test of independence (log-likelihood ratio χ²; Sokal & Rohlf

@@ -3494,6 +3494,290 @@ object EventQueries {
       },
       Some(cmhOracle)),
 
+    // Two-sample 1-Wasserstein distance on the SAME cohort split as
+    // q_ks_test, in integer cents: the drift METRIC beside the
+    // verdicts — "by how many cents did the distribution move", the
+    // area between the ECDFs, comparable across time and
+    // SLO-thresholdable. Exact integers (counts × value gaps,
+    // DECIMAL-summed) to one micro-edge division
+    // (DistributionTests.wasserstein scaladoc).
+    QueryDef(
+      "q_wasserstein",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.wasserstein(
+            Tables.events(s, dir)
+              .select(col("event_type"), col("user_id"),
+                round(col("value") * 100).cast("long").as("cents")),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "cents")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) AS v
+          FROM events),
+        pv AS (
+          SELECT event_type, v,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM e GROUP BY 1, 2),
+        st AS (
+          SELECT event_type,
+                 SUM(ca) OVER wc AS cuma, SUM(cb) OVER wc AS cumb,
+                 SUM(ca) OVER wg AS na, SUM(cb) OVER wg AS nb,
+                 COALESCE(LEAD(v) OVER wo - v, 0) AS gap
+          FROM pv
+          WINDOW wc AS (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING),
+                 wo AS (PARTITION BY event_type ORDER BY v),
+                 wg AS (PARTITION BY event_type)),
+        a AS (
+          SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+                 SUM(ABS(CAST(cuma AS HUGEINT) * nb
+                         - CAST(cumb AS HUGEINT) * na) * gap) AS num
+          FROM st WHERE na > 0 AND nb > 0 GROUP BY 1)
+        SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS w1_micro
+        FROM a
+        ORDER BY event_type
+      """)),
+
+    // Bartlett's variance-homogeneity test across THREE user-cohort
+    // samples per event type: the parametric "did the SPREAD change
+    // in any source?" — sharper than q_brown_forsythe when the data
+    // are near-normal, read beside the rank scale tests
+    // (q_ansari_bradley / q_mood_median). Exact per-sample
+    // (n, Σx, Σx²); three IEEE contributions per sample 9-dp-snapped
+    // and DECIMAL-summed; verdict vs χ²(2, 95%) = 5.9915
+    // (DistributionTests.bartlett scaladoc).
+    QueryDef(
+      "q_bartlett",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.bartlett(
+            Tables.events(s, dir)
+              .select(col("event_type"),
+                pmod(col("user_id"), lit(3L)).as("cohort"),
+                round(col("value") * 100).cast("long").as("cents")),
+            "event_type", "cohort", "cents", crit4 = 59915L)
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type AS g, user_id % 3 AS i,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events),
+        per AS (
+          SELECT g, i, CAST(count(*) AS BIGINT) AS ni,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM e GROUP BY 1, 2),
+        t AS (
+          SELECT g, ni,
+                 CASE WHEN ni >= 2 AND CAST(ni AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx > 0
+                      THEN 1 ELSE 0 END AS ok,
+                 CASE WHEN ni >= 2 AND CAST(ni AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx > 0
+                      THEN ROUND(CAST(CAST(ni AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                        / CAST(ni AS DOUBLE), 9)
+                      ELSE 0.0 END AS pool,
+                 CASE WHEN ni >= 2 AND CAST(ni AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx > 0
+                      THEN ROUND((CAST(ni AS DOUBLE) - 1.0)
+                        * ln(CAST(CAST(ni AS HUGEINT) * sxx
+                            - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                          / (CAST(ni AS DOUBLE)
+                             * (CAST(ni AS DOUBLE) - 1.0))), 9)
+                      ELSE 0.0 END AS lsum,
+                 CASE WHEN ni >= 2 AND CAST(ni AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx > 0
+                      THEN ROUND(1.0 / (CAST(ni AS DOUBLE) - 1.0), 9)
+                      ELSE 0.0 END AS hsum
+          FROM per),
+        a AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS k,
+                 CAST(SUM(ni) AS BIGINT) AS n,
+                 MIN(ok) AS allok,
+                 SUM(CAST(pool AS DECIMAL(38,12))) AS p,
+                 SUM(CAST(lsum AS DECIMAL(38,12))) AS l,
+                 SUM(CAST(hsum AS DECIMAL(38,12))) AS h
+          FROM t GROUP BY 1)
+        SELECT g AS event_type, k, n,
+               ROUND((CAST(n - k AS DOUBLE)
+                      * ln(CAST(p AS DOUBLE) / CAST(n - k AS DOUBLE))
+                      - CAST(l AS DOUBLE))
+                 / (1.0 + (CAST(h AS DOUBLE)
+                           - 1.0 / CAST(n - k AS DOUBLE))
+                    / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6) AS b_stat,
+               CASE WHEN ROUND((CAST(n - k AS DOUBLE)
+                      * ln(CAST(p AS DOUBLE) / CAST(n - k AS DOUBLE))
+                      - CAST(l AS DOUBLE))
+                 / (1.0 + (CAST(h AS DOUBLE)
+                           - 1.0 / CAST(n - k AS DOUBLE))
+                    / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
+                 > CAST(59915 AS DOUBLE) / 10000.0
+                 THEN 'heteroscedastic' ELSE 'homoscedastic'
+                 END AS verdict
+        FROM a
+        WHERE allok = 1 AND k >= 2
+        ORDER BY event_type
+      """)),
+
+    // Wilson 95% score interval for each event type's conversion
+    // rate (value ≥ 100) — the proportion CI that stays inside
+    // [0, 1] and keeps width at p̂ near 0/1 where the Wald interval
+    // collapses; the per-group readout layer under q_ab_test's
+    // verdicts. One IEEE sequence per bound from exact (n, c),
+    // micro-snapped (AbTest.wilsonCi scaladoc).
+    QueryDef(
+      "q_wilson_ci",
+      (s, dir) => {
+        import graft.operators.AbTest
+        AbTest.wilsonCi(
+            Tables.events(s, dir), "event_type",
+            col("value") >= 100.0)
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN value >= 100.0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c
+          FROM events GROUP BY 1)
+        SELECT event_type, n, c,
+               CAST(ROUND((
+                 (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+                 / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+                 - 1.96 * sqrt(
+                     (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                     + 1.96 * 1.96
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+                 ) * 1e6) AS BIGINT) AS lo_micro,
+               CAST(ROUND((
+                 (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.96 * 1.96 / (2.0 * CAST(n AS DOUBLE)))
+                 / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+                 + 1.96 * sqrt(
+                     (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (1.0 - CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE)
+                     + 1.96 * 1.96
+                       / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                   / (1.0 + 1.96 * 1.96 / CAST(n AS DOUBLE))
+                 ) * 1e6) AS BIGINT) AS hi_micro
+        FROM a
+        ORDER BY event_type
+      """)),
+
+    // Partial autocorrelation at lags 1..3 on the q_acf daily
+    // series: ACF's identification partner — does lag ℓ add signal
+    // AFTER the shorter lags (the AR-order cutoff a forecasting
+    // layer reads before fitting Holt/Holt-Winters). Closed-form
+    // Durbin-Levinson over the exact DECIMAL-widened r lattice;
+    // each φ one mirrored IEEE sequence, micro edge
+    // (ChangePoint.pacf scaladoc).
+    QueryDef(
+      "q_pacf",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        graft.operators.ChangePoint.pacf(daily, "event_type", "i", "x")
+          .orderBy(col("event_type"), col("lag"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, CAST(x AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS i
+          FROM series),
+        tot AS (
+          SELECT event_type, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM idx GROUP BY 1),
+        lags AS (SELECT unnest([1, 2, 3]) AS lag),
+        pairs AS (
+          SELECT h.event_type, l.lag, h.x AS xh, t.x AS xt
+          FROM idx h
+          CROSS JOIN lags l
+          JOIN idx t ON t.event_type = h.event_type
+                    AND t.i = h.i + l.lag),
+        perlag AS (
+          SELECT event_type, lag,
+                 SUM(CAST(xh AS HUGEINT) * xt) AS sxy,
+                 CAST(SUM(xh) AS BIGINT) AS sh,
+                 CAST(SUM(xt) AS BIGINT) AS st
+          FROM pairs GROUP BY 1, 2),
+        nd AS (
+          SELECT p.event_type, t.n, p.lag,
+                 CAST(t.n AS HUGEINT) * t.n * p.sxy
+                   - CAST(t.n AS HUGEINT) * t.sx * (p.sh + p.st)
+                   + CAST(t.n - p.lag AS HUGEINT) * t.sx * t.sx AS num,
+                 CAST(t.n AS HUGEINT) * t.n * t.sxx
+                   - CAST(t.n AS HUGEINT) * t.sx * t.sx AS den
+          FROM perlag p JOIN tot t USING (event_type)
+          WHERE t.n > 4
+            AND CAST(t.n AS HUGEINT) * t.sxx
+                <> CAST(t.sx AS HUGEINT) * t.sx),
+        piv AS (
+          SELECT event_type, n, den,
+                 MAX(CASE WHEN lag = 1 THEN num END) AS n1,
+                 MAX(CASE WHEN lag = 2 THEN num END) AS n2,
+                 MAX(CASE WHEN lag = 3 THEN num END) AS n3
+          FROM nd GROUP BY 1, 2, 3
+          HAVING den * den
+                 <> MAX(CASE WHEN lag = 1 THEN num END)
+                    * MAX(CASE WHEN lag = 1 THEN num END)),
+        r AS (
+          SELECT event_type, n,
+                 CAST(n1 AS DOUBLE) / CAST(den AS DOUBLE) AS r1,
+                 CAST(n2 AS DOUBLE) / CAST(den AS DOUBLE) AS r2,
+                 CAST(n3 AS DOUBLE) / CAST(den AS DOUBLE) AS r3
+          FROM piv),
+        s1 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+               FROM r),
+        s2 AS (SELECT *, r1 - p22 * r1 AS p21 FROM s1),
+        s3 AS (SELECT *, 1.0 - p21 * r1 - p22 * r2 AS d3 FROM s2),
+        outp AS (
+          SELECT event_type, 1 AS lag, n, r1 AS phi, TRUE AS keep
+          FROM s3
+          UNION ALL
+          SELECT event_type, 2, n, p22, TRUE FROM s3
+          UNION ALL
+          SELECT event_type, 3, n,
+                 (r3 - p21 * r2 - p22 * r1) / d3, d3 <> 0.0
+          FROM s3)
+        SELECT event_type, CAST(lag AS BIGINT) AS lag,
+               CAST(n AS BIGINT) AS n,
+               CAST(ROUND(phi * 1e6) AS BIGINT) AS phi_micro
+        FROM outp WHERE keep
+        ORDER BY event_type, lag
+      """)),
+
     // Streaming twin of q_gtest: per-cell counts accumulate as O(1)
     // mapGroupsWithState keyed by contingency CELL (a commutative
     // fold — no global map), then the batch operator's own

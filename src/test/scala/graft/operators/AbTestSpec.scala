@@ -184,6 +184,32 @@ class AbTestSpec extends SparkSuite {
     }
   }
 
+  test("wilsonCi: textbook 50/100 bounds; zero successes keep a " +
+      "positive-width interval inside [0,1]") {
+    val df = ((1 to 50).map(i => ("half", true)) ++
+      (1 to 50).map(i => ("half", false)) ++
+      (1 to 20).map(i => ("none", false))).toDF("g", "y")
+    val out = AbTest.wilsonCi(df, "g", col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // replicate the written IEEE sequence exactly
+    def bounds(n: Long, c: Long): (Long, Long) = {
+      val nD = n.toDouble; val p = c.toDouble / nD; val z = 1.96
+      val denom = 1.0 + z * z / nD
+      val center = (p + z * z / (2.0 * nD)) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / nD +
+        z * z / (4.0 * nD * nD)) / denom
+      (math.round((center - half) * 1e6), math.round((center + half) * 1e6))
+    }
+    val (lo, hi) = bounds(100L, 50L)
+    assert(out("half").getLong(3) === lo && out("half").getLong(4) === hi)
+    // the textbook Wilson 95% interval for 50/100 is (0.4038, 0.5962)
+    assert(lo === 403830L && hi === 596170L, s"$lo $hi")
+    val none = out("none")
+    assert(none.getLong(3) === 0L, s"$none") // p̂ = 0 → lo = 0 exactly
+    assert(none.getLong(4) > 0L && none.getLong(4) < 1000000L,
+      "Wald would collapse to zero width here; Wilson must not")
+  }
+
   test("cmh: hand-computed stratified 2x2 sums; tiny strata and " +
       "NULLs drop") {
     // two identical strata, each n=8, n₁₊=4, n₊₁=4:

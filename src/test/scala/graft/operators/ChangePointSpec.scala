@@ -83,6 +83,40 @@ class ChangePointSpec extends SparkSuite {
       .count() === 0L)
   }
 
+  test("pacf matches a brute-force Durbin-Levinson; degenerate " +
+      "series drop") {
+    // brute force over the same full-mean ACF definition
+    def brute(xs: Seq[Double]): Seq[Double] = {
+      val n = xs.size
+      val m = xs.sum / n
+      val d0 = xs.map(v => (v - m) * (v - m)).sum
+      def r(l: Int) =
+        (0 until n - l).map(t => (xs(t) - m) * (xs(t + l) - m)).sum / d0
+      val (r1, r2, r3) = (r(1), r(2), r(3))
+      val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      val p21 = r1 - p22 * r1
+      val p33 = (r3 - p21 * r2 - p22 * r1) /
+        (1.0 - p21 * r1 - p22 * r2)
+      Seq(r1, p22, p33)
+    }
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L, 5L, 8L)
+    val df = (xs.zipWithIndex.map { case (x, i) =>
+        ("pi", (i + 1).toLong, x) } ++
+      (1 to 9).map(i => ("flat", i.toLong, 7L)))
+      .toDF("s", "i", "x")
+    val out = ChangePoint.pacf(df, "s", "i", "x")
+      .orderBy("lag").collect().filter(_.getString(0) == "pi")
+    val exp = brute(xs.map(_.toDouble))
+    assert(out.length === 3)
+    out.zip(exp).foreach { case (row, e) =>
+      assert(math.abs(row.getLong(3) - math.round(e * 1e6)) <= 1L,
+        s"lag ${row.getLong(1)}: ${row.getLong(3)} vs $e")
+    }
+    // zero-variance series dropped whole
+    assert(ChangePoint.pacf(df, "s", "i", "x")
+      .filter(col("s") === "flat").count() === 0L)
+  }
+
   test("durbinWatson: exact rationals and verdict bands") {
     // ramp [1,2,3,4]: Σd²=3, num=12; den = 4·30−100 = 20 → d = 0.6
     val ramp = (1 to 4).map(i => ("r", i.toLong, i.toLong))

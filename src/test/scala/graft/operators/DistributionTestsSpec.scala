@@ -314,6 +314,65 @@ class DistributionTestsSpec extends SparkSuite {
       .count() === 0L)
   }
 
+  test("wasserstein: a pure shift reads exactly the shift size; " +
+      "identical samples read 0; fractional values refused") {
+    // A = {0,10}, B = {10,20}: transport distance = 10 exactly
+    val shift = Seq(("s", false, 0L), ("s", false, 10L),
+      ("s", true, 10L), ("s", true, 20L))
+    val same = (1L to 5L).flatMap(v => Seq(("i", false, v), ("i", true, v)))
+    val out = DistributionTests.wasserstein(
+        (shift ++ same).toDF("g", "b", "x"), "g", col("b"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("s").getLong(3) === 10000000L, s"${out("s")}")
+    assert(out("i").getLong(3) === 0L, s"${out("i")}")
+    intercept[IllegalArgumentException] {
+      DistributionTests.wasserstein(
+        Seq(("g", true, 1.5)).toDF("g", "b", "x"), "g", col("b"), "x")
+    }
+  }
+
+  test("bartlett matches an independent brute force; a 4x-scale " +
+      "sample flags; degenerate samples drop the group whole") {
+    def bart(samples: Seq[Seq[Long]]): Double = {
+      val k = samples.size
+      val nTot = samples.map(_.size).sum.toDouble
+      val vs = samples.map { s =>
+        val n = s.size.toDouble
+        val sx = s.map(_.toDouble).sum
+        val sxx = s.map(v => v.toDouble * v).sum
+        (n, (n * sxx - sx * sx) / (n * (n - 1.0)))
+      }
+      val sp = vs.map { case (n, v) => (n - 1.0) * v }.sum / (nTot - k)
+      val num = (nTot - k) * math.log(sp) -
+        vs.map { case (n, v) => (n - 1.0) * math.log(v) }.sum
+      val c = 1.0 + (vs.map { case (n, _) => 1.0 / (n - 1.0) }.sum -
+        1.0 / (nTot - k)) / (3.0 * (k - 1.0))
+      num / c
+    }
+    val rnd = new scala.util.Random(11)
+    val even = Seq.fill(3)(Seq.fill(40)((rnd.nextInt(21) - 10).toLong))
+    val skewed = even.zipWithIndex.map { case (s, i) =>
+      if (i == 2) s.map(_ * 4L) else s }
+    def run(tag: String, ss: Seq[Seq[Long]]) = DistributionTests
+      .bartlett(
+        ss.zipWithIndex.flatMap { case (s, i) =>
+          s.map(v => (tag, i.toLong, v)) }.toDF("g", "i", "x"),
+        "g", "i", "x", crit4 = 59915L)
+      .collect().head
+    val e = run("even", even)
+    assert(math.abs(e.getDouble(3) - bart(even)) < 1e-4, s"$e")
+    assert(e.getString(4) === "homoscedastic", s"$e")
+    val s = run("skew", skewed)
+    assert(math.abs(s.getDouble(3) - bart(skewed)) < 1e-4, s"$s")
+    assert(s.getString(4) === "heteroscedastic", s"$s")
+    // a zero-variance sample drops the whole group (k must not
+    // silently shrink)
+    val degen = (1 to 10).map(i => ("d", (i % 2).toLong,
+      if (i % 2 == 0) 5L else (i % 3).toLong))
+    assert(DistributionTests.bartlett(
+      degen.toDF("g", "i", "x"), "g", "i", "x", 59915L).count() === 0L)
+  }
+
   test("gamesHowell is partitioning-independent") {
     val df = (1 to 300).map(i => (s"g${i % 4}", (i * 7) % 23))
       .toDF("g", "x")

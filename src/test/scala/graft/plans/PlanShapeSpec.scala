@@ -233,7 +233,8 @@ class PlanShapeSpec extends SparkSuite {
       "q_anova_posthoc", "q_psi_binned",
       "q_kuiper", "q_ad_test", "q_gtest",
       "q_ljung_box", "q_durbin_watson", "q_rmst",
-      "q_tpch_q6", "q_cmh")
+      "q_tpch_q6", "q_cmh",
+      "q_wasserstein", "q_bartlett", "q_wilson_ci", "q_pacf")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),

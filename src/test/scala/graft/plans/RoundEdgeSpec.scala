@@ -54,7 +54,11 @@ class RoundEdgeSpec extends AnyFunSuite {
     // ljungBox 9-dp cell snap + two mirrored 6-dp q_stat edges +
     // durbinWatson's exact-integer-division dw; Survival's +1 =
     // rmst's 6-dp edge over a DECIMAL(38,0) micro-lattice sum.
-    "graft/operators/DistributionTests.scala" -> 17,
+    // ...and +4 later in round 13: bartlett's three per-sample 9-dp
+    // cell snaps (pool/ln/harmonic, the cramersV class) and its
+    // mirrored 6-dp b_stat edge. wasserstein/wilsonCi/pacf use only
+    // scale-0 micro snaps (not counted by design).
+    "graft/operators/DistributionTests.scala" -> 21,
     "graft/operators/Dsir.scala" -> 2,
     "graft/operators/FeatureSelection.scala" -> 2,
     "graft/operators/KnnClassifier.scala" -> 1,
@@ -77,7 +81,10 @@ class RoundEdgeSpec extends AnyFunSuite {
     // (1), q_gtest (2), q_ljung_box (3), q_durbin_watson (1) and
     // q_rmst (4), each mirroring its operator's registered edges
     // verbatim.
-    "graft/queries/EventQueries.scala" -> 39,
+    // ...and +5 later in round 13: q_bartlett's oracle mirror
+    // (3 ROUND-9 cells + the b_stat ROUND-6 twice across the edge
+    // and verdict).
+    "graft/queries/EventQueries.scala" -> 44,
     // 107 at round 10; +4 in round 11: q_brown_forsythe's oracle
     // mirrors q_anova's registered edges verbatim (the per-group
     // 9-dp snap into DECIMAL(38,12) and the three 6-dp output
