@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,5 +90,57 @@ object Calibration {
         col("__n").as("n"), col("__pos").as("pos"),
         expr("(__pos * CAST(1000000 AS BIGINT)) div __n").as("raw_ppm"),
         round(col("__iso") * lit(1e6)).cast("long").as("iso_ppm"))
+  }
+
+  /** Cumulative lift/gains curve — the targeting-eval readout: rank
+    * units by a model score, cut into `k` equal-population buckets,
+    * and ask "if I act on only the top b buckets, what multiple of
+    * the base rate do I capture?" (campaign targeting, review-queue
+    * sizing, quality-threshold sweeps):
+    *
+    *   lift_b = (cumPos_b / cumN_b) / (totPos / totN)
+    *   gain_b = cumPos_b / totPos
+    *
+    * Buckets come from `ntile(k)` over the (score DESC, tieCol ASC)
+    * TOTAL order — deterministic and identically defined in any
+    * engine. Everything after bucketing is exact integer counts and
+    * cumulative sums over ≤ k rows; lift/gain are single divisions
+    * at the ppm edge (lift as cross-multiplied integers would also
+    * work, but the ppm value itself is the deliverable here).
+    *
+    * Output: one row per bucket 1..k — (bucket, n, pos, cum_n,
+    * cum_pos, gain_ppm, lift_ppm). Empty input → no rows; a zero
+    * total positive count drops the group (lift undefined).
+    *
+    * Shape: one ntile window over the scored units (the ranking IS
+    * the operator), then a k-row aggregation + cumulative window.
+    */
+  def liftCurve(
+      df: DataFrame, scoreCol: String, tieCol: String, label: Column,
+      k: Int = 10): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k: $k")
+    Reserved.check("input" -> df)
+    val w = Window.orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val bucketed = df.where(label.isNotNull)
+      .withColumn("__y", when(label, 1L).otherwise(0L))
+      .withColumn("__bk", ntile(k).over(w).cast("long"))
+    val perBucket = bucketed.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val wc = Window.orderBy(col("__bk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy()
+    perBucket
+      .withColumn("cum_n", sum(col("n")).over(wc))
+      .withColumn("cum_pos", sum(col("pos")).over(wc))
+      .withColumn("__totn", sum(col("n")).over(wt))
+      .withColumn("__totpos", sum(col("pos")).over(wt))
+      .filter(col("__totpos") > 0)
+      .select(col("__bk").as("bucket"), col("n"), col("pos"),
+        col("cum_n"), col("cum_pos"),
+        expr("(cum_pos * CAST(1000000 AS BIGINT)) div __totpos")
+          .as("gain_ppm"),
+        round(col("cum_pos").cast("double") / col("cum_n").cast("double") /
+          (col("__totpos").cast("double") / col("__totn").cast("double")) *
+          lit(1e6)).cast("long").as("lift_ppm"))
   }
 }

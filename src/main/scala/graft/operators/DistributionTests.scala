@@ -816,6 +816,109 @@ object DistributionTests {
           .cast("long").as("psi_micro"))
   }
 
+  /** Jensen-Shannon divergence per group over the SAME
+    * Laplace-smoothed bin-share lattice as [[psi]] — the BOUNDED,
+    * symmetric drift number ([0, ln 2] in nats): where PSI blows up
+    * on near-empty bins and KL is asymmetric and unbounded, JS is
+    * always finite and symmetric, so it is the right default for
+    * dashboards that compare drift ACROSS metrics with different
+    * bin occupancies. Per occupied bin (m = (p_A + p_B)/2):
+    *
+    *   JS = Σ_bins ½·p_A·ln(p_A/m) + ½·p_B·ln(p_B/m)
+    *
+    * Each bin's contribution is ONE written IEEE sequence snapped
+    * alone to the nano lattice and integer-summed (order-free —
+    * the [[psi]] term policy); smoothing keeps every log finite.
+    *
+    * Output: (groupCol, n_a, n_b, n_bins, js_micro) in nats ×10⁻⁶.
+    * Shape: the [[psi]] plan — one bin aggregation, one group
+    * window, one rollup.
+    */
+  def jsDivergence(
+      df: DataFrame, groupCol: String, inB: Column, binCol: String)
+      : DataFrame = {
+    Reserved.check("input" -> df)
+    val rows = df
+      .where(inB.isNotNull && col(binCol).isNotNull)
+      .select(col(groupCol).as("__g"), inB.as("__b"),
+        col(binCol).cast("long").as("__bin"))
+    val perBin = rows.groupBy(col("__g"), col("__bin"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("__cb"))
+    val wg = Window.partitionBy(col("__g"))
+    val marked = perBin
+      .withColumn("__na", sum(col("__ca")).over(wg))
+      .withColumn("__nb", sum(col("__cb")).over(wg))
+      .withColumn("__nbins", count(lit(1)).over(wg))
+    val pA = (col("__ca").cast("double") + lit(1.0)) /
+      (col("__na").cast("double") + col("__nbins").cast("double"))
+    val pB = (col("__cb").cast("double") + lit(1.0)) /
+      (col("__nb").cast("double") + col("__nbins").cast("double"))
+    val m = (pA + pB) / lit(2.0)
+    val termNano = round((lit(0.5) * pA * log(pA / m) +
+      lit(0.5) * pB * log(pB / m)) * lit(1e9)).cast("long")
+    marked
+      .withColumn("__t", termNano)
+      .groupBy(col("__g"))
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__nbins")).as("n_bins"),
+        sum(col("__t")).as("__tsum"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("__g").as(groupCol), col("n_a"), col("n_b"),
+        col("n_bins"),
+        round(col("__tsum").cast("double") / lit(1e9) * lit(1e6))
+          .cast("long").as("js_micro"))
+  }
+
+  /** Index of dispersion (variance-to-mean ratio) test per group on
+    * an integral count metric — "is this counter Poisson, or
+    * bursty?": the modeling pre-check before rate-based monitors
+    * ([[graft.operators.TimeSeries.anomalousCounts]] assumes
+    * near-Poisson noise; a bursty feed needs wider bands). Under
+    * H₀: Poisson, D = (n−1)s²/x̄ ~ χ²(n−1), normal-approximated as
+    * z = (D − (n−1))/√(2(n−1)).
+    *
+    * EXACT throughout: D = (n·Σx² − S²)/S is one rational of
+    * order-free integer aggregates (DECIMAL(38,0)); the 95% verdict
+    * squares z (z² = 2401/625) into the integer
+    * cross-multiplication
+    *
+    *   625·(num − (n−1)·S)² > 2401·2(n−1)·S²,  num = n·Σx² − S²
+    *
+    * with the sign of (num − (n−1)S) choosing over/under. d_micro
+    * is the one division at the edge. Groups with n < 2 or S ≤ 0
+    * drop (D undefined).
+    *
+    * Output: (groupCol, n, d_micro, verdict ∈ overdispersed |
+    * underdispersed | poisson). Shape: ONE map-side-combined
+    * aggregation; no join, no window.
+    */
+  def dispersionIndex(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    NonParametric.requireIntegral(df, valueCol)
+    val d = DecimalType(38, 0)
+    val agg = df
+      .where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__x"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
+        sum(col("__x").cast(d) * col("__x").cast(d)).as("__sxx"))
+      .filter(col("n") >= 2 && col("__s") > 0)
+    val num = col("n").cast(d) * col("__sxx") -
+      col("__s").cast(d) * col("__s").cast(d)
+    val dev = num - (col("n") - 1).cast(d) * col("__s").cast(d)
+    agg.select(col(groupCol), col("n"),
+      round(num.cast("double") / col("__s").cast("double") * lit(1e6))
+        .cast("long").as("d_micro"),
+      when(lit(625L).cast(d) * dev * dev >
+          lit(2401L).cast(d) * lit(2L).cast(d) *
+            (col("n") - 1).cast(d) *
+            col("__s").cast(d) * col("__s").cast(d),
+        when(dev > 0, "overdispersed").otherwise("underdispersed"))
+        .otherwise("poisson").as("verdict"))
+  }
+
   /** [[psi]] with ENGINE-DERIVED equal-frequency bins — drift
     * monitoring without a caller-side pass over the corpus to decide
     * bin edges (the gap [[psi]]'s explicit-bins contract left open):

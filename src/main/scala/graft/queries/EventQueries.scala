@@ -3494,6 +3494,119 @@ object EventQueries {
       },
       Some(cmhOracle)),
 
+    // Jensen-Shannon divergence on the SAME 10-dollar bins and
+    // cohort split as q_psi: the BOUNDED ([0, ln 2]), symmetric
+    // drift number — PSI blows up on near-empty bins and KL is
+    // unbounded, so JS is the cross-metric dashboard default. Same
+    // Laplace-smoothed share lattice, per-bin IEEE terms
+    // nano-snapped and integer-summed
+    // (DistributionTests.jsDivergence scaladoc).
+    QueryDef(
+      "q_js_divergence",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        DistributionTests.jsDivergence(
+            Tables.events(s, dir)
+              .select(col("event_type"), col("user_id"),
+                expr("CAST(ROUND(value * 100) AS BIGINT) div 1000")
+                  .as("bin")),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "bin")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) // 1000 AS bin
+          FROM events),
+        pb AS (
+          SELECT event_type, bin,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM e GROUP BY 1, 2),
+        mk AS (
+          SELECT *, SUM(ca) OVER w AS na, SUM(cb) OVER w AS nb,
+                 COUNT(*) OVER w AS nbins
+          FROM pb WINDOW w AS (PARTITION BY event_type)),
+        p1 AS (
+          SELECT event_type, na, nb, nbins,
+                 (CAST(ca AS DOUBLE) + 1.0)
+                   / (CAST(na AS DOUBLE) + CAST(nbins AS DOUBLE)) AS pa,
+                 (CAST(cb AS DOUBLE) + 1.0)
+                   / (CAST(nb AS DOUBLE) + CAST(nbins AS DOUBLE)) AS pb2
+          FROM mk),
+        t AS (
+          SELECT event_type, na, nb, nbins,
+                 CAST(ROUND((0.5 * pa * ln(pa / ((pa + pb2) / 2.0))
+                   + 0.5 * pb2 * ln(pb2 / ((pa + pb2) / 2.0))) * 1e9)
+                   AS BIGINT) AS tn
+          FROM p1),
+        a AS (
+          SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+                 CAST(MAX(nb) AS BIGINT) AS n_b,
+                 CAST(MAX(nbins) AS BIGINT) AS n_bins,
+                 CAST(SUM(tn) AS BIGINT) AS tsum
+          FROM t GROUP BY 1)
+        SELECT event_type, n_a, n_b, n_bins,
+               CAST(ROUND(CAST(tsum AS DOUBLE) / 1e9 * 1e6) AS BIGINT)
+                 AS js_micro
+        FROM a WHERE n_a > 0 AND n_b > 0
+        ORDER BY event_type
+      """)),
+
+    // Index-of-dispersion test on each event type's daily counts:
+    // is the volume counter Poisson, or bursty? — the modeling
+    // pre-check before trusting rate-based anomaly bands
+    // (q_event_anomaly assumes near-Poisson noise). D = (n·Σx²−S²)/S
+    // is fully exact; the 95% verdict is an integer
+    // cross-multiplication with the deviation sign choosing
+    // over/under (DistributionTests.dispersionIndex scaladoc).
+    QueryDef(
+      "q_dispersion",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("x"))
+        graft.operators.DistributionTests.dispersionIndex(
+            daily, "event_type", "x")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM daily GROUP BY 1)
+        SELECT event_type, n,
+               CAST(ROUND(CAST(CAST(n AS HUGEINT) * sxx
+                   - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(s AS DOUBLE) * 1e6) AS BIGINT) AS d_micro,
+               CASE WHEN 625 * (CAST(n AS HUGEINT) * sxx
+                      - CAST(s AS HUGEINT) * s
+                      - CAST(n - 1 AS HUGEINT) * s)
+                    * (CAST(n AS HUGEINT) * sxx
+                      - CAST(s AS HUGEINT) * s
+                      - CAST(n - 1 AS HUGEINT) * s)
+                    > CAST(2401 AS HUGEINT) * 2 * (n - 1) * s * s
+                 THEN CASE WHEN CAST(n AS HUGEINT) * sxx
+                        - CAST(s AS HUGEINT) * s
+                        - CAST(n - 1 AS HUGEINT) * s > 0
+                      THEN 'overdispersed' ELSE 'underdispersed' END
+                 ELSE 'poisson' END AS verdict
+        FROM a
+        WHERE n >= 2 AND s > 0
+        ORDER BY event_type
+      """)),
+
     // Two-sample 1-Wasserstein distance on the SAME cohort split as
     // q_ks_test, in integer cents: the drift METRIC beside the
     // verdicts — "by how many cents did the distribution move", the

@@ -205,6 +205,63 @@ object MLQueries {
           (4, 0.025003), (5, 0.024863), (6, 0.023848), (7, 0.022975))
           AS t(component, explained_variance)
         ORDER BY component
+      """)),
+
+    // Cumulative lift/gains at user deciles: rank users by click
+    // volume, ask what multiple of the base purchase rate the top
+    // deciles capture — the targeting-eval readout under every
+    // "act on the top X%" decision (campaign sizing, review-queue
+    // budgets). Deciles from ntile over the (score DESC, user_id)
+    // total order — deterministic in both engines; counts and
+    // cumulative sums exact, lift/gain at the ppm edge
+    // (Calibration.liftCurve scaladoc).
+    QueryDef(
+      "q_lift_curve",
+      (s, dir) => {
+        val users = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L)).as("score"),
+            max(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("y"))
+        graft.operators.Calibration.liftCurve(
+            users, "score", "user_id", col("y") === 1, k = 10)
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                          ELSE 0 END) AS BIGINT) AS score,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) AS y
+          FROM events GROUP BY 1),
+        b AS (
+          SELECT ntile(10) OVER (ORDER BY score DESC, user_id ASC)
+                   AS bucket,
+                 y
+          FROM u),
+        pb AS (
+          SELECT CAST(bucket AS BIGINT) AS bucket,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS pos
+          FROM b GROUP BY 1),
+        c AS (
+          SELECT *,
+                 CAST(SUM(n) OVER wo AS BIGINT) AS cum_n,
+                 CAST(SUM(pos) OVER wo AS BIGINT) AS cum_pos,
+                 CAST(SUM(n) OVER () AS BIGINT) AS totn,
+                 CAST(SUM(pos) OVER () AS BIGINT) AS totpos
+          FROM pb
+          WINDOW wo AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+        SELECT bucket, n, pos, cum_n, cum_pos,
+               (cum_pos * 1000000) // totpos AS gain_ppm,
+               CAST(ROUND(CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)
+                 / (CAST(totpos AS DOUBLE) / CAST(totn AS DOUBLE))
+                 * 1e6) AS BIGINT) AS lift_ppm
+        FROM c
+        WHERE totpos > 0
+        ORDER BY bucket
       """))
   )
 

@@ -34,4 +34,29 @@ class CalibrationSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("maxBins"))
   }
+
+  test("liftCurve: exact deciles on a hand case; zero positives " +
+      "yield no rows") {
+    import org.apache.spark.sql.functions.col
+    // 20 units scored 20..1; the top five scores are the positives
+    val units = (1 to 20).map(i =>
+      (21L - i, i.toLong, 21L - i >= 16L))
+    val out = Calibration.liftCurve(
+        units.toDF("score", "id", "y"), "score", "id", col("y"), k = 10)
+      .orderBy("bucket").collect()
+    assert(out.length === 10)
+    // bucket 1 = {20,19}: both positive → lift = 1.0/0.25 = 4
+    assert(out.head.getLong(1) === 2L && out.head.getLong(2) === 2L)
+    assert(out.head.getLong(5) === 400000L)   // gain 2/5
+    assert(out.head.getLong(6) === 4000000L)  // lift 4.0
+    // bucket 3 = {16,15}: cum 5/6 → lift 10/3, gain 100%
+    assert(out(2).getLong(4) === 5L && out(2).getLong(5) === 1000000L)
+    assert(out(2).getLong(6) === 3333333L)
+    // final bucket: lift collapses to exactly 1.0
+    assert(out.last.getLong(6) === 1000000L)
+    val none = (1 to 20).map(i => (i.toLong, i.toLong, false))
+    assert(Calibration.liftCurve(
+      none.toDF("score", "id", "y"), "score", "id", col("y"))
+      .count() === 0L)
+  }
 }

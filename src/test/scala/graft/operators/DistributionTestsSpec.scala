@@ -373,6 +373,41 @@ class DistributionTestsSpec extends SparkSuite {
       degen.toDF("g", "i", "x"), "g", "i", "x", 59915L).count() === 0L)
   }
 
+  test("jsDivergence: 0 on identical cohorts, near ln2 on disjoint " +
+      "bins, always inside [0, ln2]") {
+    val same = (1L to 5L).flatMap(b =>
+      (1 to 10).flatMap(_ => Seq(("i", false, b), ("i", true, b))))
+    val disjoint = (1L to 5L).flatMap(b =>
+      (1 to 20).map(_ => ("d", false, b))) ++
+      (11L to 15L).flatMap(b => (1 to 20).map(_ => ("d", true, b)))
+    val out = DistributionTests.jsDivergence(
+        (same ++ disjoint).toDF("g", "b", "bin"), "g", col("b"), "bin")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out("i") === 0L, s"$out")   // pA = pB per bin exactly
+    assert(out("d") > 500000L && out("d") <= 693148L, s"$out")
+  }
+
+  test("dispersionIndex: exact D on a hand case; constant counts " +
+      "read underdispersed; fractional values refused") {
+    // five 0s + five 20s: num = 10*2000 - 10000 = 10000, S = 100 →
+    // D = 100 exactly, wildly over the Poisson n-1 = 9
+    val over = (1 to 10).map(i => ("ov", if (i <= 5) 0L else 20L))
+    val const = (1 to 10).map(_ => ("ct", 3L))
+    val tiny = (1 to 4).map(_ => ("tn", 2L)) // n too small to call
+    val out = DistributionTests.dispersionIndex(
+        (over ++ const ++ tiny).toDF("g", "x"), "g", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("ov").getLong(2) === 100000000L &&
+      out("ov").getString(3) === "overdispersed", s"${out("ov")}")
+    assert(out("ct").getLong(2) === 0L &&
+      out("ct").getString(3) === "underdispersed", s"${out("ct")}")
+    assert(out("tn").getString(3) === "poisson", s"${out("tn")}")
+    intercept[IllegalArgumentException] {
+      DistributionTests.dispersionIndex(
+        Seq(("g", 1.5)).toDF("g", "x"), "g", "x")
+    }
+  }
+
   test("gamesHowell is partitioning-independent") {
     val df = (1 to 300).map(i => (s"g${i % 4}", (i * 7) % 23))
       .toDF("g", "x")

@@ -234,7 +234,8 @@ class PlanShapeSpec extends SparkSuite {
       "q_kuiper", "q_ad_test", "q_gtest",
       "q_ljung_box", "q_durbin_watson", "q_rmst",
       "q_tpch_q6", "q_cmh",
-      "q_wasserstein", "q_bartlett", "q_wilson_ci", "q_pacf")
+      "q_wasserstein", "q_bartlett", "q_wilson_ci", "q_pacf",
+      "q_js_divergence", "q_dispersion", "q_lift_curve")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
