@@ -163,7 +163,8 @@ object Bench {
     "q_ljung_box", "q_durbin_watson", "q_rmst",
     "q_cmh", "q_tpch_q6", "q_stream_gtest", "q_stream_cmh",
     "q_wasserstein", "q_bartlett", "q_wilson_ci", "q_pacf",
-    "q_js_divergence", "q_dispersion", "q_lift_curve")
+    "q_js_divergence", "q_dispersion", "q_lift_curve",
+    "q_auc", "q_smd_balance")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

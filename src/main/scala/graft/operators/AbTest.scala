@@ -353,6 +353,64 @@ object AbTest {
           .otherwise("continue").as("decision"))
   }
 
+  /** Standardized mean difference (SMD / Cohen's d with pooled-SD
+    * denominator √((v_a+v_b)/2)) per group — the covariate BALANCE
+    * check run before trusting any A/B readout: a significant
+    * [[welchT]] on the OUTCOME means nothing if the cohorts already
+    * differed on a pre-treatment covariate, and SMD is the scale-free
+    * number balance tables report (|SMD| < 0.1 is the conventional
+    * "balanced" band). Exactness: per-cohort (n, Σx, DECIMAL Σx²)
+    * are exact; the textbook variance identity
+    * vᵢ = (nᵢΣx² − S²)/(nᵢ(nᵢ−1)) and the SMD edge are ONE written
+    * IEEE sequence, micro-snapped; the verdict compares the SNAPPED
+    * |smd_micro| to 100000 — an integer comparison both engines
+    * replay. Cohorts under 2 rows or zero pooled variance drop.
+    *
+    * Output: (group, n_a, n_b, smd_micro, verdict ∈ balanced |
+    * imbalanced). Shape: ONE map-side-combined aggregation.
+    */
+  def smdBalance(
+      df: DataFrame, groupCol: String, inB: Column,
+      valueCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    NonParametric.requireIntegral(df, valueCol)
+    val d38 = DecimalType(38, 0)
+    val counts = df
+      .filter(inB.isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), inB.as("__b"),
+        col(valueCol).cast("long").as("__x"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__b"), col("__x")).otherwise(0L)).as("__sxa"),
+        sum(when(!col("__b"), col("__x").cast(d38) * col("__x").cast(d38))
+          .otherwise(lit(0L).cast(d38))).as("__sxxa"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__b"), col("__x")).otherwise(0L)).as("__sxb"),
+        sum(when(col("__b"), col("__x").cast(d38) * col("__x").cast(d38))
+          .otherwise(lit(0L).cast(d38))).as("__sxxb"))
+      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val va = (col("n_a").cast(d38) * col("__sxxa") -
+      col("__sxa").cast(d38) * col("__sxa").cast(d38)).cast("double") /
+      (naD * (naD - lit(1.0)))
+    val vb = (col("n_b").cast(d38) * col("__sxxb") -
+      col("__sxb").cast(d38) * col("__sxb").cast(d38)).cast("double") /
+      (nbD * (nbD - lit(1.0)))
+    val smd = (col("__sxa").cast("double") / naD -
+      col("__sxb").cast("double") / nbD) /
+      sqrt((va + vb) / lit(2.0))
+    val smdMicro = round(smd * lit(1e6)).cast("long")
+    counts
+      .withColumn("__pool", va + vb)
+      .filter(col("__pool") > 0.0)
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        smdMicro.as("smd_micro"),
+        when(abs(smdMicro) < 100000L, "balanced")
+          .otherwise("imbalanced").as("verdict"))
+  }
+
   /** Wilson score interval (Wilson 1927) for a per-group conversion
     * rate at 95% — the proportion CI that behaves at the edges where
     * the Wald interval fails (p̂ near 0/1, small n: Wald collapses

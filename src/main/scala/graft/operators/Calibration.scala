@@ -92,6 +92,61 @@ object Calibration {
         round(col("__iso") * lit(1e6)).cast("long").as("iso_ppm"))
   }
 
+  /** Exact ROC AUC per group via the midrank identity — the
+    * threshold-free ranking-quality number beside [[liftCurve]]'s
+    * decile readout: AUC = P(score⁺ > score⁻) + ½·P(tie), computed
+    * WITHOUT forming pairs through the Mann-Whitney relationship
+    *
+    *   AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻),   R⁺ = Σ midranks of
+    *                                              the positives
+    *
+    * Doubling the midranks clears the halves: a distinct score v
+    * with l_v rows (p_v positive) and cb_v rows strictly below
+    * contributes p_v·(2·cb_v + l_v + 1) to 2R⁺ — exact integers
+    * (DECIMAL(38,0)-summed, order-free), so
+    *
+    *   AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻)
+    *
+    * is ONE division at the micro edge. Ties are handled by the
+    * midrank definition itself — no tie-break column, and the
+    * result is independent of any intra-tie order.
+    *
+    * Output: (groupCol, n_pos, n_neg, auc_micro). Groups missing a
+    * class drop (AUC undefined). Shape: one distinct-score
+    * aggregation + one group-keyed cumulative window — never a
+    * pos×neg pair join.
+    */
+  def auc(
+      df: DataFrame, groupCol: String, label: Column,
+      scoreCol: String): DataFrame = {
+    Reserved.check("input" -> df)
+    graft.operators.NonParametric.requireIntegral(df, scoreCol)
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perVal = df.where(label.isNotNull)
+      .select(col(groupCol), when(label, 1L).otherwise(0L).as("__y"),
+        col(scoreCol).cast("long").as("__s"))
+      .groupBy(col(groupCol), col("__s"))
+      .agg(sum(col("__y")).as("__pv"), count(lit(1)).as("__lv"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = perVal
+      .withColumn("__cb", sum(col("__lv")).over(wCum) - col("__lv"))
+    marked.groupBy(col(groupCol))
+      .agg(sum(col("__pv")).as("n_pos"),
+        (sum(col("__lv")) - sum(col("__pv"))).as("n_neg"),
+        sum(col("__pv").cast(d) *
+          (lit(2L) * col("__cb") + col("__lv") + 1L).cast(d))
+          .as("__r2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        round((col("__r2") -
+          col("n_pos").cast(d) * (col("n_pos") + 1L).cast(d))
+          .cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")) * lit(1e6))
+          .cast("long").as("auc_micro"))
+  }
+
   /** Cumulative lift/gains curve — the targeting-eval readout: rank
     * units by a model score, cut into `k` equal-population buckets,
     * and ask "if I act on only the top b buckets, what multiple of

@@ -3494,6 +3494,70 @@ object EventQueries {
       },
       Some(cmhOracle)),
 
+    // Standardized mean difference (covariate balance) between the
+    // q_ks_test cohorts on integer cents, per event type: the check
+    // every A/B readout should run FIRST — a significant q_welch_t
+    // on the outcome means nothing if the cohorts already differed
+    // pre-treatment; |SMD| < 0.1 is the conventional balanced band,
+    // compared on the snapped micro integer
+    // (AbTest.smdBalance scaladoc).
+    QueryDef(
+      "q_smd_balance",
+      (s, dir) => {
+        import graft.operators.AbTest
+        AbTest.smdBalance(
+            Tables.events(s, dir)
+              .select(col("event_type"), col("user_id"),
+                round(col("value") * 100).cast("long").as("cents")),
+            "event_type",
+            pmod(col("user_id"), lit(2L)) === 1,
+            "cents")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events),
+        a AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN NOT b THEN x ELSE 0 END) AS BIGINT)
+                   AS sxa,
+                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT) * x
+                     ELSE 0 END) AS sxxa,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(SUM(CASE WHEN b THEN x ELSE 0 END) AS BIGINT)
+                   AS sxb,
+                 SUM(CASE WHEN b THEN CAST(x AS HUGEINT) * x
+                     ELSE 0 END) AS sxxb
+          FROM e GROUP BY 1),
+        v AS (
+          SELECT event_type, n_a, n_b,
+                 CAST(CAST(n_a AS HUGEINT) * sxxa
+                      - CAST(sxa AS HUGEINT) * sxa AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                   AS va,
+                 CAST(CAST(n_b AS HUGEINT) * sxxb
+                      - CAST(sxb AS HUGEINT) * sxb AS DOUBLE)
+                   / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                   AS vb,
+                 CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS md
+          FROM a WHERE n_a >= 2 AND n_b >= 2)
+        SELECT event_type, n_a, n_b,
+               CAST(ROUND(md / sqrt((va + vb) / 2.0) * 1e6) AS BIGINT)
+                 AS smd_micro,
+               CASE WHEN ABS(CAST(ROUND(md / sqrt((va + vb) / 2.0)
+                      * 1e6) AS BIGINT)) < 100000
+                    THEN 'balanced' ELSE 'imbalanced' END AS verdict
+        FROM v
+        WHERE va + vb > 0.0
+        ORDER BY event_type
+      """)),
+
     // Jensen-Shannon divergence on the SAME 10-dollar bins and
     // cohort split as q_psi: the BOUNDED ([0, ln 2]), symmetric
     // drift number — PSI blows up on near-empty bins and KL is

@@ -207,6 +207,56 @@ object MLQueries {
         ORDER BY component
       """)),
 
+    // Exact ROC AUC on the SAME click-score → purchase framing as
+    // q_lift_curve: the threshold-free ranking number — computed via
+    // the Mann-Whitney midrank identity without ever forming
+    // pos×neg pairs; doubled midranks keep everything exact integers
+    // to one micro-edge division, ties handled by definition
+    // (Calibration.auc scaladoc).
+    QueryDef(
+      "q_auc",
+      (s, dir) => {
+        val users = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L)).as("score"),
+            max(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("y"))
+          .withColumn("grp", lit("all"))
+        graft.operators.Calibration.auc(
+          users, "grp", col("y") === 1, "score")
+      },
+      Some("""
+        WITH u AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                          ELSE 0 END) AS BIGINT) AS s,
+                 MAX(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END) AS y
+          FROM events GROUP BY 1),
+        pv AS (
+          SELECT 'all' AS grp, s, CAST(SUM(y) AS BIGINT) AS pv,
+                 CAST(count(*) AS BIGINT) AS lv
+          FROM u GROUP BY 1, 2),
+        m AS (
+          SELECT grp, pv, lv,
+                 SUM(lv) OVER (PARTITION BY grp ORDER BY s
+                   ROWS UNBOUNDED PRECEDING) - lv AS cb
+          FROM pv),
+        a AS (
+          SELECT grp, CAST(SUM(pv) AS BIGINT) AS n_pos,
+                 CAST(SUM(lv) - SUM(pv) AS BIGINT) AS n_neg,
+                 SUM(CAST(pv AS HUGEINT) * (2 * cb + lv + 1)) AS r2
+          FROM m GROUP BY 1)
+        SELECT grp, n_pos, n_neg,
+               CAST(ROUND(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                   AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                 * 1e6) AS BIGINT) AS auc_micro
+        FROM a
+        WHERE n_pos > 0 AND n_neg > 0
+      """)),
+
     // Cumulative lift/gains at user deciles: rank users by click
     // volume, ask what multiple of the base purchase rate the top
     // deciles capture — the targeting-eval readout under every

@@ -230,7 +230,16 @@ object TextQueries {
           .orderBy(col("doc_id"), col("token")),
       None),
 
-    // F8 — stemmed vocabulary with counts (no oracle: Porter2).
+    // F8 — stemmed vocabulary with counts. DuckDB has no offline
+    // Porter2 (the FTS extension cannot download in this sandbox),
+    // so the oracle PINS the sf0.01 verify fixture's full stemmed
+    // vocabulary — 31 rows, a pure function of the parquet bytes
+    // (the q_pca_variance pinned-constant precedent; this was a
+    // no_oracle row through r12). The stemmer itself is
+    // independently proven against the published Snowball
+    // vocabulary in Porter2Spec (+ ScalaCheck); this pin guards the
+    // scan → tokenize → stem → count chain end to end. NOTE: re-pin
+    // via this query's own output if the fixture ever changes.
     QueryDef(
       "q_stem_terms",
       (s, dir) =>
@@ -240,7 +249,21 @@ object TextQueries {
           .groupBy(col("term"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy(desc("cnt"), asc("term")),
-      None),
+      Some("""
+        SELECT * FROM (VALUES
+          ('join', 964), ('hash', 947), ('row', 943),
+          ('batch', 937), ('scan', 936), ('column', 934),
+          ('custom', 934), ('filter', 933), ('small', 928),
+          ('merg', 918), ('slow', 918), ('order', 912),
+          ('vector', 912), ('line', 910), ('data', 908),
+          ('tabl', 908), ('agg', 901), ('valu', 897),
+          ('key', 896), ('stream', 888), ('window', 886),
+          ('a', 880), ('spark', 880), ('group', 878),
+          ('part', 878), ('big', 876), ('sort', 872),
+          ('queri', 871), ('fast', 854), ('the', 840),
+          ('dup', 26)) AS t(term, cnt)
+        ORDER BY cnt DESC, term ASC
+      """)),
 
     // A1 — the DFM in relational form: (doc_id, term, count).
     QueryDef(

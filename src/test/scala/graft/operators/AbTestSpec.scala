@@ -184,6 +184,27 @@ class AbTestSpec extends SparkSuite {
     }
   }
 
+  test("smdBalance: identical cohorts read 0/balanced; a 10-unit " +
+      "shift at equal spread replays the written IEEE sequence") {
+    val eq = (1L to 3L).flatMap(v => Seq(("eq", false, v), ("eq", true, v)))
+    val sh = Seq(10L, 12L, 14L, 16L).map(("sh", false, _)) ++
+      Seq(20L, 22L, 24L, 26L).map(("sh", true, _))
+    val out = AbTest.smdBalance(
+        (eq ++ sh).toDF("g", "b", "x"), "g", col("b"), "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("eq").getLong(3) === 0L &&
+      out("eq").getString(4) === "balanced", s"${out("eq")}")
+    // both cohorts have variance 80/12; md = -10
+    val v = 80.0 / 12.0
+    val exp = math.round(-10.0 / math.sqrt((v + v) / 2.0) * 1e6)
+    assert(out("sh").getLong(3) === exp &&
+      out("sh").getString(4) === "imbalanced", s"${out("sh")} vs $exp")
+    intercept[IllegalArgumentException] {
+      AbTest.smdBalance(
+        Seq(("g", true, 1.5)).toDF("g", "b", "x"), "g", col("b"), "x")
+    }
+  }
+
   test("wilsonCi: textbook 50/100 bounds; zero successes keep a " +
       "positive-width interval inside [0,1]") {
     val df = ((1 to 50).map(i => ("half", true)) ++

@@ -35,6 +35,27 @@ class CalibrationSpec extends SparkSuite {
     assert(e.getMessage.contains("maxBins"))
   }
 
+  test("auc: hand-computed midrank case with a cross-class tie; " +
+      "perfect separation reads 1.0; one-class groups drop") {
+    import org.apache.spark.sql.functions.col
+    // pos {3,2} vs neg {1,2}: 3 wins + half a tie of 4 pairs = 0.875
+    val tied = Seq(("t", true, 3L), ("t", true, 2L),
+      ("t", false, 1L), ("t", false, 2L))
+    val perfect = Seq(("p", true, 10L), ("p", true, 9L),
+      ("p", false, 1L), ("p", false, 2L))
+    val lone = Seq(("l", true, 5L), ("l", true, 6L))
+    val out = Calibration.auc(
+        (tied ++ perfect ++ lone).toDF("g", "y", "s"), "g", col("y"), "s")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("t").getLong(3) === 875000L, s"${out("t")}")
+    assert(out("p").getLong(3) === 1000000L, s"${out("p")}")
+    assert(!out.contains("l"))
+    intercept[IllegalArgumentException] {
+      Calibration.auc(
+        Seq(("g", true, 1.5)).toDF("g", "y", "s"), "g", col("y"), "s")
+    }
+  }
+
   test("liftCurve: exact deciles on a hand case; zero positives " +
       "yield no rows") {
     import org.apache.spark.sql.functions.col

@@ -235,7 +235,8 @@ class PlanShapeSpec extends SparkSuite {
       "q_ljung_box", "q_durbin_watson", "q_rmst",
       "q_tpch_q6", "q_cmh",
       "q_wasserstein", "q_bartlett", "q_wilson_ci", "q_pacf",
-      "q_js_divergence", "q_dispersion", "q_lift_curve")
+      "q_js_divergence", "q_dispersion", "q_lift_curve",
+      "q_auc", "q_smd_balance")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
