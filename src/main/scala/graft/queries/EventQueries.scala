@@ -3691,41 +3691,7 @@ object EventQueries {
             "cents")
           .orderBy(col("event_type"))
       },
-      Some("""
-        WITH e AS (
-          SELECT event_type, user_id % 2 = 1 AS b,
-                 CAST(ROUND(value * 100) AS BIGINT) AS v
-          FROM events),
-        pv AS (
-          SELECT event_type, v,
-                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS ca,
-                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS cb
-          FROM e GROUP BY 1, 2),
-        st AS (
-          SELECT event_type,
-                 SUM(ca) OVER wc AS cuma, SUM(cb) OVER wc AS cumb,
-                 SUM(ca) OVER wg AS na, SUM(cb) OVER wg AS nb,
-                 COALESCE(LEAD(v) OVER wo - v, 0) AS gap
-          FROM pv
-          WINDOW wc AS (PARTITION BY event_type ORDER BY v
-                        ROWS UNBOUNDED PRECEDING),
-                 wo AS (PARTITION BY event_type ORDER BY v),
-                 wg AS (PARTITION BY event_type)),
-        a AS (
-          SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
-                 SUM(ABS(CAST(cuma AS HUGEINT) * nb
-                         - CAST(cumb AS HUGEINT) * na) * gap) AS num
-          FROM st WHERE na > 0 AND nb > 0 GROUP BY 1)
-        SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
-               CAST(n_b AS BIGINT) AS n_b,
-               CAST(ROUND(CAST(num AS DOUBLE)
-                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6)
-                 AS BIGINT) AS w1_micro
-        FROM a
-        ORDER BY event_type
-      """)),
+      Some(wassersteinOracle)),
 
     // Bartlett's variance-homogeneity test across THREE user-cohort
     // samples per event type: the parametric "did the SPREAD change
@@ -3954,6 +3920,20 @@ object EventQueries {
         FROM outp WHERE keep
         ORDER BY event_type, lag
       """)),
+
+    // Streaming twin of q_wasserstein: two value→count maps per
+    // event type (the q_stream_energy state bound); every trigger
+    // re-derives the exact ECDF-area integer sum by one merged
+    // sorted walk, and the micro edge is the batch operator's own
+    // column sequence. Shares q_wasserstein's oracle
+    // (StreamingOps.wassersteinHistory scaladoc).
+    QueryDef(
+      "q_stream_wasserstein",
+      (s, dir) =>
+        graft.streaming.StreamingOps.wassersteinHistory(
+            s, s"$dir/events.parquet")
+          .orderBy(col("event_type")),
+      Some(wassersteinOracle)),
 
     // Streaming twin of q_gtest: per-cell counts accumulate as O(1)
     // mapGroupsWithState keyed by contingency CELL (a commutative
@@ -4383,6 +4363,43 @@ object EventQueries {
   /** The Kaplan-Meier / Nelson-Aalen replay shared by q_survival and
     * q_median_survival (full SQL including the RECURSIVE keyword).
     */
+  /** Batch oracle shared by q_wasserstein and its streaming twin. */
+  private lazy val wassersteinOracle: String = """
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) AS v
+          FROM events),
+        pv AS (
+          SELECT event_type, v,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM e GROUP BY 1, 2),
+        st AS (
+          SELECT event_type,
+                 SUM(ca) OVER wc AS cuma, SUM(cb) OVER wc AS cumb,
+                 SUM(ca) OVER wg AS na, SUM(cb) OVER wg AS nb,
+                 COALESCE(LEAD(v) OVER wo - v, 0) AS gap
+          FROM pv
+          WINDOW wc AS (PARTITION BY event_type ORDER BY v
+                        ROWS UNBOUNDED PRECEDING),
+                 wo AS (PARTITION BY event_type ORDER BY v),
+                 wg AS (PARTITION BY event_type)),
+        a AS (
+          SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+                 SUM(ABS(CAST(cuma AS HUGEINT) * nb
+                         - CAST(cumb AS HUGEINT) * na) * gap) AS num
+          FROM st WHERE na > 0 AND nb > 0 GROUP BY 1)
+        SELECT event_type, CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               CAST(ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) * 1e6)
+                 AS BIGINT) AS w1_micro
+        FROM a
+        ORDER BY event_type
+      """
+
   /** Batch oracle shared by q_gtest and its streaming twin. */
   private lazy val gtestOracle: String = """
         WITH e AS (

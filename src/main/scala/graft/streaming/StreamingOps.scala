@@ -158,6 +158,14 @@ case class EnRow(
     group: String, n_a: Long, n_b: Long, ab_sum: Long, aa_sum: Long,
     bb_sum: Long, events_seen: Long)
 
+/** Exact integer Wasserstein ECDF-area sum emitted per trigger by
+  * [[StreamingOps.wassersteinState]]. Long accumulation bounds the
+  * replay at count·n_a·n_b·gap ≲ 9·10¹⁸ per group — the batch
+  * operator's DECIMAL lattice is the path past it.
+  */
+case class WsRow(
+    group: String, n_a: Long, n_b: Long, num: Long, events_seen: Long)
+
 /** One contingency observation for [[StreamingOps.gtestCellState]]. */
 case class GtObs(a: String, c: Long)
 
@@ -1769,6 +1777,80 @@ object StreamingOps {
           (col("__h") * col("__ss") - col("__s") * col("__s")))
       .select(col("event_type"), col("hour_start"), col("n"),
         when(dev > 0, "high").otherwise("low").as("side"))
+  }
+
+  /** Streaming 1-Wasserstein drift as `mapGroupsWithState` — the
+    * live counterpart of
+    * [[graft.operators.DistributionTests.wasserstein]]: cohort A is
+    * the reference window, cohort B the live feed; state is two
+    * value→count maps per group (the [[energyState]] bound), and
+    * every trigger re-derives the EXACT ECDF-area integer sum by one
+    * merged sorted walk — cumulative counts × value gaps, the same
+    * tie-free collapse the batch operator runs as windows. Map folds
+    * are commutative: micro-batch splits cannot change the result.
+    */
+  def wassersteinState(stream: Dataset[EnObs]): Dataset[WsRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[EnObs],
+        state: GroupState[EnState]): WsRow = {
+      var st = state.getOption.getOrElse(EnState(Map.empty, Map.empty, 0L))
+      rows.foreach { o =>
+        st =
+          if (o.b) EnState(st.a,
+            st.bm.updated(o.x, st.bm.getOrElse(o.x, 0L) + 1L),
+            st.eventsSeen + 1L)
+          else EnState(st.a.updated(o.x, st.a.getOrElse(o.x, 0L) + 1L),
+            st.bm, st.eventsSeen + 1L)
+      }
+      state.update(st)
+      val nA = st.a.valuesIterator.sum
+      val nB = st.bm.valuesIterator.sum
+      val vals = (st.a.keySet ++ st.bm.keySet).toSeq.sorted
+      var cumA = 0L; var cumB = 0L; var num = 0L
+      vals.zipWithIndex.foreach { case (v, i) =>
+        cumA += st.a.getOrElse(v, 0L)
+        cumB += st.bm.getOrElse(v, 0L)
+        if (i + 1 < vals.size)
+          num += math.abs(cumA * nB - cumB * nA) * (vals(i + 1) - v)
+      }
+      WsRow(g, nA, nB, num, st.eventsSeen)
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[wassersteinState]] over the events parquet (memory sink,
+    * update mode): cohorts and integer cents come from the SAME
+    * Spark expressions the batch query uses; the micro edge is the
+    * batch operator's exact column sequence over the emitted
+    * integer area sum. Output shape matches `q_wasserstein` and
+    * shares its oracle.
+    */
+  def wassersteinHistory(
+      spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        (pmod(col("user_id"), lit(2L)) === 1).as("b"),
+        round(col("value") * 100).cast("long").as("x")).as[EnObs]
+    val out = wassersteinState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("group").as("event_type"), col("n_a"), col("n_b"),
+        round(col("num").cast(DecimalType(38, 0)).cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")) *
+          lit(1e6)).cast("long").as("w1_micro"))
   }
 
   /** Streaming G-test cell accumulation as `mapGroupsWithState`

@@ -567,6 +567,47 @@ class StreamingOpsSpec extends SparkSuite {
     assert(r.getString(4) === "accept_h1", s"$r")
   }
 
+  test("wassersteinState: the value-count maps fold across " +
+      "micro-batches to the batch operator's exact area sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the DistributionTestsSpec shift fixture plus ties
+    val xs = Seq(0L, 10L, 10L, 14L)
+    val ys = Seq(10L, 20L, 11L)
+    val obs = xs.map(EnObs("w", false, _)) ++ ys.map(EnObs("w", true, _))
+    val input = MemoryStream[EnObs]
+    val out = StreamingOps.wassersteinState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("ws_spec")
+      .start()
+    try {
+      input.addData(obs.take(4): _*)
+      q.processAllAvailable()
+      input.addData(obs.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val streamed = spark.table("ws_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("n_a"), col("n_b"), col("num"))
+      .collect().head
+    val batch = graft.operators.DistributionTests.wasserstein(
+        (xs.map(("w", false, _)) ++ ys.map(("w", true, _)))
+          .toDF("g", "b", "x"), "g", col("b"), "x")
+      .collect().head
+    assert(streamed.getLong(0) === batch.getLong(1))
+    assert(streamed.getLong(1) === batch.getLong(2))
+    // micro edge over the streamed integer sum equals the batch edge
+    val micro = math.round(streamed.getLong(2).toDouble /
+      (streamed.getLong(0).toDouble * streamed.getLong(1)) * 1e6)
+    assert(micro === batch.getLong(3), s"$streamed vs $batch")
+  }
+
   test("gtestCellState: per-cell counts fold across micro-batches to " +
       "the batch G-test's exact cells") {
     import spark.implicits._
