@@ -898,17 +898,30 @@ object DistributionTests {
     Reserved.check("input" -> df)
     NonParametric.requireIntegral(df, valueCol)
     val d = DecimalType(38, 0)
-    val agg = df
-      .where(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).cast("long").as("__x"))
-      .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
-        sum(col("__x").cast(d) * col("__x").cast(d)).as("__sxx"))
-      .filter(col("n") >= 2 && col("__s") > 0)
-    val num = col("n").cast(d) * col("__sxx") -
+    dispersionFromCounts(
+      df.where(col(valueCol).isNotNull)
+        .select(col(groupCol), col(valueCol).cast("long").as("__x"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"),
+          sum(col("__x").cast(d) * col("__x").cast(d)).as("__sxx")),
+      groupCol)
+  }
+
+  /** [[dispersionIndex]]'s combine over an already-aggregated
+    * per-group count table `(groupCol, n, __s, __sxx)` — the three
+    * exact sums are the test's complete sufficient statistics (a
+    * pure commutative fold), so the streaming twin accumulates them
+    * in state and replays THIS code at every trigger, sharing the
+    * batch oracle. The exact cross-multiplied verdict is identical
+    * by construction.
+    */
+  def dispersionFromCounts(agg: DataFrame, groupCol: String): DataFrame = {
+    val d = DecimalType(38, 0)
+    val kept = agg.filter(col("n") >= 2 && col("__s") > 0)
+    val num = col("n").cast(d) * col("__sxx").cast(d) -
       col("__s").cast(d) * col("__s").cast(d)
     val dev = num - (col("n") - 1).cast(d) * col("__s").cast(d)
-    agg.select(col(groupCol), col("n"),
+    kept.select(col(groupCol), col("n"),
       round(num.cast("double") / col("__s").cast("double") * lit(1e6))
         .cast("long").as("d_micro"),
       when(lit(625L).cast(d) * dev * dev >

@@ -3639,37 +3639,7 @@ object EventQueries {
             daily, "event_type", "x")
           .orderBy(col("event_type"))
       },
-      Some("""
-        WITH daily AS (
-          SELECT event_type,
-                 date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
-                 COUNT(*) AS x
-          FROM events GROUP BY 1, 2),
-        a AS (
-          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                 CAST(SUM(x) AS BIGINT) AS s,
-                 SUM(CAST(x AS HUGEINT) * x) AS sxx
-          FROM daily GROUP BY 1)
-        SELECT event_type, n,
-               CAST(ROUND(CAST(CAST(n AS HUGEINT) * sxx
-                   - CAST(s AS HUGEINT) * s AS DOUBLE)
-                 / CAST(s AS DOUBLE) * 1e6) AS BIGINT) AS d_micro,
-               CASE WHEN 625 * (CAST(n AS HUGEINT) * sxx
-                      - CAST(s AS HUGEINT) * s
-                      - CAST(n - 1 AS HUGEINT) * s)
-                    * (CAST(n AS HUGEINT) * sxx
-                      - CAST(s AS HUGEINT) * s
-                      - CAST(n - 1 AS HUGEINT) * s)
-                    > CAST(2401 AS HUGEINT) * 2 * (n - 1) * s * s
-                 THEN CASE WHEN CAST(n AS HUGEINT) * sxx
-                        - CAST(s AS HUGEINT) * s
-                        - CAST(n - 1 AS HUGEINT) * s > 0
-                      THEN 'overdispersed' ELSE 'underdispersed' END
-                 ELSE 'poisson' END AS verdict
-        FROM a
-        WHERE n >= 2 AND s > 0
-        ORDER BY event_type
-      """)),
+      Some(dispersionOracle)),
 
     // Two-sample 1-Wasserstein distance on the SAME cohort split as
     // q_ks_test, in integer cents: the drift METRIC beside the
@@ -3934,6 +3904,20 @@ object EventQueries {
             s, s"$dir/events.parquet")
           .orderBy(col("event_type")),
       Some(wassersteinOracle)),
+
+    // Streaming twin of q_dispersion: the calendar day→count rollup
+    // as mapGroupsWithState (the q_stream_mann_kendall state bound);
+    // every trigger emits exact (n, Σc, Σc²) and the batch
+    // dispersionFromCounts combine applies the identical verdict
+    // cross-multiplication. Shares q_dispersion's oracle
+    // (StreamingOps.dispersionHistory scaladoc).
+    QueryDef(
+      "q_stream_dispersion",
+      (s, dir) =>
+        graft.streaming.StreamingOps.dispersionHistory(
+            s, s"$dir/events.parquet")
+          .orderBy(col("event_type")),
+      Some(dispersionOracle)),
 
     // Streaming twin of q_gtest: per-cell counts accumulate as O(1)
     // mapGroupsWithState keyed by contingency CELL (a commutative
@@ -4363,6 +4347,39 @@ object EventQueries {
   /** The Kaplan-Meier / Nelson-Aalen replay shared by q_survival and
     * q_median_survival (full SQL including the RECURSIVE keyword).
     */
+  /** Batch oracle shared by q_dispersion and its streaming twin. */
+  private lazy val dispersionOracle: String = """
+        WITH daily AS (
+          SELECT event_type,
+                 date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS s,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM daily GROUP BY 1)
+        SELECT event_type, n,
+               CAST(ROUND(CAST(CAST(n AS HUGEINT) * sxx
+                   - CAST(s AS HUGEINT) * s AS DOUBLE)
+                 / CAST(s AS DOUBLE) * 1e6) AS BIGINT) AS d_micro,
+               CASE WHEN 625 * (CAST(n AS HUGEINT) * sxx
+                      - CAST(s AS HUGEINT) * s
+                      - CAST(n - 1 AS HUGEINT) * s)
+                    * (CAST(n AS HUGEINT) * sxx
+                      - CAST(s AS HUGEINT) * s
+                      - CAST(n - 1 AS HUGEINT) * s)
+                    > CAST(2401 AS HUGEINT) * 2 * (n - 1) * s * s
+                 THEN CASE WHEN CAST(n AS HUGEINT) * sxx
+                        - CAST(s AS HUGEINT) * s
+                        - CAST(n - 1 AS HUGEINT) * s > 0
+                      THEN 'overdispersed' ELSE 'underdispersed' END
+                 ELSE 'poisson' END AS verdict
+        FROM a
+        WHERE n >= 2 AND s > 0
+        ORDER BY event_type
+      """
+
   /** Batch oracle shared by q_wasserstein and its streaming twin. */
   private lazy val wassersteinOracle: String = """
         WITH e AS (

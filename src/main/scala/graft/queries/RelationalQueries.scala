@@ -1001,6 +1001,90 @@ object RelationalQueries {
           AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount >= 0.05 AND l_discount <= 0.07
           AND l_quantity < 24
+      """)),
+
+    // TPC-H Q14 (promotion effect), adapted to the fixture's p_type
+    // vocabulary: what share of one month's revenue came from PROMO
+    // parts — a broadcast dim join (part is the small side) feeding
+    // one conditional aggregation; the share is an exact integer
+    // division on the q_tpch_q3 revenue lattice.
+    QueryDef(
+      "q_tpch_q14",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .join(broadcast(Tables(s, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO",
+              round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+                * lit(1e4)).cast("long")).otherwise(0L))
+              .as("promo_rev_e4"),
+            sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * lit(1e4)).cast("long")).as("total_rev_e4"))
+          .select(col("promo_rev_e4"), col("total_rev_e4"),
+            expr("(promo_rev_e4 * CAST(1000000 AS BIGINT)) " +
+              "div total_rev_e4").as("promo_share_ppm")),
+      Some("""
+        WITH a AS (
+          SELECT
+            CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount)
+                   * 1e4) AS BIGINT) ELSE 0 END) AS BIGINT)
+              AS promo_rev_e4,
+            CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount)
+                 * 1e4) AS BIGINT)) AS BIGINT) AS total_rev_e4
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l.l_shipdate < TIMESTAMP '1996-04-01')
+        SELECT promo_rev_e4, total_rev_e4,
+               (promo_rev_e4 * 1000000) // total_rev_e4
+                 AS promo_share_ppm
+        FROM a
+      """)),
+
+    // TPC-H Q18 (large-volume customers), adapted: orders whose
+    // total line quantity exceeds a threshold, joined back to
+    // customer, top-20 by order value. The HAVING side aggregates
+    // the fact table FIRST (map-side combined), so the join fans
+    // only qualifying orders; the final top-k plans as
+    // TakeOrderedAndProject. Quantities are integral by fixture
+    // contract → exact long sums; price on an e2 lattice.
+    QueryDef(
+      "q_tpch_q18",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 150L)
+        Tables.orders(s, dir)
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long")
+              .as("total_price_e2"),
+            col("sum_qty"))
+          .orderBy(col("total_price_e2").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      Some("""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS sum_qty
+          FROM lineitem GROUP BY 1
+          HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                 AS total_price_e2,
+               b.sum_qty
+        FROM orders o
+        JOIN big b ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY total_price_e2 DESC, o_orderkey
+        LIMIT 20
       """))
   )
 }

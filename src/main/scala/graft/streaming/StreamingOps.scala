@@ -166,6 +166,18 @@ case class EnRow(
 case class WsRow(
     group: String, n_a: Long, n_b: Long, num: Long, events_seen: Long)
 
+/** One (group, day) arrival for [[StreamingOps.dispersionState]]. */
+case class DayObs(group: String, di: Long)
+
+/** Exact dispersion-index sufficient statistics emitted per trigger
+  * by [[StreamingOps.dispersionState]]: n days, Σcount, Σcount² over
+  * the day→count rollup. Long Σcount² bounds the replay at
+  * count ≲ 3·10⁹ per (group, day); the batch DECIMAL lattice is the
+  * path past it.
+  */
+case class DispRow(
+    group: String, n: Long, s: Long, sxx: Long, events_seen: Long)
+
 /** One contingency observation for [[StreamingOps.gtestCellState]]. */
 case class GtObs(a: String, c: Long)
 
@@ -1777,6 +1789,69 @@ object StreamingOps {
           (col("__h") * col("__ss") - col("__s") * col("__s")))
       .select(col("event_type"), col("hour_start"), col("n"),
         when(dev > 0, "high").otherwise("low").as("side"))
+  }
+
+  /** Streaming dispersion-index monitor as `mapGroupsWithState` —
+    * live "did this counter stop being Poisson?" beside the batch
+    * [[graft.operators.DistributionTests.dispersionIndex]]: state is
+    * the calendar day→count rollup (the [[mannKendallState]] bound —
+    * one entry per (group, day), evictable by retention in
+    * production); every trigger emits the exact (n, Σc, Σc²)
+    * sufficient statistics, and [[dispersionHistory]] applies the
+    * batch operator's own combine, sharing q_dispersion's oracle.
+    * Map folds are commutative — micro-batch splits cannot change
+    * the rollup.
+    */
+  def dispersionState(stream: Dataset[DayObs]): Dataset[DispRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[DayObs],
+        state: GroupState[MkState]): DispRow = {
+      var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
+      rows.foreach { o =>
+        st = MkState(
+          st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
+          st.eventsSeen + 1L)
+      }
+      state.update(st)
+      val n = st.days.size.toLong
+      val s = st.days.valuesIterator.sum
+      val sxx = st.days.valuesIterator.map(c => c * c).sum
+      DispRow(g, n, s, sxx, st.eventsSeen)
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[dispersionState]] over the events parquet (memory sink,
+    * update mode): day bucketing comes from the SAME Spark
+    * expressions the batch query uses; the combine is
+    * [[graft.operators.DistributionTests.dispersionFromCounts]]
+    * itself. Output shape matches `q_dispersion` and shares its
+    * oracle.
+    */
+  def dispersionHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        unix_micros(date_trunc("day", col("ts"))).as("di")).as[DayObs]
+    val out = dispersionState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val per = spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("group").as("event_type"), col("n"),
+        col("s").as("__s"),
+        col("sxx").cast(DecimalType(38, 0)).as("__sxx"))
+    graft.operators.DistributionTests.dispersionFromCounts(
+      per, "event_type")
   }
 
   /** Streaming 1-Wasserstein drift as `mapGroupsWithState` — the

@@ -567,6 +567,37 @@ class StreamingOpsSpec extends SparkSuite {
     assert(r.getString(4) === "accept_h1", s"$r")
   }
 
+  test("dispersionState: the day rollup folds across micro-batches " +
+      "to the batch sufficient statistics") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // three days with counts 2, 5, 3 → n=3, s=10, sxx=38
+    val obs = Seq.fill(2)(DayObs("d", 1L)) ++
+      Seq.fill(5)(DayObs("d", 2L)) ++ Seq.fill(3)(DayObs("d", 3L))
+    val input = MemoryStream[DayObs]
+    val out = StreamingOps.dispersionState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("disp_spec")
+      .start()
+    try {
+      input.addData(obs.take(4): _*)
+      q.processAllAvailable()
+      input.addData(obs.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val r = spark.table("disp_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .collect().head
+    assert(r.getLong(1) === 3L && r.getLong(2) === 10L &&
+      r.getLong(3) === 38L, s"$r")
+  }
+
   test("wassersteinState: the value-count maps fold across " +
       "micro-batches to the batch operator's exact area sum") {
     import spark.implicits._
