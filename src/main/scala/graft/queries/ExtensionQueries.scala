@@ -1507,6 +1507,79 @@ object ExtensionQueries {
         ORDER BY 1
       """)),
 
+    // Matryoshka truncation recall: top-5 by the FIRST 16 of 64
+    // embedding dims vs the full-dim exact top-5 — the evaluation
+    // behind MRL-style dimension-adaptive retrieval ("how much
+    // recall do I keep if I search on a 4x-cheaper prefix, before
+    // re-ranking on full vectors?"). Both sides are the engine's own
+    // brute-force kernel on the shared rounded-then-ranked cosine
+    // lattice; the oracle replays the prefix with i <= 16.
+    QueryDef(
+      "q_ann_matryoshka",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+        def trunc(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("embedding", expr("slice(embedding, 1, 16)"))
+        Similarity.recallAtK(
+          Similarity.bruteForceTopK(queries, emb,
+            "vec_id", "embedding", 5),
+          Similarity.bruteForceTopK(trunc(queries), trunc(emb),
+            "vec_id", "embedding", 5))
+      },
+      Some("""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
+                  FROM dims GROUP BY 1),
+        tnorms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
+                   FROM dims WHERE i <= 16 GROUP BY 1),
+        edots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sum(q.x * c.x) AS d
+          FROM dims q JOIN dims c ON q.i = c.i
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+          GROUP BY 1, 2),
+        exact AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT e.query_id, e.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.query_id
+                     ORDER BY ROUND(e.d / (nq.nrm * nc.nrm), 6) DESC,
+                              e.neighbor_id) AS rk
+            FROM edots e
+            JOIN norms nq ON nq.vec_id = e.query_id
+            JOIN norms nc ON nc.vec_id = e.neighbor_id)
+          WHERE rk <= 5),
+        tdots AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sum(q.x * c.x) AS d
+          FROM dims q JOIN dims c ON q.i = c.i AND c.i <= 16
+          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            AND q.i <= 16
+          GROUP BY 1, 2),
+        trunc AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT t.query_id, t.neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY t.query_id
+                     ORDER BY ROUND(t.d / (nq.nrm * nc.nrm), 6) DESC,
+                              t.neighbor_id) AS rk
+            FROM tdots t
+            JOIN tnorms nq ON nq.vec_id = t.query_id
+            JOIN tnorms nc ON nc.vec_id = t.neighbor_id)
+          WHERE rk <= 5)
+        SELECT e.query_id,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS recall
+        FROM exact e
+        LEFT JOIN trunc a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+        ORDER BY 1
+      """)),
+
     // Retrieval-quality metrics (MRR, NDCG@5) of the deterministic
     // IVF search against the exact top-5 — the evaluation harness for
     // the ANN surface, entirely on integer lattices: reciprocal ranks
