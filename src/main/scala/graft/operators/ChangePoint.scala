@@ -278,6 +278,71 @@ object ChangePoint {
         round(col("__s.phi") * lit(1e6)).cast("long").as("phi_micro"))
   }
 
+  /** Dickey-Fuller unit-root test per series (Dickey & Fuller 1979;
+    * the non-augmented, constant-included form) — "is this monitor
+    * counter MEAN-REVERTING, or a random walk?": a drift test
+    * ([[graft.operators.NonParametric.mannKendall]]) on a random
+    * walk fires constantly on noise; checking for a unit root first
+    * tells the dashboard which alarms are even meaningful. Regress
+    * Δx_t on x_{t−1} with intercept and read the slope's t-ratio:
+    *
+    *   t = (S_uv/S_uu) / √((S_vv − S_uv²/S_uu) / ((n−2)·S_uu))
+    *
+    * with u = x_{t−1}, v = Δx_t, S_ab the n-scaled centered sums
+    * (nΣab − ΣaΣb) — exact DECIMAL(38,0) integers down to ONE
+    * written IEEE sequence at the micro edge (the [[GroupedOls]]
+    * sufficient-statistics policy). The verdict compares the
+    * SNAPPED t_micro against the Fuller (1976) 5% critical value
+    * for the constant-included form, −2.86: below → "stationary",
+    * else "unit_root" (the DF distribution is nonstandard, so the
+    * constant is pinned, not derived).
+    *
+    * Output: (seriesCol, n, beta_micro, t_micro, verdict) with n =
+    * the PAIR count (series length − 1). Series with fewer than 4
+    * pairs, zero regressor variance (S_uu = 0), or a PERFECT fit
+    * (S_vv·S_uu = S_uv² — zero residual variance leaves t undefined;
+    * both are exact integer checks) drop. Shape: one ordered window
+    * per series for the lag pair, one aggregation — no self-join.
+    */
+  def dickeyFuller(df: DataFrame, seriesCol: String, idxCol: String,
+      xCol: String): DataFrame = {
+    Reserved.check("dickeyFuller" -> df)
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("__i"))
+    val pairs = df.select(col(seriesCol), col(idxCol).cast("long").as("__i"),
+        col(xCol).cast("long").as("__x"))
+      .withColumn("__u", lag(col("__x"), 1).over(w))
+      .filter(col("__u").isNotNull)
+      .select(col(seriesCol), col("__u"),
+        (col("__x") - col("__u")).as("__v"))
+    val agg = pairs.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__u")).as("__su"), sum(col("__v")).as("__sv"),
+        sum(col("__u").cast(d) * col("__u").cast(d)).as("__suu"),
+        sum(col("__u").cast(d) * col("__v").cast(d)).as("__suv"),
+        sum(col("__v").cast(d) * col("__v").cast(d)).as("__svv"))
+    val suu = col("n").cast(d) * col("__suu") -
+      col("__su").cast(d) * col("__su").cast(d)
+    val suv = col("n").cast(d) * col("__suv") -
+      col("__su").cast(d) * col("__sv").cast(d)
+    val svv = col("n").cast(d) * col("__svv") -
+      col("__sv").cast(d) * col("__sv").cast(d)
+    val t = (suv.cast("double") / suu.cast("double")) /
+      sqrt((svv.cast("double") -
+        suv.cast("double") * suv.cast("double") / suu.cast("double")) /
+        ((col("n").cast("double") - lit(2.0)) * suu.cast("double")))
+    val tMicro = round(t * lit(1e6)).cast("long")
+    agg
+      .filter(col("n") >= 4 && suu > lit(0L).cast(d) &&
+        svv * suu > suv * suv)
+      .select(col(seriesCol), col("n"),
+        round(suv.cast("double") / suu.cast("double") * lit(1e6))
+          .cast("long").as("beta_micro"),
+        tMicro.as("t_micro"),
+        when(tMicro < lit(-2860000L), "stationary")
+          .otherwise("unit_root").as("verdict"))
+  }
+
   /** Durbin-Watson statistic per series on the residuals from the
     * per-series MEAN (equivalently the von Neumann ratio, since
     * first-differencing cancels the mean exactly):

@@ -3412,6 +3412,81 @@ object EventQueries {
         ORDER BY event_type
       """)),
 
+    // Dickey-Fuller unit-root test on the SAME daily series: is the
+    // counter mean-reverting or a random walk? — the stationarity
+    // pre-check that tells the dashboard whether a trend alarm
+    // (q_mann_kendall) is even meaningful on this feed. Exact
+    // n-scaled centered sums to one IEEE t-ratio; verdict at the
+    // pinned Fuller 5% constant −2.86
+    // (ChangePoint.dickeyFuller scaladoc).
+    QueryDef(
+      "q_dickey_fuller",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        graft.operators.ChangePoint.dickeyFuller(
+            daily, "event_type", "i", "x")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, CAST(x AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS i
+          FROM series),
+        pr AS (
+          SELECT event_type,
+                 LAG(x) OVER (PARTITION BY event_type ORDER BY i) AS u,
+                 x - LAG(x) OVER (PARTITION BY event_type ORDER BY i)
+                   AS v
+          FROM idx),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(u) AS BIGINT) AS su,
+                 CAST(SUM(v) AS BIGINT) AS sv,
+                 SUM(CAST(u AS HUGEINT) * u) AS suu0,
+                 SUM(CAST(u AS HUGEINT) * v) AS suv0,
+                 SUM(CAST(v AS HUGEINT) * v) AS svv0
+          FROM pr WHERE u IS NOT NULL GROUP BY 1),
+        c AS (
+          SELECT event_type, n,
+                 CAST(n AS HUGEINT) * suu0
+                   - CAST(su AS HUGEINT) * su AS suu,
+                 CAST(n AS HUGEINT) * suv0
+                   - CAST(su AS HUGEINT) * sv AS suv,
+                 CAST(n AS HUGEINT) * svv0
+                   - CAST(sv AS HUGEINT) * sv AS svv
+          FROM a),
+        t AS (
+          SELECT event_type, n,
+                 CAST(ROUND(CAST(suv AS DOUBLE) / CAST(suu AS DOUBLE)
+                   * 1e6) AS BIGINT) AS beta_micro,
+                 CAST(ROUND(
+                   (CAST(suv AS DOUBLE) / CAST(suu AS DOUBLE))
+                   / sqrt((CAST(svv AS DOUBLE)
+                       - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE)
+                         / CAST(suu AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) - 2.0)
+                        * CAST(suu AS DOUBLE)))
+                   * 1e6) AS BIGINT) AS t_micro
+          FROM c WHERE n >= 4 AND suu > 0 AND svv * suu > suv * suv)
+        SELECT event_type, n, beta_micro, t_micro,
+               CASE WHEN t_micro < -2860000 THEN 'stationary'
+                    ELSE 'unit_root' END AS verdict
+        FROM t
+        ORDER BY event_type
+      """)),
+
     // Durbin-Watson / von Neumann ratio on the SAME daily series:
     // the lag-1 serial-correlation check as a fully EXACT rational —
     // first-differencing cancels the mean, so both numerator and

@@ -117,6 +117,53 @@ class ChangePointSpec extends SparkSuite {
       .filter(col("s") === "flat").count() === 0L)
   }
 
+  test("dickeyFuller: brute-force OLS t-ratio; strong mean reversion " +
+      "reads stationary; degenerate regressor drops") {
+    def brute(xs: Seq[Long]): (Double, Double) = {
+      val us = xs.dropRight(1).map(_.toDouble)
+      val vs = xs.sliding(2).map { case Seq(a, b) => (b - a).toDouble }
+        .toSeq
+      val n = us.size.toDouble
+      val suu = n * us.map(u => u * u).sum - us.sum * us.sum
+      val suv = n * us.zip(vs).map { case (u, v) => u * v }.sum -
+        us.sum * vs.sum
+      val svv = n * vs.map(v => v * v).sum - vs.sum * vs.sum
+      val beta = suv / suu
+      val t = beta / math.sqrt((svv - suv * suv / suu) /
+        ((n - 2.0) * suu))
+      (beta, t)
+    }
+    // near-alternating with jitter (a PERFECT alternation has zero
+    // residual variance and is deliberately refused): violently
+    // mean-reverting, β ≈ −2
+    val alt = (1 to 16).map(i =>
+      (if (i % 2 == 1) 10L else 0L) + (if (i % 5 == 0) 1L else 0L))
+    // seeded random walk of ±1 steps
+    val rng = new scala.util.Random(5)
+    val rw = (1 to 30).scanLeft(100L)((a, _) =>
+      a + (if (rng.nextBoolean()) 1L else -1L)).tail
+    val flat = Seq.fill(8)(7L)
+    val df = (alt.zipWithIndex.map { case (x, i) => ("a", (i + 1).toLong, x) } ++
+      rw.zipWithIndex.map { case (x, i) => ("r", (i + 1).toLong, x) } ++
+      flat.zipWithIndex.map { case (x, i) => ("f", (i + 1).toLong, x) })
+      .toDF("s", "i", "x")
+    val out = ChangePoint.dickeyFuller(df, "s", "i", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("f")) // zero regressor variance
+    // a perfect fit (zero RSS) is refused, not Inf
+    val perfect = (1 to 10).map(i =>
+      ("p", i.toLong, if (i % 2 == 1) 10L else 0L)).toDF("s", "i", "x")
+    assert(ChangePoint.dickeyFuller(perfect, "s", "i", "x").count() === 0L)
+    val (ba, ta) = brute(alt.map(identity))
+    assert(out("a").getLong(2) === math.round(ba * 1e6), s"${out("a")}")
+    assert(out("a").getLong(3) === math.round(ta * 1e6), s"${out("a")}")
+    assert(out("a").getString(4) === "stationary")
+    val (_, tr) = brute(rw)
+    assert(out("r").getLong(3) === math.round(tr * 1e6), s"${out("r")}")
+    assert(out("r").getString(4) ===
+      (if (tr < -2.86) "stationary" else "unit_root"))
+  }
+
   test("durbinWatson: exact rationals and verdict bands") {
     // ramp [1,2,3,4]: Σd²=3, num=12; den = 4·30−100 = 20 → d = 0.6
     val ramp = (1 to 4).map(i => ("r", i.toLong, i.toLong))

@@ -91,7 +91,10 @@ class RoundEdgeSpec extends AnyFunSuite {
     // edges), because the operator delegates to the SAME
     // DistributionTests.oneWayAnova decomposition — identical
     // doubles on both sides, the mirrored-verbatim class.
-    "graft/queries/ExtensionQueries.scala" -> 111,
+// ...and +2 later in round 13: q_ann_matryoshka's oracle mirrors
+    // the registered rounded-then-ranked cosine lattice twice (full
+    // dims + the 16-dim prefix).
+    "graft/queries/ExtensionQueries.scala" -> 113,
     // round 13 (commit 3d5f681-era oracle work): -1 — the
     // q_kmeans_cost/q_pca_variance oracle rework removed a
     // scale-bearing edge; trued up here with the Similarity entry.
