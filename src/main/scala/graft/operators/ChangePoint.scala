@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -341,6 +341,92 @@ object ChangePoint {
         tMicro.as("t_micro"),
         when(tMicro < lit(-2860000L), "stationary")
           .otherwise("unit_root").as("verdict"))
+  }
+
+  /** Lag-1 Granger causality between every ordered pair of series
+    * (Granger 1969) — "does yesterday's CLICK volume help predict
+    * today's PURCHASE volume beyond purchases' own history?": the
+    * cross-series lead-lag screen a monitoring layer runs to wire
+    * alert dependencies. For effect y and candidate cause x, compare
+    *
+    *   restricted:   y_t = a + b·y_{t−1}
+    *   unrestricted: y_t = a + b·y_{t−1} + c·x_{t−1}
+    *
+    *   F = (RSS_r − RSS_u) / (RSS_u / (n−3))   ~ F(1, n−3)
+    *
+    * Exactness: per-pair sufficient sums are exact DECIMAL(38,0)
+    * integers; the n-scaled centered forms (S_pp, S_qq, S_pq, S_yp,
+    * S_yq, S_yy) stay exact; the two-regressor solve (Cramer's
+    * rule), both RSS, and F are ONE written IEEE sequence at the
+    * micro edge. No verdict column: the F(1, n−3) critical value
+    * depends on n, so the statistic is reported raw (the q_cvm_test
+    * convention) — join f_micro against the caller's F table.
+    *
+    * Guards (drop the pair): n < 5 pairs; singular design
+    * (S_pp·S_qq = S_pq², exact DECIMAL); zero restricted-model
+    * residual or zero unrestricted RSS (IEEE > 0 checks — F
+    * undefined/infinite). Output: one row per ORDERED (cause,
+    * effect) pair with cause ≠ effect — (cause, effect, n, f_micro).
+    *
+    * Shape: one self-join of the (series, t) table on the lag index
+    * — series² × length rows, sized by the series COUNT, never the
+    * corpus — then one aggregation per pair.
+    */
+  def grangerLag1(df: DataFrame, seriesCol: String, idxCol: String,
+      xCol: String): DataFrame = {
+    Reserved.check("granger" -> df)
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col("__s")).orderBy(col("__i"))
+    val base = df.select(col(seriesCol).as("__s"),
+        col(idxCol).cast("long").as("__i"),
+        col(xCol).cast("long").as("__x"))
+      .withColumn("__lag", lag(col("__x"), 1).over(w))
+      .filter(col("__lag").isNotNull)
+    // effect side carries (y_t, y_{t-1}); cause side joins x_{t-1}
+    val pairs = base
+      .select(col("__s").as("effect"), col("__i"),
+        col("__x").as("__y"), col("__lag").as("__p"))
+      .join(base.select(col("__s").as("cause"), col("__i"),
+          col("__lag").as("__q")),
+        Seq("__i"))
+      .filter(col("cause") =!= col("effect"))
+    val agg = pairs.groupBy(col("cause"), col("effect"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("__sy"), sum(col("__p")).as("__sp"),
+        sum(col("__q")).as("__sq"),
+        sum(col("__y").cast(d) * col("__p").cast(d)).as("__syp"),
+        sum(col("__y").cast(d) * col("__q").cast(d)).as("__syq"),
+        sum(col("__p").cast(d) * col("__q").cast(d)).as("__spq"),
+        sum(col("__p").cast(d) * col("__p").cast(d)).as("__spp"),
+        sum(col("__q").cast(d) * col("__q").cast(d)).as("__sqq"),
+        sum(col("__y").cast(d) * col("__y").cast(d)).as("__syy"))
+    def ctr(ab: Column, a: Column, b: Column) =
+      col("n").cast(d) * ab - a.cast(d) * b.cast(d)
+    val spp = ctr(col("__spp"), col("__sp"), col("__sp"))
+    val sqq = ctr(col("__sqq"), col("__sq"), col("__sq"))
+    val spq = ctr(col("__spq"), col("__sp"), col("__sq"))
+    val syp = ctr(col("__syp"), col("__sy"), col("__sp"))
+    val syq = ctr(col("__syq"), col("__sy"), col("__sq"))
+    val syy = ctr(col("__syy"), col("__sy"), col("__sy"))
+    val det = spp.cast("double") * sqq.cast("double") -
+      spq.cast("double") * spq.cast("double")
+    val b = (syp.cast("double") * sqq.cast("double") -
+      syq.cast("double") * spq.cast("double")) / det
+    val c = (syq.cast("double") * spp.cast("double") -
+      syp.cast("double") * spq.cast("double")) / det
+    val rssR = syy.cast("double") -
+      syp.cast("double") * syp.cast("double") / spp.cast("double")
+    val rssU = syy.cast("double") - b * syp.cast("double") -
+      c * syq.cast("double")
+    val f = (rssR - rssU) / (rssU / (col("n").cast("double") - lit(3.0)))
+    agg
+      .filter(col("n") >= 5 &&
+        spp > lit(0L).cast(d) &&
+        spp * sqq =!= spq * spq)
+      .withColumn("__rssu", rssU)
+      .filter(col("__rssu") > 0.0)
+      .select(col("cause"), col("effect"), col("n"),
+        round(f * lit(1e6)).cast("long").as("f_micro"))
   }
 
   /** Durbin-Watson statistic per series on the residuals from the

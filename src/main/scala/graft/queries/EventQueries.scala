@@ -3487,6 +3487,105 @@ object EventQueries {
         ORDER BY event_type
       """)),
 
+    // Lag-1 Granger causality between every ordered pair of event
+    // types' daily series: does yesterday's CLICK volume help
+    // predict today's PURCHASE volume beyond purchases' own history?
+    // — the cross-series lead-lag screen for wiring alert
+    // dependencies. Exact DECIMAL sufficient sums, Cramer's-rule
+    // two-regressor solve and F in one mirrored IEEE sequence; the
+    // F(1, n−3) critical value depends on n, so the statistic is
+    // reported raw (the q_cvm_test convention)
+    // (ChangePoint.grangerLag1 scaladoc).
+    QueryDef(
+      "q_granger",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("i", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+        graft.operators.ChangePoint.grangerLag1(
+            daily, "event_type", "i", "x")
+          .orderBy(col("cause"), col("effect"))
+      },
+      Some("""
+        WITH series AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, CAST(x AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS i
+          FROM series),
+        lagd AS (
+          SELECT event_type AS s2, i, x AS y,
+                 LAG(x) OVER (PARTITION BY event_type ORDER BY i) AS p
+          FROM idx),
+        base AS (SELECT * FROM lagd WHERE p IS NOT NULL),
+        pr AS (
+          SELECT c.s2 AS cause, e.s2 AS effect, e.y, e.p, c.p AS q
+          FROM base e JOIN base c ON c.i = e.i AND c.s2 <> e.s2),
+        a AS (
+          SELECT cause, effect, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(p) AS BIGINT) AS sp,
+                 CAST(SUM(q) AS BIGINT) AS sq,
+                 SUM(CAST(y AS HUGEINT) * p) AS syp0,
+                 SUM(CAST(y AS HUGEINT) * q) AS syq0,
+                 SUM(CAST(p AS HUGEINT) * q) AS spq0,
+                 SUM(CAST(p AS HUGEINT) * p) AS spp0,
+                 SUM(CAST(q AS HUGEINT) * q) AS sqq0,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy0
+          FROM pr GROUP BY 1, 2),
+        ctr AS (
+          SELECT cause, effect, n,
+                 CAST(n AS HUGEINT) * spp0
+                   - CAST(sp AS HUGEINT) * sp AS spp,
+                 CAST(n AS HUGEINT) * sqq0
+                   - CAST(sq AS HUGEINT) * sq AS sqq,
+                 CAST(n AS HUGEINT) * spq0
+                   - CAST(sp AS HUGEINT) * sq AS spq,
+                 CAST(n AS HUGEINT) * syp0
+                   - CAST(sy AS HUGEINT) * sp AS syp,
+                 CAST(n AS HUGEINT) * syq0
+                   - CAST(sy AS HUGEINT) * sq AS syq,
+                 CAST(n AS HUGEINT) * syy0
+                   - CAST(sy AS HUGEINT) * sy AS syy
+          FROM a),
+        sol AS (
+          SELECT cause, effect, n, spp, sqq, spq, syp, syq, syy,
+                 CAST(spp AS DOUBLE) * CAST(sqq AS DOUBLE)
+                   - CAST(spq AS DOUBLE) * CAST(spq AS DOUBLE) AS det
+          FROM ctr
+          WHERE n >= 5 AND spp > 0 AND spp * sqq <> spq * spq),
+        bc AS (
+          SELECT *, (CAST(syp AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(syq AS DOUBLE) * CAST(spq AS DOUBLE)) / det
+                   AS b,
+                 (CAST(syq AS DOUBLE) * CAST(spp AS DOUBLE)
+                  - CAST(syp AS DOUBLE) * CAST(spq AS DOUBLE)) / det
+                   AS c
+          FROM sol),
+        rs AS (
+          SELECT *, CAST(syy AS DOUBLE)
+                   - CAST(syp AS DOUBLE) * CAST(syp AS DOUBLE)
+                     / CAST(spp AS DOUBLE) AS rssr,
+                 CAST(syy AS DOUBLE) - b * CAST(syp AS DOUBLE)
+                   - c * CAST(syq AS DOUBLE) AS rssu
+          FROM bc)
+        SELECT cause, effect, n,
+               CAST(ROUND((rssr - rssu)
+                 / (rssu / (CAST(n AS DOUBLE) - 3.0)) * 1e6) AS BIGINT)
+                 AS f_micro
+        FROM rs
+        WHERE rssu > 0.0
+        ORDER BY cause, effect
+      """)),
+
     // Durbin-Watson / von Neumann ratio on the SAME daily series:
     // the lag-1 serial-correlation check as a fully EXACT rational —
     // first-differencing cancels the mean, so both numerator and

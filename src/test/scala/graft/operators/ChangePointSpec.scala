@@ -164,6 +164,47 @@ class ChangePointSpec extends SparkSuite {
       (if (tr < -2.86) "stationary" else "unit_root"))
   }
 
+  test("grangerLag1: planted lead-lag is detected and both ordered " +
+      "pairs match a brute-force two-regressor OLS F") {
+    def bruteF(cause: Seq[Long], effect: Seq[Long]): Double = {
+      val ys = effect.drop(1).map(_.toDouble)
+      val ps = effect.dropRight(1).map(_.toDouble)
+      val qs = cause.dropRight(1).map(_.toDouble)
+      val n = ys.size.toDouble
+      def c(a: Seq[Double], b: Seq[Double]) =
+        n * a.zip(b).map { case (u, v) => u * v }.sum - a.sum * b.sum
+      val (spp, sqq, spq) = (c(ps, ps), c(qs, qs), c(ps, qs))
+      val (syp, syq, syy) = (c(ys, ps), c(ys, qs), c(ys, ys))
+      val det = spp * sqq - spq * spq
+      val b = (syp * sqq - syq * spq) / det
+      val cc = (syq * spp - syp * spq) / det
+      val rssr = syy - syp * syp / spp
+      val rssu = syy - b * syp - cc * syq
+      (rssr - rssu) / (rssu / (n - 3.0))
+    }
+    val rng = new scala.util.Random(9)
+    val xs = (1 to 24).map(_ => rng.nextInt(10).toLong)
+    // y follows yesterday's x, plus deterministic jitter
+    val ys = xs.indices.map(t =>
+      (if (t == 0) 5L else xs(t - 1)) * 3L + (t % 3).toLong)
+    val df = (xs.zipWithIndex.map { case (v, i) =>
+        ("x", (i + 1).toLong, v) } ++
+      ys.zipWithIndex.map { case (v, i) => ("y", (i + 1).toLong, v) })
+      .toDF("s", "i", "v")
+    val out = ChangePoint.grangerLag1(df, "s", "i", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val fXy = bruteF(xs, ys)
+    val fYx = bruteF(ys, xs)
+    assert(out(("x", "y")) === math.round(fXy * 1e6),
+      s"${out(("x", "y"))} vs $fXy")
+    assert(out(("y", "x")) === math.round(fYx * 1e6),
+      s"${out(("y", "x"))} vs $fYx")
+    // the planted direction dominates by orders of magnitude
+    assert(out(("x", "y")) > 100L * math.max(1L, out(("y", "x"))),
+      s"$out")
+  }
+
   test("durbinWatson: exact rationals and verdict bands") {
     // ramp [1,2,3,4]: Σd²=3, num=12; den = 4·30−100 = 20 → d = 0.6
     val ramp = (1 to 4).map(i => ("r", i.toLong, i.toLong))
