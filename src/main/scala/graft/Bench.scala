@@ -166,7 +166,8 @@ object Bench {
     "q_js_divergence", "q_dispersion", "q_lift_curve",
     "q_auc", "q_smd_balance", "q_stream_wasserstein",
     "q_stream_dispersion", "q_tpch_q14", "q_tpch_q18",
-    "q_ann_matryoshka", "q_dickey_fuller", "q_granger")
+    "q_ann_matryoshka", "q_dickey_fuller", "q_granger",
+    "q_stream_smd")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

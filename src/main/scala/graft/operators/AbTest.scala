@@ -375,21 +375,32 @@ object AbTest {
     Reserved.check("input" -> df)
     NonParametric.requireIntegral(df, valueCol)
     val d38 = DecimalType(38, 0)
-    val counts = df
-      .filter(inB.isNotNull && col(valueCol).isNotNull)
-      .select(col(groupCol), inB.as("__b"),
-        col(valueCol).cast("long").as("__x"))
-      .groupBy(col(groupCol))
-      .agg(
-        sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("__b"), col("__x")).otherwise(0L)).as("__sxa"),
-        sum(when(!col("__b"), col("__x").cast(d38) * col("__x").cast(d38))
-          .otherwise(lit(0L).cast(d38))).as("__sxxa"),
-        sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("__b"), col("__x")).otherwise(0L)).as("__sxb"),
-        sum(when(col("__b"), col("__x").cast(d38) * col("__x").cast(d38))
-          .otherwise(lit(0L).cast(d38))).as("__sxxb"))
-      .filter(col("n_a") >= 2 && col("n_b") >= 2)
+    smdFromCounts(
+      df.filter(inB.isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol), inB.as("__b"),
+          col(valueCol).cast("long").as("__x"))
+        .groupBy(col(groupCol))
+        .agg(
+          sum(when(!col("__b"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("__b"), col("__x")).otherwise(0L)).as("__sxa"),
+          sum(when(!col("__b"), col("__x").cast(d38) * col("__x").cast(d38))
+            .otherwise(lit(0L).cast(d38))).as("__sxxa"),
+          sum(when(col("__b"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("__b"), col("__x")).otherwise(0L)).as("__sxb"),
+          sum(when(col("__b"), col("__x").cast(d38) * col("__x").cast(d38))
+            .otherwise(lit(0L).cast(d38))).as("__sxxb")),
+      groupCol)
+  }
+
+  /** [[smdBalance]]'s combine over already-aggregated per-cohort
+    * sufficient statistics `(groupCol, n_a, __sxa, __sxxa, n_b,
+    * __sxb, __sxxb)` — the six exact sums are a pure commutative
+    * fold, so the streaming twin accumulates them in O(1) state and
+    * replays THIS code at every trigger, sharing the batch oracle.
+    */
+  def smdFromCounts(perGroup: DataFrame, groupCol: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val counts = perGroup.filter(col("n_a") >= 2 && col("n_b") >= 2)
     val naD = col("n_a").cast("double")
     val nbD = col("n_b").cast("double")
     val va = (col("n_a").cast(d38) * col("__sxxa") -

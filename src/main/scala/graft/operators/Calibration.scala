@@ -121,12 +121,26 @@ object Calibration {
       scoreCol: String): DataFrame = {
     Reserved.check("input" -> df)
     graft.operators.NonParametric.requireIntegral(df, scoreCol)
+    aucFromValueCounts(
+      df.where(label.isNotNull)
+        .select(col(groupCol), when(label, 1L).otherwise(0L).as("__y"),
+          col(scoreCol).cast("long").as("__s"))
+        .groupBy(col(groupCol), col("__s"))
+        .agg(sum(col("__y")).as("__pv"), count(lit(1)).as("__lv")),
+      groupCol)
+  }
+
+  /** [[auc]]'s combine over an already-aggregated per-score table
+    * `(groupCol, __s, __pv, __lv)` — the distinct-score (positives,
+    * rows) counts are the statistic's complete sufficient statistics
+    * (a pure commutative fold), so the streaming twin accumulates
+    * them keyed by (group, score) and replays THIS code at every
+    * trigger, sharing the batch oracle. The doubled-midrank lattice
+    * is identical by construction.
+    */
+  def aucFromValueCounts(
+      perVal: DataFrame, groupCol: String): DataFrame = {
     val d = org.apache.spark.sql.types.DecimalType(38, 0)
-    val perVal = df.where(label.isNotNull)
-      .select(col(groupCol), when(label, 1L).otherwise(0L).as("__y"),
-        col(scoreCol).cast("long").as("__s"))
-      .groupBy(col(groupCol), col("__s"))
-      .agg(sum(col("__y")).as("__pv"), count(lit(1)).as("__lv"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val marked = perVal

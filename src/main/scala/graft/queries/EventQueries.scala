@@ -3688,49 +3688,7 @@ object EventQueries {
             "cents")
           .orderBy(col("event_type"))
       },
-      Some("""
-        WITH e AS (
-          SELECT event_type, user_id % 2 = 1 AS b,
-                 CAST(ROUND(value * 100) AS BIGINT) AS x
-          FROM events),
-        a AS (
-          SELECT event_type,
-                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_a,
-                 CAST(SUM(CASE WHEN NOT b THEN x ELSE 0 END) AS BIGINT)
-                   AS sxa,
-                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT) * x
-                     ELSE 0 END) AS sxxa,
-                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_b,
-                 CAST(SUM(CASE WHEN b THEN x ELSE 0 END) AS BIGINT)
-                   AS sxb,
-                 SUM(CASE WHEN b THEN CAST(x AS HUGEINT) * x
-                     ELSE 0 END) AS sxxb
-          FROM e GROUP BY 1),
-        v AS (
-          SELECT event_type, n_a, n_b,
-                 CAST(CAST(n_a AS HUGEINT) * sxxa
-                      - CAST(sxa AS HUGEINT) * sxa AS DOUBLE)
-                   / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
-                   AS va,
-                 CAST(CAST(n_b AS HUGEINT) * sxxb
-                      - CAST(sxb AS HUGEINT) * sxb AS DOUBLE)
-                   / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
-                   AS vb,
-                 CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
-                   - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS md
-          FROM a WHERE n_a >= 2 AND n_b >= 2)
-        SELECT event_type, n_a, n_b,
-               CAST(ROUND(md / sqrt((va + vb) / 2.0) * 1e6) AS BIGINT)
-                 AS smd_micro,
-               CASE WHEN ABS(CAST(ROUND(md / sqrt((va + vb) / 2.0)
-                      * 1e6) AS BIGINT)) < 100000
-                    THEN 'balanced' ELSE 'imbalanced' END AS verdict
-        FROM v
-        WHERE va + vb > 0.0
-        ORDER BY event_type
-      """)),
+      Some(smdOracle)),
 
     // Jensen-Shannon divergence on the SAME 10-dollar bins and
     // cohort split as q_psi: the BOUNDED ([0, ln 2]), symmetric
@@ -4078,6 +4036,19 @@ object EventQueries {
             s, s"$dir/events.parquet")
           .orderBy(col("event_type")),
       Some(wassersteinOracle)),
+
+    // Streaming twin of q_smd_balance: the six per-cohort
+    // sufficient statistics as O(1) mapGroupsWithState per event
+    // type, combined by the batch smdFromCounts — watch assignment
+    // balance DURING an experiment ramp, not after. Shares
+    // q_smd_balance's oracle (StreamingOps.smdHistory scaladoc).
+    QueryDef(
+      "q_stream_smd",
+      (s, dir) =>
+        graft.streaming.StreamingOps.smdHistory(
+            s, s"$dir/events.parquet")
+          .orderBy(col("event_type")),
+      Some(smdOracle)),
 
     // Streaming twin of q_dispersion: the calendar day→count rollup
     // as mapGroupsWithState (the q_stream_mann_kendall state bound);
@@ -4521,6 +4492,51 @@ object EventQueries {
   /** The Kaplan-Meier / Nelson-Aalen replay shared by q_survival and
     * q_median_survival (full SQL including the RECURSIVE keyword).
     */
+  /** Batch oracle shared by q_smd_balance and its streaming twin. */
+  private lazy val smdOracle: String = """
+        WITH e AS (
+          SELECT event_type, user_id % 2 = 1 AS b,
+                 CAST(ROUND(value * 100) AS BIGINT) AS x
+          FROM events),
+        a AS (
+          SELECT event_type,
+                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_a,
+                 CAST(SUM(CASE WHEN NOT b THEN x ELSE 0 END) AS BIGINT)
+                   AS sxa,
+                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT) * x
+                     ELSE 0 END) AS sxxa,
+                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_b,
+                 CAST(SUM(CASE WHEN b THEN x ELSE 0 END) AS BIGINT)
+                   AS sxb,
+                 SUM(CASE WHEN b THEN CAST(x AS HUGEINT) * x
+                     ELSE 0 END) AS sxxb
+          FROM e GROUP BY 1),
+        v AS (
+          SELECT event_type, n_a, n_b,
+                 CAST(CAST(n_a AS HUGEINT) * sxxa
+                      - CAST(sxa AS HUGEINT) * sxa AS DOUBLE)
+                   / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+                   AS va,
+                 CAST(CAST(n_b AS HUGEINT) * sxxb
+                      - CAST(sxb AS HUGEINT) * sxb AS DOUBLE)
+                   / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+                   AS vb,
+                 CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS md
+          FROM a WHERE n_a >= 2 AND n_b >= 2)
+        SELECT event_type, n_a, n_b,
+               CAST(ROUND(md / sqrt((va + vb) / 2.0) * 1e6) AS BIGINT)
+                 AS smd_micro,
+               CASE WHEN ABS(CAST(ROUND(md / sqrt((va + vb) / 2.0)
+                      * 1e6) AS BIGINT)) < 100000
+                    THEN 'balanced' ELSE 'imbalanced' END AS verdict
+        FROM v
+        WHERE va + vb > 0.0
+        ORDER BY event_type
+      """
+
   /** Batch oracle shared by q_dispersion and its streaming twin. */
   private lazy val dispersionOracle: String = """
         WITH daily AS (

@@ -178,6 +178,14 @@ case class DayObs(group: String, di: Long)
 case class DispRow(
     group: String, n: Long, s: Long, sxx: Long, events_seen: Long)
 
+/** Per-cohort SMD sufficient statistics (a commutative fold). Long
+  * Σx² bounds the replay at x²·n ≲ 9·10¹⁸ per (group, cohort) —
+  * the batch DECIMAL lattice is the path past it.
+  */
+case class SmdRow(
+    group: String, n_a: Long, sxa: Long, sxxa: Long,
+    n_b: Long, sxb: Long, sxxb: Long, events_seen: Long)
+
 /** One contingency observation for [[StreamingOps.gtestCellState]]. */
 case class GtObs(a: String, c: Long)
 
@@ -1789,6 +1797,70 @@ object StreamingOps {
           (col("__h") * col("__ss") - col("__s") * col("__s")))
       .select(col("event_type"), col("hour_start"), col("n"),
         when(dev > 0, "high").otherwise("low").as("side"))
+  }
+
+  /** Streaming covariate-balance monitor as `mapGroupsWithState` —
+    * live SMD beside the batch
+    * [[graft.operators.AbTest.smdBalance]]: the six per-cohort
+    * sufficient statistics are a pure O(1) commutative integer fold
+    * per group; [[smdHistory]] applies the batch operator's own
+    * [[graft.operators.AbTest.smdFromCounts]] combine, sharing
+    * q_smd_balance's oracle. The live use: watch assignment balance
+    * DURING an experiment ramp, not after.
+    */
+  def smdState(stream: Dataset[EnObs]): Dataset[SmdRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[EnObs],
+        state: GroupState[SmdRow]): SmdRow = {
+      var cur = state.getOption
+        .getOrElse(SmdRow(g, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+      rows.foreach { o =>
+        cur =
+          if (o.b) cur.copy(n_b = cur.n_b + 1L, sxb = cur.sxb + o.x,
+            sxxb = cur.sxxb + o.x * o.x,
+            events_seen = cur.events_seen + 1L)
+          else cur.copy(n_a = cur.n_a + 1L, sxa = cur.sxa + o.x,
+            sxxa = cur.sxxa + o.x * o.x,
+            events_seen = cur.events_seen + 1L)
+      }
+      state.update(cur)
+      cur
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[smdState]] over the events parquet (memory sink, update
+    * mode): cohorts and integer cents come from the SAME Spark
+    * expressions the batch query uses; the combine is
+    * [[graft.operators.AbTest.smdFromCounts]] itself. Output shape
+    * matches `q_smd_balance` and shares its oracle.
+    */
+  def smdHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        (pmod(col("user_id"), lit(2L)) === 1).as("b"),
+        round(col("value") * 100).cast("long").as("x")).as[EnObs]
+    val out = smdState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val per = spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("group").as("event_type"), col("n_a"),
+        col("sxa").as("__sxa"),
+        col("sxxa").cast(DecimalType(38, 0)).as("__sxxa"),
+        col("n_b"), col("sxb").as("__sxb"),
+        col("sxxb").cast(DecimalType(38, 0)).as("__sxxb"))
+    graft.operators.AbTest.smdFromCounts(per, "event_type")
   }
 
   /** Streaming dispersion-index monitor as `mapGroupsWithState` —

@@ -567,6 +567,39 @@ class StreamingOpsSpec extends SparkSuite {
     assert(r.getString(4) === "accept_h1", s"$r")
   }
 
+  test("smdState: the six-counter fold across micro-batches equals " +
+      "the batch sufficient statistics") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the AbTestSpec shift fixture: A {10,12,14,16}, B {20,22,24,26}
+    val obs = Seq(10L, 12L, 14L, 16L).map(EnObs("s", false, _)) ++
+      Seq(20L, 22L, 24L, 26L).map(EnObs("s", true, _))
+    val input = MemoryStream[EnObs]
+    val out = StreamingOps.smdState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("smd_spec")
+      .start()
+    try {
+      input.addData(obs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(obs.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val r = spark.table("smd_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .collect().head
+    // (n_a, sxa, sxxa, n_b, sxb, sxxb) = (4, 52, 696, 4, 92, 2136)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((4L, 52L, 696L, 4L, 92L, 2136L)),
+      s"$r")
+  }
+
   test("dispersionState: the day rollup folds across micro-batches " +
       "to the batch sufficient statistics") {
     import spark.implicits._
