@@ -409,6 +409,84 @@ object DistributionTests {
           lit(1e6)).cast("long").as("a2_micro"))
   }
 
+  /** Stuart-Maxwell test of marginal homogeneity for THREE paired
+    * categories (Stuart 1955; Maxwell 1970) — the k = 3 McNemar:
+    * "did the category DISTRIBUTION shift between two paired
+    * readings?" (first-touch vs last-touch channel, old-model vs
+    * new-model label) where McNemar only handles binary. With the
+    * 3×3 pair table n_ij over the group's categories in NAME order
+    * (c₁ < c₂ < c₃ — a total order both engines share), the
+    * marginal-difference vector d = (n₁₊−n₊₁, n₂₊−n₊₂) and its
+    * covariance reduce to the closed 2×2 form:
+    *
+    *   V₁₁ = n₁₊+n₊₁−2n₁₁,  V₂₂ = n₂₊+n₊₂−2n₂₂, V₁₂ = −(n₁₂+n₂₁)
+    *   χ² = (V₂₂d₁² − 2V₁₂d₁d₂ + V₁₁d₂²) / (V₁₁V₂₂ − V₁₂²) ~ χ²(2)
+    *
+    * — an EXACT rational of integer counts (DECIMAL(38,0)): the
+    * verdict cross-multiplies num·10⁴ > crit4·den with no float
+    * anywhere, and chi2_micro is the one division at the edge.
+    * Groups whose category universe (union of both sides) is not
+    * exactly 3, or with a singular covariance (den ≤ 0 — e.g. a
+    * never-moving category), drop.
+    *
+    * Output: (groupCol, n, chi2_micro, verdict ∈ shifted | stable).
+    * Shape: one cell aggregation + a category-rank broadcast join —
+    * everything past the first aggregate is cell-table-sized.
+    */
+  def stuartMaxwell3(
+      df: DataFrame, groupCol: String, aCol: String, bCol: String,
+      crit4: Long): DataFrame = {
+    require(crit4 > 0, s"crit4: $crit4")
+    Reserved.check("input" -> df)
+    val d = DecimalType(38, 0)
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(aCol).as("__a"),
+        col(bCol).as("__b"))
+      .groupBy(col("__g"), col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    val cats = cells.select(col("__g"), col("__a").as("__cat"))
+      .union(cells.select(col("__g"), col("__b").as("__cat")))
+      .distinct()
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__g")).orderBy(col("__cat"))))
+    val ranked = cells
+      .join(broadcast(cats.select(col("__g"), col("__cat").as("__a"),
+        col("__rk").as("__ra"))), Seq("__g", "__a"))
+      .join(broadcast(cats.select(col("__g"), col("__cat").as("__b"),
+        col("__rk").as("__rb"))), Seq("__g", "__b"))
+    val agg = ranked.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("n"),
+        max(greatest(col("__ra"), col("__rb"))).as("__k"),
+        sum(when(col("__ra") === 1, col("__c")).otherwise(0L)).as("__r1"),
+        sum(when(col("__ra") === 2, col("__c")).otherwise(0L)).as("__r2"),
+        sum(when(col("__rb") === 1, col("__c")).otherwise(0L)).as("__c1"),
+        sum(when(col("__rb") === 2, col("__c")).otherwise(0L)).as("__c2"),
+        sum(when(col("__ra") === 1 && col("__rb") === 1, col("__c"))
+          .otherwise(0L)).as("__n11"),
+        sum(when(col("__ra") === 2 && col("__rb") === 2, col("__c"))
+          .otherwise(0L)).as("__n22"),
+        sum(when(col("__ra") === 1 && col("__rb") === 2, col("__c"))
+          .otherwise(0L)).as("__n12"),
+        sum(when(col("__ra") === 2 && col("__rb") === 1, col("__c"))
+          .otherwise(0L)).as("__n21"))
+    val d1 = (col("__r1") - col("__c1")).cast(d)
+    val d2 = (col("__r2") - col("__c2")).cast(d)
+    val v11 = (col("__r1") + col("__c1") - lit(2L) * col("__n11")).cast(d)
+    val v22 = (col("__r2") + col("__c2") - lit(2L) * col("__n22")).cast(d)
+    val v12 = (-(col("__n12") + col("__n21"))).cast(d)
+    val num = v22 * d1 * d1 - lit(2L).cast(d) * v12 * d1 * d2 +
+      v11 * d2 * d2
+    val den = v11 * v22 - v12 * v12
+    agg
+      .filter(col("__k") === 3 && den > lit(0L).cast(d))
+      .select(col("__g").as(groupCol), col("n"),
+        round(num.cast("double") / den.cast("double") * lit(1e6))
+          .cast("long").as("chi2_micro"),
+        when(num * lit(10000L).cast(d) > lit(crit4).cast(d) * den,
+          "shifted").otherwise("stable").as("verdict"))
+  }
+
   /** Bartlett's test of variance homogeneity (Bartlett 1937) across
     * the k samples of `sampleCol` per group — the parametric
     * "did the SPREAD change in any source?" companion to the rank

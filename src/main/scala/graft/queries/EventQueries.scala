@@ -3487,6 +3487,107 @@ object EventQueries {
         ORDER BY event_type
       """)),
 
+    // Stuart-Maxwell marginal homogeneity over THREE paired
+    // categories: per user, the FIRST-touch vs LAST-touch event type
+    // among {click, purchase, view} — "do user journeys end on the
+    // same channel mix they start on?", the k=3 McNemar that the 2×2
+    // q_mcnemar cannot express. Exact integer 3×3 pair table, closed
+    // 2×2 covariance inverse, verdict by integer cross-multiplication
+    // vs χ²(2, 95%) (DistributionTests.stuartMaxwell3 scaladoc).
+    QueryDef(
+      "q_stuart_maxwell",
+      (s, dir) => {
+        import graft.operators.DistributionTests
+        val e = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase", "view"))
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("event_id"))
+        val paired = e.groupBy(col("user_id"))
+          .agg(min(struct(col("us"), col("event_id"),
+            col("event_type"))).as("f"),
+            max(struct(col("us"), col("event_id"),
+              col("event_type"))).as("l"))
+          .select(lit("all").as("grp"),
+            col("f.event_type").as("first_t"),
+            col("l.event_type").as("last_t"))
+        DistributionTests.stuartMaxwell3(
+          paired, "grp", "first_t", "last_t", crit4 = 59915L)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+          FROM events
+          WHERE event_type IN ('click', 'purchase', 'view')),
+        fl AS (
+          -- (us, event_id) lexicographic == us*1e9 + event_id as one
+          -- sortable key (event_id is unique and < 1e9 by fixture
+          -- contract); this DuckDB's arg_min has no struct overload
+          SELECT user_id,
+                 arg_min(event_type,
+                   CAST(us AS HUGEINT) * 1000000000 + event_id) AS f,
+                 arg_max(event_type,
+                   CAST(us AS HUGEINT) * 1000000000 + event_id) AS l
+          FROM e GROUP BY 1),
+        cells AS (
+          SELECT 'all' AS grp, f, l, CAST(count(*) AS BIGINT) AS c
+          FROM fl GROUP BY 1, 2, 3),
+        cats AS (
+          SELECT DISTINCT grp, cat FROM (
+            SELECT grp, f AS cat FROM cells
+            UNION ALL SELECT grp, l FROM cells)),
+        rk AS (
+          SELECT grp, cat,
+                 ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cat)
+                   AS rk
+          FROM cats),
+        rc AS (
+          SELECT c.grp, ra.rk AS ra, rb.rk AS rb, c.c
+          FROM cells c
+          JOIN rk ra ON ra.grp = c.grp AND ra.cat = c.f
+          JOIN rk rb ON rb.grp = c.grp AND rb.cat = c.l),
+        a AS (
+          SELECT grp, CAST(SUM(c) AS BIGINT) AS n,
+                 MAX(GREATEST(ra, rb)) AS k,
+                 CAST(SUM(CASE WHEN ra = 1 THEN c ELSE 0 END)
+                   AS BIGINT) AS r1,
+                 CAST(SUM(CASE WHEN ra = 2 THEN c ELSE 0 END)
+                   AS BIGINT) AS r2,
+                 CAST(SUM(CASE WHEN rb = 1 THEN c ELSE 0 END)
+                   AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN rb = 2 THEN c ELSE 0 END)
+                   AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN c
+                   ELSE 0 END) AS BIGINT) AS n11,
+                 CAST(SUM(CASE WHEN ra = 2 AND rb = 2 THEN c
+                   ELSE 0 END) AS BIGINT) AS n22,
+                 CAST(SUM(CASE WHEN ra = 1 AND rb = 2 THEN c
+                   ELSE 0 END) AS BIGINT) AS n12,
+                 CAST(SUM(CASE WHEN ra = 2 AND rb = 1 THEN c
+                   ELSE 0 END) AS BIGINT) AS n21
+          FROM rc GROUP BY 1),
+        m AS (
+          SELECT grp, n, k,
+                 CAST(r2 + c2 - 2 * n22 AS HUGEINT)
+                   * (r1 - c1) * (r1 - c1)
+                 - 2 * CAST(-(n12 + n21) AS HUGEINT)
+                   * (r1 - c1) * (r2 - c2)
+                 + CAST(r1 + c1 - 2 * n11 AS HUGEINT)
+                   * (r2 - c2) * (r2 - c2) AS num,
+                 CAST(r1 + c1 - 2 * n11 AS HUGEINT)
+                   * (r2 + c2 - 2 * n22)
+                 - CAST(-(n12 + n21) AS HUGEINT) * (-(n12 + n21))
+                   AS den
+          FROM a)
+        SELECT grp, n,
+               CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                 * 1e6) AS BIGINT) AS chi2_micro,
+               CASE WHEN num * 10000 > 59915 * den
+                    THEN 'shifted' ELSE 'stable' END AS verdict
+        FROM m
+        WHERE k = 3 AND den > 0
+      """)),
+
     // Lag-1 Granger causality between every ordered pair of event
     // types' daily series: does yesterday's CLICK volume help
     // predict today's PURCHASE volume beyond purchases' own history?

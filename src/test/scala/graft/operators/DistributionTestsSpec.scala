@@ -408,6 +408,38 @@ class DistributionTestsSpec extends SparkSuite {
     }
   }
 
+  test("stuartMaxwell3: hand-computed tables, singular and " +
+      "wrong-cardinality universes drop") {
+    def table(g: String, counts: Map[(String, String), Int]) =
+      counts.toSeq.flatMap { case ((a, b), c) =>
+        Seq.fill(c)((g, a, b)) }
+    // stable-ish: d = (2, −2), V = [[8,−7],[−7,12]] → χ² = 24/47
+    val stable = table("st", Map(
+      ("x", "x") -> 20, ("x", "y") -> 5,
+      ("y", "x") -> 2, ("y", "y") -> 30, ("y", "z") -> 3,
+      ("z", "x") -> 1, ("z", "y") -> 2, ("z", "z") -> 37))
+    // drifting: d = (20, −10), V = [[20,−15],[−15,20]] → χ² = 4000/175
+    val drift = table("dr", Map(
+      ("x", "x") -> 10, ("x", "y") -> 15, ("x", "z") -> 5,
+      ("y", "y") -> 10, ("y", "z") -> 5, ("z", "z") -> 10))
+    // a perfect 1↔2 swap leaves the covariance singular → drop
+    val singular = table("sg", Map(
+      ("x", "x") -> 10, ("x", "y") -> 20, ("y", "y") -> 10,
+      ("z", "z") -> 10))
+    // binary universe → not a 3-category test → drop
+    val binary = table("b2", Map(("x", "y") -> 5, ("y", "x") -> 3))
+    val out = DistributionTests.stuartMaxwell3(
+        (stable ++ drift ++ singular ++ binary).toDF("g", "a", "b"),
+        "g", "a", "b", crit4 = 59915L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("st").getLong(1) === 100L)
+    assert(out("st").getLong(2) === 510638L &&
+      out("st").getString(3) === "stable", s"${out("st")}")
+    assert(out("dr").getLong(2) === 22857143L &&
+      out("dr").getString(3) === "shifted", s"${out("dr")}")
+    assert(!out.contains("sg") && !out.contains("b2"))
+  }
+
   test("gamesHowell is partitioning-independent") {
     val df = (1 to 300).map(i => (s"g${i % 4}", (i * 7) % 23))
       .toDF("g", "x")

@@ -238,7 +238,7 @@ class PlanShapeSpec extends SparkSuite {
       "q_js_divergence", "q_dispersion", "q_lift_curve",
       "q_auc", "q_smd_balance",  // stream twins run eagerly
       "q_tpch_q14", "q_tpch_q18", "q_ann_matryoshka",
-      "q_dickey_fuller", "q_granger")
+      "q_dickey_fuller", "q_granger", "q_stuart_maxwell")
     for (q <- lazyQueries) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"),
