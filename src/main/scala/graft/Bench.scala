@@ -167,7 +167,7 @@ object Bench {
     "q_auc", "q_smd_balance", "q_stream_wasserstein",
     "q_stream_dispersion", "q_tpch_q14", "q_tpch_q18",
     "q_ann_matryoshka", "q_dickey_fuller", "q_granger",
-    "q_stream_smd", "q_stuart_maxwell")
+    "q_stream_smd", "q_stuart_maxwell", "q_stream_dickey_fuller")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

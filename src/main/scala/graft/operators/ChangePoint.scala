@@ -315,12 +315,26 @@ object ChangePoint {
       .filter(col("__u").isNotNull)
       .select(col(seriesCol), col("__u"),
         (col("__x") - col("__u")).as("__v"))
-    val agg = pairs.groupBy(col(seriesCol))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__u")).as("__su"), sum(col("__v")).as("__sv"),
-        sum(col("__u").cast(d) * col("__u").cast(d)).as("__suu"),
-        sum(col("__u").cast(d) * col("__v").cast(d)).as("__suv"),
-        sum(col("__v").cast(d) * col("__v").cast(d)).as("__svv"))
+    dickeyFullerFromSums(
+      pairs.groupBy(col(seriesCol))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__u")).as("__su"), sum(col("__v")).as("__sv"),
+          sum(col("__u").cast(d) * col("__u").cast(d)).as("__suu"),
+          sum(col("__u").cast(d) * col("__v").cast(d)).as("__suv"),
+          sum(col("__v").cast(d) * col("__v").cast(d)).as("__svv")),
+      seriesCol)
+  }
+
+  /** [[dickeyFuller]]'s combine over already-aggregated per-series
+    * lag-pair sums `(seriesCol, n, __su, __sv, __suu, __suv, __svv)`
+    * — the six exact sums are the regression's complete sufficient
+    * statistics, so the streaming twin re-derives them from its
+    * day-rollup state each trigger and replays THIS code, sharing
+    * the batch oracle (both refusals included).
+    */
+  def dickeyFullerFromSums(
+      agg: DataFrame, seriesCol: String): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
     val suu = col("n").cast(d) * col("__suu") -
       col("__su").cast(d) * col("__su").cast(d)
     val suv = col("n").cast(d) * col("__suv") -

@@ -3432,60 +3432,7 @@ object EventQueries {
             daily, "event_type", "i", "x")
           .orderBy(col("event_type"))
       },
-      Some("""
-        WITH series AS (
-          SELECT event_type,
-                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
-                   AS day,
-                 COUNT(*) AS x
-          FROM events GROUP BY 1, 2),
-        idx AS (
-          SELECT event_type, CAST(x AS BIGINT) AS x,
-                 ROW_NUMBER() OVER (PARTITION BY event_type
-                                    ORDER BY day) AS i
-          FROM series),
-        pr AS (
-          SELECT event_type,
-                 LAG(x) OVER (PARTITION BY event_type ORDER BY i) AS u,
-                 x - LAG(x) OVER (PARTITION BY event_type ORDER BY i)
-                   AS v
-          FROM idx),
-        a AS (
-          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                 CAST(SUM(u) AS BIGINT) AS su,
-                 CAST(SUM(v) AS BIGINT) AS sv,
-                 SUM(CAST(u AS HUGEINT) * u) AS suu0,
-                 SUM(CAST(u AS HUGEINT) * v) AS suv0,
-                 SUM(CAST(v AS HUGEINT) * v) AS svv0
-          FROM pr WHERE u IS NOT NULL GROUP BY 1),
-        c AS (
-          SELECT event_type, n,
-                 CAST(n AS HUGEINT) * suu0
-                   - CAST(su AS HUGEINT) * su AS suu,
-                 CAST(n AS HUGEINT) * suv0
-                   - CAST(su AS HUGEINT) * sv AS suv,
-                 CAST(n AS HUGEINT) * svv0
-                   - CAST(sv AS HUGEINT) * sv AS svv
-          FROM a),
-        t AS (
-          SELECT event_type, n,
-                 CAST(ROUND(CAST(suv AS DOUBLE) / CAST(suu AS DOUBLE)
-                   * 1e6) AS BIGINT) AS beta_micro,
-                 CAST(ROUND(
-                   (CAST(suv AS DOUBLE) / CAST(suu AS DOUBLE))
-                   / sqrt((CAST(svv AS DOUBLE)
-                       - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE)
-                         / CAST(suu AS DOUBLE))
-                     / ((CAST(n AS DOUBLE) - 2.0)
-                        * CAST(suu AS DOUBLE)))
-                   * 1e6) AS BIGINT) AS t_micro
-          FROM c WHERE n >= 4 AND suu > 0 AND svv * suu > suv * suv)
-        SELECT event_type, n, beta_micro, t_micro,
-               CASE WHEN t_micro < -2860000 THEN 'stationary'
-                    ELSE 'unit_root' END AS verdict
-        FROM t
-        ORDER BY event_type
-      """)),
+      Some(dickeyFullerOracle)),
 
     // Stuart-Maxwell marginal homogeneity over THREE paired
     // categories: per user, the FIRST-touch vs LAST-touch event type
@@ -4138,6 +4085,20 @@ object EventQueries {
           .orderBy(col("event_type")),
       Some(wassersteinOracle)),
 
+    // Streaming twin of q_dickey_fuller: the same calendar
+    // day→count rollup state as q_stream_dispersion; every trigger
+    // re-derives the exact six lag-pair regression sums by one
+    // sorted walk, combined by the batch dickeyFullerFromSums with
+    // both refusals intact. Shares q_dickey_fuller's oracle
+    // (StreamingOps.dickeyFullerHistory scaladoc).
+    QueryDef(
+      "q_stream_dickey_fuller",
+      (s, dir) =>
+        graft.streaming.StreamingOps.dickeyFullerHistory(
+            s, s"$dir/events.parquet")
+          .orderBy(col("event_type")),
+      Some(dickeyFullerOracle)),
+
     // Streaming twin of q_smd_balance: the six per-cohort
     // sufficient statistics as O(1) mapGroupsWithState per event
     // type, combined by the batch smdFromCounts — watch assignment
@@ -4593,6 +4554,62 @@ object EventQueries {
   /** The Kaplan-Meier / Nelson-Aalen replay shared by q_survival and
     * q_median_survival (full SQL including the RECURSIVE keyword).
     */
+  /** Batch oracle shared by q_dickey_fuller and its streaming twin. */
+  private lazy val dickeyFullerOracle: String = """
+        WITH series AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, CAST(x AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS i
+          FROM series),
+        pr AS (
+          SELECT event_type,
+                 LAG(x) OVER (PARTITION BY event_type ORDER BY i) AS u,
+                 x - LAG(x) OVER (PARTITION BY event_type ORDER BY i)
+                   AS v
+          FROM idx),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(u) AS BIGINT) AS su,
+                 CAST(SUM(v) AS BIGINT) AS sv,
+                 SUM(CAST(u AS HUGEINT) * u) AS suu0,
+                 SUM(CAST(u AS HUGEINT) * v) AS suv0,
+                 SUM(CAST(v AS HUGEINT) * v) AS svv0
+          FROM pr WHERE u IS NOT NULL GROUP BY 1),
+        c AS (
+          SELECT event_type, n,
+                 CAST(n AS HUGEINT) * suu0
+                   - CAST(su AS HUGEINT) * su AS suu,
+                 CAST(n AS HUGEINT) * suv0
+                   - CAST(su AS HUGEINT) * sv AS suv,
+                 CAST(n AS HUGEINT) * svv0
+                   - CAST(sv AS HUGEINT) * sv AS svv
+          FROM a),
+        t AS (
+          SELECT event_type, n,
+                 CAST(ROUND(CAST(suv AS DOUBLE) / CAST(suu AS DOUBLE)
+                   * 1e6) AS BIGINT) AS beta_micro,
+                 CAST(ROUND(
+                   (CAST(suv AS DOUBLE) / CAST(suu AS DOUBLE))
+                   / sqrt((CAST(svv AS DOUBLE)
+                       - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE)
+                         / CAST(suu AS DOUBLE))
+                     / ((CAST(n AS DOUBLE) - 2.0)
+                        * CAST(suu AS DOUBLE)))
+                   * 1e6) AS BIGINT) AS t_micro
+          FROM c WHERE n >= 4 AND suu > 0 AND svv * suu > suv * suv)
+        SELECT event_type, n, beta_micro, t_micro,
+               CASE WHEN t_micro < -2860000 THEN 'stationary'
+                    ELSE 'unit_root' END AS verdict
+        FROM t
+        ORDER BY event_type
+      """
+
   /** Batch oracle shared by q_smd_balance and its streaming twin. */
   private lazy val smdOracle: String = """
         WITH e AS (

@@ -186,6 +186,15 @@ case class SmdRow(
     group: String, n_a: Long, sxa: Long, sxxa: Long,
     n_b: Long, sxb: Long, sxxb: Long, events_seen: Long)
 
+/** Per-series Dickey-Fuller lag-pair sums emitted per trigger by
+  * [[StreamingOps.dickeyFullerState]]. Long Σu², Σuv, Σv² bound the
+  * replay at count² · days ≲ 9·10¹⁸ per group — the batch DECIMAL
+  * lattice is the path past it.
+  */
+case class DfRow(
+    group: String, n: Long, su: Long, sv: Long,
+    suu: Long, suv: Long, svv: Long, events_seen: Long)
+
 /** One contingency observation for [[StreamingOps.gtestCellState]]. */
 case class GtObs(a: String, c: Long)
 
@@ -1797,6 +1806,76 @@ object StreamingOps {
           (col("__h") * col("__ss") - col("__s") * col("__s")))
       .select(col("event_type"), col("hour_start"), col("n"),
         when(dev > 0, "high").otherwise("low").as("side"))
+  }
+
+  /** Streaming Dickey-Fuller monitor as `mapGroupsWithState` — live
+    * "did this counter become a random walk?" beside the batch
+    * [[graft.operators.ChangePoint.dickeyFuller]]: state is the same
+    * calendar day→count rollup as [[dispersionState]]; every trigger
+    * re-derives the exact six lag-pair regression sums by one sorted
+    * walk of the rollup, and [[dickeyFullerHistory]] applies the
+    * batch operator's own combine, sharing q_dickey_fuller's oracle.
+    * Map folds are commutative — micro-batch splits cannot change
+    * the rollup.
+    */
+  def dickeyFullerState(stream: Dataset[DayObs]): Dataset[DfRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[DayObs],
+        state: GroupState[MkState]): DfRow = {
+      var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
+      rows.foreach { o =>
+        st = MkState(
+          st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
+          st.eventsSeen + 1L)
+      }
+      state.update(st)
+      val xs = st.days.toSeq.sortBy(_._1).map(_._2)
+      var n = 0L; var su = 0L; var sv = 0L
+      var suu = 0L; var suv = 0L; var svv = 0L
+      var i = 1
+      while (i < xs.length) {
+        val u = xs(i - 1); val v = xs(i) - u
+        n += 1L; su += u; sv += v
+        suu += u * u; suv += u * v; svv += v * v
+        i += 1
+      }
+      DfRow(g, n, su, sv, suu, suv, svv, st.eventsSeen)
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[dickeyFullerState]] over the events parquet (memory sink,
+    * update mode): day bucketing comes from the SAME Spark
+    * expressions the batch query uses; the combine is
+    * [[graft.operators.ChangePoint.dickeyFullerFromSums]] itself.
+    * Output shape matches `q_dickey_fuller` and shares its oracle.
+    */
+  def dickeyFullerHistory(
+      spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        unix_micros(date_trunc("day", col("ts"))).as("di")).as[DayObs]
+    val out = dickeyFullerState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val per = spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("group").as("event_type"), col("n"),
+        col("su").as("__su"), col("sv").as("__sv"),
+        col("suu").cast(DecimalType(38, 0)).as("__suu"),
+        col("suv").cast(DecimalType(38, 0)).as("__suv"),
+        col("svv").cast(DecimalType(38, 0)).as("__svv"))
+    graft.operators.ChangePoint.dickeyFullerFromSums(per, "event_type")
   }
 
   /** Streaming covariate-balance monitor as `mapGroupsWithState` —

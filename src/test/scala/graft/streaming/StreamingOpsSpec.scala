@@ -567,6 +567,40 @@ class StreamingOpsSpec extends SparkSuite {
     assert(r.getString(4) === "accept_h1", s"$r")
   }
 
+  test("dickeyFullerState: the day rollup re-derives the exact " +
+      "lag-pair sums across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // days 1..4 with counts 2, 5, 3, 4 → pairs (u,v):
+    // (2,3),(5,−2),(3,1): n=3, su=10, sv=2, suu=38, suv=−1, svv=14
+    val obs = Seq.fill(2)(DayObs("d", 1L)) ++
+      Seq.fill(5)(DayObs("d", 2L)) ++ Seq.fill(3)(DayObs("d", 3L)) ++
+      Seq.fill(4)(DayObs("d", 4L))
+    val input = MemoryStream[DayObs]
+    val out = StreamingOps.dickeyFullerState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("df_spec")
+      .start()
+    try {
+      input.addData(obs.take(6): _*)
+      q.processAllAvailable()
+      input.addData(obs.drop(6): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val r = spark.table("df_spec")
+      .withColumn("__rn", row_number().over(wLast))
+      .filter(col("__rn") === 1)
+      .collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((3L, 10L, 2L, 38L, -1L, 14L)),
+      s"$r")
+  }
+
   test("smdState: the six-counter fold across micro-batches equals " +
       "the batch sufficient statistics") {
     import spark.implicits._
