@@ -121,8 +121,12 @@ object Calibration {
       scoreCol: String): DataFrame = {
     Reserved.check("input" -> df)
     graft.operators.NonParametric.requireIntegral(df, scoreCol)
+    // NULL scores drop alongside NULL labels: a NULL score would
+    // otherwise form its own distinct __s bucket that Spark's window
+    // orders nulls-first while DuckDB orders nulls-last — every
+    // midrank below it silently shifts and the engines desync.
     aucFromValueCounts(
-      df.where(label.isNotNull)
+      df.where(label.isNotNull && col(scoreCol).isNotNull)
         .select(col(groupCol), when(label, 1L).otherwise(0L).as("__y"),
           col(scoreCol).cast("long").as("__s"))
         .groupBy(col(groupCol), col("__s"))

@@ -382,6 +382,15 @@ object ChangePoint {
     * undefined/infinite). Output: one row per ORDERED (cause,
     * effect) pair with cause ≠ effect — (cause, effect, n, f_micro).
     *
+    * `idxCol` is a SHARED integer time index (e.g. the epoch-day
+    * number) — the SAME t across every series, with "lag 1" meaning
+    * idx − 1. A time t contributes to a (cause, effect) pair only
+    * when y_t, y_{t−1} (consecutive idx in the effect series) AND
+    * x_{t−1} all exist — the textbook listwise drop. A per-series
+    * ROW_NUMBER index is NOT a valid idxCol: one series missing a
+    * calendar day present in another shifts every subsequent index
+    * and the lag pairs silently compare different dates.
+    *
     * Shape: one self-join of the (series, t) table on the lag index
     * — series² × length rows, sized by the series COUNT, never the
     * corpus — then one aggregation per pair.
@@ -391,17 +400,23 @@ object ChangePoint {
     Reserved.check("granger" -> df)
     val d = org.apache.spark.sql.types.DecimalType(38, 0)
     val w = Window.partitionBy(col("__s")).orderBy(col("__i"))
-    val base = df.select(col(seriesCol).as("__s"),
-        col(idxCol).cast("long").as("__i"),
-        col(xCol).cast("long").as("__x"))
+    val base0 = df.select(col(seriesCol).as("__s"),
+      col(idxCol).cast("long").as("__i"),
+      col(xCol).cast("long").as("__x"))
+    // effect side carries (y_t, y_{t-1}) with the CONSECUTIVE-index
+    // check (a gap day breaks the pair instead of silently pairing
+    // y_t with the value two days back)
+    val eff = base0
       .withColumn("__lag", lag(col("__x"), 1).over(w))
-      .filter(col("__lag").isNotNull)
-    // effect side carries (y_t, y_{t-1}); cause side joins x_{t-1}
-    val pairs = base
+      .withColumn("__lagi", lag(col("__i"), 1).over(w))
+      .filter(col("__lagi") === col("__i") - 1)
+    // cause side is x at idx − 1 directly (shifted +1 for the join):
+    // needs only x_{t−1} to exist, never x_t
+    val pairs = eff
       .select(col("__s").as("effect"), col("__i"),
         col("__x").as("__y"), col("__lag").as("__p"))
-      .join(base.select(col("__s").as("cause"), col("__i"),
-          col("__lag").as("__q")),
+      .join(base0.select(col("__s").as("cause"),
+          (col("__i") + 1).as("__i"), col("__x").as("__q")),
         Seq("__i"))
       .filter(col("cause") =!= col("effect"))
     val agg = pairs.groupBy(col("cause"), col("effect"))

@@ -120,6 +120,16 @@ object DistributionTests {
     *
     *   (D⁺+D⁻)²·10⁴ > 30520 · n_a·n_b·(n_a+n_b).
     *
+    * Tie convention (inherited from [[ksTwoSample]]): the running
+    * diff is evaluated at EVERY (value, tieCol) row, not only at
+    * distinct-value boundaries, so under heavy ties D⁺/D⁻ depend on
+    * the intra-tie A/B interleaving the tieCol induces and can
+    * EXCEED the textbook distinct-value-ECDF Kuiper statistic — a
+    * deterministic upward bias (more "shifted" verdicts, never
+    * fewer). The oracle mirrors the same lattice, so the bias is
+    * cross-engine-stable; callers needing the textbook statistic
+    * should pre-aggregate to distinct values first.
+    *
     * Shape: identical to KS — one group-keyed window exchange, one
     * re-aggregation; NULL cohorts drop.
     */
@@ -584,8 +594,14 @@ object DistributionTests {
   def gTest(
       df: DataFrame, aCol: String, bCol: String, crit4: Long): DataFrame = {
     Reserved.check("input" -> df)
+    // NULL categories drop BEFORE the cell aggregation (the
+    // cramersV/stuartMaxwell3 convention): a NULL-keyed cell would
+    // inflate n through the total aggregate yet vanish from the
+    // per-cell term sum via the margin equi-joins — a silently
+    // skewed G instead of a clean exclusion.
     gTestFromCells(
-      df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o")),
+      df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+        .groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("o")),
       aCol, bCol, crit4)
   }
 

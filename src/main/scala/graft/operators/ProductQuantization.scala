@@ -132,9 +132,14 @@ object ProductQuantization {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int, nprobe: Int, m: Int, ksub: Int): DataFrame = {
-    val centDf = Similarity.sampledCodebook(corpus, idCol, vecCol, nlist)
+    // nlist = 0 derives the codebook size from the corpus count
+    // (Similarity.derivedNlist — the kNN-family scale rule): a fixed
+    // nlist leaves per-probe candidate lists growing with n/nlist.
+    val nl = if (nlist > 0) nlist
+      else Similarity.derivedNlist(corpus.select(col(idCol)).count())
+    val centDf = Similarity.sampledCodebook(corpus, idCol, vecCol, nl)
     val assigned =
-      Similarity.assignCellsSampledCodebook(corpus, idCol, vecCol, nlist)
+      Similarity.assignCellsSampledCodebook(corpus, idCol, vecCol, nl)
     val q = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("qv"))
     val probes = q.crossJoin(centDf)

@@ -445,13 +445,20 @@ object Similarity {
           .as("mean_silhouette"))
   }
 
+  /** `nlist = 0` (the default) DERIVES the codebook size from the
+    * corpus count via [[derivedNlist]] — the kNN-family scale rule:
+    * a fixed nlist makes per-query candidate lists grow linearly
+    * with cell size (n/nlist), defeating the population bound.
+    */
   def ivfTopKSampledCodebook(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centDf = sampledCodebook(corpus, idCol, vecCol, nlist)
+      nlist: Int = 0, nprobe: Int = 4): DataFrame = {
+    val nl = if (nlist > 0) nlist
+      else derivedNlist(corpus.select(col(idCol)).count())
+    val centDf = sampledCodebook(corpus, idCol, vecCol, nl)
     val assigned =
-      assignCellsSampledCodebook(corpus, idCol, vecCol, nlist)
+      assignCellsSampledCodebook(corpus, idCol, vecCol, nl)
         .withColumnRenamed("id", "neighbor_id")
     ivfSearch(assigned, centDf,
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),

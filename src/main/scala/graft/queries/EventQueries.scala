@@ -3547,12 +3547,15 @@ object EventQueries {
     QueryDef(
       "q_granger",
       (s, dir) => {
+        // the index is the SHARED epoch-day number, not a per-series
+        // row_number: a series missing a calendar day must break its
+        // lag pair there, not silently shift against the other series
+        // (grangerLag1's idxCol contract)
         val daily = Tables.events(s, dir)
           .groupBy(col("event_type"),
             to_date(date_trunc("day", col("ts"))).as("day"))
           .agg(count(lit(1)).as("x"))
-          .withColumn("i", row_number().over(
-            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+          .withColumn("i", datediff(col("day"), lit("1970-01-01")))
         graft.operators.ChangePoint.grangerLag1(
             daily, "event_type", "i", "x")
           .orderBy(col("cause"), col("effect"))
@@ -3566,17 +3569,19 @@ object EventQueries {
           FROM events GROUP BY 1, 2),
         idx AS (
           SELECT event_type, CAST(x AS BIGINT) AS x,
-                 ROW_NUMBER() OVER (PARTITION BY event_type
-                                    ORDER BY day) AS i
+                 CAST(day - DATE '1970-01-01' AS BIGINT) AS i
           FROM series),
         lagd AS (
           SELECT event_type AS s2, i, x AS y,
-                 LAG(x) OVER (PARTITION BY event_type ORDER BY i) AS p
+                 LAG(x) OVER (PARTITION BY event_type ORDER BY i) AS p,
+                 LAG(i) OVER (PARTITION BY event_type ORDER BY i) AS pi
           FROM idx),
-        base AS (SELECT * FROM lagd WHERE p IS NOT NULL),
+        base AS (SELECT * FROM lagd WHERE pi = i - 1),
         pr AS (
-          SELECT c.s2 AS cause, e.s2 AS effect, e.y, e.p, c.p AS q
-          FROM base e JOIN base c ON c.i = e.i AND c.s2 <> e.s2),
+          SELECT c.event_type AS cause, e.s2 AS effect, e.y, e.p,
+                 c.x AS q
+          FROM base e JOIN idx c ON c.i = e.i - 1
+                                AND c.event_type <> e.s2),
         a AS (
           SELECT cause, effect, CAST(count(*) AS BIGINT) AS n,
                  CAST(SUM(y) AS BIGINT) AS sy,
@@ -4239,6 +4244,10 @@ object EventQueries {
                  GREATEST(2592000 - last_t, 0) AS DOUBLE) / 1e6, 6)
                  AS rmst
         FROM area
+        -- mirror the operator's empty-curve refusal: with zero
+        -- death steps the global aggregate would still emit one
+        -- NULL-rmst row while Survival.rmst returns zero rows
+        WHERE n_steps > 0
       """))
   )
 

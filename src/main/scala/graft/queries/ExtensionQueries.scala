@@ -335,7 +335,7 @@ object ExtensionQueries {
     val discVals =
       d.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
     s"""
-      WITH $ivfAssignCtes,
+      WITH $ivfAssignDerivedCtes,
       edots AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                sum(q.x * c.x) AS d
@@ -439,9 +439,10 @@ object ExtensionQueries {
                                       ORDER BY dmicro, code) AS rn
             FROM sdist) WHERE rn = 1)"""
 
-  /** [[ivfAssignCtes]] with the codebook CTE (`cent(cell)`) supplied
-    * by the caller — the fixed-16 ANN replays and the derived-nlist
-    * kNN-graph replays share everything but the codebook size.
+  /** The shared IVF assignment replay with the codebook CTE
+    * (`cent(cell)`) supplied by the caller. Every consumer now runs
+    * the DERIVED-nlist codebook ([[ivfAssignDerivedCtes]]); the seam
+    * stays so a spec or future query can pin an explicit codebook.
     */
   private def ivfAssignCtesWithCent(centSql: String): String = s"""dims AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -469,17 +470,12 @@ object ExtensionQueries {
                                       ORDER BY csim DESC, cell) AS rn
             FROM asim) WHERE rn = 1)"""
 
-  /** The fixed-16 codebook chain: Similarity.assignCellsSampledCodebook
-    * with nlist = 16, as the explicit-nlist ANN queries invoke it.
-    */
-  private lazy val ivfAssignCtes: String = ivfAssignCtesWithCent(
-    "SELECT vec_id AS cell FROM embeddings ORDER BY vec_id LIMIT 16")
-
   /** The DERIVED-nlist chain: codebook size = GREATEST(16,
     * CEIL(n/128)) from the corpus count — the exact
-    * Similarity.derivedNlist rule cellBlockedTopK's auto mode (and
-    * ModalAlign.mutualTop1Blocked over the even∪odd towers = all of
-    * embeddings) applies, replayed so the oracle stays faithful at
+    * Similarity.derivedNlist rule every kNN-family consumer applies
+    * (cellBlockedTopK auto mode, the ANN query family, q_dbscan's
+    * ε-graph, ModalAlign.mutualTop1Blocked over the even∪odd towers
+    * = all of embeddings), replayed so the oracle stays faithful at
     * ANY scale factor, not just the ones where the derivation lands
     * on 16.
     */
@@ -1000,7 +996,8 @@ object ExtensionQueries {
     // corpus — it has no planted >0.95 near-dups, so the paper's 0.95+
     // thresholds would be vacuous at every SF; 0.35 drops 48/55/560
     // docs at sf0.001/0.01/0.1), keep-the-outlier rule. The oracle
-    // replays the full chain on the shared ivfAssignCtes: own-centroid
+    // replays the full chain on the shared derived-nlist assignment
+    // CTEs: own-centroid
     // cosines from the asim CTE, within-cell pairwise cosines, the
     // (centroid-cosine asc, id asc) domination verdict.
     QueryDef(
@@ -1355,25 +1352,27 @@ object ExtensionQueries {
       """)),
 
     // IVF approximate variant with the DETERMINISTIC corpus-sampled
-    // codebook (16 smallest vec_ids, nprobe 4) — fully hash-checked:
-    // the whole search is a pure function of the data, so DuckDB
-    // replays cell assignment, probing, candidate join, and the exact
-    // cosine re-rank (same ivfAssignCtes chain q_ann_recall pins; this
-    // exposes the ranked neighbor list itself). The seeded
-    // MLlib-k-means codebook variant (Similarity.ivfTopK) keeps its
-    // coverage spec-side in AnnRecallSpec — a trained codebook is
-    // inherently non-replayable in SQL.
+    // codebook (nlist DERIVED from the corpus count — max(16,
+    // ceil(n/128)), the kNN-family scale rule; nprobe 4) — fully
+    // hash-checked: the whole search is a pure function of the data,
+    // so DuckDB replays cell assignment, probing, candidate join,
+    // and the exact cosine re-rank (same derived-codebook chain
+    // q_ann_recall pins; this exposes the ranked neighbor list
+    // itself). The seeded MLlib-k-means codebook variant
+    // (Similarity.ivfTopK) keeps its coverage spec-side in
+    // AnnRecallSpec — a trained codebook is inherently
+    // non-replayable in SQL.
     QueryDef(
       "q_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.ivfTopKSampledCodebook(
             emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
-            nlist = 16, nprobe = 4)
+            nprobe = 4)
           .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""
-        WITH $ivfAssignCtes,
+        WITH $ivfAssignDerivedCtes,
         probes AS (
           SELECT nid AS query_id, cell FROM (
             SELECT nid, cell,
@@ -1428,7 +1427,7 @@ object ExtensionQueries {
       Some(lshOracle)),
 
     // Recall@5 of the IVF search with the DETERMINISTIC corpus-sampled
-    // codebook (16 centroids = the smallest vec_ids, nprobe 4) against
+    // codebook (nlist derived from the corpus count, nprobe 4) against
     // the exact brute-force top-5 — the whole approximate search is a
     // pure function of the data, so the recall number itself is
     // oracle-checked end to end (cell assignment, probing, candidate
@@ -1443,10 +1442,10 @@ object ExtensionQueries {
           Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5),
           Similarity.ivfTopKSampledCodebook(
             queries, emb, "vec_id", "embedding", 5,
-            nlist = 16, nprobe = 4))
+            nprobe = 4))
       },
       Some(s"""
-        WITH $ivfAssignCtes,
+        WITH $ivfAssignDerivedCtes,
         -- exact top-5 per query (vec_id < 10), rounded-then-ranked
         edots AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1594,7 +1593,7 @@ object ExtensionQueries {
         Similarity.retrievalMetrics(
           Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5),
           Similarity.ivfTopKSampledCodebook(
-            queries, emb, "vec_id", "embedding", 5, nlist = 16, nprobe = 4),
+            queries, emb, "vec_id", "embedding", 5, nprobe = 4),
           5)
       },
       Some(retrievalMetricsOracle)),
@@ -2839,8 +2838,14 @@ object ExtensionQueries {
     QueryDef(
       "q_diversity_sample",
       (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // nlist derived from the corpus count (the kNN-family scale
+        // rule) — a fixed nlist caps the sample's semantic spread at
+        // 16 strata no matter how large the corpus grows
+        val nl = Similarity.derivedNlist(
+          emb.select(col("vec_id")).count())
         val assigned = Similarity.assignCellsSampledCodebook(
-            Tables.embeddings(s, dir), "vec_id", "embedding", nlist = 16)
+            emb, "vec_id", "embedding", nlist = nl)
           .select(col("id").as("vec_id"), col("cell"),
             CorpusMixing.hashFraction(col("id")).as("h"))
         CorpusMixing.selectTopFraction(assigned, "cell", "h", 0.25, "vec_id")
@@ -2848,7 +2853,7 @@ object ExtensionQueries {
           .orderBy(col("vec_id"))
       },
       Some(s"""
-        WITH $ivfAssignCtes,
+        WITH $ivfAssignDerivedCtes,
         hashed AS (
           SELECT nid, cell,
                  CAST(CAST(concat('0x',
@@ -3437,11 +3442,11 @@ object ExtensionQueries {
         graft.operators.ProductQuantization.ivfPqTopK(
             emb.filter(col("vec_id") < 10), emb,
             "vec_id", "embedding", k = 5,
-            nlist = 16, nprobe = 4, m = 8, ksub = 16)
+            nlist = 0, nprobe = 4, m = 8, ksub = 16)
           .orderBy(col("query_id"), col("rank"))
       },
       Some(s"""
-        WITH $ivfAssignCtes,
+        WITH $ivfAssignDerivedCtes,
         $pqChainCtes,
         probes AS (
           SELECT nid AS query_id, cell FROM (
@@ -6954,13 +6959,20 @@ object ExtensionQueries {
     // core-neighbor label, noise keeps -1 (Dbscan scaladoc). The
     // oracle replays assignment → within-cell pair cosines → degrees
     // → recursive reach → border mins → noise fill on the shared
-    // ivfAssignCtes.
+    // derived-nlist assignment CTEs.
     QueryDef(
       "q_dbscan",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
+        // nlist derived from the corpus count (the kNN-family scale
+        // rule — the r13 q_silhouette migration): at fixed nlist the
+        // within-cell pair join is Θ(n²/nlist), quadratic at 100×;
+        // deriving pins expected cell population at 128 rows so the
+        // ε-graph build stays Θ(n·128)
+        val nl = Similarity.derivedNlist(
+          emb.select(col("vec_id")).count())
         val assigned = Similarity.assignCellsSampledCodebook(
-            emb, "vec_id", "embedding", nlist = 16)
+            emb, "vec_id", "embedding", nlist = nl)
           .localCheckpoint(true)
         val pairs = assigned
           .select(col("cell"), col("id").as("id_a"), col("cv").as("va"))
@@ -6975,7 +6987,7 @@ object ExtensionQueries {
           .orderBy(col("id"))
       },
       Some(s"""
-        WITH RECURSIVE $ivfAssignCtes,
+        WITH RECURSIVE $ivfAssignDerivedCtes,
         pdots AS (
           SELECT a.nid AS id_a, b.nid AS id_b, sum(da.x * db.x) AS d
           FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid < b.nid
@@ -9351,7 +9363,7 @@ object ExtensionQueries {
     */
   /** Cell-blocked twin of [[knnEdgeCtes]]: replays
     * Similarity.cellBlockedTopK(k=3) — the shared IVF sampled-codebook
-    * assignment ([[ivfAssignCtes]]), within-cell pairwise cosines,
+    * assignment ([[ivfAssignDerivedCtes]]), within-cell pairwise cosines,
     * per-query rank ≤ 3, undirected canonicalization — ending in the
     * same `scored(qa, qb, cos)` / `ranked(qa, qb, rn)` / `e(id_a,
     * id_b)` names so graph-query continuations are interchangeable.

@@ -205,6 +205,56 @@ class ChangePointSpec extends SparkSuite {
       s"$out")
   }
 
+  test("grangerLag1: a calendar gap in one series drops the affected " +
+      "lag pairs instead of shifting alignment") {
+    def bruteF(triples: Seq[(Long, Long, Long)]): Double = {
+      val n = triples.size.toDouble
+      val ys = triples.map(_._1.toDouble)
+      val ps = triples.map(_._2.toDouble)
+      val qs = triples.map(_._3.toDouble)
+      def c(a: Seq[Double], b: Seq[Double]) =
+        n * a.zip(b).map { case (u, v) => u * v }.sum - a.sum * b.sum
+      val (spp, sqq, spq) = (c(ps, ps), c(qs, qs), c(ps, qs))
+      val (syp, syq, syy) = (c(ys, ps), c(ys, qs), c(ys, ys))
+      val det = spp * sqq - spq * spq
+      val b = (syp * sqq - syq * spq) / det
+      val cc = (syq * spp - syp * spq) / det
+      val rssr = syy - syp * syp / spp
+      val rssu = syy - b * syp - cc * syq
+      (rssr - rssu) / (rssu / (n - 3.0))
+    }
+    val rng = new scala.util.Random(17)
+    def v(s: String, i: Long) = (s.hashCode * 31 + i * 7) % 13 + 13
+    val xs = (1L to 12L).map(i => ("x", i, v("x", i) + rng.nextInt(3)))
+    // y is missing day 5: pairs at t = 5 (y_5 gone) and t = 6
+    // (y_5 = y_{t-1} gone) must DROP for effect y; for effect x the
+    // cause-side q = y_5 is gone only at t = 6
+    val ys = (1L to 12L).filter(_ != 5L)
+      .map(i => ("y", i, v("y", i) + rng.nextInt(3)))
+    val df = (xs ++ ys).toDF("s", "i", "v")
+    val rows = ChangePoint.grangerLag1(df, "s", "i", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val xm = xs.map { case (_, i, x) => i -> x }.toMap
+    val ym = ys.map { case (_, i, x) => i -> x }.toMap
+    val xyTriples = (2L to 12L).flatMap { t =>
+      for (y <- ym.get(t); p <- ym.get(t - 1); q <- xm.get(t - 1))
+        yield (y, p, q)
+    }
+    val yxTriples = (2L to 12L).flatMap { t =>
+      for (y <- xm.get(t); p <- xm.get(t - 1); q <- ym.get(t - 1))
+        yield (y, p, q)
+    }
+    // effect y: t ∈ {2,3,4} ∪ {7..12} (t = 5 and 6 drop); effect x:
+    // all t but 6 (q = y_5 missing)
+    assert(xyTriples.size === 9 && yxTriples.size === 10)
+    assert(rows(("x", "y")).getLong(2) === 9L)
+    assert(rows(("y", "x")).getLong(2) === 10L)
+    assert(rows(("x", "y")).getLong(3) ===
+      math.round(bruteF(xyTriples) * 1e6))
+    assert(rows(("y", "x")).getLong(3) ===
+      math.round(bruteF(yxTriples) * 1e6))
+  }
+
   test("durbinWatson: exact rationals and verdict bands") {
     // ramp [1,2,3,4]: Σd²=3, num=12; den = 4·30−100 = 20 → d = 0.6
     val ramp = (1 to 4).map(i => ("r", i.toLong, i.toLong))

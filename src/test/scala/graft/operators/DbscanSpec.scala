@@ -47,6 +47,24 @@ class DbscanSpec extends SparkSuite {
       (22L, 20L, false), (23L, 20L, false)))
   }
 
+  test("q_dbscan ε-graph candidate budget stays LINEAR in the corpus " +
+      "under the derived-nlist rule (fixture, 10x, 1000x)") {
+    // q_dbscan builds its ε-graph from the derived-nlist IVF-cell
+    // blocking (the r14 migration off fixed nlist = 16): per cell the
+    // pair join is g²/2 with g = n/nlist, so the TOTAL candidate
+    // budget is nlist·g²/2 = n·g/2 ≤ n·targetCellRows/2 — linear in
+    // n, where a fixed nlist is Θ(n²/nlist). sf0.1 embeddings ≈ 2000
+    // rows; check the fixture scale and two orders of magnitude up.
+    for (n <- Seq(2000L, 20000L, 2000000L)) {
+      val nl = Similarity.derivedNlist(n)
+      val meanCell = n.toDouble / nl
+      assert(meanCell <= 128.0, s"n=$n nlist=$nl meanCell=$meanCell")
+      val pairBudget = nl.toDouble * meanCell * meanCell / 2.0
+      assert(pairBudget <= n.toDouble * 64.0,
+        s"pair budget $pairBudget superlinear at n=$n (nlist=$nl)")
+    }
+  }
+
   test("clustering is partitioning-independent") {
     val a = run(3)
     val b = Dbscan.cluster(universe.repartition(5), "id",
