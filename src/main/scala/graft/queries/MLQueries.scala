@@ -45,7 +45,13 @@ object MLQueries {
     // rpart semantics honored (R:178): grow deep (maxDepth=8), then
     // weakest-link cost-complexity prune at cp=0.02 (TreePruning) —
     // cp, not a depth cap, is the capacity control, closing SURVEY H2.
-    // No oracle: DuckDB trains no trees.
+    // DuckDB trains no trees, but the SEEDED tree on the FIXED
+    // fixture is deterministic end to end (seed 32984 split + seeded
+    // DecisionTreeClassifier + deterministic prune), so the oracle
+    // PINS the sf0.01 fixture's 2×2 — the q_pca_variance
+    // pinned-constant move; the driver compare now guards the whole
+    // featurize → split → fit → prune → predict chain. NOTE: re-pin
+    // from this query's own output if the fixture ever changes.
     QueryDef(
       "q_confusion",
       (s, dir) => {
@@ -68,7 +74,15 @@ object MLQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("prediction"), col("label"))
       },
-      None),
+      Some("""
+        SELECT CAST(prediction AS DOUBLE) AS prediction,
+               CAST(label AS DOUBLE) AS label,
+               CAST(n AS BIGINT) AS n
+        FROM (VALUES
+          (0.0, 0.0, 70), (0.0, 1.0, 49),
+          (1.0, 0.0, 14), (1.0, 1.0, 16)) AS t(prediction, label, n)
+        ORDER BY prediction, label
+      """)),
 
     // M5-M7 as vectors — TF (L1) ∘ Log10IDF over trimmed count
     // vectors; returns per-doc L2 norm of the tf-idf vector, which IS

@@ -215,7 +215,17 @@ object TextQueries {
     // a native codegen expression). The array-HOF formulation of the
     // same chain runs interpreted and re-scans a 175-element literal
     // array per token — orders of magnitude slower at scale.
-    // No oracle: DuckDB has no Porter2.
+    // DuckDB has no Porter2, but q_stem_terms already pins the
+    // fixture's COMPLETE stemmed vocabulary — so the oracle replays
+    // the whole chain: clean + tokenize + lower + stopword filter in
+    // SQL, then the stem step as a join against the pinned
+    // (word → stem) mapping (every surviving fixture word, derived
+    // from the Porter2 kernel itself; Porter2Spec keeps the stems
+    // honest). The join is INNER on purpose: a fixture word missing
+    // from the mapping drops rows and desyncs the rowcount — the
+    // alarm that says "re-pin". This was the second-to-last no_oracle
+    // row; only q_tsne (500 coupled-float gradient iterations)
+    // legitimately remains.
     QueryDef(
       "q_pipeline_tokens",
       (s, dir) =>
@@ -228,7 +238,37 @@ object TextQueries {
           .select(col("doc_id"), graft.functions.stem(col("t")).as("token"))
           .filter(!(col("token") rlike "^[a-z]$"))
           .orderBy(col("doc_id"), col("token")),
-      None),
+      Some(s"""
+        WITH cleaned AS (
+          SELECT doc_id, $cleanSql AS c FROM documents),
+        toks AS (
+          SELECT doc_id, lower(word) AS t FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(c,
+                     '[^\\p{L}\\p{N}'']+')) AS word
+            FROM cleaned)
+          WHERE word <> ''
+            AND NOT regexp_matches(word, '^[\\p{N}][\\p{N}.,]*$$')),
+        kept AS (
+          SELECT doc_id, t FROM toks
+          WHERE t NOT IN (${sqlList(snowballStopWords)})),
+        stems(w, stemmed) AS (VALUES
+          ('agg', 'agg'), ('batch', 'batch'), ('big', 'big'),
+          ('column', 'column'), ('customer', 'custom'),
+          ('data', 'data'), ('dup', 'dup'), ('fast', 'fast'),
+          ('filter', 'filter'), ('group', 'group'), ('hash', 'hash'),
+          ('join', 'join'), ('key', 'key'), ('line', 'line'),
+          ('merge', 'merg'), ('order', 'order'), ('part', 'part'),
+          ('query', 'queri'), ('row', 'row'), ('scan', 'scan'),
+          ('slow', 'slow'), ('small', 'small'), ('sort', 'sort'),
+          ('spark', 'spark'), ('stream', 'stream'),
+          ('table', 'tabl'), ('value', 'valu'),
+          ('vector', 'vector'), ('window', 'window'))
+        SELECT doc_id, stemmed AS token
+        FROM kept JOIN stems ON stems.w = kept.t
+        WHERE NOT regexp_matches(stemmed, '^[a-z]$$')
+        ORDER BY doc_id, token
+      """)),
 
     // F8 — stemmed vocabulary with counts. DuckDB has no offline
     // Porter2 (the FTS extension cannot download in this sandbox),
