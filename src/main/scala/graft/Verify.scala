@@ -9,7 +9,10 @@ object Verify {
     val outDir = args(1)
     // optional 3rd+ args: run only the named queries (local iteration)
     val only: Set[String] = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the driver's parallelism (32): a 4-CPU default is how
+    // the r14 layout-dependent q_confusion pin passed local iteration
+    // while failing the driver sweep (VERDICT r14 #3).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

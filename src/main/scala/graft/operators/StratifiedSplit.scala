@@ -135,10 +135,19 @@ object StratifiedSplit {
       .drop(pid, r, "__q_pid", "__q_label", "__quota", "__rn")
   }
 
-  /** (train, test) pair. */
-  def split(df: DataFrame, labelCol: String, p: Double, seed: Long)
-      : (DataFrame, DataFrame) = {
-    val flagged = withSplitFlag(df, labelCol, p, seed)
+  /** (train, test) pair.
+    *
+    * Per-class train/test TOTALS are always exactly (ceil(p·n),
+    * n − ceil(p·n)) — but row MEMBERSHIP additionally depends on the
+    * shard count, and the `shards = 0` default reads the session's
+    * `spark.sql.shuffle.partitions`. A caller that pins downstream
+    * results to constants (q_confusion's 2×2 oracle) must pass an
+    * explicit `shards` so membership is a function of (seed, data)
+    * alone, identical across environments.
+    */
+  def split(df: DataFrame, labelCol: String, p: Double, seed: Long,
+      shards: Int = 0): (DataFrame, DataFrame) = {
+    val flagged = withSplitFlag(df, labelCol, p, seed, shards = shards)
     (flagged.filter(col("is_train")).drop("is_train"),
       flagged.filter(!col("is_train")).drop("is_train"))
   }

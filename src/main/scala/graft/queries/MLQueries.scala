@@ -3,7 +3,6 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions, VectorFunctions}
 import graft.operators.{Log10IDF, StratifiedSplit, TrimmedCountVectorizer}
-import org.apache.spark.ml.classification.DecisionTreeClassifier
 import org.apache.spark.sql.functions._
 
 /** ML operator queries (SURVEY §2.8) built from the engine's library
@@ -45,13 +44,17 @@ object MLQueries {
     // rpart semantics honored (R:178): grow deep (maxDepth=8), then
     // weakest-link cost-complexity prune at cp=0.02 (TreePruning) —
     // cp, not a depth cap, is the capacity control, closing SURVEY H2.
-    // DuckDB trains no trees, but the SEEDED tree on the FIXED
-    // fixture is deterministic end to end (seed 32984 split + seeded
-    // DecisionTreeClassifier + deterministic prune), so the oracle
-    // PINS the sf0.01 fixture's 2×2 — the q_pca_variance
-    // pinned-constant move; the driver compare now guards the whole
-    // featurize → split → fit → prune → predict chain. NOTE: re-pin
-    // from this query's own output if the fixture ever changes.
+    // DuckDB trains no trees; the oracle PINS the sf0.01 fixture's 2×2
+    // (the q_pca_variance pinned-constant move). The r14 pin desynced
+    // because MLlib's tree fit is partition-layout-dependent (sampled
+    // bins + float partial aggregation); the fit here is
+    // [[DeterministicCart]] instead — exact integer split statistics,
+    // total tie-break order — so every stage of the chain (content-
+    // hashed split, tf-desc/term-asc vocabulary, exact CART, exact
+    // weakest-link prune) is provably layout-invariant and the pin
+    // holds at ANY parallelism (DeterministicCartSpec shuffles the
+    // layout and asserts the identical tree). NOTE: re-pin from this
+    // query's own output if the fixture ever changes.
     QueryDef(
       "q_confusion",
       (s, dir) => {
@@ -63,12 +66,16 @@ object MLQueries {
           .setMinDocFreq(2).setMinTermFreq(2)
         val featurized = cv.fit(docs).transform(docs)
           .withColumn("label", (col("lang") === "en").cast("double"))
+        // shards pinned (NOT the shuffle-partition default): split
+        // MEMBERSHIP depends on the shard count, and this query's
+        // oracle pins the 2×2 — membership must be a function of
+        // (seed, data) alone, identical at local[4] and local[32].
         val (train, test) =
-          StratifiedSplit.split(featurized, "label", 0.7, 32984L)
-        val dt = new DecisionTreeClassifier()
-          .setLabelCol("label").setFeaturesCol("features")
-          .setMaxDepth(8).setSeed(32984L)
-        val model = graft.operators.TreePruning.pruneCp(dt.fit(train), 0.02)
+          StratifiedSplit.split(featurized, "label", 0.7, 32984L,
+            shards = 64)
+        val fitted = graft.operators.DeterministicCart.fit(
+          train, "features", "label", maxDepth = 8)
+        val model = graft.operators.TreePruning.pruneCp(fitted, 0.02)
         model.transform(test)
           .groupBy(col("prediction"), col("label"))
           .agg(count(lit(1)).as("n"))
@@ -79,8 +86,8 @@ object MLQueries {
                CAST(label AS DOUBLE) AS label,
                CAST(n AS BIGINT) AS n
         FROM (VALUES
-          (0.0, 0.0, 70), (0.0, 1.0, 49),
-          (1.0, 0.0, 14), (1.0, 1.0, 16)) AS t(prediction, label, n)
+          (0.0, 0.0, 56), (0.0, 1.0, 50),
+          (1.0, 0.0, 28), (1.0, 1.0, 15)) AS t(prediction, label, n)
         ORDER BY prediction, label
       """)),
 
