@@ -135,6 +135,8 @@ object ProductQuantization {
     // nlist = 0 derives the codebook size from the corpus count
     // (Similarity.derivedNlist — the kNN-family scale rule): a fixed
     // nlist leaves per-probe candidate lists growing with n/nlist.
+    // 0 is the ONLY derive sentinel — reject accidental negatives.
+    require(nlist >= 0, s"nlist must be >= 0 (0 = derive), got $nlist")
     val nl = if (nlist > 0) nlist
       else Similarity.derivedNlist(corpus.select(col(idCol)).count())
     val centDf = Similarity.sampledCodebook(corpus, idCol, vecCol, nl)

@@ -454,6 +454,11 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 0, nprobe: Int = 4): DataFrame = {
+    // 0 is the ONLY derive sentinel; an accidental negative must not
+    // silently mean "derive" (r14 advice). NOTE the default changed
+    // 16 → 0 in r14: callers relying on a fixed 16-cell codebook now
+    // get a derived size plus one eager corpus-count job.
+    require(nlist >= 0, s"nlist must be >= 0 (0 = derive), got $nlist")
     val nl = if (nlist > 0) nlist
       else derivedNlist(corpus.select(col(idCol)).count())
     val centDf = sampledCodebook(corpus, idCol, vecCol, nl)

@@ -4734,10 +4734,17 @@ object EventQueries {
         ORDER BY event_type
       """
 
-  /** Batch oracle shared by q_gtest and its streaming twin. */
+  /** Batch oracle shared by q_gtest and its streaming twin. NULL
+    * categories are excluded HERE too, matching the operator's
+    * pre-aggregation drop — without the filter, NULL-keyed cells
+    * would inflate n via SUM(o) while vanishing from the per-cell
+    * terms through the equi-joins (fixtures currently have no NULL
+    * keys; the conventions must still agree).
+    */
   private lazy val gtestOracle: String = """
         WITH e AS (
-          SELECT event_type AS a, user_id % 3 AS b FROM events),
+          SELECT event_type AS a, user_id % 3 AS b FROM events
+          WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
         cells AS (SELECT a, b, count(*) AS o FROM e GROUP BY 1, 2),
         rt AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
         ct AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),

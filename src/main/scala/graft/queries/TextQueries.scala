@@ -221,11 +221,12 @@ object TextQueries {
     // SQL, then the stem step as a join against the pinned
     // (word → stem) mapping (every surviving fixture word, derived
     // from the Porter2 kernel itself; Porter2Spec keeps the stems
-    // honest). The join is INNER on purpose: a fixture word missing
-    // from the mapping drops rows and desyncs the rowcount — the
-    // alarm that says "re-pin". This was the second-to-last no_oracle
-    // row; only q_tsne (500 coupled-float gradient iterations)
-    // legitimately remains.
+    // honest). The join is LEFT + error() on a NULL stem: a fixture
+    // word missing from the mapping fails the oracle LOUDLY with the
+    // word's name ("re-pin" alarm) instead of silently dropping rows
+    // into an opaque rowcount diff (r14 advice). This was the
+    // second-to-last no_oracle row; only q_tsne (500 coupled-float
+    // gradient iterations) legitimately remains.
     QueryDef(
       "q_pipeline_tokens",
       (s, dir) =>
@@ -264,9 +265,12 @@ object TextQueries {
           ('spark', 'spark'), ('stream', 'stream'),
           ('table', 'tabl'), ('value', 'valu'),
           ('vector', 'vector'), ('window', 'window'))
-        SELECT doc_id, stemmed AS token
-        FROM kept JOIN stems ON stems.w = kept.t
-        WHERE NOT regexp_matches(stemmed, '^[a-z]$$')
+        SELECT doc_id,
+               CASE WHEN stemmed IS NULL
+                    THEN error('q_pipeline_tokens: unpinned word ' || t)
+                    ELSE stemmed END AS token
+        FROM kept LEFT JOIN stems ON stems.w = kept.t
+        WHERE stemmed IS NULL OR NOT regexp_matches(stemmed, '^[a-z]$$')
         ORDER BY doc_id, token
       """)),
 
