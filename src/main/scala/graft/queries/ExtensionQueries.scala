@@ -1506,6 +1506,149 @@ object ExtensionQueries {
         ORDER BY 1
       """)),
 
+    // Derived-nlist AT-SCALE witness (VERDICT r14 #8): at the stock
+    // bench scale factors the embeddings table is small enough that
+    // derivedNlist lands on its 16-cell floor, so the r14 fixed→
+    // derived migration was invisible to the bench. This entry
+    // expands the corpus 8× with deterministic circular rotations
+    // (norm-preserving, direction-changing, exactly SQL-replayable:
+    // no arithmetic touches the float values) — sf0.1: 2,000 →
+    // 16,000 rows, nlist = ceil(16000/128) = 125; even the sf0.01
+    // verify corpus (4,000) derives 32, above the floor — and
+    // returns the scale ledger itself: corpus size, derived nlist,
+    // the CANDIDATE-PAIR count of the probed search (the quantity
+    // the derivation keeps ~nprobe·targetCellRows per query instead
+    // of growing with n), and a checksum over the ranked output that
+    // forces the full probe → candidate-join → re-rank pipeline.
+    QueryDef(
+      "q_ann_ivf_scale",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+        val d = size(col("embedding"))
+        val corpus = base
+          .select(col("vec_id"), col("embedding"),
+            explode(sequence(lit(0), lit(7))).as("c"))
+          .select((col("vec_id") * 8 + col("c")).as("vec_id"),
+            when(col("c") === 0, col("embedding"))
+              .otherwise(concat(
+                slice(col("embedding"), col("c") + lit(1), d - col("c")),
+                slice(col("embedding"), lit(1), col("c"))))
+              .as("embedding"))
+        val queries =
+          corpus.filter(col("vec_id") < 80 &&
+            pmod(col("vec_id"), lit(8)) === 0)
+        val ranked = Similarity.ivfTopKSampledCodebook(
+          queries, corpus, "vec_id", "embedding", 10, nprobe = 4)
+        val searchAgg = ranked.agg(
+          count(lit(1)).as("n_results"),
+          sum(col("neighbor_id") * col("rank")).cast("long")
+            .as("rank_checksum"))
+        // candidate-pair ledger: replay the probe selection against
+        // the same deterministic codebook and count the candidate
+        // join (cells are disjoint, so each (query, neighbor) pair
+        // appears at most once)
+        val n = corpus.count()
+        val nl = Similarity.derivedNlist(n)
+        val centDf =
+          Similarity.sampledCodebook(corpus, "vec_id", "embedding", nl)
+        val assigned = Similarity.assignCellsSampledCodebook(
+          corpus, "vec_id", "embedding", nl)
+        val probes = queries
+          .select(col("vec_id").cast("long").as("query_id"),
+            col("embedding").as("qv"))
+          .crossJoin(centDf)
+          .withColumn("csim", round(
+            graft.functions.VectorFunctions.cosine(
+              col("qv"), col("centroid")), 6))
+          .groupBy(col("query_id"))
+          .agg(graft.functions.top_k_by(col("csim"), col("cell"), 4)
+            .as("top"))
+          .select(col("query_id"), explode(col("top")).as("p"))
+          .select(col("query_id"), col("p.id").as("cell"))
+        val candAgg = probes
+          .join(assigned.select(col("id").as("neighbor_id"), col("cell")),
+            Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .agg(count(lit(1)).as("n_candidates"))
+        searchAgg.crossJoin(candAgg)
+          .select(lit(n).as("n_corpus"), lit(nl.toLong).as("nlist"),
+            col("n_candidates"), col("n_results"), col("rank_checksum"))
+      },
+      Some("""
+        WITH corpus AS (
+          SELECT vec_id * 8 + c AS vec_id,
+                 CASE WHEN c = 0 THEN embedding
+                      ELSE list_concat(embedding[c+1:], embedding[1:c])
+                 END AS embedding
+          FROM embeddings, range(0, 8) t(c)),
+        dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM corpus),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
+                  FROM dims GROUP BY 1),
+        cent AS (
+          SELECT vec_id AS cell FROM (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+            FROM corpus)
+          WHERE rn <= (SELECT GREATEST(16,
+                         CAST(CEIL(count(*) / 128.0) AS BIGINT))
+                       FROM corpus)),
+        adots AS (
+          SELECT v.vec_id AS nid, c.vec_id AS cell, sum(v.x * c.x) AS d
+          FROM dims v
+          JOIN dims c ON c.i = v.i
+          JOIN cent ON c.vec_id = cent.cell
+          GROUP BY 1, 2),
+        asim AS (
+          SELECT nid, cell, ROUND(d / (nv.nrm * nc.nrm), 6) AS csim
+          FROM adots
+          JOIN norms nv ON nv.vec_id = nid
+          JOIN norms nc ON nc.vec_id = cell),
+        asg AS (
+          SELECT nid, cell FROM (
+            SELECT nid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY nid
+                                      ORDER BY csim DESC, cell) AS rn
+            FROM asim) WHERE rn = 1),
+        probes AS (
+          SELECT nid AS query_id, cell FROM (
+            SELECT nid, cell,
+                   ROW_NUMBER() OVER (PARTITION BY nid
+                                      ORDER BY csim DESC, cell) AS rn
+            FROM asim WHERE nid < 80 AND nid % 8 = 0) WHERE rn <= 4),
+        acand AS (
+          SELECT p.query_id, a.nid AS neighbor_id
+          FROM probes p JOIN asg a ON a.cell = p.cell
+          WHERE a.nid <> p.query_id),
+        pdots AS (
+          SELECT c.query_id, c.neighbor_id, sum(qd.x * nd.x) AS d
+          FROM acand c
+          JOIN dims qd ON qd.vec_id = c.query_id
+          JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.i = qd.i
+          GROUP BY 1, 2),
+        pscored AS (
+          SELECT query_id, neighbor_id,
+                 ROUND(d / (nq.nrm * nn.nrm), 6) AS cosine
+          FROM pdots
+          JOIN norms nq ON nq.vec_id = query_id
+          JOIN norms nn ON nn.vec_id = neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                     AS rank
+            FROM pscored) WHERE rank <= 10)
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_corpus,
+          (SELECT CAST(count(*) AS BIGINT) FROM cent) AS nlist,
+          (SELECT CAST(count(*) AS BIGINT) FROM acand) AS n_candidates,
+          (SELECT CAST(count(*) AS BIGINT) FROM ranked) AS n_results,
+          (SELECT CAST(SUM(neighbor_id * rank) AS BIGINT) FROM ranked)
+            AS rank_checksum
+      """)),
+
     // Matryoshka truncation recall: top-5 by the FIRST 16 of 64
     // embedding dims vs the full-dim exact top-5 — the evaluation
     // behind MRL-style dimension-adaptive retrieval ("how much
