@@ -1085,6 +1085,57 @@ object RelationalQueries {
         JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY total_price_e2 DESC, o_orderkey
         LIMIT 20
+      """)),
+
+    // TPC-H Q17 (small-quantity-order revenue), adapted to the
+    // fixture's part vocabulary (no p_container column → brand +
+    // size as the selective pair): average yearly revenue lost if
+    // small-quantity orders (below 20% of the per-part mean
+    // quantity) went unfilled. Written DECLARATIVELY as the classic
+    // correlated scalar subquery and left to Catalyst: the
+    // RewriteCorrelatedScalarSubquery rule decorrelates it into a
+    // per-partkey aggregate + join — PlanShapeSpec gates that no
+    // per-row subquery survives in the optimized plan, which is the
+    // difference between one shuffle and |lineitem| subqueries at
+    // 100 TB. Quantities are integral by fixture contract, so the
+    // 0.2·avg threshold is an exact-integer sum / count — identical
+    // IEEE doubles in both engines; revenue lands on the q_tpch_q18
+    // e2 lattice with `div 7` kept in exact integer arithmetic.
+    QueryDef(
+      "q_tpch_q17",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("tpch17_lineitem")
+        Tables(s, dir, "part").createOrReplaceTempView("tpch17_part")
+        s.sql("""
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                 CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sum_extprice_e2,
+                 CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) div 7 AS avg_yearly_e2
+          FROM tpch17_lineitem l
+          JOIN tpch17_part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_brand = 'Brand#12'
+            AND p.p_size < 15
+            AND l.l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM tpch17_lineitem l2
+              WHERE l2.l_partkey = p.p_partkey)
+        """)
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) AS sum_extprice_e2,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                 AS BIGINT) // 7 AS avg_yearly_e2
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#12'
+          AND p.p_size < 15
+          AND l.l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM lineitem l2
+            WHERE l2.l_partkey = p.p_partkey)
       """))
   )
 }

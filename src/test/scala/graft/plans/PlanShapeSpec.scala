@@ -140,6 +140,41 @@ class PlanShapeSpec extends SparkSuite {
       s"joinless scan-agg acquired a join/window:\n$p")
   }
 
+  test("q_tpch_q17: correlated scalar subquery decorrelates to " +
+      "aggregate + join, no per-row subquery") {
+    val df = graft.SparkEntry.queries("q_tpch_q17")(spark, sfDir)
+    // the optimized plan must contain NO surviving subquery
+    // expression: RewriteCorrelatedScalarSubquery turns the per-part
+    // threshold into a per-partkey Aggregate joined to the fact —
+    // one shuffle instead of |lineitem| point lookups at 100 TB
+    val opt = df.queryExecution.optimizedPlan
+    val subqueries = opt.collectWithSubqueries { case n => n }
+      .flatMap(_.expressions)
+      .flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.PlanExpression[_]
+          => e })
+    assert(subqueries.isEmpty,
+      s"correlated subquery survived optimization:\n$opt")
+    // and the decorrelated shape is there: an aggregate over
+    // l_partkey feeding a join
+    val hasAvgAgg = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        if a.aggregateExpressions.exists(_.find {
+          case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+            .AggregateExpression => ae.aggregateFunction.prettyName == "avg"
+          case _ => false
+        }.isDefined) => a
+    }
+    assert(hasAvgAgg.nonEmpty, s"no decorrelated avg aggregate:\n$opt")
+    assert(opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size >= 2, s"expected part join + decorrelated agg join:\n$opt")
+    val p = plan("q_tpch_q17")
+    // selective part predicates still push to the part scan
+    assert(p.matches("(?s).*PushedFilters:[^\\n]*p_brand.*"),
+      s"p_brand not pushed:\n$p")
+  }
+
   test("q_reservoir: per-stratum draw is an aggregate, not a window") {
     // the bounded top_k_by heap replaces a rank window: no per-group
     // sort materialization, map-side partials before one exchange
