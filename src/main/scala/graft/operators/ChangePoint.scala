@@ -458,6 +458,91 @@ object ChangePoint {
         round(f * lit(1e6)).cast("long").as("f_micro"))
   }
 
+  /** Augmented Dickey-Fuller with ONE lagged difference (ADF(1),
+    * Said & Dickey 1984) per series — [[dickeyFuller]]'s regression
+    * plus the Δx_{t−1} augmentation that absorbs AR(2) serial
+    * correlation in the differences (plain DF over-rejects there):
+    *
+    *   Δx_t = α + β·x_{t−1} + γ·Δx_{t−1},   read β's t-ratio
+    *
+    * The solve is the [[grangerLag1]] two-regressor Cramer kernel
+    * (v = Δx_t, p = x_{t−1}, q = Δx_{t−1}): exact DECIMAL(38,0)
+    * n-scaled centered sums S_ab = nΣab − ΣaΣb, then ONE written
+    * IEEE sequence for det = S_pp·S_qq − S_pq², β, γ, the residual
+    * sum RSS = S_vv − β·S_vp − γ·S_vq, and
+    *
+    *   t = β / √(RSS·S_qq / ((n−3)·det))
+    *
+    * — the Ŝ-scaled form of s²·[(X′X)⁻¹]_ββ (every n factor
+    * cancels; AdfSpec cross-checks against a brute-force
+    * normal-equations solve). Verdict at the same pinned Fuller
+    * (1976) 5% constant-form critical value −2.86 as
+    * [[dickeyFuller]] — under the null the ADF τ statistic follows
+    * the same DF distribution.
+    *
+    * Output: (seriesCol, n, beta_micro, t_micro, verdict) with n =
+    * the TRIPLE count (series length − 2). Guards (drop the
+    * series): n < 5; zero level variance (S_pp = 0); singular
+    * design (S_pp·S_qq = S_pq², exact DECIMAL); zero residual (IEEE
+    * > 0 check). Shape: one ordered window per series for the two
+    * lags, one aggregation — no self-join; sufficient statistics
+    * only, so a streaming twin can replay this combine from
+    * day-rollup state.
+    */
+  def adfLag1(df: DataFrame, seriesCol: String, idxCol: String,
+      xCol: String): DataFrame = {
+    Reserved.check("adfLag1" -> df)
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("__i"))
+    val triples = df
+      .select(col(seriesCol), col(idxCol).cast("long").as("__i"),
+        col(xCol).cast("long").as("__x"))
+      .withColumn("__x1", lag(col("__x"), 1).over(w))
+      .withColumn("__x2", lag(col("__x"), 2).over(w))
+      .filter(col("__x2").isNotNull)
+      .select(col(seriesCol), (col("__x") - col("__x1")).as("__v"),
+        col("__x1").as("__p"), (col("__x1") - col("__x2")).as("__q"))
+    val agg = triples.groupBy(col(seriesCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).as("__sv"), sum(col("__p")).as("__sp"),
+        sum(col("__q")).as("__sq"),
+        sum(col("__v").cast(d) * col("__p").cast(d)).as("__svp"),
+        sum(col("__v").cast(d) * col("__q").cast(d)).as("__svq"),
+        sum(col("__p").cast(d) * col("__q").cast(d)).as("__spq"),
+        sum(col("__p").cast(d) * col("__p").cast(d)).as("__spp"),
+        sum(col("__q").cast(d) * col("__q").cast(d)).as("__sqq"),
+        sum(col("__v").cast(d) * col("__v").cast(d)).as("__svv"))
+    def ctr(ab: Column, a: Column, b: Column) =
+      col("n").cast(d) * ab - a.cast(d) * b.cast(d)
+    val spp = ctr(col("__spp"), col("__sp"), col("__sp"))
+    val sqq = ctr(col("__sqq"), col("__sq"), col("__sq"))
+    val spq = ctr(col("__spq"), col("__sp"), col("__sq"))
+    val svp = ctr(col("__svp"), col("__sv"), col("__sp"))
+    val svq = ctr(col("__svq"), col("__sv"), col("__sq"))
+    val svv = ctr(col("__svv"), col("__sv"), col("__sv"))
+    val det = spp.cast("double") * sqq.cast("double") -
+      spq.cast("double") * spq.cast("double")
+    val b = (svp.cast("double") * sqq.cast("double") -
+      svq.cast("double") * spq.cast("double")) / det
+    val c = (svq.cast("double") * spp.cast("double") -
+      svp.cast("double") * spq.cast("double")) / det
+    val rssU = svv.cast("double") - b * svp.cast("double") -
+      c * svq.cast("double")
+    val t = b / sqrt(rssU * sqq.cast("double") /
+      ((col("n").cast("double") - lit(3.0)) * det))
+    val tMicro = round(t * lit(1e6)).cast("long")
+    agg
+      .filter(col("n") >= 5 && spp > lit(0L).cast(d) &&
+        spp * sqq =!= spq * spq)
+      .withColumn("__rssu", rssU)
+      .filter(col("__rssu") > 0.0)
+      .select(col(seriesCol), col("n"),
+        round(b * lit(1e6)).cast("long").as("beta_micro"),
+        tMicro.as("t_micro"),
+        when(tMicro < lit(-2860000L), "stationary")
+          .otherwise("unit_root").as("verdict"))
+  }
+
   /** Durbin-Watson statistic per series on the residuals from the
     * per-series MEAN (equivalently the von Neumann ratio, since
     * first-differencing cancels the mean exactly):

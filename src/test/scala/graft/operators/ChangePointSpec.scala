@@ -164,6 +164,87 @@ class ChangePointSpec extends SparkSuite {
       (if (tr < -2.86) "stationary" else "unit_root"))
   }
 
+  test("adfLag1: brute-force 3x3 normal-equations t-ratio; collinear " +
+      "augmentation and short series drop") {
+    // independent path: UNCENTERED design with explicit intercept,
+    // 3x3 Gaussian-free Cramer solve, PER-POINT residuals, and the
+    // explicit (X'X)^-1 cofactor for se(beta) — none of the
+    // operator's centered-sufficient-sum identities
+    def brute(xs: Seq[Long]): Double = {
+      val rows = (2 until xs.size).map { t =>
+        ((xs(t) - xs(t - 1)).toDouble, xs(t - 1).toDouble,
+          (xs(t - 1) - xs(t - 2)).toDouble)
+      }
+      val n = rows.size.toDouble
+      val (sv, sp, sq) = (rows.map(_._1).sum, rows.map(_._2).sum,
+        rows.map(_._3).sum)
+      val spp = rows.map(r => r._2 * r._2).sum
+      val sqq = rows.map(r => r._3 * r._3).sum
+      val spq = rows.map(r => r._2 * r._3).sum
+      val svp = rows.map(r => r._1 * r._2).sum
+      val svq = rows.map(r => r._1 * r._3).sum
+      // solve M·(a,b,c) = rhs by plain Gaussian elimination,
+      // M = [[n,sp,sq],[sp,spp,spq],[sq,spq,sqq]]
+      def solve3(m0: Array[Array[Double]], r0: Array[Double])
+          : Array[Double] = {
+        val m = m0.map(_.clone); val r = r0.clone
+        for (k <- 0 until 3; j <- (k + 1) until 3) {
+          val f = m(j)(k) / m(k)(k)
+          for (c <- k until 3) m(j)(c) -= f * m(k)(c)
+          r(j) -= f * r(k)
+        }
+        val x = new Array[Double](3)
+        for (k <- 2 to 0 by -1) {
+          x(k) = (r(k) - ((k + 1) until 3)
+            .map(c => m(k)(c) * x(c)).sum) / m(k)(k)
+        }
+        x
+      }
+      val m = Array(Array(n, sp, sq), Array(sp, spp, spq),
+        Array(sq, spq, sqq))
+      val Array(a, b, c) = solve3(m, Array(sv, svp, svq))
+      val rss = rows.map { case (v, p, q) =>
+        val e = v - (a + b * p + c * q); e * e
+      }.sum
+      // [(X'X)^-1]_bb via solving M·z = e_b (unit vector)
+      val invBB = solve3(m, Array(0.0, 1.0, 0.0))(1)
+      b / math.sqrt(rss / (n - 3.0) * invBB)
+    }
+    val alt = (1 to 16).map(i =>
+      (if (i % 2 == 1) 10L else 0L) + (if (i % 5 == 0) 1L else 0L))
+    val rng = new scala.util.Random(5)
+    val rw = (1 to 30).scanLeft(100L)((acc, _) =>
+      acc + (if (rng.nextBoolean()) 1L else -1L)).tail
+    // i.i.d. noise around a level: decisively stationary under ADF(1)
+    val noise = (1 to 40).map(i => 100L + ((i * 7919) % 11).toLong)
+    val df = (alt.zipWithIndex.map { case (x, i) =>
+        ("a", (i + 1).toLong, x) } ++
+      rw.zipWithIndex.map { case (x, i) => ("r", (i + 1).toLong, x) } ++
+      noise.zipWithIndex.map { case (x, i) => ("w", (i + 1).toLong, x) })
+      .toDF("s", "i", "x")
+    val out = ChangePoint.adfLag1(df, "s", "i", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    for ((name, series) <- Seq("a" -> alt, "r" -> rw.map(identity),
+        "w" -> noise)) {
+      val t = brute(series)
+      assert(math.abs(out(name).getLong(3) - math.round(t * 1e6)) <= 2L,
+        s"$name: op=${out(name).getLong(3)} brute=${math.round(t * 1e6)}")
+      assert(out(name).getString(4) ===
+        (if (out(name).getLong(3) < -2860000L) "stationary"
+         else "unit_root"))
+    }
+    assert(out("w").getString(4) === "stationary") // level reversion
+    // perfect alternation: q = 2p - 10 is collinear with (1, p) —
+    // the exact-DECIMAL singular-design guard drops it, not a 1/0
+    val perfect = (1 to 12).map(i =>
+      ("c", i.toLong, if (i % 2 == 1) 10L else 0L)).toDF("s", "i", "x")
+    assert(ChangePoint.adfLag1(perfect, "s", "i", "x").count() === 0L)
+    // 6 points -> 4 triples < 5: dropped
+    val short = (1 to 6).map(i => ("sh", i.toLong, alt(i - 1)))
+      .toDF("s", "i", "x")
+    assert(ChangePoint.adfLag1(short, "s", "i", "x").count() === 0L)
+  }
+
   test("grangerLag1: planted lead-lag is detected and both ordered " +
       "pairs match a brute-force two-regressor OLS F") {
     def bruteF(cause: Seq[Long], effect: Seq[Long]): Double = {
