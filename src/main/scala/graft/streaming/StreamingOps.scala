@@ -95,11 +95,14 @@ case class SprtRow(group: String, n: Long, successes: Long)
 case class MkState(days: Map[Long, Long], eventsSeen: Long)
 
 /** Exact integer Mann-Kendall sufficient statistics emitted per
-  * trigger by [[StreamingOps.mannKendallState]].
+  * trigger by [[StreamingOps.mannKendallState]]. `state_days` is the
+  * calendar-map cardinality — the monitor's actual state size, the
+  * telemetry an operator watches to confirm the documented growth
+  * contract (linear in CALENDAR DAYS, flat in event volume).
   */
 case class MkRow(
     group: String, n: Long, s_stat: Long, var_num: Long,
-    events_seen: Long)
+    events_seen: Long, state_days: Long)
 
 /** One (x, y) pair for [[StreamingOps.wilcoxonState]] — the paired
   * observation whose difference y − x feeds the signed-rank fold.
@@ -176,7 +179,8 @@ case class DayObs(group: String, di: Long)
   * path past it.
   */
 case class DispRow(
-    group: String, n: Long, s: Long, sxx: Long, events_seen: Long)
+    group: String, n: Long, s: Long, sxx: Long, events_seen: Long,
+    state_days: Long)
 
 /** Per-cohort SMD sufficient statistics (a commutative fold). Long
   * Σx² bounds the replay at x²·n ≲ 9·10¹⁸ per (group, cohort) —
@@ -193,7 +197,8 @@ case class SmdRow(
   */
 case class DfRow(
     group: String, n: Long, su: Long, sv: Long,
-    suu: Long, suv: Long, svv: Long, events_seen: Long)
+    suu: Long, suv: Long, svv: Long, events_seen: Long,
+    state_days: Long)
 
 /** One contingency observation for [[StreamingOps.gtestCellState]]. */
 case class GtObs(a: String, c: Long)
@@ -804,7 +809,8 @@ object StreamingOps {
       }
       val tie = xs.groupBy(identity).valuesIterator
         .map(_.length.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
-      MkRow(g, n, s, n * (n - 1) * (2 * n + 5) - tie, st.eventsSeen)
+      MkRow(g, n, s, n * (n - 1) * (2 * n + 5) - tie, st.eventsSeen,
+        st.days.size.toLong)
     }
     stream.groupByKey(_.group)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
@@ -1839,7 +1845,8 @@ object StreamingOps {
         suu += u * u; suv += u * v; svv += v * v
         i += 1
       }
-      DfRow(g, n, su, sv, suu, suv, svv, st.eventsSeen)
+      DfRow(g, n, su, sv, suu, suv, svv, st.eventsSeen,
+        st.days.size.toLong)
     }
     stream.groupByKey(_.group)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
@@ -1967,7 +1974,7 @@ object StreamingOps {
       val n = st.days.size.toLong
       val s = st.days.valuesIterator.sum
       val sxx = st.days.valuesIterator.map(c => c * c).sum
-      DispRow(g, n, s, sxx, st.eventsSeen)
+      DispRow(g, n, s, sxx, st.eventsSeen, st.days.size.toLong)
     }
     stream.groupByKey(_.group)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)

@@ -665,6 +665,69 @@ class StreamingOpsSpec extends SparkSuite {
       r.getLong(3) === 38L, s"$r")
   }
 
+  test("calendar-map monitors expose state size: 100 days grows the " +
+      "map to 100 and stays there under pure event volume") {
+    // the documented growth contract (VERDICT r13 #6 / r14 #7):
+    // state is the CALENDAR's size, not the stream's — state_days
+    // must track distinct days exactly, then go FLAT when thousands
+    // more events land on existing days
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DayObs]
+    val out = StreamingOps.dickeyFullerState(input.toDS())
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("dfstate_spec")
+      .start()
+    def lastRow() = {
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("group")).orderBy(col("events_seen").desc)
+      spark.table("dfstate_spec")
+        .withColumn("__rn", row_number().over(wLast))
+        .filter(col("__rn") === 1).collect().head
+    }
+    try {
+      // trigger 1: 30 days, 2 events each
+      input.addData((1 to 30).flatMap(d =>
+        Seq.fill(2)(DayObs("g", d.toLong))): _*)
+      q.processAllAvailable()
+      val r1 = lastRow()
+      assert(r1.getAs[Long]("state_days") === 30L, s"$r1")
+      assert(r1.getAs[Long]("events_seen") === 60L)
+      // trigger 2: 70 NEW days → map grows to exactly 100
+      input.addData((31 to 100).map(d => DayObs("g", d.toLong)): _*)
+      q.processAllAvailable()
+      val r2 = lastRow()
+      assert(r2.getAs[Long]("state_days") === 100L, s"$r2")
+      assert(r2.getAs[Long]("n") === 99L) // lag pairs = days - 1
+      // trigger 3: 1,000 more events, ALL on existing days → state
+      // flat at 100 while events_seen grows 1000
+      input.addData((1 to 1000).map(i =>
+        DayObs("g", (i % 100 + 1).toLong)): _*)
+      q.processAllAvailable()
+      val r3 = lastRow()
+      assert(r3.getAs[Long]("state_days") === 100L, s"$r3")
+      assert(r3.getAs[Long]("events_seen") === 1130L)
+    } finally q.stop()
+    // the sibling monitors share MkState and the same telemetry field
+    val input2 = MemoryStream[MkObs]
+    val out2 = StreamingOps.mannKendallState(input2.toDS())
+    val q2 = out2.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("mkstate_spec")
+      .start()
+    try {
+      input2.addData((1 to 100).map(d =>
+        MkObs("g", d.toLong, d.toLong * 10)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val mk = spark.table("mkstate_spec")
+      .orderBy(col("events_seen").desc).collect().head
+    assert(mk.getAs[Long]("state_days") === 100L, s"$mk")
+  }
+
   test("wassersteinState: the value-count maps fold across " +
       "micro-batches to the batch operator's exact area sum") {
     import spark.implicits._
