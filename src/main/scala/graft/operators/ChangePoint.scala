@@ -502,16 +502,34 @@ object ChangePoint {
       .filter(col("__x2").isNotNull)
       .select(col(seriesCol), (col("__x") - col("__x1")).as("__v"),
         col("__x1").as("__p"), (col("__x1") - col("__x2")).as("__q"))
-    val agg = triples.groupBy(col(seriesCol))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__v")).as("__sv"), sum(col("__p")).as("__sp"),
-        sum(col("__q")).as("__sq"),
-        sum(col("__v").cast(d) * col("__p").cast(d)).as("__svp"),
-        sum(col("__v").cast(d) * col("__q").cast(d)).as("__svq"),
-        sum(col("__p").cast(d) * col("__q").cast(d)).as("__spq"),
-        sum(col("__p").cast(d) * col("__p").cast(d)).as("__spp"),
-        sum(col("__q").cast(d) * col("__q").cast(d)).as("__sqq"),
-        sum(col("__v").cast(d) * col("__v").cast(d)).as("__svv"))
+    adfFromSums(
+      triples.groupBy(col(seriesCol))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__v")).as("__sv"), sum(col("__p")).as("__sp"),
+          sum(col("__q")).as("__sq"),
+          sum(col("__v").cast(d) * col("__p").cast(d)).as("__svp"),
+          sum(col("__v").cast(d) * col("__q").cast(d)).as("__svq"),
+          sum(col("__p").cast(d) * col("__q").cast(d)).as("__spq"),
+          sum(col("__p").cast(d) * col("__p").cast(d)).as("__spp"),
+          sum(col("__q").cast(d) * col("__q").cast(d)).as("__sqq"),
+          sum(col("__v").cast(d) * col("__v").cast(d)).as("__svv")),
+      seriesCol)
+  }
+
+  /** [[adfLag1]]'s combine over already-aggregated per-series triple
+    * sums `(seriesCol, n, __sv, __sp, __sq, __svp, __svq, __spq,
+    * __spp, __sqq, __svv)` — the ten exact sums are the regression's
+    * complete sufficient statistics, so a streaming twin re-derives
+    * them from its day-rollup state each trigger and replays THIS
+    * code, sharing the batch oracle (all refusals included).
+    */
+  def adfFromSums(agg0: DataFrame, seriesCol: String): DataFrame = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val agg = agg0.select(col(seriesCol), col("n"),
+      col("__sv"), col("__sp"), col("__sq"),
+      col("__svp").cast(d).as("__svp"), col("__svq").cast(d).as("__svq"),
+      col("__spq").cast(d).as("__spq"), col("__spp").cast(d).as("__spp"),
+      col("__sqq").cast(d).as("__sqq"), col("__svv").cast(d).as("__svv"))
     def ctr(ab: Column, a: Column, b: Column) =
       col("n").cast(d) * ab - a.cast(d) * b.cast(d)
     val spp = ctr(col("__spp"), col("__sp"), col("__sp"))

@@ -3456,85 +3456,20 @@ object EventQueries {
             daily, "event_type", "i", "x")
           .orderBy(col("event_type"))
       },
-      Some("""
-        WITH series AS (
-          SELECT event_type,
-                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
-                   AS day,
-                 COUNT(*) AS x
-          FROM events GROUP BY 1, 2),
-        idx AS (
-          SELECT event_type, CAST(x AS BIGINT) AS x,
-                 ROW_NUMBER() OVER (PARTITION BY event_type
-                                    ORDER BY day) AS i
-          FROM series),
-        tr AS (
-          SELECT event_type,
-                 x - LAG(x) OVER (PARTITION BY event_type ORDER BY i)
-                   AS v,
-                 LAG(x) OVER (PARTITION BY event_type ORDER BY i) AS p,
-                 LAG(x) OVER (PARTITION BY event_type ORDER BY i)
-                   - LAG(x, 2) OVER (PARTITION BY event_type ORDER BY i)
-                   AS q
-          FROM idx),
-        a AS (
-          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-                 CAST(SUM(v) AS BIGINT) AS sv,
-                 CAST(SUM(p) AS BIGINT) AS sp,
-                 CAST(SUM(q) AS BIGINT) AS sq,
-                 SUM(CAST(v AS HUGEINT) * p) AS svp0,
-                 SUM(CAST(v AS HUGEINT) * q) AS svq0,
-                 SUM(CAST(p AS HUGEINT) * q) AS spq0,
-                 SUM(CAST(p AS HUGEINT) * p) AS spp0,
-                 SUM(CAST(q AS HUGEINT) * q) AS sqq0,
-                 SUM(CAST(v AS HUGEINT) * v) AS svv0
-          FROM tr WHERE q IS NOT NULL GROUP BY 1),
-        ctr AS (
-          SELECT event_type, n,
-                 CAST(n AS HUGEINT) * spp0
-                   - CAST(sp AS HUGEINT) * sp AS spp,
-                 CAST(n AS HUGEINT) * sqq0
-                   - CAST(sq AS HUGEINT) * sq AS sqq,
-                 CAST(n AS HUGEINT) * spq0
-                   - CAST(sp AS HUGEINT) * sq AS spq,
-                 CAST(n AS HUGEINT) * svp0
-                   - CAST(sv AS HUGEINT) * sp AS svp,
-                 CAST(n AS HUGEINT) * svq0
-                   - CAST(sv AS HUGEINT) * sq AS svq,
-                 CAST(n AS HUGEINT) * svv0
-                   - CAST(sv AS HUGEINT) * sv AS svv
-          FROM a),
-        sol AS (
-          SELECT event_type, n, spp, sqq, spq, svp, svq, svv,
-                 CAST(spp AS DOUBLE) * CAST(sqq AS DOUBLE)
-                   - CAST(spq AS DOUBLE) * CAST(spq AS DOUBLE) AS det
-          FROM ctr
-          WHERE n >= 5 AND spp > 0 AND spp * sqq <> spq * spq),
-        bc AS (
-          SELECT *, (CAST(svp AS DOUBLE) * CAST(sqq AS DOUBLE)
-                     - CAST(svq AS DOUBLE) * CAST(spq AS DOUBLE)) / det
-                   AS b,
-                 (CAST(svq AS DOUBLE) * CAST(spp AS DOUBLE)
-                  - CAST(svp AS DOUBLE) * CAST(spq AS DOUBLE)) / det
-                   AS c
-          FROM sol),
-        rs AS (
-          SELECT *, CAST(svv AS DOUBLE) - b * CAST(svp AS DOUBLE)
-                   - c * CAST(svq AS DOUBLE) AS rssu
-          FROM bc),
-        t AS (
-          SELECT event_type, n,
-                 CAST(ROUND(b * 1e6) AS BIGINT) AS beta_micro,
-                 CAST(ROUND(b / sqrt(rssu * CAST(sqq AS DOUBLE)
-                     / ((CAST(n AS DOUBLE) - 3.0) * det)) * 1e6)
-                   AS BIGINT) AS t_micro
-          FROM rs WHERE rssu > 0.0)
-        SELECT event_type, n, beta_micro, t_micro,
-               CASE WHEN t_micro < -2860000 THEN 'stationary'
-                    ELSE 'unit_root' END AS verdict
-        FROM t
-        ORDER BY event_type
-      """)),
+      Some(adfOracle)),
+
+    // Streaming twin of q_adf: the same calendar day→count rollup
+    // state as q_stream_dickey_fuller; every trigger re-derives the
+    // exact TEN triple-regression sums by one sorted walk, combined
+    // by the batch adfFromSums with all refusals intact. Shares
+    // q_adf's oracle (StreamingOps.adfHistory scaladoc).
+    QueryDef(
+      "q_stream_adf",
+      (s, dir) =>
+        graft.streaming.StreamingOps.adfHistory(
+            s, s"$dir/events.parquet")
+          .orderBy(col("event_type")),
+      Some(adfOracle)),
 
     // Stuart-Maxwell marginal homogeneity over THREE paired
     // categories: per user, the FIRST-touch vs LAST-touch event type
@@ -4665,6 +4600,87 @@ object EventQueries {
   /** The Kaplan-Meier / Nelson-Aalen replay shared by q_survival and
     * q_median_survival (full SQL including the RECURSIVE keyword).
     */
+  /** Batch oracle shared by q_adf and its streaming twin. */
+  private lazy val adfOracle: String = """
+        WITH series AS (
+          SELECT event_type,
+                 CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+                   AS day,
+                 COUNT(*) AS x
+          FROM events GROUP BY 1, 2),
+        idx AS (
+          SELECT event_type, CAST(x AS BIGINT) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY day) AS i
+          FROM series),
+        tr AS (
+          SELECT event_type,
+                 x - LAG(x) OVER (PARTITION BY event_type ORDER BY i)
+                   AS v,
+                 LAG(x) OVER (PARTITION BY event_type ORDER BY i) AS p,
+                 LAG(x) OVER (PARTITION BY event_type ORDER BY i)
+                   - LAG(x, 2) OVER (PARTITION BY event_type ORDER BY i)
+                   AS q
+          FROM idx),
+        a AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(v) AS BIGINT) AS sv,
+                 CAST(SUM(p) AS BIGINT) AS sp,
+                 CAST(SUM(q) AS BIGINT) AS sq,
+                 SUM(CAST(v AS HUGEINT) * p) AS svp0,
+                 SUM(CAST(v AS HUGEINT) * q) AS svq0,
+                 SUM(CAST(p AS HUGEINT) * q) AS spq0,
+                 SUM(CAST(p AS HUGEINT) * p) AS spp0,
+                 SUM(CAST(q AS HUGEINT) * q) AS sqq0,
+                 SUM(CAST(v AS HUGEINT) * v) AS svv0
+          FROM tr WHERE q IS NOT NULL GROUP BY 1),
+        ctr AS (
+          SELECT event_type, n,
+                 CAST(n AS HUGEINT) * spp0
+                   - CAST(sp AS HUGEINT) * sp AS spp,
+                 CAST(n AS HUGEINT) * sqq0
+                   - CAST(sq AS HUGEINT) * sq AS sqq,
+                 CAST(n AS HUGEINT) * spq0
+                   - CAST(sp AS HUGEINT) * sq AS spq,
+                 CAST(n AS HUGEINT) * svp0
+                   - CAST(sv AS HUGEINT) * sp AS svp,
+                 CAST(n AS HUGEINT) * svq0
+                   - CAST(sv AS HUGEINT) * sq AS svq,
+                 CAST(n AS HUGEINT) * svv0
+                   - CAST(sv AS HUGEINT) * sv AS svv
+          FROM a),
+        sol AS (
+          SELECT event_type, n, spp, sqq, spq, svp, svq, svv,
+                 CAST(spp AS DOUBLE) * CAST(sqq AS DOUBLE)
+                   - CAST(spq AS DOUBLE) * CAST(spq AS DOUBLE) AS det
+          FROM ctr
+          WHERE n >= 5 AND spp > 0 AND spp * sqq <> spq * spq),
+        bc AS (
+          SELECT *, (CAST(svp AS DOUBLE) * CAST(sqq AS DOUBLE)
+                     - CAST(svq AS DOUBLE) * CAST(spq AS DOUBLE)) / det
+                   AS b,
+                 (CAST(svq AS DOUBLE) * CAST(spp AS DOUBLE)
+                  - CAST(svp AS DOUBLE) * CAST(spq AS DOUBLE)) / det
+                   AS c
+          FROM sol),
+        rs AS (
+          SELECT *, CAST(svv AS DOUBLE) - b * CAST(svp AS DOUBLE)
+                   - c * CAST(svq AS DOUBLE) AS rssu
+          FROM bc),
+        t AS (
+          SELECT event_type, n,
+                 CAST(ROUND(b * 1e6) AS BIGINT) AS beta_micro,
+                 CAST(ROUND(b / sqrt(rssu * CAST(sqq AS DOUBLE)
+                     / ((CAST(n AS DOUBLE) - 3.0) * det)) * 1e6)
+                   AS BIGINT) AS t_micro
+          FROM rs WHERE rssu > 0.0)
+        SELECT event_type, n, beta_micro, t_micro,
+               CASE WHEN t_micro < -2860000 THEN 'stationary'
+                    ELSE 'unit_root' END AS verdict
+        FROM t
+        ORDER BY event_type
+      """
+
   /** Batch oracle shared by q_dickey_fuller and its streaming twin. */
   private lazy val dickeyFullerOracle: String = """
         WITH series AS (

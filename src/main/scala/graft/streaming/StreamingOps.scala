@@ -200,6 +200,17 @@ case class DfRow(
     suu: Long, suv: Long, svv: Long, events_seen: Long,
     state_days: Long)
 
+/** Per-series ADF(1) triple sums emitted per trigger by
+  * [[StreamingOps.adfState]]. Long accumulation bounds the replay at
+  * count² · days ≲ 9·10¹⁸ per group — the batch DECIMAL lattice is
+  * the path past it. `state_days` is the calendar-map cardinality
+  * (the [[DfRow]] telemetry contract).
+  */
+case class AdfRow(
+    group: String, n: Long, sv: Long, sp: Long, sq: Long,
+    svp: Long, svq: Long, spq: Long, spp: Long, sqq: Long, svv: Long,
+    events_seen: Long, state_days: Long)
+
 /** One contingency observation for [[StreamingOps.gtestCellState]]. */
 case class GtObs(a: String, c: Long)
 
@@ -1883,6 +1894,81 @@ object StreamingOps {
         col("suv").cast(DecimalType(38, 0)).as("__suv"),
         col("svv").cast(DecimalType(38, 0)).as("__svv"))
     graft.operators.ChangePoint.dickeyFullerFromSums(per, "event_type")
+  }
+
+  /** Streaming ADF(1) monitor as `mapGroupsWithState` — live "did
+    * this counter become a random walk, accounting for AR(2)
+    * differences?" beside the batch
+    * [[graft.operators.ChangePoint.adfLag1]]: state is the same
+    * calendar day→count rollup as [[dickeyFullerState]]; every
+    * trigger re-derives the exact TEN triple-regression sums by one
+    * sorted walk of the rollup, and [[adfHistory]] applies the batch
+    * operator's own [[graft.operators.ChangePoint.adfFromSums]]
+    * combine, sharing q_adf's oracle. Map folds are commutative —
+    * micro-batch splits cannot change the rollup.
+    */
+  def adfState(stream: Dataset[DayObs]): Dataset[AdfRow] = {
+    import stream.sparkSession.implicits._
+    def update(g: String, rows: Iterator[DayObs],
+        state: GroupState[MkState]): AdfRow = {
+      var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
+      rows.foreach { o =>
+        st = MkState(
+          st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
+          st.eventsSeen + 1L)
+      }
+      state.update(st)
+      val xs = st.days.toSeq.sortBy(_._1).map(_._2)
+      var n = 0L; var sv = 0L; var sp = 0L; var sq = 0L
+      var svp = 0L; var svq = 0L; var spq = 0L
+      var spp = 0L; var sqq = 0L; var svv = 0L
+      var i = 2
+      while (i < xs.length) {
+        val v = xs(i) - xs(i - 1); val p = xs(i - 1)
+        val q = xs(i - 1) - xs(i - 2)
+        n += 1L; sv += v; sp += p; sq += q
+        svp += v * p; svq += v * q; spq += p * q
+        spp += p * p; sqq += q * q; svv += v * v
+        i += 1
+      }
+      AdfRow(g, n, sv, sp, sq, svp, svq, spq, spp, sqq, svv,
+        st.eventsSeen, st.days.size.toLong)
+    }
+    stream.groupByKey(_.group)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /** [[adfState]] over the events parquet (memory sink, update
+    * mode): day bucketing comes from the SAME Spark expressions the
+    * batch query uses; the combine is
+    * [[graft.operators.ChangePoint.adfFromSums]] itself. Output
+    * shape matches `q_adf` and shares its oracle.
+    */
+  def adfHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val stream = readEventStream(spark, path)
+      .select(col("event_type").as("group"),
+        unix_micros(date_trunc("day", col("ts"))).as("di")).as[DayObs]
+    val out = adfState(stream)
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("events_seen").desc)
+    val per = spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("group").as("event_type"), col("n"),
+        col("sv").as("__sv"), col("sp").as("__sp"),
+        col("sq").as("__sq"), col("svp").as("__svp"),
+        col("svq").as("__svq"), col("spq").as("__spq"),
+        col("spp").as("__spp"), col("sqq").as("__sqq"),
+        col("svv").as("__svv"))
+    graft.operators.ChangePoint.adfFromSums(per, "event_type")
   }
 
   /** Streaming covariate-balance monitor as `mapGroupsWithState` —
