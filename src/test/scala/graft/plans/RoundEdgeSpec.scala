@@ -94,7 +94,11 @@ class RoundEdgeSpec extends AnyFunSuite {
 // ...and +2 later in round 13: q_ann_matryoshka's oracle mirrors
     // the registered rounded-then-ranked cosine lattice twice (full
     // dims + the 16-dim prefix).
-    "graft/queries/ExtensionQueries.scala" -> 113,
+    // round 15: +3 — q_ann_ivf_scale's probe-cosine lattice (one
+    // Scala round(csim, 6) + the oracle's mirrored asim/pscored
+    // ROUND(·, 6)): the registered mid-chain 6-dp cosine class,
+    // applied to IDENTICAL doubles on both sides before the rank
+    "graft/queries/ExtensionQueries.scala" -> 116,
     // round 13 (commit 3d5f681-era oracle work): -1 — the
     // q_kmeans_cost/q_pca_variance oracle rework removed a
     // scale-bearing edge; trued up here with the Similarity entry.
