@@ -213,6 +213,12 @@ object OkCupidPipeline {
     val nPart = treePartitions(parallelism, nRows, rowsPerPartition)
     val train = train0.repartition(nPart)
     val test = test0.repartition(nPart)
+    // MLlib's distributed trainer is the SCALE path (sampled bins,
+    // per-level aggregateByKey — the right trade at 60k..100 TB
+    // rows); its fitted tree depends on the partition layout, which
+    // is why the oracle-pinned q_confusion uses the exact
+    // [[graft.operators.DeterministicCart]] twin instead. Here the
+    // bench pins ACCURACY (layout-robust), never the tree shape.
     val dt = new DecisionTreeClassifier()
       .setLabelCol("label").setFeaturesCol("features")
       .setMaxDepth(maxDepth).setSeed(seed)
