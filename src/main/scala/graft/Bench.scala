@@ -171,7 +171,8 @@ object Bench {
     // round-15 addition: the derived-nlist AT-SCALE witness — 16,000
     // corpus rows at sf0.1, nlist = 125 (not the 16 floor), with the
     // candidate-pair count stamped into the artifact (ann_scale map)
-    "q_ann_ivf_scale", "q_tpch_q17", "q_adf", "q_stream_adf")
+    "q_ann_ivf_scale", "q_tpch_q17", "q_adf", "q_stream_adf",
+    "q_tpch_q4", "q_tpch_q22")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

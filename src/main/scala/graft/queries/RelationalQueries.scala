@@ -1136,6 +1136,102 @@ object RelationalQueries {
             SELECT 0.2 * AVG(l2.l_quantity)
             FROM lineitem l2
             WHERE l2.l_partkey = p.p_partkey)
+      """)),
+
+    // TPC-H Q4 (order priority checking), adapted to the fixture's
+    // columns (no l_commitdate/l_receiptdate → "late" = shipped more
+    // than 60 days after the order date, which keeps the correlated
+    // cross-table predicate that makes Q4 interesting): one quarter
+    // of orders, counted per priority, where EXISTS a late line.
+    // Written as the textbook EXISTS and left to Catalyst's
+    // RewritePredicateSubquery: the optimized plan is a LEFT SEMI
+    // join with the l_shipdate > o_orderdate + 60d condition inside
+    // the join — each order tested once against co-located lines,
+    // never |orders| point lookups (PlanShapeSpec gates the shape).
+    QueryDef(
+      "q_tpch_q4",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("tpch4_lineitem")
+        Tables.orders(s, dir).createOrReplaceTempView("tpch4_orders")
+        s.sql("""
+          SELECT o_orderpriority,
+                 CAST(COUNT(*) AS BIGINT) AS order_count
+          FROM tpch4_orders o
+          WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate < TIMESTAMP '1996-04-01'
+            AND EXISTS (
+              SELECT 1 FROM tpch4_lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority
+        """)
+      },
+      Some("""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """)),
+
+    // TPC-H Q22 (global sales opportunity), adapted: lapsed
+    // high-balance customers — above the positive-balance average,
+    // NO orders since 2000 — per nation (the fixture has no phone
+    // column; nationkey is the grouping stand-in). Two subquery
+    // classes in one plan, each with its own right shape: the
+    // average threshold is an UNCORRELATED scalar subquery pair that
+    // must execute ONCE (not per row), and the NOT EXISTS must
+    // decorrelate to a LEFT ANTI join (PlanShapeSpec gates both).
+    // The threshold compares on the exact integer cents lattice by
+    // cross-multiplication — bal·n > Σbal — because a float AVG's
+    // last ulp differs between engines and would flip boundary
+    // customers.
+    QueryDef(
+      "q_tpch_q22",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("tpch22_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("tpch22_orders")
+        s.sql("""
+          WITH cents AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_e2
+            FROM tpch22_customer)
+          SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+                 CAST(SUM(bal_e2) AS BIGINT) AS totacctbal_e2
+          FROM cents c
+          WHERE c.bal_e2 * (SELECT COUNT(*) FROM cents WHERE bal_e2 > 0)
+                > (SELECT SUM(bal_e2) FROM cents WHERE bal_e2 > 0)
+            AND NOT EXISTS (
+              SELECT 1 FROM tpch22_orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+          GROUP BY c_nationkey
+          ORDER BY c_nationkey
+        """)
+      },
+      Some("""
+        WITH cents AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_e2
+          FROM customer)
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal_e2) AS BIGINT) AS totacctbal_e2
+        FROM cents c
+        WHERE c.bal_e2 * (SELECT COUNT(*) FROM cents WHERE bal_e2 > 0)
+              > (SELECT SUM(bal_e2) FROM cents WHERE bal_e2 > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
       """))
   )
 }

@@ -175,6 +175,39 @@ class PlanShapeSpec extends SparkSuite {
       s"p_brand not pushed:\n$p")
   }
 
+  test("q_tpch_q4: EXISTS decorrelates to a left semi join; " +
+      "q_tpch_q22: NOT EXISTS to an anti join, scalar subqueries " +
+      "stay uncorrelated execute-once") {
+    import org.apache.spark.sql.catalyst.expressions.{PlanExpression,
+      ScalarSubquery}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    def subqueries(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan
+        .collectWithSubqueries { case n => n }
+        .flatMap(_.expressions)
+        .flatMap(_.collect { case e: PlanExpression[_] => e })
+    val q4 = graft.SparkEntry.queries("q_tpch_q4")(spark, sfDir)
+    assert(subqueries(q4).isEmpty,
+      s"EXISTS survived optimization:\n${q4.queryExecution.optimizedPlan}")
+    assert(q4.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty, s"no semi join:\n${q4.queryExecution.optimizedPlan}")
+
+    val q22 = graft.SparkEntry.queries("q_tpch_q22")(spark, sfDir)
+    assert(q22.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }.nonEmpty, s"no anti join:\n${q22.queryExecution.optimizedPlan}")
+    // the average-threshold subqueries are SUPPOSED to remain — as
+    // uncorrelated scalars that execute once, never per row
+    val subs = subqueries(q22)
+    assert(subs.nonEmpty, "expected the execute-once scalar subqueries")
+    assert(subs.forall {
+      case s: ScalarSubquery => s.outerAttrs.isEmpty
+      case _ => false
+    }, s"correlated/non-scalar subquery survived:\n$subs")
+  }
+
   test("q_reservoir: per-stratum draw is an aggregate, not a window") {
     // the bounded top_k_by heap replaces a rank window: no per-group
     // sort materialization, map-side partials before one exchange
