@@ -23,6 +23,17 @@ import org.apache.spark.sql.functions._
   *    iter 250, per-iteration recentering. Deterministic for a fixed
   *    seed. O(n) memory per gradient row (Q is recomputed, not stored).
   *
+  * BIT-reproducibility across environments (what lets q_tsne's
+  * oracle pin constants): every transcendental is `StrictMath`
+  * (fdlibm, spec-fixed on every JVM/ISA — `Math.exp/log` intrinsics
+  * may differ by an ulp across platforms, which 300+ coupled
+  * gradient iterations would amplify chaotically); FP arithmetic is
+  * always strict on Java 17+ (JEP 306); `java.util.Random
+  * .nextGaussian` is spec-pinned (defined in terms of StrictMath);
+  * the sample is collected in content-hash order. The solve is
+  * therefore a pure function of (data, seed, params) — the same
+  * contract as SpectralPca's pinned spectrum.
+  *
   * For corpus-scale n the right decomposition is a distributed kNN
   * graph + a sparse solver: [[embedKnnSampled]] builds the graph with
   * the engine's own ANN operator (only ids and n·k edges ever reach
@@ -66,7 +77,7 @@ object Tsne {
     // conditional affinities: binary-search beta = 1/(2σ²) per row to
     // match H(P_i) = log(perplexity)
     val p = Array.ofDim[Double](n, n)
-    val logPerp = math.log(perplexity)
+    val logPerp = StrictMath.log(perplexity)
     i = 0
     while (i < n) {
       var beta = 1.0
@@ -79,12 +90,12 @@ object Tsne {
         var j = 0
         while (j < n) {
           if (j != i) {
-            val e = math.exp(-beta * d2(i)(j))
+            val e = StrictMath.exp(-beta * d2(i)(j))
             p(i)(j) = e; sum += e; dot += e * d2(i)(j)
           }
           j += 1
         }
-        val h = math.log(sum) + beta * dot / sum
+        val h = StrictMath.log(sum) + beta * dot / sum
         if (math.abs(h - logPerp) < 1e-5) it = 50
         else {
           if (h > logPerp) {
@@ -404,11 +415,11 @@ object Tsne {
       var dot = 0.0
       var j = 0
       while (j < ds.length) {
-        val v = math.exp(-beta * ds(j))
+        val v = StrictMath.exp(-beta * ds(j))
         e(j) = v; sum += v; dot += v * ds(j)
         j += 1
       }
-      val h = math.log(sum) + beta * dot / sum
+      val h = StrictMath.log(sum) + beta * dot / sum
       if (math.abs(h - logPerp) < 1e-5) it = 50
       else {
         if (h > logPerp) {
@@ -435,7 +446,7 @@ object Tsne {
       nd2: Array[Array[Double]],
       perplexity: Double): Array[Array[Double]] = {
     val p = Array.ofDim[Double](n, n)
-    val logPerp = math.log(perplexity)
+    val logPerp = StrictMath.log(perplexity)
     var i = 0
     while (i < n) {
       val js = nbr(i)
@@ -470,7 +481,7 @@ object Tsne {
       nbr: Array[Array[Int]],
       nd2: Array[Array[Double]],
       perplexity: Double): Array[Array[(Int, Double)]] = {
-    val logPerp = math.log(perplexity)
+    val logPerp = StrictMath.log(perplexity)
     val acc = new java.util.HashMap[Long, Double]()
     var i = 0
     while (i < n) {
