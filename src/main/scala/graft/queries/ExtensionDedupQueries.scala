@@ -1,0 +1,423 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.sqlList
+import graft.functions.{TextAnalysis, TextFunctions}
+import graft.operators.{CorpusMixing, CurationPipeline, Dedup, DistributionTests, GlobalIds, RankCorrelation, SequencePacking, Similarity, Skyline, UnigramLM}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+
+/** Pure-move slice of [[ExtensionQueries]] (round 16, VERDICT r15 #5:
+  * the 9,743-line file was 25% of the engine's merge surface).
+  * Deduplication: exact/jaccard/minhash/incremental/groups/sources/keep/spans, packing, decontamination, simhash, embedding/semantic dedup.
+  * Helpers live on ExtensionQueries as private[queries]; behavior is
+  * byte-identical — the order of ExtensionQueries.all is preserved.
+  */
+private[queries] object ExtensionDedupQueries {
+  import ExtensionQueries._
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q_dedup_exact",
+      (s, dir) =>
+        Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("keep_id")),
+      Some("""
+        SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY text
+        ORDER BY keep_id
+      """)),
+
+    QueryDef(
+      "q_dedup_jaccard",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        Dedup.jaccardPairs(sh, 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(jaccardOracle)),
+
+    QueryDef(
+      "q_dedup_minhash",
+      (s, dir) =>
+        Dedup.minhashDedupPairs(docTokens(s, dir), "doc_id", "tokens",
+          shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b")),
+      Some(jaccardOracle)),
+
+    // Incremental (per-ingest) dedup: docs with doc_id % 5 == 0 play
+    // the "new batch"; only pairs touching the batch are generated —
+    // old×old never is (Dedup.incrementalMinhashPairs scaladoc). The
+    // oracle is the full exact-Jaccard pair list filtered the same
+    // way; recall relies on the same ≥0.97 planted-pair margin as
+    // q_dedup_minhash.
+    QueryDef(
+      "q_dedup_incremental",
+      (s, dir) => {
+        val docs = docTokens(s, dir)
+        val newIds = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(5L)) === 0)
+        Dedup.incrementalMinhashPairs(docs, newIds, "doc_id", "tokens",
+          shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.8)
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH $jaccardCtes
+        SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
+        FROM j WHERE jac >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+        ORDER BY id_a, id_b
+      """)),
+
+    // Duplicate-GROUP resolution: connected components over the exact
+    // Jaccard ≥ 0.8 pairs — every dup-involved doc labeled with its
+    // group's canonical (minimum) id. Oracle: transitive closure via
+    // a recursive CTE over the same edges.
+    QueryDef(
+      "q_dedup_groups",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs).orderBy(col("id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${jaccardEdgesCte},
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        )
+        SELECT a AS id, least(a, MIN(b)) AS label
+        FROM reach
+        GROUP BY a
+        ORDER BY id
+      """)),
+
+    // Cross-source duplication matrix — corpus governance: which
+    // ingest feeds mirror each other. Near-dup pairs (exact Jaccard
+    // ≥ 0.8) joined to each side's source, unordered source pair
+    // normalized by least/greatest, counted. The pair list is
+    // group-sized; the corpus never reshuffles for the rollup.
+    QueryDef(
+      "q_dedup_sources",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some(s"""
+        WITH $jaccardCtes,
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8)
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM pairs
+        JOIN documents da ON da.doc_id = pairs.id_a
+        JOIN documents db ON db.doc_id = pairs.id_b
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+      """)),
+
+    // The payoff query of the dedup chain: the corpus a trainer
+    // actually reads — drop every non-canonical duplicate-group
+    // member, keep everything else (Dedup.keepCanonical).
+    QueryDef(
+      "q_dedup_keep",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        Dedup.keepCanonical(Tables.documents(s, dir), "doc_id", pairs)
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${jaccardEdgesCte},
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        labels AS (
+          SELECT a AS id, least(a, MIN(b)) AS label
+          FROM reach GROUP BY a)
+        SELECT doc_id, n_chars FROM documents
+        WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
+        ORDER BY doc_id
+      """)),
+
+    // Quality-aware canonical keep (FineWeb rule): within each dup
+    // group keep the HIGHEST-quality member (6-dp score, id
+    // tie-break) instead of the smallest id — min-id keeps whichever
+    // copy was crawled first, not the cleanest one. Oracle extends
+    // the q_dedup_keep closure with the quality join + keeper window.
+    QueryDef(
+      "q_dedup_keep_best",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        val docs = Tables.documents(s, dir)
+          .withColumn("quality",
+            round(TextAnalysis.qualityScore(col("text")), 6))
+        Dedup.keepBest(docs, "doc_id", pairs, "quality")
+          .select(col("doc_id"), col("n_chars"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${jaccardEdgesCte},
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        labels AS (
+          SELECT a AS id, least(a, MIN(b)) AS label
+          FROM reach GROUP BY a),
+        parts AS (
+          SELECT doc_id,
+                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
+                 abs(CAST(len(list_filter(string_split(text, ' '),
+                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4) AS stop_penalty,
+                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
+                   / CAST(length(text) AS DOUBLE) AS punct
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+                 ROUND(len_score * 0.3 + diversity * 0.3 +
+                       (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6)
+                   AS quality
+          FROM parts),
+        ranked AS (
+          SELECT l.id,
+                 ROW_NUMBER() OVER (PARTITION BY l.label
+                                    ORDER BY q.quality DESC, l.id) AS rn
+          FROM labels l JOIN q ON q.doc_id = l.id)
+        SELECT d.doc_id, d.n_chars, q.quality
+        FROM documents d JOIN q ON q.doc_id = d.doc_id
+        WHERE d.doc_id NOT IN (SELECT id FROM ranked WHERE rn <> 1)
+        ORDER BY d.doc_id
+      """)),
+
+    // Exact duplicate-span detection (training-data "exact substring
+    // dedup" at 20-token-span granularity): positions whose span
+    // recurs in ≥2 distinct docs.
+    QueryDef(
+      "q_dedup_spans",
+      (s, dir) =>
+        Dedup.duplicateSpans(
+            Tables.documents(s, dir)
+              .select(col("doc_id"),
+                TextFunctions.splitWords(col("text")).as("toks")),
+            "doc_id", "toks", n = 20)
+          .orderBy(col("doc_id"), col("pos")),
+      Some {
+        val leads = (1 until 20)
+          .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
+        s"""
+        WITH words AS (
+          SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                 generate_subscripts(string_split(text,' '), 1) AS pos
+          FROM documents),
+        spans AS (
+          SELECT doc_id, pos, md5(word || ' ' || $leads) AS h
+          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        sp AS (SELECT * FROM spans WHERE h IS NOT NULL),
+        hot AS (SELECT h FROM sp GROUP BY h
+                HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT doc_id, pos, h FROM sp JOIN hot USING (h)
+        ORDER BY doc_id, pos
+        """
+      }),
+
+    // Concat-and-chunk sequence packing (pretraining batching):
+    // global token offset, chunk id and in-chunk offset per doc, via
+    // the sharded two-pass prefix sum (no corpus-wide single-partition
+    // window). shardSize=100 exercises the shard rollup on testdata.
+    QueryDef(
+      "q_pack_sequences",
+      (s, dir) =>
+        SequencePacking.pack(
+            Tables.documents(s, dir)
+              .select(col("doc_id"),
+                TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens")),
+            "doc_id", "ws_tokens", capacity = 512L, shardSize = 100L)
+          .orderBy(col("doc_id")),
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
+          FROM documents),
+        c AS (
+          SELECT doc_id, ntok,
+                 CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS start_tok
+          FROM t)
+        SELECT doc_id, ntok, start_tok,
+               start_tok // 512 AS chunk_id,
+               start_tok % 512 AS chunk_off
+        FROM c
+        ORDER BY doc_id
+      """)),
+
+    // Test-set decontamination (GPT-3 appendix-C protocol): corpus
+    // docs sharing any 10-token span with a held-out "benchmark" set
+    // (every 10th doc plays the eval set). The benchmark span-hash set
+    // is broadcast; the corpus is never joined against the benchmark
+    // rows themselves. Oracle replays the span windows relationally.
+    QueryDef(
+      "q_decontaminate",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.splitWords(col("text")).as("toks"))
+        val bench = toks.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val corpus = toks.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        Dedup.contaminatedDocs(corpus, bench, "doc_id", "toks", n = 10)
+          .orderBy(col("doc_id"))
+      },
+      Some(decontaminateOracle)),
+
+    // The Bloom-prefiltered scale variant, checked against the SAME
+    // exact oracle: the filter only over-approximates and the exact
+    // verify join removes its false positives, so the output is
+    // bit-identical to q_decontaminate regardless of the bloom's
+    // internal hashing — which is what makes an approximate
+    // prefilter oracle-checkable at all.
+    QueryDef(
+      "q_decontaminate_bloom",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextFunctions.splitWords(col("text")).as("toks"))
+        val bench = toks.filter(pmod(col("doc_id"), lit(10)) === 0)
+        val corpus = toks.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        Dedup.contaminatedDocsBloom(corpus, bench, "doc_id", "toks",
+            n = 10, fpp = 0.01)
+          .orderBy(col("doc_id"))
+      },
+      Some(decontaminateOracle)),
+
+    // SimHash blocking, FULLY oracle-checked: DuckDB replays the exact
+    // FNV-1a 64 per-token hash as a `list_reduce` fold in HUGEINT with
+    // explicit mod-2^64 (the corpus is ASCII, so `unicode(c)` equals
+    // Scala's UTF-16 charAt), the per-bit majority vote as 64 generated
+    // CASE sums, and the 16-bit band self-join + Hamming filter
+    // relationally. The oracle replicates the UNCAPPED band join —
+    // sound at the sf0.01 gate, where no band bucket can exceed the
+    // 1000-doc hot cap (corpus is 500 docs). SECOND ASSUMPTION:
+    // non-empty text — Spark bands an empty/whitespace-only doc with
+    // simhash=0, while the oracle's unnest yields no rows and drops it
+    // before banding, so a PAIR of empty docs would appear only on the
+    // Spark side. The sf corpora have no empty documents; a corpus
+    // that gains them needs the oracle to emit simhash=0 for
+    // token-less docs.
+    QueryDef(
+      "q_dedup_simhash",
+      (s, dir) =>
+        Dedup.simhashPairs(docTokens(s, dir), "doc_id", "tokens", 6)
+          .withColumn("hamming", col("hamming").cast("long"))
+          .orderBy(col("id_a"), col("id_b")),
+      Some(simhashOracle)),
+
+    // Embedding near-dup: top-20 most-cosine-similar pairs (corpus has
+    // no planted >0.95 pairs, so top-N instead of a threshold keeps the
+    // result non-empty and deterministic). Routed through the IVF
+    // cell-blocked scale path — no all-pairs join; the oracle is the
+    // exact answer, so a hash match doubles as a full-recall check
+    // (these pairs sit at cosine ≈0.43-0.51, far below planted-dup
+    // territory, and the probe sets still recall every one).
+    QueryDef(
+      "q_dedup_embedding",
+      (s, dir) =>
+        Similarity.nearDupPairsIvf(
+          Tables.embeddings(s, dir), "vec_id", "embedding", 20),
+      Some(s"""
+        WITH dims AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
+        dots AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
+          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               ROUND(d / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = id_a
+        JOIN norms nb ON nb.vec_id = id_b
+        ORDER BY cosine DESC, id_a, id_b
+        LIMIT 20
+      """)),
+
+    // SemDeDup semantic dedup: cluster-blocked cosine pairs at
+    // tau=0.35 (≈p99 of the within-cell cosine distribution in this
+    // corpus — it has no planted >0.95 near-dups, so the paper's 0.95+
+    // thresholds would be vacuous at every SF; 0.35 drops 48/55/560
+    // docs at sf0.001/0.01/0.1), keep-the-outlier rule. The oracle
+    // replays the full chain on the shared derived-nlist assignment
+    // CTEs: own-centroid
+    // cosines from the asim CTE, within-cell pairwise cosines, the
+    // (centroid-cosine asc, id asc) domination verdict.
+    QueryDef(
+      "q_dedup_semantic",
+      (s, dir) =>
+        Similarity.semanticDedup(
+            Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.35)
+          .withColumn("dropped", col("dropped").cast("long"))
+          .orderBy(col("id")),
+      Some(s"""
+        WITH $ivfAssignDerivedCtes,
+        own AS (
+          SELECT asg.nid AS id, asg.cell, asim.csim
+          FROM asg JOIN asim
+            ON asim.nid = asg.nid AND asim.cell = asg.cell),
+        pdots AS (
+          SELECT a.nid AS id_a, b.nid AS id_b, sum(da.x * db.x) AS d
+          FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid < b.nid
+          JOIN dims da ON da.vec_id = a.nid
+          JOIN dims db ON db.vec_id = b.nid AND db.i = da.i
+          GROUP BY 1, 2),
+        pcos AS (
+          SELECT id_a, id_b, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
+          FROM pdots
+          JOIN norms na ON na.vec_id = id_a
+          JOIN norms nb ON nb.vec_id = id_b),
+        sim AS (
+          SELECT p.id_a, p.id_b, oa.csim AS ca, ob.csim AS cb
+          FROM pcos p
+          JOIN own oa ON oa.id = p.id_a
+          JOIN own ob ON ob.id = p.id_b
+          WHERE p.cos >= 0.35),
+        dropped AS (
+          SELECT DISTINCT CASE WHEN ca <= cb THEN id_b ELSE id_a END AS id
+          FROM sim)
+        SELECT own.id, own.cell, own.csim,
+               CAST(dropped.id IS NOT NULL AS BIGINT) AS dropped
+        FROM own LEFT JOIN dropped ON dropped.id = own.id
+        ORDER BY own.id
+      """)),
+
+  )
+}

@@ -18,7 +18,7 @@ object ExtensionQueries {
     * WITHOUT the `WITH` keyword so callers can pick `WITH` or
     * `WITH RECURSIVE`.
     */
-  private def shingleCtes(k: Int, src: String = "documents"): String = {
+  private[queries] def shingleCtes(k: Int, src: String = "documents"): String = {
     val leads = (1 until k)
       .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
     s"""
@@ -33,7 +33,7 @@ object ExtensionQueries {
     """
   }
 
-  private def shingleSql(k: Int): String = s" WITH ${shingleCtes(k)}"
+  private[queries] def shingleSql(k: Int): String = s" WITH ${shingleCtes(k)}"
 
   /** Exact Jaccard ≥ 0.8 pairs over 3-gram shingles — oracle for both
     * the exact inverted-index path and the MinHash-LSH path. With 8
@@ -46,7 +46,7 @@ object ExtensionQueries {
     * `src` is the relation shingled — "documents" for the standalone
     * dedup oracles, a filtered CTE for the q_curate composite.
     */
-  private def jaccardCtesOver(src: String): String = s"""
+  private[queries] def jaccardCtesOver(src: String): String = s"""
     ${shingleCtes(3, src)},
     sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
     inter AS (
@@ -60,7 +60,7 @@ object ExtensionQueries {
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b)"""
 
-  private val jaccardCtes: String = jaccardCtesOver("documents")
+  private[queries] val jaccardCtes: String = jaccardCtesOver("documents")
 
   /** The CurationPipeline replay chain (no WITH keyword; needs
     * RECURSIVE): quarantine filters → 6-dp quality threshold →
@@ -68,7 +68,7 @@ object ExtensionQueries {
     * source)`, the deduplicated corpus stage 4 consumes. Shared by
     * q_curate / q_curate_ledger / q_curate_mix.
     */
-  private lazy val curateCtes: String = s"""
+  private[queries] lazy val curateCtes: String = s"""
         valid AS (
           SELECT doc_id, text, source FROM documents
           WHERE text IS NOT NULL AND length(text) >= 1
@@ -113,7 +113,7 @@ object ExtensionQueries {
     * bloom-prefiltered twin, whose verify join makes the outputs
     * identical by construction.
     */
-  private val decontaminateOracle: String = {
+  private[queries] val decontaminateOracle: String = {
     val leads = (1 until 10)
       .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
     s"""
@@ -135,7 +135,7 @@ object ExtensionQueries {
     """
   }
 
-  private val jaccardOracle: String = s"""
+  private[queries] val jaccardOracle: String = s"""
     WITH $jaccardCtes
     SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
     FROM j WHERE jac >= 0.8
@@ -146,7 +146,7 @@ object ExtensionQueries {
     * xent)` — the relational twin of UnigramLM.crossEntropy (no WITH
     * keyword). Used by the q_lm_score and q_curriculum oracles.
     */
-  private val lmXentCtes: String = """toks AS (
+  private[queries] val lmXentCtes: String = """toks AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS word
           FROM documents),
         counts AS (SELECT word, count(*) AS cnt FROM toks GROUP BY 1),
@@ -164,7 +164,7 @@ object ExtensionQueries {
   /** Same chain plus the symmetrized ≥0.8 edge list (for the
     * connected-components oracle).
     */
-  private val jaccardEdgesCte: String = s"""
+  private[queries] val jaccardEdgesCte: String = s"""
     $jaccardCtes,
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.8
@@ -175,7 +175,7 @@ object ExtensionQueries {
     * q_dedup_simhash comment). The 64 per-bit majority sums and the
     * signature rebuild are generated here rather than hand-written.
     */
-  private lazy val simhashOracle: String = {
+  private[queries] lazy val simhashOracle: String = {
     // BigInt: (1L << 63) would overflow Long to a negative literal
     val bitSums = (0 until 64).map { b =>
       s"SUM(CASE WHEN (h // CAST(${BigInt(1) << b} AS HUGEINT)) % 2 = 1 " +
@@ -231,7 +231,7 @@ object ExtensionQueries {
     * surrounding query must define CTEs `edges(src, dst)`,
     * `nodes(id)`, `deg(id, deg)`, `consts(i0, b)`, and `r0(id, rank)`.
     */
-  private def prIterCtes(n: Int): String =
+  private[queries] def prIterCtes(n: Int): String =
     (1 to n).map { i =>
       s"""c$i AS (
           SELECT e.dst AS id, SUM(r.rank // d.deg) AS s
@@ -246,7 +246,7 @@ object ExtensionQueries {
           FROM nodes n LEFT JOIN c$i c ON c.id = n.id)"""
     }.mkString(",\n        ")
 
-  private lazy val pagerankOracle: String = {
+  private[queries] lazy val pagerankOracle: String = {
     val iters = prIterCtes(10)
     s"""
       WITH dims AS (
@@ -280,7 +280,7 @@ object ExtensionQueries {
     * co-occurrence edges, then the same unrolled PageRank lattice as
     * [[pagerankOracle]] (shared [[prIterCtes]]), top-30 by rank.
     */
-  private lazy val keywordsOracle: String = {
+  private[queries] lazy val keywordsOracle: String = {
     val iters = prIterCtes(10)
     s"""
       WITH toks AS (
@@ -329,7 +329,7 @@ object ExtensionQueries {
     * [[graft.operators.Similarity.ndcgDiscountsNano]] — one source of
     * truth for both engines.
     */
-  private lazy val retrievalMetricsOracle: String = {
+  private[queries] lazy val retrievalMetricsOracle: String = {
     val d = graft.operators.Similarity.ndcgDiscountsNano(5)
     val idcg = d.sum
     val discVals =
@@ -414,7 +414,7 @@ object ExtensionQueries {
     * table), and the per-(id, subspace) argmin encoding. Shared by
     * the q_ann_pq / q_ann_pq_recall / q_ann_ivfpq oracles.
     */
-  private val pqChainCtes: String = """subdims AS (
+  private[queries] val pqChainCtes: String = """subdims AS (
           SELECT vec_id, (i - 1) // 8 AS j, (i - 1) % 8 AS si, x
           FROM dims),
         cb AS (
@@ -444,7 +444,7 @@ object ExtensionQueries {
     * the DERIVED-nlist codebook ([[ivfAssignDerivedCtes]]); the seam
     * stays so a spec or future query can pin an explicit codebook.
     */
-  private def ivfAssignCtesWithCent(centSql: String): String = s"""dims AS (
+  private[queries] def ivfAssignCtesWithCent(centSql: String): String = s"""dims AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                  generate_subscripts(embedding, 1) AS i
           FROM embeddings),
@@ -479,7 +479,7 @@ object ExtensionQueries {
     * ANY scale factor, not just the ones where the derivation lands
     * on 16.
     */
-  private lazy val ivfAssignDerivedCtes: String = ivfAssignCtesWithCent(
+  private[queries] lazy val ivfAssignDerivedCtes: String = ivfAssignCtesWithCent(
     """SELECT vec_id AS cell FROM (
             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
             FROM embeddings)
@@ -509,7 +509,7 @@ object ExtensionQueries {
     *  - the re-rank reuses the q_ann_topk cosine shape (unordered SUM,
     *    rounded to 6 decimals before ranking).
     */
-  private lazy val lshOracle: String = {
+  private[queries] lazy val lshOracle: String = {
     def u(x: Long): String =
       s"CAST(${java.lang.Long.toUnsignedString(x)} AS HUGEINT)"
     val m64 = "CAST(18446744073709551616 AS HUGEINT)" // 2^64
@@ -596,7 +596,7 @@ object ExtensionQueries {
     """
   }
 
-  private def docTokens(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[queries] def docTokens(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         TextFunctions.splitWords(col("text")).as("tokens"))
@@ -605,7 +605,7 @@ object ExtensionQueries {
     * DOUBLE (DuckDB's list_cosine_similarity is float — not
     * hash-safe), rounded to 6 decimals like the Spark side.
     */
-  private def annOracle(queryPred: String, rankLimit: Int): String = s"""
+  private[queries] def annOracle(queryPred: String, rankLimit: Int): String = s"""
     WITH dims AS (
       SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
              generate_subscripts(embedding, 1) AS i
@@ -634,8603 +634,18 @@ object ExtensionQueries {
     ORDER BY query_id, rank
   """
 
-  val all: Seq[QueryDef] = Seq(
-
-    // ---- Deduplication ----
-
-    QueryDef(
-      "q_dedup_exact",
-      (s, dir) =>
-        Dedup.exactDuplicates(Tables.documents(s, dir), "doc_id", "text")
-          .orderBy(col("keep_id")),
-      Some("""
-        SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
-               COUNT(*) AS n_copies
-        FROM documents
-        GROUP BY text
-        ORDER BY keep_id
-      """)),
-
-    QueryDef(
-      "q_dedup_jaccard",
-      (s, dir) => {
-        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
-        Dedup.jaccardPairs(sh, 0.8)
-          .select(col("id_a"), col("id_b"),
-            round(col("jaccard"), 6).as("jaccard"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
-      Some(jaccardOracle)),
-
-    QueryDef(
-      "q_dedup_minhash",
-      (s, dir) =>
-        Dedup.minhashDedupPairs(docTokens(s, dir), "doc_id", "tokens",
-          shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.8)
-          .select(col("id_a"), col("id_b"),
-            round(col("jaccard"), 6).as("jaccard"))
-          .orderBy(col("id_a"), col("id_b")),
-      Some(jaccardOracle)),
-
-    // Incremental (per-ingest) dedup: docs with doc_id % 5 == 0 play
-    // the "new batch"; only pairs touching the batch are generated —
-    // old×old never is (Dedup.incrementalMinhashPairs scaladoc). The
-    // oracle is the full exact-Jaccard pair list filtered the same
-    // way; recall relies on the same ≥0.97 planted-pair margin as
-    // q_dedup_minhash.
-    QueryDef(
-      "q_dedup_incremental",
-      (s, dir) => {
-        val docs = docTokens(s, dir)
-        val newIds = docs.select(col("doc_id")).where(pmod(col("doc_id"), lit(5L)) === 0)
-        Dedup.incrementalMinhashPairs(docs, newIds, "doc_id", "tokens",
-          shingleK = 3, bands = 8, rowsPerBand = 4, minJaccard = 0.8)
-          .select(col("id_a"), col("id_b"),
-            round(col("jaccard"), 6).as("jaccard"))
-          .orderBy(col("id_a"), col("id_b"))
-      },
-      Some(s"""
-        WITH $jaccardCtes
-        SELECT id_a, id_b, ROUND(jac, 6) AS jaccard
-        FROM j WHERE jac >= 0.8 AND (id_a % 5 = 0 OR id_b % 5 = 0)
-        ORDER BY id_a, id_b
-      """)),
-
-    // Duplicate-GROUP resolution: connected components over the exact
-    // Jaccard ≥ 0.8 pairs — every dup-involved doc labeled with its
-    // group's canonical (minimum) id. Oracle: transitive closure via
-    // a recursive CTE over the same edges.
-    QueryDef(
-      "q_dedup_groups",
-      (s, dir) => {
-        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
-        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
-        Dedup.connectedComponents(pairs).orderBy(col("id"))
-      },
-      Some(s"""
-        WITH RECURSIVE
-        ${jaccardEdgesCte},
-        reach(a, b) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
-        )
-        SELECT a AS id, least(a, MIN(b)) AS label
-        FROM reach
-        GROUP BY a
-        ORDER BY id
-      """)),
-
-    // Cross-source duplication matrix — corpus governance: which
-    // ingest feeds mirror each other. Near-dup pairs (exact Jaccard
-    // ≥ 0.8) joined to each side's source, unordered source pair
-    // normalized by least/greatest, counted. The pair list is
-    // group-sized; the corpus never reshuffles for the rollup.
-    QueryDef(
-      "q_dedup_sources",
-      (s, dir) => {
-        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
-        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
-        val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-        pairs
-          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
-          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
-          .select(least(col("sa"), col("sb")).as("source_a"),
-            greatest(col("sa"), col("sb")).as("source_b"))
-          .groupBy(col("source_a"), col("source_b"))
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy(col("source_a"), col("source_b"))
-      },
-      Some(s"""
-        WITH $jaccardCtes,
-        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8)
-        SELECT least(da.source, db.source) AS source_a,
-               greatest(da.source, db.source) AS source_b,
-               count(*) AS n_pairs
-        FROM pairs
-        JOIN documents da ON da.doc_id = pairs.id_a
-        JOIN documents db ON db.doc_id = pairs.id_b
-        GROUP BY 1, 2
-        ORDER BY 1, 2
-      """)),
-
-    // The payoff query of the dedup chain: the corpus a trainer
-    // actually reads — drop every non-canonical duplicate-group
-    // member, keep everything else (Dedup.keepCanonical).
-    QueryDef(
-      "q_dedup_keep",
-      (s, dir) => {
-        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
-        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
-        Dedup.keepCanonical(Tables.documents(s, dir), "doc_id", pairs)
-          .select(col("doc_id"), col("n_chars"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""
-        WITH RECURSIVE
-        ${jaccardEdgesCte},
-        reach(a, b) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
-        ),
-        labels AS (
-          SELECT a AS id, least(a, MIN(b)) AS label
-          FROM reach GROUP BY a)
-        SELECT doc_id, n_chars FROM documents
-        WHERE doc_id NOT IN (SELECT id FROM labels WHERE id <> label)
-        ORDER BY doc_id
-      """)),
-
-    // Quality-aware canonical keep (FineWeb rule): within each dup
-    // group keep the HIGHEST-quality member (6-dp score, id
-    // tie-break) instead of the smallest id — min-id keeps whichever
-    // copy was crawled first, not the cleanest one. Oracle extends
-    // the q_dedup_keep closure with the quality join + keeper window.
-    QueryDef(
-      "q_dedup_keep_best",
-      (s, dir) => {
-        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
-        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
-        val docs = Tables.documents(s, dir)
-          .withColumn("quality",
-            round(TextAnalysis.qualityScore(col("text")), 6))
-        Dedup.keepBest(docs, "doc_id", pairs, "quality")
-          .select(col("doc_id"), col("n_chars"), col("quality"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""
-        WITH RECURSIVE
-        ${jaccardEdgesCte},
-        reach(a, b) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
-        ),
-        labels AS (
-          SELECT a AS id, least(a, MIN(b)) AS label
-          FROM reach GROUP BY a),
-        parts AS (
-          SELECT doc_id,
-                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
-                 abs(CAST(len(list_filter(string_split(text, ' '),
-                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4) AS stop_penalty,
-                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS punct
-          FROM documents),
-        q AS (
-          SELECT doc_id,
-                 ROUND(len_score * 0.3 + diversity * 0.3 +
-                       (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6)
-                   AS quality
-          FROM parts),
-        ranked AS (
-          SELECT l.id,
-                 ROW_NUMBER() OVER (PARTITION BY l.label
-                                    ORDER BY q.quality DESC, l.id) AS rn
-          FROM labels l JOIN q ON q.doc_id = l.id)
-        SELECT d.doc_id, d.n_chars, q.quality
-        FROM documents d JOIN q ON q.doc_id = d.doc_id
-        WHERE d.doc_id NOT IN (SELECT id FROM ranked WHERE rn <> 1)
-        ORDER BY d.doc_id
-      """)),
-
-    // Exact duplicate-span detection (training-data "exact substring
-    // dedup" at 20-token-span granularity): positions whose span
-    // recurs in ≥2 distinct docs.
-    QueryDef(
-      "q_dedup_spans",
-      (s, dir) =>
-        Dedup.duplicateSpans(
-            Tables.documents(s, dir)
-              .select(col("doc_id"),
-                TextFunctions.splitWords(col("text")).as("toks")),
-            "doc_id", "toks", n = 20)
-          .orderBy(col("doc_id"), col("pos")),
-      Some {
-        val leads = (1 until 20)
-          .map(i => s"lead(word,$i) OVER w").mkString(" || ' ' || ")
-        s"""
-        WITH words AS (
-          SELECT doc_id, unnest(string_split(text,' ')) AS word,
-                 generate_subscripts(string_split(text,' '), 1) AS pos
-          FROM documents),
-        spans AS (
-          SELECT doc_id, pos, md5(word || ' ' || $leads) AS h
-          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        sp AS (SELECT * FROM spans WHERE h IS NOT NULL),
-        hot AS (SELECT h FROM sp GROUP BY h
-                HAVING COUNT(DISTINCT doc_id) >= 2)
-        SELECT doc_id, pos, h FROM sp JOIN hot USING (h)
-        ORDER BY doc_id, pos
-        """
-      }),
-
-    // Concat-and-chunk sequence packing (pretraining batching):
-    // global token offset, chunk id and in-chunk offset per doc, via
-    // the sharded two-pass prefix sum (no corpus-wide single-partition
-    // window). shardSize=100 exercises the shard rollup on testdata.
-    QueryDef(
-      "q_pack_sequences",
-      (s, dir) =>
-        SequencePacking.pack(
-            Tables.documents(s, dir)
-              .select(col("doc_id"),
-                TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens")),
-            "doc_id", "ws_tokens", capacity = 512L, shardSize = 100L)
-          .orderBy(col("doc_id")),
-      Some("""
-        WITH t AS (
-          SELECT doc_id,
-                 CAST(len(string_split(text,' ')) AS BIGINT) AS ntok
-          FROM documents),
-        c AS (
-          SELECT doc_id, ntok,
-                 CAST(COALESCE(SUM(ntok) OVER (ORDER BY doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS BIGINT) AS start_tok
-          FROM t)
-        SELECT doc_id, ntok, start_tok,
-               start_tok // 512 AS chunk_id,
-               start_tok % 512 AS chunk_off
-        FROM c
-        ORDER BY doc_id
-      """)),
-
-    // Test-set decontamination (GPT-3 appendix-C protocol): corpus
-    // docs sharing any 10-token span with a held-out "benchmark" set
-    // (every 10th doc plays the eval set). The benchmark span-hash set
-    // is broadcast; the corpus is never joined against the benchmark
-    // rows themselves. Oracle replays the span windows relationally.
-    QueryDef(
-      "q_decontaminate",
-      (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            TextFunctions.splitWords(col("text")).as("toks"))
-        val bench = toks.filter(pmod(col("doc_id"), lit(10)) === 0)
-        val corpus = toks.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-        Dedup.contaminatedDocs(corpus, bench, "doc_id", "toks", n = 10)
-          .orderBy(col("doc_id"))
-      },
-      Some(decontaminateOracle)),
-
-    // The Bloom-prefiltered scale variant, checked against the SAME
-    // exact oracle: the filter only over-approximates and the exact
-    // verify join removes its false positives, so the output is
-    // bit-identical to q_decontaminate regardless of the bloom's
-    // internal hashing — which is what makes an approximate
-    // prefilter oracle-checkable at all.
-    QueryDef(
-      "q_decontaminate_bloom",
-      (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            TextFunctions.splitWords(col("text")).as("toks"))
-        val bench = toks.filter(pmod(col("doc_id"), lit(10)) === 0)
-        val corpus = toks.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-        Dedup.contaminatedDocsBloom(corpus, bench, "doc_id", "toks",
-            n = 10, fpp = 0.01)
-          .orderBy(col("doc_id"))
-      },
-      Some(decontaminateOracle)),
-
-    // SimHash blocking, FULLY oracle-checked: DuckDB replays the exact
-    // FNV-1a 64 per-token hash as a `list_reduce` fold in HUGEINT with
-    // explicit mod-2^64 (the corpus is ASCII, so `unicode(c)` equals
-    // Scala's UTF-16 charAt), the per-bit majority vote as 64 generated
-    // CASE sums, and the 16-bit band self-join + Hamming filter
-    // relationally. The oracle replicates the UNCAPPED band join —
-    // sound at the sf0.01 gate, where no band bucket can exceed the
-    // 1000-doc hot cap (corpus is 500 docs). SECOND ASSUMPTION:
-    // non-empty text — Spark bands an empty/whitespace-only doc with
-    // simhash=0, while the oracle's unnest yields no rows and drops it
-    // before banding, so a PAIR of empty docs would appear only on the
-    // Spark side. The sf corpora have no empty documents; a corpus
-    // that gains them needs the oracle to emit simhash=0 for
-    // token-less docs.
-    QueryDef(
-      "q_dedup_simhash",
-      (s, dir) =>
-        Dedup.simhashPairs(docTokens(s, dir), "doc_id", "tokens", 6)
-          .withColumn("hamming", col("hamming").cast("long"))
-          .orderBy(col("id_a"), col("id_b")),
-      Some(simhashOracle)),
-
-    // Embedding near-dup: top-20 most-cosine-similar pairs (corpus has
-    // no planted >0.95 pairs, so top-N instead of a threshold keeps the
-    // result non-empty and deterministic). Routed through the IVF
-    // cell-blocked scale path — no all-pairs join; the oracle is the
-    // exact answer, so a hash match doubles as a full-recall check
-    // (these pairs sit at cosine ≈0.43-0.51, far below planted-dup
-    // territory, and the probe sets still recall every one).
-    QueryDef(
-      "q_dedup_embedding",
-      (s, dir) =>
-        Similarity.nearDupPairsIvf(
-          Tables.embeddings(s, dir), "vec_id", "embedding", 20),
-      Some(s"""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        dots AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
-          FROM dims a JOIN dims b ON a.i = b.i AND a.vec_id < b.vec_id
-          GROUP BY 1, 2)
-        SELECT id_a, id_b,
-               ROUND(d / (na.nrm * nb.nrm), 6) AS cosine
-        FROM dots
-        JOIN norms na ON na.vec_id = id_a
-        JOIN norms nb ON nb.vec_id = id_b
-        ORDER BY cosine DESC, id_a, id_b
-        LIMIT 20
-      """)),
-
-    // SemDeDup semantic dedup: cluster-blocked cosine pairs at
-    // tau=0.35 (≈p99 of the within-cell cosine distribution in this
-    // corpus — it has no planted >0.95 near-dups, so the paper's 0.95+
-    // thresholds would be vacuous at every SF; 0.35 drops 48/55/560
-    // docs at sf0.001/0.01/0.1), keep-the-outlier rule. The oracle
-    // replays the full chain on the shared derived-nlist assignment
-    // CTEs: own-centroid
-    // cosines from the asim CTE, within-cell pairwise cosines, the
-    // (centroid-cosine asc, id asc) domination verdict.
-    QueryDef(
-      "q_dedup_semantic",
-      (s, dir) =>
-        Similarity.semanticDedup(
-            Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.35)
-          .withColumn("dropped", col("dropped").cast("long"))
-          .orderBy(col("id")),
-      Some(s"""
-        WITH $ivfAssignDerivedCtes,
-        own AS (
-          SELECT asg.nid AS id, asg.cell, asim.csim
-          FROM asg JOIN asim
-            ON asim.nid = asg.nid AND asim.cell = asg.cell),
-        pdots AS (
-          SELECT a.nid AS id_a, b.nid AS id_b, sum(da.x * db.x) AS d
-          FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid < b.nid
-          JOIN dims da ON da.vec_id = a.nid
-          JOIN dims db ON db.vec_id = b.nid AND db.i = da.i
-          GROUP BY 1, 2),
-        pcos AS (
-          SELECT id_a, id_b, ROUND(d / (na.nrm * nb.nrm), 6) AS cos
-          FROM pdots
-          JOIN norms na ON na.vec_id = id_a
-          JOIN norms nb ON nb.vec_id = id_b),
-        sim AS (
-          SELECT p.id_a, p.id_b, oa.csim AS ca, ob.csim AS cb
-          FROM pcos p
-          JOIN own oa ON oa.id = p.id_a
-          JOIN own ob ON ob.id = p.id_b
-          WHERE p.cos >= 0.35),
-        dropped AS (
-          SELECT DISTINCT CASE WHEN ca <= cb THEN id_b ELSE id_a END AS id
-          FROM sim)
-        SELECT own.id, own.cell, own.csim,
-               CAST(dropped.id IS NOT NULL AS BIGINT) AS dropped
-        FROM own LEFT JOIN dropped ON dropped.id = own.id
-        ORDER BY own.id
-      """)),
-
-    // ---- Similarity search ----
-
-    QueryDef(
-      "q_ann_topk",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        Similarity.bruteForceTopK(
-            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(annOracle("q.vec_id < 10", 5))),
-
-    // Hard-negative mining (contrastive-training prep): top-3
-    // most-similar neighbors with a DIFFERENT label, label filter
-    // applied BEFORE the bounded top-k aggregate.
-    QueryDef(
-      "q_hard_negatives",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        Similarity.hardNegatives(
-            emb.filter(col("vec_id") < 10), emb,
-            "vec_id", "embedding", "label", 3)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        dots AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 sum(q.x * c.x) AS d
-          FROM dims q JOIN dims c ON q.i = c.i
-          WHERE q.vec_id < 10
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT query_id, neighbor_id,
-                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
-          FROM dots
-          JOIN norms nq ON nq.vec_id = query_id
-          JOIN norms nc ON nc.vec_id = neighbor_id
-          JOIN embeddings eq ON eq.vec_id = query_id
-          JOIN embeddings en ON en.vec_id = neighbor_id
-          WHERE query_id <> neighbor_id
-            AND eq.label IS DISTINCT FROM en.label),
-        ranked AS (
-          SELECT query_id, neighbor_id, cosine,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id)
-                   AS rank
-          FROM scored)
-        SELECT query_id, neighbor_id, cosine, rank
-        FROM ranked WHERE rank <= 3
-        ORDER BY query_id, rank
-      """)),
-
-    // kNN label propagation: rows with vec_id % 7 == 0 play the
-    // unlabeled corpus, the rest the human-labeled seed set; each
-    // unlabeled row takes the majority label of its 5 nearest labeled
-    // neighbors (6-dp cosine, neighbor-id tie-break; vote ties break
-    // on smallest label). Oracle replays the full chain: restricted
-    // brute-force cosine rank, label join, vote window.
-    QueryDef(
-      "q_knn_classify",
-      (s, dir) => {
-        import graft.operators.KnnClassifier
-        val emb = Tables.embeddings(s, dir)
-        KnnClassifier.classify(
-            emb.filter(pmod(col("vec_id"), lit(7L)) === 0),
-            emb.filter(pmod(col("vec_id"), lit(7L)) =!= 0),
-            "vec_id", "embedding", "label", 5)
-          .orderBy(col("query_id"))
-      },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        dots AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 sum(q.x * c.x) AS d
-          FROM dims q JOIN dims c ON q.i = c.i
-          WHERE q.vec_id % 7 = 0 AND c.vec_id % 7 <> 0
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT query_id, neighbor_id,
-                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
-          FROM dots
-          JOIN norms nq ON nq.vec_id = query_id
-          JOIN norms nc ON nc.vec_id = neighbor_id),
-        ranked AS (
-          SELECT query_id, neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id)
-                   AS rank
-          FROM scored),
-        votes AS (
-          SELECT r.query_id, e.label,
-                 count(*) AS votes, min(r.rank) AS best_rank
-          FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
-          WHERE r.rank <= 5
-          GROUP BY 1, 2),
-        win AS (
-          SELECT query_id, label, votes, best_rank,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY votes DESC, label) AS rn
-          FROM votes)
-        SELECT query_id, label, votes, best_rank
-        FROM win WHERE rn = 1
-        ORDER BY query_id
-      """)),
-
-    // BM25 top-10 retrieval: docs with doc_id % 97 == 0 play the
-    // query batch (query terms = the DISTINCT tokens among each query
-    // doc's first 8 positions; the query doc itself is excluded from
-    // its results). Per-term contributions snap to an integer nano
-    // lattice BEFORE the per-doc sum (order-independent long adds —
-    // the UnigramLM policy), idf is base-10 (see Bm25 scaladoc), and
-    // the oracle replays the whole inverted-index build + scoring +
-    // rank chain.
-    QueryDef(
-      "q_bm25",
-      (s, dir) => {
-        import graft.operators.Bm25
-        val docs = docTokens(s, dir)
-        val queryTerms = docs
-          .filter(pmod(col("doc_id"), lit(97L)) === 0)
-          .select(col("doc_id").as("query_id"),
-            explode(slice(col("tokens"), 1, 8)).as("term"))
-          .distinct()
-        Bm25.scoreTopK(
-            Bm25.postings(docs, "doc_id", "tokens"),
-            Bm25.totals(docs, "doc_id", "tokens"),
-            queryTerms, k = 10)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
-          FROM documents),
-        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        tot AS (SELECT count(*) AS n_docs,
-                       CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-                         AS avgdl
-                FROM dl),
-        qterms AS (
-          SELECT DISTINCT doc_id AS query_id, term FROM toks
-          WHERE doc_id % 97 = 0 AND pos <= 8),
-        contrib AS (
-          -- two-stage lattice: log10 is the only not-correctly-rounded
-          -- IEEE op in the chain, so idf alone snaps to a micro
-          -- lattice; the outer ROUND then acts on a bit-identical
-          -- double in both engines (see Bm25.scala determinism note)
-          SELECT q.query_id, t.doc_id,
-                 CAST(ROUND(
-                   CAST(CAST(ROUND(
-                     log10(1.0 + (CAST(tot.n_docs AS DOUBLE)
-                                  - CAST(df.df AS DOUBLE) + 0.5)
-                                 / (CAST(df.df AS DOUBLE) + 0.5))
-                     * 1e6) AS BIGINT) AS DOUBLE)
-                   * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-                     / (CAST(t.tf AS DOUBLE)
-                        + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
-                                               / tot.avgdl))
-                   * 1e3) AS BIGINT) AS c_nano
-          FROM qterms q
-          JOIN tf t ON t.term = q.term
-          JOIN df ON df.term = q.term
-          JOIN dl ON dl.doc_id = t.doc_id
-          CROSS JOIN tot
-          WHERE t.doc_id <> q.query_id),
-        scores AS (
-          -- CAST: DuckDB SUM(BIGINT) returns HUGEINT, which lands in
-          -- pandas as float64 — the driver hashes values, so an
-          -- uncast sum reads 1234.0 vs Spark's 1234 and goes red even
-          -- with identical numbers (the r08 q_bm25/q_token_budget
-          -- failure mode; tools/dtypecheck.py now detects it).
-          SELECT query_id, doc_id,
-                 CAST(sum(c_nano) AS BIGINT) AS score_nano
-          FROM contrib GROUP BY 1, 2),
-        ranked AS (
-          SELECT query_id, doc_id, score_nano,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY score_nano DESC, doc_id)
-                   AS rank
-          FROM scores)
-        SELECT query_id, doc_id, score_nano, rank
-        FROM ranked WHERE rank <= 10
-        ORDER BY query_id, rank
-      """)),
-
-    // One round of Rocchio pseudo-relevance feedback: BM25 top-5 as
-    // pseudo-relevant, add each query's 3 heaviest non-query terms,
-    // rescore top-10 (Bm25.prfExpandTerms scaladoc — the feedback
-    // set broadcasts, candidates bounded by feedback vocabularies).
-    QueryDef(
-      "q_prf_expand",
-      (s, dir) => {
-        import graft.operators.Bm25
-        val docs = docTokens(s, dir)
-        val index = Bm25.postings(docs, "doc_id", "tokens")
-        val totals = Bm25.totals(docs, "doc_id", "tokens")
-        val q0 = retrievalQueryTerms(docs)
-        Bm25.scoreTopK(index, totals,
-            Bm25.prfExpandTerms(index, totals, q0, m = 5, e = 3),
-            k = 10)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""
-        WITH $retrievalCtes,
-        $bm25ScoredCtes,
-        fb AS (SELECT query_id, doc_id FROM bm25_ranked WHERE rank <= 5),
-        cand AS (
-          SELECT f.query_id, t.term, SUM(t.tf) AS tfsum
-          FROM fb f JOIN tf t ON t.doc_id = f.doc_id
-          GROUP BY 1, 2),
-        cand2 AS (
-          SELECT c.* FROM cand c
-          WHERE NOT EXISTS (SELECT 1 FROM qterms q
-                            WHERE q.query_id = c.query_id
-                              AND q.term = c.term)),
-        expn AS (
-          SELECT query_id, term FROM (
-            SELECT query_id, term,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY tfsum DESC, term) AS rn
-            FROM cand2) WHERE rn <= 3),
-        q2 AS (SELECT query_id, term FROM qterms
-               UNION SELECT query_id, term FROM expn),
-        contrib2 AS (
-          -- the q_bm25 two-stage lattice, over the expanded batch
-          SELECT q.query_id, t.doc_id,
-                 CAST(ROUND(
-                   CAST(CAST(ROUND(
-                     log10(1.0 + (CAST(tot.n_docs AS DOUBLE)
-                                  - CAST(df.df AS DOUBLE) + 0.5)
-                                 / (CAST(df.df AS DOUBLE) + 0.5))
-                     * 1e6) AS BIGINT) AS DOUBLE)
-                   * (CAST(t.tf AS DOUBLE) * (1.2 + 1.0))
-                     / (CAST(t.tf AS DOUBLE)
-                        + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE)
-                                               / tot.avgdl))
-                   * 1e3) AS BIGINT) AS c_nano
-          FROM q2 q
-          JOIN tf t ON t.term = q.term
-          JOIN df ON df.term = q.term
-          JOIN dl ON dl.doc_id = t.doc_id
-          CROSS JOIN tot
-          WHERE t.doc_id <> q.query_id),
-        scores2 AS (
-          SELECT query_id, doc_id,
-                 CAST(sum(c_nano) AS BIGINT) AS score_nano
-          FROM contrib2 GROUP BY 1, 2),
-        ranked2 AS (
-          SELECT query_id, doc_id, score_nano,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY score_nano DESC, doc_id)
-                   AS rank
-          FROM scores2)
-        SELECT query_id, doc_id, score_nano, rank
-        FROM ranked2 WHERE rank <= 10
-        ORDER BY query_id, rank
-      """)),
-
-    // Exact phrase search over the positional inverted index: each
-    // query doc (doc_id % 97 == 0) searches for its own tokens at
-    // positions 3..5 as a consecutive 3-token phrase; result = every
-    // other doc containing that exact phrase, with occurrence counts.
-    // The phrase set broadcasts; the index is filtered map-side to
-    // phrase terms — the corpus never reshuffles per query batch.
-    QueryDef(
-      "q_phrase_search",
-      (s, dir) => {
-        import graft.operators.PhraseSearch
-        val docs = docTokens(s, dir)
-        PhraseSearch.phraseMatches(
-            PhraseSearch.positionalPostings(docs, "doc_id", "tokens"),
-            PhraseSearch.phrasesFromTokens(
-              docs.filter(pmod(col("doc_id"), lit(97L)) === 0),
-              "doc_id", "tokens", startPos = 3, len = 3),
-            len = 3)
-          .orderBy(col("query_id"), col("doc_id"))
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
-          FROM documents),
-        -- docs with <5 tokens yield <3 phrase offsets and can never
-        -- reach HAVING count(*) = 3 below — no length guard needed
-        -- (the Spark side drops them up front, same net result)
-        phr AS (
-          SELECT doc_id AS query_id, term, pos - 3 AS off
-          FROM toks
-          WHERE doc_id % 97 = 0 AND pos BETWEEN 3 AND 5),
-        cand AS (
-          SELECT p.query_id, t.doc_id, t.pos - p.off AS start
-          FROM phr p JOIN toks t ON t.term = p.term
-          WHERE t.doc_id <> p.query_id),
-        hits AS (
-          SELECT query_id, doc_id, start
-          FROM cand GROUP BY 1, 2, 3 HAVING count(*) = 3)
-        SELECT query_id, doc_id, count(*) AS n_matches
-        FROM hits GROUP BY 1, 2
-        ORDER BY query_id, doc_id
-      """)),
-
-    // IVF approximate variant with the DETERMINISTIC corpus-sampled
-    // codebook (nlist DERIVED from the corpus count — max(16,
-    // ceil(n/128)), the kNN-family scale rule; nprobe 4) — fully
-    // hash-checked: the whole search is a pure function of the data,
-    // so DuckDB replays cell assignment, probing, candidate join,
-    // and the exact cosine re-rank (same derived-codebook chain
-    // q_ann_recall pins; this exposes the ranked neighbor list
-    // itself). The seeded MLlib-k-means codebook variant
-    // (Similarity.ivfTopK) keeps its coverage spec-side in
-    // AnnRecallSpec — a trained codebook is inherently
-    // non-replayable in SQL.
-    QueryDef(
-      "q_ann_ivf",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        Similarity.ivfTopKSampledCodebook(
-            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
-            nprobe = 4)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""
-        WITH $ivfAssignDerivedCtes,
-        probes AS (
-          SELECT nid AS query_id, cell FROM (
-            SELECT nid, cell,
-                   ROW_NUMBER() OVER (PARTITION BY nid
-                                      ORDER BY csim DESC, cell) AS rn
-            FROM asim WHERE nid < 10) WHERE rn <= 4),
-        acand AS (
-          SELECT p.query_id, a.nid AS neighbor_id
-          FROM probes p JOIN asg a ON a.cell = p.cell
-          WHERE a.nid <> p.query_id),
-        pdots AS (
-          SELECT c.query_id, c.neighbor_id, sum(qd.x * nd.x) AS d
-          FROM acand c
-          JOIN dims qd ON qd.vec_id = c.query_id
-          JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.i = qd.i
-          GROUP BY 1, 2),
-        pscored AS (
-          SELECT query_id, neighbor_id,
-                 ROUND(d / (nq.nrm * nn.nrm), 6) AS cosine
-          FROM pdots
-          JOIN norms nq ON nq.vec_id = query_id
-          JOIN norms nn ON nn.vec_id = neighbor_id)
-        SELECT query_id, neighbor_id, cosine, rank FROM (
-          SELECT query_id, neighbor_id, cosine,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id)
-                   AS rank
-          FROM pscored) WHERE rank <= 5
-        ORDER BY query_id, rank
-      """)),
-
-    // LSH-bucketed approximate variant — FULLY oracle-checked even
-    // though it's an approximate algorithm: the hyperplane buckets are
-    // a deterministic pure function of (seed, data), so DuckDB replays
-    // the splitmix64 projection weights, the dimension-ordered dot
-    // folds, the sign-bit packing, the band join, and the cosine
-    // re-rank bit-for-bit (see lshOracle). Ground truth for RECALL is
-    // still q_ann_topk; this pins the mechanism itself.
-    QueryDef(
-      "q_ann_lsh",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        // 4 bits × 8 tables: on this corpus the nearest neighbors sit
-        // at cosine ≈ 0.5, so collision probability per table is only
-        // (1−θ/π)^bits ≈ 0.16 — 8 tables lift recall to ~0.75. Real
-        // embedding corpora with close neighbors would use more bits.
-        Similarity.lshTopK(
-            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", 5,
-            bits = 4, tables = 8)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(lshOracle)),
-
-    // Recall@5 of the IVF search with the DETERMINISTIC corpus-sampled
-    // codebook (nlist derived from the corpus count, nprobe 4) against
-    // the exact brute-force top-5 — the whole approximate search is a
-    // pure function of the data, so the recall number itself is
-    // oracle-checked end to end (cell assignment, probing, candidate
-    // join, re-rank). The seeded kmeans/LSH variants share this exact
-    // plumbing; their recall floors are pinned by AnnRecallSpec.
-    QueryDef(
-      "q_ann_recall",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val queries = emb.filter(col("vec_id") < 10)
-        Similarity.recallAtK(
-          Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5),
-          Similarity.ivfTopKSampledCodebook(
-            queries, emb, "vec_id", "embedding", 5,
-            nprobe = 4))
-      },
-      Some(s"""
-        WITH $ivfAssignDerivedCtes,
-        -- exact top-5 per query (vec_id < 10), rounded-then-ranked
-        edots AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 sum(q.x * c.x) AS d
-          FROM dims q JOIN dims c ON q.i = c.i
-          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
-          GROUP BY 1, 2),
-        escored AS (
-          SELECT query_id, neighbor_id,
-                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
-          FROM edots
-          JOIN norms nq ON nq.vec_id = query_id
-          JOIN norms nc ON nc.vec_id = neighbor_id),
-        exact AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, neighbor_id) AS rk
-            FROM escored) WHERE rk <= 5),
-        -- queries probe their 4 nearest cells (queries are corpus rows,
-        -- so their centroid cosines are already in asim)
-        probes AS (
-          SELECT nid AS query_id, cell FROM (
-            SELECT nid, cell,
-                   ROW_NUMBER() OVER (PARTITION BY nid
-                                      ORDER BY csim DESC, cell) AS rn
-            FROM asim WHERE nid < 10) WHERE rn <= 4),
-        acand AS (
-          SELECT p.query_id, a.nid AS neighbor_id
-          FROM probes p JOIN asg a ON a.cell = p.cell
-          WHERE a.nid <> p.query_id),
-        pdots AS (
-          SELECT c.query_id, c.neighbor_id, sum(qd.x * nd.x) AS d
-          FROM acand c
-          JOIN dims qd ON qd.vec_id = c.query_id
-          JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.i = qd.i
-          GROUP BY 1, 2),
-        pscored AS (
-          SELECT query_id, neighbor_id,
-                 ROUND(d / (nq.nrm * nn.nrm), 6) AS cosine
-          FROM pdots
-          JOIN norms nq ON nq.vec_id = query_id
-          JOIN norms nn ON nn.vec_id = neighbor_id),
-        approx AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, neighbor_id) AS rk
-            FROM pscored) WHERE rk <= 5)
-        SELECT e.query_id,
-               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
-                             THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) AS recall
-        FROM exact e
-        LEFT JOIN approx a
-          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        GROUP BY 1
-        ORDER BY 1
-      """)),
-
-    // Derived-nlist AT-SCALE witness (VERDICT r14 #8): at the stock
-    // bench scale factors the embeddings table is small enough that
-    // derivedNlist lands on its 16-cell floor, so the r14 fixed→
-    // derived migration was invisible to the bench. This entry
-    // expands the corpus 8× with deterministic circular rotations
-    // (norm-preserving, direction-changing, exactly SQL-replayable:
-    // no arithmetic touches the float values) — sf0.1: 2,000 →
-    // 16,000 rows, nlist = ceil(16000/128) = 125; even the sf0.01
-    // verify corpus (4,000) derives 32, above the floor — and
-    // returns the scale ledger itself: corpus size, derived nlist,
-    // the CANDIDATE-PAIR count of the probed search (the quantity
-    // the derivation keeps ~nprobe·targetCellRows per query instead
-    // of growing with n), and a checksum over the ranked output that
-    // forces the full probe → candidate-join → re-rank pipeline.
-    QueryDef(
-      "q_ann_ivf_scale",
-      (s, dir) => {
-        val base = Tables.embeddings(s, dir)
-        val d = size(col("embedding"))
-        val corpus = base
-          .select(col("vec_id"), col("embedding"),
-            explode(sequence(lit(0), lit(7))).as("c"))
-          .select((col("vec_id") * 8 + col("c")).as("vec_id"),
-            when(col("c") === 0, col("embedding"))
-              .otherwise(concat(
-                slice(col("embedding"), col("c") + lit(1), d - col("c")),
-                slice(col("embedding"), lit(1), col("c"))))
-              .as("embedding"))
-        val queries =
-          corpus.filter(col("vec_id") < 80 &&
-            pmod(col("vec_id"), lit(8)) === 0)
-        val ranked = Similarity.ivfTopKSampledCodebook(
-          queries, corpus, "vec_id", "embedding", 10, nprobe = 4)
-        val searchAgg = ranked.agg(
-          count(lit(1)).as("n_results"),
-          sum(col("neighbor_id") * col("rank")).cast("long")
-            .as("rank_checksum"))
-        // candidate-pair ledger: replay the probe selection against
-        // the same deterministic codebook and count the candidate
-        // join (cells are disjoint, so each (query, neighbor) pair
-        // appears at most once)
-        val n = corpus.count()
-        val nl = Similarity.derivedNlist(n)
-        val centDf =
-          Similarity.sampledCodebook(corpus, "vec_id", "embedding", nl)
-        val assigned = Similarity.assignCellsSampledCodebook(
-          corpus, "vec_id", "embedding", nl)
-        val probes = queries
-          .select(col("vec_id").cast("long").as("query_id"),
-            col("embedding").as("qv"))
-          .crossJoin(centDf)
-          .withColumn("csim", round(
-            graft.functions.VectorFunctions.cosine(
-              col("qv"), col("centroid")), 6))
-          .groupBy(col("query_id"))
-          .agg(graft.functions.top_k_by(col("csim"), col("cell"), 4)
-            .as("top"))
-          .select(col("query_id"), explode(col("top")).as("p"))
-          .select(col("query_id"), col("p.id").as("cell"))
-        val candAgg = probes
-          .join(assigned.select(col("id").as("neighbor_id"), col("cell")),
-            Seq("cell"))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .agg(count(lit(1)).as("n_candidates"))
-        searchAgg.crossJoin(candAgg)
-          .select(lit(n).as("n_corpus"), lit(nl.toLong).as("nlist"),
-            col("n_candidates"), col("n_results"), col("rank_checksum"))
-      },
-      Some("""
-        WITH corpus AS (
-          SELECT vec_id * 8 + c AS vec_id,
-                 CASE WHEN c = 0 THEN embedding
-                      ELSE list_concat(embedding[c+1:], embedding[1:c])
-                 END AS embedding
-          FROM embeddings, range(0, 8) t(c)),
-        dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM corpus),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
-                  FROM dims GROUP BY 1),
-        cent AS (
-          SELECT vec_id AS cell FROM (
-            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-            FROM corpus)
-          WHERE rn <= (SELECT GREATEST(16,
-                         CAST(CEIL(count(*) / 128.0) AS BIGINT))
-                       FROM corpus)),
-        adots AS (
-          SELECT v.vec_id AS nid, c.vec_id AS cell, sum(v.x * c.x) AS d
-          FROM dims v
-          JOIN dims c ON c.i = v.i
-          JOIN cent ON c.vec_id = cent.cell
-          GROUP BY 1, 2),
-        asim AS (
-          SELECT nid, cell, ROUND(d / (nv.nrm * nc.nrm), 6) AS csim
-          FROM adots
-          JOIN norms nv ON nv.vec_id = nid
-          JOIN norms nc ON nc.vec_id = cell),
-        asg AS (
-          SELECT nid, cell FROM (
-            SELECT nid, cell,
-                   ROW_NUMBER() OVER (PARTITION BY nid
-                                      ORDER BY csim DESC, cell) AS rn
-            FROM asim) WHERE rn = 1),
-        probes AS (
-          SELECT nid AS query_id, cell FROM (
-            SELECT nid, cell,
-                   ROW_NUMBER() OVER (PARTITION BY nid
-                                      ORDER BY csim DESC, cell) AS rn
-            FROM asim WHERE nid < 80 AND nid % 8 = 0) WHERE rn <= 4),
-        acand AS (
-          SELECT p.query_id, a.nid AS neighbor_id
-          FROM probes p JOIN asg a ON a.cell = p.cell
-          WHERE a.nid <> p.query_id),
-        pdots AS (
-          SELECT c.query_id, c.neighbor_id, sum(qd.x * nd.x) AS d
-          FROM acand c
-          JOIN dims qd ON qd.vec_id = c.query_id
-          JOIN dims nd ON nd.vec_id = c.neighbor_id AND nd.i = qd.i
-          GROUP BY 1, 2),
-        pscored AS (
-          SELECT query_id, neighbor_id,
-                 ROUND(d / (nq.nrm * nn.nrm), 6) AS cosine
-          FROM pdots
-          JOIN norms nq ON nq.vec_id = query_id
-          JOIN norms nn ON nn.vec_id = neighbor_id),
-        ranked AS (
-          SELECT query_id, neighbor_id, rank FROM (
-            SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cosine DESC, neighbor_id)
-                     AS rank
-            FROM pscored) WHERE rank <= 10)
-        SELECT
-          (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_corpus,
-          (SELECT CAST(count(*) AS BIGINT) FROM cent) AS nlist,
-          (SELECT CAST(count(*) AS BIGINT) FROM acand) AS n_candidates,
-          (SELECT CAST(count(*) AS BIGINT) FROM ranked) AS n_results,
-          (SELECT CAST(SUM(neighbor_id * rank) AS BIGINT) FROM ranked)
-            AS rank_checksum
-      """)),
-
-    // Matryoshka truncation recall: top-5 by the FIRST 16 of 64
-    // embedding dims vs the full-dim exact top-5 — the evaluation
-    // behind MRL-style dimension-adaptive retrieval ("how much
-    // recall do I keep if I search on a 4x-cheaper prefix, before
-    // re-ranking on full vectors?"). Both sides are the engine's own
-    // brute-force kernel on the shared rounded-then-ranked cosine
-    // lattice; the oracle replays the prefix with i <= 16.
-    QueryDef(
-      "q_ann_matryoshka",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val queries = emb.filter(col("vec_id") < 10)
-        def trunc(df: org.apache.spark.sql.DataFrame) =
-          df.withColumn("embedding", expr("slice(embedding, 1, 16)"))
-        Similarity.recallAtK(
-          Similarity.bruteForceTopK(queries, emb,
-            "vec_id", "embedding", 5),
-          Similarity.bruteForceTopK(trunc(queries), trunc(emb),
-            "vec_id", "embedding", 5))
-      },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
-                  FROM dims GROUP BY 1),
-        tnorms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
-                   FROM dims WHERE i <= 16 GROUP BY 1),
-        edots AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 sum(q.x * c.x) AS d
-          FROM dims q JOIN dims c ON q.i = c.i
-          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
-          GROUP BY 1, 2),
-        exact AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT e.query_id, e.neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY e.query_id
-                     ORDER BY ROUND(e.d / (nq.nrm * nc.nrm), 6) DESC,
-                              e.neighbor_id) AS rk
-            FROM edots e
-            JOIN norms nq ON nq.vec_id = e.query_id
-            JOIN norms nc ON nc.vec_id = e.neighbor_id)
-          WHERE rk <= 5),
-        tdots AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 sum(q.x * c.x) AS d
-          FROM dims q JOIN dims c ON q.i = c.i AND c.i <= 16
-          WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
-            AND q.i <= 16
-          GROUP BY 1, 2),
-        trunc AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT t.query_id, t.neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY t.query_id
-                     ORDER BY ROUND(t.d / (nq.nrm * nc.nrm), 6) DESC,
-                              t.neighbor_id) AS rk
-            FROM tdots t
-            JOIN tnorms nq ON nq.vec_id = t.query_id
-            JOIN tnorms nc ON nc.vec_id = t.neighbor_id)
-          WHERE rk <= 5)
-        SELECT e.query_id,
-               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
-                             THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(count(*) AS DOUBLE) AS recall
-        FROM exact e
-        LEFT JOIN trunc a
-          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        GROUP BY 1
-        ORDER BY 1
-      """)),
-
-    // Retrieval-quality metrics (MRR, NDCG@5) of the deterministic
-    // IVF search against the exact top-5 — the evaluation harness for
-    // the ANN surface, entirely on integer lattices: reciprocal ranks
-    // in micros, NDCG discounts as shared integer nano constants
-    // (generated from the SAME Scala values the operator uses — no
-    // log() in either engine, so no libm-vs-JVM ulp exposure).
-    QueryDef(
-      "q_retrieval_metrics",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val queries = emb.filter(col("vec_id") < 10)
-        Similarity.retrievalMetrics(
-          Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 5),
-          Similarity.ivfTopKSampledCodebook(
-            queries, emb, "vec_id", "embedding", 5, nprobe = 4),
-          5)
-      },
-      Some(retrievalMetricsOracle)),
-
-    // ---- Text analytics ----
-
-    QueryDef(
-      "q_token_stats",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            length(col("text")).as("len_chars"),
-            TextAnalysis.whitespaceTokenCount(col("text")).as("ws_tokens"),
-            TextAnalysis.bpeTokenEstimate(col("text")).as("bpe_tokens"),
-            round(TextAnalysis.uniqueRatio(col("text")), 6).as("unique_ratio"),
-            round(TextAnalysis.stopwordRatio(col("text")), 6)
-              .as("stopword_ratio"))
-          .orderBy(col("doc_id")),
-      Some(s"""
-        SELECT doc_id,
-               length(text) AS len_chars,
-               len(string_split(text, ' ')) AS ws_tokens,
-               len(regexp_extract_all(text, '${TextAnalysis.bpePattern.replace("'", "''")}')) AS bpe_tokens,
-               ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS unique_ratio,
-               ROUND(CAST(len(list_filter(string_split(text, ' '),
-                              w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
-        FROM documents
-        ORDER BY doc_id
-      """)),
-
-    // Token-budget accounting per (source, lang): the table a mixture
-    // plan (q_mix_sources rates) is computed FROM. Share uses a
-    // broadcast total, not a global window (a single-partition window
-    // over even a small frame is the pattern this engine bans). The
-    // share is emitted as integer parts-per-million via integer
-    // division — no double ever reaches the hashed output, so no
-    // ROUND(double, n) implementation skew between engines (or between
-    // DuckDB builds) can flip a bit. Both `div` (Spark) and `//`
-    // (DuckDB) floor on the all-positive operands here.
-    QueryDef(
-      "q_token_budget",
-      (s, dir) => {
-        val perDoc = Tables.documents(s, dir)
-          .select(col("source"), col("lang"),
-            TextAnalysis.bpeTokenEstimate(col("text"))
-              .cast("long").as("toks"))
-        val grouped = perDoc.groupBy(col("source"), col("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
-        val total = grouped.agg(sum(col("tokens")).as("__t"))
-        grouped.crossJoin(broadcast(total))
-          .select(col("source"), col("lang"), col("n_docs"), col("tokens"),
-            expr("(tokens * CAST(1000000 AS BIGINT)) div __t")
-              .as("share_ppm"))
-          .orderBy(col("source"), col("lang"))
-      },
-      Some(s"""
-        WITH per AS (
-          SELECT source, lang,
-                 CAST(len(regexp_extract_all(text,
-                   '${TextAnalysis.bpePattern.replace("'", "''")}')) AS BIGINT)
-                   AS toks
-          FROM documents),
-        grouped AS (
-          -- CAST: SUM(BIGINT) is HUGEINT → float64 in pandas → the
-          -- driver's value hash reads 1234.0 vs Spark's 1234. THIS
-          -- column (not share rounding) was the persistent r07/r08
-          -- q_token_budget red cell.
-          SELECT source, lang, COUNT(*) AS n_docs,
-                 CAST(SUM(toks) AS BIGINT) AS tokens
-          FROM per GROUP BY 1, 2)
-        SELECT source, lang, n_docs, tokens,
-               CAST((tokens * 1000000)
-                    // (SELECT SUM(tokens) FROM grouped) AS BIGINT)
-                 AS share_ppm
-        FROM grouped
-        ORDER BY source, lang
-      """)),
-
-    // ------------------------------------------------------------------
-    // q_token_budget decomposition — fault-localization diagnostics.
-    // q_token_budget has been hash-red at the driver for two rounds
-    // while every ingredient is individually driver-green (per-doc BPE
-    // counts via q_token_stats, lang ordering via q_lang_id, source
-    // grouping via q_mix_sources) and the full query is bit-exact
-    // against local DuckDB 1.0.0. These four queries split the
-    // composite along its only seams — group counts alone, token sums
-    // alone, the ppm division alone, and the same rows under a numeric
-    // (tokens DESC) sort key — so whichever cell is red in the next
-    // CORRECTNESS report names the faulty ingredient (and if only the
-    // string-ordered variants are red, the driver hash is row-order
-    // sensitive to something in (source, lang) sorting).
-    QueryDef(
-      "q_budget_groups",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .groupBy(col("source"), col("lang"))
-          .agg(count(lit(1)).as("n_docs"))
-          .orderBy(col("source"), col("lang")),
-      Some("""
-        SELECT source, lang, COUNT(*) AS n_docs
-        FROM documents GROUP BY 1, 2
-        ORDER BY source, lang
-      """)),
-
-    QueryDef(
-      "q_budget_tokens",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("source"), col("lang"),
-            TextAnalysis.bpeTokenEstimate(col("text"))
-              .cast("long").as("toks"))
-          .groupBy(col("source"), col("lang"))
-          .agg(sum(col("toks")).as("tokens"))
-          .orderBy(col("source"), col("lang")),
-      Some(s"""
-        SELECT source, lang,
-               CAST(SUM(CAST(len(regexp_extract_all(text,
-                 '${TextAnalysis.bpePattern.replace("'", "''")}')) AS BIGINT))
-                 AS BIGINT) AS tokens
-        FROM documents GROUP BY 1, 2
-        ORDER BY source, lang
-      """)),
-
-    QueryDef(
-      "q_budget_share",
-      (s, dir) => {
-        val grouped = Tables.documents(s, dir)
-          .select(col("source"), col("lang"),
-            TextAnalysis.bpeTokenEstimate(col("text"))
-              .cast("long").as("toks"))
-          .groupBy(col("source"), col("lang"))
-          .agg(sum(col("toks")).as("tokens"))
-        grouped
-          .crossJoin(broadcast(grouped.agg(sum(col("tokens")).as("__t"))))
-          .select(col("source"), col("lang"),
-            expr("(tokens * CAST(1000000 AS BIGINT)) div __t")
-              .as("share_ppm"))
-          .orderBy(col("source"), col("lang"))
-      },
-      Some(s"""
-        WITH grouped AS (
-          SELECT source, lang,
-                 CAST(SUM(CAST(len(regexp_extract_all(text,
-                   '${TextAnalysis.bpePattern.replace("'", "''")}')) AS BIGINT))
-                   AS BIGINT) AS tokens
-          FROM documents GROUP BY 1, 2)
-        SELECT source, lang,
-               CAST((tokens * 1000000)
-                    // (SELECT SUM(tokens) FROM grouped) AS BIGINT)
-                 AS share_ppm
-        FROM grouped
-        ORDER BY source, lang
-      """)),
-
-    QueryDef(
-      "q_budget_by_size",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("source"), col("lang"),
-            TextAnalysis.bpeTokenEstimate(col("text"))
-              .cast("long").as("toks"))
-          .groupBy(col("source"), col("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"))
-          .orderBy(col("tokens").desc, col("source"), col("lang")),
-      Some(s"""
-        SELECT source, lang, COUNT(*) AS n_docs,
-               CAST(SUM(CAST(len(regexp_extract_all(text,
-                 '${TextAnalysis.bpePattern.replace("'", "''")}')) AS BIGINT))
-                 AS BIGINT) AS tokens
-        FROM documents GROUP BY 1, 2
-        ORDER BY tokens DESC, source, lang
-      """)),
-
-    QueryDef(
-      "q_quality",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            TextAnalysis.qualityScore(col("text")).as("quality"))
-          .orderBy(col("doc_id")),
-      Some(s"""
-        WITH parts AS (
-          SELECT doc_id,
-                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
-                 abs(CAST(len(list_filter(string_split(text, ' '),
-                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4) AS stop_penalty,
-                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS punct
-          FROM documents)
-        SELECT doc_id,
-               ROUND(len_score * 0.3 + diversity * 0.3 +
-                     (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6) AS quality
-        FROM parts
-        ORDER BY doc_id
-      """)),
-
-    // Quality calibration: the raw composite score is NOT comparable
-    // across sources (different boilerplate/length profiles), so a
-    // single global threshold over- or under-prunes per source. The
-    // fix used by per-domain curation: rank-normalize within source —
-    // cume_dist of the 6-dp score, ties sharing a value (both engines
-    // define cume_dist as rows≤current / n, an exact integer ratio).
-    // One window exchange on source.
-    QueryDef(
-      "q_quality_calibrated",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
-          .withColumn("pct", cume_dist().over(
-            Window.partitionBy(col("source")).orderBy(col("quality"))))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""
-        WITH parts AS (
-          SELECT doc_id, source,
-                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
-                 abs(CAST(len(list_filter(string_split(text, ' '),
-                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4) AS stop_penalty,
-                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS punct
-          FROM documents),
-        scored AS (
-          SELECT doc_id, source,
-                 ROUND(len_score * 0.3 + diversity * 0.3 +
-                       (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6)
-                   AS quality
-          FROM parts)
-        SELECT doc_id, source, quality,
-               cume_dist() OVER (PARTITION BY source ORDER BY quality)
-                 AS pct
-        FROM scored
-        ORDER BY doc_id
-      """)),
-
-    // Deequ-style data-validation profile: per-column completeness
-    // (non-null count) and uniqueness (exact distinct) in one
-    // aggregation pass — the gate a pipeline runs before training on
-    // a new snapshot.
-    QueryDef(
-      "q_profile",
-      (s, dir) =>
-        graft.operators.DataQuality.profile(
-            Tables.documents(s, dir),
-            Seq("doc_id", "lang", "source", "text"))
-          .orderBy(col("column")),
-      Some("""
-        SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
-               COUNT(doc_id) AS n_nonnull,
-               COUNT(DISTINCT doc_id) AS n_distinct FROM documents
-        UNION ALL
-        SELECT 'lang', COUNT(*), COUNT(lang), COUNT(DISTINCT lang)
-        FROM documents
-        UNION ALL
-        SELECT 'source', COUNT(*), COUNT(source), COUNT(DISTINCT source)
-        FROM documents
-        UNION ALL
-        SELECT 'text', COUNT(*), COUNT(text), COUNT(DISTINCT text)
-        FROM documents
-        ORDER BY "column"
-      """)),
-
-    // Row-level rule validation (DataQuality.validate): the
-    // dead-letter-queue split. One (doc_id, failed_rule) row per
-    // violated rule; the rule set mixes always-pass integrity checks
-    // with a length rule that actually fires, so both branches of the
-    // null-safe pass logic are exercised.
-    QueryDef(
-      "q_quarantine",
-      (s, dir) =>
-        graft.operators.DataQuality.validate(
-            Tables.documents(s, dir), Seq("doc_id"),
-            Seq(
-              "too_short" -> (col("n_chars") >= 200),
-              "lang_known" ->
-                col("lang").isin("en", "de", "es", "fr", "zh"),
-              "chars_match_text" -> (col("n_chars") === length(col("text")))))
-          .orderBy(col("doc_id"), col("failed_rule")),
-      Some("""
-        SELECT doc_id, failed_rule FROM (
-          SELECT doc_id, 'too_short' AS failed_rule FROM documents
-          WHERE NOT coalesce(n_chars >= 200, false)
-          UNION ALL
-          SELECT doc_id, 'lang_known' FROM documents
-          WHERE NOT coalesce(lang IN ('en','de','es','fr','zh'), false)
-          UNION ALL
-          SELECT doc_id, 'chars_match_text' FROM documents
-          WHERE NOT coalesce(n_chars = length(text), false))
-        ORDER BY doc_id, failed_rule
-      """)),
-
-    // The batch-curation composite, end to end: CurationPipeline.run
-    // chains quarantine → quality floor → MinHash near-dup dedup →
-    // (identity) mixture → contiguous global ids, each stage the
-    // already-oracled operator. The oracle replays the whole five-
-    // stage chain — row filters, the 6-dp-rounded quality threshold,
-    // exact-Jaccard closure over the SURVIVING docs (the LSH path
-    // agrees exactly: planted pairs sit at j≥0.97 where banded recall
-    // is deterministic — see q_dedup_minhash), and row_number over the
-    // md5 sort key GlobalIds orders by. A green row here verifies the
-    // composite's plumbing, not just its stages.
-    QueryDef(
-      "q_curate",
-      (s, dir) => {
-        val r = CurationPipeline.run(
-          Tables.documents(s, dir)
-            .select(col("doc_id"), col("text"), col("source")),
-          "doc_id", "text", "source")
-        r.curated.select(col("row_id"), col("doc_id"))
-          .orderBy(col("row_id"))
-      },
-      Some(s"""
-        WITH RECURSIVE
-        $curateCtes
-        SELECT CAST(ROW_NUMBER() OVER (
-                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '#0'))
-               AS BIGINT) AS row_id,
-               doc_id
-        FROM kept
-        ORDER BY row_id
-      """)),
-
-    // The composite's per-stage row LEDGER — the operational contract
-    // a pipeline report is built from — verified as data: five (step,
-    // stage, n_rows) rows counted from the same replayed chain.
-    QueryDef(
-      "q_curate_ledger",
-      (s, dir) => {
-        val r = CurationPipeline.run(
-          Tables.documents(s, dir)
-            .select(col("doc_id"), col("text"), col("source")),
-          "doc_id", "text", "source")
-        val rows = r.ledger.zipWithIndex.map { case ((stage, n), i) =>
-          (i, stage, n)
-        }
-        s.createDataFrame(rows).toDF("step", "stage", "n_rows")
-          .orderBy(col("step"))
-      },
-      Some(s"""
-        WITH RECURSIVE
-        $curateCtes
-        SELECT * FROM (
-          SELECT 0 AS step, 'input' AS stage,
-                 (SELECT COUNT(*) FROM documents) AS n_rows
-          UNION ALL SELECT 1, 'quarantine', (SELECT COUNT(*) FROM valid)
-          UNION ALL SELECT 2, 'quality', (SELECT COUNT(*) FROM good)
-          UNION ALL SELECT 3, 'dedup', (SELECT COUNT(*) FROM kept)
-          UNION ALL SELECT 4, 'mix', (SELECT COUNT(*) FROM kept))
-        ORDER BY step
-      """)),
-
-    // The composite with a REAL mixture stage (stage 4 non-identity):
-    // per-source DoReMi-style rates over the deduped survivors, then
-    // ids over (doc, copy). The md5 15-hex uniform draw and the
-    // binary-exact rates replay bit-for-bit (q_mix_sources pattern),
-    // so the full chain stays hash-checkable.
-    QueryDef(
-      "q_curate_mix",
-      (s, dir) => {
-        val r = CurationPipeline.run(
-          Tables.documents(s, dir)
-            .select(col("doc_id"), col("text"), col("source")),
-          "doc_id", "text", "source",
-          CurationPipeline.Config(rates =
-            Map("src0" -> 1.5, "src1" -> 0.5, "src2" -> 0.25)))
-        r.curated.select(col("row_id"), col("doc_id"), col("copy"))
-          .orderBy(col("row_id"))
-      },
-      Some(s"""
-        WITH RECURSIVE
-        $curateCtes,
-        mixb AS (
-          SELECT doc_id,
-                 CASE source WHEN 'src0' THEN 1.5 WHEN 'src1' THEN 0.5
-                             WHEN 'src2' THEN 0.25 ELSE 1.0 END AS rate,
-                 CAST(CAST(concat('0x',
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                      AS UBIGINT) AS DOUBLE)
-                   / 1152921504606846976.0 AS u
-          FROM kept),
-        counted AS (
-          SELECT doc_id,
-                 CAST(floor(rate) +
-                      (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END)
-                   AS INT) AS copies
-          FROM mixb),
-        expl AS (
-          SELECT doc_id,
-                 CAST(unnest(generate_series(1, copies)) AS INT) AS copy
-          FROM counted WHERE copies > 0)
-        SELECT CAST(ROW_NUMBER() OVER (
-                 ORDER BY md5(CAST(doc_id AS VARCHAR) || '#'
-                              || CAST(copy AS VARCHAR)))
-               AS BIGINT) AS row_id,
-               doc_id, copy
-        FROM expl
-        ORDER BY row_id
-      """)),
-
-    // Gopher-style repetition filters (token-level): duplicate-token
-    // fraction and most-frequent-bigram coverage per doc — the
-    // MassiveText signals for dropping boilerplate/degenerate docs.
-    QueryDef(
-      "q_repetition",
-      (s, dir) =>
-        TextAnalysis.repetitionStats(
-            Tables.documents(s, dir), "doc_id", "text")
-          .orderBy(col("doc_id")),
-      Some("""
-        WITH words AS (
-          SELECT doc_id, unnest(string_split(text,' ')) AS word,
-                 generate_subscripts(string_split(text,' '), 1) AS pos
-          FROM documents),
-        big AS (
-          SELECT doc_id, word || ' ' || lead(word,1) OVER w AS bigram
-          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM big
-               WHERE bigram IS NOT NULL GROUP BY 1, 2),
-        mb AS (SELECT doc_id, MAX(c) AS max_bi FROM bc GROUP BY 1),
-        tot AS (SELECT doc_id, COUNT(*) AS n_tokens,
-                       COUNT(DISTINCT word) AS n_types
-                FROM words GROUP BY 1)
-        SELECT t.doc_id, t.n_tokens,
-               1.0 - CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
-                 AS dup_token_frac,
-               COALESCE(CAST(max_bi * 2 AS DOUBLE)
-                 / CAST(n_tokens AS DOUBLE), 0.0) AS top_bigram_frac
-        FROM tot t LEFT JOIN mb USING (doc_id)
-        ORDER BY doc_id
-      """)),
-
-    // PII redaction: emails → IPv4 → phone runs, fixed order, all
-    // RE2-safe so DuckDB runs the IDENTICAL patterns. The corpus has
-    // no natural PII, so the query plants deterministic pseudo-PII
-    // derived from doc_id (same construction in both engines) — the
-    // oracle exercises real matches, not a vacuous no-op pass.
-    // DuckDB's regexp_replace needs the explicit 'g' flag to match
-    // Spark's replace-all semantics.
-    QueryDef(
-      "q_redact",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            concat(
-              lit("contact u"), col("doc_id"),
-              lit("@mail.example.com from 10.0."),
-              pmod(col("doc_id"), lit(256)),
-              lit(".7 or call +1 555 01"),
-              pmod(col("doc_id"), lit(90)) + 10,
-              lit(" "), col("text")).as("raw"))
-          .select(col("doc_id"),
-            graft.functions.Redaction.redactPii(col("raw")).as("redacted"))
-          .orderBy(col("doc_id")),
-      Some {
-        import graft.functions.Redaction._
-        s"""
-        WITH built AS (
-          SELECT doc_id,
-                 'contact u' || CAST(doc_id AS VARCHAR)
-                 || '@mail.example.com from 10.0.'
-                 || CAST(doc_id % 256 AS VARCHAR)
-                 || '.7 or call +1 555 01'
-                 || CAST(doc_id % 90 + 10 AS VARCHAR)
-                 || ' ' || text AS raw
-          FROM documents)
-        SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(raw,
-                 '$emailPattern', '<EMAIL>', 'g'),
-                 '$ipv4Pattern', '<IP>', 'g'),
-                 '$phonePattern', '<PHONE>', 'g') AS redacted
-        FROM built
-        ORDER BY doc_id
-        """
-      }),
-
-    // The audit side of redaction: per-doc counts of PII-shaped
-    // entities from the SAME patterns the scrubber applies —
-    // quarantine-thresholdable before scrubbing, zero-provable after.
-    // Row-local codegen regexp counts; the planted PII from q_redact's
-    // construction guarantees nonzero counts at any SF.
-    QueryDef(
-      "q_entity_counts",
-      (s, dir) => {
-        val (em, ip, ph) =
-          graft.functions.Redaction.entityCounts(col("raw"))
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            concat(
-              lit("contact u"), col("doc_id"),
-              lit("@mail.example.com from 10.0."),
-              pmod(col("doc_id"), lit(256)),
-              lit(".7 or call +1 555 01"),
-              pmod(col("doc_id"), lit(90)) + 10,
-              lit(" "), col("text")).as("raw"))
-          .select(col("doc_id"), em.as("n_emails"), ip.as("n_ipv4"),
-            ph.as("n_phones"))
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        import graft.functions.Redaction._
-        s"""
-        WITH built AS (
-          SELECT doc_id,
-                 'contact u' || CAST(doc_id AS VARCHAR)
-                 || '@mail.example.com from 10.0.'
-                 || CAST(doc_id % 256 AS VARCHAR)
-                 || '.7 or call +1 555 01'
-                 || CAST(doc_id % 90 + 10 AS VARCHAR)
-                 || ' ' || text AS raw
-          FROM documents)
-        SELECT doc_id,
-               len(regexp_extract_all(raw, '$emailPattern')) AS n_emails,
-               len(regexp_extract_all(raw, '$ipv4Pattern')) AS n_ipv4,
-               len(regexp_extract_all(raw, '$phonePattern')) AS n_phones
-        FROM built
-        ORDER BY doc_id
-        """
-      }),
-
-    // Term burstiness (Fano factor of per-doc tf): content words
-    // clump, function words spread — Church & Gale's
-    // deviation-from-Poisson content-word signal
-    // (TermStats.burstiness scaladoc).
-    QueryDef(
-      "q_burstiness",
-      (s, dir) =>
-        graft.operators.TermStats.burstiness(
-          Tables.documents(s, dir)
-            .select(col("doc_id"),
-              explode(split(col("text"), " ", -1)).as("term"))
-            .filter(col("term") =!= ""),
-          "doc_id", "term", minDf = 5)
-          .orderBy(col("term")),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS term
-          FROM documents),
-        t2 AS (SELECT * FROM toks WHERE term <> ''),
-        tf AS (SELECT doc_id, term, count(*) AS tf FROM t2 GROUP BY 1, 2),
-        g AS (
-          SELECT term, CAST(count(*) AS BIGINT) AS df,
-                 CAST(SUM(tf) AS BIGINT) AS total_tf,
-                 SUM(CAST(tf AS HUGEINT) * tf) AS stt
-          FROM tf GROUP BY 1 HAVING count(*) >= 5)
-        SELECT term, df, total_tf,
-               ROUND(CAST(total_tf AS DOUBLE) / CAST(df AS DOUBLE), 6)
-                 AS mean_tf,
-               ROUND(((CAST(df AS DOUBLE) * CAST(stt AS DOUBLE)
-                       - CAST(total_tf AS DOUBLE) * CAST(total_tf AS DOUBLE))
-                      / (CAST(df AS DOUBLE) * (CAST(df AS DOUBLE) - 1.0)))
-                     / (CAST(total_tf AS DOUBLE) / CAST(df AS DOUBLE)), 6)
-                 AS fano
-        FROM g ORDER BY term
-      """)),
-
-    // word2vec negative-sampling table: p ∝ count^(3/4) via two
-    // correctly-rounded sqrts, micro-lattice weights, integer-ppm
-    // shares (TermStats.negativeSamplingTable scaladoc).
-    QueryDef(
-      "q_negative_sampling",
-      (s, dir) =>
-        graft.operators.TermStats.negativeSamplingTable(
-          Tables.documents(s, dir)
-            .select(explode(split(col("text"), " ", -1)).as("term"))
-            .filter(col("term") =!= ""),
-          "term")
-          .orderBy(col("term")),
-      Some("""
-        WITH toks AS (
-          SELECT unnest(string_split(text, ' ')) AS term FROM documents),
-        t2 AS (SELECT * FROM toks WHERE term <> ''),
-        counts AS (
-          SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t2 GROUP BY 1),
-        wt AS (
-          SELECT term, cnt,
-                 CAST(ROUND(sqrt(CAST(cnt AS DOUBLE))
-                            * sqrt(sqrt(CAST(cnt AS DOUBLE))) * 1e6)
-                   AS BIGINT) AS weight_micro
-          FROM counts),
-        tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS t FROM wt)
-        SELECT term, cnt, weight_micro,
-               CAST((weight_micro * 1000000) // (SELECT t FROM tot)
-                 AS BIGINT) AS p_ppm
-        FROM wt ORDER BY term
-      """)),
-
-    // Gini-Simpson lexical diversity per source: collision
-    // probability complement on an exact integer rational — no logs
-    // anywhere, the evenness gauge beside q_token_entropy's Shannon
-    // one (TermStats.simpsonDiversity scaladoc).
-    QueryDef(
-      "q_simpson",
-      (s, dir) =>
-        graft.operators.TermStats.simpsonDiversity(
-          Tables.documents(s, dir)
-            .select(col("source"),
-              explode(split(col("text"), " ", -1)).as("term"))
-            .filter(col("term") =!= ""),
-          "source", "term")
-          .orderBy(col("source")),
-      Some("""
-        WITH toks AS (
-          SELECT source, unnest(string_split(text, ' ')) AS term
-          FROM documents),
-        t2 AS (SELECT * FROM toks WHERE term <> ''),
-        counts AS (
-          SELECT source, term, CAST(count(*) AS BIGINT) AS c
-          FROM t2 GROUP BY 1, 2),
-        g AS (
-          SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
-                 CAST(count(*) AS BIGINT) AS n_types,
-                 CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
-          FROM counts GROUP BY 1)
-        SELECT source, n_tokens, n_types,
-               1000000 - CAST((coll * 1000000)
-                              // (n_tokens * (n_tokens - 1)) AS BIGINT)
-                 AS simpson_ppm
-        FROM g WHERE n_tokens >= 2
-        ORDER BY source
-      """)),
-
-    QueryDef(
-      "q_lang_id",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
-          .groupBy(col("lang"), col("predicted"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("lang"), col("predicted")),
-      Some {
-        val unions = TextAnalysis.langLexicons.map { case (l, lex) =>
-          s"""SELECT doc_id, lang, '$l' AS guess,
-              len(list_intersect(list_distinct(string_split(text, ' ')),
-                  [${sqlList(lex)}])) AS s
-              FROM documents"""
-        }.mkString(" UNION ALL ")
-        s"""
-        WITH scores AS ($unions),
-        best AS (
-          SELECT doc_id, lang, guess, s,
-                 ROW_NUMBER() OVER (PARTITION BY doc_id
-                                    ORDER BY s DESC, guess ASC) AS rn
-          FROM scores)
-        SELECT lang,
-               CASE WHEN s > 0 THEN guess ELSE 'und' END AS predicted,
-               COUNT(*) AS n
-        FROM best WHERE rn = 1
-        GROUP BY 1, 2
-        ORDER BY 1, 2
-        """
-      }),
-
-    // Code-switching detection: language-ID each HALF of the doc (by
-    // token count) and flag docs whose halves disagree — the
-    // mixed-language curation filter a doc-level vote misses. Pure
-    // row-local langId over two derived texts, scan-speed.
-    QueryDef(
-      "q_lang_mix",
-      (s, dir) => {
-        val toks = split(col("text"), " ", -1)
-        val n = size(toks)
-        val h = (n.cast("long") / lit(2L)).cast("int")
-        val first = array_join(slice(toks, lit(1), h), " ")
-        val second = array_join(slice(toks, h + 1, n - h), " ")
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            TextAnalysis.langId(first).as("lang_a"),
-            TextAnalysis.langId(second).as("lang_b"))
-          .withColumn("mixed", col("lang_a") =!= col("lang_b"))
-          .orderBy(col("doc_id"))
-      },
-      Some {
-        val unions = TextAnalysis.langLexicons.map { case (l, lex) =>
-          s"""SELECT doc_id, half, '$l' AS guess,
-              len(list_intersect(list_distinct(string_split(t, ' ')),
-                  [${sqlList(lex)}])) AS s
-              FROM halves"""
-        }.mkString(" UNION ALL ")
-        s"""
-        WITH base AS (
-          SELECT doc_id, string_split(text, ' ') AS toks,
-                 len(string_split(text, ' ')) AS n
-          FROM documents),
-        halves AS (
-          SELECT doc_id, 1 AS half,
-                 array_to_string(toks[1:CAST(n // 2 AS INT)], ' ') AS t
-          FROM base
-          UNION ALL
-          SELECT doc_id, 2,
-                 array_to_string(toks[CAST(n // 2 + 1 AS INT):CAST(n AS INT)],
-                                 ' ')
-          FROM base),
-        scores AS ($unions),
-        best AS (
-          SELECT doc_id, half,
-                 CASE WHEN s > 0 THEN guess ELSE 'und' END AS pl,
-                 ROW_NUMBER() OVER (PARTITION BY doc_id, half
-                                    ORDER BY s DESC, guess ASC) AS rn
-          FROM scores),
-        langs AS (
-          SELECT doc_id,
-                 MAX(CASE WHEN half = 1 THEN pl END) AS lang_a,
-                 MAX(CASE WHEN half = 2 THEN pl END) AS lang_b
-          FROM best WHERE rn = 1 GROUP BY doc_id)
-        SELECT doc_id, lang_a, lang_b, lang_a <> lang_b AS mixed
-        FROM langs
-        ORDER BY doc_id
-        """
-      }),
-
-    QueryDef(
-      "q_fingerprint",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            TextAnalysis.fingerprintCanonical(col("text")).as("canon_fp"),
-            TextAnalysis.fingerprintWinnow(col("text"), 5).as("winnow_fp"))
-          .orderBy(col("doc_id")),
-      Some(s"""
-        ${shingleSql(5)},
-        winnow AS (
-          SELECT doc_id, MIN(md5(shingle)) AS winnow_fp
-          FROM grams GROUP BY doc_id)
-        SELECT d.doc_id,
-               md5(array_to_string(list_sort(list_distinct(string_split(d.text, ' '))), ' ')) AS canon_fp,
-               w.winnow_fp
-        FROM documents d JOIN winnow w ON w.doc_id = d.doc_id
-        ORDER BY d.doc_id
-      """)),
-
-    // Fixed-size overlapping chunking (TextChunking.chunkFixed): the
-    // splitter ahead of embedding/RAG pipelines — 200-char chunks,
-    // 50-char overlap (stride 150). Relational explode+substring,
-    // shuffle-free; the oracle replays the same windows with a range
-    // join. ORACLE SOUNDNESS BOUND: range(0,100) caps the replay at
-    // 100 chunks/doc, i.e. docs ≤ 15,000 chars (100·stride); DuckDB's
-    // range() cannot take a data-derived bound. The sf corpora max out
-    // at 577 chars (3 chunks) — a future corpus with longer docs must
-    // raise the 100 or the oracle silently undercounts while Spark
-    // does not.
-    QueryDef(
-      "q_chunk_docs",
-      (s, dir) =>
-        graft.operators.TextChunking.chunkFixed(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")),
-            "text", size = 200, overlap = 50)
-          .select(col("doc_id"), col("chunk_idx"),
-            length(col("chunk")).cast("long").as("chunk_len"),
-            md5(col("chunk")).as("chunk_md5"))
-          .orderBy(col("doc_id"), col("chunk_idx")),
-      Some("""
-        SELECT doc_id, r.i AS chunk_idx,
-               CAST(length(substr(text, CAST(r.i * 150 + 1 AS BIGINT), 200))
-                    AS BIGINT) AS chunk_len,
-               md5(substr(text, CAST(r.i * 150 + 1 AS BIGINT), 200))
-                 AS chunk_md5
-        FROM documents, range(0, 100) r(i)
-        WHERE r.i * 150 < length(text)
-        ORDER BY doc_id, chunk_idx
-      """)),
-
-    // Deterministic content-hash sampling as an oracle-checked query:
-    // membership from md5(id) (DuckDB-replicable — the Sampling
-    // operator's xxhash64 is not, same pattern otherwise), keeping
-    // ids whose hash lands in 3 of 10 residue classes. The aggregate
-    // over the kept set proves BOTH engines selected the same rows.
-    QueryDef(
-      "q_sample_docs",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .withColumn("h",
-            expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
-              .cast("long"))
-          .where(pmod(col("h"), lit(10L)) < 3)
-          .agg(count(lit(1)).as("n_kept"),
-            sum(length(col("text")).cast("long")).as("sum_len"),
-            min(col("doc_id")).as("min_id"),
-            max(col("doc_id")).as("max_id")),
-      Some("""
-        SELECT COUNT(*) AS n_kept,
-               CAST(SUM(length(text)) AS BIGINT) AS sum_len,
-               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-        FROM (SELECT doc_id, text,
-                     CAST(concat('0x',
-                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                       AS UBIGINT) AS h
-              FROM documents)
-        WHERE h % 10 < 3
-      """)),
-
-    // Deterministic per-stratum reservoir: exactly 5 docs per source,
-    // drawn as the 5 SMALLEST md5 hashes — a uniform-without-
-    // replacement sample that is a pure function of the ids (same
-    // rows on any cluster, any partitioning, any engine). The draw
-    // uses the bounded top_k_by aggregate (map-side partial heaps,
-    // k·|groups| state) — NOT a per-group rank window, so no stratum
-    // ever gathers on one task: the 100-TB shape for "n per bucket".
-    QueryDef(
-      "q_reservoir",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("source"), col("doc_id"))
-          .withColumn("h",
-            expr("conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10)")
-              .cast("long"))
-          .groupBy(col("source"))
-          .agg(graft.functions.top_k_by(negate(col("h")), col("doc_id"), 5)
-            .as("top"))
-          .select(col("source"), posexplode(col("top")))
-          .select(col("source"), col("col.id").as("doc_id"),
-            (col("pos") + 1).as("draw_rank"))
-          .orderBy(col("source"), col("draw_rank")),
-      Some("""
-        WITH h AS (
-          SELECT source, doc_id,
-                 CAST(concat('0x',
-                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                   AS UBIGINT) AS h
-          FROM documents),
-        r AS (
-          SELECT source, doc_id,
-                 ROW_NUMBER() OVER (PARTITION BY source
-                                    ORDER BY h, doc_id) AS draw_rank
-          FROM h)
-        SELECT source, doc_id, draw_rank
-        FROM r WHERE draw_rank <= 5
-        ORDER BY source, draw_rank
-      """)),
-
-    // Per-source token-vs-chars calibration curves: thousands-of-
-    // small-models grouped OLS in ONE aggregation pass (GroupedOls
-    // scaladoc) — five exact integer statistics per group, double
-    // arithmetic on them exact below 2^53, slope/intercept/r² pure
-    // functions of integers.
-    QueryDef(
-      "q_group_regression",
-      (s, dir) =>
-        graft.operators.GroupedOls.fit(
-            Tables.documents(s, dir).select(col("source"), col("n_chars"),
-              TextAnalysis.bpeTokenEstimate(col("text"))
-                .cast("long").as("toks")),
-            "source", "n_chars", "toks")
-          .orderBy(col("source")),
-      Some(s"""
-        WITH d AS (
-          SELECT source, n_chars,
-                 CAST(len(regexp_extract_all(text,
-                   '${TextAnalysis.bpePattern.replace("'", "''")}')) AS BIGINT)
-                   AS toks
-          FROM documents),
-        stats AS (
-          SELECT source, count(*) AS n,
-                 sum(n_chars) AS sx, sum(toks) AS sy,
-                 sum(n_chars * toks) AS sxy,
-                 sum(n_chars * n_chars) AS sxx,
-                 sum(toks * toks) AS syy
-          FROM d GROUP BY 1),
-        calc AS (
-          SELECT source, n,
-                 CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
-                 CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
-                 CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
-                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
-                 CAST(n AS DOUBLE) AS nd
-          FROM stats)
-        SELECT source, n,
-               CAST(ROUND((cov / varx) * 1000000.0) AS BIGINT)
-                 / 1000000.0 AS slope,
-               CAST(ROUND(((syd - (cov / varx) * sxd) / nd) * 1000000.0)
-                 AS BIGINT) / 1000000.0 AS intercept,
-               CASE WHEN vary = 0 THEN NULL
-                    ELSE CAST(ROUND(((cov * cov) / (varx * vary))
-                           * 1000000.0) AS BIGINT) / 1000000.0
-               END AS r2
-        FROM calc
-        WHERE n >= 2 AND varx <> 0
-        ORDER BY source
-      """)),
-
-    // Weighted sampling without replacement (Efraimidis-Spirakis
-    // keys, odds ∝ n_chars): the md5 draw is offset +0.5 so log10
-    // never sees 0 (Spark NULL vs DuckDB -inf), the log-space key
-    // order equals u^(1/w) monotonically, and top-k is a bounded
-    // TakeOrdered — no reservoir merge, no corpus shuffle.
-    QueryDef(
-      "q_weighted_sample",
-      (s, dir) => {
-        import graft.operators.Sampling
-        Sampling.weightedSample(
-            Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
-            "doc_id", "n_chars", k = 20)
-          .orderBy(col("es_key").desc, col("doc_id"))
-      },
-      Some("""
-        SELECT doc_id, n_chars,
-               ROUND(log10((CAST(CAST(concat('0x',
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                      AS UBIGINT) AS DOUBLE) + 0.5)
-                     / 1152921504606846976.0)
-                 / CAST(n_chars AS DOUBLE), 9) AS es_key
-        FROM documents
-        WHERE n_chars > 0
-        ORDER BY es_key DESC, doc_id
-        LIMIT 20
-      """)),
-
-    // CCNet-style unigram cross-entropy (UnigramLM scaladoc): the
-    // model is one map-side-combined count agg; per-word −log10 p is
-    // rounded to a 9 dp lattice and summed in exact DECIMAL so
-    // accumulation order cannot perturb the per-doc mean.
-    QueryDef(
-      "q_lm_score",
-      (s, dir) =>
-        UnigramLM.crossEntropy(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")),
-            "doc_id", "text")
-          .orderBy(col("doc_id")),
-      Some(s"""
-        WITH $lmXentCtes
-        SELECT doc_id, n_tokens, xent FROM lm ORDER BY doc_id
-      """)),
-
-    // Bigram-LM cross-entropy (Jelinek-Mercer λ=0.75 interpolation
-    // with the unigram marginal) — the perplexity filter one model
-    // order above q_lm_score. Oracle replays transition extraction
-    // (lead window), both count models, the interpolated probability
-    // with IDENTICAL parenthesization, and the 9-dp/DECIMAL sum
-    // discipline.
-    QueryDef(
-      "q_bigram_score",
-      (s, dir) => {
-        import graft.operators.BigramLM
-        BigramLM.crossEntropy(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")),
-            "doc_id", "text")
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH words AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
-          FROM documents),
-        trans0 AS (
-          SELECT doc_id, word AS w1,
-                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
-                   AS w2
-          FROM words),
-        trans AS (SELECT * FROM trans0 WHERE w2 IS NOT NULL),
-        c12 AS (SELECT w1, w2, count(*) AS c12 FROM trans GROUP BY 1, 2),
-        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
-        c2 AS (SELECT word AS w2, count(*) AS c2 FROM words GROUP BY 1),
-        tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS tot FROM c2),
-        model AS (
-          SELECT c12.w1, c12.w2,
-                 ROUND(-LOG10(
-                   0.75 * (CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
-                   + 0.25 * (CAST(c2.c2 AS DOUBLE) / tot.tot)), 9) AS nlp
-          FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot)
-        SELECT t.doc_id, count(*) AS n_transitions,
-               ROUND(CAST(sum(CAST(m.nlp AS DECIMAL(38,12))) AS DOUBLE)
-                     / count(*), 6) AS xent
-        FROM trans t JOIN model m ON m.w1 = t.w1 AND m.w2 = t.w2
-        GROUP BY t.doc_id
-        ORDER BY t.doc_id
-      """)),
-
-    // Per-source vocabulary drift: KL(source ‖ corpus) with add-one
-    // smoothing over the FULL vocab (absent terms carry smoothed mass
-    // — the |groups|×|vocab| frame is the honest exact cost, see
-    // UnigramLM.sourceDrift). 9-dp lattice + DECIMAL sum, log10.
-    QueryDef(
-      "q_corpus_drift",
-      (s, dir) =>
-        UnigramLM.sourceDrift(
-            Tables.documents(s, dir).select(col("source"), col("text")),
-            "text", "source")
-          .orderBy(col("source")),
-      Some("""
-        WITH toks AS (
-          SELECT source AS g, unnest(string_split(text, ' ')) AS w
-          FROM documents),
-        cg AS (SELECT g, w, count(*) AS cgw FROM toks GROUP BY 1, 2),
-        cw AS (SELECT w, sum(cgw) AS cw FROM cg GROUP BY 1),
-        tg AS (SELECT g, sum(cgw) AS tg FROM cg GROUP BY 1),
-        tot AS (SELECT sum(cgw) AS t, count(DISTINCT w) AS v FROM cg),
-        pairs AS (
-          SELECT tg.g, cw.w, tg.tg, cw.cw,
-                 COALESCE(cg.cgw, 0) AS cgw, tot.t, tot.v
-          FROM tg CROSS JOIN cw
-          LEFT JOIN cg ON cg.g = tg.g AND cg.w = cw.w
-          CROSS JOIN tot),
-        contrib AS (
-          SELECT g,
-                 ROUND(((CAST(cgw AS DOUBLE) + 1.0)
-                        / (CAST(tg AS DOUBLE) + CAST(v AS DOUBLE)))
-                   * LOG10(((CAST(cgw AS DOUBLE) + 1.0)
-                            / (CAST(tg AS DOUBLE) + CAST(v AS DOUBLE)))
-                           / ((CAST(cw AS DOUBLE) + 1.0)
-                              / (CAST(t AS DOUBLE) + CAST(v AS DOUBLE)))),
-                   9) AS c
-          FROM pairs)
-        SELECT g AS source,
-               ROUND(CAST(sum(CAST(c AS DECIMAL(38,12))) AS DOUBLE), 6)
-                 AS kl
-        FROM contrib
-        GROUP BY 1
-        ORDER BY source
-      """)),
-
-    // Top-30 PMI collocations (joint floor 5) on the same transition
-    // stream — all four integers come from one event space, PMI is a
-    // per-row log10 rounded at the edge (no float aggregation), and
-    // the (pmi, w1, w2) order is total.
-    QueryDef(
-      "q_collocations",
-      (s, dir) => {
-        import graft.operators.BigramLM
-        BigramLM.collocations(
-          Tables.documents(s, dir).select(col("doc_id"), col("text")),
-          "doc_id", "text", minCount = 5, k = 30)
-      },
-      Some("""
-        WITH words AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
-          FROM documents),
-        trans0 AS (
-          SELECT doc_id, word AS w1,
-                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
-                   AS w2
-          FROM words),
-        trans AS (SELECT * FROM trans0 WHERE w2 IS NOT NULL),
-        c12 AS (SELECT w1, w2, count(*) AS c12 FROM trans GROUP BY 1, 2),
-        c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
-        c2 AS (SELECT w2, sum(c12) AS c2 FROM c12 GROUP BY 1),
-        n AS (SELECT sum(c12) AS n12 FROM c12),
-        scored AS (
-          SELECT c12.w1, c12.w2, c12.c12,
-                 ROUND(LOG10(
-                   (CAST(c12.c12 AS DOUBLE) * CAST(n.n12 AS DOUBLE))
-                   / (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))), 6)
-                   AS pmi
-          FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
-          WHERE c12.c12 >= 5)
-        SELECT w1, w2, c12, pmi FROM scored
-        ORDER BY pmi DESC, w1, w2
-        LIMIT 30
-      """)),
-
-    // Curriculum sharding: order the corpus easy->hard by unigram
-    // cross-entropy and cut it into 8 contiguous shards — the
-    // curriculum-learning data prep. Built on GlobalIds (no
-    // single-partition window; an NTILE over the corpus would funnel
-    // everything through one task). shard = floor((row_id-1)*8/n):
-    // both factors are exact integers in double range, so the floored
-    // quotient replays identically in any IEEE engine.
-    QueryDef(
-      "q_curriculum",
-      (s, dir) => {
-        val scored = UnigramLM.crossEntropy(
-          Tables.documents(s, dir).select(col("doc_id"), col("text")),
-          "doc_id", "text")
-        val total = scored.agg(count(lit(1)).as("__n"))
-        GlobalIds.withOrderedIds(
-            scored.select(col("doc_id"), col("xent")),
-            Seq("xent", "doc_id"), "row_id", partitions = 0)
-          .crossJoin(broadcast(total))
-          .select(col("doc_id"), col("xent"),
-            floor((col("row_id") - 1) * 8 / col("__n")).cast("int")
-              .as("shard"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""
-        WITH $lmXentCtes,
-        r AS (
-          SELECT doc_id, xent,
-                 ROW_NUMBER() OVER (ORDER BY xent, doc_id) AS rn,
-                 COUNT(*) OVER () AS n
-          FROM lm)
-        SELECT doc_id, xent,
-               CAST(floor((rn - 1) * 8.0 / n) AS INT) AS shard
-        FROM r ORDER BY doc_id
-      """)),
-
-    // Domain-mixture resampling to per-lang target rates (DoReMi-style
-    // mixture weights). The rates are all binary-exact doubles, so the
-    // floor/fraction split replays bit-for-bit in both engines; the
-    // per-doc uniform draw is the same md5 trick as q_sample_docs.
-    QueryDef(
-      "q_mix_sources",
-      (s, dir) =>
-        CorpusMixing.resampleByRates(
-            Tables.documents(s, dir).select(col("doc_id"), col("lang")),
-            "doc_id", "lang",
-            Map("en" -> 1.5, "de" -> 1.0, "es" -> 0.75,
-              "fr" -> 0.5, "zh" -> 0.25))
-          .orderBy(col("doc_id"), col("copy")),
-      Some("""
-        WITH base AS (
-          SELECT doc_id, lang,
-                 CASE lang WHEN 'en' THEN 1.5 WHEN 'de' THEN 1.0
-                           WHEN 'es' THEN 0.75 WHEN 'fr' THEN 0.5
-                           WHEN 'zh' THEN 0.25 ELSE 1.0 END AS rate,
-                 CAST(CAST(concat('0x',
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                      AS UBIGINT) AS DOUBLE)
-                   / 1152921504606846976.0 AS u
-          FROM documents),
-        counted AS (
-          SELECT doc_id, lang,
-                 CAST(floor(rate) +
-                      (CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END)
-                   AS INT) AS copies
-          FROM base),
-        exploded AS (
-          SELECT doc_id, lang,
-                 CAST(unnest(generate_series(1, copies)) AS INT) AS copy
-          FROM counted WHERE copies > 0)
-        SELECT doc_id, lang, copy FROM exploded ORDER BY doc_id, copy
-      """)),
-
-    // Temperature (α=0.5) source sampling: rates computed IN-ENGINE
-    // from the per-source counts (√-flattened shares, normalized
-    // downsample-only), then materialized with the same md5 draw as
-    // q_mix_sources. The oracle replays rate derivation (9-dp √
-    // lattice, DECIMAL share denominator, order-free max) and the
-    // draw — the surviving (doc_id, source) set is hash-checked.
-    QueryDef(
-      "q_mix_temperature",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-        val rates = CorpusMixing.temperatureRatesSqrt(docs, "source")
-        docs.join(broadcast(rates.select(col("source"), col("rate"))), "source")
-          .where(CorpusMixing.hashFraction(col("doc_id")) < col("rate"))
-          .select(col("doc_id"), col("source"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH counts AS (
-          SELECT source, count(*) AS n FROM documents GROUP BY 1),
-        u AS (SELECT source, n,
-                     ROUND(sqrt(CAST(n AS DOUBLE)), 9) AS u
-              FROM counts),
-        mx AS (SELECT max(u / CAST(n AS DOUBLE)) AS m FROM u),
-        rates AS (
-          SELECT source,
-                 (u / CAST(n AS DOUBLE)) / mx.m AS rate
-          FROM u CROSS JOIN mx),
-        drawn AS (
-          SELECT d.doc_id, d.source, r.rate,
-                 CAST(CAST(concat('0x',
-                        substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
-                      AS UBIGINT) AS DOUBLE)
-                   / 1152921504606846976.0 AS u
-          FROM documents d JOIN rates r USING (source))
-        SELECT doc_id, source FROM drawn WHERE u < rate
-        ORDER BY doc_id
-      """)),
-
-    // FineWeb-style per-domain quality selection: keep the best 30% of
-    // each lang by the composite quality score (pre-rounded to the
-    // 6 dp oracle edge so the window order is float-noise-free).
-    QueryDef(
-      "q_select_quality",
-      (s, dir) => {
-        val scored = Tables.documents(s, dir)
-          .select(col("doc_id"), col("lang"),
-            round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
-        CorpusMixing.selectTopFraction(scored, "lang", "quality", 0.3, "doc_id")
-          .orderBy(col("lang"), col("quality").desc, col("doc_id"))
-      },
-      Some(s"""
-        WITH parts AS (
-          SELECT doc_id, lang,
-                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
-                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
-                 abs(CAST(len(list_filter(string_split(text, ' '),
-                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4) AS stop_penalty,
-                 CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS punct
-          FROM documents),
-        scored AS (
-          SELECT doc_id, lang,
-                 ROUND(len_score * 0.3 + diversity * 0.3 +
-                       (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6)
-                   AS quality
-          FROM parts),
-        ranked AS (
-          SELECT doc_id, lang, quality,
-                 ROW_NUMBER() OVER (PARTITION BY lang
-                                    ORDER BY quality DESC, doc_id) AS rn,
-                 COUNT(*) OVER (PARTITION BY lang) AS n
-          FROM scored)
-        SELECT doc_id, lang, quality FROM ranked
-        WHERE rn <= CEIL(0.3 * n)
-        ORDER BY lang, quality DESC, doc_id
-      """)),
-
-    // Contiguous global row ids WITHOUT the single-partition global
-    // window (GlobalIds scaladoc): range exchange + partition-local
-    // numbering + broadcast prefix-sum offsets. The md5 sort key
-    // scrambles the input order so the test is not vacuous, and is
-    // unique by construction (the operator's total-order contract).
-    QueryDef(
-      "q_assign_ids",
-      (s, dir) => {
-        val keyed = Tables.documents(s, dir)
-          .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
-        GlobalIds.withOrderedIds(keyed, "k", "row_id")
-          .select(col("doc_id"), col("row_id"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        SELECT doc_id,
-               ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
-                 AS row_id
-        FROM documents
-        ORDER BY doc_id
-      """)),
-
-    // Cluster-balanced diversity sampling: assign every embedding to
-    // its nearest deterministic-codebook cell, then keep a fixed
-    // md5-hash-ordered quarter of each cell — a uniform-per-cluster
-    // subset that preserves the corpus's semantic spread (the
-    // embedding-space analogue of per-domain selection). The whole
-    // chain (assignment + draw) is a pure function of the data, so it
-    // is hash-checked end to end via the shared IVF assignment CTEs.
-    QueryDef(
-      "q_diversity_sample",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        // nlist derived from the corpus count (the kNN-family scale
-        // rule) — a fixed nlist caps the sample's semantic spread at
-        // 16 strata no matter how large the corpus grows
-        val nl = Similarity.derivedNlist(
-          emb.select(col("vec_id")).count())
-        val assigned = Similarity.assignCellsSampledCodebook(
-            emb, "vec_id", "embedding", nlist = nl)
-          .select(col("id").as("vec_id"), col("cell"),
-            CorpusMixing.hashFraction(col("id")).as("h"))
-        CorpusMixing.selectTopFraction(assigned, "cell", "h", 0.25, "vec_id")
-          .select(col("vec_id"), col("cell"))
-          .orderBy(col("vec_id"))
-      },
-      Some(s"""
-        WITH $ivfAssignDerivedCtes,
-        hashed AS (
-          SELECT nid, cell,
-                 CAST(CAST(concat('0x',
-                        substr(md5(CAST(nid AS VARCHAR)), 1, 15))
-                      AS UBIGINT) AS DOUBLE)
-                   / 1152921504606846976.0 AS h
-          FROM asg),
-        ranked AS (
-          SELECT nid, cell,
-                 ROW_NUMBER() OVER (PARTITION BY cell
-                                    ORDER BY h DESC, nid) AS rn,
-                 COUNT(*) OVER (PARTITION BY cell) AS n
-          FROM hashed)
-        SELECT nid AS vec_id, cell FROM ranked
-        WHERE rn <= CEIL(0.25 * n)
-        ORDER BY vec_id
-      """)),
-
-    // Z-order (Morton) clustering key for multi-dimensional data
-    // skipping: interleave 8 bucketed bits of user and time so a
-    // range-partitioned write is narrow on BOTH columns' file
-    // min/max stats (ZOrderLayoutSpec proves the layout property;
-    // this pins the curve itself — the SQL twin is generated from
-    // the same bit terms, so expression and oracle cannot drift).
-    QueryDef(
-      "q_zorder",
-      (s, dir) => {
-        val za = pmod(col("user_id"), lit(256L))
-        val zb = pmod(unix_timestamp(col("ts")), lit(256L))
-        Tables.events(s, dir)
-          .select(col("event_id"), za.as("za"), zb.as("zb"),
-            graft.sources.ZOrderLayout.zValue(za, zb, 8).as("z"))
-          .orderBy(col("event_id"))
-      },
-      Some(s"""
-        WITH zk AS (
-          SELECT event_id,
-                 user_id % 256 AS za,
-                 -- floor, not CAST: epoch() is fractional seconds and
-                 -- CAST rounds, while Spark's unix_timestamp truncates
-                 CAST(floor(epoch(ts)) AS BIGINT) % 256 AS zb
-          FROM events)
-        SELECT event_id, za, zb,
-               ${graft.sources.ZOrderLayout.zValueSql("za", "zb", 8)} AS z
-        FROM zk ORDER BY event_id
-      """)),
-
-    // Heavy hitters over the open token domain: Misra-Gries candidate
-    // pass (bounded memory, shuffle carries ≤ partitions×⌈1/φ⌉ rows,
-    // not one per distinct token) + exact verification recount — the
-    // result is EXACT, so the oracle is the plain GROUP BY/HAVING
-    // answer. Threshold ⌈0.002·n⌉ is computed in exact decimal in
-    // both engines (30 items at every SF; no CEIL boundary risk:
-    // 0.002·n is an exact decimal for integer n).
-    QueryDef(
-      "q_heavy_hitters",
-      (s, dir) => {
-        val words = Tables.documents(s, dir)
-          .select(explode(TextFunctions.splitWords(col("text")))
-            .as("item"))
-        graft.operators.HeavyHitters.frequentItems(words, "item", 0.002)
-      },
-      Some("""
-        WITH words AS (
-          SELECT unnest(string_split(text, ' ')) AS item FROM documents),
-        tot AS (SELECT count(*) AS n FROM words)
-        SELECT item, count(*) AS cnt
-        FROM words GROUP BY item
-        HAVING count(*) >=
-          CEIL(CAST(0.002 AS DECIMAL(10,6)) * (SELECT n FROM tot))
-        ORDER BY cnt DESC, item
-      """)),
-
-    // Count-min sketch with REPLAYABLE hashing (md5-prefix double
-    // hashing, CmsSketch scaladoc): 4×1024 counters built in one
-    // aggregation pass, point-queried for the 30 most frequent terms.
-    // exact_cnt is carried only to exhibit the one-sided error
-    // (cms_cnt ≥ exact_cnt always; small bounded overcount) — a
-    // deployment keeps just the kilobyte counter table. The oracle
-    // replays hash, counters, and min end to end.
-    QueryDef(
-      "q_cms_counts",
-      (s, dir) => {
-        import graft.operators.CmsSketch
-        val words = Tables.documents(s, dir)
-          .select(explode(TextFunctions.splitWords(col("text")))
-            .as("term"))
-        val counters = CmsSketch.buildCounters(words, "term")
-        val exact = words.groupBy(col("term"))
-          .agg(count(lit(1)).as("exact_cnt"))
-          .orderBy(col("exact_cnt").desc, col("term"))
-          .limit(30)
-        CmsSketch.estimate(counters, exact.select(col("term")), "term")
-          .join(broadcast(exact), "term")
-          .select(col("term"), col("exact_cnt"), col("cms_cnt"),
-            (col("cms_cnt") - col("exact_cnt")).as("overcount"))
-          .orderBy(col("term"))
-      },
-      Some("""
-        WITH toks AS (
-          SELECT unnest(string_split(text, ' ')) AS term FROM documents),
-        hh AS (
-          SELECT term,
-                 CAST(h % 1048576 AS BIGINT) AS h1,
-                 CAST(((h // 1048576) % 1048576) * 2 + 1 AS BIGINT) AS h2
-          FROM (SELECT DISTINCT term,
-                       CAST(concat('0x', substr(md5(term), 1, 15))
-                         AS UBIGINT) AS h
-                FROM toks)),
-        counters AS (
-          SELECT r.j, (o.h1 + r.j * o.h2) % 1024 AS bucket,
-                 count(*) AS cnt
-          FROM toks t JOIN hh o USING (term), range(0, 4) r(j)
-          GROUP BY 1, 2),
-        exact AS (
-          SELECT term, count(*) AS exact_cnt
-          FROM toks GROUP BY 1
-          ORDER BY exact_cnt DESC, term LIMIT 30),
-        est AS (
-          SELECT e.term, e.exact_cnt,
-                 min(COALESCE(c.cnt, 0)) AS cms_cnt
-          FROM exact e
-          JOIN hh o USING (term)
-          CROSS JOIN range(0, 4) r(j)
-          LEFT JOIN counters c
-            ON c.j = r.j AND c.bucket = (o.h1 + r.j * o.h2) % 1024
-          GROUP BY 1, 2)
-        SELECT term, exact_cnt,
-               CAST(cms_cnt AS BIGINT) AS cms_cnt,
-               CAST(cms_cnt - exact_cnt AS BIGINT) AS overcount
-        FROM est ORDER BY term
-      """)),
-
-    // Symmetric int8 embedding quantization (absmax scheme): per-row
-    // pure functions end to end — scale and the sequential-fold
-    // reconstruction SSE are identical doubles in both engines, and
-    // are hashed as integer NANO-lattices (explicit ×1e9 in double,
-    // then round-to-integer, which is engine-agnostic for the same
-    // double) — ROUND(x, 9) itself is NOT cross-engine-stable: the
-    // engines' internal 10^9 scaling disagrees on ~10% of rows at
-    // this magnitude (the q_token_budget lesson, one decade deeper).
-    // l1 is exact integer arithmetic in double range.
-    QueryDef(
-      "q_quantize",
-      (s, dir) => {
-        import graft.functions.Quantization
-        Tables.embeddings(s, dir)
-          .withColumn("scale", Quantization.absmaxScale(col("embedding")))
-          .withColumn("codes",
-            Quantization.quantizeInt8(col("embedding"), col("scale")))
-          .select(col("vec_id"),
-            round(col("scale") * lit(1e9)).cast("long").as("scale_nano"),
-            aggregate(col("codes"), lit(0L),
-              (acc, q) => acc + abs(q.cast("long"))).as("l1_q"),
-            round(Quantization.reconstructionSse(
-                col("embedding"), col("codes"), col("scale")) * lit(1e9))
-              .cast("long").as("sse_nano"))
-          .orderBy(col("vec_id"))
-      },
-      Some("""
-        WITH s AS (
-          SELECT vec_id,
-                 list_max(list_transform(embedding,
-                   x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-          FROM embeddings),
-        c AS (
-          SELECT e.vec_id, s.scale,
-                 list_transform(e.embedding, x ->
-                   CASE WHEN s.scale = 0 THEN 0
-                        ELSE GREATEST(-127.0, LEAST(127.0,
-                               ROUND(CAST(x AS DOUBLE) / s.scale))) END)
-                   AS qs,
-                 e.embedding AS emb
-          FROM embeddings e JOIN s USING (vec_id))
-        SELECT vec_id,
-               CAST(ROUND(scale * 1000000000.0) AS BIGINT) AS scale_nano,
-               CAST(list_reduce(list_prepend(0.0,
-                      list_transform(qs, q -> abs(q))), (a,b) -> a+b)
-                 AS BIGINT) AS l1_q,
-               CAST(ROUND(list_reduce(list_prepend(0.0,
-                 list_transform(list_zip(emb, qs), p ->
-                   (CAST(p[1] AS DOUBLE) - p[2]*scale)
-                   * (CAST(p[1] AS DOUBLE) - p[2]*scale))),
-                 (a,b) -> a+b) * 1000000000.0) AS BIGINT) AS sse_nano
-        FROM c ORDER BY vec_id
-      """)),
-
-    // Snapshot diff (crawl-to-crawl delta): two snapshots carved
-    // deterministically from `documents` (old = id%7≠0, new = id%5≠0
-    // with id%11=0 texts revised), every key classified
-    // added/removed/changed/unchanged. The oracle classifies by
-    // DIRECT text comparison on a full outer join — it does not
-    // replay the operator's md5 fingerprints, so a hash match proves
-    // the semantic outcome, not the mechanism.
-    QueryDef(
-      "q_snapshot_diff",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val oldSnap = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-        val newSnap = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-          .withColumn("text",
-            when(pmod(col("doc_id"), lit(11)) === 0,
-              concat(col("text"), lit(" v2")))
-              .otherwise(col("text")))
-        graft.operators.SnapshotDiff
-          .diff(oldSnap, newSnap, "doc_id", Seq("text"))
-          .orderBy(col("key"))
-      },
-      Some("""
-        WITH oldd AS (
-          SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
-        newd AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
-                      ELSE text END AS text
-          FROM documents WHERE doc_id % 5 <> 0)
-        SELECT COALESCE(o.doc_id, n.doc_id) AS key,
-               CASE WHEN o.doc_id IS NULL THEN 'added'
-                    WHEN n.doc_id IS NULL THEN 'removed'
-                    WHEN o.text = n.text THEN 'unchanged'
-                    ELSE 'changed' END AS status
-        FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id
-        ORDER BY key
-      """)),
-
-    // PageRank over the embedding 5-NN similarity graph, 10 fixed
-    // iterations on the exact integer picounit lattice — every step
-    // is integer floor division, so the fixed point is bit-identical
-    // under any partitioning and the oracle can unroll the same
-    // lattice (generated below: kNN edges from 6-dp-rounded
-    // distances, then r0..r10). Graph centrality as a curation
-    // signal: hubs are "representative", low-rank rows outliers.
-    QueryDef(
-      "q_pagerank",
-      (s, dir) => {
-        val pts = Tables.embeddings(s, dir)
-        val q = pts.select(col("vec_id").as("src"), col("embedding").as("qv"))
-        val c = pts.select(col("vec_id").as("dst"), col("embedding").as("cv"))
-        val edges = c.crossJoin(broadcast(q))
-          .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst"),
-            negate(round(graft.functions.VectorFunctions
-              .dist2(col("qv"), col("cv")), 6)).as("score"))
-          .groupBy(col("src"))
-          .agg(graft.functions.top_k_by(col("score"), col("dst"), 5)
-            .as("top"))
-          .select(col("src"), explode(col("top")).as("t"))
-          .select(col("src"), col("t.id").as("dst"))
-        graft.operators.PageRank.run(edges, "src", "dst", 10)
-          .orderBy(col("id"))
-      },
-      Some(pagerankOracle)),
-
-    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
-    // over the term co-occurrence graph — vocab = top-200 terms by
-    // docfreq (df desc, term tiebreak), undirected edges between
-    // vocab terms co-occurring within distance <= 2, 10 lattice
-    // iterations, top-30 keywords by rank. Co-occurrence is built as
-    // TWO EQUI-joins on (doc_id, pos±δ) — never a per-doc position
-    // cross join — and the 200-row vocab broadcasts; the only
-    // single-partition step is numbering those 200 rows.
-    QueryDef(
-      "q_keywords",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val toks = docTokens(s, dir)
-          .select(col("doc_id"),
-            posexplode(col("tokens")).as(Seq("pos", "term")))
-        val vocab = toks.groupBy(col("term"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .orderBy(col("df").desc, col("term"))
-          .limit(200)
-        // 200 rows: the empty-partition-spec window is bounded here.
-        // Pinned eagerly — ids feeds the token join AND the final
-        // name join, and PageRank already runs jobs at build time, so
-        // the checkpoint costs nothing extra and saves two replays of
-        // the vocabulary aggregation.
-        val ids = vocab.select(col("term"),
-          row_number().over(Window.orderBy(col("term"))).cast("long")
-            .as("id"))
-          .localCheckpoint(true)
-        val vt = toks.join(broadcast(ids), "term")
-          .select(col("doc_id"), col("pos"), col("id"))
-        val und = Seq(1, 2).map { d =>
-          vt.select(col("doc_id"), col("pos"), col("id").as("src"))
-            .join(vt.select(col("doc_id"), (col("pos") - lit(d)).as("pos"),
-              col("id").as("dst")), Seq("doc_id", "pos"))
-            .select(col("src"), col("dst"))
-        }.reduce(_ union _).filter(col("src") =!= col("dst"))
-        val edges = und
-          .union(und.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct()
-        graft.operators.PageRank.run(edges, "src", "dst", 10)
-          .join(ids, "id")
-          .select(col("term"), col("rank"))
-          .orderBy(col("rank").desc, col("term"))
-          .limit(30)
-      },
-      Some(keywordsOracle)),
-
-    // Incremental aggregate maintenance: history and batch partials
-    // merged (full outer join on the 80-group key, null-safe
-    // combination) must equal a from-scratch recompute — the oracle
-    // IS that recompute, so the hash match proves the merge algebra,
-    // not a replay of it. `value` is snapped to an exact integer
-    // micro lattice BEFORE aggregation (round-to-integer of a scaled
-    // double is engine-agnostic; events.value is not integer-valued,
-    // so hashing ROUND(SUM(double),6) would carry the cross-engine
-    // sum-order ulp risk the round-7 verdict flagged).
-    QueryDef(
-      "q_agg_merge",
-      (s, dir) => {
-        import graft.operators.AggMaintenance
-        val ev = Tables.events(s, dir)
-          .withColumn("bucket", pmod(col("user_id"), lit(16L)))
-          .withColumn("vmicro",
-            round(col("value") * lit(1e6)).cast("long"))
-        val keys = Seq("event_type", "bucket")
-        val history = AggMaintenance.partials(
-          ev.filter(pmod(col("event_id"), lit(4)) =!= 0), keys, Seq("vmicro"))
-        val delta = AggMaintenance.partials(
-          ev.filter(pmod(col("event_id"), lit(4)) === 0), keys, Seq("vmicro"))
-        AggMaintenance.merge(history, delta, keys, Seq("vmicro"))
-          .select(col("event_type"), col("bucket"),
-            col("vmicro_cnt"), col("vmicro_sum").cast("long").as("vmicro_sum"),
-            col("vmicro_min"), col("vmicro_max"))
-          .orderBy(col("event_type"), col("bucket"))
-      },
-      Some("""
-        WITH ev AS (
-          SELECT event_type, user_id % 16 AS bucket,
-                 CAST(ROUND(value * 1000000.0) AS BIGINT) AS vmicro
-          FROM events)
-        SELECT event_type, bucket,
-               count(vmicro) AS vmicro_cnt,
-               CAST(sum(vmicro) AS BIGINT) AS vmicro_sum,
-               min(vmicro) AS vmicro_min,
-               max(vmicro) AS vmicro_max
-        FROM ev
-        GROUP BY event_type, bucket
-        ORDER BY event_type, bucket
-      """)),
-
-    // Bloom-prefiltered join (native BloomFilterAggregate /
-    // might_contain — the AQE runtime-filter machinery used
-    // explicitly): lineitem rows are dropped map-side before the
-    // shuffle unless their order key might be in the selective order
-    // subset; the real join then removes the ~fpp false positives,
-    // so the oracle is the PLAIN join — the hash match proves
-    // exactness of the whole prefilter+join composition.
-    // expectedKeys is a static 1000: undersizing only raises fpp
-    // (more shuffle, never wrong results), so it is scale-safe.
-    QueryDef(
-      "q_bloom_join",
-      (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        val hot = Tables.orders(s, dir)
-          .filter(col("o_totalprice") > 480000)
-          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
-        // Order by EVERY emitted column: the synthetic lineitem does
-        // not have TPC-H's unique (orderkey, linenumber) — at sf0.1,
-        // ~118k pairs repeat with differing quantities, so the
-        // two-column order was not total (caught by the sf0.1 sweep;
-        // rows still tying on all four columns are identical, so
-        // their order is irrelevant to the comparison).
-        graft.operators.BloomJoin
-          .innerPrefiltered(li, hot, "l_orderkey", expectedKeys = 1000)
-          .orderBy(col("l_orderkey"), col("l_linenumber"),
-            col("l_quantity"), col("o_totalprice"))
-      },
-      Some("""
-        SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
-        FROM lineitem l
-        JOIN orders o ON o.o_orderkey = l.l_orderkey
-        WHERE o.o_totalprice > 480000
-        ORDER BY l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
-      """)),
-
-    // BPE tokenizer training statistics: top-100 initial symbol-pair
-    // counts (the argmax of this table IS the first learned merge).
-    // The corpus collapses to a distinct-word frequency table before
-    // any pair work, so the aggregation is vocab-sized (BpeTokenizer
-    // scaladoc). left/right are aliased lhs/rhs — both are reserved
-    // words in DuckDB. The oracle replays char decomposition with the
-    // </w> end-of-word marker via substr over per-row index ranges.
-    QueryDef(
-      "q_bpe_pairs",
-      (s, dir) => {
-        import graft.operators.BpeTokenizer
-        BpeTokenizer.pairStats(BpeTokenizer.initialSymbols(
-            BpeTokenizer.wordCounts(Tables.documents(s, dir), "text")))
-          .select(col("left").as("lhs"), col("right").as("rhs"),
-            col("cnt"))
-          .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
-          .limit(100)
-      },
-      Some("""
-        WITH words AS (
-          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-          FROM (SELECT unnest(string_split(text, ' ')) AS word
-                FROM documents)
-          WHERE length(word) > 0
-          GROUP BY 1),
-        pairs AS (
-          SELECT freq,
-                 substr(word, i, 1) AS lhs,
-                 substr(word, i + 1, 1) ||
-                   CASE WHEN i + 1 = n THEN '</w>' ELSE '' END AS rhs
-          FROM (SELECT word, freq, length(word) AS n,
-                       unnest(range(1, length(word))) AS i
-                FROM words))
-        SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS cnt
-        FROM pairs GROUP BY 1, 2
-        ORDER BY cnt DESC, lhs, rhs
-        LIMIT 100
-      """)),
-
-    // Repeated stratified k-fold assignment (SURVEY §2.8 M2 — the
-    // reference's createMultiFolds intent): witness = per-(rep, fold,
-    // label) counts, which the exact dealing bounds to a ±1 spread
-    // within every (rep, label). The md5-draw round-robin is
-    // replayable in any engine; the oracle re-deals from scratch.
-    QueryDef(
-      "q_cv_folds",
-      (s, dir) =>
-        graft.operators.CrossValidation.exactFolds(
-            Tables.documents(s, dir).select(col("doc_id"), col("lang")),
-            "lang", "doc_id", k = 5, times = 2)
-          .groupBy(col("rep"), col("fold"), col("lang"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("rep"), col("fold"), col("lang")),
-      Some("""
-        WITH reps AS (
-          SELECT doc_id, lang, unnest(range(1, 3)) AS rep
-          FROM documents),
-        dealt AS (
-          SELECT rep, lang,
-                 ((ROW_NUMBER() OVER (PARTITION BY rep, lang
-                     ORDER BY md5(doc_id || ':' || rep), doc_id) - 1)
-                  % 5) + 1 AS fold
-          FROM reps)
-        SELECT rep, fold, lang, CAST(COUNT(*) AS BIGINT) AS n
-        FROM dealt GROUP BY 1, 2, 3
-        ORDER BY rep, fold, lang
-      """)),
-
-    // Per-epoch training-order shuffle: deterministic (id, epoch)
-    // permutation dealt into shards (Sampling.epochShuffle). Witness:
-    // the first 5 positions of every (epoch, shard) — replays the
-    // full double-hash deal, and any dealt-to-the-wrong-shard or
-    // mis-ordered row shifts some emitted prefix.
-    QueryDef(
-      "q_epoch_shuffle",
-      (s, dir) =>
-        graft.operators.Sampling.epochShuffle(
-            Tables.documents(s, dir).select(col("doc_id")),
-            "doc_id", epochs = 2, shards = 8)
-          .filter(col("pos") <= 5)
-          .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
-          .orderBy(col("epoch"), col("shard"), col("pos")),
-      Some("""
-        WITH dealt AS (
-          SELECT doc_id, epoch,
-                 CAST(CAST(concat('0x', substr(md5(doc_id || '#' || epoch),
-                        1, 15)) AS UBIGINT) % 8 AS INT) AS shard,
-                 CAST(concat('0x', substr(md5(doc_id || '@' || epoch),
-                        1, 15)) AS UBIGINT) AS ord
-          FROM (SELECT doc_id, unnest(range(1, 3)) AS epoch
-                FROM documents)),
-        positioned AS (
-          SELECT epoch, shard, doc_id,
-                 ROW_NUMBER() OVER (PARTITION BY epoch, shard
-                                    ORDER BY ord, doc_id) AS pos
-          FROM dealt)
-        SELECT epoch, shard, pos, doc_id
-        FROM positioned WHERE pos <= 5
-        ORDER BY epoch, shard, pos
-      """)),
-
-    // Product-quantization ADC search: corpus vectors collapse to m
-    // sub-codebook codes; query scoring is m integer table lookups
-    // summed (ProductQuantization scaladoc). Every subspace distance
-    // snaps to the micro lattice BEFORE argmin/sum, so encode + rank
-    // are long arithmetic and the oracle replays the whole chain —
-    // sub-codebook sampling, encoding, distance tables, ADC rank.
-    QueryDef(
-      "q_ann_pq",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.ProductQuantization.adcTopK(
-            emb.filter(col("vec_id") < 10), emb,
-            "vec_id", "embedding", k = 5, m = 8, ksub = 16)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        $pqChainCtes,
-        scored AS (
-          SELECT q.id AS query_id, e.id AS neighbor_id,
-                 CAST(SUM(q.dmicro) AS BIGINT) AS dist_micro
-          FROM enc e
-          JOIN sdist q ON q.j = e.j AND q.code = e.code
-          WHERE q.id < 10 AND e.id <> q.id
-          GROUP BY 1, 2),
-        ranked AS (
-          SELECT query_id, neighbor_id, dist_micro,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY dist_micro, neighbor_id)
-                   AS rank
-          FROM scored)
-        SELECT query_id, neighbor_id, dist_micro, rank
-        FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank
-      """)),
-
-    // Honest accuracy accounting for the PQ path: recall@5 of ADC
-    // against the exact L2 top-5 — the compression-vs-accuracy number
-    // a deployment decision needs next to q_ann_recall's IVF figure.
-    QueryDef(
-      "q_ann_pq_recall",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val queries = emb.filter(col("vec_id") < 10)
-        Similarity.recallAtK(
-          Similarity.euclideanTopK(queries, emb, "vec_id", "embedding", 5),
-          graft.operators.ProductQuantization.adcTopK(
-            queries, emb, "vec_id", "embedding", 5, m = 8, ksub = 16))
-      },
-      Some(s"""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        $pqChainCtes,
-        ascored AS (
-          SELECT q.id AS query_id, e.id AS neighbor_id,
-                 CAST(SUM(q.dmicro) AS BIGINT) AS dist_micro
-          FROM enc e
-          JOIN sdist q ON q.j = e.j AND q.code = e.code
-          WHERE q.id < 10 AND e.id <> q.id
-          GROUP BY 1, 2),
-        approx AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY dist_micro, neighbor_id)
-                     AS rank
-            FROM ascored) WHERE rank <= 5),
-        edist AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 CAST(ROUND(SUM((q.x - c.x) * (q.x - c.x)) * 1e6)
-                   AS BIGINT) AS dmicro
-          FROM dims q JOIN dims c ON c.i = q.i
-          WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
-          GROUP BY 1, 2),
-        exact AS (
-          SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY dmicro, neighbor_id)
-                     AS rank
-            FROM edist) WHERE rank <= 5)
-        SELECT e.query_id,
-               CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
-                             THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE) AS recall
-        FROM exact e
-        LEFT JOIN approx a ON a.query_id = e.query_id
-                          AND a.neighbor_id = e.neighbor_id
-        GROUP BY 1 ORDER BY e.query_id
-      """)),
-
-    // IVF-PQ composition: candidates shrink to the query's nprobe
-    // nearest cells (the corpus never full-scans per query), then
-    // ADC integer scoring ranks them — the standard corpus-scale
-    // search shape. Oracle = the proven IVF cell chain + the proven
-    // PQ chain, composed.
-    QueryDef(
-      "q_ann_ivfpq",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.ProductQuantization.ivfPqTopK(
-            emb.filter(col("vec_id") < 10), emb,
-            "vec_id", "embedding", k = 5,
-            nlist = 0, nprobe = 4, m = 8, ksub = 16)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""
-        WITH $ivfAssignDerivedCtes,
-        $pqChainCtes,
-        probes AS (
-          SELECT nid AS query_id, cell FROM (
-            SELECT nid, cell,
-                   ROW_NUMBER() OVER (PARTITION BY nid
-                                      ORDER BY csim DESC, cell) AS rn
-            FROM asim WHERE nid < 10) WHERE rn <= 4),
-        cand AS (
-          SELECT p.query_id, a.nid AS id
-          FROM asg a JOIN probes p ON p.cell = a.cell
-          WHERE a.nid <> p.query_id),
-        pscored AS (
-          SELECT c.query_id, c.id AS neighbor_id,
-                 CAST(SUM(q.dmicro) AS BIGINT) AS dist_micro
-          FROM cand c
-          JOIN enc e ON e.id = c.id
-          JOIN sdist q ON q.id = c.query_id AND q.j = e.j
-                      AND q.code = e.code
-          GROUP BY 1, 2),
-        pranked AS (
-          SELECT query_id, neighbor_id, dist_micro,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY dist_micro, neighbor_id)
-                   AS rank
-          FROM pscored)
-        SELECT query_id, neighbor_id, dist_micro, rank
-        FROM pranked WHERE rank <= 5
-        ORDER BY query_id, rank
-      """)),
-
-    // Plot-data sink (SURVEY §2.1 S5): the engine returns the data
-    // BEHIND a plot — here a fixed-width histogram of document
-    // lengths, the aggregate a length-distribution chart renders.
-    QueryDef(
-      "q_length_histogram",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .groupBy((floor(col("n_chars") / 200) * 200).as("bin_lo"))
-          .agg(count(lit(1)).as("n"),
-            min(col("n_chars")).as("min_len"),
-            max(col("n_chars")).as("max_len"))
-          .orderBy(col("bin_lo")),
-      Some("""
-        SELECT (n_chars // 200) * 200 AS bin_lo,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               MIN(n_chars) AS min_len, MAX(n_chars) AS max_len
-        FROM documents
-        GROUP BY 1 ORDER BY bin_lo
-      """)),
-
-    // ---- Model-based filtering: exact multinomial Naive Bayes ----
-    // The deterministic analogue of the fastText classifier stage
-    // (CCNet-style language/quality filtering): train on docs with
-    // doc_id % 5 <> 0 (label = lang), score the HELD-OUT fifth — so
-    // unseen test terms genuinely exercise the exact default-mass
-    // path. All logs land on the integer micro-lattice and every
-    // downstream op is integer-only (see NaiveBayes scaladoc), so
-    // DuckDB replays the full train + classify chain bit-exactly.
-
-    QueryDef(
-      "q_nb_model",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val model = graft.operators.NaiveBayes.fit(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
-        model.classes
-          .select(col("label").as("lang"), col("n_docs"), col("tokens"),
-            col("prior_micro"), col("default_micro"))
-          .orderBy(col("lang"))
-      },
-      Some(s"WITH $nbTrainCtes" + """
-        SELECT label AS lang, n_docs, tokens, prior_micro, default_micro
-        FROM classes
-        ORDER BY lang
-      """)),
-
-    QueryDef(
-      "q_nb_classify",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
-        val model = graft.operators.NaiveBayes.fit(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
-        graft.operators.NaiveBayes.classify(model, test, "doc_id", "text")
-          .join(test.select(col("doc_id"), col("lang").as("actual")),
-            "doc_id")
-          .select(col("doc_id"), col("pred"), col("actual"),
-            col("score_micro"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}" + """
-        SELECT b.doc_id, b.label AS pred, te.lang AS actual, b.score_micro
-        FROM best b JOIN te USING (doc_id)
-        WHERE b.rn = 1
-        ORDER BY b.doc_id
-      """)),
-
-    QueryDef(
-      "q_nb_confusion",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
-        val model = graft.operators.NaiveBayes.fit(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
-        graft.operators.NaiveBayes
-          .confusion(model, test, "doc_id", "text", "lang")
-          .orderBy(col("actual"), col("pred"))
-      },
-      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}" + """
-        SELECT te.lang AS actual, b.label AS pred, count(*) AS n
-        FROM best b JOIN te USING (doc_id)
-        WHERE b.rn = 1
-        GROUP BY 1, 2
-        ORDER BY actual, pred
-      """)),
-
-    // Cross-modal mutual-best alignment (LAION-style pair filter):
-    // even vec_ids stand in for the image tower, odd for the text
-    // tower; a pair survives only if each side is the other's top-1
-    // cosine neighbor WITHIN the shared IVF-cell block
-    // (ModalAlign.mutualTop1Blocked — the codebook over left ∪ right
-    // here is the derived-nlist smallest-vec_ids codebook over ALL
-    // of embeddings, so the oracle reuses the shared derived-nlist
-    // assignment replay; no full-side broadcast anywhere in the
-    // plan).
-    QueryDef(
-      "q_modal_align",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        graft.operators.ModalAlign.mutualTop1Blocked(
-            emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
-            emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
-            "vec_id", "embedding")
-          .orderBy(col("left_id"))
-      },
-      Some(s"""
-        WITH $ivfAssignDerivedCtes,
-        mpairs AS (
-          SELECT l.nid AS left_id, r.nid AS right_id
-          FROM asg l JOIN asg r ON l.cell = r.cell
-          WHERE l.nid % 2 = 0 AND r.nid % 2 = 1),
-        mdots AS (
-          SELECT p.left_id, p.right_id, sum(dl.x * dr.x) AS d
-          FROM mpairs p
-          JOIN dims dl ON dl.vec_id = p.left_id
-          JOIN dims dr ON dr.vec_id = p.right_id AND dr.i = dl.i
-          GROUP BY 1, 2),
-        mscored AS (
-          SELECT left_id, right_id,
-                 ROUND(d / (nl.nrm * nr.nrm), 6) AS cosine
-          FROM mdots
-          JOIN norms nl ON nl.vec_id = left_id
-          JOIN norms nr ON nr.vec_id = right_id),
-        l2r AS (
-          SELECT left_id, right_id, cosine FROM (
-            SELECT left_id, right_id, cosine,
-                   ROW_NUMBER() OVER (PARTITION BY left_id
-                                      ORDER BY cosine DESC, right_id) AS rn
-            FROM mscored) WHERE rn = 1),
-        r2l AS (
-          SELECT left_id, right_id FROM (
-            SELECT left_id, right_id,
-                   ROW_NUMBER() OVER (PARTITION BY right_id
-                                      ORDER BY cosine DESC, left_id) AS rn
-            FROM mscored) WHERE rn = 1)
-        SELECT l.left_id, l.right_id, l.cosine
-        FROM l2r l
-        JOIN r2l r ON r.left_id = l.left_id AND r.right_id = l.right_id
-        ORDER BY l.left_id
-      """)),
-
-    // Join-key skew profile over orders.o_custkey — the measurement
-    // that decides salting vs AQE before a big join. Integer-ppm
-    // shares; the cumulative sum windows over the bounded top-20
-    // frame only.
-    QueryDef(
-      "q_key_skew",
-      (s, dir) =>
-        graft.operators.DataQuality.keySkew(
-          Tables.orders(s, dir), "o_custkey", 20),
-      Some("""
-        WITH c AS (
-          SELECT o_custkey AS key, count(*) AS cnt FROM orders GROUP BY 1),
-        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
-        top AS (
-          SELECT key, cnt,
-                 CAST((cnt * 1000000) // (SELECT tot FROM t) AS BIGINT)
-                   AS share_ppm
-          FROM c ORDER BY cnt DESC, key LIMIT 20)
-        SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rank,
-               key, cnt, share_ppm,
-               CAST(SUM(share_ppm) OVER (ORDER BY cnt DESC, key
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS cum_share_ppm
-        FROM top
-        ORDER BY rank
-      """)),
-
-    // Exact join-size pre-flight from the two key histograms — the
-    // blowup check BEFORE executing a corpus-scale equi-join
-    // (DataQuality.joinCardinality scaladoc): orders ⋈ lineitem on
-    // orderkey, without materializing a single joined row.
-    QueryDef(
-      "q_join_cardinality",
-      (s, dir) =>
-        graft.operators.DataQuality.joinCardinality(
-          Tables.orders(s, dir), "o_orderkey",
-          Tables.lineitem(s, dir), "l_orderkey"),
-      Some("""
-        WITH lc AS (
-          SELECT o_orderkey AS k, count(*) AS c FROM orders
-          WHERE o_orderkey IS NOT NULL GROUP BY 1),
-        rc AS (
-          SELECT l_orderkey AS k, count(*) AS c FROM lineitem
-          WHERE l_orderkey IS NOT NULL GROUP BY 1),
-        per AS (
-          SELECT CAST(lc.c AS HUGEINT) * rc.c AS rows_
-          FROM lc JOIN rc USING (k)),
-        agg AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_keys,
-                 CAST(SUM(rows_) AS BIGINT) AS join_rows,
-                 CAST(MAX(rows_) AS BIGINT) AS max_key_rows
-          FROM per)
-        SELECT n_keys, join_rows, max_key_rows,
-               CAST((max_key_rows * 1000000) // join_rows AS BIGINT)
-                 AS max_share_ppm
-        FROM agg
-      """)),
-
-    // kNN label-noise sweep: every labeled embedding re-predicted
-    // from its 5 nearest other labeled rows (leave-one-out); rows
-    // whose neighborhood outvotes the recorded label surface as
-    // candidates for relabeling (KnnClassifier.labelNoise scaladoc).
-    QueryDef(
-      "q_label_noise",
-      (s, dir) =>
-        graft.operators.KnnClassifier.labelNoise(
-          Tables.embeddings(s, dir), "vec_id", "embedding", "label", 5)
-          .orderBy(col("vec_id")),
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        dots AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 sum(q.x * c.x) AS d
-          FROM dims q JOIN dims c ON q.i = c.i
-          WHERE q.vec_id <> c.vec_id
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT query_id, neighbor_id,
-                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
-          FROM dots
-          JOIN norms nq ON nq.vec_id = query_id
-          JOIN norms nc ON nc.vec_id = neighbor_id),
-        ranked AS (
-          SELECT query_id, neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id)
-                   AS rank
-          FROM scored),
-        votes AS (
-          SELECT r.query_id, e.label,
-                 count(*) AS votes, min(r.rank) AS best_rank
-          FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
-          WHERE r.rank <= 5
-          GROUP BY 1, 2),
-        win AS (
-          SELECT query_id, label, votes, best_rank,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY votes DESC, label) AS rn
-          FROM votes)
-        SELECT w.query_id AS vec_id, e.label AS recorded,
-               w.label AS predicted, w.votes, w.best_rank
-        FROM win w JOIN embeddings e ON e.vec_id = w.query_id
-        WHERE w.rn = 1 AND w.label <> e.label
-        ORDER BY vec_id
-      """)),
-
-    // Compaction plan over documents partitioned by source: file
-    // boundaries every 2k chars of exclusive per-source prefix (see
-    // Compaction scaladoc) — the lakehouse small-file maintenance
-    // pass, planned identically by both engines from pure integer
-    // arithmetic.
-    QueryDef(
-      "q_compaction_plan",
-      (s, dir) =>
-        graft.operators.Compaction.plan(
-            Tables.documents(s, dir), "source", "doc_id", "n_chars", 2000L)
-          .orderBy(col("source"), col("file_idx")),
-      Some("""
-        WITH pre AS (
-          SELECT source, doc_id, COALESCE(n_chars, 0) AS sz,
-                 CAST(COALESCE(SUM(COALESCE(n_chars, 0)) OVER (
-                   PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS BIGINT) AS prefix
-          FROM documents)
-        SELECT source, CAST(prefix // 2000 AS BIGINT) AS file_idx,
-               count(*) AS n_records, CAST(sum(sz) AS BIGINT) AS bytes
-        FROM pre
-        GROUP BY 1, 2
-        ORDER BY source, file_idx
-      """)),
-
-    // Near-SUBSET dedup by containment |A∩B|/min(|A|,|B|): catches
-    // the quoted-whole-inside-a-wrapper pairs a Jaccard threshold
-    // keeps (see Dedup.containmentPairs scaladoc). Both metrics on
-    // the 6-dp lattice so the output shows which criterion fired.
-    QueryDef(
-      "q_dedup_containment",
-      (s, dir) =>
-        Dedup.containmentPairs(
-            Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3),
-            minContainment = 0.9)
-          .orderBy(col("id_a"), col("id_b")),
-      Some(s"""
-        WITH ${shingleCtes(3)},
-        sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
-        inter AS (
-          SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-          FROM grams a
-          JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        c AS (
-          SELECT id_a, id_b,
-                 ROUND(CAST(i AS DOUBLE)
-                       / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
-                   AS containment,
-                 ROUND(CAST(i AS DOUBLE)
-                       / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jaccard
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b)
-        SELECT id_a, id_b, containment, jaccard
-        FROM c WHERE containment >= 0.9
-        ORDER BY id_a, id_b
-      """)),
-
-    // Tokenizer fertility per language: BPE-estimate tokens per
-    // whitespace word — the multilingual-tokenizer health metric (a
-    // lang whose fertility balloons is being shredded into bytes and
-    // effectively taxed in context length). Integer-ppm ratio; one
-    // aggregate over per-row codegen'd counts.
-    QueryDef(
-      "q_tokenizer_fertility",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("lang"),
-            size(TextFunctions.splitWords(col("text"))).cast("long")
-              .as("ws"),
-            TextAnalysis.bpeTokenEstimate(col("text")).cast("long")
-              .as("bpe"))
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
-            sum(col("bpe")).as("bpe_tokens"))
-          .select(col("lang"), col("n_docs"), col("ws_tokens"),
-            col("bpe_tokens"),
-            expr("(bpe_tokens * CAST(1000000 AS BIGINT)) div ws_tokens")
-              .as("fertility_ppm"))
-          .orderBy(col("lang")),
-      Some(s"""
-        WITH per AS (
-          SELECT lang,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
-                 CAST(len(regexp_extract_all(text,
-                   '${TextAnalysis.bpePattern.replace("'", "''")}'))
-                   AS BIGINT) AS bpe
-          FROM documents)
-        SELECT lang, count(*) AS n_docs,
-               CAST(sum(ws) AS BIGINT) AS ws_tokens,
-               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
-               CAST((CAST(sum(bpe) AS BIGINT) * 1000000)
-                    // CAST(sum(ws) AS BIGINT) AS BIGINT)
-                 AS fertility_ppm
-        FROM per GROUP BY 1
-        ORDER BY lang
-      """)),
-
-    // Streaming model serving: the q_nb_classify model (fit offline
-    // on the 4/5 train split) scores EVERY document as it streams in,
-    // via the foreachBatch batch kernel — identical results to the
-    // batch path by construction, micro-batching-invariant because
-    // scores are integer-lattice (see StreamingOps.classifiedDocStream).
-    QueryDef(
-      "q_stream_classify",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val model = graft.operators.NaiveBayes.fit(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_stream_nb").toString
-        graft.streaming.StreamingOps
-          .classifiedDocStream(s, s"$dir/documents.parquet", model, out)
-          .join(docs.select(col("doc_id"), col("lang").as("actual")),
-            "doc_id")
-          .select(col("doc_id"), col("pred"), col("actual"),
-            col("score_micro"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("TRUE")}" + """
-        SELECT b.doc_id, b.label AS pred, te.lang AS actual, b.score_micro
-        FROM best b JOIN te USING (doc_id)
-        WHERE b.rn = 1
-        ORDER BY b.doc_id
-      """)),
-
-    // CDC MERGE: a four-part changeset (rev7 updates at seq 1,
-    // rev21 re-updates at seq 2 proving last-writer-wins, seq-3
-    // deletes for id%13, inserts cloned at id+100000) folds into the
-    // documents snapshot. Output rows carry md5(text) so the hash
-    // pins every surviving row image without dumping full texts.
-    QueryDef(
-      "q_apply_changes",
-      (s, dir) => {
-        val snap = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"), col("source"))
-        val changes =
-          Tables.documents(s, dir).filter(pmod(col("doc_id"), lit(7L)) === 0)
-            .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
-              concat(col("text"), lit(" rev7")).as("text"), col("source"))
-          .unionByName(
-            Tables.documents(s, dir)
-              .filter(pmod(col("doc_id"), lit(21L)) === 0)
-              .select(col("doc_id"), lit(2L).as("seq"), lit("U").as("op"),
-                concat(col("text"), lit(" rev21")).as("text"),
-                col("source")))
-          .unionByName(
-            Tables.documents(s, dir)
-              .filter(pmod(col("doc_id"), lit(13L)) === 0)
-              .select(col("doc_id"), lit(3L).as("seq"), lit("D").as("op"),
-                lit(null).cast("string").as("text"),
-                lit(null).cast("string").as("source")))
-          .unionByName(
-            Tables.documents(s, dir)
-              .filter(pmod(col("doc_id"), lit(97L)) === 0)
-              .select((col("doc_id") + 100000L).as("doc_id"),
-                lit(1L).as("seq"), lit("I").as("op"), col("text"),
-                col("source")))
-        graft.operators.ChangeApply
-          .applyChangeset(snap, changes, "doc_id", "seq", "op")
-          .select(col("doc_id"), md5(col("text")).as("text_md5"),
-            col("source"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH changes AS (
-          SELECT doc_id, 1 AS seq, 'U' AS op, text || ' rev7' AS text,
-                 source
-          FROM documents WHERE doc_id % 7 = 0
-          UNION ALL
-          SELECT doc_id, 2, 'U', text || ' rev21', source
-          FROM documents WHERE doc_id % 21 = 0
-          UNION ALL
-          SELECT doc_id, 3, 'D', NULL, NULL
-          FROM documents WHERE doc_id % 13 = 0
-          UNION ALL
-          SELECT doc_id + 100000, 1, 'I', text, source
-          FROM documents WHERE doc_id % 97 = 0),
-        last AS (
-          SELECT doc_id, op, text, source FROM (
-            SELECT doc_id, op, text, source,
-                   ROW_NUMBER() OVER (PARTITION BY doc_id
-                                      ORDER BY seq DESC, op) AS rn
-            FROM changes) WHERE rn = 1),
-        final AS (
-          SELECT s.doc_id, s.text, s.source
-          FROM documents s
-          LEFT JOIN last l ON l.doc_id = s.doc_id
-          WHERE l.doc_id IS NULL
-          UNION ALL
-          SELECT doc_id, text, source FROM last WHERE op IN ('I', 'U'))
-        SELECT doc_id, md5(text) AS text_md5, source
-        FROM final
-        ORDER BY doc_id
-      """)),
-
-    // Largest-remainder apportionment of a 97-doc eval budget across
-    // sources (prime budget → remainders genuinely decide seats).
-    // Pure integer arithmetic end-to-end; Σquota = 97 exactly, which
-    // independent per-source rounding cannot guarantee.
-    QueryDef(
-      "q_eval_allocation",
-      (s, dir) =>
-        graft.operators.Apportionment.largestRemainder(
-            Tables.documents(s, dir).groupBy(col("source"))
-              .agg(count(lit(1)).as("n_docs")),
-            "source", "n_docs", budget = 97L)
-          .orderBy(col("source")),
-      Some("""
-        WITH w AS (
-          SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
-        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot FROM w),
-        based AS (
-          SELECT source, n_docs,
-                 CAST((n_docs * 97) // (SELECT tot FROM t) AS BIGINT)
-                   AS fl,
-                 CAST(n_docs * 97
-                      - ((n_docs * 97) // (SELECT tot FROM t))
-                        * (SELECT tot FROM t) AS BIGINT) AS rem
-          FROM w),
-        lv AS (SELECT 97 - CAST(sum(fl) AS BIGINT) AS leftover FROM based),
-        rk AS (
-          SELECT source, n_docs, fl, rem,
-                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk
-          FROM based)
-        SELECT source, n_docs,
-               fl + CASE WHEN rnk <= (SELECT leftover FROM lv)
-                         THEN 1 ELSE 0 END AS quota
-        FROM rk
-        ORDER BY source
-      """)),
-
-    // k-anonymity audit over (nation, segment, banded balance):
-    // quasi-identifier tuples shared by fewer than 3 customers are
-    // re-identification risks. The balance band floors scaled integer
-    // cents (explicit FLOOR, not integer div — balances go negative
-    // and div-vs-// truncation direction differs across engines).
-    QueryDef(
-      "q_k_anonymity",
-      (s, dir) =>
-        graft.operators.DataQuality.kAnonymityViolations(
-            Tables.customer(s, dir)
-              .select(col("c_nationkey"), col("c_mktsegment"),
-                floor((col("c_acctbal") * 100).cast("long") /
-                  lit(200000.0)).as("bal_band")),
-            Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 3)
-          .orderBy(col("c_nationkey"), col("c_mktsegment"),
-            col("bal_band")),
-      Some("""
-        SELECT c_nationkey, c_mktsegment,
-               CAST(FLOOR(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)
-                          / 200000.0) AS BIGINT) AS bal_band,
-               count(*) AS n
-        FROM customer
-        GROUP BY 1, 2, 3
-        HAVING count(*) < 3
-        ORDER BY c_nationkey, c_mktsegment, bal_band
-      """)),
-
-    // l-diversity companion audit: QI groups that are k-large can
-    // still leak when every member shares one sensitive value — flag
-    // groups whose sensitive column (market segment) has < 2 distinct
-    // values within (nation, balance band).
-    QueryDef(
-      "q_l_diversity",
-      (s, dir) =>
-        graft.operators.DataQuality.lDiversityViolations(
-            Tables.customer(s, dir)
-              .select(col("c_nationkey"), col("c_mktsegment"),
-                floor((col("c_acctbal") * 100).cast("long") /
-                  lit(200000.0)).as("bal_band")),
-            Seq("c_nationkey", "bal_band"), "c_mktsegment", l = 2)
-          .orderBy(col("c_nationkey"), col("bal_band")),
-      Some("""
-        SELECT c_nationkey,
-               CAST(FLOOR(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)
-                          / 200000.0) AS BIGINT) AS bal_band,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_distinct
-        FROM customer
-        GROUP BY 1, 2
-        HAVING count(DISTINCT c_mktsegment) < 2
-        ORDER BY c_nationkey, bal_band
-      """)),
-
-    // Annotator agreement: Cohen's κ of the NB classifier against
-    // the true lang label on the held-out fifth — the
-    // chance-corrected label-quality gate (Agreement scaladoc).
-    // Integer numerators/denominators end-to-end; the single κ
-    // division rounds the same exact double in both engines.
-    QueryDef(
-      "q_cohens_kappa",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
-        val model = graft.operators.NaiveBayes.fit(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
-        val labeled = graft.operators.NaiveBayes
-          .classify(model, test, "doc_id", "text")
-          .join(test.select(col("doc_id"), col("lang").as("actual")),
-            "doc_id")
-        graft.operators.Agreement.cohensKappa(labeled, "pred", "actual")
-      },
-      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}," +
-        """
-        pairs AS (
-          SELECT b.label AS pa, te.lang AS pb, count(*) AS c
-          FROM best b JOIN te USING (doc_id)
-          WHERE b.rn = 1
-          GROUP BY 1, 2),
-        tot AS (
-          SELECT CAST(sum(c) AS BIGINT) AS n,
-                 CAST(sum(CASE WHEN pa = pb THEN c ELSE 0 END) AS BIGINT)
-                   AS agree
-          FROM pairs),
-        rt AS (SELECT pa AS l, CAST(sum(c) AS BIGINT) AS ra
-               FROM pairs GROUP BY 1),
-        ct AS (SELECT pb AS l, CAST(sum(c) AS BIGINT) AS rb
-               FROM pairs GROUP BY 1),
-        pe AS (SELECT CAST(COALESCE(sum(ra * rb), 0) AS BIGINT) AS p
-               FROM rt JOIN ct USING (l))
-        SELECT tot.n, tot.agree,
-               CAST((tot.agree * 1000000) // tot.n AS BIGINT) AS po_ppm,
-               CAST((pe.p * 1000000) // (tot.n * tot.n) AS BIGINT)
-                 AS pe_ppm,
-               CAST(ROUND(CAST(tot.n * tot.agree - pe.p AS DOUBLE)
-                          / CAST(tot.n * tot.n - pe.p AS DOUBLE)
-                          * 1000000.0) AS BIGINT) AS kappa_ppm
-        FROM tot CROSS JOIN pe
-      """)),
-
-    // Krippendorff's alpha per language over a 3-annotator quality
-    // panel (two threshold annotators at 300/280 chars plus a noisy
-    // hash-driven one that ABSTAINS on every 11th doc) — the
-    // agreement coefficient that handles what Cohen's κ cannot:
-    // any number of raters and missing ratings, with units keeping
-    // whatever ratings they have. Per-unit disagreement rides the
-    // kruskal div+remnano lattice, the expected-disagreement
-    // denominator is an exact DECIMAL integer, one IEEE sequence
-    // forms α (Agreement.krippendorffAlpha scaladoc).
-    QueryDef(
-      "q_krippendorff",
-      (s, dir) =>
-        graft.operators.Agreement.krippendorffAlpha(
-            Tables.documents(s, dir)
-              .select(col("lang"), col("doc_id"),
-                expr("""stack(3,
-                  CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END,
-                  CASE WHEN n_chars >= 280 THEN 'good' ELSE 'bad' END,
-                  CASE WHEN doc_id % 11 = 0 THEN NULL
-                       WHEN (n_chars + doc_id) % 97 >= 30 THEN 'good'
-                       ELSE 'bad' END) AS (label)""")),
-            "lang", "doc_id", "label")
-          .orderBy(col("lang")),
-      Some("""
-        WITH r0 AS (
-          SELECT lang, doc_id,
-                 CASE WHEN n_chars >= 300 THEN 'good' ELSE 'bad' END
-                   AS l
-          FROM documents
-          UNION ALL
-          SELECT lang, doc_id,
-                 CASE WHEN n_chars >= 280 THEN 'good' ELSE 'bad' END
-          FROM documents
-          UNION ALL
-          SELECT lang, doc_id,
-                 CASE WHEN doc_id % 11 = 0 THEN NULL
-                      WHEN (n_chars + doc_id) % 97 >= 30 THEN 'good'
-                      ELSE 'bad' END
-          FROM documents),
-        r AS (SELECT * FROM r0 WHERE l IS NOT NULL),
-        pul AS (
-          SELECT lang, doc_id, l, CAST(count(*) AS BIGINT) AS nuc
-          FROM r GROUP BY 1, 2, 3),
-        pu AS (
-          SELECT lang, doc_id, CAST(SUM(nuc) AS BIGINT) AS mu
-          FROM pul GROUP BY 1, 2 HAVING SUM(nuc) >= 2),
-        kept AS (
-          SELECT pul.*, pu.mu FROM pul JOIN pu USING (lang, doc_id)),
-        ud AS (
-          SELECT lang, doc_id, MAX(mu) AS mu,
-                 CAST(SUM(nuc * (mu - nuc)) AS BIGINT) AS tu
-          FROM kept GROUP BY 1, 2),
-        noo AS (
-          SELECT lang, CAST(count(*) AS BIGINT) AS n_units,
-                 CAST(SUM(mu) AS BIGINT) AS n_ratings,
-                 CAST(SUM(CAST((tu - tu % (mu - 1)) // (mu - 1)
-                     AS HUGEINT)) AS DOUBLE) AS qsum_d,
-                 CAST(SUM(CAST(ROUND(CAST(tu % (mu - 1) AS DOUBLE)
-                     / CAST(mu - 1 AS DOUBLE) * 1e9) AS BIGINT))
-                   AS BIGINT) AS remsum
-          FROM ud GROUP BY 1),
-        cat AS (
-          SELECT lang, l, CAST(SUM(nuc) AS BIGINT) AS nc
-          FROM kept GROUP BY 1, 2),
-        dee AS (
-          SELECT cat.lang, CAST(count(*) AS BIGINT) AS k_categories,
-                 SUM(CAST(nc AS HUGEINT) * (noo.n_ratings - nc)) AS de
-          FROM cat JOIN noo USING (lang)
-          GROUP BY 1)
-        SELECT noo.lang, noo.n_units, noo.n_ratings, dee.k_categories,
-               CAST(ROUND((1.0
-                   - (CAST(noo.n_ratings AS DOUBLE) - 1.0)
-                     * (noo.qsum_d + CAST(noo.remsum AS DOUBLE) / 1e9)
-                     / CAST(dee.de AS DOUBLE))
-                 * 1000000.0) AS BIGINT) AS alpha_micro
-        FROM noo JOIN dee USING (lang)
-        WHERE noo.n_units >= 2 AND dee.de > 0
-        ORDER BY noo.lang
-      """)),
-
-    // ICC(1) per language over a 3-annotator CONTINUOUS score panel
-    // (two offset annotators plus a hash-noised one that abstains on
-    // every 11th doc — the same missingness pattern as
-    // q_krippendorff, here exercising the unbalanced one-way form):
-    // what fraction of score variance is between the rated docs
-    // rather than rater noise — the continuous-ratings agreement
-    // coefficient completing kappa/alpha/W. Exact per-unit (k, S)
-    // integers, ΣS²/k on the div+remnano lattice, DECIMAL ΣX², one
-    // IEEE sequence for ICC (Agreement.icc1 scaladoc).
-    QueryDef(
-      "q_icc",
-      (s, dir) =>
-        graft.operators.Agreement.icc1(
-            Tables.documents(s, dir)
-              .select(col("lang"), col("doc_id"),
-                expr("""stack(3,
-                  n_chars,
-                  n_chars + 10,
-                  CASE WHEN doc_id % 11 = 0 THEN CAST(NULL AS BIGINT)
-                       ELSE n_chars + doc_id % 37 END) AS (score)""")),
-            "lang", "doc_id", "score")
-          .orderBy(col("lang")),
-      Some("""
-        WITH r0 AS (
-          SELECT lang, doc_id, n_chars AS x FROM documents
-          UNION ALL
-          SELECT lang, doc_id, n_chars + 10 FROM documents
-          UNION ALL
-          SELECT lang, doc_id,
-                 CASE WHEN doc_id % 11 = 0 THEN NULL
-                      ELSE n_chars + doc_id % 37 END
-          FROM documents),
-        r AS (SELECT * FROM r0 WHERE x IS NOT NULL),
-        pu AS (
-          SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS k,
-                 CAST(SUM(x) AS BIGINT) AS s
-          FROM r GROUP BY 1, 2),
-        lat AS (
-          SELECT lang, k,
-                 (s * s) // k AS q,
-                 CAST(ROUND(CAST((s * s) % k AS DOUBLE)
-                      / CAST(k AS DOUBLE) * 1e9) AS BIGINT) AS remnano
-          FROM pu),
-        un AS (
-          SELECT lang, CAST(count(*) AS BIGINT) AS n_units,
-                 CAST(SUM(k) AS BIGINT) AS n_ratings,
-                 CAST(SUM(CAST(k AS HUGEINT) * k) AS DOUBLE) AS sk2d,
-                 CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS qsum_d,
-                 CAST(SUM(remnano) AS BIGINT) AS remsum
-          FROM lat GROUP BY 1),
-        tt AS (
-          SELECT lang, CAST(SUM(x) AS BIGINT) AS t,
-                 CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxxd
-          FROM r GROUP BY 1),
-        cc AS (
-          SELECT un.lang, un.n_units, un.n_ratings,
-                 ((qsum_d + CAST(remsum AS DOUBLE) / 1e9)
-                  - CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
-                    / CAST(n_ratings AS DOUBLE))
-                 / (CAST(n_units AS DOUBLE) - 1.0) AS msb,
-                 (sxxd - (qsum_d + CAST(remsum AS DOUBLE) / 1e9))
-                 / (CAST(n_ratings AS DOUBLE)
-                    - CAST(n_units AS DOUBLE)) AS msw,
-                 (CAST(n_ratings AS DOUBLE)
-                  - sk2d / CAST(n_ratings AS DOUBLE))
-                 / (CAST(n_units AS DOUBLE) - 1.0) AS n0
-          FROM un JOIN tt USING (lang)
-          WHERE n_units >= 2 AND n_ratings > n_units)
-        SELECT lang, n_units, n_ratings,
-               CAST(ROUND((msb - msw)
-                    / (msb + (n0 - 1.0) * msw) * 1e6) AS BIGINT)
-                 AS icc_micro
-        FROM cc
-        WHERE msb + (n0 - 1.0) * msw > 0
-        ORDER BY lang
-      """)),
-
-    // Isotonic (PAV) calibration of the length→quality curve per
-    // language: raw per-bin 'contains data' rates wobble; the
-    // monotone least-squares projection is what a pipeline trusts as
-    // P(positive | length bin). Computed by the minimax closed form
-    // ŷᵢ = max_{j≤i} min_{k≥i} mean(j..k) over the BIN table — bins
-    // are a calibration artifact (13 per language here), so the
-    // O(B³) enumeration is fixed-cost no matter the corpus size;
-    // range means are single IEEE divisions of exact prefix-sum
-    // integers (Calibration.isotonicBins scaladoc).
-    QueryDef(
-      "q_isotonic",
-      (s, dir) =>
-        graft.operators.Calibration.isotonicBins(
-            Tables.documents(s, dir)
-              .groupBy(col("lang"), expr("n_chars div 40").as("bin"))
-              .agg(count(lit(1)).as("n"),
-                sum(when(col("text").like("%data%"), 1L).otherwise(0L))
-                  .as("pos")),
-            "lang", "bin", "n", "pos")
-          .orderBy(col("lang"), col("bin")),
-      Some("""
-        WITH bins AS (
-          SELECT lang, n_chars // 40 AS bin,
-                 CAST(count(*) AS BIGINT) AS n,
-                 CAST(SUM(CASE WHEN text LIKE '%data%' THEN 1
-                          ELSE 0 END) AS BIGINT) AS pos
-          FROM documents GROUP BY 1, 2),
-        bp AS (
-          SELECT lang, bin, n, pos,
-                 SUM(n) OVER w AS cn, SUM(pos) OVER w AS cp
-          FROM bins
-          WINDOW w AS (PARTITION BY lang ORDER BY bin
-                       ROWS UNBOUNDED PRECEDING)),
-        ranges AS (
-          SELECT s.lang, s.bin AS j, e.bin AS k,
-                 CAST(e.cp - (s.cp - s.pos) AS DOUBLE)
-                   / CAST(e.cn - (s.cn - s.n) AS DOUBLE) AS mn
-          FROM bp s JOIN bp e
-            ON e.lang = s.lang AND s.bin <= e.bin),
-        im AS (
-          SELECT r.lang, b.bin AS i, r.j, MIN(r.mn) AS lo
-          FROM ranges r JOIN bins b
-            ON b.lang = r.lang AND r.j <= b.bin AND b.bin <= r.k
-          GROUP BY 1, 2, 3),
-        iso AS (
-          SELECT lang, i AS bin, MAX(lo) AS iso FROM im GROUP BY 1, 2)
-        SELECT b.lang, b.bin, b.n, b.pos,
-               CAST((b.pos * 1000000) // b.n AS BIGINT) AS raw_ppm,
-               CAST(ROUND(iso.iso * 1000000.0) AS BIGINT) AS iso_ppm
-        FROM bins b JOIN iso USING (lang, bin)
-        ORDER BY b.lang, b.bin
-      """)),
-
-    // Exact WEIGHTED quantiles per source — "the median document by
-    // TOKEN MASS, not by document count": a handful of huge docs can
-    // carry most of the training tokens while the unweighted median
-    // looks reassuring. Weighted lower order statistics pinned by
-    // integral cross-multiplied thresholds (cumW·10⁶ ≥ W·q_ppm) over
-    // a distinct-value cumulative window — never a row-level sort of
-    // the corpus (RobustStats.weightedQuantiles scaladoc).
-    QueryDef(
-      "q_weighted_quantiles",
-      (s, dir) =>
-        graft.operators.RobustStats.weightedQuantiles(
-            Tables.documents(s, dir)
-              .select(col("source"), col("n_chars"),
-                size(split(col("text"), " ")).cast("long").as("toks")),
-            "source", "n_chars", "toks",
-            Seq(500000L, 900000L, 990000L))
-          .orderBy(col("source")),
-      Some("""
-        WITH r AS (
-          SELECT source, n_chars AS x,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS w
-          FROM documents),
-        bv AS (
-          SELECT source, x, CAST(SUM(w) AS BIGINT) AS wv
-          FROM r GROUP BY 1, 2),
-        cum AS (
-          SELECT source, x,
-                 SUM(wv) OVER (PARTITION BY source ORDER BY x
-                               ROWS UNBOUNDED PRECEDING) AS cw,
-                 SUM(wv) OVER (PARTITION BY source) AS wt
-          FROM bv),
-        q50 AS (SELECT source, MIN(x) AS q_500000 FROM cum
-                WHERE cw * 1000000 >= wt * 500000 GROUP BY 1),
-        q90 AS (SELECT source, MIN(x) AS q_900000 FROM cum
-                WHERE cw * 1000000 >= wt * 900000 GROUP BY 1),
-        q99 AS (SELECT source, MIN(x) AS q_990000 FROM cum
-                WHERE cw * 1000000 >= wt * 990000 GROUP BY 1),
-        tot AS (SELECT source, CAST(SUM(w) AS BIGINT) AS w_total
-                FROM r GROUP BY 1)
-        SELECT tot.source, tot.w_total,
-               q50.q_500000, q90.q_900000, q99.q_990000
-        FROM tot
-        JOIN q50 USING (source) JOIN q90 USING (source)
-        JOIN q99 USING (source)
-        ORDER BY tot.source
-      """)),
-
-    // Multi-format round-trip PROOF: documents written to JSON-lines,
-    // ORC, and CSV, re-read with the pinned schema, and each leg
-    // fingerprinted with the order-free XOR/SUM combiners — the
-    // oracle is the fingerprint of the ORIGINAL table, so equality
-    // is bit-level losslessness across all three formats, not a
-    // smoke test (any null/empty collapse, numeric widening, or
-    // encoding drift flips the hash). Each leg is one distributed
-    // write + read + hash aggregate; no driver data path
-    // (FormatRoundtrip scaladoc).
-    QueryDef(
-      "q_format_roundtrip",
-      (s, dir) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_fmt_rt").toString
-        graft.sources.FormatRoundtrip.roundtripFingerprints(
-            s, Tables.documents(s, dir), base,
-            Seq("doc_id", "text", "lang", "source", "n_chars"))
-          .orderBy(col("format"))
-      },
-      Some("""
-        WITH h AS (
-          SELECT CAST(concat('0x', substr(md5(
-                   doc_id || chr(1) || text || chr(1) || lang
-                     || chr(1) || source || chr(1) || n_chars),
-                   1, 15)) AS BIGINT) AS h
-          FROM documents),
-        fp AS (
-          SELECT COUNT(*) AS n_rows,
-                 CAST(bit_xor(h) AS BIGINT) AS xor_sig,
-                 CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
-                      % 2305843009213693952 AS BIGINT) AS sum_sig
-          FROM h)
-        SELECT f.format, fp.n_rows, fp.xor_sig, fp.sum_sig
-        FROM (SELECT unnest(['csv', 'json', 'orc']) AS format) f, fp
-        ORDER BY f.format
-      """)),
-
-    // KMV sketch set operations across every source PAIR: distinct
-    // vocabulary sizes, union/intersection estimates and Jaccard —
-    // where q_source_overlap computes EXACT pair overlap via the
-    // inverted index, this is the SKETCH path a curator runs when
-    // the pair scan itself is too big: each source keeps only its
-    // k = 128 smallest pinned-lattice hashes and every pair
-    // statistic comes from merging k-row sketches (the pair table is
-    // sketch-sized, never corpus-sized). Determinism over
-    // approximation: the md5-prefix 60-bit hash makes the estimate a
-    // pure function of the data — every cell rides the exact integer
-    // div lattice, and sub-k sets degrade gracefully to exact counts
-    // (KmvSketch scaladoc).
-    QueryDef(
-      "q_kmv_setops",
-      (s, dir) =>
-        graft.operators.KmvSketch.pairwiseSetOps(
-            Tables.documents(s, dir)
-              .select(col("source"),
-                explode(split(col("text"), " ")).as("word"))
-              .filter(col("word") =!= ""),
-            "source", "word", k = 128)
-          .orderBy(col("g1"), col("g2")),
-      Some("""
-        WITH h0 AS (
-          SELECT DISTINCT source AS g,
-                 CAST(concat('0x', substr(md5(word), 1, 15)) AS BIGINT)
-                   AS h
-          FROM (SELECT source, unnest(string_split(text, ' ')) AS word
-                FROM documents)
-          WHERE word <> ''),
-        sk AS (
-          SELECT g, h,
-                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS r
-          FROM h0 QUALIFY r <= 128),
-        ge AS (
-          SELECT g,
-                 CASE WHEN count(*) < 128 THEN CAST(count(*) AS BIGINT)
-                      ELSE CAST(CAST('146421031085069565952' AS HUGEINT)
-                           // MAX(CASE WHEN r = 128 THEN h END)
-                           AS BIGINT) END AS est
-          FROM sk GROUP BY g),
-        gl AS (SELECT DISTINCT g FROM sk),
-        cc AS (
-          SELECT g1, g2, h, MAX(ina) AS ina, MAX(inb) AS inb
-          FROM (
-            SELECT s.g AS g1, g2.g AS g2, s.h, 1 AS ina, 0 AS inb
-            FROM sk s JOIN gl g2 ON s.g < g2.g
-            UNION ALL
-            SELECT g1.g AS g1, s.g AS g2, s.h, 0 AS ina, 1 AS inb
-            FROM sk s JOIN gl g1 ON g1.g < s.g)
-          GROUP BY 1, 2, 3),
-        u AS (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY g1, g2
-                                       ORDER BY h) AS r
-          FROM cc QUALIFY r <= 128),
-        pp AS (
-          SELECT g1, g2, CAST(count(*) AS BIGINT) AS m,
-                 MAX(CASE WHEN r = 128 THEN h END) AS hk,
-                 CAST(SUM(CASE WHEN ina = 1 AND inb = 1 THEN 1
-                          ELSE 0 END) AS BIGINT) AS shared
-          FROM u GROUP BY 1, 2),
-        pe AS (
-          SELECT g1, g2, m, shared,
-                 CASE WHEN m < 128 THEN m
-                      ELSE CAST(CAST('146421031085069565952' AS HUGEINT)
-                           // hk AS BIGINT) END AS union_est
-          FROM pp)
-        SELECT pe.g1, pe.g2, ga.est AS est_1, gb.est AS est_2,
-               pe.union_est, pe.shared,
-               CAST(CASE WHEN pe.m < 128 THEN pe.shared
-                    ELSE (pe.shared * pe.union_est) // 128 END
-                 AS BIGINT) AS inter_est,
-               CAST((pe.shared * 1000000) // pe.m AS BIGINT)
-                 AS jaccard_ppm
-        FROM pe
-        JOIN ge ga ON ga.g = pe.g1
-        JOIN ge gb ON gb.g = pe.g2
-        ORDER BY pe.g1, pe.g2
-      """)),
-
-    // Feed-overlap governance: exact shingle-set Jaccard BETWEEN
-    // SOURCES — "are two feeds scraping the same sites?" — by
-    // re-keying the existing inverted-index Jaccard kernel on source
-    // instead of doc (the corpus aggregates to |sources| shingle
-    // sets; the pair join is source-pair-bounded).
-    QueryDef(
-      "q_source_overlap",
-      (s, dir) =>
-        // distinct: a shingle repeated across a source's docs must
-        // count once in the source's SET (per-doc shingleSets are
-        // doc-distinct, not source-distinct)
-        Dedup.jaccardPairs(
-            Dedup.shingleSets(
-              Tables.documents(s, dir).select(col("source"),
-                TextFunctions.splitWords(col("text")).as("tokens")),
-              "source", "tokens", 3).distinct(),
-            minJaccard = 0.03)
-          .select(col("id_a").as("src_a"), col("id_b").as("src_b"),
-            round(col("jaccard"), 6).as("jaccard"))
-          .orderBy(col("src_a"), col("src_b")),
-      Some(s"""
-        WITH words AS (
-          SELECT source, unnest(string_split(text, ' ')) AS word,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos,
-                 doc_id
-          FROM documents),
-        sh0 AS (
-          SELECT source,
-                 word || ' ' || lead(word, 1) OVER w || ' '
-                   || lead(word, 2) OVER w AS shingle
-          FROM words WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        grams AS (
-          SELECT DISTINCT source, shingle FROM sh0
-          WHERE shingle IS NOT NULL),
-        sizes AS (SELECT source, count(*) n FROM grams GROUP BY 1),
-        inter AS (
-          SELECT a.source AS src_a, b.source AS src_b, count(*) i
-          FROM grams a
-          JOIN grams b ON a.shingle = b.shingle AND a.source < b.source
-          GROUP BY 1, 2),
-        j AS (
-          SELECT src_a, src_b,
-                 CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
-                   AS jac
-          FROM inter
-          JOIN sizes sa ON sa.source = src_a
-          JOIN sizes sb ON sb.source = src_b)
-        SELECT src_a, src_b, ROUND(jac, 6) AS jaccard
-        FROM j WHERE jac >= 0.03
-        ORDER BY src_a, src_b
-      """)),
-
-    // Winsorized per-group price stats: clip to the group's own
-    // [p05, p95] then average — the robust-mean treatment for
-    // heavy-tailed metrics. Percentile boundaries snap straight to
-    // the integer micro lattice; everything downstream is integer
-    // (RobustStats scaladoc).
-    QueryDef(
-      "q_winsorize",
-      (s, dir) =>
-        graft.operators.RobustStats.winsorizedMean(
-            Tables.lineitem(s, dir)
-              .select(col("l_returnflag"), col("l_extendedprice")),
-            "l_returnflag", "l_extendedprice", 0.05, 0.95)
-          .orderBy(col("l_returnflag")),
-      Some("""
-        WITH b AS (
-          SELECT l_returnflag,
-                 CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
-                   0.05) * 1000000.0) AS BIGINT) AS lo_micro,
-                 CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE),
-                   0.95) * 1000000.0) AS BIGINT) AS hi_micro
-          FROM lineitem GROUP BY 1),
-        v AS (
-          SELECT l.l_returnflag, b.lo_micro, b.hi_micro,
-                 CAST(l.l_extendedprice * 1000000 AS BIGINT) AS x,
-                 GREATEST(b.lo_micro, LEAST(b.hi_micro,
-                   CAST(l.l_extendedprice * 1000000 AS BIGINT))) AS cv
-          FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag)
-        SELECT l_returnflag, count(*) AS n, lo_micro, hi_micro,
-               CAST(sum(CASE WHEN x < lo_micro THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_lo,
-               CAST(sum(CASE WHEN x > hi_micro THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_hi,
-               CAST(CAST(sum(cv) AS HUGEINT) // count(*) AS BIGINT)
-                 AS wmean_micro
-        FROM v
-        GROUP BY l_returnflag, lo_micro, hi_micro
-        ORDER BY l_returnflag
-      """)),
-
-    // Greedy token-budget selection via the distributed prefix-sum
-    // primitive: take documents in quality order until 10k BPE
-    // tokens are spent. `prefix < budget` IS the greedy take — the
-    // GlobalScan two-pass scan replaces the single-partition
-    // SUM OVER (ORDER BY) cliff, and the oracle replays that naive
-    // window, proving the scale-safe plan computes the identical
-    // scan (the GlobalIds verification pattern, lifted to values).
-    QueryDef(
-      "q_budget_select",
-      (s, dir) => {
-        val d = Tables.documents(s, dir).select(col("doc_id"),
-          round(TextAnalysis.qualityScore(col("text")) * lit(1e6))
-            .cast("long").as("q_micro"),
-          TextAnalysis.bpeTokenEstimate(col("text")).cast("long")
-            .as("toks"))
-          .withColumn("neg_q", negate(col("q_micro")))
-        graft.operators.GlobalScan
-          .withPrefixSum(d, Seq("neg_q", "doc_id"), "toks", "prefix")
-          .filter(col("prefix") < 10000)
-          .select(col("doc_id"), col("q_micro"), col("toks"),
-            col("prefix"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""
-        WITH parts AS (
-          SELECT doc_id,
-                 least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-                   AS len_score,
-                 CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                   / CAST(len(string_split(text, ' ')) AS DOUBLE)
-                   AS diversity,
-                 abs(CAST(len(list_filter(string_split(text, ' '),
-                         w -> w IN (${sqlList(TextFunctions.snowballStopWords)}))) AS DOUBLE)
-                     / CAST(len(string_split(text, ' ')) AS DOUBLE) - 0.4)
-                   AS stop_penalty,
-                 CAST(length(text) - length(regexp_replace(text,
-                   '[^\\p{L}\\p{N} ]', '', 'g')) AS DOUBLE)
-                   / CAST(length(text) AS DOUBLE) AS punct
-          FROM documents),
-        q AS (
-          SELECT doc_id,
-                 CAST(ROUND(ROUND(len_score * 0.3 + diversity * 0.3 +
-                   (1.0 - stop_penalty) * 0.3 + (1.0 - punct) * 0.1, 6)
-                   * 1000000.0) AS BIGINT) AS q_micro
-          FROM parts),
-        d AS (
-          SELECT q.doc_id, q.q_micro,
-                 CAST(len(regexp_extract_all(text,
-                   '${TextAnalysis.bpePattern.replace("'", "''")}'))
-                   AS BIGINT) AS toks
-          FROM q JOIN documents USING (doc_id)),
-        p AS (
-          SELECT doc_id, q_micro, toks,
-                 CAST(COALESCE(SUM(toks) OVER (
-                   ORDER BY q_micro DESC, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS BIGINT) AS prefix
-          FROM d)
-        SELECT doc_id, q_micro, toks, prefix
-        FROM p WHERE prefix < 10000
-        ORDER BY doc_id
-      """)),
-
-    // Fuzzy (edit-distance) self-join over the part-name domain —
-    // entity resolution's candidate-generate/verify kernel. The
-    // operator blocks on positional q-grams (Gravano-count filter)
-    // before any levenshtein evaluates; with every name >= q·(k+1)
-    // chars the blocked result EQUALS the naive cross join, which is
-    // exactly what the oracle runs (DuckDB and Spark both ship
-    // unit-cost levenshtein built-ins).
-    QueryDef(
-      "q_fuzzy_join",
-      (s, dir) => {
-        import graft.operators.FuzzyJoin
-        FuzzyJoin.similarPairs(
-            Tables(s, dir, "part").select(col("p_name")), "p_name",
-            maxDist = 2)
-          .orderBy(col("name_a"), col("name_b"))
-      },
-      Some("""
-        WITH n AS (SELECT DISTINCT p_name AS name FROM part)
-        SELECT a.name AS name_a, b.name AS name_b,
-               CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
-        FROM n a JOIN n b ON a.name < b.name
-        WHERE levenshtein(a.name, b.name) <= 2
-        ORDER BY name_a, name_b
-      """)),
-
-    // Corpus-frequency boilerplate stripping (the C4 repeated-line
-    // rule, block-tiled for line-less token streams): 4-token tiles
-    // seen in >= 3 distinct docs are removed everywhere, documents
-    // reassembled in order. Oracle replays tile → docfreq → mark →
-    // ordered string_agg.
-    QueryDef(
-      "q_boilerplate",
-      (s, dir) => {
-        import graft.operators.Boilerplate
-        Boilerplate.stripFrequentBlocks(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")),
-            "doc_id", "text", blockSize = 4, minDf = 3)
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH w AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
-          FROM documents),
-        b AS (
-          SELECT doc_id, CAST((pos - 1) // 4 AS BIGINT) AS bidx,
-                 string_agg(word, ' ' ORDER BY pos) AS blk
-          FROM w GROUP BY 1, 2),
-        df AS (SELECT blk, count(DISTINCT doc_id) AS df FROM b GROUP BY 1),
-        m AS (
-          SELECT b.doc_id, b.bidx, b.blk, df.df >= 3 AS boiler
-          FROM b JOIN df USING (blk))
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS blocks_total,
-               CAST(count(CASE WHEN boiler THEN 1 END) AS BIGINT)
-                 AS blocks_removed,
-               COALESCE(string_agg(CASE WHEN NOT boiler THEN blk END,
-                                   ' ' ORDER BY bidx), '') AS clean_text
-        FROM m GROUP BY doc_id ORDER BY doc_id
-      """)),
-
-    // WITHIN-doc repeated-block pruning (q_boilerplate's intra-doc
-    // complement — scraped pages repeating their own nav blocks):
-    // first occurrence kept in place, survivors reassembled. The
-    // Spark side is ONE shuffle-free codegen projection
-    // (array_distinct keeps first occurrences); the oracle replays
-    // first-occurrence semantics positionally (min bidx per block +
-    // ordered string_agg) — deliberately NOT DuckDB's list_distinct,
-    // whose order is unspecified. blockSize 2 is the witness-bearing
-    // tile at test scale (250 removals at sf0.01; larger tiles never
-    // repeat in synthetic text).
-    QueryDef(
-      "q_chunk_dedup",
-      (s, dir) => {
-        import graft.operators.Boilerplate
-        Boilerplate.dedupWithinDoc(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")),
-            "doc_id", "text", blockSize = 2)
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        idx AS (
-          SELECT doc_id, t,
-                 unnest(range(0, CAST(floor((len(t) - 1) / 2) AS BIGINT)
-                                 + 1)) AS bidx
-          FROM toks),
-        blocks AS (
-          SELECT doc_id, bidx,
-                 array_to_string(t[(bidx * 2 + 1):(bidx * 2 + 2)], ' ')
-                   AS block
-          FROM idx),
-        firsts AS (
-          SELECT doc_id, block, min(bidx) AS bidx, count(*) AS occ
-          FROM blocks GROUP BY 1, 2)
-        SELECT doc_id,
-               CAST(sum(occ) AS BIGINT) AS blocks_total,
-               CAST(sum(occ) - count(*) AS BIGINT) AS blocks_removed,
-               string_agg(block, ' ' ORDER BY bidx) AS clean_text
-        FROM firsts GROUP BY doc_id ORDER BY doc_id
-      """)),
-
-    // DSIR importance weights (target slice = source 'src0'): top-100
-    // raw docs by add-one-smoothed unigram log-likelihood ratio
-    // log10 p_target/p_raw, 9-dp per-word lattice, exact DECIMAL
-    // per-doc sums, 6-dp weight edge — ties at the cut break on
-    // doc_id in both engines.
-    QueryDef(
-      "q_dsir_weights",
-      (s, dir) => {
-        import graft.operators.Dsir
-        Dsir.importanceWeights(
-            Tables.documents(s, dir)
-              .select(col("doc_id"), col("text"), col("source")),
-            "doc_id", "text", col("source") === "src0")
-          .orderBy(col("weight").desc, col("doc_id"))
-          .limit(100)
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, source = 'src0' AS t,
-                 unnest(string_split(text, ' ')) AS w
-          FROM documents),
-        counts AS (
-          SELECT w, count(*) AS rc,
-                 CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS tc
-          FROM toks GROUP BY 1),
-        tot AS (
-          SELECT CAST(sum(rc) AS BIGINT) AS rtot,
-                 CAST(sum(tc) AS BIGINT) AS ttot,
-                 count(*) AS v
-          FROM counts),
-        ratios AS (
-          SELECT w, ROUND(
-                   log10(CAST(tc + 1 AS DOUBLE) / CAST(ttot + v AS DOUBLE))
-                   - log10(CAST(rc + 1 AS DOUBLE) / CAST(rtot + v AS DOUBLE)),
-                   9) AS lr
-          FROM counts, tot),
-        d AS (
-          SELECT t.doc_id, count(*) AS n_tokens,
-                 ROUND(CAST(sum(CAST(r.lr AS DECIMAL(38,12))) AS DOUBLE), 6)
-                   AS weight
-          FROM toks t JOIN ratios r ON r.w = t.w
-          GROUP BY 1)
-        SELECT doc_id, n_tokens, weight FROM d
-        ORDER BY weight DESC, doc_id LIMIT 100
-      """)),
-
-    // Triangle enumeration over the cell-blocked kNN-3 similarity
-    // graph (Similarity.cellBlockedTopK — candidates come from the
-    // row's own IVF cell, so the edge generator is cell-bounded
-    // instead of corpus² and nothing corpus-sized is broadcast) —
-    // the community-density measure for embedding-space cluster
-    // audits. The operator orients edges by (degree, id) so each
-    // triangle survives as exactly one wedge + closing edge (out-
-    // degree bounded by O(√m)); the oracle enumerates the same set
-    // from the id-ordered edge list, where each triangle also
-    // appears exactly once.
-    QueryDef(
-      "q_triangles",
-      (s, dir) => {
-        import graft.operators.Triangles
-        val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.cellBlockedTopK(
-          emb, "vec_id", "embedding", 3)
-        Triangles.enumerate(
-            knn.select(col("query_id").as("src"),
-              col("neighbor_id").as("dst")),
-            "src", "dst")
-          .orderBy(col("a"), col("b"), col("c"))
-      },
-      Some(s"""
-        WITH $cellKnnEdgeCtes
-        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-        FROM e e1
-        JOIN e e2 ON e2.id_a = e1.id_b
-        JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
-        ORDER BY a, b, c
-      """)),
-
-    // Local clustering coefficient over the same cell-blocked 3-NN
-    // graph as q_triangles: per node, 2T/(d(d−1)) on the integer ppm
-    // lattice — community density as a curation signal (cliques ≈
-    // 1e6, bridges low). The oracle extends the triangle replay with
-    // the per-node rollup and the same floor-division lattice.
-    QueryDef(
-      "q_clustering",
-      (s, dir) => {
-        import graft.operators.Triangles
-        val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.cellBlockedTopK(
-          emb, "vec_id", "embedding", 3)
-        Triangles.clusteringCoefficient(
-            knn.select(col("query_id").as("src"),
-              col("neighbor_id").as("dst")),
-            "src", "dst")
-          .orderBy(col("id"))
-      },
-      Some(s"""
-        WITH $cellKnnEdgeCtes,
-        tri AS (
-          SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-          FROM e e1
-          JOIN e e2 ON e2.id_a = e1.id_b
-          JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
-        tn AS (
-          SELECT id, count(*) AS triangles FROM (
-            SELECT a AS id FROM tri
-            UNION ALL SELECT b FROM tri
-            UNION ALL SELECT c FROM tri)
-          GROUP BY 1),
-        deg AS (
-          SELECT id, count(*) AS deg FROM (
-            SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
-          GROUP BY 1)
-        SELECT d.id, d.deg, COALESCE(t.triangles, 0) AS triangles,
-               CAST((2 * COALESCE(t.triangles, 0) * 1000000)
-                    // (d.deg * (d.deg - 1)) AS BIGINT) AS coeff_ppm
-        FROM deg d LEFT JOIN tn t USING (id)
-        WHERE d.deg >= 2
-        ORDER BY d.id
-      """)),
-
-    // Degree assortativity of the same cell-blocked 3-NN graph: one
-    // number for whether similar docs clump into dense cores (r > 0)
-    // or hub-and-spoke around templates (r < 0) —
-    // Triangles.degreeAssortativity scaladoc.
-    QueryDef(
-      "q_assortativity",
-      (s, dir) => {
-        import graft.operators.Triangles
-        val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.cellBlockedTopK(
-          emb, "vec_id", "embedding", 3)
-        Triangles.degreeAssortativity(
-          knn.select(col("query_id").as("src"),
-            col("neighbor_id").as("dst")),
-          "src", "dst")
-      },
-      Some(s"""
-        WITH $cellKnnEdgeCtes,
-        deg AS (
-          SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
-            SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
-          GROUP BY 1),
-        dp AS (
-          SELECT du.deg AS du, dv.deg AS dv
-          FROM (SELECT id_a AS u, id_b AS v FROM e
-                UNION ALL SELECT id_b, id_a FROM e) p
-          JOIN deg du ON du.id = p.u
-          JOIN deg dv ON dv.id = p.v),
-        g AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS m,
-                 CAST(SUM(du) AS BIGINT) AS sx,
-                 CAST(SUM(dv) AS BIGINT) AS sy,
-                 SUM(CAST(du AS HUGEINT) * dv) AS sxy,
-                 SUM(CAST(du AS HUGEINT) * du) AS sxx,
-                 SUM(CAST(dv AS HUGEINT) * dv) AS syy
-          FROM dp)
-        SELECT CAST(m // 2 AS BIGINT) AS n_edges,
-               ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                            * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
-                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                     6) AS r
-        FROM g
-      """)),
-
-    // Per-label semantic diversity: average pairwise cosine WITHOUT
-    // the n² pairwise join — ‖Σû‖² − n over micro-lattice unit
-    // vectors (SemanticDiversity scaladoc). High = redundant
-    // self-similar cluster, low = diverse. The oracle replays the
-    // lattice with HUGEINT where Spark uses DECIMAL(38,0).
-    QueryDef(
-      "q_semantic_diversity",
-      (s, dir) =>
-        graft.operators.SemanticDiversity.averagePairwiseCosine(
-            Tables.embeddings(s, dir), "label", "embedding")
-          .orderBy(col("label")),
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        u AS (
-          SELECT d.label, d.i,
-                 CAST(ROUND(d.x / n.nrm * 1e6) AS BIGINT) AS un
-          FROM dims d JOIN nrm n USING (vec_id) WHERE n.nrm > 0),
-        s AS (
-          SELECT label, i, CAST(SUM(un) AS HUGEINT) AS sd
-          FROM u GROUP BY 1, 2),
-        q AS (
-          SELECT label, CAST(SUM(sd * sd) AS DOUBLE) AS ssq
-          FROM s GROUP BY 1),
-        c AS (
-          SELECT e.label, count(*) AS n
-          FROM embeddings e JOIN nrm ON nrm.vec_id = e.vec_id
-          WHERE nrm.nrm > 0 GROUP BY 1)
-        SELECT q.label, c.n,
-               CAST(ROUND((q.ssq / 1e12 - CAST(c.n AS DOUBLE))
-                          / (CAST(c.n AS DOUBLE)
-                             * (CAST(c.n AS DOUBLE) - 1.0)) * 1e6)
-                 AS BIGINT) AS avg_cos_ppm
-        FROM q JOIN c USING (label)
-        WHERE c.n >= 2
-        ORDER BY q.label
-      """)),
-
-    // Mutual-information term ranking against the language label —
-    // supervised feature selection over the presence/class
-    // contingency grid (absent cells included via the vocab × class
-    // cross join). 9-dp cell lattice, DECIMAL per-term interior,
-    // 6-dp edge; top 40 by (mi desc, term asc).
-    QueryDef(
-      "q_feature_mi",
-      (s, dir) => {
-        import graft.operators.FeatureSelection
-        FeatureSelection.mutualInformation(
-            Tables.documents(s, dir)
-              .select(col("doc_id"), col("text"), col("lang")),
-            "doc_id", "text", "lang")
-          .orderBy(col("mi").desc, col("term"))
-          .limit(40)
-      },
-      Some("""
-        WITH pres AS (
-          SELECT DISTINCT doc_id, c, w FROM (
-            SELECT doc_id, lang AS c,
-                   unnest(string_split(text, ' ')) AS w
-            FROM documents)),
-        nn AS (SELECT count(*) AS n FROM documents),
-        bc AS (SELECT lang AS c, count(*) AS nc FROM documents GROUP BY 1),
-        bt AS (SELECT w, count(DISTINCT doc_id) AS nt FROM pres GROUP BY 1),
-        btc AS (
-          SELECT w, c, count(DISTINCT doc_id) AS ntc
-          FROM pres GROUP BY 1, 2),
-        grid AS (
-          SELECT bt.w, bt.nt, bc.c, bc.nc,
-                 COALESCE(btc.ntc, 0) AS ntc, nn.n
-          FROM bt CROSS JOIN bc
-          LEFT JOIN btc ON btc.w = bt.w AND btc.c = bc.c
-          CROSS JOIN nn),
-        cells AS (
-          SELECT w, nt, CAST(
-            (CASE WHEN ntc > 0 THEN
-               ROUND((CAST(ntc AS DOUBLE) / CAST(n AS DOUBLE)) *
-                 log10((CAST(ntc AS DOUBLE) * CAST(n AS DOUBLE)) /
-                       (CAST(nt AS DOUBLE) * CAST(nc AS DOUBLE))), 9)
-             ELSE 0.0 END
-             +
-             CASE WHEN nc - ntc > 0 THEN
-               ROUND((CAST(nc - ntc AS DOUBLE) / CAST(n AS DOUBLE)) *
-                 log10((CAST(nc - ntc AS DOUBLE) * CAST(n AS DOUBLE)) /
-                       (CAST(n - nt AS DOUBLE) * CAST(nc AS DOUBLE))), 9)
-             ELSE 0.0 END) AS DECIMAL(38,12)) AS mi_c
-          FROM grid)
-        SELECT w AS term, CAST(nt AS BIGINT) AS n_docs_with,
-               ROUND(CAST(sum(mi_c) AS DOUBLE), 6) AS mi
-        FROM cells GROUP BY 1, 2
-        ORDER BY mi DESC, term LIMIT 40
-      """)),
-
-    // Semi-supervised label propagation: the vec_id%7 seed labels hop
-    // outward two rounds over the 5-cosine-NN graph (majority vote,
-    // votes desc / smallest-label tie-break; seeds immutable). The
-    // oracle unrolls both rounds over the identical edge list — edge
-    // build is the ANN surface's job (brute-force here, LSH/IVF at
-    // scale); the propagation itself joins k·|V| edges to a |V| label
-    // table per round, never touching vectors again.
-    QueryDef(
-      "q_label_prop",
-      (s, dir) => {
-        import graft.operators.LabelPropagation
-        LabelPropagation.propagate(
-            Tables.embeddings(s, dir), "vec_id", "embedding", "label",
-            pmod(col("vec_id"), lit(7L)) === 0, 5, 2)
-          .orderBy(col("id"))
-      },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (
-          SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM dims GROUP BY 1),
-        dots AS (
-          SELECT q.vec_id AS node_id, c.vec_id AS neighbor_id,
-                 sum(q.x * c.x) AS d
-          FROM dims q JOIN dims c ON q.i = c.i
-          WHERE q.vec_id <> c.vec_id
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT node_id, neighbor_id,
-                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
-          FROM dots
-          JOIN norms nq ON nq.vec_id = node_id
-          JOIN norms nc ON nc.vec_id = neighbor_id),
-        edges AS (
-          SELECT node_id, neighbor_id FROM (
-            SELECT node_id, neighbor_id,
-                   ROW_NUMBER() OVER (PARTITION BY node_id
-                                      ORDER BY cosine DESC, neighbor_id)
-                     AS rnk
-            FROM scored) WHERE rnk <= 5),
-        seeds AS (
-          SELECT vec_id AS id, label FROM embeddings WHERE vec_id % 7 = 0),
-        v1 AS (
-          SELECT e.node_id, s.label, count(*) AS votes
-          FROM edges e JOIN seeds s ON s.id = e.neighbor_id
-          GROUP BY 1, 2),
-        w1 AS (
-          SELECT node_id, label,
-                 ROW_NUMBER() OVER (PARTITION BY node_id
-                                    ORDER BY votes DESC, label) AS rn
-          FROM v1),
-        l1 AS (
-          SELECT id, label, 'seed' AS origin FROM seeds
-          UNION ALL
-          SELECT node_id, label, 'iter1' FROM w1
-          WHERE rn = 1 AND node_id NOT IN (SELECT id FROM seeds)),
-        v2 AS (
-          SELECT e.node_id, l.label, count(*) AS votes
-          FROM edges e JOIN l1 l ON l.id = e.neighbor_id
-          GROUP BY 1, 2),
-        w2 AS (
-          SELECT node_id, label,
-                 ROW_NUMBER() OVER (PARTITION BY node_id
-                                    ORDER BY votes DESC, label) AS rn
-          FROM v2),
-        l2 AS (
-          SELECT id, label, origin FROM l1
-          UNION ALL
-          SELECT node_id, label, 'iter2' FROM w2
-          WHERE rn = 1 AND node_id NOT IN (SELECT id FROM l1))
-        SELECT emb.vec_id AS id, l.label,
-               COALESCE(l.origin, 'none') AS origin
-        FROM embeddings emb LEFT JOIN l2 l ON l.id = emb.vec_id
-        ORDER BY id
-      """)),
-
-    // Per-source nucleus (top-p) truncation: keep each source's
-    // biggest documents while the cumulative char mass stays under
-    // half the source's total — the sampling-temperature move applied
-    // to corpus pruning. Entirely integer arithmetic (2·cum < tot
-    // instead of a float share), so the keep set is exact in any
-    // engine; one window exchange keyed by source.
-    QueryDef(
-      "q_top_p",
-      (s, dir) => {
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("n_chars").desc, col("doc_id"))
-        Tables.documents(s, dir)
-          .select(col("source"), col("doc_id"), col("n_chars"))
-          .withColumn("rnk", row_number().over(w))
-          .withColumn("cum", sum(col("n_chars")).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("tot",
-            sum(col("n_chars")).over(Window.partitionBy(col("source"))))
-          .filter((col("cum") - col("n_chars")) * 2 < col("tot"))
-          .select(col("source"), col("doc_id"), col("n_chars"), col("rnk"))
-          .orderBy(col("source"), col("rnk"))
-      },
-      Some("""
-        WITH r AS (
-          SELECT source, doc_id, n_chars,
-                 ROW_NUMBER() OVER w AS rnk,
-                 SUM(n_chars) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS cum,
-                 SUM(n_chars) OVER (PARTITION BY source) AS tot
-          FROM documents
-          WINDOW w AS (PARTITION BY source
-                       ORDER BY n_chars DESC, doc_id))
-        SELECT source, doc_id, n_chars, CAST(rnk AS BIGINT) AS rnk
-        FROM r WHERE (cum - n_chars) * 2 < tot
-        ORDER BY source, rnk
-      """)),
-
-    // Per-source rank normalization: percent_rank (an exact rational —
-    // ties are impossible under the (n_chars, doc_id) total order, so
-    // both engines compute (rank−1)/(n−1) over identical ranks) plus
-    // the ntile quartile, the distribution-free feature transforms
-    // for heavy-tailed metrics. One window exchange serves both.
-    QueryDef(
-      "q_rank_normalize",
-      (s, dir) => {
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("n_chars"), col("doc_id"))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"), col("n_chars"))
-          .withColumn("pr", round(percent_rank().over(w), 6))
-          .withColumn("quartile", ntile(4).over(w))
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        SELECT doc_id, source, n_chars,
-               ROUND(percent_rank() OVER w, 6) AS pr,
-               ntile(4) OVER w AS quartile
-        FROM documents
-        WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
-        ORDER BY doc_id
-      """)),
-
-    // Per-doc token entropy: −Σ p·log10 p over the doc's token
-    // distribution — the low-entropy (repetitive/templated) and
-    // high-entropy (random-noise) quality tails in one signal. Each
-    // term's contribution snaps to the 9-dp lattice before a DECIMAL
-    // sum (order-independent), the cross-engine-proven log10
-    // discipline. The doc-keyed window sum and the final groupBy
-    // share one hash partitioning — a single exchange end to end.
-    QueryDef(
-      "q_token_entropy",
-      (s, dir) => {
-        val cnts = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy(col("doc_id"), col("w"))
-          .agg(count(lit(1)).as("c"))
-        val p = col("c").cast("double") /
-          sum(col("c")).over(Window.partitionBy(col("doc_id")))
-        cnts
-          .select(col("doc_id"),
-            sum(col("c")).over(Window.partitionBy(col("doc_id"))).as("n"),
-            round(-p * log10(p), 9)
-              .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("h"))
-          .groupBy(col("doc_id"))
-          .agg(max(col("n")).as("n_tokens"),
-            round(sum(col("h")).cast("double"), 6).as("entropy"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          FROM documents),
-        cnts AS (
-          SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
-        wn AS (
-          SELECT doc_id, c,
-                 CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
-          FROM cnts),
-        contrib AS (
-          SELECT doc_id, n,
-                 CAST(ROUND(-(CAST(c AS DOUBLE) / n)
-                              * log10(CAST(c AS DOUBLE) / n), 9)
-                      AS DECIMAL(38,12)) AS h
-          FROM wn)
-        SELECT doc_id, max(n) AS n_tokens,
-               ROUND(CAST(sum(h) AS DOUBLE), 6) AS entropy
-        FROM contrib GROUP BY doc_id
-        ORDER BY doc_id
-      """)),
-
-    // Incremental join maintenance: the new orders⋈customer rows an
-    // ingest batch (orderkey%10 orders, custkey%7 customers)
-    // contributes on top of the standing snapshots — three
-    // delta-on-the-build-side joins instead of re-shuffling both full
-    // snapshots (JoinMaintenance scaladoc). Each (order, customer)
-    // pair lands in exactly one branch, so the union needs no
-    // distinct; the oracle recomputes the same three-way split.
-    QueryDef(
-      "q_join_delta",
-      (s, dir) => {
-        import graft.operators.JoinMaintenance
-        val o = Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_custkey"))
-        val c = Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_name"))
-        JoinMaintenance.joinDelta(
-            o.filter(pmod(col("o_orderkey"), lit(10L)) =!= 0),
-            o.filter(pmod(col("o_orderkey"), lit(10L)) === 0),
-            c.filter(pmod(col("c_custkey"), lit(7L)) =!= 0),
-            c.filter(pmod(col("c_custkey"), lit(7L)) === 0),
-            "o_custkey", "c_custkey")
-          .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
-            col("branch"))
-          .orderBy(col("o_orderkey"))
-      },
-      Some("""
-        WITH dA AS (SELECT o_orderkey, o_custkey FROM orders
-                    WHERE o_orderkey % 10 = 0),
-        sA AS (SELECT o_orderkey, o_custkey FROM orders
-               WHERE o_orderkey % 10 <> 0),
-        dB AS (SELECT c_custkey, c_name FROM customer
-               WHERE c_custkey % 7 = 0),
-        sB AS (SELECT c_custkey, c_name FROM customer
-               WHERE c_custkey % 7 <> 0)
-        SELECT o_orderkey, o_custkey, c_name, 'delta_left' AS branch
-        FROM dA JOIN sB ON o_custkey = c_custkey
-        UNION ALL
-        SELECT o_orderkey, o_custkey, c_name, 'delta_right'
-        FROM sA JOIN dB ON o_custkey = c_custkey
-        UNION ALL
-        SELECT o_orderkey, o_custkey, c_name, 'delta_both'
-        FROM dA JOIN dB ON o_custkey = c_custkey
-        ORDER BY o_orderkey
-      """)),
-
-    // Skip-gram co-occurrence counts (the word2vec/GloVe input
-    // matrix): ordered token pairs at distance 1-2 within a document,
-    // counted corpus-wide, top 30 by (n desc, w1, w2) — deterministic
-    // through the cut. Pair generation is a doc-keyed position
-    // self-join (row-local after the one doc-hash exchange); the
-    // pair-keyed count is map-side combined before its shuffle.
-    QueryDef(
-      "q_skipgrams",
-      (s, dir) => {
-        val toks = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        val left = toks.select(col("doc_id"), col("pos"), col("w").as("w1"))
-        val right = toks
-          .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"),
-            col("w").as("w2"))
-        left
-          .join(right, col("doc_id") === col("doc_id2") &&
-            col("pos2") - col("pos") >= 1 && col("pos2") - col("pos") <= 2)
-          .groupBy(col("w1"), col("w2"))
-          .agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("w1"), col("w2"))
-          .limit(30)
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
-          FROM documents)
-        SELECT a.w AS w1, b.w AS w2, count(*) AS n
-        FROM toks a JOIN toks b
-          ON a.doc_id = b.doc_id
-         AND b.pos - a.pos BETWEEN 1 AND 2
-        GROUP BY 1, 2
-        ORDER BY n DESC, w1, w2 LIMIT 30
-      """)),
-
-    // χ² goodness-of-fit: is the corpus uniformly spread over its
-    // sources? Exact-rational statistic Σ(k·O−n)²/(n·k) via the
-    // k²·ΣO²−k·n² identity (one k-row re-aggregation, no second
-    // category pass); verdict against the 4-dp df=19 critical value
-    // by integer cross-multiplication (DistributionTests scaladoc).
-    QueryDef(
-      "q_chi_square",
-      (s, dir) =>
-        graft.operators.DistributionTests.chiSquareUniform(
-          Tables.documents(s, dir), "source", crit4 = 301435L),
-      Some("""
-        WITH c AS (
-          SELECT source, count(*) AS o FROM documents GROUP BY 1),
-        a AS (
-          SELECT CAST(count(*) AS BIGINT) AS k,
-                 CAST(sum(o) AS BIGINT) AS n,
-                 CAST(sum(CAST(o AS HUGEINT) * o) AS HUGEINT) AS oo
-          FROM c)
-        SELECT k, n,
-               ROUND(CAST(k*k*oo - k*n*n AS DOUBLE)
-                     / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)), 6)
-                 AS chi2,
-               CASE WHEN (k*k*oo - k*n*n) * 10000 > 301435 * n * k
-                    THEN 'nonuniform' ELSE 'uniform' END AS verdict
-        FROM a
-      """)),
-
-    // Welch's unequal-variance t-test per source: English vs
-    // non-English doc lengths — the mean-shift monitor that holds
-    // when cohort variances differ (they do across ingest sources).
-    // Exact integer sufficient statistics, one corpus aggregation;
-    // the t/df combine is a single written IEEE sequence mirrored
-    // verbatim below (DistributionTests.welchT scaladoc).
-    QueryDef(
-      "q_welch_t",
-      (s, dir) =>
-        DistributionTests.welchT(
-          Tables.documents(s, dir), "source", col("lang") === "en",
-          "n_chars")
-          .orderBy(col("source")),
-      Some("""
-        WITH s0 AS (
-          SELECT source, (lang = 'en') AS b, CAST(n_chars AS BIGINT) AS x
-          FROM documents WHERE lang IS NOT NULL),
-        g AS (
-          SELECT source,
-                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-                 CAST(SUM(CASE WHEN NOT b THEN x ELSE 0 END) AS BIGINT) AS sxa,
-                 CAST(SUM(CASE WHEN b THEN x ELSE 0 END) AS BIGINT) AS sxb,
-                 SUM(CASE WHEN NOT b THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxa,
-                 SUM(CASE WHEN b THEN CAST(x AS HUGEINT) * x ELSE 0 END) AS sxxb
-          FROM s0 GROUP BY 1),
-        c AS (
-          SELECT source, n_a, n_b,
-                 CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
-                 CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
-                 ((CAST(n_a AS DOUBLE) * CAST(sxxa AS DOUBLE)
-                   - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
-                  / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)))
-                   / CAST(n_a AS DOUBLE) AS sa,
-                 ((CAST(n_b AS DOUBLE) * CAST(sxxb AS DOUBLE)
-                   - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE))
-                  / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))
-                   / CAST(n_b AS DOUBLE) AS sb
-          FROM g WHERE n_a >= 2 AND n_b >= 2)
-        SELECT source, n_a, n_b,
-               ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
-               ROUND((ma - mb) / sqrt(sa + sb), 6) AS t_stat,
-               ROUND((sa + sb) * (sa + sb)
-                     / (sa * sa / (CAST(n_a AS DOUBLE) - 1.0)
-                        + sb * sb / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS df
-        FROM c WHERE sa + sb > 0.0
-        ORDER BY source
-      """)),
-
-    // Cramér's V: is `lang` independent of `source`? χ² over the r×c
-    // contingency table with the 9-dp-snap/DECIMAL-sum cell policy
-    // (order-free; DistributionTests.cramersV scaladoc), V in [0,1].
-    QueryDef(
-      "q_cramers_v",
-      (s, dir) =>
-        DistributionTests.cramersV(Tables.documents(s, dir),
-          "source", "lang"),
-      Some("""
-        WITH cells AS (
-          SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
-        rt AS (SELECT source, SUM(o) AS r FROM cells GROUP BY 1),
-        ct AS (SELECT lang, SUM(o) AS c FROM cells GROUP BY 1),
-        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
-                       CAST(COUNT(DISTINCT source) AS BIGINT) AS nr,
-                       CAST(COUNT(DISTINCT lang) AS BIGINT) AS nc
-                FROM cells),
-        terms AS (
-          SELECT n, nr, nc,
-                 CAST(ROUND(
-                   (CAST(o AS DOUBLE) * CAST(o AS DOUBLE))
-                     / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)), 9)
-                   AS DECIMAL(38,12)) AS term
-          FROM cells JOIN rt USING (source) JOIN ct USING (lang)
-          CROSS JOIN tot),
-        agg AS (SELECT n, nr, nc, SUM(term) AS terms
-                FROM terms GROUP BY 1, 2, 3)
-        SELECT n, nr, nc,
-               ROUND(CAST(n AS DOUBLE) * (CAST(terms AS DOUBLE) - 1.0), 6)
-                 AS chi2,
-               ROUND(sqrt(greatest(CAST(terms AS DOUBLE) - 1.0, 0.0)
-                          / (CAST(least(nr, nc) AS DOUBLE) - 1.0)), 6)
-                 AS cramers_v
-        FROM agg
-      """)),
-
-    // Spearman rank correlation per source (chars vs whitespace
-    // tokens): monotone association robust to outliers, on the
-    // doubled-average-rank integer lattice (RankCorrelation scaladoc)
-    // so tie handling replays exactly in both engines.
-    QueryDef(
-      "q_spearman",
-      (s, dir) =>
-        RankCorrelation.spearman(
-          Tables.documents(s, dir)
-            .select(col("source"), col("n_chars"),
-              TextAnalysis.whitespaceTokenCount(col("text"))
-                .as("ws_tokens")),
-          "source", "n_chars", "ws_tokens")
-          .orderBy(col("source")),
-      Some("""
-        WITH pts AS (
-          SELECT source, n_chars AS x, len(string_split(text, ' ')) AS y
-          FROM documents),
-        ranked AS (
-          SELECT source,
-                 2 * rank() OVER (PARTITION BY source ORDER BY x)
-                   + count(*) OVER (PARTITION BY source, x) - 1 AS rx,
-                 2 * rank() OVER (PARTITION BY source ORDER BY y)
-                   + count(*) OVER (PARTITION BY source, y) - 1 AS ry
-          FROM pts),
-        g AS (
-          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
-                 SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
-                 SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
-                 SUM(CAST(ry AS HUGEINT) * ry) AS syy
-          FROM ranked GROUP BY 1)
-        SELECT source, n,
-               CAST(ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-                    * 1000000.0) AS BIGINT) / 1000000.0
-                 AS rho
-        FROM g
-        WHERE n >= 2
-          AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
-          AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) <> 0.0
-        ORDER BY source
-      """)),
-
-    // Flesch-Kincaid grade per doc from three exact regexp counts
-    // (words, sentence-terminator runs, vowel-group runs) — pure
-    // row-local scan, no shuffle; the grade combine is one written
-    // IEEE sequence (TextAnalysis.fleschKincaidGrade scaladoc).
-    QueryDef(
-      "q_readability",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            TextAnalysis.whitespaceTokenCount(col("text")).as("words"),
-            TextAnalysis.sentenceCount(col("text")).as("sentences"),
-            TextAnalysis.syllableEstimate(col("text")).as("syllables"))
-          .select(col("doc_id"), col("words"), col("sentences"),
-            col("syllables"),
-            round(TextAnalysis.fleschKincaidGrade(
-              col("words"), col("sentences"), col("syllables")), 6)
-              .as("fk_grade"))
-          .orderBy(col("doc_id")),
-      Some("""
-        WITH c AS (
-          SELECT doc_id,
-                 len(string_split(text, ' ')) AS words,
-                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-                   AS sentences,
-                 greatest(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1)
-                   AS syllables
-          FROM documents)
-        SELECT doc_id, words, sentences, syllables,
-               ROUND(0.39 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
-                     + 11.8 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
-                     - 15.59, 6) AS fk_grade
-        FROM c ORDER BY doc_id
-      """)),
-
-    // Frequency-centroid extractive summaries: per doc, the top-3
-    // sentences by coverage of the doc's own top-10 terms — all
-    // exchanges doc-keyed, no model, no float
-    // (Summarize.centroidSummary scaladoc).
-    QueryDef(
-      "q_summarize",
-      (s, dir) =>
-        graft.operators.Summarize.centroidSummary(
-          Tables.documents(s, dir), "doc_id", "text",
-          topTerms = 10, k = 3)
-          .orderBy(col("doc_id"), col("rank")),
-      Some("""
-        WITH sent0 AS (
-          SELECT doc_id,
-                 unnest(regexp_split_to_array(text, '[.!?]+')) AS raw,
-                 generate_subscripts(
-                   regexp_split_to_array(text, '[.!?]+'), 1) AS pos
-          FROM documents),
-        sent AS (
-          SELECT doc_id, pos, trim(raw) AS sentence
-          FROM sent0 WHERE length(trim(raw)) > 0),
-        stok AS (
-          SELECT doc_id, pos, unnest(string_split(sentence, ' ')) AS w
-          FROM sent),
-        st AS (SELECT * FROM stok WHERE w <> ''),
-        dc AS (SELECT doc_id, w, count(*) AS cnt
-               FROM st GROUP BY 1, 2),
-        top AS (
-          SELECT doc_id, w FROM (
-            SELECT doc_id, w,
-                   ROW_NUMBER() OVER (PARTITION BY doc_id
-                                      ORDER BY cnt DESC, w) AS rn
-            FROM dc) WHERE rn <= 10),
-        score AS (
-          SELECT t.doc_id, t.pos, CAST(count(*) AS BIGINT) AS score
-          FROM st t JOIN top ON top.doc_id = t.doc_id AND top.w = t.w
-          GROUP BY 1, 2),
-        ranked AS (
-          SELECT s.doc_id, s.pos, se.sentence, s.score,
-                 ROW_NUMBER() OVER (PARTITION BY s.doc_id
-                                    ORDER BY s.score DESC, s.pos)
-                   AS rank
-          FROM score s
-          JOIN sent se ON se.doc_id = s.doc_id AND se.pos = s.pos)
-        SELECT doc_id, rank, pos, sentence, score
-        FROM ranked WHERE rank <= 3
-        ORDER BY doc_id, rank
-      """)),
-
-    // Zipf-law slope per source: machine-generated boilerplate
-    // flattens the head, dedup'd spam steepens it — natural text
-    // sits near −1 (ZipfFit scaladoc: exact ranks, micro-lattice
-    // logs, exact OLS sums).
-    QueryDef(
-      "q_zipf",
-      (s, dir) =>
-        graft.operators.ZipfFit.fit(
-          Tables.documents(s, dir)
-            .select(col("source"),
-              explode(split(col("text"), " ", -1)).as("term"))
-            .filter(col("term") =!= ""),
-          "source", "term")
-          .orderBy(col("source")),
-      Some("""
-        WITH toks AS (
-          SELECT source, unnest(string_split(text, ' ')) AS term
-          FROM documents),
-        t2 AS (SELECT * FROM toks WHERE term <> ''),
-        counts AS (
-          SELECT source, term, count(*) AS cnt FROM t2 GROUP BY 1, 2),
-        ranked AS (
-          SELECT source, cnt,
-                 ROW_NUMBER() OVER (PARTITION BY source
-                                    ORDER BY cnt DESC, term) AS rnk
-          FROM counts),
-        lat AS (
-          SELECT source,
-                 CAST(ROUND(log10(CAST(rnk AS DOUBLE)) * 1e6) AS BIGINT)
-                   AS lx,
-                 CAST(ROUND(log10(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)
-                   AS ly
-          FROM ranked),
-        g AS (
-          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
-                 CAST(SUM(lx) AS BIGINT) AS sx,
-                 CAST(SUM(ly) AS BIGINT) AS sy,
-                 SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
-                 SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
-                 SUM(CAST(ly AS HUGEINT) * ly) AS syy
-          FROM lat GROUP BY 1)
-        SELECT source, n_terms,
-               ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-                 AS slope,
-               ROUND((CAST(sy AS DOUBLE)
-                      - (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                        / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * CAST(sx AS DOUBLE))
-                     / CAST(n_terms AS DOUBLE) / 1e6, 6) AS intercept,
-               CASE WHEN CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
-                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
-                    THEN NULL
-                    ELSE ROUND((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     * (CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / ((CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * (CAST(n_terms AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-               END AS r2
-        FROM g WHERE n_terms >= 2
-        ORDER BY source
-      """)),
-
-    // Heaps'-law vocabulary growth V(N) = K·N^β, one checkpoint per
-    // doc in id order — no sequential corpus scan: a term's first
-    // appearance is min(doc_id), so both cumulatives are prefix sums
-    // over the doc-sized table (ZipfFit.heaps scaladoc). β prices
-    // the vocab table a tokenizer build needs at 100 TB.
-    QueryDef(
-      "q_heaps",
-      (s, dir) =>
-        graft.operators.ZipfFit.heaps(
-          Tables.documents(s, dir)
-            .select(col("doc_id"),
-              explode(split(col("text"), " ", -1)).as("term"))
-            .filter(col("term") =!= ""),
-          "doc_id", "term"),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS term
-          FROM documents),
-        t2 AS (SELECT * FROM toks WHERE term <> ''),
-        perdoc AS (SELECT doc_id, count(*) AS n FROM t2 GROUP BY 1),
-        firstd AS (SELECT min(doc_id) AS doc_id FROM t2 GROUP BY term),
-        vat AS (SELECT doc_id, count(*) AS v FROM firstd GROUP BY 1),
-        cum AS (
-          SELECT p.doc_id,
-                 SUM(p.n) OVER (ORDER BY p.doc_id) AS nn,
-                 SUM(COALESCE(va.v, 0)) OVER (ORDER BY p.doc_id) AS vv
-          FROM perdoc p LEFT JOIN vat va USING (doc_id)),
-        lat AS (
-          SELECT CAST(ROUND(log10(CAST(nn AS DOUBLE)) * 1e6) AS BIGINT)
-                   AS lx,
-                 CAST(ROUND(log10(CAST(vv AS DOUBLE)) * 1e6) AS BIGINT)
-                   AS ly
-          FROM cum),
-        g AS (
-          SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
-                 CAST(SUM(lx) AS BIGINT) AS sx,
-                 CAST(SUM(ly) AS BIGINT) AS sy,
-                 SUM(CAST(lx AS HUGEINT) * ly) AS sxy,
-                 SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
-                 SUM(CAST(ly AS HUGEINT) * ly) AS syy
-          FROM lat)
-        SELECT n_points,
-               ROUND((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-                 AS beta,
-               ROUND((CAST(sy AS DOUBLE)
-                      - (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                        / (CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * CAST(sx AS DOUBLE))
-                     / CAST(n_points AS DOUBLE) / 1e6, 6) AS log10_k,
-               CASE WHEN CAST(n_points AS DOUBLE) * CAST(syy AS DOUBLE)
-                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
-                    THEN NULL
-                    ELSE ROUND((CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     * (CAST(n_points AS DOUBLE) * CAST(sxy AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / ((CAST(n_points AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                        * (CAST(n_points AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-               END AS r2
-        FROM g WHERE n_points >= 2
-      """)),
-
-    // 2-D Pareto frontier (maximize chars, minimize whitespace
-    // tokens): the docs on the chars-per-token efficiency frontier.
-    // No all-pairs — per-x collapse, one window over the collapsed
-    // table, broadcast semi-join back (Skyline scaladoc).
-    QueryDef(
-      "q_pareto",
-      (s, dir) =>
-        Skyline.frontier(
-          Tables.documents(s, dir)
-            .select(col("doc_id"), col("n_chars"),
-              TextAnalysis.whitespaceTokenCount(col("text"))
-                .as("ws_tokens")),
-          "n_chars", "ws_tokens")
-          .orderBy(col("doc_id")),
-      Some("""
-        WITH pts AS (
-          SELECT doc_id, n_chars AS x, len(string_split(text, ' ')) AS y
-          FROM documents),
-        perx AS (SELECT x, min(y) AS miny FROM pts GROUP BY 1),
-        fr AS (
-          SELECT x, miny,
-                 min(miny) OVER (ORDER BY x DESC
-                                 ROWS BETWEEN UNBOUNDED PRECEDING
-                                 AND 1 PRECEDING) AS best
-          FROM perx)
-        SELECT p.doc_id, p.x AS n_chars, p.y AS ws_tokens
-        FROM pts p JOIN fr ON fr.x = p.x AND fr.miny = p.y
-        WHERE fr.best IS NULL OR fr.miny < fr.best
-        ORDER BY p.doc_id
-      """)),
-
-    // IDF-weighted Jaccard near-dup pairs: rare shingles dominate the
-    // score, so template/boilerplate overlap no longer saturates it
-    // (Dedup.weightedJaccardPairs scaladoc). Same inverted-index
-    // shape as q_dedup_jaccard; weights on the bm25 idf micro-lattice.
-    QueryDef(
-      "q_dedup_weighted",
-      (s, dir) =>
-        Dedup.weightedJaccardPairs(
-          Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3), 0.8)
-          .orderBy(col("id_a"), col("id_b")),
-      Some(s"""
-        WITH ${shingleCtes(3)},
-        docfreq AS (SELECT shingle, count(*) AS df FROM grams GROUP BY 1),
-        ndocs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-                  FROM grams),
-        wgrams AS (
-          SELECT g.doc_id, g.shingle,
-                 CAST(ROUND(log10(CAST(n_docs AS DOUBLE)
-                                  / CAST(df AS DOUBLE)) * 1e6) AS BIGINT)
-                   AS w
-          FROM grams g JOIN docfreq USING (shingle) CROSS JOIN ndocs),
-        wsizes AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wt
-                   FROM wgrams GROUP BY 1),
-        winter AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                 CAST(SUM(a.w) AS BIGINT) AS iw
-          FROM wgrams a
-          JOIN wgrams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        wj AS (
-          SELECT id_a, id_b,
-                 ROUND(CAST(iw AS DOUBLE)
-                       / CAST(sa.wt + sb.wt - iw AS DOUBLE), 6)
-                   AS weighted_jaccard
-          FROM winter
-          JOIN wsizes sa ON sa.doc_id = id_a
-          JOIN wsizes sb ON sb.doc_id = id_b)
-        SELECT id_a, id_b, weighted_jaccard FROM wj
-        WHERE weighted_jaccard >= 0.8
-        ORDER BY id_a, id_b
-      """)),
-
-    // Lexical-diversity profile per document: type-token ratio, hapax
-    // ratio, and mean word length — the vocabulary-compactness
-    // signals beside q_token_entropy's distribution one. Entirely
-    // integer interior (ppm by integer division, mean length from two
-    // integer sums rounded at the edge); one doc-keyed exchange
-    // serves all three.
-    QueryDef(
-      "q_lexical_profile",
-      (s, dir) => {
-        val cnts = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .groupBy(col("doc_id"), col("w"))
-          .agg(count(lit(1)).as("c"), length(col("w")).as("len"))
-        cnts.groupBy(col("doc_id"))
-          .agg(
-            sum(col("c")).as("n_tokens"),
-            count(lit(1)).as("n_types"),
-            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
-            sum(col("c") * col("len")).as("__chars"))
-          .select(col("doc_id"), col("n_tokens"), col("n_types"),
-            expr("(n_types * CAST(1000000 AS BIGINT)) div n_tokens")
-              .as("ttr_ppm"),
-            expr("(n_hapax * CAST(1000000 AS BIGINT)) div n_types")
-              .as("hapax_ppm"),
-            round(col("__chars").cast("double") /
-              col("n_tokens").cast("double"), 6).as("mean_len"))
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS w
-          FROM documents),
-        cnts AS (
-          SELECT doc_id, w, count(*) AS c, len(w) AS len
-          FROM toks GROUP BY 1, 2),
-        agg AS (
-          SELECT doc_id,
-                 CAST(sum(c) AS BIGINT) AS n_tokens,
-                 COUNT(*) AS n_types,
-                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_hapax,
-                 CAST(sum(c * len) AS BIGINT) AS chars
-          FROM cnts GROUP BY 1)
-        SELECT doc_id, n_tokens, CAST(n_types AS BIGINT) AS n_types,
-               (n_types * 1000000) // n_tokens AS ttr_ppm,
-               (n_hapax * 1000000) // n_types AS hapax_ppm,
-               ROUND(CAST(chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-                 AS mean_len
-        FROM agg
-        ORDER BY doc_id
-      """)),
-
-    // Confidence calibration of the NB filter: held-out docs bucketed
-    // into margin deciles (top-1 minus top-2 score — integer micro
-    // units), accuracy per bucket in ppm by integer division — "is
-    // the classifier's confidence monotone in its accuracy?", the
-    // check a curation pipeline runs before thresholding on margin.
-    // The decile ntile windows over the EVAL SET (bounded by
-    // construction — eval sets are sampled, never corpus-sized); at
-    // corpus scale the cut would come from the quantile sketch
-    // instead.
-    QueryDef(
-      "q_confidence_bins",
-      (s, dir) => {
-        import graft.operators.NaiveBayes
-        val docs = Tables.documents(s, dir)
-        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
-        val model = NaiveBayes.fit(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
-        val w = Window.partitionBy(col("doc_id"))
-          .orderBy(col("score_micro").desc, col("label").asc)
-        val top2 = NaiveBayes.scores(model, test, "doc_id", "text")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 2)
-          .groupBy(col("doc_id"))
-          .agg(
-            max(when(col("rn") === 1, col("label"))).as("pred"),
-            (max(when(col("rn") === 1, col("score_micro"))) -
-              max(when(col("rn") === 2, col("score_micro"))))
-              .as("margin"))
-        val graded = top2
-          .join(test.select(col("doc_id"), col("lang")), "doc_id")
-          .select(col("doc_id"), col("margin"),
-            when(col("pred") === col("lang"), 1L).otherwise(0L).as("ok"))
-          .withColumn("decile", ntile(10).over(
-            Window.orderBy(col("margin"), col("doc_id"))))
-        graded.groupBy(col("decile"))
-          .agg(count(lit(1)).as("n"), sum(col("ok")).as("n_correct"))
-          .withColumn("acc_ppm",
-            expr("(n_correct * CAST(1000000 AS BIGINT)) div n"))
-          .orderBy(col("decile"))
-      },
-      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}" + """
-        , m AS (
-          SELECT b1.doc_id, b1.label AS pred,
-                 b1.score_micro - b2.score_micro AS margin
-          FROM best b1 JOIN best b2
-            ON b1.doc_id = b2.doc_id AND b1.rn = 1 AND b2.rn = 2),
-        graded AS (
-          SELECT m.doc_id, m.margin,
-                 CASE WHEN m.pred = te.lang THEN 1 ELSE 0 END AS ok
-          FROM m JOIN te USING (doc_id)),
-        dec AS (
-          SELECT ok, ntile(10) OVER (ORDER BY margin, doc_id) AS decile
-          FROM graded)
-        SELECT decile, COUNT(*) AS n, CAST(sum(ok) AS BIGINT) AS n_correct,
-               (CAST(sum(ok) AS BIGINT) * 1000000) // COUNT(*) AS acc_ppm
-        FROM dec GROUP BY 1 ORDER BY 1
-      """)),
-
-    // Dirichlet query-likelihood retrieval (µ=2000) over the SAME
-    // inverted index and query batch as q_bm25 — the language-model
-    // scorer a hybrid stack runs next to BM25. Everything reaching a
-    // log10 argument is exact integer arithmetic; every log10 snaps
-    // alone to the micro lattice (QueryLikelihood scaladoc).
-    QueryDef(
-      "q_query_likelihood",
-      (s, dir) => {
-        import graft.operators.{Bm25, QueryLikelihood}
-        val docs = docTokens(s, dir)
-        QueryLikelihood.scoreTopK(
-            Bm25.postings(docs, "doc_id", "tokens"),
-            retrievalQueryTerms(docs), k = 10)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""
-        WITH $retrievalCtes,
-        $qlScoredCtes
-        SELECT query_id, doc_id, score_micro, rank
-        FROM ql_ranked WHERE rank <= 10
-        ORDER BY query_id, rank
-      """)),
-
-    // Reciprocal-rank fusion of the two lexical rankers' top-20
-    // lists (k=60): hybrid retrieval without score calibration.
-    // Per-list contributions snap to the nano lattice BEFORE the
-    // long sum, so fusing any number of lists stays
-    // order-independent (RankFusion scaladoc).
-    QueryDef(
-      "q_rrf_fusion",
-      (s, dir) => {
-        import graft.operators.{Bm25, QueryLikelihood, RankFusion}
-        val docs = docTokens(s, dir)
-        val index = Bm25.postings(docs, "doc_id", "tokens")
-        val qt = retrievalQueryTerms(docs)
-        val bm = Bm25.scoreTopK(
-          index, Bm25.totals(docs, "doc_id", "tokens"), qt, k = 20)
-        val ql = QueryLikelihood.scoreTopK(index, qt, k = 20)
-        RankFusion.reciprocalRankFusion(
-            Seq(bm.select(col("query_id"), col("doc_id"), col("rank")),
-              ql.select(col("query_id"), col("doc_id"), col("rank"))),
-            topK = 10)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some(s"""
-        WITH $retrievalCtes,
-        $bm25ScoredCtes,
-        $qlScoredCtes,
-        rrf_contrib AS (
-          SELECT query_id, doc_id,
-                 CAST(ROUND(1e9 / (60.0 + CAST(rank AS DOUBLE)))
-                   AS BIGINT) AS c
-          FROM bm25_ranked WHERE rank <= 20
-          UNION ALL
-          SELECT query_id, doc_id,
-                 CAST(ROUND(1e9 / (60.0 + CAST(rank AS DOUBLE)))
-                   AS BIGINT) AS c
-          FROM ql_ranked WHERE rank <= 20),
-        rrf AS (
-          SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_nano
-          FROM rrf_contrib GROUP BY 1, 2),
-        rrf_ranked AS (
-          SELECT query_id, doc_id, rrf_nano,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY rrf_nano DESC, doc_id)
-                   AS rank
-          FROM rrf)
-        SELECT query_id, doc_id, rrf_nano, rank
-        FROM rrf_ranked WHERE rank <= 10
-        ORDER BY query_id, rank
-      """)),
-
-    // MMR diversified re-ranking (λ=0.7, token-set Jaccard novelty)
-    // of the BM25 top-10 — 5 picks per query. The oracle replays the
-    // greedy loop as 5 unrolled pick CTEs on the same integer
-    // lattices (Mmr scaladoc); the Spark side is the same unroll as
-    // bounded relational stages.
-    QueryDef(
-      "q_mmr",
-      (s, dir) => {
-        import graft.operators.{Bm25, Mmr}
-        val docs = docTokens(s, dir)
-        val cand = Bm25.scoreTopK(
-            Bm25.postings(docs, "doc_id", "tokens"),
-            Bm25.totals(docs, "doc_id", "tokens"),
-            retrievalQueryTerms(docs), k = 10)
-          .select(col("query_id"), col("doc_id"),
-            col("score_nano").as("rel_nano"))
-        Mmr.rerank(cand, docs.select(col("doc_id"), col("tokens")), k = 5)
-          .orderBy(col("query_id"), col("pick"))
-      },
-      Some(s"""
-        WITH $retrievalCtes,
-        $bm25ScoredCtes,
-        $mmrPickCtes
-        SELECT query_id, doc_id, mmr_score, pick FROM su5
-        ORDER BY query_id, pick
-      """)),
-
-    // Interpolated Kneser-Ney bigram scoring (D=0.75): the
-    // continuation-count cousin of q_bigram_score — templated
-    // boilerplate (huge counts, few contexts) stops scoring as
-    // plausible text (BigramLM.kneserNey scaladoc). Same 9-dp-
-    // lattice / DECIMAL-sum / 6-dp-edge replay discipline.
-    QueryDef(
-      "q_kneser_ney",
-      (s, dir) => {
-        import graft.operators.BigramLM
-        BigramLM.kneserNey(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")),
-            "doc_id", "text")
-          .orderBy(col("doc_id"))
-      },
-      Some("""
-        WITH words AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
-          FROM documents),
-        trans0 AS (
-          SELECT doc_id, word AS w1,
-                 lead(word, 1) OVER (PARTITION BY doc_id ORDER BY pos)
-                   AS w2
-          FROM words),
-        trans AS (SELECT * FROM trans0 WHERE w2 IS NOT NULL),
-        c12 AS (SELECT w1, w2, count(*) AS c12 FROM trans GROUP BY 1, 2),
-        lft AS (SELECT w1, sum(c12) AS c1, count(*) AS fwd
-                FROM c12 GROUP BY 1),
-        cont AS (SELECT w2, count(*) AS bwd FROM c12 GROUP BY 1),
-        nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM c12),
-        model AS (
-          SELECT c12.w1, c12.w2,
-                 ROUND(-LOG10(
-                   (CAST(c12.c12 AS DOUBLE) - 0.75)
-                     / CAST(lft.c1 AS DOUBLE)
-                   + (0.75 * CAST(lft.fwd AS DOUBLE)
-                      / CAST(lft.c1 AS DOUBLE))
-                     * (CAST(cont.bwd AS DOUBLE) / nb.nb)), 9) AS nlp
-          FROM c12 JOIN lft USING (w1) JOIN cont USING (w2) CROSS JOIN nb)
-        SELECT t.doc_id, count(*) AS n_transitions,
-               ROUND(CAST(sum(CAST(m.nlp AS DECIMAL(38,12))) AS DOUBLE)
-                     / count(*), 6) AS kn_xent
-        FROM trans t JOIN model m ON m.w1 = t.w1 AND m.w2 = t.w2
-        GROUP BY t.doc_id
-        ORDER BY t.doc_id
-      """)),
-
-    // One-way ANOVA across sources on document length — "is mean
-    // n_chars the same in every feed?" as one F statistic, integer
-    // sums + the cramersV 9-dp/DECIMAL group-sum policy
-    // (DistributionTests.oneWayAnova scaladoc).
-    QueryDef(
-      "q_anova",
-      (s, dir) =>
-        DistributionTests.oneWayAnova(
-          Tables.documents(s, dir), "source", "n_chars"),
-      Some("""
-        WITH g AS (
-          SELECT source, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(n_chars) AS BIGINT) AS s,
-                 SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx,
-                 CAST(ROUND(
-                   (CAST(sum(n_chars) AS DOUBLE) * CAST(sum(n_chars) AS DOUBLE))
-                     / CAST(count(*) AS DOUBLE), 9) AS DECIMAL(38,12)) AS t
-          FROM documents GROUP BY 1),
-        agg AS (
-          SELECT CAST(count(*) AS BIGINT) AS k_groups,
-                 CAST(sum(n) AS BIGINT) AS n,
-                 CAST(sum(s) AS BIGINT) AS stot,
-                 sum(sxx) AS sxxtot, sum(t) AS tsum
-          FROM g)
-        SELECT k_groups, n,
-               ROUND(CAST(tsum AS DOUBLE)
-                     - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
-                       / CAST(n AS DOUBLE), 6) AS ss_between,
-               ROUND(CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE), 6)
-                 AS ss_within,
-               ROUND(((CAST(tsum AS DOUBLE)
-                       - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
-                         / CAST(n AS DOUBLE))
-                      / (CAST(k_groups AS DOUBLE) - 1.0))
-                     / ((CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE))
-                        / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))),
-                     6) AS f_stat
-        FROM agg
-        WHERE k_groups >= 2
-          AND CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE) > 0.0
-      """)),
-
-    // Games-Howell post-hoc pairwise comparisons on the SAME fixture
-    // as q_anova — the parametric which-pairs answer after a
-    // significant F, completing the post-hoc symmetry with the rank
-    // family (Conover-Iman after KW, Conover after Friedman). Welch
-    // SE + Welch-Satterthwaite df per pair from exact integer group
-    // moments, pair table k²-bounded
-    // (DistributionTests.gamesHowell scaladoc).
-    QueryDef(
-      "q_anova_posthoc",
-      (s, dir) =>
-        DistributionTests.gamesHowell(
-            Tables.documents(s, dir), "source", "n_chars")
-          .orderBy(col("g1"), col("g2")),
-      Some("""
-        WITH g AS (
-          SELECT source AS grp, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(n_chars) AS BIGINT) AS s,
-                 CAST(CAST(count(*) AS HUGEINT)
-                        * SUM(CAST(n_chars AS HUGEINT) * n_chars)
-                      - CAST(sum(n_chars) AS HUGEINT)
-                        * CAST(sum(n_chars) AS HUGEINT)
-                      AS DOUBLE) AS vn
-          FROM documents WHERE n_chars IS NOT NULL
-          GROUP BY 1 HAVING count(*) >= 2),
-        p AS (
-          SELECT a.grp AS g1, b.grp AS g2, a.n AS n1, b.n AS n2,
-                 a.vn / (CAST(a.n AS DOUBLE)
-                         * (CAST(a.n AS DOUBLE) - 1.0))
-                   / CAST(a.n AS DOUBLE) AS sa,
-                 b.vn / (CAST(b.n AS DOUBLE)
-                         * (CAST(b.n AS DOUBLE) - 1.0))
-                   / CAST(b.n AS DOUBLE) AS sb,
-                 CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
-                   - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS md
-          FROM g a JOIN g b ON a.grp < b.grp)
-        SELECT g1, g2, n1, n2,
-               CAST(ROUND(md / sqrt(sa + sb) * 1e6) AS BIGINT)
-                 AS t_micro,
-               CAST(ROUND((sa + sb) * (sa + sb)
-                    / (sa * sa / (CAST(n1 AS DOUBLE) - 1.0)
-                       + sb * sb / (CAST(n2 AS DOUBLE) - 1.0))
-                    * 1e6) AS BIGINT) AS df_micro,
-               CAST(ROUND(abs(md / sqrt(sa + sb)) * sqrt(2.0) * 1e6)
-                    AS BIGINT) AS q_micro
-        FROM p WHERE sa + sb > 0
-        ORDER BY g1, g2
-      """)),
-
-    // Brown-Forsythe robust variance-homogeneity test on the SAME
-    // fixture as q_anova — "do the sources draw lengths with the
-    // same SPREAD", the assumption check beside q_anova's mean
-    // comparison. Group medians by exact doubled-lattice selection
-    // (m2 = sum of the central order statistics), deviations
-    // |2x − m2| exact integers, then the shared oneWayAnova
-    // decomposition — F is scale-invariant so the doubling never
-    // reaches the statistic (NonParametric.brownForsythe scaladoc).
-    QueryDef(
-      "q_brown_forsythe",
-      (s, dir) =>
-        graft.operators.NonParametric.brownForsythe(
-          Tables.documents(s, dir), "source", "n_chars"),
-      Some("""
-        WITH rows0 AS (
-          SELECT source, CAST(n_chars AS BIGINT) AS x
-          FROM documents WHERE n_chars IS NOT NULL),
-        rk AS (
-          SELECT source, x,
-                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY x) AS r,
-                 COUNT(*) OVER (PARTITION BY source) AS n
-          FROM rows0),
-        m2 AS (
-          SELECT source, CAST(SUM(x) * 2 // COUNT(*) AS BIGINT) AS m2
-          FROM rk
-          WHERE r = (n + 1) // 2 OR r = n // 2 + 1
-          GROUP BY 1),
-        dev AS (
-          SELECT rows0.source, abs(2 * rows0.x - m2.m2) AS d
-          FROM rows0 JOIN m2 ON m2.source = rows0.source),
-        g AS (
-          SELECT source, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(d) AS BIGINT) AS s,
-                 SUM(CAST(d AS HUGEINT) * d) AS sxx,
-                 CAST(ROUND(
-                   (CAST(sum(d) AS DOUBLE) * CAST(sum(d) AS DOUBLE))
-                     / CAST(count(*) AS DOUBLE), 9) AS DECIMAL(38,12)) AS t
-          FROM dev GROUP BY 1),
-        agg AS (
-          SELECT CAST(count(*) AS BIGINT) AS k_groups,
-                 CAST(sum(n) AS BIGINT) AS n,
-                 CAST(sum(s) AS BIGINT) AS stot,
-                 sum(sxx) AS sxxtot, sum(t) AS tsum
-          FROM g)
-        SELECT k_groups, n,
-               ROUND(CAST(tsum AS DOUBLE)
-                     - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
-                       / CAST(n AS DOUBLE), 6) AS ss_between,
-               ROUND(CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE), 6)
-                 AS ss_within,
-               ROUND(((CAST(tsum AS DOUBLE)
-                       - (CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE))
-                         / CAST(n AS DOUBLE))
-                      / (CAST(k_groups AS DOUBLE) - 1.0))
-                     / ((CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE))
-                        / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))),
-                     6) AS f_stat
-        FROM agg
-        WHERE k_groups >= 2
-          AND CAST(sxxtot AS DOUBLE) - CAST(tsum AS DOUBLE) > 0.0
-      """)),
-
-    // t-closeness audit over the same QI lattice as q_k_anonymity /
-    // q_l_diversity — the skewness-attack rung: groups whose market-
-    // segment DISTRIBUTION sits > 0.5 total-variation from the
-    // table's, TVD exact on the integer ppm lattice
-    // (DataQuality.tClosenessViolations scaladoc).
-    QueryDef(
-      "q_t_closeness",
-      (s, dir) =>
-        graft.operators.DataQuality.tClosenessViolations(
-            Tables.customer(s, dir)
-              .select(col("c_nationkey"), col("c_mktsegment"),
-                floor((col("c_acctbal") * 100).cast("long") /
-                  lit(200000.0)).as("bal_band")),
-            Seq("c_nationkey", "bal_band"), "c_mktsegment",
-            tPpm = 500000L)
-          .orderBy(col("c_nationkey"), col("bal_band")),
-      Some("""
-        WITH cells AS (
-          SELECT c_nationkey,
-                 CAST(FLOOR(CAST(CAST(c_acctbal * 100 AS BIGINT) AS DOUBLE)
-                            / 200000.0) AS BIGINT) AS bal_band,
-                 c_mktsegment AS s, count(*) AS c
-          FROM customer GROUP BY 1, 2, 3),
-        gt AS (SELECT c_nationkey, bal_band, sum(c) AS ng
-               FROM cells GROUP BY 1, 2),
-        dt AS (SELECT s, sum(c) AS cs FROM cells GROUP BY 1),
-        tot AS (SELECT sum(c) AS nn FROM cells),
-        grp AS (
-          SELECT cells.c_nationkey, cells.bal_band,
-                 CAST(max(ng) AS BIGINT) AS n,
-                 sum(greatest(CAST(c AS HUGEINT) * nn
-                              - CAST(cs AS HUGEINT) * ng, 0)) AS num,
-                 max(nn) AS nn
-          FROM cells JOIN dt USING (s)
-          JOIN gt USING (c_nationkey, bal_band) CROSS JOIN tot
-          GROUP BY 1, 2)
-        SELECT c_nationkey, bal_band, n,
-               CAST((num * 1000000) // (n * nn) AS BIGINT) AS tvd_ppm
-        FROM grp
-        WHERE (num * 1000000) // (n * nn) > 500000
-        ORDER BY c_nationkey, bal_band
-      """)),
-
-    // k-core of the term co-occurrence graph (top-200-df vocab,
-    // distance <= 2 — the q_keywords graph): three peel rounds at
-    // k=20 isolate the dense topical core from tendril terms
-    // (GraphOps.kCore scaladoc). The oracle unrolls the same three
-    // rounds over the replayed edge set.
-    QueryDef(
-      "q_kcore",
-      (s, dir) => {
-        val toks = docTokens(s, dir)
-          .select(col("doc_id"),
-            posexplode(col("tokens")).as(Seq("pos", "term")))
-        val vocab = toks.groupBy(col("term"))
-          .agg(countDistinct(col("doc_id")).as("df"))
-          .orderBy(col("df").desc, col("term"))
-          .limit(200)
-          .select(col("term"))
-        val vt = toks.join(broadcast(vocab), "term")
-        val edges = Seq(1, 2).map { d =>
-          vt.select(col("doc_id"), col("pos"), col("term").as("src"))
-            .join(vt.select(col("doc_id"), (col("pos") - lit(d)).as("pos"),
-              col("term").as("dst")), Seq("doc_id", "pos"))
-            .select(col("src"), col("dst"))
-        }.reduce(_ union _).filter(col("src") =!= col("dst"))
-        graft.operators.GraphOps.kCore(edges, "src", "dst",
-            k = 20, rounds = 3)
-          .orderBy(col("id"))
-      },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos
-          FROM documents),
-        vocab AS (
-          SELECT term FROM (
-            SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
-            ORDER BY df DESC, term LIMIT 200)),
-        vt AS (SELECT t.doc_id, t.pos, t.term
-               FROM toks t JOIN vocab v USING (term)),
-        e AS (
-          SELECT DISTINCT least(a.term, b.term) AS id_a,
-                          greatest(a.term, b.term) AS id_b
-          FROM vt a JOIN vt b
-            ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
-          WHERE a.term <> b.term),
-        d0 AS (SELECT id, count(*) AS d FROM (
-                 SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e)
-               GROUP BY 1),
-        k0 AS (SELECT id FROM d0 WHERE d >= 20),
-        e1 AS (SELECT id_a, id_b FROM e
-               WHERE id_a IN (SELECT id FROM k0)
-                 AND id_b IN (SELECT id FROM k0)),
-        d1 AS (SELECT id, count(*) AS d FROM (
-                 SELECT id_a AS id FROM e1 UNION ALL SELECT id_b FROM e1)
-               GROUP BY 1),
-        k1 AS (SELECT id FROM d1 WHERE d >= 20),
-        e2 AS (SELECT id_a, id_b FROM e1
-               WHERE id_a IN (SELECT id FROM k1)
-                 AND id_b IN (SELECT id FROM k1)),
-        d2 AS (SELECT id, count(*) AS d FROM (
-                 SELECT id_a AS id FROM e2 UNION ALL SELECT id_b FROM e2)
-               GROUP BY 1),
-        k2 AS (SELECT id FROM d2 WHERE d >= 20),
-        e3 AS (SELECT id_a, id_b FROM e2
-               WHERE id_a IN (SELECT id FROM k2)
-                 AND id_b IN (SELECT id FROM k2)),
-        d3 AS (SELECT id, count(*) AS d FROM (
-                 SELECT id_a AS id FROM e3 UNION ALL SELECT id_b FROM e3)
-               GROUP BY 1)
-        SELECT id, CAST(d AS BIGINT) AS deg FROM d3 WHERE d >= 20
-        ORDER BY id
-      """)),
-
-    // Multi-source BFS over the cell-blocked 3-NN similarity graph:
-    // minimum hop distance (<= 3) from the doc_id%97 seed set — "how
-    // far does a contaminated cluster spread" (GraphOps.bfsHops
-    // scaladoc). The oracle unrolls the same three frontier
-    // expansions over the shared cellKnnEdgeCtes replay.
-    QueryDef(
-      "q_bfs_hops",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.cellBlockedTopK(
-          emb, "vec_id", "embedding", 3)
-        graft.operators.GraphOps.bfsHops(
-            knn.select(col("query_id").as("src"),
-              col("neighbor_id").as("dst")),
-            "src", "dst",
-            emb.filter(pmod(col("vec_id"), lit(97L)) === 0), "vec_id",
-            maxHops = 3)
-          .orderBy(col("id"))
-      },
-      Some(s"""
-        WITH $cellKnnEdgeCtes,
-        und AS (SELECT id_a AS u, id_b AS v FROM e
-                UNION SELECT id_b, id_a FROM e),
-        h0 AS (SELECT DISTINCT vec_id AS id FROM embeddings
-               WHERE vec_id % 97 = 0),
-        h1 AS (SELECT DISTINCT v AS id FROM und JOIN h0 ON und.u = h0.id
-               WHERE v NOT IN (SELECT id FROM h0)),
-        h2 AS (SELECT DISTINCT v AS id FROM und JOIN h1 ON und.u = h1.id
-               WHERE v NOT IN (SELECT id FROM h0)
-                 AND v NOT IN (SELECT id FROM h1)),
-        h3 AS (SELECT DISTINCT v AS id FROM und JOIN h2 ON und.u = h2.id
-               WHERE v NOT IN (SELECT id FROM h0)
-                 AND v NOT IN (SELECT id FROM h1)
-                 AND v NOT IN (SELECT id FROM h2))
-        SELECT id, hop FROM (
-          SELECT id, 0 AS hop FROM h0
-          UNION ALL SELECT id, 1 FROM h1
-          UNION ALL SELECT id, 2 FROM h2
-          UNION ALL SELECT id, 3 FROM h3)
-        ORDER BY id
-      """)),
-
-    // Trigram-index exact substring search: each query doc's chars
-    // 11..18 as a literal %pattern%, served from the character-
-    // trigram inverted index + exact contains verify — bit-identical
-    // to the brute LIKE scan the oracle runs (TrigramSearch
-    // scaladoc; at sf0.01 no trigram exceeds the hot cap, so the
-    // served set is total).
-    QueryDef(
-      "q_trigram_search",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        graft.operators.TrigramSearch.search(
-            docs, "doc_id", "text",
-            docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
-              .select(col("doc_id"),
-                substring(col("text"), 11, 8).as("pattern")),
-            "doc_id", "pattern", excludeSelf = true)
-          .orderBy(col("query_id"), col("doc_id"))
-      },
-      Some("""
-        SELECT q.doc_id AS query_id, d.doc_id
-        FROM (SELECT doc_id, substring(text, 11, 8) AS pat
-              FROM documents WHERE doc_id % 97 = 0) q
-        JOIN documents d
-          ON length(q.pat) >= 3 AND contains(d.text, q.pat)
-         AND d.doc_id <> q.doc_id
-        ORDER BY query_id, d.doc_id
-      """)),
-
-    // One full BPE training iteration, oracle-replayed: learn the
-    // argmax pair, apply the greedy non-overlapping merge across the
-    // (vocab-sized) symbol table, recount pairs — the step q_bpe_pairs
-    // only argmaxes. The oracle applies the merge as a left-to-right
-    // string replace over space-joined symbols with a TRAILING-space
-    // pattern: on initial single-char symbols every match is
-    // symbol-aligned ('<'/'>' never appear in the corpus charset and
-    // the only multi-char symbol tail is '>'), and Python-replace
-    // semantics coincide with the fold on runs — sound for the FIRST
-    // merge, which is exactly what this query replays (the engine's
-    // applyMerge fold is the general path for later merges).
-    QueryDef(
-      "q_bpe_merge",
-      (s, dir) => {
-        import graft.operators.BpeTokenizer
-        val syms = BpeTokenizer.initialSymbols(
-          BpeTokenizer.wordCounts(Tables.documents(s, dir), "text"))
-          .select(col("freq"), col("syms")).localCheckpoint(true)
-        val (l, r, _) = BpeTokenizer.topPair(syms).get
-        BpeTokenizer.pairStats(BpeTokenizer.mergePair(syms, l, r))
-          .select(col("left").as("lhs"), col("right").as("rhs"), col("cnt"))
-          .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
-          .limit(50)
-      },
-      Some("""
-        WITH words AS (
-          SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-          FROM (SELECT unnest(string_split(text, ' ')) AS word
-                FROM documents)
-          WHERE length(word) > 0
-          GROUP BY 1),
-        pairs0 AS (
-          SELECT freq,
-                 substr(word, i, 1) AS lhs,
-                 substr(word, i + 1, 1) ||
-                   CASE WHEN i + 1 = n THEN '</w>' ELSE '' END AS rhs
-          FROM (SELECT word, freq, length(word) AS n,
-                       unnest(range(1, length(word))) AS i
-                FROM words)),
-        top1 AS (
-          SELECT lhs, rhs FROM (
-            SELECT lhs, rhs, SUM(freq) AS cnt
-            FROM pairs0 GROUP BY 1, 2
-            ORDER BY cnt DESC, lhs, rhs LIMIT 1)),
-        spaced AS (
-          SELECT freq,
-                 rtrim(regexp_replace(word, '(.)', '\1 ', 'g'))
-                   || '</w> ' AS s
-          FROM words),
-        merged AS (
-          SELECT freq,
-                 string_split(rtrim(replace(
-                   s, t.lhs || ' ' || t.rhs || ' ',
-                   t.lhs || t.rhs || ' ')), ' ') AS syms
-          FROM spaced CROSS JOIN top1 t),
-        pairs1 AS (
-          SELECT freq, syms[i] AS lhs, syms[i + 1] AS rhs
-          FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
-                FROM merged))
-        SELECT lhs, rhs, CAST(SUM(freq) AS BIGINT) AS cnt
-        FROM pairs1 GROUP BY 1, 2
-        ORDER BY cnt DESC, lhs, rhs
-        LIMIT 50
-      """)),
-
-    // T5 span-corruption example prep: replayable md5 span draws,
-    // one sentinel per corrupted span in the inputs, sentinel-
-    // enumerated span tokens in the targets (SpanCorruption
-    // scaladoc). Hashing the assembled strings verifies the whole
-    // mask/renumber/reassemble chain end to end.
-    QueryDef(
-      "q_span_corruption",
-      (s, dir) =>
-        graft.operators.SpanCorruption.corrupt(
-            Tables.documents(s, dir), "doc_id", "text")
-          .orderBy(col("doc_id")),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-                 generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-          FROM documents),
-        t2 AS (
-          SELECT doc_id, tok, pos, pos // 8 AS block, pos % 8 AS ofs,
-                 (CAST(concat('0x', substr(md5(doc_id || ':'
-                       || CAST(pos // 8 AS VARCHAR)), 1, 15))
-                    AS UBIGINT) % 3 = 0)
-                   AND pos % 8 BETWEEN 3 AND 5 AS masked
-          FROM toks),
-        mb AS (
-          SELECT doc_id, block,
-                 ROW_NUMBER() OVER (PARTITION BY doc_id
-                                    ORDER BY block) - 1 AS k
-          FROM (SELECT DISTINCT doc_id, block FROM t2 WHERE masked)),
-        tg AS (SELECT t2.*, mb.k FROM t2
-               LEFT JOIN mb USING (doc_id, block))
-        SELECT doc_id, COUNT(*) AS n_tokens,
-               CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_masked,
-               COALESCE(string_agg(
-                 CASE WHEN NOT masked THEN tok
-                      WHEN ofs = 3 THEN '<extra_id_' || k || '>' END,
-                 ' ' ORDER BY pos), '') AS inputs,
-               COALESCE(string_agg(
-                 CASE WHEN masked AND ofs = 3
-                        THEN '<extra_id_' || k || '> ' || tok
-                      WHEN masked THEN tok END,
-                 ' ' ORDER BY pos), '') AS targets
-        FROM tg GROUP BY doc_id
-        ORDER BY doc_id
-      """)),
-
-    // Length-bucketed batch assembly with padding-waste accounting
-    // (SequencePacking.lengthBuckets scaladoc): buckets of 200 chars,
-    // batches of 16 by the md5 draw — the fine-tuning counterpart of
-    // q_pack_sequences' causal concat-packing.
-    QueryDef(
-      "q_length_buckets",
-      (s, dir) =>
-        graft.operators.SequencePacking.lengthBuckets(
-            Tables.documents(s, dir), "doc_id", "n_chars",
-            bucketWidth = 200L, batchSize = 16)
-          .orderBy(col("bucket"), col("batch_id")),
-      Some("""
-        WITH rows0 AS (
-          SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
-                 n_chars // 200 AS bucket,
-                 CAST(concat('0x',
-                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                   AS UBIGINT) AS h
-          FROM documents),
-        dealt AS (
-          SELECT bucket, len,
-                 (ROW_NUMBER() OVER (PARTITION BY bucket
-                                     ORDER BY h, doc_id) - 1) // 16
-                   AS batch_id
-          FROM rows0)
-        SELECT bucket, batch_id, COUNT(*) AS n_rows,
-               MIN(len) AS min_len, MAX(len) AS max_len,
-               CAST(SUM(len) AS BIGINT) AS sum_len,
-               CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS pad_waste
-        FROM dealt GROUP BY 1, 2
-        ORDER BY bucket, batch_id
-      """)),
-
-    // Order-independent snapshot fingerprints per source: XOR + SUM
-    // mod 2^61 of 60-bit row hashes — snapshot equality without row
-    // comparison, mergeable across shards, identical under any
-    // partitioning (DataQuality.tableFingerprint scaladoc). The
-    // oracle recomputes both combiners from the same md5 lattice.
-    QueryDef(
-      "q_table_fingerprint",
-      (s, dir) =>
-        graft.operators.DataQuality.tableFingerprint(
-            Tables.documents(s, dir), Seq("source"),
-            Seq("doc_id", "text", "lang", "n_chars"))
-          .orderBy(col("source")),
-      Some("""
-        WITH h AS (
-          SELECT source,
-                 CAST(concat('0x', substr(md5(
-                     doc_id || chr(1) || text || chr(1) || lang
-                       || chr(1) || n_chars), 1, 15))
-                   AS BIGINT) AS h
-          FROM documents)
-        SELECT source, COUNT(*) AS n_rows,
-               CAST(bit_xor(h) AS BIGINT) AS xor_sig,
-               CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
-                    % 2305843009213693952 AS BIGINT) AS sum_sig
-        FROM h GROUP BY 1
-        ORDER BY source
-      """)),
-
-    // MinHash estimator calibration: every exact-Jaccard pair at
-    // >= 0.5 with its 16-hash md5-lattice estimate beside it — the
-    // "are 16 hashes enough at my threshold" audit, measured instead
-    // of folklore-bounded (Dedup.minhashCalibration scaladoc). The
-    // oracle replays shingles, signatures, and both ppm lattices.
-    QueryDef(
-      "q_minhash_calibration",
-      (s, dir) =>
-        Dedup.minhashCalibration(
-            Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3),
-            numHashes = 16, minExactPpm = 500000L)
-          .orderBy(col("id_a"), col("id_b")),
-      Some(s"""
-        WITH ${shingleCtes(3, "documents")},
-        sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
-        inter AS (
-          SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-          FROM grams a JOIN grams b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        exact AS (
-          SELECT id_a, id_b,
-                 CAST((i * 1000000) // (sa.n + sb.n - i) AS BIGINT)
-                   AS exact_ppm
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE (i * 1000000) // (sa.n + sb.n - i) >= 500000),
-        seeds AS (SELECT unnest(range(0, 16)) AS seed),
-        hs AS (
-          SELECT g.doc_id, s.seed,
-                 min(CAST(concat('0x', substr(md5(
-                     s.seed || ':' || g.shingle), 1, 15)) AS BIGINT)) AS h
-          FROM grams g CROSS JOIN seeds s
-          GROUP BY 1, 2),
-        est AS (
-          SELECT e.id_a, e.id_b, e.exact_ppm,
-                 CAST(SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END)
-                   AS BIGINT) AS matches
-          FROM exact e
-          JOIN hs ha ON ha.doc_id = e.id_a
-          JOIN hs hb ON hb.doc_id = e.id_b AND hb.seed = ha.seed
-          GROUP BY 1, 2, 3)
-        SELECT id_a, id_b, exact_ppm,
-               CAST((matches * 1000000) // 16 AS BIGINT) AS est_ppm,
-               CAST(abs((matches * 1000000) // 16 - exact_ppm) AS BIGINT)
-                 AS err_ppm
-        FROM est
-        ORDER BY id_a, id_b
-      """)),
-
-    // Kendall's tau-b per nation: account balance (cents lattice) vs
-    // order count — the pair-concordance twin of q_spearman, exact
-    // C/D/tie counts with the operator refusing unbounded strata
-    // (RankCorrelation.kendallTauB scaladoc).
-    QueryDef(
-      "q_kendall",
-      (s, dir) => {
-        val oc = Tables.orders(s, dir)
-          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
-        val pts = Tables.customer(s, dir)
-          .join(oc, col("o_custkey") === col("c_custkey"), "left")
-          .select(col("c_nationkey"),
-            (col("c_acctbal") * 100).cast("long").as("bal_cents"),
-            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
-        RankCorrelation.kendallTauB(pts, "c_nationkey",
-            "bal_cents", "n_orders")
-          .orderBy(col("c_nationkey"))
-      },
-      Some("""
-        WITH oc AS (
-          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
-          FROM orders GROUP BY 1),
-        pts AS (
-          SELECT c_nationkey AS g, CAST(c_acctbal * 100 AS BIGINT) AS x,
-                 COALESCE(n_orders, 0) AS y
-          FROM customer LEFT JOIN oc ON o_custkey = c_custkey),
-        cd AS (
-          SELECT a.g,
-                 CAST(SUM(CASE WHEN (a.x > b.x AND a.y > b.y)
-                            OR (a.x < b.x AND a.y < b.y)
-                          THEN 1 ELSE 0 END) // 2 AS BIGINT) AS c,
-                 CAST(SUM(CASE WHEN (a.x > b.x AND a.y < b.y)
-                            OR (a.x < b.x AND a.y > b.y)
-                          THEN 1 ELSE 0 END) // 2 AS BIGINT) AS d
-          FROM pts a JOIN pts b USING (g)
-          GROUP BY 1),
-        tx AS (SELECT g, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS tiex
-               FROM (SELECT g, x, count(*) AS t FROM pts GROUP BY 1, 2)
-               GROUP BY 1),
-        ty AS (SELECT g, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS tiey
-               FROM (SELECT g, y, count(*) AS t FROM pts GROUP BY 1, 2)
-               GROUP BY 1),
-        nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1)
-        SELECT nn.g AS c_nationkey, nn.n, cd.c AS concordant,
-               cd.d AS discordant,
-               CAST(ROUND(CAST(cd.c - cd.d AS DOUBLE)
-                     / sqrt(CAST((nn.n * (nn.n - 1)) // 2 - tx.tiex
-                                 AS DOUBLE)
-                            * CAST((nn.n * (nn.n - 1)) // 2 - ty.tiey
-                                   AS DOUBLE)) * 1000000.0) AS BIGINT)
-                 / 1000000.0 AS tau_b
-        FROM nn JOIN cd USING (g) JOIN tx USING (g) JOIN ty USING (g)
-        WHERE nn.n >= 2
-          AND (nn.n * (nn.n - 1)) // 2 > tx.tiex
-          AND (nn.n * (nn.n - 1)) // 2 > ty.tiey
-        ORDER BY c_nationkey
-      """)),
-
-    // Reverse search (percolation): stored queries = each %97 doc's
-    // first-3-token conjunction; the incoming batch (doc_id%5=4) is
-    // indexed ONCE and routed to every stored query whose terms it
-    // fully contains — exact by construction, no verify pass
-    // (Percolator scaladoc).
-    QueryDef(
-      "q_percolate",
-      (s, dir) => {
-        val docs = docTokens(s, dir)
-        graft.operators.Percolator.percolate(
-            docs.filter(pmod(col("doc_id"), lit(5L)) === 4),
-            "doc_id", "tokens",
-            docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
-              .select(col("doc_id").as("query_id"),
-                explode(slice(col("tokens"), 1, 3)).as("term")),
-            "query_id", "term")
-          .orderBy(col("query_id"), col("doc_id"))
-      },
-      Some("""
-        WITH q AS (
-          SELECT DISTINCT doc_id AS query_id, term
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-                       generate_subscripts(string_split(text, ' '), 1)
-                         AS pos
-                FROM documents WHERE doc_id % 97 = 0) t
-          WHERE pos <= 3),
-        need AS (SELECT query_id, count(*) AS need FROM q GROUP BY 1),
-        p AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
-                       AS term
-              FROM documents WHERE doc_id % 5 = 4),
-        m AS (SELECT q.query_id, p.doc_id, count(*) AS got
-              FROM q JOIN p USING (term) GROUP BY 1, 2)
-        SELECT m.query_id, m.doc_id
-        FROM m JOIN need USING (query_id)
-        WHERE got = need
-        ORDER BY query_id, doc_id
-      """)),
-
-    // Ranking-agreement eval: truncated RBO@10 (p=1/2) between the
-    // BM25 and query-likelihood rankers per query — "do the two
-    // retrieval stacks agree on the head", top-weighted. Per-match
-    // weights are shared 9-dp DECIMAL constants (RankFusion
-    // .rboWeights), so neither engine computes a power or division
-    // at query time and the sum is exact DECIMAL addition.
-    QueryDef(
-      "q_rbo",
-      (s, dir) => {
-        import graft.operators.{Bm25, QueryLikelihood, RankFusion}
-        val docs = docTokens(s, dir)
-        val index = Bm25.postings(docs, "doc_id", "tokens")
-        val qt = retrievalQueryTerms(docs)
-        val bm = Bm25.scoreTopK(
-          index, Bm25.totals(docs, "doc_id", "tokens"), qt, k = 10)
-        val ql = QueryLikelihood.scoreTopK(index, qt, k = 10)
-        RankFusion.rankBiasedOverlap(
-            bm.select(col("query_id"), col("doc_id"), col("rank")),
-            ql.select(col("query_id"), col("doc_id"), col("rank")),
-            k = 10)
-          .orderBy(col("query_id"))
-      },
-      Some {
-        val wts = graft.operators.RankFusion.rboWeights(10)
-          .map { case (m, w) =>
-            s"($m, CAST($w AS DECIMAL(18,9)))"
-          }.mkString(", ")
-        s"""
-        WITH $retrievalCtes,
-        $bm25ScoredCtes,
-        $qlScoredCtes,
-        wts(m, w) AS (VALUES $wts),
-        aa AS (SELECT query_id, doc_id, rank
-               FROM bm25_ranked WHERE rank <= 10),
-        bb AS (SELECT query_id, doc_id, rank
-               FROM ql_ranked WHERE rank <= 10),
-        mt AS (
-          SELECT aa.query_id, count(*) AS n_overlap,
-                 SUM(CAST(w AS DECIMAL(38,12))) AS s
-          FROM aa JOIN bb USING (query_id, doc_id)
-          JOIN wts ON wts.m = greatest(aa.rank, bb.rank)
-          GROUP BY 1),
-        qs AS (SELECT query_id FROM aa
-               UNION SELECT query_id FROM bb)
-        SELECT qs.query_id,
-               CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
-               ROUND(COALESCE(CAST(s AS DOUBLE), 0.0), 6) AS rbo
-        FROM qs LEFT JOIN mt USING (query_id)
-        ORDER BY query_id
-      """
-      }),
-
-    // Streaming twin of q_table_fingerprint: the XOR/SUM combiners
-    // ARE legal incremental stream-aggregation state (commutative,
-    // associative), so complete-mode output is always the fingerprint
-    // of everything ingested — continuous replica comparison instead
-    // of a nightly batch (StreamingOps.fingerprintStream scaladoc).
-    // Shares the batch oracle.
-    QueryDef(
-      "q_stream_fingerprint",
-      (s, dir) =>
-        graft.streaming.StreamingOps.fingerprintStream(
-            s, s"$dir/documents.parquet", "source",
-            Seq("doc_id", "text", "lang", "n_chars"))
-          .orderBy(col("source")),
-      Some("""
-        WITH h AS (
-          SELECT source,
-                 CAST(concat('0x', substr(md5(
-                     doc_id || chr(1) || text || chr(1) || lang
-                       || chr(1) || n_chars), 1, 15))
-                   AS BIGINT) AS h
-          FROM documents)
-        SELECT source, COUNT(*) AS n_rows,
-               CAST(bit_xor(h) AS BIGINT) AS xor_sig,
-               CAST(CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT)
-                    % 2305843009213693952 AS BIGINT) AS sum_sig
-        FROM h GROUP BY 1
-        ORDER BY source
-      """)),
-
-    // Streaming twin of q_percolate: per-micro-batch stateless
-    // routing of incoming docs to the static stored-query set —
-    // percolation needs no streaming state at all (a doc matches on
-    // its own content), so the append-mode result over a bounded
-    // stream equals the batch answer and shares its oracle.
-    QueryDef(
-      "q_stream_percolate",
-      (s, dir) => {
-        val docs = docTokens(s, dir)
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_stream_perc").toString
-        graft.streaming.StreamingOps.percolateStream(
-            s, s"$dir/documents.parquet",
-            docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
-              .select(col("doc_id").as("query_id"),
-                explode(slice(col("tokens"), 1, 3)).as("term")),
-            "query_id", "term", out)
-          .filter(pmod(col("doc_id"), lit(5L)) === 4)
-          .orderBy(col("query_id"), col("doc_id"))
-      },
-      Some("""
-        WITH q AS (
-          SELECT DISTINCT doc_id AS query_id, term
-          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-                       generate_subscripts(string_split(text, ' '), 1)
-                         AS pos
-                FROM documents WHERE doc_id % 97 = 0) t
-          WHERE pos <= 3),
-        need AS (SELECT query_id, count(*) AS need FROM q GROUP BY 1),
-        p AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
-                       AS term
-              FROM documents WHERE doc_id % 5 = 4),
-        m AS (SELECT q.query_id, p.doc_id, count(*) AS got
-              FROM q JOIN p USING (term) GROUP BY 1, 2)
-        SELECT m.query_id, m.doc_id
-        FROM m JOIN need USING (query_id)
-        WHERE got = need
-        ORDER BY query_id, doc_id
-      """)),
-
-    // Unicode NFC canonicalization via the native codegen expression
-    // (NfcNormalize scaladoc) — the step that keeps "é"-precomposed
-    // and "e"+combining-accent from hashing as different documents.
-    // The synthetic corpus is pure ASCII (NFC normalization of it is
-    // a vacuous witness), so a decomposed suffix is appended to make
-    // the normalization OBSERVABLE: nfc_len = raw_len − 2 exactly
-    // when the two combining marks compose.
-    QueryDef(
-      "q_unicode_normalize",
-      (s, dir) => {
-        val suffixed = concat(col("text"), lit(decomposedSuffix))
-        Tables.documents(s, dir)
-          .select(col("doc_id"),
-            length(suffixed).as("raw_len"),
-            length(graft.functions.NfcNormalize(suffixed)).as("nfc_len"),
-            graft.functions.NfcNormalize(suffixed).as("normalized"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""
-        SELECT doc_id,
-               CAST(length(text || '$decomposedSuffix') AS BIGINT)
-                 AS raw_len,
-               CAST(length(nfc_normalize(text || '$decomposedSuffix'))
-                 AS BIGINT) AS nfc_len,
-               nfc_normalize(text || '$decomposedSuffix') AS normalized
-        FROM documents
-        ORDER BY doc_id
-      """)),
-
-    // Theil-Sen robust slope per nation (balance cents vs order
-    // count) — the outlier-immune companion to q_group_regression's
-    // OLS, exact lower-median SELECTION of pairwise slopes and
-    // residuals under total orders (RobustStats.theilSen scaladoc;
-    // the same O(n^2)-pairs stratum guard as q_kendall).
-    QueryDef(
-      "q_theil_sen",
-      (s, dir) => {
-        val oc = Tables.orders(s, dir)
-          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
-        val pts = Tables.customer(s, dir)
-          .join(oc, col("o_custkey") === col("c_custkey"), "left")
-          .select(col("c_nationkey"), col("c_custkey"),
-            (col("c_acctbal") * 100).cast("long").as("bal_cents"),
-            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
-        graft.operators.RobustStats.theilSen(pts, "c_nationkey",
-            "c_custkey", "bal_cents", "n_orders")
-          .orderBy(col("c_nationkey"))
-      },
-      Some("""
-        WITH oc AS (
-          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
-          FROM orders GROUP BY 1),
-        pts AS (
-          SELECT c_nationkey AS g, c_custkey AS id,
-                 CAST(c_acctbal * 100 AS BIGINT) AS x,
-                 COALESCE(n_orders, 0) AS y
-          FROM customer LEFT JOIN oc ON o_custkey = c_custkey),
-        slopes AS (
-          SELECT a.g, a.id AS ia, b.id AS ib,
-                 CASE WHEN a.x < b.x
-                   THEN CAST(b.y - a.y AS DOUBLE)
-                        / CAST(b.x - a.x AS DOUBLE)
-                   ELSE CAST(a.y - b.y AS DOUBLE)
-                        / CAST(a.x - b.x AS DOUBLE) END AS s
-          FROM pts a JOIN pts b
-            ON a.g = b.g AND a.id < b.id AND a.x <> b.x),
-        smed AS (
-          SELECT g, m AS n_pairs, s AS slope FROM (
-            SELECT g, s,
-                   ROW_NUMBER() OVER (PARTITION BY g
-                                      ORDER BY s, ia, ib) AS rk,
-                   COUNT(*) OVER (PARTITION BY g) AS m
-            FROM slopes)
-          WHERE rk = (m + 1) // 2),
-        resid AS (
-          SELECT p.g, sm.n_pairs, sm.slope, p.id,
-                 CAST(p.y AS DOUBLE)
-                   - sm.slope * CAST(p.x AS DOUBLE) AS r
-          FROM pts p JOIN smed sm USING (g))
-        SELECT g AS c_nationkey, n, n_pairs,
-               CAST(ROUND(slope * 1000000.0) AS BIGINT) / 1000000.0
-                 AS slope,
-               CAST(ROUND(r * 1000000.0) AS BIGINT) / 1000000.0
-                 AS intercept
-        FROM (
-          SELECT g, n_pairs, slope, r,
-                 ROW_NUMBER() OVER (PARTITION BY g ORDER BY r, id) AS rk,
-                 COUNT(*) OVER (PARTITION BY g) AS n
-          FROM resid)
-        WHERE rk = (n + 1) // 2
-        ORDER BY c_nationkey
-      """)),
-
-    // Split-conformal interval audit per source: GroupedOls point
-    // predictor (chars → BPE tokens), q-hat by exact order-statistic
-    // selection on the md5-dealt calibration split, realized
-    // coverage on the held-out test split (Conformal scaladoc). The
-    // md5 deal decorrelates roles from the source-blocked doc_id.
-    QueryDef(
-      "q_conformal",
-      (s, dir) => {
-        val role = expr(
-          "CASE pmod(cast(conv(substring(md5(cast(doc_id as string)), " +
-            "1, 15), 16, 10) as bigint), 5) " +
-            "WHEN 0 THEN 1 WHEN 4 THEN 2 ELSE 0 END")
-        graft.operators.Conformal.splitConformal(
-            Tables.documents(s, dir)
-              .select(col("source"), col("doc_id"), col("n_chars"),
-                TextAnalysis.bpeTokenEstimate(col("text"))
-                  .cast("long").as("toks"),
-                role.as("role")),
-            "source", "doc_id", "n_chars", "toks", "role")
-          .orderBy(col("source"))
-      },
-      Some(s"""
-        WITH base AS (
-          SELECT source, doc_id, n_chars,
-                 CAST(len(regexp_extract_all(text,
-                   '${TextAnalysis.bpePattern.replace("'", "''")}'))
-                   AS BIGINT) AS toks,
-                 CASE CAST(concat('0x',
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                      AS UBIGINT) % 5
-                   WHEN 0 THEN 1 WHEN 4 THEN 2 ELSE 0 END AS role
-          FROM documents),
-        stats AS (
-          SELECT source, count(*) AS n,
-                 sum(n_chars) AS sx, sum(toks) AS sy,
-                 sum(n_chars * toks) AS sxy,
-                 sum(n_chars * n_chars) AS sxx
-          FROM base WHERE role = 0 GROUP BY 1),
-        model AS (
-          SELECT source,
-                 CAST(ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                     * 1000000.0) AS BIGINT) / 1000000.0
-                   AS slope,
-                 CAST(ROUND(((CAST(sy AS DOUBLE)
-                        - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
-                     * 1000000.0) AS BIGINT) / 1000000.0
-                   AS intercept
-          FROM stats
-          WHERE n >= 2
-            AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                <> CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-        scored AS (
-          SELECT b.source, b.role, b.doc_id,
-                 abs(CAST(b.toks AS DOUBLE)
-                     - (m.slope * CAST(b.n_chars AS DOUBLE)
-                        + m.intercept)) AS res
-          FROM base b JOIN model m USING (source)
-          WHERE b.role <> 0),
-        qh AS (
-          SELECT source, ncal AS n_cal, k AS k_rank, res AS qhat
-          FROM (
-            SELECT source, res,
-                   ROW_NUMBER() OVER (PARTITION BY source
-                                      ORDER BY res, doc_id) AS rk,
-                   COUNT(*) OVER (PARTITION BY source) AS ncal,
-                   least((900000 * (COUNT(*) OVER (PARTITION BY source)
-                                    + 1) + 999999) // 1000000,
-                         COUNT(*) OVER (PARTITION BY source)) AS k
-            FROM scored WHERE role = 1)
-          WHERE rk = k)
-        SELECT s.source, q.n_cal, q.k_rank,
-               CAST(ROUND(q.qhat * 1000000.0) AS BIGINT) / 1000000.0
-                 AS qhat,
-               CAST(count(*) AS BIGINT) AS n_test,
-               CAST(sum(CASE WHEN s.res <= q.qhat THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_covered,
-               CAST((sum(CASE WHEN s.res <= q.qhat THEN 1 ELSE 0 END)
-                     * 1000000) // count(*) AS BIGINT) AS coverage_ppm
-        FROM scored s JOIN qh q USING (source)
-        WHERE s.role = 2
-        GROUP BY 1, 2, 3, 4
-        ORDER BY s.source
-      """)),
-
-    // Neyman-optimal eval-label allocation over sources: quota ∝
-    // stratum size × stratum sd of doc length, snapped to the micro
-    // lattice and dealt by largest remainder so quotas sum EXACTLY
-    // to the budget (Sampling.neymanAllocation scaladoc) — where
-    // q_eval_allocation deals proportionally, this spends the budget
-    // where the variance is.
-    QueryDef(
-      "q_neyman_alloc",
-      (s, dir) =>
-        graft.operators.Sampling.neymanAllocation(
-            Tables.documents(s, dir), "source", "n_chars",
-            budget = 1000L)
-          .orderBy(col("source")),
-      Some("""
-        WITH stats AS (
-          SELECT source, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(n_chars) AS BIGINT) AS s,
-                 SUM(CAST(n_chars AS HUGEINT) * n_chars) AS ss
-          FROM documents GROUP BY 1),
-        w AS (
-          SELECT source, n,
-                 CASE WHEN n >= 2 THEN
-                   CAST(ROUND(CAST(n AS DOUBLE)
-                     * sqrt(GREATEST(
-                         (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
-                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
-                         / (CAST(n AS DOUBLE)
-                            * (CAST(n AS DOUBLE) - 1.0)), 0.0))
-                     * 1e6) AS BIGINT)
-                 ELSE 0 END AS weight_micro
-          FROM stats),
-        tot AS (SELECT CAST(SUM(weight_micro) AS BIGINT) AS t FROM w),
-        based AS (
-          SELECT source, n, weight_micro,
-                 (weight_micro * 1000) // t AS fl,
-                 weight_micro * 1000 - ((weight_micro * 1000) // t) * t
-                   AS rem
-          FROM w CROSS JOIN tot),
-        lft AS (SELECT 1000 - SUM(fl) AS lv FROM based),
-        ranked AS (
-          SELECT based.*,
-                 ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
-          FROM based)
-        SELECT source, n, weight_micro,
-               CAST(fl + CASE WHEN rk <= (SELECT lv FROM lft)
-                              THEN 1 ELSE 0 END AS BIGINT) AS quota
-        FROM ranked
-        ORDER BY source
-      """)),
-
-    // DBSCAN over the embedding table at cosine-eps 0.3 / minPts 3
-    // (neighbor count excludes self), with the ε-graph generated the
-    // way the operator's scaladoc prescribes FOR SCALE: candidate
-    // pairs come from IVF-cell blocking (the shared sampled-codebook
-    // assignment — same kernel as semantic dedup), so the pair join
-    // is cell-bounded instead of corpus². Cores by degree, clusters =
-    // components of the core-core subgraph, borders take the MINIMUM
-    // core-neighbor label, noise keeps -1 (Dbscan scaladoc). The
-    // oracle replays assignment → within-cell pair cosines → degrees
-    // → recursive reach → border mins → noise fill on the shared
-    // derived-nlist assignment CTEs.
-    QueryDef(
-      "q_dbscan",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        // nlist derived from the corpus count (the kNN-family scale
-        // rule — the r13 q_silhouette migration): at fixed nlist the
-        // within-cell pair join is Θ(n²/nlist), quadratic at 100×;
-        // deriving pins expected cell population at 128 rows so the
-        // ε-graph build stays Θ(n·128)
-        val nl = Similarity.derivedNlist(
-          emb.select(col("vec_id")).count())
-        val assigned = Similarity.assignCellsSampledCodebook(
-            emb, "vec_id", "embedding", nlist = nl)
-          .localCheckpoint(true)
-        val pairs = assigned
-          .select(col("cell"), col("id").as("id_a"), col("cv").as("va"))
-          .join(assigned.select(col("cell"), col("id").as("id_b"),
-            col("cv").as("vb")), Seq("cell"))
-          .filter(col("id_a") < col("id_b"))
-          .filter(round(graft.functions.VectorFunctions
-            .cosine(col("va"), col("vb")), 6) >= 0.3)
-          .select(col("id_a"), col("id_b"))
-        graft.operators.Dbscan.cluster(emb, "vec_id",
-            pairs, "id_a", "id_b", minPts = 3)
-          .orderBy(col("id"))
-      },
-      Some(s"""
-        WITH RECURSIVE $ivfAssignDerivedCtes,
-        pdots AS (
-          SELECT a.nid AS id_a, b.nid AS id_b, sum(da.x * db.x) AS d
-          FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid < b.nid
-          JOIN dims da ON da.vec_id = a.nid
-          JOIN dims db ON db.vec_id = b.nid AND db.i = da.i
-          GROUP BY 1, 2),
-        eps AS (
-          SELECT id_a AS u, id_b AS v
-          FROM pdots
-          JOIN norms na ON na.vec_id = id_a
-          JOIN norms nb ON nb.vec_id = id_b
-          WHERE ROUND(d / (na.nrm * nb.nrm), 6) >= 0.3),
-        und AS (SELECT u, v FROM eps UNION ALL SELECT v, u FROM eps),
-        deg AS (SELECT u AS id, count(*) AS d FROM und GROUP BY 1),
-        cores AS (SELECT id FROM deg WHERE d >= 3),
-        ce AS (
-          SELECT u, v FROM eps
-          WHERE u IN (SELECT id FROM cores)
-            AND v IN (SELECT id FROM cores)),
-        reach(a, b) AS (
-          SELECT u, v FROM ce
-          UNION
-          SELECT v, u FROM ce
-          UNION
-          SELECT r.a, x.v FROM reach r JOIN
-            (SELECT u, v FROM ce UNION SELECT v, u FROM ce) x
-            ON x.u = r.b
-        ),
-        complab AS (
-          SELECT a AS id, least(a, MIN(b)) AS label
-          FROM reach GROUP BY a),
-        corelab AS (
-          SELECT c.id, COALESCE(cl.label, c.id) AS label
-          FROM cores c LEFT JOIN complab cl USING (id)),
-        borderlab AS (
-          SELECT und.u AS id, MIN(k.label) AS label
-          FROM und JOIN corelab k ON k.id = und.v
-          WHERE und.u NOT IN (SELECT id FROM cores)
-          GROUP BY 1),
-        clustered AS (
-          SELECT id, label, TRUE AS is_core FROM corelab
-          UNION ALL
-          SELECT id, label, FALSE FROM borderlab)
-        SELECT emb.vec_id AS id,
-               COALESCE(c.label, -1) AS label,
-               COALESCE(c.is_core, FALSE) AS is_core
-        FROM embeddings emb LEFT JOIN clustered c ON c.id = emb.vec_id
-        ORDER BY id
-      """)),
-
-    // Per-cell simplified silhouette over the IVF sampled-codebook
-    // assignment: (b−a)/max(a,b) against own vs nearest-other
-    // centroid on the 6-dp cosine lattice, cell means by the
-    // order-free DECIMAL sum — the "should nlist change" gauge
-    // (Similarity.silhouetteSampledCodebook scaladoc). nlist follows
-    // the kNN-family DERIVED rule (max(16, ceil(n/128)) — the r12
-    // fixed-16 was the one holdout), so the oracle replays the
-    // derived-codebook CTE chain; past nlist≈256 the operator
-    // switches to the two-level coarse-quantizer prune
-    // (SilhouetteSpec pins it), which these SFs never reach.
-    QueryDef(
-      "q_silhouette",
-      (s, dir) =>
-        Similarity.silhouetteSampledCodebook(
-            Tables.embeddings(s, dir), "vec_id", "embedding")
-          .orderBy(col("cell")),
-      Some(s"""
-        WITH $ivfAssignDerivedCtes,
-        ranked2 AS (
-          SELECT nid, cell, csim,
-                 ROW_NUMBER() OVER (PARTITION BY nid
-                                    ORDER BY csim DESC, cell) AS rn
-          FROM asim),
-        t2 AS (
-          SELECT r1.nid, r1.cell, r1.csim AS c1, r2.csim AS c2
-          FROM ranked2 r1 JOIN ranked2 r2
-            ON r2.nid = r1.nid AND r1.rn = 1 AND r2.rn = 2),
-        scored AS (
-          SELECT cell,
-                 ROUND(CASE WHEN greatest(1.0 - c1, 1.0 - c2) = 0
-                            THEN 0.0
-                            ELSE (c1 - c2) / greatest(1.0 - c1, 1.0 - c2)
-                       END, 6) AS s
-          FROM t2)
-        SELECT cell, COUNT(*) AS n,
-               ROUND(CAST(SUM(CAST(s AS DECIMAL(38,12))) AS DOUBLE)
-                     / COUNT(*), 6) AS mean_silhouette
-        FROM scored GROUP BY 1
-        ORDER BY cell
-      """)),
-
-    // Association rules (Agrawal-Srikant market-basket, 2-itemsets)
-    // over per-doc presence of the top-200-df vocabulary: directed
-    // rules a→b with support count, integer-ppm confidence, and
-    // integer-micro lift, thresholded (co-count >= 10, conf >= 0.6),
-    // top-50 by (conf desc, a, b). The vocab cap blocks the pair
-    // space exactly like q_kcore's co-occurrence graph; every
-    // statistic is a pure integer ratio.
-    QueryDef(
-      "q_assoc_rules",
-      (s, dir) => {
-        val toks = docTokens(s, dir)
-          .select(col("doc_id"), explode(col("tokens")).as("term"))
-          .distinct()
-        val vocab = toks.groupBy(col("term"))
-          .agg(count(lit(1)).as("df"))
-          .orderBy(col("df").desc, col("term"))
-          .limit(200)
-          .select(col("term"))
-        val vt = toks.join(broadcast(vocab), "term")
-          .localCheckpoint(true)
-        val nDocs = Tables.documents(s, dir)
-          .agg(countDistinct(col("doc_id")).as("__n"))
-        val ca = vt.groupBy(col("term")).agg(count(lit(1)).as("__c"))
-        val ab = vt.select(col("doc_id"), col("term").as("a"))
-          .join(vt.select(col("doc_id"), col("term").as("b")), "doc_id")
-          .filter(col("a") =!= col("b"))
-          .groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).as("co_count"))
-        ab
-          .join(ca.select(col("term").as("a"), col("__c").as("__cna")), "a")
-          .join(ca.select(col("term").as("b"), col("__c").as("__cnb")), "b")
-          .crossJoin(broadcast(nDocs))
-          .filter(col("co_count") >= 10)
-          .select(col("a"), col("b"), col("co_count"),
-            expr("(co_count * CAST(1000000 AS BIGINT)) div __cna")
-              .as("conf_ppm"),
-            expr("(co_count * __n * CAST(1000000 AS BIGINT)) " +
-              "div (__cna * __cnb)").as("lift_micro"))
-          .filter(col("conf_ppm") >= 600000L)
-          .orderBy(col("conf_ppm").desc, col("a"), col("b"))
-          .limit(50)
-      },
-      Some("""
-        WITH toks AS (
-          SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
-          FROM documents),
-        vocab AS (
-          SELECT term FROM (
-            SELECT term, count(*) AS df FROM toks GROUP BY 1
-            ORDER BY df DESC, term LIMIT 200)),
-        vt AS (SELECT t.doc_id, t.term FROM toks t JOIN vocab v
-               USING (term)),
-        nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-        ca AS (SELECT term, CAST(count(*) AS BIGINT) AS c
-               FROM vt GROUP BY 1),
-        ab AS (
-          SELECT a.term AS a, b.term AS b,
-                 CAST(count(*) AS BIGINT) AS co_count
-          FROM vt a JOIN vt b
-            ON a.doc_id = b.doc_id AND a.term <> b.term
-          GROUP BY 1, 2)
-        SELECT ab.a, ab.b, ab.co_count,
-               CAST((ab.co_count * 1000000) // x.c AS BIGINT) AS conf_ppm,
-               CAST((ab.co_count * nd.n * 1000000) // (x.c * y.c)
-                 AS BIGINT) AS lift_micro
-        FROM ab
-        JOIN ca x ON x.term = ab.a
-        JOIN ca y ON y.term = ab.b
-        CROSS JOIN nd
-        WHERE ab.co_count >= 10
-          AND (ab.co_count * 1000000) // x.c >= 600000
-        ORDER BY conf_ppm DESC, a, b
-        LIMIT 50
-      """)),
-
-    // Hill tail-index numerator per source (Hill 1975): mean excess
-    // log10 of the top-10 doc lengths over the 11th — the
-    // heavy-tail gauge that says whether a source's length
-    // distribution has Pareto tails (huge docs keep coming) or dies
-    // exponentially; complements q_zipf's rank-slope. Pure integer:
-    // each log10 snaps alone to the micro lattice, the mean is a
-    // floor division — the tail index itself is 1/(ln10 · Δ), left
-    // to the consumer so no engine-variant ln(10) enters the hash.
-    QueryDef(
-      "q_hill_tail",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("n_chars").desc, col("doc_id"))
-        val ranked = Tables.documents(s, dir)
-          .select(col("source"), col("doc_id"), col("n_chars"),
-            round(log10(col("n_chars").cast("double")) * lit(1e6))
-              .cast("long").as("lg"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 11)
-        val kth = ranked.filter(col("rk") === 11)
-          .select(col("source"), col("lg").as("lg11"))
-        ranked.filter(col("rk") <= 10)
-          .join(kth, "source")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("k"),
-            expr("sum(lg - lg11) div count(1)").as("hill_excess_micro"))
-          .orderBy(col("source"))
-      },
-      Some("""
-        WITH ranked AS (
-          SELECT source, doc_id,
-                 CAST(ROUND(log10(CAST(n_chars AS DOUBLE)) * 1e6)
-                   AS BIGINT) AS lg,
-                 ROW_NUMBER() OVER (PARTITION BY source
-                                    ORDER BY n_chars DESC, doc_id) AS rk
-          FROM documents),
-        kth AS (SELECT source, lg AS lg11 FROM ranked WHERE rk = 11)
-        SELECT r.source, CAST(count(*) AS BIGINT) AS k,
-               CAST(SUM(r.lg - k2.lg11) // count(*) AS BIGINT)
-                 AS hill_excess_micro
-        FROM ranked r JOIN kth k2 USING (source)
-        WHERE r.rk <= 10
-        GROUP BY 1
-        ORDER BY source
-      """)),
-
-    // Embedding-distribution drift: squared mean discrepancy
-    // (linear-kernel MMD²) between the odd- and even-id halves of
-    // the embedding table — the vector-space drift monitor beside
-    // q_corpus_drift's token-level KL. Coordinates snap once to the
-    // 1e6 integer lattice so the per-dim mean difference is the
-    // EXACT rational (Sa·nb − Sb·na)/(na·nb); per-dim squared terms
-    // snap to 9 dp and sum as DECIMAL — order-free end to end.
-    QueryDef(
-      "q_embedding_drift",
-      (s, dir) => {
-        val dims = Tables.embeddings(s, dir)
-          .select(col("vec_id"), posexplode(col("embedding"))
-            .as(Seq("i", "x")))
-          .select(pmod(col("vec_id"), lit(2L)).as("half"), col("i"),
-            round(col("x").cast("double") * lit(1e6)).cast("long")
-              .as("xl"))
-        val sums = dims.groupBy(col("i"))
-          .agg(
-            sum(when(col("half") === 0, col("xl")).otherwise(0L)).as("sa"),
-            sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
-            sum(when(col("half") === 1, col("xl")).otherwise(0L)).as("sb"),
-            sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"))
-        val diff = (col("sa").cast("double") * col("nb").cast("double") -
-          col("sb").cast("double") * col("na").cast("double")) /
-          (col("na").cast("double") * col("nb").cast("double")) / lit(1e6)
-        sums
-          .select(col("na"), col("nb"),
-            round(diff * diff, 9).cast(org.apache.spark.sql.types
-              .DecimalType(38, 12)).as("__t"))
-          .groupBy(col("na"), col("nb"))
-          .agg(round(sum(col("__t")).cast("double"), 6).as("mmd2"))
-      },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id % 2 AS half, generate_subscripts(embedding, 1)
-                   AS i,
-                 CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6)
-                   AS BIGINT) AS xl
-          FROM embeddings),
-        sums AS (
-          SELECT i,
-                 CAST(SUM(CASE WHEN half = 0 THEN xl ELSE 0 END)
-                   AS BIGINT) AS sa,
-                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS na,
-                 CAST(SUM(CASE WHEN half = 1 THEN xl ELSE 0 END)
-                   AS BIGINT) AS sb,
-                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS nb
-          FROM dims GROUP BY 1),
-        terms AS (
-          SELECT na, nb,
-                 CAST(ROUND(
-                   ((CAST(sa AS DOUBLE) * CAST(nb AS DOUBLE)
-                     - CAST(sb AS DOUBLE) * CAST(na AS DOUBLE))
-                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e6)
-                   * ((CAST(sa AS DOUBLE) * CAST(nb AS DOUBLE)
-                       - CAST(sb AS DOUBLE) * CAST(na AS DOUBLE))
-                      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / 1e6),
-                   9) AS DECIMAL(38,12)) AS t
-          FROM sums)
-        SELECT na, nb,
-               ROUND(CAST(SUM(t) AS DOUBLE), 6) AS mmd2
-        FROM terms GROUP BY 1, 2
-      """)),
-
-    // A/B pre-flight power analysis per event type: the sample size
-    // each arm needs to detect the OBSERVED odd/even-cohort
-    // conversion gap at alpha=5%/power=80% — "how long must this
-    // experiment run". The z constants are shared 4-dp decimals
-    // (1.96, 0.8416) so neither engine inverts a normal CDF; rates
-    // are exact integer rationals and the closed form is one written
-    // double sequence, ceiling at the edge (both engines ceil the
-    // same bits). Cohorts with a zero gap are excluded (infinite n).
-    QueryDef(
-      "q_power_analysis",
-      (s, dir) => {
-        val e = Tables.events(s, dir)
-          .select(col("event_type"),
-            pmod(col("user_id"), lit(2L)).as("arm"),
-            when(col("value") > 50.0, 1L).otherwise(0L).as("conv"))
-        val stats = e.groupBy(col("event_type"))
-          .agg(
-            sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
-            sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("ca"),
-            sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
-            sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("cb"))
-        val pa = col("ca").cast("double") / col("na").cast("double")
-        val pb = col("cb").cast("double") / col("nb").cast("double")
-        val pbar = (col("ca") + col("cb")).cast("double") /
-          (col("na") + col("nb")).cast("double")
-        val delta = pa - pb
-        val nReq = ceil(
-          ((lit(1.96) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
-            lit(0.8416) * sqrt(pa * (lit(1.0) - pa) +
-              pb * (lit(1.0) - pb))) / delta) *
-            ((lit(1.96) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
-              lit(0.8416) * sqrt(pa * (lit(1.0) - pa) +
-                pb * (lit(1.0) - pb))) / delta)).cast("long")
-        stats
-          .filter(col("na") >= 1 && col("nb") >= 1)
-          .filter(pa =!= pb)
-          .select(col("event_type"), col("na"), col("ca"), col("nb"),
-            col("cb"), nReq.as("n_per_arm"))
-          .orderBy(col("event_type"))
-      },
-      Some("""
-        WITH e AS (
-          SELECT event_type, user_id % 2 AS arm,
-                 CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS conv
-          FROM events),
-        stats AS (
-          SELECT event_type,
-                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS na,
-                 CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END)
-                   AS BIGINT) AS ca,
-                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS nb,
-                 CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END)
-                   AS BIGINT) AS cb
-          FROM e GROUP BY 1),
-        calc AS (
-          SELECT event_type, na, ca, nb, cb,
-                 CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
-                 CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
-                 CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE)
-                   AS pbar
-          FROM stats
-          WHERE na >= 1 AND nb >= 1)
-        SELECT event_type, na, ca, nb, cb,
-               CAST(ceil(
-                 ((1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
-                   + 0.8416 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)))
-                  / (pa - pb))
-                 * ((1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
-                     + 0.8416 * sqrt(pa * (1.0 - pa) + pb * (1.0 - pb)))
-                    / (pa - pb))) AS BIGINT) AS n_per_arm
-        FROM calc
-        WHERE pa <> pb
-        ORDER BY event_type
-      """)),
-
-    // Threshold-sweep operating table for near-dup dedup: pair counts
-    // per 0.05-wide exact-Jaccard band (>= 0.30) plus the cumulative
-    // pairs-at-or-above count — the one-pass table an operator reads
-    // to CHOOSE minJaccard instead of re-running dedup per candidate
-    // threshold. Bands and cumulations are pure integers; the
-    // cumulative window runs over the ~14-row band table.
-    QueryDef(
-      "q_dedup_threshold_sweep",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
-        val pairs = Dedup.jaccardPairs(sh, 0.30)
-          .select((round(col("jaccard") * lit(1e6)).cast("long"))
-            .as("jppm"))
-        val bands = pairs
-          .select(expr("jppm div 50000").as("band"))
-          .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
-        bands
-          .withColumn("n_at_or_above",
-            sum(col("n_pairs")).over(Window.orderBy(col("band").desc)
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .select((col("band") * 50000).as("threshold_ppm"),
-            col("n_pairs"), col("n_at_or_above"))
-          .orderBy(col("threshold_ppm"))
-      },
-      Some(s"""
-        WITH ${shingleCtes(3, "documents")},
-        sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
-        inter AS (
-          SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-          FROM grams a JOIN grams b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        j AS (
-          SELECT CAST(ROUND(CAST(i AS DOUBLE)
-                   / CAST(sa.n + sb.n - i AS DOUBLE) * 1e6) AS BIGINT)
-                   AS jppm
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
-                >= 0.30),
-        bands AS (
-          SELECT jppm // 50000 AS band, CAST(count(*) AS BIGINT)
-                   AS n_pairs
-          FROM j GROUP BY 1)
-        SELECT CAST(band * 50000 AS BIGINT) AS threshold_ppm, n_pairs,
-               CAST(SUM(n_pairs) OVER (ORDER BY band DESC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS BIGINT) AS n_at_or_above
-        FROM bands
-        ORDER BY threshold_ppm
-      """)),
-
-    // LSH banding operating point: candidate pairs from 4 bands × 4
-    // rows of md5-lattice minhash signatures, scored as a DETECTOR of
-    // exact Jaccard >= 0.7 — one row of precision/recall/candidate
-    // counts, the measured answer to "is (b, r) = (4, 4) right for my
-    // threshold" that the 1-(1-s^r)^b S-curve only estimates. Band
-    // agreement is plain equality on the 4-signature tuple (no
-    // re-hashing to replay); candidates are generated per band and
-    // deduped, never doc×doc; both sides of the confusion come from
-    // frames this engine already oracles (q_minhash_calibration's
-    // signatures, q_dedup_jaccard's exact pairs).
-    QueryDef(
-      "q_lsh_operating_point",
-      (s, dir) => {
-        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
-          .localCheckpoint(true)
-        // md5-lattice signatures, 16 hashes (the calibration kernel)
-        val hs = sh
-          .select(col("id"), posexplode(transform(
-            sequence(lit(0), lit(15)), sd =>
-              conv(substring(md5(concat(sd.cast("string"), lit(":"),
-                col("shingle"))), 1, 15), 16, 10).cast("long"))))
-          .withColumnRenamed("pos", "seed").withColumnRenamed("col", "h")
-          .groupBy(col("id"), col("seed")).agg(min(col("h")).as("h"))
-        val bands = hs
-          .withColumn("band", expr("seed div 4"))
-          .groupBy(col("id"), col("band"))
-          .agg(concat_ws(":", transform(sort_array(collect_list(
-            struct(col("seed"), col("h")))),
-            x => x.getField("h").cast("string"))).as("key"))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.key") === col("y.key") &&
-              col("x.id") < col("y.id"))
-          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-          .distinct()
-          .localCheckpoint(true)
-        val truth = Dedup.jaccardPairs(sh, 0.7)
-          .select(col("id_a"), col("id_b"))
-          .localCheckpoint(true)
-        val tp = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
-        val counts = cand.agg(count(lit(1)).as("n_candidates"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
-          .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
-        counts.select(col("n_candidates"), col("n_truth"), col("n_tp"),
-          expr("(n_tp * CAST(1000000 AS BIGINT)) div n_candidates")
-            .as("precision_ppm"),
-          expr("(n_tp * CAST(1000000 AS BIGINT)) div n_truth")
-            .as("recall_ppm"))
-      },
-      Some(s"""
-        WITH ${shingleCtes(3, "documents")},
-        seeds AS (SELECT unnest(range(0, 16)) AS seed),
-        hs AS (
-          SELECT g.doc_id AS id, s.seed,
-                 min(CAST(concat('0x', substr(md5(
-                     s.seed || ':' || g.shingle), 1, 15)) AS BIGINT)) AS h
-          FROM grams g CROSS JOIN seeds s
-          GROUP BY 1, 2),
-        bandkeys AS (
-          SELECT id, seed // 4 AS band,
-                 string_agg(CAST(h AS VARCHAR), ':' ORDER BY seed)
-                   AS key
-          FROM hs GROUP BY 1, 2),
-        cand AS (
-          SELECT DISTINCT x.id AS id_a, y.id AS id_b
-          FROM bandkeys x JOIN bandkeys y
-            ON x.band = y.band AND x.key = y.key AND x.id < y.id),
-        sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
-        inter AS (
-          SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-          FROM grams a JOIN grams b
-            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY 1, 2),
-        truth AS (
-          SELECT id_a, id_b
-          FROM inter
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
-                >= 0.7),
-        tp AS (SELECT * FROM cand SEMI JOIN truth
-               USING (id_a, id_b)),
-        c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
-        c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
-        c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_tp FROM tp)
-        SELECT n_candidates, n_truth, n_tp,
-               CAST((n_tp * 1000000) // n_candidates AS BIGINT)
-                 AS precision_ppm,
-               CAST((n_tp * 1000000) // n_truth AS BIGINT) AS recall_ppm
-        FROM c1 CROSS JOIN c2 CROSS JOIN c3
-      """)),
-
-    // Walk-forward forecast backtest per event type: naive
-    // (last-hour) vs seasonal-naive (same-hour-yesterday) MAE over
-    // the last quarter of each type's OBSERVED hours — the honest
-    // eval that predicts each test hour from ACTUAL history only
-    // (pure lag windows, no recursion, exact integer errors on the
-    // milli lattice).
-    QueryDef(
-      "q_backtest",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val hourly = Tables.events(s, dir)
-          .groupBy(col("event_type"),
-            window(col("ts"), "1 hour"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("event_type"),
-            unix_timestamp(col("window.start")).as("h"), col("n"))
-        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        val wAll = Window.partitionBy(col("event_type"))
-        val lagged = hourly
-          .withColumn("i", row_number().over(wOrd))
-          .withColumn("nh", count(lit(1)).over(wAll))
-          .withColumn("p_naive", lag(col("n"), 1).over(wOrd))
-          .withColumn("p_seasonal", lag(col("n"), 24).over(wOrd))
-          .filter(col("i") > expr("(3 * nh) div 4") &&
-            col("p_seasonal").isNotNull)
-        lagged.groupBy(col("event_type"))
-          .agg(count(lit(1)).as("n_hours"),
-            expr("(sum(abs(n - p_naive)) * CAST(1000 AS BIGINT)) " +
-              "div count(1)").as("mae_naive_milli"),
-            expr("(sum(abs(n - p_seasonal)) * CAST(1000 AS BIGINT)) " +
-              "div count(1)").as("mae_seasonal_milli"))
-          .orderBy(col("event_type"))
-      },
-      Some("""
-        WITH hourly AS (
-          SELECT event_type,
-                 date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-                 CAST(count(*) AS BIGINT) AS n
-          FROM events GROUP BY 1, 2),
-        lagged AS (
-          SELECT event_type, n,
-                 ROW_NUMBER() OVER (PARTITION BY event_type
-                                    ORDER BY h) AS i,
-                 COUNT(*) OVER (PARTITION BY event_type) AS nh,
-                 lag(n, 1) OVER (PARTITION BY event_type ORDER BY h)
-                   AS p_naive,
-                 lag(n, 24) OVER (PARTITION BY event_type ORDER BY h)
-                   AS p_seasonal
-          FROM hourly)
-        SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
-               CAST((SUM(abs(n - p_naive)) * 1000) // count(*)
-                 AS BIGINT) AS mae_naive_milli,
-               CAST((SUM(abs(n - p_seasonal)) * 1000) // count(*)
-                 AS BIGINT) AS mae_seasonal_milli
-        FROM lagged
-        WHERE i > (3 * nh) // 4 AND p_seasonal IS NOT NULL
-        GROUP BY 1
-        ORDER BY event_type
-      """)),
-
-    // Link prediction over the cell-blocked 3-NN similarity graph:
-    // for every
-    // 2-hop non-edge pair, common-neighbor count, neighbor-set
-    // Jaccard (ppm), and Adamic-Adar (Σ 1/log10 deg(z) over shared
-    // neighbors z, 9-dp-snapped per z then DECIMAL-summed) — the
-    // "which similar-doc edges are MISSING" candidates. Wedge
-    // generation is two node-keyed joins; existing edges drop by
-    // anti-join; top-50 by (aa desc, ids). Every common neighbor in
-    // an undirected kNN-3 graph has degree ≥ 2, so 1/log10(deg) is
-    // finite by construction.
-    QueryDef(
-      "q_link_prediction",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.cellBlockedTopK(
-          emb, "vec_id", "embedding", 3)
-        val e = knn
-          .select(least(col("query_id"), col("neighbor_id")).as("u"),
-            greatest(col("query_id"), col("neighbor_id")).as("v"))
-          .distinct().localCheckpoint(true)
-        val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
-        val deg = und.groupBy(col("u").as("z"))
-          .agg(count(lit(1)).as("dz"))
-        val wedges = und.select(col("u").as("a"), col("v").as("z"))
-          .join(und.select(col("u").as("z"), col("v").as("b")), "z")
-          .filter(col("a") < col("b"))
-          .join(e.select(col("u").as("a"), col("v").as("b")),
-            Seq("a", "b"), "left_anti")
-        val scored = wedges
-          .join(deg, "z")
-          .groupBy(col("a"), col("b"))
-          .agg(count(lit(1)).as("common_neighbors"),
-            sum(round(lit(1.0) / log10(col("dz").cast("double")), 9)
-              .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-              .as("__aa"))
-        scored
-          .join(deg.select(col("z").as("a"), col("dz").as("da")), "a")
-          .join(deg.select(col("z").as("b"), col("dz").as("db")), "b")
-          .select(col("a"), col("b"), col("common_neighbors"),
-            expr("(common_neighbors * CAST(1000000 AS BIGINT)) " +
-              "div (da + db - common_neighbors)").as("jaccard_ppm"),
-            round(col("__aa").cast("double"), 6).as("adamic_adar"))
-          .orderBy(col("adamic_adar").desc, col("a"), col("b"))
-          .limit(50)
-      },
-      Some(s"""
-        WITH $cellKnnEdgeCtes,
-        und AS (SELECT id_a AS u, id_b AS v FROM e
-                UNION ALL SELECT id_b, id_a FROM e),
-        deg AS (SELECT u AS z, CAST(count(*) AS BIGINT) AS dz
-                FROM und GROUP BY 1),
-        wedges AS (
-          SELECT x.u AS a, x.v AS z, y.v AS b
-          FROM und x JOIN und y ON y.u = x.v
-          WHERE x.u < y.v
-            AND NOT EXISTS (SELECT 1 FROM e
-                            WHERE e.id_a = x.u AND e.id_b = y.v)),
-        lpscored AS (
-          SELECT a, b, CAST(count(*) AS BIGINT) AS common_neighbors,
-                 SUM(CAST(ROUND(1.0 / log10(CAST(dz AS DOUBLE)), 9)
-                   AS DECIMAL(38,12))) AS aa
-          FROM wedges JOIN deg USING (z)
-          GROUP BY 1, 2)
-        SELECT s.a, s.b, s.common_neighbors,
-               CAST((s.common_neighbors * 1000000)
-                    // (da.dz + db.dz - s.common_neighbors) AS BIGINT)
-                 AS jaccard_ppm,
-               ROUND(CAST(s.aa AS DOUBLE), 6) AS adamic_adar
-        FROM lpscored s
-        JOIN deg da ON da.z = s.a
-        JOIN deg db ON db.z = s.b
-        ORDER BY adamic_adar DESC, a, b
-        LIMIT 50
-      """)),
-
-    // Entity resolution end-to-end: blocked edit-distance pairs over
-    // part names (the q_fuzzy_join kernel) closed into entity
-    // clusters by the engine's own min-label components — the
-    // pairs→entities step every record-linkage pipeline needs after
-    // matching. Names map to stable numeric node ids (min partkey
-    // per name) so the component kernel and the recursive-reach
-    // oracle agree on labels; output = one row per multi-name
-    // entity with its size and canonical (minimum) name.
-    QueryDef(
-      "q_entity_clusters",
-      (s, dir) => {
-        import graft.operators.{Dedup, FuzzyJoin}
-        val parts = Tables(s, dir, "part")
-        val nameIds = parts.groupBy(col("p_name"))
-          .agg(min(col("p_partkey")).as("nid"))
-          .localCheckpoint(true)
-        val pairs = FuzzyJoin.similarPairs(
-            parts.select(col("p_name")), "p_name", maxDist = 2)
-          .join(nameIds.select(col("p_name").as("name_a"),
-            col("nid").as("id_a")), "name_a")
-          .join(nameIds.select(col("p_name").as("name_b"),
-            col("nid").as("id_b")), "name_b")
-          .select(col("id_a"), col("id_b"))
-        val comp = Dedup.connectedComponents(pairs)
-        comp
-          .join(nameIds.select(col("nid").as("id"), col("p_name")), "id")
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n_names"),
-            min(col("p_name")).as("canonical_name"))
-          .filter(col("n_names") >= 2)
-          .orderBy(col("label"))
-      },
-      Some("""
-        WITH RECURSIVE nm AS (
-          SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1),
-        pr AS (
-          SELECT a.nid AS id_a, b.nid AS id_b
-          FROM nm a JOIN nm b ON a.p_name < b.p_name
-          WHERE levenshtein(a.p_name, b.p_name) <= 2),
-        edges AS (
-          SELECT id_a AS src, id_b AS dst FROM pr
-          UNION SELECT id_b, id_a FROM pr),
-        reach(a, b) AS (
-          SELECT src, dst FROM edges
-          UNION
-          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
-        lab AS (
-          SELECT a AS id, least(a, MIN(b)) AS label
-          FROM reach GROUP BY a)
-        SELECT l.label, CAST(count(*) AS BIGINT) AS n_names,
-               min(nm.p_name) AS canonical_name
-        FROM lab l JOIN nm ON nm.nid = l.id
-        GROUP BY 1
-        HAVING count(*) >= 2
-        ORDER BY label
-      """)),
-
-    // Filtered vector search: top-5 cosine neighbors RESTRICTED to
-    // the query's own label — the metadata-filtered ANN every
-    // retrieval stack needs ("similar docs from the same collection
-    // only"). The filter applies BEFORE scoring (label equality
-    // rides the candidate join), so selective filters shrink the
-    // work instead of starving a post-filtered top-k; the label
-    // lives on the shuffle key alongside the dimension index.
-    QueryDef(
-      "q_ann_filtered",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val emb = Tables.embeddings(s, dir)
-        val dims = emb.select(col("vec_id"), col("label"),
-            posexplode(col("embedding")).as(Seq("i", "x")))
-          .select(col("vec_id"), col("label"), col("i"),
-            col("x").cast("double").as("x"))
-        val norms = dims.groupBy(col("vec_id"))
-          .agg(sqrt(sum(col("x") * col("x"))).as("nrm"))
-        val qd = dims.filter(pmod(col("vec_id"), lit(97L)) === 0)
-        val dots = qd.as("q").join(dims.as("c"),
-            col("q.i") === col("c.i") &&
-              col("q.label") === col("c.label") &&
-              col("q.vec_id") =!= col("c.vec_id"))
-          .groupBy(col("q.vec_id").as("query_id"),
-            col("c.vec_id").as("neighbor_id"))
-          .agg(sum(col("q.x") * col("c.x")).as("d"))
-        val scored = dots
-          .join(norms.select(col("vec_id").as("query_id"),
-            col("nrm").as("nq")), "query_id")
-          .join(norms.select(col("vec_id").as("neighbor_id"),
-            col("nrm").as("nc")), "neighbor_id")
-          .select(col("query_id"), col("neighbor_id"),
-            round(col("d") / (col("nq") * col("nc")), 6).as("cosine"))
-        scored
-          .withColumn("rank", row_number().over(
-            Window.partitionBy(col("query_id"))
-              .orderBy(col("cosine").desc, col("neighbor_id"))))
-          .filter(col("rank") <= 5)
-          .orderBy(col("query_id"), col("rank"))
-      },
-      Some("""
-        WITH dims AS (
-          SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings),
-        norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm
-                  FROM dims GROUP BY 1),
-        dots AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 sum(q.x * c.x) AS d
-          FROM dims q JOIN dims c
-            ON q.i = c.i AND q.label = c.label
-           AND q.vec_id <> c.vec_id
-          WHERE q.vec_id % 97 = 0
-          GROUP BY 1, 2),
-        scored AS (
-          SELECT query_id, neighbor_id,
-                 ROUND(d / (nq.nrm * nc.nrm), 6) AS cosine
-          FROM dots
-          JOIN norms nq ON nq.vec_id = query_id
-          JOIN norms nc ON nc.vec_id = neighbor_id),
-        ranked AS (
-          SELECT query_id, neighbor_id, cosine,
-                 ROW_NUMBER() OVER (PARTITION BY query_id
-                                    ORDER BY cosine DESC, neighbor_id)
-                   AS rank
-          FROM scored)
-        SELECT query_id, neighbor_id, cosine, rank
-        FROM ranked WHERE rank <= 5
-        ORDER BY query_id, rank
-      """)),
-
-    // Modality-mix budget accounting: per deterministic modality
-    // (doc_id mod 3 → text/image/audio) the byte and estimated
-    // patch-token totals plus integer-ppm shares — q_token_budget's
-    // multimodal sibling, computed on the same binary payload
-    // column the multimodal plumbing carries (patch tokens =
-    // ceil(bytes/256), the byte-budget stand-in for a real patch
-    // tokenizer).
-    QueryDef(
-      "q_modality_budget",
-      (s, dir) => {
-        val withMod = graft.multimodal.Multimodal.withPayload(
-            Tables.documents(s, dir), "doc_id", "text")
-          .select(col("id"),
-            element_at(array(lit("text"), lit("image"), lit("audio")),
-              (pmod(col("id"), lit(3L)) + 1).cast("int")).as("modality"),
-            octet_length(col("payload")).cast("long").as("bytes"))
-          .withColumn("patch_tokens", expr("(bytes + 255) div 256"))
-        val grouped = withMod.groupBy(col("modality"))
-          .agg(count(lit(1)).as("n_items"),
-            sum(col("bytes")).as("total_bytes"),
-            sum(col("patch_tokens")).as("total_patch_tokens"))
-        grouped
-          .crossJoin(broadcast(
-            grouped.agg(sum(col("total_patch_tokens")).as("__t"))))
-          .select(col("modality"), col("n_items"), col("total_bytes"),
-            col("total_patch_tokens"),
-            expr("(total_patch_tokens * CAST(1000000 AS BIGINT)) div __t")
-              .as("share_ppm"))
-          .orderBy(col("modality"))
-      },
-      Some("""
-        WITH m AS (
-          SELECT doc_id,
-                 CASE doc_id % 3 WHEN 0 THEN 'text' WHEN 1 THEN 'image'
-                      ELSE 'audio' END AS modality,
-                 CAST(strlen(text) AS BIGINT) AS bytes,
-                 (CAST(strlen(text) AS BIGINT) + 255) // 256
-                   AS patch_tokens
-          FROM documents),
-        grouped AS (
-          SELECT modality, CAST(count(*) AS BIGINT) AS n_items,
-                 CAST(sum(bytes) AS BIGINT) AS total_bytes,
-                 CAST(sum(patch_tokens) AS BIGINT) AS total_patch_tokens
-          FROM m GROUP BY 1)
-        SELECT modality, n_items, total_bytes, total_patch_tokens,
-               CAST((total_patch_tokens * 1000000)
-                    // (SELECT SUM(total_patch_tokens) FROM grouped)
-                 AS BIGINT) AS share_ppm
-        FROM grouped
-        ORDER BY modality
-      """)),
-
-    // Slice-based evaluation: the NB classifier's held-out accuracy
-    // DISAGGREGATED by source — the responsible-eval table that
-    // catches a model that is 90% overall and 40% on one feed, which
-    // the global q_nb_confusion can hide. Integer counts + one ppm
-    // division per slice.
-    QueryDef(
-      "q_sliced_accuracy",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
-        val model = graft.operators.NaiveBayes.fit(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
-        graft.operators.NaiveBayes.classify(model, test, "doc_id", "text")
-          .join(test.select(col("doc_id"), col("lang"), col("source")),
-            "doc_id")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n"),
-            sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
-              .as("n_correct"))
-          .withColumn("acc_ppm",
-            expr("(n_correct * CAST(1000000 AS BIGINT)) div n"))
-          .orderBy(col("source"))
-      },
-      Some(s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}" +
-        """
-        SELECT d.source, CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(CASE WHEN b.label = te.lang THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_correct,
-               CAST((sum(CASE WHEN b.label = te.lang THEN 1 ELSE 0 END)
-                     * 1000000) // count(*) AS BIGINT) AS acc_ppm
-        FROM best b
-        JOIN te USING (doc_id)
-        JOIN documents d ON d.doc_id = te.doc_id
-        WHERE b.rn = 1
-        GROUP BY 1
-        ORDER BY d.source
-      """)),
-
-    // McNemar's paired test: is the NB classifier actually BETTER
-    // than the lexicon lang-id heuristic on the same held-out docs,
-    // or do they just disagree? Discordant counts b (lexicon right,
-    // NB wrong) and c (NB right, lexicon wrong), the continuity-
-    // corrected statistic as an exact integer rational, verdict by
-    // the chi-square(1) 5% cross-multiplication (the chiSquareUniform
-    // policy — no float anywhere).
-    QueryDef(
-      "q_mcnemar",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-        val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
-        val model = graft.operators.NaiveBayes.fit(
-          docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
-        val paired = graft.operators.NaiveBayes
-          .classify(model, test, "doc_id", "text")
-          .join(test.select(col("doc_id"), col("lang"),
-            TextAnalysis.langId(col("text")).as("lex")), "doc_id")
-          .select(
-            when(col("pred") === col("lang"), 1L).otherwise(0L).as("nbok"),
-            when(col("lex") === col("lang"), 1L).otherwise(0L).as("lxok"))
-        paired.agg(count(lit(1)).as("n"),
-            sum(when(col("lxok") === 1 && col("nbok") === 0, 1L)
-              .otherwise(0L)).as("b"),
-            sum(when(col("nbok") === 1 && col("lxok") === 0, 1L)
-              .otherwise(0L)).as("c"))
-          .filter(col("b") + col("c") > 0)
-          .select(col("n"), col("b"), col("c"),
-            expr("((abs(b - c) - 1) * (abs(b - c) - 1) " +
-              "* CAST(10000 AS BIGINT)) div (b + c)").as("stat_e4"),
-            when(expr("(abs(b - c) - 1) * (abs(b - c) - 1) * 10000 " +
-              "> 38415 * (b + c)"), "different").otherwise("same")
-              .as("verdict"))
-      },
-      Some {
-        val unions = TextAnalysis.langLexicons.map { case (l, lex) =>
-          s"""SELECT doc_id, lang, '$l' AS guess,
-              len(list_intersect(list_distinct(string_split(text, ' ')),
-                  [${sqlList(lex)}])) AS s
-              FROM documents WHERE doc_id % 5 = 0"""
-        }.mkString(" UNION ALL ")
-        s"WITH $nbTrainCtes, ${nbClassifyCtesOver("doc_id % 5 = 0")}," +
-          s"""
-        lexscores AS ($unions),
-        lexbest AS (
-          SELECT doc_id, lang,
-                 CASE WHEN s > 0 THEN guess ELSE 'und' END AS lex
-          FROM (SELECT doc_id, lang, guess, s,
-                       ROW_NUMBER() OVER (PARTITION BY doc_id
-                                          ORDER BY s DESC, guess ASC)
-                         AS rn
-                FROM lexscores)
-          WHERE rn = 1),
-        paired AS (
-          SELECT CASE WHEN b.label = te.lang THEN 1 ELSE 0 END AS nbok,
-                 CASE WHEN lx.lex = te.lang THEN 1 ELSE 0 END AS lxok
-          FROM best b
-          JOIN te USING (doc_id)
-          JOIN lexbest lx ON lx.doc_id = te.doc_id
-          WHERE b.rn = 1),
-        agg AS (
-          SELECT CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(CASE WHEN lxok = 1 AND nbok = 0
-                          THEN 1 ELSE 0 END) AS BIGINT) AS b,
-                 CAST(sum(CASE WHEN nbok = 1 AND lxok = 0
-                          THEN 1 ELSE 0 END) AS BIGINT) AS c
-          FROM paired)
-        SELECT n, b, c,
-               CAST(((abs(b - c) - 1) * (abs(b - c) - 1) * 10000)
-                    // (b + c) AS BIGINT) AS stat_e4,
-               CASE WHEN (abs(b - c) - 1) * (abs(b - c) - 1) * 10000
-                         > 38415 * (b + c)
-                    THEN 'different' ELSE 'same' END AS verdict
-        FROM agg
-        WHERE b + c > 0
-      """
-      }),
-
-    // Farthest-point coreset: 6 greedy k-center picks over the
-    // embedding table — the classic 2-approximation coverage sample
-    // ("the 6 most mutually-distant exemplars") behind coreset
-    // selection and diverse eval-set seeding. The greedy loop is
-    // inherently sequential, so it runs k−1 bounded driver steps
-    // (each one aggregation + a 1-row argmax collect — the BPE-train
-    // loop discipline); distances are 1 − cosine on the 6-dp
-    // lattice, argmax ties to the smaller id. The oracle unrolls the
-    // same five steps as generated CTEs over the shared all-pairs
-    // cosine replay (the mmrPickCtes move).
-    QueryDef(
-      "q_coreset",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-          .select(col("vec_id"), col("embedding")).localCheckpoint(true)
-        val k = 6
-        val first = emb.agg(min(col("vec_id"))).collect().head.getLong(0)
-        var picks = Seq((first, 1, Option.empty[Double]))
-        while (picks.size < k) {
-          val pickedDf = emb
-            .filter(col("vec_id").isin(picks.map(_._1): _*))
-            .select(col("vec_id").as("pid"), col("embedding").as("pv"))
-          val next = emb
-            .filter(!col("vec_id").isin(picks.map(_._1): _*))
-            .crossJoin(broadcast(pickedDf))
-            .groupBy(col("vec_id"))
-            .agg(min(round(lit(1.0) - round(graft.functions
-              .VectorFunctions.cosine(col("embedding"), col("pv")), 6),
-              6)).as("md"))
-            .orderBy(col("md").desc, col("vec_id"))
-            .limit(1).collect().head
-          picks = picks :+ ((next.getLong(0), picks.size + 1,
-            Some(next.getDouble(1))))
-        }
-        import s.implicits._
-        picks.map(p => (p._2, p._1, p._3))
-          .toDF("pick", "vec_id", "min_dist")
-          .orderBy(col("pick"))
-      },
-      Some {
-        val steps = (2 to 6).map { i =>
-          val prev = s"sel${i - 1}"
-          s"""
-        c$i AS (
-          SELECT s.qa AS id, MIN(ROUND(1.0 - s.cos, 6)) AS md
-          FROM scored s
-          WHERE s.qb IN (SELECT id FROM $prev)
-            AND s.qa NOT IN (SELECT id FROM $prev)
-          GROUP BY 1),
-        p$i AS (SELECT id, md FROM c$i ORDER BY md DESC, id LIMIT 1),
-        sel$i AS (SELECT id FROM $prev UNION ALL SELECT id FROM p$i)"""
-        }.mkString(",")
-        s"""
-        WITH $knnEdgeCtes,
-        sel1 AS (SELECT min(vec_id) AS id FROM embeddings),
-        $steps
-        SELECT pick, id AS vec_id, md AS min_dist FROM (
-          SELECT 1 AS pick, id, CAST(NULL AS DOUBLE) AS md FROM sel1
-          UNION ALL SELECT 2, id, md FROM p2
-          UNION ALL SELECT 3, id, md FROM p3
-          UNION ALL SELECT 4, id, md FROM p4
-          UNION ALL SELECT 5, id, md FROM p5
-          UNION ALL SELECT 6, id, md FROM p6)
-        ORDER BY pick
-      """
-      }),
-
-    // Per-document n-gram novelty: the fraction of a doc's 3-gram
-    // shingles whose FIRST corpus appearance (min doc_id) is this
-    // doc — the memorization/novelty curation signal ("is this doc
-    // new content or recombined boilerplate"), one inverted-index
-    // pass on pure integers.
-    QueryDef(
-      "q_ngram_novelty",
-      (s, dir) => {
-        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
-          .localCheckpoint(true)
-        val firstSeen = sh.groupBy(col("shingle"))
-          .agg(min(col("id")).as("first_id"))
-        sh.join(firstSeen, "shingle")
-          .groupBy(col("id").as("doc_id"))
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
-              .as("n_novel"))
-          .withColumn("novelty_ppm",
-            expr("(n_novel * CAST(1000000 AS BIGINT)) div n_shingles"))
-          .orderBy(col("doc_id"))
-      },
-      Some(s"""
-        WITH ${shingleCtes(3, "documents")},
-        firstseen AS (
-          SELECT shingle, min(doc_id) AS first_id FROM grams GROUP BY 1)
-        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-               CAST(sum(CASE WHEN f.first_id = g.doc_id
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-               CAST((sum(CASE WHEN f.first_id = g.doc_id
-                         THEN 1 ELSE 0 END) * 1000000) // count(*)
-                 AS BIGINT) AS novelty_ppm
-        FROM grams g JOIN firstseen f USING (shingle)
-        GROUP BY 1
-        ORDER BY g.doc_id
-      """)),
-
-    // Peer-group source anomaly: which FEED is the outlier — each
-    // source's mean-doc-length micro-mean robust-z-scored against
-    // the CROSS-SOURCE median/MAD (the q_robust_outliers machinery
-    // one level up: within-feed tests ask "which doc broke", this
-    // asks "which feed broke"). Exact lower-median selection under
-    // total orders, z on the milli lattice, |z| > 3.5 flags.
-    QueryDef(
-      "q_source_anomaly",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val perSource = Tables.documents(s, dir)
-          .groupBy(col("source"))
-          .agg(expr("(sum(n_chars) * CAST(1000000 AS BIGINT)) " +
-            "div count(1)").as("mean_micro"))
-        val wVal = Window.orderBy(col("mean_micro"), col("source"))
-        val n = perSource.count()
-        val med = perSource
-          .withColumn("rk", row_number().over(wVal))
-          .filter(col("rk") === (n + 1) / 2)
-          .select(col("mean_micro").as("med"))
-        val devs = perSource.crossJoin(broadcast(med))
-          .withColumn("adev", abs(col("mean_micro") - col("med")))
-        val wDev = Window.orderBy(col("adev"), col("source"))
-        val mad = devs
-          .withColumn("rk", row_number().over(wDev))
-          .filter(col("rk") === (n + 1) / 2)
-          .select(col("adev").as("mad"))
-        devs.crossJoin(broadcast(mad))
-          .filter(col("mad") > 0)
-          // sign · (|diff|·1000 div mad): Spark's div truncates while
-          // DuckDB's // floors, so a signed lattice division would
-          // diverge by one on negative deviations (the q_k_anonymity
-          // FLOOR lesson) — magnitude-then-sign agrees everywhere
-          .select(col("source"), col("mean_micro"),
-            (signum((col("mean_micro") - col("med")).cast("double"))
-              .cast("long") *
-              expr("(abs(mean_micro - med) * CAST(1000 AS BIGINT)) " +
-                "div mad")).as("robust_z_milli"))
-          .withColumn("anomalous",
-            abs(col("robust_z_milli")) > lit(3500L))
-          .orderBy(col("source"))
-      },
-      Some("""
-        WITH per AS (
-          SELECT source,
-                 CAST((sum(n_chars) * 1000000) // count(*) AS BIGINT)
-                   AS mean_micro
-          FROM documents GROUP BY 1),
-        nn AS (SELECT count(*) AS n FROM per),
-        med AS (
-          SELECT mean_micro AS med FROM (
-            SELECT mean_micro,
-                   ROW_NUMBER() OVER (ORDER BY mean_micro, source) AS rk
-            FROM per)
-          WHERE rk = ((SELECT n FROM nn) + 1) // 2),
-        devs AS (
-          SELECT p.source, p.mean_micro,
-                 abs(p.mean_micro - m.med) AS adev, m.med
-          FROM per p CROSS JOIN med m),
-        mad AS (
-          SELECT adev AS mad FROM (
-            SELECT adev,
-                   ROW_NUMBER() OVER (ORDER BY adev, source) AS rk
-            FROM devs)
-          WHERE rk = ((SELECT n FROM nn) + 1) // 2)
-        SELECT d.source, d.mean_micro,
-               CAST(CASE WHEN d.mean_micro >= d.med THEN 1 ELSE -1 END
-                    * ((abs(d.mean_micro - d.med) * 1000) // m.mad)
-                 AS BIGINT) AS robust_z_milli,
-               (abs(d.mean_micro - d.med) * 1000) // m.mad > 3500
-                 AS anomalous
-        FROM devs d CROSS JOIN mad m
-        WHERE m.mad > 0
-        ORDER BY d.source
-      """)),
-
-    // Inter-arrival-time percentiles per event type: exact p50/p90
-    // of the gaps between consecutive events (lag under the
-    // (ts, event_id) total order), selected by rank — the
-    // capacity-planning distribution behind rate alarms; engines
-    // agree on selection, never on interpolation.
-    QueryDef(
-      "q_interarrival",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val wOrd = Window.partitionBy(col("event_type"))
-          .orderBy(col("us"), col("event_id"))
-        val gaps = Tables.events(s, dir)
-          .select(col("event_type"), col("event_id"),
-            unix_micros(col("ts")).as("us"))
-          .withColumn("gap", col("us") - lag(col("us"), 1).over(wOrd))
-          .filter(col("gap").isNotNull)
-        val wGap = Window.partitionBy(col("event_type"))
-          .orderBy(col("gap"), col("event_id"))
-        gaps
-          .withColumn("rk", row_number().over(wGap))
-          .withColumn("n", count(lit(1)).over(
-            Window.partitionBy(col("event_type"))))
-          .groupBy(col("event_type"))
-          .agg(max(col("n")).as("n_gaps"),
-            max(when(col("rk") === expr("(n + 1) div 2"), col("gap")))
-              .as("p50_us"),
-            max(when(col("rk") === expr("(9 * n + 9) div 10"),
-              col("gap"))).as("p90_us"))
-          .orderBy(col("event_type"))
-      },
-      Some("""
-        WITH gaps AS (
-          SELECT event_type, event_id,
-                 epoch_us(CAST(ts AS TIMESTAMP))
-                   - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1)
-                     OVER (PARTITION BY event_type
-                           ORDER BY ts, event_id) AS gap
-          FROM events),
-        ranked AS (
-          SELECT event_type, gap,
-                 ROW_NUMBER() OVER (PARTITION BY event_type
-                                    ORDER BY gap, event_id) AS rk,
-                 COUNT(*) OVER (PARTITION BY event_type) AS n
-          FROM gaps WHERE gap IS NOT NULL)
-        SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
-               max(CASE WHEN rk = (n + 1) // 2 THEN gap END) AS p50_us,
-               max(CASE WHEN rk = (9 * n + 9) // 10 THEN gap END)
-                 AS p90_us
-        FROM ranked GROUP BY 1
-        ORDER BY event_type
-      """)),
-
-    // Per-source language purity: the dominant recorded language's
-    // ppm share — a mixed-language feed dilutes monolingual training
-    // mixes, and this is the one-row-per-feed gauge a mixture plan
-    // filters on (dominant by count, ties to the smaller lang).
-    QueryDef(
-      "q_lang_purity",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val cnts = Tables.documents(s, dir)
-          .groupBy(col("source"), col("lang"))
-          .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("c").desc, col("lang"))
-        cnts
-          .withColumn("rk", row_number().over(w))
-          .withColumn("n", sum(col("c")).over(
-            Window.partitionBy(col("source"))))
-          .filter(col("rk") === 1)
-          .select(col("source"), col("lang").as("dominant_lang"),
-            col("n").as("n_docs"),
-            expr("(c * CAST(1000000 AS BIGINT)) div n").as("purity_ppm"))
-          .orderBy(col("source"))
-      },
-      Some("""
-        WITH cnts AS (
-          SELECT source, lang, count(*) AS c
-          FROM documents GROUP BY 1, 2),
-        ranked AS (
-          SELECT source, lang, c,
-                 ROW_NUMBER() OVER (PARTITION BY source
-                                    ORDER BY c DESC, lang) AS rk,
-                 CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n
-          FROM cnts)
-        SELECT source, lang AS dominant_lang, n AS n_docs,
-               CAST((c * 1000000) // n AS BIGINT) AS purity_ppm
-        FROM ranked WHERE rk = 1
-        ORDER BY source
-      """)),
-
-    // Exact-dedup ROI accounting per source: docs and bytes removed
-    // by the keep-min-id rule over md5(text) groups — the number
-    // that justifies (or kills) a dedup stage in a pipeline review,
-    // computed WITHOUT materializing the deduped corpus (group-sized
-    // aggregation only).
-    QueryDef(
-      "q_dedup_savings",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("source"), col("doc_id"), col("n_chars"),
-            md5(col("text")).as("h"))
-        val keep = docs.groupBy(col("h"))
-          .agg(min(col("doc_id")).as("keep_id"))
-        docs.join(keep, "h")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
-              .as("n_dropped"),
-            sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
-              .otherwise(0L)).as("bytes_saved"))
-          .withColumn("saved_ppm",
-            expr("(n_dropped * CAST(1000000 AS BIGINT)) div n_docs"))
-          .orderBy(col("source"))
-      },
-      Some("""
-        WITH d AS (
-          SELECT source, doc_id, n_chars, md5(text) AS h
-          FROM documents),
-        keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY 1)
-        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(CASE WHEN d.doc_id <> k.keep_id
-                        THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-               CAST(sum(CASE WHEN d.doc_id <> k.keep_id
-                        THEN d.n_chars ELSE 0 END) AS BIGINT)
-                 AS bytes_saved,
-               CAST((sum(CASE WHEN d.doc_id <> k.keep_id
-                         THEN 1 ELSE 0 END) * 1000000) // count(*)
-                 AS BIGINT) AS saved_ppm
-        FROM d JOIN keep k USING (h)
-        GROUP BY 1
-        ORDER BY d.source
-      """)),
-
-    // Embedding-space outlier factor (simplified LOF, Breunig et al.
-    // 2000): each point's mean distance to its 3 nearest neighbors,
-    // ratioed against its NEIGHBORS' own mean-kNN-distances — a
-    // point deep in a cluster scores ~1000 milli, an isolated point
-    // scores high because its neighbors are mutually close. Entirely
-    // on integer lattices: per-edge cosine DISTANCE micro, per-point
-    // mean by floor division, the final ratio in milli — two
-    // node-keyed joins over the directed kNN-3 edge list, top-20 by
-    // (lof desc, id).
-    QueryDef(
-      "q_lof",
-      (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val knn = Similarity.cellBlockedTopK(
-            emb, "vec_id", "embedding", 3)
-          .select(col("query_id").as("a"), col("neighbor_id").as("b"),
-            (lit(1000000L) -
-              round(col("cosine") * lit(1e6)).cast("long")).as("dmicro"))
-        val md = knn.groupBy(col("a"))
-          .agg(expr("sum(dmicro) div count(1)").as("md"))
-        val rm = knn
-          .join(md.select(col("a").as("b"), col("md").as("nbmd")), "b")
-          .groupBy(col("a"))
-          .agg(expr("sum(nbmd) div count(1)").as("rm"))
-        md.join(rm, "a")
-          .filter(col("rm") > 0)
-          .select(col("a").as("vec_id"), col("md").as("mean_dist_micro"),
-            expr("(md * CAST(1000 AS BIGINT)) div rm").as("lof_milli"))
-          .orderBy(col("lof_milli").desc, col("vec_id"))
-          .limit(20)
-      },
-      Some(s"""
-        WITH $cellKnnEdgeCtes,
-        knn AS (
-          -- ranked carries only (qa, qb, rn); rejoin scored for cos
-          SELECT r.qa AS a, r.qb AS b,
-                 1000000 - CAST(ROUND(s.cos * 1e6) AS BIGINT) AS dmicro
-          FROM ranked r
-          JOIN scored s ON s.qa = r.qa AND s.qb = r.qb
-          WHERE r.rn <= 3),
-        md AS (
-          SELECT a, CAST(SUM(dmicro) // count(*) AS BIGINT) AS md
-          FROM knn GROUP BY 1),
-        rm AS (
-          SELECT knn.a, CAST(SUM(nb.md) // count(*) AS BIGINT) AS rm
-          FROM knn JOIN md nb ON nb.a = knn.b
-          GROUP BY 1)
-        SELECT md.a AS vec_id, md.md AS mean_dist_micro,
-               CAST((md.md * 1000) // rm.rm AS BIGINT) AS lof_milli
-        FROM md JOIN rm ON rm.a = md.a
-        WHERE rm.rm > 0
-        ORDER BY lof_milli DESC, vec_id
-        LIMIT 20
-      """)),
-
-    // Cliff's delta ordinal effect size per source (doc length,
-    // alternating-doc_id-block cohort split) — the "how big is the
-    // difference" companion to q_mann_whitney's "is there one": exact
-    // comparison counts over the cross pairs, signed-ppm edge via the
-    // sign·(|·| div m) convention so truncating and flooring division
-    // agree (NonParametric.cliffsDelta scaladoc). The cohort
-    // predicate is (doc_id div 20) % 2 — INDEPENDENT of source
-    // (= doc_id mod 20 in the fixture): a doc_id-parity split is
-    // collinear with the source key and leaves every group's
-    // treatment side empty, a structurally-0-row "green" that
-    // exercises nothing (the round-10 vacuous-oracle lesson).
-    QueryDef(
-      "q_cliffs_delta",
-      (s, dir) =>
-        graft.operators.NonParametric.cliffsDelta(
-            Tables.documents(s, dir), "source",
-            pmod(expr("doc_id div 20"), lit(2L)) === 1, "n_chars")
-          .orderBy(col("source")),
-      Some("""
-        WITH d AS (
-          SELECT source, (doc_id // 20) % 2 = 1 AS t, n_chars
-          FROM documents),
-        x AS (
-          SELECT t1.source,
-                 CAST(count(*) AS BIGINT) AS pairs,
-                 CAST(SUM(CASE WHEN t1.n_chars > t0.n_chars
-                          THEN 1 ELSE 0 END) AS BIGINT) AS gt,
-                 CAST(SUM(CASE WHEN t1.n_chars < t0.n_chars
-                          THEN 1 ELSE 0 END) AS BIGINT) AS lt
-          FROM d t1 JOIN d t0
-            ON t1.source = t0.source AND t1.t AND NOT t0.t
-          GROUP BY 1),
-        c0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n0
-               FROM d WHERE NOT t GROUP BY 1),
-        c1 AS (SELECT source, CAST(count(*) AS BIGINT) AS n1
-               FROM d WHERE t GROUP BY 1)
-        SELECT x.source, c0.n0, c1.n1, x.gt, x.lt,
-               CAST((CASE WHEN x.gt > x.lt THEN 1
-                          WHEN x.gt < x.lt THEN -1 ELSE 0 END)
-                    * ((abs(x.gt - x.lt) * 1000000) // x.pairs)
-                 AS BIGINT) AS delta_ppm
-        FROM x JOIN c0 USING (source) JOIN c1 USING (source)
-        ORDER BY x.source
-      """)),
-
-    // Kruskal-Wallis rank ANOVA: do the 20 sources draw doc lengths
-    // from one distribution, tested WITHIN each language partition —
-    // the rank twin of q_anova that outliers and monotone rescaling
-    // cannot move. Average-rank ties ride the doubled-rank integer
-    // lattice (the q_spearman convention); Σ R²/n stays exact as
-    // integer quotients + nano-snapped remainder fractions until ONE
-    // written IEEE sequence forms H (NonParametric.kruskalWallis
-    // scaladoc).
-    QueryDef(
-      "q_kruskal",
-      (s, dir) =>
-        graft.operators.NonParametric.kruskalWallis(
-            Tables.documents(s, dir), "lang", "source", "n_chars")
-          .orderBy(col("lang")),
-      Some("""
-        WITH ranked AS (
-          SELECT lang, source,
-                 2 * RANK() OVER (PARTITION BY lang ORDER BY n_chars)
-                   + COUNT(*) OVER (PARTITION BY lang, n_chars) - 1
-                   AS r2
-          FROM documents),
-        pg AS (
-          SELECT lang, source, CAST(count(*) AS BIGINT) AS ng,
-                 CAST(sum(r2) AS BIGINT) AS rsum
-          FROM ranked GROUP BY 1, 2),
-        pq AS (
-          SELECT lang, ng,
-                 (rsum * rsum) // ng AS q,
-                 CAST(ROUND(CAST((rsum * rsum) % ng AS DOUBLE)
-                      / CAST(ng AS DOUBLE) * 1e9) AS BIGINT) AS remnano
-          FROM pg),
-        ties AS (
-          SELECT lang, CAST(SUM(t * t * t - t) AS BIGINT) AS tie
-          FROM (SELECT lang, n_chars, count(*) AS t
-                FROM documents GROUP BY 1, 2)
-          GROUP BY 1),
-        st AS (
-          SELECT lang, CAST(SUM(ng) AS BIGINT) AS n,
-                 CAST(COUNT(*) AS BIGINT) AS k_groups,
-                 CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS qsum_d,
-                 CAST(SUM(remnano) AS BIGINT) AS remsum
-          FROM pq GROUP BY 1)
-        SELECT st.lang, st.n, st.k_groups,
-               CAST(ROUND((3.0 * (qsum_d + CAST(remsum AS DOUBLE) / 1e9)
-                           / (CAST(n AS DOUBLE)
-                              * (CAST(n AS DOUBLE) + 1.0))
-                           - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-                          * 1000000.0) AS BIGINT) AS h_micro,
-               CAST(ROUND(((3.0 * (qsum_d + CAST(remsum AS DOUBLE) / 1e9)
-                            / (CAST(n AS DOUBLE)
-                               * (CAST(n AS DOUBLE) + 1.0))
-                            - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-                           / (1.0 - CAST(tie AS DOUBLE)
-                                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                                   * CAST(n AS DOUBLE)
-                                   - CAST(n AS DOUBLE))))
-                          * 1000000.0) AS BIGINT)
-                 AS h_tie_corrected_micro
-        FROM st JOIN ties USING (lang)
-        WHERE k_groups >= 2 AND n >= 2 AND tie < n * n * n - n
-        ORDER BY lang
-      """)),
-
-    // Conover-Iman post-hoc pairwise comparisons on the SAME pooled
-    // midranks as q_kruskal: KW says "some source differs",
-    // Conover-Iman says WHICH pairs — more powerful than re-running
-    // pairwise Mann-Whitney, and the comparison Conover recommends.
-    // Exact lattices throughout (doubled midranks, DECIMAL Σ(2R)²,
-    // the div+remnano quotient for H_c), one IEEE sequence per
-    // pair, pair enumeration over the GROUP-STATS table (k²-bounded,
-    // never the corpus) (NonParametric.conoverIman scaladoc).
-    QueryDef(
-      "q_conover_posthoc",
-      (s, dir) =>
-        graft.operators.NonParametric.conoverIman(
-            Tables.documents(s, dir), "lang", "source", "n_chars")
-          .orderBy(col("lang"), col("g1"), col("g2")),
-      Some("""
-        WITH ranked AS (
-          SELECT lang, source,
-                 2 * RANK() OVER (PARTITION BY lang ORDER BY n_chars)
-                   + COUNT(*) OVER (PARTITION BY lang, n_chars) - 1
-                   AS r2
-          FROM documents),
-        pg AS (
-          SELECT lang, source, CAST(count(*) AS BIGINT) AS ng,
-                 CAST(sum(r2) AS BIGINT) AS rsum
-          FROM ranked GROUP BY 1, 2),
-        pq AS (
-          SELECT lang, ng,
-                 (rsum * rsum) // ng AS q,
-                 CAST(ROUND(CAST((rsum * rsum) % ng AS DOUBLE)
-                      / CAST(ng AS DOUBLE) * 1e9) AS BIGINT)
-                   AS remnano
-          FROM pg),
-        ties AS (
-          SELECT lang, CAST(SUM(t * t * t - t) AS BIGINT) AS tie
-          FROM (SELECT lang, n_chars, count(*) AS t
-                FROM documents GROUP BY 1, 2)
-          GROUP BY 1),
-        sq AS (
-          SELECT lang, SUM(CAST(r2 AS HUGEINT) * r2) AS sumr2sq
-          FROM ranked GROUP BY 1),
-        st AS (
-          SELECT pq.lang, CAST(SUM(ng) AS BIGINT) AS n,
-                 CAST(COUNT(*) AS BIGINT) AS k,
-                 CAST(SUM(CAST(q AS HUGEINT)) AS DOUBLE) AS qsum_d,
-                 CAST(SUM(remnano) AS BIGINT) AS remsum
-          FROM pq GROUP BY 1),
-        fx AS (
-          SELECT st.lang,
-                 ((CAST(sq.sumr2sq AS DOUBLE) / 4.0
-                   - CAST(st.n AS DOUBLE)
-                     * (CAST(st.n AS DOUBLE) + 1.0)
-                     * (CAST(st.n AS DOUBLE) + 1.0) / 4.0)
-                  / (CAST(st.n AS DOUBLE) - 1.0))
-                 * (CAST(st.n AS DOUBLE) - 1.0
-                    - (3.0 * (qsum_d + CAST(remsum AS DOUBLE) / 1e9)
-                       / (CAST(st.n AS DOUBLE)
-                          * (CAST(st.n AS DOUBLE) + 1.0))
-                       - 3.0 * (CAST(st.n AS DOUBLE) + 1.0))
-                      / (1.0 - CAST(tie AS DOUBLE)
-                         / (CAST(st.n AS DOUBLE) * CAST(st.n AS DOUBLE)
-                            * CAST(st.n AS DOUBLE)
-                            - CAST(st.n AS DOUBLE))))
-                 / (CAST(st.n AS DOUBLE) - CAST(st.k AS DOUBLE))
-                   AS factor
-          FROM st JOIN ties USING (lang) JOIN sq USING (lang)
-          WHERE st.k >= 2 AND st.n > st.k
-            AND ties.tie < st.n * st.n * st.n - st.n)
-        SELECT a.lang, a.source AS g1, b.source AS g2,
-               a.ng AS n1, b.ng AS n2,
-               CAST(ROUND((CAST(a.rsum AS DOUBLE)
-                      / CAST(a.ng AS DOUBLE)
-                    - CAST(b.rsum AS DOUBLE) / CAST(b.ng AS DOUBLE))
-                    / 2.0
-                    / sqrt(fx.factor * (1.0 / CAST(a.ng AS DOUBLE)
-                           + 1.0 / CAST(b.ng AS DOUBLE)))
-                    * 1e6) AS BIGINT) AS t_micro
-        FROM pg a
-        JOIN pg b ON a.lang = b.lang AND a.source < b.source
-        JOIN fx ON fx.lang = a.lang
-        WHERE fx.factor > 0
-        ORDER BY a.lang, g1, g2
-      """)),
-
-    // Jonckheere-Terpstra ordered-alternative trend within each
-    // language partition: do per-batch character totals TREND with
-    // the source index (the src0 < src1 < ... ordering), the sharper
-    // one-directional companion to q_kruskal's "any difference" on
-    // the SAME partition layout. Observations are a SCALE-FREE
-    // upstream rollup — pmod(doc_id, 256) batches per source, so a
-    // lang partition holds at most sources×256 rows no matter the
-    // corpus size and the operator's O(n²) maxGroupRows guard can
-    // never trip at scale (the mannKendall roll-up-first contract).
-    // Doubled-J lattice (2·gt + eq — the exact ½-tie convention),
-    // exact integer E2 and tie-corrected variance aggregates, one
-    // written IEEE sequence for z
-    // (NonParametric.jonckheereTerpstra scaladoc).
-    QueryDef(
-      "q_jonckheere",
-      (s, dir) =>
-        graft.operators.NonParametric.jonckheereTerpstra(
-            Tables.documents(s, dir)
-              .groupBy(
-                col("lang"),
-                substring(col("source"), 4, 10).cast("long")
-                  .as("src_idx"),
-                pmod(col("doc_id"), lit(256L)).as("batch"))
-              .agg(sum(col("n_chars")).cast("long").as("batch_chars")),
-            "lang", "src_idx", "batch_chars")
-          .orderBy(col("lang")),
-      Some("""
-        WITH r AS (
-          SELECT lang, CAST(substr(source, 4) AS BIGINT) AS o,
-                 CAST(SUM(n_chars) AS BIGINT) AS x
-          FROM documents
-          GROUP BY lang, o, doc_id % 256),
-        j AS (
-          SELECT a.lang,
-                 CAST(SUM(CASE WHEN b.x > a.x THEN 2
-                               WHEN b.x = a.x THEN 1
-                               ELSE 0 END) AS BIGINT) AS j2
-          FROM r a JOIN r b ON b.lang = a.lang AND a.o < b.o
-          GROUP BY 1),
-        gs AS (
-          SELECT lang, CAST(count(*) AS BIGINT) AS k_groups,
-                 CAST(sum(ng) AS BIGINT) AS n,
-                 CAST(sum(ng * ng) AS BIGINT) AS sn2,
-                 CAST(sum(ng * (ng - 1) * (2 * ng + 5)) AS BIGINT) AS ga,
-                 CAST(sum(ng * (ng - 1) * (ng - 2)) AS BIGINT) AS gb,
-                 CAST(sum(ng * (ng - 1)) AS BIGINT) AS gc
-          FROM (SELECT lang, o, CAST(count(*) AS BIGINT) AS ng
-                FROM r GROUP BY 1, 2)
-          GROUP BY 1),
-        ts AS (
-          SELECT lang,
-                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS ta,
-                 CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS tb,
-                 CAST(sum(t * (t - 1)) AS BIGINT) AS tc
-          FROM (SELECT lang, x, CAST(count(*) AS BIGINT) AS t
-                FROM r GROUP BY 1, 2)
-          GROUP BY 1),
-        stat AS (
-          SELECT gs.lang, gs.n, gs.k_groups, j.j2,
-                 (gs.n * gs.n - gs.sn2) // 2 AS e2,
-                 CAST(gs.n * (gs.n - 1) * (2 * gs.n + 5)
-                      - gs.ga - ts.ta AS DOUBLE) / 72.0
-                 + CASE WHEN gs.n > 2 THEN
-                     CAST(gs.gb AS DOUBLE) * CAST(ts.tb AS DOUBLE)
-                     / (36.0 * CAST(gs.n AS DOUBLE)
-                        * (CAST(gs.n AS DOUBLE) - 1.0)
-                        * (CAST(gs.n AS DOUBLE) - 2.0))
-                   ELSE 0.0 END
-                 + CAST(gs.gc AS DOUBLE) * CAST(ts.tc AS DOUBLE)
-                   / (8.0 * CAST(gs.n AS DOUBLE)
-                      * (CAST(gs.n AS DOUBLE) - 1.0)) AS v
-          FROM gs JOIN ts ON ts.lang = gs.lang
-          JOIN j ON j.lang = gs.lang
-          WHERE gs.k_groups >= 2 AND gs.n >= 3)
-        SELECT lang, n, k_groups, j2, e2,
-               CAST(ROUND(CAST(j2 - e2 AS DOUBLE) / (2.0 * sqrt(v))
-                          * 1e6) AS BIGINT) AS z_micro
-        FROM stat
-        WHERE v > 0
-        ORDER BY lang
-      """)),
-
-    // Cochran's Q per source: do three binary quality filters
-    // (length >= 300 chars, >= 56 whitespace tokens, mentions
-    // 'data') flag the same documents — the blocked binary
-    // agreement test (Friedman's dichotomous sibling, McNemar past
-    // two raters), the pre-flight before composing filters into a
-    // curation gate. Every term is an exact integer aggregate — no
-    // ranks, no pairs — so the statistic is scale-safe at any
-    // document count (NonParametric.cochranQ scaladoc).
-    QueryDef(
-      "q_cochran_q",
-      (s, dir) => {
-        val obs = Tables.documents(s, dir)
-          .select(col("source"), col("doc_id"),
-            expr("stack(3, " +
-              "'f_len', n_chars >= 300, " +
-              "'f_toks', size(split(text, ' ')) >= 56, " +
-              "'f_word', text LIKE '%data%') AS (filter, pass)"))
-        graft.operators.NonParametric.cochranQ(
-            obs, "source", "doc_id", "filter", "pass")
-          .orderBy(col("source"))
-      },
-      Some("""
-        WITH obs AS (
-          SELECT source, doc_id, f.filter,
-                 CASE f.filter
-                   WHEN 'f_len' THEN n_chars >= 300
-                   WHEN 'f_toks' THEN len(string_split(text, ' ')) >= 56
-                   ELSE text LIKE '%data%' END AS pass
-          FROM documents
-          CROSS JOIN (SELECT unnest(['f_len', 'f_toks', 'f_word'])
-                      AS filter) f),
-        ct AS (
-          SELECT source, filter,
-                 CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
-                   AS cj
-          FROM obs GROUP BY 1, 2),
-        cs AS (
-          SELECT source, CAST(count(*) AS BIGINT) AS kt,
-                 CAST(SUM(cj) AS BIGINT) AS nsucc,
-                 SUM(CAST(cj AS DECIMAL(38,0)) * CAST(cj AS DECIMAL(38,0)))
-                   AS c2
-          FROM ct GROUP BY 1),
-        rt AS (
-          SELECT source, doc_id,
-                 CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
-                   AS ri
-          FROM obs GROUP BY 1, 2),
-        rs AS (
-          SELECT source, CAST(count(*) AS BIGINT) AS nb,
-                 SUM(CAST(ri AS DECIMAL(38,0)) * CAST(ri AS DECIMAL(38,0)))
-                   AS r2
-          FROM rt GROUP BY 1),
-        st AS (
-          SELECT cs.source, rs.nb, cs.kt, cs.nsucc,
-                 CAST(cs.kt - 1 AS DECIMAL(38,0))
-                   * (CAST(cs.kt AS DECIMAL(38,0)) * cs.c2
-                      - CAST(cs.nsucc AS DECIMAL(38,0))
-                        * CAST(cs.nsucc AS DECIMAL(38,0))) AS num,
-                 CAST(cs.kt AS DECIMAL(38,0))
-                   * CAST(cs.nsucc AS DECIMAL(38,0)) - rs.r2 AS den
-          FROM cs JOIN rs ON rs.source = cs.source
-          WHERE cs.kt >= 2 AND rs.nb >= 2)
-        SELECT source, nb AS n_blocks, kt AS k_treatments,
-               nsucc AS n_success,
-               CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
-                          * 1e6) AS BIGINT) AS q_micro
-        FROM st
-        WHERE den > 0
-        ORDER BY source
-      """)),
-
-    // Wilcoxon signed-rank per source: is "5 chars per token" a
-    // calibrated length model — pair each doc's n_chars against
-    // 5 × its whitespace token count and ask whether the signed
-    // differences center on zero WITHIN the doc (the paired
-    // companion to q_mann_whitney's independent-samples readout).
-    // Zero differences drop by Wilcoxon's own convention; |d| ranks
-    // on the doubled average-rank lattice and every sufficient
-    // statistic (W2+, E2, the tie-corrected 12·Var) is an exact
-    // integer until ONE written IEEE sequence forms the continuity-
-    // corrected z (NonParametric.wilcoxonSignedRank scaladoc).
-    QueryDef(
-      "q_wilcoxon_signed",
-      (s, dir) =>
-        graft.operators.NonParametric.wilcoxonSignedRank(
-            Tables.documents(s, dir)
-              .select(col("source"), col("n_chars").as("chars"),
-                (lit(5) * size(split(col("text"), " ")))
-                  .cast("long").as("toks5")),
-            "source", "chars", "toks5")
-          .orderBy(col("source")),
-      Some(wilcoxonOracle)),
-
-    // Streaming twin of q_wilcoxon_signed — the paired drift monitor
-    // run as mapGroupsWithState: each doc folds one difference into
-    // a per-source value→count multiset (state is O(distinct
-    // differences), never the pair count) and the doubled-lattice
-    // statistics replay per trigger. The multiset fold is
-    // commutative, so the result is independent of micro-batch
-    // splits; the twin shares q_wilcoxon_signed's oracle
-    // (StreamingOps.wilcoxonState scaladoc).
-    QueryDef(
-      "q_stream_wilcoxon",
-      (s, dir) =>
-        graft.streaming.StreamingOps.wilcoxonHistory(
-            s, s"$dir/documents.parquet")
-          .orderBy(col("source")),
-      Some(wilcoxonOracle)),
-
-    // Benjamini-Hochberg FDR control over the per-source Wilcoxon
-    // battery: with 20 sources at α = 0.05, one "significant" cell
-    // per readout is EXPECTED under the global null — the step-up
-    // rule is what makes a battery of this family's tests honest.
-    // p = erfc(|z|/√2) via the PINNED Abramowitz-Stegun 7.1.26
-    // polynomial (one IEEE sequence both engines replay — the q_nb
-    // log10 precedent); after the nano snap every BH comparison is
-    // exact integer arithmetic
-    // (NonParametric.benjaminiHochberg scaladoc).
-    QueryDef(
-      "q_fdr_battery",
-      (s, dir) =>
-        graft.operators.NonParametric.benjaminiHochberg(
-            graft.operators.NonParametric.wilcoxonSignedRank(
-              Tables.documents(s, dir)
-                .select(col("source"), col("n_chars").as("chars"),
-                  (lit(5) * size(split(col("text"), " ")))
-                    .cast("long").as("toks5")),
-              "source", "chars", "toks5"),
-            "source", "z_micro")
-          .orderBy(col("source")),
-      Some(s"""
-        WITH wsr AS ($wilcoxonOracle),
-        px AS (
-          SELECT source,
-                 abs(CAST(z_micro AS DOUBLE)) / 1000000.0 / sqrt(2.0)
-                   AS x
-          FROM wsr),
-        pt AS (
-          SELECT source, x, 1.0 / (1.0 + 0.3275911 * x) AS t FROM px),
-        pe AS (
-          SELECT source,
-                 CAST(ROUND(
-                   ((((1.061405429 * t - 1.453152027) * t
-                      + 1.421413741) * t - 0.284496736) * t
-                    + 0.254829592) * t * exp(-(x * x)) * 1e9)
-                   AS BIGINT) AS p_nano
-          FROM pt),
-        rk AS (
-          SELECT source, p_nano,
-                 CAST(ROW_NUMBER() OVER (ORDER BY p_nano, source)
-                   AS BIGINT) AS p_rank,
-                 CAST(COUNT(*) OVER () AS BIGINT) AS m
-          FROM pe),
-        fl AS (
-          SELECT *,
-                 CASE WHEN p_nano * m <= p_rank * 50000 * 1000
-                      THEN p_rank ELSE 0 END AS fr
-          FROM rk),
-        ks AS (SELECT *, MAX(fr) OVER () AS kstar FROM fl)
-        SELECT source, p_nano, p_rank, p_rank <= kstar AS discovery
-        FROM ks
-        ORDER BY source
-      """)),
-
-    // Ansari-Bradley rank scale test per language: do odd- and
-    // even-doc_id cohorts differ in length DISPERSION around a
-    // common center — the moment-free companion to q_brown_forsythe
-    // on the same partition layout. Pooled lengths rank on the
-    // doubled lattice, every row scores from both ends
-    // (a2 = min(r2, 2(N+1) − r2)), and the conditional null moments
-    // given the observed tie-shared score multiset keep AB2/S2/Q2
-    // exact integers until the one written IEEE z
-    // (NonParametric.ansariBradley scaladoc).
-    QueryDef(
-      "q_ansari_bradley",
-      (s, dir) =>
-        graft.operators.NonParametric.ansariBradley(
-            Tables.documents(s, dir), "lang",
-            pmod(col("doc_id"), lit(2L)) === 1, "n_chars")
-          .orderBy(col("lang")),
-      Some("""
-        WITH d AS (
-          SELECT lang, doc_id % 2 = 1 AS b, n_chars AS x
-          FROM documents),
-        r AS (
-          SELECT lang, b,
-                 2 * RANK() OVER (PARTITION BY lang ORDER BY x)
-                   + COUNT(*) OVER (PARTITION BY lang, x) - 1 AS r2,
-                 COUNT(*) OVER (PARTITION BY lang) AS nn
-          FROM d),
-        sc AS (
-          SELECT lang, b,
-                 LEAST(r2, 2 * (nn + 1) - r2) AS a2
-          FROM r),
-        st AS (
-          SELECT lang, CAST(count(*) AS BIGINT) AS n,
-                 CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_a,
-                 CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_b,
-                 CAST(SUM(CASE WHEN b THEN a2 ELSE 0 END) AS BIGINT)
-                   AS ab2,
-                 CAST(SUM(a2) AS BIGINT) AS s2,
-                 SUM(CAST(a2 AS HUGEINT) * CAST(a2 AS HUGEINT)) AS q2
-          FROM sc GROUP BY 1)
-        SELECT lang, n_a, n_b, ab2,
-               CAST(ROUND(
-                 CAST(CAST(n AS HUGEINT) * ab2
-                      - CAST(n_b AS HUGEINT) * s2 AS DOUBLE)
-                 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                        * CAST(CAST(n AS HUGEINT) * q2
-                               - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
-                        / (CAST(n AS DOUBLE) - 1.0))
-                 * 1000000.0) AS BIGINT) AS z_micro
-        FROM st
-        WHERE n_a > 0 AND n_b > 0
-          AND CAST(n AS HUGEINT) * q2 > CAST(s2 AS HUGEINT) * s2
-        ORDER BY lang
-      """)),
-
-    // Mood's median test per language: dichotomize every doc length
-    // against the language's pooled LOWER median (an exact order
-    // statistic — no interpolation for either engine to disagree on)
-    // and chi-square the 2×20 source table — the bluntest location
-    // check, immune to everything but the center, run beside
-    // q_kruskal as the outlier-proof sanity net. Per-group quotients
-    // ride the kruskal div+remnano lattice; one written IEEE
-    // sequence forms chi2 (NonParametric.moodMedian scaladoc).
-    QueryDef(
-      "q_mood_median",
-      (s, dir) =>
-        graft.operators.NonParametric.moodMedian(
-            Tables.documents(s, dir), "lang", "source", "n_chars")
-          .orderBy(col("lang")),
-      Some("""
-        WITH rows_ AS (
-          SELECT lang, source, n_chars AS x FROM documents),
-        bv AS (
-          SELECT lang, x, CAST(count(*) AS BIGINT) AS c
-          FROM rows_ GROUP BY 1, 2),
-        med AS (
-          SELECT lang, MIN(x) AS m FROM (
-            SELECT lang, x,
-                   SUM(c) OVER (PARTITION BY lang ORDER BY x
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS cum,
-                   SUM(c) OVER (PARTITION BY lang) AS nn
-            FROM bv)
-          WHERE cum * 2 >= nn GROUP BY 1),
-        pg AS (
-          SELECT r.lang, r.source, CAST(count(*) AS BIGINT) AS ng,
-                 CAST(SUM(CASE WHEN r.x > med.m THEN 1 ELSE 0 END)
-                   AS BIGINT) AS ag
-          FROM rows_ r JOIN med ON med.lang = r.lang
-          GROUP BY 1, 2),
-        tot AS (
-          SELECT lang, CAST(SUM(ng) AS BIGINT) AS n,
-                 CAST(count(*) AS BIGINT) AS k_groups,
-                 CAST(SUM(ag) AS BIGINT) AS above_total
-          FROM pg GROUP BY 1),
-        q AS (
-          SELECT pg.lang, pg.ng, tot.n, tot.k_groups, tot.above_total,
-                 CAST(tot.n AS HUGEINT) * pg.ag
-                   - CAST(pg.ng AS HUGEINT) * tot.above_total AS num
-          FROM pg JOIN tot USING (lang)),
-        q2 AS (
-          SELECT lang, n, k_groups, above_total,
-                 (num * num) // ng AS qq,
-                 CAST(ROUND(CAST((num * num) % ng AS DOUBLE)
-                      / CAST(ng AS DOUBLE) * 1e9) AS BIGINT) AS remnano
-          FROM q),
-        agg AS (
-          SELECT lang, MAX(n) AS n, MAX(k_groups) AS k_groups,
-                 MAX(above_total) AS above_total,
-                 CAST(SUM(qq) AS DOUBLE) AS qsum_d,
-                 CAST(SUM(remnano) AS BIGINT) AS remsum
-          FROM q2 GROUP BY 1)
-        SELECT lang, n, k_groups, above_total,
-               CAST(ROUND(
-                 (qsum_d + CAST(remsum AS DOUBLE) / 1e9)
-                 / (CAST(above_total AS DOUBLE)
-                    * CAST(n - above_total AS DOUBLE))
-                 * 1000000.0) AS BIGINT) AS chi2_micro
-        FROM agg
-        WHERE k_groups >= 2 AND above_total > 0 AND above_total < n
-        ORDER BY lang
-      """)),
-
-    // Brunner-Munzel stochastic-superiority test per language on the
-    // SAME cohort split as q_ansari_bradley: the modern Mann-Whitney
-    // replacement that estimates a separate rank variance per cohort
-    // (the rank-world Welch correction), so it stays honest when the
-    // two cohorts differ in shape, not just location. Pooled and
-    // within-cohort doubled midranks; the variance numerator expands
-    // to per-cohort integer aggregates with no join-back; p̂ on the
-    // exact ppm lattice, one IEEE sequence each for W and the
-    // Welch-Satterthwaite df (NonParametric.brunnerMunzel scaladoc).
-    QueryDef(
-      "q_brunner_munzel",
-      (s, dir) =>
-        graft.operators.NonParametric.brunnerMunzel(
-            Tables.documents(s, dir), "lang",
-            pmod(col("doc_id"), lit(2L)) === 1, "n_chars")
-          .orderBy(col("lang")),
-      Some("""
-        WITH d AS (
-          SELECT lang, doc_id % 2 = 1 AS cb, n_chars AS x
-          FROM documents),
-        r AS (
-          SELECT lang, cb,
-                 2 * RANK() OVER (PARTITION BY lang ORDER BY x)
-                   + COUNT(*) OVER (PARTITION BY lang, x) - 1 AS r2,
-                 2 * RANK() OVER (PARTITION BY lang, cb ORDER BY x)
-                   + COUNT(*) OVER (PARTITION BY lang, cb, x) - 1
-                   AS r2w
-          FROM d),
-        pc AS (
-          SELECT lang, cb, CAST(count(*) AS BIGINT) AS n,
-                 CAST(SUM(r2) AS BIGINT) AS s,
-                 CAST(SUM(r2 - r2w) AS BIGINT) AS sd,
-                 SUM(CAST(r2 - r2w AS HUGEINT) * (r2 - r2w)) AS sd2
-          FROM r GROUP BY 1, 2),
-        pv AS (
-          SELECT lang, cb, n, s,
-                 CAST(n AS HUGEINT) * n * sd2
-                   - 2 * CAST(n AS HUGEINT)
-                     * (s - CAST(n AS HUGEINT) * (n + 1)) * sd
-                   + CAST(n AS HUGEINT)
-                     * (s - CAST(n AS HUGEINT) * (n + 1))
-                     * (s - CAST(n AS HUGEINT) * (n + 1)) AS v2
-          FROM pc),
-        j AS (
-          SELECT a.lang, a.n AS n_a, b.n AS n_b,
-                 a.s AS sa, b.s AS sb,
-                 CAST(a.v2 AS DOUBLE)
-                   / (CAST(a.n AS DOUBLE) * (CAST(a.n AS DOUBLE) - 1.0))
-                   AS ua,
-                 CAST(b.v2 AS DOUBLE)
-                   / (CAST(b.n AS DOUBLE) * (CAST(b.n AS DOUBLE) - 1.0))
-                   AS ub
-          FROM pv a JOIN pv b ON a.lang = b.lang AND NOT a.cb AND b.cb
-          WHERE a.n >= 2 AND b.n >= 2)
-        SELECT lang, n_a, n_b,
-               CAST(((sb - n_b * (n_b + 1)) * 1000000) // (2 * n_a * n_b)
-                 AS BIGINT) AS p_ppm,
-               CAST(ROUND(
-                 CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                 * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)
-                    - CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
-                 / (CAST(n_a + n_b AS DOUBLE) * sqrt(ua + ub))
-                 * 1000000.0) AS BIGINT) AS w_micro,
-               CAST(ROUND(
-                 (ua + ub) * (ua + ub)
-                 / (ua * ua / (CAST(n_a AS DOUBLE) - 1.0)
-                    + ub * ub / (CAST(n_b AS DOUBLE) - 1.0))
-                 * 1000000.0) AS BIGINT) AS df_micro
-        FROM j
-        WHERE ua + ub > 0
-        ORDER BY lang
-      """)),
-
-    // Hodges-Lehmann shift estimator per source on the SAME cohort
-    // split as q_cliffs_delta: where δ says HOW OFTEN treatment
-    // beats control, HL says BY HOW MUCH in original units — the
-    // exact lower+upper-middle median of all treatment-minus-control
-    // pairwise character-count differences, on the doubled lattice
-    // (hl2 = sum of the two middle order statistics, never
-    // interpolated; true estimator = hl2/2). The cross-pair set is
-    // O(n0·n1) by definition and guarded; every output cell is an
-    // exact integer — no IEEE anywhere
-    // (NonParametric.hodgesLehmannShift scaladoc).
-    QueryDef(
-      "q_hodges_lehmann",
-      (s, dir) =>
-        graft.operators.NonParametric.hodgesLehmannShift(
-            Tables.documents(s, dir), "source",
-            pmod(expr("doc_id div 20"), lit(2L)) === 1, "n_chars")
-          .orderBy(col("source")),
-      Some("""
-        WITH d AS (
-          SELECT source, (doc_id // 20) % 2 = 1 AS t, n_chars AS x
-          FROM documents),
-        diffs AS (
-          SELECT t1.source, t1.x - t0.x AS dd,
-                 CAST(count(*) AS BIGINT) AS c
-          FROM d t1 JOIN d t0
-            ON t1.source = t0.source AND t1.t AND NOT t0.t
-          GROUP BY 1, 2),
-        cum AS (
-          SELECT source, dd,
-                 SUM(c) OVER (PARTITION BY source ORDER BY dd
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS cm,
-                 SUM(c) OVER (PARTITION BY source) AS pr
-          FROM diffs),
-        lo AS (
-          SELECT source, MIN(dd) AS dlo, MAX(pr) AS pairs
-          FROM cum WHERE cm * 2 >= pr GROUP BY 1),
-        hi AS (
-          SELECT source, MIN(dd) AS dhi
-          FROM cum WHERE cm * 2 > pr GROUP BY 1),
-        sz AS (
-          SELECT source,
-                 CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n0,
-                 CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n1
-          FROM d GROUP BY 1)
-        SELECT sz.source, sz.n0, sz.n1,
-               CAST(lo.pairs AS BIGINT) AS pairs,
-               CAST(lo.dlo + hi.dhi AS BIGINT) AS hl2_shift
-        FROM sz JOIN lo USING (source) JOIN hi USING (source)
-        WHERE sz.n0 > 0 AND sz.n1 > 0
-        ORDER BY sz.source
-      """)),
-
-    // URL canonicalization over deterministically-derived messy URLs
-    // (upper-case scheme/host, www, userinfo-free, default :443,
-    // doubled slashes, trailing slash, tracking params in shuffled
-    // order, fragments): the crawl-curation primitive that collapses
-    // trivially-distinct URLs of one resource BEFORE any text-level
-    // dedup. Pure codegen'd regexp/array builtins — the
-    // canonicalizer fuses into the scan projection; both engines
-    // derive the identical raw string from (doc_id, source) and then
-    // canonicalize with their own pipelines, so the cross-check
-    // verifies the SEMANTICS, not a shared implementation
-    // (UrlOps.canonicalizeUrl scaladoc).
-    QueryDef(
-      "q_url_canonical",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), derivedUrl.as("url"))
-          .select(col("doc_id"),
-            graft.operators.UrlOps.canonicalizeUrl(col("url"))
-              .as("canonical"))
-          .orderBy(col("doc_id")),
-      Some(s"""
-        WITH $urlCanonCtes
-        SELECT doc_id, canonical FROM canon ORDER BY doc_id
-      """)),
-
-    // Per-domain cap (the C4/RefinedWeb corpus-balance rule): keep
-    // the 3 longest docs per REGISTRABLE domain (public-suffix-aware
-    // owner grouping, so src0.co.uk and www.src0.co.uk collapse while
-    // src0.com stays separate) with a pinned total order. One
-    // hash-partitioned window — the cap is k-bounded per domain, so
-    // output is domains×k no matter the corpus size
-    // (UrlOps.domainCap scaladoc).
-    QueryDef(
-      "q_domain_cap",
-      (s, dir) =>
-        graft.operators.UrlOps.domainCap(
-            Tables.documents(s, dir)
-              .select(col("doc_id"), col("n_chars"),
-                derivedUrl.as("url")),
-            "url", 3, Seq(col("n_chars").desc, col("doc_id")))
-          .select(col("domain"), col("doc_id"), col("rk"))
-          .orderBy(col("domain"), col("rk")),
-      Some(s"""
-        WITH $urlCanonCtes,
-        rk AS (
-          SELECT domain, doc_id,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY domain
-                        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
-          FROM canon)
-        SELECT domain, doc_id, rk FROM rk
-        WHERE rk <= 3
-        ORDER BY domain, rk
-      """)),
-
-    // URL-keyed exact dedup — what the canonicalizer exists FOR: the
-    // derivation maps doc_ids to (source, doc_id%7, doc_id-parity)
-    // buckets, so distinct raw URLs (case, www, ports, tracking
-    // params, fragments) collapse to one canonical key and the
-    // keep-min rule picks a deterministic survivor; one hash
-    // aggregate, group-sized output (the Dedup.exact shape on the
-    // URL key instead of the text hash).
-    QueryDef(
-      "q_url_dedup",
-      (s, dir) =>
-        Tables.documents(s, dir)
-          .select(col("doc_id"), derivedUrl.as("url"))
-          .select(col("doc_id"),
-            graft.operators.UrlOps.canonicalizeUrl(col("url"))
-              .as("canonical"))
-          .groupBy(col("canonical"))
-          .agg(count(lit(1)).as("n_dups"),
-            min(col("doc_id")).as("keeper"))
-          .orderBy(col("canonical")),
-      Some(s"""
-        WITH $urlCanonCtes
-        SELECT canonical, CAST(count(*) AS BIGINT) AS n_dups,
-               CAST(MIN(doc_id) AS BIGINT) AS keeper
-        FROM canon
-        GROUP BY canonical
-        ORDER BY canonical
-      """)),
-
-    // Per-domain corpus share audit: docs, characters, and the exact
-    // integer-ppm share per registrable domain — the "is any owner
-    // dominating the mix" pre-flight a corpus curator reads before
-    // setting caps. One aggregate + a broadcast scalar total
-    // (UrlOps.domainShares scaladoc).
-    QueryDef(
-      "q_domain_share",
-      (s, dir) =>
-        graft.operators.UrlOps.domainShares(
-            Tables.documents(s, dir)
-              .select(col("n_chars"), derivedUrl.as("url")),
-            "url", "n_chars")
-          .orderBy(col("domain")),
-      Some(s"""
-        WITH $urlCanonCtes,
-        pd AS (
-          SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(SUM(n_chars) AS BIGINT) AS chars
-          FROM canon GROUP BY 1),
-        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t FROM pd)
-        SELECT pd.domain, pd.n_docs, pd.chars,
-               CAST((pd.n_docs * 1000000) // tot.t AS BIGINT)
-                 AS share_ppm
-        FROM pd, tot
-        ORDER BY pd.domain
-      """))
-  )
+  /** All extension queries, in the original registration order. The
+    * QueryDef bodies live in seven pure-move slice files (round 16,
+    * VERDICT r15 #5); this object keeps the shared oracle-CTE helpers.
+    */
+  val all: Seq[QueryDef] =
+    ExtensionDedupQueries.all ++
+      ExtensionAnnQueries.all ++
+      ExtensionCurationQueries.all ++
+      ExtensionGovernanceQueries.all ++
+      ExtensionInferenceQueries.all ++
+      ExtensionGraphStatsQueries.all ++
+      ExtensionNonparamQueries.all
 
   /** The deterministic messy-URL derivation shared by the q_url_* /
     * q_domain_* queries: every canonicalization rule gets exercised
@@ -9238,7 +653,7 @@ object ExtensionQueries {
     * tracking params, param order, fragments) from (doc_id, source)
     * alone, so both engines build the identical raw string.
     */
-  private lazy val derivedUrl: org.apache.spark.sql.Column =
+  private[queries] lazy val derivedUrl: org.apache.spark.sql.Column =
     concat(
       lit("HTTPS://"),
       when(pmod(col("doc_id"), lit(3L)) === 0, lit("WWW."))
@@ -9263,7 +678,7 @@ object ExtensionQueries {
     * UrlOps.registrableDomain, shared by the three URL oracles. Ends
     * in `canon(doc_id, n_chars, host, domain, canonical)`.
     */
-  private lazy val urlCanonCtes: String = raw"""
+  private[queries] lazy val urlCanonCtes: String = raw"""
         raw AS (
           SELECT doc_id, n_chars,
                  'HTTPS://'
@@ -9362,7 +777,7 @@ object ExtensionQueries {
     * vacuous) and interpolated into BOTH the Spark literal and the
     * oracle SQL so the engines see identical bytes.
     */
-  private lazy val decomposedSuffix: String = " cafe\u0301 A\u030A"
+  private[queries] lazy val decomposedSuffix: String = " cafe\u0301 A\u030A"
 
   /** The Wilcoxon signed-rank replay shared by q_wilcoxon_signed and
     * its streaming twin: pairs (n_chars, 5 \u00D7 whitespace tokens) per
@@ -9370,7 +785,7 @@ object ExtensionQueries {
     * lattice, exact integer W2\u207A/E2/var_num, one IEEE sequence for
     * the continuity-corrected z.
     */
-  private lazy val wilcoxonOracle: String = """
+  private[queries] lazy val wilcoxonOracle: String = """
         WITH d0 AS (
           SELECT source,
                  5 * CAST(len(string_split(text, ' ')) AS BIGINT)
@@ -9416,7 +831,7 @@ object ExtensionQueries {
     * lang, Laplace add-one, integer micro-log lattice. Mirrors
     * [[graft.operators.NaiveBayes.fit]] exactly.
     */
-  private lazy val nbTrainCtes: String = """
+  private[queries] lazy val nbTrainCtes: String = """
         tr AS (
           SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
         ttoks AS (
@@ -9455,7 +870,7 @@ object ExtensionQueries {
     * the scored population (held-out fifth for q_nb_*; everything
     * for the streaming twin).
     */
-  private def nbClassifyCtesOver(pred: String): String = s"""
+  private[queries] def nbClassifyCtesOver(pred: String): String = s"""
         te AS (
           SELECT doc_id, lang, text FROM documents WHERE $pred),
         dterms AS (
@@ -9486,7 +901,7 @@ object ExtensionQueries {
     * queries, query terms = the DISTINCT tokens among each query
     * doc's first 8 positions.
     */
-  private def retrievalQueryTerms(
+  private[queries] def retrievalQueryTerms(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
       .select(col("doc_id").as("query_id"),
@@ -9514,7 +929,7 @@ object ExtensionQueries {
     * never corpus², and the oracle replays cell assignment exactly as
     * q_dbscan's does.
     */
-  private lazy val cellKnnEdgeCtes: String = s"""$ivfAssignDerivedCtes,
+  private[queries] lazy val cellKnnEdgeCtes: String = s"""$ivfAssignDerivedCtes,
         cpairs AS (
           SELECT a.nid AS qa, b.nid AS qb
           FROM asg a JOIN asg b ON a.cell = b.cell AND a.nid <> b.nid),
@@ -9538,7 +953,7 @@ object ExtensionQueries {
           SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
           FROM ranked WHERE rn <= 3)"""
 
-  private lazy val knnEdgeCtes: String = """
+  private[queries] lazy val knnEdgeCtes: String = """
         dims AS (
           SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                  generate_subscripts(embedding, 1) AS i
@@ -9562,7 +977,7 @@ object ExtensionQueries {
           SELECT DISTINCT least(qa, qb) AS id_a, greatest(qa, qb) AS id_b
           FROM ranked WHERE rn <= 3)"""
 
-  private def retrievalCtes: String = """
+  private[queries] def retrievalCtes: String = """
         toks AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS term,
                  generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -9582,7 +997,7 @@ object ExtensionQueries {
   /** BM25 scoring chain → `bm25_ranked` (two-stage lattice; mirrors
     * [[graft.operators.Bm25.scoreTopK]] and the q_bm25 oracle).
     */
-  private def bm25ScoredCtes: String = """
+  private[queries] def bm25ScoredCtes: String = """
         bm25_contrib AS (
           SELECT q.query_id, t.doc_id,
                  CAST(ROUND(
@@ -9618,7 +1033,7 @@ object ExtensionQueries {
     * snaps alone to the micro lattice, µ·p is recomputed from the
     * exact (cf, C) integers at each use).
     */
-  private def qlScoredCtes: String = """
+  private[queries] def qlScoredCtes: String = """
         cf AS (SELECT term, COUNT(*) AS cf FROM toks GROUP BY 1),
         qlmodel AS (
           SELECT cf.term, cf.cf,
@@ -9666,7 +1081,7 @@ object ExtensionQueries {
     * lattices throughout — mirrors [[graft.operators.Mmr.rerank]]
     * stage for stage). Ends with `su5` = all five picks.
     */
-  private def mmrPickCtes: String = {
+  private[queries] def mmrPickCtes: String = {
     val base = """
         cand AS (
           SELECT query_id, doc_id, score_nano AS rel
