@@ -549,8 +549,23 @@ object ChangePoint {
     val t = b / sqrt(rssU * sqq.cast("double") /
       ((col("n").cast("double") - lit(3.0)) * det))
     val tMicro = round(t * lit(1e6)).cast("long")
+    // Overflow must be LOUD (ADVICE r15): the singularity filter
+    // multiplies exact DECIMAL(38,0) centered sums, and past
+    // precision 38 the product nulls out under non-ANSI mode — so
+    // `null =!= x` would silently DROP the series while the DuckDB
+    // oracle's HUGEINT path errors. Bound each factor at 10^19−1
+    // (any pair of in-bound factors provably fits precision 38) and
+    // raise_error beyond it; a series long/large enough to trip this
+    // needs a rescaled lattice, not a silent row drop.
+    val lim = lit(new java.math.BigDecimal("9999999999999999999")).cast(d)
+    val ovf =
+      when(abs(spp) > lim || abs(sqq) > lim || abs(spq) > lim,
+        raise_error(concat(
+          lit("adfFromSums: centered sums exceed the exact "),
+          lit("DECIMAL(38,0) product bound for series "),
+          col(seriesCol).cast("string")))).isNull
     agg
-      .filter(col("n") >= 5 && spp > lit(0L).cast(d) &&
+      .filter(ovf && col("n") >= 5 && spp > lit(0L).cast(d) &&
         spp * sqq =!= spq * spq)
       .withColumn("__rssu", rssU)
       .filter(col("__rssu") > 0.0)

@@ -305,10 +305,7 @@ object Dedup {
     // returning (CacheLifecycle).
     val buckets = minhashBuckets(shingles, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = buckets.groupBy(col("band"), col("key"))
-      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucketSize)
-      .select(col("band"), col("key"))
-    val cool = buckets.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val (cool, _) = cooledBuckets(buckets, maxBucketSize)
     val pairs = cool.as("a")
       .join(cool.as("b"),
         col("a.band") === col("b.band") &&
@@ -316,6 +313,46 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     CacheLifecycle.sealAndRelease(pairs, buckets)
+  }
+
+  /** The hot-bucket split shared by every banding consumer: `(cool
+    * bucket rows, hot (band, key) list)` — the single definition of
+    * the cap the at-scale ledger witnesses, so the witness can't
+    * drift from the operator.
+    */
+  private def cooledBuckets(
+      buckets: DataFrame, maxBucketSize: Int): (DataFrame, DataFrame) = {
+    val hot = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("sz")).filter(col("sz") > maxBucketSize)
+      .select(col("band"), col("key"))
+    (buckets.join(broadcast(hot), Seq("band", "key"), "left_anti"), hot)
+  }
+
+  /** At-scale candidate ledger (VERDICT r15 #3): one row of the
+    * quantities the MinHash-LSH linearity claim is made of —
+    * `(n_bucket_rows, n_hot_buckets, n_candidates)` over the SAME
+    * cool/hot split and pair join as [[minhashCandidatePairs]]. The
+    * structural bound this witnesses: every cool bucket holds ≤
+    * `maxBucketSize` rows and each doc occupies ≤ `bands` buckets, so
+    * n_candidates ≤ n_docs·bands·(maxBucketSize−1)/2 — linear in the
+    * corpus, never the all-pairs n².
+    */
+  def minhashCandidateLedger(
+      shingles: DataFrame, bands: Int, rowsPerBand: Int,
+      maxBucketSize: Int = 100): DataFrame = {
+    val buckets = minhashBuckets(shingles, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cool, hot) = cooledBuckets(buckets, maxBucketSize)
+    val pairs = cool.as("a")
+      .join(cool.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val ledger = buckets.agg(count(lit(1)).as("n_bucket_rows"))
+      .crossJoin(hot.agg(count(lit(1)).as("n_hot_buckets")))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_candidates")))
+    CacheLifecycle.sealAndRelease(ledger, buckets)
   }
 
   /** MinHash dedup, verified: LSH candidates re-checked with exact
@@ -493,7 +530,8 @@ object Dedup {
     * on id_a is scale-safe, and AQE still picks a broadcast join at
     * runtime when the candidate set turns out small.
     */
-  private def verifiedJaccard(cands: DataFrame, sh: DataFrame): DataFrame = {
+  private[graft] def verifiedJaccard(
+      cands: DataFrame, sh: DataFrame): DataFrame = {
     val withA = cands
       .join(sh.withColumnRenamed("id", "id_a")
         .withColumnRenamed("shingle", "sh_a"), "id_a")

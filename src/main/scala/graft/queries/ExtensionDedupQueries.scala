@@ -419,5 +419,68 @@ private[queries] object ExtensionDedupQueries {
         ORDER BY own.id
       """)),
 
+    // MinHash-LSH AT-SCALE witness (VERDICT r15 #3, the dedup twin of
+    // q_ann_ivf_scale): the corpus is expanded 8× by token-salted
+    // replication (ExtensionQueries.dedupScaleTokens — within-replica
+    // Jaccards exactly preserved, zero cross-replica shingle
+    // collisions), then the REAL chain runs: shingle → minhash →
+    // band-bucket candidates → exact-Jaccard verification. Returned
+    // ledger: corpus size, the all-pairs bound the design refuses to
+    // pay, the verified near-dup pair count + an order-free checksum
+    // over the pair list (both exactly replayed by DuckDB's exact
+    // Jaccard on the same expanded corpus — recall per planted pair is
+    // 1−(1−j⁴)⁸ ≈ 1 at the fixtures' j ≥ 0.97 margin, the same
+    // argument as q_dedup_minhash), and `cand_linear_ok`: whether the
+    // MEASURED candidate-pair count stayed under the structural
+    // linear budget docs·bands·(maxBucketSize−1)/2 that the hot-bucket
+    // cap guarantees. The oracle pins that boolean to TRUE — a
+    // regression that breaks the cap (superlinear candidates) flips
+    // the Spark side to false and the row goes red. Deterministic and
+    // layout-invariant: xxhash64 signatures are pure per-row
+    // functions, so the candidate SET (a distinct count) is the same
+    // under any partitioning.
+    QueryDef(
+      "q_dedup_minhash_scale",
+      (s, dir) => {
+        val toks = ExtensionQueries.dedupScaleTokens(s, dir)
+        val sh = Dedup.shingleSets(toks, "doc_id", "tokens", 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDocs = toks.count()
+        // sealed (localCheckpointed) by the operator, so count() +
+        // the verification join below reuse one materialization
+        val cands = Dedup.minhashCandidatePairs(sh, 8, 4)
+        val nCand = cands.count()
+        val budget = nDocs * 8L * 99L / 2L
+        val out = Dedup.verifiedJaccard(cands, sh)
+          .filter(col("jaccard") >= 0.8)
+          .agg(count(lit(1)).as("n_pairs"),
+            coalesce(sum(col("id_a") * 3L + col("id_b")), lit(0L))
+              .cast("long").as("pair_checksum"))
+          .select(lit(nDocs).as("n_docs"),
+            lit(nDocs * (nDocs - 1L) / 2L).as("all_pairs"),
+            col("n_pairs"), col("pair_checksum"),
+            lit(nCand <= budget).as("cand_linear_ok"))
+        graft.operators.CacheLifecycle.sealAndRelease(out, sh)
+      },
+      Some(s"""
+        WITH expanded AS (
+          SELECT doc_id * 8 + c AS doc_id,
+                 CASE WHEN c = 0 THEN text
+                      ELSE array_to_string(list_transform(
+                        string_split(text, ' '), w -> w || '~' || c), ' ')
+                 END AS text
+          FROM documents, range(0, 8) r(c)),
+        ${jaccardCtesOver("expanded")},
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8)
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM expanded) AS n_docs,
+          (SELECT CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT)
+           FROM expanded) AS all_pairs,
+          (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+          (SELECT CAST(COALESCE(SUM(id_a * 3 + id_b), 0) AS BIGINT)
+           FROM pairs) AS pair_checksum,
+          TRUE AS cand_linear_ok
+      """)),
+
   )
 }

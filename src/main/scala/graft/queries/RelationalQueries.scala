@@ -1100,42 +1100,51 @@ object RelationalQueries {
     // 100 TB. Quantities are integral by fixture contract, so the
     // 0.2·avg threshold is an exact-integer sum / count — identical
     // IEEE doubles in both engines; revenue lands on the q_tpch_q18
-    // e2 lattice with `div 7` kept in exact integer arithmetic.
+    // e2 lattice. The /7 yearly average is sign-safe (ADVICE r15):
+    // Spark `div` truncates toward zero while DuckDB `//` floors, so
+    // instead of leaning on the price sum being non-negative, both
+    // engines subtract the Knuth-mod remainder ((x%7)+7)%7 first —
+    // the numerator is then exactly divisible and trunc = floor =
+    // exact for either sign.
     QueryDef(
       "q_tpch_q17",
       (s, dir) => {
         Tables.lineitem(s, dir).createOrReplaceTempView("tpch17_lineitem")
         Tables(s, dir, "part").createOrReplaceTempView("tpch17_part")
         s.sql("""
+          SELECT n_lines, sum_extprice_e2,
+                 (sum_extprice_e2 - ((sum_extprice_e2 % 7) + 7) % 7)
+                   div 7 AS avg_yearly_e2
+          FROM (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                     AS BIGINT) AS sum_extprice_e2
+            FROM tpch17_lineitem l
+            JOIN tpch17_part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#12'
+              AND p.p_size < 15
+              AND l.l_quantity < (
+                SELECT 0.2 * AVG(l2.l_quantity)
+                FROM tpch17_lineitem l2
+                WHERE l2.l_partkey = p.p_partkey))
+        """)
+      },
+      Some("""
+        SELECT n_lines, sum_extprice_e2,
+               (sum_extprice_e2 - ((sum_extprice_e2 % 7) + 7) % 7)
+                 // 7 AS avg_yearly_e2
+        FROM (
           SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
                  CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
-                   AS BIGINT) AS sum_extprice_e2,
-                 CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
-                   AS BIGINT) div 7 AS avg_yearly_e2
-          FROM tpch17_lineitem l
-          JOIN tpch17_part p ON p.p_partkey = l.l_partkey
+                   AS BIGINT) AS sum_extprice_e2
+          FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
           WHERE p.p_brand = 'Brand#12'
             AND p.p_size < 15
             AND l.l_quantity < (
               SELECT 0.2 * AVG(l2.l_quantity)
-              FROM tpch17_lineitem l2
-              WHERE l2.l_partkey = p.p_partkey)
-        """)
-      },
-      Some("""
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
-                 AS BIGINT) AS sum_extprice_e2,
-               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
-                 AS BIGINT) // 7 AS avg_yearly_e2
-        FROM lineitem l
-        JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE p.p_brand = 'Brand#12'
-          AND p.p_size < 15
-          AND l.l_quantity < (
-            SELECT 0.2 * AVG(l2.l_quantity)
-            FROM lineitem l2
-            WHERE l2.l_partkey = p.p_partkey)
+              FROM lineitem l2
+              WHERE l2.l_partkey = p.p_partkey))
       """)),
 
     // TPC-H Q4 (order priority checking), adapted to the fixture's
@@ -1232,6 +1241,198 @@ object RelationalQueries {
               AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY c_nationkey
         ORDER BY c_nationkey
+      """)),
+
+    // TPC-H Q10 (returned-item reporting), adapted to the fixture's
+    // columns: top-20 customers by revenue lost to returns in one
+    // quarter. Fact-side joins shuffle on their keys, the 25-row
+    // nation dim broadcasts, and the final top-20 plans as
+    // TakeOrderedAndProject (never a global sort). Revenue on the
+    // q_tpch_q3 1e4 lattice; acctbal grouped as exact cents.
+    QueryDef(
+      "q_tpch_q10",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag") === "R")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") * 100).cast("long").as("acctbal_e2"),
+            col("n_name"))
+          .agg(sum(round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * lit(1e4)).cast("long"))
+            .as("revenue_e4"))
+          .orderBy(col("revenue_e4").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c.c_custkey, c.c_name,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_e2,
+               n.n_name,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                     * (1.0 - l.l_discount) * 1e4) AS BIGINT))
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue_e4 DESC, c_custkey
+        LIMIT 20
+      """)),
+
+    // TPC-H Q15 (top supplier), adapted: quarterly revenue per
+    // supplier, then the supplier(s) hitting the GLOBAL maximum — the
+    // uncorrelated scalar-subquery shape (like q_tpch_q22's
+    // thresholds): Catalyst plans the MAX as an execute-once scalar
+    // subquery over the revenue aggregate, never a per-row rescan
+    // (PlanShapeSpec gates it). Revenue stays on the exact 1e4
+    // integer lattice, so "equals the max" is an integer comparison —
+    // no float-ulp tie risk between engines.
+    QueryDef(
+      "q_tpch_q15",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("tpch15_lineitem")
+        Tables(s, dir, "supplier").createOrReplaceTempView("tpch15_supplier")
+        s.sql("""
+          WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(ROUND(l_extendedprice
+                         * (1.0 - l_discount) * 1e4) AS BIGINT))
+                     AS BIGINT) AS total_e4
+            FROM tpch15_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+          SELECT s.s_suppkey, s.s_name, r.total_e4
+          FROM tpch15_supplier s
+          JOIN revenue r ON s.s_suppkey = r.supplier_no
+          WHERE r.total_e4 = (SELECT MAX(total_e4) FROM revenue)
+          ORDER BY s.s_suppkey
+        """)
+      },
+      Some("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST(ROUND(l_extendedprice
+                       * (1.0 - l_discount) * 1e4) AS BIGINT))
+                   AS BIGINT) AS total_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_e4
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_e4 = (SELECT MAX(total_e4) FROM revenue)
+        ORDER BY s.s_suppkey
+      """)),
+
+    // TPC-H Q19 (discounted revenue), adapted to the fixture's
+    // columns: three disjunctive (brand, size-range, quantity-range)
+    // arms over the part⨝lineitem join. The plan point: Catalyst
+    // extracts the common join key and pushes the UNION of each
+    // side's disjuncts down to its own scan (part reads only the
+    // three brands, lineitem only quantities ≤ 30), so the join input
+    // is pre-filtered on both sides instead of filtering after a full
+    // 60k×join.
+    QueryDef(
+      "q_tpch_q19",
+      (s, dir) => {
+        val arm1 = col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+        val arm2 = col("p_brand") === "Brand#23" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+        val arm3 = col("p_brand") === "Brand#34" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+        Tables.lineitem(s, dir)
+          .join(Tables(s, dir, "part"),
+            col("l_partkey") === col("p_partkey"))
+          .filter(arm1 || arm2 || arm3)
+          .agg(count(lit(1)).as("n_lines"),
+            coalesce(sum(round(col("l_extendedprice") *
+                (lit(1.0) - col("l_discount")) * lit(1e4)).cast("long")),
+              lit(0L)).as("revenue_e4"))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice
+                     * (1.0 - l.l_discount) * 1e4) AS BIGINT)), 0)
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 20 AND 30)
+      """)),
+
+    // TPC-H Q7 (volume shipping), adapted: bilateral trade volume
+    // between two nations by ship year — the supplier-nation ×
+    // customer-nation snowflake with a symmetric two-arm nation
+    // predicate. Both 25-row nation dims broadcast (aliased
+    // independently); the fact chain shuffles once per join key; the
+    // year extraction is an integer both engines agree on exactly.
+    QueryDef(
+      "q_tpch_q7",
+      (s, dir) => {
+        val n1 = Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nkey"),
+            col("n_name").as("supp_nation"))
+        val n2 = Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("c_nkey"),
+            col("n_name").as("cust_nation"))
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+          .filter((col("supp_nation") === "NATION_1" &&
+              col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" &&
+              col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(round(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * lit(1e4)).cast("long"))
+            .as("revenue_e4"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice
+                     * (1.0 - l.l_discount) * 1e4) AS BIGINT))
+                 AS BIGINT) AS revenue_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
       """))
   )
 }

@@ -92,7 +92,32 @@ case class SprtRow(group: String, n: Long, successes: Long)
   * the corpus's) plus the monotone count of folded events that lets
   * an update-mode sink pick each group's final row.
   */
-case class MkState(days: Map[Long, Long], eventsSeen: Long)
+case class MkState(
+    days: Map[Long, Long], eventsSeen: Long, evictedDays: Long = 0L) {
+  /** Drop-oldest calendar eviction (VERDICT r15 #6) — the documented
+    * mitigation that makes the calendar-map monitors deployable on
+    * UNBOUNDED calendars: with `maxStateDays` set, the day map is
+    * hard-capped by evicting the oldest day keys after each
+    * trigger's fold, and the cumulative count is carried so every
+    * emitted row reports it LOUDLY as `evicted_days` (a nonzero
+    * value tells the operator the statistics now describe a trailing
+    * window, not full history — never a silent truncation). The
+    * default (`Int.MaxValue`) leaves the full-history semantics —
+    * and every `q_stream_*` oracle row — untouched. Drop-oldest is
+    * the right policy here: all four consumers (MK trend, DF/ADF
+    * unit root, dispersion) ask time-local drift questions where a
+    * trailing window is the deployment intent anyway. Lives on the
+    * state case class (not the StreamingOps object) so the
+    * mapGroupsWithState closure captures no outer object.
+    */
+  def evictOldest(maxStateDays: Int): MkState =
+    if (days.size <= maxStateDays) this
+    else {
+      val drop = days.keysIterator.toArray.sorted
+        .take(days.size - maxStateDays)
+      MkState(days -- drop, eventsSeen, evictedDays + drop.length)
+    }
+}
 
 /** Exact integer Mann-Kendall sufficient statistics emitted per
   * trigger by [[StreamingOps.mannKendallState]]. `state_days` is the
@@ -102,7 +127,7 @@ case class MkState(days: Map[Long, Long], eventsSeen: Long)
   */
 case class MkRow(
     group: String, n: Long, s_stat: Long, var_num: Long,
-    events_seen: Long, state_days: Long)
+    events_seen: Long, state_days: Long, evicted_days: Long)
 
 /** One (x, y) pair for [[StreamingOps.wilcoxonState]] — the paired
   * observation whose difference y − x feeds the signed-rank fold.
@@ -180,7 +205,7 @@ case class DayObs(group: String, di: Long)
   */
 case class DispRow(
     group: String, n: Long, s: Long, sxx: Long, events_seen: Long,
-    state_days: Long)
+    state_days: Long, evicted_days: Long)
 
 /** Per-cohort SMD sufficient statistics (a commutative fold). Long
   * Σx² bounds the replay at x²·n ≲ 9·10¹⁸ per (group, cohort) —
@@ -198,7 +223,7 @@ case class SmdRow(
 case class DfRow(
     group: String, n: Long, su: Long, sv: Long,
     suu: Long, suv: Long, svv: Long, events_seen: Long,
-    state_days: Long)
+    state_days: Long, evicted_days: Long)
 
 /** Per-series ADF(1) triple sums emitted per trigger by
   * [[StreamingOps.adfState]]. Long accumulation bounds the replay at
@@ -209,7 +234,7 @@ case class DfRow(
 case class AdfRow(
     group: String, n: Long, sv: Long, sp: Long, sq: Long,
     svp: Long, svq: Long, spq: Long, spp: Long, sqq: Long, svv: Long,
-    events_seen: Long, state_days: Long)
+    events_seen: Long, state_days: Long, evicted_days: Long)
 
 /** One contingency observation for [[StreamingOps.gtestCellState]]. */
 case class GtObs(a: String, c: Long)
@@ -795,16 +820,20 @@ object StreamingOps {
     * batch operator's own column expressions, so the twin shares
     * q_mann_kendall's oracle bit-for-bit.
     */
-  def mannKendallState(stream: Dataset[MkObs]): Dataset[MkRow] = {
+  def mannKendallState(
+      stream: Dataset[MkObs],
+      maxStateDays: Int = Int.MaxValue): Dataset[MkRow] = {
     import stream.sparkSession.implicits._
     def update(g: String, rows: Iterator[MkObs],
         state: GroupState[MkState]): MkRow = {
       var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
       rows.foreach { o =>
-        st = MkState(
-          st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + o.cents),
-          st.eventsSeen + 1L)
+        st = st.copy(
+          days = st.days.updated(
+            o.di, st.days.getOrElse(o.di, 0L) + o.cents),
+          eventsSeen = st.eventsSeen + 1L)
       }
+      st = st.evictOldest(maxStateDays)
       state.update(st)
       val xs = st.days.toSeq.sortBy(_._1).map(_._2)
       val n = xs.length.toLong
@@ -821,7 +850,7 @@ object StreamingOps {
       val tie = xs.groupBy(identity).valuesIterator
         .map(_.length.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
       MkRow(g, n, s, n * (n - 1) * (2 * n + 5) - tie, st.eventsSeen,
-        st.days.size.toLong)
+        st.days.size.toLong, st.evictedDays)
     }
     stream.groupByKey(_.group)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
@@ -1835,16 +1864,19 @@ object StreamingOps {
     * Map folds are commutative — micro-batch splits cannot change
     * the rollup.
     */
-  def dickeyFullerState(stream: Dataset[DayObs]): Dataset[DfRow] = {
+  def dickeyFullerState(
+      stream: Dataset[DayObs],
+      maxStateDays: Int = Int.MaxValue): Dataset[DfRow] = {
     import stream.sparkSession.implicits._
     def update(g: String, rows: Iterator[DayObs],
         state: GroupState[MkState]): DfRow = {
       var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
       rows.foreach { o =>
-        st = MkState(
-          st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
-          st.eventsSeen + 1L)
+        st = st.copy(
+          days = st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
+          eventsSeen = st.eventsSeen + 1L)
       }
+      st = st.evictOldest(maxStateDays)
       state.update(st)
       val xs = st.days.toSeq.sortBy(_._1).map(_._2)
       var n = 0L; var su = 0L; var sv = 0L
@@ -1857,7 +1889,7 @@ object StreamingOps {
         i += 1
       }
       DfRow(g, n, su, sv, suu, suv, svv, st.eventsSeen,
-        st.days.size.toLong)
+        st.days.size.toLong, st.evictedDays)
     }
     stream.groupByKey(_.group)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
@@ -1907,16 +1939,19 @@ object StreamingOps {
     * combine, sharing q_adf's oracle. Map folds are commutative —
     * micro-batch splits cannot change the rollup.
     */
-  def adfState(stream: Dataset[DayObs]): Dataset[AdfRow] = {
+  def adfState(
+      stream: Dataset[DayObs],
+      maxStateDays: Int = Int.MaxValue): Dataset[AdfRow] = {
     import stream.sparkSession.implicits._
     def update(g: String, rows: Iterator[DayObs],
         state: GroupState[MkState]): AdfRow = {
       var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
       rows.foreach { o =>
-        st = MkState(
-          st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
-          st.eventsSeen + 1L)
+        st = st.copy(
+          days = st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
+          eventsSeen = st.eventsSeen + 1L)
       }
+      st = st.evictOldest(maxStateDays)
       state.update(st)
       val xs = st.days.toSeq.sortBy(_._1).map(_._2)
       var n = 0L; var sv = 0L; var sp = 0L; var sq = 0L
@@ -1932,7 +1967,7 @@ object StreamingOps {
         i += 1
       }
       AdfRow(g, n, sv, sp, sq, svp, svq, spq, spp, sqq, svv,
-        st.eventsSeen, st.days.size.toLong)
+        st.eventsSeen, st.days.size.toLong, st.evictedDays)
     }
     stream.groupByKey(_.group)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
@@ -2046,21 +2081,25 @@ object StreamingOps {
     * Map folds are commutative — micro-batch splits cannot change
     * the rollup.
     */
-  def dispersionState(stream: Dataset[DayObs]): Dataset[DispRow] = {
+  def dispersionState(
+      stream: Dataset[DayObs],
+      maxStateDays: Int = Int.MaxValue): Dataset[DispRow] = {
     import stream.sparkSession.implicits._
     def update(g: String, rows: Iterator[DayObs],
         state: GroupState[MkState]): DispRow = {
       var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
       rows.foreach { o =>
-        st = MkState(
-          st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
-          st.eventsSeen + 1L)
+        st = st.copy(
+          days = st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
+          eventsSeen = st.eventsSeen + 1L)
       }
+      st = st.evictOldest(maxStateDays)
       state.update(st)
       val n = st.days.size.toLong
       val s = st.days.valuesIterator.sum
       val sxx = st.days.valuesIterator.map(c => c * c).sum
-      DispRow(g, n, s, sxx, st.eventsSeen, st.days.size.toLong)
+      DispRow(g, n, s, sxx, st.eventsSeen, st.days.size.toLong,
+        st.evictedDays)
     }
     stream.groupByKey(_.group)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)

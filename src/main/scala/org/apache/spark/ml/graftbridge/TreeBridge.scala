@@ -58,8 +58,16 @@ object TreeBridge {
       counts: Array[Double], left: Node, right: Node,
       feature: Int, threshold: Double): InternalNode = {
     val c = gini(counts)
+    // Gain must weight child impurities by their class-count totals
+    // (CART information gain), not average them: an unweighted mean
+    // misreports model.featureImportances / toDebugString for every
+    // tree DeterministicCart routes through this constructor. Pruning
+    // and transform are unaffected either way (they use class counts).
+    val nL = left.impurityStats.count.toDouble
+    val nR = right.impurityStats.count.toDouble
+    val n = math.max(nL + nR, 1.0)
     new InternalNode(c.predict, c.calculate(),
-      c.calculate() - (left.impurity + right.impurity) / 2,
+      c.calculate() - (nL / n) * left.impurity - (nR / n) * right.impurity,
       left, right, new org.apache.spark.ml.tree.ContinuousSplit(
         feature, threshold), c)
   }

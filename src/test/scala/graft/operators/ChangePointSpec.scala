@@ -356,4 +356,40 @@ class ChangePointSpec extends SparkSuite {
     assert(out("m").getDouble(2) === 1.8 &&
       out("m").getString(3) === "none")
   }
+
+  test("adfFromSums: centered sums past the DECIMAL(38,0) product " +
+      "bound raise loudly instead of silently dropping the series") {
+    // ADVICE r15: spp*sqq on DECIMAL(38,0) inputs nulls out past
+    // precision 38 under non-ANSI mode, and `null =!= x` would have
+    // silently DROPPED the series while the DuckDB oracle's HUGEINT
+    // path errors. Feed synthetic per-series sums whose centered spp
+    // exceeds the 10^19-1 factor bound and demand the raise.
+    import spark.implicits._
+    val big = BigDecimal("20000000000000000000") // 2e19 > bound
+    val in = Seq(("g", 10L, 1L, 1L, 1L)).toDF("s", "n", "__sv", "__sp", "__sq")
+      .withColumn("__svp", lit(1L).cast("decimal(38,0)"))
+      .withColumn("__svq", lit(1L).cast("decimal(38,0)"))
+      .withColumn("__spq", lit(1L).cast("decimal(38,0)"))
+      .withColumn("__spp", lit(big.bigDecimal).cast("decimal(38,0)"))
+      .withColumn("__sqq", lit(1L).cast("decimal(38,0)"))
+      .withColumn("__svv", lit(1L).cast("decimal(38,0)"))
+    val e = intercept[Exception] {
+      ChangePoint.adfFromSums(in, "s").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("adfFromSums")),
+      s"expected the loud overflow raise, got: $e")
+    // and the in-bound path is untouched: the brute-force test above
+    // plus a quick sanity row here
+    val ok = Seq(("g", 10L, 5L, 3L, 2L)).toDF("s", "n", "__sv", "__sp", "__sq")
+      .withColumn("__svp", lit(40L).cast("decimal(38,0)"))
+      .withColumn("__svq", lit(30L).cast("decimal(38,0)"))
+      .withColumn("__spq", lit(20L).cast("decimal(38,0)"))
+      .withColumn("__spp", lit(90L).cast("decimal(38,0)"))
+      .withColumn("__sqq", lit(80L).cast("decimal(38,0)"))
+      .withColumn("__svv", lit(70L).cast("decimal(38,0)"))
+    assert(ChangePoint.adfFromSums(ok, "s").count() === 1L)
+  }
 }

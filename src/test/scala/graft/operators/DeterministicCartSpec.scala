@@ -137,4 +137,17 @@ class DeterministicCartSpec extends SparkSuite {
     assert(base._1 === shuffled._1)
     assert(base._1.map(_._3).sum > 0L)
   }
+
+  test("bridge nodes report the count-weighted CART gain (ADVICE r15)") {
+    // parent [9,3]: gini 0.375; left [8,0]: gini 0, n=8;
+    // right [1,3]: gini 0.375, n=4
+    // weighted gain = 0.375 - (8/12)*0 - (4/12)*0.375 = 0.25
+    // (the unweighted child mean would misreport 0.1875 in
+    // featureImportances / toDebugString)
+    import org.apache.spark.ml.graftbridge.TreeBridge
+    val node = TreeBridge.internalOf(Array(9.0, 3.0),
+      TreeBridge.leafOf(Array(8.0, 0.0)),
+      TreeBridge.leafOf(Array(1.0, 3.0)), feature = 0, threshold = 0.5)
+    assert(math.abs(node.gain - 0.25) < 1e-12, s"gain=${node.gain}")
+  }
 }

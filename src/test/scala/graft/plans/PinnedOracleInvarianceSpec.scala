@@ -29,7 +29,11 @@ class PinnedOracleInvarianceSpec extends SparkSuite {
     "q_stem_terms",      // stemmed vocabulary + counts
     "q_pipeline_tokens", // word → stem fixture map
     "q_confusion",       // DeterministicCart 2×2, shards pinned
-    "q_tsne")            // StrictMath solver embedding
+    "q_tsne",            // StrictMath solver embedding
+    // not a VALUES pin, but the oracle's `TRUE AS cand_linear_ok`
+    // pins the measured-candidate-budget verdict — the xxhash64
+    // candidate SET must not drift with layout
+    "q_dedup_minhash_scale")
 
   test("pinned-constant oracle queries are invariant to " +
       "spark.sql.shuffle.partitions") {

@@ -208,6 +208,37 @@ class PlanShapeSpec extends SparkSuite {
     }, s"correlated/non-scalar subquery survived:\n$subs")
   }
 
+  test("q_tpch_q15: the MAX threshold stays an uncorrelated " +
+      "execute-once scalar subquery; q_tpch_q10 plans a bounded " +
+      "top-20; q_tpch_q19 pushes each side's disjuncts to its scan") {
+    import org.apache.spark.sql.catalyst.expressions.{PlanExpression,
+      ScalarSubquery}
+    val q15 = graft.SparkEntry.queries("q_tpch_q15")(spark, sfDir)
+    val subs = q15.queryExecution.optimizedPlan
+      .collectWithSubqueries { case n => n }
+      .flatMap(_.expressions)
+      .flatMap(_.collect { case e: PlanExpression[_] => e })
+    assert(subs.nonEmpty, "expected the execute-once MAX subquery")
+    assert(subs.forall {
+      case s: ScalarSubquery => s.outerAttrs.isEmpty
+      case _ => false
+    }, s"correlated/non-scalar subquery survived:\n$subs")
+
+    val p10 = plan("q_tpch_q10")
+    assert(p10.contains("TakeOrderedAndProject"),
+      s"top-20 fell back to a global sort:\n$p10")
+
+    val p19 = plan("q_tpch_q19")
+    // each relation's own disjunct union reaches its scan: part reads
+    // only the three brands, lineitem only the quantity envelope —
+    // at 100 TB this is the difference between scanning the join
+    // input and scanning everything
+    assert(p19.matches("(?s).*PushedFilters:[^\\n]*p_brand.*"),
+      s"brand disjuncts not pushed to the part scan:\n$p19")
+    assert(p19.matches("(?s).*PushedFilters:[^\\n]*l_quantity.*"),
+      s"quantity disjuncts not pushed to the lineitem scan:\n$p19")
+  }
+
   test("q_reservoir: per-stratum draw is an aggregate, not a window") {
     // the bounded top_k_by heap replaces a rank window: no per-group
     // sort materialization, map-side partials before one exchange

@@ -84,7 +84,14 @@ class RoundEdgeSpec extends AnyFunSuite {
     // ...and +5 later in round 13: q_bartlett's oracle mirror
     // (3 ROUND-9 cells + the b_stat ROUND-6 twice across the edge
     // and verdict).
-    "graft/queries/EventQueries.scala" -> 44,
+    // round 16: the round-15 pure-move file split (commit 6dd30df)
+    // relocated EventQueries' 44 registered edges across its four
+    // slice files; totals conserved exactly (13+4+8+19 = 44) — zero
+    // new or removed edges, the same mirrored-verbatim lattices.
+    "graft/queries/EventQueries.scala" -> 13,
+    "graft/queries/EventInferenceQueries.scala" -> 4,
+    "graft/queries/EventStreamQueries.scala" -> 8,
+    "graft/queries/EventTimeSeriesQueries.scala" -> 19,
     // 107 at round 10; +4 in round 11: q_brown_forsythe's oracle
     // mirrors q_anova's registered edges verbatim (the per-group
     // 9-dp snap into DECIMAL(38,12) and the three 6-dp output
@@ -98,7 +105,16 @@ class RoundEdgeSpec extends AnyFunSuite {
     // Scala round(csim, 6) + the oracle's mirrored asim/pscored
     // ROUND(·, 6)): the registered mid-chain 6-dp cosine class,
     // applied to IDENTICAL doubles on both sides before the rank
-    "graft/queries/ExtensionQueries.scala" -> 116,
+    // round 16: the same split relocated ExtensionQueries' 116
+    // registered edges across its seven slice files; totals conserved
+    // exactly (12+10+19+8+10+18+39 = 116).
+    "graft/queries/ExtensionQueries.scala" -> 12,
+    "graft/queries/ExtensionAnnQueries.scala" -> 10,
+    "graft/queries/ExtensionCurationQueries.scala" -> 19,
+    "graft/queries/ExtensionDedupQueries.scala" -> 8,
+    "graft/queries/ExtensionGovernanceQueries.scala" -> 10,
+    "graft/queries/ExtensionGraphStatsQueries.scala" -> 18,
+    "graft/queries/ExtensionInferenceQueries.scala" -> 39,
     // round 13 (commit 3d5f681-era oracle work): -1 — the
     // q_kmeans_cost/q_pca_variance oracle rework removed a
     // scale-bearing edge; trued up here with the Similarity entry.

@@ -770,6 +770,86 @@ class StreamingOpsSpec extends SparkSuite {
     assert(mk.getAs[Long]("state_days") === 100L, s"$mk")
   }
 
+  test("maxStateDays caps the calendar map by evicting oldest days " +
+      "with a loud evicted_days counter; default path untouched") {
+    // VERDICT r15 #6: the documented mitigation for unbounded
+    // calendars. Policy: drop-oldest after each trigger's fold; the
+    // cumulative count is emitted on every row so a capped monitor
+    // can never silently masquerade as full-history.
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DayObs]
+    val out = StreamingOps.dickeyFullerState(input.toDS(), maxStateDays = 30)
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("dfevict_spec")
+      .start()
+    def lastRow() = {
+      val wLast = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("group")).orderBy(col("events_seen").desc)
+      spark.table("dfevict_spec")
+        .withColumn("__rn", row_number().over(wLast))
+        .filter(col("__rn") === 1).collect().head
+    }
+    try {
+      // trigger 1: 30 days (d events on day d) — AT the cap, nothing
+      // evicted, full-history semantics intact
+      input.addData((1 to 30).flatMap(d =>
+        Seq.fill(d)(DayObs("g", d.toLong))): _*)
+      q.processAllAvailable()
+      val r1 = lastRow()
+      assert(r1.getAs[Long]("state_days") === 30L, s"$r1")
+      assert(r1.getAs[Long]("evicted_days") === 0L, s"$r1")
+      // trigger 2: 80 NEW days → map hard-capped at 30 (the newest:
+      // days 81..110), 80 oldest evicted and counted
+      input.addData((31 to 110).flatMap(d =>
+        Seq.fill(d)(DayObs("g", d.toLong))): _*)
+      q.processAllAvailable()
+      val r2 = lastRow()
+      assert(r2.getAs[Long]("state_days") === 30L, s"$r2")
+      assert(r2.getAs[Long]("evicted_days") === 80L, s"$r2")
+      // the emitted statistics describe EXACTLY the retained trailing
+      // window — brute lag pairs over counts 81..110
+      val xs = (81 to 110).map(_.toLong)
+      val tr = (1 until xs.size).map(i => (xs(i - 1), xs(i) - xs(i - 1)))
+      assert(r2.getAs[Long]("n") === tr.size.toLong)
+      assert(r2.getAs[Long]("su") === tr.map(_._1).sum)
+      assert(r2.getAs[Long]("sv") === tr.map(_._2).sum)
+      assert(r2.getAs[Long]("suu") === tr.map(x => x._1 * x._1).sum)
+      // trigger 3: pure volume on RETAINED days — state flat, no new
+      // evictions, events keep folding
+      input.addData((81 to 110).map(d => DayObs("g", d.toLong)): _*)
+      q.processAllAvailable()
+      val r3 = lastRow()
+      assert(r3.getAs[Long]("state_days") === 30L, s"$r3")
+      assert(r3.getAs[Long]("evicted_days") === 80L, s"$r3")
+      assert(r3.getAs[Long]("events_seen") ===
+        (1 to 110).map(_.toLong).sum + 30L)
+    } finally q.stop()
+    // mannKendallState shares MkState and the same policy
+    val input2 = MemoryStream[MkObs]
+    val out2 = StreamingOps.mannKendallState(input2.toDS(), maxStateDays = 10)
+    val q2 = out2.toDF().writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName("mkevict_spec")
+      .start()
+    try {
+      input2.addData((1 to 25).map(d =>
+        MkObs("g", d.toLong, d * 10L)): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val mk2 = spark.table("mkevict_spec")
+      .orderBy(col("events_seen").desc).collect().head
+    assert(mk2.getAs[Long]("state_days") === 10L, s"$mk2")
+    assert(mk2.getAs[Long]("evicted_days") === 15L, s"$mk2")
+    // trailing-window MK: counts 160..250 step 10 are strictly
+    // increasing → S = n(n-1)/2 = 45 over the 10 retained days
+    assert(mk2.getAs[Long]("n") === 10L)
+    assert(mk2.getAs[Long]("s_stat") === 45L)
+  }
+
   test("wassersteinState: the value-count maps fold across " +
       "micro-batches to the batch operator's exact area sum") {
     import spark.implicits._
