@@ -1433,6 +1433,85 @@ object RelationalQueries {
             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         GROUP BY 1, 2, 3
         ORDER BY 1, 2, 3
+      """)),
+
+    // TPC-H Q8 (national market share), adapted: one supplier
+    // nation's share of a region's revenue in one part-type market,
+    // by order year. With this query the engine covers every TPC-H
+    // query expressible on the fixture's reduced schema (1, 3, 4, 5,
+    // 6, 7, 8, 10, 14, 15, 17, 18, 19, 22 — the rest need partsupp /
+    // commit-receipt dates / shipmode columns the fixture omits).
+    // The share is NEVER a float division: numerator and denominator
+    // stay exact 1e4-lattice integers and the emitted share is the
+    // integer ppm quotient (num·1e6 div den), identical in both
+    // engines; both revenue sums are non-negative so div = floor.
+    QueryDef(
+      "q_tpch_q8",
+      (s, dir) => {
+        val rn = Tables(s, dir, "nation")
+          .join(broadcast(Tables(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nkey"))
+        val sn = Tables(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nkey"),
+            col("n_name").as("supp_nation"))
+        Tables.lineitem(s, dir)
+          .join(Tables(s, dir, "part")
+            .filter(col("p_type") === "ECONOMY"),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(rn), col("c_nationkey") === col("c_nkey"))
+          .join(Tables(s, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("s_nkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_3",
+              round(col("l_extendedprice") *
+                (lit(1.0) - col("l_discount")) * lit(1e4)).cast("long"))
+              .otherwise(0L)).as("nation_e4"),
+            sum(round(col("l_extendedprice") *
+              (lit(1.0) - col("l_discount")) * lit(1e4)).cast("long"))
+              .as("total_e4"))
+          .select(col("o_year"), col("nation_e4"), col("total_e4"),
+            expr("(nation_e4 * CAST(1000000 AS BIGINT)) div total_e4")
+              .as("share_ppm"))
+          .orderBy(col("o_year"))
+      },
+      Some("""
+        WITH vol AS (
+          SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+                 CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN CAST(ROUND(l.l_extendedprice
+                            * (1.0 - l.l_discount) * 1e4) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS nation_e4,
+                 CAST(SUM(CAST(ROUND(l.l_extendedprice
+                       * (1.0 - l.l_discount) * 1e4) AS BIGINT))
+                   AS BIGINT) AS total_e4
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+          JOIN region r ON cn.n_regionkey = r.r_regionkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+          WHERE r.r_name = 'EUROPE'
+            AND p.p_type = 'ECONOMY'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1)
+        SELECT o_year, nation_e4, total_e4,
+               (nation_e4 * CAST(1000000 AS BIGINT)) // total_e4
+                 AS share_ppm
+        FROM vol
+        ORDER BY o_year
       """))
   )
 }
