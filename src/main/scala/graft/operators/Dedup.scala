@@ -255,31 +255,31 @@ object Dedup {
 
   /** MinHash signatures from a shingle-set DataFrame.
     *
-    * Formulation matters here: (id, shingle) explodes to narrow
-    * (id, seed, hash) rows, a plain codegen'd `min` aggregate reduces
-    * them (map-side partial combine shrinks the shuffle to
-    * docs×numHashes rows), and `sort_array(collect_list(...))`
-    * reassembles the per-doc signature. Two rejected alternatives,
-    * measured: numHashes separate `min(...)` columns generate a
-    * whole-stage class so large janino compilation dominates (minutes);
-    * a typed Aggregator UDAF avoids the codegen blowup but pays
-    * per-row encoder overhead (~10× slower than this).
+    * Formulation matters here: each (id, shingle) row computes its
+    * numHashes-long xxhash64 array once, and ONE
+    * [[graft.functions.ElementwiseMin]] imperative aggregate folds the
+    * arrays per doc — one update call per shingle row, map-side
+    * partial combine shipping one numHashes-long buffer per (doc, map
+    * partition). Three rejected alternatives, measured: posexplode to
+    * narrow (id, seed, hash) rows + plain `min` (correct, but
+    * materializes shingles × numHashes rows through the aggregate —
+    * 256M updates at the 8M-shingle scale witness; this formulation
+    * replaced it in round 16 with bit-identical signatures,
+    * MinhashSigSpec-pinned); numHashes separate `min(...)` columns
+    * (the whole-stage class is so large janino compilation dominates
+    * — minutes); a typed Scala Aggregator UDAF (avoids the codegen
+    * blowup but pays per-row encoder overhead, ~10× slower).
     * Output: (id, band, key) bucket rows.
     */
   def minhashBuckets(
       shingles: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val seeds = sequence(lit(0), lit(numHashes - 1))
-    val hashed = shingles
+    val sigs = shingles
       .select(col("id"),
-        posexplode(transform(seeds, s => xxhash64(s, col("shingle")))))
-      .withColumnRenamed("pos", "seed").withColumnRenamed("col", "h")
-    val sigs = hashed
-      .groupBy(col("id"), col("seed")).agg(min(col("h")).as("h"))
+        transform(seeds, s => xxhash64(s, col("shingle"))).as("hs"))
       .groupBy(col("id"))
-      .agg(transform(
-        sort_array(collect_list(struct(col("seed"), col("h")))),
-        x => x("h")).as("sig"))
+      .agg(graft.functions.elementwise_min(col("hs")).as("sig"))
     val bandKeys = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(s => col("sig")(s)): _*)
