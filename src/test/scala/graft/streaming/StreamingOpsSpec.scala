@@ -850,6 +850,53 @@ class StreamingOpsSpec extends SparkSuite {
     assert(mk2.getAs[Long]("s_stat") === 45L)
   }
 
+  test("calendar-map monitors run unchanged on the RocksDB state " +
+      "store (the scale-grade backend), eviction included") {
+    // At production state sizes the HDFS-backed in-memory provider is
+    // the bottleneck — deployments run RocksDB. The monitors' state
+    // types (case classes holding Map[Long, Long]) and the eviction
+    // path must round-trip through its serde identically. Exact same
+    // fixture arithmetic as the eviction test, smaller numbers: all
+    // day counts are 1, so every DF lag pair is (u=1, v=0).
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[DayObs]
+      val out = StreamingOps.dickeyFullerState(input.toDS(), maxStateDays = 20)
+      val q = out.toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory").queryName("dfrocks_spec")
+        .start()
+      try {
+        input.addData((1 to 40).map(d => DayObs("g", d.toLong)): _*)
+        q.processAllAvailable()
+        input.addData((41 to 50).map(d => DayObs("g", d.toLong)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val r = spark.table("dfrocks_spec")
+        .orderBy(col("events_seen").desc).collect().head
+      assert(r.getAs[Long]("state_days") === 20L, s"$r")
+      // trigger 1 evicts 20 (days 1..20), trigger 2 evicts 10 more
+      assert(r.getAs[Long]("evicted_days") === 30L, s"$r")
+      assert(r.getAs[Long]("events_seen") === 50L)
+      // retained days 31..50, one event each: 19 lag pairs of (1, 0)
+      assert(r.getAs[Long]("n") === 19L)
+      assert(r.getAs[Long]("su") === 19L)
+      assert(r.getAs[Long]("sv") === 0L)
+      assert(r.getAs[Long]("suu") === 19L)
+      assert(r.getAs[Long]("svv") === 0L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("wassersteinState: the value-count maps fold across " +
       "micro-batches to the batch operator's exact area sum") {
     import spark.implicits._
