@@ -520,7 +520,8 @@ object Bench {
             quietMs = math.min(quietMs, post)
             perPost :+= (s"${name}_r$attempts" -> post)
             // a rep is clean only if it ENDED quiet and STARTED cool
-            if (post <= quietMs * 1.4 && (repLoad <= 1.0 || repLoad < 0.0))
+            // -1 off-Linux sentinel passes <= 1.0 (no gating there)
+            if (post <= quietMs * 1.4 && repLoad <= 1.0)
               clean += 1
           }
           best = math.min(best, t)
@@ -612,7 +613,7 @@ object Bench {
               r._2, r._3, repGc))
             if (pre <= quietMs * 1.4 && post <= quietMs * 1.4 &&
                 parPre <= parQuiet * 1.4 && parPost <= parQuiet * 1.4 &&
-                (repLoad <= 1.0 || repLoad < 0.0))
+                repLoad <= 1.0)
               trusted += 1
           }
           perCalib :+= ("q_okcupid_tree" -> reps.head._2)

@@ -31,9 +31,11 @@ import org.apache.spark.sql.types._
   * Exactness contract: the fold is min, so the result is bit-identical
   * to the explode/groupBy-min reference for any row order or
   * partitioning — MinhashSigSpec pins the bucket rows against the
-  * reference formulation verbatim. Null arrays are skipped; element
-  * nulls are rejected by the input contract (xxhash64 of a non-null
-  * shingle is never null); mixed lengths raise (signatures are fixed
+  * reference formulation verbatim. Null arrays are skipped; arrays
+  * with NULLABLE elements are rejected at analysis time
+  * (ArrayData.toLongArray would silently read a null element as 0 —
+  * the xxhash64 signature path is containsNull=false by
+  * construction); mixed lengths raise (signatures are fixed
   * numHashes-length by construction).
   */
 case class ElementwiseMin(
@@ -45,7 +47,11 @@ case class ElementwiseMin(
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+        "elementwise_min requires non-nullable array elements: " +
+          "ArrayData.toLongArray would silently read a null element " +
+          "as 0 and corrupt the fold")
       case dt => TypeCheckResult.TypeCheckFailure(
         s"elementwise_min requires array<bigint>, got ${dt.sql}")
     }

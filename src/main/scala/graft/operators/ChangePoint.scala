@@ -553,13 +553,20 @@ object ChangePoint {
     // multiplies exact DECIMAL(38,0) centered sums, and past
     // precision 38 the product nulls out under non-ANSI mode — so
     // `null =!= x` would silently DROP the series while the DuckDB
-    // oracle's HUGEINT path errors. Bound each factor at 10^19−1
-    // (any pair of in-bound factors provably fits precision 38) and
-    // raise_error beyond it; a series long/large enough to trip this
-    // needs a rescaled lattice, not a silent row drop.
+    // oracle's HUGEINT path errors. Every one of the SIX centered
+    // sums is checked (svp/svq/svv feed rssU, whose null would
+    // silently fail the `> 0.0` filter the same way), and a sum that
+    // is itself NULL — the n·Σab product already past precision 38,
+    // or an upstream DECIMAL sum overflow — is an overflow sighting
+    // too, caught by the isNull arm BEFORE the magnitude test (whose
+    // null would otherwise fall through the `when`). Bound: 10^19−1
+    // per sum, so any pairwise product provably fits precision 38. A
+    // series long/large enough to trip any arm needs a rescaled
+    // lattice, not a silent row drop.
     val lim = lit(new java.math.BigDecimal("9999999999999999999")).cast(d)
     val ovf =
-      when(abs(spp) > lim || abs(sqq) > lim || abs(spq) > lim,
+      when(Seq(spp, sqq, spq, svp, svq, svv)
+          .map(c => c.isNull || abs(c) > lim).reduce(_ || _),
         raise_error(concat(
           lit("adfFromSums: centered sums exceed the exact "),
           lit("DECIMAL(38,0) product bound for series "),

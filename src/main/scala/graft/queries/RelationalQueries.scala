@@ -1023,9 +1023,13 @@ object RelationalQueries {
               .as("promo_rev_e4"),
             sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
               * lit(1e4)).cast("long")).as("total_rev_e4"))
+          // ppm·revenue outgrows BIGINT before revenue does (e4·1e6
+          // wraps past ~9.2e12 e4 units, reachable at sf >= ~10) —
+          // DECIMAL(38,0) interior, the q_lorenz convention; the
+          // oracle's HUGEINT mirrors it
           .select(col("promo_rev_e4"), col("total_rev_e4"),
-            expr("(promo_rev_e4 * CAST(1000000 AS BIGINT)) " +
-              "div total_rev_e4").as("promo_share_ppm")),
+            expr("CAST((CAST(promo_rev_e4 AS DECIMAL(38,0)) * 1000000) " +
+              "div total_rev_e4 AS BIGINT)").as("promo_share_ppm")),
       Some("""
         WITH a AS (
           SELECT
@@ -1039,8 +1043,8 @@ object RelationalQueries {
           WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
             AND l.l_shipdate < TIMESTAMP '1996-04-01')
         SELECT promo_rev_e4, total_rev_e4,
-               (promo_rev_e4 * 1000000) // total_rev_e4
-                 AS promo_share_ppm
+               CAST((CAST(promo_rev_e4 AS HUGEINT) * 1000000)
+                 // total_rev_e4 AS BIGINT) AS promo_share_ppm
         FROM a
       """)),
 
@@ -1479,9 +1483,10 @@ object RelationalQueries {
             sum(round(col("l_extendedprice") *
               (lit(1.0) - col("l_discount")) * lit(1e4)).cast("long"))
               .as("total_e4"))
+          // same wrap hazard as Q14's ppm: DECIMAL(38,0) interior
           .select(col("o_year"), col("nation_e4"), col("total_e4"),
-            expr("(nation_e4 * CAST(1000000 AS BIGINT)) div total_e4")
-              .as("share_ppm"))
+            expr("CAST((CAST(nation_e4 AS DECIMAL(38,0)) * 1000000) " +
+              "div total_e4 AS BIGINT)").as("share_ppm"))
           .orderBy(col("o_year"))
       },
       Some("""
@@ -1508,8 +1513,8 @@ object RelationalQueries {
             AND o.o_orderdate < TIMESTAMP '1998-01-01'
           GROUP BY 1)
         SELECT o_year, nation_e4, total_e4,
-               (nation_e4 * CAST(1000000 AS BIGINT)) // total_e4
-                 AS share_ppm
+               CAST((CAST(nation_e4 AS HUGEINT) * 1000000) // total_e4
+                 AS BIGINT) AS share_ppm
         FROM vol
         ORDER BY o_year
       """))

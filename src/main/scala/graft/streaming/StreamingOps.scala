@@ -92,6 +92,15 @@ case class SprtRow(group: String, n: Long, successes: Long)
   * the corpus's) plus the monotone count of folded events that lets
   * an update-mode sink pick each group's final row.
   */
+/** NOTE (round 16): adding `evictedDays` changed this state encoder's
+  * schema. Spark does not evolve `mapGroupsWithState` case-class state
+  * schemas, so a deployment restarting one of the four calendar
+  * monitors FROM A PRE-UPGRADE STREAMING CHECKPOINT fails state
+  * deserialization — drain or restart the query fresh across this
+  * upgrade (the monitors rebuild their calendar rollups from the
+  * replayed source). New checkpoints, and everything in this repo's
+  * memory-sink harness, are unaffected.
+  */
 case class MkState(
     days: Map[Long, Long], eventsSeen: Long, evictedDays: Long = 0L) {
   /** Drop-oldest calendar eviction (VERDICT r15 #6) — the documented

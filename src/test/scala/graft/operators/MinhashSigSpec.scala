@@ -83,4 +83,17 @@ class MinhashSigSpec extends SparkSuite {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("mixed array lengths")), s"$e")
   }
+
+  test("elementwise_min rejects nullable-element arrays at analysis " +
+      "time (a null would silently fold as 0)") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("id")
+        .select(col("id"),
+          array(lit(5L), lit(null).cast("long")).as("hs"))
+        .groupBy(col("id"))
+        .agg(graft.functions.elementwise_min(col("hs")).as("m"))
+        .collect()
+    }
+    assert(e.getMessage.contains("non-nullable array elements"), s"$e")
+  }
 }
