@@ -178,7 +178,8 @@ object Bench {
     // the artifact (dedup_scale map) next to ann_scale — plus the
     // Q7/Q10/Q15/Q19 widening of the TPC-H surface
     "q_dedup_minhash_scale",
-    "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q15", "q_tpch_q19")
+    "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q15", "q_tpch_q19",
+    "q_tpch_q2", "q_tpch_q13", "q_tpch_q21")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND

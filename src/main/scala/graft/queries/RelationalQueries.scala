@@ -1441,10 +1441,12 @@ object RelationalQueries {
 
     // TPC-H Q8 (national market share), adapted: one supplier
     // nation's share of a region's revenue in one part-type market,
-    // by order year. With this query the engine covers every TPC-H
-    // query expressible on the fixture's reduced schema (1, 3, 4, 5,
-    // 6, 7, 8, 10, 14, 15, 17, 18, 19, 22 — the rest need partsupp /
-    // commit-receipt dates / shipmode columns the fixture omits).
+    // by order year. Together with the Q2/Q13/Q21 adaptations below,
+    // the engine covers every TPC-H query expressible on the
+    // fixture's reduced schema (1, 2, 3, 4, 5, 6, 7, 8, 10, 13, 14,
+    // 15, 17, 18, 19, 21, 22 — Q9/Q11/Q12/Q16/Q20 need partsupp /
+    // commit-receipt dates / shipmode columns the fixture omits
+    // entirely).
     // The share is NEVER a float division: numerator and denominator
     // stay exact 1e4-lattice integers and the emitted share is the
     // integer ppm quotient (num·1e6 div den), identical in both
@@ -1517,6 +1519,188 @@ object RelationalQueries {
                  AS BIGINT) AS share_ppm
         FROM vol
         ORDER BY o_year
+      """)),
+
+    // TPC-H Q13 (customer distribution), adapted: the fixture has no
+    // o_comment, so the in-join exclusion filter is on
+    // o_orderpriority (same NOT LIKE shape — what matters is that
+    // the predicate lives INSIDE the outer join: a customer whose
+    // only orders are urgent must still count as c_count = 0, which
+    // a post-join filter would get wrong by deleting the row
+    // instead of nulling it). The plan is the Q13 signature Spark
+    // should produce: the NOT LIKE pushes to the orders scan, ONE
+    // shuffle on custkey serves both the left outer join and the
+    // first aggregate, and the agg-of-agg histogram is a second tiny
+    // shuffle on the ≤|orders/customer|+1 distinct counts. At 100 TB
+    // both sides hash-partition on custkey; nothing broadcasts and
+    // nothing collects.
+    QueryDef(
+      "q_tpch_q13",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .filter(!col("o_orderpriority").like("%URGENT%"))
+          .select("o_custkey", "o_orderkey")
+        Tables.customer(s, dir).select("c_custkey")
+          .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c.c_custkey,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+            AND o.o_orderpriority NOT LIKE '%URGENT%'
+          GROUP BY c.c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+      """)),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: no
+    // commit/receipt dates in the fixture, so "late" reuses the Q4
+    // adaptation (shipped > 60 days after the order date) and the
+    // one-nation filter widens to region EUROPE (the fixture's 100
+    // suppliers leave a single nation too thin to exercise the
+    // shape). Semantics preserved exactly: a supplier is charged for
+    // a late line on a finished multi-supplier order where EVERY
+    // other supplier shipped on time — the double-correlated
+    // EXISTS / NOT EXISTS over the same fact table. Written as the
+    // textbook predicate pair and left to RewritePredicateSubquery:
+    // the optimized plan is a LEFT SEMI then LEFT ANTI join of
+    // lineitem against itself on l_orderkey (the non-equi suppkey ≠
+    // and late predicates ride inside the join conditions), so at
+    // 100 TB each order's lines meet once, co-partitioned on
+    // orderkey — never |lineitem| point lookups. PlanShapeSpec
+    // gates both rewrites.
+    QueryDef(
+      "q_tpch_q21",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("tpch21_lineitem")
+        Tables.orders(s, dir).createOrReplaceTempView("tpch21_orders")
+        Tables(s, dir, "supplier").createOrReplaceTempView("tpch21_supplier")
+        Tables(s, dir, "nation").createOrReplaceTempView("tpch21_nation")
+        Tables(s, dir, "region").createOrReplaceTempView("tpch21_region")
+        s.sql("""
+          SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+          FROM tpch21_supplier s
+          JOIN tpch21_lineitem l1 ON s.s_suppkey = l1.l_suppkey
+          JOIN tpch21_orders o ON o.o_orderkey = l1.l_orderkey
+          JOIN tpch21_nation n ON s.s_nationkey = n.n_nationkey
+          JOIN tpch21_region r ON n.n_regionkey = r.r_regionkey
+          WHERE o.o_orderstatus = 'F'
+            AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            AND r.r_name = 'EUROPE'
+            AND EXISTS (
+              SELECT 1 FROM tpch21_lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+            AND NOT EXISTS (
+              SELECT 1 FROM tpch21_lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+          GROUP BY s.s_name
+          ORDER BY numwait DESC, s.s_name
+          LIMIT 100
+        """)
+      },
+      Some("""
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND r.r_name = 'EUROPE'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+      """)),
+
+    // TPC-H Q2 (minimum cost supplier), adapted: the fixture has no
+    // partsupp, so lineitem stands in as the part↔supplier price
+    // relation — for each ECONOMY part of one size class, the
+    // European supplier(s) that ever sold it at the GLOBAL-minimum
+    // line price. What survives the adaptation is Q2's defining
+    // shape: a correlated scalar MIN subquery that itself contains a
+    // multi-table join (lineitem⋈supplier⋈nation⋈region), which
+    // RewriteCorrelatedScalarSubquery must decorrelate into a
+    // per-partkey MIN aggregate joined back to the outer chain — one
+    // shuffle on partkey instead of a per-part rescan of the
+    // supplier snowflake (PlanShapeSpec gates q17-style that no
+    // PlanExpression survives). Prices compare on the exact cents
+    // lattice, so "equals the min" can never flip on a float ulp;
+    // the final order (acctbal desc, name, partkey) is total, so
+    // LIMIT 100 is deterministic.
+    QueryDef(
+      "q_tpch_q2",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("tpch2_lineitem")
+        Tables(s, dir, "part").createOrReplaceTempView("tpch2_part")
+        Tables(s, dir, "supplier").createOrReplaceTempView("tpch2_supplier")
+        Tables(s, dir, "nation").createOrReplaceTempView("tpch2_nation")
+        Tables(s, dir, "region").createOrReplaceTempView("tpch2_region")
+        s.sql("""
+          WITH eu_price AS (
+            SELECT l.l_partkey, s.s_name, n.n_name,
+                   CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_e2,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     AS price_e2
+            FROM tpch2_lineitem l
+            JOIN tpch2_supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN tpch2_nation n ON s.s_nationkey = n.n_nationkey
+            JOIN tpch2_region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'EUROPE')
+          SELECT e.acctbal_e2, e.s_name, e.n_name, p.p_partkey,
+                 e.price_e2
+          FROM tpch2_part p
+          JOIN eu_price e ON e.l_partkey = p.p_partkey
+          WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+            AND e.price_e2 = (
+              SELECT MIN(e2.price_e2) FROM eu_price e2
+              WHERE e2.l_partkey = p.p_partkey)
+          ORDER BY e.acctbal_e2 DESC, e.s_name, p.p_partkey
+          LIMIT 100
+        """)
+      },
+      Some("""
+        WITH eu_price AS (
+          SELECT l.l_partkey, s.s_name, n.n_name,
+                 CAST(ROUND(s.s_acctbal * 100) AS BIGINT) AS acctbal_e2,
+                 CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                   AS price_e2
+          FROM lineitem l
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'EUROPE')
+        SELECT e.acctbal_e2, e.s_name, e.n_name, p.p_partkey,
+               e.price_e2
+        FROM part p
+        JOIN eu_price e ON e.l_partkey = p.p_partkey
+        WHERE p.p_size = 15 AND p.p_type = 'ECONOMY'
+          AND e.price_e2 = (
+            SELECT MIN(e2.price_e2) FROM eu_price e2
+            WHERE e2.l_partkey = p.p_partkey)
+        ORDER BY e.acctbal_e2 DESC, e.s_name, p.p_partkey
+        LIMIT 100
       """))
   )
 }

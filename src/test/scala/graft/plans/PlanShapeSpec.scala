@@ -208,6 +208,73 @@ class PlanShapeSpec extends SparkSuite {
     }, s"correlated/non-scalar subquery survived:\n$subs")
   }
 
+  test("q_tpch_q21: the double-correlated EXISTS/NOT EXISTS pair " +
+      "decorrelates to a semi + anti self-join of lineitem; " +
+      "q_tpch_q2: the joined correlated MIN decorrelates to an " +
+      "aggregate, no per-row subquery") {
+    import org.apache.spark.sql.catalyst.expressions.PlanExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    def subqueries(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan
+        .collectWithSubqueries { case n => n }
+        .flatMap(_.expressions)
+        .flatMap(_.collect { case e: PlanExpression[_] => e })
+
+    val q21 = graft.SparkEntry.queries("q_tpch_q21")(spark, sfDir)
+    val opt21 = q21.queryExecution.optimizedPlan
+    assert(subqueries(q21).isEmpty,
+      s"EXISTS/NOT EXISTS survived optimization:\n$opt21")
+    // both rewrites must land: each lineitem row meets its order's
+    // other lines ONCE, co-partitioned on l_orderkey — at 100 TB the
+    // difference between two shuffles and |lineitem| point lookups
+    assert(opt21.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }.nonEmpty, s"no semi join:\n$opt21")
+    assert(opt21.collect {
+      case j: Join if j.joinType == LeftAnti => j
+    }.nonEmpty, s"no anti join:\n$opt21")
+
+    val q2 = graft.SparkEntry.queries("q_tpch_q2")(spark, sfDir)
+    val opt2 = q2.queryExecution.optimizedPlan
+    assert(subqueries(q2).isEmpty,
+      s"correlated MIN subquery survived optimization:\n$opt2")
+    val hasMinAgg = opt2.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.find {
+        case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateExpression => ae.aggregateFunction.prettyName == "min"
+        case _ => false
+      }.isDefined) => a
+    }
+    assert(hasMinAgg.nonEmpty, s"no decorrelated min aggregate:\n$opt2")
+  }
+
+  test("q_tpch_q13: the priority exclusion stays INSIDE the left " +
+      "outer join (zero-order customers survive); agg-of-agg, no " +
+      "cartesian") {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = graft.SparkEntry.queries("q_tpch_q13")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val outer = opt.collect {
+      case j: Join if j.joinType == LeftOuter => j }
+    assert(outer.nonEmpty, s"left outer join lost:\n$opt")
+    // the NOT LIKE must filter the null-producing side BELOW the
+    // join, never the join output — a post-join filter would delete
+    // the preserved customer rows instead of nulling them
+    val filterAboveJoin = opt.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.sql.toLowerCase.contains("orderpriority") &&
+          f.collect { case j: Join => j }.nonEmpty => f
+    }
+    assert(filterAboveJoin.isEmpty,
+      s"priority filter floated above the outer join:\n$opt")
+    assert(opt.collect { case a: Aggregate => a }.size >= 2,
+      s"expected the two-level count histogram:\n$opt")
+    val p = plan("q_tpch_q13")
+    assert(!p.contains("CartesianProduct"), s"degenerate join:\n$p")
+  }
+
   test("q_tpch_q15: the MAX threshold stays an uncorrelated " +
       "execute-once scalar subquery; q_tpch_q10 plans a bounded " +
       "top-20; q_tpch_q19 pushes each side's disjuncts to its scan") {
