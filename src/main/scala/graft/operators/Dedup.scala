@@ -212,9 +212,13 @@ object Dedup {
     * Everything is integer: exact_ppm = ⌊i·10⁶/union⌋ from the
     * inverted-index counts, est_ppm = ⌊matches·10⁶/numHashes⌋ from
     * per-seed signature agreement, err_ppm = |est − exact|. Scale
-    * shape: the signature table is docs×numHashes rows (one
-    * map-side-combined min per (doc, seed)); the agreement join runs
-    * over the ALREADY-BOUNDED exact pair list, never doc×doc.
+    * shape: signatures use the same [[graft.functions.ElementwiseMin]]
+    * fold as [[minhashBuckets]] (one numHashes-long buffer per doc,
+    * map-side combined — never shingles×numHashes exploded rows), so
+    * the signature table is ONE array row per doc and the agreement
+    * join ships one array per side over the ALREADY-BOUNDED exact
+    * pair list, never doc×doc; per-pair agreement is a single fused
+    * zip_with/aggregate expression over the two arrays.
     */
   def minhashCalibration(
       shingles: DataFrame, numHashes: Int, minExactPpm: Long): DataFrame = {
@@ -233,22 +237,31 @@ object Dedup {
       .filter(col("exact_ppm") >= minExactPpm)
       .select(col("id_a"), col("id_b"), col("exact_ppm"))
     val seeds = sequence(lit(0), lit(numHashes - 1))
-    val hs = sh
-      .select(col("id"), posexplode(transform(seeds, s =>
-        conv(substring(md5(concat(s.cast("string"), lit(":"),
-          col("shingle"))), 1, 15), 16, 10).cast("long"))))
-      .withColumnRenamed("pos", "seed").withColumnRenamed("col", "h")
-      .groupBy(col("id"), col("seed")).agg(min(col("h")).as("h"))
+    // same md5 lattice, reformulated like minhashBuckets: each
+    // shingle row computes its numHashes-long array once and the
+    // ElementwiseMin fold combines them per doc — bit-identical
+    // signatures (per-seed min over the same values), one array row
+    // per doc instead of numHashes narrow rows
+    // coalesce(…, MaxValue) only flips Catalyst's nullability
+    // inference (ElementwiseMin requires non-nullable elements):
+    // shingles are never null, and MaxValue is min's identity anyway
+    val sigs = sh
+      .select(col("id"), transform(seeds, s =>
+        coalesce(conv(substring(md5(concat(s.cast("string"), lit(":"),
+          col("shingle"))), 1, 15), 16, 10).cast("long"),
+          lit(Long.MaxValue))).as("hs"))
+      .groupBy(col("id"))
+      .agg(graft.functions.elementwise_min(col("hs")).as("sig"))
     exact
-      .join(hs.select(col("id").as("id_a"), col("seed"),
-        col("h").as("ha")), Seq("id_a"))
-      .join(hs.select(col("id").as("id_b"), col("seed"),
-        col("h").as("hb")), Seq("id_b", "seed"))
-      .groupBy(col("id_a"), col("id_b"), col("exact_ppm"))
-      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L))
-        .as("matches"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")),
+        Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"), col("exact_ppm"),
-        expr(s"(matches * CAST(1000000 AS BIGINT)) div $numHashes")
+        expr("(aggregate(zip_with(sa, sb, " +
+          "(a, b) -> CAST(CASE WHEN a = b THEN 1 ELSE 0 END AS BIGINT))," +
+          " CAST(0 AS BIGINT), (acc, x) -> acc + x) " +
+          s"* CAST(1000000 AS BIGINT)) div $numHashes")
           .as("est_ppm"))
       .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
   }

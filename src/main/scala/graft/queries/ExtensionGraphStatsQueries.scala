@@ -939,20 +939,28 @@ private[queries] object ExtensionGraphStatsQueries {
       (s, dir) => {
         val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
           .localCheckpoint(true)
-        // md5-lattice signatures, 16 hashes (the calibration kernel)
-        val hs = sh
-          .select(col("id"), posexplode(transform(
+        // md5-lattice signatures, 16 hashes (the calibration kernel),
+        // folded per doc with ElementwiseMin exactly like
+        // Dedup.minhashBuckets — bit-identical band keys, one array
+        // row per doc instead of 16 narrow rows through the aggregate
+        // coalesce(…, MaxValue) only flips nullability inference for
+        // ElementwiseMin; shingles are never null, MaxValue = min id.
+        val sigs = sh
+          .select(col("id"), transform(
             sequence(lit(0), lit(15)), sd =>
-              conv(substring(md5(concat(sd.cast("string"), lit(":"),
-                col("shingle"))), 1, 15), 16, 10).cast("long"))))
-          .withColumnRenamed("pos", "seed").withColumnRenamed("col", "h")
-          .groupBy(col("id"), col("seed")).agg(min(col("h")).as("h"))
-        val bands = hs
-          .withColumn("band", expr("seed div 4"))
-          .groupBy(col("id"), col("band"))
-          .agg(concat_ws(":", transform(sort_array(collect_list(
-            struct(col("seed"), col("h")))),
-            x => x.getField("h").cast("string"))).as("key"))
+              coalesce(conv(substring(md5(concat(sd.cast("string"),
+                lit(":"), col("shingle"))), 1, 15), 16, 10)
+                .cast("long"), lit(Long.MaxValue))).as("hs"))
+          .groupBy(col("id"))
+          .agg(graft.functions.elementwise_min(col("hs")).as("sig"))
+        val bands = sigs
+          .select(col("id"), explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              concat_ws(":", (0 until 4).map(r =>
+                col("sig")(b * 4 + r).cast("string")): _*).as("key")))
+            : _*)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"),
+            col("bk.key").as("key"))
         val cand = bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") &&
               col("x.key") === col("y.key") &&
