@@ -712,7 +712,25 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, idA, idB, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of rounds the loop ran
+    * (including the final no-change detection round) — the
+    * measurement `q_cc_diameter_scale` oracles against the halving
+    * recurrence's closed form: on a PATH graph the min-label reach
+    * after round t is reach(t) = t for t ≤ 6 and
+    * reach(t) = 2·(reach(t−1)+1) once halving engages, and the loop
+    * exits one round after reach first covers the diameter. A change
+    * to the propagation cadence (the iter<6 gate, the halving step,
+    * the convergence test) flips the measured round count and the
+    * witness row goes red — the replay IS the spec of the dynamics.
+    */
+  def connectedComponentsWithRounds(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 50): (DataFrame, Int) = {
     val edges = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .union(pairs
@@ -732,8 +750,13 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "dlabel"), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+      // carry the pre-round label through as __old: the convergence
+      // count below then filters the materialized frame instead of
+      // re-joining it against `labels` — one fewer shuffle join per
+      // round at any scale, identical label dynamics and round count
+      // (DedupGroupsSpec pins exact rounds against the closed form)
       val afterNbr = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // Path halving — adopt the label's OWN current label — but
       // only once plain propagation has dragged past round 6: the
@@ -749,21 +772,19 @@ object Dedup {
         else afterNbr
           .join(afterNbr.select(col("id").as("label"),
             col("label").as("__ll")), Seq("label"), "left")
-          .select(col("id"),
+          .select(col("id"), col("__old"),
             least(col("label"), coalesce(col("__ll"), col("label")))
               .as("label"))
       val checkpointed = iter % 4 == 3
       val stepped =
         if (checkpointed) next.localCheckpoint(true)
         else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = stepped
-        .join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      changed = stepped.filter(col("label") =!= col("__old")).count()
       // `stepped` is fully materialized; its superseded plain-persist
       // predecessor would otherwise stay cached until GC
       prevPersisted.foreach(_.unpersist())
       prevPersisted = if (checkpointed) None else Some(stepped)
-      labels = stepped
+      labels = stepped.select(col("id"), col("label"))
       iter += 1
     }
     edges.unpersist()
@@ -773,7 +794,7 @@ object Dedup {
           s"($changed labels still changing) — returned labels are not " +
           "component minima; raise maxIter for long duplicate chains")
     }
-    labels
+    (labels, iter)
   }
 
   /** 64-bit SimHash over a token multiset (FNV-1a per token, weight =

@@ -1523,5 +1523,58 @@ private[queries] object ExtensionGraphStatsQueries {
       """
       }),
 
+    // Connected-components AT-SCALE witness on the worst-case shape:
+    // a single PATH whose diameter is the whole graph — the input
+    // that turns plain min-label propagation into O(diameter) rounds
+    // of full edge shuffles (the classic 100-TB CC failure) and the
+    // reason connectedComponents switches to pointer halving after
+    // round 6. The chain is 16× the documents table (doc_id·16+c,
+    // c∈[0,16), consecutive ids linked — contiguous-id arithmetic,
+    // no global sort/window anywhere), so sf0.1 runs an 80,000-hop
+    // chain that closes in 21 rounds instead of 80,000. The MEASURED
+    // round count is an oracle-checked COLUMN: the loop's reach
+    // dynamics on a path have the closed form reach(t) = t for t ≤ 6,
+    // reach(t) = 2·(reach(t−1)+1) after, exit one round after reach
+    // covers the diameter — replayed in DuckDB as a recursive CTE on
+    // nothing but count(*). Any change to the propagation cadence
+    // flips this row red. Labels are exact: one component, minimum 0.
+    QueryDef(
+      "q_cc_diameter_scale",
+      (s, dir) => {
+        val nDocs = Tables.documents(s, dir).count() // bounded scalar
+        val total = nDocs * 16L
+        val nodes = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(sequence(lit(0), lit(15)))
+            .as("c"))
+          .select((col("doc_id") * 16L + col("c")).as("k"))
+        val edges = nodes.filter(col("k") < total - 1L)
+          .select(col("k").as("id_a"), (col("k") + 1L).as("id_b"))
+        val (labels, rounds) =
+          Dedup.connectedComponentsWithRounds(edges)
+        labels
+          .agg(count(lit(1)).as("n_nodes"),
+            min(col("label")).as("label_min"),
+            countDistinct(col("label")).as("n_labels"))
+          .select(col("n_nodes"), lit(total - 1L).as("n_edges"),
+            col("label_min"), col("n_labels"),
+            lit(rounds.toLong).as("rounds"))
+      },
+      Some("""
+        WITH RECURSIVE n AS (
+          SELECT 16 * count(*) AS n FROM documents),
+        rec AS (
+          SELECT 1 AS t, CAST(1 AS BIGINT) AS reach
+          UNION ALL
+          SELECT t + 1,
+                 CASE WHEN t + 1 <= 6 THEN reach + 1
+                      ELSE 2 * (reach + 1) END
+          FROM rec, n WHERE reach < n.n - 1)
+        SELECT (SELECT CAST(n AS BIGINT) FROM n) AS n_nodes,
+               (SELECT CAST(n - 1 AS BIGINT) FROM n) AS n_edges,
+               CAST(0 AS BIGINT) AS label_min,
+               CAST(1 AS BIGINT) AS n_labels,
+               (SELECT CAST(max(t) + 1 AS BIGINT) FROM rec) AS rounds
+      """)),
+
   )
 }

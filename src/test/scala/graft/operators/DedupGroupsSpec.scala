@@ -51,4 +51,34 @@ class DedupGroupsSpec extends SparkSuite {
     assert(labels.values.forall(_ == 0L),
       s"non-zero labels: ${labels.filter(_._2 != 0L).take(5)}")
   }
+
+  test("connectedComponentsWithRounds matches the halving recurrence " +
+      "closed form on path graphs — the q_cc_diameter_scale replay") {
+    import spark.implicits._
+    // On a path, min-label reach is t for the 6 plain rounds then
+    // reach(t) = 2·(reach(t−1)+1); the loop exits one round after
+    // reach first covers the diameter. q_cc_diameter_scale oracles
+    // the MEASURED round count against this recurrence in DuckDB, so
+    // pin it here at three sizes (values cross-checked against a
+    // step-by-step simulation of the loop semantics).
+    def closedForm(n: Long): Int = {
+      var t = 0; var reach = 0L
+      while (reach < n - 1) {
+        t += 1
+        reach = if (t <= 6) reach + 1 else 2L * (reach + 1L)
+      }
+      t + 1
+    }
+    for ((n, expect) <- Seq((2L, 2), (10L, 8), (200L, 12))) {
+      assert(closedForm(n) === expect, s"closed form drifted at n=$n")
+      val chain = (0L until n - 1).map(i => (i, i + 1))
+        .toDF("id_a", "id_b")
+      val (labels, rounds) =
+        Dedup.connectedComponentsWithRounds(chain)
+      assert(rounds === expect,
+        s"n=$n: measured $rounds rounds, closed form $expect")
+      assert(labels.agg(org.apache.spark.sql.functions.max("label"))
+        .head.getLong(0) === 0L)
+    }
+  }
 }

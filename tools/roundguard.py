@@ -41,7 +41,8 @@ SF01_SMOKE = [
     "q_dedup_minhash", "q_dedup_minhash_scale", "q_bm25", "q_tpch_q17",
     "q_stream_scd2", "q_adf", "q_ann_topk", "q_mann_kendall",
     "q_window_funcs", "q_sessions", "q_url_canonical", "q_lang_id",
-    "q_kneser_ney", "q_pack_sequences", "q_tpch_q13", "q_tpch_q21"]
+    "q_kneser_ney", "q_pack_sequences", "q_tpch_q13", "q_tpch_q21",
+    "q_cc_diameter_scale"]
 
 
 def main():
