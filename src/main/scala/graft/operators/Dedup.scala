@@ -319,13 +319,7 @@ object Dedup {
     val buckets = minhashBuckets(shingles, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cool, _) = cooledBuckets(buckets, maxBucketSize)
-    val pairs = cool.as("a")
-      .join(cool.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    CacheLifecycle.sealAndRelease(pairs, buckets)
+    CacheLifecycle.sealAndRelease(bucketPairs(cool), buckets)
   }
 
   /** The hot-bucket split shared by every banding consumer: `(cool
@@ -340,6 +334,19 @@ object Dedup {
       .select(col("band"), col("key"))
     (buckets.join(broadcast(hot), Seq("band", "key"), "left_anti"), hot)
   }
+
+  /** The within-bucket candidate self-join — [[cooledBuckets]]'
+    * sibling single definition (operator and at-scale ledger must
+    * generate pairs IDENTICALLY or the witness drifts from what it
+    * claims to measure).
+    */
+  private def bucketPairs(cool: DataFrame): DataFrame =
+    cool.as("a")
+      .join(cool.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
 
   /** At-scale candidate ledger (VERDICT r15 #3): one row of the
     * quantities the MinHash-LSH linearity claim is made of —
@@ -356,12 +363,7 @@ object Dedup {
     val buckets = minhashBuckets(shingles, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (cool, hot) = cooledBuckets(buckets, maxBucketSize)
-    val pairs = cool.as("a")
-      .join(cool.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.key") === col("b.key") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val pairs = bucketPairs(cool)
     val ledger = buckets.agg(count(lit(1)).as("n_bucket_rows"))
       .crossJoin(hot.agg(count(lit(1)).as("n_hot_buckets")))
       .crossJoin(pairs.agg(count(lit(1)).as("n_candidates")))

@@ -92,17 +92,36 @@ case class SprtRow(group: String, n: Long, successes: Long)
   * the corpus's) plus the monotone count of folded events that lets
   * an update-mode sink pick each group's final row.
   */
-/** NOTE (round 16): adding `evictedDays` changed this state encoder's
-  * schema. Spark does not evolve `mapGroupsWithState` case-class state
-  * schemas, so a deployment restarting one of the four calendar
-  * monitors FROM A PRE-UPGRADE STREAMING CHECKPOINT fails state
-  * deserialization — drain or restart the query fresh across this
-  * upgrade (the monitors rebuild their calendar rollups from the
-  * replayed source). New checkpoints, and everything in this repo's
-  * memory-sink harness, are unaffected.
+/** NOTE (round 16): adding `evictedDays` and `evictedThrough` (the
+  * eviction horizon that makes `evicted_days` count DISTINCT days —
+  * a late event below the horizon is observed but never re-admitted,
+  * so it can't be re-evicted and double-counted) changed this state
+  * encoder's schema. Spark does not evolve `mapGroupsWithState`
+  * case-class state schemas, so a deployment restarting one of the
+  * four calendar monitors FROM A PRE-UPGRADE STREAMING CHECKPOINT
+  * fails state deserialization — drain or restart the query fresh
+  * across this upgrade (the monitors rebuild their calendar rollups
+  * from the replayed source). New checkpoints, and everything in
+  * this repo's memory-sink harness, are unaffected.
   */
 case class MkState(
-    days: Map[Long, Long], eventsSeen: Long, evictedDays: Long = 0L) {
+    days: Map[Long, Long], eventsSeen: Long, evictedDays: Long = 0L,
+    evictedThrough: Long = Long.MinValue) {
+
+  /** Fold one (day, increment) observation in, honoring the eviction
+    * horizon: a LATE event for a day at or below `evictedThrough`
+    * counts toward `events_seen` (it was observed) but is NOT
+    * re-admitted to the calendar map — watermark semantics. Without
+    * the guard a late day would re-enter, immediately be the oldest,
+    * be re-evicted, and inflate `evicted_days` past the number of
+    * distinct days ever dropped (so state_days + evicted_days would
+    * overcount total days observed).
+    */
+  def observe(di: Long, add: Long): MkState =
+    if (di <= evictedThrough) copy(eventsSeen = eventsSeen + 1L)
+    else copy(
+      days = days.updated(di, days.getOrElse(di, 0L) + add),
+      eventsSeen = eventsSeen + 1L)
   /** Drop-oldest calendar eviction (VERDICT r15 #6) — the documented
     * mitigation that makes the calendar-map monitors deployable on
     * UNBOUNDED calendars: with `maxStateDays` set, the day map is
@@ -124,7 +143,8 @@ case class MkState(
     else {
       val drop = days.keysIterator.toArray.sorted
         .take(days.size - maxStateDays)
-      MkState(days -- drop, eventsSeen, evictedDays + drop.length)
+      MkState(days -- drop, eventsSeen, evictedDays + drop.length,
+        math.max(evictedThrough, drop.last))
     }
 }
 
@@ -836,12 +856,7 @@ object StreamingOps {
     def update(g: String, rows: Iterator[MkObs],
         state: GroupState[MkState]): MkRow = {
       var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
-      rows.foreach { o =>
-        st = st.copy(
-          days = st.days.updated(
-            o.di, st.days.getOrElse(o.di, 0L) + o.cents),
-          eventsSeen = st.eventsSeen + 1L)
-      }
+      rows.foreach { o => st = st.observe(o.di, o.cents) }
       st = st.evictOldest(maxStateDays)
       state.update(st)
       val xs = st.days.toSeq.sortBy(_._1).map(_._2)
@@ -1880,11 +1895,7 @@ object StreamingOps {
     def update(g: String, rows: Iterator[DayObs],
         state: GroupState[MkState]): DfRow = {
       var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
-      rows.foreach { o =>
-        st = st.copy(
-          days = st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
-          eventsSeen = st.eventsSeen + 1L)
-      }
+      rows.foreach { o => st = st.observe(o.di, 1L) }
       st = st.evictOldest(maxStateDays)
       state.update(st)
       val xs = st.days.toSeq.sortBy(_._1).map(_._2)
@@ -1955,11 +1966,7 @@ object StreamingOps {
     def update(g: String, rows: Iterator[DayObs],
         state: GroupState[MkState]): AdfRow = {
       var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
-      rows.foreach { o =>
-        st = st.copy(
-          days = st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
-          eventsSeen = st.eventsSeen + 1L)
-      }
+      rows.foreach { o => st = st.observe(o.di, 1L) }
       st = st.evictOldest(maxStateDays)
       state.update(st)
       val xs = st.days.toSeq.sortBy(_._1).map(_._2)
@@ -2097,11 +2104,7 @@ object StreamingOps {
     def update(g: String, rows: Iterator[DayObs],
         state: GroupState[MkState]): DispRow = {
       var st = state.getOption.getOrElse(MkState(Map.empty, 0L))
-      rows.foreach { o =>
-        st = st.copy(
-          days = st.days.updated(o.di, st.days.getOrElse(o.di, 0L) + 1L),
-          eventsSeen = st.eventsSeen + 1L)
-      }
+      rows.foreach { o => st = st.observe(o.di, 1L) }
       st = st.evictOldest(maxStateDays)
       state.update(st)
       val n = st.days.size.toLong

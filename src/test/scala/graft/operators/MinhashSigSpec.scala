@@ -73,6 +73,16 @@ class MinhashSigSpec extends SparkSuite {
       .agg(graft.functions.elementwise_min(col("hs")).as("m"))
       .as[(Long, Seq[Long])].collect()
     assert(ok.toSeq === Seq((1L, Seq(3L, 2L))))
+    // a NULL ARRAY (nullable array of non-nullable elements) must be
+    // skipped by the fold, not treated as empty or corrupt the buffer
+    val withNullRow = Seq((1L, true), (1L, false), (1L, true))
+      .toDF("id", "keep")
+      .select(col("id"), when(col("keep"),
+        array(lit(7L), lit(4L))).as("hs")) // !keep -> null array
+      .groupBy(col("id"))
+      .agg(graft.functions.elementwise_min(col("hs")).as("m"))
+      .as[(Long, Seq[Long])].collect()
+    assert(withNullRow.toSeq === Seq((1L, Seq(7L, 4L))))
     val mixed = Seq((1L, Seq(5L, 2L)), (1L, Seq(3L)))
       .toDF("id", "hs")
       .groupBy(col("id"))

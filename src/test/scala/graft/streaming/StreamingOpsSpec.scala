@@ -827,6 +827,24 @@ class StreamingOpsSpec extends SparkSuite {
       assert(r3.getAs[Long]("evicted_days") === 80L, s"$r3")
       assert(r3.getAs[Long]("events_seen") ===
         (1 to 110).map(_.toLong).sum + 30L)
+      // trigger 4: a LATE event for an already-evicted day (50) must
+      // be observed (events_seen) but NOT re-admitted — watermark
+      // semantics. Without the horizon guard it would re-enter,
+      // immediately be the oldest, be re-evicted, and evicted_days
+      // would read 81 although only 80 distinct days were dropped.
+      input.addData(DayObs("g", 50L))
+      q.processAllAvailable()
+      val r4 = lastRow()
+      assert(r4.getAs[Long]("state_days") === 30L, s"$r4")
+      assert(r4.getAs[Long]("evicted_days") === 80L,
+        s"late re-entry double-counted an eviction: $r4")
+      assert(r4.getAs[Long]("events_seen") ===
+        (1 to 110).map(_.toLong).sum + 30L + 1L)
+      // and the retained-window statistics are bit-unchanged (the
+      // late day never touched the map)
+      assert(r4.getAs[Long]("n") === r3.getAs[Long]("n"))
+      assert(r4.getAs[Long]("su") === r3.getAs[Long]("su"))
+      assert(r4.getAs[Long]("suu") === r3.getAs[Long]("suu"))
     } finally q.stop()
     // mannKendallState shares MkState and the same policy
     val input2 = MemoryStream[MkObs]

@@ -24,10 +24,12 @@ smoke artifact for the same round: SF01_SMOKE_rN.json, produced by
   python3 tools/check.py --json SF01_SMOKE_rN.json \
       /tmp/verify_sf01 /root/testdata/sf0.1 <SF01_SMOKE queries>
 
-with every subset query "OK". The subset is small (14), non-pinned,
-and shape-diverse: dedup LSH + its 8x scale witness, retrieval,
-TPC-H decorrelation, streaming SCD2/ADF, ANN, window/sessionization,
-URL canonicalization, language-id, bigram LM, packing.
+with every subset query "OK". The subset (SF01_SMOKE below — the
+list is the source of truth, currently 17) is non-pinned and
+shape-diverse: dedup LSH + its 8x scale witness, retrieval, TPC-H
+decorrelation (Q17/Q13/Q21), streaming SCD2/ADF, ANN, Mann-Kendall,
+window/sessionization, URL canonicalization, language-id, bigram
+LM, packing, and the CC diameter witness.
 
 Driver-side tooling only — NOT part of the engine.
 """
