@@ -236,22 +236,12 @@ object Dedup {
         expr("(i * CAST(1000000 AS BIGINT)) div (na + nb - i)"))
       .filter(col("exact_ppm") >= minExactPpm)
       .select(col("id_a"), col("id_b"), col("exact_ppm"))
-    val seeds = sequence(lit(0), lit(numHashes - 1))
     // same md5 lattice, reformulated like minhashBuckets: each
     // shingle row computes its numHashes-long array once and the
     // ElementwiseMin fold combines them per doc — bit-identical
     // signatures (per-seed min over the same values), one array row
     // per doc instead of numHashes narrow rows
-    // coalesce(…, MaxValue) only flips Catalyst's nullability
-    // inference (ElementwiseMin requires non-nullable elements):
-    // shingles are never null, and MaxValue is min's identity anyway
-    val sigs = sh
-      .select(col("id"), transform(seeds, s =>
-        coalesce(conv(substring(md5(concat(s.cast("string"), lit(":"),
-          col("shingle"))), 1, 15), 16, 10).cast("long"),
-          lit(Long.MaxValue))).as("hs"))
-      .groupBy(col("id"))
-      .agg(graft.functions.elementwise_min(col("hs")).as("sig"))
+    val sigs = md5LatticeSignatures(sh, numHashes)
     exact
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")),
         Seq("id_a"))
@@ -284,15 +274,42 @@ object Dedup {
     * blowup but pays per-row encoder overhead, ~10× slower).
     * Output: (id, band, key) bucket rows.
     */
+  /** The per-doc ElementwiseMin signature fold — the ONE definition
+    * every signature consumer goes through (the [[bucketPairs]] /
+    * [[cooledBuckets]] rationale: two inlined copies of the fold
+    * would let an edit desynchronize calibration signatures from
+    * bucket signatures while both still compile). `hs` is the
+    * per-shingle-row hash-array column; elements must be inferred
+    * non-nullable (ElementwiseMin's analysis gate).
+    */
+  private def signatureFold(shingles: DataFrame, hs: Column): DataFrame =
+    shingles.select(col("id"), hs.as("hs"))
+      .groupBy(col("id"))
+      .agg(graft.functions.elementwise_min(col("hs")).as("sig"))
+
+  /** Per-doc MinHash signatures on the md5 REPLAYABLE-DRAW lattice
+    * (the engine's oracle-checkable hash convention, vs xxhash64 for
+    * production buckets): sig[s] = min over shingles of the first 15
+    * hex digits of md5(s ++ ":" ++ shingle). Shared by
+    * [[minhashCalibration]] and `q_lsh_operating_point` — same
+    * single-definition rule as [[signatureFold]]. The coalesce(…,
+    * MaxValue) only flips Catalyst's nullability inference
+    * (shingles are never null, and MaxValue is min's identity).
+    */
+  private[graft] def md5LatticeSignatures(
+      shingles: DataFrame, numHashes: Int): DataFrame =
+    signatureFold(shingles,
+      transform(sequence(lit(0), lit(numHashes - 1)), s =>
+        coalesce(conv(substring(md5(concat(s.cast("string"), lit(":"),
+          col("shingle"))), 1, 15), 16, 10).cast("long"),
+          lit(Long.MaxValue))))
+
   def minhashBuckets(
       shingles: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val seeds = sequence(lit(0), lit(numHashes - 1))
-    val sigs = shingles
-      .select(col("id"),
-        transform(seeds, s => xxhash64(s, col("shingle"))).as("hs"))
-      .groupBy(col("id"))
-      .agg(graft.functions.elementwise_min(col("hs")).as("sig"))
+    val sigs = signatureFold(shingles,
+      transform(seeds, s => xxhash64(s, col("shingle"))))
     val bandKeys = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(s => col("sig")(s)): _*)
@@ -715,7 +732,7 @@ object Dedup {
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 50): DataFrame =
-    connectedComponentsWithRounds(pairs, idA, idB, maxIter)._1
+    ccLoop(pairs, idA, idB, maxIter)._1
 
   /** [[connectedComponents]] plus the number of rounds the loop ran
     * (including the final no-change detection round) — the
@@ -727,12 +744,33 @@ object Dedup {
     * to the propagation cadence (the iter<6 gate, the halving step,
     * the convergence test) flips the measured round count and the
     * witness row goes red — the replay IS the spec of the dynamics.
+    *
+    * Contract difference from [[connectedComponents]]: this variant
+    * THROWS on non-convergence within `maxIter`. A caller asking for
+    * the round count is recording a MEASUREMENT — handing back
+    * `maxIter` with non-minimal labels and only a stderr warning
+    * would let a witness at a new scale silently stamp wrong
+    * numbers. (The plain variant keeps its warn-and-return behavior:
+    * its callers consume labels as a best-effort grouping.)
     */
   def connectedComponentsWithRounds(
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
       maxIter: Int = 50): (DataFrame, Int) = {
+    val (labels, iter, converged) = ccLoop(pairs, idA, idB, maxIter)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsWithRounds: no convergence in $maxIter " +
+        "rounds — the round count would be a lie and the labels are " +
+        "not component minima; raise maxIter")
+    (labels, iter)
+  }
+
+  private def ccLoop(
+      pairs: DataFrame,
+      idA: String,
+      idB: String,
+      maxIter: Int): (DataFrame, Int, Boolean) = {
     val edges = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .union(pairs
@@ -796,7 +834,7 @@ object Dedup {
           s"($changed labels still changing) — returned labels are not " +
           "component minima; raise maxIter for long duplicate chains")
     }
-    (labels, iter)
+    (labels, iter, changed == 0L)
   }
 
   /** 64-bit SimHash over a token multiset (FNV-1a per token, weight =

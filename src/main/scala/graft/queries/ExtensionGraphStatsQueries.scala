@@ -939,20 +939,11 @@ private[queries] object ExtensionGraphStatsQueries {
       (s, dir) => {
         val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
           .localCheckpoint(true)
-        // md5-lattice signatures, 16 hashes (the calibration kernel),
-        // folded per doc with ElementwiseMin exactly like
-        // Dedup.minhashBuckets — bit-identical band keys, one array
-        // row per doc instead of 16 narrow rows through the aggregate
-        // coalesce(…, MaxValue) only flips nullability inference for
-        // ElementwiseMin; shingles are never null, MaxValue = min id.
-        val sigs = sh
-          .select(col("id"), transform(
-            sequence(lit(0), lit(15)), sd =>
-              coalesce(conv(substring(md5(concat(sd.cast("string"),
-                lit(":"), col("shingle"))), 1, 15), 16, 10)
-                .cast("long"), lit(Long.MaxValue))).as("hs"))
-          .groupBy(col("id"))
-          .agg(graft.functions.elementwise_min(col("hs")).as("sig"))
+        // md5-lattice signatures, 16 hashes (the calibration kernel):
+        // the SAME Dedup.md5LatticeSignatures single definition the
+        // calibration query folds through — bit-identical band keys,
+        // one array row per doc instead of 16 narrow rows
+        val sigs = Dedup.md5LatticeSignatures(sh, 16)
         val bands = sigs
           .select(col("id"), explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),

@@ -24,6 +24,47 @@ class MinhashCalibrationSpec extends SparkSuite {
     assert(out.toSeq === Seq((1L, 2L, 1000000L, 1000000L, 0L)))
   }
 
+  test("the ElementwiseMin md5 fold is bit-identical to the " +
+      "posexplode/groupBy-min reference formulation") {
+    // the pre-round-16 calibration path, verbatim: explode the
+    // 16-long md5 hash array to narrow (id, seed, h) rows, plain
+    // min per (id, seed), count per-pair agreements over a seed
+    // join. Pins the reformulated operator (array fold + fused
+    // zip_with agreement) IN-SUITE, like MinhashSigSpec does for
+    // the xxhash64 bucket path — a regression confined to the new
+    // array path can't hide behind the coarse ppm-band test below.
+    val core = (0 until 20).map(i => s"core$i").mkString(" ")
+    val docs = (1L to 6L).map(i => (i, s"$core tail${i}a tail${i}b"))
+    val sh = shingles(docs)
+    val seeds = sequence(lit(0), lit(15))
+    val hs = sh
+      .select(col("id"), posexplode(transform(seeds, s =>
+        conv(substring(md5(concat(s.cast("string"), lit(":"),
+          col("shingle"))), 1, 15), 16, 10).cast("long"))))
+      .withColumnRenamed("pos", "seed").withColumnRenamed("col", "h")
+      .groupBy(col("id"), col("seed")).agg(min(col("h")).as("h"))
+    val ref = hs.select(col("id").as("id_a"), col("seed"),
+        col("h").as("ha"))
+      .join(hs.select(col("id").as("id_b"), col("seed"),
+        col("h").as("hb")), Seq("seed"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L))
+        .as("matches"))
+      .select(col("id_a"), col("id_b"),
+        expr("(matches * CAST(1000000 AS BIGINT)) div 16")
+          .as("est_ppm"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    val got = Dedup.minhashCalibration(sh, 16, 0L)
+      .select(col("id_a"), col("id_b"), col("est_ppm"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, est) =>
+      assert(ref((a, b)) === est, s"pair ($a,$b): ref ${ref((a, b))}")
+    }
+  }
+
   test("estimates land within a plausible band of exact and the " +
       "audit is partitioning-independent") {
     // near-dup family: shared 20-token core, distinct 2-token tails
