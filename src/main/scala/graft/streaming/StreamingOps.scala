@@ -294,6 +294,30 @@ object StreamingOps {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Start `out` into a fresh memory sink, drain it once (the
+    * bounded-input one-pass pattern every helper here uses), stop,
+    * and return the sink contents pinned with an eager
+    * localCheckpoint — then DROP the sink table. A named memory sink
+    * left registered retains its full result set in the driver for
+    * the life of the session (31 helpers × repeated bench/verify
+    * invocations grew monotonically); checkpoint blocks are
+    * ContextCleaner-managed and reclaimed once the returned frame is
+    * unreferenced.
+    */
+  private def drainToFrame(
+      out: DataFrame,
+      mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
+    val spark = out.sparkSession
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.writeStream.outputMode(mode)
+      .format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val result = spark.table(name).localCheckpoint(eager = true)
+    spark.catalog.dropTempView(name)
+    result
+  }
+
   /** The file stream source wants a directory; when given a single
     * file, stream its parent with a glob filter on the file name.
     * Probed through the Hadoop FileSystem API, not java.io.File — the
@@ -306,7 +330,11 @@ object StreamingOps {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) && fs.getFileStatus(p).isFile)
-      (p.getParent.toString, p.getName)
+      // the name becomes a pathGlobFilter PATTERN — escape glob
+      // metacharacters or a file literally named events[2024].parquet
+      // silently matches events2.parquet instead of itself
+      (p.getParent.toString,
+        p.getName.replaceAll("([\\[\\]{}*?\\\\])", "\\\\$1"))
     else (path, "*")
   }
 
@@ -412,13 +440,8 @@ object StreamingOps {
     val stream = readEventStream(spark, path)
       .select(col("user_id"), unix_micros(col("ts")).as("us")).as[Ev]
     val spans = sessionSpans(stream, gapSeconds)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = spans.toDF().writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val __sink = drainToFrame(spans.toDF(), OutputMode.Append)
+    __sink
   }
 
   /** Streaming SCD2: closed dimension-history intervals via
@@ -467,13 +490,8 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[Chg]
     val out = scd2Intervals(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val __sink = drainToFrame(out.toDF(), OutputMode.Append)
+    __sink
   }
 
   /** Streaming last-touch attribution: the batch `q_attribution`
@@ -518,13 +536,8 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[Chg]
     val out = attributionStream(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val __sink = drainToFrame(out.toDF(), OutputMode.Append)
+    __sink
   }
 
   /** Streaming EWMA (α=1/2): the [[graft.operators.TimeSeries]]
@@ -564,19 +577,14 @@ object StreamingOps {
       .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
         col("event_id").as("tie"), col("value").as("v")).as[Meas]
     val out = ewmaState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     // Update mode appends one row per key per trigger; keep only the
     // LAST state per key (max n — n is monotone in the fold) so the
     // result is one row per user even if the file source happens to
     // split the input into several micro-batches.
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("n").desc)
-    spark.table(name)
+    __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -622,13 +630,8 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[Chg]
     val out = debounceStream(stream, gapUs)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val __sink = drainToFrame(out.toDF(), OutputMode.Append)
+    __sink
       .select(col("event_id"), col("user_id"), col("event_type"))
   }
 
@@ -670,16 +673,11 @@ object StreamingOps {
       .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
         col("event_id").as("tie"), col("value").as("v")).as[Meas]
     val out = holtState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     // last state per key only — see ewmaHistory
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("n").desc)
-    spark.table(name)
+    __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -742,15 +740,10 @@ object StreamingOps {
       .select(col("user_id").as("key"), unix_micros(col("ts")).as("us"),
         col("event_id").as("tie"), col("value").as("v")).as[Meas]
     val out = holtWintersState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("key")).orderBy(col("n").desc)
-    spark.table(name)
+    __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -809,12 +802,7 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[Chg]
     val out = funnelState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("userId")).orderBy(col("n").desc)
     val stage = when(col("t1") === 0L, 0)
@@ -822,7 +810,7 @@ object StreamingOps {
       .when(col("t3") === 0L || col("t3") <= col("t2"), 2)
       .when(col("t4") === 0L || col("t4") <= col("t3"), 3)
       .otherwise(4)
-    spark.table(name)
+    __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -895,15 +883,10 @@ object StreamingOps {
           .cast("long").as("di"),
         round(col("value") * 100).cast("long").as("cents")).as[MkObs]
     val out = mannKendallState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("events_seen").desc)
-    spark.table(name)
+    __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -960,6 +943,16 @@ object StreamingOps {
         cum += t
       }
       val n = cum
+      // LOUD replay bound (the AdfRow/adfFromSums convention): the
+      // variance numerator 2n(n+1)(2n+1) wraps Long past n ≈ 1.31e6
+      // nonzero pairs per group — wrapped-negative rows would be
+      // silently dropped by the history's var_num > 0 filter, and a
+      // wrapped-positive one would fabricate z. Groups that large
+      // must pre-aggregate upstream.
+      require(n <= 1300000L,
+        s"wilcoxonState: group '$g' holds $n nonzero pairs; the exact " +
+          "Long variance numerator 2n(n+1)(2n+1) wraps past ~1.31e6 — " +
+          "pre-aggregate or shard the group")
       WsrRow(g, n, w2, n * (n + 1L) / 2L,
         2L * n * (n + 1L) * (2L * n + 1L) - tie, st.eventsSeen)
     }
@@ -986,15 +979,10 @@ object StreamingOps {
         (lit(5) * size(split(col("text"), " ")))
           .cast("long").as("y")).as[WsrObs]
     val out = wilcoxonState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("events_seen").desc)
-    spark.table(name)
+    __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -1069,16 +1057,11 @@ object StreamingOps {
         expr("CAST(ROUND(value * 100) AS BIGINT) div 1000")
           .as("x")).as[EnObs]
     val out = psiState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group"))
       .orderBy((col("n_a") + col("n_b")).desc)
-    spark.table(name)
+    __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -1134,16 +1117,11 @@ object StreamingOps {
         (pmod(col("user_id"), lit(2L)) === 1).as("b"),
         round(col("value") * 100).cast("long").as("x")).as[EnObs]
     val out = msprtState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group"))
       .orderBy((col("n_a") + col("n_b")).desc)
-    val last = spark.table(name)
+    val last = __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -1217,15 +1195,10 @@ object StreamingOps {
         (pmod(col("user_id"), lit(2L)) === 1).as("b"),
         round(col("value") * 100).cast("long").as("x")).as[EnObs]
     val out = energyState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("events_seen").desc)
-    val last = spark.table(name)
+    val last = __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -1284,16 +1257,11 @@ object StreamingOps {
       .select(col("event_type").as("group"),
         (col("value") > 50).as("ok")).as[SprtObs]
     val out = sprtState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("n").desc)
     graft.operators.AbTest.sprtDecision(
-      spark.table(name)
+      __sink
         .withColumn("__rn", org.apache.spark.sql.functions.row_number()
           .over(wLast))
         .filter(col("__rn") === 1)
@@ -1379,13 +1347,8 @@ object StreamingOps {
           .when(length(col("text")) < minChars, "too_short")
           .as("failed_rule"))
       .where(col("failed_rule").isNotNull)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = rejected.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val __sink = drainToFrame(rejected, OutputMode.Append)
+    __sink
   }
 
   /** Streaming model serving: classify each micro-batch of documents
@@ -1416,17 +1379,39 @@ object StreamingOps {
     val docs = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(dir)
+    // batch=<id> partition dirs + per-batch overwrite make the sink
+    // IDEMPOTENT under foreachBatch's at-least-once contract: a
+    // replayed micro-batch overwrites its own output instead of
+    // appending a duplicate copy, and a full re-run against the same
+    // outDir converges to the same result instead of unioning runs
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.NaiveBayes
-          .classify(model, batch, "doc_id", "text")
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.operators.NaiveBayes
+            .classify(model, batch, "doc_id", "text")
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    readBatchedSink(spark, outDir,
+      graft.operators.NaiveBayes.classify(
+        model, spark.read.parquet(path).limit(0), "doc_id", "text"))
+  }
+
+  /** Read back a batch=<id>-partitioned foreachBatch sink, dropping
+    * the partition column; an input that produced ZERO batches (no
+    * matching files) leaves no sink directory — return the empty
+    * frame with the caller's schema instead of PATH_NOT_FOUND.
+    */
+  private def readBatchedSink(
+      spark: SparkSession, outDir: String,
+      emptyShape: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) emptyShape
+    else spark.read.parquet(outDir).drop("batch")
   }
 
   /** Streaming per-group table fingerprints: the
@@ -1459,13 +1444,8 @@ object StreamingOps {
         pmod(sum(col("__h").cast(d38)),
           lit(2305843009213693952L).cast(d38))
           .cast("long").as("sum_sig"))
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val __sink = drainToFrame(agg, OutputMode.Complete)
+    __sink
   }
 
   /** Streaming percolation: every micro-batch of incoming docs is
@@ -1486,19 +1466,26 @@ object StreamingOps {
     val (dir, glob) = dirAndGlob(spark, path)
     val docs = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
+    // same idempotent batch=<id> sink convention as
+    // classifiedDocStream (replayed batches overwrite themselves)
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Percolator.percolate(
-            batch.select(col("doc_id"),
-              split(col("text"), " ", -1).as("tokens")),
-            "doc_id", "tokens", queries, queryIdCol, termCol)
-          .write.mode("append").parquet(outDir)
-        ()
+      .foreachBatch {
+        (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.operators.Percolator.percolate(
+              batch.select(col("doc_id"),
+                split(col("text"), " ", -1).as("tokens")),
+              "doc_id", "tokens", queries, queryIdCol, termCol)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    readBatchedSink(spark, outDir,
+      graft.operators.Percolator.percolate(
+        spark.read.parquet(path).limit(0)
+          .select(col("doc_id"), split(col("text"), " ", -1).as("tokens")),
+        "doc_id", "tokens", queries, queryIdCol, termCol))
   }
 
   /** Streaming incremental NEAR-dup ingest — the production loop
@@ -1534,11 +1521,39 @@ object StreamingOps {
       shingleK: Int,
       bands: Int,
       rowsPerBand: Int,
-      minJaccard: Double): org.apache.spark.sql.streaming.StreamingQuery =
+      minJaccard: Double): org.apache.spark.sql.streaming.StreamingQuery = {
+    // IDEMPOTENCE (foreachBatch is at-least-once): every write is a
+    // batch=<key> partition dir with per-batch OVERWRITE, and the
+    // store/corpus reads EXCLUDE the current key — so processing a
+    // batch is a pure function of the prior batches' stores and the
+    // batch, and a replayed micro-batch (crash between the pairs
+    // write and the store appends, speculative re-run, …) converges
+    // to the same on-disk state instead of duplicating pairs or
+    // double-appending the batch. The key is base + batchId, where
+    // base is 1 + the largest key already in the pairs store at
+    // query start: a BRAND-NEW query continuing the same stores
+    // (fresh MemoryStream/no checkpoint — batch ids restart at 0)
+    // then extends the keyspace instead of clobbering the earlier
+    // run's batches. Remaining caveat, documented: a restart FROM A
+    // CHECKPOINT allocates a new base, so a batch that crashed
+    // mid-write in the previous process can leave its partial
+    // batch=<old key> pairs dir behind — clean the last uncommitted
+    // key on such a restart (or run with a fresh pairs dir).
+    val streamSpark = stream.sparkSession
+    val base: Long = {
+      val p = new org.apache.hadoop.fs.Path(pairsDir)
+      val fs = p.getFileSystem(streamSpark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") =>
+          n.stripPrefix("batch=").toLong }
+        .foldLeft(-1L)(math.max) + 1L
+    }
     stream.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
+        val key = base + id
         val b = batch.persist()
         try {
           if (b.count() > 0L) {
@@ -1551,36 +1566,40 @@ object StreamingOps {
               val path = new org.apache.hadoop.fs.Path(p)
               val fs = path.getFileSystem(
                 spark.sparkContext.hadoopConfiguration)
-              fs.exists(path) && fs.listStatus(path)
-                .exists(_.getPath.getName.endsWith(".parquet"))
+              fs.exists(path) && fs.listStatus(path).nonEmpty
             }
-            val corpus =
-              if (dirNonEmpty(corpusDir))
-                spark.read.parquet(corpusDir).unionByName(b)
-              else b
-            val store =
-              if (dirNonEmpty(storeDir)) spark.read.parquet(storeDir)
-              else // first batch: an empty, schema-correct store
-                graft.operators.Dedup.minhashBuckets(
-                  graft.operators.Dedup.shingleSets(
-                    b.filter(lit(false)), idCol, tokensCol, shingleK),
-                  bands, rowsPerBand)
+            // prior-batch view only: excluding THIS key makes a
+            // replay read the same world the first attempt saw
+            def readPrior(dir: String): Option[
+                org.apache.spark.sql.DataFrame] =
+              if (!dirNonEmpty(dir)) None
+              else Some(spark.read.parquet(dir)
+                .filter(col("batch") =!= key).drop("batch"))
+            val corpus = readPrior(corpusDir)
+              .map(_.unionByName(b)).getOrElse(b)
+            val store = readPrior(storeDir).getOrElse(
+              // first batch: an empty, schema-correct store
+              graft.operators.Dedup.minhashBuckets(
+                graft.operators.Dedup.shingleSets(
+                  b.filter(lit(false)), idCol, tokensCol, shingleK),
+                bands, rowsPerBand))
             graft.operators.Dedup
               .incrementalMinhashPairsFromStore(corpus, batchIds, store,
                 idCol, tokensCol, shingleK, bands, rowsPerBand, minJaccard)
-              .write.mode("append").parquet(pairsDir)
+              .write.mode("overwrite").parquet(s"$pairsDir/batch=$key")
             // store maintenance AFTER pair emission: the pair kernel
             // must see the batch only on its new side
             graft.operators.Dedup.minhashBuckets(
                 graft.operators.Dedup.shingleSets(
                   b, idCol, tokensCol, shingleK), bands, rowsPerBand)
-              .write.mode("append").parquet(storeDir)
-            b.write.mode("append").parquet(corpusDir)
+              .write.mode("overwrite").parquet(s"$storeDir/batch=$key")
+            b.write.mode("overwrite").parquet(s"$corpusDir/batch=$key")
           }
         } finally b.unpersist()
         ()
       }
       .start()
+  }
 
   /** Runs [[dedupWithinWatermark]] over the events parquet (memory
     * sink, append mode) keyed on (user_id, event_type), returning the
@@ -1597,13 +1616,8 @@ object StreamingOps {
     val stream = readEventStream(spark, path)
     val deduped =
       dedupWithinWatermark(stream, Seq("user_id", "event_type"), "ts", watermark)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).select(col("user_id"), col("event_type"))
+    val __sink = drainToFrame(deduped, OutputMode.Append)
+    __sink.select(col("user_id"), col("event_type"))
   }
 
   /** Runs [[joinWithinInterval]] as a click-attribution stream: each
@@ -1633,13 +1647,8 @@ object StreamingOps {
     val joined = joinWithinInterval(conv, clicks,
       "conv_user", "click_user", "conv_ts", "click_ts",
       watermark, windowSeconds)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).select(col("conv_id"), col("click_id"))
+    val __sink = drainToFrame(joined, OutputMode.Append)
+    __sink.select(col("conv_id"), col("click_id"))
   }
 
   /** Stream-STATIC enrichment: each micro-batch of events joined to a
@@ -1662,13 +1671,8 @@ object StreamingOps {
       col(streamKey) === col(dimKey))
       .select((col("event_id") +: col(streamKey).as("key") +:
         dimCols.map(col)): _*)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val __sink = drainToFrame(joined, OutputMode.Append)
+    __sink
   }
 
   /** LEFT-OUTER streaming attribution: every conversion, matched to
@@ -1715,19 +1719,22 @@ object StreamingOps {
         col("click_ts") >= col("conv_ts") -
           expr(s"INTERVAL $windowSeconds SECONDS"),
       "left_outer")
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).select(col("conv_id"), col("click_id"))
+    val __sink = drainToFrame(joined, OutputMode.Append)
+    __sink.select(col("conv_id"), col("click_id"))
   }
 
   /** Hourly tumbling-window counts and exact sums per event_type.
-    * Watermark bounds state; complete output mode emits every window
-    * (append would withhold windows newer than the final watermark).
     * Money-style sums run in DECIMAL for order-independence.
+    *
+    * OUTPUT-MODE caveat: this helper runs COMPLETE mode so the
+    * bounded one-batch replay emits every window (append would
+    * withhold windows newer than the final watermark). In complete
+    * mode Spark retains ALL window state for the stream's lifetime —
+    * the watermark evicts NOTHING — so this exact helper must not be
+    * deployed on an unbounded stream. The production path is the
+    * shared [[windowedCounts]] transform in append/update mode,
+    * where the watermark genuinely bounds state (the
+    * watermark-eviction spec drives that path across micro-batches).
     */
   def eventWindowCounts(
       spark: SparkSession,
@@ -1735,28 +1742,13 @@ object StreamingOps {
       watermark: String = "1 hour"): DataFrame = {
     val stream = readEventStream(spark, path)
     val agg = windowedCounts(stream, watermark)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name).select(
+    val __sink = drainToFrame(agg, OutputMode.Complete)
+    __sink.select(
       unix_timestamp(col("window.start")).as("hour_start"),
       col("event_type"), col("n"),
       col("sum_value").cast("double").as("sum_value"))
   }
 
-  /** Streaming top-k event types per hourly window — the live
-    * "what's trending this hour" board. The stream side is exactly
-    * the [[eventWindowCounts]] watermarked aggregation (state =
-    * windows×types cells, watermark-evicted); the rank is a
-    * STATELESS projection over those cells — per trigger it costs a
-    * cells-sized window sort, never a second corpus pass — so the
-    * final board equals the batch rank over the same counts by
-    * construction. Ties break (n desc, event_type asc), the engine's
-    * quirk-Q6 order.
-    */
   /** Per-user event-type transitions as a stream: state = the ONE
     * last-seen event per user (O(1), the attribution/debounce bound),
     * each arriving event emits the (previous → current) pair under
@@ -1796,13 +1788,8 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_type"), col("event_id")).as[Chg]
     val pairs = transitionPairs(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = pairs.toDF().writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val counts = spark.table(name)
+    val __sink = drainToFrame(pairs.toDF(), OutputMode.Append)
+    val counts = __sink
       .groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
     // fresh name on the totals key: both sides descend from the same
@@ -1816,6 +1803,15 @@ object StreamingOps {
         expr("(n * CAST(1000000 AS BIGINT)) div __t").as("p_ppm"))
   }
 
+  /** Streaming top-k event types per hourly window — the live
+    * "what's trending this hour" board. The stream side is exactly
+    * the [[eventWindowCounts]] aggregation (see its output-mode
+    * caveat); the rank is a STATELESS projection over those cells —
+    * per trigger it costs a cells-sized window sort, never a second
+    * corpus pass — so the final board equals the batch rank over the
+    * same counts by construction. Ties break (n desc, event_type
+    * asc), the engine's quirk-Q6 order.
+    */
   def windowTypeTopK(
       spark: SparkSession,
       path: String,
@@ -1851,17 +1847,12 @@ object StreamingOps {
     require(z > 0, s"z: $z")
     val stream = readEventStream(spark, path)
     val agg = windowedCounts(stream, watermark)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(agg, OutputMode.Complete)
     // every column re-aliased: the memory-sink view hands out FIXED
     // attribute ids (with watermark metadata), so a frame joined with
     // its own aggregate trips conflicting-reference resolution unless
     // each read mints fresh exprIds
-    def countsFrom: DataFrame = spark.table(name).select(
+    def countsFrom: DataFrame = __sink.select(
       col("event_type").as("event_type"),
       unix_timestamp(col("window.start")).as("hour_start"),
       col("n").as("n"))
@@ -1928,15 +1919,10 @@ object StreamingOps {
       .select(col("event_type").as("group"),
         unix_micros(date_trunc("day", col("ts"))).as("di")).as[DayObs]
     val out = dickeyFullerState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("events_seen").desc)
-    val per = spark.table(name)
+    val per = __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -2001,15 +1987,10 @@ object StreamingOps {
       .select(col("event_type").as("group"),
         unix_micros(date_trunc("day", col("ts"))).as("di")).as[DayObs]
     val out = adfState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("events_seen").desc)
-    val per = spark.table(name)
+    val per = __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -2066,15 +2047,10 @@ object StreamingOps {
         (pmod(col("user_id"), lit(2L)) === 1).as("b"),
         round(col("value") * 100).cast("long").as("x")).as[EnObs]
     val out = smdState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("events_seen").desc)
-    val per = spark.table(name)
+    val per = __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -2130,15 +2106,10 @@ object StreamingOps {
       .select(col("event_type").as("group"),
         unix_micros(date_trunc("day", col("ts"))).as("di")).as[DayObs]
     val out = dispersionState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("events_seen").desc)
-    val per = spark.table(name)
+    val per = __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -2175,13 +2146,20 @@ object StreamingOps {
       state.update(st)
       val nA = st.a.valuesIterator.sum
       val nB = st.bm.valuesIterator.sum
-      val vals = (st.a.keySet ++ st.bm.keySet).toSeq.sorted
+      // Array, not Seq: positional vals(i + 1) on a List would make
+      // the lattice walk O(D²) per trigger (the energyState walk
+      // avoids indexing; here the successor gap needs it, so index
+      // an array)
+      val vals = (st.a.keySet ++ st.bm.keySet).toArray.sorted
       var cumA = 0L; var cumB = 0L; var num = 0L
-      vals.zipWithIndex.foreach { case (v, i) =>
+      var i = 0
+      while (i < vals.length) {
+        val v = vals(i)
         cumA += st.a.getOrElse(v, 0L)
         cumB += st.bm.getOrElse(v, 0L)
-        if (i + 1 < vals.size)
+        if (i + 1 < vals.length)
           num += math.abs(cumA * nB - cumB * nA) * (vals(i + 1) - v)
+        i += 1
       }
       WsRow(g, nA, nB, num, st.eventsSeen)
     }
@@ -2204,15 +2182,10 @@ object StreamingOps {
         (pmod(col("user_id"), lit(2L)) === 1).as("b"),
         round(col("value") * 100).cast("long").as("x")).as[EnObs]
     val out = wassersteinState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("events_seen").desc)
-    spark.table(name)
+    __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -2260,18 +2233,13 @@ object StreamingOps {
       .select(col("event_type").as("a"),
         pmod(col("user_id"), lit(3L)).as("c")).as[GtObs]
     val out = gtestCellState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a"), col("c")).orderBy(col("o").desc)
     // the combine margin-joins the cell table to itself; the memory
     // view's attributes collide across the self-join branches, so
     // pin the (tiny, cell-count-sized) table first
-    val cells = spark.table(name)
+    val cells = __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -2323,15 +2291,10 @@ object StreamingOps {
         (pmod(col("user_id"), lit(2L)) === 1).as("b"),
         (col("value") >= 100.0).as("y")).as[CmhObs]
     val out = cmhState(stream)
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    val __sink = drainToFrame(out.toDF(), OutputMode.Update)
     val wLast = org.apache.spark.sql.expressions.Window
       .partitionBy(col("group")).orderBy(col("n").desc)
-    val per = spark.table(name)
+    val per = __sink
       .withColumn("__rn", org.apache.spark.sql.functions.row_number()
         .over(wLast))
       .filter(col("__rn") === 1)
@@ -2353,12 +2316,17 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("ts")).as("us")).as[Ev]
     val sessions = sessionize(stream, gapSeconds)
 
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = sessions.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val __sink = drainToFrame(sessions.toDF(), OutputMode.Update)
+    // update mode appends one row per user per trigger — keep only
+    // the LAST snapshot per user (n_events is monotone in the fold),
+    // the ewmaHistory guard, so a multi-micro-batch source split
+    // can't leave intermediate duplicates in the result
+    val wLast = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    __sink
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number()
+        .over(wLast))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("n_events"), col("n_sessions"))
   }
 }
