@@ -1,9 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types._
 
 /** Native cosine similarity over two embedding arrays
   * (array<float> or array<double>), accumulated in double.
@@ -15,41 +14,26 @@ import org.apache.spark.sql.types._
   * allocates an intermediate array per row — on a 100 TB scan the
   * difference is the scan rate. Accumulation order matches the HOF
   * fold (sequential), so results are bit-identical to the previous
-  * formulation and to the DuckDB oracles.
+  * formulation and to the DuckDB oracles. Length-mismatch and
+  * null-element hardening: [[BinaryVectorFold]].
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryVectorFold {
 
-  override def dataType: DataType = DoubleType
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "cosine_similarity"
-
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float|double> inputs, got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    requireSameLength(a, b)
+    val n = a.numElements()
     val aF = elemIsFloat(left); val bF = elemIsFloat(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
@@ -69,16 +53,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      // the null-element branch exists only when a side's element
+      // type is nullable — non-nullable inputs keep the tight loop
+      val nullCheck =
+        if (anyElemNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+                ${ev.isNull} = true; break;
+              }"""
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        ${lengthGuardCode(a, b)}
+        int $n = $a.numElements();
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
           double $x = (double) $a.$aGet($i);
           double $y = (double) $b.$bGet($i);
           $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
         }
-        ${ev.value} = $dot /
-          (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        if (!${ev.isNull}) {
+          ${ev.value} = $dot /
+            (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        }
       """
     })
   }

@@ -55,12 +55,17 @@ case class ElementwiseMin(
       case dt => TypeCheckResult.TypeCheckFailure(
         s"elementwise_min requires array<bigint>, got ${dt.sql}")
     }
-  override def nullable: Boolean = false
+  // a group whose every array value is null folds nothing and evals
+  // to NULL (standard aggregate semantics, like min over all-nulls)
+  // — never to the empty-buffer sentinel, which downstream sig[i]
+  // indexing would read as garbage
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "elementwise_min"
 
-  /** Empty = "no rows folded yet" sentinel (real inputs are fixed
-    * nonzero length).
+  /** Empty = "no rows folded yet" sentinel (real inputs are required
+    * nonzero length — update raises on a zero-length array, which
+    * would otherwise be indistinguishable from the sentinel).
     */
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
@@ -69,6 +74,10 @@ case class ElementwiseMin(
     if (v == null) buffer
     else {
       val arr = v.asInstanceOf[ArrayData].toLongArray()
+      require(arr.length > 0,
+        "elementwise_min: empty array input — zero-length arrays are " +
+          "indistinguishable from the uninitialized buffer and would " +
+          "be silently skipped; filter them out upstream")
       if (buffer.isEmpty) arr
       else {
         require(arr.length == buffer.length,
@@ -100,7 +109,8 @@ case class ElementwiseMin(
       buffer
     }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.isEmpty) null else new GenericArrayData(buffer)
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + 8 * buffer.length)

@@ -1,9 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types._
 
 /** Native squared euclidean distance over two embedding arrays
   * (array<float> or array<double>), accumulated in double — the kNN
@@ -14,41 +13,26 @@ import org.apache.spark.sql.types._
   * kNN build inside whole-stage codegen; the `zip_with`/`aggregate`
   * formulation is interpreted and allocates an intermediate array per
   * pair. Accumulation is the same sequential fold, so results are
-  * bit-identical to the HOF version.
+  * bit-identical to the HOF version. Length-mismatch and
+  * null-element hardening: [[BinaryVectorFold]].
   */
 case class EuclideanDist2(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryVectorFold {
 
-  override def dataType: DataType = DoubleType
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "euclidean_dist2"
-
-  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
-  }
-
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float|double> inputs, got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
-  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    requireSameLength(a, b)
+    val n = a.numElements()
     val aF = elemIsFloat(left); val bF = elemIsFloat(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       val d = x - y
@@ -66,14 +50,24 @@ case class EuclideanDist2(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
+      val nullCheck =
+        if (anyElemNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+                ${ev.isNull} = true; break;
+              }"""
+        else ""
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        ${lengthGuardCode(a, b)}
+        int $n = $a.numElements();
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          $nullCheck
           double $d = (double) $a.$aGet($i) - (double) $b.$bGet($i);
           $s += $d * $d;
         }
-        ${ev.value} = $s;
+        if (!${ev.isNull}) {
+          ${ev.value} = $s;
+        }
       """
     })
   }

@@ -86,8 +86,14 @@ object PublicSuffixes {
   }
 
   /** Label count of the host's public suffix under [[rules]]. */
-  def publicSuffixLabels(host: String): Int = {
-    val ls = host.split('.')
+  def publicSuffixLabels(host: String): Int =
+    publicSuffixLabels(host.split('.'))
+
+  /** [[publicSuffixLabels]] over a pre-split label array — the
+    * per-row hot path ([[registrable]]) splits the host ONCE and
+    * passes the labels to both steps.
+    */
+  def publicSuffixLabels(ls: Array[String]): Int = {
     val n = ls.length
     var best = 1
     var excLen = -1
@@ -111,8 +117,8 @@ object PublicSuffixes {
     */
   def registrable(host: String): String = {
     if (host.isEmpty || host.indexOf('.') < 0) return host
-    val p = publicSuffixLabels(host)
-    val ls = host.split('.')
+    val ls = host.split('.') // once — shared with the suffix walk
+    val p = publicSuffixLabels(ls)
     val n = ls.length
     if (n <= p + 1) host
     else {

@@ -28,11 +28,18 @@ object Redaction {
   val ipv4Pattern: String =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** 9+ digits with optional +, spaces, dashes, dots, parens between —
-    * the international phone shape. Anchored on word boundaries.
+  /** 8–15 DIGITS (the E.164 national-number range; the fixture's
+    * planted "+1 555 01xx" is 8) with at most 3 separator characters
+    * (space, dot, dash, parens) between consecutive digits — the
+    * international phone shape, anchored on word boundaries. The
+    * separator bound is load-bearing: an earlier revision counted
+    * separators toward the length ("[0-9 ().-]{7,}"), which needed
+    * only TWO digits total and redacted ordinary numeric prose like
+    * "versions 1.0 - 2.0 - 3.0" as <PHONE>. Still RE2-safe (bounded
+    * repetition, no lookaround).
     */
   val phonePattern: String =
-    "\\+?\\b[0-9][0-9 ().-]{7,}[0-9]\\b"
+    "\\+?\\b[0-9](?:[ ().-]{0,3}[0-9]){7,14}\\b"
 
   def redactEmails(c: Column): Column =
     regexp_replace(c, emailPattern, "<EMAIL>")

@@ -207,8 +207,13 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"),
         (lit(1.0) - col("n_types").cast("double")
           / col("n_tokens").cast("double")).as("dup_token_frac"),
+        // fraction of BIGRAM POSITIONS held by the top bigram —
+        // always in [0, 1]. (An earlier revision used max_bi·2 /
+        // n_tokens, "tokens covered": overlapping occurrences share
+        // tokens, so "x x x" scored 4/3 — a fraction above 1.)
         coalesce(
-          col("max_bi") * lit(2.0) / col("n_tokens").cast("double"),
+          col("max_bi").cast("double")
+            / greatest(col("n_tokens") - 1L, lit(1L)).cast("double"),
           lit(0.0)).as("top_bigram_frac"))
   }
 

@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** array<float> → dense MLlib vector (for KMeans/PCA inputs). */
+  /** array<float> → dense MLlib vector (for KMeans/PCA inputs).
+    * Null-propagating like every other function in this package —
+    * Spark hands a null array straight to a reference-typed UDF, and
+    * an unguarded map would NPE the whole fit job on one null row.
+    */
   val toMlVector = udf { arr: Seq[Float] =>
-    Vectors.dense(arr.map(_.toDouble).toArray)
+    if (arr == null) null
+    else Vectors.dense(arr.map(_.toDouble).toArray)
   }
 
   /** Dot product of two array<float/double> columns via

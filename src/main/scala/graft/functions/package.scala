@@ -80,13 +80,6 @@ package object functions {
     * Null score/id rows are skipped, not ranked last
     * (see [[TopKByScore]]).
     */
-  /** Per-group elementwise minimum of equal-length `array<bigint>`
-    * columns — the MinHash signature fold (see [[ElementwiseMin]]).
-    */
-  def elementwise_min(arr: Column): Column =
-    Bridge.column(
-      ElementwiseMin(Bridge.expression(arr)).toAggregateExpression())
-
   def top_k_by(score: Column, id: Column, k: Int): Column =
     // Type safety lives in TopKByScore.checkInputDataTypes, which runs
     // at analysis (when types are known — a Column here may still be
@@ -96,4 +89,11 @@ package object functions {
       Bridge.expression(score.cast("double")),
       Bridge.expression(id.cast("bigint")), k)
       .toAggregateExpression())
+
+  /** Per-group elementwise minimum of equal-length `array<bigint>`
+    * columns — the MinHash signature fold (see [[ElementwiseMin]]).
+    */
+  def elementwise_min(arr: Column): Column =
+    Bridge.column(
+      ElementwiseMin(Bridge.expression(arr)).toAggregateExpression())
 }

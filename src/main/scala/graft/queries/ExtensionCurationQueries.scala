@@ -448,8 +448,9 @@ private[queries] object ExtensionCurationQueries {
         SELECT t.doc_id, t.n_tokens,
                1.0 - CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
                  AS dup_token_frac,
-               COALESCE(CAST(max_bi * 2 AS DOUBLE)
-                 / CAST(n_tokens AS DOUBLE), 0.0) AS top_bigram_frac
+               COALESCE(CAST(max_bi AS DOUBLE)
+                 / CAST(GREATEST(n_tokens - 1, 1) AS DOUBLE), 0.0)
+                 AS top_bigram_frac
         FROM tot t LEFT JOIN mb USING (doc_id)
         ORDER BY doc_id
       """)),

@@ -29,6 +29,18 @@ class RedactionSpec extends SparkSuite {
     assert(redact(s) == s)
   }
 
+  test("numeric prose with few digits is NOT a phone — separators " +
+      "don't count toward the length") {
+    // the pre-hardening pattern needed only TWO digits with 7+
+    // separator chars between, mangling ranges and version lists
+    val s1 = "versions 1.0 - 2.0 - 3.0 shipped"
+    assert(redact(s1) == s1, redact(s1))
+    val s2 = "see 1.......2 for the figure"
+    assert(redact(s2) == s2, redact(s2))
+    // 8 digits (the fixture's planted shape) still redacts
+    assert(redact("call +1 555 0142 now") == "call <PHONE> now")
+  }
+
   test("all occurrences replaced, not just the first") {
     assert(redact("a@b.co and c@d.org") == "<EMAIL> and <EMAIL>")
   }

@@ -45,13 +45,39 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(out(1).isNullAt(0) && out(2).isNullAt(0))
   }
 
-  // min-length truncation (CosineSimilarity's convention) rather than
-  // zip_with's null-padded max-length: mismatched dims are a caller
-  // bug; the operators only ever compare equal-dimension embeddings
-  test("euclidean_dist2 truncates to the shorter array") {
+  // mismatched dims are a caller bug (wrong model version in one
+  // table) — both kernels now RAISE instead of silently scoring the
+  // common prefix (the pre-hardening truncation convention), matching
+  // the ElementwiseMin aggregate's loud mixed-length contract
+  test("mismatched embedding lengths raise loudly") {
     val df = Seq((Seq(1.0, 2.0, 9.0), Seq(2.0, 4.0)))
       .toDF("a", "b")
-    assert(df.select(euclidean_dist2($"a", $"b"))
-      .head().getDouble(0) == 5.0)
+    for (k <- Seq(euclidean_dist2($"a", $"b"),
+        cosine_similarity($"a", $"b"))) {
+      val e = intercept[Exception] { df.select(k).head() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("mismatched embedding lengths")),
+        s"$e")
+    }
+  }
+
+  // parquet-derived arrays default to containsNull=true: a null
+  // ELEMENT must null the result (the zip_with semantics the kernels
+  // claim bit-identity with), never read as 0.0
+  test("null elements propagate null, equal-length non-null rows " +
+      "still compute") {
+    val df = Seq((1L, true), (2L, false)).toDF("id", "ok")
+      .select(col("id"),
+        when(col("ok"), array(lit(1.0), lit(2.0)))
+          .otherwise(array(lit(1.0), lit(null).cast("double"))).as("a"),
+        array(lit(2.0), lit(4.0)).as("b"))
+    val rows = df.select(col("id"), euclidean_dist2($"a", $"b").as("d"),
+        cosine_similarity($"a", $"b").as("c"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 5.0 && !rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2),
+      s"null element must null the result: ${rows(1)}")
   }
 }
