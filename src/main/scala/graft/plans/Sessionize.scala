@@ -170,10 +170,20 @@ case class SessionizeExec(
         // a spill
         val u = userBound.eval(row) match {
           case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+          case b: Array[Byte] => java.util.Arrays.copyOf(b, b.length)
           case other => other
         }
+        // content equality for binary keys — Scala != on Array[Byte]
+        // is reference inequality, which would open a new group on
+        // EVERY row (session_id 1 forever) while the codegen path
+        // compares bytes; keep both paths agreeing
+        val same = (u, curUser) match {
+          case (x: Array[Byte], y: Array[Byte]) =>
+            java.util.Arrays.equals(x, y)
+          case (x, y) => x == y
+        }
         val tRaw = tsBound.eval(row)
-        if (!haveUser || u != curUser) {
+        if (!haveUser || !same) {
           haveUser = true; curUser = u; sid = 1L; lastTsNull = true
         } else if (lastTsNull) {
           // matches the lag-window twin: a null previous ts (NULLS
@@ -216,6 +226,21 @@ object Sessionize {
     val t = attr(tsCol)
     require(t.dataType == TimestampType || t.dataType == LongType,
       s"$tsCol must be timestamp (µs) or long, got ${t.dataType}")
+    // degenerate gaps fail fast: gap <= 0 (a millis-vs-seconds mixup
+    // rounding to 0) or a gap whose µs conversion wraps Long would
+    // both silently split every event into its own session
+    require(gapSeconds > 0 && gapSeconds <= Long.MaxValue / 1000000L,
+      s"gapSeconds must be in (0, ${Long.MaxValue / 1000000L}]: " +
+        s"$gapSeconds")
+    // float/double group keys are rejected: primitive == (codegen)
+    // and boxed equals (interpreted) disagree on NaN and ±0.0, so
+    // the two execution paths would sessionize differently
+    val u0 = attr(userCol)
+    require(u0.dataType != org.apache.spark.sql.types.FloatType &&
+      u0.dataType != org.apache.spark.sql.types.DoubleType,
+      s"$userCol: float/double keys are not supported " +
+        "(NaN/±0.0 equality differs between execution paths) — " +
+        "cast to a stable key type")
     val out = AttributeReference(outCol, LongType, nullable = false)()
     Bridge.dataFrame(spark,
       SessionizeLogical(attr(userCol), t, gapSeconds * 1000000L, out, plan))

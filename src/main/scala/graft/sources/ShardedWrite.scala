@@ -44,8 +44,14 @@ object ShardedWrite {
       .sortWithinPartitions(col(idCol))
       .write.option("maxRecordsPerFile", rowsPerShard)
       .mode("overwrite").parquet(s"$outDir/data")
+    // manifest records shard BASENAMES, not the absolute URIs
+    // input_file_name() returns: an absolute manifest silently keeps
+    // pointing a relocated corpus (s3 version-dir copy, HDFS
+    // migration) at the OLD paths — readers resolve the basename
+    // against their own outDir at read time instead
     val manifest = spark.read.parquet(s"$outDir/data")
-      .select(input_file_name().as("shard"),
+      .select(regexp_extract(input_file_name(), "[^/]+$", 0)
+        .as("shard"),
         col(idCol).cast("long").as("__id"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),
@@ -56,10 +62,11 @@ object ShardedWrite {
     spark.read.parquet(s"$outDir/_manifest")
   }
 
-  /** The shard files whose [min_id, max_id] intersects [lo, hi],
-    * plus the total shard count. The manifest is file-count-sized, so
-    * this is a bounded driver-side collect by design — the same class
-    * of driver state as a broadcast codebook.
+  /** The shard files whose [min_id, max_id] intersects [lo, hi]
+    * (basenames resolved against THIS outDir — relocation-safe),
+    * plus the total shard count. The manifest is file-count-sized,
+    * so this is a bounded driver-side collect by design — the same
+    * class of driver state as a broadcast codebook.
     */
   def pruneShards(
       spark: org.apache.spark.sql.SparkSession,
@@ -68,7 +75,7 @@ object ShardedWrite {
     val total = m.count()
     val files = m.filter(col("max_id") >= lo && col("min_id") <= hi)
       .orderBy(col("min_id"))
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(r => s"$outDir/data/${r.getString(0)}").toSeq
     (files, total)
   }
 

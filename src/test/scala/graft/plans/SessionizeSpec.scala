@@ -163,4 +163,53 @@ class SessionizeSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(op.toSeq == lagged.toSeq)
   }
+
+  test("binary user keys sessionize identically with codegen ON and " +
+      "OFF — the interpreted path compares bytes, not references") {
+    // Scala != on Array[Byte] is reference inequality: before the
+    // fix the interpreted fallback opened a new group on EVERY row
+    // (session_id 1 forever) while codegen compared content.
+    val rows = (0 until 60).map { i =>
+      (s"u${i % 3}".getBytes("UTF-8"),
+        1700000000000000L + (i / 3).toLong * 1800L * 1000000L *
+          (if ((i / 3) % 4 == 0) 3L else 1L))
+    }
+    def run(codegen: Boolean) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", codegen.toString)
+      try {
+        val df = rows.toDF("user_id", "us")
+          .select($"user_id", timestamp_micros($"us").as("ts"))
+        Sessionize(df, "user_id", "ts", 3600L)
+          .groupBy($"user_id")
+          .agg(max($"session_id").as("n_sessions"))
+          .collect()
+          .map(r => new String(r.getAs[Array[Byte]](0), "UTF-8")
+            -> r.getLong(1))
+          .sortBy(_._1).toSeq
+      } finally
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+    val on = run(codegen = true)
+    val off = run(codegen = false)
+    assert(on == off, s"codegen $on vs interpreted $off")
+    // and sessions actually split (> 1) — a reference-equality bug
+    // would ALSO pass an equality check by making both paths wrong
+    // if run(true) fell back, so assert the real session structure
+    assert(on.forall(_._2 > 1), s"$on")
+  }
+
+  test("degenerate gaps are rejected loudly") {
+    val df = Seq((1L, 1L)).toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+    intercept[IllegalArgumentException] {
+      Sessionize(df, "user_id", "ts", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize(df, "user_id", "ts", Long.MaxValue)
+    }
+    intercept[IllegalArgumentException] {
+      Sessionize(df.select($"user_id".cast("double").as("user_id"),
+        $"ts"), "user_id", "ts", 3600L)
+    }
+  }
 }
