@@ -38,6 +38,28 @@ import org.apache.spark.sql.functions._
   */
 object ChangePoint {
 
+  /** Loud DECIMAL(38,0) overflow guard for exact centered-sum
+    * kernels (the adfFromSums convention, ADVICE r15): true when
+    * every sum is non-null and within 10¹⁹−1 (so any pairwise
+    * product provably fits precision 38), otherwise raise_error —
+    * under non-ANSI mode an overflowed product silently NULLs the
+    * singularity filter and DROPS the series while the DuckDB
+    * oracle's HUGEINT path errors, the exact cross-engine
+    * divergence this guard makes loud. A null sum (upstream DECIMAL
+    * overflow) is an overflow sighting too, caught before the
+    * magnitude test.
+    */
+  private def sumsWithinBound(
+      op: String, label: Column, sums: Seq[Column]): Column = {
+    val d = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lim = lit(new java.math.BigDecimal("9999999999999999999")).cast(d)
+    when(sums.map(c => c.isNull || abs(c) > lim).reduce(_ || _),
+      raise_error(concat(
+        lit(s"$op: centered sums exceed the exact "),
+        lit("DECIMAL(38,0) product bound for series "),
+        label.cast("string")))).isNull
+  }
+
   /** Change-point per series: (seriesCol, change_idx, ns_dev, n)
     * where change_idx is the 1-based argmax of |n·S_i| (ties → the
     * EARLIEST index; i = n is excluded — S_n ≡ 0 carries no signal),
@@ -246,6 +268,12 @@ object ChangePoint {
       .agg(max(when(col("__lag") === 1L, col("__num"))).as("__n1"),
         max(when(col("__lag") === 2L, col("__num"))).as("__n2"),
         max(when(col("__lag") === 3L, col("__num"))).as("__n3"))
+      // n > 4 guarantees every lag 1..3 has pairs, so a NULL num/den
+      // here can only be DECIMAL(38,0) overflow — and the den²/num²
+      // squares below double the exponent, so bound-check first and
+      // raise loudly instead of the =!= silently dropping the series
+      .filter(sumsWithinBound("pacf", col(seriesCol),
+        Seq(col("__den"), col("__n1"), col("__n2"), col("__n3"))))
       // |r₁| = 1 makes the step-2 denominator exactly 0 — exact
       // integer guard on the lattice, not an IEEE compare
       .filter(col("__den") * col("__den") =!= col("__n1") * col("__n1"))
@@ -347,7 +375,9 @@ object ChangePoint {
         ((col("n").cast("double") - lit(2.0)) * suu.cast("double")))
     val tMicro = round(t * lit(1e6)).cast("long")
     agg
-      .filter(col("n") >= 4 && suu > lit(0L).cast(d) &&
+      .filter(sumsWithinBound("dickeyFullerFromSums", col(seriesCol),
+          Seq(suu, suv, svv)) &&
+        col("n") >= 4 && suu > lit(0L).cast(d) &&
         svv * suu > suv * suv)
       .select(col(seriesCol), col("n"),
         round(suv.cast("double") / suu.cast("double") * lit(1e6))
@@ -449,7 +479,10 @@ object ChangePoint {
       c * syq.cast("double")
     val f = (rssR - rssU) / (rssU / (col("n").cast("double") - lit(3.0)))
     agg
-      .filter(col("n") >= 5 &&
+      .filter(sumsWithinBound("grangerLag1",
+          concat(col("cause"), lit("->"), col("effect")),
+          Seq(spp, sqq, spq, syp, syq, syy)) &&
+        col("n") >= 5 &&
         spp > lit(0L).cast(d) &&
         spp * sqq =!= spq * spq)
       .withColumn("__rssu", rssU)

@@ -73,7 +73,10 @@ object DistributionTests {
       .orderBy(col(valueCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wg = Window.partitionBy(col(groupCol))
-    val marked = df.where(inB.isNotNull)
+    // NULL values dropped like NULL cohorts: counted, they would
+    // sort first (NULLS FIRST) as phantom minimum observations and
+    // shift the whole ECDF difference
+    val marked = df.where(inB.isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol), inB.as("__b"), col(valueCol), col(tieCol))
       .withColumn("__ca",
         sum(when(!col("__b"), 1L).otherwise(0L)).over(w))
@@ -142,7 +145,10 @@ object DistributionTests {
       .orderBy(col(valueCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wg = Window.partitionBy(col(groupCol))
-    val marked = df.where(inB.isNotNull)
+    // NULL values dropped like NULL cohorts: counted, they would
+    // sort first (NULLS FIRST) as phantom minimum observations and
+    // shift the whole ECDF difference
+    val marked = df.where(inB.isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol), inB.as("__b"), col(valueCol), col(tieCol))
       .withColumn("__ca",
         sum(when(!col("__b"), 1L).otherwise(0L)).over(w))
@@ -194,7 +200,9 @@ object DistributionTests {
     Reserved.check("input" -> df)
     val d38 = DecimalType(38, 0)
     val x = col(valueCol).cast("long")
-    val stats = df.where(inB.isNotNull)
+    // NULL values are dropped, not counted: n_a/n_b must cover the
+    // same rows the Σx/Σx² sums do, or mean/t/df silently bias
+    val stats = df.where(inB.isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol), inB.as("__b"), x.as("__x"))
       .groupBy(col(groupCol))
       .agg(
@@ -270,6 +278,10 @@ object DistributionTests {
     terms
       .groupBy(col("n"), col("nr"), col("nc"))
       .agg(sum(col("__term")).as("__terms"))
+      // a single-category side makes V's denominator 0 and the
+      // statistic undefined (0/0 → NaN) — drop the row like every
+      // other undefined-statistic case in this file, never emit NaN
+      .filter(least(col("nr"), col("nc")) >= 2)
       .select(col("n"), col("nr"), col("nc"),
         round(col("n").cast("double") *
           (col("__terms").cast("double") - lit(1.0)), 6).as("chi2"),
@@ -680,7 +692,11 @@ object DistributionTests {
     }
     val d38 = DecimalType(38, 0)
     val x = col(valueCol).cast("long")
+    // NULL values are dropped, not counted: __n must cover the same
+    // rows the sums do, or SS_between/SS_within/F silently bias
+    // (every sibling in this family filters; this was the hole)
     val perGroup = df
+      .filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("__g"), x.as("__x"))
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
@@ -1068,12 +1084,28 @@ object DistributionTests {
     val cum = refByValue.select(col("__g"), col("__x"),
       sum(col("__c")).over(wCum).as("__cw"),
       sum(col("__c")).over(wG).as("__n"))
-    val edges = (1 until nBins).map { i =>
-      cum.filter(col("__cw") * lit(nBins.toLong) >=
-          col("__n") * lit(i.toLong))
-        .groupBy(col("__g"))
-        .agg(min(col("__x")).as("__e"))
-    }.reduce(_ unionByName _)
+    // ONE pass for all B−1 edges: edge_i = first value with
+    // cw·B ≥ i·n, so each distinct-value row owns exactly the
+    // quantile indices i with pw·B < i·n ≤ cw·B (pw = previous
+    // cumulative; integer bounds lo = pw·B div n + 1,
+    // hi = min(cw·B div n, B−1) — same exact cross-multiplied
+    // thresholds as the per-i filter). An earlier formulation
+    // unioned B−1 separate filter+agg subplans over the uncached
+    // window frame — up to 999 redundant recomputations of the
+    // reference aggregation and a plan-size explosion.
+    val wLag = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val edges = cum
+      .withColumn("__pw",
+        coalesce(lag(col("__cw"), 1).over(wLag), lit(0L)))
+      .select(col("__g"), col("__x"),
+        expr(s"(__pw * ${nBins}L) div __n + 1L").as("__lo"),
+        least(expr(s"(__cw * ${nBins}L) div __n"),
+          lit((nBins - 1).toLong)).as("__hi"))
+      .filter(col("__hi") >= col("__lo"))
+      .select(col("__g"),
+        explode(expr("sequence(__lo, __hi)")).as("__i"),
+        col("__x").as("__e"))
+      .select(col("__g"), col("__e"))
     val edgeArr = edges.groupBy(col("__g"))
       .agg(sort_array(collect_set(col("__e"))).as("__edges"))
     val binned = rows.join(broadcast(edgeArr), Seq("__g"))

@@ -275,9 +275,10 @@ object NonParametric {
     * only then does ONE written IEEE sequence form H. Tie-corrected
     * H_c = H / (1 − Σ(t³−t)/(N³−N)). Both snap to micro at the edge.
     *
-    * R2ᵢ² stays in long up to N ≈ 1.5M rows per partition; a larger
-    * partition needs the DECIMAL widening documented here (the
-    * TermStats squared-lattice convention). Shape: two rank windows +
+    * R2ᵢ² is squared in DECIMAL(38,0) — the doubled-rank SUM reaches
+    * N(N+1), so a LONG square wraps silently near N ≈ 55k rows per
+    * partition (nowhere near the 1.5M an earlier doc claimed); the
+    * DECIMAL square is exact to N ≈ 3e9. Shape: two rank windows +
     * node-keyed aggregates — no pairwise join, scale-safe.
     *
     * Rows with a NULL value are dropped BEFORE ranking (the
@@ -306,8 +307,12 @@ object NonParametric {
     val perGroup = ranked.groupBy(col("__p"), col("__g"))
       .agg(count(lit(1)).as("__ng"), sum(col("__r2")).as("__rsum"))
       .select(col("__p"), col("__ng"),
-        expr("(__rsum * __rsum) div __ng").as("__q"),
-        round(expr("(__rsum * __rsum) % __ng").cast("double") /
+        // DECIMAL(38,0) square: __rsum reaches N(N+1), so a LONG
+        // square wraps silently near N ≈ 55k rows per partition
+        expr("(CAST(__rsum AS DECIMAL(38,0)) * __rsum) div __ng")
+          .as("__q"),
+        round(expr("(CAST(__rsum AS DECIMAL(38,0)) * __rsum) % __ng")
+          .cast("double") /
           col("__ng").cast("double") * lit(1e9)).cast("long")
           .as("__remnano"))
     val ties = ranked.groupBy(col("__p"), col("__x"))
@@ -380,10 +385,15 @@ object NonParametric {
         col(treatCol).as("__t"), col(valueCol).cast("long").as("__x"))
     val kPer = obs.groupBy(col("__p"))
       .agg(countDistinct(col("__t")).as("__k"))
+    // completeness = k rows AND k DISTINCT treatments: a plain row
+    // count would let a block with a duplicated treatment masking a
+    // missing one pass as complete and silently corrupt every
+    // blocked statistic downstream
     val complete = obs.groupBy(col("__p"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"),
+        countDistinct(col("__t")).as("__cd"))
       .join(kPer, "__p")
-      .filter(col("__c") === col("__k"))
+      .filter(col("__c") === col("__k") && col("__cd") === col("__k"))
       .select(col("__p"), col("__b"))
     val kept = obs.join(complete, Seq("__p", "__b"))
     val wRank = Window.partitionBy(col("__p"), col("__b"))
@@ -536,10 +546,15 @@ object NonParametric {
         ">=1 coercion would double-count multi-flag blocks)")
     val kPer = obs.groupBy(col("__p"))
       .agg(countDistinct(col("__t")).as("__k"))
+    // completeness = k rows AND k DISTINCT treatments: a plain row
+    // count would let a block with a duplicated treatment masking a
+    // missing one pass as complete and silently corrupt every
+    // blocked statistic downstream
     val complete = obs.groupBy(col("__p"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(count(lit(1)).as("__c"),
+        countDistinct(col("__t")).as("__cd"))
       .join(kPer, "__p")
-      .filter(col("__c") === col("__k"))
+      .filter(col("__c") === col("__k") && col("__cd") === col("__k"))
       .select(col("__p"), col("__b"))
     val kept = obs.join(complete, Seq("__p", "__b"))
     val d38 = DecimalType(38, 0)
@@ -1431,8 +1446,12 @@ object NonParametric {
       .agg(count(lit(1)).as("__ng"), sum(col("__r2")).as("__rsum"))
     val latticed = perGroup
       .select(col("__p"), col("__ng"),
-        expr("(__rsum * __rsum) div __ng").as("__q"),
-        round(expr("(__rsum * __rsum) % __ng").cast("double") /
+        // DECIMAL(38,0) square: __rsum reaches N(N+1), so a LONG
+        // square wraps silently near N ≈ 55k rows per partition
+        expr("(CAST(__rsum AS DECIMAL(38,0)) * __rsum) div __ng")
+          .as("__q"),
+        round(expr("(CAST(__rsum AS DECIMAL(38,0)) * __rsum) % __ng")
+          .cast("double") /
           col("__ng").cast("double") * lit(1e9)).cast("long")
           .as("__remnano"))
     val ties = ranked.groupBy(col("__p"), col("__x"))

@@ -584,11 +584,15 @@ object Similarity {
   /** Position discounts 1/log2(rank+1) for NDCG, in integer
     * nanounits — shared between [[retrievalMetrics]] and its SQL
     * oracle so both engines use the SAME constants and never call
-    * log: libm vs JVM log could differ at the last ulp, an integer
-    * literal cannot.
+    * log at query time. StrictMath.log (the Tsne bit-reproducibility
+    * convention), not math.log: Math.log is an intrinsic with 1-ulp
+    * latitude across JVMs/ISAs, so a discount landing within half a
+    * nano-unit of a rounding boundary could differ between
+    * platforms; StrictMath is specified bit-for-bit everywhere.
     */
   def ndcgDiscountsNano(k: Int): Seq[Long] =
-    (1 to k).map(i => math.round(1e9 * math.log(2) / math.log(i + 1)))
+    (1 to k).map(i =>
+      math.round(1e9 * StrictMath.log(2) / StrictMath.log(i + 1.0)))
 
   /** Retrieval quality of an approximate top-k against the exact one,
     * per query, entirely on integer lattices (exact in both engines —

@@ -564,6 +564,13 @@ object Tsne {
     val spark = df.sparkSession
     import spark.implicits._
     val kEff = if (k > 0) k else (3 * perplexity).toInt
+    // same refusal embed() makes: with perplexity >= k the per-row
+    // entropy target log(perp) > log(k) is unreachable, the beta
+    // search decays to ~0 and the affinities silently degrade to
+    // uniform — a produced-but-meaningless embedding
+    require(perplexity >= 2 && perplexity < kEff,
+      s"perplexity $perplexity needs perplexity < k (k=$kEff): the " +
+        "entropy target is unreachable over k neighbors otherwise")
     val sample = df
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
