@@ -179,7 +179,21 @@ object Bench {
     // Q7/Q10/Q15/Q19 widening of the TPC-H surface
     "q_dedup_minhash_scale",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q15", "q_tpch_q19",
-    "q_tpch_q2", "q_tpch_q13", "q_tpch_q21", "q_cc_diameter_scale")
+    "q_tpch_q2", "q_tpch_q13", "q_tpch_q21",
+    // round-17 addition: multi-merge BPE training (VERDICT r16 #4)
+    "q_bpe_train")
+
+  /** At-scale WITNESS queries (VERDICT r16 #1): run once per bench,
+    * timed and reported under a separate `witnesses` map EXCLUDED
+    * from the headline total — their claims are oracle-checked
+    * COLUMNS (the CC round count, the dedup candidate budget), not
+    * wall-clock, and q_cc_diameter_scale's deliberate 21-round
+    * worst-case chain was 30% of the r16 total, masking every real
+    * regression ratio. The full-scale rows stay in Verify/
+    * CORRECTNESS and the sf0.1 smoke — the witness itself is
+    * unweakened; only the bench accounting moves.
+    */
+  val witnesses: Seq[String] = Seq("q_cc_diameter_scale")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND
@@ -193,11 +207,12 @@ object Bench {
     "q_dedup_groups", "q_dedup_spans", "q_pack_sequences",
     "q_dedup_embedding", "q_curate",
     "q_pipeline_tokens", "q_dedup_minhash", "q_dedup_minhash_scale")
-  // q_cc_diameter_scale stays OUT of `heavy` deliberately: its claim
+  // q_cc_diameter_scale is a `witnesses` entry (see above): its claim
   // is the oracle-checked rounds column (contention can't change it),
-  // so it runs exactly ONCE (see the reps branch in the results
-  // loop) — load-gated or repeated ~40 s reps of a fixed-overhead
-  // propagation loop would buy artifact precision nothing consumes.
+  // so it runs exactly ONCE and its wall time lands in the separate
+  // witnesses map — load-gated or repeated ~40 s reps of a
+  // fixed-overhead propagation loop would buy artifact precision
+  // nothing consumes.
 
   /** Fixed single-thread spin (~0.2 s on a calm modern core); the
     * wall-time in ms is the contention gauge.
@@ -425,6 +440,33 @@ object Bench {
     // post-rep calibration spins for the strictly-gated queries —
     // contention arriving DURING a rep shows up here, per attempt
     var perPost = Vector.empty[(String, Double)]
+    // VERDICT r16 #2: the bench consumes its own contention
+    // telemetry. Previous committed round's per-query times (from
+    // bench_full_r{N-1}.json — N-1 = the highest committed
+    // BENCH_r*.json): any query landing over 1.4× its previous value
+    // earns re-gated retries, stamped per query in `retried`.
+    val prevTimes: Map[String, Double] =
+      try {
+        val dir = new java.io.File(".")
+        val pat = "BENCH_r(\\d+)\\.json".r
+        val prevRound = Option(dir.list()).getOrElse(Array.empty[String])
+          .collect { case pat(n) => n.toInt }
+          .foldLeft(0)(math.max)
+        val f = new java.io.File(s"bench_full_r$prevRound.json")
+        if (prevRound == 0 || !f.exists()) Map.empty
+        else {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val qObj = "\"queries\":\\{([^}]*)\\}".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qObj)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] prev-round times unavailable: $e")
+        Map.empty
+      }
+    var perRetried = Vector.empty[(String, Double)]
     // per-stage seconds + per-rep bracket spins of q_okcupid_tree
     var treeStages = Seq.empty[(String, Double)]
     // accuracy of the best flagship rep — an artifact, not a log line
@@ -532,6 +574,22 @@ object Bench {
           }
           best = math.min(best, t)
         }
+        // drift retry (VERDICT r16 #2): a query landing over 1.4× its
+        // previous committed round's time — on a floor of 0.5 s so
+        // sub-second noise can't churn — gets up to two re-gated
+        // retries; the min over ALL attempts is still reported
+        // (contention only ever inflates), and the retry count is
+        // stamped into the artifact so a drift that SURVIVES retries
+        // reads as real, not as an ungated hot rep.
+        var driftRetries = 0
+        while (prevTimes.get(name).exists(p =>
+            best > p * 1.4 && best - p > 0.5) && driftRetries < 2) {
+          gate(gateSec)
+          val t = runOnce(name); clearCaches()
+          driftRetries += 1
+          best = math.min(best, t)
+        }
+        if (driftRetries > 0) perRetried :+= (name -> driftRetries.toDouble)
         maybeDeepClean()
         Some(best)
       } catch {
@@ -603,6 +661,7 @@ object Bench {
           benchOkCupidTree(spark, rows = 8192L)
           clearCaches()
           var trusted = 0
+          var trustedFlags = Vector.empty[Boolean]
           while (trusted < 2 && reps.size < 5) {
             val repLoad = loadGate(120)
             val pre = gate(120)
@@ -617,13 +676,33 @@ object Bench {
             parQuiet = math.min(parQuiet, parPost)
             reps :+= ((r._1, pre, post, parPre, parPost, repLoad,
               r._2, r._3, repGc))
-            if (pre <= quietMs * 1.4 && post <= quietMs * 1.4 &&
+            val repTrusted =
+              pre <= quietMs * 1.4 && post <= quietMs * 1.4 &&
                 parPre <= parQuiet * 1.4 && parPost <= parQuiet * 1.4 &&
-                repLoad <= 1.0)
-              trusted += 1
+                repLoad <= 1.0
+            trustedFlags :+= repTrusted
+            if (repTrusted) trusted += 1
+          }
+          // trust flags were judged against a RUNNING quiet floor —
+          // re-judge every rep against the FINAL floor so an early
+          // rep bracketed by spins that later reps proved inflated
+          // doesn't ride into the trusted headline
+          trustedFlags = reps.map { case (_, pre, post, parPre,
+              parPost, ld, _, _, _) =>
+            pre <= quietMs * 1.4 && post <= quietMs * 1.4 &&
+              parPre <= parQuiet * 1.4 && parPost <= parQuiet * 1.4 &&
+              ld <= 1.0
           }
           perCalib :+= ("q_okcupid_tree" -> reps.head._2)
           val best = reps.minBy(_._1)
+          // VERDICT r16 #3: the headline the verdicts track —
+          // min over TRUSTED reps only (min-over-all still reported
+          // for continuity; -1 when no rep earned trust, loudly)
+          val trustedBest = reps.zip(trustedFlags)
+            .collect { case (r, true) => r._1 }
+            .foldLeft(Double.MaxValue)(math.min)
+          val trustedBestSec =
+            if (trustedBest == Double.MaxValue) -1.0 else trustedBest
           // every rep's stage split + GC delta lands in the artifact
           // (not only the best rep's), so a fit-stage outlier is
           // attributable — scan fold-in vs GC vs contention — after
@@ -640,7 +719,9 @@ object Bench {
               s"rep${i + 1}_gc_ms" -> gc) ++
               stg.map { case (k, v) => s"rep${i + 1}_$k" -> v }
           } ++ Seq("par_quiet_ms" -> parQuiet,
-            "load_refusals" -> loadRefusals)
+            "load_refusals" -> loadRefusals,
+            "trusted_best_sec" -> trustedBestSec,
+            "trusted_reps" -> trustedFlags.count(identity).toDouble)
           treeAccuracy = best._8
           Some(best._1)
         } catch {
@@ -653,15 +734,17 @@ object Bench {
     val results: Seq[(String, Option[Double])] =
       treeResult ++
         headline.filter(selected).map { n =>
-          // the CC diameter witness runs ONCE: it deliberately pays
-          // 21 full propagation rounds on the worst-case chain, and
-          // its claim is the oracle-checked rounds column — a second
-          // ~40 s rep buys wall-clock precision nothing consumes
-          val reps = if (heavy(n)) 3
-            else if (n == "q_cc_diameter_scale") 1 else 2
+          val reps = if (heavy(n)) 3 else 2
           val gateSec = if (heavy(n)) 120 else 30
           n -> bestOf(n, reps, gateSec)
         }
+
+    // Witness queries (VERDICT r16 #1): timed ONCE each — their
+    // claims are oracle-checked columns, a second ~40 s rep of a
+    // deliberate worst-case buys nothing — and reported under a
+    // separate `witnesses` map excluded from the headline total.
+    val witnessResults: Seq[(String, Option[Double])] =
+      witnesses.filter(selected).map(n => n -> bestOf(n, 1, 30))
 
     // The derived-nlist scale ledger (VERDICT r14 #8): q_ann_ivf_scale
     // RETURNS (n_corpus, nlist, n_candidates, n_results, checksum) —
@@ -715,8 +798,8 @@ object Bench {
     // O(log diameter) as a number in BENCH_r{N}, next to the wall
     // time. Collected once, outside the timed region, like ann_scale.
     val ccScale: Seq[(String, Double)] =
-      if (!results.exists { case (n, t) => n == "q_cc_diameter_scale" &&
-          t.isDefined }) Nil
+      if (!witnessResults.exists { case (n, t) =>
+          n == "q_cc_diameter_scale" && t.isDefined }) Nil
       else try {
         val r = SparkEntry.queries("q_cc_diameter_scale")(spark, sfDir).head
         clearCaches()
@@ -736,9 +819,23 @@ object Bench {
         .mkString("{", ",", "}")
     val done = results.collect { case (k, Some(v)) => k -> v }
     val total = results.flatMap(_._2).sum
+    val witnessDone = witnessResults.collect { case (k, Some(v)) => k -> v }
+    // VERDICT r16 #2: this round's common-set total over last round's,
+    // computed over the queries present in BOTH rounds — the
+    // round-over-round ratio the verdicts decompose by hand, now a
+    // field in the artifact (witnesses excluded on both sides; -1
+    // when no previous round is available).
+    val commonSetRatio: Double = {
+      val common = done.filter { case (k, _) => prevTimes.contains(k) }
+      val prevSum = common.map { case (k, _) => prevTimes(k) }.sum
+      if (prevSum <= 0.0) -1.0 else common.map(_._2).sum / prevSum
+    }
     val failJson = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(done)},""" +
+        s""""witnesses":${jmap(witnessDone)},""" +
+        s""""common_set_ratio":${fmt(commonSetRatio)},""" +
+        s""""retried":${jmap(perRetried)},""" +
         s""""tree_stages":${jmap(treeStages)},""" +
         s""""tree_accuracy":${fmt(treeAccuracy)},""" +
         s""""ann_scale":${jmap(annScale)},""" +
@@ -791,6 +888,12 @@ object Bench {
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""queries":${jmap(compact)},"n_queries":${done.size},""" +
+        s""""witnesses":${jmap(witnessDone)},""" +
+        s""""common_set_ratio":${fmt(commonSetRatio)},""" +
+        // full per-query retry stamps live in bench_full.json; the
+        // compact line must stay under the driver's ~2000-char output
+        // tail even on a slammed box where hundreds of queries retry
+        s""""n_retried":${perRetried.size},""" +
         s""""n_failures":${failures.size},"quiet_ms":${fmt(quietMs)},""" +
         s""""tree_accuracy":${fmt(treeAccuracy)},""" +
         s""""sf":"$sfDir","detail":"bench_full.json"}""")

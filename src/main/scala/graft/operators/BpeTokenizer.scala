@@ -106,10 +106,28 @@ object BpeTokenizer {
     */
   def train(
       docs: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L): Seq[(String, String)] = {
+      minCount: Long = 2L): Seq[(String, String)] =
+    trainLedger(docs, textCol, nMerges, minCount)
+      .map { case (_, l, r, _) => (l, r) }
+
+  /** [[train]] with the per-merge audit ledger: one row
+    * `(step 1..n, left, right, cnt)` per learned merge, where cnt is
+    * the winning pair's weighted count AT SELECTION TIME — the
+    * artifact a tokenizer-training run ships alongside its merge
+    * list (the count sequence is non-increasing only per-pair, not
+    * globally: a merge can CREATE a more frequent pair than the one
+    * just consumed). Same loop, same (cnt desc, left, right)
+    * tie-break, same per-iteration localCheckpoint truncation —
+    * merge k would otherwise replay all k−1 prior HOF rewrites per
+    * pass. The ledger is driver state by design, bounded by nMerges
+    * (the codebook convention).
+    */
+  def trainLedger(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
     var symbols = initialSymbols(wordCounts(docs, textCol))
       .select(col("freq"), col("syms")).localCheckpoint()
-    val merges = Seq.newBuilder[(String, String)]
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
     var continue = true
     var i = 0
     while (continue && i < nMerges) {
@@ -119,7 +137,7 @@ object BpeTokenizer {
       top.headOption.filter(_.getLong(2) >= minCount) match {
         case Some(row) =>
           val (l, r) = (row.getString(0), row.getString(1))
-          merges += ((l, r))
+          merges += ((i + 1, l, r, row.getLong(2)))
           symbols = symbols
             .withColumn("syms", applyMerge(col("syms"), l, r))
             .localCheckpoint()

@@ -48,12 +48,22 @@ object ChangePoint {
     * divergence this guard makes loud. A null sum (upstream DECIMAL
     * overflow) is an overflow sighting too, caught before the
     * magnitude test.
+    *
+    * `eligible` is folded INTO the when() condition rather than left
+    * as a sibling Filter conjunct: Catalyst is free to split and
+    * reorder conjuncts of one Filter (CombineFilters +
+    * PushDownPredicates), so a series a sibling predicate (e.g.
+    * n >= 4) would drop could still evaluate the guard first and
+    * abort the whole job. With eligibility inside the condition,
+    * only otherwise-eligible series can ever raise, under any
+    * conjunct ordering. (ADVICE r16.)
     */
   private def sumsWithinBound(
-      op: String, label: Column, sums: Seq[Column]): Column = {
+      op: String, label: Column, sums: Seq[Column],
+      eligible: Column = lit(true)): Column = {
     val d = org.apache.spark.sql.types.DecimalType(38, 0)
     val lim = lit(new java.math.BigDecimal("9999999999999999999")).cast(d)
-    when(sums.map(c => c.isNull || abs(c) > lim).reduce(_ || _),
+    when(eligible && sums.map(c => c.isNull || abs(c) > lim).reduce(_ || _),
       raise_error(concat(
         lit(s"$op: centered sums exceed the exact "),
         lit("DECIMAL(38,0) product bound for series "),
@@ -376,7 +386,7 @@ object ChangePoint {
     val tMicro = round(t * lit(1e6)).cast("long")
     agg
       .filter(sumsWithinBound("dickeyFullerFromSums", col(seriesCol),
-          Seq(suu, suv, svv)) &&
+          Seq(suu, suv, svv), eligible = col("n") >= 4) &&
         col("n") >= 4 && suu > lit(0L).cast(d) &&
         svv * suu > suv * suv)
       .select(col(seriesCol), col("n"),
@@ -481,7 +491,8 @@ object ChangePoint {
     agg
       .filter(sumsWithinBound("grangerLag1",
           concat(col("cause"), lit("->"), col("effect")),
-          Seq(spp, sqq, spq, syp, syq, syy)) &&
+          Seq(spp, sqq, spq, syp, syq, syy),
+          eligible = col("n") >= 5) &&
         col("n") >= 5 &&
         spp > lit(0L).cast(d) &&
         spp * sqq =!= spq * spq)

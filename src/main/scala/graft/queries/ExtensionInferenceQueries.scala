@@ -1457,6 +1457,35 @@ private[queries] object ExtensionInferenceQueries {
         LIMIT 50
       """)),
 
+    // Multi-merge BPE TRAINING (VERDICT r16 #4): 4 sequential
+    // learn-apply iterations with the per-merge audit ledger
+    // (step, lhs, rhs, cnt-at-selection) — real tokenizer training,
+    // not the single q_bpe_merge step. The oracle unrolls the loop
+    // as a CTE chain; the merge application replays the engine's
+    // greedy left-to-right non-overlapping fold EXACTLY via
+    // list_reduce over a space-joined accumulator (last symbol == l
+    // ⟺ ends_with(acc, ' '||l), sound because symbols never contain
+    // spaces) — a trailing-space string replace would MIS-ALIGN on
+    // runs of ≥5 identical symbols (see BpeTokenizerSpec's aaaaaa
+    // case), which is why q_bpe_merge's replace trick stops being
+    // sound after the first merge and this query doesn't use it.
+    // minCount = 1 so the early-stop condition (no pairs left) is
+    // the same on both sides: an exhausted corpus yields an empty
+    // t_k and every later CTE goes empty with it.
+    QueryDef(
+      "q_bpe_train",
+      (s, dir) => {
+        import graft.operators.BpeTokenizer
+        val ledger = BpeTokenizer.trainLedger(
+          Tables.documents(s, dir), "text", nMerges = 4, minCount = 1L)
+        import s.implicits._
+        ledger.toDF("step", "lhs", "rhs", "cnt")
+          .select(col("step").cast("long").as("step"),
+            col("lhs"), col("rhs"), col("cnt"))
+          .orderBy(col("step"))
+      },
+      Some(bpeTrainOracle(4))),
+
     // T5 span-corruption example prep: replayable md5 span draws,
     // one sentinel per corrupted span in the inputs, sentinel-
     // enumerated span tokens in the targets (SpanCorruption
@@ -1616,4 +1645,57 @@ private[queries] object ExtensionInferenceQueries {
       """)),
 
   )
+
+  /** The q_bpe_train oracle: `nMerges` BPE training iterations
+    * unrolled as a CTE chain. Per step k: pair counts over the
+    * previous symbol table (p_k), the (cnt desc, lhs, rhs) argmax
+    * (t_k), and the merged table (s_k) — the greedy non-overlapping
+    * left-to-right merge replayed EXACTLY by a list_reduce whose
+    * accumulator is the space-joined output-so-far (a leading
+    * sentinel '' makes even the first symbol space-preceded, so
+    * `ends_with(acc, ' '||lhs)` ⟺ "last emitted symbol is exactly
+    * lhs": symbols contain no spaces). s_k and t_k are each read
+    * twice, hence AS MATERIALIZED (the round-16 oracle-replay-cost
+    * convention, tools/ORACLE_REPLAY_PROFILE.md).
+    */
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val ctes = Seq(
+      """words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE length(word) > 0
+      GROUP BY 1)""",
+      """s0 AS MATERIALIZED (
+      SELECT freq,
+             list_transform(range(1, length(word) + 1),
+               i -> substr(word, i, 1) ||
+                    CASE WHEN i = length(word) THEN '</w>' ELSE '' END)
+               AS syms
+      FROM words)""") ++
+      (1 to nMerges).flatMap { k =>
+        val merged =
+          if (k == nMerges) Nil
+          else Seq(s"""s$k AS MATERIALIZED (
+      SELECT freq,
+             string_split(trim(list_reduce(list_prepend('', syms),
+               (acc, x) -> CASE WHEN x = t.rhs
+                                 AND ends_with(acc, ' ' || t.lhs)
+                            THEN acc || t.rhs
+                            ELSE acc || ' ' || x END)), ' ') AS syms
+      FROM s${k - 1} CROSS JOIN t$k t)""")
+        Seq(s"""p$k AS (
+      SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+            FROM s${k - 1})
+      GROUP BY 1, 2)""",
+          s"""t$k AS MATERIALIZED (
+      SELECT lhs, rhs, cnt FROM p$k
+      ORDER BY cnt DESC, lhs, rhs LIMIT 1)""") ++ merged
+      }
+    val steps = (1 to nMerges)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, cnt FROM t$k")
+      .mkString("\nUNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\nSELECT * FROM (\n$steps)\nORDER BY step"
+  }
 }

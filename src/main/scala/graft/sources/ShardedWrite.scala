@@ -75,7 +75,16 @@ object ShardedWrite {
     val total = m.count()
     val files = m.filter(col("max_id") >= lo && col("min_id") <= hi)
       .orderBy(col("min_id"))
-      .collect().map(r => s"$outDir/data/${r.getString(0)}").toSeq
+      .collect().map { r =>
+        val shard = r.getString(0)
+        // manifests written before the basename format recorded the
+        // absolute URIs input_file_name() returns; prepending
+        // outDir/data/ to those would resolve to garbage paths
+        // (outDir/data/hdfs://...), so any entry that is already a
+        // path — contains '/' (URI schemes always do) — passes
+        // through unmodified
+        if (shard.contains("/")) shard else s"$outDir/data/$shard"
+      }.toSeq
     (files, total)
   }
 

@@ -289,6 +289,13 @@ case class CmhRow(group: String, n: Long, n1: Long, m1: Long, o: Long)
   * deterministic one-batch stream (the pattern the driver harness can
   * check against a batch oracle). On a real cluster the same plans run
   * unbounded with kafka/file sources and checkpointed sinks.
+  *
+  * Restart recovery is proven, not assumed: CheckpointRestartSpec
+  * kills and restarts a `mapGroupsWithState` query ([[ewmaState]])
+  * from its checkpoint mid-stream and asserts the final state equals
+  * an uninterrupted run bit-for-bit (the state store's deserialize
+  * path), alongside the file-source progress-recovery test and the
+  * RocksDB state-store run of the calendar monitors.
   */
 object StreamingOps {
 
@@ -1530,24 +1537,43 @@ object StreamingOps {
     // write and the store appends, speculative re-run, …) converges
     // to the same on-disk state instead of duplicating pairs or
     // double-appending the batch. The key is base + batchId, where
-    // base is 1 + the largest key already in the pairs store at
-    // query start: a BRAND-NEW query continuing the same stores
-    // (fresh MemoryStream/no checkpoint — batch ids restart at 0)
-    // then extends the keyspace instead of clobbering the earlier
-    // run's batches. Remaining caveat, documented: a restart FROM A
-    // CHECKPOINT allocates a new base, so a batch that crashed
-    // mid-write in the previous process can leave its partial
-    // batch=<old key> pairs dir behind — clean the last uncommitted
-    // key on such a restart (or run with a fresh pairs dir).
+    // base is 1 + the largest COMMITTED key at query start: a
+    // brand-new query continuing the same stores (fresh MemoryStream/
+    // no checkpoint — batch ids restart at 0) then extends the
+    // keyspace instead of clobbering the earlier run's batches.
+    //
+    // Commit is mechanical (ADVICE r16): a key counts as committed
+    // only when its batch=<key> partition exists in ALL THREE dirs —
+    // writes land pairs → store → corpus, so a crash anywhere
+    // mid-sequence leaves the key absent from at least the corpus.
+    // At query start every orphaned key (present somewhere, missing
+    // somewhere) is DELETED from all dirs before base is computed:
+    // a checkpoint restart allocates a new base, so a leftover
+    // batch=<old key> pairs partition from the crashed attempt would
+    // otherwise double-count the replayed batch forever.
     val streamSpark = stream.sparkSession
-    val base: Long = {
-      val p = new org.apache.hadoop.fs.Path(pairsDir)
-      val fs = p.getFileSystem(streamSpark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) 0L
+    val hconf = streamSpark.sparkContext.hadoopConfiguration
+    def batchKeys(dir: String): Set[Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) Set.empty
       else fs.listStatus(p).map(_.getPath.getName)
         .collect { case n if n.startsWith("batch=") =>
-          n.stripPrefix("batch=").toLong }
-        .foldLeft(-1L)(math.max) + 1L
+          n.stripPrefix("batch=").toLong }.toSet
+    }
+    val base: Long = {
+      val dirs = Seq(pairsDir, storeDir, corpusDir)
+      val keys = dirs.map(batchKeys)
+      val committed = keys.reduce(_ intersect _)
+      val orphans = keys.reduce(_ union _) -- committed
+      orphans.foreach { k =>
+        dirs.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/batch=$k")
+          val fs = p.getFileSystem(hconf)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      }
+      committed.foldLeft(-1L)(math.max) + 1L
     }
     stream.writeStream
       .outputMode(OutputMode.Append)

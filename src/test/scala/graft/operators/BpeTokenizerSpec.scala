@@ -63,6 +63,33 @@ class BpeTokenizerSpec extends SparkSuite {
     assert(out === Seq("aa", "a</w>"))
   }
 
+  test("trainLedger records the winning count at each selection " +
+      "(VERDICT r16 #4: the per-merge audit ledger)") {
+    val ledger = BpeTokenizer.trainLedger(corpus, "text", nMerges = 4)
+    // hand-computed: (e,s) 9 = newest 6 + widest 3; after merging,
+    // (es,t</w>) is still 9; (l,o) 7 = low 5 + lower 2; then the
+    // 6-count tie (e,w)/(n,e)/(w,est</w>) breaks lexicographically
+    assert(ledger === Seq(
+      (1, "e", "s", 9L), (2, "es", "t</w>", 9L),
+      (3, "l", "o", 7L), (4, "e", "w", 6L)))
+    // train() is the ledger minus the audit columns
+    assert(BpeTokenizer.train(corpus, "text", nMerges = 4) ===
+      ledger.map { case (_, l, r, _) => (l, r) })
+  }
+
+  test("trainLedger run-of-identical-symbols merges stay leftmost-" +
+      "greedy (the alignment case a string-replace replay gets wrong)") {
+    // "aaaaaa" → [a,a,a,a,a,a</w>]: greedy (a,a) merges positions
+    // (1,2) and (3,4) — NOT (1,2) and (4,5) as a single-pass
+    // trailing-space string replace would produce
+    val df = Seq("aaaaaa aaaaaa").toDF("text")
+    val merged = BpeTokenizer.mergePair(
+        BpeTokenizer.initialSymbols(BpeTokenizer.wordCounts(df, "text")),
+        "a", "a")
+      .collect().head.getSeq[String](2)
+    assert(merged === Seq("aa", "aa", "a", "a</w>"))
+  }
+
   test("train stops early when no pair reaches minCount") {
     val df = Seq("ab cd").toDF("text")
     val merges = BpeTokenizer.train(df, "text", nMerges = 10)

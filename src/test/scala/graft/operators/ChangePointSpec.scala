@@ -392,4 +392,43 @@ class ChangePointSpec extends SparkSuite {
       .withColumn("__svv", lit(70L).cast("decimal(38,0)"))
     assert(ChangePoint.adfFromSums(ok, "s").count() === 1L)
   }
+
+  test("dickeyFullerFromSums overflow guard fires for eligible series " +
+      "and stays silent for series the n-threshold would drop") {
+    // ADVICE r16: the raise_error guard rode as one conjunct of a
+    // Filter whose siblings (n >= 4) Catalyst may reorder — a 2-pair
+    // series with overflowing sums could abort the job instead of
+    // being dropped. Eligibility is now folded INTO the when(), so:
+    //  (a) an n >= 4 series past the bound still raises loudly,
+    //  (b) an n < 4 series past the bound drops silently under ANY
+    //      conjunct ordering.
+    // The guard is the NON-ANSI safety net (under ANSI the decimal
+    // product itself throws, loudly, for every overflowing series —
+    // including via codegen subexpression elimination, before any
+    // conditional can skip it), so pin ansi off for this test.
+    import spark.implicits._
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+    val big = BigDecimal("20000000000000000000") // 2e19 > 10^19-1
+    def sums(n: Long) =
+      Seq(("g", n)).toDF("s", "n")
+        .withColumn("__su", lit(big.bigDecimal).cast("decimal(38,0)"))
+        .withColumn("__sv", lit(1L).cast("decimal(38,0)"))
+        .withColumn("__suu", lit(1L).cast("decimal(38,0)"))
+        .withColumn("__suv", lit(1L).cast("decimal(38,0)"))
+        .withColumn("__svv", lit(1L).cast("decimal(38,0)"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      ChangePoint.dickeyFullerFromSums(sums(10L), "s").collect()
+    }
+    assert(msgs(e).exists(_.contains("dickeyFullerFromSums")),
+      s"expected the loud overflow raise, got: $e")
+    // ineligible series: same overflowing sums, n = 2 — must DROP,
+    // not raise (the guard's when() now requires n >= 4 itself)
+    assert(ChangePoint.dickeyFullerFromSums(sums(2L), "s").count() === 0L)
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
 }

@@ -67,6 +67,36 @@ class ShardedWriteSpec extends SparkSuite {
       .count() === 0L)
   }
 
+  test("pruneShards passes legacy absolute-URI manifest entries " +
+      "through unmodified") {
+    // ADVICE r16: manifests written before the basename format hold
+    // the absolute URIs input_file_name() returned; unconditionally
+    // prepending outDir/data/ resolved those to garbage
+    // (outDir/data/file:///...). Entries that already contain '/'
+    // must pass through untouched; basenames still resolve locally.
+    val dir = java.nio.file.Files.createTempDirectory("shards_legacy")
+      .toString
+    ShardedWrite.writeSharded(
+      spark.range(0, 100).select($"id", ($"id" % 3).as("v")),
+      dir, "id", rowsPerShard = 50, targetTasks = 2)
+    // rewrite the manifest in the legacy absolute format: resolve
+    // today's basenames against the data dir, as the old writer did
+    val legacy = spark.read.parquet(s"$dir/_manifest")
+      .withColumn("shard", concat(lit(s"file:$dir/data/"), $"shard"))
+    val tmp = java.nio.file.Files.createTempDirectory("m_legacy").toString
+    legacy.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite")
+      .parquet(s"$dir/_manifest")
+    val (files, _) = ShardedWrite.pruneShards(spark, dir, 0L, 99L)
+    assert(files.nonEmpty)
+    assert(files.forall(_.startsWith(s"file:$dir/data/")),
+      s"legacy URIs must not be re-prefixed: $files")
+    // and they still OPEN: the range read over the legacy manifest
+    // returns the full id range
+    assert(ShardedWrite.readRange(spark, dir, "id", 0L, 99L)
+      .count() === 100L)
+  }
+
   test("overwrite is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("shards2").toString
     val df = spark.range(0, 200).select($"id", ($"id" % 7).as("v"))

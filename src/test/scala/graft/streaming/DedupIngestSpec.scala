@@ -88,4 +88,66 @@ class DedupIngestSpec extends SparkSuite {
         s"restarted query pairs the new doc against the stored corpus, got $after3")
     } finally q2.stop()
   }
+
+  test("orphaned batch keys from a mid-write crash are deleted before " +
+      "a restart ingests anything") {
+    // ADVICE r16: a crash between the pairs write and the store/
+    // corpus writes leaves batch=<key> present in pairs only; a
+    // checkpoint restart allocates a NEW base, so the orphan would
+    // double-count the replayed batch forever. Commit is now
+    // mechanical — a key counts only if present in all three dirs —
+    // and orphans are deleted at query start.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("ingest_orph").toString
+    val (corpusDir, storeDir, pairsDir) =
+      (s"$root/corpus", s"$root/store", s"$root/pairs")
+
+    def newQuery(input: MemoryStream[(Long, String)]) = {
+      val stream = input.toDF().toDF("doc_id", "text")
+        .withColumn("tokens", split(col("text"), " ")).drop("text")
+      StreamingOps.dedupIngest(stream, corpusDir, storeDir, pairsDir,
+        "doc_id", "tokens", shingleK = 3, bands = 8, rowsPerBand = 4,
+        minJaccard = 0.5)
+    }
+
+    // wave 1 commits batch=0 in all three dirs
+    val input1 = MemoryStream[(Long, String)]
+    val q1 = newQuery(input1)
+    try { input1.addData(wave1: _*); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // simulate the crash: a batch=1 partition exists in the PAIRS dir
+    // only (schema cloned from the committed partition, bogus ids)
+    spark.read.parquet(pairsDir).drop("batch")
+      .limit(1)
+      .withColumn("id_a", lit(98L)).withColumn("id_b", lit(99L))
+      .write.mode("overwrite").parquet(s"$pairsDir/batch=1")
+    assert(spark.read.parquet(pairsDir)
+      .filter(col("id_a") === 98L).count() === 1L)
+
+    // restart: the orphan must be gone BEFORE wave 2 is processed,
+    // and wave 2 lands under a key that makes the stores equal the
+    // uninterrupted run's
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = newQuery(input2)
+    try { input2.addData(wave2: _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val pairs = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 5L), (12L, 14L)),
+      s"orphan must be deleted and wave 2 processed exactly once, got $pairs")
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (wave1 ++ wave2).map(_._1).sorted)
+    val storeRows = spark.read.parquet(storeDir)
+      .select("id", "band", "key").as[(Long, Int, Long)].collect().toSet
+    val recomputed = Dedup.minhashBuckets(
+        Dedup.shingleSets(corpus, "doc_id", "tokens", 3), 8, 4)
+      .select("id", "band", "key").as[(Long, Int, Long)].collect().toSet
+    assert(storeRows == recomputed,
+      "stores after orphan cleanup must equal a full recompute")
+  }
 }
