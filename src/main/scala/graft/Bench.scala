@@ -180,8 +180,9 @@ object Bench {
     "q_dedup_minhash_scale",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q15", "q_tpch_q19",
     "q_tpch_q2", "q_tpch_q13", "q_tpch_q21",
-    // round-17 addition: multi-merge BPE training (VERDICT r16 #4)
-    "q_bpe_train")
+    // round-17 additions: multi-merge BPE training (VERDICT r16 #4),
+    // its applied-segmentation twin, and the leakage-safe split
+    "q_bpe_train", "q_bpe_segment", "q_leakage_safe_split")
 
   /** At-scale WITNESS queries (VERDICT r16 #1): run once per bench,
     * timed and reported under a separate `witnesses` map EXCLUDED

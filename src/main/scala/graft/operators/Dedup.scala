@@ -555,6 +555,45 @@ object Dedup {
     df.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Leakage-safe train/eval split: assign every document to a split
+    * by a deterministic md5 draw on its LEAKAGE UNIT — the near-dup
+    * group's canonical (minimum) id for group members, the doc's own
+    * id otherwise — so near-duplicates can never straddle the split
+    * boundary and leak training content into evaluation (the
+    * eval-contamination failure mode of naive row-hash splits: a
+    * near-copy of a training doc lands in the eval set and scores as
+    * generalization). Returns one row per input doc:
+    * `(idCol, unit, grouped, split)` with split ∈ train/eval and
+    * grouped = the doc belongs to some near-dup group (its unit was
+    * a group label, not its own id — true for canonical members too).
+    *
+    * Scale shape: groups resolve on the PAIR list
+    * ([[connectedComponents]] — group-sized, never corpus-sized);
+    * the label map is broadcast onto the corpus (one map-side join,
+    * no corpus shuffle); the draw is the engine's replayable
+    * md5 lattice (the SequencePacking convention), so the assignment
+    * is a pure function of content ids — stable across runs,
+    * partitionings and engines. `trainPermille` of 1000 buckets.
+    */
+  def leakageSafeSplit(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPermille: Int = 800): DataFrame = {
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      s"trainPermille: $trainPermille")
+    val labels = connectedComponents(pairs) // (id, label), members only
+    val joined = df.select(col(idCol))
+      .join(broadcast(labels.withColumnRenamed("id", idCol)),
+        Seq(idCol), "left")
+    val unit = coalesce(col("label"), col(idCol))
+    val draw = pmod(
+      conv(substring(md5(unit.cast("string")), 1, 15), 16, 10)
+        .cast("long"),
+      lit(1000L))
+    joined.select(col(idCol), unit.as("unit"),
+      col("label").isNotNull.as("grouped"),
+      when(draw < trainPermille, "train").otherwise("eval").as("split"))
+  }
+
   /** Exact shingle Jaccard for an explicit candidate-pair list.
     * No broadcast hint on the candidate set: it is output-sized
     * (unbounded at corpus scale), so forcing it through the driver

@@ -218,6 +218,71 @@ private[queries] object ExtensionDedupQueries {
         ORDER BY d.doc_id
       """)),
 
+    // Leakage-safe train/eval split (Dedup.leakageSafeSplit): every
+    // doc assigned by a replayable md5 draw on its LEAKAGE UNIT (the
+    // dup group's canonical id, else the doc's own), so near-dups
+    // can never straddle the boundary and contaminate evaluation.
+    // Result: per-split census + the cross-split near-dup pair count
+    // — computed on BOTH sides, not pinned, so a hash drift or a
+    // grouping regression that lets a pair straddle flips the row
+    // red (the expected value is 0 by construction).
+    QueryDef(
+      "q_leakage_safe_split",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        val assigned = Dedup.leakageSafeSplit(
+          Tables.documents(s, dir), "doc_id", pairs, trainPermille = 800)
+        val census = assigned.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("unit")).as("n_units"),
+            sum(when(col("grouped"), 1L).otherwise(0L)).as("n_dup_docs"))
+        val crossPairs = pairs
+          .join(assigned.select(col("doc_id").as("id_a"),
+            col("split").as("__sa")), "id_a")
+          .join(assigned.select(col("doc_id").as("id_b"),
+            col("split").as("__sb")), "id_b")
+          .agg(coalesce(
+            sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)),
+            lit(0L)).as("cross_split_pairs"))
+        census.crossJoin(broadcast(crossPairs)).orderBy(col("split"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${jaccardEdgesCte},
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        labels AS (
+          SELECT a AS id, least(a, MIN(b)) AS label
+          FROM reach GROUP BY a),
+        assigned AS (
+          SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS unit,
+                 l.label IS NOT NULL AS grouped,
+                 CASE WHEN CAST(concat('0x', substr(md5(
+                        CAST(COALESCE(l.label, d.doc_id) AS VARCHAR)),
+                        1, 15)) AS UBIGINT) % 1000 < 800
+                      THEN 'train' ELSE 'eval' END AS split
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        pairs AS (SELECT id_a, id_b FROM j WHERE jac >= 0.8),
+        xp AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN a.split <> b.split
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_split_pairs
+          FROM pairs p
+          JOIN assigned a ON a.doc_id = p.id_a
+          JOIN assigned b ON b.doc_id = p.id_b)
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT unit) AS n_units,
+               CAST(SUM(CASE WHEN grouped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               (SELECT cross_split_pairs FROM xp) AS cross_split_pairs
+        FROM assigned
+        GROUP BY split
+        ORDER BY split
+      """)),
+
     // Exact duplicate-span detection (training-data "exact substring
     // dedup" at 20-token-span granularity): positions whose span
     // recurs in ≥2 distinct docs.

@@ -1486,6 +1486,28 @@ private[queries] object ExtensionInferenceQueries {
       },
       Some(bpeTrainOracle(4))),
 
+    // The trained tokenizer APPLIED: segment every distinct word of
+    // the corpus with the 4 learned merges — the downstream
+    // tokenization path, which by design runs over the DISTINCT-word
+    // table (vocab-sized) and joins back to the corpus, never doing
+    // per-occurrence piece work (BpeTokenizer.segment scaladoc).
+    // The oracle extends q_bpe_train's unrolled chain by one more
+    // list_reduce application (the final merge) and reads the
+    // resulting symbol table.
+    QueryDef(
+      "q_bpe_segment",
+      (s, dir) => {
+        import graft.operators.BpeTokenizer
+        val docs = Tables.documents(s, dir)
+        val merges = BpeTokenizer.train(docs, "text", nMerges = 4,
+          minCount = 1L)
+        BpeTokenizer.segment(docs, "text", merges)
+          .select(col("word"), col("freq"),
+            array_join(col("pieces"), " ").as("pieces"))
+          .orderBy(col("word"))
+      },
+      Some(bpeSegmentOracle(4))),
+
     // T5 span-corruption example prep: replayable md5 span draws,
     // one sentinel per corrupted span in the inputs, sentinel-
     // enumerated span tokens in the targets (SpanCorruption
@@ -1658,7 +1680,17 @@ private[queries] object ExtensionInferenceQueries {
     * twice, hence AS MATERIALIZED (the round-16 oracle-replay-cost
     * convention, tools/ORACLE_REPLAY_PROFILE.md).
     */
-  private def bpeTrainOracle(nMerges: Int): String = {
+  private def bpeTrainOracle(nMerges: Int): String =
+    bpeChainOracle(nMerges, segment = false)
+
+  /** The q_bpe_segment oracle: the same chain, with the FINAL merge
+    * also applied (s_n generated) and the word column carried
+    * through, selecting each distinct word's space-joined pieces.
+    */
+  private def bpeSegmentOracle(nMerges: Int): String =
+    bpeChainOracle(nMerges, segment = true)
+
+  private def bpeChainOracle(nMerges: Int, segment: Boolean): String = {
     val ctes = Seq(
       """words AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1666,7 +1698,7 @@ private[queries] object ExtensionInferenceQueries {
       WHERE length(word) > 0
       GROUP BY 1)""",
       """s0 AS MATERIALIZED (
-      SELECT freq,
+      SELECT word, freq,
              list_transform(range(1, length(word) + 1),
                i -> substr(word, i, 1) ||
                     CASE WHEN i = length(word) THEN '</w>' ELSE '' END)
@@ -1674,9 +1706,9 @@ private[queries] object ExtensionInferenceQueries {
       FROM words)""") ++
       (1 to nMerges).flatMap { k =>
         val merged =
-          if (k == nMerges) Nil
+          if (k == nMerges && !segment) Nil
           else Seq(s"""s$k AS MATERIALIZED (
-      SELECT freq,
+      SELECT word, freq,
              string_split(trim(list_reduce(list_prepend('', syms),
                (acc, x) -> CASE WHEN x = t.rhs
                                  AND ends_with(acc, ' ' || t.lhs)
@@ -1693,9 +1725,17 @@ private[queries] object ExtensionInferenceQueries {
       SELECT lhs, rhs, cnt FROM p$k
       ORDER BY cnt DESC, lhs, rhs LIMIT 1)""") ++ merged
       }
-    val steps = (1 to nMerges)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, cnt FROM t$k")
-      .mkString("\nUNION ALL ")
-    s"WITH ${ctes.mkString(",\n")}\nSELECT * FROM (\n$steps)\nORDER BY step"
+    val finalSelect =
+      if (segment)
+        s"""SELECT word, freq, array_to_string(syms, ' ') AS pieces
+      FROM s$nMerges ORDER BY word"""
+      else {
+        val steps = (1 to nMerges)
+          .map(k =>
+            s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, cnt FROM t$k")
+          .mkString("\nUNION ALL ")
+        s"SELECT * FROM (\n$steps)\nORDER BY step"
+      }
+    s"WITH ${ctes.mkString(",\n")}\n$finalSelect"
   }
 }

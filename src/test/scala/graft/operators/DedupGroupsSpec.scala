@@ -37,6 +37,43 @@ class DedupGroupsSpec extends SparkSuite {
     assert(canon === Seq(1L, 10L, 50L))
   }
 
+  test("leakageSafeSplit keeps every near-dup group on one side and " +
+      "assigns by the replayable md5 draw on the unit") {
+    val docs = (1L to 12L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // groups {1,2,3} (unit 1), {10,11} (unit 10); 4..9,12 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", pairs,
+      trainPermille = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(2), r.getString(3)))
+    assert(out.length === 12)
+    val byId = out.map(t => t._1 -> t).toMap
+    // group members share their canonical unit and its split verbatim
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).distinct === Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(byId(_)._4).distinct.length === 1)
+    assert(Seq(10L, 11L).map(byId(_)._2).distinct === Seq(10L))
+    assert(Seq(10L, 11L).map(byId(_)._4).distinct.length === 1)
+    // grouped flags: true for every member incl. canonicals
+    assert(Seq(1L, 2L, 3L, 10L, 11L).forall(byId(_)._3))
+    assert(Seq(4L, 5L, 12L).forall(!byId(_)._3))
+    // the draw replays: split = md5-lattice(unit) % 1000 < 800,
+    // byte-identical to the DuckDB oracle's expression
+    out.foreach { case (_, unit, _, split) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(unit.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val expected =
+        if (java.lang.Long.parseLong(hex, 16) % 1000 < 800) "train"
+        else "eval"
+      assert(split === expected, s"unit $unit")
+    }
+    // determinism across partitionings
+    val again = Dedup.leakageSafeSplit(docs.repartition(7), "doc_id",
+        pairs.repartition(3), trainPermille = 800)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(out.map(t => t._1 -> t._4).toMap === again)
+  }
+
   test("connectedComponents closes a 200-hop chain within 16 rounds " +
       "— adaptive path halving makes convergence O(log diameter)") {
     import spark.implicits._

@@ -44,7 +44,7 @@ SF01_SMOKE = [
     "q_stream_scd2", "q_adf", "q_ann_topk", "q_mann_kendall",
     "q_window_funcs", "q_sessions", "q_url_canonical", "q_lang_id",
     "q_kneser_ney", "q_pack_sequences", "q_tpch_q13", "q_tpch_q21",
-    "q_cc_diameter_scale"]
+    "q_cc_diameter_scale", "q_bpe_train", "q_leakage_safe_split"]
 
 
 def main():
