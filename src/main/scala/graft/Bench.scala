@@ -582,8 +582,11 @@ object Bench {
         // (contention only ever inflates), and the retry count is
         // stamped into the artifact so a drift that SURVIVES retries
         // reads as real, not as an ungated hot rep.
+        // witnesses are exempt: their claim is an oracle-checked
+        // column, so re-running a deliberate worst-case to chase a
+        // wall-clock drift nothing consumes would only burn minutes
         var driftRetries = 0
-        while (prevTimes.get(name).exists(p =>
+        while (!witnesses.contains(name) && prevTimes.get(name).exists(p =>
             best > p * 1.4 && best - p > 0.5) && driftRetries < 2) {
           gate(gateSec)
           val t = runOnce(name); clearCaches()

@@ -62,8 +62,6 @@ object DeterministicCart {
     b.toSeq
   }
 
-  private val vecAt = udf { (v: Vector, i: Int) => v(i) }
-
   /** Gini impurity 1 - (p/n)^2 - ((n-p)/n)^2 from exact long counts. */
   private def gini(n: Column, p: Column): Column = {
     val nd = n.cast("double")
@@ -158,21 +156,35 @@ object DeterministicCart {
       if (accepted.isEmpty) {
         active = Nil
       } else {
-        var route: Column = col("node")
         val children = mutable.ArrayBuffer.empty[Int]
+        val levelSplits = mutable.Map.empty[Int, (Int, Double, Int, Int)]
         accepted.foreach { case (id, _, feat, v, nl, pl) =>
           val (n, p) = counts(id)
           val (l, r) = (nextId, nextId + 1); nextId += 2
           splits(id) = (feat, v, l, r)
+          levelSplits(id) = (feat, v, l, r)
           counts(l) = (nl, pl)
           counts(r) = (n - nl, p - pl)
           children += l += r
-          route = when(col("node") === id,
-            when(vecAt(col("f"), lit(feat)) <= v, l).otherwise(r))
-            .otherwise(route)
+        }
+        // ONE map-lookup UDF per row instead of a when-chain over
+        // every accepted node (each arm calling a vector UDF): the
+        // chain made routing O(|accepted|) UDF evaluations per row —
+        // ~100 at the wide levels of a depth-8 tree — where a level's
+        // split table is driver-small and one lookup decides the
+        // child. Same exact `v(feat) <= thr` comparison, so the
+        // fitted tree is bit-identical.
+        val table = levelSplits.toMap
+        val route = udf { (node: Int, f: Vector) =>
+          table.get(node) match {
+            case Some((feat, thr, l, r)) => if (f(feat) <= thr) l else r
+            case None => node
+          }
         }
         val prev = assign
-        assign = assign.withColumn("node", route).cache()
+        assign = assign
+          .withColumn("node", route(col("node"), col("f")))
+          .cache()
         assign.count()
         prev.unpersist()
         active = children.toSeq.filter(impure)
