@@ -319,6 +319,44 @@ private[queries] object EventStreamQueries {
         ORDER BY user_id, event_type
       """)),
 
+    // Streaming incremental near-dup INGEST (StreamingOps.dedupIngest
+    // — the production loop with parquet signature/corpus stores):
+    // the corpus arrives as two micro-batches (doc_id parity, one
+    // file each via maxFilesPerTrigger=1); each batch emits its
+    // new×old + intra-batch verified pairs against the stores, so
+    // the union over batches must equal the one-shot batch dedup —
+    // the same exact-Jaccard oracle as q_dedup_minhash. The pair SET
+    // is wave-order-independent (a pair is emitted exactly once,
+    // when its later member arrives), and the batch=<key> overwrite
+    // convention makes replays idempotent (DedupIngestSpec proves
+    // the crash/orphan paths). Stores live in fresh temp dirs per
+    // invocation.
+    QueryDef(
+      "q_stream_dedup_ingest",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ingest_q").toString
+        val in = s"$root/in"
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+          .coalesce(1).write.mode("append").parquet(in)
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .coalesce(1).write.mode("append").parquet(in)
+        val stream = s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+        val q = StreamingOps.dedupIngest(stream,
+          s"$root/corpus", s"$root/store", s"$root/pairs",
+          "doc_id", "tokens", shingleK = 3, bands = 8, rowsPerBand = 4,
+          minJaccard = 0.8)
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$root/pairs")
+          .select(col("id_a"), col("id_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(ExtensionQueries.jaccardOracle)),
+
     // Watermarked stream-stream interval join: each purchase joined to
     // the same user's clicks in the preceding hour. Inner matches emit
     // eagerly, so the bounded one-batch run produces the complete
