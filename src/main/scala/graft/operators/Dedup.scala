@@ -580,6 +580,21 @@ object Dedup {
       trainPermille: Int = 800): DataFrame = {
     require(trainPermille >= 0 && trainPermille <= 1000,
       s"trainPermille: $trainPermille")
+    // integral ids required (the Dbscan.cluster refusal): the label
+    // map is LongType, so a string id would silently cross-cast in
+    // the join and the coalesce — "007" never matches 7, and every
+    // group member would quietly fall back to its own id, defeating
+    // the leakage guarantee
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"Dedup.leakageSafeSplit: id column '$idCol' is $dt; integral " +
+          "ids are required — a non-integral id cross-casts in the " +
+          "label join and group members would silently split apart")
+    }
     val labels = connectedComponents(pairs) // (id, label), members only
     val joined = df.select(col(idCol))
       .join(broadcast(labels.withColumnRenamed("id", idCol)),

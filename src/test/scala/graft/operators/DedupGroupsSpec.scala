@@ -72,6 +72,14 @@ class DedupGroupsSpec extends SparkSuite {
         pairs.repartition(3), trainPermille = 800)
       .collect().map(r => (r.getLong(0), r.getString(3))).toMap
     assert(out.map(t => t._1 -> t._4).toMap === again)
+    // non-integral ids refuse loudly (the Dbscan convention): a
+    // string id would cross-cast in the label join and group members
+    // would silently split apart
+    val strDocs = Seq(("a", "t")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.leakageSafeSplit(strDocs, "doc_id", pairs)
+    }
+    assert(e.getMessage.contains("integral"))
   }
 
   test("connectedComponents closes a 200-hop chain within 16 rounds " +
