@@ -90,7 +90,10 @@ class RoundEdgeSpec extends AnyFunSuite {
     // new or removed edges, the same mirrored-verbatim lattices.
     "graft/queries/EventQueries.scala" -> 13,
     "graft/queries/EventInferenceQueries.scala" -> 4,
-    "graft/queries/EventStreamQueries.scala" -> 8,
+    // round 17: +1 — q_stream_dedup_ingest's 6-dp jaccard OUTPUT
+    // snap, mirroring q_dedup_minhash's registered edge verbatim
+    // (both sides read the shared jaccardOracle).
+    "graft/queries/EventStreamQueries.scala" -> 9,
     "graft/queries/EventTimeSeriesQueries.scala" -> 19,
     // 107 at round 10; +4 in round 11: q_brown_forsythe's oracle
     // mirrors q_anova's registered edges verbatim (the per-group
