@@ -168,33 +168,32 @@ object Bench {
     "q_stream_dispersion", "q_tpch_q14", "q_tpch_q18",
     "q_ann_matryoshka", "q_dickey_fuller", "q_granger",
     "q_stream_smd", "q_stuart_maxwell", "q_stream_dickey_fuller",
-    // round-15 addition: the derived-nlist AT-SCALE witness — 16,000
-    // corpus rows at sf0.1, nlist = 125 (not the 16 floor), with the
-    // candidate-pair count stamped into the artifact (ann_scale map)
-    "q_ann_ivf_scale", "q_tpch_q17", "q_adf", "q_stream_adf",
+    "q_tpch_q17", "q_adf", "q_stream_adf",
     "q_tpch_q4", "q_tpch_q22",
-    // round-16 additions: the dedup AT-SCALE witness — 8× token-salted
-    // corpus (sf0.1: 40,000 docs), candidate-pair ledger stamped into
-    // the artifact (dedup_scale map) next to ann_scale — plus the
-    // Q7/Q10/Q15/Q19 widening of the TPC-H surface
-    "q_dedup_minhash_scale",
     "q_tpch_q7", "q_tpch_q8", "q_tpch_q10", "q_tpch_q15", "q_tpch_q19",
     "q_tpch_q2", "q_tpch_q13", "q_tpch_q21",
     // round-17 additions: multi-merge BPE training (VERDICT r16 #4),
     // its applied-segmentation twin, and the leakage-safe split
-    "q_bpe_train", "q_bpe_segment", "q_leakage_safe_split")
+    "q_bpe_train", "q_bpe_segment", "q_leakage_safe_split",
+    // round-18 additions: persisted-merge BPE round-trip and the
+    // incremental (pair-store-driven) leakage-safe split
+    "q_bpe_roundtrip", "q_leakage_split_incremental")
 
-  /** At-scale WITNESS queries (VERDICT r16 #1): run once per bench,
-    * timed and reported under a separate `witnesses` map EXCLUDED
-    * from the headline total — their claims are oracle-checked
-    * COLUMNS (the CC round count, the dedup candidate budget), not
-    * wall-clock, and q_cc_diameter_scale's deliberate 21-round
-    * worst-case chain was 30% of the r16 total, masking every real
-    * regression ratio. The full-scale rows stay in Verify/
-    * CORRECTNESS and the sf0.1 smoke — the witness itself is
+  /** At-scale WITNESS queries (VERDICT r16 #1, completed per r17 #2):
+    * run once per bench, timed and reported under a separate
+    * `witnesses` map EXCLUDED from the headline total — their claims
+    * are oracle-checked COLUMNS (the CC round count, the dedup
+    * candidate budget, the derived nlist), not wall-clock, and
+    * q_cc_diameter_scale's deliberate 21-round worst-case chain was
+    * 30% of the r16 total, masking every real regression ratio. As of
+    * r18 ALL `*_scale` witnesses live here (r17 still carried the ANN
+    * and dedup witnesses in the headline, where the dedup witness was
+    * the single largest entry at 3.7%). The full-scale rows stay in
+    * Verify/CORRECTNESS and the sf0.1 smoke — the witnesses are
     * unweakened; only the bench accounting moves.
     */
-  val witnesses: Seq[String] = Seq("q_cc_diameter_scale")
+  val witnesses: Seq[String] = Seq(
+    "q_cc_diameter_scale", "q_ann_ivf_scale", "q_dedup_minhash_scale")
 
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND
@@ -207,13 +206,12 @@ object Bench {
   private val heavy: Set[String] = Set(
     "q_dedup_groups", "q_dedup_spans", "q_pack_sequences",
     "q_dedup_embedding", "q_curate",
-    "q_pipeline_tokens", "q_dedup_minhash", "q_dedup_minhash_scale")
-  // q_cc_diameter_scale is a `witnesses` entry (see above): its claim
-  // is the oracle-checked rounds column (contention can't change it),
-  // so it runs exactly ONCE and its wall time lands in the separate
-  // witnesses map — load-gated or repeated ~40 s reps of a
-  // fixed-overhead propagation loop would buy artifact precision
-  // nothing consumes.
+    "q_pipeline_tokens", "q_dedup_minhash")
+  // The *_scale witnesses are `witnesses` entries (see above): their
+  // claims are oracle-checked columns (contention can't change them),
+  // so each runs exactly ONCE and its wall time lands in the separate
+  // witnesses map — load-gated or repeated ~40 s reps of deliberate
+  // worst-case fixtures would buy artifact precision nothing consumes.
 
   /** Fixed single-thread spin (~0.2 s on a calm modern core); the
     * wall-time in ms is the contention gauge.
@@ -460,8 +458,17 @@ object Bench {
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           val qObj = "\"queries\":\\{([^}]*)\\}".r
             .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-          "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qObj)
+          val parsed = "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(qObj)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // ADVICE r17: an empty parse of an EXISTING file means the
+          // format drifted out from under the regex — that silently
+          // disables drift retries and common_set_ratio, so say so
+          // loudly instead of leaving only the exception path noisy.
+          if (parsed.isEmpty) System.err.println(
+            s"[bench] WARNING: ${f.getName} exists but the queries " +
+              "map parsed EMPTY - bench_full format drift? drift " +
+              "retries and common_set_ratio are disabled this run")
+          parsed
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] prev-round times unavailable: $e")
@@ -757,7 +764,7 @@ object Bench {
     // (the linearity claim is then a number in BENCH_r{N}, not only a
     // spec assertion).
     val annScale: Seq[(String, Double)] =
-      if (!results.exists { case (n, t) => n == "q_ann_ivf_scale" &&
+      if (!witnessResults.exists { case (n, t) => n == "q_ann_ivf_scale" &&
           t.isDefined }) Nil
       else try {
         val r = SparkEntry.queries("q_ann_ivf_scale")(spark, sfDir).head
@@ -781,8 +788,8 @@ object Bench {
     // those numbers.) Collected outside the timed region, like
     // ann_scale.
     val dedupScale: Seq[(String, Double)] =
-      if (!results.exists { case (n, t) => n == "q_dedup_minhash_scale" &&
-          t.isDefined }) Nil
+      if (!witnessResults.exists { case (n, t) =>
+          n == "q_dedup_minhash_scale" && t.isDefined }) Nil
       else try {
         val nDocs = 8L * graft.Tables.documents(spark, sfDir).count()
         val l = graft.queries.ExtensionQueries

@@ -96,4 +96,12 @@ package object functions {
   def elementwise_min(arr: Column): Column =
     Bridge.column(
       ElementwiseMin(Bridge.expression(arr)).toAggregateExpression())
+
+  /** Element `i` of an ml `Vector` column, inside whole-stage codegen
+    * (absent sparse slot → 0.0, out-of-range index → null; see
+    * [[VectorAt]]). The CART routing kernel.
+    */
+  def vector_at(vec: Column, idx: Column): Column =
+    Bridge.column(
+      VectorAt(Bridge.expression(vec), Bridge.expression(idx.cast("int"))))
 }

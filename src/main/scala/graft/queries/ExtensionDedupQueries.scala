@@ -283,6 +283,94 @@ private[queries] object ExtensionDedupQueries {
         ORDER BY split
       """)),
 
+    // INCREMENTAL leakage-safe split (VERDICT r17 #6): the corpus
+    // arrives as two chained ingest batches through the production
+    // dedupIngest loop (parquet pair/signature/corpus stores, old×old
+    // never recomputed), then the split is assigned FROM THE PAIR
+    // STORE (Dedup.leakageSafeSplitFromStore) over the combined
+    // corpus. The oracle is q_leakage_safe_split's own one-shot
+    // exact-Jaccard chain, so two chained ingests must assign every
+    // doc exactly as a one-shot batch split would (the
+    // q_stream_dedup_ingest equivalence convention) — and the
+    // cross-split pair count, computed against the STORE's pairs, is
+    // 0 by construction across the combined corpus. Same minhash
+    // operating point as q_dedup_minhash (k=3, 8×4 bands, ≥0.8), so
+    // the store's pair set equals the exact list at this margin.
+    QueryDef(
+      "q_leakage_split_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val toks = docs
+          .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_leak_inc").toString
+        val in = s"$root/in"
+        toks.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+          .coalesce(1).write.mode("append").parquet(in)
+        toks.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .coalesce(1).write.mode("append").parquet(in)
+        val stream = s.readStream.schema(s.read.parquet(in).schema)
+          .option("maxFilesPerTrigger", "1").parquet(in)
+        val q = graft.streaming.StreamingOps.dedupIngest(stream,
+          s"$root/corpus", s"$root/store", s"$root/pairs",
+          "doc_id", "tokens", shingleK = 3, bands = 8, rowsPerBand = 4,
+          minJaccard = 0.8)
+        try q.processAllAvailable() finally q.stop()
+        val assigned = Dedup.leakageSafeSplitFromStore(
+          docs, "doc_id", s"$root/pairs", trainPermille = 800)
+        val pairs = s.read.parquet(s"$root/pairs")
+          .select(col("id_a"), col("id_b"))
+        val census = assigned.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("unit")).as("n_units"),
+            sum(when(col("grouped"), 1L).otherwise(0L)).as("n_dup_docs"))
+        val crossPairs = pairs
+          .join(assigned.select(col("doc_id").as("id_a"),
+            col("split").as("__sa")), "id_a")
+          .join(assigned.select(col("doc_id").as("id_b"),
+            col("split").as("__sb")), "id_b")
+          .agg(coalesce(
+            sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L)),
+            lit(0L)).as("cross_split_pairs"))
+        census.crossJoin(broadcast(crossPairs)).orderBy(col("split"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${jaccardEdgesCte},
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        labels AS (
+          SELECT a AS id, least(a, MIN(b)) AS label
+          FROM reach GROUP BY a),
+        assigned AS (
+          SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS unit,
+                 l.label IS NOT NULL AS grouped,
+                 CASE WHEN CAST(concat('0x', substr(md5(
+                        CAST(COALESCE(l.label, d.doc_id) AS VARCHAR)),
+                        1, 15)) AS UBIGINT) % 1000 < 800
+                      THEN 'train' ELSE 'eval' END AS split
+          FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+        pairs AS (SELECT src AS id_a, dst AS id_b FROM edges
+                  WHERE src < dst),
+        xp AS (
+          SELECT CAST(COALESCE(SUM(CASE WHEN a.split <> b.split
+                   THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_split_pairs
+          FROM pairs p
+          JOIN assigned a ON a.doc_id = p.id_a
+          JOIN assigned b ON b.doc_id = p.id_b)
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT unit) AS n_units,
+               CAST(SUM(CASE WHEN grouped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               (SELECT cross_split_pairs FROM xp) AS cross_split_pairs
+        FROM assigned
+        GROUP BY split
+        ORDER BY split
+      """)),
+
     // Exact duplicate-span detection (training-data "exact substring
     // dedup" at 20-token-span granularity): positions whose span
     // recurs in ≥2 distinct docs.

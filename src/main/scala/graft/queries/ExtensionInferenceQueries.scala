@@ -1471,7 +1471,14 @@ private[queries] object ExtensionInferenceQueries {
     // sound after the first merge and this query doesn't use it.
     // minCount = 1 so the early-stop condition (no pairs left) is
     // the same on both sides: an exhausted corpus yields an empty
-    // t_k and every later CTE goes empty with it.
+    // t_k, each s_k LEFT-falls-back to s_{k-1} unchanged (ADVICE
+    // r17), and the ledger's UNION simply lacks the missing steps —
+    // matching the engine's early-stopped trainLedger. Oracle
+    // caveat (VERDICT r17 #5): the engine REFUSES corpora whose
+    // words contain the literal `</w>` marker (initialSymbols'
+    // raise_error guard); the oracle has no such guard, but the
+    // generated documents table contains no angle brackets, so both
+    // sides see the same clean corpus here.
     QueryDef(
       "q_bpe_train",
       (s, dir) => {
@@ -1502,6 +1509,32 @@ private[queries] object ExtensionInferenceQueries {
         val merges = BpeTokenizer.train(docs, "text", nMerges = 4,
           minCount = 1L)
         BpeTokenizer.segment(docs, "text", merges)
+          .select(col("word"), col("freq"),
+            array_join(col("pieces"), " ").as("pieces"))
+          .orderBy(col("word"))
+      },
+      Some(bpeSegmentOracle(4))),
+
+    // Persisted-tokenizer ROUND-TRIP (VERDICT r17 #4): train the same
+    // 4 merges, ship them as the parquet artifact
+    // (BpeTokenizer.writeMerges — the writeIvfIndex
+    // build-once/query-many convention), then tokenize FROM THE STORE
+    // with segmentFromStore. The oracle is q_bpe_segment's own chain,
+    // so store → segment must hash-equal the live path: a lost step
+    // column, a reordered reload, or a schema drift in the artifact
+    // flips this row red. Stores live in a fresh temp dir per
+    // invocation.
+    QueryDef(
+      "q_bpe_roundtrip",
+      (s, dir) => {
+        import graft.operators.BpeTokenizer
+        val docs = Tables.documents(s, dir)
+        val ledger = BpeTokenizer.trainLedger(docs, "text", nMerges = 4,
+          minCount = 1L)
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_bpe_store").toString
+        BpeTokenizer.writeMerges(s, ledger, store)
+        BpeTokenizer.segmentFromStore(docs, "text", store)
           .select(col("word"), col("freq"),
             array_join(col("pieces"), " ").as("pieces"))
           .orderBy(col("word"))
@@ -1705,16 +1738,28 @@ private[queries] object ExtensionInferenceQueries {
                AS syms
       FROM words)""") ++
       (1 to nMerges).flatMap { k =>
+        // LEFT JOIN ON TRUE, not CROSS JOIN (ADVICE r17): if the
+        // corpus exhausts before nMerges merges, t_k is EMPTY — a
+        // cross join would empty s_k and every later CTE with it, so
+        // the segment oracle would return zero rows while the
+        // engine's segment() still returns every word segmented with
+        // the merges actually learned. With the left join an empty
+        // t_k yields NULL t.lhs and the CASE passes syms through
+        // unchanged — exactly the engine's early-stop semantics (an
+        // exhausted table has no pairs, so later iterations are
+        // no-ops on both sides).
         val merged =
           if (k == nMerges && !segment) Nil
           else Seq(s"""s$k AS MATERIALIZED (
       SELECT word, freq,
-             string_split(trim(list_reduce(list_prepend('', syms),
-               (acc, x) -> CASE WHEN x = t.rhs
-                                 AND ends_with(acc, ' ' || t.lhs)
-                            THEN acc || t.rhs
-                            ELSE acc || ' ' || x END)), ' ') AS syms
-      FROM s${k - 1} CROSS JOIN t$k t)""")
+             CASE WHEN t.lhs IS NULL THEN syms
+                  ELSE string_split(trim(list_reduce(list_prepend('', syms),
+                    (acc, x) -> CASE WHEN x = t.rhs
+                                      AND ends_with(acc, ' ' || t.lhs)
+                                 THEN acc || t.rhs
+                                 ELSE acc || ' ' || x END)), ' ')
+             END AS syms
+      FROM s${k - 1} LEFT JOIN t$k t ON TRUE)""")
         Seq(s"""p$k AS (
       SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
              CAST(SUM(freq) AS BIGINT) AS cnt

@@ -1542,18 +1542,25 @@ object StreamingOps {
     // no checkpoint — batch ids restart at 0) then extends the
     // keyspace instead of clobbering the earlier run's batches.
     //
-    // Commit is mechanical (ADVICE r16): a key counts as committed
-    // only when its batch=<key> partition exists in ALL THREE dirs —
-    // writes land pairs → store → corpus, so a crash anywhere
-    // mid-sequence leaves the key absent from at least the corpus.
-    // At query start every orphaned key (present somewhere, missing
-    // somewhere) is DELETED from all dirs before base is computed:
-    // a checkpoint restart allocates a new base, so a leftover
-    // batch=<old key> pairs partition from the crashed attempt would
-    // otherwise double-count the replayed batch forever.
+    // Commit is mechanical (ADVICE r16/r17): a key counts as
+    // committed only when the _SUCCESS marker exists INSIDE its
+    // batch=<key> dir in ALL THREE stores. Bare dir existence is not
+    // enough: FileOutputCommitter creates the output dir (with
+    // _temporary) at job SETUP, so a crash DURING a parquet job
+    // leaves a partial batch=<key> dir in place — classifying that
+    // as committed would let the checkpoint replay the batch under a
+    // new key and duplicate pairs/signatures forever. _SUCCESS is
+    // written only at job commit, so it is the real transaction
+    // marker. At query start every orphaned key (a batch=<key> dir
+    // present anywhere without the full three-way _SUCCESS set) is
+    // DELETED from all dirs before base is computed: a checkpoint
+    // restart allocates a new base, so a leftover partition from the
+    // crashed attempt would otherwise double-count the replayed
+    // batch forever (and a v2-committer partial dir would leak
+    // half-written task files into the prior-batch reads).
     val streamSpark = stream.sparkSession
     val hconf = streamSpark.sparkContext.hadoopConfiguration
-    def batchKeys(dir: String): Set[Long] = {
+    def presentKeys(dir: String): Set[Long] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(hconf)
       if (!fs.exists(p)) Set.empty
@@ -1561,11 +1568,15 @@ object StreamingOps {
         .collect { case n if n.startsWith("batch=") =>
           n.stripPrefix("batch=").toLong }.toSet
     }
+    def committedKeys(dir: String): Set[Long] =
+      presentKeys(dir).filter { k =>
+        val m = new org.apache.hadoop.fs.Path(s"$dir/batch=$k/_SUCCESS")
+        m.getFileSystem(hconf).exists(m)
+      }
     val base: Long = {
       val dirs = Seq(pairsDir, storeDir, corpusDir)
-      val keys = dirs.map(batchKeys)
-      val committed = keys.reduce(_ intersect _)
-      val orphans = keys.reduce(_ union _) -- committed
+      val committed = dirs.map(committedKeys).reduce(_ intersect _)
+      val orphans = dirs.map(presentKeys).reduce(_ union _) -- committed
       orphans.foreach { k =>
         dirs.foreach { dir =>
           val p = new org.apache.hadoop.fs.Path(s"$dir/batch=$k")

@@ -453,6 +453,41 @@ class PlanShapeSpec extends SparkSuite {
     assert(scans.size >= 2, s"expected codebook + corpus scans:\n$p")
   }
 
+  test("leakageSafeSplit: no forced broadcast of the corpus-" +
+      "proportional label map (VERDICT r17 #1)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // planted HEAVY-dup fixture: every doc is a member of some
+    // near-dup pair, so the label map has one row per corpus doc —
+    // exactly the shape where a forced broadcast hint would pull the
+    // whole corpus through the driver at 100 TB. The join must carry
+    // NO hint: AQE still picks broadcast at runtime when the group
+    // membership turns out small (the verifiedJaccard convention).
+    val docs = (0L until 400L).toDF("doc_id")
+    val pairs = (0L until 200L).map(i => (2 * i, 2 * i + 1))
+      .toDF("id_a", "id_b")
+    val assigned = graft.operators.Dedup
+      .leakageSafeSplit(docs, "doc_id", pairs)
+    val hints = assigned.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty,
+      "leakageSafeSplit forces a join strategy on the label map — " +
+        "it is near-dup-member-sized (corpus-proportional on heavy-" +
+        "dup corpora) and must be left to AQE:\n" +
+        assigned.queryExecution.analyzed.treeString)
+    // and the guarantee itself on the fixture: pair members never
+    // straddle the split
+    val bySplit = assigned
+      .select(col("doc_id"), col("split")).as[(Long, String)]
+      .collect().toMap
+    (0L until 200L).foreach { i =>
+      assert(bySplit(2 * i) === bySplit(2 * i + 1),
+        s"pair (${2 * i}, ${2 * i + 1}) straddles the split")
+    }
+    assert(bySplit.values.toSet.subsetOf(Set("train", "eval")))
+  }
+
   test("URL canonicalization is scan-projection-local: no hash " +
       "shuffle, no UDF; the domain cap is exactly one hash exchange") {
     // q_url_canonical: row-parallel regexp/array builtins only — the

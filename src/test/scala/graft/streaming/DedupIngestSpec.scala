@@ -150,4 +150,75 @@ class DedupIngestSpec extends SparkSuite {
     assert(storeRows == recomputed,
       "stores after orphan cleanup must equal a full recompute")
   }
+
+  test("a partial batch dir (present in all three stores, no _SUCCESS) " +
+      "is an orphan, not a commit") {
+    // ADVICE r17: FileOutputCommitter creates the output dir at job
+    // SETUP, so a crash DURING a parquet job leaves batch=<key>
+    // present — in the worst case in all three dirs at once (crash
+    // mid-corpus-write, the last of the three). Dir existence must
+    // NOT count as committed: the key would be skipped as done, the
+    // checkpoint would replay the batch under a NEW key, and the
+    // partial files (visible under a v2 committer) would double-count
+    // pairs forever. Commit = _SUCCESS present inside batch=<key> in
+    // ALL THREE dirs.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = java.nio.file.Files.createTempDirectory("ingest_part").toString
+    val (corpusDir, storeDir, pairsDir) =
+      (s"$root/corpus", s"$root/store", s"$root/pairs")
+
+    def newQuery(input: MemoryStream[(Long, String)]) = {
+      val stream = input.toDF().toDF("doc_id", "text")
+        .withColumn("tokens", split(col("text"), " ")).drop("text")
+      StreamingOps.dedupIngest(stream, corpusDir, storeDir, pairsDir,
+        "doc_id", "tokens", shingleK = 3, bands = 8, rowsPerBand = 4,
+        minJaccard = 0.5)
+    }
+
+    val input1 = MemoryStream[(Long, String)]
+    val q1 = newQuery(input1)
+    try { input1.addData(wave1: _*); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // simulate the mid-job crash: batch=1 dirs in ALL THREE stores,
+    // with task data visible but the _SUCCESS marker missing (write
+    // normally, then strip the marker)
+    spark.read.parquet(pairsDir).drop("batch").limit(1)
+      .withColumn("id_a", lit(98L)).withColumn("id_b", lit(99L))
+      .write.mode("overwrite").parquet(s"$pairsDir/batch=1")
+    spark.read.parquet(storeDir).drop("batch").limit(1)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=1")
+    spark.read.parquet(corpusDir).drop("batch").limit(1)
+      .withColumn("doc_id", lit(99L))
+      .write.mode("overwrite").parquet(s"$corpusDir/batch=1")
+    for (d <- Seq(pairsDir, storeDir, corpusDir)) {
+      val ok = new java.io.File(s"$d/batch=1/_SUCCESS").delete()
+      assert(ok, s"fixture setup: no _SUCCESS to strip under $d")
+    }
+
+    // restart: every batch=1 partial must be deleted (NOT classified
+    // committed), wave 2 processed once, stores equal to a clean run
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = newQuery(input2)
+    try { input2.addData(wave2: _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val pairs = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 5L), (12L, 14L)),
+      s"partial batch dirs must be cleaned, not treated as committed: $pairs")
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (wave1 ++ wave2).map(_._1).sorted,
+      "the partial corpus row must not survive cleanup")
+    val storeRows = spark.read.parquet(storeDir)
+      .select("id", "band", "key").as[(Long, Int, Long)].collect().toSet
+    val recomputed = Dedup.minhashBuckets(
+        Dedup.shingleSets(corpus, "doc_id", "tokens", 3), 8, 4)
+      .select("id", "band", "key").as[(Long, Int, Long)].collect().toSet
+    assert(storeRows == recomputed,
+      "stores after partial-dir cleanup must equal a full recompute")
+  }
 }

@@ -8,6 +8,7 @@ must parse, be non-empty, and carry at least as many query rows as
 the largest prior round (coverage only ever grows).
 
 Usage: tools/roundguard.py CORRECTNESS_rN.json
+       tools/roundguard.py --smoke-list CORRECTNESS_rN.json
 Exit 0 = sane; exit 1 = empty/shrunken/unreadable (treat the round's
 correctness as NOT RUN and re-run the sweep, e.g.
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify" &&
@@ -19,17 +20,28 @@ an sf-dependent bug — a fixture-size assumption, a hidden constant —
 could hide behind it. The guard therefore ALSO demands a green sf0.1
 smoke artifact for the same round: SF01_SMOKE_rN.json, produced by
 
+  tools/roundguard.py --smoke-list CORRECTNESS_rN.json  # the subset
   sbt "runMain graft.Verify /root/testdata/sf0.1 /tmp/verify_sf01 \
-      <SF01_SMOKE queries>" &&
+      <subset>" &&
   python3 tools/check.py --json SF01_SMOKE_rN.json \
-      /tmp/verify_sf01 /root/testdata/sf0.1 <SF01_SMOKE queries>
+      /tmp/verify_sf01 /root/testdata/sf0.1 <subset>
 
-with every subset query "OK". The subset (SF01_SMOKE below — the
-list is the source of truth, currently 17) is non-pinned and
-shape-diverse: dedup LSH + its 8x scale witness, retrieval, TPC-H
-decorrelation (Q17/Q13/Q21), streaming SCD2/ADF, ANN, Mann-Kendall,
-window/sessionization, URL canonicalization, language-id, bigram
-LM, packing, and the CC diameter witness.
+with every subset query "OK". The subset (VERDICT r17 #3) is the
+union of three deterministic pieces, so the gate and the generator
+cannot disagree:
+
+  1. PINNED — 19 fixed shape-diverse rows (dedup LSH + its 8x scale
+     witness, retrieval, TPC-H decorrelation, streaming SCD2/ADF,
+     ANN, Mann-Kendall, window/sessionization, URL canonicalization,
+     language-id, bigram LM, packing, the CC diameter witness, BPE
+     training, the leakage-safe split);
+  2. ROTATION — the round-N slice of the full artifact's sorted
+     query names (index % ROTATION_PERIOD == N % ROTATION_PERIOD),
+     ~30 rows per round, so EVERY row gets sf0.1 coverage once per
+     ROTATION_PERIOD rounds instead of never;
+  3. NEW-IN-ROUND — every query present in CORRECTNESS_rN but absent
+     from the largest prior round's artifact (new surface is the
+     likeliest to hide an sf-dependent constant).
 
 Driver-side tooling only — NOT part of the engine.
 """
@@ -39,16 +51,52 @@ import os
 import re
 import sys
 
-SF01_SMOKE = [
+PINNED = [
     "q_dedup_minhash", "q_dedup_minhash_scale", "q_bm25", "q_tpch_q17",
     "q_stream_scd2", "q_adf", "q_ann_topk", "q_mann_kendall",
     "q_window_funcs", "q_sessions", "q_url_canonical", "q_lang_id",
     "q_kneser_ney", "q_pack_sequences", "q_tpch_q13", "q_tpch_q21",
     "q_cc_diameter_scale", "q_bpe_train", "q_leakage_safe_split"]
 
+ROTATION_PERIOD = 12
+
+
+def load_round(target):
+    m = re.search(r"CORRECTNESS_r(\d+)\.json", target)
+    return int(m.group(1)) if m else 0
+
+
+def prev_artifact(repo, this_round):
+    """(name, dict) of the largest prior round's artifact, or
+    (None, {})."""
+    best, best_name = {}, None
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json", f)
+        if this_round and m and int(m.group(1)) >= this_round:
+            continue
+        try:
+            d = json.load(open(f))
+        except Exception:
+            continue
+        if isinstance(d, dict) and len(d) > len(best):
+            best, best_name = d, os.path.basename(f)
+    return best_name, best
+
+
+def smoke_subset(cur, prev, this_round):
+    """The required sf0.1 subset for this round (VERDICT r17 #3)."""
+    rotating = [q for i, q in enumerate(sorted(cur))
+                if i % ROTATION_PERIOD == this_round % ROTATION_PERIOD]
+    new_in_round = [q for q in cur if q not in prev] if prev else []
+    return sorted(set(PINNED) | set(rotating) | set(new_in_round))
+
 
 def main():
-    target = sys.argv[1]
+    args = [a for a in sys.argv[1:]]
+    list_only = "--smoke-list" in args
+    if list_only:
+        args.remove("--smoke-list")
+    target = args[0]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         cur = json.load(open(target))
@@ -59,27 +107,20 @@ def main():
         print(f"GUARD-FAIL {target}: empty artifact — harness failure, "
               "not a pass; re-run the sweep")
         sys.exit(1)
-    this_round = re.search(r"CORRECTNESS_r(\d+)\.json", target)
-    prev_max = 0
-    prev_name = None
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json", f)
-        if this_round and m and int(m.group(1)) >= int(this_round.group(1)):
-            continue
-        try:
-            d = json.load(open(f))
-        except Exception:
-            continue
-        if isinstance(d, dict) and len(d) > prev_max:
-            prev_max, prev_name = len(d), os.path.basename(f)
-    if len(cur) < prev_max:
-        print(f"GUARD-FAIL {target}: {len(cur)} rows < {prev_max} "
+    this_round = load_round(target)
+    prev_name, prev = prev_artifact(repo, this_round)
+    subset = smoke_subset(cur, prev, this_round)
+    if list_only:
+        print(" ".join(subset))
+        sys.exit(0)
+    if len(cur) < len(prev):
+        print(f"GUARD-FAIL {target}: {len(cur)} rows < {len(prev)} "
               f"({prev_name}) — coverage only grows; sweep incomplete")
         sys.exit(1)
     n_bad = sum(
         1 for v in cur.values()
         if isinstance(v, dict) and v.get("hash_match") is False)
-    # sf0.1 smoke gate (VERDICT r15 #4)
+    # sf0.1 smoke gate (VERDICT r15 #4 + the r17 #3 rotation)
     smoke_target = re.sub(r"CORRECTNESS_r(\d+)\.json$",
                           r"SF01_SMOKE_r\1.json", target)
     if smoke_target == target:
@@ -91,15 +132,17 @@ def main():
         print(f"GUARD-FAIL {smoke_target}: unreadable ({e}) — run the "
               "sf0.1 smoke subset (see module docstring)")
         sys.exit(1)
-    missing = [q for q in SF01_SMOKE if q not in smoke]
-    red = [q for q in SF01_SMOKE if smoke.get(q) not in (None, "OK")]
+    missing = [q for q in subset if q not in smoke]
+    red = [q for q in subset if smoke.get(q) not in (None, "OK")]
     if missing or red:
         print(f"GUARD-FAIL {smoke_target}: missing={missing} red="
               f"{[(q, smoke[q][:60]) for q in red]}")
         sys.exit(1)
     print(f"GUARD-OK {target}: {len(cur)} rows "
-          f"(prior max {prev_max}), {n_bad} red; "
-          f"sf0.1 smoke {len(SF01_SMOKE)}/{len(SF01_SMOKE)} green")
+          f"(prior max {len(prev)}), {n_bad} red; "
+          f"sf0.1 smoke {len(subset)}/{len(subset)} green "
+          f"(rotation slice {this_round % ROTATION_PERIOD}/"
+          f"{ROTATION_PERIOD})")
     sys.exit(0)
 
 
