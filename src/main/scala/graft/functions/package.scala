@@ -104,4 +104,18 @@ package object functions {
   def vector_at(vec: Column, idx: Column): Column =
     Bridge.column(
       VectorAt(Bridge.expression(vec), Bridge.expression(idx.cast("int"))))
+
+  /** Nonzero `(index, value)` pairs of an ml `Vector` column as
+    * `array<struct<_1:int,_2:double>>`, inside whole-stage codegen —
+    * the CART stats-pass kernel (see [[VectorNonzeros]]).
+    */
+  def vector_nonzeros(vec: Column): Column =
+    Bridge.column(VectorNonzeros(Bridge.expression(vec)))
+
+  /** Element-wise product of an ml `Vector` column with a fixed
+    * weight array, layout-preserving — the TF-IDF featurize kernel
+    * (see [[VectorScale]]).
+    */
+  def vector_scale(vec: Column, weights: Array[Double]): Column =
+    Bridge.column(VectorScale(Bridge.expression(vec), weights))
 }

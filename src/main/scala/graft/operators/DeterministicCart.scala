@@ -51,16 +51,11 @@ import org.apache.spark.sql.functions._
   */
 object DeterministicCart {
 
-  /** Nonzero (index, value) pairs of a sparse/dense MLlib vector —
-    * the one place a UDF is warranted: VectorUDT has no Catalyst
-    * accessor, and densifying via vector_to_array would materialize
-    * |vocab| doubles per row on the scan path.
-    */
-  private val sparseEntries = udf { v: Vector =>
-    val b = mutable.ArrayBuffer.empty[(Int, Double)]
-    v.foreachActive((i, x) => if (x != 0.0) b += ((i, x)))
-    b.toSeq
-  }
+  // Nonzero (index, value) pairs of a sparse/dense MLlib vector: the
+  // native graft.functions.vector_nonzeros kernel (round 18) — the
+  // former UDF here paid a full VectorUDT deserialization plus a
+  // reflection-encoded tuple conversion per row on the stats-pass
+  // scan, the hottest loop of the fit.
 
   /** Gini impurity 1 - (p/n)^2 - ((n-p)/n)^2 from exact long counts. */
   private def gini(n: Column, p: Column): Column = {
@@ -106,7 +101,8 @@ object DeterministicCart {
 
       val stats = assign
         .filter(col("node").isInCollection(active))
-        .select(col("node"), explode(sparseEntries(col("f"))).as("e"),
+        .select(col("node"),
+          explode(graft.functions.vector_nonzeros(col("f"))).as("e"),
           col("y"))
         .groupBy(col("node"), col("e._1").as("feat"), col("e._2").as("v"))
         .agg(count(lit(1)).cast("long").as("cnt"),

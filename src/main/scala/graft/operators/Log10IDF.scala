@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.{Estimator, Model}
 import org.apache.spark.ml.graftbridge.MLBridge
-import org.apache.spark.ml.linalg.{DenseVector, SparseVector, SQLDataTypes, Vector, Vectors}
+import org.apache.spark.ml.linalg.{SQLDataTypes, Vector, Vectors}
 import org.apache.spark.ml.param.{Param, ParamMap}
 import org.apache.spark.ml.stat.Summarizer
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable, MLReadable, MLReader, MLWritable, MLWriter}
@@ -67,26 +67,13 @@ class Log10IDFModel(override val uid: String, val idf: Vector)
   def setInputCol(v: String): this.type = set(inputCol, v)
   def setOutputCol(v: String): this.type = set(outputCol, v)
 
-  override def transform(ds: Dataset[_]): DataFrame = {
-    val idfArr = idf.toArray
-    val scale = udf { v: Vector =>
-      v match {
-        case sv: SparseVector =>
-          val vals = new Array[Double](sv.values.length)
-          var i = 0
-          while (i < vals.length) {
-            vals(i) = sv.values(i) * idfArr(sv.indices(i)); i += 1
-          }
-          Vectors.sparse(sv.size, sv.indices, vals): Vector
-        case dv: DenseVector =>
-          val vals = new Array[Double](dv.values.length)
-          var i = 0
-          while (i < vals.length) { vals(i) = dv.values(i) * idfArr(i); i += 1 }
-          Vectors.dense(vals): Vector
-      }
-    }
-    ds.withColumn($(outputCol), scale(col($(inputCol))))
-  }
+  override def transform(ds: Dataset[_]): DataFrame =
+    // the native layout-preserving kernel (round 18): same multiply
+    // order as the former UDF, bit-identical outputs, but the scan
+    // stays inside whole-stage codegen — the UDF paid a VectorUDT
+    // deserialize + re-serialize per document on the featurize path
+    ds.withColumn($(outputCol),
+      graft.functions.vector_scale(col($(inputCol)), idf.toArray))
 
   override def transformSchema(schema: StructType): StructType =
     schema.add($(outputCol), SQLDataTypes.VectorType, nullable = false)

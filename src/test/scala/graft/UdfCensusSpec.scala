@@ -24,20 +24,16 @@ class UdfCensusSpec extends AnyFunSuite {
   //    token window), the broadcast-Bloom membership probe, simhash64
   //    (64-bit majority fold) — all array/stateful shapes with no
   //    builtin equivalent that wouldn't materialize more
-  //  - DeterministicCart.scala: sparseEntries (nonzero (i, v) pairs
-  //    of an ml vector; vector_to_array would densify |vocab| doubles
-  //    per row on the scan path). The ROUTING udf was replaced by the
-  //    native vector_at expression in r18 — do not reintroduce it.
-  //  - Log10IDF.scala: scale (elementwise vector·idf product over
-  //    VectorUDT)
   //  - TextAnalysis.scala: compressionRatio (Deflater round-trip),
   //    shingleUdf (as above)
   //  - VectorFunctions.scala: toMlVector (array<float> → VectorUDT
-  //    constructor; UDT construction has no Catalyst builtin)
+  //    constructor; cold index-build paths only)
+  // DeterministicCart (routing + stats pass) and Log10IDF (idf
+  // scaling) lost their UDFs to the native vector_at /
+  // vector_nonzeros / vector_scale kernels in r18 — do not
+  // reintroduce them.
   private val allow: Map[String, Int] = Map(
     "graft/operators/Dedup.scala" -> 3,
-    "graft/operators/DeterministicCart.scala" -> 1,
-    "graft/operators/Log10IDF.scala" -> 1,
     "graft/functions/TextAnalysis.scala" -> 2,
     "graft/functions/VectorFunctions.scala" -> 1)
 
