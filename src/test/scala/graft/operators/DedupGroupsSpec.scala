@@ -82,6 +82,37 @@ class DedupGroupsSpec extends SparkSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("leakageSafeSplitFromStore: a later ingest batch that near-dups " +
+      "an existing doc inherits that doc's split (VERDICT r17 #6)") {
+    // the stability story behind q_leakage_split_incremental: the
+    // pair STORE accumulates batch partitions; assignment over the
+    // union must (a) equal a one-shot split over the union and
+    // (b) pull a new near-dup of an already-assigned doc onto that
+    // doc's side instead of re-drawing it independently
+    val docs = (1L to 30L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("leak_store").toString
+    // batch 0: groups {3,7} and {12,13}
+    Seq((3L, 7L), (12L, 13L)).toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(s"$root/batch=0")
+    // batch 1: doc 21 arrives near-dupping doc 3's group
+    Seq((3L, 21L)).toDF("id_a", "id_b")
+      .write.mode("overwrite").parquet(s"$root/batch=1")
+    val fromStore = Dedup
+      .leakageSafeSplitFromStore(docs, "doc_id", root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    val byId = fromStore.map(t => t._1 -> t).toMap
+    // 21 joined {3,7}'s group: same unit (canonical 3), same split
+    assert(byId(21L)._2 === 3L && byId(3L)._2 === 3L)
+    assert(byId(21L)._3 === byId(3L)._3)
+    assert(byId(7L)._3 === byId(3L)._3)
+    // store-driven assignment ≡ one-shot over the union of pairs
+    val oneShot = Dedup.leakageSafeSplit(docs, "doc_id",
+        Seq((3L, 7L), (12L, 13L), (3L, 21L)).toDF("id_a", "id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    assert(fromStore.sortBy(_._1).toSeq === oneShot.sortBy(_._1).toSeq)
+  }
+
   test("connectedComponents closes a 200-hop chain within 16 rounds " +
       "— adaptive path halving makes convergence O(log diameter)") {
     import spark.implicits._
