@@ -175,9 +175,10 @@ object Bench {
     // round-17 additions: multi-merge BPE training (VERDICT r16 #4),
     // its applied-segmentation twin, and the leakage-safe split
     "q_bpe_train", "q_bpe_segment", "q_leakage_safe_split",
-    // round-18 additions: persisted-merge BPE round-trip and the
-    // incremental (pair-store-driven) leakage-safe split
-    "q_bpe_roundtrip", "q_leakage_split_incremental")
+    // round-18 additions: persisted-merge BPE round-trip, the BPE
+    // vocabulary artifact, and the incremental (pair-store-driven)
+    // leakage-safe split
+    "q_bpe_roundtrip", "q_bpe_vocab", "q_leakage_split_incremental")
 
   /** At-scale WITNESS queries (VERDICT r16 #1, completed per r17 #2):
     * run once per bench, timed and reported under a separate

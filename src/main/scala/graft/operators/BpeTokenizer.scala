@@ -228,6 +228,36 @@ object BpeTokenizer {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSeq
 
+  /** The trained tokenizer's VOCABULARY: every base symbol of the
+    * corpus decomposition (single characters, word-final ones
+    * carrying the `</w>` marker) plus each merge's output symbol, as
+    * `(symbol, step)` — step 0 for base symbols, the 1-based merge
+    * step for merge-created pieces. This is the second half of the
+    * artifact a real tokenizer ships (vocab + merges); ids follow
+    * (step, symbol) order deterministically. Base and merged symbols
+    * cannot collide: a base symbol is one character (plus marker),
+    * a merge output concatenates two non-empty symbols, so it is at
+    * least two characters long.
+    *
+    * Scale shape: one distinct-symbol aggregation over the
+    * vocab-sized word table; the merge list is nMerges-sized driver
+    * state joined in as a literal frame.
+    */
+  def vocab(
+      docs: DataFrame, textCol: String,
+      ledger: Seq[(Int, String, String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = initialSymbols(wordCounts(docs, textCol))
+      .select(explode(col("syms")).as("symbol"))
+      .distinct()
+      .select(col("symbol"), lit(0).as("step"))
+    val merged = ledger
+      .map { case (step, l, r, _) => (l + r, step) }
+      .toDF("symbol", "step")
+    base.unionByName(merged)
+  }
+
   /** [[segment]] driven by a persisted merge store: round-trip
     * equivalent to segmenting with the live [[train]] result
     * (BpeTokenizerSpec + the q_bpe_roundtrip oracle prove store →

@@ -1541,6 +1541,26 @@ private[queries] object ExtensionInferenceQueries {
       },
       Some(bpeSegmentOracle(4))),
 
+    // The trained tokenizer's VOCABULARY (BpeTokenizer.vocab): base
+    // symbols of the corpus decomposition at step 0 plus each
+    // merge's output at its 1-based step — the vocab half of the
+    // shipped artifact (vocab + merges), id order = (step, symbol).
+    // The oracle replays the train chain and unions distinct s0
+    // symbols with the t_k outputs; base (1 char + marker) and
+    // merged (≥ 2 chars) symbols cannot collide, so the union is
+    // exact on both sides.
+    QueryDef(
+      "q_bpe_vocab",
+      (s, dir) => {
+        import graft.operators.BpeTokenizer
+        val docs = Tables.documents(s, dir)
+        val ledger = BpeTokenizer.trainLedger(docs, "text", nMerges = 4,
+          minCount = 1L)
+        BpeTokenizer.vocab(docs, "text", ledger)
+          .orderBy(col("step"), col("symbol"))
+      },
+      Some(bpeVocabOracle(4))),
+
     // T5 span-corruption example prep: replayable md5 span draws,
     // one sentinel per corrupted span in the inputs, sentinel-
     // enumerated span tokens in the targets (SpanCorruption
@@ -1716,6 +1736,25 @@ private[queries] object ExtensionInferenceQueries {
   private def bpeTrainOracle(nMerges: Int): String =
     bpeChainOracle(nMerges, segment = false)
 
+  /** The q_bpe_vocab oracle: the same train chain, with the final
+    * select emitting base symbols (distinct s0 symbols at step 0)
+    * plus each merge's output symbol at its step — the vocabulary
+    * half of the shipped tokenizer artifact. Base and merge symbols
+    * cannot collide (1 char + marker vs ≥ 2 chars), so UNION ALL is
+    * exact.
+    */
+  private def bpeVocabOracle(nMerges: Int): String = {
+    val steps = (1 to nMerges)
+      .map(k => s"SELECT lhs || rhs AS symbol, $k AS step FROM t$k")
+      .mkString("\nUNION ALL ")
+    bpeChainCtes(nMerges, segment = false) +
+      s"""
+      SELECT symbol, step FROM (
+        SELECT DISTINCT unnest(syms) AS symbol, 0 AS step FROM s0
+        UNION ALL $steps)
+      ORDER BY step, symbol"""
+  }
+
   /** The q_bpe_segment oracle: the same chain, with the FINAL merge
     * also applied (s_n generated) and the word column carried
     * through, selecting each distinct word's space-joined pieces.
@@ -1724,6 +1763,25 @@ private[queries] object ExtensionInferenceQueries {
     bpeChainOracle(nMerges, segment = true)
 
   private def bpeChainOracle(nMerges: Int, segment: Boolean): String = {
+    val finalSelect =
+      if (segment)
+        s"""SELECT word, freq, array_to_string(syms, ' ') AS pieces
+      FROM s$nMerges ORDER BY word"""
+      else {
+        val steps = (1 to nMerges)
+          .map(k =>
+            s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, cnt FROM t$k")
+          .mkString("\nUNION ALL ")
+        s"SELECT * FROM (\n$steps)\nORDER BY step"
+      }
+    bpeChainCtes(nMerges, segment) + "\n" + finalSelect
+  }
+
+  /** The shared WITH clause of the BPE oracles: s0 (decomposition),
+    * then per step k the pair counts (p_k), the argmax (t_k) and —
+    * when needed downstream — the merged table (s_k).
+    */
+  private def bpeChainCtes(nMerges: Int, segment: Boolean): String = {
     val ctes = Seq(
       """words AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1770,17 +1828,6 @@ private[queries] object ExtensionInferenceQueries {
       SELECT lhs, rhs, cnt FROM p$k
       ORDER BY cnt DESC, lhs, rhs LIMIT 1)""") ++ merged
       }
-    val finalSelect =
-      if (segment)
-        s"""SELECT word, freq, array_to_string(syms, ' ') AS pieces
-      FROM s$nMerges ORDER BY word"""
-      else {
-        val steps = (1 to nMerges)
-          .map(k =>
-            s"SELECT CAST($k AS BIGINT) AS step, lhs, rhs, cnt FROM t$k")
-          .mkString("\nUNION ALL ")
-        s"SELECT * FROM (\n$steps)\nORDER BY step"
-      }
-    s"WITH ${ctes.mkString(",\n")}\n$finalSelect"
+    s"WITH ${ctes.mkString(",\n")}"
   }
 }

@@ -138,6 +138,24 @@ class BpeTokenizerSpec extends SparkSuite {
     assert(stored === live)
   }
 
+  test("vocab emits base symbols at step 0 plus merge outputs at " +
+      "their steps") {
+    val ledger = BpeTokenizer.trainLedger(corpus, "text", nMerges = 4)
+    val v = BpeTokenizer.vocab(corpus, "text", ledger)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // base: every char of {low, lower, newest, widest} + word-final
+    // marker forms
+    for (s <- Seq("l", "o", "e", "s", "n", "w", "i", "d",
+        "w</w>", "r</w>", "t</w>"))
+      assert(v(s) === 0, s"base symbol $s")
+    // merges in learned order: es, est</w>, lo, ew
+    assert(v("es") === 1 && v("est</w>") === 2 &&
+      v("lo") === 3 && v("ew") === 4)
+    // no collisions: one row per symbol
+    val rows = BpeTokenizer.vocab(corpus, "text", ledger).count()
+    assert(rows === v.size)
+  }
+
   test("topPair + mergePair reproduce train's first iteration") {
     val df = Seq("low low lower lowest").toDF("text")
     val syms = BpeTokenizer.initialSymbols(
