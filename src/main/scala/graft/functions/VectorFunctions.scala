@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -15,15 +14,10 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** array<float> → dense MLlib vector (for KMeans/PCA inputs).
-    * Null-propagating like every other function in this package —
-    * Spark hands a null array straight to a reference-typed UDF, and
-    * an unguarded map would NPE the whole fit job on one null row.
-    */
-  val toMlVector = udf { arr: Seq[Float] =>
-    if (arr == null) null
-    else Vectors.dense(arr.map(_.toDouble).toArray)
-  }
+  // array<float> → dense MLlib vector: the native
+  // graft.functions.vector_from_floats kernel (round 18) — the
+  // former toMlVector UDF built a Scala Seq + ml Vector object per
+  // row at the MLlib boundary.
 
   /** Dot product of two array<float/double> columns via
     * zip_with + aggregate (pure Catalyst, no UDF).

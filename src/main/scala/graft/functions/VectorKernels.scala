@@ -102,6 +102,60 @@ case class VectorNonzeros(child: Expression) extends UnaryExpression {
       newChild: Expression): VectorNonzeros = copy(child = newChild)
 }
 
+/** `array<float|double>` → dense ml vector, the KMeans/PCA input
+  * adapter — replaces the `toMlVector` UDF: same null propagation
+  * (null array → null vector; MLlib fits NPE on a null feature row
+  * otherwise), but the conversion never materializes a Scala Seq or
+  * an ml `Vector` object — one primitive-array copy into the
+  * serialized dense layout, inside whole-stage codegen.
+  */
+case class VectorFromFloats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = SQLDataTypes.VectorType
+  override def prettyName: String = "vector_from_floats"
+
+  private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> input, got " +
+          other.simpleString(10))
+    }
+
+  /** Public row kernel — called from both eval and generated code. */
+  def kernel(arr: ArrayData): InternalRow = {
+    val n = arr.numElements()
+    val values = new Array[Double](n)
+    var i = 0
+    if (elemIsFloat) {
+      while (i < n) { values(i) = arr.getFloat(i).toDouble; i += 1 }
+    } else {
+      while (i < n) { values(i) = arr.getDouble(i); i += 1 }
+    }
+    new GenericInternalRow(
+      Array[Any](1.toByte, null, null, new GenericArrayData(values)))
+  }
+
+  override def nullSafeEval(arr: Any): Any =
+    kernel(arr.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("vectorFromFloats", this,
+      classOf[VectorFromFloats].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.kernel($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): VectorFromFloats = copy(child = newChild)
+}
+
 /** Element-wise product of an ml vector with a fixed weight array
   * (the fitted idf vector), preserving layout: sparse stays sparse on
   * the SAME indices, dense stays dense. Backs

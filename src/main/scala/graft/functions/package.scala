@@ -118,4 +118,11 @@ package object functions {
     */
   def vector_scale(vec: Column, weights: Array[Double]): Column =
     Bridge.column(VectorScale(Bridge.expression(vec), weights))
+
+  /** `array<float|double>` → dense ml vector for KMeans/PCA inputs,
+    * null-propagating, inside whole-stage codegen (see
+    * [[VectorFromFloats]]).
+    */
+  def vector_from_floats(arr: Column): Column =
+    Bridge.column(VectorFromFloats(Bridge.expression(arr)))
 }

@@ -237,9 +237,8 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4,
       seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    val toVec = graft.functions.VectorFunctions.toMlVector
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), toVec(col(vecCol)).as("mlv"))
+      col(vecCol).as("cv"), graft.functions.vector_from_floats(col(vecCol)).as("mlv"))
     val km = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("mlv").setPredictionCol("cell")
     val model = km.fit(corpusVec)
@@ -671,7 +670,6 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, topN: Int,
       nlist: Int = 0, nprobe: Int = 6, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    val toVec = graft.functions.VectorFunctions.toMlVector
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
     // nlist = 0 derives k from the corpus count (the cellBlockedTopK
     // scale rule): fixed k makes the within-cell self-join quadratic
@@ -680,7 +678,7 @@ object Similarity {
       else derivedNlist(df.select(col(idCol)).count())
     val km = new KMeans().setK(nl).setSeed(seed)
       .setFeaturesCol("mlv").setPredictionCol("cell")
-    val model = km.fit(base.select(toVec(col("v")).as("mlv")))
+    val model = km.fit(base.select(graft.functions.vector_from_floats(col("v")).as("mlv")))
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (c, i) => (i, c.toArray.map(_.toFloat))
     }.toSeq

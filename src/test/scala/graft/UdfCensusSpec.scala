@@ -26,16 +26,13 @@ class UdfCensusSpec extends AnyFunSuite {
   //    builtin equivalent that wouldn't materialize more
   //  - TextAnalysis.scala: compressionRatio (Deflater round-trip),
   //    shingleUdf (as above)
-  //  - VectorFunctions.scala: toMlVector (array<float> → VectorUDT
-  //    constructor; cold index-build paths only)
-  // DeterministicCart (routing + stats pass) and Log10IDF (idf
-  // scaling) lost their UDFs to the native vector_at /
-  // vector_nonzeros / vector_scale kernels in r18 — do not
-  // reintroduce them.
+  // DeterministicCart (routing + stats pass), Log10IDF (idf scaling)
+  // and VectorFunctions (toMlVector) lost their UDFs to the native
+  // vector_at / vector_nonzeros / vector_scale / vector_from_floats
+  // kernels in r18 — do not reintroduce them.
   private val allow: Map[String, Int] = Map(
     "graft/operators/Dedup.scala" -> 3,
-    "graft/functions/TextAnalysis.scala" -> 2,
-    "graft/functions/VectorFunctions.scala" -> 1)
+    "graft/functions/TextAnalysis.scala" -> 2)
 
   private val udfCall =
     """(^|[^a-zA-Z0-9_.])udf\s*[({]""".r

@@ -80,4 +80,29 @@ class VectorKernelsSpec extends SparkSuite {
       vector_nonzeros($"v"), vector_scale($"v", Array(1.0))).head
     assert(out.isNullAt(0) && out.isNullAt(1))
   }
+
+  test("vector_from_floats equals the UDF twin on float and double " +
+      "arrays and propagates null") {
+    val twin = udf { arr: Seq[Float] =>
+      if (arr == null) null
+      else Vectors.dense(arr.map(_.toDouble).toArray)
+    }
+    val floats = Seq(
+      (0L, Some(Array(1.5f, -0.25f, 0.0f))),
+      (1L, Option.empty[Array[Float]])).toDF("id", "a")
+    val out = floats.select($"id",
+      vector_from_floats($"a").as("native"), twin($"a").as("udf"))
+      .collect()
+    out.foreach { r =>
+      if (r.isNullAt(2)) assert(r.isNullAt(1))
+      else {
+        val n = r.getAs[Vector](1)
+        assert(n.isInstanceOf[org.apache.spark.ml.linalg.DenseVector])
+        assert(n === r.getAs[Vector](2))
+      }
+    }
+    val doubles = Seq(Tuple1(Array(2.5, -1.0))).toDF("a")
+    assert(doubles.select(vector_from_floats($"a")).head.getAs[Vector](0)
+      === Vectors.dense(2.5, -1.0))
+  }
 }
