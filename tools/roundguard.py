@@ -66,7 +66,11 @@ PINNED = [
 # bug present (the r18 rotation caught q_pca_variance exactly this
 # way). Excluded from the rotation; their cross-config invariance is
 # spec-gated instead (PinnedOracleInvarianceSpec runs them under two
-# shuffle-partition settings).
+# shuffle-partition settings). NOT excluded: q_pipeline_tokens — its
+# pin is a word→stem MAP (sf-agnostic; the synthetic vocabulary is
+# fixed across scale factors) and it verifies green at sf0.1
+# (checked empirically in r18); q_dedup_minhash_scale — its pin is
+# the cand_linear_ok verdict column, recomputed from the data.
 SF_PINNED = ["q_confusion", "q_pca_variance", "q_tsne", "q_stem_terms"]
 
 ROTATION_PERIOD = 12
