@@ -178,7 +178,8 @@ object Bench {
     // round-18 additions: persisted-merge BPE round-trip, the BPE
     // vocabulary artifact, and the incremental (pair-store-driven)
     // leakage-safe split
-    "q_bpe_roundtrip", "q_bpe_vocab", "q_leakage_split_incremental")
+    "q_bpe_roundtrip", "q_bpe_vocab", "q_bpe_compression",
+    "q_leakage_split_incremental")
 
   /** At-scale WITNESS queries (VERDICT r16 #1, completed per r17 #2):
     * run once per bench, timed and reported under a separate

@@ -258,6 +258,31 @@ object BpeTokenizer {
     base.unionByName(merged)
   }
 
+  /** Corpus-level compression statistics of a trained tokenizer —
+    * the numbers that drive tokenizer SELECTION (a merge list is only
+    * as good as its pieces-per-word on the target corpus): occurrence-
+    * weighted word/piece/char totals, the count of words that
+    * collapsed to a single piece, and two exact integer-lattice
+    * ratios (pieces per 1000 words; chars per piece on a micro
+    * lattice — floor division on non-negative longs, so the numbers
+    * are engine-exact, the SequencePacking convention). One
+    * vocab-sized aggregation over [[segment]]'s output.
+    */
+  def compressionStats(
+      docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    segment(docs, textCol, merges)
+      .agg(
+        sum(col("freq")).as("n_words"),
+        sum(col("freq") * size(col("pieces"))).as("n_pieces"),
+        sum(col("freq") * length(col("word"))).as("n_chars"),
+        sum(when(size(col("pieces")) === 1, col("freq")).otherwise(0L))
+          .as("single_piece_words"))
+      .select(col("n_words"), col("n_pieces"), col("n_chars"),
+        col("single_piece_words"),
+        expr("n_pieces * 1000 div n_words").as("pieces_per_kword"),
+        expr("n_chars * 1000000 div n_pieces").as("chars_per_piece_micro"))
+
   /** [[segment]] driven by a persisted merge store: round-trip
     * equivalent to segmenting with the live [[train]] result
     * (BpeTokenizerSpec + the q_bpe_roundtrip oracle prove store →

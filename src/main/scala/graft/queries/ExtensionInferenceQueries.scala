@@ -1561,6 +1561,37 @@ private[queries] object ExtensionInferenceQueries {
       },
       Some(bpeVocabOracle(4))),
 
+    // Tokenizer compression audit (BpeTokenizer.compressionStats):
+    // occurrence-weighted word/piece/char totals and exact
+    // integer-lattice ratios (pieces per 1000 words, chars per piece
+    // on the micro lattice) over the 4-merge tokenizer — the metric
+    // that decides WHICH merge list ships. Both engines floor-divide
+    // non-negative longs (Spark `div` ≡ DuckDB `//` there), so every
+    // column is an exact BIGINT. The oracle aggregates the segment
+    // chain's final table.
+    QueryDef(
+      "q_bpe_compression",
+      (s, dir) => {
+        import graft.operators.BpeTokenizer
+        val docs = Tables.documents(s, dir)
+        val merges = BpeTokenizer.train(docs, "text", nMerges = 4,
+          minCount = 1L)
+        BpeTokenizer.compressionStats(docs, "text", merges)
+      },
+      Some(bpeChainCtes(4, segment = true) +
+        """
+        SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+               CAST(SUM(freq * len(syms)) AS BIGINT) AS n_pieces,
+               CAST(SUM(freq * length(word)) AS BIGINT) AS n_chars,
+               CAST(SUM(CASE WHEN len(syms) = 1 THEN freq ELSE 0 END)
+                    AS BIGINT) AS single_piece_words,
+               CAST((SUM(freq * len(syms)) * 1000) // SUM(freq)
+                    AS BIGINT) AS pieces_per_kword,
+               CAST((SUM(freq * length(word)) * 1000000)
+                    // SUM(freq * len(syms)) AS BIGINT)
+                 AS chars_per_piece_micro
+        FROM s4""")),
+
     // T5 span-corruption example prep: replayable md5 span draws,
     // one sentinel per corrupted span in the inputs, sentinel-
     // enumerated span tokens in the targets (SpanCorruption

@@ -156,6 +156,20 @@ class BpeTokenizerSpec extends SparkSuite {
     assert(rows === v.size)
   }
 
+  test("compressionStats totals and lattice ratios match the " +
+      "hand-computed toy corpus") {
+    val merges = BpeTokenizer.train(corpus, "text", nMerges = 4)
+    val r = BpeTokenizer.compressionStats(corpus, "text", merges).head
+    // pieces: low→[lo,w</w>]=2 ×5, lower→[lo,w,e,r</w>]=4 ×2,
+    // newest→[n,ew,est</w>]=3 ×6, widest→[w,i,d,est</w>]=4 ×3
+    assert(r.getLong(0) === 16L) // words
+    assert(r.getLong(1) === 48L) // pieces = 10+8+18+12
+    assert(r.getLong(2) === 79L) // chars = 15+10+36+18
+    assert(r.getLong(3) === 0L)  // no single-piece words yet
+    assert(r.getLong(4) === 3000L)    // 48*1000 div 16
+    assert(r.getLong(5) === 1645833L) // 79e6 div 48
+  }
+
   test("topPair + mergePair reproduce train's first iteration") {
     val df = Seq("low low lower lowest").toDF("text")
     val syms = BpeTokenizer.initialSymbols(
