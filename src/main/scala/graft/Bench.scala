@@ -179,7 +179,7 @@ object Bench {
     // vocabulary artifact, and the incremental (pair-store-driven)
     // leakage-safe split
     "q_bpe_roundtrip", "q_bpe_vocab", "q_bpe_compression",
-    "q_leakage_split_incremental")
+    "q_leakage_split_incremental", "q_dedup_group_sizes")
 
   /** At-scale WITNESS queries (VERDICT r16 #1, completed per r17 #2):
     * run once per bench, timed and reported under a separate

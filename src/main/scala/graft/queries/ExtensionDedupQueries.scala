@@ -101,6 +101,46 @@ private[queries] object ExtensionDedupQueries {
         ORDER BY id
       """)),
 
+    // Near-dup GROUP-SIZE distribution — corpus governance: how big
+    // are the duplicate clusters (a heavy-tailed histogram means a
+    // few templates dominate the dedup savings; a flat one means
+    // pairwise noise). Labels from the same connected components as
+    // q_dedup_groups, rolled up twice: size per group, then groups +
+    // docs per size. Group-sized input, two tiny aggregations — the
+    // corpus itself is never touched.
+    QueryDef(
+      "q_dedup_group_sizes",
+      (s, dir) => {
+        val sh = Dedup.shingleSets(docTokens(s, dir), "doc_id", "tokens", 3)
+        val pairs = Dedup.jaccardPairs(sh, 0.8).select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs)
+          .groupBy(col("label")).agg(count(lit(1)).as("group_size"))
+          .groupBy(col("group_size"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("group_size")).as("n_docs"))
+          .orderBy(col("group_size"))
+      },
+      Some(s"""
+        WITH RECURSIVE
+        ${jaccardEdgesCte},
+        reach(a, b) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+        ),
+        labels AS (
+          SELECT a AS id, least(a, MIN(b)) AS label
+          FROM reach GROUP BY a),
+        gsizes AS (
+          SELECT label, COUNT(*) AS group_size
+          FROM labels GROUP BY label)
+        SELECT group_size, COUNT(*) AS n_groups,
+               CAST(SUM(group_size) AS BIGINT) AS n_docs
+        FROM gsizes
+        GROUP BY group_size
+        ORDER BY group_size
+      """)),
+
     // Cross-source duplication matrix — corpus governance: which
     // ingest feeds mirror each other. Near-dup pairs (exact Jaccard
     // ≥ 0.8) joined to each side's source, unordered source pair
