@@ -7,7 +7,6 @@ import org.apache.spark.ml.graftbridge.TreeBridge
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.ml.tree.Node
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact, partition-layout-invariant CART trainer for binary labels —
@@ -107,39 +106,69 @@ object DeterministicCart {
         .groupBy(col("node"), col("e._1").as("feat"), col("e._2").as("v"))
         .agg(count(lit(1)).cast("long").as("cnt"),
           sum(col("y")).cast("long").as("pos"))
-      // implicit value-0 group: node total minus the nonzero mass
-      val zeros = stats
+      // Split search per (node, feature): the per-value stats of a
+      // group collapse into ONE sorted array row, and the prefix-sum
+      // + arg-max run as an in-array fold — where the previous
+      // formulation shuffled the full (node, feat, v) stats table a
+      // SECOND time for a window (plus a third for the node arg-max
+      // over every candidate), this one's second exchange carries
+      // one compact row per (node, feature) and the node arg-max
+      // sees ≤ |features| rows per node. Same candidate set (the
+      // implicit value-0 group prepends when the node has zero mass;
+      // the rightmost prefix nl = n is skipped), same gain doubles
+      // (the shared gini/gain expression tree), same total order
+      // (gain desc, then nv = -v within a feature, then nf = -feat
+      // across features — arg-max decomposes per feature), so the
+      // fitted tree is bit-identical (q_confusion + the brute-force
+      // spec pin it).
+      val bestStructType = "struct<gain:double,nv:double,v:double," +
+        "nl:bigint,pl:bigint>"
+      def gainOf(nl: Column, pl: Column): Column =
+        gini(col("n"), col("p")) -
+          nl.cast("double") / col("n").cast("double") * gini(nl, pl) -
+          (col("n") - nl).cast("double") / col("n").cast("double") *
+            gini(col("n") - nl, col("p") - pl)
+      val perNF = stats
         .groupBy(col("node"), col("feat"))
-        .agg(sum(col("cnt")).as("nzc"), sum(col("pos")).as("nzp"))
+        .agg(sort_array(collect_list(
+            struct(col("v"), col("cnt"), col("pos")))).as("arr"),
+          sum(col("cnt")).as("nzc"), sum(col("pos")).as("nzp"))
         .join(totals, "node")
-        .filter(col("n") > col("nzc"))
-        .select(col("node"), col("feat"), lit(0.0).as("v"),
-          (col("n") - col("nzc")).as("cnt"),
-          (col("p") - col("nzp")).as("pos"))
-      val grouped = stats
-        .select(col("node"), col("feat"), col("v"), col("cnt"), col("pos"))
-        .unionByName(zeros)
-
-      val w = Window.partitionBy(col("node"), col("feat"))
-        .orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val nL = sum(col("cnt")).over(w)
-      val pL = sum(col("pos")).over(w)
-      val cand = grouped
-        .select(col("node"), col("feat"), col("v"),
-          nL.as("nl"), pL.as("pl"))
-        .join(totals, "node")
-        .filter(col("nl") < col("n")) // rightmost value is not a split
-      val gain = gini(col("n"), col("p")) -
-        col("nl").cast("double") / col("n").cast("double") *
-          gini(col("nl"), col("pl")) -
-        (col("n") - col("nl")).cast("double") / col("n").cast("double") *
-          gini(col("n") - col("nl"), col("p") - col("pl"))
-      val best = cand
+      val arr0 = when(col("n") > col("nzc"),
+        concat(array(struct(lit(0.0).as("v"),
+            (col("n") - col("nzc")).as("cnt"),
+            (col("p") - col("nzp")).as("pos"))), col("arr")))
+        .otherwise(col("arr"))
+      val folded = aggregate(
+        arr0,
+        struct(lit(0L).as("nl"), lit(0L).as("pl"),
+          lit(null).cast(bestStructType).as("best")),
+        (acc, x) => {
+          val nl2 = acc.getField("nl") + x.getField("cnt")
+          val pl2 = acc.getField("pl") + x.getField("pos")
+          val cand = struct(gainOf(nl2, pl2).as("gain"),
+            (-x.getField("v")).as("nv"), x.getField("v").as("v"),
+            nl2.as("nl"), pl2.as("pl"))
+          val old = acc.getField("best")
+          val better = when(old.isNull, cand)
+            .otherwise(when(
+              struct(cand.getField("gain").as("gain"),
+                cand.getField("nv").as("nv")) >
+                struct(old.getField("gain").as("gain"),
+                  old.getField("nv").as("nv")), cand)
+              .otherwise(old))
+          struct(nl2.as("nl"), pl2.as("pl"),
+            // rightmost prefix (nl = n) is not a split
+            when(nl2 >= col("n"), old).otherwise(better).as("best"))
+        })
+      val best = perNF
+        .select(col("node"), col("feat"), col("n"), col("p"),
+          folded.getField("best").as("b"))
+        .filter(col("b").isNotNull)
         .groupBy(col("node"))
-        .agg(max(struct(gain.as("gain"), (-col("feat")).as("nf"),
-          (-col("v")).as("nv"), col("feat"), col("v"), col("nl"),
-          col("pl"))).as("b"))
+        .agg(max(struct(col("b.gain").as("gain"), (-col("feat")).as("nf"),
+          col("b.nv").as("nv"), col("feat"), col("b.v").as("v"),
+          col("b.nl").as("nl"), col("b.pl").as("pl"))).as("b"))
         .select(col("node"), col("b.gain"), col("b.feat"), col("b.v"),
           col("b.nl"), col("b.pl"))
         .collect() // ≤ one row per active node (≤ 2^depth)
