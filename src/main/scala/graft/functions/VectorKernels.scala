@@ -119,6 +119,18 @@ case class VectorFromFloats(child: Expression) extends UnaryExpression {
     case _ => false
   }
 
+  // ADVICE r18: getFloat/getDouble read a null slot as 0.0, so a
+  // nullable-element array could silently zero embedding dimensions
+  // where the replaced toMlVector UDF failed loudly. Parquet reads
+  // arrays as containsNull=true even for null-free data, so the
+  // check is a per-element RUNTIME raise (analysis-time rejection
+  // would refuse every parquet-sourced embedding column); it is
+  // skipped entirely when the schema proves no nulls.
+  private lazy val elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(org.apache.spark.sql.types.FloatType, _) |
@@ -133,6 +145,16 @@ case class VectorFromFloats(child: Expression) extends UnaryExpression {
     val n = arr.numElements()
     val values = new Array[Double](n)
     var i = 0
+    if (elemNullable) {
+      while (i < n) {
+        if (arr.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null element at index $i — a null embedding " +
+            "dimension cannot be silently zeroed; filter or coalesce " +
+            "null slots upstream")
+        i += 1
+      }
+      i = 0
+    }
     if (elemIsFloat) {
       while (i < n) { values(i) = arr.getFloat(i).toDouble; i += 1 }
     } else {

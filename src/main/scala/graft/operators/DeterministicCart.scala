@@ -114,8 +114,9 @@ object DeterministicCart {
       // over every candidate), this one's second exchange carries
       // one compact row per (node, feature) and the node arg-max
       // sees ≤ |features| rows per node. Same candidate set (the
-      // implicit value-0 group prepends when the node has zero mass;
-      // the rightmost prefix nl = n is skipped), same gain doubles
+      // implicit value-0 group is sorted into value order when the
+      // node has zero mass; the rightmost prefix nl = n is skipped),
+      // same gain doubles
       // (the shared gini/gain expression tree), same total order
       // (gain desc, then nv = -v within a feature, then nf = -feat
       // across features — arg-max decomposes per feature), so the
@@ -134,10 +135,18 @@ object DeterministicCart {
             struct(col("v"), col("cnt"), col("pos")))).as("arr"),
           sum(col("cnt")).as("nzc"), sum(col("pos")).as("nzp"))
         .join(totals, "node")
+      // The implicit value-0 group must land at its SORTED position,
+      // not the front: features are arbitrary doubles (fit() is a
+      // public API over any VectorUDT column), and for a vector with
+      // negative nonzero values the zero group sits mid-array. Structs
+      // compare field-by-field and `v` is distinct per (node, feat)
+      // group (it was a groupBy key), so sort_array orders exactly by
+      // value; for non-negative data (count vectors) zero is the
+      // minimum and the array is bit-identical to the old prepend.
       val arr0 = when(col("n") > col("nzc"),
-        concat(array(struct(lit(0.0).as("v"),
+        sort_array(concat(col("arr"), array(struct(lit(0.0).as("v"),
             (col("n") - col("nzc")).as("cnt"),
-            (col("p") - col("nzp")).as("pos"))), col("arr")))
+            (col("p") - col("nzp")).as("pos"))))))
         .otherwise(col("arr"))
       val folded = aggregate(
         arr0,

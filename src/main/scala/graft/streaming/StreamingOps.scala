@@ -1542,17 +1542,25 @@ object StreamingOps {
     // no checkpoint — batch ids restart at 0) then extends the
     // keyspace instead of clobbering the earlier run's batches.
     //
-    // Commit is mechanical (ADVICE r16/r17): a key counts as
-    // committed only when the _SUCCESS marker exists INSIDE its
+    // Commit is mechanical (ADVICE r16/r17/r18): a key counts as
+    // committed only when a commit marker exists INSIDE its
     // batch=<key> dir in ALL THREE stores. Bare dir existence is not
     // enough: FileOutputCommitter creates the output dir (with
     // _temporary) at job SETUP, so a crash DURING a parquet job
     // leaves a partial batch=<key> dir in place — classifying that
     // as committed would let the checkpoint replay the batch under a
-    // new key and duplicate pairs/signatures forever. _SUCCESS is
-    // written only at job commit, so it is the real transaction
-    // marker. At query start every orphaned key (a batch=<key> dir
-    // present anywhere without the full three-way _SUCCESS set) is
+    // new key and duplicate pairs/signatures forever. The marker is
+    // dedupIngest's OWN `_GRAFT_COMMIT` file, written explicitly
+    // after each store's parquet job returns (ADVICE r18: relying on
+    // Hadoop's _SUCCESS silently breaks on clusters with
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false — the
+    // object-store default in several distros — where every
+    // committed batch would be classified orphan at restart and
+    // deleted, with the checkpoint never replaying it: permanent
+    // loss, not re-ingest). A pre-r19 store's _SUCCESS is accepted
+    // as an equivalent marker for continuity. At query start every
+    // orphaned key (a batch=<key> dir
+    // present anywhere without the full three-way marker set) is
     // DELETED from all dirs before base is computed: a checkpoint
     // restart allocates a new base, so a leftover partition from the
     // crashed attempt would otherwise double-count the replayed
@@ -1570,8 +1578,11 @@ object StreamingOps {
     }
     def committedKeys(dir: String): Set[Long] =
       presentKeys(dir).filter { k =>
-        val m = new org.apache.hadoop.fs.Path(s"$dir/batch=$k/_SUCCESS")
-        m.getFileSystem(hconf).exists(m)
+        val own =
+          new org.apache.hadoop.fs.Path(s"$dir/batch=$k/_GRAFT_COMMIT")
+        val fs = own.getFileSystem(hconf)
+        fs.exists(own) || fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/batch=$k/_SUCCESS"))
       }
     val base: Long = {
       val dirs = Seq(pairsDir, storeDir, corpusDir)
@@ -1607,6 +1618,16 @@ object StreamingOps {
             }
             // prior-batch view only: excluding THIS key makes a
             // replay read the same world the first attempt saw
+            // own commit marker, written after the parquet job
+            // RETURNS (job-commit done) — not Hadoop's _SUCCESS,
+            // which marksuccessfuljobs=false suppresses (ADVICE r18)
+            def markCommitted(dir: String): Unit = {
+              val m = new org.apache.hadoop.fs.Path(
+                s"$dir/batch=$key/_GRAFT_COMMIT")
+              val fs = m.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              fs.create(m, true).close()
+            }
             def readPrior(dir: String): Option[
                 org.apache.spark.sql.DataFrame] =
               if (!dirNonEmpty(dir)) None
@@ -1624,13 +1645,16 @@ object StreamingOps {
               .incrementalMinhashPairsFromStore(corpus, batchIds, store,
                 idCol, tokensCol, shingleK, bands, rowsPerBand, minJaccard)
               .write.mode("overwrite").parquet(s"$pairsDir/batch=$key")
+            markCommitted(pairsDir)
             // store maintenance AFTER pair emission: the pair kernel
             // must see the batch only on its new side
             graft.operators.Dedup.minhashBuckets(
                 graft.operators.Dedup.shingleSets(
                   b, idCol, tokensCol, shingleK), bands, rowsPerBand)
               .write.mode("overwrite").parquet(s"$storeDir/batch=$key")
+            markCommitted(storeDir)
             b.write.mode("overwrite").parquet(s"$corpusDir/batch=$key")
+            markCommitted(corpusDir)
           }
         } finally b.unpersist()
         ()

@@ -105,4 +105,26 @@ class VectorKernelsSpec extends SparkSuite {
     assert(doubles.select(vector_from_floats($"a")).head.getAs[Vector](0)
       === Vectors.dense(2.5, -1.0))
   }
+
+  test("vector_from_floats raises on a null ELEMENT instead of " +
+      "silently zeroing the dimension (ADVICE r18)") {
+    val withNullElem = Seq(
+      (0L, Seq[Option[Double]](Some(1.0), None, Some(3.0))))
+      .toDF("id", "a")
+      .select($"id", $"a".cast("array<double>").as("a"))
+    val e = intercept[Exception] {
+      withNullElem.select(vector_from_floats($"a")).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("null element")),
+      s"expected the loud null-element raise, got: $e")
+    // a containsNull=true SCHEMA with null-free data still works —
+    // parquet reads arrays nullable-element by default
+    val clean = Seq((0L, Seq[Option[Double]](Some(1.0), Some(2.0))))
+      .toDF("id", "a")
+    assert(clean.select(vector_from_floats($"a")).head.getAs[Vector](0)
+      === Vectors.dense(1.0, 2.0))
+  }
 }

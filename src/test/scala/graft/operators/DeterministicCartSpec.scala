@@ -87,6 +87,44 @@ class DeterministicCartSpec extends SparkSuite {
     assert(bg > 0.0)
   }
 
+  test("negative feature values: split stats match brute force " +
+      "(ADVICE r18 — the value-0 group must sort into position, " +
+      "not prepend)") {
+    // sparse vectors with NEGATIVE nonzero values and enough zero
+    // mass that the implicit zero group matters: under the r18
+    // prepend, every candidate at a negative value wrongly included
+    // the zero-group mass in its 'x <= v' prefix.
+    val rnd = new scala.util.Random(19)
+    val vals = Array(-2.0, -1.0, 0.0, 0.0, 1.0, 3.0)
+    val rows = Seq.fill(150)((
+      Array.fill(4)(vals(rnd.nextInt(vals.length))),
+      if (rnd.nextDouble() < 0.5) 1.0 else 0.0))
+    val m = DeterministicCart.fit(toDF(rows), "features", "label",
+      maxDepth = 1)
+    def giniOf(xs: Seq[Double]): Double = {
+      val n = xs.size.toDouble; val p = xs.sum
+      1.0 - math.pow(p / n, 2) - math.pow((n - p) / n, 2)
+    }
+    val n = rows.size.toDouble
+    val parent = giniOf(rows.map(_._2))
+    val cands = for {
+      f <- 0 until 4
+      v <- rows.map(_._1(f)).distinct.sorted.dropRight(1)
+    } yield {
+      val (l, r) = rows.partition(_._1(f) <= v)
+      val gain = parent - l.size / n * giniOf(l.map(_._2)) -
+        r.size / n * giniOf(r.map(_._2))
+      (gain, f, v)
+    }
+    val (bg, bf, bv) = cands.maxBy { case (g, f, v) => (g, -f, -v) }
+    assert(bg > 0.0)
+    val split = m.rootNode
+      .asInstanceOf[org.apache.spark.ml.tree.InternalNode].split
+      .asInstanceOf[org.apache.spark.ml.tree.ContinuousSplit]
+    assert(split.featureIndex === bf)
+    assert(split.threshold === bv)
+  }
+
   test("q_confusion chain is invariant to layout and shuffle config") {
     val dir = "/root/testdata/sf0.001"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

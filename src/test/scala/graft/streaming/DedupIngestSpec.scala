@@ -221,4 +221,67 @@ class DedupIngestSpec extends SparkSuite {
     assert(storeRows == recomputed,
       "stores after partial-dir cleanup must equal a full recompute")
   }
+
+  test("committed batches survive restart WITHOUT Hadoop's _SUCCESS " +
+      "(marksuccessfuljobs=false clusters, ADVICE r18)") {
+    // ADVICE r18: on clusters with
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false (common
+    // on object stores) parquet jobs write NO _SUCCESS, so an
+    // _SUCCESS-keyed commit check classifies every committed batch
+    // orphan at restart and deletes it — and since the checkpoint
+    // records those batches done they are never replayed: permanent
+    // data loss. The commit marker is now dedupIngest's own
+    // _GRAFT_COMMIT file; simulate the no-_SUCCESS cluster by
+    // stripping every _SUCCESS after a committed first wave and
+    // asserting a restart keeps the stores intact.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root =
+      java.nio.file.Files.createTempDirectory("ingest_nosucc").toString
+    val (corpusDir, storeDir, pairsDir) =
+      (s"$root/corpus", s"$root/store", s"$root/pairs")
+
+    def newQuery(input: MemoryStream[(Long, String)]) = {
+      val stream = input.toDF().toDF("doc_id", "text")
+        .withColumn("tokens", split(col("text"), " ")).drop("text")
+      StreamingOps.dedupIngest(stream, corpusDir, storeDir, pairsDir,
+        "doc_id", "tokens", shingleK = 3, bands = 8, rowsPerBand = 4,
+        minJaccard = 0.5)
+    }
+
+    val input1 = MemoryStream[(Long, String)]
+    val q1 = newQuery(input1)
+    try { input1.addData(wave1: _*); q1.processAllAvailable() }
+    finally q1.stop()
+
+    // the no-_SUCCESS cluster: strip every _SUCCESS everywhere; the
+    // engine's own _GRAFT_COMMIT markers remain
+    for (d <- Seq(pairsDir, storeDir, corpusDir)) {
+      val batchDirs = new java.io.File(d).listFiles()
+        .filter(_.getName.startsWith("batch="))
+      assert(batchDirs.nonEmpty, s"fixture: no batch dirs under $d")
+      batchDirs.foreach { bd =>
+        val s = new java.io.File(bd, "_SUCCESS")
+        if (s.exists()) assert(s.delete())
+        assert(new java.io.File(bd, "_GRAFT_COMMIT").exists(),
+          s"engine marker missing under $bd")
+      }
+    }
+
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = newQuery(input2)
+    try { input2.addData(wave2: _*); q2.processAllAvailable() }
+    finally q2.stop()
+
+    val pairs = spark.read.parquet(pairsDir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (3L, 5L), (12L, 14L)),
+      s"wave-1 state must survive the no-_SUCCESS restart, got $pairs")
+    val corpus = spark.read.parquet(corpusDir)
+    assert(corpus.select("doc_id").as[Long].collect().sorted.toSeq ==
+      (wave1 ++ wave2).map(_._1).sorted,
+      "no committed batch may be deleted on a marksuccessfuljobs=false " +
+        "restart")
+  }
 }

@@ -98,10 +98,21 @@ def prev_artifact(repo, this_round):
     return best_name, best
 
 
+def rotation_slot(name):
+    """Stable per-query rotation slot (ADVICE r18: keying on the
+    index in sorted(cur) shifts whenever the query set grows, so a
+    query could evade its slice indefinitely; a content hash of the
+    NAME is permanent). md5, not hash() — the latter is salted per
+    process since py3.3."""
+    import hashlib
+    return int(hashlib.md5(name.encode()).hexdigest(), 16) \
+        % ROTATION_PERIOD
+
+
 def smoke_subset(cur, prev, this_round):
     """The required sf0.1 subset for this round (VERDICT r17 #3)."""
-    rotating = [q for i, q in enumerate(sorted(cur))
-                if i % ROTATION_PERIOD == this_round % ROTATION_PERIOD]
+    rotating = [q for q in sorted(cur)
+                if rotation_slot(q) == this_round % ROTATION_PERIOD]
     new_in_round = [q for q in cur if q not in prev] if prev else []
     return sorted((set(PINNED) | set(rotating) | set(new_in_round))
                   - set(SF_PINNED))
