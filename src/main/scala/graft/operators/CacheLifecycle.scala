@@ -39,4 +39,33 @@ private[graft] object CacheLifecycle {
     feeds.foreach(_.unpersist())
     out
   }
+
+  /** Run `body` against a fresh local temp dir and recursively delete
+    * it when done — success OR failure (VERDICT r18 #3: six
+    * store-driven query sites created a temp parquet store per
+    * invocation and never deleted it, leaking corpus-sized state
+    * under every Verify sweep and Bench rep in a long-lived JVM).
+    *
+    * The result usually READS from the store lazily (pair lists, sink
+    * partitions), so it is eagerly materialized with the same
+    * distributed `localCheckpoint` as [[sealAndRelease]] BEFORE the
+    * delete; afterwards the frame's storage is ContextCleaner-managed
+    * and the on-disk store is dead weight. java.nio deletion is
+    * correct here by construction: `createTempDirectory` is always on
+    * the driver-local filesystem.
+    */
+  def withTempStore(prefix: String)(
+      body: String => DataFrame): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    try body(root.toString).localCheckpoint(eager = true)
+    finally {
+      import java.nio.file.{Files, Path}
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    }
+  }
 }

@@ -330,14 +330,14 @@ private[queries] object EventStreamQueries {
     // when its later member arrives), and the batch=<key> overwrite
     // convention makes replays idempotent (DedupIngestSpec proves
     // the crash/orphan paths). Stores live in fresh temp dirs per
-    // invocation.
+    // invocation, deleted once the result is sealed (withTempStore —
+    // VERDICT r18 #3 closed the per-rep leak).
     QueryDef(
       "q_stream_dedup_ingest",
-      (s, dir) => {
+      (s, dir) => graft.operators.CacheLifecycle
+          .withTempStore("graft_ingest_q") { root =>
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_ingest_q").toString
         val in = s"$root/in"
         docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
           .coalesce(1).write.mode("append").parquet(in)

@@ -338,12 +338,11 @@ private[queries] object ExtensionDedupQueries {
     // the store's pair set equals the exact list at this margin.
     QueryDef(
       "q_leakage_split_incremental",
-      (s, dir) => {
+      (s, dir) => graft.operators.CacheLifecycle
+          .withTempStore("graft_leak_inc") { root =>
         val docs = Tables.documents(s, dir)
         val toks = docs
           .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_leak_inc").toString
         val in = s"$root/in"
         toks.filter(pmod(col("doc_id"), lit(2L)) === 0L)
           .coalesce(1).write.mode("append").parquet(in)

@@ -519,12 +519,11 @@ private[queries] object ExtensionGovernanceQueries {
     // scores are integer-lattice (see StreamingOps.classifiedDocStream).
     QueryDef(
       "q_stream_classify",
-      (s, dir) => {
+      (s, dir) => graft.operators.CacheLifecycle
+          .withTempStore("graft_stream_nb") { out =>
         val docs = Tables.documents(s, dir)
         val model = graft.operators.NaiveBayes.fit(
           docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0), "text", "lang")
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_stream_nb").toString
         graft.streaming.StreamingOps
           .classifiedDocStream(s, s"$dir/documents.parquet", model, out)
           .join(docs.select(col("doc_id"), col("lang").as("actual")),
@@ -1013,9 +1012,8 @@ private[queries] object ExtensionGovernanceQueries {
     // (FormatRoundtrip scaladoc).
     QueryDef(
       "q_format_roundtrip",
-      (s, dir) => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft_fmt_rt").toString
+      (s, dir) => graft.operators.CacheLifecycle
+          .withTempStore("graft_fmt_rt") { base =>
         graft.sources.FormatRoundtrip.roundtripFingerprints(
             s, Tables.documents(s, dir), base,
             Seq("doc_id", "text", "lang", "source", "n_chars"))

@@ -202,10 +202,9 @@ private[queries] object ExtensionGraphStatsQueries {
     // stream equals the batch answer and shares its oracle.
     QueryDef(
       "q_stream_percolate",
-      (s, dir) => {
+      (s, dir) => graft.operators.CacheLifecycle
+          .withTempStore("graft_stream_perc") { out =>
         val docs = docTokens(s, dir)
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_stream_perc").toString
         graft.streaming.StreamingOps.percolateStream(
             s, s"$dir/documents.parquet",
             docs.filter(pmod(col("doc_id"), lit(97L)) === 0)

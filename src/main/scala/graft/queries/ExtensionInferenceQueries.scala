@@ -1523,16 +1523,16 @@ private[queries] object ExtensionInferenceQueries {
     // so store → segment must hash-equal the live path: a lost step
     // column, a reordered reload, or a schema drift in the artifact
     // flips this row red. Stores live in a fresh temp dir per
-    // invocation.
+    // invocation, deleted once the result is sealed (withTempStore —
+    // VERDICT r18 #3 closed the per-rep leak).
     QueryDef(
       "q_bpe_roundtrip",
-      (s, dir) => {
+      (s, dir) => graft.operators.CacheLifecycle
+          .withTempStore("graft_bpe_store") { store =>
         import graft.operators.BpeTokenizer
         val docs = Tables.documents(s, dir)
         val ledger = BpeTokenizer.trainLedger(docs, "text", nMerges = 4,
           minCount = 1L)
-        val store = java.nio.file.Files
-          .createTempDirectory("graft_bpe_store").toString
         BpeTokenizer.writeMerges(s, ledger, store)
         BpeTokenizer.segmentFromStore(docs, "text", store)
           .select(col("word"), col("freq"),
