@@ -136,13 +136,29 @@ object BpeTokenizer {
     * artifact a tokenizer-training run ships alongside its merge
     * list (the count sequence is non-increasing only per-pair, not
     * globally: a merge can CREATE a more frequent pair than the one
-    * just consumed). Same loop, same (cnt desc, left, right)
-    * tie-break, same per-iteration localCheckpoint truncation —
-    * merge k would otherwise replay all k−1 prior HOF rewrites per
-    * pass. The ledger is driver state by design, bounded by nMerges
-    * (the codebook convention).
+    * just consumed). Routes through [[trainLedgerBatched]] (VERDICT
+    * r18 #1): the ledger is DEFINED by the sequential greedy loop
+    * ([[trainLedgerSequential]], the reference twin the equivalence
+    * spec replays), but computed by the batched scan, which learns
+    * provably-independent merges per pass and cuts the
+    * 2-driver-jobs-per-merge cliff a 32k-merge production vocabulary
+    * would hit. The ledger is driver state by design, bounded by
+    * nMerges (the codebook convention).
     */
   def trainLedger(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L): Seq[(Int, String, String, Long)] =
+    trainLedgerBatched(docs, textCol, nMerges, minCount)
+
+  /** The sequential greedy reference loop — one top-pair argmax
+    * collect + one localCheckpoint per merge (2 driver jobs/merge).
+    * This is the SEMANTIC DEFINITION of the ledger; kept as the
+    * equivalence-spec twin of [[trainLedgerBatched]], which must be
+    * ledger-EQUAL on every corpus. Per-iteration localCheckpoint
+    * truncation: merge k would otherwise replay all k−1 prior HOF
+    * rewrites per pass.
+    */
+  def trainLedgerSequential(
       docs: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 2L): Seq[(Int, String, String, Long)] = {
     var symbols = initialSymbols(wordCounts(docs, textCol))
@@ -167,6 +183,151 @@ object BpeTokenizer {
     }
     merges.result()
   }
+
+  /** Batched BPE training, ledger-EQUAL to [[trainLedgerSequential]]
+    * by construction (VERDICT r18 #1): per round, ONE top-`batchSize`
+    * candidate collect learns up to `batchSize` merges, with the
+    * lineage-truncating localCheckpoint amortized over
+    * [[CheckpointEvery]] merges — against the sequential loop's
+    * strict 2 driver jobs (argmax collect + checkpoint) per merge.
+    * Worst case (every round a single-merge fallback) the job count
+    * is ~half the sequential loop's; on diverse-tail corpora the
+    * batch ratio multiplies on top.
+    *
+    * Exactness argument (each round, over the sorted candidate list
+    * `(cnt desc, left, right)`):
+    *
+    *  1. Accept the maximal PREFIX of candidates that is pairwise
+    *     compatible: a candidate conflicts when its left, right, OR
+    *     its output `l+r` intersects the symbols/outputs of anything
+    *     accepted before it (the output check matters — a merge's
+    *     output string can alias a pre-existing symbol, silently
+    *     INCREASING that symbol's pair counts). The first conflict
+    *     stops acceptance and records its count `c_stop`; if the
+    *     collect horizon is exhausted instead, the last seen count is
+    *     the conservative `c_stop` (anything unseen counts ≤ it).
+    *  2. A SELF-pair (l == r) also closes the batch after its own
+    *     acceptance: merging it creates (out, out) pairs whose count
+    *     is bounded only by ~cnt/2 of the self-pair ITSELF — not by
+    *     any conflict — so no later candidate can be proven to
+    *     out-rank the pairs it creates ("a"*9 corpora: (aa,aa) beats
+    *     everything below (a,a)).
+    *  3. TRIM the accepted prefix to counts STRICTLY above `c_stop`.
+    *     Every pair destroyed/reduced by a batch merge touches an
+    *     accepted symbol, so it sits at/after the stop (count ≤
+    *     c_stop); every pair a batch merge CREATES is bounded by a
+    *     destroyed adjacency's count (≤ c_stop, with the self-pair
+    *     case excluded by rule 2). Batch members are disjoint from
+    *     all of that, so their counts are exactly their
+    *     selection-time counts, and strictness leaves no tie for new
+    *     or touched pairs to win on lex order — the sequential
+    *     argmax sequence is exactly the trimmed batch, in order.
+    *  4. If the trim empties the batch (e.g. the top two candidates
+    *     share a symbol), fall back to ONE sequential step using the
+    *     already-collected global argmax — guaranteed progress, same
+    *     job count as the sequential loop for that merge.
+    *
+    * Each round re-scans the true symbol table, so no approximation
+    * compounds across rounds. BpeBatchedEquivalenceSpec pins ledger
+    * equality on adversarial corpora (runs, ties, output-aliasing)
+    * and randomized small corpora.
+    */
+  def trainLedgerBatched(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L,
+      batchSize: Int = 32): Seq[(Int, String, String, Long)] =
+    trainLedgerBatchedWithRounds(docs, textCol, nMerges, minCount,
+      batchSize)._1
+
+  /** [[trainLedgerBatched]] plus the number of scan rounds it took —
+    * the jobs-per-merge accounting (each round is one collect + one
+    * localCheckpoint; the sequential loop spends one round per
+    * merge).
+    */
+  def trainLedgerBatchedWithRounds(
+      docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L,
+      batchSize: Int = 32): (Seq[(Int, String, String, Long)], Int) = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    var symbols = initialSymbols(wordCounts(docs, textCol))
+      .select(col("freq"), col("syms")).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 0
+    var rounds = 0
+    // The per-round checkpoint is PLAN-SIZE control, not correctness
+    // (the next scan lazily executes pending applyMerge folds either
+    // way — segment() folds a whole merge list in one expression).
+    // Deferring it until `CheckpointEvery` merges have accumulated
+    // halves the driver-job count on conflict-dense corpora where the
+    // batch ratio alone is modest: one collect per round, one
+    // checkpoint per ~CheckpointEvery merges, vs the sequential
+    // loop's strict 2 jobs per merge.
+    var pending = 0
+    var continue = true
+    while (continue && step < nMerges) {
+      val limit = math.max(2, batchSize)
+      val rows = pairStats(symbols)
+        .orderBy(desc("cnt"), asc("left"), asc("right"))
+        .limit(limit).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (rows.isEmpty || rows.head._3 < minCount) {
+        continue = false
+      } else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var cStop = -1L
+        var closed = false
+        var idx = 0
+        while (cStop < 0L && idx < rows.length) {
+          val (l, r, c) = rows(idx)
+          if (closed || used.contains(l) || used.contains(r) ||
+              used.contains(l + r)) {
+            cStop = c // first conflict (or post-self-pair terminator)
+          } else {
+            accepted += ((l, r, c))
+            used += l; used += r; used += (l + r)
+            if (l == r) closed = true // rule 2: self-pair ends the batch
+          }
+          idx += 1
+        }
+        if (cStop < 0L) {
+          // horizon exhausted without conflict: if the full list may
+          // extend past it, anything unseen counts <= the last row
+          cStop = if (rows.length == limit) rows.last._3 else 0L
+        }
+        val safe = accepted
+          .filter(t => t._3 > cStop && t._3 >= minCount)
+          .take(nMerges - step)
+        val batch =
+          if (safe.nonEmpty) safe.toSeq
+          else Seq(rows.head) // rule 4: one exact sequential step
+        batch.foreach { case (l, r, c) =>
+          step += 1
+          merges += ((step, l, r, c))
+        }
+        symbols = symbols
+          .withColumn("syms", batch.foldLeft(col("syms")) {
+            case (c0, (l, r, _)) => applyMerge(c0, l, r)
+          })
+        pending += batch.length
+        if (pending >= CheckpointEvery) {
+          symbols = symbols.localCheckpoint()
+          pending = 0
+        }
+      }
+    }
+    (merges.result(), rounds)
+  }
+
+  /** Un-checkpointed applyMerge folds allowed to accumulate in the
+    * training plan before a lineage-truncating localCheckpoint —
+    * deep-enough to amortize the checkpoint job, shallow-enough that
+    * the nested HOF expression stays codegen-friendly (segment()
+    * routinely folds this many in one expression).
+    */
+  private val CheckpointEvery = 8
 
   /** The argmax pair of a symbol table under the training order
     * (cnt desc, left, right) — the next merge [[train]] would learn.
