@@ -197,6 +197,42 @@ object Bench {
   val witnesses: Seq[String] = Seq(
     "q_cc_diameter_scale", "q_ann_ivf_scale", "q_dedup_minhash_scale")
 
+  /** Fleet-level contention index (VERDICT r18 #2): the MEDIAN
+    * per-query ratio of this run's times against the last committed
+    * round's, over the common set. The r18 failure mode this closes:
+    * the driver's final refresh drifted +5.6% across the whole common
+    * set (flagship +47%) while `quiet_ms`/`post_spin` read calm — the
+    * spin probe misses SUSTAINED host core-stealing, but the run's
+    * own fleet ratio cannot. The median (not the sum-based
+    * `common_set_ratio`) is robust to genuine single-query plan
+    * changes and to a handful of big queries dominating the sum;
+    * sustained contention moves every CPU-bound query, and therefore
+    * the median. Queries under 0.5 s previous time are excluded as
+    * timer noise unless fewer than five usable ratios remain.
+    * Returns -1 when there is no usable common set (first round).
+    */
+  def contentionIndex(
+      cur: Seq[(String, Double)],
+      prev: Map[String, Double]): Double = {
+    def ratios(floor: Double): Seq[Double] = cur.collect {
+      case (k, v) if prev.getOrElse(k, 0.0) >= floor => v / prev(k)
+    }.sorted
+    val strong = ratios(0.5)
+    val use = if (strong.size >= 5) strong else ratios(1e-9)
+    if (use.isEmpty) -1.0
+    else if (use.size % 2 == 1) use(use.size / 2)
+    else (use(use.size / 2 - 1) + use(use.size / 2)) / 2.0
+  }
+
+  /** A run is CONTENDED when the fleet slowed past the band — its
+    * flagship headline is refused by roundguard (correctness and the
+    * oracle-checked witnesses are unaffected; wall-clock is the only
+    * casualty of a stolen box). A fleet-wide SPEEDUP is not
+    * contention — genuine optimization rounds land there.
+    */
+  val ContendedBand = 1.10
+  def isContended(idx: Double): Boolean = idx > ContendedBand
+
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND
     * post-rep spin verification (a rep is only trusted when the box
@@ -843,11 +879,22 @@ object Bench {
       val prevSum = common.map { case (k, _) => prevTimes(k) }.sum
       if (prevSum <= 0.0) -1.0 else common.map(_._2).sum / prevSum
     }
+    // VERDICT r18 #2: the run stamps its own contention verdict; a
+    // contended run's flagship headline is refused downstream
+    // (roundguard) — witnesses and correctness stand regardless.
+    val contentionIdx = contentionIndex(done, prevTimes)
+    val contended = contentionIdx > 0.0 && isContended(contentionIdx)
+    if (contended) System.err.println(
+      f"[bench] CONTENDED run: median common-set ratio " +
+        f"$contentionIdx%.3f > $ContendedBand — flagship headline " +
+        "is not trustworthy; quote the last calm artifact")
     val failJson = failures.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(done)},""" +
         s""""witnesses":${jmap(witnessDone)},""" +
         s""""common_set_ratio":${fmt(commonSetRatio)},""" +
+        s""""contention_index":${fmt(contentionIdx)},""" +
+        s""""contended":$contended,""" +
         s""""retried":${jmap(perRetried)},""" +
         s""""tree_stages":${jmap(treeStages)},""" +
         s""""tree_accuracy":${fmt(treeAccuracy)},""" +
@@ -903,6 +950,8 @@ object Bench {
         s""""queries":${jmap(compact)},"n_queries":${done.size},""" +
         s""""witnesses":${jmap(witnessDone)},""" +
         s""""common_set_ratio":${fmt(commonSetRatio)},""" +
+        s""""contention_index":${fmt(contentionIdx)},""" +
+        s""""contended":$contended,""" +
         // full per-query retry stamps live in bench_full.json; the
         // compact line must stay under the driver's ~2000-char output
         // tail even on a slammed box where hundreds of queries retry

@@ -109,6 +109,33 @@ def rotation_slot(name):
         % ROTATION_PERIOD
 
 
+def bench_contended(bench):
+    """True when a BENCH artifact dict stamps itself contended
+    (VERDICT r18 #2: Bench computes the median common-set ratio
+    against the last committed round and flags runs past the band —
+    the r18 +5.6% fleet drift that quiet_ms missed)."""
+    return bool(bench.get("contended")) is True
+
+
+def flagship_note(repo, this_round):
+    """The flagship-headline verdict for this round's bench artifact:
+    a contended run's wall-clock numbers are REFUSED — SURVEY and the
+    round summary must quote the last calm artifact instead.
+    Correctness rows and the oracle-checked witnesses stand
+    regardless (a stolen box cannot change them)."""
+    path = os.path.join(repo, f"BENCH_r{this_round}.json")
+    try:
+        bench = json.load(open(path))
+    except Exception:
+        return ""
+    if bench_contended(bench):
+        idx = bench.get("contention_index", "?")
+        return (f"; BENCH_r{this_round} CONTENDED "
+                f"(contention_index={idx}) — flagship headline "
+                "REFUSED, quote the last calm artifact")
+    return f"; BENCH_r{this_round} calm — flagship headline accepted"
+
+
 def smoke_subset(cur, prev, this_round):
     """The required sf0.1 subset for this round (VERDICT r17 #3)."""
     rotating = [q for q in sorted(cur)
@@ -165,11 +192,13 @@ def main():
         print(f"GUARD-FAIL {smoke_target}: missing={missing} red="
               f"{[(q, smoke[q][:60]) for q in red]}")
         sys.exit(1)
+    bench_note = flagship_note(os.path.dirname(target) or ".",
+                               this_round)
     print(f"GUARD-OK {target}: {len(cur)} rows "
           f"(prior max {len(prev)}), {n_bad} red; "
           f"sf0.1 smoke {len(subset)}/{len(subset)} green "
           f"(rotation slice {this_round % ROTATION_PERIOD}/"
-          f"{ROTATION_PERIOD})")
+          f"{ROTATION_PERIOD}){bench_note}")
     sys.exit(0)
 
 
