@@ -35,10 +35,12 @@ cannot disagree:
      ANN, Mann-Kendall, window/sessionization, URL canonicalization,
      language-id, bigram LM, packing, the CC diameter witness, BPE
      training, the leakage-safe split);
-  2. ROTATION — the round-N slice of the full artifact's sorted
-     query names (index % ROTATION_PERIOD == N % ROTATION_PERIOD),
-     ~30 rows per round, so EVERY row gets sf0.1 coverage once per
-     ROTATION_PERIOD rounds instead of never;
+  2. ROTATION — the round-N slice keyed on a STABLE per-query hash
+     (md5(name) % ROTATION_PERIOD == N % ROTATION_PERIOD — ADVICE
+     r18: the old sorted-index key shifted whenever the query set
+     grew, so a query could evade its slice indefinitely), ~30 rows
+     per round, so EVERY row gets sf0.1 coverage once per
+     ROTATION_PERIOD rounds;
   3. NEW-IN-ROUND — every query present in CORRECTNESS_rN but absent
      from the largest prior round's artifact (new surface is the
      likeliest to hide an sf-dependent constant).
