@@ -1493,6 +1493,30 @@ private[queries] object ExtensionInferenceQueries {
       },
       Some(bpeTrainOracle(4))),
 
+    // DEEP twin of q_bpe_train at 12 merges (round 19): the oracle
+    // unrolls the same sequential CTE chain 12 deep, while the
+    // engine side rides trainLedger's BATCHED scan (VERDICT r18 #1)
+    // through multiple rounds with multi-merge batches and
+    // single-merge fallbacks — so the batched/sequential ledger
+    // equality that BpeBatchedEquivalenceSpec proves spec-side is
+    // ALSO oracle-pinned end-to-end at every verify sf, deep enough
+    // that a batch-safety regression (a wrongly-ordered or
+    // wrongly-counted merge in any later round) goes red here even
+    // if the first batch survives.
+    QueryDef(
+      "q_bpe_train_deep",
+      (s, dir) => {
+        import graft.operators.BpeTokenizer
+        val ledger = BpeTokenizer.trainLedger(
+          Tables.documents(s, dir), "text", nMerges = 12, minCount = 1L)
+        import s.implicits._
+        ledger.toDF("step", "lhs", "rhs", "cnt")
+          .select(col("step").cast("long").as("step"),
+            col("lhs"), col("rhs"), col("cnt"))
+          .orderBy(col("step"))
+      },
+      Some(bpeTrainOracle(12))),
+
     // The trained tokenizer APPLIED: segment every distinct word of
     // the corpus with the 4 learned merges — the downstream
     // tokenization path, which by design runs over the DISTINCT-word
