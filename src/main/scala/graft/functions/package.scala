@@ -125,4 +125,12 @@ package object functions {
     */
   def vector_from_floats(arr: Column): Column =
     Bridge.column(VectorFromFloats(Bridge.expression(arr)))
+
+  /** Apply a full BPE merge list (distinct pairs, rank order) to a
+    * symbol-array column in one codegen-friendly kernel call —
+    * per-word cost independent of the vocabulary size (see
+    * [[BpeApplyMerges]]).
+    */
+  def bpe_apply(syms: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeApplyMerges(Bridge.expression(syms), merges))
 }

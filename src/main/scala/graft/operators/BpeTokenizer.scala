@@ -349,8 +349,36 @@ object BpeTokenizer {
   /** Tokenize the DISTINCT words of `docs` with a trained merge list:
     * `(word, freq, pieces)`. Downstream corpus tokenization is a
     * (broadcast) join on word — never per-occurrence piece work.
+    *
+    * Round 19: rides the native [[graft.functions.BpeApplyMerges]]
+    * kernel — ONE expression applying the whole merge list per row
+    * at cost independent of the vocabulary size, where the previous
+    * fold nested one `aggregate` HOF per merge (fatal to Catalyst at
+    * a 32k-merge production vocabulary, the apply-side twin of the
+    * training loop's driver-job cliff). [[segmentFold]] keeps the
+    * HOF formulation as the semantic reference; a (pathological,
+    * untrainable) duplicate-pair list falls back to it because
+    * first-wins ranking cannot replay a duplicate's second pass.
     */
   def segment(
+      docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val base = initialSymbols(wordCounts(docs, textCol))
+    val distinctPairs = merges.distinct.size == merges.size
+    val pieces =
+      if (distinctPairs) graft.functions.bpe_apply(col("syms"), merges)
+      else merges.foldLeft(col("syms")) { case (c, (l, r)) =>
+        applyMerge(c, l, r)
+      }
+    base.select(col("word"), col("freq"), pieces.as("pieces"))
+  }
+
+  /** The nested-HOF reference formulation of [[segment]] — one
+    * `aggregate` fold per merge, rank by rank. The semantic
+    * definition the native kernel must match
+    * (BpeApplyExpressionSpec); only usable at small merge counts.
+    */
+  private[graft] def segmentFold(
       docs: DataFrame, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     val base = initialSymbols(wordCounts(docs, textCol))
