@@ -1517,6 +1517,29 @@ private[queries] object ExtensionInferenceQueries {
       },
       Some(bpeTrainOracle(12))),
 
+    // DEEP segmentation twin (round 19): the native bpe_apply kernel
+    // (BpeApplyMerges — linked-list + rank-frontier heap, one
+    // expression for the whole merge list) pinned end-to-end against
+    // the 12-merge sequential CTE replay. The spec proves
+    // kernel ≡ fold on adversarial fixtures; this row proves it
+    // against an INDEPENDENT engine on real corpus text at every
+    // verify scale factor, deep enough that rank-frontier bugs
+    // (alias pairs merging out of pass order) surface as a hash
+    // mismatch.
+    QueryDef(
+      "q_bpe_segment_deep",
+      (s, dir) => {
+        import graft.operators.BpeTokenizer
+        val docs = Tables.documents(s, dir)
+        val merges = BpeTokenizer.train(docs, "text", nMerges = 12,
+          minCount = 1L)
+        BpeTokenizer.segment(docs, "text", merges)
+          .select(col("word"), col("freq"),
+            array_join(col("pieces"), " ").as("pieces"))
+          .orderBy(col("word"))
+      },
+      Some(bpeSegmentOracle(12))),
+
     // The trained tokenizer APPLIED: segment every distinct word of
     // the corpus with the 4 learned merges — the downstream
     // tokenization path, which by design runs over the DISTINCT-word

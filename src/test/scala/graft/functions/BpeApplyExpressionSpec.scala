@@ -98,6 +98,37 @@ class BpeApplyExpressionSpec extends SparkSuite {
     }
   }
 
+  test("production-depth merge list on the documents fixture: " +
+      "kernel segments with the FULL trained vocabulary and every " +
+      "word round-trips byte-exactly") {
+    // Train to minCount exhaustion (~93 merges on this corpus) —
+    // a merge list the nested-HOF fold could only express as ~93
+    // stacked aggregate expressions. The kernel takes it in one
+    // call; correctness is self-validating: pieces concatenate back
+    // to the word + end-of-word marker, and every piece is in the
+    // trained vocabulary (base symbols or merge outputs).
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = BpeTokenizer.train(docs, "text", nMerges = 200,
+      minCount = 2L)
+    assert(merges.size > 50, s"expected a deep list, got ${merges.size}")
+    val seg = BpeTokenizer.segment(docs, "text", merges)
+      .select(col("word"), concat_ws("", col("pieces")).as("joined"),
+        col("pieces"))
+      .as[(String, String, Seq[String])].collect()
+    assert(seg.nonEmpty)
+    seg.foreach { case (word, joined, _) =>
+      assert(joined === word + BpeTokenizer.EndOfWord,
+        s"round-trip broke on '$word'")
+    }
+    val vocabSyms = BpeTokenizer.vocab(docs, "text",
+        merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r, 0L) })
+      .select(col("symbol")).as[String].collect().toSet
+    val pieceSet = seg.iterator.flatMap(_._3).toSet
+    assert(pieceSet.subsetOf(vocabSyms),
+      s"pieces outside the vocabulary: ${(pieceSet -- vocabSyms).take(5)}")
+  }
+
   test("a duplicate-pair list routes to the fold path (same result " +
       "by construction)") {
     val dup = Seq(("a", "b"), ("c", "d</w>"), ("a", "b"))
