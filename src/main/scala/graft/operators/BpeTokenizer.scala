@@ -307,10 +307,15 @@ object BpeTokenizer {
           step += 1
           merges += ((step, l, r, c))
         }
+        // the whole batch in ONE native kernel call (round 19,
+        // bpe_apply): batch pairs are distinct by the used-set
+        // construction, and kernel ≡ rank-by-rank fold
+        // (BpeApplyExpressionSpec), so this is the same application
+        // the sequential loop performs — without nesting one
+        // aggregate HOF per merge in the accumulated plan
         symbols = symbols
-          .withColumn("syms", batch.foldLeft(col("syms")) {
-            case (c0, (l, r, _)) => applyMerge(c0, l, r)
-          })
+          .withColumn("syms", graft.functions.bpe_apply(col("syms"),
+            batch.map { case (l, r, _) => (l, r) }))
         pending += batch.length
         if (pending >= CheckpointEvery) {
           symbols = symbols.localCheckpoint()
