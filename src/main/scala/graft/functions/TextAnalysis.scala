@@ -217,20 +217,13 @@ object TextAnalysis {
           lit(0.0)).as("top_bigram_frac"))
   }
 
-  /** Word k-gram shingles as a single-pass UDF. (Deliberately NOT the
-    * nested transform/slice formulation: referencing a computed array
-    * inside its own lambda makes Catalyst re-evaluate it per element —
-    * quadratic, interpreted. See Dedup's scale notes.)
-    */
-  private val shingleUdf = udf { (tokens: Seq[String], k: Int) =>
-    if (tokens == null || tokens.length < k) Seq.empty[String]
-    else tokens.sliding(k).map(_.mkString(" ")).toSeq.distinct
-  }
-
   /** Winnowing-style fingerprint: minimum md5 over word k-gram
-    * shingles (a 1-hash MinHash; a stable representative shingle).
+    * shingles (a 1-hash MinHash; a stable representative shingle) —
+    * shingling via the native [[WordShingles]] kernel (round 19;
+    * the UDF it replaces shared Dedup's shingle semantics verbatim).
     */
   def fingerprintWinnow(text: Column, k: Int): Column =
     array_min(transform(
-      shingleUdf(split(text, " ", -1), lit(k)), sh => md5(sh)))
+      graft.functions.word_shingles(split(text, " ", -1), k),
+      sh => md5(sh)))
 }

@@ -133,4 +133,11 @@ package object functions {
     */
   def bpe_apply(syms: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeApplyMerges(Bridge.expression(syms), merges))
+
+  /** Distinct word k-gram shingles (space-joined, first-occurrence
+    * order) of a token-array column — never null (see
+    * [[WordShingles]]).
+    */
+  def word_shingles(tokens: Column, k: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(tokens), k))
 }

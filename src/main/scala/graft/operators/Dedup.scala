@@ -42,24 +42,17 @@ object Dedup {
     * higher-order-function formulation is quadratic because Catalyst
     * re-evaluates the inlined array per lambda element.)
     */
-  private val shingleUdf = udf { (tokens: Seq[String], k: Int) =>
-    if (tokens == null || tokens.length < k) Array.empty[String]
-    else {
-      val seen = new java.util.LinkedHashSet[String]
-      tokens.sliding(k).foreach { g =>
-        if (g.length == k) seen.add(g.mkString(" "))
-      }
-      val out = new Array[String](seen.size)
-      seen.toArray(out)
-      out
-    }
-  }
-
-  /** Distinct (id, shingle) word k-grams. */
+  /** Distinct (id, shingle) word k-grams — the native
+    * [[graft.functions.WordShingles]] kernel (round 19): the former
+    * UDF here fronted EVERY dedup chain and paid an encoder
+    * round-trip plus a codegen fence per row on the corpus-wide
+    * shingling scan.
+    */
   def shingleSets(
       df: DataFrame, idCol: String, tokensCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("id"),
-      explode(shingleUdf(col(tokensCol), lit(k))).as("shingle"))
+      explode(graft.functions.word_shingles(col(tokensCol), k))
+        .as("shingle"))
 
   /** Exact all-pairs Jaccard ≥ minJaccard over shingle sets, via the
     * inverted index: join docs that share a shingle, count the
