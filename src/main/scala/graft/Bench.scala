@@ -179,7 +179,12 @@ object Bench {
     // vocabulary artifact, and the incremental (pair-store-driven)
     // leakage-safe split
     "q_bpe_roundtrip", "q_bpe_vocab", "q_bpe_compression",
-    "q_leakage_split_incremental", "q_dedup_group_sizes")
+    "q_leakage_split_incremental", "q_dedup_group_sizes",
+    // round-19 additions: the 12-merge twins riding the BATCHED
+    // trainer (VERDICT r18 #1) and the native bpe_apply segmentation
+    // kernel — deep enough that batch-safety or rank-frontier
+    // regressions move these timings and their verify rows
+    "q_bpe_train_deep", "q_bpe_segment_deep")
 
   /** At-scale WITNESS queries (VERDICT r16 #1, completed per r17 #2):
     * run once per bench, timed and reported under a separate
