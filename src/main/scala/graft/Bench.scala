@@ -238,6 +238,23 @@ object Bench {
   val ContendedBand = 1.10
   def isContended(idx: Double): Boolean = idx > ContendedBand
 
+  /** The newest committed bench_full artifact that is NOT stamped
+    * contended — the drift baseline (comparing against a contended
+    * round would mask a second contended run as ratio ~1.0). Pre-r19
+    * artifacts carry no stamp and are trusted as-is.
+    */
+  def calmBaselineFile(
+      dir: java.io.File, prevRound: Int): Option[java.io.File] =
+    (prevRound to 1 by -1).iterator
+      .map(n => new java.io.File(dir, s"bench_full_r$n.json"))
+      .find { f =>
+        f.exists() && {
+          val t = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          !t.contains("\"contended\":true")
+        }
+      }
+
   /** The long-running queries: minutes of wall under contention, so
     * these get the stricter calm re-gate, an extra repetition, AND
     * post-rep spin verification (a rep is only trusted when the box
@@ -494,9 +511,15 @@ object Bench {
         val prevRound = Option(dir.list()).getOrElse(Array.empty[String])
           .collect { case pat(n) => n.toInt }
           .foldLeft(0)(math.max)
-        val f = new java.io.File(s"bench_full_r$prevRound.json")
+        // Baseline = the newest CALM committed artifact (VERDICT r18
+        // #2 follow-through): comparing against a round that was
+        // itself contended masks sustained contention — a second
+        // slammed run would read ratio ~1.0 against the first.
+        val f = calmBaselineFile(dir, prevRound)
+          .getOrElse(new java.io.File(s"bench_full_r$prevRound.json"))
         if (prevRound == 0 || !f.exists()) Map.empty
         else {
+          System.err.println(s"[bench] drift baseline: ${f.getName}")
           val txt = new String(
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           val qObj = "\"queries\":\\{([^}]*)\\}".r
