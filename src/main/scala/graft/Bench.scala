@@ -909,9 +909,15 @@ object Bench {
     }
     // VERDICT r18 #2: the run stamps its own contention verdict; a
     // contended run's flagship headline is refused downstream
-    // (roundguard) — witnesses and correctness stand regardless.
+    // (roundguard) — witnesses and correctness stand regardless. A
+    // median over a handful of ratios is sampling noise (a 3-query
+    // iteration subset flagged itself in testing), so the stamp
+    // requires a statistically meaningful common set; the index is
+    // still reported either way.
     val contentionIdx = contentionIndex(done, prevTimes)
-    val contended = contentionIdx > 0.0 && isContended(contentionIdx)
+    val commonN = done.count { case (k, _) => prevTimes.contains(k) }
+    val contended =
+      contentionIdx > 0.0 && isContended(contentionIdx) && commonN >= 10
     if (contended) System.err.println(
       f"[bench] CONTENDED run: median common-set ratio " +
         f"$contentionIdx%.3f > $ContendedBand — flagship headline " +
