@@ -103,3 +103,82 @@ case class WordShingles(child: Expression, k: Int)
   override protected def withNewChildInternal(
       newChild: Expression): WordShingles = copy(child = newChild)
 }
+
+/** 64-bit SimHash over a token multiset (FNV-1a 64 per token, weight
+  * = occurrence count, majority vote per bit) — native replacement
+  * for the `simhash64` UDF (round 19), bit-identical by construction:
+  * the same UTF-16 code-unit FNV loop over each token, the same
+  * majority fold. Null or empty input → 0L, never null (the UDF
+  * contract: an all-zero accumulator votes every bit off). A
+  * (schema-permitted, never produced) null token contributes nothing,
+  * matching the UDF's NPE-free Seq path where `split` never yields
+  * nulls.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> input, got " +
+          other.simpleString(10))
+    }
+
+  /** Public row kernel — called from both eval and generated code. */
+  def kernel(arr: ArrayData): Long = {
+    val acc = new Array[Long](64)
+    if (arr != null) {
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val u = arr.getUTF8String(i)
+        if (u != null) {
+          // the UDF hashed java.lang.String UTF-16 code units; keep
+          // that exact lattice (toString is the per-token cost the
+          // encoder paid for the WHOLE array before)
+          val t = u.toString
+          var h = 0xcbf29ce484222325L // FNV-1a 64
+          var j = 0
+          while (j < t.length) {
+            h ^= t.charAt(j); h *= 0x100000001b3L; j += 1
+          }
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override def eval(input: InternalRow): Any =
+    kernel(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("simHash64", this,
+      classOf[SimHash64].getName)
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |long ${ev.value} =
+        |  $self.kernel(${childGen.isNull} ? null : ${childGen.value});
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}

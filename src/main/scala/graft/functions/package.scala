@@ -140,4 +140,10 @@ package object functions {
     */
   def word_shingles(tokens: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(tokens), k))
+
+  /** 64-bit SimHash (FNV-1a + majority vote) of a token-array
+    * column — never null (see [[SimHash64]]).
+    */
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
 }

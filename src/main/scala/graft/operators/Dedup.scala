@@ -914,22 +914,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash over a token multiset (FNV-1a per token, weight =
-    * occurrence count). One UDF call per row; no shuffle.
+    * occurrence count) — the native [[graft.functions.SimHash64]]
+    * kernel (round 19; bit-identical to the UDF it replaces, same
+    * UTF-16 FNV loop and majority fold). One kernel call per row; no
+    * shuffle.
     */
-  val simhash64 = udf { tokens: Seq[String] =>
-    val acc = new Array[Long](64)
-    if (tokens != null) tokens.foreach { t =>
-      var h = 0xcbf29ce484222325L // FNV-1a 64
-      var i = 0
-      while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
-    }
-    var out = 0L
-    var b = 0
-    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
-    out
-  }
+  def simhash64(tokens: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.simhash64(tokens)
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, found
     * by 16-bit band blocking (any pair within Hamming ≤ 3 of a 64-bit

@@ -20,19 +20,19 @@ class UdfCensusSpec extends AnyFunSuite {
 
   // file → expected `udf(...)`/`udf {...}` definition-site count, with
   // the standing justification per site:
-  //  - Dedup.scala: the broadcast-Bloom membership probe, simhash64
-  //    (64-bit majority fold) — stateful shapes with no builtin
-  //    equivalent that wouldn't materialize more
+  //  - Dedup.scala: the broadcast-Bloom membership probe — a stateful
+  //    broadcast-object lookup with no builtin equivalent that
+  //    wouldn't materialize more
   //  - TextAnalysis.scala: compressionRatio (Deflater round-trip —
   //    Spark has no compression scalar)
   // DeterministicCart (routing + stats pass), Log10IDF (idf scaling)
   // and VectorFunctions (toMlVector) lost their UDFs to the native
   // vector_at / vector_nonzeros / vector_scale / vector_from_floats
-  // kernels in r18; BOTH shingle UDFs lost theirs to the native
-  // word_shingles kernel in r19 (functions/ShingleExpression.scala)
-  // — do not reintroduce any of them.
+  // kernels in r18; both shingle UDFs and simhash64 lost theirs to
+  // the native word_shingles / simhash64 kernels in r19
+  // (functions/ShingleExpression.scala) — do not reintroduce any.
   private val allow: Map[String, Int] = Map(
-    "graft/operators/Dedup.scala" -> 2,
+    "graft/operators/Dedup.scala" -> 1,
     "graft/functions/TextAnalysis.scala" -> 1)
 
   private val udfCall =

@@ -60,6 +60,41 @@ class ShingleExpressionSpec extends SparkSuite {
     }
   }
 
+  test("simhash64 kernel is bit-identical to the UDF it replaced, " +
+      "including non-ASCII (UTF-16 code-unit lattice) and " +
+      "null/empty inputs") {
+    val udfTwin = udf { tokens: Seq[String] =>
+      val acc = new Array[Long](64)
+      if (tokens != null) tokens.foreach { t =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    val rnd = new scala.util.Random(64)
+    val rows: Seq[Seq[String]] = Seq(
+      null.asInstanceOf[Seq[String]],
+      Seq.empty[String],
+      Seq("héllo", "wörld", "héllo"), // repeats weight the vote
+      Seq("日本語", "𝒜𝓑"), // surrogate pairs: 2 UTF-16 units each
+      Seq("")) ++
+      Seq.fill(100)(Seq.fill(rnd.nextInt(10))(s"t${rnd.nextInt(7)}"))
+    val df = rows.zipWithIndex.map(_.swap).toDF("id", "toks")
+    val out = df.select($"id", simhash64($"toks").as("native"),
+        udfTwin($"toks").as("udf"))
+      .as[(Int, Long, Long)].collect()
+    out.foreach { case (id, n, u) => assert(n === u, s"row $id") }
+  }
+
   test("stays inside whole-stage codegen on the dedup scan shape") {
     val df = Seq((1L, "a b c d e")).toDF("doc_id", "text")
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
