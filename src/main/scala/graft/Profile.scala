@@ -45,8 +45,11 @@ object Profile {
           t0 <- si.submissionTime; t1 <- si.completionTime
         } yield t1 - t0).getOrElse(-1L)
         val m = si.taskMetrics
+        val ops = si.rddInfos.flatMap(r => r.scope)
+          .map(_.name).distinct.mkString(">")
         stages += StageRow(
-          si.stageId, si.name.takeWhile(_ != '\n'), si.numTasks, ms,
+          si.stageId, ops + " @ " + si.name.takeWhile(_ != '\n'),
+          si.numTasks, ms,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           m.inputMetrics.bytesRead / 1e6)

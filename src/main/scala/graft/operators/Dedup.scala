@@ -50,7 +50,11 @@ object Dedup {
     */
   def shingleSets(
       df: DataFrame, idCol: String, tokensCol: String, k: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    // widen a narrow scan first: shingling fronts every dedup chain
+    // and its downstream hash lattices (16 md5/xxh per shingle) are
+    // the CPU-heavy map work a single-split input would serialize
+    // (guide §2.5; measured 16.3 s single-task in the r19 profile)
+    Par.widen(df).select(col(idCol).as("id"),
       explode(graft.functions.word_shingles(col(tokensCol), k))
         .as("shingle"))
 
@@ -847,6 +851,16 @@ object Dedup {
       idA: String,
       idB: String,
       maxIter: Int): (DataFrame, Int, Boolean) = {
+    // NOTE (r19 optimization round, measured): two rejected variants,
+    // kept out on evidence — (a) batching two propagation steps per
+    // convergence check re-evaluates the unmaterialized first step's
+    // subtree inside the second (each step references its input
+    // twice), and the CC-family bench slowed 1.2-1.5×; (b)
+    // pre-partitioning the persisted edge cache on `dst` pins every
+    // round's join to the cache's full partition count, defeating
+    // AQE's small-partition coalescing — same regression. The
+    // single-step loop with an unpartitioned cache measures fastest
+    // at every tested scale.
     val edges = pairs
       .select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
       .union(pairs

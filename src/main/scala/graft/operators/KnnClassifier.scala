@@ -38,7 +38,10 @@ object KnnClassifier {
       unlabeled: DataFrame, labeled: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
     Reserved.check("unlabeled" -> unlabeled, "labeled" -> labeled)
-    val q = unlabeled.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // the scoring side is the big one — right-size a narrow scan so
+    // the broadcast-cross cosine pass parallelizes (guide §2.5)
+    val q = Par.widen(unlabeled)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = labeled.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"))
     val scored = q.crossJoin(broadcast(c))

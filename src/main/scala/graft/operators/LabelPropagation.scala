@@ -40,7 +40,10 @@ object LabelPropagation {
     */
   def knnEdges(
       emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = emb.select(col(idCol).as("node_id"), col(vecCol).as("__qv"))
+    // widen the scoring side: the n×|broadcast| cosine pass is the
+    // heavy map stage a one-split scan would serialize (guide §2.5)
+    val q = Par.widen(emb)
+      .select(col(idCol).as("node_id"), col(vecCol).as("__qv"))
     val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val scored = q.crossJoin(broadcast(c))
       .filter(col("node_id") =!= col("neighbor_id"))

@@ -327,7 +327,9 @@ object Similarity {
   def assignCellsTo(
       corpus: DataFrame, idCol: String, vecCol: String,
       centDf: DataFrame): DataFrame =
-    corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+    // widen a narrow scan first: the nlist-way cosine sweep per row
+    // is the heavy map work of every cell-blocked consumer (§2.5)
+    Par.widen(corpus).select(col(idCol).as("id"), col(vecCol).as("cv"))
       .crossJoin(broadcast(centDf))
       .withColumn("csim",
         round(VectorFunctions.cosine(col("cv"), col("centroid")), 6))

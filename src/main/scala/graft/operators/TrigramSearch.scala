@@ -32,7 +32,7 @@ object TrigramSearch {
     */
   def index(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     Reserved.check("docs" -> docs)
-    docs
+    Par.widen(docs)
       .select(col(idCol), col(textCol))
       .where(length(col(textCol)) >= 3)
       .select(col(idCol), explode(expr(

@@ -688,7 +688,9 @@ private[queries] object ExtensionCurationQueries {
         val h = (n.cast("long") / lit(2L)).cast("int")
         val first = array_join(slice(toks, lit(1), h), " ")
         val second = array_join(slice(toks, h + 1, n - h), " ")
-        Tables.documents(s, dir)
+        // two langId sweeps over every token of every doc — widen
+        // the one-split scan so the scoring parallelizes (§2.5)
+        graft.operators.Par.widen(Tables.documents(s, dir))
           .select(col("doc_id"),
             TextAnalysis.langId(first).as("lang_a"),
             TextAnalysis.langId(second).as("lang_b"))
@@ -1512,7 +1514,11 @@ private[queries] object ExtensionCurationQueries {
       (s, dir) => {
         val pts = Tables.embeddings(s, dir)
         val q = pts.select(col("vec_id").as("src"), col("embedding").as("qv"))
-        val c = pts.select(col("vec_id").as("dst"), col("embedding").as("cv"))
+        // widen the scored side: the n×|broadcast| distance sweep is
+        // the heavy map stage a one-split scan serializes (§2.5;
+        // measured 5.2 s single-task in the r19 profile)
+        val c = graft.operators.Par.widen(pts)
+          .select(col("vec_id").as("dst"), col("embedding").as("cv"))
         val edges = c.crossJoin(broadcast(q))
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"),

@@ -157,4 +157,31 @@ class DedupGroupsSpec extends SparkSuite {
         .head.getLong(0) === 0L)
     }
   }
+
+  test("plain CC labels equal the counting variant's on chains, " +
+      "cliques and forests — any loop-cadence optimization must " +
+      "preserve this fixed-point equality") {
+    import spark.implicits._
+    // shapes chosen to converge on odd AND even step counts, before
+    // and after halving engages (step 6): a long chain (halving
+    // path), short chains (plain-propagation path), a clique, and
+    // disconnected singleton pairs — the label lattice is monotone,
+    // so any step-batching must land on the identical fixed point
+    val fixtures = Seq(
+      (0L until 99L).map(i => (i, i + 1)),              // 100-chain
+      (0L until 6L).map(i => (i, i + 1)),               // 7-chain
+      Seq((1L, 2L)),                                    // pair
+      (for (a <- 30L to 34L; b <- 30L to 34L if a < b)
+        yield (a, b)) ++ Seq((50L, 51L), (60L, 61L))    // clique+pairs
+    )
+    for (edges <- fixtures) {
+      val df = edges.toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val (slowDf, _) = Dedup.connectedComponentsWithRounds(df)
+      val slow = slowDf
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      assert(fast.toSeq === slow.toSeq)
+    }
+  }
 }
