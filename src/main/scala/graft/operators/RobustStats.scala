@@ -113,8 +113,14 @@ object RobustStats {
       }
     }
     import org.apache.spark.sql.expressions.Window
-    val rows = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
-      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    // widen a narrow scan before checkpointing: the O(n²/group) pair
+    // expansion below is map-side over this frame (the small side
+    // broadcasts), so a one-split input would run it in one task
+    // (measured: a single task emitting the full 65 MB slope-pair
+    // exchange in the r19 profile; guide §2.5)
+    val rows = Par.widen(
+      df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y")))
       .localCheckpoint(true)
     val oversized = rows.groupBy(col("__g"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > maxGroupRows)
@@ -158,6 +164,11 @@ object RobustStats {
           / lit(1e6)).as("slope"),
         (round(col("__r") * lit(1e6)).cast("long").cast("double")
           / lit(1e6)).as("intercept"))
+      // the result is group-count-sized; pin it so a caller's global
+      // sort cannot re-execute the O(n²/group) slope windows through
+      // its range-partitioner sampling pass (measured: the full
+      // 65 MB window chain ran twice per query before this)
+      .localCheckpoint(true)
   }
 
   /** Exact WEIGHTED quantiles per group — "the median document by

@@ -223,7 +223,13 @@ private[queries] object ExtensionAnnQueries {
       (s, dir) => {
         import graft.operators.Bm25
         val docs = docTokens(s, dir)
-        val index = Bm25.postings(docs, "doc_id", "tokens")
+        // the index feeds BOTH scoring passes (feedback + final) with
+        // DIFFERENT query sets, so exchange reuse can't share it —
+        // pin it once instead of rebuilding the postings twice
+        // (guide §1.2: don't compute things twice; measured 2.0 s +
+        // 2.7 s duplicate posting builds in the r19 profile)
+        val index = graft.operators.Par.widen(
+          Bm25.postings(docs, "doc_id", "tokens").localCheckpoint(true))
         val totals = Bm25.totals(docs, "doc_id", "tokens")
         val q0 = retrievalQueryTerms(docs)
         Bm25.scoreTopK(index, totals,

@@ -125,7 +125,10 @@ private[queries] object ExtensionGraphStatsQueries {
       (s, dir) => {
         import graft.operators.{Bm25, QueryLikelihood, RankFusion}
         val docs = docTokens(s, dir)
+        // pinned: BOTH rankers consume the index, and their differing
+        // downstream plans defeat exchange reuse (q_prf_expand note)
         val index = Bm25.postings(docs, "doc_id", "tokens")
+          .localCheckpoint(true)
         val qt = retrievalQueryTerms(docs)
         val bm = Bm25.scoreTopK(
           index, Bm25.totals(docs, "doc_id", "tokens"), qt, k = 10)

