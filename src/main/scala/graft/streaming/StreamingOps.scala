@@ -301,6 +301,45 @@ object StreamingOps {
 
   private val nameCounter = new AtomicInteger(0)
 
+  /** Input bytes of the stream source feeding the NEXT drain on this
+    * thread — set by [[readEventStream]], consumed (and cleared) by
+    * [[drainToFrame]] to right-size stateful-operator parallelism.
+    *
+    * Why: a streaming query's state-store partition count is frozen
+    * at query start from `spark.sql.shuffle.partitions` — AQE never
+    * coalesces stateful exchanges the way it does batch ones, so a
+    * bounded replay of a small input still opens, commits and
+    * snapshots `shuffle.partitions` state stores per stateful
+    * operator per micro-batch (measured: the stream-stream left-join
+    * bench entry spent most of its wall in 32-way state-store task
+    * overhead on a 2 MB input). The width is DERIVED FROM INPUT SIZE
+    * (~32 MB of source per state partition), clamped to the session's
+    * configured width: at production scale `bytes/32MB` exceeds any
+    * sane session setting, so the clamp returns the configured
+    * parallelism unchanged — a local constant is exactly what this
+    * is NOT (the round rule: derive, don't tune).
+    *
+    * Applied ONLY by the stream-stream join helpers: their per-batch
+    * cost is dominated by state-STORE lifecycle (each partition
+    * opens, updates and commits FOUR stores — two per join side —
+    * every micro-batch), which the input-derived width collapses;
+    * stateless and single-store helpers keep the session width,
+    * where the same measurement showed the narrower microbatch
+    * shuffles LOSING more compute parallelism than the store
+    * overhead they saved (12 small stream queries drifted 1.1-1.5×
+    * under a blanket hint; the join read 0.45×).
+    */
+  private val statefulWidthHint = new ThreadLocal[java.lang.Long]
+
+  private def hintStatefulWidth(spark: SparkSession, path: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(p).getLength
+      val prev = Option(statefulWidthHint.get).map(_.longValue).getOrElse(0L)
+      statefulWidthHint.set(math.max(prev, bytes))
+    } catch { case _: Throwable => statefulWidthHint.remove() }
+
   /** Start `out` into a fresh memory sink, drain it once (the
     * bounded-input one-pass pattern every helper here uses), stop,
     * and return the sink contents pinned with an eager
@@ -316,10 +355,24 @@ object StreamingOps {
       mode: org.apache.spark.sql.streaming.OutputMode): DataFrame = {
     val spark = out.sparkSession
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = out.writeStream.outputMode(mode)
-      .format("memory").queryName(name)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    // state-partition right-sizing (see statefulWidthHint): the conf
+    // is read once, at query start, so set it just for the start +
+    // drain and restore afterwards
+    val confKey = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(confKey)
+    val target = Option(statefulWidthHint.get).map { bytes =>
+      math.max(1L, math.min(orig.toLong, bytes / (32L << 20) + 1L))
+    }
+    statefulWidthHint.remove()
+    try {
+      target.foreach(t => spark.conf.set(confKey, t.toString))
+      val q = out.writeStream.outputMode(mode)
+        .format("memory").queryName(name)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      if (target.isDefined) spark.conf.set(confKey, orig)
+    }
     val result = spark.table(name).localCheckpoint(eager = true)
     spark.catalog.dropTempView(name)
     result
@@ -1708,6 +1761,7 @@ object StreamingOps {
     val joined = joinWithinInterval(conv, clicks,
       "conv_user", "click_user", "conv_ts", "click_ts",
       watermark, windowSeconds)
+    hintStatefulWidth(spark, path) // 4 state stores per partition
     val __sink = drainToFrame(joined, OutputMode.Append)
     __sink.select(col("conv_id"), col("click_id"))
   }
@@ -1780,6 +1834,7 @@ object StreamingOps {
         col("click_ts") >= col("conv_ts") -
           expr(s"INTERVAL $windowSeconds SECONDS"),
       "left_outer")
+    hintStatefulWidth(spark, path) // 4 state stores per partition
     val __sink = drainToFrame(joined, OutputMode.Append)
     __sink.select(col("conv_id"), col("click_id"))
   }
